@@ -1,0 +1,228 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{broadcast => bc, _}
+import org.apache.spark.sql.types.StructType
+
+/** The user-facing frame: a thin immutable wrapper over a Spark
+  * [[DataFrame]] exposing the full reference surface
+  * (`tafra.base.Tafra`, /root/reference/tafra/base.py:89) re-expressed
+  * Spark-first. Every method builds a declarative plan — Catalyst does
+  * pushdown/pruning/join-strategy selection; nothing here collects to
+  * the driver.
+  */
+final class Tafra(val df: DataFrame) extends Serializable {
+  import Tafra._
+
+  def spark: SparkSession = df.sparkSession
+  def columns: Seq[String] = df.columns.toSeq
+  def dtypes: Map[String, String] = df.dtypes.toMap
+  /** Reference `rows` property (base.py:1133). An action, not metadata. */
+  def rows: Long = df.count()
+
+  // ---- column ops (base.py:1354, 1560, 1602, 1449, 1512, 1675) ----
+
+  /** Projection (base.py:1354). Column pruning reaches the scan. */
+  def select(cols: Seq[String]): Tafra = {
+    validateColumns(cols)
+    new Tafra(df.select(cols.map(df(_)): _*))
+  }
+
+  /** Rename columns (base.py:1560). */
+  def rename(renames: Map[String, String]): Tafra = {
+    validateColumns(renames.keys.toSeq)
+    new Tafra(df.withColumnsRenamed(renames))
+  }
+
+  /** Drop columns (base.py:1602). */
+  def delete(cols: Seq[String]): Tafra = {
+    validateColumns(cols)
+    new Tafra(df.drop(cols: _*))
+  }
+
+  /** Add or replace a column (base.py:336 `__setitem__`). */
+  def update(name: String, value: Column): Tafra =
+    new Tafra(df.withColumn(name, value))
+
+  /** Merge all columns from `other` (base.py:1449). Row counts must
+    * align in the reference; in a distributed frame we express it as
+    * withColumns from a shared lineage.
+    */
+  def update(other: Map[String, Column]): Tafra =
+    new Tafra(df.withColumns(other))
+
+  /** Cast dtypes (base.py:1512). */
+  def updateDtypes(casts: Map[String, String]): Tafra = {
+    validateColumns(casts.keys.toSeq)
+    new Tafra(df.withColumns(casts.map { case (c, t) => c -> df(c).cast(t) }))
+  }
+
+  /** Fill a column from successive fallbacks (base.py:1675). */
+  def coalesceCol(column: String, fills: Seq[Column]): Tafra =
+    new Tafra(df.withColumn(column, coalesce((df(column) +: fills): _*)))
+
+  // ---- row ops (base.py:310-497, 1380) ----
+
+  def filter(cond: Column): Tafra = new Tafra(df.filter(cond))
+
+  /** Deterministic head: the reference's positional `head` (base.py:1380)
+    * has no stable meaning on a distributed frame without a total
+    * order, so callers supply one.
+    */
+  def head(n: Int, order: Seq[Column]): Tafra =
+    new Tafra(df.orderBy(order: _*).limit(n))
+
+  def sort(order: Seq[Column]): Tafra = new Tafra(df.orderBy(order: _*))
+
+  def distinct(): Tafra = new Tafra(df.distinct())
+
+  // ---- union (base.py:1969, group.py:56) ----
+
+  /** UNION ALL with the reference's validation: same column names and
+    * dtypes (group.py:62-96).
+    */
+  def union(other: Tafra): Tafra = {
+    require(df.columns.toSeq == other.df.columns.toSeq,
+      s"union: column mismatch ${df.columns.toSeq} vs ${other.df.columns.toSeq}")
+    require(df.dtypes.toSeq == other.df.dtypes.toSeq,
+      s"union: dtype mismatch ${df.dtypes.toSeq} vs ${other.df.dtypes.toSeq}")
+    new Tafra(df.unionByName(other.df))
+  }
+
+  // ---- group ops (base.py:2009-2091, group.py:215-384) ----
+
+  /** SQL GROUP BY (group.py:215). Partial aggregation (map-side
+    * combine) happens before the shuffle — the reference's
+    * O(groups×rows) masking loop becomes one hash-agg exchange.
+    */
+  def groupBy(cols: Seq[String], aggs: Seq[Agg]): Tafra = {
+    validateColumns(cols ++ aggs.map(_.col))
+    new Tafra(df.groupBy(cols.map(df(_)): _*).agg(aggs.head.toColumn, aggs.tail.map(_.toColumn): _*))
+  }
+
+  /** Group agg broadcast back to rows (group.py:277). The reference
+    * does GROUP BY + join-back; Spark's window functions do it in a
+    * single shuffle with no join.
+    */
+  def transform(cols: Seq[String], aggs: Seq[Agg]): Tafra = {
+    validateColumns(cols ++ aggs.map(_.col))
+    val w = Window.partitionBy(cols.map(df(_)): _*)
+    val withCols = aggs.map(a => a.out -> Agg.fns(a.fn)(a.col).over(w)).toMap
+    new Tafra(df.withColumns(withCols))
+  }
+
+  /** Per-group iteration (group.py:342). The reference yields
+    * driver-side sub-frames; the scale-safe analog runs `f` inside the
+    * executors over each group's rows via flatMapGroups.
+    */
+  def iterateBy(cols: Seq[String])(outSchema: StructType)(
+      f: (Row, Iterator[Row]) => Iterator[Row]): Tafra = {
+    validateColumns(cols)
+    val keySchema = StructType(cols.map(c => df.schema(c)))
+    val keyEnc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(keySchema))
+    val outEnc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val keyIdx = cols.map(df.schema.fieldIndex)
+    val out = df.groupByKey(r => Row.fromSeq(keyIdx.map(r.get)))(keyEnc)
+      .flatMapGroups((k: Row, it: Iterator[Row]) => f(k, it))(outEnc)
+    new Tafra(out.toDF())
+  }
+
+  // ---- joins (base.py:2091-2189, group.py:385-648) ----
+
+  /** Inner join with the reference's `on` triples
+    * ('left_col','right_col','op'), op ∈ ==,!=,<,<=,>,>= (group.py:30).
+    * The conjunction goes to Catalyst whole; it extracts the equi keys
+    * for hash/sort-merge join and keeps theta ops as residuals.
+    * Output columns follow the reference rule (group.py:449-510):
+    * all left columns, then right columns whose names the left doesn't
+    * have; `select` filters if non-empty.
+    */
+  def innerJoin(right: Tafra, on: Seq[(String, String, String)],
+                select: Seq[String] = Nil, broadcastRight: Boolean = false): Tafra =
+    joinWith(right, on, select, "inner", broadcastRight)
+
+  /** Left join (group.py:512). */
+  def leftJoin(right: Tafra, on: Seq[(String, String, String)],
+               select: Seq[String] = Nil, broadcastRight: Boolean = false): Tafra =
+    joinWith(right, on, select, "left", broadcastRight)
+
+  /** Cross join (group.py:604). */
+  def crossJoin(right: Tafra, select: Seq[String] = Nil): Tafra = {
+    val out = dedupOutput(df.crossJoin(right.df), right, select)
+    new Tafra(out)
+  }
+
+  private def joinWith(right: Tafra, on: Seq[(String, String, String)],
+                       select: Seq[String], how: String, broadcastRight: Boolean): Tafra = {
+    require(on.nonEmpty, "join requires at least one on-condition")
+    validateColumns(on.map(_._1))
+    right.validateColumns(on.map(_._2))
+    on.foreach { case (l, r, op) =>
+      require(joinOps.contains(op), s"invalid join op '$op'")
+      // reference validates joinable dtypes (group.py:392-409)
+      val (lt, rt) = (dtypes(l), right.dtypes(r))
+      require(lt == rt, s"join dtype mismatch: $l:$lt vs $r:$rt")
+    }
+    val rdf = if (broadcastRight) bc(right.df) else right.df
+    val cond = on.map { case (l, r, op) => joinOps(op)(df(l), right.df(r)) }.reduce(_ && _)
+    new Tafra(dedupOutput(df.join(rdf, cond, how), right, select))
+  }
+
+  /** Reference duplicate-name rule: prefer left, keep right's
+    * non-colliding columns (group.py:449-463).
+    */
+  private def dedupOutput(joined: DataFrame, right: Tafra, select: Seq[String]): DataFrame = {
+    val leftCols = df.columns.toSeq
+    val rightCols = right.df.columns.toSeq.filterNot(leftCols.contains)
+    val all = leftCols.map(c => df(c)) ++ rightCols.map(c => right.df(c))
+    val names = leftCols ++ rightCols
+    val kept = if (select.isEmpty) names.zip(all)
+               else names.zip(all).filter { case (n, _) => select.contains(n) }
+    joined.select(kept.map { case (n, c) => c.as(n) }: _*)
+  }
+
+  // ---- map functions (base.py:1229-1352) ----
+
+  /** Typed per-row map (base.py:1229 row_map / 1252 tuple_map). */
+  def rowMap(outSchema: StructType)(f: Row => Row): Tafra = {
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    new Tafra(df.map(f).toDF())
+  }
+
+  /** Reference `pipe` / `>>` (base.py:1330, 355). */
+  def pipe(f: Tafra => Tafra): Tafra = f(this)
+
+  // ---- IO / exports (base.py:1772-1965) ----
+
+  def toParquet(path: String): Unit = df.write.mode("overwrite").parquet(path)
+  def toCsv(path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+  /** Driver-side materialization (base.py:1772 to_records). */
+  def toRecords: Array[Row] = df.collect()
+  def toLocalIterator: java.util.Iterator[Row] = df.toLocalIterator()
+  def pprint(n: Int = 20): Unit = df.show(n, truncate = false)
+
+  private[core] def validateColumns(cols: Seq[String]): Unit = {
+    val missing = cols.distinct.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"columns not found: ${missing.mkString(", ")}")
+  }
+}
+
+object Tafra {
+  val joinOps: Map[String, (Column, Column) => Column] = Map(
+    "==" -> (_ === _), "!=" -> (_ =!= _),
+    "<" -> (_ < _), "<=" -> (_ <= _),
+    ">" -> (_ > _), ">=" -> (_ >= _))
+
+  def apply(df: DataFrame): Tafra = new Tafra(df)
+
+  def readParquet(spark: SparkSession, path: String): Tafra =
+    new Tafra(spark.read.parquet(path))
+
+  implicit final class TafraOps(private val t: Tafra) extends AnyVal {
+    /** Reference `>>` operator (base.py:355). */
+    def >>(f: Tafra => Tafra): Tafra = t.pipe(f)
+  }
+}
