@@ -1,11 +1,25 @@
 package graft
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 import graft.core.{Agg, Tafra}
+import graft.sources.CsvSource
 
-/** Driver contract — see /root/repo/SURVEY.md §2/§7. */
+/** Driver contract — see /root/repo/SURVEY.md §2/§7.
+  *
+  * Determinism rules for the DuckDB-oracle compare (driver sorts columns
+  * by name, then hashes values; row order is canonicalized):
+  *  - money/quantity sums go through DECIMAL (order-independent), cast
+  *    to double only at the end;
+  *  - derived doubles (means, ratios) use the IDENTICAL expression shape
+  *    on both sides so IEEE arithmetic agrees bit-for-bit;
+  *  - window ranks cast to INT on the oracle side (DuckDB emits BIGINT);
+  *  - timestamps only appear truncated (year/date_trunc) because the
+  *    events table is ns-precision and Spark is µs.
+  */
 object SparkEntry {
 
   private def t(spark: SparkSession, dir: String, name: String): Tafra =
@@ -21,8 +35,20 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q01_groupby_agg")(spark, "/root/testdata/sf0.001")
 
+  /** Shared ANSI SQL for q19 — the exact string runs on BOTH engines
+    * (spark.sql over temp views; DuckDB over parquet views).
+    */
+  private val q19Sql: String =
+    """SELECT r_name, n_name, COUNT(c_custkey) AS n_cust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+       FROM customer
+       JOIN nation ON c_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       GROUP BY r_name, n_name"""
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
     // §2#1 group_by (tafra/group.py:215) — TPC-H Q1-style pricing summary.
     "q01_groupby_agg" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -38,6 +64,202 @@ object SparkEntry {
         .update("sum_revenue", col("sum_revenue_d").cast("double"))
         .delete(Seq("sum_qty_d", "sum_revenue_d"))
         .sort(Seq(col("l_returnflag"), col("l_linestatus"))).df
+    }),
+
+    // §2#2 transform (group.py:277) — group agg broadcast back to rows via
+    // Window.partitionBy: ONE shuffle, no join-back.
+    "q02_transform" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(Seq("l_orderkey", "l_linenumber", "l_quantity"))
+        .update("l_quantity_d", dec(col("l_quantity")))
+        .transform(Seq("l_orderkey"),
+          Seq(Agg("order_qty_d", "sum", "l_quantity_d"),
+              Agg("n_lines", "count", "l_linenumber")))
+        .update("order_qty", col("order_qty_d").cast("double"))
+        .update("qty_share", col("l_quantity") / col("order_qty"))
+        .delete(Seq("l_quantity_d", "order_qty_d")).df
+    }),
+
+    // §2#3 iterate_by (group.py:342) — per-group iteration INSIDE the
+    // executors (flatMapGroups), never a driver loop.
+    "q03_iterate_by" -> ((s, dir) => {
+      val out = StructType(Seq(
+        StructField("l_orderkey", LongType),
+        StructField("n_lines", LongType),
+        StructField("max_qty", DoubleType)))
+      t(s, dir, "lineitem")
+        .select(Seq("l_orderkey", "l_quantity"))
+        .iterateBy(Seq("l_orderkey"))(out) { (key, rows) =>
+          var n = 0L; var mx = Double.NegativeInfinity
+          rows.foreach { r => n += 1; val q = r.getDouble(1); if (q > mx) mx = q }
+          Iterator.single(Row(key.getLong(0), n, mx))
+        }.df
+    }),
+
+    // §2#4 inner_join (group.py:421) — equi join; small dim broadcast.
+    "q04_inner_join" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .innerJoin(t(s, dir, "customer"), Seq(("o_custkey", "c_custkey", "==")),
+          select = Seq("o_orderkey", "o_custkey", "o_totalprice", "c_name", "c_mktsegment"),
+          broadcastRight = true).df
+    }),
+
+    // §2#5 left_join (group.py:512).
+    "q05_left_join" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .select(Seq("c_custkey", "c_name"))
+        .leftJoin(t(s, dir, "orders"), Seq(("c_custkey", "o_custkey", "==")),
+          select = Seq("c_custkey", "c_name", "o_orderkey", "o_totalprice")).df
+    }),
+
+    // §2#4 theta ops — equi key extracted by Catalyst for the hash join,
+    // the `>` residual stays in the join condition.
+    "q06_theta_join" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .innerJoin(t(s, dir, "part"),
+          Seq(("l_partkey", "p_partkey", "=="), ("l_extendedprice", "p_retailprice", ">")),
+          select = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice",
+                       "p_retailprice", "p_brand"),
+          broadcastRight = true).df
+    }),
+
+    // §2#6 cross_join (group.py:604) — broadcast nested loop on small side.
+    "q07_cross_join" -> ((s, dir) => {
+      t(s, dir, "region")
+        .crossJoin(t(s, dir, "nation"), select = Seq("r_name", "n_nationkey", "n_name")).df
+    }),
+
+    // §2#7 union (group.py:56) — schema-validated UNION ALL.
+    "q08_union" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(Seq("o_orderkey", "o_orderstatus", "o_totalprice"))
+      val f = o.filter(col("o_orderstatus") === "F").update("tag", lit("closed"))
+      val open = o.filter(col("o_orderstatus") === "O").update("tag", lit("open"))
+      f.union(open).df
+    }),
+
+    // §2#8-10 select / rename / delete (base.py:1354,1560,1602).
+    "q09_select_rename" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .select(Seq("c_custkey", "c_name", "c_acctbal", "c_mktsegment"))
+        .rename(Map("c_custkey" -> "cust_id", "c_name" -> "name"))
+        .delete(Seq("c_mktsegment")).df
+    }),
+
+    // §2#11-12 filter / sort / head (base.py:310-497,1380) — head takes a
+    // total order (orderkey,linenumber unique) to be deterministic at scale.
+    "q10_filter_sort_head" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(Seq("l_orderkey", "l_linenumber", "l_quantity", "l_discount"))
+        .filter(col("l_quantity") > 45 && col("l_discount") < 0.05)
+        .head(100, Seq(col("l_orderkey"), col("l_linenumber"))).df
+    }),
+
+    // §2#13 coalesce (base.py:1675).
+    "q11_coalesce" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .select(Seq("c_custkey", "c_acctbal"))
+        .update("bal_pos", when(col("c_acctbal") > 0, col("c_acctbal")))
+        .coalesceCol("bal_pos", Seq(lit(0.0)))
+        .delete(Seq("c_acctbal")).df
+    }),
+
+    // §2#14-15 update / update_dtypes (base.py:1449,1512) — FLOOR before the
+    // int cast: Spark truncates double→int, DuckDB rounds, floor agrees.
+    "q12_update_cast" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(Seq("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate"))
+        .update("qty_int", floor(col("l_quantity")).cast("int"))
+        .update("ship_year", year(col("l_shipdate")))
+        .updateDtypes(Map("l_linenumber" -> "bigint"))
+        .delete(Seq("l_quantity", "l_shipdate")).df
+    }),
+
+    // §2#16 unique groups (group.py:154).
+    "q13_distinct" -> ((s, dir) => {
+      t(s, dir, "customer").select(Seq("c_mktsegment", "c_nationkey")).distinct().df
+    }),
+
+    // §2#17 agg breadth (group.py:171) — mean/var/std derived from exact
+    // DECIMAL sums with the identical double expression on both engines
+    // (float aggs straight over doubles are shuffle-order-dependent).
+    "q14_agg_breadth" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .update("qd", dec(col("l_quantity")))
+        .update("qd2", dec(dec(col("l_quantity")) * dec(col("l_quantity"))))
+        .groupBy(Seq("l_returnflag"),
+          Seq(Agg("min_qty", "min", "l_quantity"),
+              Agg("max_qty", "max", "l_quantity"),
+              Agg("n", "count", "l_orderkey"),
+              Agg("n_supp", "count_distinct", "l_suppkey"),
+              Agg("sq", "sum", "qd"),
+              Agg("sq2", "sum", "qd2")))
+        .update("mean_qty", col("sq").cast("double") / col("n"))
+        .update("var_qty",
+          (col("sq2").cast("double") - col("sq").cast("double") * col("sq").cast("double") / col("n"))
+            / (col("n") - 1))
+        .update("std_qty", sqrt(col("var_qty")))
+        .delete(Seq("sq", "sq2")).df
+    }),
+
+    // §2#18 iter_fn group enumeration (group.py:208) → rank windows.
+    // Order (o_totalprice DESC, o_orderkey) is tie-free → deterministic.
+    "q15_rank_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(Seq("o_custkey", "o_orderkey", "o_totalprice"))
+        .update("rn", row_number().over(w))
+        .update("rk", rank().over(w))
+        .update("drk", dense_rank().over(w))
+        .filter(col("rn") <= 3).df
+    }),
+
+    // §2#19 row/tuple map (base.py:1229) — typed per-row map, codegen'd
+    // Encoders; arithmetic mirrors the oracle's IEEE shape.
+    "q16_typed_map" -> ((s, dir) => {
+      val out = StructType(Seq(
+        StructField("l_orderkey", LongType),
+        StructField("gross", DoubleType),
+        StructField("tax_band", StringType)))
+      t(s, dir, "lineitem")
+        .select(Seq("l_orderkey", "l_extendedprice", "l_tax"))
+        .rowMap(out) { r =>
+          val price = r.getDouble(1); val tax = r.getDouble(2)
+          Row(r.getLong(0), price * (1 + tax), if (tax > 0.05) "high" else "low")
+        }.df
+    }),
+
+    // §2#20 expression surface — CASE WHEN / string / date functions, all
+    // inside whole-stage codegen.
+    "q17_expressions" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(Seq("o_orderkey", "o_orderstatus", "o_orderpriority", "o_orderdate", "o_custkey"))
+        .update("status_desc",
+          when(col("o_orderstatus") === "F", "fulfilled")
+            .when(col("o_orderstatus") === "O", "open")
+            .otherwise("pending"))
+        .update("cust_tag", concat(upper(substring(col("o_orderpriority"), 1, 1)),
+          lit("_"), col("o_custkey").cast("string")))
+        .update("od_year", year(col("o_orderdate")))
+        .update("od_month", month(col("o_orderdate")))
+        .update("priority_num", substring(col("o_orderpriority"), 1, 1).cast("int"))
+        .update("prio_len", length(col("o_orderpriority")))
+        .delete(Seq("o_orderstatus", "o_orderpriority", "o_orderdate", "o_custkey")).df
+    }),
+
+    // §2#21 read_csv (csvreader.py) — parquet→csv→CsvSource round trip with
+    // distributed schema inference.
+    "q18_read_csv" -> ((s, dir) => {
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_nation_${dir.hashCode.toHexString}"
+      t(s, dir, "nation").toCsv(tmp)
+      CsvSource.read(s, tmp).df
+    }),
+
+    // §2#23 read_sql (base.py:979) — spark.sql over registered temp views;
+    // the SAME SQL string is the oracle.
+    "q19_sql" -> ((s, dir) => {
+      Seq("customer", "nation", "region").foreach(n => t(s, dir, n).df.createOrReplaceTempView(n))
+      s.sql(q19Sql)
     })
   )
 
@@ -50,6 +272,105 @@ object SparkEntry {
          COUNT(DISTINCT l_orderkey) AS n_orders,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
          CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DOUBLE) AS sum_revenue
-         FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"""
+         FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q02_transform" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+         COUNT(l_linenumber) OVER (PARTITION BY l_orderkey) AS n_lines,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER (PARTITION BY l_orderkey) AS DOUBLE) AS order_qty,
+         l_quantity / CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER (PARTITION BY l_orderkey) AS DOUBLE) AS qty_share
+         FROM lineitem""",
+
+    "q03_iterate_by" ->
+      """SELECT l_orderkey, COUNT(*) AS n_lines, MAX(l_quantity) AS max_qty
+         FROM lineitem GROUP BY 1""",
+
+    "q04_inner_join" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_mktsegment
+         FROM orders JOIN customer ON o_custkey = c_custkey""",
+
+    "q05_left_join" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey""",
+
+    "q06_theta_join" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_extendedprice, p_retailprice, p_brand
+         FROM lineitem JOIN part ON l_partkey = p_partkey AND l_extendedprice > p_retailprice""",
+
+    "q07_cross_join" ->
+      """SELECT r_name, n_nationkey, n_name FROM region CROSS JOIN nation""",
+
+    "q08_union" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice, 'closed' AS tag
+         FROM orders WHERE o_orderstatus = 'F'
+         UNION ALL
+         SELECT o_orderkey, o_orderstatus, o_totalprice, 'open' AS tag
+         FROM orders WHERE o_orderstatus = 'O'""",
+
+    "q09_select_rename" ->
+      """SELECT c_custkey AS cust_id, c_name AS name, c_acctbal FROM customer""",
+
+    "q10_filter_sort_head" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+         FROM lineitem WHERE l_quantity > 45 AND l_discount < 0.05
+         ORDER BY l_orderkey, l_linenumber LIMIT 100""",
+
+    "q11_coalesce" ->
+      """SELECT c_custkey,
+         COALESCE(CASE WHEN c_acctbal > 0 THEN c_acctbal END, CAST(0.0 AS DOUBLE)) AS bal_pos
+         FROM customer""",
+
+    "q12_update_cast" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         CAST(FLOOR(l_quantity) AS INT) AS qty_int,
+         CAST(year(l_shipdate) AS INT) AS ship_year
+         FROM lineitem""",
+
+    "q13_distinct" ->
+      """SELECT DISTINCT c_mktsegment, c_nationkey FROM customer""",
+
+    "q14_agg_breadth" ->
+      """SELECT l_returnflag, MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+         COUNT(l_orderkey) AS n, COUNT(DISTINCT l_suppkey) AS n_supp,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_orderkey) AS mean_qty,
+         (CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4)) AS DECIMAL(18,4))) AS DOUBLE)
+          - CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) * CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_orderkey))
+          / (COUNT(l_orderkey) - 1) AS var_qty,
+         SQRT((CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4)) AS DECIMAL(18,4))) AS DOUBLE)
+          - CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) * CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_orderkey))
+          / (COUNT(l_orderkey) - 1)) AS std_qty
+         FROM lineitem GROUP BY 1""",
+
+    "q15_rank_window" ->
+      """SELECT * FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(ROW_NUMBER() OVER w AS INT) AS rn,
+             CAST(RANK() OVER w AS INT) AS rk,
+             CAST(DENSE_RANK() OVER w AS INT) AS drk
+           FROM orders
+           WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+         ) WHERE rn <= 3""",
+
+    "q16_typed_map" ->
+      """SELECT l_orderkey, l_extendedprice * (1 + l_tax) AS gross,
+         CASE WHEN l_tax > 0.05 THEN 'high' ELSE 'low' END AS tax_band
+         FROM lineitem""",
+
+    "q17_expressions" ->
+      """SELECT o_orderkey,
+         CASE WHEN o_orderstatus = 'F' THEN 'fulfilled'
+              WHEN o_orderstatus = 'O' THEN 'open'
+              ELSE 'pending' END AS status_desc,
+         upper(substring(o_orderpriority, 1, 1)) || '_' || CAST(o_custkey AS VARCHAR) AS cust_tag,
+         CAST(year(o_orderdate) AS INT) AS od_year,
+         CAST(month(o_orderdate) AS INT) AS od_month,
+         CAST(substring(o_orderpriority, 1, 1) AS INT) AS priority_num,
+         CAST(length(o_orderpriority) AS INT) AS prio_len
+         FROM orders""",
+
+    "q18_read_csv" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation""",
+
+    "q19_sql" -> q19Sql
   )
 }
