@@ -260,6 +260,105 @@ object SparkEntry {
     "q19_sql" -> ((s, dir) => {
       Seq("customer", "nation", "region").foreach(n => t(s, dir, n).df.createOrReplaceTempView(n))
       s.sql(q19Sql)
+    }),
+
+    // §2#27 streaming windowed agg — readStream → tumbling window →
+    // memory sink; oracle is the equivalent batch SQL.
+    "q20_stream_window" -> ((s, dir) =>
+      streaming.Events.hourlyByType(s, s"$dir/events.parquet")),
+
+    // §2#28 sessionization via flatMapGroupsWithState (30 min gap);
+    // oracle is the batch lag/cumsum SQL over µs-truncated times.
+    "q21_sessionize" -> ((s, dir) =>
+      streaming.Events.sessionize(s, s"$dir/events.parquet")),
+
+    // §2#29 exact dedup.
+    "q22_dedup_exact" -> ((s, dir) =>
+      operators.Dedup.exact(t(s, dir, "documents").df)),
+
+    // §2#30 MinHash+LSH near-dup (top-100 candidate pairs).
+    "q23_dedup_minhash" -> ((s, dir) =>
+      operators.Dedup.minhash(t(s, dir, "documents").df)),
+
+    // §2#31 SimHash near-dup (top-100 pairs by Hamming distance).
+    "q24_dedup_simhash" -> ((s, dir) =>
+      operators.Dedup.simhash(t(s, dir, "documents").df)),
+
+    // §2#32 n-gram Jaccard near-dup over rare trigrams (oracle-mirrored).
+    "q25_dedup_ngram" -> ((s, dir) =>
+      operators.Dedup.ngramJaccard(t(s, dir, "documents").df)),
+
+    // §2#33 embedding-cosine near-dup via hyperplane LSH buckets.
+    "q26_dedup_embedding" -> ((s, dir) =>
+      operators.Dedup.embedding(t(s, dir, "embeddings").df)),
+
+    // §2#34 ANN brute-force top-k (ranks only: cosine VALUES are engine-
+    // internal float sums; RANKS are stable and oracle-checked).
+    "q27_ann_bruteforce" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").df
+      operators.Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8))
+        .select("query_id", "neighbor_id", "rank")
+    }),
+
+    // §2#35 ANN scale path: LSH-bucketed candidates + exact rerank.
+    "q28_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").df
+      operators.Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8))
+    }),
+
+    // §2#36 language ID (stopword-count heuristic, deterministic argmax).
+    "q29_text_langid" -> ((s, dir) => {
+      import graft.functions.{TextFunctions => T}
+      val scored = T.langMarkers.foldLeft(
+        t(s, dir, "documents").df.select(col("doc_id"), col("lang"), T.tokens(col("text")).as("w"))) {
+        case (d, (lang, markers)) => d.withColumn(s"s_$lang", T.markerCount(col("w"), markers))
+      }
+      scored
+        .withColumn("pred_lang", T.argmaxLang(T.langMarkers.map { case (l, _) => col(s"s_$l") }))
+        .withColumn("is_match", col("pred_lang") === col("lang"))
+        .drop("w")
+    }),
+
+    // §2#37 quality scoring: length/word/punct/stopword-ratio features.
+    "q30_text_quality" -> ((s, dir) => {
+      import graft.functions.{TextFunctions => T}
+      t(s, dir, "documents").df
+        .select(col("doc_id"), col("text"), T.tokens(col("text")).as("w"))
+        .withColumn("n_chars_m", length(col("text")))
+        .withColumn("n_words", size(col("w")))
+        .withColumn("avg_word_len", length(col("text")).cast("double") / col("n_words"))
+        .withColumn("n_punct", regexp_count(col("text"), lit("[.!?,;:]")))
+        .withColumn("stop_cnt", T.markerCount(col("w"), Seq("the", "a")))
+        .withColumn("stop_ratio", col("stop_cnt").cast("double") / col("n_words"))
+        .withColumn("quality_score",
+          when(col("n_words") >= 20 && col("stop_ratio") < 0.3, lit(1.0))
+            .when(col("n_words") >= 5, lit(0.5)).otherwise(lit(0.0)))
+        .drop("text", "w")
+    }),
+
+    // §2#38 token counting: whitespace + BPE-ish regex + bytes/4 estimate.
+    "q31_text_tokens" -> ((s, dir) => {
+      t(s, dir, "documents").df
+        .select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).as("ws_tokens"),
+          regexp_count(lower(col("text")), lit("[a-z0-9]+|[^a-z0-9\\s]")).as("re_tokens"),
+          ceil(length(col("text")) / lit(4.0)).cast("int").as("bpe_est"))
+    }),
+
+    // §2#39 document fingerprint: rolling polynomial hash over tokens.
+    "q32_text_fingerprint" -> ((s, dir) => {
+      import graft.functions.{TextFunctions => T}
+      t(s, dir, "documents").df
+        .select(col("doc_id"), T.tokens(col("text")).as("w"))
+        .select(col("doc_id"), size(col("w")).as("n_tokens"), T.fingerprint(col("w")).as("fp"))
+    }),
+
+    // §2#40 multimodal binary columns: payload → batched mapPartitions
+    // decode (stubbed) → metadata; oracle checks sizes/dimensions.
+    "q33_multimodal" -> ((s, dir) => {
+      operators.Multimodal.decodeFeatures(
+          operators.Multimodal.withBinaryPayload(t(s, dir, "documents").df))
+        .select("doc_id", "n_bytes", "width", "height")
     })
   )
 
@@ -371,6 +470,122 @@ object SparkEntry {
     "q18_read_csv" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation""",
 
-    "q19_sql" -> q19Sql
+    "q19_sql" -> q19Sql,
+
+    // Both engines truncate ns→µs identically (Spark: ts div 1000;
+    // DuckDB: epoch_ns//1000) before any time arithmetic.
+    "q20_stream_window" ->
+      """SELECT date_trunc('hour', make_timestamp(epoch_ns(ts)//1000)) AS hour_start,
+         event_type, COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2""",
+
+    "q21_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts)//1000 AS tus FROM events),
+         l AS (SELECT user_id, tus,
+                 CASE WHEN LAG(tus) OVER w IS NULL OR tus - LAG(tus) OVER w > 1800000000
+                      THEN 1 ELSE 0 END AS new_s
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
+         s AS (SELECT user_id, tus,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus ROWS UNBOUNDED PRECEDING) AS sid
+               FROM l)
+         SELECT user_id, CAST(sid AS INT) AS session_id, COUNT(*) AS n_events,
+           make_timestamp(MIN(tus)) AS session_start,
+           make_timestamp(MAX(tus)) AS session_end
+         FROM s GROUP BY 1, 2""",
+
+    "q22_dedup_exact" ->
+      """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS norm_hash,
+         MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+         FROM documents GROUP BY 1""",
+
+    "q25_dedup_ngram" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
+         sh AS (
+           SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            for i in generate_series(1, len(w)-2)]) AS grams
+           FROM toks WHERE len(w) >= 3),
+         post AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+         rare AS (SELECT g FROM post GROUP BY g HAVING COUNT(*) <= 20),
+         rpost AS (SELECT doc_id, g FROM post WHERE g IN (SELECT g FROM rare)),
+         cnt AS (SELECT doc_id, COUNT(*) AS n FROM rpost GROUP BY doc_id),
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+           FROM rpost a JOIN rpost b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT doc_a, doc_b, common, jaccard, rnk FROM (
+           SELECT doc_a, doc_b, common,
+             CAST(common AS DOUBLE) / (ca.n + cb.n - common) AS jaccard,
+             CAST(ROW_NUMBER() OVER (
+               ORDER BY CAST(common AS DOUBLE) / (ca.n + cb.n - common) DESC, doc_a, doc_b) AS INT) AS rnk
+           FROM pairs
+           JOIN cnt ca ON doc_a = ca.doc_id
+           JOIN cnt cb ON doc_b = cb.doc_id)
+         WHERE rnk <= 100""",
+
+    "q27_ann_bruteforce" ->
+      """SELECT query_id, neighbor_id, rank FROM (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS INT) AS rank
+           FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+           WHERE q.vec_id < 8)
+         WHERE rank <= 10""",
+
+    "q29_text_langid" ->
+      """WITH t AS (
+           SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
+         sc AS (
+           SELECT doc_id, lang,
+             CAST(len(list_filter(w, x -> list_contains(['the','a','big'], x))) AS INT) AS s_en,
+             CAST(len(list_filter(w, x -> list_contains(['query','data','line'], x))) AS INT) AS s_fr,
+             CAST(len(list_filter(w, x -> list_contains(['slow','agg','vector'], x))) AS INT) AS s_es,
+             CAST(len(list_filter(w, x -> list_contains(['customer','hash','column'], x))) AS INT) AS s_de,
+             CAST(len(list_filter(w, x -> list_contains(['join','small','scan'], x))) AS INT) AS s_zh
+           FROM t)
+         SELECT doc_id, lang, s_en, s_fr, s_es, s_de, s_zh, pred_lang,
+           (pred_lang = lang) AS is_match
+         FROM (
+           SELECT *, CASE
+             WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de AND s_en >= s_zh THEN 'en'
+             WHEN s_fr >= s_es AND s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
+             WHEN s_es >= s_de AND s_es >= s_zh THEN 'es'
+             WHEN s_de >= s_zh THEN 'de'
+             ELSE 'zh' END AS pred_lang
+           FROM sc)""",
+
+    "q30_text_quality" ->
+      """WITH t AS (
+           SELECT doc_id, text, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents)
+         SELECT doc_id,
+           CAST(length(text) AS INT) AS n_chars_m,
+           CAST(len(w) AS INT) AS n_words,
+           CAST(length(text) AS DOUBLE) / len(w) AS avg_word_len,
+           CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS INT) AS n_punct,
+           CAST(len(list_filter(w, x -> list_contains(['the','a'], x))) AS INT) AS stop_cnt,
+           CAST(len(list_filter(w, x -> list_contains(['the','a'], x))) AS DOUBLE) / len(w) AS stop_ratio,
+           CASE WHEN len(w) >= 20
+                 AND CAST(len(list_filter(w, x -> list_contains(['the','a'], x))) AS DOUBLE) / len(w) < 0.3
+                THEN CAST(1.0 AS DOUBLE)
+                WHEN len(w) >= 5 THEN CAST(0.5 AS DOUBLE)
+                ELSE CAST(0.0 AS DOUBLE) END AS quality_score
+         FROM t""",
+
+    "q31_text_tokens" ->
+      """SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS ws_tokens,
+         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS INT) AS re_tokens,
+         CAST(ceil(length(text) / 4.0) AS INT) AS bpe_est
+         FROM documents""",
+
+    "q33_multimodal" ->
+      """SELECT doc_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
+         CAST(octet_length(encode(text)) % 480 + 1 AS INT) AS height
+         FROM documents"""
   )
 }

@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for the LLM-training-data pipeline
+  * (SURVEY.md §2 #36-39). Everything is a codegen'd Column expression —
+  * no UDFs — so these run inside whole-stage codegen at any scale.
+  */
+object TextFunctions {
+
+  /** Whitespace-normalized lower-cased text. */
+  def normText(c: Column): Column = trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Whitespace tokens of the normalized text. Mirrors DuckDB's
+    * `string_split_regex(lower(trim(text)), '\s+')` for oracle parity.
+    */
+  def tokens(c: Column): Column = split(trim(lower(c)), "\\s+")
+
+  /** Sliding word n-grams joined by single spaces. Rows with fewer than
+    * `n` tokens produce an empty array (callers filter).
+    */
+  def wordNGrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Language marker dictionaries. The synthetic corpus shares one
+    * vocabulary across langs, so this is the standard stopword-count
+    * HEURISTIC shape (what a real pipeline runs with real dictionaries),
+    * deterministic and oracle-mirrored rather than accurate here.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "big"),
+    "fr" -> Seq("query", "data", "line"),
+    "es" -> Seq("slow", "agg", "vector"),
+    "de" -> Seq("customer", "hash", "column"),
+    "zh" -> Seq("join", "small", "scan"))
+
+  /** Occurrences of any marker word in the token array (with
+    * multiplicity, like a real stopword counter).
+    */
+  def markerCount(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(markers)))
+
+  /** Deterministic arg-max over the per-language scores, ties broken in
+    * `langMarkers` declaration order. `scores` must align with
+    * `langMarkers`.
+    */
+  def argmaxLang(scores: Seq[Column]): Column = {
+    val langs = langMarkers.map(_._1)
+    langs.zipWithIndex.init.foldRight(lit(langs.last)) { case ((lang, i), rest) =>
+      val geAll = scores.drop(i + 1).map(s => scores(i) >= s).reduce(_ && _)
+      when(geAll, lit(lang)).otherwise(rest)
+    }
+  }
+
+  /** Rolling polynomial hash over the token stream (reference-style
+    * document fingerprint, SURVEY.md §2 #39). Arithmetic stays below
+    * 2^35 so it is safe under ANSI overflow checking.
+    */
+  def fingerprint(toks: Column): Column = {
+    val p = lit(1000000007L)
+    aggregate(toks, lit(0L), (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), p), p))
+  }
+}

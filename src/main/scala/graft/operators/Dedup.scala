@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Hashing, TextFunctions => T}
+
+/** Deduplication operators for training-data pipelines (SURVEY.md §2
+  * #29-33). All candidate generation is LSH-banded / inverted-index
+  * based — never an O(n²) cross join — and every per-bucket pair
+  * expansion is capped, so the pair count stays bounded on skewed or
+  * near-uniform corpora (a giant bucket means a non-discriminative
+  * hash, the standard reason to cap it at 100 TB scale).
+  */
+object Dedup {
+
+  /** Global deterministic top-K with a rank column. `orderBy.limit`
+    * compiles to TakeOrderedAndProject — a distributed partial top-K per
+    * partition merged on the driver — NOT a single-partition global
+    * sort; the rank window then runs over only K rows.
+    */
+  private def topKRanked(df: DataFrame, k: Int, order: org.apache.spark.sql.Column*): DataFrame =
+    df.orderBy(order: _*).limit(k)
+      .withColumn("rnk", row_number().over(Window.orderBy(order: _*)))
+
+  /** Cap bucket membership before self-joining so a B-member bucket
+    * contributes at most cap² (not B²) pairs. Deterministic: members
+    * kept in id order.
+    */
+  private def capBucket(df: DataFrame, bucketCols: Seq[String], idCol: String, cap: Int): DataFrame =
+    df.withColumn("_bn", row_number().over(
+        Window.partitionBy(bucketCols.map(col): _*).orderBy(col(idCol))))
+      .filter(col("_bn") <= cap).drop("_bn")
+
+  /** Exact dedup (#29): hash-groupBy on normalized text; keeper is the
+    * min doc id. One shuffle on the md5 key; partial agg map-side.
+    */
+  def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol), md5(T.normText(col(textCol))).as("norm_hash"))
+      .groupBy("norm_hash")
+      .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** MinHash+LSH near-dup (#30): word-bigram shingles → k seeded
+    * minhashes → per-component bands → bucket self-join (capped) →
+    * signature-agreement estimate → top `topK` pairs.
+    * Returns (doc_a, doc_b, est_sim, rnk).
+    */
+  def minhash(docs: DataFrame, k: Int = 16, topK: Int = 100,
+              textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sig = docs
+      .select(col(idCol).as("doc_id"),
+        array_distinct(T.wordNGrams(T.tokens(col(textCol)), 2)).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .select(col("doc_id"), Hashing.minhashSignature(col("shingles"), k).as("sig"))
+
+    // r=1 bands: each signature component is its own band (max recall on
+    // a corpus with no planted dups; production would use r=2..4).
+    val banded = sig.select(col("doc_id"), col("sig"),
+        posexplode(col("sig")).as(Seq("band", "bandval")))
+    val capped = capBucket(banded, Seq("band", "bandval"), "doc_id", 50)
+
+    val a = capped.select(col("band"), col("bandval"),
+      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = capped.select(col("band"), col("bandval"),
+      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    val pairs = a.join(b, Seq("band", "bandval")).filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sig_a", "sig_b").distinct()
+      .withColumn("est_sim", Hashing.signatureAgreement(col("sig_a"), col("sig_b"), k))
+      .select("doc_a", "doc_b", "est_sim")
+
+    topKRanked(pairs, topK, col("est_sim").desc, col("doc_a"), col("doc_b"))
+  }
+
+  /** SimHash near-dup (#31): 64-bit simhash of the term-frequency
+    * profile, 8×8-bit Hamming bands for blocking, capped bucket join,
+    * top `topK` pairs by Hamming distance.
+    * Returns (doc_a, doc_b, hamming, rnk).
+    */
+  def simhash(docs: DataFrame, topK: Int = 100,
+              textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(T.tokens(col(textCol))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("h", xxhash64(col("tok")))
+    // per-bit signed sums: +cnt when the token hash has bit j set, -cnt
+    // otherwise — one shuffle, 64 map-side-combined sums.
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftrightunsigned(col("h"), j).bitwiseAND(lit(1L)) === 1L, col("cnt"))
+        .otherwise(-col("cnt"))).as(s"b$j")
+    }
+    val sh = tf.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        Hashing.assembleSimhash((0 until 64).map(j => col(s"b$j"))).as("simhash"))
+
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 8).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("simhash"), b * 8).bitwiseAND(lit(0xffL)).as("bandval"))): _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bandval").as("bandval"))
+    val capped = capBucket(banded, Seq("band", "bandval"), "doc_id", 50)
+
+    val a = capped.select(col("band"), col("bandval"), col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+    val b = capped.select(col("band"), col("bandval"), col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("band", "bandval")).filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .select("doc_a", "doc_b", "hamming")
+      .transform(p => topKRanked(p, topK, col("hamming"), col("doc_a"), col("doc_b")))
+  }
+
+  /** n-gram Jaccard near-dup (#32): distinct word trigrams → document
+    * frequency filter (grams in > dfMax docs are non-discriminative
+    * stop-grams; dropping them is what bounds the inverted-index join at
+    * scale) → postings self-join → exact Jaccard over rare grams →
+    * top `topK`. Oracle-mirrored in DuckDB SQL.
+    * Returns (doc_a, doc_b, common, jaccard, rnk).
+    */
+  def ngramJaccard(docs: DataFrame, dfMax: Int = 20, topK: Int = 100,
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val post = docs
+      .select(col(idCol).as("doc_id"), T.tokens(col(textCol)).as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        explode(array_distinct(T.wordNGrams(col("w"), 3))).as("g"))
+    val rare = post.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfMax).select("g")
+    val rpost = post.join(broadcast(rare), "g")
+    val cnt = rpost.groupBy("doc_id").agg(count(lit(1)).as("n"))
+
+    val pairs = rpost.select(col("g"), col("doc_id").as("doc_a"))
+      .join(rpost.select(col("g"), col("doc_id").as("doc_b")), "g")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+
+    pairs
+      .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")))
+      .select("doc_a", "doc_b", "common", "jaccard")
+      .transform(p => topKRanked(p, topK, col("jaccard").desc, col("doc_a"), col("doc_b")))
+  }
+
+  /** Embedding cosine near-dup (#33): random-hyperplane LSH buckets →
+    * capped in-bucket pair expansion → exact cosine → top `topK`.
+    * Returns (vec_a, vec_b, cos, rnk).
+    */
+  def embedding(vecs: DataFrame, nbits: Int = 6, dim: Int = 64, topK: Int = 100,
+                vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    import graft.functions.VectorFunctions
+    val bucketed = vecs.select(col(idCol).as("vec_id"), col(vecCol).as("v"),
+      Hashing.hyperplaneBucket(col(vecCol), nbits, dim).as("bucket"))
+    val capped = capBucket(bucketed, Seq("bucket"), "vec_id", 40)
+
+    val a = capped.select(col("bucket"), col("vec_id").as("vec_a"), col("v").as("va"))
+    val b = capped.select(col("bucket"), col("vec_id").as("vec_b"), col("v").as("vb"))
+    a.join(b, Seq("bucket")).filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", VectorFunctions.cosine(col("va"), col("vb")))
+      .select("vec_a", "vec_b", "cos")
+      .transform(p => topKRanked(p, topK, col("cos").desc, col("vec_a"), col("vec_b")))
+  }
+}
