@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Hashing, TextFunctions => T, VectorFunctions => V}
+
+/** Column-function building blocks (SURVEY.md §3 functions/): text,
+  * hashing and vector math — all codegen'd expressions, verified against
+  * hand-computed values.
+  */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("normText lowercases and collapses whitespace") {
+    val r = Seq("  Hello\t WORLD \n").toDF("t")
+      .select(T.normText(col("t"))).as[String].head()
+    r shouldBe "hello world"
+  }
+
+  test("tokens splits on whitespace after trim+lower") {
+    val r = Seq(" The quick  Fox ").toDF("t")
+      .select(T.tokens(col("t"))).as[Seq[String]].head()
+    r shouldBe Seq("the", "quick", "fox")
+  }
+
+  test("wordNGrams yields sliding n-grams; short docs yield empty") {
+    val df = Seq("a b c d", "a b").toDF("t").select(T.wordNGrams(T.tokens(col("t")), 3).as("g"))
+    df.as[Seq[String]].collect().toSeq shouldBe Seq(Seq("a b c", "b c d"), Seq())
+  }
+
+  test("markerCount counts with multiplicity") {
+    val r = Seq("the cat the hat a").toDF("t")
+      .select(T.markerCount(T.tokens(col("t")), Seq("the", "a"))).as[Int].head()
+    r shouldBe 3
+  }
+
+  test("argmaxLang picks first language on ties (declaration order)") {
+    // all scores zero → tie → 'en' (first declared)
+    val zero = T.langMarkers.map(_ => lit(0))
+    Seq(1).toDF("x").select(T.argmaxLang(zero)).as[String].head() shouldBe "en"
+    // bump the 'de' score only
+    val deWins = T.langMarkers.map { case (l, _) => if (l == "de") lit(5) else lit(0) }
+    Seq(1).toDF("x").select(T.argmaxLang(deWins)).as[String].head() shouldBe "de"
+  }
+
+  test("fingerprint is deterministic, order-sensitive, bounded") {
+    val fps = Seq("a b c", "a b c", "c b a").toDF("t")
+      .select(T.fingerprint(T.tokens(col("t")))).as[Long].collect().toSeq
+    fps(0) shouldBe fps(1)    // same tokens → same fp
+    fps(0) should not be fps(2) // order matters (rolling hash)
+    all(fps) should (be >= 0L and be < 1000000007L)
+  }
+
+  test("minhash signature: k components, equal sets agree, supersets dominate") {
+    val df = Seq(Seq("x", "y", "z"), Seq("x", "y", "z"), Seq("x", "y", "z", "w"))
+      .toDF("sh").select(Hashing.minhashSignature(col("sh"), 8).as("sig"))
+    val sigs = df.as[Seq[Long]].collect().toSeq
+    sigs.foreach(_.length shouldBe 8)
+    sigs(0) shouldBe sigs(1)
+    // superset minima can only be ≤ the subset's, component-wise
+    sigs(2).zip(sigs(0)).foreach { case (sup, sub) => sup should be <= sub }
+  }
+
+  test("signatureAgreement estimates Jaccard ∈ [0,1], 1.0 for identical") {
+    val df = Seq((Seq("x", "y", "z"), Seq("x", "y", "z")), (Seq("x", "y"), Seq("p", "q")))
+      .toDF("a", "b")
+      .select(Hashing.signatureAgreement(
+        Hashing.minhashSignature(col("a"), 16),
+        Hashing.minhashSignature(col("b"), 16), 16).as("s"))
+    val s = df.as[Double].collect().toSeq
+    s(0) shouldBe 1.0
+    s(1) should (be >= 0.0 and be <= 1.0)
+  }
+
+  test("bandHashes requires k % r == 0 and emits k/r bands") {
+    intercept[IllegalArgumentException](Hashing.bandHashes(col("s"), 16, 3))
+    val bands = Seq(Seq(1L, 2L, 3L, 4L)).toDF("s")
+      .select(Hashing.bandHashes(col("s"), 4, 2).as("b")).as[Seq[Long]].head()
+    bands.length shouldBe 2
+  }
+
+  test("hyperplaneBucket is deterministic and collides identical vectors") {
+    val v = Seq.tabulate(8)(i => i.toFloat)
+    val df = Seq(v, v, v.map(-_)).toDF("e")
+      .select(Hashing.hyperplaneBucket(col("e"), nbits = 4, dim = 8).as("b"))
+    val b = df.as[Long].collect().toSeq
+    b(0) shouldBe b(1)
+    all(b) should (be >= 0L and be < 16L)
+    // opposite vector flips every non-zero dot sign → different bucket
+    b(2) should not be b(0)
+  }
+
+  test("assembleSimhash sets bit j iff sum_j >= 0") {
+    val sums = (0 until 64).map(j => if (j == 0 || j == 63) lit(1L) else lit(-1L))
+    val h = Seq(1).toDF("x").select(Hashing.assembleSimhash(sums)).as[Long].head()
+    h shouldBe ((1L << 0) + (1L << 63))
+  }
+
+  test("dot / norm / cosine match hand-computed values") {
+    val df = Seq((Seq(1f, 2f, 3f), Seq(4f, 5f, 6f))).toDF("a", "b")
+    df.select(V.dot(col("a"), col("b"))).as[Double].head() shouldBe 32.0
+    df.select(V.norm(col("a"))).as[Double].head() shouldBe math.sqrt(14.0)
+    val cos = df.select(V.cosine(col("a"), col("a")))
+      .as[Double].head()
+    cos shouldBe 1.0 +- 1e-12
+  }
+}

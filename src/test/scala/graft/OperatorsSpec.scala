@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/** LLM-pipeline operators (SURVEY.md §2 #29-35, #40) on small synthetic
+  * corpora with planted duplicates/neighbors so expected results are
+  * known by construction.
+  */
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 3 unique docs; doc 4 duplicates doc 1 up to case/whitespace; doc 5
+    * is a near-dup of doc 2 (one word changed).
+    */
+  private def docs: DataFrame = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog and runs away fast"),
+    (2L, "colorless green ideas sleep furiously in the bright morning sun today"),
+    (3L, "completely different text about spark catalyst optimizer plans and shuffles"),
+    (4L, "The  quick Brown fox jumps over the lazy dog and runs away fast"),
+    (5L, "colorless green ideas sleep furiously in the dark morning sun today")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups case/whitespace variants, keeps min id") {
+    val out = Dedup.exact(docs).collect()
+    out.length shouldBe 4 // 1&4 merge
+    val dup = out.find(_.getAs[Long]("n_dups") == 2L).get
+    dup.getAs[Long]("keep_id") shouldBe 1L
+  }
+
+  test("minhash LSH surfaces the planted near-dup pair first") {
+    val top = Dedup.minhash(docs).collect()
+    top.nonEmpty shouldBe true
+    val first = top.minBy(_.getAs[Int]("rnk"))
+    // exact dup (1,4) has identical shingle sets → est_sim 1.0, rank 1
+    (first.getAs[Long]("doc_a"), first.getAs[Long]("doc_b")) shouldBe ((1L, 4L))
+    first.getAs[Double]("est_sim") shouldBe 1.0
+    // near-dup (2,5) must appear with high estimated similarity
+    val near = top.find(r => r.getAs[Long]("doc_a") == 2L && r.getAs[Long]("doc_b") == 5L)
+    near.isDefined shouldBe true
+    near.get.getAs[Double]("est_sim") should be >= 0.5
+  }
+
+  test("simhash ranks the exact-dup pair at hamming 0") {
+    val top = Dedup.simhash(docs).collect()
+    val first = top.minBy(_.getAs[Int]("rnk"))
+    (first.getAs[Long]("doc_a"), first.getAs[Long]("doc_b")) shouldBe ((1L, 4L))
+    first.getAs[Int]("hamming") shouldBe 0
+    // near-dup pair present with small distance
+    val near = top.find(r => r.getAs[Long]("doc_a") == 2L && r.getAs[Long]("doc_b") == 5L)
+    near.get.getAs[Int]("hamming") should be <= 16
+  }
+
+  test("ngram Jaccard computes exact overlap of rare trigrams") {
+    val top = Dedup.ngramJaccard(docs).collect()
+    val first = top.minBy(_.getAs[Int]("rnk"))
+    (first.getAs[Long]("doc_a"), first.getAs[Long]("doc_b")) shouldBe ((1L, 4L))
+    first.getAs[Double]("jaccard") shouldBe 1.0
+    val near = top.find(r => r.getAs[Long]("doc_a") == 2L && r.getAs[Long]("doc_b") == 5L).get
+    // docs 2/5: 11 words → 9 trigrams each; the changed word hits 3
+    // trigrams per doc → 6 common, 12 union
+    near.getAs[Double]("jaccard") shouldBe (6.0 / 12.0) +- 1e-12
+  }
+
+  /** Embeddings: v2 = v1 (dup), v3 ⟂ v1, v4 ≈ v1. */
+  private def vecs: DataFrame = {
+    val v1 = Seq.tabulate(8)(i => (i + 1).toFloat)
+    val v3 = Seq.tabulate(8)(i => if (i % 2 == 0) 1f else -(8 - i).toFloat / (i + 1))
+    val v4 = v1.updated(0, 1.2f)
+    Seq((1L, v1), (2L, v1), (3L, v3), (4L, v4)).toDF("vec_id", "embedding")
+  }
+
+  test("embedding near-dup finds the identical pair at cosine 1") {
+    val top = Dedup.embedding(vecs, nbits = 2, dim = 8).collect()
+    val first = top.minBy(_.getAs[Int]("rnk"))
+    (first.getAs[Long]("vec_a"), first.getAs[Long]("vec_b")) shouldBe ((1L, 2L))
+    first.getAs[Double]("cos") shouldBe 1.0 +- 1e-12
+  }
+
+  test("brute-force ANN ranks by exact cosine, excludes self") {
+    val out = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 1), k = 3)
+    val rows = out.collect().sortBy(_.getAs[Int]("rank"))
+    rows.map(_.getAs[Long]("neighbor_id")).toSeq shouldBe Seq(2L, 4L, 3L)
+    rows.head.getAs[Double]("cos") shouldBe 1.0 +- 1e-12
+    all(rows.map(_.getAs[Long]("neighbor_id"))) should not be 1L
+  }
+
+  test("LSH ANN returns the identical vector from the same bucket") {
+    val out = Similarity.lshTopK(vecs, vecs.filter(col("vec_id") === 1), k = 3, nbits = 2, dim = 8)
+    val rows = out.collect().sortBy(_.getAs[Int]("rank"))
+    rows.map(_.getAs[Long]("neighbor_id")) should contain(2L) // identical vec always collides
+    rows.head.getAs[Double]("cos") shouldBe 1.0 +- 1e-12
+  }
+
+  test("multimodal plumbing: payload bytes → stub decode → metadata") {
+    val out = Multimodal.decodeFeatures(Multimodal.withBinaryPayload(docs), batchSize = 2)
+    out.schema shouldBe Multimodal.decodedSchema
+    val rows = out.collect()
+    rows.length shouldBe 5
+    val r1 = rows.find(_.getLong(0) == 1L).get
+    // scalatest Matchers shadows functions.length — compute client-side
+    val len1 = docs.filter(col("doc_id") === 1).select("text").as[String].head()
+      .getBytes("UTF-8").length
+    r1.getAs[Long]("n_bytes") shouldBe len1.toLong
+    r1.getAs[Int]("width") shouldBe len1 % 640 + 1
+    r1.getAs[Int]("height") shouldBe len1 % 480 + 1
+    r1.getAs[Seq[Float]]("features").length shouldBe 4
+  }
+}

@@ -1,0 +1,191 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{Agg, Tafra}
+
+/** Core frame surface (SURVEY.md §2 #1-20, #22, #24-26): each reference
+  * method exercised against hand-checked expectations.
+  */
+class TafraSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def people: Tafra = Tafra(
+    Seq((1L, "ann", 30, 100.0), (2L, "bob", 25, 50.0), (3L, "cyd", 30, 75.0),
+        (4L, "dan", 25, 25.0)).toDF("id", "name", "age", "bal"))
+
+  test("select prunes and preserves order") {
+    val t = people.select(Seq("name", "id"))
+    t.columns shouldBe Seq("name", "id")
+  }
+
+  test("select of unknown column fails like the reference KeyError") {
+    val e = intercept[IllegalArgumentException](people.select(Seq("nope")))
+    e.getMessage should include("nope")
+  }
+
+  test("rename maps names, keeps data") {
+    val t = people.rename(Map("id" -> "pid", "bal" -> "balance"))
+    t.columns shouldBe Seq("pid", "name", "age", "balance")
+    t.df.agg(sum("balance")).as[Double].head() shouldBe 250.0
+  }
+
+  test("delete drops columns") {
+    people.delete(Seq("age", "bal")).columns shouldBe Seq("id", "name")
+  }
+
+  test("update adds and replaces a column") {
+    val t = people.update("age2", col("age") * 2).update("age", lit(0))
+    t.df.agg(sum("age2"), sum("age")).collect().head.toSeq shouldBe Seq(220L, 0L)
+  }
+
+  test("updateDtypes casts") {
+    val t = people.updateDtypes(Map("age" -> "double", "id" -> "string"))
+    t.dtypes("age") shouldBe "DoubleType"
+    t.dtypes("id") shouldBe "StringType"
+  }
+
+  test("coalesceCol fills from successive fallbacks") {
+    val t = Tafra(Seq((1L, Some(5.0)), (2L, None)).toDF("id", "v"))
+      .coalesceCol("v", Seq(lit(-1.0)))
+    canon(t.df) shouldBe Seq(Seq("1", "5.0"), Seq("2", "-1.0")).sortBy(_.mkString("|"))
+  }
+
+  test("filter + head with total order is deterministic") {
+    val t = people.filter(col("age") === 30).head(1, Seq(col("id")))
+    rowsOf(t.df).map(_.getLong(0)) shouldBe Seq(1L)
+  }
+
+  test("sort orders rows") {
+    people.sort(Seq(col("bal").desc)).df.select("name").as[String].collect().toSeq shouldBe
+      Seq("ann", "cyd", "bob", "dan")
+  }
+
+  test("distinct removes duplicate rows") {
+    Tafra(Seq(1, 1, 2).toDF("x")).distinct().rows shouldBe 2
+  }
+
+  test("union validates names and dtypes like the reference") {
+    val a = Tafra(Seq((1, "x")).toDF("id", "s"))
+    val b = Tafra(Seq((2, "y")).toDF("id", "s"))
+    a.union(b).rows shouldBe 2
+    val renamed = Tafra(Seq((2, "y")).toDF("id2", "s"))
+    intercept[IllegalArgumentException](a.union(renamed))
+    val retyped = Tafra(Seq((2L, "y")).toDF("id", "s"))
+    intercept[IllegalArgumentException](a.union(retyped))
+  }
+
+  test("groupBy aggregates with named fns") {
+    val t = people.groupBy(Seq("age"), Seq(Agg("n", "count", "id"), Agg("sum_bal", "sum", "bal")))
+    canon(t.df) shouldBe Seq(Seq("25", "2", "75.0"), Seq("30", "2", "175.0"))
+  }
+
+  test("groupBy with unknown agg fn names the known set") {
+    val e = intercept[IllegalArgumentException](
+      people.groupBy(Seq("age"), Seq(Agg("z", "frobnicate", "bal"))).df.collect())
+    e.getMessage should include("frobnicate")
+  }
+
+  test("transform broadcasts group agg back to every row (no join)") {
+    val t = people.transform(Seq("age"), Seq(Agg("age_total", "sum", "bal")))
+    t.rows shouldBe 4  // row count preserved
+    rowsOf(t.df.filter(col("name") === "ann")).head.getAs[Double]("age_total") shouldBe 175.0
+  }
+
+  test("iterateBy runs per-group logic in executors") {
+    val out = StructType(Seq(StructField("age", IntegerType), StructField("names", StringType)))
+    val t = people.iterateBy(Seq("age"))(out) { (k, rows) =>
+      Iterator.single(Row(k.getInt(0), rows.map(_.getString(1)).toSeq.sorted.mkString(",")))
+    }
+    canon(t.df) shouldBe Seq(Seq("25", "bob,dan"), Seq("30", "ann,cyd"))
+  }
+
+  test("innerJoin equi + duplicate-column rule (left wins)") {
+    val left = Tafra(Seq((1L, "L1"), (2L, "L2")).toDF("id", "tag"))
+    val right = Tafra(Seq((1L, "R1", 9.0), (3L, "R3", 7.0)).toDF("rid", "tag", "w"))
+    val j = left.innerJoin(right, Seq(("id", "rid", "==")))
+    j.columns shouldBe Seq("id", "tag", "rid", "w") // right's colliding `tag` dropped
+    rowsOf(j.df).head.getString(1) shouldBe "L1"    // left's value kept
+  }
+
+  test("innerJoin theta residual ops") {
+    val a = Tafra(Seq((1, 10), (2, 20)).toDF("k", "v"))
+    val b = Tafra(Seq((1, 5), (1, 15), (2, 25)).toDF("k2", "w"))
+    val j = a.innerJoin(b, Seq(("k", "k2", "=="), ("v", "w", ">")))
+    canon(j.df) shouldBe Seq(Seq("1", "10", "1", "5"))
+  }
+
+  test("innerJoin validates dtype compatibility like the reference") {
+    val a = Tafra(Seq((1, "x")).toDF("k", "s"))
+    val b = Tafra(Seq((1L, "y")).toDF("k2", "t"))
+    intercept[IllegalArgumentException](a.innerJoin(b, Seq(("k", "k2", "=="))))
+  }
+
+  test("innerJoin rejects unknown op") {
+    val a = Tafra(Seq((1, 2)).toDF("k", "v"))
+    intercept[IllegalArgumentException](a.innerJoin(a, Seq(("k", "k", "~"))))
+  }
+
+  test("leftJoin keeps unmatched left rows with nulls") {
+    val left = Tafra(Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    val right = Tafra(Seq((1L, 9.0)).toDF("rid", "w"))
+    val j = left.leftJoin(right, Seq(("id", "rid", "==")))
+    j.rows shouldBe 2
+    rowsOf(j.df.filter(col("id") === 2)).head.isNullAt(3) shouldBe true
+  }
+
+  test("crossJoin is the full cartesian product") {
+    val a = Tafra(Seq(1, 2).toDF("x"))
+    val b = Tafra(Seq("p", "q", "r").toDF("y"))
+    a.crossJoin(b).rows shouldBe 6
+  }
+
+  test("join select filters output columns") {
+    val left = Tafra(Seq((1L, "a")).toDF("id", "s"))
+    val right = Tafra(Seq((1L, 9.0)).toDF("rid", "w"))
+    left.innerJoin(right, Seq(("id", "rid", "==")), select = Seq("id", "w"))
+      .columns shouldBe Seq("id", "w")
+  }
+
+  test("rowMap applies a typed per-row function") {
+    val out = StructType(Seq(StructField("id", LongType), StructField("nm", StringType)))
+    val t = people.select(Seq("id", "name")).rowMap(out) { r =>
+      Row(r.getLong(0) * 10, r.getString(1).toUpperCase)
+    }
+    canon(t.df).head shouldBe Seq("10", "ANN")
+  }
+
+  test("pipe and >> chain frame functions") {
+    import Tafra.TafraOps
+    val double = (t: Tafra) => t.update("bal", col("bal") * 2)
+    val viaPipe = people.pipe(double).df.agg(sum("bal")).as[Double].head()
+    val viaOp = (people >> double).df.agg(sum("bal")).as[Double].head()
+    viaPipe shouldBe 500.0
+    viaOp shouldBe 500.0
+  }
+
+  test("parquet round trip (to_* / from_* surface)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq").toString + "/t"
+    people.toParquet(dir)
+    val back = Tafra.readParquet(spark, dir)
+    canon(back.df) shouldBe canon(people.df)
+  }
+
+  test("csv round trip via toCsv") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString + "/t"
+    people.toCsv(dir)
+    val back = graft.sources.CsvSource.read(spark, dir)
+    back.rows shouldBe 4
+    back.dtypes("id") shouldBe "IntegerType" // inferSchema promoted from string
+  }
+
+  test("toRecords / toLocalIterator materialize driver-side") {
+    people.toRecords.length shouldBe 4
+    var n = 0
+    val it = people.toLocalIterator
+    while (it.hasNext) { it.next(); n += 1 }
+    n shouldBe 4
+  }
+}
