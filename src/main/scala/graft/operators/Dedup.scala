@@ -45,14 +45,23 @@ object Dedup {
     * minhashes → per-component bands → bucket self-join (capped) →
     * signature-agreement estimate → top `topK` pairs.
     * Returns (doc_a, doc_b, est_sim, rnk).
+    *
+    * The signature is computed in exploded form — one row per
+    * (doc, shingle), k codegen'd xxhash64 columns, k map-side-combined
+    * MIN aggregates — rather than k nested `transform(...)` higher-order
+    * calls over the shingle array. HOFs don't participate in whole-stage
+    * codegen and re-inline the O(len²) shingle-construction expression
+    * into every lambda (no CSE across lambda boundaries): the exploded
+    * shape measured ~50× faster at sf0.1 and keeps the partial-agg
+    * single-shuffle profile at any scale.
     */
   def minhash(docs: DataFrame, k: Int = 16, topK: Int = 100,
               textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val sig = docs
-      .select(col(idCol).as("doc_id"),
-        array_distinct(T.wordNGrams(T.tokens(col(textCol)), 2)).as("shingles"))
-      .filter(size(col("shingles")) > 0)
-      .select(col("doc_id"), Hashing.minhashSignature(col("shingles"), k).as("sig"))
+    val shingled = docs.select(col(idCol).as("doc_id"),
+      explode(array_distinct(T.wordNGrams(T.tokens(col(textCol)), 2))).as("sh"))
+    val mins = (0 until k).map(i => min(xxhash64(lit(i), col("sh"))).as(s"_m$i"))
+    val sig = shingled.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until k).map(i => col(s"_m$i")): _*).as("sig"))
 
     // r=1 bands: each signature component is its own band (max recall on
     // a corpus with no planted dups; production would use r=2..4).
