@@ -33,6 +33,24 @@ object Dedup {
         Window.partitionBy(bucketCols.map(col): _*).orderBy(col(idCol))))
       .filter(col("_bn") <= cap).drop("_bn")
 
+  /** CPU-heavy per-document stages (shingling, hashing, vector math)
+    * must not inherit the scan's parallelism: a corpus that arrives as
+    * few/small files (or few row groups) would run the dominant stage
+    * on a handful of cores. One cheap shuffle of the raw rows,
+    * hash-partitioned on the id, spreads that work across the cluster
+    * AND satisfies the downstream per-doc groupBy's distribution, so
+    * the signature aggregation needs no second shuffle.
+    *
+    * The partition count is pinned explicitly: a bare
+    * `repartition(col)` is a coalescible shuffle, which AQE happily
+    * merges back to one partition on small byte sizes — defeating the
+    * point (the cost here is CPU per row, not bytes).
+    */
+  private def rebalance(df: DataFrame, idCol: String): DataFrame = {
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    df.repartition(n, col(idCol))
+  }
+
   /** Exact dedup (#29): hash-groupBy on normalized text; keeper is the
     * min doc id. One shuffle on the md5 key; partial agg map-side.
     */
@@ -57,7 +75,7 @@ object Dedup {
     */
   def minhash(docs: DataFrame, k: Int = 16, topK: Int = 100,
               textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val shingled = docs.select(col(idCol).as("doc_id"),
+    val shingled = rebalance(docs, idCol).select(col(idCol).as("doc_id"),
       explode(array_distinct(T.wordNGrams(T.tokens(col(textCol)), 2))).as("sh"))
     val mins = (0 until k).map(i => min(xxhash64(lit(i), col("sh"))).as(s"_m$i"))
     val sig = shingled.groupBy("doc_id").agg(mins.head, mins.tail: _*)
@@ -65,18 +83,25 @@ object Dedup {
 
     // r=1 bands: each signature component is its own band (max recall on
     // a corpus with no planted dups; production would use r=2..4).
-    val banded = sig.select(col("doc_id"), col("sig"),
+    //
+    // Scoring trick: with r=1 the number of bands in which a pair
+    // collides IS its signature-agreement count, so est_sim =
+    // count(colliding bands)/k — a plain map-side-combinable COUNT.
+    // The k-element signature arrays never enter the self-join shuffle
+    // (ids + 2 longs per row instead of 2×k longs), and the dedup of
+    // repeated candidate pairs IS the scoring aggregation — no
+    // separate distinct() pass. (Bucket capping can only drop band
+    // collisions, so est_sim is a lower bound of full agreement —
+    // exact for any pair whose buckets stayed under the cap.)
+    val banded = sig.select(col("doc_id"),
         posexplode(col("sig")).as(Seq("band", "bandval")))
     val capped = capBucket(banded, Seq("band", "bandval"), "doc_id", 50)
 
-    val a = capped.select(col("band"), col("bandval"),
-      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-    val b = capped.select(col("band"), col("bandval"),
-      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    val a = capped.select(col("band"), col("bandval"), col("doc_id").as("doc_a"))
+    val b = capped.select(col("band"), col("bandval"), col("doc_id").as("doc_b"))
     val pairs = a.join(b, Seq("band", "bandval")).filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sig_a", "sig_b").distinct()
-      .withColumn("est_sim", Hashing.signatureAgreement(col("sig_a"), col("sig_b"), k))
-      .select("doc_a", "doc_b", "est_sim")
+      .groupBy("doc_a", "doc_b")
+      .agg((count(lit(1)) / k.toDouble).as("est_sim"))
 
     topKRanked(pairs, topK, col("est_sim").desc, col("doc_a"), col("doc_b"))
   }
@@ -88,7 +113,7 @@ object Dedup {
     */
   def simhash(docs: DataFrame, topK: Int = 100,
               textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val tf = docs
+    val tf = rebalance(docs, idCol)
       .select(col(idCol).as("doc_id"), explode(T.tokens(col(textCol))).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
       .withColumn("h", xxhash64(col("tok")))
@@ -127,7 +152,7 @@ object Dedup {
     */
   def ngramJaccard(docs: DataFrame, dfMax: Int = 20, topK: Int = 100,
                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val post = docs
+    val post = rebalance(docs, idCol)
       .select(col(idCol).as("doc_id"), T.tokens(col(textCol)).as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"),
@@ -158,7 +183,7 @@ object Dedup {
   def embedding(vecs: DataFrame, nbits: Int = 6, dim: Int = 64, topK: Int = 100,
                 vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     import graft.functions.VectorFunctions
-    val bucketed = vecs.select(col(idCol).as("vec_id"), col(vecCol).as("v"),
+    val bucketed = rebalance(vecs, idCol).select(col(idCol).as("vec_id"), col(vecCol).as("v"),
       Hashing.hyperplaneBucket(col(vecCol), nbits, dim).as("bucket"))
     val capped = capBucket(bucketed, Seq("bucket"), "vec_id", 40)
 

@@ -13,6 +13,11 @@ import graft.functions.{Hashing, VectorFunctions => V}
   */
 object Similarity {
 
+  private def rebalance(df: DataFrame, idCol: String): DataFrame = {
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    df.repartition(n, col(idCol))
+  }
+
   /** Brute-force cosine top-k: broadcast the (small) query set against
     * the full corpus, rank per query. Exact baseline; cost is
     * |queries| × |corpus| codegen'd dot products.
@@ -21,7 +26,12 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
                      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    // Rebalance the corpus so the dot-product stage doesn't inherit a
+    // narrow scan (few files/row groups = few cores doing all the math).
+    // Explicit partition count: a bare repartition(col) is AQE-coalescible
+    // and collapses back to one partition on small byte sizes.
+    val c = rebalance(corpus, idCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", V.cosine(col("qv"), col("cv")))
@@ -41,8 +51,9 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
               nbits: Int = 4, dim: Int = 64,
               vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      Hashing.hyperplaneBucket(col(vecCol), nbits, dim).as("bucket"))
+    val c = rebalance(corpus, idCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        Hashing.hyperplaneBucket(col(vecCol), nbits, dim).as("bucket"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       Hashing.hyperplaneBucket(col(vecCol), nbits, dim).as("bucket"))
     c.join(broadcast(q), Seq("bucket"))

@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into the `private[sql]` Column ⇄ Expression converters, the
+  * standard pattern for libraries that ship custom Catalyst expressions
+  * (Spark 4 made `Column` expression-agnostic; classic conversions live
+  * in `org.apache.spark.sql.classic`). This is the only file outside
+  * the `graft` namespace.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

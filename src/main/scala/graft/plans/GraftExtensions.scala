@@ -1,0 +1,28 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extension registering graft's native expressions as SQL
+  * functions, so `spark.sql("... vec_cosine(a, b) ...")` works next to
+  * the Column API. Enable with:
+  * {{{
+  *   SparkSession.builder()
+  *     .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def binary(name: String, clazz: Class[_], make: (Expression, Expression) => Expression) =
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(clazz.getCanonicalName, name),
+        (children: Seq[Expression]) => {
+          require(children.length == 2, s"$name takes exactly 2 arguments")
+          make(children(0), children(1))
+        }))
+    binary("vec_dot", classOf[DotProduct], DotProduct.apply)
+    binary("vec_cosine", classOf[CosineSimilarity], CosineSimilarity.apply)
+  }
+}

@@ -104,4 +104,35 @@ class FunctionsSpec extends SparkSpec {
       .as[Double].head()
     cos shouldBe 1.0 +- 1e-12
   }
+
+  test("native vec_dot/vec_cosine agree with the HOF formulation on random vectors") {
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(50)((Seq.fill(64)(rnd.nextFloat() - 0.5f), Seq.fill(64)(rnd.nextFloat() - 0.5f)))
+    val df = rows.toDF("a", "b")
+    val got = df.select(
+      V.dot(col("a"), col("b")).as("d"), V.dotHof(col("a"), col("b")).as("dh"),
+      V.cosine(col("a"), col("b")).as("c"), V.cosineHof(col("a"), col("b")).as("ch"))
+      .collect()
+    got.foreach { r =>
+      r.getDouble(0) shouldBe r.getDouble(1) +- 1e-9
+      r.getDouble(2) shouldBe r.getDouble(3) +- 1e-9
+    }
+  }
+
+  test("vec expressions survive null inputs and unequal lengths") {
+    val df = Seq(
+      (Some(Seq(1f, 2f)), Some(Seq(3f, 4f, 5f))), // common prefix: 1*3+2*4 = 11
+      (None, Some(Seq(1f)))                        // null input → null out
+    ).toDF("a", "b")
+    val out = df.select(V.dot(col("a"), col("b"))).collect()
+    out(0).getDouble(0) shouldBe 11.0
+    out(1).isNullAt(0) shouldBe true
+  }
+
+  test("GraftExtensions registers vec_dot / vec_cosine for SQL") {
+    Seq((Seq(1f, 0f), Seq(1f, 0f))).toDF("a", "b").createOrReplaceTempView("vecs")
+    val r = spark.sql("SELECT vec_dot(a, b) AS d, vec_cosine(a, b) AS c FROM vecs").head()
+    r.getDouble(0) shouldBe 1.0
+    r.getDouble(1) shouldBe 1.0 +- 1e-12
+  }
 }
