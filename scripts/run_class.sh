@@ -12,6 +12,14 @@ done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
-exec java $OPENS -Xmx${SPARK_DRIVER_MEM:-32g} \
+# This VM's page-fault path is ~15-30x slower than bare metal, so heap
+# page churn dominates wall-clock. Xms=Xmx stops G1 from uncommitting
+# (each re-commit refaults every page). Do NOT enable
+# UseTransparentHugePages: madvise-mode THP does synchronous hugepage
+# compaction on fault in this kernel (measured 41 CPU-min of kernel
+# time to fault 4 GB vs 15 CPU-sec with base pages). No AlwaysPreTouch
+# either: zeroing the full heap up front costs minutes here.
+MEM=${SPARK_DRIVER_MEM:-12g}
+exec java $OPENS -Xms$MEM -Xmx$MEM \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "$CP" "$@"

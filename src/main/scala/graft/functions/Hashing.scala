@@ -38,8 +38,21 @@ object Hashing {
     * components are derived from xxhash64(seed, plane, dim); the bucket
     * is the integer of the dot-product sign bits. Cosine-similar vectors
     * collide with high probability.
+    *
+    * Implemented as the native codegen'd expression
+    * [[graft.plans.HyperplaneBucket]] (sign matrix precomputed at plan
+    * time); `hyperplaneBucketHof` is the HOF executable spec it is
+    * cross-validated against in FunctionsSpec.
     */
-  def hyperplaneBucket(vec: Column, nbits: Int, dim: Int, seed: Int = 7): Column = {
+  def hyperplaneBucket(vec: Column, nbits: Int, dim: Int, seed: Int = 7): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.plans.HyperplaneBucket(
+        org.apache.spark.sql.graft.ColumnBridge.expression(vec), nbits, dim, seed))
+
+  /** The same bucket computation via interpreted higher-order functions
+    * (nbits·dim hash evaluations per row — spec/reference only).
+    */
+  def hyperplaneBucketHof(vec: Column, nbits: Int, dim: Int, seed: Int = 7): Column = {
     val bits = (0 until nbits).map { p =>
       val dotp = aggregate(
         transform(sequence(lit(0), lit(dim - 1)), d =>

@@ -90,6 +90,15 @@ class FunctionsSpec extends SparkSpec {
     b(2) should not be b(0)
   }
 
+  test("native hyperplaneBucket is bit-identical to the HOF formulation") {
+    val rnd = new scala.util.Random(23)
+    val rows = Seq.fill(100)(Seq.fill(64)(rnd.nextFloat() - 0.5f))
+    val df = rows.toDF("e").select(
+      Hashing.hyperplaneBucket(col("e"), nbits = 6, dim = 64).as("native"),
+      Hashing.hyperplaneBucketHof(col("e"), nbits = 6, dim = 64).as("hof"))
+    df.filter(col("native") =!= col("hof")).count() shouldBe 0L
+  }
+
   test("assembleSimhash sets bit j iff sum_j >= 0") {
     val sums = (0 until 64).map(j => if (j == 0 || j == 63) lit(1L) else lit(-1L))
     val h = Seq(1).toDF("x").select(Hashing.assembleSimhash(sums)).as[Long].head()
