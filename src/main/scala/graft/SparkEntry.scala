@@ -359,6 +359,27 @@ object SparkEntry {
       operators.Multimodal.decodeFeatures(
           operators.Multimodal.withBinaryPayload(t(s, dir, "documents").df))
         .select("doc_id", "n_bytes", "width", "height")
+    }),
+
+    // §2#41 salted equi-join (SURVEY §5 skew path): identical result set
+    // to the plain join, hot keys spread over 16 reducers.
+    "q34_skew_join" -> ((s, dir) => {
+      operators.SkewJoin.saltedEquiJoin(
+        t(s, dir, "lineitem").select(Seq("l_orderkey", "l_linenumber", "l_quantity")).df,
+        t(s, dir, "orders").select(Seq("o_orderkey", "o_totalprice")).df,
+        "l_orderkey", "o_orderkey")
+    }),
+
+    // §2#42 as-of join (union+window, no range-join pair blowup): each
+    // click matched to the user's latest purchase at-or-before it.
+    "q35_asof_join" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"), col("value").as("click_value"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("buy_ts"), col("value").as("buy_value"))
+      operators.AsofJoin.asofJoin(clicks, buys,
+        "user_id", "click_ts", "buy_ts", Seq("buy_ts", "buy_value"))
     })
   )
 
@@ -586,6 +607,18 @@ object SparkEntry {
          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
          CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
          CAST(octet_length(encode(text)) % 480 + 1 AS INT) AS height
-         FROM documents"""
+         FROM documents""",
+
+    "q34_skew_join" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, o_orderkey, o_totalprice
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey""",
+
+    "q35_asof_join" ->
+      """WITH e AS (SELECT user_id, event_type,
+                      make_timestamp(epoch_ns(ts)//1000) AS tus, value FROM events),
+         c AS (SELECT user_id, tus AS click_ts, value AS click_value FROM e WHERE event_type = 'click'),
+         b AS (SELECT user_id, tus AS buy_ts, value AS buy_value FROM e WHERE event_type = 'purchase')
+         SELECT c.user_id, click_ts, click_value, buy_ts, buy_value
+         FROM c ASOF LEFT JOIN b ON c.user_id = b.user_id AND b.buy_ts <= c.click_ts"""
   )
 }

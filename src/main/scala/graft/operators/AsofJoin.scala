@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join — for each left row, the most recent right row with
+  * right.time <= left.time within the same key (the time-series join
+  * Spark lacks natively; DuckDB spells it ASOF JOIN).
+  *
+  * Implemented as union + window rather than a range join: a range
+  * condition in a join predicate degenerates to a per-key nested loop
+  * (O(|L|·|R|) within each key), while the union-window form is
+  * sort-based — ONE shuffle of L∪R on the key, a per-key time sort,
+  * and `last(ignoreNulls)` carrying the latest right payload forward.
+  * O((|L|+|R|) log) per key, no pair blowup on dense keys, and the
+  * window sort feeds straight from the exchange (no extra pass).
+  *
+  * The right payload travels as ONE struct (not per-column carries):
+  * `last(..., ignoreNulls)` must look through missing rows, never
+  * through a legitimately-NULL field of a present row — a struct is
+  * non-null whenever the right row exists, so all payload fields come
+  * from the same matched row.
+  *
+  * Ties (equal timestamps) order the right row FIRST (`_src` 0 before
+  * 1), so a right row at exactly left.time matches — ASOF's `<=`
+  * convention, matching DuckDB.
+  */
+object AsofJoin {
+
+  def asofJoin(left: DataFrame, right: DataFrame,
+               key: String, leftTime: String, rightTime: String,
+               rightPayload: Seq[String]): DataFrame = {
+    val lCols = left.columns.toSeq
+    val payloadT = struct(rightPayload.map(col): _*)
+
+    val l = left
+      .withColumn("_t", col(leftTime)).withColumn("_src", lit(1))
+      .withColumn("_p", lit(null).cast(right.select(payloadT).schema.head.dataType))
+    val r = right
+      .select(col(key), col(rightTime).as("_t"), lit(0).as("_src"), payloadT.as("_p"))
+      .withColumns(lCols.filterNot(_ == key).map(c => c -> lit(null).cast(left.schema(c).dataType)).toMap)
+      .select(lCols.map(col) :+ col("_t") :+ col("_src") :+ col("_p"): _*)
+
+    val w = Window.partitionBy(col(key)).orderBy(col("_t"), col("_src"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("_m", last(col("_p"), ignoreNulls = true).over(w))
+      .filter(col("_src") === 1)
+      .select(lCols.map(col) ++ rightPayload.map(c => col(s"_m.$c").as(c)): _*)
+  }
+}

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{AsofJoin, Dedup, Multimodal, Similarity, SkewJoin}
 
 /** LLM-pipeline operators (SURVEY.md §2 #29-35, #40) on small synthetic
   * corpora with planted duplicates/neighbors so expected results are
@@ -92,6 +92,41 @@ class OperatorsSpec extends SparkSpec {
     val rows = out.collect().sortBy(_.getAs[Int]("rank"))
     rows.map(_.getAs[Long]("neighbor_id")) should contain(2L) // identical vec always collides
     rows.head.getAs[Double]("cos") shouldBe 1.0 +- 1e-12
+  }
+
+  test("salted equi-join matches the plain join exactly") {
+    val l = Seq((1L, "a"), (1L, "b"), (2L, "c"), (3L, "d")).toDF("k", "lv")
+    val r = Seq((1L, 10.0), (2L, 20.0), (4L, 40.0)).toDF("rk", "rv")
+    val salted = SkewJoin.saltedEquiJoin(l, r, "k", "rk", nsalts = 4)
+    val plain = l.join(r, l("k") === r("rk"))
+    canon(salted) shouldBe canon(plain)
+    // left semantics preserved too
+    canon(SkewJoin.saltedEquiJoin(l, r, "k", "rk", nsalts = 4, how = "left")) shouldBe
+      canon(l.join(r, l("k") === r("rk"), "left"))
+  }
+
+  test("asof join picks the latest right row at-or-before each left time") {
+    val clicks = Seq((1L, 100L, "c1"), (1L, 200L, "c2"), (2L, 50L, "c3")).toDF("u", "t", "tag")
+    val buys = Seq((1L, 100L, 1.0), (1L, 150L, 2.0), (1L, 250L, 3.0), (3L, 1L, 9.0))
+      .toDF("u", "bt", "bv")
+    val out = AsofJoin.asofJoin(clicks, buys, "u", "t", "bt", Seq("bt", "bv")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), if (r.isNullAt(4)) -1.0 else r.getDouble(4)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    out shouldBe Seq(
+      (1L, 100L, "c1", 100L, 1.0),  // tie: right at same time matches (<=)
+      (1L, 200L, "c2", 150L, 2.0),  // latest at-or-before 200
+      (2L, 50L, "c3", -1L, -1.0))   // no right rows for key → nulls
+  }
+
+  test("asof payload fields all come from the same matched row, even through nulls") {
+    val l = Seq((1L, 300L)).toDF("u", "t")
+    val r = Seq((1L, 100L, Option(7.0), Option("x")), (1L, 200L, None: Option[Double], Option("y")))
+      .toDF("u", "bt", "bv", "btag")
+    val row = AsofJoin.asofJoin(l, r, "u", "t", "bt", Seq("bv", "btag")).head()
+    // matched row is bt=200 whose bv is NULL — must NOT leak bv=7.0 from bt=100
+    row.isNullAt(row.fieldIndex("bv")) shouldBe true
+    row.getString(row.fieldIndex("btag")) shouldBe "y"
   }
 
   test("multimodal plumbing: payload bytes → stub decode → metadata") {
