@@ -1,0 +1,82 @@
+package graft
+
+/** Physical-plan assertions (SURVEY.md §5): the scale properties we
+  * claim — pushdown, pruning, broadcast, partial aggregation, top-k
+  * pushdown, codegen'd custom expressions — verified on the REAL
+  * executed plans, so a regression in plan shape fails the suite even
+  * while results stay correct.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("q10 filter reaches the parquet scan as PushedFilters") {
+    val p = plan("q10_filter_sort_head")
+    p should include("PushedFilters")
+    // plan toString truncates long filter lists — match prefixes
+    p should include("GreaterThan(l_quantity,45.0)")
+    p should include("LessThan(l_discount")
+  }
+
+  test("q09 projection prunes the scan to selected columns only") {
+    val p = plan("q09_select_rename")
+    p should include("ReadSchema: struct<c_custkey:bigint,c_name:string,c_acctbal:double>")
+    (p should not).include("c_mktsegment:")
+  }
+
+  test("q01 aggregates partially before the shuffle (map-side combine)") {
+    val p = plan("q01_groupby_agg")
+    p should include("partial_sum")
+    p should include("Exchange hashpartitioning(l_returnflag")
+  }
+
+  test("q04 dimension join broadcasts the small side") {
+    plan("q04_inner_join") should include("BroadcastHashJoin")
+  }
+
+  test("q06 theta join keeps the equi key for the hash join and the residual in the condition") {
+    val p = plan("q06_theta_join")
+    p should include("BroadcastHashJoin [l_partkey")
+    p should include("(l_extendedprice")
+  }
+
+  test("q10 head is a distributed TakeOrderedAndProject, not a global sort") {
+    plan("q10_filter_sort_head") should include("TakeOrderedAndProject")
+  }
+
+  test("q27 ANN plan: corpus streams against broadcast queries, top-k pushed into the window") {
+    val p = plan("q27_ann_bruteforce")
+    p should include("BroadcastNestedLoopJoin BuildRight")
+    p should include("vec_cosine")
+    p should include("WindowGroupLimit")
+  }
+
+  test("q23 minhash signature aggregation is partial-agg (map-side combine), pair scoring too") {
+    val p = plan("q23_dedup_minhash")
+    p should include("partial_min")   // k MIN(xxhash64) combine before the doc shuffle
+    p should include("partial_count") // band-collision scoring combines map-side
+    // the bucket cap's row_number+filter gets rank-limit pushdown
+    p should include("WindowGroupLimit")
+  }
+
+  test("q34 salted join spreads keys: join is on (key, salt)") {
+    val p = plan("q34_skew_join")
+    p should include("_graft_salt")
+  }
+
+  test("custom expressions run inside WholeStageCodegen") {
+    // codegenString can't see through an unexecuted AdaptiveSparkPlan —
+    // disable AQE just for this plan inspection
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("q27_ann_bruteforce")(spark, sfDir)
+      val codegen = org.apache.spark.sql.execution.debug.codegenString(df.queryExecution.executedPlan)
+      codegen should include("Found")
+      (codegen should not).include("Found 0 WholeStageCodegen")
+      codegen should include("vec_cosine")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+}
