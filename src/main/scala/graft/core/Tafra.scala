@@ -203,6 +203,12 @@ final class Tafra(val df: DataFrame) extends Serializable {
   def toRecords: Array[Row] = df.collect()
   def toLocalIterator: java.util.Iterator[Row] = df.toLocalIterator()
   def pprint(n: Int = 20): Unit = df.show(n, truncate = false)
+  /** Aligned text table of the first n rows (base.py:551 pformat). */
+  def pformat(n: Int = 20): String =
+    Formatter.pformat(columns, columns.map(dtypes), df.limit(n).collect().toSeq)
+  /** HTML table of the first n rows (base.py:679 to_html). */
+  def toHtml(n: Int = 20): String =
+    Formatter.toHtml(columns, df.limit(n).collect().toSeq)
 
   private[core] def validateColumns(cols: Seq[String]): Unit = {
     val missing = cols.distinct.filterNot(df.columns.contains)
@@ -220,6 +226,11 @@ object Tafra {
 
   def readParquet(spark: SparkSession, path: String): Tafra =
     new Tafra(spark.read.parquet(path))
+
+  /** Reference `from_records` (base.py:887): rows + schema → frame. */
+  def fromRecords(spark: SparkSession, schema: StructType, rows: Seq[Row]): Tafra =
+    new Tafra(spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema))
 
   implicit final class TafraOps(private val t: Tafra) extends AnyVal {
     /** Reference `>>` operator (base.py:355). */

@@ -188,4 +188,23 @@ class TafraSpec extends SparkSpec {
     while (it.hasNext) { it.next(); n += 1 }
     n shouldBe 4
   }
+
+  test("fromRecords builds a frame from rows + schema") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("k", LongType), StructField("v", StringType)))
+    val t = Tafra.fromRecords(spark, schema, Seq(Row(1L, "a"), Row(2L, null)))
+    t.rows shouldBe 2
+    t.dtypes("v") shouldBe "StringType"
+  }
+
+  test("pformat aligns columns; toHtml escapes and tabulates") {
+    val t = people.sort(Seq(col("name"))).pipe(p => Tafra(p.df.limit(2)))
+    val txt = t.pformat()
+    txt.linesIterator.toSeq.length shouldBe 4 // header + sep + 2 rows
+    txt should include("name (StringType)")
+    val html = Tafra(spark.sql("SELECT '<b>x</b>' AS v")).toHtml()
+    html should include("<table>")
+    html should include("&lt;b&gt;x&lt;/b&gt;")
+  }
 }
