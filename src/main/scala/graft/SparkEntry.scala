@@ -306,6 +306,12 @@ object SparkEntry {
       operators.Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8))
     }),
 
+    // §2#35b IVF ANN: seeded+Lloyd-refined coarse quantizer, nprobe cells.
+    "q36_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").df
+      operators.Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8))
+    }),
+
     // §2#36 language ID (stopword-count heuristic, deterministic argmax).
     "q29_text_langid" -> ((s, dir) => {
       import graft.functions.{TextFunctions => T}

@@ -41,6 +41,71 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
+  /** IVF (inverted-file) ANN — the other standard scale path next to
+    * LSH. Coarse quantizer: `ncells` centroids seeded from a
+    * deterministic corpus sample (smallest xxhash64(id), the
+    * library-standard random init made replayable), refined with ONE
+    * Lloyd step (assign → per-cell mean). Corpus vectors live in
+    * exactly one cell; queries probe their `nprobe` nearest cells and
+    * rerank exactly inside them.
+    *
+    * Scale shape: centroids are broadcast (ncells ≪ corpus); corpus
+    * assignment is one pass of ncells codegen'd cosines per vector; the
+    * search join shuffles the corpus ONCE on cell id (queries replicate
+    * nprobe×, corpus never replicates). Candidates per query ≈
+    * nprobe/ncells of the corpus instead of all of it.
+    * Returns (query_id, neighbor_id, cos, rank).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+              ncells: Int = 16, nprobe: Int = 4,
+              vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val c = rebalance(corpus, idCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+
+    // --- coarse quantizer -------------------------------------------------
+    val seeds = corpus
+      .select(col(idCol).as("cell"), col(vecCol).as("centroid"))
+      .orderBy(xxhash64(col("cell")), col("cell")).limit(ncells)
+    // top-1 cell per vector WITHOUT a window: max of (cos, -cell) is a
+    // partial-aggregatable reduction, so the corpus×ncells cross rows
+    // combine map-side instead of shuffling ncells× the corpus.
+    def assignTop1(vecs: DataFrame, idC: String, vc: String, cents: DataFrame): DataFrame =
+      vecs.crossJoin(broadcast(cents))
+        .groupBy(col(idC))
+        .agg(max(struct(V.cosine(col(vc), col("centroid")).as("cos"),
+                        (-col("cell")).as("negcell"))).as("best"),
+             first(col(vc)).as(vc))
+        .select(col(idC), (-col("best.negcell")).as("cell"), col(vc))
+    // one Lloyd step: assign to seed cells, refine centroid = cell mean
+    val centroids = assignTop1(c, "neighbor_id", "cv", seeds)
+      .select(col("cell"), posexplode(col("cv")).as(Seq("d", "x")))
+      .groupBy("cell", "d").agg(avg(col("x")).as("m"))
+      .groupBy("cell").agg(
+        array_sort(collect_list(struct(col("d"), col("m")))).as("dm"))
+      .select(col("cell"),
+        transform(col("dm"), e => e.getField("m").cast("float")).as("centroid"))
+
+    // --- search -----------------------------------------------------------
+    val cells = assignTop1(c, "neighbor_id", "cv", centroids)
+      .select(col("cell"), col("neighbor_id"), col("cv"))
+    // queries are the small side: a window over query_id picks nprobe cells
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("_r", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(
+          V.cosine(col("qv"), col("centroid")).desc, col("cell"))))
+      .filter(col("_r") <= nprobe)
+      .select(col("cell"), col("query_id"), col("qv"))
+
+    cells.join(broadcast(probes), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", V.cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
   /** LSH-bucketed ANN (the scale path): hyperplane-bucket the corpus
     * once (in production: precomputed + partitioned by bucket), probe
     * with the queries' buckets, rerank candidates exactly. Few bits →
