@@ -73,35 +73,40 @@ object Dedup {
     * shape measured ~50× faster at sf0.1 and keeps the partial-agg
     * single-shuffle profile at any scale.
     */
-  def minhash(docs: DataFrame, k: Int = 16, topK: Int = 100,
+  def minhash(docs: DataFrame, k: Int = 16, topK: Int = 100, bandWidth: Int = 1,
               textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(k % bandWidth == 0, s"k=$k not divisible by bandWidth=$bandWidth")
+    val nbands = k / bandWidth
     val shingled = rebalance(docs, idCol).select(col(idCol).as("doc_id"),
       explode(array_distinct(T.wordNGrams(T.tokens(col(textCol)), 2))).as("sh"))
     val mins = (0 until k).map(i => min(xxhash64(lit(i), col("sh"))).as(s"_m$i"))
     val sig = shingled.groupBy("doc_id").agg(mins.head, mins.tail: _*)
       .select(col("doc_id"), array((0 until k).map(i => col(s"_m$i")): _*).as("sig"))
 
-    // r=1 bands: each signature component is its own band (max recall on
-    // a corpus with no planted dups; production would use r=2..4).
+    // Bands of `bandWidth` signature components (standard LSH: a pair
+    // is a candidate iff some band agrees on ALL its components —
+    // larger bandWidth = fewer, higher-precision candidates; 1 = max
+    // recall, right for a corpus with no planted dups).
     //
-    // Scoring trick: with r=1 the number of bands in which a pair
-    // collides IS its signature-agreement count, so est_sim =
-    // count(colliding bands)/k — a plain map-side-combinable COUNT.
-    // The k-element signature arrays never enter the self-join shuffle
-    // (ids + 2 longs per row instead of 2×k longs), and the dedup of
-    // repeated candidate pairs IS the scoring aggregation — no
-    // separate distinct() pass. (Bucket capping can only drop band
-    // collisions, so est_sim is a lower bound of full agreement —
-    // exact for any pair whose buckets stayed under the cap.)
+    // Scoring trick: the number of colliding bands is itself the
+    // similarity estimate (for bandWidth=1 it IS the signature
+    // agreement; for r>1 the fraction of agreeing bands estimates
+    // jaccard^r) — a plain map-side-combinable COUNT, so the k-element
+    // signature arrays never enter the self-join shuffle (ids + 2
+    // longs per row instead of 2×k longs), and the dedup of repeated
+    // candidate pairs IS the scoring aggregation — no separate
+    // distinct() pass. (Bucket capping can only drop band collisions,
+    // so est_sim is a lower bound — exact for any pair whose buckets
+    // stayed under the cap.)
     val banded = sig.select(col("doc_id"),
-        posexplode(col("sig")).as(Seq("band", "bandval")))
+        posexplode(Hashing.bandHashes(col("sig"), k, bandWidth)).as(Seq("band", "bandval")))
     val capped = capBucket(banded, Seq("band", "bandval"), "doc_id", 50)
 
     val a = capped.select(col("band"), col("bandval"), col("doc_id").as("doc_a"))
     val b = capped.select(col("band"), col("bandval"), col("doc_id").as("doc_b"))
     val pairs = a.join(b, Seq("band", "bandval")).filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
-      .agg((count(lit(1)) / k.toDouble).as("est_sim"))
+      .agg((count(lit(1)) / nbands.toDouble).as("est_sim"))
 
     topKRanked(pairs, topK, col("est_sim").desc, col("doc_a"), col("doc_b"))
   }

@@ -43,6 +43,13 @@ class OperatorsSpec extends SparkSpec {
     near.get.getAs[Double]("est_sim") should be >= 0.5
   }
 
+  test("minhash with bandWidth=2 (production banding) still ranks the exact dup first") {
+    val top = Dedup.minhash(docs, bandWidth = 2).collect()
+    val first = top.minBy(_.getAs[Int]("rnk"))
+    (first.getAs[Long]("doc_a"), first.getAs[Long]("doc_b")) shouldBe ((1L, 4L))
+    first.getAs[Double]("est_sim") shouldBe 1.0 // identical sigs → every band collides
+  }
+
   test("simhash ranks the exact-dup pair at hamming 0") {
     val top = Dedup.simhash(docs).collect()
     val first = top.minBy(_.getAs[Int]("rnk"))
