@@ -306,6 +306,22 @@ object SparkEntry {
       operators.Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8))
     }),
 
+    // §2#1/#4 composed at TPC-H Q5 shape: fact → broadcast dims chain →
+    // decimal-exact revenue per supplier nation (exercises `supplier`).
+    "q37_supplier_revenue" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .update("rev_d", dec(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))))
+        .innerJoin(t(s, dir, "supplier"), Seq(("l_suppkey", "s_suppkey", "==")),
+          broadcastRight = true)
+        .innerJoin(t(s, dir, "nation"), Seq(("s_nationkey", "n_nationkey", "==")),
+          broadcastRight = true)
+        .groupBy(Seq("n_name"),
+          Seq(Agg("sum_rev_d", "sum", "rev_d"),
+              Agg("n_supp", "count_distinct", "s_suppkey")))
+        .update("sum_rev", col("sum_rev_d").cast("double"))
+        .delete(Seq("sum_rev_d")).df
+    }),
+
     // §2#35b IVF ANN: seeded+Lloyd-refined coarse quantizer, nprobe cells.
     "q36_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings").df
@@ -618,6 +634,15 @@ object SparkEntry {
     "q34_skew_join" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, o_orderkey, o_totalprice
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey""",
+
+    "q37_supplier_revenue" ->
+      """SELECT n_name,
+         COUNT(DISTINCT s_suppkey) AS n_supp,
+         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DOUBLE) AS sum_rev
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         GROUP BY 1""",
 
     "q35_asof_join" ->
       """WITH e AS (SELECT user_id, event_type,
