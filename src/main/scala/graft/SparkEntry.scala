@@ -276,6 +276,11 @@ object SparkEntry {
     "q22_dedup_exact" -> ((s, dir) =>
       operators.Dedup.exact(t(s, dir, "documents").df)),
 
+    // §2#29-streaming: dropDuplicates over a doubled stream — the
+    // streaming face of exact dedup (state-backed, watermark-boundable).
+    "q38_stream_dedup" -> ((s, dir) =>
+      streaming.Events.streamDedup(s, s"$dir/events.parquet")),
+
     // §2#30 MinHash+LSH near-dup (top-100 candidate pairs).
     "q23_dedup_minhash" -> ((s, dir) =>
       operators.Dedup.minhash(t(s, dir, "documents").df)),
@@ -541,6 +546,11 @@ object SparkEntry {
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS norm_hash,
          MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
          FROM documents GROUP BY 1""",
+
+    // the doubled stream dedups back to exactly the distinct event set
+    "q38_stream_dedup" ->
+      """SELECT user_id, make_timestamp(epoch_ns(ts)//1000) AS ts, event_type, value
+         FROM events""",
 
     "q25_dedup_ngram" ->
       """WITH toks AS (

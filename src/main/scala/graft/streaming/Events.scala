@@ -81,6 +81,24 @@ object Events {
       col("n_events"), col("sum_value_d").cast("double").as("sum_value"))
   }
 
+  /** #29-streaming: exact dedup as a STREAM — `dropDuplicates` keyed on
+    * (user_id, ts) with per-key state. The test path doubles the input
+    * (self-union: every row arrives twice) and must emit the exact
+    * distinct set. Production adds `withWatermark` +
+    * `dropDuplicatesWithinWatermark` so dedup state is bounded by the
+    * lateness horizon instead of growing forever.
+    */
+  def streamDedup(spark: SparkSession, eventsPath: String): DataFrame = {
+    val s = readStream(spark, eventsPath)
+    val doubled = s.unionByName(s)
+    val dd = doubled.dropDuplicates("user_id", "ts")
+    val name = "graft_dedup_" + UUID.randomUUID().toString.replace("-", "")
+    val q = dd.writeStream.outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name).select("user_id", "ts", "event_type", "value")
+  }
+
   case class UserEvent(user_id: Long, tus: Long)
   case class Session(user_id: Long, session_id: Int, n_events: Long,
                      start_us: Long, end_us: Long)

@@ -42,6 +42,14 @@ class StreamingSpec extends SparkSpec {
     canon(streamed) shouldBe canon(batch)
   }
 
+  test("streaming dedup collapses a doubled stream to the distinct set") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.streaming.Events.streamDedup(spark, s"$dir/events.parquet")
+    val batch = graft.streaming.Events.readBatch(spark, s"$dir/events.parquet")
+    out.count() shouldBe batch.count()
+    out.select("user_id", "ts").distinct().count() shouldBe batch.count()
+  }
+
   test("streaming sessionization matches the batch lag/cumsum computation") {
     val streamed = Events.sessionize(spark, s"$sfDir/events.parquet")
     val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id").orderBy("tus")
