@@ -19,11 +19,16 @@ object TextFunctions {
 
   /** Sliding word n-grams joined by single spaces. Rows with fewer than
     * `n` tokens produce an empty array (callers filter).
+    *
+    * Built from n unrolled O(1) `element_at` lookups per position, not
+    * `slice` — slicing allocates an n-element subarray per position,
+    * O(L·n) copies per document, which dominates on the long documents
+    * a 100 TB corpus actually contains.
     */
   def wordNGrams(toks: Column, n: Int): Column =
     when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      transform(sequence(lit(1), size(toks) - n + 1),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
       .otherwise(array().cast("array<string>"))
 
   /** Language marker dictionaries. The synthetic corpus shares one

@@ -24,7 +24,7 @@ object SkewJoin {
 
   def saltedEquiJoin(left: DataFrame, right: DataFrame,
                      leftKey: String, rightKey: String,
-                     nsalts: Int = 16, how: String = "inner"): DataFrame = {
+                     nsalts: Int = 8, how: String = "inner"): DataFrame = {
     require(nsalts > 0, "nsalts must be positive")
     val l = left.withColumn("_graft_salt",
       pmod(xxhash64(left.columns.map(col): _*), lit(nsalts.toLong)).cast("int"))
