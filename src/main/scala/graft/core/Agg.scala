@@ -46,6 +46,8 @@ object Agg {
     "collect_list" -> (c => collect_list(col(c))),
     "collect_set" -> (c => collect_set(col(c))),
     "median" -> (c => median(col(c))),
+    // sketch-based: single-pass mergeable state, the right median at scale
+    "approx_median" -> (c => percentile_approx(col(c), lit(0.5), lit(10000))),
     "any" -> (c => max(col(c).cast("boolean"))),
     "all" -> (c => min(col(c).cast("boolean")))
   )

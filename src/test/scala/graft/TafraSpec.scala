@@ -82,6 +82,30 @@ class TafraSpec extends SparkSpec {
     canon(t.df) shouldBe Seq(Seq("25", "2", "75.0"), Seq("30", "2", "175.0"))
   }
 
+  test("approx_median returns an actual group member at the median position") {
+    // unlike exact median (which interpolates between the two middle
+    // values), the sketch returns a real data point — assert membership
+    // and that it brackets the exact median
+    val t = people.groupBy(Seq("age"), Seq(
+      Agg("m", "approx_median", "bal"), Agg("lo", "min", "bal"), Agg("hi", "max", "bal"),
+      Agg("vals", "collect_set", "bal")))
+    t.df.collect().foreach { r =>
+      val m = r.getDouble(r.fieldIndex("m"))
+      r.getAs[Seq[Double]]("vals") should contain(m)
+      m should (be >= r.getDouble(r.fieldIndex("lo")) and be <= r.getDouble(r.fieldIndex("hi")))
+    }
+  }
+
+  test("CsvSource infers and promotes dtypes like the reference (int → double → string)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv_promote").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "d.csv"),
+      "a,b,c\n1,1,1\n2,2.5,x\n3,3,3\n")
+    val t = graft.sources.CsvSource.read(spark, dir)
+    t.dtypes("a") shouldBe "IntegerType"  // all ints stay int
+    t.dtypes("b") shouldBe "DoubleType"   // int + float promotes
+    t.dtypes("c") shouldBe "StringType"   // unparseable promotes to string
+  }
+
   test("groupBy with unknown agg fn names the known set") {
     val e = intercept[IllegalArgumentException](
       people.groupBy(Seq("age"), Seq(Agg("z", "frobnicate", "bal"))).df.collect())
