@@ -1,7 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
 
 /** Scratch profiling main (dev-only, not part of the surface). */
 object Prof {
@@ -10,28 +9,17 @@ object Prof {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = "/root/testdata/sf0.1"
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val names = if (args.nonEmpty) args.toSeq else Seq("q24_dedup_simhash", "q25_dedup_ngram")
     def time(tag: String)(f: => Long): Unit = {
       val t0 = System.nanoTime(); val n = f
       println(f"$tag%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
     }
-    import graft.functions.{TextFunctions => T}
-    val docs = spark.read.parquet(s"$dir/documents.parquet").repartition(32, col("doc_id"))
-
-    def ngramsFast(toks: Column, n: Int): Column =
-      when(size(toks) >= n,
-        transform(sequence(lit(1), size(toks) - n + 1),
-          i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
-        .otherwise(array().cast("array<string>"))
-
-    val oldSh = docs.select(col("doc_id"),
-      explode(array_distinct(T.wordNGrams(T.tokens(col("text")), 2))).as("sh"))
-    val newSh = docs.select(col("doc_id"),
-      explode(array_distinct(ngramsFast(T.tokens(col("text")), 2))).as("sh"))
-    oldSh.count(); newSh.count() // warm
-    for (i <- 1 to 3) {
-      time(s"old_slice_$i")(oldSh.count())
-      time(s"new_element_at_$i")(newSh.count())
+    for (name <- names) {
+      val fn = SparkEntry.queries(name)
+      time(s"${name}_warm")(fn(spark, dir).count())
+      time(s"${name}_t1")(fn(spark, dir).count())
+      time(s"${name}_t2")(fn(spark, dir).count())
     }
     spark.stop()
   }

@@ -112,30 +112,30 @@ object Dedup {
   }
 
   /** SimHash near-dup (#31): 64-bit simhash of the term-frequency
-    * profile, 8×8-bit Hamming bands for blocking, capped bucket join,
+    * profile, 4×16-bit Hamming bands for blocking, capped bucket join,
     * top `topK` pairs by Hamming distance.
     * Returns (doc_a, doc_b, hamming, rnk).
+    *
+    * Band geometry matters at scale: b bands of w bits give at most
+    * b×2^w buckets. 8×8-bit bands (the naive choice) cap at 2,048
+    * buckets TOTAL — a constant independent of corpus size, so with a
+    * per-bucket cap the candidate pool saturates at ~100k docs and
+    * recall collapses at 100 TB. 4×16-bit bands give 262k buckets per
+    * corpus and still guarantee (pigeonhole) that any pair within
+    * Hamming distance 3 shares at least one untouched band — the
+    * planted-near-dup recall test asserts exactly that.
     */
-  def simhash(docs: DataFrame, topK: Int = 100,
+  def simhash(docs: DataFrame, topK: Int = 100, bands: Int = 4,
               textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val tf = rebalance(docs, idCol)
-      .select(col(idCol).as("doc_id"), explode(T.tokens(col(textCol))).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
-      .withColumn("h", xxhash64(col("tok")))
-    // per-bit signed sums: +cnt when the token hash has bit j set, -cnt
-    // otherwise — one shuffle, 64 map-side-combined sums.
-    val bitSums = (0 until 64).map { j =>
-      sum(when(shiftrightunsigned(col("h"), j).bitwiseAND(lit(1L)) === 1L, col("cnt"))
-        .otherwise(-col("cnt"))).as(s"b$j")
-    }
-    val sh = tf.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"),
-        Hashing.assembleSimhash((0 until 64).map(j => col(s"b$j"))).as("simhash"))
+    require(64 % bands == 0, s"bands=$bands must divide 64")
+    val bandBits = 64 / bands
+    val bandMask = if (bandBits == 64) -1L else (1L << bandBits) - 1L
+    val sh = simhashSignatures(docs, textCol, idCol)
 
     val banded = sh.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 8).map(b =>
+      explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
-          shiftrightunsigned(col("simhash"), b * 8).bitwiseAND(lit(0xffL)).as("bandval"))): _*)).as("bb"))
+          shiftrightunsigned(col("simhash"), b * bandBits).bitwiseAND(lit(bandMask)).as("bandval"))): _*)).as("bb"))
       .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bandval").as("bandval"))
     val capped = capBucket(banded, Seq("band", "bandval"), "doc_id", 50)
 
@@ -148,12 +148,43 @@ object Dedup {
       .transform(p => topKRanked(p, topK, col("hamming"), col("doc_a"), col("doc_b")))
   }
 
+  /** The 64-bit signature stage of [[simhash]]: per-token hash, per-bit
+    * signed term-frequency sums (one shuffle, 64 map-side-combined
+    * aggregates), sign → bit. Exposed so recall can be audited against
+    * the exact Hamming distances.
+    */
+  def simhashSignatures(docs: DataFrame,
+                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val tf = rebalance(docs, idCol)
+      .select(col(idCol).as("doc_id"), explode(T.tokens(col(textCol))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("h", xxhash64(col("tok")))
+    // per-bit signed sums: +cnt when the token hash has bit j set, -cnt
+    // otherwise — one shuffle, 64 map-side-combined sums.
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftrightunsigned(col("h"), j).bitwiseAND(lit(1L)) === 1L, col("cnt"))
+        .otherwise(-col("cnt"))).as(s"b$j")
+    }
+    tf.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        Hashing.assembleSimhash((0 until 64).map(j => col(s"b$j"))).as("simhash"))
+  }
+
   /** n-gram Jaccard near-dup (#32): distinct word trigrams → document
     * frequency filter (grams in > dfMax docs are non-discriminative
     * stop-grams; dropping them is what bounds the inverted-index join at
     * scale) → postings self-join → exact Jaccard over rare grams →
     * top `topK`. Oracle-mirrored in DuckDB SQL.
     * Returns (doc_a, doc_b, common, jaccard, rnk).
+    *
+    * The df filter is expressed as a broadcast ANTI join against the
+    * FREQUENT grams (df > dfMax): in web-scale text almost every
+    * distinct n-gram is rare, so the rare set grows linearly with the
+    * corpus while the frequent set is the Zipf head — small and
+    * near-constant. Broadcasting the rare side (the obvious
+    * formulation) is a guaranteed driver/executor OOM at 100 TB;
+    * broadcasting the frequent side is bounded by postings/dfMax and
+    * in practice tiny.
     */
   def ngramJaccard(docs: DataFrame, dfMax: Int = 20, topK: Int = 100,
                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
@@ -162,19 +193,24 @@ object Dedup {
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"),
         explode(array_distinct(T.wordNGrams(col("w"), 3))).as("g"))
-    val rare = post.groupBy("g").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= dfMax).select("g")
-    val rpost = post.join(broadcast(rare), "g")
-    val cnt = rpost.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val frequent = post.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfMax).select("g")
+    // Per-doc rare-gram count rides along as a window count: the
+    // postings are already hash-partitioned on doc_id (rebalance), so
+    // the window needs only a partition-local sort — no shuffle — and
+    // the denominator counts never have to be joined back onto the
+    // (much larger) pair table. Both sides of the pair self-join are
+    // the same plan, so Catalyst reuses one exchange.
+    val rpost = post.join(broadcast(frequent), Seq("g"), "left_anti")
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
 
-    val pairs = rpost.select(col("g"), col("doc_id").as("doc_a"))
-      .join(rpost.select(col("g"), col("doc_id").as("doc_b")), "g")
+    val pairs = rpost.select(col("g"), col("doc_id").as("doc_a"), col("n").as("na"))
+      .join(rpost.select(col("g"), col("doc_id").as("doc_b"), col("n").as("nb")), "g")
       .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("common"), first("na").as("na"), first("nb").as("nb"))
 
     pairs
-      .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
       .withColumn("jaccard",
         col("common").cast("double") / (col("na") + col("nb") - col("common")))
       .select("doc_a", "doc_b", "common", "jaccard")

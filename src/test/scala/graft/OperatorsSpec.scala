@@ -55,9 +55,36 @@ class OperatorsSpec extends SparkSpec {
     val first = top.minBy(_.getAs[Int]("rnk"))
     (first.getAs[Long]("doc_a"), first.getAs[Long]("doc_b")) shouldBe ((1L, 4L))
     first.getAs[Int]("hamming") shouldBe 0
-    // near-dup pair present with small distance
-    val near = top.find(r => r.getAs[Long]("doc_a") == 2L && r.getAs[Long]("doc_b") == 5L)
+    // The (2,5) near-dup sits at Hamming ~10: outside the default
+    // 4×16-bit blocking guarantee (≤3), inside 8×8-bit blocking — the
+    // `bands` knob trades bucket count for Hamming recall radius.
+    val fine = Dedup.simhash(docs, bands = 8).collect()
+    val near = fine.find(r => r.getAs[Long]("doc_a") == 2L && r.getAs[Long]("doc_b") == 5L)
     near.get.getAs[Int]("hamming") should be <= 16
+  }
+
+  test("simhash blocking recalls every pair within Hamming distance 3 (4×16-bit pigeonhole)") {
+    // 30 base docs with distinct vocab; each gets a twin with one extra
+    // word, so twin signatures differ in only the few bits whose signed
+    // sums sat near zero → many pairs land within Hamming distance 3.
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector.tabulate(400)(i => s"w${i}x")
+    val corpus = (0 until 30).flatMap { i =>
+      val words = Seq.fill(25)(vocab(rnd.nextInt(vocab.size)))
+      val twin = words :+ vocab(rnd.nextInt(vocab.size))
+      Seq((2L * i, words.mkString(" ")), (2L * i + 1, twin.mkString(" ")))
+    }.toDF("doc_id", "text")
+    val sigs = Dedup.simhashSignatures(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ids = sigs.keys.toSeq.sorted
+    val close = for {
+      a <- ids; b <- ids if a < b
+      if java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= 3
+    } yield (a, b)
+    close should not be empty // corpus must actually plant close pairs
+    val found = Dedup.simhash(corpus, topK = 10000).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    close.foreach(p => found should contain(p))
   }
 
   test("ngram Jaccard computes exact overlap of rare trigrams") {
