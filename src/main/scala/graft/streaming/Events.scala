@@ -4,14 +4,16 @@ import java.util.UUID
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 
 /** Structured Streaming over the `events` table (SURVEY.md §2 #27-28).
   *
   * The reference has no streaming surface; these are the scale
-  * additions: a file-source stream driven synchronously for tests,
-  * identical plan to what a production `readStream` on object storage
-  * would run.
+  * additions. Each operator is split into an unstarted PLAN builder
+  * (what production code composes and attaches to a real sink) and a
+  * memory-sink RUNNER (the synchronous test/oracle harness). Production
+  * runs `runToFiles` — append mode, watermark-bounded state, checkpoint
+  * — on the same plans.
   *
   * events.parquet stores ns-precision timestamps, which Spark's parquet
   * reader rejects; we read them as raw nanos
@@ -35,9 +37,12 @@ object Events {
     * as file-source streams require an explicit schema). File-source
     * streams need a DIRECTORY; a single-file path is exposed through a
     * temp dir holding a symlink (production streams read directories of
-    * arriving files anyway).
+    * arriving files anyway). `maxFilesPerTrigger` caps files per
+    * micro-batch — the test hook that makes MULTIPLE batches actually
+    * happen, so cross-batch state is exercised.
     */
-  def readStream(spark: SparkSession, path: String): DataFrame = {
+  def readStream(spark: SparkSession, path: String,
+                 maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     nanosConf(spark)
     val schema = spark.read.parquet(path).schema
     val p = java.nio.file.Paths.get(path)
@@ -52,56 +57,112 @@ object Events {
         if (!java.nio.file.Files.exists(link)) java.nio.file.Files.createSymbolicLink(link, p)
         dir.toString
       }
-    spark.readStream.schema(schema).parquet(streamDir)
+    val reader0 = spark.readStream.schema(schema)
+    val reader = maxFilesPerTrigger.fold(reader0)(n =>
+      reader0.option("maxFilesPerTrigger", n))
+    reader.parquet(streamDir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
-  /** #27: tumbling 1-hour windowed counts/sums per event_type.
-    *
-    * Test path runs `complete` mode over a memory sink so every window
-    * is emitted for the batch-SQL oracle compare. At scale the same
-    * plan runs `append` with a watermark so state is bounded — pass
-    * `watermark = Some("2 hours")`.
+  /** Drive an unstarted streaming frame through all available input via
+    * a named memory sink and hand back the materialized table. This is
+    * the TEST/ORACLE harness — results land on the driver by design so
+    * the batch-SQL compare can hash them. Production attaches the same
+    * plan to a real sink via [[runToFiles]].
     */
-  def hourlyByType(spark: SparkSession, eventsPath: String,
-                   watermark: Option[String] = None): DataFrame = {
-    val stream0 = readStream(spark, eventsPath)
-    val stream = watermark.fold(stream0)(w => stream0.withWatermark("ts", w))
-    val agg = stream
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
-           sum(col("value").cast("decimal(18,4)")).as("sum_value_d"))
-    val name = "graft_hourly_" + UUID.randomUUID().toString.replace("-", "")
-    val mode = if (watermark.isEmpty) "complete" else "append"
+  private def runToMemory(agg: DataFrame, mode: String, prefix: String): DataFrame = {
+    val name = prefix + UUID.randomUUID().toString.replace("-", "")
     val q = agg.writeStream.outputMode(mode).format("memory").queryName(name).start()
     q.processAllAvailable()
     q.stop()
-    spark.table(name).select(
+    agg.sparkSession.table(name)
+  }
+
+  /** Production sink: append-mode parquet with a checkpoint. State
+    * stays bounded by the plan's watermark; output is distributed
+    * (never driver-materialized). Caller owns the query lifecycle.
+    */
+  def runToFiles(agg: DataFrame, outPath: String, checkpointPath: String): StreamingQuery =
+    agg.writeStream.outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpointPath)
+      .start()
+
+  /** #27 plan: tumbling 1-hour windowed counts/sums per event_type.
+    * With a watermark the aggregation emits finalized windows in append
+    * mode and its state is bounded by the lateness horizon; without one
+    * (test/oracle path) it runs complete mode so every window is
+    * emitted for the batch-SQL compare.
+    */
+  def hourlyByTypeStream(spark: SparkSession, eventsPath: String,
+                         watermark: Option[String] = None,
+                         maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val stream0 = readStream(spark, eventsPath, maxFilesPerTrigger)
+    val stream = watermark.fold(stream0)(w => stream0.withWatermark("ts", w))
+    stream
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("value").cast("decimal(18,4)")).as("sum_value_d"))
+  }
+
+  private def unpackHourly(df: DataFrame): DataFrame =
+    df.select(
       col("window.start").as("hour_start"), col("event_type"),
       col("n_events"), col("sum_value_d").cast("double").as("sum_value"))
+
+  /** #27 test harness: run [[hourlyByTypeStream]] to a memory sink. */
+  def hourlyByType(spark: SparkSession, eventsPath: String,
+                   watermark: Option[String] = None): DataFrame = {
+    val mode = if (watermark.isEmpty) "complete" else "append"
+    unpackHourly(runToMemory(
+      hourlyByTypeStream(spark, eventsPath, watermark), mode, "graft_hourly_"))
   }
 
-  /** #29-streaming: exact dedup as a STREAM — `dropDuplicates` keyed on
-    * (user_id, ts) with per-key state. The test path doubles the input
-    * (self-union: every row arrives twice) and must emit the exact
-    * distinct set. Production adds `withWatermark` +
-    * `dropDuplicatesWithinWatermark` so dedup state is bounded by the
-    * lateness horizon instead of growing forever.
+  /** #27 production harness: watermarked append into parquet files.
+    * Only windows sealed by the watermark are written — the correct
+    * production semantics (finalized results, bounded state).
     */
-  def streamDedup(spark: SparkSession, eventsPath: String): DataFrame = {
-    val s = readStream(spark, eventsPath)
-    val doubled = s.unionByName(s)
-    val dd = doubled.dropDuplicates("user_id", "ts")
-    val name = "graft_dedup_" + UUID.randomUUID().toString.replace("-", "")
-    val q = dd.writeStream.outputMode("append").format("memory").queryName(name).start()
+  def hourlyByTypeToFiles(spark: SparkSession, eventsPath: String,
+                          outPath: String, checkpointPath: String,
+                          watermark: String = "2 hours",
+                          maxFilesPerTrigger: Option[Int] = None): Unit = {
+    val agg = hourlyByTypeStream(spark, eventsPath, Some(watermark), maxFilesPerTrigger)
+    val q = runToFiles(unpackHourly(agg), outPath, checkpointPath)
     q.processAllAvailable()
     q.stop()
-    spark.table(name).select("user_id", "ts", "event_type", "value")
   }
 
-  case class UserEvent(user_id: Long, tus: Long)
+  /** #29-streaming: exact dedup as a STREAM, state bounded by the
+    * watermark: `dropDuplicatesWithinWatermark` keyed on (user_id, ts)
+    * keeps a key's state only until the watermark passes it, so dedup
+    * state is bounded by the lateness horizon instead of growing
+    * forever — the production form. The test path doubles the input
+    * (self-union: every row arrives twice, within the horizon by
+    * construction) and must emit the exact distinct set.
+    */
+  def streamDedup(spark: SparkSession, eventsPath: String,
+                  watermark: String = "1 hour"): DataFrame = {
+    val s = readStream(spark, eventsPath).withWatermark("ts", watermark)
+    val doubled = s.unionByName(s)
+    val dd = doubled.dropDuplicatesWithinWatermark("user_id", "ts")
+    runToMemory(dd, "append", "graft_dedup_")
+      .select("user_id", "ts", "event_type", "value")
+  }
+
+  /** `ts` duplicates `tus` as a Timestamp only because the watermarked
+    * event-time COLUMN must be present in the flatMapGroupsWithState
+    * input for event-time timeouts (Spark's UnsupportedOperationChecker
+    * rejects the plan if it is projected away).
+    */
+  case class UserEvent(user_id: Long, tus: Long, ts: java.sql.Timestamp)
   case class Session(user_id: Long, session_id: Int, n_events: Long,
                      start_us: Long, end_us: Long)
+  /** Cross-batch sessionization state: number of sessions already
+    * closed (so ids keep increasing) plus the open session, if any.
+    */
+  case class OpenSession(start_us: Long, end_us: Long, n_events: Long)
+  case class SessState(nClosed: Int, open: Option[OpenSession])
 
   /** Pure sessionization of one user's event times: sort, split on
     * gaps > gapUs, number sessions by start order.
@@ -122,34 +183,89 @@ object Events {
     out.toSeq
   }
 
+  /** One micro-batch of one user's (sorted) event times folded into the
+    * carried state: returns the updated state plus every session whose
+    * version changed this batch (closed sessions final, the open
+    * session's latest version). Pure — unit-testable without a stream.
+    */
+  private[streaming] def advanceSessions(uid: Long, st: SessState, times: Array[Long],
+                                         gapUs: Long): (SessState, Seq[Session]) = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+    var nClosed = st.nClosed
+    var open = st.open
+    for (t <- times.sorted) {
+      open match {
+        case Some(o) if t - o.end_us > gapUs =>
+          out += Session(uid, nClosed + 1, o.n_events, o.start_us, o.end_us)
+          nClosed += 1
+          open = Some(OpenSession(t, t, 1))
+        case Some(o) =>
+          open = Some(OpenSession(math.min(o.start_us, t), math.max(o.end_us, t), o.n_events + 1))
+        case None =>
+          open = Some(OpenSession(t, t, 1))
+      }
+    }
+    open.foreach(o => out += Session(uid, nClosed + 1, o.n_events, o.start_us, o.end_us))
+    (SessState(nClosed, open), out.toSeq)
+  }
+
   /** #28: per-user session assembly with custom state
     * (`flatMapGroupsWithState`). Sessions close after `gap` of
     * inactivity.
     *
-    * The test path feeds all files in one micro-batch, so each group
-    * sees its full history and state carries nothing between batches; a
-    * production deployment keeps open-session state in the `GroupState`
-    * with an event-time timeout and a watermark — same operator, same
-    * plan shape, bounded state.
+    * State is REAL and incremental: the open session is carried in
+    * `GroupState` across micro-batches (a session spanning batches is
+    * extended, not renumbered), with an event-time timeout at
+    * open.end + gap so state for inactive users is dropped once the
+    * watermark passes — bounded state at any corpus size. Update-mode
+    * emission re-emits the open session's latest version each batch;
+    * the memory-table upsert (latest version per (user, session)) is
+    * what a production KV/Delta sink's MERGE would do.
+    *
+    * Cross-batch ordering contract: a user's events must not arrive in
+    * an earlier batch than events that precede them by more than the
+    * watermark delay — the standard event-time contract; the
+    * multi-batch test feeds time-split files.
     */
   def sessionize(spark: SparkSession, eventsPath: String,
-                 gapUs: Long = 30L * 60 * 1000 * 1000): DataFrame = {
+                 gapUs: Long = 30L * 60 * 1000 * 1000,
+                 maxFilesPerTrigger: Option[Int] = None,
+                 watermark: String = "10 minutes"): DataFrame = {
     import spark.implicits._
-    val ev: Dataset[UserEvent] = readStream(spark, eventsPath)
-      .select(col("user_id"), unix_micros(col("ts")).as("tus"))
+    val ev: Dataset[UserEvent] = readStream(spark, eventsPath, maxFilesPerTrigger)
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"), col("ts"))
       .as[UserEvent]
     val sessions = ev.groupByKey(_.user_id)
-      .flatMapGroupsWithState[Array[Long], Session](OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (uid: Long, events: Iterator[UserEvent], state: GroupState[Array[Long]]) =>
-          splitSessions(uid, events.map(_.tus).toArray, gapUs).iterator
+      .flatMapGroupsWithState[SessState, Session](OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, events: Iterator[UserEvent], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            // open session already emitted in its final version on the
+            // batch that last touched it — just drop the state.
+            state.remove()
+            Iterator.empty
+          } else {
+            val st = state.getOption.getOrElse(SessState(0, None))
+            val (next, out) = advanceSessions(uid, st, events.map(_.tus).toArray, gapUs)
+            state.update(next)
+            next.open.foreach { o =>
+              // timeout must sit above the current watermark or Spark
+              // rejects it (an old user's end+gap can trail the stream)
+              state.setTimeoutTimestamp(
+                math.max(o.end_us / 1000 + gapUs / 1000, state.getCurrentWatermarkMs + 1))
+            }
+            out.iterator
+          }
       }
-    val name = "graft_sessions_" + UUID.randomUUID().toString.replace("-", "")
-    val q = sessions.writeStream.outputMode("update").format("memory").queryName(name).start()
-    q.processAllAvailable()
-    q.stop()
-    spark.table(name).select(
-      col("user_id"), col("session_id"), col("n_events"),
-      timestamp_micros(col("start_us")).as("session_start"),
-      timestamp_micros(col("end_us")).as("session_end"))
+    runToMemory(sessions.toDF(), "update", "graft_sessions_")
+      // upsert: keep each session's latest emitted version
+      .groupBy("user_id", "session_id")
+      .agg(max("n_events").as("n_events"),
+           min("start_us").as("start_us"),
+           max("end_us").as("end_us"))
+      .select(
+        col("user_id"), col("session_id"), col("n_events"),
+        timestamp_micros(col("start_us")).as("session_start"),
+        timestamp_micros(col("end_us")).as("session_end"))
   }
 }

@@ -50,10 +50,9 @@ class StreamingSpec extends SparkSpec {
     out.select("user_id", "ts").distinct().count() shouldBe batch.count()
   }
 
-  test("streaming sessionization matches the batch lag/cumsum computation") {
-    val streamed = Events.sessionize(spark, s"$sfDir/events.parquet")
+  private def batchSessions(path: String) = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id").orderBy("tus")
-    val batch = Events.readBatch(spark, s"$sfDir/events.parquet")
+    Events.readBatch(spark, path)
       .select(col("user_id"), unix_micros(col("ts")).as("tus"))
       .withColumn("new_s",
         when(lag("tus", 1).over(w).isNull || col("tus") - lag("tus", 1).over(w) > MIN30, 1)
@@ -63,6 +62,80 @@ class StreamingSpec extends SparkSpec {
       .agg(count(lit(1)).as("n_events"),
            timestamp_micros(min("tus")).as("session_start"),
            timestamp_micros(max("tus")).as("session_end"))
-    canon(streamed) shouldBe canon(batch)
+  }
+
+  test("streaming sessionization matches the batch lag/cumsum computation") {
+    val streamed = Events.sessionize(spark, s"$sfDir/events.parquet")
+    canon(streamed) shouldBe canon(batchSessions(s"$sfDir/events.parquet"))
+  }
+
+  test("advanceSessions carries an open session across batches and numbers past it") {
+    import Events.{advanceSessions, OpenSession, SessState}
+    val gap = 100L
+    // batch 1: two events 50 apart → one open session, emitted once
+    val (s1, out1) = advanceSessions(7L, SessState(0, None), Array(1000L, 1050L), gap)
+    s1 shouldBe SessState(0, Some(OpenSession(1000L, 1050L, 2)))
+    out1.map(s => (s.session_id, s.n_events, s.start_us, s.end_us)) shouldBe Seq((1, 2L, 1000L, 1050L))
+    // batch 2: one event within gap EXTENDS session 1 (not renumbered),
+    // then a far event closes it and opens session 2
+    val (s2, out2) = advanceSessions(7L, s1, Array(1100L, 5000L), gap)
+    s2 shouldBe SessState(1, Some(OpenSession(5000L, 5000L, 1)))
+    out2.map(s => (s.session_id, s.n_events, s.start_us, s.end_us)) shouldBe
+      Seq((1, 3L, 1000L, 1100L), (2, 1L, 5000L, 5000L))
+    // timed-out user state restarts numbering only via carried nClosed
+    val (s3, out3) = advanceSessions(7L, s2, Array(9000L), gap)
+    s3.nClosed shouldBe 2
+    out3.map(_.session_id) shouldBe Seq(2, 3)
+  }
+
+  /** Split the raw events parquet (ns-long ts) into `n` time-ordered
+    * files in a fresh dir, mtimes increasing, so maxFilesPerTrigger=1
+    * yields one micro-batch per time range.
+    */
+  private def timeSplitDir(src: String, n: Int): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(src) // ts stays a raw ns long
+    val cuts = ev.stat.approxQuantile("ts", (1 until n).map(_.toDouble / n).toArray, 0.001)
+    val bounds = (Array(Long.MinValue) ++ cuts.map(_.toLong) :+ Long.MaxValue).sliding(2).toSeq
+    val dir = Files.createTempDirectory("graft_multibatch_")
+    bounds.zipWithIndex.foreach { case (Array(lo, hi), i) =>
+      val stage = dir.resolve(s"stage$i")
+      ev.filter(col("ts") > lo && col("ts") <= hi)
+        .coalesce(1).write.parquet(stage.toString)
+      val part = Files.list(stage).filter(_.getFileName.toString.endsWith(".parquet")).findFirst.get
+      val target = dir.resolve(f"f$i%02d.parquet")
+      Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(target, FileTime.fromMillis(System.currentTimeMillis() - 60000 + i * 10000))
+    }
+    dir.toString
+  }
+
+  test("sessionization is exact across multiple micro-batches (state carried, not renumbered)") {
+    val dir = timeSplitDir(s"$sfDir/events.parquet", 3)
+    val streamed = Events.sessionize(spark, dir, maxFilesPerTrigger = Some(1))
+    canon(streamed) shouldBe canon(batchSessions(dir))
+  }
+
+  test("production hourly path: watermarked append to parquet emits only sealed, exact windows") {
+    import java.nio.file.Files
+    val dir = timeSplitDir(s"$sfDir/events.parquet", 2)
+    val out = Files.createTempDirectory("graft_hourly_out_").toString
+    val ckpt = Files.createTempDirectory("graft_hourly_ckpt_").toString
+    Events.hourlyByTypeToFiles(spark, dir, out, ckpt,
+      watermark = "1 hour", maxFilesPerTrigger = Some(1))
+    val emitted = spark.read.parquet(out)
+    emitted.count() should be > 0L
+    // every sealed window the production sink wrote is bit-identical to
+    // the batch aggregation over the full input
+    val batch = Events.readBatch(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+    val joined = emitted.alias("e").join(batch.alias("b"), Seq("hour_start", "event_type"), "left")
+    joined.count() shouldBe emitted.count()
+    joined.filter(col("e.n_events") =!= col("b.n_events") ||
+                  col("e.sum_value") =!= col("b.sum_value")).count() shouldBe 0L
   }
 }
