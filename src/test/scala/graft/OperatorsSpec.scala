@@ -131,11 +131,14 @@ class OperatorsSpec extends SparkSpec {
   test("salted equi-join matches the plain join exactly") {
     val l = Seq((1L, "a"), (1L, "b"), (2L, "c"), (3L, "d")).toDF("k", "lv")
     val r = Seq((1L, 10.0), (2L, 20.0), (4L, 40.0)).toDF("rk", "rv")
-    val salted = SkewJoin.saltedEquiJoin(l, r, "k", "rk", nsalts = 4)
     val plain = l.join(r, l("k") === r("rk"))
+    // hotThreshold=1: key 1 (2 rows) is hot → salted path; keys 2,3 cold
+    val salted = SkewJoin.saltedEquiJoin(l, r, "k", "rk", nsalts = 4, hotThreshold = 1)
     canon(salted) shouldBe canon(plain)
-    // left semantics preserved too
-    canon(SkewJoin.saltedEquiJoin(l, r, "k", "rk", nsalts = 4, how = "left")) shouldBe
+    // default threshold: nothing hot → pure plain join, same result
+    canon(SkewJoin.saltedEquiJoin(l, r, "k", "rk", nsalts = 4)) shouldBe canon(plain)
+    // left semantics preserved through the hot/cold split
+    canon(SkewJoin.saltedEquiJoin(l, r, "k", "rk", nsalts = 4, how = "left", hotThreshold = 1)) shouldBe
       canon(l.join(r, l("k") === r("rk"), "left"))
   }
 

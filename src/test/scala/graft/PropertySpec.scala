@@ -18,10 +18,16 @@ class PropertySpec extends SparkSpec {
       val ls = Seq.fill(rnd.nextInt(12) + 1)((rnd.nextInt(6).toLong, rnd.nextInt(100)))
       val rs = Seq.fill(rnd.nextInt(12) + 1)((rnd.nextInt(6).toLong, rnd.nextInt(100).toString))
       val nsalts = rnd.nextInt(5) + 1
+      // random threshold: exercises all-cold, all-hot, and mixed splits
+      val hotThreshold = rnd.nextInt(4) + 1L
       val l = ls.toDF("k", "lv")
       val r = rs.toDF("rk", "rv")
-      canon(SkewJoin.saltedEquiJoin(l, r, "k", "rk", nsalts)) shouldBe
+      canon(SkewJoin.saltedEquiJoin(l, r, "k", "rk", nsalts,
+        hotThreshold = hotThreshold)) shouldBe
         canon(l.join(r, l("k") === r("rk")))
+      canon(SkewJoin.saltedEquiJoin(l, r, "k", "rk", nsalts, how = "left",
+        hotThreshold = hotThreshold)) shouldBe
+        canon(l.join(r, l("k") === r("rk"), "left"))
     }
   }
 
