@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -49,53 +49,59 @@ object Similarity {
     * exactly one cell; queries probe their `nprobe` nearest cells and
     * rerank exactly inside them.
     *
-    * Scale shape: centroids are broadcast (ncells ≪ corpus); corpus
-    * assignment is one pass of ncells codegen'd cosines per vector; the
-    * search join shuffles the corpus ONCE on cell id (queries replicate
-    * nprobe×, corpus never replicates). Candidates per query ≈
-    * nprobe/ncells of the corpus instead of all of it.
-    * Returns (query_id, neighbor_id, cos, rank).
+    * The centroid table is a MODEL ARTIFACT of ncells×dim floats —
+    * standard IVF (and Spark ML's own KMeans) holds it on the driver.
+    * With centroids inlined as literals, cell assignment is a pure
+    * per-row projection of ncells codegen'd cosines (array_max over
+    * (cos, -cell) structs): no cross join, no aggregate, and crucially
+    * no SortAggregate fallback (struct max + first(array) are not
+    * hash-aggregable, so the aggregating formulation sorts
+    * corpus×ncells rows three times over).
+    *
+    * Scale shape: quantizer build is one map-only pass + one
+    * map-side-combined `dim`-column mean (partials are ncells×dim
+    * doubles per partition); search shuffles the corpus ONCE on cell id
+    * (queries replicate nprobe×, the corpus never replicates).
+    * Candidates per query ≈ nprobe/ncells of the corpus instead of all
+    * of it. Returns (query_id, neighbor_id, cos, rank).
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
-              ncells: Int = 16, nprobe: Int = 4,
+              ncells: Int = 16, nprobe: Int = 4, dim: Int = 64,
               vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     val c = rebalance(corpus, idCol)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
 
+    // (cos, -cell) structs per centroid; array_max picks best cos,
+    // ties broken toward the smaller cell id — all inside codegen.
+    def cellScores(vc: Column, cents: Seq[Seq[Float]]): Column =
+      array(cents.zipWithIndex.map { case (cv, i) =>
+        struct(V.cosine(vc, typedlit(cv)).as("cos"), lit(-i).as("negcell")) }: _*)
+    def cellOf(vc: Column, cents: Seq[Seq[Float]]): Column =
+      -array_max(cellScores(vc, cents)).getField("negcell")
+
     // --- coarse quantizer -------------------------------------------------
-    val seeds = corpus
-      .select(col(idCol).as("cell"), col(vecCol).as("centroid"))
-      .orderBy(xxhash64(col("cell")), col("cell")).limit(ncells)
-    // top-1 cell per vector WITHOUT a window: max of (cos, -cell) is a
-    // partial-aggregatable reduction, so the corpus×ncells cross rows
-    // combine map-side instead of shuffling ncells× the corpus.
-    def assignTop1(vecs: DataFrame, idC: String, vc: String, cents: DataFrame): DataFrame =
-      vecs.crossJoin(broadcast(cents))
-        .groupBy(col(idC))
-        .agg(max(struct(V.cosine(col(vc), col("centroid")).as("cos"),
-                        (-col("cell")).as("negcell"))).as("best"),
-             first(col(vc)).as(vc))
-        .select(col(idC), (-col("best.negcell")).as("cell"), col(vc))
-    // one Lloyd step: assign to seed cells, refine centroid = cell mean
-    val centroids = assignTop1(c, "neighbor_id", "cv", seeds)
-      .select(col("cell"), posexplode(col("cv")).as(Seq("d", "x")))
-      .groupBy("cell", "d").agg(avg(col("x")).as("m"))
-      .groupBy("cell").agg(
-        array_sort(collect_list(struct(col("d"), col("m")))).as("dm"))
-      .select(col("cell"),
-        transform(col("dm"), e => e.getField("m").cast("float")).as("centroid"))
+    val seeds: Seq[Seq[Float]] = corpus
+      .select(col(vecCol).as("v"), xxhash64(col(idCol)).as("h"), col(idCol).as("i"))
+      .orderBy(col("h"), col("i")).limit(ncells)
+      .collect().map(_.getSeq[Float](0).toSeq).toSeq
+    require(seeds.nonEmpty, "ivfTopK: empty corpus")
+    // one Lloyd step: per-cell mean as `dim` element_at averages in one
+    // pass over corpus rows (empty cells drop out; cells renumber)
+    val centroids: Seq[Seq[Float]] = c
+      .groupBy(cellOf(col("cv"), seeds).as("cell"))
+      .agg(avg(element_at(col("cv"), 1)).as("_m0"),
+           (1 until dim).map(i => avg(element_at(col("cv"), i + 1)).as(s"_m$i")): _*)
+      .orderBy("cell")
+      .collect().map(r => (0 until dim).map(i => r.getDouble(i + 1).toFloat).toSeq).toSeq
 
     // --- search -----------------------------------------------------------
-    val cells = assignTop1(c, "neighbor_id", "cv", centroids)
-      .select(col("cell"), col("neighbor_id"), col("cv"))
-    // queries are the small side: a window over query_id picks nprobe cells
+    val cells = c.withColumn("cell", cellOf(col("cv"), centroids))
+    // nprobe nearest cells per query: sort the score structs descending
+    // (reverse of ascending struct order = cos desc, cell asc on ties)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val probes = q.crossJoin(broadcast(centroids))
-      .withColumn("_r", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(
-          V.cosine(col("qv"), col("centroid")).desc, col("cell"))))
-      .filter(col("_r") <= nprobe)
-      .select(col("cell"), col("query_id"), col("qv"))
+    val probes = q.withColumn("probe",
+        explode(slice(reverse(array_sort(cellScores(col("qv"), centroids))), 1, nprobe)))
+      .select(col("query_id"), col("qv"), (-col("probe.negcell")).as("cell"))
 
     cells.join(broadcast(probes), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
