@@ -380,11 +380,12 @@ object SparkEntry {
         .select(col("doc_id"), size(col("w")).as("n_tokens"), T.fingerprint(col("w")).as("fp"))
     }),
 
-    // §2#40 multimodal binary columns: payload → batched mapPartitions
-    // decode (stubbed) → metadata; oracle checks sizes/dimensions.
+    // §2#40 multimodal binary columns: text bytes → REAL grayscale PNG
+    // (javax.imageio) → batched mapPartitions decode → metadata; the
+    // oracle predicts dims because the codec is lossless.
     "q33_multimodal" -> ((s, dir) => {
-      operators.Multimodal.decodeFeatures(
-          operators.Multimodal.withBinaryPayload(t(s, dir, "documents").df))
+      operators.Multimodal.decodeImageFeatures(
+          operators.Multimodal.withImagePayload(t(s, dir, "documents").df))
         .select("doc_id", "n_bytes", "width", "height")
     }),
 
@@ -637,8 +638,8 @@ object SparkEntry {
     "q33_multimodal" ->
       """SELECT doc_id,
          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-         CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
-         CAST(octet_length(encode(text)) % 480 + 1 AS INT) AS height
+         CAST(octet_length(encode(text)) % 320 + 1 AS INT) AS width,
+         CAST(octet_length(encode(text)) % 240 + 1 AS INT) AS height
          FROM documents""",
 
     "q34_skew_join" ->

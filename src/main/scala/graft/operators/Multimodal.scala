@@ -10,11 +10,16 @@ import org.apache.spark.sql.types._
   * metadata struct; decode/feature-extract runs batched inside
   * `mapPartitions`.
   *
-  * The decode itself is a clearly-marked deterministic STUB (no imaging
-  * libraries in this container); everything around it — schema, batch
-  * shape, partition-local iteration, output encoding — is the real
-  * plumbing a production decoder (e.g. JNI libjpeg / ffmpeg frame
-  * sampler) would plug into.
+  * Two decode paths:
+  *  - IMAGE: a REAL PNG codec via the JDK's `javax.imageio` —
+  *    [[withImagePayload]] renders deterministic grayscale PNGs (pixels
+  *    = tiled text bytes, dims derived from the byte length) and
+  *    [[decodeImageFeatures]] decodes them back to dimensions + pixel
+  *    statistics. Lossless, so the oracle can predict every output.
+  *  - GENERIC: [[withBinaryPayload]]/[[decodeFeatures]] keep the
+  *    codec-free plumbing with a clearly-marked deterministic stub —
+  *    the shape an audio/video decoder (JNI ffmpeg frame sampler etc.,
+  *    no JDK codec exists) would plug into.
   */
 object Multimodal {
 
@@ -67,6 +72,87 @@ object Multimodal {
           val bytes = r.getAs[Array[Byte]](1)
           val (w, h, feat) = decodeStub(bytes)
           Row(id, bytes.length.toLong, w, h, feat)
+        }
+      }
+    }
+  }
+
+  // ---- real image path (JDK javax.imageio, no external deps) ----
+
+  /** Deterministic grayscale PNG for a byte payload: width/height
+    * derived from the byte length, pixel (x,y) = byte ((y·w+x) mod n)
+    * tiled. Lossless (PNG + 8-bit gray), so decode recovers the exact
+    * dims and pixel statistics the oracle predicts from the text.
+    */
+  private[operators] def encodePng(bytes: Array[Byte]): Array[Byte] = {
+    val n = bytes.length
+    // thumbnail-scale dims: the codec path is real either way, and the
+    // synthetic pixel volume shouldn't dominate the decode benchmark
+    val w = n % 320 + 1
+    val h = n % 240 + 1
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val pix = new Array[Byte](w * h)
+    var i = 0
+    while (i < pix.length) { pix(i) = if (n == 0) 0 else bytes(i % n); i += 1 }
+    img.getRaster.setDataElements(0, 0, w, h, pix)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Real decode of one PNG: dimensions + pixel statistics via
+    * `ImageIO`. Returns (width, height, features = [n_pixels,
+    * mean_pixel, first_pixel, last_pixel]).
+    */
+  private[operators] def decodePng(bytes: Array[Byte]): (Int, Int, Array[Float]) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val (w, h) = (img.getWidth, img.getHeight)
+    val pix = img.getRaster.getSamples(0, 0, w, h, 0, new Array[Int](w * h))
+    var sum = 0L
+    var i = 0
+    while (i < pix.length) { sum += pix(i); i += 1 }
+    val feat = Array((w * h).toFloat, sum.toFloat / (w * h), pix.head.toFloat, pix.last.toFloat)
+    (w, h, feat)
+  }
+
+  /** Attach a REAL image payload: the text bytes rendered as a
+    * grayscale PNG (batched mapPartitions — the encoder is the same
+    * per-partition shape the decoder uses). `n_bytes` carries the
+    * original media byte length through to the output so the oracle
+    * can check it independently of the container size.
+    */
+  def withImagePayload(docs: DataFrame, textCol: String = "text",
+                       idCol: String = "doc_id", binCol: String = "payload"): DataFrame = {
+    val in = docs.select(col(idCol), col(textCol).cast("binary").as("_raw"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("n_bytes", LongType),
+      StructField(binCol, BinaryType)))
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(schema))
+    in.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // no temp-file cache inside executors
+      rows.map { r =>
+        val raw = r.getAs[Array[Byte]](1)
+        Row(r.getLong(0), raw.length.toLong, encodePng(raw))
+      }
+    }
+  }
+
+  /** Batched REAL decode over partitions: fixed-size batches drained
+    * through `ImageIO` (bounded memory, the vectorized-decoder shape),
+    * emitting the [[decodedSchema]] metadata + features. `n_bytes` is
+    * passed through from the payload row (original media size).
+    */
+  def decodeImageFeatures(withPayload: DataFrame, batchSize: Int = 64,
+                          idCol: String = "doc_id", binCol: String = "payload"): DataFrame = {
+    val in = withPayload.select(col(idCol), col("n_bytes"), col(binCol))
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(decodedSchema))
+    in.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val (w, h, feat) = decodePng(r.getAs[Array[Byte]](2))
+          Row(r.getLong(0), r.getLong(1), w, h, feat)
         }
       }
     }

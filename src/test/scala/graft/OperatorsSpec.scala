@@ -175,6 +175,27 @@ class OperatorsSpec extends SparkSpec {
     all(rows.map(_.getAs[Long]("neighbor_id"))) should not be 1L
   }
 
+  test("multimodal image path: PNG encode → real ImageIO decode recovers dims and pixels") {
+    val out = Multimodal.decodeImageFeatures(Multimodal.withImagePayload(docs), batchSize = 2)
+    out.schema shouldBe Multimodal.decodedSchema
+    val rows = out.collect()
+    rows.length shouldBe 5
+    val r1 = rows.find(_.getLong(0) == 1L).get
+    val bytes1 = docs.filter(col("doc_id") === 1).select("text").as[String].head()
+      .getBytes("UTF-8")
+    r1.getAs[Long]("n_bytes") shouldBe bytes1.length.toLong
+    r1.getAs[Int]("width") shouldBe bytes1.length % 320 + 1
+    r1.getAs[Int]("height") shouldBe bytes1.length % 240 + 1
+    // PNG is lossless 8-bit gray: pixel stats equal tiled-byte stats
+    val feat = r1.getSeq[Float](r1.fieldIndex("features"))
+    val w = bytes1.length % 320 + 1; val h = bytes1.length % 240 + 1
+    val tiled = Array.tabulate(w * h)(i => (bytes1(i % bytes1.length) & 0xff).toFloat)
+    feat(0) shouldBe (w * h).toFloat
+    feat(1) shouldBe (tiled.sum / (w * h)) +- 1e-3f
+    feat(2) shouldBe tiled.head
+    feat(3) shouldBe tiled.last
+  }
+
   test("multimodal plumbing: payload bytes → stub decode → metadata") {
     val out = Multimodal.decodeFeatures(Multimodal.withBinaryPayload(docs), batchSize = 2)
     out.schema shouldBe Multimodal.decodedSchema
