@@ -194,6 +194,48 @@ final class Tafra(val df: DataFrame) extends Serializable {
   /** Reference `pipe` / `>>` (base.py:1330, 355). */
   def pipe(f: Tafra => Tafra): Tafra = f(this)
 
+  // ---- row/column iterators (base.py:358-391) ----
+  // Driver-side BY CONTRACT, like the reference: row iterators stream
+  // one partition at a time (toLocalIterator — never the whole frame in
+  // driver memory); column iterators materialize the frame because a
+  // column is the cross-partition axis. Use the distributed ops above
+  // for anything that should scale.
+
+  /** Row iterator (base.py:358 iterrows). Partition-streamed. */
+  def iterrows: Iterator[Row] = {
+    import scala.jdk.CollectionConverters._
+    df.toLocalIterator().asScala
+  }
+
+  /** Rows as plain value sequences (base.py:369 itertuples; Scala has
+    * no runtime-named tuples — access by position, or by name via
+    * [[toColumnMap]]).
+    */
+  def itertuples: Iterator[Seq[Any]] = iterrows.map(_.toSeq)
+
+  /** Column iterator (base.py:391 itercols): (name, values) pairs. */
+  def itercols: Iterator[(String, Array[Any])] = {
+    val all = df.collect()
+    columns.iterator.zipWithIndex.map { case (c, i) => c -> all.map(_.get(i)) }
+  }
+
+  /** Map a function over column value arrays (base.py:1281 col_map). */
+  def colMap[A](f: Array[Any] => A): Iterator[A] =
+    itercols.map { case (_, v) => f(v) }
+
+  /** Like [[colMap]] but keyed by column name (base.py:1305 key_map). */
+  def keyMap[A](f: Array[Any] => A): Iterator[(String, A)] =
+    itercols.map { case (c, v) => c -> f(v) }
+
+  // ---- dict-like surface (base.py:1395-1428 keys/values/items/get) ----
+
+  def keys: Seq[String] = columns
+  def values: Seq[Array[Any]] = itercols.map(_._2).toSeq
+  def items: Seq[(String, Array[Any])] = itercols.toSeq
+  def get(key: String): Option[Array[Any]] =
+    if (!df.columns.contains(key)) None
+    else Some(df.select(key).collect().map(_.get(0)))
+
   // ---- IO / exports (base.py:1772-1965) ----
 
   def toParquet(path: String): Unit = df.write.mode("overwrite").parquet(path)
@@ -202,13 +244,71 @@ final class Tafra(val df: DataFrame) extends Serializable {
   /** Driver-side materialization (base.py:1772 to_records). */
   def toRecords: Array[Row] = df.collect()
   def toLocalIterator: java.util.Iterator[Row] = df.toLocalIterator()
+
+  /** Column-major export (base.py:1806 to_list): one value array per
+    * selected column. Driver-side by contract, like to_records.
+    */
+  def toList(cols: Seq[String] = Nil): Seq[Array[Any]] = {
+    val sel = if (cols.isEmpty) columns else { validateColumns(cols); cols }
+    val all = df.select(sel.map(df(_)): _*).collect()
+    sel.indices.map(i => all.map(_.get(i)))
+  }
+
+  /** Row-major 2-D export (base.py:1878 to_array: the transposed
+    * column stack).
+    */
+  def toArray(cols: Seq[String] = Nil): Array[Array[Any]] = {
+    val sel = if (cols.isEmpty) columns else { validateColumns(cols); cols }
+    df.select(sel.map(df(_)): _*).collect().map(_.toSeq.toArray)
+  }
+
+  /** Name-keyed column export (base.py:1836 to_tuple's named access —
+    * Scala has no runtime-named tuples, a map is the idiomatic analog).
+    */
+  def toColumnMap(cols: Seq[String] = Nil): Map[String, Array[Any]] = {
+    val sel = if (cols.isEmpty) columns else { validateColumns(cols); cols }
+    sel.zip(toList(sel)).toMap
+  }
+
   def pprint(n: Int = 20): Unit = df.show(n, truncate = false)
-  /** Aligned text table of the first n rows (base.py:551 pformat). */
-  def pformat(n: Int = 20): String =
-    Formatter.pformat(columns, columns.map(dtypes), df.limit(n).collect().toSeq)
+  /** Aligned text table of the first n rows (base.py:551 pformat), with
+    * the reference's formatting knobs: `indent` spaces of left margin,
+    * lines truncated at `width` chars (0 = unlimited), array cells
+    * elided past `depth` elements.
+    */
+  def pformat(n: Int = 20, indent: Int = 0, width: Int = 0,
+              depth: Option[Int] = None): String =
+    Formatter.pformat(columns, columns.map(dtypes), df.limit(n).collect().toSeq,
+      indent, width, depth)
   /** HTML table of the first n rows (base.py:679 to_html). */
   def toHtml(n: Int = 20): String =
     Formatter.toHtml(columns, df.limit(n).collect().toSeq)
+
+  /** Parse string columns whose every non-null value cleanly casts to a
+    * narrower type (base.py:784 parse_object_dtypes, where "object"
+    * numpy columns become typed ones). One aggregate pass counts
+    * try_cast successes per string column; a column converts to the
+    * first of BIGINT/DOUBLE/BOOLEAN/TIMESTAMP that parses every value.
+    */
+  def parseObjectDtypes(): Tafra = {
+    val strCols = df.schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.StringType => f.name
+    }.toSeq
+    if (strCols.isEmpty) return this
+    val targets = Seq("BIGINT", "DOUBLE", "BOOLEAN", "TIMESTAMP")
+    val aggs = strCols.flatMap { c =>
+      count(df(c)).as(s"__n_$c") +: targets.map(t =>
+        count(expr(s"try_cast(`$c` AS $t)")).as(s"__${t}_$c"))
+    }
+    val stats = df.agg(aggs.head, aggs.tail: _*).head()
+    val casts = strCols.flatMap { c =>
+      val n = stats.getAs[Long](s"__n_$c")
+      if (n == 0) None
+      else targets.find(t => stats.getAs[Long](s"__${t}_$c") == n)
+        .map(t => c -> df(c).cast(t.toLowerCase))
+    }.toMap
+    if (casts.isEmpty) this else new Tafra(df.withColumns(casts))
+  }
 
   private[core] def validateColumns(cols: Seq[String]): Unit = {
     val missing = cols.distinct.filterNot(df.columns.contains)
@@ -232,8 +332,48 @@ object Tafra {
     new Tafra(spark.createDataFrame(
       new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema))
 
+  /** Reference `from_dataframe` / `as_tafra` (base.py:948, 1076): wrap
+    * an existing frame. The Spark analog of "pandas in, Tafra out" is
+    * DataFrame in, Tafra out — also available as `df.asTafra`.
+    */
+  def fromDataFrame(df: DataFrame): Tafra = new Tafra(df)
+
+  /** Reference `from_series` (base.py:920): one named, typed column.
+    * `dtype` is a Spark DDL type string (e.g. "bigint", "string").
+    */
+  def fromSeries(spark: SparkSession, name: String, dtype: String, values: Seq[Any]): Tafra =
+    fromRecords(spark, StructType.fromDDL(s"`$name` $dtype"), values.map(v => Row(v)))
+
+  /** Reference `read_sql` (base.py:979) against a LIVE database. The
+    * reference drains a DB-API cursor through the driver; the
+    * Spark-native analog pushes the query to the database with
+    * `spark.read.jdbc` and, when a numeric `partitionColumn` plus
+    * bounds are given, reads it in `numPartitions` parallel range
+    * slices — the scale-correct form of `read_sql_chunks`
+    * (base.py:1008), whose chunks stream through one cursor instead.
+    */
+  def readSql(spark: SparkSession, url: String, query: String,
+              properties: java.util.Properties = new java.util.Properties(),
+              partitionColumn: Option[String] = None,
+              lowerBound: Long = 0L, upperBound: Long = 0L,
+              numPartitions: Int = 1): Tafra = {
+    val dbtable = s"($query) graft_sq"
+    val df = partitionColumn match {
+      case Some(c) =>
+        spark.read.jdbc(url, dbtable, c, lowerBound, upperBound, numPartitions, properties)
+      case None =>
+        spark.read.jdbc(url, dbtable, properties)
+    }
+    new Tafra(df)
+  }
+
   implicit final class TafraOps(private val t: Tafra) extends AnyVal {
     /** Reference `>>` operator (base.py:355). */
     def >>(f: Tafra => Tafra): Tafra = t.pipe(f)
+  }
+
+  implicit final class DataFrameOps(private val df: DataFrame) extends AnyVal {
+    /** Reference `as_tafra` interop (base.py:1076). */
+    def asTafra: Tafra = new Tafra(df)
   }
 }

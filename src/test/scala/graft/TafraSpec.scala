@@ -231,4 +231,96 @@ class TafraSpec extends SparkSpec {
     html should include("<table>")
     html should include("&lt;b&gt;x&lt;/b&gt;")
   }
+
+  test("pformat honors indent, width, and depth like the reference knobs") {
+    val t = Tafra(Seq((1L, Seq(1, 2, 3, 4, 5))).toDF("id", "xs"))
+    val txt = t.pformat(indent = 2, width = 30, depth = Some(2))
+    txt.linesIterator.foreach { l =>
+      l should startWith("  ")
+      l.length should be <= 30
+    }
+    txt should include("[1, 2, …]")
+  }
+
+  test("iterrows / itertuples / itercols mirror the reference iterators") {
+    val t = people.sort(Seq(col("id"))).select(Seq("id", "name"))
+    t.iterrows.map(_.getLong(0)).toSeq shouldBe Seq(1L, 2L, 3L, 4L)
+    t.itertuples.next() shouldBe Seq(1L, "ann")
+    val cols = t.itercols.toSeq
+    cols.map(_._1) shouldBe Seq("id", "name")
+    cols.head._2.toSeq shouldBe Seq(1L, 2L, 3L, 4L)
+  }
+
+  test("colMap / keyMap map over column arrays") {
+    val t = people.select(Seq("age", "bal"))
+    t.colMap(_.length).toSeq shouldBe Seq(4, 4)
+    val m = t.keyMap(v => v.map(x => x.asInstanceOf[Number].doubleValue()).sum).toMap
+    m("age") shouldBe 110.0
+    m("bal") shouldBe 250.0
+  }
+
+  test("dict surface: keys / values / items / get") {
+    val t = people.select(Seq("id", "name"))
+    t.keys shouldBe Seq("id", "name")
+    t.values.map(_.length) shouldBe Seq(4, 4)
+    t.items.map(_._1) shouldBe Seq("id", "name")
+    t.get("name").get.toSet shouldBe Set("ann", "bob", "cyd", "dan")
+    t.get("missing") shouldBe None
+  }
+
+  test("toList / toArray / toColumnMap export like to_list / to_array / to_tuple") {
+    val t = people.sort(Seq(col("id"))).select(Seq("id", "age"))
+    val byCol = t.toList()
+    byCol.length shouldBe 2
+    byCol.head.toSeq shouldBe Seq(1L, 2L, 3L, 4L)
+    val rowMajor = t.toArray(Seq("age"))
+    rowMajor.map(_.toSeq) shouldBe Array(Seq(30), Seq(25), Seq(30), Seq(25))
+    t.toColumnMap()("age").toSeq shouldBe Seq(30, 25, 30, 25)
+    intercept[IllegalArgumentException](t.toList(Seq("nope")))
+  }
+
+  test("fromDataFrame / asTafra / fromSeries interop constructors") {
+    import Tafra.DataFrameOps
+    val df = Seq((1, "x")).toDF("a", "b")
+    Tafra.fromDataFrame(df).columns shouldBe Seq("a", "b")
+    df.asTafra.rows shouldBe 1
+    val s = Tafra.fromSeries(spark, "score", "double", Seq(1.5, 2.5, null))
+    s.columns shouldBe Seq("score")
+    s.dtypes("score") shouldBe "DoubleType"
+    s.rows shouldBe 3
+  }
+
+  test("parseObjectDtypes converts fully-parseable string columns only") {
+    val t = Tafra(Seq(
+      ("1", "1.5", "true", "abc", "7"),
+      ("2", "x", "false", "def", null)).toDF("ints", "notnum", "bools", "strs", "optint"))
+      .parseObjectDtypes()
+    t.dtypes("ints") shouldBe "LongType"
+    t.dtypes("notnum") shouldBe "StringType"  // one unparseable value → stays
+    t.dtypes("bools") shouldBe "BooleanType"
+    t.dtypes("strs") shouldBe "StringType"
+    t.dtypes("optint") shouldBe "LongType"    // nulls don't block parsing
+    t.df.agg(sum("ints")).head().getLong(0) shouldBe 3L
+  }
+
+  test("readSql reads a live database via JDBC, plain and partitioned") {
+    val url = "jdbc:derby:memory:graftdb;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    try st.execute("DROP TABLE emp") catch { case _: java.sql.SQLException => () }
+    st.execute("CREATE TABLE emp (id INT, name VARCHAR(20), sal DOUBLE)")
+    (1 to 10).foreach(i => st.execute(s"INSERT INTO emp VALUES ($i, 'n$i', ${i * 10.0})"))
+    st.close(); conn.close()
+
+    val t = Tafra.readSql(spark, url, "SELECT id, name, sal FROM emp WHERE id <= 8")
+    t.rows shouldBe 8
+    t.df.agg(sum("sal")).head().getDouble(0) shouldBe 360.0
+
+    // partitioned range read (the scale path of read_sql_chunks)
+    val tp = Tafra.readSql(spark, url, "SELECT id, sal FROM emp",
+      partitionColumn = Some("id"), lowerBound = 1, upperBound = 11, numPartitions = 4)
+    tp.df.rdd.getNumPartitions shouldBe 4
+    tp.rows shouldBe 10
+    tp.df.agg(sum("sal")).head().getDouble(0) shouldBe 550.0
+  }
 }
