@@ -398,6 +398,30 @@ object SparkEntry {
         "l_orderkey", "o_orderkey")
     }),
 
+    // §2#26b parse_object_dtypes: all-string frame → one try_cast stats
+    // pass → numeric columns recover their types; prose stays string.
+    "q39_parse_dtypes" -> ((s, dir) => {
+      val n = t(s, dir, "nation")
+      n.updateDtypes(n.columns.map(_ -> "string").toMap)
+        .parseObjectDtypes().df
+    }),
+
+    // §2#43 bucketed co-located join: both fact slices bucketed on the
+    // join key at write time → the join itself needs NO exchange (plan
+    // asserted in PlanSpec); result identical to the plain join.
+    "q40_bucketed_join" -> ((s, dir) => {
+      val tmp = System.getProperty("java.io.tmpdir")
+      t(s, dir, "lineitem").select(Seq("l_orderkey", "l_linenumber", "l_quantity"))
+        .writeBucketed("graft_li_bkt", Seq("l_orderkey"), 8, Seq("l_orderkey"),
+          Some(s"$tmp/graft_bkt_li_${dir.hashCode.toHexString}"))
+      t(s, dir, "orders").select(Seq("o_orderkey", "o_totalprice"))
+        .writeBucketed("graft_ord_bkt", Seq("o_orderkey"), 8, Seq("o_orderkey"),
+          Some(s"$tmp/graft_bkt_ord_${dir.hashCode.toHexString}"))
+      Tafra.readTable(s, "graft_li_bkt")
+        .innerJoin(Tafra.readTable(s, "graft_ord_bkt"),
+          Seq(("l_orderkey", "o_orderkey", "=="))).df
+    }),
+
     // §2#42 as-of join (union+window, no range-join pair blowup): each
     // click matched to the user's latest purchase at-or-before it.
     "q35_asof_join" -> ((s, dir) => {
@@ -654,6 +678,15 @@ object SparkEntry {
          JOIN supplier ON l_suppkey = s_suppkey
          JOIN nation ON s_nationkey = n_nationkey
          GROUP BY 1""",
+
+    "q39_parse_dtypes" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+         CAST(n_regionkey AS BIGINT) AS n_regionkey
+         FROM nation""",
+
+    "q40_bucketed_join" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, o_orderkey, o_totalprice
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey""",
 
     "q35_asof_join" ->
       """WITH e AS (SELECT user_id, event_type,

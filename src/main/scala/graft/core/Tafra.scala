@@ -239,6 +239,42 @@ final class Tafra(val df: DataFrame) extends Serializable {
   // ---- IO / exports (base.py:1772-1965) ----
 
   def toParquet(path: String): Unit = df.write.mode("overwrite").parquet(path)
+
+  /** Hive-style partitioned parquet write: `partitionBy` columns become
+    * directory keys, so filters on them prune entire directories at the
+    * scan (the first lever for 100 TB layouts).
+    */
+  def toParquet(path: String, partitionBy: Seq[String]): Unit = {
+    validateColumns(partitionBy)
+    df.write.mode("overwrite").partitionBy(partitionBy: _*).parquet(path)
+  }
+
+  /** Bucketed parquet table: rows pre-shuffled into `nBuckets` by hash
+    * of `bucketCols` (and pre-sorted when `sortCols` given) AT WRITE
+    * TIME, so every later join or aggregation on those keys runs with
+    * NO exchange — the co-located-join layout for fact tables that join
+    * repeatedly on the same key. Bucket metadata lives in the session
+    * catalog (`saveAsTable`); `path` makes it an external table so data
+    * location stays caller-controlled. Read-side SORT elision
+    * additionally needs `spark.sql.legacy.bucketedTableScan.
+    * outputOrdering=true` (gated since SPARK-28583); without it the
+    * partition-local sort over presorted runs is near-linear.
+    */
+  def writeBucketed(table: String, bucketCols: Seq[String], nBuckets: Int,
+                    sortCols: Seq[String] = Nil, path: Option[String] = None): Unit = {
+    validateColumns(bucketCols ++ sortCols)
+    require(nBuckets > 0, "nBuckets must be positive")
+    // One write task per bucket (repartition hash = bucket-id hash), so
+    // each bucket lands in ONE file — the layout Spark requires before
+    // it will trust write-time sortedness and skip the read-side sort.
+    val onePerBucket = df.repartition(nBuckets, bucketCols.map(df(_)): _*)
+    val w0 = onePerBucket.write.mode("overwrite").format("parquet")
+    val w1 = path.fold(w0)(p => w0.option("path", p))
+    val w2 = w1.bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+    val w = if (sortCols.isEmpty) w2 else w2.sortBy(sortCols.head, sortCols.tail: _*)
+    w.saveAsTable(table)
+  }
+
   def toCsv(path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
   /** Driver-side materialization (base.py:1772 to_records). */
@@ -326,6 +362,12 @@ object Tafra {
 
   def readParquet(spark: SparkSession, path: String): Tafra =
     new Tafra(spark.read.parquet(path))
+
+  /** Read a catalog table (e.g. one written by [[Tafra.writeBucketed]];
+    * the bucketing metadata rides along into the plan).
+    */
+  def readTable(spark: SparkSession, table: String): Tafra =
+    new Tafra(spark.table(table))
 
   /** Reference `from_records` (base.py:887): rows + schema → frame. */
   def fromRecords(spark: SparkSession, schema: StructType, rows: Seq[Row]): Tafra =

@@ -67,6 +67,24 @@ class PlanSpec extends SparkSpec {
     p should include("_graft_salt")
   }
 
+  test("q40 bucketed join runs with NO exchange and NO sort (co-located layout)") {
+    // force the sort-merge path: broadcast would hide the property.
+    // Sort elision from write-time sortBy is gated behind a legacy conf
+    // since Spark 3 (SPARK-28583) and needs one file per bucket — which
+    // writeBucketed guarantees by repartitioning on the bucket key.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    try {
+      val p = plan("q40_bucketed_join")
+      p should include("SortMergeJoin")
+      (p should not).include("Exchange hashpartitioning")
+      (p should not).include("Sort [l_orderkey")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
+    }
+  }
+
   test("custom expressions run inside WholeStageCodegen") {
     // codegenString can't see through an unexecuted AdaptiveSparkPlan —
     // disable AQE just for this plan inspection

@@ -303,6 +303,30 @@ class TafraSpec extends SparkSpec {
     t.df.agg(sum("ints")).head().getLong(0) shouldBe 3L
   }
 
+  test("partitioned parquet write prunes directories on partition filters") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString + "/t"
+    people.toParquet(dir, Seq("age"))
+    java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "age=30")) shouldBe true
+    val back = Tafra.readParquet(spark, dir).filter(col("age") === 30)
+    back.rows shouldBe 2
+    // partition filter prunes at planning: only the age=30 directory scans
+    back.df.queryExecution.executedPlan.toString should include("PartitionFilters")
+  }
+
+  test("bucketed tables join without an exchange") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bkt").toString
+    people.writeBucketed("graft_people_bkt", Seq("id"), 4, Seq("id"), Some(s"$tmp/p"))
+    people.select(Seq("id", "bal")).rename(Map("id" -> "rid", "bal" -> "bal2"))
+      .writeBucketed("graft_people_bkt2", Seq("rid"), 4, Seq("rid"), Some(s"$tmp/q"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = Tafra.readTable(spark, "graft_people_bkt")
+        .innerJoin(Tafra.readTable(spark, "graft_people_bkt2"), Seq(("id", "rid", "==")))
+      j.rows shouldBe 4
+      (j.df.queryExecution.executedPlan.toString should not).include("Exchange hashpartitioning")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("readSql reads a live database via JDBC, plain and partitioned") {
     val url = "jdbc:derby:memory:graftdb;create=true"
     val conn = java.sql.DriverManager.getConnection(url)
