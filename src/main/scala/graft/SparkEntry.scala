@@ -398,6 +398,14 @@ object SparkEntry {
         "l_orderkey", "o_orderkey")
     }),
 
+    // §2#30b near-dup clustering: candidate pairs → connected
+    // components (min-label propagation, driver loop = iteration
+    // control only) → the keep/drop groups a dedup pipeline acts on.
+    // Oracle: DuckDB recursive CTE over the same q25 pair list.
+    "q41_dedup_components" -> ((s, dir) =>
+      operators.Dedup.components(
+        operators.Dedup.ngramJaccard(t(s, dir, "documents").df))),
+
     // §2#26b parse_object_dtypes: all-string frame → one try_cast stats
     // pass → numeric columns recover their types; prose stays string.
     "q39_parse_dtypes" -> ((s, dir) => {
@@ -683,6 +691,40 @@ object SparkEntry {
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
          CAST(n_regionkey AS BIGINT) AS n_regionkey
          FROM nation""",
+
+    // same pair list as q25, then min-label components via recursive CTE
+    "q41_dedup_components" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
+         sh AS (
+           SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            for i in generate_series(1, len(w)-2)]) AS grams
+           FROM toks WHERE len(w) >= 3),
+         post AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+         rare AS (SELECT g FROM post GROUP BY g HAVING COUNT(*) <= 20),
+         rpost AS (SELECT doc_id, g FROM post WHERE g IN (SELECT g FROM rare)),
+         cnt AS (SELECT doc_id, COUNT(*) AS n FROM rpost GROUP BY doc_id),
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+           FROM rpost a JOIN rpost b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         top AS (
+           SELECT doc_a, doc_b FROM (
+             SELECT doc_a, doc_b,
+               ROW_NUMBER() OVER (
+                 ORDER BY CAST(common AS DOUBLE) / (ca.n + cb.n - common) DESC, doc_a, doc_b) AS rnk
+             FROM pairs
+             JOIN cnt ca ON doc_a = ca.doc_id
+             JOIN cnt cb ON doc_b = cb.doc_id)
+           WHERE rnk <= 100),
+         edges AS (SELECT doc_a AS a, doc_b AS b FROM top
+                   UNION SELECT doc_b, doc_a FROM top),
+         reach(node, lbl) AS (
+           SELECT a, a FROM edges
+           UNION
+           SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.node)
+         SELECT node, MIN(lbl) AS component FROM reach GROUP BY node""",
 
     "q40_bucketed_join" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, o_orderkey, o_totalprice

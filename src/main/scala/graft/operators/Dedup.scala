@@ -217,6 +217,67 @@ object Dedup {
       .transform(p => topKRanked(p, topK, col("jaccard").desc, col("doc_a"), col("doc_b")))
   }
 
+  /** Connected components over an undirected near-dup pair list —
+    * the step that turns candidate PAIRS into dedup GROUPS (keep one
+    * doc per component, drop the rest). Min-label propagation with
+    * POINTER DOUBLING: each round every node takes the minimum label
+    * among itself and its neighbors, then follows that label's own
+    * label one hop (path compression). Neighbor steps alone need
+    * diameter rounds — near-dup graphs can chain — while the doubling
+    * hop squares compressed-path lengths, so convergence is
+    * O(log diameter) rounds; ~4 in practice.
+    *
+    * The driver loop is ITERATION CONTROL ONLY (the same shape GraphX
+    * uses): every step is a distributed join + partial-agg min. Each
+    * round's labels are `localCheckpoint`ed — persist alone is NOT
+    * enough for iterative plans: it short-circuits execution but the
+    * LOGICAL plan still nests (three label references per round →
+    * 3^rounds tree nodes) and analysis/plan-stringification walk all of
+    * it; checkpointing truncates the lineage to O(1) per round. The
+    * pair list is persisted up front — it is the small derived artifact
+    * (candidate pairs), never the corpus.
+    * Returns (node, component) for every node appearing in `pairs`.
+    */
+  def components(pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
+                 maxIter: Int = 25): DataFrame = {
+    val p = pairs.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b")).persist()
+    val edges = p.select(col("a").as("s"), col("b").as("d"))
+      .unionByName(p.select(col("b").as("s"), col("a").as("d")))
+      .distinct().persist()
+    var labels = edges.select(col("s").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint() // eager: materializes + truncates lineage
+    p.unpersist()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val nbrMin = edges.join(labels, edges("d") === labels("node"))
+        .groupBy(edges("s").as("n2")).agg(min("lbl").as("nbr_lbl"))
+      val stepped = labels.join(nbrMin, labels("node") === nbrMin("n2"), "left")
+        .select(col("node"), col("lbl"),
+          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("mid_lbl"))
+      // doubling hop: labels only ever shrink, so lbl(mid) <= mid
+      val hop = labels.select(col("node").as("h_node"), col("lbl").as("h_lbl"))
+      val prop = stepped.join(hop, stepped("mid_lbl") === hop("h_node"), "left")
+        .select(col("node"), col("lbl"),
+          coalesce(col("h_lbl"), col("mid_lbl")).as("new_lbl"))
+        .localCheckpoint()
+      changed = prop.filter(col("new_lbl") =!= col("lbl")).count()
+      labels = prop.select(col("node"), col("new_lbl").as("lbl"))
+      it += 1
+    }
+    edges.unpersist()
+    labels.select(col("node"), col("lbl").as("component"))
+  }
+
+  /** Dedup keep/drop decision per document: the keeper of each
+    * component is its minimum doc id (= the component label), every
+    * other member is dropped. Returns (node, component, keep).
+    */
+  def keepList(pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame =
+    components(pairs, aCol, bCol)
+      .withColumn("keep", col("node") === col("component"))
+
   /** Embedding cosine near-dup (#33): random-hyperplane LSH buckets →
     * capped in-bucket pair expansion → exact cosine → top `topK`.
     * Returns (vec_a, vec_b, cos, rnk).

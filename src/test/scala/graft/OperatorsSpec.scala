@@ -98,6 +98,16 @@ class OperatorsSpec extends SparkSpec {
     near.getAs[Double]("jaccard") shouldBe (6.0 / 12.0) +- 1e-12
   }
 
+  test("components groups a chain and an island; keepList keeps component minima") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 3L)).toDF("doc_a", "doc_b")
+    val comp = Dedup.components(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    comp shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L)
+    val keep = Dedup.keepList(pairs).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    keep.filter(_._2).keySet shouldBe Set(1L, 5L)
+  }
+
   /** Embeddings: v2 = v1 (dup), v3 ⟂ v1, v4 ≈ v1. */
   private def vecs: DataFrame = {
     val v1 = Seq.tabulate(8)(i => (i + 1).toFloat)

@@ -52,6 +52,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("components equals brute-force union-find on random graphs") {
+    import graft.operators.Dedup
+    for (_ <- 1 to 4) {
+      val n = rnd.nextInt(20) + 2
+      val edges = Seq.fill(rnd.nextInt(25) + 1)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(e => e._1 != e._2)
+      if (edges.nonEmpty) {
+        // union-find reference
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        // canonical label = min node of each component
+        val expected = nodes.map(v => v -> find(v)).toMap
+        val got = Dedup.components(edges.toDF("doc_a", "doc_b")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        got shouldBe expected
+      }
+    }
+  }
+
   test("wordNGrams emits exactly the consecutive joined token windows") {
     val vocab = Seq("a", "bb", "ccc", "d1", "e")
     for (_ <- 1 to 8) {
