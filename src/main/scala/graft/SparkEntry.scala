@@ -406,6 +406,18 @@ object SparkEntry {
       operators.Dedup.components(
         operators.Dedup.ngramJaccard(t(s, dir, "documents").df))),
 
+    // §2#28c Spark-native session windows: the declarative counterpart
+    // of q21's custom-state sessionization (same groupBy works on a
+    // watermarked stream). Split boundary is >= gap (Spark's exclusive
+    // window end), mirrored in the oracle.
+    "q42_session_window" -> ((s, dir) => {
+      streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("sw.start").as("session_start"),
+          col("sw.end").as("session_end"), col("n_events"))
+    }),
+
     // §2#26b parse_object_dtypes: all-string frame → one try_cast stats
     // pass → numeric columns recover their types; prose stays string.
     "q39_parse_dtypes" -> ((s, dir) => {
@@ -686,6 +698,22 @@ object SparkEntry {
          JOIN supplier ON l_suppkey = s_suppkey
          JOIN nation ON s_nationkey = n_nationkey
          GROUP BY 1""",
+
+    // split at >= gap (Spark session_window's exclusive end); window
+    // end = last event + gap
+    "q42_session_window" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts)//1000 AS tus FROM events),
+         l AS (SELECT user_id, tus,
+                 CASE WHEN LAG(tus) OVER w IS NULL OR tus - LAG(tus) OVER w >= 1800000000
+                      THEN 1 ELSE 0 END AS new_s
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
+         s AS (SELECT user_id, tus,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus ROWS UNBOUNDED PRECEDING) AS sid
+               FROM l)
+         SELECT user_id, make_timestamp(MIN(tus)) AS session_start,
+           make_timestamp(MAX(tus) + 1800000000) AS session_end,
+           COUNT(*) AS n_events
+         FROM s GROUP BY user_id, sid""",
 
     "q39_parse_dtypes" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,

@@ -78,6 +78,33 @@ final class Tafra(val df: DataFrame) extends Serializable {
 
   def distinct(): Tafra = new Tafra(df.distinct())
 
+  // ---- sampling (training-data pipelines) ----
+
+  /** Reproducible row sample independent of partitioning: keep rows
+    * whose key hash lands under `fraction` of the hash space. Unlike
+    * `df.sample` (per-partition RNG — resampling changes with
+    * partition layout), the same row is always in or out for a given
+    * seed, across runs and cluster sizes, and the same keys are kept
+    * across TABLES — the property needed to sample a consistent slice
+    * of a multi-table corpus.
+    */
+  def sampleHash(fraction: Double, keyCols: Seq[String], seed: Long = 0L): Tafra = {
+    require(fraction >= 0 && fraction <= 1, s"fraction $fraction outside [0,1]")
+    validateColumns(keyCols)
+    val buckets = 1000000L
+    new Tafra(df.filter(
+      pmod(xxhash64(lit(seed) +: keyCols.map(df(_)): _*), lit(buckets))
+        < (fraction * buckets).toLong))
+  }
+
+  /** Per-stratum sampling fractions (e.g. downsample one language,
+    * keep another whole) — `df.stat.sampleBy` with a fixed seed.
+    */
+  def sampleBy(column: String, fractions: Map[Any, Double], seed: Long = 0L): Tafra = {
+    validateColumns(Seq(column))
+    new Tafra(df.stat.sampleBy(col(column), fractions, seed))
+  }
+
   // ---- union (base.py:1969, group.py:56) ----
 
   /** UNION ALL with the reference's validation: same column names and

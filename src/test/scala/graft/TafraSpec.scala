@@ -327,6 +327,26 @@ class TafraSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("sampleHash is reproducible, partition-independent, and key-consistent") {
+    val big = Tafra(spark.range(0, 2000).toDF("id"))
+    val s1 = big.sampleHash(0.3, Seq("id")).df.collect().map(_.getLong(0)).toSet
+    val s2 = big.df.repartition(7).asInstanceOf[org.apache.spark.sql.DataFrame]
+    val s2t = Tafra(s2).sampleHash(0.3, Seq("id")).df.collect().map(_.getLong(0)).toSet
+    s1 shouldBe s2t // same rows regardless of partitioning
+    s1.size.toDouble / 2000 shouldBe 0.3 +- 0.05
+    // different seed → different slice
+    val s3 = big.sampleHash(0.3, Seq("id"), seed = 7).df.collect().map(_.getLong(0)).toSet
+    s3 should not be s1
+  }
+
+  test("sampleBy keeps per-stratum fractions") {
+    val t = Tafra((1 to 1000).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("i", "g"))
+    val s = t.sampleBy("g", Map[Any, Double]("a" -> 1.0, "b" -> 0.0))
+    val gs = s.df.select("g").as[String].collect().toSet
+    gs shouldBe Set("a")
+    s.rows shouldBe 500
+  }
+
   test("readSql reads a live database via JDBC, plain and partitioned") {
     val url = "jdbc:derby:memory:graftdb;create=true"
     val conn = java.sql.DriverManager.getConnection(url)
