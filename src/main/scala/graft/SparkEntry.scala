@@ -442,6 +442,58 @@ object SparkEntry {
           Seq(("l_orderkey", "o_orderkey", "=="))).df
     }),
 
+    // §2#47 PII scrubbing: URL/email/IPv4 redaction as a codegen'd
+    // regexp_replace chain (map-only, no shuffle). The corpus is
+    // synthetic word salad, so PII is planted deterministically from
+    // doc_id on BOTH engines — the oracle genuinely checks the
+    // redaction, not a no-op.
+    "q43_pii_scrub" -> ((s, dir) => {
+      import graft.functions.{TextFunctions => T}
+      t(s, dir, "documents").df
+        .select(col("doc_id"),
+          concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail.example.com or 10.20."), pmod(col("doc_id"), lit(250L)).cast("string"),
+            lit(".7 see https://ex.com/d/"), col("doc_id").cast("string"), lit(" end")).as("dirty"))
+        .select(col("doc_id"), T.scrubPii(col("dirty")).as("clean"))
+    }),
+
+    // §2#48 repetition signals (Gopher-style quality filters): top-word
+    // mass, distinct-token ratio, top-bigram mass per document. Postings
+    // are rebalanced on doc_id once; both groupBys and the final join
+    // cluster on doc_id so no further shuffle is required.
+    "q44_text_repetition" -> ((s, dir) => {
+      import graft.functions.{TextFunctions => T}
+      val toks = t(s, dir, "documents").df
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), T.tokens(col("text")).as("w"))
+      val uni = toks.select(col("doc_id"), explode(col("w")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max("c").as("top_word"), sum("c").as("n_tok"),
+          count(lit(1)).as("n_distinct"))
+      val bi = toks.filter(size(col("w")) >= 2)
+        .select(col("doc_id"), explode(T.wordNGrams(col("w"), 2)).as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max("c").as("top_bigram"), sum("c").as("n_bi"))
+      uni.join(bi, "doc_id")
+        .select(col("doc_id"),
+          (col("top_word").cast("double") / col("n_tok")).as("top_word_mass"),
+          (col("n_distinct").cast("double") / col("n_tok")).as("distinct_ratio"),
+          (col("top_bigram").cast("double") / col("n_bi")).as("top_bigram_mass"))
+    }),
+
+    // §2#46 sequence packing: concat-and-chunk context-window layout;
+    // per-shard prefix sum (one window), shards pack independently.
+    "q45_pack_sequences" -> ((s, dir) =>
+      operators.Packing.packSequences(t(s, dir, "documents").df)),
+
+    // §2#49 train/val/test split by content hash: md5-prefix ranges, so
+    // the assignment is engine-portable and survives re-sharding (no
+    // eval contamination on re-ingest). Map-only, no shuffle.
+    "q46_split_hash" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .splitByHash(Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), Seq("doc_id"))
+        .df.select("doc_id", "split")),
+
     // §2#42 as-of join (union+window, no range-join pair blowup): each
     // click matched to the user's latest purchase at-or-before it.
     "q35_asof_join" -> ((s, dir) => {
@@ -757,6 +809,61 @@ object SparkEntry {
     "q40_bucketed_join" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, o_orderkey, o_totalprice
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey""",
+
+    "q43_pii_scrub" ->
+      """WITH d AS (
+           SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@mail.example.com or 10.20.' || CAST(doc_id % 250 AS VARCHAR)
+                  || '.7 see https://ex.com/d/' || CAST(doc_id AS VARCHAR) || ' end' AS dirty
+           FROM documents)
+         SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(dirty,
+             'https?://\S+', '<URL>', 'g'),
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g') AS clean
+         FROM d""",
+
+    "q44_text_repetition" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
+         uni AS (
+           SELECT doc_id, MAX(c) AS top_word, SUM(c) AS n_tok, COUNT(*) AS n_distinct FROM (
+             SELECT doc_id, tok, COUNT(*) AS c
+             FROM (SELECT doc_id, unnest(w) AS tok FROM toks) GROUP BY 1, 2)
+           GROUP BY 1),
+         bi AS (
+           SELECT doc_id, MAX(c) AS top_bigram, SUM(c) AS n_bi FROM (
+             SELECT doc_id, bg, COUNT(*) AS c FROM (
+               SELECT doc_id,
+                 unnest([w[i] || ' ' || w[i+1] for i in generate_series(1, len(w)-1)]) AS bg
+               FROM toks WHERE len(w) >= 2) GROUP BY 1, 2)
+           GROUP BY 1)
+         SELECT uni.doc_id,
+           CAST(top_word AS DOUBLE) / n_tok AS top_word_mass,
+           CAST(n_distinct AS DOUBLE) / n_tok AS distinct_ratio,
+           CAST(top_bigram AS DOUBLE) / n_bi AS top_bigram_mass
+         FROM uni JOIN bi ON uni.doc_id = bi.doc_id""",
+
+    "q45_pack_sequences" ->
+      """SELECT doc_id, shard, n_tokens, tok_offset,
+           CAST(FLOOR(tok_offset / 2048.0) AS BIGINT) AS chunk
+         FROM (
+           SELECT doc_id, doc_id % 8 AS shard, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY doc_id % 8 ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+           FROM (
+             SELECT doc_id,
+               CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS INT) AS n_tokens
+             FROM documents))""",
+
+    "q46_split_hash" ->
+      """SELECT doc_id,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                ELSE 'test' END AS split
+         FROM documents""",
 
     "q35_asof_join" ->
       """WITH e AS (SELECT user_id, event_type,

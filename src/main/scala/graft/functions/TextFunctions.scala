@@ -61,6 +61,20 @@ object TextFunctions {
     }
   }
 
+  /** PII redaction: URLs, then emails, then IPv4 literals replaced by
+    * typed placeholder tags (URL first — emails and IPs can appear
+    * inside one). Pure regexp_replace chain: codegen'd, no UDF, and
+    * the patterns are RE2-compatible so the exact same chain runs as
+    * the SQL oracle. At 100 TB this is a map-only pass — no shuffle,
+    * pipelined with whatever scan feeds it.
+    */
+  def scrubPii(c: Column): Column = {
+    val noUrl = regexp_replace(c, "https?://\\S+", "<URL>")
+    val noEmail = regexp_replace(noUrl,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    regexp_replace(noEmail, "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b", "<IP>")
+  }
+
   /** Rolling polynomial hash over the token stream (reference-style
     * document fingerprint, SURVEY.md §2 #39). Arithmetic stays below
     * 2^35 so it is safe under ANSI overflow checking.

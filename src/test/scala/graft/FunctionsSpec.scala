@@ -144,4 +144,17 @@ class FunctionsSpec extends SparkSpec {
     r.getDouble(0) shouldBe 1.0
     r.getDouble(1) shouldBe 1.0 +- 1e-12
   }
+
+  test("scrubPii redacts URLs, emails, and IPv4 literals") {
+    val dirty = "go to https://ex.com/a?b=1 mail bob@x.co or jane.doe+x@mail.example.com ip 10.0.0.254 end"
+    val r = Seq(dirty).toDF("t").select(T.scrubPii(col("t"))).as[String].head()
+    r shouldBe "go to <URL> mail <EMAIL> or <EMAIL> ip <IP> end"
+  }
+
+  test("scrubPii leaves clean text untouched") {
+    val clean = "plain words only, version 2 is fine and 1.5 too"
+    val r = Seq(clean).toDF("t").select(T.scrubPii(col("t"))).as[String].head()
+    r shouldBe clean
+  }
+
 }

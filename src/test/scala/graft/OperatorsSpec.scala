@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsofJoin, Dedup, Multimodal, Similarity, SkewJoin}
+import graft.operators.{AsofJoin, Dedup, Multimodal, Packing, Similarity, SkewJoin}
 
 /** LLM-pipeline operators (SURVEY.md §2 #29-35, #40) on small synthetic
   * corpora with planted duplicates/neighbors so expected results are
@@ -220,4 +220,24 @@ class OperatorsSpec extends SparkSpec {
     r1.getAs[Int]("height") shouldBe len1 % 480 + 1
     r1.getAs[Seq[Float]]("features").length shouldBe 4
   }
+
+  test("packSequences: prefix-sum offsets, chunk boundaries, shard independence") {
+    val corpus = (0L until 40L).map(i => (i, ("w " * (i % 7 + 1).toInt).trim)).toDF("doc_id", "text")
+    val packed = Packing.packSequences(corpus, capacity = 10, nShards = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+    packed.length shouldBe 40
+    // per shard: offsets are the exact running sum in doc_id order, starting at 0
+    packed.groupBy(_._2).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._1)
+      sorted.head._4 shouldBe 0L
+      sorted.zip(sorted.scanLeft(0L)(_ + _._3)).foreach { case ((_, _, _, off, chunk), expect) =>
+        off shouldBe expect
+        chunk shouldBe off / 10
+      }
+    }
+    // chunkStats: every doc accounted for exactly once
+    Packing.chunkStats(Packing.packSequences(corpus, 10, 4))
+      .agg(sum("n_docs")).head().getLong(0) shouldBe 40L
+  }
+
 }

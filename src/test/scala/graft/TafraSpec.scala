@@ -367,4 +367,19 @@ class TafraSpec extends SparkSpec {
     tp.rows shouldBe 10
     tp.df.agg(sum("sal")).head().getDouble(0) shouldBe 550.0
   }
+
+  test("splitByHash: deterministic, partition-independent, near-requested proportions") {
+    val big = Tafra(spark.range(0, 4000).toDF("id"))
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val a = big.splitByHash(splits, Seq("id")).df
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Tafra(big.df.repartition(13)).splitByHash(splits, Seq("id")).df
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    a shouldBe b // content-addressed: same key, same split, any layout
+    val counts = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    counts("train").toDouble / 4000 shouldBe 0.8 +- 0.03
+    counts("val").toDouble / 4000 shouldBe 0.1 +- 0.03
+    counts("test").toDouble / 4000 shouldBe 0.1 +- 0.03
+  }
+
 }
