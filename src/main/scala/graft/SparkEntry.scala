@@ -494,6 +494,30 @@ object SparkEntry {
         .splitByHash(Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), Seq("doc_id"))
         .df.select("doc_id", "split")),
 
+    // §2#50 band join: clicks paired with same-user purchases within
+    // ±30 min. Bucketed equi-join on (user, time-bucket) — a hot user's
+    // rows spread across reducers by time — with the exact band as the
+    // residual filter.
+    "q47_band_join" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tus"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("tus").as("click_us"), col("value").as("click_value"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("tus").as("buy_us"), col("value").as("buy_value"))
+      operators.RangeJoin.bandJoin(clicks, buys, Seq("user_id"),
+          "click_us", "buy_us", 30L * 60 * 1000 * 1000)
+        .select(col("user_id"),
+          timestamp_micros(col("click_us")).as("click_ts"), col("click_value"),
+          timestamp_micros(col("buy_us")).as("buy_ts"), col("buy_value"))
+    }),
+
+    // §2#28d stream-stream join: same pairing as a watermarked
+    // two-stream join (purchase in [click, click+30min]); state bounded
+    // by watermark + band horizon on both sides.
+    "q48_stream_join" -> ((s, dir) =>
+      streaming.Events.streamClickPurchaseJoin(s, s"$dir/events.parquet")),
+
     // §2#42 as-of join (union+window, no range-join pair blowup): each
     // click matched to the user's latest purchase at-or-before it.
     "q35_asof_join" -> ((s, dir) => {
@@ -864,6 +888,23 @@ object SparkEntry {
                 WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
                 ELSE 'test' END AS split
          FROM documents""",
+
+    "q47_band_join" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts)//1000 AS tus, value FROM events),
+         c AS (SELECT user_id, tus AS cus, value AS click_value FROM e WHERE event_type = 'click'),
+         b AS (SELECT user_id, tus AS bus, value AS buy_value FROM e WHERE event_type = 'purchase')
+         SELECT c.user_id, make_timestamp(cus) AS click_ts, click_value,
+           make_timestamp(bus) AS buy_ts, buy_value
+         FROM c JOIN b ON c.user_id = b.user_id AND abs(cus - bus) <= 1800000000""",
+
+    "q48_stream_join" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts)//1000 AS tus, value FROM events),
+         c AS (SELECT user_id, tus AS cus, value AS click_value FROM e WHERE event_type = 'click'),
+         b AS (SELECT user_id, tus AS bus, value AS buy_value FROM e WHERE event_type = 'purchase')
+         SELECT c.user_id, make_timestamp(cus) AS click_ts, click_value,
+           make_timestamp(bus) AS buy_ts, buy_value
+         FROM c JOIN b ON c.user_id = b.user_id
+           AND bus >= cus AND bus <= cus + 1800000000""",
 
     "q35_asof_join" ->
       """WITH e AS (SELECT user_id, event_type,

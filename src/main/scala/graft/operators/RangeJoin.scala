@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Band (interval) join: pairs rows sharing equi-keys whose event times
+  * lie within `gap` of each other — the "events within Δt" primitive
+  * behind attribution, co-occurrence, and leakage checks.
+  *
+  * Spark has no native band-join strategy: a raw
+  * `|lt - rt| <= gap` condition downgrades the join to
+  * key-equi + per-key time filter, which is fine — unless keys are hot
+  * (a hot key re-pairs all its rows). The scale form here is the
+  * standard bucketing trick: quantize time into gap-width buckets, so a
+  * qualifying pair is at most one bucket apart; the LEFT side probes its
+  * own bucket ±1 (3 rows via explode), the RIGHT side keeps its single
+  * bucket, and the join becomes a plain hash equi-join on
+  * (keys, bucket) — shuffle keyed by (key, time-bucket), so even one
+  * key's rows spread across reducers in time order. The exact
+  * `|lt - rt| <= gap` residual filters the candidates; each true pair
+  * is produced exactly once because the right row's bucket is unique
+  * and the probe buckets are distinct.
+  */
+object RangeJoin {
+
+  /** Exact floor(t / g) for long-valued times: the numerator is made an
+    * exact multiple of g first, so the double division is exact (the
+    * quotient is an integer well under 2^53) — no boundary flips.
+    */
+  private def bucketOf(t: Column, g: Long): Column =
+    ((t - pmod(t, lit(g))) / lit(g)).cast("long")
+
+  /** Inner band join on `keyCols` with `|lTime - rTime| <= gap`.
+    * `lTime`/`rTime` are long-valued event times (e.g. unix micros) in
+    * the same unit as `gap`; non-key output columns of the two sides
+    * must be disjoint.
+    */
+  def bandJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+               lTime: String, rTime: String, gap: Long): DataFrame = {
+    require(gap > 0, s"gap must be positive, got $gap")
+    val lb = left.withColumn("_b0", bucketOf(col(lTime), gap))
+      .withColumn("_bucket", explode(array(col("_b0") - 1, col("_b0"), col("_b0") + 1)))
+      .drop("_b0")
+    val rb = right.withColumn("_bucket", bucketOf(col(rTime), gap))
+    lb.join(rb, keyCols :+ "_bucket")
+      .filter(abs(col(lTime) - col(rTime)) <= gap)
+      .drop("_bucket")
+  }
+}

@@ -150,6 +150,36 @@ object Events {
       .select("user_id", "ts", "event_type", "value")
   }
 
+  /** #28d stream-stream inner join: each click paired with the same
+    * user's purchases in [click_ts, click_ts + `within`]. Both sides
+    * carry watermarks and the join condition time-bounds both
+    * directions, so Spark's state store retains each side only for the
+    * watermark + band horizon — bounded state, the production
+    * stream-stream join shape. Emits in append mode once the watermark
+    * seals a pair's eligibility window.
+    */
+  def streamClickPurchaseJoin(spark: SparkSession, eventsPath: String,
+                              within: String = "30 minutes",
+                              watermark: String = "1 hour"): DataFrame = {
+    val clicks = readStream(spark, eventsPath)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("value").as("click_value"))
+      .withWatermark("click_ts", watermark)
+    val buys = readStream(spark, eventsPath)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("b_user"), col("ts").as("buy_ts"),
+        col("value").as("buy_value"))
+      .withWatermark("buy_ts", watermark)
+    val joined = clicks.join(buys,
+      col("c_user") === col("b_user") &&
+        col("buy_ts") >= col("click_ts") &&
+        col("buy_ts") <= col("click_ts") + expr(s"INTERVAL $within"))
+      .select(col("c_user").as("user_id"), col("click_ts"), col("click_value"),
+        col("buy_ts"), col("buy_value"))
+    runToMemory(joined, "append", "graft_ssjoin_")
+  }
+
   /** `ts` duplicates `tus` as a Timestamp only because the watermarked
     * event-time COLUMN must be present in the flatMapGroupsWithState
     * input for event-time timeouts (Spark's UnsupportedOperationChecker

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsofJoin, Dedup, Multimodal, Packing, Similarity, SkewJoin}
+import graft.operators.{AsofJoin, Dedup, Multimodal, Packing, RangeJoin, Similarity, SkewJoin}
 
 /** LLM-pipeline operators (SURVEY.md §2 #29-35, #40) on small synthetic
   * corpora with planted duplicates/neighbors so expected results are
@@ -238,6 +238,23 @@ class OperatorsSpec extends SparkSpec {
     // chunkStats: every doc accounted for exactly once
     Packing.chunkStats(Packing.packSequences(corpus, 10, 4))
       .agg(sum("n_docs")).head().getLong(0) shouldBe 40L
+  }
+
+  test("bandJoin matches the brute-force theta join, including bucket boundaries") {
+    val rnd = new scala.util.Random(42)
+    // times clustered so bands actually overlap, plus exact-boundary cases
+    val left = (1 to 200).map(i => (i.toLong % 5, rnd.nextInt(1000).toLong * 10))
+      .toDF("k", "lt")
+    val right = ((1 to 200).map(i => (i.toLong % 5, rnd.nextInt(1000).toLong * 10)) ++
+      Seq((0L, 100L), (0L, 200L))) // |100-200| == gap exactly
+      .toDF("k", "rt")
+    val gap = 100L
+    val banded = RangeJoin.bandJoin(left, right, Seq("k"), "lt", "rt", gap)
+      .select("k", "lt", "rt").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val brute = left.join(right, Seq("k"))
+      .filter(abs(col("lt") - col("rt")) <= gap)
+      .select("k", "lt", "rt").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    banded should contain theSameElementsInOrderAs brute
   }
 
 }
