@@ -72,10 +72,21 @@ object Events {
     */
   private def runToMemory(agg: DataFrame, mode: String, prefix: String): DataFrame = {
     val name = prefix + UUID.randomUUID().toString.replace("-", "")
-    val q = agg.writeStream.outputMode(mode).format("memory").queryName(name).start()
-    q.processAllAvailable()
-    q.stop()
-    agg.sparkSession.table(name)
+    val spark = agg.sparkSession
+    // Stateful operators keep one state store (and its per-batch commit
+    // files) PER shuffle partition, so partition count should track
+    // state size, not core count. The test corpus's state is tiny —
+    // 8 partitions, not the session's CPU-sized default (measured
+    // multi-second commit overhead otherwise). Production (runToFiles)
+    // keeps the session setting: at real scale state is what's big.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = agg.writeStream.outputMode(mode).format("memory").queryName(name).start()
+      q.processAllAvailable()
+      q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.table(name)
   }
 
   /** Production sink: append-mode parquet with a checkpoint. State
