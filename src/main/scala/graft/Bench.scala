@@ -12,22 +12,22 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
-    // Warmup pass: JIT + codegen-cache + parquet-footer warm, so the
-    // timed passes measure steady-state query cost, not JVM startup.
-    queries.foreach { case (name, fn) =>
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-    }
-    // Two timed passes, min per query: single-run numbers on a shared
-    // box carry multi-second scheduler/GC noise.
     def timedPass(): Seq[(String, Double)] = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val (p1, p2) = (timedPass(), timedPass())
-    val results = p1.zip(p2).map { case ((name, a), (_, b)) =>
-      val dt = math.min(a, b)
-      System.err.println(f"[bench] $name%-24s $dt%8.2f s  (${a}%.2f, ${b}%.2f)")
+    // Warmup pass (JIT + codegen-cache + parquet-footer warm) is timed
+    // too: it's pessimistic for the min, so it can only help — a free
+    // third sample against this host's multi-second steal/contention
+    // waves, which two timed passes alone can straddle.
+    val passes = Seq(timedPass(), timedPass(), timedPass())
+    val results = queries.indices.map { i =>
+      val name = passes.head(i)._1
+      val ts = passes.map(_(i)._2)
+      val dt = ts.min
+      System.err.println(
+        f"[bench] $name%-24s $dt%8.2f s  (${ts.map(t => f"$t%.2f").mkString(", ")})")
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
