@@ -97,4 +97,22 @@ class PlanSpec extends SparkSpec {
       codegen should include("vec_cosine")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+  test("q47 band join is a hash equi-join on (key, bucket) — never a nested-loop pair blowup") {
+    val p = plan("q47_band_join")
+    (p should not).include("BroadcastNestedLoopJoin")
+    (p should not).include("CartesianProduct")
+    p should (include("BroadcastHashJoin") or include("SortMergeJoin") or include("ShuffledHashJoin"))
+  }
+
+  test("q43 PII scrub and q46 hash split are map-only: no exchange in the plan") {
+    (plan("q43_pii_scrub") should not).include("Exchange")
+    (plan("q46_split_hash") should not).include("Exchange")
+  }
+
+  test("q45 packing is one shard-partitioned window: a single exchange, keyed on shard") {
+    val p = plan("q45_pack_sequences")
+    p should include("Exchange hashpartitioning(shard")
+    p.sliding("Exchange".length).count(_ == "Exchange") shouldBe 1
+  }
+
 }
