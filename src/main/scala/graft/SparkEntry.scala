@@ -518,6 +518,16 @@ object SparkEntry {
     "q48_stream_join" -> ((s, dir) =>
       streaming.Events.streamClickPurchaseJoin(s, s"$dir/events.parquet")),
 
+    // §2#51 deterministic domain mixing: per-source keep fractions
+    // selected by content hash (not RNG) — stable across runs,
+    // partitionings, and engines; sources outside the mixture drop.
+    "q49_mix_sources" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .sampleHashBy("source",
+          Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1),
+          Seq("doc_id"))
+        .df.select("doc_id", "source")),
+
     // §2#42 as-of join (union+window, no range-join pair blowup): each
     // click matched to the user's latest purchase at-or-before it.
     "q35_asof_join" -> ((s, dir) => {
@@ -905,6 +915,13 @@ object SparkEntry {
            make_timestamp(bus) AS buy_ts, buy_value
          FROM c JOIN b ON c.user_id = b.user_id
            AND bus >= cus AND bus <= cus + 1800000000""",
+
+    "q49_mix_sources" ->
+      """SELECT doc_id, source FROM documents
+         WHERE source = 'src0'
+            OR (source = 'src1' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000')
+            OR (source = 'src2' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000')
+            OR (source = 'src3' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '1999')""",
 
     "q35_asof_join" ->
       """WITH e AS (SELECT user_id, event_type,

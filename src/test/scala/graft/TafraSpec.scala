@@ -382,4 +382,20 @@ class TafraSpec extends SparkSpec {
     counts("test").toDouble / 4000 shouldBe 0.1 +- 0.03
   }
 
+  test("sampleHashBy keeps deterministic per-stratum fractions and drops unlisted strata") {
+    val t = Tafra((0L until 2000L).map(i => (i, s"s${i % 2}")).toDF("id", "g"))
+    val mixed = t.sampleHashBy("g", Map("s0" -> 1.0, "s1" -> 0.25), Seq("id"))
+    val byG = mixed.df.collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    byG("s0").size shouldBe 1000 // fraction 1.0 keeps everything
+    byG("s1").size.toDouble / 1000 shouldBe 0.25 +- 0.05
+    // deterministic: identical kept set on a reshuffled layout
+    val again = Tafra(t.df.repartition(11)).sampleHashBy("g", Map("s0" -> 1.0, "s1" -> 0.25), Seq("id"))
+      .df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    again shouldBe mixed.df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // unlisted stratum drops
+    t.sampleHashBy("g", Map("s0" -> 1.0), Seq("id"))
+      .df.select("g").distinct().collect().map(_.getString(0)).toSeq shouldBe Seq("s0")
+  }
+
 }
