@@ -1,0 +1,221 @@
+package graft
+
+import graft.functions.Hashing
+import graft.plans.HyperplaneBucket
+
+/** Generators for the DuckDB oracle SQL of the hash/vector pipelines
+  * (SURVEY.md §2 #30-35, #39).
+  *
+  * These queries are verifiable end-to-end because every primitive was
+  * chosen to be ENGINE-PORTABLE:
+  *  - the dedup hash family is md5-prefix-based ([[Hashing]]), so DuckDB
+  *    computes bit-identical signatures from `substr(md5(x), ...)`;
+  *  - the affine-family constants and the hyperplane sign matrix are
+  *    plan-time constants, inlined here as SQL literals from the SAME
+  *    Scala definitions the Column expressions use;
+  *  - cosine similarity is unrolled into the exact sequential
+  *    double-accumulation order of [[graft.plans.CosineSimilarity]]'s
+  *    fused loop (left-associative `+` chains), so the doubles — and
+  *    therefore every rank — are bit-identical across engines.
+  */
+object OracleGen {
+
+  private val P = Hashing.PortableP
+
+  /** `('0x'||substr(md5(x),1,8))::BIGINT % P` — mirror of
+    * [[Hashing.portableHash]].
+    */
+  private def portableHashSql(x: String): String =
+    s"('0x' || substr(md5($x), 1, 8))::BIGINT % $P"
+
+  /** Unrolled dot product in the fused loop's accumulation order. */
+  private def dotSql(a: String, b: String, dim: Int): String =
+    (1 to dim).map(i => s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)")
+      .mkString("(", " + ", ")")
+
+  /** Unrolled cosine — bit-identical to the codegen'd vec_cosine. */
+  def cosineSql(a: String, b: String, dim: Int): String =
+    s"(${dotSql(a, b, dim)} / (sqrt(${dotSql(a, a, dim)}) * sqrt(${dotSql(b, b, dim)})))"
+
+  /** Hyperplane LSH bucket with the plan-time sign matrix inlined. */
+  def bucketSql(vec: String, nbits: Int, dim: Int, seed: Int = 7): String = {
+    val signs = HyperplaneBucket.signMatrix(nbits, dim, seed)
+    (0 until nbits).map { p =>
+      val dot = (0 until dim)
+        .map(d => s"CAST($vec[${d + 1}] AS DOUBLE) * ${if (signs(p * dim + d) > 0) "1.0" else "-1.0"}")
+        .mkString(" + ")
+      s"(CASE WHEN ($dot) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+  }
+
+  /** Full MinHash+LSH pipeline (operators.Dedup.minhash defaults:
+    * k=16, bandWidth=1, cap 50, top 100).
+    */
+  def minhashSql(k: Int = 16, cap: Int = 50, topK: Int = 100): String = {
+    val minCols = (0 until k)
+      .map(i => s"MIN((${Hashing.affineA(i)} * h0 + ${Hashing.affineB(i)}) % $P) AS m${i}")
+      .mkString(", ")
+    val sigList = (0 until k).map(i => s"m$i").mkString("[", ", ", "]")
+    s"""WITH toks AS (
+       SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents),
+     sh AS (
+       SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1]
+                                            for i in generate_series(1, len(w)-1)])) AS sh
+       FROM toks WHERE len(w) >= 2),
+     h AS (SELECT doc_id, ${portableHashSql("sh")} AS h0 FROM sh),
+     sig AS (SELECT doc_id, $minCols FROM h GROUP BY doc_id),
+     banded AS (
+       SELECT doc_id, band, (band * 31 + m) % $P AS bandval FROM (
+         SELECT doc_id, unnest($sigList) AS m,
+                unnest(generate_series(0, ${k - 1})) AS band
+         FROM sig)),
+     capped AS (
+       SELECT doc_id, band, bandval FROM (
+         SELECT doc_id, band, bandval,
+           ROW_NUMBER() OVER (PARTITION BY band, bandval ORDER BY doc_id) AS bn
+         FROM banded) WHERE bn <= $cap),
+     pairs AS (
+       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) / ${k}.0 AS est_sim
+       FROM capped a JOIN capped b
+         ON a.band = b.band AND a.bandval = b.bandval AND a.doc_id < b.doc_id
+       GROUP BY 1, 2)
+     SELECT doc_a, doc_b, est_sim, rnk FROM (
+       SELECT doc_a, doc_b, est_sim,
+         CAST(ROW_NUMBER() OVER (ORDER BY est_sim DESC, doc_a, doc_b) AS INT) AS rnk
+       FROM pairs) WHERE rnk <= $topK"""
+  }
+
+  /** Full SimHash pipeline (operators.Dedup.simhash defaults: 4×16-bit
+    * bands, cap 50, top 100). The 64-bit token hash is rebuilt from the
+    * two md5 32-bit halves; band values and Hamming distances are
+    * recomputed from the per-bit majority signs.
+    */
+  def simhashSql(cap: Int = 50, topK: Int = 100): String =
+    s"""WITH toks AS (
+       SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents),
+     tf AS (
+       SELECT doc_id, tok, COUNT(*) AS cnt
+       FROM (SELECT doc_id, unnest(w) AS tok FROM toks) GROUP BY 1, 2),
+     th AS (
+       SELECT doc_id, cnt,
+         ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hi,
+         ('0x' || substr(md5(tok), 9, 8))::BIGINT AS lo
+       FROM tf),
+     bits AS (
+       SELECT doc_id, j,
+         CASE WHEN SUM(CASE WHEN ((CASE WHEN j < 32 THEN (lo >> j)
+                                        ELSE (hi >> (j - 32)) END) & 1) = 1
+                           THEN cnt ELSE -cnt END) >= 0 THEN 1 ELSE 0 END AS bit
+       FROM th CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) js
+       GROUP BY doc_id, j),
+     sigs AS (
+       SELECT doc_id, j // 16 AS band, SUM(bit * (1 << (j % 16))) AS bandval
+       FROM bits GROUP BY doc_id, j // 16),
+     capped AS (
+       SELECT doc_id, band, bandval FROM (
+         SELECT doc_id, band, bandval,
+           ROW_NUMBER() OVER (PARTITION BY band, bandval ORDER BY doc_id) AS bn
+         FROM sigs) WHERE bn <= $cap),
+     prs AS (
+       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       FROM capped a JOIN capped b
+         ON a.band = b.band AND a.bandval = b.bandval AND a.doc_id < b.doc_id),
+     ham AS (
+       SELECT doc_a, doc_b,
+         CAST(SUM(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) AS INT) AS hamming
+       FROM prs
+       JOIN bits ba ON ba.doc_id = prs.doc_a
+       JOIN bits bb ON bb.doc_id = prs.doc_b AND bb.j = ba.j
+       GROUP BY 1, 2)
+     SELECT doc_a, doc_b, hamming, rnk FROM (
+       SELECT doc_a, doc_b, hamming,
+         CAST(ROW_NUMBER() OVER (ORDER BY hamming, doc_a, doc_b) AS INT) AS rnk
+       FROM ham) WHERE rnk <= $topK"""
+
+  /** Full embedding near-dup pipeline (operators.Dedup.embedding
+    * defaults: nbits=6, dim=64, cap 40, top 100).
+    */
+  def embeddingSql(nbits: Int = 6, dim: Int = 64, cap: Int = 40, topK: Int = 100): String =
+    s"""WITH b AS (
+       SELECT vec_id, embedding, ${bucketSql("embedding", nbits, dim)} AS bucket
+       FROM embeddings),
+     capped AS (
+       SELECT vec_id, embedding, bucket FROM (
+         SELECT vec_id, embedding, bucket,
+           ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY vec_id) AS bn
+         FROM b) WHERE bn <= $cap),
+     prs AS (
+       SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+         ${cosineSql("a.embedding", "b2.embedding", dim)} AS cos
+       FROM capped a JOIN capped b2
+         ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+     SELECT vec_a, vec_b, cos, rnk FROM (
+       SELECT vec_a, vec_b, cos,
+         CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, vec_a, vec_b) AS INT) AS rnk
+       FROM prs) WHERE rnk <= $topK"""
+
+  /** LSH ANN (operators.Similarity.lshTopK defaults: nbits=4, dim=64,
+    * k=10) with the q28 query set `vec_id < 8`.
+    */
+  def lshAnnSql(nbits: Int = 4, dim: Int = 64, k: Int = 10): String =
+    s"""WITH c AS (
+       SELECT vec_id, embedding, ${bucketSql("embedding", nbits, dim)} AS bucket
+       FROM embeddings),
+     q AS (SELECT vec_id, embedding, bucket FROM c WHERE vec_id < 8),
+     scored AS (
+       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ${cosineSql("q.embedding", "c.embedding", dim)} AS cos
+       FROM c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.vec_id)
+     SELECT query_id, neighbor_id, cos, rank FROM (
+       SELECT query_id, neighbor_id, cos,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+       FROM scored) WHERE rank <= $k"""
+
+  /** IVF ANN (operators.Similarity.ivfTopK with lloydSteps=0: centroids
+    * ARE the md5-selected seed vectors, so the quantizer is exactly
+    * reproducible from the table) with the q36 query set `vec_id < 8`.
+    */
+  def ivfAnnSql(ncells: Int = 16, nprobe: Int = 4, dim: Int = 64, k: Int = 10): String =
+    s"""WITH seeds AS (
+       SELECT sv, CAST(rn - 1 AS INT) AS cell FROM (
+         SELECT embedding AS sv,
+           ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+         FROM embeddings) WHERE rn <= $ncells),
+     cells AS (
+       SELECT vec_id, embedding, cell FROM (
+         SELECT e.vec_id, e.embedding, s.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY ${cosineSql("e.embedding", "s.sv", dim)} DESC, s.cell) AS crn
+         FROM embeddings e CROSS JOIN seeds s) WHERE crn = 1),
+     probes AS (
+       SELECT query_id, cell FROM (
+         SELECT e.vec_id AS query_id, s.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY ${cosineSql("e.embedding", "s.sv", dim)} DESC, s.cell) AS prn
+         FROM embeddings e CROSS JOIN seeds s WHERE e.vec_id < 8) WHERE prn <= $nprobe),
+     qv AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+     scored AS (
+       SELECT p.query_id, c.vec_id AS neighbor_id,
+         ${cosineSql("q.embedding", "c.embedding", dim)} AS cos
+       FROM probes p
+       JOIN cells c ON c.cell = p.cell
+       JOIN qv q ON q.vec_id = p.query_id
+       WHERE c.vec_id <> p.query_id)
+     SELECT query_id, neighbor_id, cos, rank FROM (
+       SELECT query_id, neighbor_id, cos,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+       FROM scored) WHERE rank <= $k"""
+
+  /** Rolling-hash fingerprint (functions.TextFunctions.fingerprint). */
+  def fingerprintSql: String =
+    s"""WITH t AS (
+       SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents)
+     SELECT doc_id, CAST(len(w) AS INT) AS n_tokens,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(w, x -> ${portableHashSql("x")})),
+         (acc, hx) -> (acc * 31 + hx) % $P) AS fp
+     FROM t"""
+}

@@ -327,10 +327,13 @@ object SparkEntry {
         .delete(Seq("sum_rev_d")).df
     }),
 
-    // §2#35b IVF ANN: seeded+Lloyd-refined coarse quantizer, nprobe cells.
+    // §2#35b IVF ANN: md5-seeded coarse quantizer (lloydSteps=0 → the
+    // centroids ARE the seed vectors: exactly reproducible from the
+    // table, so DuckDB rebuilds the identical quantizer and the FULL
+    // pipeline is hash-verified; Lloyd refinement stays a quality knob).
     "q36_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings").df
-      operators.Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8))
+      operators.Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8), lloydSteps = 0)
     }),
 
     // §2#36 language ID (stopword-count heuristic, deterministic argmax).
@@ -463,8 +466,12 @@ object SparkEntry {
     // cluster on doc_id so no further shuffle is required.
     "q44_text_repetition" -> ((s, dir) => {
       import graft.functions.{TextFunctions => T}
+      // pinned partition count: a bare repartition(col) is an
+      // AQE-coalescible shuffle that collapses back to few partitions on
+      // small byte sizes, starving the CPU-heavy tokenize/explode stage
+      val nPart = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
       val toks = t(s, dir, "documents").df
-        .repartition(col("doc_id"))
+        .repartition(nPart, col("doc_id"))
         .select(col("doc_id"), T.tokens(col("text")).as("w"))
       val uni = toks.select(col("doc_id"), explode(col("w")).as("tok"))
         .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
@@ -538,6 +545,50 @@ object SparkEntry {
         .select(col("user_id"), col("ts").as("buy_ts"), col("value").as("buy_value"))
       operators.AsofJoin.asofJoin(clicks, buys,
         "user_id", "click_ts", "buy_ts", Seq("buy_ts", "buy_value"))
+    }),
+
+    // §2#40b REAL WAV audio modality: text bytes as 8-bit PCM samples in
+    // a WAV container (javax.sound.sampled), batched decode back to
+    // sample count / rate / duration / RMS — all oracle-predicted from
+    // the text because PCM is lossless.
+    "q50_audio" -> ((s, dir) =>
+      operators.Multimodal.decodeAudioFeatures(
+        operators.Multimodal.withAudioPayload(t(s, dir, "documents").df))),
+
+    // §2#45 reproducible sampling: md5-prefix membership (seed-prefixed,
+    // NUL-separated keys) — same content-addressed contract as q46/q49,
+    // auditable from SQL.
+    "q51_sample_hash" -> ((s, dir) =>
+      t(s, dir, "documents").sampleHash(0.25, Seq("doc_id"))
+        .df.select("doc_id", "source")),
+
+    // §2#50b LEFT band join: clicks keep a row (null purchase columns)
+    // when no same-user purchase lands within ±30 min.
+    "q52_band_left" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tus"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("tus").as("click_us"), col("value").as("click_value"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("tus").as("buy_us"), col("value").as("buy_value"))
+      operators.RangeJoin.bandJoin(clicks, buys, Seq("user_id"),
+          "click_us", "buy_us", 30L * 60 * 1000 * 1000, how = "left")
+        .select(col("user_id"),
+          timestamp_micros(col("click_us")).as("click_ts"), col("click_value"),
+          timestamp_micros(col("buy_us")).as("buy_ts"), col("buy_value"))
+    }),
+
+    // §2#42b as-of join with tolerance: matches older than 10 minutes
+    // are nulled (pandas merge_asof tolerance semantics).
+    "q53_asof_tolerance" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"), col("value").as("click_value"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("buy_ts"), col("value").as("buy_value"))
+      operators.AsofJoin.asofJoin(clicks, buys,
+        "user_id", "click_ts", "buy_ts", Seq("buy_ts", "buy_value"),
+        tolerance = Some(expr("INTERVAL '10' MINUTE")))
     })
   )
 
@@ -708,6 +759,52 @@ object SparkEntry {
            JOIN cnt ca ON doc_a = ca.doc_id
            JOIN cnt cb ON doc_b = cb.doc_id)
          WHERE rnk <= 100""",
+
+    // Full-pipeline portable-hash oracles (OracleGen): signatures,
+    // banding, capping, scoring and float ranks all recomputed by
+    // DuckDB from md5 primitives + inlined plan-time constants.
+    "q23_dedup_minhash" -> OracleGen.minhashSql(),
+    "q24_dedup_simhash" -> OracleGen.simhashSql(),
+    "q26_dedup_embedding" -> OracleGen.embeddingSql(),
+    "q28_ann_lsh" -> OracleGen.lshAnnSql(),
+    "q36_ann_ivf" -> OracleGen.ivfAnnSql(),
+    "q32_text_fingerprint" -> OracleGen.fingerprintSql,
+
+    "q50_audio" ->
+      """SELECT doc_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_samples,
+         CAST(8000 AS INT) AS sample_rate,
+         octet_length(encode(text)) / 8000.0 AS duration_s,
+         CASE WHEN octet_length(encode(text)) = 0 THEN 0.0
+              ELSE sqrt(CAST(list_sum(
+                     [(ord(substr(text, i, 1)) - 128) * (ord(substr(text, i, 1)) - 128)
+                      for i in generate_series(1, length(text))]) AS DOUBLE)
+                   / octet_length(encode(text))) END AS rms
+         FROM documents""",
+
+    "q51_sample_hash" ->
+      """SELECT doc_id, source FROM documents
+         WHERE substr(md5('0' || chr(0) || CAST(doc_id AS VARCHAR)), 1, 4) < '4000'""",
+
+    "q52_band_left" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts)//1000 AS tus, value FROM events),
+         c AS (SELECT user_id, tus AS cus, value AS click_value FROM e WHERE event_type = 'click'),
+         b AS (SELECT user_id, tus AS bus, value AS buy_value FROM e WHERE event_type = 'purchase')
+         SELECT c.user_id, make_timestamp(cus) AS click_ts, click_value,
+           make_timestamp(bus) AS buy_ts, buy_value
+         FROM c LEFT JOIN b ON c.user_id = b.user_id AND abs(cus - bus) <= 1800000000""",
+
+    "q53_asof_tolerance" ->
+      """WITH e AS (SELECT user_id, event_type,
+                      make_timestamp(epoch_ns(ts)//1000) AS tus, value FROM events),
+         c AS (SELECT user_id, tus AS click_ts, value AS click_value FROM e WHERE event_type = 'click'),
+         b AS (SELECT user_id, tus AS buy_ts, value AS buy_value FROM e WHERE event_type = 'purchase')
+         SELECT c.user_id, click_ts, click_value, m.buy_ts, m.buy_value
+         FROM c LEFT JOIN LATERAL (
+           SELECT b.buy_ts, b.buy_value FROM b
+           WHERE b.user_id = c.user_id AND b.buy_ts <= c.click_ts
+             AND b.buy_ts >= c.click_ts - INTERVAL '10 minutes'
+           ORDER BY b.buy_ts DESC LIMIT 1) m ON TRUE""",
 
     "q27_ann_bruteforce" ->
       """SELECT query_id, neighbor_id, rank FROM (

@@ -4,26 +4,78 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Seeded hash families as Column expressions (SURVEY.md §3): MinHash
-  * signatures, band hashes, and random-hyperplane LSH buckets. All built
-  * on `xxhash64` with the seed mixed in as a leading column, so every
-  * executor computes identical values with no driver-shipped state.
+  * signatures, band hashes, and random-hyperplane LSH buckets.
+  *
+  * The MinHash / band / fingerprint primitives are ENGINE-PORTABLE by
+  * construction (same contract as `Tafra.splitByHash`): the base hash is
+  * the first 32 bits of md5 — byte-identical in every engine — and the
+  * k seeded variants are an affine universal family
+  * `h_i = (a_i·h + b_i) mod P` whose constants are plain literals both
+  * here and in the DuckDB oracle SQL. That is what lets the driver
+  * hash-verify the full minhash/simhash pipelines instead of settling
+  * for rows-only checks, and it makes every dedup decision auditable
+  * from SQL against the production corpus.
   */
 object Hashing {
 
-  /** k-component MinHash signature over a shingle array:
-    * sig[i] = min over shingles of xxhash64(i, shingle).
+  /** Modulus for the portable affine family; ~2^30 so `a·h + b` stays
+    * far under 2^63 (ANSI-overflow-safe in both engines).
     */
-  def minhashSignature(shingles: Column, k: Int): Column =
-    array((0 until k).map(i => array_min(transform(shingles, s => xxhash64(lit(i), s)))): _*)
+  val PortableP: Long = 1000000007L
+
+  /** splitmix64 finalizer — deterministic constant derivation shared by
+    * the Column expressions and the oracle-SQL generator.
+    */
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+  /** Multiplier of family member i, in [1, P). */
+  def affineA(i: Int): Long = java.lang.Math.floorMod(mix(2L * i), PortableP - 1) + 1
+  /** Offset of family member i, in [0, P). */
+  def affineB(i: Int): Long = java.lang.Math.floorMod(mix(2L * i + 1), PortableP)
+
+  /** First 32 bits of md5 as a non-negative long. DuckDB mirror:
+    * `('0x' || substr(md5(x), 1, 8))::BIGINT`.
+    */
+  def md5Long32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("bigint")
+
+  /** Bits 32-63 of md5 (hex chars 9-16). */
+  def md5Long32b(c: Column): Column =
+    conv(substring(md5(c), 9, 8), 16, 10).cast("bigint")
+
+  /** Base hash for the affine family: md5 prefix reduced mod P. */
+  def portableHash(c: Column): Column = pmod(md5Long32(c), lit(PortableP))
+
+  /** Family member i over an already-reduced base hash. */
+  def affine(i: Int, h: Column): Column =
+    pmod(lit(affineA(i)) * h + lit(affineB(i)), lit(PortableP))
+
+  /** k-component MinHash signature over a shingle array:
+    * sig[i] = min over shingles of the i-th affine variant of the
+    * portable md5 base hash (one md5 per shingle, k fused
+    * multiply-adds — cheaper than k independent hashes AND
+    * oracle-replicable).
+    */
+  def minhashSignature(shingles: Column, k: Int): Column = {
+    val hs = transform(shingles, s => portableHash(s))
+    array((0 until k).map(i => array_min(transform(hs, h => affine(i, h)))): _*)
+  }
 
   /** LSH band hashes: the signature is cut into bands of `r` rows, each
-    * band hashed to one long. Docs sharing any band value are candidate
-    * near-duplicates.
+    * band folded to one value with the portable polynomial
+    * `acc = (acc·31 + component) mod P`, seeded with the band index.
+    * Docs sharing any band value are candidate near-duplicates.
     */
   def bandHashes(sig: Column, k: Int, r: Int): Column = {
     require(k % r == 0, s"k=$k not divisible by band width r=$r")
     array((0 until k / r).map { b =>
-      xxhash64((lit(b) +: (b * r until (b + 1) * r).map(j => element_at(sig, j + 1))): _*)
+      (b * r until (b + 1) * r).foldLeft(lit(b.toLong): Column) { (acc, j) =>
+        pmod(acc * lit(31L) + element_at(sig, j + 1), lit(PortableP))
+      }
     }: _*)
   }
 

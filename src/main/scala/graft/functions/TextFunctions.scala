@@ -76,11 +76,15 @@ object TextFunctions {
   }
 
   /** Rolling polynomial hash over the token stream (reference-style
-    * document fingerprint, SURVEY.md §2 #39). Arithmetic stays below
-    * 2^35 so it is safe under ANSI overflow checking.
+    * document fingerprint, SURVEY.md §2 #39). The per-token hash is the
+    * portable md5-prefix family ([[Hashing.portableHash]]), so DuckDB
+    * computes the identical fingerprint (`list_reduce` over
+    * `('0x'||substr(md5(t),1,8))::BIGINT % P`) — a full hash-matched
+    * oracle, not a rows-only check. Arithmetic stays below 2^36 so it
+    * is safe under ANSI overflow checking.
     */
   def fingerprint(toks: Column): Column = {
-    val p = lit(1000000007L)
-    aggregate(toks, lit(0L), (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), p), p))
+    val p = lit(Hashing.PortableP)
+    aggregate(toks, lit(0L), (acc, t) => pmod(acc * lit(31L) + Hashing.portableHash(t), p))
   }
 }

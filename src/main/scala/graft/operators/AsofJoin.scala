@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -28,9 +28,19 @@ import org.apache.spark.sql.functions._
   */
 object AsofJoin {
 
+  /** `tolerance`: optional upper bound on `leftTime - matchTime` — a
+    * match older than the tolerance is nulled out (pandas
+    * `merge_asof(tolerance=...)`). Because the carried right row is
+    * always the LATEST at-or-before, "latest within tolerance" and
+    * "latest, nulled when too old" coincide — so the bound is one
+    * post-window conditional, not a second join. Pass a literal in the
+    * time columns' difference type (an INTERVAL expr for timestamps, a
+    * long for numeric times).
+    */
   def asofJoin(left: DataFrame, right: DataFrame,
                key: String, leftTime: String, rightTime: String,
-               rightPayload: Seq[String]): DataFrame = {
+               rightPayload: Seq[String],
+               tolerance: Option[Column] = None): DataFrame = {
     val lCols = left.columns.toSeq
     val payloadT = struct(rightPayload.map(col): _*)
 
@@ -44,9 +54,17 @@ object AsofJoin {
 
     val w = Window.partitionBy(col(key)).orderBy(col("_t"), col("_src"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l.unionByName(r)
+    val matched = l.unionByName(r)
       .withColumn("_m", last(col("_p"), ignoreNulls = true).over(w))
-      .filter(col("_src") === 1)
+    // the matched row's own time rides the same window (same ordering →
+    // same row as _m), so the tolerance gate needs no extra pass
+    val gated = tolerance match {
+      case Some(tol) => matched
+        .withColumn("_mt", last(when(col("_src") === 0, col("_t")), ignoreNulls = true).over(w))
+        .withColumn("_m", when(col("_t") - col("_mt") <= tol, col("_m")))
+      case None => matched
+    }
+    gated.filter(col("_src") === 1)
       .select(lCols.map(col) ++ rightPayload.map(c => col(s"_m.$c").as(c)): _*)
   }
 }

@@ -65,13 +65,16 @@ object Dedup {
     * Returns (doc_a, doc_b, est_sim, rnk).
     *
     * The signature is computed in exploded form — one row per
-    * (doc, shingle), k codegen'd xxhash64 columns, k map-side-combined
-    * MIN aggregates — rather than k nested `transform(...)` higher-order
-    * calls over the shingle array. HOFs don't participate in whole-stage
-    * codegen and re-inline the O(len²) shingle-construction expression
-    * into every lambda (no CSE across lambda boundaries): the exploded
-    * shape measured ~50× faster at sf0.1 and keeps the partial-agg
-    * single-shuffle profile at any scale.
+    * (doc, shingle), ONE codegen'd md5 base hash plus k fused affine
+    * variants (`Hashing.affine`), k map-side-combined MIN aggregates —
+    * rather than k nested `transform(...)` higher-order calls over the
+    * shingle array. HOFs don't participate in whole-stage codegen and
+    * re-inline the O(len²) shingle-construction expression into every
+    * lambda (no CSE across lambda boundaries): the exploded shape
+    * measured ~50× faster at sf0.1 and keeps the partial-agg
+    * single-shuffle profile at any scale. The md5-based family is
+    * engine-portable, so the DuckDB oracle verifies this pipeline
+    * end-to-end (signatures, banding, capping, scoring).
     */
   def minhash(docs: DataFrame, k: Int = 16, topK: Int = 100, bandWidth: Int = 1,
               textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
@@ -79,7 +82,8 @@ object Dedup {
     val nbands = k / bandWidth
     val shingled = rebalance(docs, idCol).select(col(idCol).as("doc_id"),
       explode(array_distinct(T.wordNGrams(T.tokens(col(textCol)), 2))).as("sh"))
-    val mins = (0 until k).map(i => min(xxhash64(lit(i), col("sh"))).as(s"_m$i"))
+      .withColumn("h", Hashing.portableHash(col("sh")))
+    val mins = (0 until k).map(i => min(Hashing.affine(i, col("h"))).as(s"_m$i"))
     val sig = shingled.groupBy("doc_id").agg(mins.head, mins.tail: _*)
       .select(col("doc_id"), array((0 until k).map(i => col(s"_m$i")): _*).as("sig"))
 
@@ -152,13 +156,19 @@ object Dedup {
     * signed term-frequency sums (one shuffle, 64 map-side-combined
     * aggregates), sign → bit. Exposed so recall can be audited against
     * the exact Hamming distances.
+    *
+    * The 64-bit token hash is the first 64 bits of md5 assembled from
+    * two 32-bit halves (one md5 per distinct (doc, token) — Catalyst CSE
+    * dedups the two substring reads), so the DuckDB oracle can rebuild
+    * the identical signature from `substr(md5(tok), ...)`.
     */
   def simhashSignatures(docs: DataFrame,
                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val tf = rebalance(docs, idCol)
       .select(col(idCol).as("doc_id"), explode(T.tokens(col(textCol))).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
-      .withColumn("h", xxhash64(col("tok")))
+      .withColumn("h", shiftleft(Hashing.md5Long32(col("tok")), 32)
+        .bitwiseOR(Hashing.md5Long32b(col("tok"))))
     // per-bit signed sums: +cnt when the token hash has bit j set, -cnt
     // otherwise — one shuffle, 64 map-side-combined sums.
     val bitSums = (0 until 64).map { j =>

@@ -10,16 +10,22 @@ import org.apache.spark.sql.types._
   * metadata struct; decode/feature-extract runs batched inside
   * `mapPartitions`.
   *
-  * Two decode paths:
+  * Three decode paths:
   *  - IMAGE: a REAL PNG codec via the JDK's `javax.imageio` —
   *    [[withImagePayload]] renders deterministic grayscale PNGs (pixels
   *    = tiled text bytes, dims derived from the byte length) and
   *    [[decodeImageFeatures]] decodes them back to dimensions + pixel
   *    statistics. Lossless, so the oracle can predict every output.
+  *  - AUDIO: a REAL WAV codec via the JDK's `javax.sound.sampled` —
+  *    [[withAudioPayload]] wraps the text bytes as 8-bit unsigned PCM
+  *    mono samples in a WAV container and [[decodeAudioFeatures]] reads
+  *    them back through `AudioSystem` to sample count / rate / duration
+  *    / RMS amplitude. Lossless PCM, so the oracle predicts every
+  *    output from the text bytes.
   *  - GENERIC: [[withBinaryPayload]]/[[decodeFeatures]] keep the
   *    codec-free plumbing with a clearly-marked deterministic stub —
-  *    the shape an audio/video decoder (JNI ffmpeg frame sampler etc.,
-  *    no JDK codec exists) would plug into.
+  *    the shape a video decoder (JNI ffmpeg frame sampler etc., no JDK
+  *    codec exists) would plug into.
   */
 object Multimodal {
 
@@ -153,6 +159,78 @@ object Multimodal {
         batch.map { r =>
           val (w, h, feat) = decodePng(r.getAs[Array[Byte]](2))
           Row(r.getLong(0), r.getLong(1), w, h, feat)
+        }
+      }
+    }
+  }
+
+  // ---- real audio path (javax.sound.sampled WAV codec, JDK-only) ----
+
+  val audioSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_samples", LongType),
+    StructField("sample_rate", IntegerType),
+    StructField("duration_s", DoubleType),
+    StructField("rms", DoubleType)))
+
+  private val AudioRate = 8000f
+
+  /** Deterministic WAV for a byte payload: each byte is one 8-bit
+    * unsigned PCM mono sample at 8 kHz. Lossless, so decode recovers
+    * the exact sample stream the oracle predicts from the text.
+    */
+  private[operators] def encodeWav(bytes: Array[Byte]): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_UNSIGNED,
+      AudioRate, 8, 1, 1, AudioRate, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, bytes.length.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Real decode of one WAV through `AudioSystem`: frame count, sample
+    * rate, duration, RMS amplitude around the 8-bit-unsigned midpoint.
+    */
+  private[operators] def decodeWav(wav: Array[Byte]): (Long, Int, Double, Double) = {
+    import javax.sound.sampled._
+    val ais = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(wav))
+    val fmt = ais.getFormat
+    val n = ais.getFrameLength
+    val buf = ais.readAllBytes()
+    ais.close()
+    var ss = 0L
+    var i = 0
+    while (i < buf.length) { val a = (buf(i) & 0xff) - 128; ss += a.toLong * a; i += 1 }
+    val rms = if (buf.length == 0) 0.0 else math.sqrt(ss.toDouble / buf.length)
+    (n, fmt.getSampleRate.toInt, n.toDouble / fmt.getSampleRate.toDouble, rms)
+  }
+
+  /** Attach a REAL audio payload (batched mapPartitions, like the image
+    * path).
+    */
+  def withAudioPayload(docs: DataFrame, textCol: String = "text",
+                       idCol: String = "doc_id", binCol: String = "payload"): DataFrame = {
+    val in = docs.select(col(idCol), col(textCol).cast("binary").as("_raw"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField(binCol, BinaryType)))
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(schema))
+    in.mapPartitions { rows =>
+      rows.map(r => Row(r.getLong(0), encodeWav(r.getAs[Array[Byte]](1))))
+    }
+  }
+
+  /** Batched REAL audio decode over partitions → [[audioSchema]]. */
+  def decodeAudioFeatures(withPayload: DataFrame, batchSize: Int = 64,
+                          idCol: String = "doc_id", binCol: String = "payload"): DataFrame = {
+    val in = withPayload.select(col(idCol), col(binCol))
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(audioSchema))
+    in.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val (n, rate, dur, rms) = decodeWav(r.getAs[Array[Byte]](1))
+          Row(r.getLong(0), n, rate, dur, rms)
         }
       }
     }

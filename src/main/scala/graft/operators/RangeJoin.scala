@@ -30,20 +30,48 @@ object RangeJoin {
   private def bucketOf(t: Column, g: Long): Column =
     ((t - pmod(t, lit(g))) / lit(g)).cast("long")
 
-  /** Inner band join on `keyCols` with `|lTime - rTime| <= gap`.
+  /** Band join on `keyCols` with `|lTime - rTime| <= gap`.
     * `lTime`/`rTime` are long-valued event times (e.g. unix micros) in
     * the same unit as `gap`; non-key output columns of the two sides
     * must be disjoint.
+    *
+    * `how`: "inner" (default) or "left". The left-outer form cannot
+    * ride the probe explode directly (an unmatched left row appears
+    * under 3 probe buckets — a naive outer join would null-extend it 3
+    * times), so it is the inner join plus the unmatched remainder:
+    * match eligibility depends only on (keys, lTime), so the distinct
+    * qualifying key-times from a slim probe join select the remainder
+    * with one anti join — still hash-equi joins end to end, no
+    * nested-loop fallback, no uniqueness requirement on left rows.
     */
   def bandJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
-               lTime: String, rTime: String, gap: Long): DataFrame = {
+               lTime: String, rTime: String, gap: Long,
+               how: String = "inner"): DataFrame = {
     require(gap > 0, s"gap must be positive, got $gap")
+    require(how == "inner" || how == "left", s"bandJoin supports inner/left, got '$how'")
     val lb = left.withColumn("_b0", bucketOf(col(lTime), gap))
       .withColumn("_bucket", explode(array(col("_b0") - 1, col("_b0"), col("_b0") + 1)))
       .drop("_b0")
     val rb = right.withColumn("_bucket", bucketOf(col(rTime), gap))
-    lb.join(rb, keyCols :+ "_bucket")
+    val inner = lb.join(rb, keyCols :+ "_bucket")
       .filter(abs(col(lTime) - col(rTime)) <= gap)
       .drop("_bucket")
+    if (how == "inner") return inner
+
+    // distinct (keys, lTime) that found at least one in-band right row —
+    // the probe join runs over the slim key-time projection, not payloads
+    val lSlim = left.select((keyCols :+ lTime).map(col): _*).distinct()
+      .withColumn("_b0", bucketOf(col(lTime), gap))
+      .withColumn("_bucket", explode(array(col("_b0") - 1, col("_b0"), col("_b0") + 1)))
+      .drop("_b0")
+    val qualified = lSlim.join(rb.select((keyCols :+ rTime :+ "_bucket").map(col): _*),
+        keyCols :+ "_bucket")
+      .filter(abs(col(lTime) - col(rTime)) <= gap)
+      .select((keyCols :+ lTime).map(col): _*).distinct()
+    val rightOnly = right.columns.filterNot(left.columns.contains).toSeq
+    val unmatched = left.join(qualified, keyCols :+ lTime, "left_anti")
+      .select(left.columns.map(col) ++
+        rightOnly.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    inner.unionByName(unmatched)
   }
 }

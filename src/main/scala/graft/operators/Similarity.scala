@@ -43,11 +43,12 @@ object Similarity {
 
   /** IVF (inverted-file) ANN — the other standard scale path next to
     * LSH. Coarse quantizer: `ncells` centroids seeded from a
-    * deterministic corpus sample (smallest xxhash64(id), the
-    * library-standard random init made replayable), refined with ONE
-    * Lloyd step (assign → per-cell mean). Corpus vectors live in
-    * exactly one cell; queries probe their `nprobe` nearest cells and
-    * rerank exactly inside them.
+    * deterministic corpus sample (smallest md5(id) — the
+    * library-standard random init made replayable AND engine-portable,
+    * so the DuckDB oracle rebuilds the identical quantizer), optionally
+    * refined with `lloydSteps` Lloyd steps (assign → per-cell mean).
+    * Corpus vectors live in exactly one cell; queries probe their
+    * `nprobe` nearest cells and rerank exactly inside them.
     *
     * The centroid table is a MODEL ARTIFACT of ncells×dim floats —
     * standard IVF (and Spark ML's own KMeans) holds it on the driver.
@@ -58,15 +59,20 @@ object Similarity {
     * hash-aggregable, so the aggregating formulation sorts
     * corpus×ncells rows three times over).
     *
+    * `lloydSteps = 0` keeps the centroids EXACTLY the seed vectors —
+    * the fully-reproducible quantizer the correctness oracle uses
+    * (float means introduce engine/aggregation-order-dependent last-bit
+    * drift); refined centroids are a quality knob, not a contract.
+    *
     * Scale shape: quantizer build is one map-only pass + one
-    * map-side-combined `dim`-column mean (partials are ncells×dim
-    * doubles per partition); search shuffles the corpus ONCE on cell id
-    * (queries replicate nprobe×, the corpus never replicates).
-    * Candidates per query ≈ nprobe/ncells of the corpus instead of all
-    * of it. Returns (query_id, neighbor_id, cos, rank).
+    * map-side-combined `dim`-column mean per Lloyd step (partials are
+    * ncells×dim doubles per partition); search shuffles the corpus ONCE
+    * on cell id (queries replicate nprobe×, the corpus never
+    * replicates). Candidates per query ≈ nprobe/ncells of the corpus
+    * instead of all of it. Returns (query_id, neighbor_id, cos, rank).
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
-              ncells: Int = 16, nprobe: Int = 4, dim: Int = 64,
+              ncells: Int = 16, nprobe: Int = 4, lloydSteps: Int = 1,
               vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     val c = rebalance(corpus, idCol)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
@@ -81,18 +87,23 @@ object Similarity {
 
     // --- coarse quantizer -------------------------------------------------
     val seeds: Seq[Seq[Float]] = corpus
-      .select(col(vecCol).as("v"), xxhash64(col(idCol)).as("h"), col(idCol).as("i"))
+      .select(col(vecCol).as("v"), md5(col(idCol).cast("string")).as("h"), col(idCol).as("i"))
       .orderBy(col("h"), col("i")).limit(ncells)
       .collect().map(_.getSeq[Float](0).toSeq).toSeq
     require(seeds.nonEmpty, "ivfTopK: empty corpus")
-    // one Lloyd step: per-cell mean as `dim` element_at averages in one
+    // embedding width comes from the data itself (was a caller-supplied
+    // `dim` that silently truncated or NPE'd when wrong)
+    val dim = seeds.head.length
+    // Lloyd steps: per-cell mean as `dim` element_at averages in one
     // pass over corpus rows (empty cells drop out; cells renumber)
-    val centroids: Seq[Seq[Float]] = c
-      .groupBy(cellOf(col("cv"), seeds).as("cell"))
-      .agg(avg(element_at(col("cv"), 1)).as("_m0"),
-           (1 until dim).map(i => avg(element_at(col("cv"), i + 1)).as(s"_m$i")): _*)
-      .orderBy("cell")
-      .collect().map(r => (0 until dim).map(i => r.getDouble(i + 1).toFloat).toSeq).toSeq
+    val centroids: Seq[Seq[Float]] =
+      (0 until lloydSteps).foldLeft(seeds) { (cents, _) =>
+        c.groupBy(cellOf(col("cv"), cents).as("cell"))
+          .agg(avg(element_at(col("cv"), 1)).as("_m0"),
+               (1 until dim).map(i => avg(element_at(col("cv"), i + 1)).as(s"_m$i")): _*)
+          .orderBy("cell")
+          .collect().map(r => (0 until dim).map(i => r.getDouble(i + 1).toFloat).toSeq).toSeq
+      }
 
     // --- search -----------------------------------------------------------
     val cells = c.withColumn("cell", cellOf(col("cv"), centroids))

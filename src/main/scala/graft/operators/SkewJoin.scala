@@ -35,6 +35,10 @@ object SkewJoin {
                      hotThreshold: Long = 1L << 20): DataFrame = {
     require(nsalts > 0, "nsalts must be positive")
     require(hotThreshold > 0, "hotThreshold must be positive")
+    // right/full outer would emit every unmatched replicated hot-right
+    // row nsalts times — fail fast instead of silently duplicating
+    require(how == "inner" || how == "left",
+      s"saltedEquiJoin supports inner/left only, got '$how'")
     val hot = left.groupBy(col(leftKey)).agg(count(lit(1)).as("_cnt"))
       .filter(col("_cnt") > hotThreshold)
       .select(col(leftKey).as("_hk"))

@@ -37,20 +37,8 @@ case class HyperplaneBucket(child: Expression, nbits: Int, dim: Int, seed: Int =
   /** signs(p*dim + d) ∈ {+1.0, -1.0}; @transient lazy so the executor
     * side rebuilds it deterministically after serialization.
     */
-  @transient private lazy val signs: Array[Double] = {
-    val a = new Array[Double](nbits * dim)
-    var p = 0
-    while (p < nbits) {
-      val hp = XXH64.hashInt(p, XXH64.hashInt(seed, 42L))
-      var d = 0
-      while (d < dim) {
-        a(p * dim + d) = if (XXH64.hashInt(d, hp) >= 0L) 1.0 else -1.0
-        d += 1
-      }
-      p += 1
-    }
-    a
-  }
+  @transient private lazy val signs: Array[Double] =
+    HyperplaneBucket.signMatrix(nbits, dim, seed)
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
@@ -94,4 +82,26 @@ case class HyperplaneBucket(child: Expression, nbits: Int, dim: Int, seed: Int =
     copy(child = newChild)
 
   override def prettyName: String = "vec_hyperplane_bucket"
+}
+
+object HyperplaneBucket {
+  /** The plan-time Rademacher sign matrix, exposed so the oracle-SQL
+    * generator can inline the EXACT same constants into DuckDB SQL
+    * (the matrix is a deterministic function of (nbits, dim, seed) —
+    * per-plane/dim hashes never depend on the data).
+    */
+  def signMatrix(nbits: Int, dim: Int, seed: Int): Array[Double] = {
+    val a = new Array[Double](nbits * dim)
+    var p = 0
+    while (p < nbits) {
+      val hp = XXH64.hashInt(p, XXH64.hashInt(seed, 42L))
+      var d = 0
+      while (d < dim) {
+        a(p * dim + d) = if (XXH64.hashInt(d, hp) >= 0L) 1.0 else -1.0
+        d += 1
+      }
+      p += 1
+    }
+    a
+  }
 }

@@ -281,9 +281,16 @@ object Events {
       .flatMapGroupsWithState[SessState, Session](OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, events: Iterator[UserEvent], state: GroupState[SessState]) =>
           if (state.hasTimedOut) {
-            // open session already emitted in its final version on the
-            // batch that last touched it — just drop the state.
-            state.remove()
+            // The open session was already emitted in its final version
+            // on the batch that last touched it, so nothing to emit —
+            // but the state must NOT be removed wholesale: a user who
+            // returns later would restart numbering at 1 and the
+            // downstream (user_id, session_id) upsert/MERGE would fuse
+            // the new session with the old one of the same id. Keep a
+            // TOMBSTONE carrying nClosed (one int per user — bounded)
+            // with the timed-out open session folded into the count.
+            val st = state.getOption.getOrElse(SessState(0, None))
+            state.update(SessState(st.nClosed + st.open.size, None))
             Iterator.empty
           } else {
             val st = state.getOption.getOrElse(SessState(0, None))

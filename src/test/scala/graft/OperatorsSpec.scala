@@ -178,7 +178,7 @@ class OperatorsSpec extends SparkSpec {
 
   test("IVF ANN finds the identical vector (same cell, cos 1.0, rank 1)") {
     val out = Similarity.ivfTopK(vecs, vecs.filter(col("vec_id") === 1),
-      k = 3, ncells = 2, nprobe = 1, dim = 8)
+      k = 3, ncells = 2, nprobe = 1)
     val rows = out.collect().sortBy(_.getAs[Int]("rank"))
     rows.map(_.getAs[Long]("neighbor_id")) should contain(2L) // identical vec
     rows.head.getAs[Double]("cos") shouldBe 1.0 +- 1e-12
