@@ -240,6 +240,53 @@ class OperatorsSpec extends SparkSpec {
       .agg(sum("n_docs")).head().getLong(0) shouldBe 40L
   }
 
+  test("audio path: WAV encode → real AudioSystem decode recovers samples, rate, RMS") {
+    val out = Multimodal.decodeAudioFeatures(Multimodal.withAudioPayload(docs), batchSize = 2)
+    out.schema shouldBe Multimodal.audioSchema
+    val rows = out.collect()
+    rows.length shouldBe 5
+    val r1 = rows.find(_.getLong(0) == 1L).get
+    val bytes1 = docs.filter(col("doc_id") === 1).select("text").as[String].head()
+      .getBytes("UTF-8")
+    r1.getAs[Long]("n_samples") shouldBe bytes1.length.toLong
+    r1.getAs[Int]("sample_rate") shouldBe 8000
+    r1.getAs[Double]("duration_s") shouldBe bytes1.length / 8000.0
+    val expectRms = math.sqrt(
+      bytes1.map(b => { val a = (b & 0xff) - 128; a.toLong * a }).sum.toDouble / bytes1.length)
+    r1.getAs[Double]("rms") shouldBe expectRms
+  }
+
+  test("left band join keeps unmatched left rows once, with null right columns") {
+    val left = Seq((1L, 100L, "a"), (1L, 500L, "b"), (2L, 100L, "c")).toDF("k", "lt", "ltag")
+    val right = Seq((1L, 150L, 1.0), (3L, 100L, 9.0)).toDF("k", "rt", "rv")
+    val out = RangeJoin.bandJoin(left, right, Seq("k"), "lt", "rt", 100L, how = "left")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), if (r.isNullAt(4)) -1.0 else r.getDouble(4)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    out shouldBe Seq(
+      (1L, 100L, "a", 150L, 1.0),   // matched within gap
+      (1L, 500L, "b", -1L, -1.0),   // same key, no right row in band
+      (2L, 100L, "c", -1L, -1.0))   // key absent on the right
+    // and the left form agrees with the brute-force outer theta join
+    val brute = left.join(right,
+        left("k") === right("k") && abs(col("lt") - col("rt")) <= 100L, "left")
+      .select(left("k"), col("lt"), col("ltag"), col("rt"), col("rv"))
+    canon(RangeJoin.bandJoin(left, right, Seq("k"), "lt", "rt", 100L, how = "left")) shouldBe
+      canon(brute)
+  }
+
+  test("asof tolerance nulls matches older than the bound, keeps fresh ones") {
+    val clicks = Seq((1L, 100L), (1L, 300L)).toDF("u", "t")
+    val buys = Seq((1L, 90L), (1L, 110L)).toDF("u", "bt")
+    // latest at-or-before 300 is bt=110 (190 old) → nulled by tolerance 50;
+    // latest at-or-before 100 is bt=90 (10 old) → kept
+    val out = AsofJoin.asofJoin(clicks, buys, "u", "t", "bt", Seq("bt"),
+        tolerance = Some(lit(50L)))
+      .collect().map(r => (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .sortBy(_._1).toSeq
+    out shouldBe Seq((100L, 90L), (300L, -1L))
+  }
+
   test("bandJoin matches the brute-force theta join, including bucket boundaries") {
     val rnd = new scala.util.Random(42)
     // times clustered so bands actually overlap, plus exact-boundary cases

@@ -109,6 +109,17 @@ class PlanSpec extends SparkSpec {
     (plan("q46_split_hash") should not).include("Exchange")
   }
 
+  test("q44 repetition rebalance is a pinned-count repartition (AQE cannot coalesce it away)") {
+    // a bare repartition(col) is REPARTITION_BY_COL — a coalescible
+    // shuffle AQE merges to few partitions on small byte sizes, starving
+    // the CPU-heavy tokenize/explode stage; the pinned form is
+    // REPARTITION_BY_NUM and survives (the origin tag rides the physical
+    // Exchange node)
+    val p = plan("q44_text_repetition")
+    p should include("REPARTITION_BY_NUM")
+    (p should not).include("REPARTITION_BY_COL")
+  }
+
   test("q45 packing is one shard-partitioned window: a single exchange, keyed on shard") {
     val p = plan("q45_pack_sequences")
     p should include("Exchange hashpartitioning(shard")

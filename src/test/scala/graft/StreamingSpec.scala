@@ -118,6 +118,45 @@ class StreamingSpec extends SparkSpec {
     canon(streamed) shouldBe canon(batchSessions(dir))
   }
 
+  test("sessionize numbering survives a state timeout: a returning user continues, never collides") {
+    import java.nio.file.Files
+    import java.nio.file.attribute.FileTime
+    import spark.implicits._
+    val HOUR = 3600L * 1000 * 1000
+    // three micro-batches (ns-long ts, one file each, mtimes ascending;
+    // times start at 1h — an epoch-0 event would be dropped by the
+    // initial watermark's <= 0 late-data predicate):
+    //  f0: user 1 @ [1h, 1h+5min]    → session 1 opens
+    //  f1: user 2 @ 4h               → watermark ≈ 4h-10min ≫ session 1
+    //                                   end + 30min gap → user 1's state
+    //                                   TIMES OUT
+    //  f2: user 1 returns @ 5h       → must become session 2 (a tombstone
+    //                                   keeps nClosed; wholesale
+    //                                   state.remove() would reissue id 1
+    //                                   and the upsert would fuse both
+    //                                   sessions into one corrupted row)
+    val batches = Seq(
+      Seq((1L, 1L * HOUR), (1L, 1L * HOUR + 5L * 60 * 1000 * 1000)),
+      Seq((2L, 4L * HOUR)),
+      Seq((1L, 5L * HOUR), (2L, 5L * HOUR + 1)))
+    val dir = Files.createTempDirectory("graft_timeout_")
+    batches.zipWithIndex.foreach { case (evs, i) =>
+      val stage = dir.resolve(s"stage$i")
+      evs.map { case (u, us) => (u, us * 1000, "click", 1.0) }
+        .toDF("user_id", "ts", "event_type", "value")
+        .coalesce(1).write.parquet(stage.toString)
+      val part = Files.list(stage).filter(_.getFileName.toString.endsWith(".parquet")).findFirst.get
+      val target = dir.resolve(f"f$i%02d.parquet")
+      Files.move(part, target)
+      Files.setLastModifiedTime(target, FileTime.fromMillis(System.currentTimeMillis() - 60000 + i * 10000))
+    }
+    val got = Events.sessionize(spark, dir.toString, maxFilesPerTrigger = Some(1))
+      .filter(col("user_id") === 1L)
+      .select(col("session_id"), col("n_events"), unix_micros(col("session_start")).as("s"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    got shouldBe Seq((1, 2L, 1L * HOUR), (2, 1L, 5L * HOUR))
+  }
+
   test("production hourly path: watermarked append to parquet emits only sealed, exact windows") {
     import java.nio.file.Files
     val dir = timeSplitDir(s"$sfDir/events.parquet", 2)

@@ -21,6 +21,12 @@ class TafraSpec extends SparkSpec {
     t.columns shouldBe Seq("name", "id")
   }
 
+  test("shape / size / ndim metadata (reference base.py:1182-1226)") {
+    people.shape shouldBe ((4L, 4))
+    people.size shouldBe 16L
+    people.ndim shouldBe 2
+  }
+
   test("select of unknown column fails like the reference KeyError") {
     val e = intercept[IllegalArgumentException](people.select(Seq("nope")))
     e.getMessage should include("nope")
