@@ -79,13 +79,39 @@ object Events {
     // 8 partitions, not the session's CPU-sized default (measured
     // multi-second commit overhead otherwise). Production (runToFiles)
     // keeps the session setting: at real scale state is what's big.
+    //
+    // Two more harness-only floor cuts (results verified identical):
+    //  - checkpoint on tmpfs when available: every micro-batch fsyncs
+    //    offset/commit logs + one state-store delta per partition; the
+    //    throwaway oracle harness shouldn't pay disk latency for them.
+    //    Production (runToFiles) takes the caller's durable location.
+    //  - no trailing no-data micro-batches: every plan here emits its
+    //    rows in the batch that carries them (complete/update modes,
+    //    in-watermark dedup, inner join on match); the extra empty
+    //    batch only advances state cleanup, which stops mattering the
+    //    moment the harness query stops.
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val ckpt = if (java.nio.file.Files.isWritable(shm))
+      Some(java.nio.file.Files.createTempDirectory(shm, "graft_ckpt_")) else None
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try {
-      val q = agg.writeStream.outputMode(mode).format("memory").queryName(name).start()
+      val w0 = agg.writeStream.outputMode(mode).format("memory").queryName(name)
+      val w = ckpt.fold(w0)(p => w0.option("checkpointLocation", p.toString))
+      val q = w.start()
       q.processAllAvailable()
       q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+      ckpt.foreach { p =>
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+    }
     spark.table(name)
   }
 
