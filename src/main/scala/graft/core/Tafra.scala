@@ -318,6 +318,10 @@ final class Tafra(val df: DataFrame) extends Serializable {
   // ---- dict-like surface (base.py:1395-1428 keys/values/items/get) ----
 
   def keys: Seq[String] = columns
+  /** Reference `data` property (base.py:1150): the name→values map.
+    * Driver-side like all exports.
+    */
+  def data: Map[String, Array[Any]] = toColumnMap()
   def values: Seq[Array[Any]] = itercols.map(_._2).toSeq
   def items: Seq[(String, Array[Any])] = itercols.toSeq
   def get(key: String): Option[Array[Any]] =

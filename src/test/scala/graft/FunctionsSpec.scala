@@ -51,6 +51,19 @@ class FunctionsSpec extends SparkSpec {
     all(fps) should (be >= 0L and be < 1000000007L)
   }
 
+  test("portable hash primitives pin their engine-portable definition (md5 prefix bits)") {
+    // md5("hello") = 5d41402abc4b2a76b9719d911017c592:
+    // first 8 hex = 0x5d41402a, next 8 = 0xbc4b2a76 — the exact values
+    // any engine computes from substr(md5(x)) (regression guard for the
+    // DuckDB oracle contract)
+    Seq("hello").toDF("t").select(Hashing.md5Long32(col("t"))).as[Long].head() shouldBe 0x5d41402aL
+    Seq("hello").toDF("t").select(Hashing.md5Long32b(col("t"))).as[Long].head() shouldBe 0xbc4b2a76L
+    val base = 0x5d41402aL % Hashing.PortableP
+    val got = Seq("hello").toDF("t")
+      .select(Hashing.affine(1, Hashing.portableHash(col("t")))).as[Long].head()
+    got shouldBe (Hashing.affineA(1) * base + Hashing.affineB(1)) % Hashing.PortableP
+  }
+
   test("minhash signature: k components, equal sets agree, supersets dominate") {
     val df = Seq(Seq("x", "y", "z"), Seq("x", "y", "z"), Seq("x", "y", "z", "w"))
       .toDF("sh").select(Hashing.minhashSignature(col("sh"), 8).as("sig"))

@@ -126,4 +126,26 @@ class PlanSpec extends SparkSpec {
     p.sliding("Exchange".length).count(_ == "Exchange") shouldBe 1
   }
 
+  test("q50 audio codec pipeline: exactly one pinned rebalance exchange, codec chained map-side") {
+    val p = plan("q50_audio")
+    p should include("REPARTITION_BY_NUM")
+    p.sliding("Exchange".length).count(_ == "Exchange") shouldBe 1
+  }
+
+  test("q51 hash sampling is map-only: membership is a per-row expression, no exchange") {
+    (plan("q51_sample_hash") should not).include("Exchange")
+  }
+
+  test("q52 left band join stays hash-equi end to end (inner + anti remainder, no NL join)") {
+    val p = plan("q52_band_left")
+    (p should not).include("BroadcastNestedLoopJoin")
+    (p should not).include("CartesianProduct")
+  }
+
+  test("q53 as-of with tolerance is window-based: one key shuffle, no pair join at all") {
+    val p = plan("q53_asof_tolerance")
+    p should include("Exchange hashpartitioning(user_id")
+    (p should not).include("Join")
+  }
+
 }
