@@ -250,7 +250,22 @@ object Dedup {
     */
   def components(pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
                  maxIter: Int = 25): DataFrame = {
+    val spark = pairs.sparkSession
     val p = pairs.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b")).persist()
+    // Size the loop's shuffles to the PAIR LIST, not the session default:
+    // the input is a derived artifact usually orders of magnitude smaller
+    // than the corpus (candidate caps/topK bound it), and each of the
+    // O(log d) rounds schedules ~3 shuffling jobs — at 32 partitions a
+    // 100-edge list pays hundreds of empty tasks per query. One partition
+    // per ~100k edges (floor 1) keeps tiny lists at 1-2 tasks per job and
+    // grows back to full parallelism for a billion-edge list. Session
+    // conf is restored after; the loop is the only consumer in between
+    // (the same set/restore pattern as the streaming test harness).
+    val nEdges = p.count()
+    val prevPart = spark.conf.get("spark.sql.shuffle.partitions")
+    val nPart = math.max(1L, math.min(prevPart.toLong, nEdges / 100000L + 1L))
+    spark.conf.set("spark.sql.shuffle.partitions", nPart.toString)
+    try {
     val edges = p.select(col("a").as("s"), col("b").as("d"))
       .unionByName(p.select(col("b").as("s"), col("a").as("d")))
       .distinct().persist()
@@ -278,6 +293,7 @@ object Dedup {
     }
     edges.unpersist()
     labels.select(col("node"), col("lbl").as("component"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevPart)
   }
 
   /** Dedup keep/drop decision per document: the keeper of each
