@@ -263,7 +263,9 @@ object Dedup {
     // (the same set/restore pattern as the streaming test harness).
     val nEdges = p.count()
     val prevPart = spark.conf.get("spark.sql.shuffle.partitions")
-    val nPart = math.max(1L, math.min(prevPart.toLong, nEdges / 100000L + 1L))
+    // floor 4: a single-task round has zero slack against one slow
+    // executor/core; a handful of tiny tasks costs nothing
+    val nPart = math.max(4L, math.min(prevPart.toLong, nEdges / 100000L + 1L))
     spark.conf.set("spark.sql.shuffle.partitions", nPart.toString)
     try {
     val edges = p.select(col("a").as("s"), col("b").as("d"))
