@@ -77,7 +77,18 @@ object Dedup {
     * end-to-end (signatures, banding, capping, scoring).
     */
   def minhash(docs: DataFrame, k: Int = 16, topK: Int = 100, bandWidth: Int = 1,
-              textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+              textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    topKRanked(minhashPairs(docs, k, bandWidth, textCol, idCol), topK,
+      col("est_sim").desc, col("doc_a"), col("doc_b"))
+
+  /** The unranked pair stage of [[minhash]]: every candidate pair with
+    * its band-collision similarity estimate. This is what a DEDUP run
+    * consumes (all pairs above a threshold) — ranking/limiting is a
+    * reporting concern, and skipping it keeps the whole-corpus path
+    * free of any global sort.
+    */
+  def minhashPairs(docs: DataFrame, k: Int = 16, bandWidth: Int = 1,
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(k % bandWidth == 0, s"k=$k not divisible by bandWidth=$bandWidth")
     val nbands = k / bandWidth
     val shingled = rebalance(docs, idCol).select(col(idCol).as("doc_id"),
@@ -108,11 +119,28 @@ object Dedup {
 
     val a = capped.select(col("band"), col("bandval"), col("doc_id").as("doc_a"))
     val b = capped.select(col("band"), col("bandval"), col("doc_id").as("doc_b"))
-    val pairs = a.join(b, Seq("band", "bandval")).filter(col("doc_a") < col("doc_b"))
+    a.join(b, Seq("band", "bandval")).filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg((count(lit(1)) / nbands.toDouble).as("est_sim"))
+  }
 
-    topKRanked(pairs, topK, col("est_sim").desc, col("doc_a"), col("doc_b"))
+  /** End-to-end near-dup dedup DECISION for a corpus (SURVEY.md §2
+    * #30b): candidate pairs with estimated similarity ≥ `minSim`
+    * ([[minhashPairs]] — no ranking, no global sort), clustered into
+    * components, keeper = minimum doc id per component. Returns the
+    * input with a boolean `keep` column (documents in no qualifying
+    * pair keep trivially) — `docs.filter(col("keep"))` IS the deduped
+    * corpus. The join back is on the id key the corpus is already
+    * hash-partitioned on from the signature stage.
+    */
+  def dedupCorpus(docs: DataFrame, minSim: Double = 0.5, k: Int = 16, bandWidth: Int = 1,
+                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val pairs = minhashPairs(docs, k, bandWidth, textCol, idCol)
+      .filter(col("est_sim") >= minSim)
+    val drops = keepList(pairs).filter(!col("keep"))
+      .select(col("node").as(idCol), lit(true).as("_drop"))
+    docs.join(drops, Seq(idCol), "left")
+      .withColumn("keep", col("_drop").isNull).drop("_drop")
   }
 
   /** SimHash near-dup (#31): 64-bit simhash of the term-frequency

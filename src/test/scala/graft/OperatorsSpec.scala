@@ -98,6 +98,14 @@ class OperatorsSpec extends SparkSpec {
     near.getAs[Double]("jaccard") shouldBe (6.0 / 12.0) +- 1e-12
   }
 
+  test("dedupCorpus flags near-dups for dropping, keeps one per group and all singletons") {
+    val out = Dedup.dedupCorpus(docs).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("keep"))).toMap
+    // 4 duplicates 1 (dropped), 5 near-dups 2 (dropped); 1, 2, 3 keep
+    out shouldBe Map(1L -> true, 2L -> true, 3L -> true, 4L -> false, 5L -> false)
+    Dedup.dedupCorpus(docs).columns should contain allOf ("doc_id", "text", "keep")
+  }
+
   test("components groups a chain and an island; keepList keeps component minima") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 3L)).toDF("doc_a", "doc_b")
     val comp = Dedup.components(pairs).collect()
