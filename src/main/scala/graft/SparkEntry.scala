@@ -578,6 +578,15 @@ object SparkEntry {
           timestamp_micros(col("buy_us")).as("buy_ts"), col("buy_value"))
     }),
 
+    // §2#40c video-container modality: index header over REAL PNG
+    // frames; every 2nd frame is sought via the index and decoded
+    // (unsampled frames are never parsed) — demux, stride sampling,
+    // and per-frame codec work are genuine, and the oracle predicts
+    // frame counts, dims, and pixel statistics from the text.
+    "q54_video" -> ((s, dir) =>
+      operators.Multimodal.decodeVideoFeatures(
+        operators.Multimodal.withVideoPayload(t(s, dir, "documents").df))),
+
     // §2#42b as-of join with tolerance: matches older than 10 minutes
     // are nulled (pandas merge_asof tolerance semantics).
     "q53_asof_tolerance" -> ((s, dir) => {
@@ -785,6 +794,40 @@ object SparkEntry {
     "q51_sample_hash" ->
       """SELECT doc_id, source FROM documents
          WHERE substr(md5('0' || chr(0) || CAST(doc_id AS VARCHAR)), 1, 4) < '4000'""",
+
+    // frame layout mirror of Multimodal.encodeVideo/decodeVideo
+    // (stride 2): nf = min(n/64+1, 8) frames, last takes the
+    // remainder; dims flen%320+1 × flen%240+1; pixels tile the slice
+    // bytes, so pixel sums are cycles·sliceSum + prefixSum(rem)
+    "q54_video" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+         fr AS (
+           SELECT doc_id, text, n, least(n // 64 + 1, 8) AS nf,
+             unnest(generate_series(0, least(n // 64 + 1, 8) - 1)) AS f
+           FROM d),
+         fx AS (
+           SELECT doc_id, text, nf, f,
+             CASE WHEN f < nf - 1 THEN 64 ELSE n - 64 * (nf - 1) END AS flen
+           FROM fr WHERE f % 2 = 0),
+         px AS (
+           SELECT doc_id, nf,
+             CASE WHEN flen = 0 THEN CAST(1 AS BIGINT)
+                  ELSE CAST((flen % 320 + 1) * (flen % 240 + 1) AS BIGINT) END AS pix,
+             CASE WHEN flen = 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST(((flen % 320 + 1) * (flen % 240 + 1)) // flen AS BIGINT)
+                       * list_sum([ord(substr(text, 64 * f + j, 1))
+                                   for j in generate_series(1, flen)])
+                       + COALESCE(list_sum([ord(substr(text, 64 * f + j, 1))
+                                   for j in generate_series(1,
+                                     ((flen % 320 + 1) * (flen % 240 + 1)) % flen)]), 0)
+             END AS psum
+           FROM fx)
+         SELECT doc_id, CAST(MAX(nf) AS INT) AS n_frames,
+           CAST(COUNT(*) AS INT) AS n_sampled,
+           CAST(SUM(pix) AS BIGINT) AS sampled_pixels,
+           CASE WHEN SUM(pix) = 0 THEN 0.0
+                ELSE CAST(SUM(psum) AS DOUBLE) / CAST(SUM(pix) AS DOUBLE) END AS mean_sampled
+         FROM px GROUP BY doc_id""",
 
     "q52_band_left" ->
       """WITH e AS (SELECT user_id, event_type, epoch_ns(ts)//1000 AS tus, value FROM events),

@@ -264,6 +264,32 @@ class OperatorsSpec extends SparkSpec {
     r1.getAs[Double]("rms") shouldBe expectRms
   }
 
+  test("video path: PNG-frame container → index seek → stride-sampled real decode") {
+    val out = Multimodal.decodeVideoFeatures(Multimodal.withVideoPayload(docs), stride = 2)
+    out.schema shouldBe Multimodal.videoSchema
+    val r1 = out.collect().find(_.getLong(0) == 1L).get
+    val bytes1 = docs.filter(col("doc_id") === 1).select("text").as[String].head()
+      .getBytes("UTF-8")
+    val n = bytes1.length
+    val nf = math.min(n / 64 + 1, 8)
+    r1.getAs[Int]("n_frames") shouldBe nf
+    val sampledIdx = 0 until nf by 2
+    r1.getAs[Int]("n_sampled") shouldBe sampledIdx.size
+    // expected pixel stats from the tiled-byte frames (PNG is lossless)
+    var pixels = 0L; var psum = 0L
+    for (f <- sampledIdx) {
+      val flen = if (f < nf - 1) 64 else n - 64 * (nf - 1)
+      val (w, h) = (flen % 320 + 1, flen % 240 + 1)
+      if (flen == 0) pixels += 1
+      else {
+        pixels += w * h
+        for (i <- 0 until w * h) psum += bytes1(64 * f + i % flen) & 0xff
+      }
+    }
+    r1.getAs[Long]("sampled_pixels") shouldBe pixels
+    r1.getAs[Double]("mean_sampled") shouldBe psum.toDouble / pixels.toDouble
+  }
+
   test("left band join keeps unmatched left rows once, with null right columns") {
     val left = Seq((1L, 100L, "a"), (1L, 500L, "b"), (2L, 100L, "c")).toDF("k", "lt", "ltag")
     val right = Seq((1L, 150L, 1.0), (3L, 100L, 9.0)).toDF("k", "rt", "rv")
