@@ -132,6 +132,12 @@ class PlanSpec extends SparkSpec {
     p.sliding("Exchange".length).count(_ == "Exchange") shouldBe 1
   }
 
+  test("q54 video pipeline: exactly one pinned rebalance exchange, demux+decode chained map-side") {
+    val p = plan("q54_video")
+    p should include("REPARTITION_BY_NUM")
+    p.sliding("Exchange".length).count(_ == "Exchange") shouldBe 1
+  }
+
   test("q51 hash sampling is map-only: membership is a per-row expression, no exchange") {
     (plan("q51_sample_hash") should not).include("Exchange")
   }
