@@ -70,7 +70,7 @@ object RangeJoin {
       .select((keyCols :+ lTime).map(col): _*).distinct()
     val rightOnly = right.columns.filterNot(left.columns.contains).toSeq
     val unmatched = left.join(qualified, keyCols :+ lTime, "left_anti")
-      .select(left.columns.map(col) ++
+      .select(left.columns.toSeq.map(col) ++
         rightOnly.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
     inner.unionByName(unmatched)
   }

@@ -49,7 +49,7 @@ object SkewJoin {
     val rCold = right.join(broadcast(hot), right(rightKey) === col("_hk"), "left_anti")
 
     val ls = lHot.withColumn("_graft_salt",
-      pmod(xxhash64(lHot.columns.map(col): _*), lit(nsalts.toLong)).cast("int"))
+      pmod(xxhash64(lHot.columns.toSeq.map(col): _*), lit(nsalts.toLong)).cast("int"))
     val rs = rHot.withColumn("_graft_salt",
       explode(array((0 until nsalts).map(lit): _*)))
     val salted = ls.join(rs,

@@ -326,7 +326,7 @@ object Events {
               // timeout must sit above the current watermark or Spark
               // rejects it (an old user's end+gap can trail the stream)
               state.setTimeoutTimestamp(
-                math.max(o.end_us / 1000 + gapUs / 1000, state.getCurrentWatermarkMs + 1))
+                math.max(o.end_us / 1000 + gapUs / 1000, state.getCurrentWatermarkMs() + 1))
             }
             out.iterator
           }
