@@ -598,6 +598,31 @@ object SparkEntry {
       operators.AsofJoin.asofJoin(clicks, buys,
         "user_id", "click_ts", "buy_ts", Seq("buy_ts", "buy_value"),
         tolerance = Some(expr("INTERVAL '10' MINUTE")))
+    }),
+
+    // §2#30c chunk-level exact dedup: drop every 10-token aligned chunk
+    // seen earlier in the corpus (min doc_id, then position), rebuild
+    // each document from its surviving chunks.
+    "q55_chunk_dedup" -> ((s, dir) =>
+      operators.Dedup.chunkDedup(t(s, dir, "documents").df, chunkTokens = 10)),
+
+    // §2#30d benchmark decontamination: train docs (doc_id % 10 != 0)
+    // flagged by 8-gram overlap with the eval split (doc_id % 10 == 0).
+    "q56_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      operators.Dedup.decontaminate(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0), n = 8)
+    }),
+
+    // §2#30e incremental batch-vs-corpus dedup: the batch (doc_id % 5
+    // == 0) checked against the standing corpus (rest) on the
+    // token-set key, bloom-prefiltered, exact-confirmed.
+    "q57_dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      operators.Dedup.dedupAgainst(
+        docs.filter(col("doc_id") % 5 === 0),
+        docs.filter(col("doc_id") % 5 =!= 0))
     })
   )
 
@@ -1069,6 +1094,61 @@ object SparkEntry {
          c AS (SELECT user_id, tus AS click_ts, value AS click_value FROM e WHERE event_type = 'click'),
          b AS (SELECT user_id, tus AS buy_ts, value AS buy_value FROM e WHERE event_type = 'purchase')
          SELECT c.user_id, click_ts, click_value, buy_ts, buy_value
-         FROM c ASOF LEFT JOIN b ON c.user_id = b.user_id AND b.buy_ts <= c.click_ts"""
+         FROM c ASOF LEFT JOIN b ON c.user_id = b.user_id AND b.buy_ts <= c.click_ts""",
+
+    // aligned 10-token chunks; first occurrence (doc_id, pos) wins;
+    // documents rebuilt from surviving chunks in position order
+    "q55_chunk_dedup" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
+         ch AS (
+           SELECT doc_id, i - 1 AS pos, array_to_string(w[(i-1)*10+1 : i*10], ' ') AS chunk
+           FROM toks, unnest(generate_series(1, 1000)) AS t(i)
+           WHERE i <= CAST(ceil(len(w) / 10.0) AS BIGINT)),
+         keep AS (
+           SELECT doc_id, pos, chunk,
+             ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+           FROM ch),
+         reb AS (
+           SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(chunk, ' ' ORDER BY pos) AS clean_text
+           FROM keep WHERE rn = 1 GROUP BY doc_id)
+         SELECT t.doc_id, CAST(ceil(len(w) / 10.0) AS INT) AS n_chunks,
+           COALESCE(n_kept, 0) AS n_kept, COALESCE(clean_text, '') AS clean_text
+         FROM toks t LEFT JOIN reb ON t.doc_id = reb.doc_id""",
+
+    // 8-gram overlap of train docs (doc_id % 10 != 0) vs the eval
+    // split (doc_id % 10 == 0); n_hits counts DISTINCT shared grams
+    "q56_decontaminate" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
+         g AS (
+           SELECT doc_id,
+             unnest(list_distinct([array_to_string(w[i : i+7], ' ')
+                                   for i in generate_series(1, len(w) - 7)])) AS g
+           FROM toks WHERE len(w) >= 8),
+         ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 10 = 0),
+         hits AS (
+           SELECT doc_id, COUNT(*) AS n_hits FROM g
+           WHERE doc_id % 10 <> 0 AND g IN (SELECT g FROM ev)
+           GROUP BY doc_id)
+         SELECT t.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+           COALESCE(h.n_hits, 0) > 0 AS contaminated
+         FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) t
+         LEFT JOIN hits h ON t.doc_id = h.doc_id""",
+
+    // batch (doc_id % 5 == 0) vs corpus membership on the sorted
+    // distinct-token-set md5 key; bloom is a prefilter only, so the
+    // oracle is the exact join semantics
+    "q57_dedup_incremental" ->
+      """WITH k AS (
+           SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(
+               string_split_regex(lower(trim(text)), '\s+'))), ' ')) AS set_key
+           FROM documents)
+         SELECT b.doc_id, b.set_key,
+           NOT EXISTS (SELECT 1 FROM k c WHERE c.doc_id % 5 <> 0
+                       AND c.set_key = b.set_key) AS is_new
+         FROM k b WHERE b.doc_id % 5 = 0"""
   )
 }

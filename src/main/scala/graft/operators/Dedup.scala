@@ -334,6 +334,130 @@ object Dedup {
     components(pairs, aCol, bCol)
       .withColumn("keep", col("node") === col("component"))
 
+  /** Chunk-level exact dedup (#30c — the fixed-granularity form of
+    * exact-substring dedup, the "remove duplicated spans, keep the
+    * first occurrence" pass of MassiveText/"Deduplicating Training
+    * Data" pipelines): the token stream is cut into aligned
+    * `chunkTokens`-token chunks, every chunk that appeared earlier in
+    * the corpus (ordered by doc id, then position) is dropped, and each
+    * document's text is rebuilt from its surviving chunks in order.
+    * Returns (doc_id, n_chunks, n_kept, clean_text).
+    *
+    * Shuffle budget is the minimum a GLOBAL dedup admits: one shuffle
+    * on the chunk value (the first-occurrence window) and one back on
+    * the doc id (the rebuild), both map-side-light. Chunks are built
+    * with non-overlapping `slice` calls — total copy volume is O(L)
+    * per document, not O(L·chunkTokens) — and the first-occurrence
+    * choice is deterministic (min doc id, then min position), so
+    * re-runs and re-partitionings produce byte-identical corpora.
+    */
+  def chunkDedup(docs: DataFrame, chunkTokens: Int = 10,
+                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    val c = chunkTokens
+    val base = rebalance(docs, idCol)
+      .select(col(idCol).as("doc_id"), T.tokens(col(textCol)).as("w"))
+      .withColumn("nch", ceil(size(col("w")) / lit(c.toDouble)).cast("int"))
+    val chunks = base.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), col("nch") - 1),
+        i => array_join(slice(col("w"), i * c + 1, lit(c)), " "))).as(Seq("pos", "chunk")))
+    val flagged = chunks.withColumn("rn", row_number().over(
+      Window.partitionBy("chunk").orderBy(col("doc_id"), col("pos"))))
+    // One aggregation rebuilds everything — no join back onto the corpus
+    // (which would re-shuffle and re-scan it): n_chunks is the chunk
+    // count, kept chunks ride a null-skipping conditional collect, and a
+    // fully-deduplicated document degrades to the empty string naturally.
+    flagged.groupBy("doc_id").agg(
+      count(lit(1)).cast("int").as("n_chunks"),
+      sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+      array_join(transform(
+        array_sort(collect_list(when(col("rn") === 1, struct(col("pos"), col("chunk"))))),
+        s => s.getField("chunk")), " ").as("clean_text"))
+  }
+
+  /** Benchmark decontamination (#30d): flag every training document
+    * that shares at least one word `n`-gram with an evaluation set —
+    * the standard n-gram-overlap contamination check run before
+    * training on any web-scale corpus. Returns one row per training
+    * document: (doc_id, n_hits = DISTINCT shared n-grams,
+    * contaminated).
+    *
+    * Scale shape: an eval benchmark is small by nature (10³–10⁵
+    * documents), so its distinct n-gram set is BROADCAST and the whole
+    * train side stays a single pass — rebalance (one pinned shuffle
+    * that also pre-partitions by doc id), tokenize + shingle + explode
+    * (map-only), broadcast hash semi-join, and a partial-agg count
+    * that reuses the rebalance partitioning; the hit counts join back
+    * onto the (equally partitioned) id list without a new exchange.
+    * The 100 TB corpus is never shuffled on gram values.
+    */
+  def decontaminate(train: DataFrame, evalSet: DataFrame, n: Int = 8,
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val evGrams = evalSet
+      .select(explode(array_distinct(T.wordNGrams(T.tokens(col(textCol)), n))).as("g"))
+      .distinct()
+    val base = rebalance(train, idCol).select(col(idCol).as("doc_id"),
+      array_distinct(T.wordNGrams(T.tokens(col(textCol)), n)).as("grams"))
+    val hits = base.select(col("doc_id"), explode(col("grams")).as("g"))
+      .join(broadcast(evGrams), Seq("g"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    base.select(col("doc_id")).join(hits, Seq("doc_id"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("contaminated", col("n_hits") > 0)
+  }
+
+  /** Incremental batch-vs-corpus dedup (#30e): which documents of a
+    * NEW batch already exist in the standing corpus? Membership is
+    * keyed on the md5 of the sorted DISTINCT token set — an
+    * order/multiplicity-insensitive exact key that catches
+    * shuffled-boilerplate duplicates plain text hashing misses (and is
+    * engine-portable, so the oracle recomputes it). Returns one row
+    * per batch document: (doc_id, set_key, is_new).
+    *
+    * This is the continuous-ingestion shape: the corpus is 100 TB, the
+    * batch is a day's crawl. Joining them directly would shuffle the
+    * corpus; instead a BLOOM FILTER over the batch keys (built
+    * distributed via Spark's BloomFilterAggregate, collected as a
+    * ~1 MB driver artifact) prefilters the corpus in a MAP-ONLY pass,
+    * so only ~|batch ∩ corpus| + ε candidate keys survive to the
+    * exact confirm join (broadcast back against the batch). Bloom
+    * false positives only cost a candidate row — the equality join
+    * keeps the result exact — so the oracle is the plain anti-join
+    * semantics with no approximation caveat.
+    */
+  def dedupAgainst(batch: DataFrame, corpus: DataFrame,
+                   textCol: String = "text", idCol: String = "doc_id",
+                   expectedBatchKeys: Long = 1000000L,
+                   bloomBits: Long = 8388608L): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.ColumnBridge
+    import org.apache.spark.sql.types.BinaryType
+
+    def setKey(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      md5(array_join(array_sort(array_distinct(T.tokens(c))), " "))
+
+    val b = batch.select(col(idCol).as("doc_id"), setKey(col(textCol)).as("set_key"))
+    val bloomAgg = ColumnBridge.column(new BloomFilterAggregate(
+      ColumnBridge.expression(xxhash64(col("set_key"))),
+      Literal(expectedBatchKeys), Literal(bloomBits)).toAggregateExpression())
+    // one tiny driver artifact (bloomBits/8 bytes); null iff batch empty
+    val bloomBytes = Option(b.agg(bloomAgg.as("bf")).head.get(0))
+      .map(_.asInstanceOf[Array[Byte]])
+    val candidates = bloomBytes match {
+      case None => b.sparkSession.emptyDataFrame.select(lit("").as("set_key")).limit(0)
+      case Some(bytes) =>
+        corpus.select(setKey(col(textCol)).as("set_key"))
+          .filter(ColumnBridge.column(BloomFilterMightContain(
+            Literal(bytes, BinaryType),
+            ColumnBridge.expression(xxhash64(col("set_key"))))))
+          .distinct()
+    }
+    b.join(broadcast(candidates.withColumn("_hit", lit(true))), Seq("set_key"), "left")
+      .withColumn("is_new", col("_hit").isNull).drop("_hit")
+      .select("doc_id", "set_key", "is_new")
+  }
+
   /** Embedding cosine near-dup (#33): random-hyperplane LSH buckets →
     * capped in-bucket pair expansion → exact cosine → top `topK`.
     * Returns (vec_a, vec_b, cos, rnk).

@@ -321,6 +321,75 @@ class OperatorsSpec extends SparkSpec {
     out shouldBe Seq((100L, 90L), (300L, -1L))
   }
 
+  test("chunkDedup drops re-seen aligned chunks (cross-doc and within-doc), rebuilds text") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h i j"),     // two clean chunks
+      (2L, "a b c d e x y z w v"),     // first chunk duplicates doc 1 chunk 0
+      (3L, "f g h i j"),               // whole doc = doc 1 chunk 1 → fully dropped
+      (4L, "p q r s t p q r s t")      // within-doc repetition: second chunk dropped
+    ).toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(corpus, chunkTokens = 5).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getString(3)))).toMap
+    out(1L) shouldBe ((2, 2L, "a b c d e f g h i j"))
+    out(2L) shouldBe ((2, 1L, "x y z w v"))
+    out(3L) shouldBe ((1, 0L, ""))
+    out(4L) shouldBe ((2, 1L, "p q r s t"))
+  }
+
+  test("chunkDedup is order-deterministic: first occurrence keyed by (doc_id, pos)") {
+    // the duplicate chunk sits at different positions; the keeper must be
+    // the LOWER doc id regardless of input row order
+    val corpus = Seq(
+      (7L, "z z z z z a b c d e"),
+      (2L, "a b c d e q r s t u")
+    ).toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(corpus, chunkTokens = 5).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    out(2L) shouldBe "a b c d e q r s t u"
+    out(7L) shouldBe "z z z z z"
+  }
+
+  test("decontaminate flags train docs sharing an n-gram with the eval set") {
+    val evalSet = Seq((100L, "one two three four")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "x two three four y"),           // shares "two three four"
+      (2L, "totally unrelated words here"),
+      (3L, "hi")                            // shorter than n → trivially clean
+    ).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(train, evalSet, n = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    out shouldBe Map(1L -> ((1L, true)), 2L -> ((0L, false)), 3L -> ((0L, false)))
+  }
+
+  test("decontaminate counts DISTINCT shared grams, not occurrences") {
+    val evalSet = Seq((100L, "a b c")).toDF("doc_id", "text")
+    // "a b c" appears twice in the train doc → still 1 distinct shared gram
+    val train = Seq((1L, "a b c a b c")).toDF("doc_id", "text")
+    Dedup.decontaminate(train, evalSet, n = 3).head.getLong(1) shouldBe 1L
+  }
+
+  test("dedupAgainst matches on the order/multiplicity-insensitive token-set key") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "unique corpus document text")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "delta gamma beta alpha"),        // shuffled → same token set → dup
+      (11L, "alpha alpha beta gamma delta"),  // multiplicity differs → same set → dup
+      (12L, "fresh new batch content")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupAgainst(batch, corpus).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("is_new"))).toMap
+    out shouldBe Map(10L -> false, 11L -> false, 12L -> true)
+  }
+
+  test("dedupAgainst: empty batch is empty; disjoint corpus keeps everything new") {
+    val corpus = Seq((1L, "a b c")).toDF("doc_id", "text")
+    Dedup.dedupAgainst(corpus.filter(col("doc_id") < 0), corpus).count() shouldBe 0L
+    val batch = Seq((5L, "x y z")).toDF("doc_id", "text")
+    Dedup.dedupAgainst(batch, corpus).head.getBoolean(2) shouldBe true
+  }
+
   test("bandJoin matches the brute-force theta join, including bucket boundaries") {
     val rnd = new scala.util.Random(42)
     // times clustered so bands actually overlap, plus exact-boundary cases

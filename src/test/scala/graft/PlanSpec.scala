@@ -154,4 +154,26 @@ class PlanSpec extends SparkSpec {
     (p should not).include("Join")
   }
 
+  test("q55 chunk dedup: pinned rebalance + the two shuffles a global dedup needs, no more") {
+    val p = plan("q55_chunk_dedup")
+    p should include("REPARTITION_BY_NUM")              // pinned CPU-spreading shuffle
+    p should include("Exchange hashpartitioning(chunk") // first-occurrence window
+    // rebalance + chunk window + doc-id rebuild agg; single corpus scan
+    p.sliding("Exchange".length).count(_ == "Exchange") shouldBe 3
+    p.sliding("FileScan".length).count(_ == "FileScan") shouldBe 1
+  }
+
+  test("q56 decontamination broadcasts the eval gram set; the train corpus joins map-side") {
+    val p = plan("q56_decontaminate")
+    p should include("REPARTITION_BY_NUM")
+    p should include("BroadcastHashJoin")   // eval grams broadcast, never shuffled onto train
+  }
+
+  test("q57 incremental dedup: corpus prefiltered by might_contain, confirm join broadcast") {
+    val p = plan("q57_dedup_incremental")
+    p should include("might_contain")       // bloom prefilter inside the corpus scan
+    p should include("BroadcastHashJoin")   // surviving candidate keys broadcast to the batch
+    (p should not).include("SortMergeJoin") // the corpus is never shuffled for the join
+  }
+
 }
