@@ -208,6 +208,36 @@ object OracleGen {
            PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
        FROM scored) WHERE rank <= $k"""
 
+  /** Full semantic-dedup pipeline (operators.Dedup.semanticDedup):
+    * bucketed pairs with cosine ≥ `minCos` → connected components
+    * (recursive CTE) → keep = component minimum; vectors in no
+    * qualifying pair keep trivially. Cosines are bit-identical across
+    * engines (see [[cosineSql]]), so the threshold cut is exact.
+    */
+  def semanticDedupSql(minCos: Double = 0.4, nbits: Int = 6, dim: Int = 64,
+                       cap: Int = 40): String =
+    s"""WITH RECURSIVE b AS (
+       SELECT vec_id, embedding, ${bucketSql("embedding", nbits, dim)} AS bucket
+       FROM embeddings),
+     capped AS (
+       SELECT vec_id, embedding, bucket FROM (
+         SELECT vec_id, embedding, bucket,
+           ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY vec_id) AS bn
+         FROM b) WHERE bn <= $cap),
+     prs AS (
+       SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b FROM capped a JOIN capped b2
+         ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+       WHERE ${cosineSql("a.embedding", "b2.embedding", dim)} >= $minCos),
+     edges AS (SELECT vec_a AS a, vec_b AS bb FROM prs
+               UNION SELECT vec_b, vec_a FROM prs),
+     reach(node, lbl) AS (
+       SELECT a, a FROM edges
+       UNION
+       SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.bb = r.node),
+     comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node)
+     SELECT v.vec_id, (c.node IS NULL OR c.node = c.component) AS keep
+     FROM embeddings v LEFT JOIN comp c ON v.vec_id = c.node"""
+
   /** Rolling-hash fingerprint (functions.TextFunctions.fingerprint). */
   def fingerprintSql: String =
     s"""WITH t AS (

@@ -623,7 +623,16 @@ object SparkEntry {
       operators.Dedup.dedupAgainst(
         docs.filter(col("doc_id") % 5 === 0),
         docs.filter(col("doc_id") % 5 =!= 0))
-    })
+    }),
+
+    // §2#33b semantic corpus dedup: the end-to-end keep/drop decision
+    // over the embedding table (bucketed pairs ≥ minCos → components →
+    // keep component minima). The synthetic embeddings have no planted
+    // high-cosine twins, so the graded threshold sits inside the real
+    // cosine range to exercise the cluster path.
+    "q58_semantic_dedup" -> ((s, dir) =>
+      operators.Dedup.semanticDedup(t(s, dir, "embeddings").df, minCos = 0.4)
+        .select("vec_id", "keep"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -800,6 +809,7 @@ object SparkEntry {
     "q23_dedup_minhash" -> OracleGen.minhashSql(),
     "q24_dedup_simhash" -> OracleGen.simhashSql(),
     "q26_dedup_embedding" -> OracleGen.embeddingSql(),
+    "q58_semantic_dedup" -> OracleGen.semanticDedupSql(),
     "q28_ann_lsh" -> OracleGen.lshAnnSql(),
     "q36_ann_ivf" -> OracleGen.ivfAnnSql(),
     "q32_text_fingerprint" -> OracleGen.fingerprintSql,

@@ -463,17 +463,51 @@ object Dedup {
     * Returns (vec_a, vec_b, cos, rnk).
     */
   def embedding(vecs: DataFrame, nbits: Int = 6, dim: Int = 64, topK: Int = 100,
-                vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+                vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =
+    topKRanked(embeddingPairs(vecs, nbits, dim, vecCol = vecCol, idCol = idCol), topK,
+      col("cos").desc, col("vec_a"), col("vec_b"))
+
+  /** The unranked pair stage of [[embedding]] (same contract as
+    * [[minhashPairs]]): every bucketed candidate pair with its exact
+    * cosine. A DEDUP consumes all pairs above a threshold — ranking is
+    * a reporting concern, and skipping it keeps the whole-corpus path
+    * free of any global sort.
+    */
+  def embeddingPairs(vecs: DataFrame, nbits: Int = 6, dim: Int = 64, cap: Int = 40,
+                     vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     import graft.functions.VectorFunctions
     val bucketed = rebalance(vecs, idCol).select(col(idCol).as("vec_id"), col(vecCol).as("v"),
       Hashing.hyperplaneBucket(col(vecCol), nbits, dim).as("bucket"))
-    val capped = capBucket(bucketed, Seq("bucket"), "vec_id", 40)
+    val capped = capBucket(bucketed, Seq("bucket"), "vec_id", cap)
 
     val a = capped.select(col("bucket"), col("vec_id").as("vec_a"), col("v").as("va"))
     val b = capped.select(col("bucket"), col("vec_id").as("vec_b"), col("v").as("vb"))
     a.join(b, Seq("bucket")).filter(col("vec_a") < col("vec_b"))
       .withColumn("cos", VectorFunctions.cosine(col("va"), col("vb")))
       .select("vec_a", "vec_b", "cos")
-      .transform(p => topKRanked(p, topK, col("cos").desc, col("vec_a"), col("vec_b")))
+  }
+
+  /** SemDeDup-style semantic corpus dedup (#33b): the end-to-end
+    * keep/drop DECISION over an embedding table — the exact analog of
+    * [[dedupCorpus]] for the embedding modality. Candidate pairs from
+    * the hyperplane buckets with exact cosine ≥ `minCos` are clustered
+    * into components ([[components]]); the keeper of each semantic
+    * cluster is its minimum vec id, vectors in no qualifying pair keep
+    * trivially. Returns the input plus a boolean `keep` column —
+    * `vecs.filter(col("keep"))` IS the semantically deduplicated
+    * corpus. Same scale shape as the pieces it composes: bucketed
+    * candidate generation (never all-pairs), pair-list-sized label
+    * propagation, and a join back on the id the corpus is already
+    * hash-partitioned on.
+    */
+  def semanticDedup(vecs: DataFrame, minCos: Double = 0.9,
+                    nbits: Int = 6, dim: Int = 64, cap: Int = 40,
+                    vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val pairs = embeddingPairs(vecs, nbits, dim, cap, vecCol, idCol)
+      .filter(col("cos") >= minCos)
+    val drops = keepList(pairs, "vec_a", "vec_b").filter(!col("keep"))
+      .select(col("node").as(idCol), lit(true).as("_drop"))
+    vecs.join(drops, Seq(idCol), "left")
+      .withColumn("keep", col("_drop").isNull).drop("_drop")
   }
 }

@@ -131,6 +131,16 @@ class OperatorsSpec extends SparkSpec {
     first.getAs[Double]("cos") shouldBe 1.0 +- 1e-12
   }
 
+  test("semanticDedup drops cluster members, keeps minima and singletons") {
+    // nbits=1 → two buckets only, so the near-identical trio certainly
+    // collides; v3 may share a bucket but its cosine stays far below 0.95
+    val out = Dedup.semanticDedup(vecs, minCos = 0.95, nbits = 1, dim = 8).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("keep"))).toMap
+    out shouldBe Map(1L -> true, 2L -> false, 3L -> true, 4L -> false)
+    Dedup.semanticDedup(vecs, minCos = 0.95, nbits = 1, dim = 8).columns should
+      contain allOf ("vec_id", "embedding", "keep")
+  }
+
   test("brute-force ANN ranks by exact cosine, excludes self") {
     val out = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 1), k = 3)
     val rows = out.collect().sortBy(_.getAs[Int]("rank"))
