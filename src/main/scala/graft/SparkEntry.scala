@@ -632,7 +632,25 @@ object SparkEntry {
     // cosine range to exercise the cluster path.
     "q58_semantic_dedup" -> ((s, dir) =>
       operators.Dedup.semanticDedup(t(s, dir, "embeddings").df, minCos = 0.4)
-        .select("vec_id", "keep"))
+        .select("vec_id", "keep")),
+
+    // §2#37b HTML → text extraction (WET-extraction pass): script/style
+    // blocks dropped, tags stripped, entities decoded, whitespace
+    // collapsed — map-only regex chain run verbatim as the oracle. The
+    // corpus is plain words, so the page wrapper is planted
+    // deterministically from doc_id on BOTH engines (q43's pattern):
+    // the oracle genuinely checks the extraction, not a no-op.
+    "q59_text_extract" -> ((s, dir) => {
+      import graft.functions.{TextFunctions => T}
+      t(s, dir, "documents").df
+        .select(col("doc_id"),
+          concat(lit("<html><head><script>var x = "), col("doc_id").cast("string"),
+            lit(";\nload();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry</h1><p>"),
+            col("text"),
+            lit("</p><a href=\"/d/"), col("doc_id").cast("string"),
+            lit("\">1 &lt; 2&nbsp;link</a></body></html>")).as("page"))
+        .select(col("doc_id"), T.extractHtmlText(col("page")).as("clean"))
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1159,6 +1177,31 @@ object SparkEntry {
          SELECT b.doc_id, b.set_key,
            NOT EXISTS (SELECT 1 FROM k c WHERE c.doc_id % 5 <> 0
                        AND c.set_key = b.set_key) AS is_new
-         FROM k b WHERE b.doc_id % 5 = 0"""
+         FROM k b WHERE b.doc_id % 5 = 0""",
+
+    // the identical regex chain as extractHtmlText, over the same
+    // planted page wrapper
+    "q59_text_extract" ->
+      """WITH page AS (
+           SELECT doc_id,
+             '<html><head><script>var x = ' || CAST(doc_id AS VARCHAR) ||
+             ';
+load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry</h1><p>' ||
+             text || '</p><a href="/d/' || CAST(doc_id AS VARCHAR) ||
+             '">1 &lt; 2&nbsp;link</a></body></html>' AS page
+           FROM documents),
+         s1 AS (SELECT doc_id,
+                  regexp_replace(page, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t
+                FROM page),
+         s2 AS (SELECT doc_id,
+                  regexp_replace(t, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t
+                FROM s1),
+         s3 AS (SELECT doc_id, regexp_replace(t, '<[^>]+>', ' ', 'g') AS t FROM s2),
+         s4 AS (SELECT doc_id,
+                  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                    t, '&amp;', '&', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+                    '&quot;', '"', 'g'), '&nbsp;', ' ', 'g') AS t
+                FROM s3)
+         SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS clean FROM s4"""
   )
 }

@@ -75,6 +75,27 @@ object TextFunctions {
     regexp_replace(noEmail, "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b", "<IP>")
   }
 
+  /** HTML → text extraction (the WET-extraction pass of a web-corpus
+    * pipeline): drop script/style blocks wholesale, strip remaining
+    * tags, decode the common entities, collapse whitespace. A pure
+    * regexp_replace/replace chain — codegen'd, map-only, RE2-compatible
+    * so the identical chain runs as the SQL oracle. The non-greedy
+    * block patterns use (?is): case-insensitive and dot-matches-newline
+    * across multi-line script bodies.
+    */
+  def extractHtmlText(c: Column): Column = {
+    val noScript = regexp_replace(c, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]+>", " ")
+    // entity names are regex-safe literals in BOTH engines (no \Q\E,
+    // which RE2 lacks)
+    val decoded = Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&nbsp;" -> " ").foldLeft(noTags) {
+      case (col0, (ent, ch)) => regexp_replace(col0, ent, ch)
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Rolling polynomial hash over the token stream (reference-style
     * document fingerprint, SURVEY.md §2 #39). The per-token hash is the
     * portable md5-prefix family ([[Hashing.portableHash]]), so DuckDB

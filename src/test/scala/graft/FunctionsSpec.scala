@@ -23,6 +23,14 @@ class FunctionsSpec extends SparkSpec {
     r shouldBe Seq("the", "quick", "fox")
   }
 
+  test("extractHtmlText drops script/style blocks, strips tags, decodes entities") {
+    val page = "<html><head><script>var a = 1;\nif (a < 2) { go(); }</script>" +
+      "<style>p { color: red }</style></head>" +
+      "<body><h1>Title &amp; more</h1><p>body  text</p>1 &lt; 2&nbsp;end</body></html>"
+    val r = Seq(page).toDF("t").select(T.extractHtmlText(col("t"))).as[String].head()
+    r shouldBe "Title & more body text 1 < 2 end"
+  }
+
   test("wordNGrams yields sliding n-grams; short docs yield empty") {
     val df = Seq("a b c d", "a b").toDF("t").select(T.wordNGrams(T.tokens(col("t")), 3).as("g"))
     df.as[Seq[String]].collect().toSeq shouldBe Seq(Seq("a b c", "b c d"), Seq())

@@ -104,9 +104,10 @@ class PlanSpec extends SparkSpec {
     p should (include("BroadcastHashJoin") or include("SortMergeJoin") or include("ShuffledHashJoin"))
   }
 
-  test("q43 PII scrub and q46 hash split are map-only: no exchange in the plan") {
+  test("q43 PII scrub, q46 hash split, q59 HTML extraction are map-only: no exchange") {
     (plan("q43_pii_scrub") should not).include("Exchange")
     (plan("q46_split_hash") should not).include("Exchange")
+    (plan("q59_text_extract") should not).include("Exchange")
   }
 
   test("q44 repetition rebalance is a pinned-count repartition (AQE cannot coalesce it away)") {
