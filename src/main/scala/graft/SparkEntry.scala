@@ -650,6 +650,23 @@ object SparkEntry {
             lit("</p><a href=\"/d/"), col("doc_id").cast("string"),
             lit("\">1 &lt; 2&nbsp;link</a></body></html>")).as("page"))
         .select(col("doc_id"), T.extractHtmlText(col("page")).as("clean"))
+    }),
+
+    // §2#45b quality-weighted sampling: per-document keep probability =
+    // the q30 quality score (1.0 always kept, 0.5 sampled in half, 0.0
+    // dropped), selected by content hash — deterministic soft filtering.
+    "q60_quality_sample" -> ((s, dir) => {
+      import graft.functions.{TextFunctions => T}
+      t(s, dir, "documents")
+        .update("w", T.tokens(col("text")))
+        .update("n_words", size(col("w")))
+        .update("stop_ratio",
+          T.markerCount(col("w"), Seq("the", "a")).cast("double") / col("n_words"))
+        .update("quality_score",
+          when(col("n_words") >= 20 && col("stop_ratio") < 0.3, lit(1.0))
+            .when(col("n_words") >= 5, lit(0.5)).otherwise(lit(0.0)))
+        .sampleHashWeighted("quality_score", Seq("doc_id"))
+        .select(Seq("doc_id", "quality_score")).df
     })
   )
 
@@ -1202,6 +1219,23 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
                     t, '&amp;', '&', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
                     '&quot;', '"', 'g'), '&nbsp;', ' ', 'g') AS t
                 FROM s3)
-         SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS clean FROM s4"""
+         SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS clean FROM s4""",
+
+    // the q30 quality score as the keep probability; membership is the
+    // same seed-prefixed NUL-separated md5 contract as q51
+    "q60_quality_sample" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
+         q AS (
+           SELECT doc_id,
+             CASE WHEN len(w) >= 20
+                   AND CAST(len(list_filter(w, x -> list_contains(['the','a'], x))) AS DOUBLE) / len(w) < 0.3
+                  THEN CAST(1.0 AS DOUBLE)
+                  WHEN len(w) >= 5 THEN CAST(0.5 AS DOUBLE)
+                  ELSE CAST(0.0 AS DOUBLE) END AS quality_score
+           FROM t)
+         SELECT doc_id, quality_score FROM q
+         WHERE ('0x' || substr(md5('0' || chr(0) || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+               < floor(quality_score * 65536)"""
   )
 }

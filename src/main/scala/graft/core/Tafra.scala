@@ -107,6 +107,24 @@ final class Tafra(val df: DataFrame) extends Serializable {
     new Tafra(df.filter(hx < lit(f"${(fraction * 65536).toInt}%04x")))
   }
 
+  /** Quality-weighted deterministic sampling: each row keeps with
+    * probability `weightCol` (clamped to [0,1]) — the soft-filtering
+    * step of quality-scored pipelines (keep high-quality documents
+    * always, sample mid-quality ones down). Selection is by content
+    * hash like [[sampleHash]], not RNG: the same row is in or out for
+    * a given seed across runs, partitionings, cluster sizes, and
+    * engines (md5-prefix threshold, auditable from SQL). Per-row
+    * filter expression: no shuffle, pipelined into the scan.
+    */
+  def sampleHashWeighted(weightCol: String, keyCols: Seq[String], seed: Long = 0L): Tafra = {
+    validateColumns(weightCol +: keyCols)
+    val hx = substring(md5(concat_ws("\u0000",
+      (lit(seed.toString) +: keyCols.map(df(_).cast("string"))): _*)), 1, 4)
+    val hv = conv(hx, 16, 10).cast("int")
+    val w = least(greatest(df(weightCol).cast("double"), lit(0.0)), lit(1.0))
+    new Tafra(df.filter(hv < floor(w * 65536)))
+  }
+
   /** Per-stratum sampling fractions (e.g. downsample one language,
     * keep another whole) — `df.stat.sampleBy` with a fixed seed.
     */

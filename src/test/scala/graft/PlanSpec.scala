@@ -139,8 +139,9 @@ class PlanSpec extends SparkSpec {
     p.sliding("Exchange".length).count(_ == "Exchange") shouldBe 1
   }
 
-  test("q51 hash sampling is map-only: membership is a per-row expression, no exchange") {
+  test("q51/q60 hash sampling is map-only: membership is a per-row expression, no exchange") {
     (plan("q51_sample_hash") should not).include("Exchange")
+    (plan("q60_quality_sample") should not).include("Exchange")
   }
 
   test("q52 left band join stays hash-equi end to end (inner + anti remainder, no NL join)") {

@@ -345,6 +345,26 @@ class TafraSpec extends SparkSpec {
     s3 should not be s1
   }
 
+  test("sampleHashWeighted: w=1 keeps all, w=0 drops all, kept sets nest as weight grows") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val base = spark.range(0, 2000).toDF("id")
+    def kept(w: Double): Set[Long] =
+      Tafra(base.withColumn("w", lit(w))).sampleHashWeighted("w", Seq("id"))
+        .df.collect().map(_.getLong(0)).toSet
+    kept(1.0).size shouldBe 2000
+    kept(0.0).size shouldBe 0
+    val k25 = kept(0.25); val k50 = kept(0.5)
+    k25.size.toDouble / 2000 shouldBe 0.25 +- 0.05
+    k50.size.toDouble / 2000 shouldBe 0.5 +- 0.05
+    k25.subsetOf(k50) shouldBe true // thresholds nest: a row kept at w stays kept at w' > w
+    // per-row weights act independently: evens at 1.0 all keep, odds at 0 all drop
+    val mixed = Tafra(base.withColumn("w",
+        when(col("id") % 2 === 0, lit(1.0)).otherwise(lit(0.0))))
+      .sampleHashWeighted("w", Seq("id")).df.collect().map(_.getLong(0))
+    mixed.length shouldBe 1000
+    all(mixed.map(_ % 2)) shouldBe 0L
+  }
+
   test("sampleBy keeps per-stratum fractions") {
     val t = Tafra((1 to 1000).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("i", "g"))
     val s = t.sampleBy("g", Map[Any, Double]("a" -> 1.0, "b" -> 0.0))
