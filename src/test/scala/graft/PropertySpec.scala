@@ -79,6 +79,70 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("chunkDedup equals the brute-force first-occurrence scan on random corpora") {
+    import graft.operators.Dedup
+    val vocab = Seq("a", "b", "c", "d")
+    for (_ <- 1 to 4) {
+      val c = rnd.nextInt(3) + 2
+      // tiny vocab + short chunks → plenty of chunk collisions
+      val corpus = (0L until (rnd.nextInt(10) + 3).toLong).map(i =>
+        (i, Seq.fill(rnd.nextInt(12) + 1)(vocab(rnd.nextInt(vocab.length))).mkString(" ")))
+      // brute force: global first-occurrence in (doc_id, pos) order
+      val seen = scala.collection.mutable.Set[String]()
+      val expected = corpus.map { case (id, text) =>
+        val chunks = text.split(" ").grouped(c).map(_.mkString(" ")).toSeq
+        val kept = chunks.filter(ch => seen.add(ch))
+        id -> ((chunks.size, kept.size.toLong, kept.mkString(" ")))
+      }.toMap
+      val got = Dedup.chunkDedup(corpus.toDF("doc_id", "text"), chunkTokens = c).collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getString(3)))).toMap
+      got shouldBe expected
+    }
+  }
+
+  test("decontaminate equals the brute-force distinct-overlap count on random corpora") {
+    import graft.operators.Dedup
+    val vocab = Seq("x", "y", "z")
+    def doc(): String =
+      Seq.fill(rnd.nextInt(8) + 1)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    for (_ <- 1 to 4) {
+      val n = rnd.nextInt(2) + 2
+      val evalDocs = (0L until 3L).map(i => (i, doc()))
+      val trainDocs = (10L until (10L + rnd.nextInt(8) + 2).toLong).map(i => (i, doc()))
+      def grams(t: String): Set[String] = {
+        val w = t.split(" ").toSeq
+        if (w.length < n) Set.empty else w.sliding(n).map(_.mkString(" ")).toSet
+      }
+      val evGrams = evalDocs.flatMap(d => grams(d._2)).toSet
+      val expected = trainDocs.map { case (id, t) =>
+        val hits = (grams(t) & evGrams).size.toLong
+        id -> ((hits, hits > 0))
+      }.toMap
+      val got = Dedup.decontaminate(
+        trainDocs.toDF("doc_id", "text"), evalDocs.toDF("doc_id", "text"), n = n).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+      got shouldBe expected
+    }
+  }
+
+  test("dedupAgainst equals the brute-force token-set membership on random corpora") {
+    import graft.operators.Dedup
+    val vocab = Seq("p", "q", "r")
+    def doc(): String =
+      Seq.fill(rnd.nextInt(5) + 1)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    for (_ <- 1 to 4) {
+      val corpus = (0L until (rnd.nextInt(6) + 2).toLong).map(i => (i, doc()))
+      val batch = (100L until (100L + rnd.nextInt(6) + 2).toLong).map(i => (i, doc()))
+      def key(t: String): String = t.split(" ").distinct.sorted.mkString(" ")
+      val corpusKeys = corpus.map(d => key(d._2)).toSet
+      val expected = batch.map { case (id, t) => id -> !corpusKeys.contains(key(t)) }.toMap
+      val got = Dedup.dedupAgainst(
+        batch.toDF("doc_id", "text"), corpus.toDF("doc_id", "text")).collect()
+        .map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("is_new"))).toMap
+      got shouldBe expected
+    }
+  }
+
   test("wordNGrams emits exactly the consecutive joined token windows") {
     val vocab = Seq("a", "bb", "ccc", "d1", "e")
     for (_ <- 1 to 8) {
