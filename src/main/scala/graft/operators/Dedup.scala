@@ -396,13 +396,15 @@ object Dedup {
     val evGrams = evalSet
       .select(explode(array_distinct(T.wordNGrams(T.tokens(col(textCol)), n))).as("g"))
       .distinct()
-    val base = rebalance(train, idCol).select(col(idCol).as("doc_id"),
-      array_distinct(T.wordNGrams(T.tokens(col(textCol)), n)).as("grams"))
-    val hits = base.select(col("doc_id"), explode(col("grams")).as("g"))
-      .join(broadcast(evGrams), Seq("g"))
-      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
-    base.select(col("doc_id")).join(hits, Seq("doc_id"), "left")
-      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+    // ONE pass over the train corpus (no id-branch re-scan/re-shuffle):
+    // explode_outer keeps short documents as a single null-gram row, the
+    // broadcast LEFT join marks shared grams, and a null-skipping count
+    // is the distinct-hit tally — docs with no qualifying gram fall out
+    // naturally at 0.
+    rebalance(train, idCol).select(col(idCol).as("doc_id"),
+        explode_outer(array_distinct(T.wordNGrams(T.tokens(col(textCol)), n))).as("g"))
+      .join(broadcast(evGrams.withColumn("_hit", lit(true))), Seq("g"), "left")
+      .groupBy("doc_id").agg(count(col("_hit")).as("n_hits"))
       .withColumn("contaminated", col("n_hits") > 0)
   }
 

@@ -165,10 +165,12 @@ class PlanSpec extends SparkSpec {
     p.sliding("FileScan".length).count(_ == "FileScan") shouldBe 1
   }
 
-  test("q56 decontamination broadcasts the eval gram set; the train corpus joins map-side") {
+  test("q56 decontamination broadcasts the eval gram set; the train corpus is ONE pass") {
     val p = plan("q56_decontaminate")
-    p should include("REPARTITION_BY_NUM")
     p should include("BroadcastHashJoin")   // eval grams broadcast, never shuffled onto train
+    // one pinned rebalance of the train side, train + eval scanned once each
+    p.sliding("REPARTITION_BY_NUM".length).count(_ == "REPARTITION_BY_NUM") shouldBe 1
+    p.sliding("FileScan".length).count(_ == "FileScan") shouldBe 2
   }
 
   test("q57 incremental dedup: corpus prefiltered by might_contain, confirm join broadcast") {
