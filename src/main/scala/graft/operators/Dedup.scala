@@ -344,12 +344,20 @@ object Dedup {
     * Returns (doc_id, n_chunks, n_kept, clean_text).
     *
     * Shuffle budget is the minimum a GLOBAL dedup admits: one shuffle
-    * on the chunk value (the first-occurrence window) and one back on
-    * the doc id (the rebuild), both map-side-light. Chunks are built
-    * with non-overlapping `slice` calls — total copy volume is O(L)
-    * per document, not O(L·chunkTokens) — and the first-occurrence
-    * choice is deterministic (min doc id, then min position), so
-    * re-runs and re-partitionings produce byte-identical corpora.
+    * on the chunk value (first-occurrence selection) and one back on
+    * the doc id (the rebuild). First occurrence is `min(struct(doc_id,
+    * pos))` per chunk — a MAP-SIDE-COMBINABLE aggregate, deliberately
+    * NOT a per-chunk window: boilerplate makes chunk frequency Zipfian
+    * at corpus scale ("all rights reserved …" in millions of
+    * documents), a window must SORT each hot chunk's group in one
+    * task and AQE's skew splitting does not apply to windows — while
+    * partial aggregation collapses every hot chunk to one row per
+    * input partition before the shuffle, and the join back on chunk is
+    * exactly the shape AQE skew-join splitting handles. Chunks are
+    * built with non-overlapping `slice` calls — total copy volume is
+    * O(L) per document, not O(L·chunkTokens) — and the keeper choice
+    * is deterministic (min doc id, then min position), so re-runs and
+    * re-partitionings produce byte-identical corpora.
     */
   def chunkDedup(docs: DataFrame, chunkTokens: Int = 10,
                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
@@ -361,17 +369,20 @@ object Dedup {
     val chunks = base.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), col("nch") - 1),
         i => array_join(slice(col("w"), i * c + 1, lit(c)), " "))).as(Seq("pos", "chunk")))
-    val flagged = chunks.withColumn("rn", row_number().over(
-      Window.partitionBy("chunk").orderBy(col("doc_id"), col("pos"))))
+    val firsts = chunks.groupBy("chunk")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+    val flagged = chunks.join(firsts, Seq("chunk"))
+      .withColumn("kept",
+        col("first.doc_id") === col("doc_id") && col("first.pos") === col("pos"))
     // One aggregation rebuilds everything — no join back onto the corpus
     // (which would re-shuffle and re-scan it): n_chunks is the chunk
     // count, kept chunks ride a null-skipping conditional collect, and a
     // fully-deduplicated document degrades to the empty string naturally.
     flagged.groupBy("doc_id").agg(
       count(lit(1)).cast("int").as("n_chunks"),
-      sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+      sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
       array_join(transform(
-        array_sort(collect_list(when(col("rn") === 1, struct(col("pos"), col("chunk"))))),
+        array_sort(collect_list(when(col("kept"), struct(col("pos"), col("chunk"))))),
         s => s.getField("chunk")), " ").as("clean_text"))
   }
 

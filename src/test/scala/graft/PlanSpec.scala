@@ -156,13 +156,15 @@ class PlanSpec extends SparkSpec {
     (p should not).include("Join")
   }
 
-  test("q55 chunk dedup: pinned rebalance + the two shuffles a global dedup needs, no more") {
+  test("q55 chunk dedup: skew-immune first-occurrence (partial min, no window sort)") {
     val p = plan("q55_chunk_dedup")
     p should include("REPARTITION_BY_NUM")              // pinned CPU-spreading shuffle
-    p should include("Exchange hashpartitioning(chunk") // first-occurrence window
-    // rebalance + chunk window + doc-id rebuild agg; single corpus scan
-    p.sliding("Exchange".length).count(_ == "Exchange") shouldBe 3
-    p.sliding("FileScan".length).count(_ == "FileScan") shouldBe 1
+    p should include("Exchange hashpartitioning(chunk") // first-occurrence selection
+    // min(struct) combines map-side — hot (boilerplate) chunks collapse
+    // to one row per input partition before the shuffle...
+    p should include("partial_min")
+    // ...and no per-chunk window sort exists for a hot chunk to serialize
+    (p should not).include("Window")
   }
 
   test("q56 decontamination broadcasts the eval gram set; the train corpus is ONE pass") {
