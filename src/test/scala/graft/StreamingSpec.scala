@@ -157,6 +157,31 @@ class StreamingSpec extends SparkSpec {
     got shouldBe Seq((1, 2L, 1L * HOUR), (2, 1L, 5L * HOUR))
   }
 
+  test("stream dedup state is bounded by the watermark horizon, not the total key count") {
+    // 8 time-ordered micro-batches over the full event range: with a
+    // 1-hour watermark the store must EVICT keys as the watermark
+    // passes them, so peak state stays a fraction of the distinct-key
+    // total — the property that makes streaming dedup viable on an
+    // unbounded stream (an unbounded store would OOM; this pins the
+    // eviction behavior, not just result correctness).
+    val dir = timeSplitDir(s"$sfDir/events.parquet", 8)
+    val s = Events.readStream(spark, dir, maxFilesPerTrigger = Some(1))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "ts")
+    val q = s.writeStream.outputMode("append").format("memory")
+      .queryName("graft_statebound").start()
+    q.processAllAvailable()
+    val peakState = q.recentProgress
+      .flatMap(p => Option(p.stateOperators).toSeq.flatMap(_.toSeq))
+      .map(_.numRowsTotal).max
+    q.stop()
+    val totalKeys = spark.table("graft_statebound").count()
+    peakState should be > 0L
+    // cleanup lags one batch, so allow up to ~half; without eviction
+    // peak state would equal totalKeys
+    peakState should be < (totalKeys / 2)
+  }
+
   test("production hourly path: watermarked append to parquet emits only sealed, exact windows") {
     import java.nio.file.Files
     val dir = timeSplitDir(s"$sfDir/events.parquet", 2)
