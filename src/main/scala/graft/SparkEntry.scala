@@ -667,6 +667,19 @@ object SparkEntry {
             .when(col("n_words") >= 5, lit(0.5)).otherwise(lit(0.0)))
         .sampleHashWeighted("quality_score", Seq("doc_id"))
         .select(Seq("doc_id", "quality_score")).df
+    }),
+
+    // §2#21b JSONL round trip: documents written as JSON-Lines (the
+    // corpus interchange format) and read back with an EXPLICIT schema
+    // (production form — inference would re-scan the data); the oracle
+    // is the original table, so the round trip must be lossless.
+    "q61_jsonl" -> ((s, dir) => {
+      val tmp = System.getProperty("java.io.tmpdir")
+      val path = s"$tmp/graft_jsonl_${dir.hashCode.toHexString}"
+      t(s, dir, "documents").select(Seq("doc_id", "text", "lang", "source")).toJsonl(path)
+      Tafra.readJsonl(s, path,
+          Some(StructType.fromDDL("doc_id bigint, text string, lang string, source string")))
+        .select(Seq("doc_id", "text", "lang", "source")).df
     })
   )
 
@@ -1236,6 +1249,10 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
            FROM t)
          SELECT doc_id, quality_score FROM q
          WHERE ('0x' || substr(md5('0' || chr(0) || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
-               < floor(quality_score * 65536)"""
+               < floor(quality_score * 65536)""",
+
+    // round trip is lossless, so the oracle is the original table
+    "q61_jsonl" ->
+      """SELECT doc_id, text, lang, source FROM documents"""
   )
 }

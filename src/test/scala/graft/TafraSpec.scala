@@ -365,6 +365,23 @@ class TafraSpec extends SparkSpec {
     all(mixed.map(_ % 2)) shouldBe 0L
   }
 
+  test("JSONL round trip preserves rows and types, with and without an explicit schema") {
+    import org.apache.spark.sql.types.StructType
+    val src = Tafra(Seq((1L, "a b", 2.5), (2L, "c \"quoted\" d", -0.5))
+      .toDF("id", "txt", "score"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_").toString
+    src.toJsonl(dir)
+    val ddl = "id bigint, txt string, score double"
+    val withSchema = Tafra.readJsonl(spark, dir, Some(StructType.fromDDL(ddl)))
+      .select(Seq("id", "txt", "score"))
+    canon(withSchema.df) shouldBe canon(src.df)
+    // names + types match; nullability legitimately differs (JSON rows
+    // may omit fields, Seq-derived columns are non-null)
+    withSchema.df.dtypes.toSeq shouldBe src.df.dtypes.toSeq
+    // inference path agrees on this data too
+    canon(Tafra.readJsonl(spark, dir).select(Seq("id", "txt", "score")).df) shouldBe canon(src.df)
+  }
+
   test("sampleBy keeps per-stratum fractions") {
     val t = Tafra((1 to 1000).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("i", "g"))
     val s = t.sampleBy("g", Map[Any, Double]("a" -> 1.0, "b" -> 0.0))
