@@ -154,14 +154,18 @@ object OracleGen {
          CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, vec_a, vec_b) AS INT) AS rnk
        FROM prs) WHERE rnk <= $topK"""
 
-  /** LSH ANN (operators.Similarity.lshTopK defaults: nbits=4, dim=64,
-    * k=10) with the q28 query set `vec_id < 8`.
+  /** LSH ANN (operators.Similarity.lshTopK with multi-probe
+    * `probeHamming = 1`: own bucket + every single-bit flip) with the
+    * q28 query set `vec_id < 8`.
     */
-  def lshAnnSql(nbits: Int = 4, dim: Int = 64, k: Int = 10): String =
+  def lshAnnSql(nbits: Int = 4, dim: Int = 64, k: Int = 10): String = {
+    val flips = (0 until nbits).map(b => s"xor(bucket, ${1L << b})").mkString(", ")
     s"""WITH c AS (
        SELECT vec_id, embedding, ${bucketSql("embedding", nbits, dim)} AS bucket
        FROM embeddings),
-     q AS (SELECT vec_id, embedding, bucket FROM c WHERE vec_id < 8),
+     q0 AS (SELECT vec_id, embedding, bucket FROM c WHERE vec_id < 8),
+     q AS (SELECT vec_id, embedding,
+             unnest([bucket, $flips]) AS bucket FROM q0),
      scored AS (
        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          ${cosineSql("q.embedding", "c.embedding", dim)} AS cos
@@ -171,6 +175,7 @@ object OracleGen {
          CAST(ROW_NUMBER() OVER (
            PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
        FROM scored) WHERE rank <= $k"""
+  }
 
   /** IVF ANN (operators.Similarity.ivfTopK with lloydSteps=0: centroids
     * ARE the md5-selected seed vectors, so the quantizer is exactly

@@ -305,10 +305,12 @@ object SparkEntry {
         .select("query_id", "neighbor_id", "rank")
     }),
 
-    // §2#35 ANN scale path: LSH-bucketed candidates + exact rerank.
+    // §2#35 ANN scale path: LSH-bucketed candidates + exact rerank,
+    // with MULTI-PROBE (own bucket + single-bit flips) — the recall fix
+    // for neighbors just across one hyperplane.
     "q28_ann_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings").df
-      operators.Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8))
+      operators.Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8), probeHamming = 1)
     }),
 
     // §2#1/#4 composed at TPC-H Q5 shape: fact → broadcast dims chain →

@@ -128,16 +128,31 @@ object Similarity {
     * with the queries' buckets, rerank candidates exactly. Few bits →
     * high recall with |corpus|/2^nbits candidates per query instead of
     * the full corpus.
+    *
+    * `probeHamming = 1` is MULTI-PROBE LSH: each query also probes the
+    * `nbits` buckets one bit-flip away — the standard recall fix for a
+    * near neighbor sitting just across one hyperplane (invisible to
+    * single-probe, and more likely than not as nbits grows). Cost model
+    * stays query-side only: the probe explode multiplies the BROADCAST
+    * side by nbits+1; the corpus is never replicated or reshuffled. A
+    * (query, neighbor) pair can match through at most one probe (a
+    * corpus vector has exactly one bucket), so no dedup pass is needed.
     * Returns (query_id, neighbor_id, cos, rank).
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
-              nbits: Int = 4, dim: Int = 64,
+              nbits: Int = 4, dim: Int = 64, probeHamming: Int = 0,
               vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    require(probeHamming == 0 || probeHamming == 1,
+      s"probeHamming must be 0 (own bucket) or 1 (plus single-bit flips), got $probeHamming")
     val c = rebalance(corpus, idCol)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
         Hashing.hyperplaneBucket(col(vecCol), nbits, dim).as("bucket"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+    val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       Hashing.hyperplaneBucket(col(vecCol), nbits, dim).as("bucket"))
+    val q = if (probeHamming == 0) q0
+    else q0.select(col("query_id"), col("qv"),
+      explode(array(col("bucket") +: (0 until nbits).map(b =>
+        col("bucket").bitwiseXOR(lit(1L << b))): _*)).as("bucket"))
     c.join(broadcast(q), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", V.cosine(col("qv"), col("cv")))

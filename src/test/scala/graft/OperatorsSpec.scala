@@ -156,6 +156,24 @@ class OperatorsSpec extends SparkSpec {
     rows.head.getAs[Double]("cos") shouldBe 1.0 +- 1e-12
   }
 
+  test("multi-probe LSH dominates single-probe: per-query best cosine never degrades") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val corpus = (0L until 120L).map(i => (i, Seq.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 10)
+    def top1(probe: Int): Map[Long, Double] =
+      Similarity.lshTopK(corpus, queries, k = 1, nbits = 4, dim = 8, probeHamming = probe)
+        .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Double]("cos")).toMap
+    val single = top1(0); val multi = top1(1)
+    // the candidate superset can only improve (or tie) the exact rerank
+    single.keySet.subsetOf(multi.keySet) shouldBe true
+    single.foreach { case (q, cosS) => multi(q) should be >= cosS }
+    // and with 4 bits over random gaussians, at least one query's best
+    // neighbor actually sits one bit-flip away
+    multi.count { case (q, c) => !single.get(q).contains(c) } should be > 0
+  }
+
   test("salted equi-join matches the plain join exactly") {
     val l = Seq((1L, "a"), (1L, "b"), (2L, "c"), (3L, "d")).toDF("k", "lv")
     val r = Seq((1L, 10.0), (2L, 20.0), (4L, 40.0)).toDF("rk", "rv")
