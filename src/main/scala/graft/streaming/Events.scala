@@ -197,21 +197,32 @@ object Events {
     */
   def streamClickPurchaseJoin(spark: SparkSession, eventsPath: String,
                               within: String = "30 minutes",
-                              watermark: String = "1 hour"): DataFrame = {
-    val clicks = readStream(spark, eventsPath)
+                              watermark: String = "1 hour",
+                              how: String = "inner",
+                              maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    require(how == "inner" || how == "leftOuter",
+      s"stream-stream join supports inner/leftOuter here, got $how")
+    val clicks = readStream(spark, eventsPath, maxFilesPerTrigger)
       .filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
         col("value").as("click_value"))
       .withWatermark("click_ts", watermark)
-    val buys = readStream(spark, eventsPath)
+    val buys = readStream(spark, eventsPath, maxFilesPerTrigger)
       .filter(col("event_type") === "purchase")
       .select(col("user_id").as("b_user"), col("ts").as("buy_ts"),
         col("value").as("buy_value"))
       .withWatermark("buy_ts", watermark)
+    // leftOuter is the semantically loaded variant: an unmatched click
+    // emits its null-padded row only when the watermark CLOSES its
+    // match window (before that, a matching purchase could still
+    // arrive) — exactly the abandoned-cart shape, and the reason outer
+    // stream joins require both the watermark and a two-sided time
+    // bound on the condition.
     val joined = clicks.join(buys,
       col("c_user") === col("b_user") &&
         col("buy_ts") >= col("click_ts") &&
-        col("buy_ts") <= col("click_ts") + expr(s"INTERVAL $within"))
+        col("buy_ts") <= col("click_ts") + expr(s"INTERVAL $within"),
+      how)
       .select(col("c_user").as("user_id"), col("click_ts"), col("click_value"),
         col("buy_ts"), col("buy_value"))
     runToMemory(joined, "append", "graft_ssjoin_")

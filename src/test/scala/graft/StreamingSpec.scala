@@ -182,6 +182,49 @@ class StreamingSpec extends SparkSpec {
     peakState should be < (totalKeys / 2)
   }
 
+  test("left-outer stream join: null row only after the watermark seals a click's window") {
+    import java.nio.file.Files
+    import java.nio.file.attribute.FileTime
+    import spark.implicits._
+    val HOUR = 3600L * 1000 * 1000
+    // The join watermark is the MIN across both inputs, so every
+    // advance carries an event on EACH side:
+    // f0: user 1 click (never matched), user 2 click + purchase (match)
+    // f1: click + purchase @10h → end-of-batch join watermark 9h seals
+    //     user 1's [1h, 1h30m] window
+    // f2: click + purchase @20h → during THIS batch the 9h watermark
+    //     evicts user 1 and emits its null-padded row; the @10h/@20h
+    //     clicks seal only at end-of-f2 (19h) or never, and there is no
+    //     later batch, so their null rows must NOT appear — that
+    //     asymmetry IS the outer-join watermark semantics
+    val batches = Seq(
+      Seq((1L, 1L * HOUR, "click", 1.0), (2L, 1L * HOUR, "click", 2.0),
+        (2L, 1L * HOUR + 10L * 60 * 1000 * 1000, "purchase", 20.0)),
+      Seq((3L, 10L * HOUR, "click", 3.0), (9L, 10L * HOUR, "purchase", 90.0)),
+      Seq((4L, 20L * HOUR, "click", 4.0), (8L, 20L * HOUR, "purchase", 80.0)))
+    val dir = Files.createTempDirectory("graft_leftjoin_")
+    batches.zipWithIndex.foreach { case (evs, i) =>
+      val stage = dir.resolve(s"stage$i")
+      evs.map { case (u, us, t, v) => (u, us * 1000, t, v) }
+        .toDF("user_id", "ts", "event_type", "value")
+        .coalesce(1).write.parquet(stage.toString)
+      val part = Files.list(stage).filter(_.getFileName.toString.endsWith(".parquet")).findFirst.get
+      val target = dir.resolve(f"f$i%02d.parquet")
+      Files.move(part, target)
+      Files.setLastModifiedTime(target, FileTime.fromMillis(System.currentTimeMillis() - 60000 + i * 10000))
+    }
+    // one micro-batch per file, in mtime order
+    val got = Events.streamClickPurchaseJoin(spark, dir.toString,
+      how = "leftOuter", maxFilesPerTrigger = Some(1))
+    val rows = got.collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+      .toSet
+    rows should contain((2L, Some(20.0)))  // matched pair
+    rows should contain((1L, None))        // sealed + evicted → null row
+    (rows.map(_._1) should not).contain(3L) // unsealed at stream end
+    (rows.map(_._1) should not).contain(4L)
+  }
+
   test("production hourly path: watermarked append to parquet emits only sealed, exact windows") {
     import java.nio.file.Files
     val dir = timeSplitDir(s"$sfDir/events.parquet", 2)
