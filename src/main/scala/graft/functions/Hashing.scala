@@ -37,14 +37,29 @@ object Hashing {
   /** Offset of family member i, in [0, P). */
   def affineB(i: Int): Long = java.lang.Math.floorMod(mix(2L * i + 1), PortableP)
 
+  private def md5Word(c: Column, word: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.plans.Md5Word(org.apache.spark.sql.graft.ColumnBridge.expression(c), word))
+
   /** First 32 bits of md5 as a non-negative long. DuckDB mirror:
-    * `('0x' || substr(md5(x), 1, 8))::BIGINT`.
+    * `('0x' || substr(md5(x), 1, 8))::BIGINT`. Runs as the native
+    * [[graft.plans.Md5Word]] expression (digest bytes direct, no hex
+    * round trip); [[md5Long32Spec]] is the Column-level executable spec
+    * it is cross-validated against.
     */
-  def md5Long32(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("bigint")
+  def md5Long32(c: Column): Column = md5Word(c, 0)
 
   /** Bits 32-63 of md5 (hex chars 9-16). */
-  def md5Long32b(c: Column): Column =
+  def md5Long32b(c: Column): Column = md5Word(c, 1)
+
+  /** Spec/mirror formulation of [[md5Long32]] (what the DuckDB oracle
+    * computes); kept for cross-validation, not the hot path.
+    */
+  def md5Long32Spec(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("bigint")
+
+  /** Spec/mirror formulation of [[md5Long32b]]. */
+  def md5Long32bSpec(c: Column): Column =
     conv(substring(md5(c), 9, 8), 16, 10).cast("bigint")
 
   /** Base hash for the affine family: md5 prefix reduced mod P. */

@@ -24,5 +24,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }))
     binary("vec_dot", classOf[DotProduct], DotProduct.apply)
     binary("vec_cosine", classOf[CosineSimilarity], CosineSimilarity.apply)
+    // md5_word(s, i): i-th 32-bit word of md5(s) as a non-negative long
+    ext.injectFunction((
+      FunctionIdentifier("md5_word"),
+      new ExpressionInfo(classOf[Md5Word].getCanonicalName, "md5_word"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "md5_word takes exactly 2 arguments")
+        val word = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"md5_word: word index must be an integer literal, got $other")
+        }
+        Md5Word(children(0), word)
+      }))
   }
 }

@@ -72,6 +72,23 @@ class FunctionsSpec extends SparkSpec {
     got shouldBe (Hashing.affineA(1) * base + Hashing.affineB(1)) % Hashing.PortableP
   }
 
+  test("native md5_word matches the conv/substring spec formulation, incl. SQL registration") {
+    val rnd = new scala.util.Random(3)
+    val strs = Seq.fill(200)(rnd.alphanumeric.take(rnd.nextInt(30)).mkString) ++
+      Seq("", "héllo wörld ✓", "a b\tc\nd") // empty + multi-byte UTF-8 + whitespace
+    val df = strs.toDF("t").select(
+      Hashing.md5Long32(col("t")).as("n0"), Hashing.md5Long32Spec(col("t")).as("s0"),
+      Hashing.md5Long32b(col("t")).as("n1"), Hashing.md5Long32bSpec(col("t")).as("s1"))
+    df.collect().foreach { r =>
+      r.getLong(0) shouldBe r.getLong(1)
+      r.getLong(2) shouldBe r.getLong(3)
+    }
+    strs.toDF("t").createOrReplaceTempView("md5w_probe")
+    spark.sql("SELECT count(*) FROM md5w_probe WHERE md5_word(t, 0) <> " +
+        "CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT)")
+      .head().getLong(0) shouldBe 0L
+  }
+
   test("minhash signature: k components, equal sets agree, supersets dominate") {
     val df = Seq(Seq("x", "y", "z"), Seq("x", "y", "z"), Seq("x", "y", "z", "w"))
       .toDF("sh").select(Hashing.minhashSignature(col("sh"), 8).as("sig"))

@@ -60,6 +60,10 @@ class PlanSpec extends SparkSpec {
     p should include("partial_count") // band-collision scoring combines map-side
     // the bucket cap's row_number+filter gets rank-limit pushdown
     p should include("WindowGroupLimit")
+    // the portable-hash base runs as the native digest-bytes expression,
+    // not the hex conv/substring round trip
+    p should include("md5_word")
+    (p should not).include("conv(substring(md5")
   }
 
   test("q34 salted join spreads keys: join is on (key, salt)") {
