@@ -274,10 +274,20 @@ object Dedup {
     * it; checkpointing truncates the lineage to O(1) per round. The
     * pair list is persisted up front — it is the small derived artifact
     * (candidate pairs), never the corpus.
+    *
+    * ADAPTIVE SMALL-GRAPH PATH: when the edge list fits comfortably on
+    * the driver (`localThreshold`, default 100k edges ≈ a couple of
+    * MB — the same budget class as the IVF centroid artifact), the
+    * O(log d) distributed rounds cost ~12 scheduled jobs of pure
+    * overhead; a driver-side union-find solves the same graph exactly
+    * in microseconds. Both paths produce identical labels (property-
+    * tested against each other); the distributed path is what runs at
+    * 100 TB, where candidate caps still bound the list but not to
+    * driver size.
     * Returns (node, component) for every node appearing in `pairs`.
     */
   def components(pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
-                 maxIter: Int = 25): DataFrame = {
+                 maxIter: Int = 25, localThreshold: Long = 100000L): DataFrame = {
     val spark = pairs.sparkSession
     val p = pairs.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b")).persist()
     // Size the loop's shuffles to the PAIR LIST, not the session default:
@@ -290,6 +300,22 @@ object Dedup {
     // conf is restored after; the loop is the only consumer in between
     // (the same set/restore pattern as the streaming test harness).
     val nEdges = p.count()
+    if (nEdges <= localThreshold) {
+      val edges = p.collect().map(r => (r.getLong(0), r.getLong(1)))
+      p.unpersist()
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val px = parent.getOrElseUpdate(x, x)
+        if (px == x) x else { val r = find(px); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val rows = parent.keys.toSeq.map(v => (v, find(v)))
+      import spark.implicits._
+      return rows.toDF("node", "component")
+    }
     val prevPart = spark.conf.get("spark.sql.shuffle.partitions")
     // floor 4: a single-task round has zero slack against one slow
     // executor/core; a handful of tiny tasks costs nothing

@@ -108,9 +108,12 @@ class OperatorsSpec extends SparkSpec {
 
   test("components groups a chain and an island; keepList keeps component minima") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 3L)).toDF("doc_a", "doc_b")
-    val comp = Dedup.components(pairs).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    comp shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L)
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L)
+    // both the local union-find and the distributed propagation path
+    Dedup.components(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe expected
+    Dedup.components(pairs, localThreshold = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe expected
     val keep = Dedup.keepList(pairs).collect()
       .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
     keep.filter(_._2).keySet shouldBe Set(1L, 5L)

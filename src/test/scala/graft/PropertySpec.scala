@@ -72,9 +72,14 @@ class PropertySpec extends SparkSpec {
         val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
         // canonical label = min node of each component
         val expected = nodes.map(v => v -> find(v)).toMap
-        val got = Dedup.components(edges.toDF("doc_a", "doc_b")).collect()
+        // adaptive small-graph (driver union-find) path...
+        val local = Dedup.components(edges.toDF("doc_a", "doc_b")).collect()
           .map(r => r.getLong(0) -> r.getLong(1)).toMap
-        got shouldBe expected
+        local shouldBe expected
+        // ...and the distributed label-propagation path must agree
+        val dist = Dedup.components(edges.toDF("doc_a", "doc_b"), localThreshold = 0L)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        dist shouldBe expected
       }
     }
   }
