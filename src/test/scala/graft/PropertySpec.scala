@@ -148,6 +148,49 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("semanticDedup equals brute-force bucket+threshold+union-find on random vectors") {
+    import graft.operators.Dedup
+    import graft.functions.Hashing
+    for (trial <- 1 to 3) {
+      val dim = 6
+      val n = rnd.nextInt(25) + 10
+      // half the vectors get a near-twin so thresholds actually bite
+      val base = (0L until n.toLong).map(i => i -> Seq.fill(dim)(rnd.nextGaussian().toFloat))
+      val twins = base.take(n / 2).map { case (i, v) =>
+        (i + 1000L) -> v.updated(0, v.head + 0.01f)
+      }
+      val vecs = (base ++ twins).toDF("vec_id", "embedding")
+      val nbits = 2; val minCos = 0.8
+      // reference: buckets via the HOF executable spec, exact cosine,
+      // threshold, then union-find over qualifying pairs
+      val bucketOf = vecs.select(col("vec_id"),
+          Hashing.hyperplaneBucketHof(col("embedding"), nbits, dim).as("b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val all = (base ++ twins)
+      def cos(a: Seq[Float], b: Seq[Float]): Double = {
+        val (d0, na, nb) = a.zip(b).foldLeft((0.0, 0.0, 0.0)) {
+          case ((d, x, y), (ai, bi)) => (d + ai * bi, x + ai * ai, y + bi * bi) }
+        d0 / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      for {
+        (ia, va) <- all; (ib, vb) <- all
+        if ia < ib && bucketOf(ia) == bucketOf(ib) && cos(va, vb) >= minCos
+      } {
+        val (ra, rb) = (find(ia), find(ib))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = all.map { case (i, _) => i -> (find(i) == i) }.toMap
+      val got = Dedup.semanticDedup(vecs, minCos, nbits, dim, cap = 1000)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("keep"))).toMap
+      withClue(s"trial $trial: ")(got shouldBe expected)
+    }
+  }
+
   test("wordNGrams emits exactly the consecutive joined token windows") {
     val vocab = Seq("a", "bb", "ccc", "d1", "e")
     for (_ <- 1 to 8) {
