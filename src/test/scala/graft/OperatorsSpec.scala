@@ -421,6 +421,19 @@ class OperatorsSpec extends SparkSpec {
     Dedup.dedupAgainst(batch, corpus).head.getBoolean(2) shouldBe true
   }
 
+  test("dedupAgainst stays exact under a saturated bloom (false positives everywhere)") {
+    // 64-bit filter vs 200 corpus keys → nearly every corpus key is a
+    // bloom "maybe"; the equality confirm join must still return the
+    // exact membership answer
+    val corpus = (0L until 200L).map(i => (i, s"w$i x$i y$i")).toDF("doc_id", "text")
+    val batch = Seq((500L, "w7 x7 y7"), (501L, "nothing like these words"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupAgainst(batch, corpus,
+        expectedBatchKeys = 2L, bloomBits = 64L).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("is_new"))).toMap
+    out shouldBe Map(500L -> false, 501L -> true)
+  }
+
   test("bandJoin matches the brute-force theta join, including bucket boundaries") {
     val rnd = new scala.util.Random(42)
     // times clustered so bands actually overlap, plus exact-boundary cases

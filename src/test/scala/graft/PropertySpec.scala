@@ -88,7 +88,7 @@ class PropertySpec extends SparkSpec {
     import graft.operators.Dedup
     val vocab = Seq("a", "b", "c", "d")
     for (_ <- 1 to 4) {
-      val c = rnd.nextInt(3) + 2
+      val c = rnd.nextInt(4) + 1 // includes c=1: word-level dedup
       // tiny vocab + short chunks → plenty of chunk collisions
       val corpus = (0L until (rnd.nextInt(10) + 3).toLong).map(i =>
         (i, Seq.fill(rnd.nextInt(12) + 1)(vocab(rnd.nextInt(vocab.length))).mkString(" ")))
