@@ -677,7 +677,11 @@ object SparkEntry {
     // is the original table, so the round trip must be lossless.
     "q61_jsonl" -> ((s, dir) => {
       val tmp = System.getProperty("java.io.tmpdir")
-      val path = s"$tmp/graft_jsonl_${dir.hashCode.toHexString}"
+      // pid + sanitized dir: stable within a process (re-runs overwrite
+      // their own path) but never shared across concurrent harness
+      // processes or aliased across different data dirs
+      val path = s"$tmp/graft_jsonl_${ProcessHandle.current.pid}_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
       t(s, dir, "documents").select(Seq("doc_id", "text", "lang", "source")).toJsonl(path)
       Tafra.readJsonl(s, path,
           Some(StructType.fromDDL("doc_id bigint, text string, lang string, source string")))
@@ -1163,7 +1167,8 @@ object SparkEntry {
            SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
          ch AS (
            SELECT doc_id, i - 1 AS pos, array_to_string(w[(i-1)*10+1 : i*10], ' ') AS chunk
-           FROM toks, unnest(generate_series(1, 1000)) AS t(i)
+           FROM toks, unnest(generate_series(1,
+             (SELECT CAST(max(ceil(len(w) / 10.0)) AS BIGINT) FROM toks))) AS t(i)
            WHERE i <= CAST(ceil(len(w) / 10.0) AS BIGINT)),
          keep AS (
            SELECT doc_id, pos, chunk,

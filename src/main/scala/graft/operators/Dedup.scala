@@ -215,17 +215,25 @@ object Dedup {
     * top `topK`. Oracle-mirrored in DuckDB SQL.
     * Returns (doc_a, doc_b, common, jaccard, rnk).
     *
-    * The df filter is expressed as a broadcast ANTI join against the
-    * FREQUENT grams (df > dfMax): in web-scale text almost every
-    * distinct n-gram is rare, so the rare set grows linearly with the
-    * corpus while the frequent set is the Zipf head — small and
+    * The df filter is expressed as an ANTI join against the FREQUENT
+    * grams (df > dfMax): in web-scale text almost every distinct
+    * n-gram is rare, so the rare set grows linearly with the corpus
+    * while the frequent set is the Zipf head — small and
     * near-constant. Broadcasting the rare side (the obvious
     * formulation) is a guaranteed driver/executor OOM at 100 TB;
     * broadcasting the frequent side is bounded by postings/dfMax and
-    * in practice tiny.
+    * in practice tiny — but "in practice tiny" is a hope, not a bound
+    * (postings/dfMax at 100 TB is still billions), so the broadcast is
+    * SIZE-GATED: the frequent set is counted first (one cheap action
+    * over the df aggregate the plan computes anyway) and the hint is
+    * applied only under `frequentBroadcastRows`; past the budget the
+    * anti join degrades to a plain shuffled left_anti — one extra
+    * shuffle of the postings, correct at any scale, instead of a
+    * forced driver OOM.
     */
   def ngramJaccard(docs: DataFrame, dfMax: Int = 20, topK: Int = 100,
-                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                   textCol: String = "text", idCol: String = "doc_id",
+                   frequentBroadcastRows: Long = 2000000L): DataFrame = {
     val post = rebalance(docs, idCol)
       .select(col(idCol).as("doc_id"), T.tokens(col(textCol)).as("w"))
       .filter(size(col("w")) >= 3)
@@ -233,13 +241,18 @@ object Dedup {
         explode(array_distinct(T.wordNGrams(col("w"), 3))).as("g"))
     val frequent = post.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") > dfMax).select("g")
-    // Per-doc rare-gram count rides along as a window count: the
-    // postings are already hash-partitioned on doc_id (rebalance), so
-    // the window needs only a partition-local sort — no shuffle — and
-    // the denominator counts never have to be joined back onto the
-    // (much larger) pair table. Both sides of the pair self-join are
-    // the same plan, so Catalyst reuses one exchange.
-    val rpost = post.join(broadcast(frequent), Seq("g"), "left_anti")
+    val nFrequent = frequent.count()
+    val anti = if (nFrequent <= frequentBroadcastRows) broadcast(frequent) else frequent
+    // Per-doc rare-gram count rides along as a window count: on the
+    // broadcast path the postings are still hash-partitioned on doc_id
+    // (rebalance), so the window needs only a partition-local sort — no
+    // shuffle — and the denominator counts never have to be joined back
+    // onto the (much larger) pair table. Both sides of the pair
+    // self-join are the same plan, so Catalyst reuses one exchange. On
+    // the fallback path the anti join re-shuffles the postings on g and
+    // the window re-shuffles back on doc_id — the documented cost of
+    // exceeding the broadcast budget.
+    val rpost = post.join(anti, Seq("g"), "left_anti")
       .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
 
     val pairs = rpost.select(col("g"), col("doc_id").as("doc_a"), col("n").as("na"))
@@ -304,9 +317,19 @@ object Dedup {
       val edges = p.collect().map(r => (r.getLong(0), r.getLong(1)))
       p.unpersist()
       val parent = scala.collection.mutable.Map[Long, Long]()
-      def find(x: Long): Long = {
-        val px = parent.getOrElseUpdate(x, x)
-        if (px == x) x else { val r = find(px); parent(x) = r; r }
+      // ITERATIVE find: union-by-min (no rank) can build an O(n)-deep
+      // parent chain when edges arrive in descending order, and the
+      // final relabel pass walks every chain — a recursive find would
+      // be partition-order-dependent StackOverflow at localThreshold
+      // depth. Walk to the root in a loop, then compress in a second.
+      def find(x0: Long): Long = {
+        var x = x0
+        var px = parent.getOrElseUpdate(x, x)
+        while (px != x) { x = px; px = parent.getOrElseUpdate(x, x) }
+        val root = x
+        x = x0
+        while (x != root) { val nxt = parent(x); parent(x) = root; x = nxt }
+        root
       }
       edges.foreach { case (a, b) =>
         val (ra, rb) = (find(a), find(b))
@@ -389,23 +412,35 @@ object Dedup {
                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(chunkTokens > 0, "chunkTokens must be positive")
     val c = chunkTokens
+    // nch guard: the operator must not depend on the tokenizer never
+    // returning an empty/null array. size(null) → null → greatest
+    // skips it → 0; nch = 0 would make sequence(0, -1) auto-reverse
+    // into [0, -1] (a bogus pos = -1 chunk), so chunk-less documents
+    // instead emit ONE sentinel row (chunk = null) that survives to the
+    // final aggregation as (n_chunks = 0, n_kept = 0, clean_text = '')
+    // rather than silently dropping the document.
     val base = rebalance(docs, idCol)
       .select(col(idCol).as("doc_id"), T.tokens(col(textCol)).as("w"))
-      .withColumn("nch", ceil(size(col("w")) / lit(c.toDouble)).cast("int"))
+      .withColumn("nch",
+        greatest(ceil(size(col("w")) / lit(c.toDouble)).cast("int"), lit(0)))
     val chunks = base.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), col("nch") - 1),
-        i => array_join(slice(col("w"), i * c + 1, lit(c)), " "))).as(Seq("pos", "chunk")))
-    val firsts = chunks.groupBy("chunk")
+      posexplode(when(col("nch") > 0,
+          transform(sequence(lit(0), col("nch") - 1),
+            i => array_join(slice(col("w"), i * c + 1, lit(c)), " ")))
+        .otherwise(array(lit(null).cast("string")))).as(Seq("pos", "chunk")))
+    val firsts = chunks.filter(col("chunk").isNotNull).groupBy("chunk")
       .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
-    val flagged = chunks.join(firsts, Seq("chunk"))
-      .withColumn("kept",
+    // left join: the null-chunk sentinel rows match nothing and keep
+    // kept = false; real chunks always match (inner semantics).
+    val flagged = chunks.join(firsts, Seq("chunk"), "left")
+      .withColumn("kept", col("chunk").isNotNull &&
         col("first.doc_id") === col("doc_id") && col("first.pos") === col("pos"))
     // One aggregation rebuilds everything — no join back onto the corpus
     // (which would re-shuffle and re-scan it): n_chunks is the chunk
     // count, kept chunks ride a null-skipping conditional collect, and a
     // fully-deduplicated document degrades to the empty string naturally.
     flagged.groupBy("doc_id").agg(
-      count(lit(1)).cast("int").as("n_chunks"),
+      count(col("chunk")).cast("int").as("n_chunks"), // count() skips the null sentinel
       sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
       array_join(transform(
         array_sort(collect_list(when(col("kept"), struct(col("pos"), col("chunk"))))),
@@ -471,10 +506,30 @@ object Dedup {
     * keeps the result exact — so the oracle is the plain anti-join
     * semantics with no approximation caveat.
     */
+  /** Bloom sizing from a target false-positive probability: the
+    * textbook optimum m = n·ln(1/p)/ln²2 (≈ 1.44·n·log₂(1/p) bits),
+    * clamped to Spark's BloomFilterAggregate bit ceiling. FP
+    * CANDIDATES scale as p × |corpus| — a fixed test-scale bloom (2%
+    * FP) broadcasts back tens of GB of false candidates at 10¹¹ corpus
+    * docs, so p must be chosen as an absolute FP budget over the
+    * corpus (p = budget/|corpus|: 100 expected FPs over 10¹¹ docs →
+    * p = 10⁻⁹ ≈ 43 bits/key — still only a ~5.4 MB artifact for 1M
+    * batch keys). Clamping degrades p gracefully rather than failing
+    * analysis.
+    */
+  private[graft] def deriveBloomBits(expectedKeys: Long, targetFpp: Double,
+                                     maxBits: Long): Long = {
+    require(targetFpp > 0.0 && targetFpp < 1.0, s"targetFpp=$targetFpp out of (0,1)")
+    val ideal = math.ceil(expectedKeys.max(1L) *
+      math.log(1.0 / targetFpp) / (math.log(2.0) * math.log(2.0))).toLong
+    math.max(64L, math.min(ideal, maxBits))
+  }
+
   def dedupAgainst(batch: DataFrame, corpus: DataFrame,
                    textCol: String = "text", idCol: String = "doc_id",
                    expectedBatchKeys: Long = 1000000L,
-                   bloomBits: Long = 8388608L): DataFrame = {
+                   targetFpp: Double = 1e-9,
+                   bloomBits: Long = -1L): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graft.ColumnBridge
@@ -483,10 +538,14 @@ object Dedup {
     def setKey(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       md5(array_join(array_sort(array_distinct(T.tokens(c))), " "))
 
+    val maxBits = batch.sparkSession.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    val bits = if (bloomBits > 0L) bloomBits
+               else deriveBloomBits(expectedBatchKeys, targetFpp, maxBits)
     val b = batch.select(col(idCol).as("doc_id"), setKey(col(textCol)).as("set_key"))
     val bloomAgg = ColumnBridge.column(new BloomFilterAggregate(
       ColumnBridge.expression(xxhash64(col("set_key"))),
-      Literal(expectedBatchKeys), Literal(bloomBits)).toAggregateExpression())
+      Literal(expectedBatchKeys), Literal(bits)).toAggregateExpression())
     // one tiny driver artifact (bloomBits/8 bytes); null iff batch empty
     val bloomBytes = Option(b.agg(bloomAgg.as("bf")).head.get(0))
       .map(_.asInstanceOf[Array[Byte]])

@@ -434,6 +434,69 @@ class OperatorsSpec extends SparkSpec {
     out shouldBe Map(500L -> false, 501L -> true)
   }
 
+  test("ngramJaccard size gate: shuffled-anti fallback matches the broadcast path exactly") {
+    val bcast = Dedup.ngramJaccard(docs)
+    val fallback = Dedup.ngramJaccard(docs, frequentBroadcastRows = -1L)
+    def antiLines(df: DataFrame): String = df.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("LeftAnti")).mkString("\n")
+    // under budget the df-filter anti join is FORCE-broadcast; over
+    // budget the hint is dropped so the planner sizes it — at test
+    // scale its estimate still picks broadcast, so pin the threshold
+    // off to prove the genuinely-shuffled path stays correct
+    antiLines(bcast) should include("BroadcastHashJoin")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val fb = antiLines(Dedup.ngramJaccard(docs, frequentBroadcastRows = -1L))
+      fb should not be empty
+      (fb should not).include("BroadcastHashJoin")
+      canon(fallback) shouldBe canon(bcast)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
+  test("local components survives an adversarial O(n)-deep parent chain (iterative find)") {
+    // edges arrive in DESCENDING order: (n-1,n),(n-2,n-1),... — with
+    // union-by-min and no rank this builds one O(n)-deep parent chain,
+    // the shape that made a recursive find a partition-order-dependent
+    // StackOverflow at localThreshold depth
+    val n = 80000L
+    val edges = spark.range(1L, n)
+      .selectExpr(s"$n - id as doc_a", s"$n - id + 1 as doc_b")
+    val comp = Dedup.components(edges).collect()
+    comp.length shouldBe n.toInt
+    all(comp.map(_.getLong(1))) shouldBe 1L
+  }
+
+  test("chunkDedup retains null/empty-token documents as (0, 0, '') instead of dropping them") {
+    val corpus = Seq((1L, Option("a b c d e")), (2L, None: Option[String]))
+      .toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(corpus, chunkTokens = 5).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getString(3)))).toMap
+    out(1L) shouldBe ((1, 1L, "a b c d e"))
+    out(2L) shouldBe ((0, 0L, ""))
+  }
+
+  test("deriveBloomBits: closed-form sizing, ceiling clamp, measured FP rate within target") {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.ColumnBridge
+    import org.apache.spark.sql.types.BinaryType
+    val n = 10000L; val p = 0.01
+    val bits = Dedup.deriveBloomBits(n, p, maxBits = 1L << 30)
+    bits shouldBe math.ceil(n * math.log(1 / p) / (math.log(2) * math.log(2))).toLong
+    Dedup.deriveBloomBits(n, 1e-9, maxBits = 1000L) shouldBe 1000L // graceful clamp
+    // build a bloom at the derived size over n member keys, probe 100k
+    // disjoint keys: the measured FP rate must stay near the target
+    val bloomAgg = ColumnBridge.column(new BloomFilterAggregate(
+      ColumnBridge.expression(xxhash64(col("s"))),
+      Literal(n), Literal(bits)).toAggregateExpression())
+    val bytes = spark.range(0, n).selectExpr("concat('k', id) as s")
+      .agg(bloomAgg.as("bf")).head.getAs[Array[Byte]](0)
+    val fp = spark.range(0, 100000).selectExpr("concat('m', id) as s")
+      .filter(ColumnBridge.column(BloomFilterMightContain(
+        Literal(bytes, BinaryType), ColumnBridge.expression(xxhash64(col("s")))))).count()
+    fp.toDouble / 100000.0 should be <= (2 * p)
+  }
+
   test("bandJoin matches the brute-force theta join, including bucket boundaries") {
     val rnd = new scala.util.Random(42)
     // times clustered so bands actually overlap, plus exact-boundary cases

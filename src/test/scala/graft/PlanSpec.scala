@@ -66,6 +66,12 @@ class PlanSpec extends SparkSpec {
     (p should not).include("conv(substring(md5")
   }
 
+  test("q25 ngram df-filter anti join takes the broadcast path under the size gate") {
+    val p = plan("q25_dedup_ngram")
+    p.linesIterator.filter(_.contains("LeftAnti")).mkString("\n") should
+      include("BroadcastHashJoin")
+  }
+
   test("q34 salted join spreads keys: join is on (key, salt)") {
     val p = plan("q34_skew_join")
     p should include("_graft_salt")
