@@ -234,16 +234,26 @@ object Events {
     * rejects the plan if it is projected away).
     */
   case class UserEvent(user_id: Long, tus: Long, ts: java.sql.Timestamp)
-  case class Session(user_id: Long, session_id: Int, n_events: Long,
-                     start_us: Long, end_us: Long)
-  /** Cross-batch sessionization state: number of sessions already
-    * closed (so ids keep increasing) plus the open session, if any.
+  /** A session version, identified by its CONTENT-ADDRESSED anchor: the
+    * first event time that OPENED it. The anchor is immutable for the
+    * session's lifetime (late in-watermark events can move `start_us`
+    * backwards via the min-merge, never the anchor), so every emitted
+    * version of one session carries the same (user_id, anchor_us) key —
+    * the key a downstream upsert/MERGE deduplicates on.
     */
-  case class OpenSession(start_us: Long, end_us: Long, n_events: Long)
-  case class SessState(nClosed: Int, open: Option[OpenSession])
+  case class Session(user_id: Long, anchor_us: Long, n_events: Long,
+                     start_us: Long, end_us: Long)
+  /** Cross-batch sessionization state: just the open session, if any.
+    * No closed-session counter and no tombstones — identity is the
+    * anchor, not an ordinal, so state for a quiet user can be REMOVED
+    * outright on timeout: a returning user's new session anchors at an
+    * event time strictly past the old end + gap (the watermark sealed
+    * it) and can never collide with an evicted session's key.
+    */
+  case class OpenSession(anchor_us: Long, start_us: Long, end_us: Long, n_events: Long)
 
   /** Pure sessionization of one user's event times: sort, split on
-    * gaps > gapUs, number sessions by start order.
+    * gaps > gapUs; each session is anchored at its first event time.
     */
   private[streaming] def splitSessions(uid: Long, times: Array[Long], gapUs: Long): Seq[Session] = {
     if (times.isEmpty) return Nil
@@ -252,102 +262,119 @@ object Events {
     var start = sorted(0); var prev = sorted(0); var n = 1L
     for (t <- sorted.iterator.drop(1)) {
       if (t - prev > gapUs) {
-        out += Session(uid, out.size + 1, n, start, prev)
+        out += Session(uid, start, n, start, prev)
         start = t; n = 0L
       }
       n += 1; prev = t
     }
-    out += Session(uid, out.size + 1, n, start, prev)
+    out += Session(uid, start, n, start, prev)
     out.toSeq
   }
 
   /** One micro-batch of one user's (sorted) event times folded into the
-    * carried state: returns the updated state plus every session whose
-    * version changed this batch (closed sessions final, the open
+    * carried state: returns the updated open session plus every session
+    * whose version changed this batch (closed sessions final, the open
     * session's latest version). Pure — unit-testable without a stream.
     */
-  private[streaming] def advanceSessions(uid: Long, st: SessState, times: Array[Long],
-                                         gapUs: Long): (SessState, Seq[Session]) = {
+  private[streaming] def advanceSessions(uid: Long, st: Option[OpenSession], times: Array[Long],
+                                         gapUs: Long): (Option[OpenSession], Seq[Session]) = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Session]
-    var nClosed = st.nClosed
-    var open = st.open
+    var open = st
     for (t <- times.sorted) {
       open match {
         case Some(o) if t - o.end_us > gapUs =>
-          out += Session(uid, nClosed + 1, o.n_events, o.start_us, o.end_us)
-          nClosed += 1
-          open = Some(OpenSession(t, t, 1))
+          out += Session(uid, o.anchor_us, o.n_events, o.start_us, o.end_us)
+          open = Some(OpenSession(t, t, t, 1))
         case Some(o) =>
-          open = Some(OpenSession(math.min(o.start_us, t), math.max(o.end_us, t), o.n_events + 1))
+          open = Some(OpenSession(o.anchor_us,
+            math.min(o.start_us, t), math.max(o.end_us, t), o.n_events + 1))
         case None =>
-          open = Some(OpenSession(t, t, 1))
+          open = Some(OpenSession(t, t, t, 1))
       }
     }
-    open.foreach(o => out += Session(uid, nClosed + 1, o.n_events, o.start_us, o.end_us))
-    (SessState(nClosed, open), out.toSeq)
+    open.foreach(o => out += Session(uid, o.anchor_us, o.n_events, o.start_us, o.end_us))
+    (open, out.toSeq)
   }
 
   /** #28: per-user session assembly with custom state
     * (`flatMapGroupsWithState`). Sessions close after `gap` of
     * inactivity.
     *
-    * State is REAL and incremental: the open session is carried in
-    * `GroupState` across micro-batches (a session spanning batches is
-    * extended, not renumbered), with an event-time timeout at
-    * open.end + gap so state for inactive users is dropped once the
-    * watermark passes — bounded state at any corpus size. Update-mode
-    * emission re-emits the open session's latest version each batch;
-    * the memory-table upsert (latest version per (user, session)) is
-    * what a production KV/Delta sink's MERGE would do.
+    * State is REAL, incremental, and EVICTABLE: the open session is
+    * carried in `GroupState` across micro-batches (a session spanning
+    * batches is extended, not renumbered), with an event-time timeout
+    * at open.end + gap. When the watermark passes that point the
+    * state is REMOVED outright — session identity is the
+    * content-addressed anchor (first event time), not an ordinal, so a
+    * user who returns after eviction opens a session with a strictly
+    * later anchor and no key collision is possible. State is therefore
+    * bounded by the set of users ACTIVE inside the watermark horizon,
+    * not by every user ever seen (the tombstone-per-user alternative is
+    * monotone state growth on a year-long stream). Update-mode emission
+    * re-emits the open session's latest version each batch; the
+    * memory-table upsert on (user_id, anchor_us) is what a production
+    * KV/Delta sink's MERGE would do.
     *
     * Cross-batch ordering contract: a user's events must not arrive in
     * an earlier batch than events that precede them by more than the
     * watermark delay — the standard event-time contract; the
     * multi-batch test feeds time-split files.
     */
-  def sessionize(spark: SparkSession, eventsPath: String,
-                 gapUs: Long = 30L * 60 * 1000 * 1000,
-                 maxFilesPerTrigger: Option[Int] = None,
-                 watermark: String = "10 minutes"): DataFrame = {
+  def sessionizeStream(spark: SparkSession, eventsPath: String,
+                       gapUs: Long = 30L * 60 * 1000 * 1000,
+                       maxFilesPerTrigger: Option[Int] = None,
+                       watermark: String = "10 minutes"): Dataset[Session] = {
     import spark.implicits._
     val ev: Dataset[UserEvent] = readStream(spark, eventsPath, maxFilesPerTrigger)
       .withWatermark("ts", watermark)
       .select(col("user_id"), unix_micros(col("ts")).as("tus"), col("ts"))
       .as[UserEvent]
-    val sessions = ev.groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessState, Session](OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
-        (uid: Long, events: Iterator[UserEvent], state: GroupState[SessState]) =>
+    ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, Session](OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, events: Iterator[UserEvent], state: GroupState[OpenSession]) =>
           if (state.hasTimedOut) {
             // The open session was already emitted in its final version
-            // on the batch that last touched it, so nothing to emit —
-            // but the state must NOT be removed wholesale: a user who
-            // returns later would restart numbering at 1 and the
-            // downstream (user_id, session_id) upsert/MERGE would fuse
-            // the new session with the old one of the same id. Keep a
-            // TOMBSTONE carrying nClosed (one int per user — bounded)
-            // with the timed-out open session folded into the count.
-            val st = state.getOption.getOrElse(SessState(0, None))
-            state.update(SessState(st.nClosed + st.open.size, None))
+            // on the batch that last touched it, and its identity is the
+            // anchor — removal is safe, nothing to emit.
+            state.remove()
             Iterator.empty
           } else {
-            val st = state.getOption.getOrElse(SessState(0, None))
-            val (next, out) = advanceSessions(uid, st, events.map(_.tus).toArray, gapUs)
-            state.update(next)
-            next.open.foreach { o =>
-              // timeout must sit above the current watermark or Spark
-              // rejects it (an old user's end+gap can trail the stream)
-              state.setTimeoutTimestamp(
-                math.max(o.end_us / 1000 + gapUs / 1000, state.getCurrentWatermarkMs() + 1))
+            val (next, out) = advanceSessions(uid, state.getOption, events.map(_.tus).toArray, gapUs)
+            next match {
+              case Some(o) =>
+                state.update(o)
+                // timeout must sit above the current watermark or Spark
+                // rejects it (an old user's end+gap can trail the stream)
+                state.setTimeoutTimestamp(
+                  math.max(o.end_us / 1000 + gapUs / 1000, state.getCurrentWatermarkMs() + 1))
+              case None => if (state.exists) state.remove()
             }
             out.iterator
           }
       }
+  }
+
+  /** #28 test/oracle harness over [[sessionizeStream]]: memory-sink
+    * upsert keyed on the content address, then per-user ordinal ids
+    * (row_number by session start) projected for the batch-SQL oracle —
+    * a presentation concern computed over the (small) session RESULT,
+    * never carried in state. Production consumers key on
+    * (user_id, session_start) directly.
+    */
+  def sessionize(spark: SparkSession, eventsPath: String,
+                 gapUs: Long = 30L * 60 * 1000 * 1000,
+                 maxFilesPerTrigger: Option[Int] = None,
+                 watermark: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sessions = sessionizeStream(spark, eventsPath, gapUs, maxFilesPerTrigger, watermark)
     runToMemory(sessions.toDF(), "update", "graft_sessions_")
       // upsert: keep each session's latest emitted version
-      .groupBy("user_id", "session_id")
+      .groupBy("user_id", "anchor_us")
       .agg(max("n_events").as("n_events"),
            min("start_us").as("start_us"),
            max("end_us").as("end_us"))
+      .withColumn("session_id",
+        row_number().over(Window.partitionBy("user_id").orderBy("start_us")))
       .select(
         col("user_id"), col("session_id"), col("n_events"),
         timestamp_micros(col("start_us")).as("session_start"),

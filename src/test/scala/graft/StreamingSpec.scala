@@ -14,22 +14,22 @@ class StreamingSpec extends SparkSpec {
   private val sfDir = "/root/testdata/sf0.001"
   private val MIN30 = 30L * 60 * 1000 * 1000
 
-  test("splitSessions: empty, single, gap-split, and numbering") {
+  test("splitSessions: empty, single, gap-split, and content-addressed anchors") {
     Events.splitSessions(1L, Array.empty, MIN30) shouldBe Nil
 
     val one = Events.splitSessions(1L, Array(100L), MIN30)
-    one.map(s => (s.session_id, s.n_events, s.start_us, s.end_us)) shouldBe Seq((1, 1L, 100L, 100L))
+    one.map(s => (s.anchor_us, s.n_events, s.start_us, s.end_us)) shouldBe Seq((100L, 1L, 100L, 100L))
 
     // two events exactly at the gap stay together; one past it splits
     val atGap = Events.splitSessions(1L, Array(0L, MIN30), MIN30)
     atGap.size shouldBe 1
     val past = Events.splitSessions(1L, Array(0L, MIN30 + 1), MIN30)
     past.size shouldBe 2
-    past.map(_.session_id) shouldBe Seq(1, 2)
+    past.map(_.anchor_us) shouldBe Seq(0L, MIN30 + 1)
 
     // unsorted input is sorted before splitting
     val unsorted = Events.splitSessions(7L, Array(MIN30 * 4, 0L, 10L), MIN30)
-    unsorted.map(s => (s.session_id, s.n_events)) shouldBe Seq((1, 2L), (2, 1L))
+    unsorted.map(s => (s.anchor_us, s.n_events)) shouldBe Seq((0L, 2L), (MIN30 * 4, 1L))
     unsorted.head.start_us shouldBe 0L
   }
 
@@ -69,23 +69,29 @@ class StreamingSpec extends SparkSpec {
     canon(streamed) shouldBe canon(batchSessions(s"$sfDir/events.parquet"))
   }
 
-  test("advanceSessions carries an open session across batches and numbers past it") {
-    import Events.{advanceSessions, OpenSession, SessState}
+  test("advanceSessions carries an open session across batches, anchored at its first event") {
+    import Events.{advanceSessions, OpenSession}
     val gap = 100L
     // batch 1: two events 50 apart → one open session, emitted once
-    val (s1, out1) = advanceSessions(7L, SessState(0, None), Array(1000L, 1050L), gap)
-    s1 shouldBe SessState(0, Some(OpenSession(1000L, 1050L, 2)))
-    out1.map(s => (s.session_id, s.n_events, s.start_us, s.end_us)) shouldBe Seq((1, 2L, 1000L, 1050L))
-    // batch 2: one event within gap EXTENDS session 1 (not renumbered),
-    // then a far event closes it and opens session 2
+    val (s1, out1) = advanceSessions(7L, None, Array(1000L, 1050L), gap)
+    s1 shouldBe Some(OpenSession(1000L, 1000L, 1050L, 2))
+    out1.map(s => (s.anchor_us, s.n_events, s.start_us, s.end_us)) shouldBe
+      Seq((1000L, 2L, 1000L, 1050L))
+    // batch 2: one event within gap EXTENDS the session (same anchor —
+    // the upsert key never changes), then a far event closes it and
+    // opens a new session anchored at its own first event
     val (s2, out2) = advanceSessions(7L, s1, Array(1100L, 5000L), gap)
-    s2 shouldBe SessState(1, Some(OpenSession(5000L, 5000L, 1)))
-    out2.map(s => (s.session_id, s.n_events, s.start_us, s.end_us)) shouldBe
-      Seq((1, 3L, 1000L, 1100L), (2, 1L, 5000L, 5000L))
-    // timed-out user state restarts numbering only via carried nClosed
-    val (s3, out3) = advanceSessions(7L, s2, Array(9000L), gap)
-    s3.nClosed shouldBe 2
-    out3.map(_.session_id) shouldBe Seq(2, 3)
+    s2 shouldBe Some(OpenSession(5000L, 5000L, 5000L, 1))
+    out2.map(s => (s.anchor_us, s.n_events, s.start_us, s.end_us)) shouldBe
+      Seq((1000L, 3L, 1000L, 1100L), (5000L, 1L, 5000L, 5000L))
+    // after state EVICTION (None carried in) a returning user opens a
+    // fresh, strictly later anchor — nothing to collide with
+    val (s3, out3) = advanceSessions(7L, None, Array(9000L), gap)
+    s3 shouldBe Some(OpenSession(9000L, 9000L, 9000L, 1))
+    out3.map(_.anchor_us) shouldBe Seq(9000L)
+    // a late in-watermark event can move start_us backwards, never the anchor
+    val (s4, _) = advanceSessions(7L, s3, Array(8950L), gap)
+    s4 shouldBe Some(OpenSession(9000L, 8950L, 9000L, 2))
   }
 
   /** Split the raw events parquet (ns-long ts) into `n` time-ordered
@@ -118,27 +124,26 @@ class StreamingSpec extends SparkSpec {
     canon(streamed) shouldBe canon(batchSessions(dir))
   }
 
-  test("sessionize numbering survives a state timeout: a returning user continues, never collides") {
+  /** Three micro-batches (ns-long ts, one file each, mtimes ascending;
+    * times start at 1h — an epoch-0 event would be dropped by the
+    * initial watermark's <= 0 late-data predicate):
+    *  f0: user 1 @ [1h, 1h+5min]    → session opens (anchor 1h)
+    *  f1: user 2 @ 4h               → watermark ≈ 4h-10min ≫ session
+    *                                   end + 30min gap → user 1's state
+    *                                   TIMES OUT and is REMOVED
+    *  f2: user 1 returns @ 5h       → fresh session, anchor 5h — the
+    *                                   content-addressed key can never
+    *                                   collide with the evicted one
+    */
+  private def timeoutDir(extra: Seq[Seq[(Long, Long)]] = Nil): String = {
     import java.nio.file.Files
     import java.nio.file.attribute.FileTime
     import spark.implicits._
     val HOUR = 3600L * 1000 * 1000
-    // three micro-batches (ns-long ts, one file each, mtimes ascending;
-    // times start at 1h — an epoch-0 event would be dropped by the
-    // initial watermark's <= 0 late-data predicate):
-    //  f0: user 1 @ [1h, 1h+5min]    → session 1 opens
-    //  f1: user 2 @ 4h               → watermark ≈ 4h-10min ≫ session 1
-    //                                   end + 30min gap → user 1's state
-    //                                   TIMES OUT
-    //  f2: user 1 returns @ 5h       → must become session 2 (a tombstone
-    //                                   keeps nClosed; wholesale
-    //                                   state.remove() would reissue id 1
-    //                                   and the upsert would fuse both
-    //                                   sessions into one corrupted row)
     val batches = Seq(
       Seq((1L, 1L * HOUR), (1L, 1L * HOUR + 5L * 60 * 1000 * 1000)),
       Seq((2L, 4L * HOUR)),
-      Seq((1L, 5L * HOUR), (2L, 5L * HOUR + 1)))
+      Seq((1L, 5L * HOUR), (2L, 5L * HOUR + 1))) ++ extra
     val dir = Files.createTempDirectory("graft_timeout_")
     batches.zipWithIndex.foreach { case (evs, i) =>
       val stage = dir.resolve(s"stage$i")
@@ -150,11 +155,51 @@ class StreamingSpec extends SparkSpec {
       Files.move(part, target)
       Files.setLastModifiedTime(target, FileTime.fromMillis(System.currentTimeMillis() - 60000 + i * 10000))
     }
-    val got = Events.sessionize(spark, dir.toString, maxFilesPerTrigger = Some(1))
+    dir.toString
+  }
+
+  test("sessionize survives a state timeout: a returning user gets a new session, never a collision") {
+    val HOUR = 3600L * 1000 * 1000
+    val got = Events.sessionize(spark, timeoutDir(), maxFilesPerTrigger = Some(1))
       .filter(col("user_id") === 1L)
       .select(col("session_id"), col("n_events"), unix_micros(col("session_start")).as("s"))
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
     got shouldBe Seq((1, 2L, 1L * HOUR), (2, 1L, 5L * HOUR))
+  }
+
+  test("sessionize state is EVICTED on timeout: rows removed from the store, none corrupted") {
+    val HOUR = 3600L * 1000 * 1000
+    // Two trailing batches from OTHER users: a group with data in a
+    // batch is advanced (never timed out), and the timeout check uses
+    // the watermark sealed at the END of the PREVIOUS batch — so f3
+    // (user 3 @ 9h) advances the watermark to ~8h50m and f4 (user 4 @
+    // 20h) is the batch in which users 1 and 2 (open ends ≈ 5h,
+    // timeouts ≈ 5h30m) actually hit the hasTimedOut branch.
+    val extra = Seq(
+      Seq((3L, 9L * HOUR)),
+      Seq((4L, 20L * HOUR)))
+    val stream = Events.sessionizeStream(spark, timeoutDir(extra), maxFilesPerTrigger = Some(1))
+    val q = stream.toDF().writeStream.outputMode("update").format("memory")
+      .queryName("graft_sess_evict").start()
+    q.processAllAvailable()
+    val progresses = q.recentProgress
+      .flatMap(p => Option(p.stateOperators).toSeq.flatMap(_.toSeq))
+    q.stop()
+    // the tombstone design kept one row per ever-seen user forever —
+    // numRowsRemoved stayed 0; true eviction must remove both users
+    progresses.map(_.numRowsRemoved).sum should be >= 2L
+    // and the upserted sessions are exactly the uncorrupted set
+    val sess = spark.table("graft_sess_evict")
+      .groupBy("user_id", "anchor_us")
+      .agg(max("n_events").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    sess shouldBe Set(
+      (1L, 1L * HOUR, 2L),           // evicted...
+      (1L, 5L * HOUR, 1L),           // ...returning user → fresh anchor
+      (2L, 4L * HOUR, 1L),           // user 2's two events are > gap apart:
+      (2L, 5L * HOUR + 1L, 1L),      // two single-event sessions
+      (3L, 9L * HOUR, 1L),           // watermark-advancing tail batches
+      (4L, 20L * HOUR, 1L))
   }
 
   test("stream dedup state is bounded by the watermark horizon, not the total key count") {
