@@ -686,7 +686,15 @@ object SparkEntry {
       Tafra.readJsonl(s, path,
           Some(StructType.fromDDL("doc_id bigint, text string, lang string, source string")))
         .select(Seq("doc_id", "text", "lang", "source")).df
-    })
+    }),
+
+    // §2#46b MATERIALIZED packing: the actual context-window contents —
+    // ordered span concatenation with cross-window spill cuts — per
+    // (shard, chunk); what a trainer's loader consumes (q45 emits only
+    // the assignment). capacity=200 at this corpus' document lengths
+    // forces frequent spills, so the cut path is exercised everywhere.
+    "q62_pack_emit" -> ((s, dir) =>
+      operators.Packing.packChunks(t(s, dir, "documents").df, capacity = 200, nShards = 8))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1260,6 +1268,36 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
 
     // round trip is lossless, so the oracle is the original table
     "q61_jsonl" ->
-      """SELECT doc_id, text, lang, source FROM documents"""
+      """SELECT doc_id, text, lang, source FROM documents""",
+
+    // materialized packing: per-shard prefix-sum offsets → per-doc
+    // window spans (integer-div chunk range, boundary cuts) → ordered
+    // span concatenation per (shard, chunk). generate_series bounds are
+    // corpus-derived constants (DuckDB lacks lateral series) with the
+    // real chunk range applied in WHERE.
+    "q62_pack_emit" ->
+      """WITH toks AS (
+           SELECT doc_id, doc_id % 8 AS shard,
+                  string_split_regex(lower(trim(text)), '\s+') AS w
+           FROM documents),
+         o AS (
+           SELECT doc_id, shard, w, CAST(len(w) AS BIGINT) AS n,
+             CAST(COALESCE(SUM(len(w)) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+           FROM toks),
+         sp AS (
+           SELECT shard, i AS chunk,
+             GREATEST(off, i * 200) - i * 200 AS chunk_offset,
+             LEAST(off + n, (i + 1) * 200) - GREATEST(off, i * 200) AS span_tokens,
+             array_to_string(
+               w[CAST(GREATEST(off, i * 200) - off + 1 AS BIGINT) :
+                 CAST(LEAST(off + n, (i + 1) * 200) - off AS BIGINT)], ' ') AS span_text
+           FROM o, unnest(generate_series(0,
+             (SELECT CAST(MAX((off + n - 1) // 200) AS BIGINT) FROM o))) AS t(i)
+           WHERE n > 0 AND i BETWEEN off // 200 AND (off + n - 1) // 200)
+         SELECT shard, chunk, COUNT(*) AS n_docs,
+           CAST(SUM(span_tokens) AS BIGINT) AS n_tokens,
+           string_agg(span_text, ' ' ORDER BY chunk_offset) AS packed_text
+         FROM sp GROUP BY 1, 2"""
   )
 }

@@ -49,4 +49,61 @@ object Packing {
   def chunkStats(packed: DataFrame): DataFrame =
     packed.groupBy("shard", "chunk")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens"))
+
+  /** The MATERIALIZED packing: one row per (doc, context window) span.
+    * A document occupying stream interval [off, off + n) intersects
+    * every window `chunk` in [off div cap, (off + n - 1) div cap]; a
+    * document longer than its window's remainder is CUT and the tail
+    * spills into the next window(s) — the concat-and-chunk split a
+    * trainer's loader actually performs. Returns (doc_id, shard, chunk,
+    * chunk_offset, doc_tok_begin, span_tokens, span_text):
+    * `chunk_offset` is the span's position inside its window,
+    * `doc_tok_begin` the 0-based cut point inside the document.
+    *
+    * Scale shape: the q45-style prefix-sum window (one exchange on
+    * shard) followed by a MAP-ONLY sequence-explode + slice — a doc
+    * emits ceil(n/cap)+1 rows at most, and the token arrays never
+    * shuffle again after the shard exchange. Chunk ids use integer
+    * `div`, exact at any stream length (no double rounding).
+    */
+  def packSpans(docs: DataFrame, capacity: Int = 2048, nShards: Int = 8,
+                textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(capacity > 0 && nShards > 0, s"bad capacity=$capacity / nShards=$nShards")
+    val cap = capacity.toLong
+    val w = Window.partitionBy("shard").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col(idCol), pmod(col(idCol), lit(nShards.toLong)).as("shard"),
+        T.tokens(col(textCol)).as("w"))
+      .withColumn("n_tokens", size(col("w")).cast("long"))
+      .withColumn("tok_offset", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .filter(col("n_tokens") > 0)
+      .select(col(idCol), col("shard"), col("w"), col("n_tokens"), col("tok_offset"),
+        explode(sequence(expr(s"tok_offset div $cap"),
+          expr(s"(tok_offset + n_tokens - 1) div $cap"))).as("chunk"))
+      .withColumn("gbeg", greatest(col("tok_offset"), col("chunk") * cap))
+      .withColumn("gend", least(col("tok_offset") + col("n_tokens"), (col("chunk") + 1) * cap))
+      .withColumn("chunk_offset", col("gbeg") - col("chunk") * cap)
+      .withColumn("doc_tok_begin", col("gbeg") - col("tok_offset"))
+      .withColumn("span_tokens", col("gend") - col("gbeg"))
+      .withColumn("span_text", array_join(
+        slice(col("w"), (col("doc_tok_begin") + 1).cast("int"), col("span_tokens").cast("int")), " "))
+      .select(idCol, "shard", "chunk", "chunk_offset", "doc_tok_begin", "span_tokens", "span_text")
+  }
+
+  /** The packed context windows themselves — what a trainer reads: per
+    * (shard, chunk) the ordered concatenation of its spans. Every chunk
+    * holds exactly `capacity` tokens except the trailing chunk of each
+    * shard. One aggregation over [[packSpans]]; the groupBy reuses the
+    * shard exchange (hashpartitioning(shard) co-locates (shard, chunk))
+    * so the whole materialization is a single shuffle end to end.
+    */
+  def packChunks(docs: DataFrame, capacity: Int = 2048, nShards: Int = 8,
+                 textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    packSpans(docs, capacity, nShards, textCol, idCol)
+      .groupBy("shard", "chunk")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("span_tokens").as("n_tokens"),
+           array_join(transform(
+             array_sort(collect_list(struct(col("chunk_offset"), col("span_text")))),
+             s => s.getField("span_text")), " ").as("packed_text"))
 }

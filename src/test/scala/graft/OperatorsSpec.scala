@@ -434,6 +434,48 @@ class OperatorsSpec extends SparkSpec {
     out shouldBe Map(500L -> false, 501L -> true)
   }
 
+  test("packSpans/packChunks: spill cuts, exact window fill, lossless reconstruction") {
+    // doc i has i%5+3 tokens named d<i>t<j> — identifiable across cuts
+    val corpus = (0L until 12L)
+      .map(i => (i, (0 until (i % 5 + 3).toInt).map(j => s"d${i}t$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val cap = 5
+    val spans = Packing.packSpans(corpus, capacity = cap, nShards = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getString(6)))
+    // span continuity per doc: consecutive chunks, tail starts at offset
+    // 0 of the next window, doc_tok_begin resumes where the cut happened
+    spans.groupBy(_._1).foreach { case (_, ss) =>
+      val sorted = ss.sortBy(_._3)
+      sorted.sliding(2).foreach {
+        case Array((_, _, c1, _, b1, t1, _), (_, _, c2, off2, b2, _, _)) =>
+          c2 shouldBe c1 + 1
+          off2 shouldBe 0L      // a spilled tail always starts the window
+          b2 shouldBe b1 + t1   // no token lost or repeated at the cut
+        case _ =>
+      }
+      // spans partition the doc's tokens exactly
+      sorted.head._5 shouldBe 0L
+      sorted.map(_._6).sum shouldBe sorted.head._1 % 5 + 3
+    }
+    // q45 assignment agrees with the first span of every doc
+    val assigned = Packing.packSequences(corpus, capacity = cap, nShards = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    spans.groupBy(_._1).foreach { case (d, ss) => ss.map(_._3).min shouldBe assigned(d) }
+    // packed windows: every chunk is filled to capacity except the last
+    // per shard, and concatenating them reconstructs the shard stream
+    val chunks = Packing.packChunks(corpus, capacity = cap, nShards = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    chunks.groupBy(_._1).foreach { case (shard, cs) =>
+      val sorted = cs.sortBy(_._2)
+      sorted.init.foreach(_._4 shouldBe cap.toLong)
+      val stream = sorted.map(_._5).mkString(" ")
+      val expected = (0L until 12L).filter(_ % 2 == shard)
+        .flatMap(i => (0 until (i % 5 + 3).toInt).map(j => s"d${i}t$j")).mkString(" ")
+      stream shouldBe expected
+    }
+  }
+
   test("ngramJaccard size gate: shuffled-anti fallback matches the broadcast path exactly") {
     val bcast = Dedup.ngramJaccard(docs)
     val fallback = Dedup.ngramJaccard(docs, frequentBroadcastRows = -1L)

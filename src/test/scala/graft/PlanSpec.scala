@@ -137,6 +137,14 @@ class PlanSpec extends SparkSpec {
     p.sliding("Exchange".length).count(_ == "Exchange") shouldBe 1
   }
 
+  test("q62 materialized packing is a single shuffle: span explode map-side, groupBy reuses the shard exchange") {
+    val p = plan("q62_pack_emit")
+    p should include("Exchange hashpartitioning(shard")
+    // hashpartitioning(shard) co-locates (shard, chunk), so the chunk
+    // aggregation must NOT add a second exchange
+    p.sliding("Exchange".length).count(_ == "Exchange") shouldBe 1
+  }
+
   test("q50 audio codec pipeline: exactly one pinned rebalance exchange, codec chained map-side") {
     val p = plan("q50_audio")
     p should include("REPARTITION_BY_NUM")
