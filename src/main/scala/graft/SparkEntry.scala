@@ -694,7 +694,16 @@ object SparkEntry {
     // the assignment). capacity=200 at this corpus' document lengths
     // forces frequent spills, so the cut path is exercised everywhere.
     "q62_pack_emit" -> ((s, dir) =>
-      operators.Packing.packChunks(t(s, dir, "documents").df, capacity = 200, nShards = 8))
+      operators.Packing.packChunks(t(s, dir, "documents").df, capacity = 200, nShards = 8)),
+
+    // §2#38b tokenizer-faithful token counting: a real merges-table BPE
+    // (self-learned from Bpe.SeedText, pasted constant) beside the
+    // whitespace estimate. The oracle replays the identical rank-by-rank
+    // merge loop as a recursive CTE, so the counts are hash-verified
+    // end to end. Sampled (doc_id % 100) — the oracle's recursion is
+    // per-word-type and the sample keeps it square with DuckDB.
+    "q63_bpe_tokens" -> ((s, dir) =>
+      functions.Bpe.bpeCount(t(s, dir, "documents").df.filter(col("doc_id") % 100 === 0)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1298,6 +1307,53 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
          SELECT shard, chunk, COUNT(*) AS n_docs,
            CAST(SUM(span_tokens) AS BIGINT) AS n_tokens,
            string_agg(span_text, ' ' ORDER BY chunk_offset) AS packed_text
-         FROM sp GROUP BY 1, 2"""
+         FROM sp GROUP BY 1, 2""",
+
+    // rank-by-rank BPE replay: each rank's merge is a string replace
+    // over space-delimited symbols, repeated until it stops applying
+    // (CASE keeps r when rep changed), then the next rank; token count
+    // is spaces - 1 at the terminal rank. Merges literal = Bpe.Merges.
+    "q63_bpe_tokens" ->
+      """WITH RECURSIVE m(rank, a, b) AS (
+           SELECT * FROM (VALUES
+             (1,'t','h'), (2,'th','e'), (3,'n','d'), (4,'i','n'),
+             (5,'a','nd'), (6,'s','t'), (7,'s','h'), (8,'n','s'),
+             (9,'l','e'), (10,'e','r'), (11,'t','i'), (12,'r','e'),
+             (13,'re','a'), (14,'in','g'), (15,'d','s'), (16,'a','r'),
+             (17,'u','f'), (18,'uf','f'), (19,'uff','le'), (20,'sh','uffle'),
+             (21,'r','o'), (22,'o','l'), (23,'l','l'), (24,'e','n'),
+             (25,'c','l'), (26,'c','a'), (27,'a','t'), (28,'y','s'),
+             (29,'w','s'), (30,'w','i'), (31,'wi','nd'), (32,'wind','o'),
+             (33,'u','st'), (34,'ust','er'), (35,'u','m'), (36,'u','er'),
+             (37,'uer','y'), (38,'ti','ti'), (39,'titi','o'), (40,'titio','ns'),
+             (41,'t','s'), (42,'st','rea'), (43,'strea','m'), (44,'stream','ing'),
+             (45,'shuffle','s'), (46,'sh','ing'), (47,'s','p'), (48,'s','i'))),
+         w AS (
+           SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+           FROM documents WHERE doc_id % 100 = 0),
+         wc AS (SELECT doc_id, word, COUNT(*) AS cnt FROM w
+                WHERE word <> '' GROUP BY 1, 2),
+         bpe AS (
+           SELECT doc_id, word, cnt,
+             ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS s, 1 AS r
+           FROM wc
+           UNION ALL
+           SELECT doc_id, word, cnt,
+             CASE WHEN rep <> s THEN rep ELSE s END,
+             CASE WHEN rep <> s THEN r ELSE r + 1 END
+           FROM (
+             SELECT b.doc_id, b.word, b.cnt, b.s, b.r,
+               replace(b.s, ' ' || m.a || ' ' || m.b || ' ',
+                       ' ' || m.a || m.b || ' ') AS rep
+             FROM bpe b JOIN m ON m.rank = b.r) t),
+         fin AS (
+           SELECT doc_id, cnt,
+             (length(s) - length(replace(s, ' ', ''))) - 1 AS ntok
+           FROM bpe WHERE r = 49)
+         SELECT d.doc_id, CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n_ws_tokens,
+           CAST(COALESCE(SUM(cnt * ntok), 0) AS BIGINT) AS n_bpe_tokens
+         FROM (SELECT doc_id FROM documents WHERE doc_id % 100 = 0) d
+         LEFT JOIN fin ON fin.doc_id = d.doc_id
+         GROUP BY 1"""
   )
 }

@@ -31,12 +31,25 @@ object Packing {
     * its first token lands in.
     */
   def packSequences(docs: DataFrame, capacity: Int = 2048, nShards: Int = 8,
-                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    packCounted(
+      docs.select(col(idCol), size(T.tokens(col(textCol))).as("n_tokens")),
+      capacity, nShards, idCol)
+
+  /** Packing over PRE-COUNTED documents — the generalization that lets
+    * any token counter denominate the capacity: feed it
+    * `Bpe.bpeCount(docs).select(doc_id, n_bpe_tokens as n_tokens)` and
+    * the context windows hold `capacity` REAL tokenizer tokens instead
+    * of whitespace estimates. Same single-window shape as
+    * [[packSequences]] (which delegates here).
+    */
+  def packCounted(counts: DataFrame, capacity: Int = 2048, nShards: Int = 8,
+                  idCol: String = "doc_id", nTokensCol: String = "n_tokens"): DataFrame = {
     require(capacity > 0 && nShards > 0, s"bad capacity=$capacity / nShards=$nShards")
     val w = Window.partitionBy("shard").orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, -1)
-    docs.select(col(idCol), pmod(col(idCol), lit(nShards.toLong)).as("shard"),
-        size(T.tokens(col(textCol))).as("n_tokens"))
+    counts.select(col(idCol), pmod(col(idCol), lit(nShards.toLong)).as("shard"),
+        col(nTokensCol).cast("long").as("n_tokens"))
       .withColumn("tok_offset", coalesce(sum("n_tokens").over(w), lit(0L)))
       .withColumn("chunk", floor(col("tok_offset") / capacity.toDouble).cast("long"))
   }
