@@ -703,7 +703,21 @@ object SparkEntry {
     // end to end. Sampled (doc_id % 100) — the oracle's recursion is
     // per-word-type and the sample keeps it square with DuckDB.
     "q63_bpe_tokens" -> ((s, dir) =>
-      functions.Bpe.bpeCount(t(s, dir, "documents").df.filter(col("doc_id") % 100 === 0)))
+      functions.Bpe.bpeCount(t(s, dir, "documents").df.filter(col("doc_id") % 100 === 0))),
+
+    // §2#42b hot-key as-of: the (key, time-bucket)-partitioned variant
+    // with boundary carry-in — same semantics as q35, window tasks
+    // bounded per bucket instead of per key. µs-long times (the ns
+    // trap), 1-hour buckets.
+    "q64_asof_bucketed" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("cus"), col("value").as("click_value"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("bus"), col("value").as("buy_value"))
+      operators.AsofJoin.asofJoinBucketed(clicks, buys,
+        "user_id", "cus", "bus", Seq("bus", "buy_value"), bucketWidth = 3600L * 1000000L)
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1354,6 +1368,15 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
            CAST(COALESCE(SUM(cnt * ntok), 0) AS BIGINT) AS n_bpe_tokens
          FROM (SELECT doc_id FROM documents WHERE doc_id % 100 = 0) d
          LEFT JOIN fin ON fin.doc_id = d.doc_id
-         GROUP BY 1"""
+         GROUP BY 1""",
+
+    // same ASOF semantics as q35, times as µs longs
+    "q64_asof_bucketed" ->
+      """WITH e AS (SELECT user_id, event_type,
+                      epoch_ns(ts)//1000 AS tus, value FROM events),
+         c AS (SELECT user_id, tus AS cus, value AS click_value FROM e WHERE event_type = 'click'),
+         b AS (SELECT user_id, tus AS bus, value AS buy_value FROM e WHERE event_type = 'purchase')
+         SELECT c.user_id, cus, click_value, bus, buy_value
+         FROM c ASOF LEFT JOIN b ON c.user_id = b.user_id AND b.bus <= c.cus"""
   )
 }

@@ -67,4 +67,85 @@ object AsofJoin {
     gated.filter(col("_src") === 1)
       .select(lCols.map(col) ++ rightPayload.map(c => col(s"_m.$c").as(c)): _*)
   }
+
+  /** Hot-key variant: [[asofJoin]] sorts EACH key's full history in one
+    * window task — a Zipf-hot key (one user = 10% of a 100 TB stream)
+    * serializes there, and AQE's skew splitting does not apply to
+    * windows. Here the window partition is (key, coarse time bucket):
+    * per-task sorts are bounded by a bucket's rows, and cross-bucket
+    * correctness is restored by CARRYING IN each bucket's predecessor
+    * state — the latest right row over all earlier buckets. The carry
+    * is computed on a per-(key, bucket) aggregate (map-side-combinable
+    * `max_by`) plus one spine window over BUCKET IDS (rows = buckets
+    * present, never event rows), then injected as a synthetic row
+    * sorting before everything in its bucket (`_src` -1 at the bucket
+    * start; its TRUE time rides separately for the tolerance gate).
+    *
+    * Times must be numeric (cast timestamps with `unix_micros` first);
+    * `bucketWidth` shares their unit. Buckets floor correctly for
+    * negative times (the pmod trick, as in RangeJoin). A key hot at a
+    * single INSTANT still lands in one bucket — bucketing spreads
+    * time-spread hot keys, the Zipf-user shape.
+    */
+  def asofJoinBucketed(left: DataFrame, right: DataFrame,
+                       key: String, leftTime: String, rightTime: String,
+                       rightPayload: Seq[String],
+                       bucketWidth: Long,
+                       tolerance: Option[Column] = None): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val lCols = left.columns.toSeq
+    val payloadT = struct(rightPayload.map(col): _*)
+    val pType = right.select(payloadT).schema.head.dataType
+    def bucketOf(c: Column): Column =
+      ((c - pmod(c, lit(bucketWidth))) / bucketWidth).cast("long")
+    val nullLCols = lCols.filterNot(_ == key)
+      .map(c => c -> lit(null).cast(left.schema(c).dataType)).toMap
+    val shape: Seq[Column] =
+      lCols.map(col) ++ Seq(col("_t"), col("_rt"), col("_src"), col("_p"), col("_b"))
+
+    val l = left
+      .withColumn("_t", col(leftTime).cast("long"))
+      .withColumn("_rt", lit(null).cast("long"))
+      .withColumn("_src", lit(1))
+      .withColumn("_p", lit(null).cast(pType))
+      .withColumn("_b", bucketOf(col("_t")))
+      .select(shape: _*)
+    val r = right
+      .select(col(key), col(rightTime).cast("long").as("_t"),
+        col(rightTime).cast("long").as("_rt"), lit(0).as("_src"), payloadT.as("_p"))
+      .withColumn("_b", bucketOf(col("_t")))
+      .withColumns(nullLCols)
+      .select(shape: _*)
+
+    // latest right row per (key, bucket) — partial-agg, then the spine
+    // window turns it into "latest right row of any EARLIER bucket"
+    val rAgg = r.groupBy(col(key), col("_b"))
+      .agg(max_by(struct(col("_rt"), col("_p")), col("_t")).as("_last"))
+    val spine = l.select(col(key), col("_b")).distinct()
+      .unionByName(rAgg.select(col(key), col("_b")))
+      .distinct()
+      .join(rAgg, Seq(key, "_b"), "left")
+    val wSpine = Window.partitionBy(col(key)).orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = spine
+      .withColumn("_c", last(col("_last"), ignoreNulls = true).over(wSpine))
+      .filter(col("_c").isNotNull)
+      .select(col(key), (col("_b") * bucketWidth).as("_t"),
+        col("_c._rt").as("_rt"), lit(-1).as("_src"), col("_c._p").as("_p"), col("_b"))
+      .withColumns(nullLCols)
+      .select(shape: _*)
+
+    val w = Window.partitionBy(col(key), col("_b")).orderBy(col("_t"), col("_src"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = l.unionByName(r).unionByName(carries)
+      .withColumn("_m", last(col("_p"), ignoreNulls = true).over(w))
+    val gated = tolerance match {
+      case Some(tol) => matched
+        .withColumn("_mt", last(when(col("_src") <= 0, col("_rt")), ignoreNulls = true).over(w))
+        .withColumn("_m", when(col("_t") - col("_mt") <= tol, col("_m")))
+      case None => matched
+    }
+    gated.filter(col("_src") === 1)
+      .select(lCols.map(col) ++ rightPayload.map(c => col(s"_m.$c").as(c)): _*)
+  }
 }

@@ -539,6 +539,41 @@ class OperatorsSpec extends SparkSpec {
     fp.toDouble / 100000.0 should be <= (2 * p)
   }
 
+  test("bucketed asof equals the plain asof at any bucket width (random data, negative times, carry-in)") {
+    val rnd = new scala.util.Random(5)
+    // negative..positive times; right times DISTINCT per key (equal-time
+    // right rows are tie-ambiguous in both forms, so excluded by design)
+    val left = (1 to 300).map(_ => (rnd.nextInt(4).toLong, rnd.nextInt(2200).toLong - 600))
+      .toDF("k", "t")
+    val right = (0 until 4).flatMap { k =>
+      rnd.shuffle((-600 until 1600).toList).take(120)
+        .map(t => (k.toLong, t.toLong, rnd.nextDouble()))
+    }.toDF("k", "rt", "rv")
+    val plain = AsofJoin.asofJoin(left, right, "k", "t", "rt", Seq("rt", "rv"))
+    for (width <- Seq(1L, 7L, 97L, 1000000L)) {
+      val bucketed = AsofJoin.asofJoinBucketed(left, right, "k", "t", "rt",
+        Seq("rt", "rv"), bucketWidth = width)
+      canon(bucketed) shouldBe canon(plain)
+    }
+    // tolerance rides the same carry (true right time, not bucket start)
+    val planTol = AsofJoin.asofJoin(left, right, "k", "t", "rt", Seq("rt", "rv"),
+      tolerance = Some(lit(50L)))
+    val buckTol = AsofJoin.asofJoinBucketed(left, right, "k", "t", "rt",
+      Seq("rt", "rv"), bucketWidth = 97L, tolerance = Some(lit(50L)))
+    canon(buckTol) shouldBe canon(planTol)
+  }
+
+  test("bucketed asof: a bucket with no right rows takes its match from the carry-in") {
+    val left = Seq((1L, 1000L), (1L, 1005L)).toDF("k", "t")
+    val right = Seq((1L, 10L, 9.0), (1L, 20L, 7.0)).toDF("k", "rt", "rv")
+    // width 100: left sits in bucket 10, right in bucket 0 — matches
+    // exist ONLY via the carry row
+    val out = AsofJoin.asofJoinBucketed(left, right, "k", "t", "rt",
+      Seq("rt", "rv"), bucketWidth = 100L)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).sortBy(_._1).toSeq
+    out shouldBe Seq((1000L, 20L, 7.0), (1005L, 20L, 7.0))
+  }
+
   test("bandJoin matches the brute-force theta join, including bucket boundaries") {
     val rnd = new scala.util.Random(42)
     // times clustered so bands actually overlap, plus exact-boundary cases
