@@ -458,7 +458,11 @@ object SparkEntry {
         .select(col("doc_id"),
           concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
             lit("@mail.example.com or 10.20."), pmod(col("doc_id"), lit(250L)).cast("string"),
-            lit(".7 see https://ex.com/d/"), col("doc_id").cast("string"), lit(" end")).as("dirty"))
+            lit(".7 call +1 555-"),
+            lpad(pmod(col("doc_id"), lit(1000L)).cast("string"), 3, "0"),
+            lit("-"), lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0"),
+            lit(" v6 fe80::"), lower(hex(pmod(col("doc_id"), lit(65536L)))),
+            lit(" see https://ex.com/d/"), col("doc_id").cast("string"), lit(" end")).as("dirty"))
         .select(col("doc_id"), T.scrubPii(col("dirty")).as("clean"))
     }),
 
@@ -1109,14 +1113,22 @@ object SparkEntry {
            SELECT doc_id,
              text || ' contact user' || CAST(doc_id AS VARCHAR)
                   || '@mail.example.com or 10.20.' || CAST(doc_id % 250 AS VARCHAR)
-                  || '.7 see https://ex.com/d/' || CAST(doc_id AS VARCHAR) || ' end' AS dirty
-           FROM documents)
-         SELECT doc_id,
-           regexp_replace(regexp_replace(regexp_replace(dirty,
-             'https?://\S+', '<URL>', 'g'),
-             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                  || '.7 call +1 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                  || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || ' v6 fe80::' || lower(hex(doc_id % 65536))
+                  || ' see https://ex.com/d/' || CAST(doc_id AS VARCHAR) || ' end' AS dirty
+           FROM documents),
+         s1 AS (SELECT doc_id, regexp_replace(dirty,
+             'https?://\S+', '<URL>', 'g') AS c FROM d),
+         s2 AS (SELECT doc_id, regexp_replace(c,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS c FROM s1),
+         s3 AS (SELECT doc_id, regexp_replace(c,
+             '(\+\d{1,3}[ -]?)?\(?\d{3}\)?[ -]\d{3}[ -]\d{4}\b', '<PHONE>', 'g') AS c FROM s2),
+         s4 AS (SELECT doc_id, regexp_replace(c,
+             '(([0-9a-fA-F]{1,4}:){7}[0-9a-fA-F]{1,4}|([0-9a-fA-F]{1,4}:)+:([0-9a-fA-F]{1,4}(:[0-9a-fA-F]{1,4})*)?|::([0-9a-fA-F]{1,4}(:[0-9a-fA-F]{1,4})*))', '<IPV6>', 'g') AS c FROM s3)
+         SELECT doc_id, regexp_replace(c,
              '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g') AS clean
-         FROM d""",
+         FROM s4""",
 
     "q44_text_repetition" ->
       """WITH toks AS (

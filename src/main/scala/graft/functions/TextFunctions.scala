@@ -61,18 +61,33 @@ object TextFunctions {
     }
   }
 
-  /** PII redaction: URLs, then emails, then IPv4 literals replaced by
-    * typed placeholder tags (URL first — emails and IPs can appear
-    * inside one). Pure regexp_replace chain: codegen'd, no UDF, and
-    * the patterns are RE2-compatible so the exact same chain runs as
-    * the SQL oracle. At 100 TB this is a map-only pass — no shuffle,
-    * pipelined with whatever scan feeds it.
+  /** PII redaction: URLs, then emails, then phone numbers, then IPv6,
+    * then IPv4 literals replaced by typed placeholder tags (URL first —
+    * emails and IPs can appear inside one; IPv6 before IPv4 so the
+    * hex-colon body is consumed whole). Pure regexp_replace chain:
+    * codegen'd, no UDF, and the patterns are RE2-compatible (no
+    * lookaround, no \Q\E) so the exact same chain runs as the SQL
+    * oracle. At 100 TB this is a map-only pass — no shuffle, pipelined
+    * with whatever scan feeds it.
+    *
+    * Phone coverage is deliberately conservative (optional +CC, 3-3-4
+    * groups with space/dash separators, optional area parens): dot
+    * separators would collide with IPv4/dates. IPv6 covers the full
+    * 8-group form and ::-compressed forms — a bare hex-word pair like
+    * "ab::cd" is matched by design (it IS valid IPv6).
     */
+  val PhonePattern = "(\\+\\d{1,3}[ -]?)?\\(?\\d{3}\\)?[ -]\\d{3}[ -]\\d{4}\\b"
+  val Ipv6Pattern =
+    "(([0-9a-fA-F]{1,4}:){7}[0-9a-fA-F]{1,4}" +
+    "|([0-9a-fA-F]{1,4}:)+:([0-9a-fA-F]{1,4}(:[0-9a-fA-F]{1,4})*)?" +
+    "|::([0-9a-fA-F]{1,4}(:[0-9a-fA-F]{1,4})*))"
   def scrubPii(c: Column): Column = {
     val noUrl = regexp_replace(c, "https?://\\S+", "<URL>")
     val noEmail = regexp_replace(noUrl,
       "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
-    regexp_replace(noEmail, "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b", "<IP>")
+    val noPhone = regexp_replace(noEmail, PhonePattern, "<PHONE>")
+    val noV6 = regexp_replace(noPhone, Ipv6Pattern, "<IPV6>")
+    regexp_replace(noV6, "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b", "<IP>")
   }
 
   /** HTML → text extraction (the WET-extraction pass of a web-corpus

@@ -25,9 +25,11 @@ object RangeJoin {
 
   /** Exact floor(t / g) for long-valued times: the numerator is made an
     * exact multiple of g first, so the double division is exact (the
-    * quotient is an integer well under 2^53) — no boundary flips.
+    * quotient is an integer well under 2^53 for any epoch-scaled time)
+    * — no boundary flips, including negative times. Property-tested
+    * against math.floorDiv in OperatorsSpec.
     */
-  private def bucketOf(t: Column, g: Long): Column =
+  private[graft] def bucketOf(t: Column, g: Long): Column =
     ((t - pmod(t, lit(g))) / lit(g)).cast("long")
 
   /** Band join on `keyCols` with `|lTime - rTime| <= gap`.

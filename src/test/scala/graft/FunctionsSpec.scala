@@ -195,4 +195,25 @@ class FunctionsSpec extends SparkSpec {
     r shouldBe clean
   }
 
+  test("scrubPii redacts phone numbers: +CC, parens, dash/space groups") {
+    val dirty = "call +1 555-123-4567 or (555) 234-5678 or 555 345 6789 done"
+    val r = Seq(dirty).toDF("t").select(T.scrubPii(col("t"))).as[String].head()
+    r shouldBe "call <PHONE> or <PHONE> or <PHONE> done"
+  }
+
+  test("scrubPii redacts IPv6: full form and ::-compressed, before IPv4 sees the text") {
+    val dirty = "v6 2001:0db8:85a3:0000:0000:8a2e:0370:7334 short fe80::1 multi a:b::c:d and ::1 end"
+    val r = Seq(dirty).toDF("t").select(T.scrubPii(col("t"))).as[String].head()
+    r shouldBe "v6 <IPV6> short <IPV6> multi <IPV6> and <IPV6> end"
+  }
+
+  test("scrubPii phone/IPv6 do not fire on dates, versions, times, or IPv4") {
+    val clean = "on 2024-01-02 at 12:30:45 version 1.2.3 ratio 10:1 end"
+    val r = Seq(clean).toDF("t").select(T.scrubPii(col("t"))).as[String].head()
+    r shouldBe clean
+    // IPv4 still lands on <IP>, untouched by the v6 pass
+    Seq("ip 10.20.30.40 end").toDF("t").select(T.scrubPii(col("t")))
+      .as[String].head() shouldBe "ip <IP> end"
+  }
+
 }

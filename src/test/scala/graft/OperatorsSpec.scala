@@ -539,6 +539,22 @@ class OperatorsSpec extends SparkSpec {
     fp.toDouble / 100000.0 should be <= (2 * p)
   }
 
+  test("bucketOf equals floorDiv for negative/zero/positive epoch times, incl exact boundaries") {
+    val rnd = new scala.util.Random(23)
+    val gaps = Seq(1L, 3L, 100L, 1800000000L) // incl the q47 30-min-µs gap
+    for (g <- gaps) {
+      // epoch-µs-scale magnitudes (quotient < 2^53), boundary multiples
+      // k·g and k·g ± 1 on both sides of zero, plus random times
+      val ks = Seq(-3L, -2L, -1L, 0L, 1L, 2L, 3L, 1000000L, -1000000L)
+      val times = (ks.flatMap(k => Seq(k * g - 1, k * g, k * g + 1)) ++
+        Seq.fill(200)(rnd.nextLong() % 4000000000000000L)).distinct
+      val got = times.toDF("t")
+        .select(col("t"), RangeJoin.bucketOf(col("t"), g).as("b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      times.foreach(t => withClue(s"t=$t g=$g: ") { got(t) shouldBe math.floorDiv(t, g) })
+    }
+  }
+
   test("bucketed asof equals the plain asof at any bucket width (random data, negative times, carry-in)") {
     val rnd = new scala.util.Random(5)
     // negative..positive times; right times DISTINCT per key (equal-time
