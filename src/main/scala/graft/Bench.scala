@@ -12,28 +12,45 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
-    def timedPass(): Seq[(String, Double)] = queries.map { case (name, fn) =>
+    def timedPass(dir: String): Seq[(String, Double)] = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, dir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     // Warmup pass (JIT + codegen-cache + parquet-footer warm) is timed
     // too: it's pessimistic for the min, so it can only help — a free
     // third sample against this host's multi-second steal/contention
     // waves, which two timed passes alone can straddle.
-    val passes = Seq(timedPass(), timedPass(), timedPass())
-    val results = queries.indices.map { i =>
-      val name = passes.head(i)._1
-      val ts = passes.map(_(i)._2)
-      val dt = ts.min
-      System.err.println(
-        f"[bench] $name%-24s $dt%8.2f s  (${ts.map(t => f"$t%.2f").mkString(", ")})")
-      name -> dt
+    def minOf3(dir: String, tag: String): Seq[(String, Double)] = {
+      val passes = Seq(timedPass(dir), timedPass(dir), timedPass(dir))
+      queries.indices.map { i =>
+        val name = passes.head(i)._1
+        val ts = passes.map(_(i)._2)
+        val dt = ts.min
+        System.err.println(
+          f"[bench:$tag] $name%-24s $dt%8.2f s  (${ts.map(t => f"$t%.2f").mkString(", ")})")
+        name -> dt
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def json(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val results = minOf3(sfDir, "sf0.1")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // Standing scale-growth gate: when benching the driver's sf0.1 dir,
+    // also run the FK-consistent dup-heavy 10× replica (materialized
+    // once, marker-gated) so sub-linear growth is re-proven every round
+    // in BENCH itself, not by an ad-hoc probe. SPARK_GRAFT_SF1=0 skips.
+    val sf1Fields =
+      if (sfDir.endsWith("sf0.1") && sys.env.getOrElse("SPARK_GRAFT_SF1", "1") != "0") {
+        val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/root/repo/target/sf1")
+        ScaleUp.scale(spark, sfDir, sf1Dir, 10)
+        val r1 = minOf3(sf1Dir, "sf1")
+        val t1 = r1.map(_._2).sum
+        val growth = if (total > 0) t1 / total else -1.0
+        s""","sf1_total":$t1,"sf1_growth":$growth,"sf1_queries":${json(r1)}"""
+      } else ""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(results)},"sf":"$sfDir"$sf1Fields}""")
     spark.stop()
   }
 }

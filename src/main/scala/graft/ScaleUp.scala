@@ -15,20 +15,19 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.ScaleUp [srcDir dstDir copies]
   */
 object ScaleUp {
-  def main(args: Array[String]): Unit = {
-    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
-    val dst = if (args.length > 1) args(1) else "/root/repo/target/sf1"
-    val copies = if (args.length > 2) args(2).toInt else 10
-    val off = 10000000000L // far above any sf0.1 key
 
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events ns ts → long
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+  /** Replicate `src` into `dst` `copies`× with FK-consistent key
+    * offsets. Idempotent: a done-marker skips regeneration, so the
+    * per-round bench can call this unconditionally.
+    */
+  def scale(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
+    val marker = java.nio.file.Paths.get(dst, s"_SCALEUP_DONE_$copies")
+    if (java.nio.file.Files.exists(marker)) {
+      System.err.println(s"[scaleup] $dst already materialized, skipping")
+      return
+    }
+    val off = 10000000000L // far above any sf0.1 key
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true") // events ns ts → long
 
     val keyCols: Map[String, Seq[String]] = Map(
       "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
@@ -52,6 +51,22 @@ object ScaleUp {
       out.write.mode("overwrite").parquet(s"$dst/$table.parquet")
       System.err.println(s"[scaleup] $table -> ${if (keys.isEmpty) 1 else copies}x")
     }
+    java.nio.file.Files.createFile(marker)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val dst = if (args.length > 1) args(1) else "/root/repo/target/sf1"
+    val copies = if (args.length > 2) args(2).toInt else 10
+
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    scale(spark, src, dst, copies)
     spark.stop()
   }
 }
