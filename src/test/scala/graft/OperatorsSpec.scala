@@ -263,7 +263,7 @@ class OperatorsSpec extends SparkSpec {
   test("packSequences: prefix-sum offsets, chunk boundaries, shard independence") {
     val corpus = (0L until 40L).map(i => (i, ("w " * (i % 7 + 1).toInt).trim)).toDF("doc_id", "text")
     val packed = Packing.packSequences(corpus, capacity = 10, nShards = 4).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     packed.length shouldBe 40
     // per shard: offsets are the exact running sum in doc_id order, starting at 0
     packed.groupBy(_._2).foreach { case (_, rows) =>
