@@ -721,6 +721,15 @@ object SparkEntry {
         .select(col("user_id"), unix_micros(col("ts")).as("bus"), col("value").as("buy_value"))
       operators.AsofJoin.asofJoinBucketed(clicks, buys,
         "user_id", "cus", "bus", Seq("bus", "buy_value"), bucketWidth = 3600L * 1000000L)
+    }),
+
+    // §2#37c CCNet-style perplexity filter: every document scored by
+    // negative mean bigram log-likelihood under an add-k LM trained on
+    // the doc_id % 10 == 0 seed split. Log terms decimal-quantized
+    // before the sum so both engines aggregate exactly.
+    "q65_lm_perplexity" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      functions.NgramLm.perplexity(docs, docs.filter(col("doc_id") % 10 === 0))
     })
   )
 
@@ -1381,6 +1390,36 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
          FROM (SELECT doc_id FROM documents WHERE doc_id % 100 = 0) d
          LEFT JOIN fin ON fin.doc_id = d.doc_id
          GROUP BY 1""",
+
+    // bigram LM over the seed split; per-bigram ln terms quantized to
+    // DECIMAL(20,6) before the sum (exact, order-insensitive on both
+    // engines), mean rounded to 4 decimals
+    "q65_lm_perplexity" ->
+      """WITH tok AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
+         bg AS (
+           SELECT doc_id, unnest([array_to_string(w[i : i+1], ' ')
+                                  for i in generate_series(1, len(w) - 1)]) AS bg
+           FROM tok WHERE len(w) >= 2),
+         seedbg AS (SELECT bg, COUNT(*) AS c2 FROM bg WHERE doc_id % 10 = 0 GROUP BY 1),
+         ctx AS (SELECT split_part(bg, ' ', 1) AS w1, SUM(c2) AS c1 FROM seedbg GROUP BY 1),
+         v AS (SELECT COUNT(DISTINCT u.t) AS vcab
+               FROM (SELECT unnest(w) AS t FROM tok WHERE doc_id % 10 = 0) u),
+         terms AS (
+           SELECT b.doc_id, COALESCE(s.c2, 0) AS c2, COALESCE(c.c1, 0) AS c1
+           FROM bg b
+           LEFT JOIN seedbg s ON b.bg = s.bg
+           LEFT JOIN ctx c ON split_part(b.bg, ' ', 1) = c.w1),
+         sc AS (
+           SELECT doc_id, COUNT(*) AS n_bigrams,
+             SUM(CASE WHEN c2 = 0 THEN 1 ELSE 0 END) AS oov_bigrams,
+             SUM(CAST(ln((c2 + 0.5) / (c1 + 0.5 * (SELECT vcab FROM v))) AS DECIMAL(20,6))) AS s
+           FROM terms GROUP BY 1)
+         SELECT t.doc_id,
+           CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(COALESCE(oov_bigrams, 0) AS BIGINT) AS oov_bigrams,
+           round(-CAST(s AS DOUBLE) / n_bigrams, 4) AS nll
+         FROM tok t LEFT JOIN sc ON t.doc_id = sc.doc_id""",
 
     // same ASOF semantics as q35, times as µs longs
     "q64_asof_bucketed" ->

@@ -207,6 +207,46 @@ class FunctionsSpec extends SparkSpec {
     r shouldBe "v6 <IPV6> short <IPV6> multi <IPV6> and <IPV6> end"
   }
 
+  test("perplexity: add-k bigram scores match a driver-side brute force; short docs kept") {
+    import graft.functions.NgramLm
+    val seed = Seq((0L, "the cat sat on the mat"), (10L, "the dog sat")).toDF("doc_id", "text")
+    val docs = Seq(
+      (0L, "the cat sat on the mat"),
+      (1L, "the cat sat"),        // all bigrams in-LM
+      (2L, "purple elephants"),   // fully OOV
+      (3L, "one")                 // no bigrams at all
+    ).toDF("doc_id", "text")
+    val out = NgramLm.perplexity(docs, seed).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3)))).toMap
+    // brute force with the same decimal quantization
+    val seedTexts = Seq("the cat sat on the mat", "the dog sat")
+    val bigrams = seedTexts.flatMap(_.split(" ").sliding(2).map(_.mkString(" ")).toSeq)
+    val c2 = bigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c1 = bigrams.groupBy(_.split(" ")(0)).view.mapValues(_.size.toLong).toMap
+    val v = seedTexts.flatMap(_.split(" ")).distinct.size
+    def nll(text: String): (Long, Long, Double) = {
+      val bgs = text.split(" ").sliding(2).map(_.mkString(" ")).toSeq.filter(_.contains(" "))
+      val terms = bgs.map { bg =>
+        val w1 = bg.split(" ")(0)
+        val t = math.log((c2.getOrElse(bg, 0L) + 0.5) / (c1.getOrElse(w1, 0L) + 0.5 * v))
+        BigDecimal(t).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }
+      (bgs.size.toLong, bgs.count(bg => !c2.contains(bg)).toLong,
+        (-(terms.sum.toDouble) / bgs.size * 10000).round / 10000.0)
+    }
+    for (id <- Seq(0L, 1L, 2L)) {
+      val text = Seq("the cat sat on the mat", "the cat sat", "purple elephants")(id.toInt)
+      out(id) shouldBe nll(text)
+    }
+    out(3L) shouldBe ((0L, 0L, -1.0)) // retained, unmeasured (null score)
+    // the shuffled fallback (over-budget LM) scores identically
+    val fb = NgramLm.perplexity(docs, seed, broadcastMaxRows = -1L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3)))).toMap
+    fb shouldBe out
+  }
+
   test("scrubPii phone/IPv6 do not fire on dates, versions, times, or IPv4") {
     val clean = "on 2024-01-02 at 12:30:45 version 1.2.3 ratio 10:1 end"
     val r = Seq(clean).toDF("t").select(T.scrubPii(col("t"))).as[String].head()
