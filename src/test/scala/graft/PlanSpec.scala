@@ -145,6 +145,21 @@ class PlanSpec extends SparkSpec {
     p.sliding("Exchange".length).count(_ == "Exchange") shouldBe 1
   }
 
+  test("q64 bucketed asof: window partitioned by (key, bucket), no pair join anywhere") {
+    val p = plan("q64_asof_bucketed")
+    // the hot-key fix IS the bucket in the window partitioning
+    p should include regex "hashpartitioning\\(user_id#\\d+L, _b#"
+    (p should not).include("BroadcastNestedLoopJoin")
+    (p should not).include("CartesianProduct")
+  }
+
+  test("q65 perplexity: LM joins broadcast, scoring is one pinned pass with partial aggregation") {
+    val p = plan("q65_lm_perplexity")
+    p should include("BroadcastHashJoin")   // bigram + context LM joins
+    p should include("REPARTITION_BY_NUM")  // pinned scoring rebalance
+    p should include("partial_sum")         // per-doc score combines map-side
+  }
+
   test("q50 audio codec pipeline: exactly one pinned rebalance exchange, codec chained map-side") {
     val p = plan("q50_audio")
     p should include("REPARTITION_BY_NUM")
