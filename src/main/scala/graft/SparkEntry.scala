@@ -730,7 +730,13 @@ object SparkEntry {
     "q65_lm_perplexity" -> ((s, dir) => {
       val docs = t(s, dir, "documents").df
       functions.NgramLm.perplexity(docs, docs.filter(col("doc_id") % 10 === 0))
-    })
+    }),
+
+    // §2#30f duplicated-span removal (Lee et al. exact-substring pass,
+    // overlapping 8-token windows): re-seen spans cut token-exact,
+    // first occurrence kept, docs rebuilt from surviving tokens.
+    "q66_span_dedup" -> ((s, dir) =>
+      operators.Dedup.spanDedup(t(s, dir, "documents").df, k = 8))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1420,6 +1426,44 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
            CAST(COALESCE(oov_bigrams, 0) AS BIGINT) AS oov_bigrams,
            round(-CAST(s AS DOUBLE) / n_bigrams, 4) AS nll
          FROM tok t LEFT JOIN sc ON t.doc_id = sc.doc_id""",
+
+    // overlapping 8-token windows; first occurrence by (doc_id, pos)
+    // wins; duplicate windows expand to token indices (constant-bound
+    // series — DuckDB lacks lateral ranges), docs rebuilt from kept
+    // tokens
+    "q66_span_dedup" ->
+      """WITH b AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w,
+             CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n
+           FROM documents),
+         g AS (
+           SELECT doc_id, i AS pos, array_to_string(w[i : i+7], ' ') AS g
+           FROM b, unnest(generate_series(1,
+             (SELECT CAST(MAX(n) AS BIGINT) FROM b))) t(i)
+           WHERE n >= 8 AND i <= n - 7),
+         d AS (
+           SELECT doc_id, pos FROM (
+             SELECT doc_id, pos,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+             FROM g) WHERE rn > 1),
+         rem AS (
+           SELECT DISTINCT doc_id, pos + i AS idx
+           FROM d, unnest(generate_series(0, 7)) t(i)),
+         tk AS (
+           SELECT doc_id, i AS idx, w[i] AS tok
+           FROM b, unnest(generate_series(1,
+             (SELECT CAST(MAX(n) AS BIGINT) FROM b))) t(i)
+           WHERE i <= n),
+         reb AS (
+           SELECT tk.doc_id, string_agg(tk.tok, ' ' ORDER BY tk.idx) AS clean_text
+           FROM tk LEFT JOIN rem ON tk.doc_id = rem.doc_id AND tk.idx = rem.idx
+           WHERE rem.idx IS NULL GROUP BY 1),
+         rc AS (SELECT doc_id, COUNT(*) AS n_removed FROM rem GROUP BY 1)
+         SELECT b.doc_id, n AS n_tokens,
+           CAST(COALESCE(rc.n_removed, 0) AS BIGINT) AS n_removed,
+           COALESCE(reb.clean_text, '') AS clean_text
+         FROM b LEFT JOIN reb ON b.doc_id = reb.doc_id
+         LEFT JOIN rc ON b.doc_id = rc.doc_id""",
 
     // same ASOF semantics as q35, times as µs longs
     "q64_asof_bucketed" ->

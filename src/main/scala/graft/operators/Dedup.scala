@@ -447,6 +447,62 @@ object Dedup {
         s => s.getField("chunk")), " ").as("clean_text"))
   }
 
+  /** Duplicated-SPAN removal (#30f — the overlapping-window form of
+    * exact-substring dedup from "Deduplicating Training Data Makes
+    * Language Models Better"; [[chunkDedup]] is the aligned-chunk
+    * approximation): every k-token window whose token sequence occurred
+    * earlier in the corpus (first occurrence by (doc_id, pos) kept)
+    * marks its tokens for removal; overlapping duplicated windows merge
+    * naturally because removal is per TOKEN INDEX, and each document is
+    * rebuilt from its surviving tokens in order. Returns
+    * (doc_id, n_tokens, n_removed, clean_text).
+    *
+    * Scale shape: the gram shuffle carries one row per (doc, position)
+    * with first-occurrence selection as a map-side-combinable
+    * `min(struct)` (boilerplate grams are Zipf-hot; a per-gram window
+    * would sort each hot group in one task — same argument as
+    * [[chunkDedup]], and the join back is AQE-skew-splittable). The
+    * k× position expansion of duplicate windows happens MAP-SIDE after
+    * the dup decision (bounded by k × dup positions, not corpus size),
+    * and the kept-token rebuild joins on (doc_id, idx) — doc-keyed,
+    * never gram-keyed. Deterministic at any partitioning.
+    */
+  def spanDedup(docs: DataFrame, k: Int = 8,
+                textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val base = rebalance(docs, idCol)
+      .select(col(idCol).as("doc_id"), T.tokens(col(textCol)).as("w"))
+      .withColumn("n", greatest(size(col("w")), lit(0)).cast("long"))
+    val grams = base.filter(col("n") >= k)
+      .select(col("doc_id"), posexplode(T.wordNGrams(col("w"), k)).as(Seq("p0", "g")))
+      .withColumn("pos", col("p0") + 1).drop("p0")
+    val firsts = grams.groupBy("g")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+    val dups = grams.join(firsts, Seq("g"))
+      .filter(!(col("first.doc_id") === col("doc_id") && col("first.pos") === col("pos")))
+      .select(col("doc_id"), col("pos"))
+    val removed = dups
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (k - 1))).as("idx"))
+      .distinct()
+    val toks = base
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("i0", "tok")))
+      .withColumn("idx", col("i0") + 1).drop("i0")
+    val reb = toks.join(removed, Seq("doc_id", "idx"), "left_anti")
+      .groupBy("doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("idx"), col("tok")))),
+        s => s.getField("tok")), " ").as("clean_text"))
+    val remCnt = removed.groupBy("doc_id").agg(count(lit(1)).as("n_removed"))
+    // spine join: a fully-duplicated document degrades to '' instead of
+    // vanishing
+    base.select("doc_id", "n")
+      .join(reb, Seq("doc_id"), "left")
+      .join(remCnt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Benchmark decontamination (#30d): flag every training document
     * that shares at least one word `n`-gram with an evaluation set —
     * the standard n-gram-overlap contamination check run before

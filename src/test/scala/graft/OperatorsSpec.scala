@@ -380,6 +380,27 @@ class OperatorsSpec extends SparkSpec {
     out(7L) shouldBe "z z z z z"
   }
 
+  test("spanDedup cuts re-seen overlapping spans token-exact, keeps first occurrence") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h"),           // source of the duplicated span
+      (2L, "x y a b c d e z w v"),       // contains dup 5-gram "a b c d e"
+      (3L, "a b c d e f g h"),           // exact dup doc → fully removed
+      (4L, "p q r s t u v w"),           // clean
+      (5L, "a b c d e f q q a b c d e f") // overlapping dups within+across
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(corpus, k = 5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    out(1L) shouldBe ((8L, 0L, "a b c d e f g h"))      // first occurrence untouched
+    out(2L) shouldBe ((10L, 5L, "x y z w v"))           // span cut, rest intact
+    out(3L) shouldBe ((8L, 8L, ""))                     // full duplicate → empty
+    out(4L) shouldBe ((8L, 0L, "p q r s t u v w"))      // clean untouched
+    // doc 5: windows over "a b c d e f" (pos 1,2) and again at pos 9,10
+    // all duplicate doc 1's grams except none... "a b c d e f" 5-grams:
+    // "a b c d e" (dup of doc1 pos1), "b c d e f" (dup of doc1 pos2) →
+    // positions 1-2 and 9-10 dup → tokens 1..6 and 9..14 removed
+    out(5L) shouldBe ((14L, 12L, "q q"))
+  }
+
   test("decontaminate flags train docs sharing an n-gram with the eval set") {
     val evalSet = Seq((100L, "one two three four")).toDF("doc_id", "text")
     val train = Seq(
