@@ -145,6 +145,17 @@ class PlanSpec extends SparkSpec {
     p.sliding("Exchange".length).count(_ == "Exchange") shouldBe 1
   }
 
+  test("q63 BPE counting sits behind a pinned rebalance (AQE cannot starve the encode stage)") {
+    plan("q63_bpe_tokens") should include("REPARTITION_BY_NUM")
+  }
+
+  test("q66 span dedup: first occurrence is partial-min (no per-gram window sort)") {
+    val p = plan("q66_span_dedup")
+    p should include("REPARTITION_BY_NUM")
+    p should include("partial_min")
+    (p should not).include("Window")  // hot boilerplate grams must not serialize
+  }
+
   test("q64 bucketed asof: window partitioned by (key, bucket), no pair join anywhere") {
     val p = plan("q64_asof_bucketed")
     // the hot-key fix IS the bucket in the window partitioning

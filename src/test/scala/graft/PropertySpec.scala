@@ -191,6 +191,34 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("spanDedup equals a brute-force first-occurrence span scan on random corpora") {
+    import graft.operators.Dedup
+    val vocab = Seq("a", "b", "c", "d")   // tiny vocab → dense k-gram collisions
+    for (trial <- 1 to 4) {
+      val k = rnd.nextInt(3) + 2  // 2..4
+      val corpus = (0L until (rnd.nextInt(8) + 4).toLong).map { id =>
+        (id, Seq.fill(rnd.nextInt(15) + 1)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }
+      // brute force: walk docs in id order, global first-seen gram set,
+      // later occurrences mark [p, p+k) for removal
+      val seen = scala.collection.mutable.Set.empty[String]
+      val expected = corpus.map { case (id, text) =>
+        val w = text.split(" ")
+        val rm = scala.collection.mutable.Set.empty[Int]
+        for (p <- 0 to w.length - k) {
+          val g = w.slice(p, p + k).mkString(" ")
+          if (seen.contains(g)) (p until p + k).foreach(rm += _)
+          else seen += g
+        }
+        val kept = w.indices.filterNot(rm).map(w)
+        id -> ((w.length.toLong, rm.size.toLong, kept.mkString(" ")))
+      }.toMap
+      val got = Dedup.spanDedup(corpus.toDF("doc_id", "text"), k = k).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      withClue(s"trial $trial k=$k: ")(got shouldBe expected)
+    }
+  }
+
   test("wordNGrams emits exactly the consecutive joined token windows") {
     val vocab = Seq("a", "bb", "ccc", "d1", "e")
     for (_ <- 1 to 8) {
