@@ -736,7 +736,13 @@ object SparkEntry {
     // overlapping 8-token windows): re-seen spans cut token-exact,
     // first occurrence kept, docs rebuilt from surviving tokens.
     "q66_span_dedup" -> ((s, dir) =>
-      operators.Dedup.spanDedup(t(s, dir, "documents").df, k = 8))
+      operators.Dedup.spanDedup(t(s, dir, "documents").df, k = 8)),
+
+    // §2#37d per-doc top-5 TF-IDF terms: decimal-exact scoring (idf
+    // quantized per term, score = tf × idf stays decimal) so ranking
+    // ties break identically in both engines.
+    "q67_tfidf_terms" -> ((s, dir) =>
+      functions.TermStats.tfidfTopTerms(t(s, dir, "documents").df, m = 5))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1464,6 +1470,29 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
            COALESCE(reb.clean_text, '') AS clean_text
          FROM b LEFT JOIN reb ON b.doc_id = reb.doc_id
          LEFT JOIN rc ON b.doc_id = rc.doc_id""",
+
+    // idf quantized DECIMAL(20,6) per term; score = tf * idf (decimal,
+    // exact) ranks identically in both engines; ties break on term
+    "q67_tfidf_terms" ->
+      """WITH tf AS (
+           SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+           FROM documents),
+         tfc AS (SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY 1, 2),
+         idf AS (
+           SELECT term,
+             CAST(ln(((SELECT COUNT(*) FROM documents) + 1.0) / (COUNT(*) + 1.0))
+               AS DECIMAL(20,6)) AS idf
+           FROM tfc GROUP BY 1),
+         sc AS (
+           SELECT tfc.doc_id, tfc.term, tfc.tf, tfc.tf * idf.idf AS score
+           FROM tfc JOIN idf ON tfc.term = idf.term),
+         rk AS (
+           SELECT doc_id, term, tf, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+           FROM sc)
+         SELECT doc_id, term, tf, round(CAST(score AS DOUBLE), 4) AS score,
+           CAST(rnk AS INT) AS rnk
+         FROM rk WHERE rnk <= 5""",
 
     // same ASOF semantics as q35, times as µs longs
     "q64_asof_bucketed" ->

@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => T}
+
+/** Corpus term statistics: per-document top-m TF-IDF terms — the
+  * keyword-extraction / topic-fingerprint pass corpus analyses and
+  * domain-mix audits run over a training set.
+  *
+  * Scale shape: term frequencies are one partial-agg shuffle off the
+  * pinned rebalance; document frequencies a second partial agg keyed on
+  * the term (Zipf-hot terms collapse map-side). The IDF table is a
+  * model artifact — persisted, counted, and BROADCAST ONLY UNDER a row
+  * budget with a plain shuffled join past it (the q25 size-gate
+  * pattern; distinct terms grow with the corpus). Top-m per document is
+  * a row_number window partitioned by doc — group size is a document's
+  * vocabulary, never corpus-scaled, and the rn <= m filter gets
+  * WindowGroupLimit pushdown.
+  *
+  * Engine determinism: idf = ln((N+1)/(df+1)) is quantized to
+  * DECIMAL(20,6) once per TERM; score = tf × idf then stays DECIMAL —
+  * exact arithmetic, so ranking ties break identically everywhere
+  * (score desc, then term) and the only float in the output is the
+  * final rounded score.
+  */
+object TermStats {
+
+  def tfidfTopTerms(docs: DataFrame, m: Int = 5,
+                    textCol: String = "text", idCol: String = "doc_id",
+                    broadcastMaxRows: Long = 2000000L): DataFrame = {
+    require(m > 0, "m must be positive")
+    val n = docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val nDocs = docs.count()
+
+    val tf = docs.repartition(n, col(idCol))
+      .select(col(idCol).as("doc_id"), explode(T.tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .withColumn("idf",
+        log((lit(nDocs) + 1.0) / (col("df") + 1.0)).cast("decimal(20,6)"))
+      .persist()
+    val nTerms = idf.count()
+    val idfT = if (nTerms <= broadcastMaxRows) broadcast(idf) else idf
+
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term"))
+    tf.join(idfT, Seq("term"))
+      .withColumn("score", col("tf") * col("idf"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= m)
+      .select(col("doc_id"), col("term"), col("tf"),
+        round(col("score").cast("double"), 4).as("score"), col("rnk"))
+  }
+}

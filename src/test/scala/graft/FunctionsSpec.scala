@@ -247,6 +247,29 @@ class FunctionsSpec extends SparkSpec {
     fb shouldBe out
   }
 
+  test("tfidfTopTerms ranks by exact decimal tf*idf with deterministic tie-break") {
+    import graft.functions.TermStats
+    val docs = Seq(
+      (1L, "apple apple banana cherry"),
+      (2L, "banana banana banana cherry"),
+      (3L, "cherry date")
+    ).toDF("doc_id", "text")
+    val out = TermStats.tfidfTopTerms(docs, m = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(4)) -> ((r.getString(1), r.getLong(2)))).toMap
+    // idf: apple ln(4/2), banana ln(4/3), cherry ln(4/4)=0, date ln(4/2)
+    // doc1: apple 2*0.693 > banana 1*0.288 > cherry 0
+    out((1L, 1)) shouldBe (("apple", 2L))
+    out((1L, 2)) shouldBe (("banana", 1L))
+    // doc2: banana 3*0.288 = 0.863 > cherry 0
+    out((2L, 1)) shouldBe (("banana", 3L))
+    out((2L, 2)) shouldBe (("cherry", 1L))
+    // doc3: date 0.693 > cherry 0
+    out((3L, 1)) shouldBe (("date", 1L))
+    // shuffled fallback path scores identically
+    canon(TermStats.tfidfTopTerms(docs, m = 2, broadcastMaxRows = -1L)) shouldBe
+      canon(TermStats.tfidfTopTerms(docs, m = 2))
+  }
+
   test("scrubPii phone/IPv6 do not fire on dates, versions, times, or IPv4") {
     val clean = "on 2024-01-02 at 12:30:45 version 1.2.3 ratio 10:1 end"
     val r = Seq(clean).toDF("t").select(T.scrubPii(col("t"))).as[String].head()
