@@ -34,7 +34,7 @@ object Bench {
     }
     def json(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val results = minOf3(sfDir, "sf0.1")
+    val results = minOf3(sfDir, sfDir.split('/').last)
     val total = results.map(_._2).sum
 
     // Standing scale-growth gate: when benching the driver's sf0.1 dir,

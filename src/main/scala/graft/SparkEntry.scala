@@ -742,7 +742,14 @@ object SparkEntry {
     // quantized per term, score = tf × idf stays decimal) so ranking
     // ties break identically in both engines.
     "q67_tfidf_terms" -> ((s, dir) =>
-      functions.TermStats.tfidfTopTerms(t(s, dir, "documents").df, m = 5))
+      functions.TermStats.tfidfTopTerms(t(s, dir, "documents").df, m = 5)),
+
+    // §2#35b int8 scalar quantization of the embedding corpus: per-dim
+    // min/max affine codes, rounded before the int cast so both
+    // engines cast the same integral double. Exploded scalar rows.
+    "q68_embed_quantize" -> ((s, dir) =>
+      operators.Similarity.scalarQuantize(
+        Tafra.readParquet(s, s"$dir/embeddings.parquet").df))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1493,6 +1500,18 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
          SELECT doc_id, term, tf, round(CAST(score AS DOUBLE), 4) AS score,
            CAST(rnk AS INT) AS rnk
          FROM rk WHERE rnk <= 5""",
+
+    // per-dim min/max affine int8 codes; round() before the int cast on
+    // both engines (casting an integral double can't drift)
+    "q68_embed_quantize" ->
+      """WITH x AS (
+           SELECT vec_id, CAST(i AS INT) AS dim, CAST(embedding[i] AS DOUBLE) AS v
+           FROM embeddings, unnest(generate_series(1, 64)) t(i)),
+         mm AS (SELECT dim, MIN(v) AS lo, MAX(v) AS hi FROM x GROUP BY 1)
+         SELECT x.vec_id, x.dim,
+           CASE WHEN hi = lo THEN 0
+                ELSE CAST(round((v - lo) / (hi - lo) * 255) AS INT) - 128 END AS q
+         FROM x JOIN mm ON x.dim = mm.dim""",
 
     // same ASOF semantics as q35, times as µs longs
     "q64_asof_bucketed" ->

@@ -161,4 +161,68 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cos", "rank")
   }
+
+  /** Int8 scalar quantization of an embedding column — the storage
+    * path of an embedding pipeline (4× smaller vectors for ANN index
+    * shipping / caching; recall traded measurably, audited by
+    * [[sqCosineError]]). Codes are per-DIMENSION min/max affine:
+    * q_d = round((v_d - lo_d) / (hi_d - lo_d) · 255) − 128.
+    *
+    * Scale shape: the per-dim ranges are ONE partial agg over the
+    * exploded (vec, dim) rows — d rows per partition survive the
+    * combine regardless of corpus size — and the d-row range table is
+    * broadcast back (a model artifact, like the IVF centroids). All
+    * arithmetic is double (exact IEEE promotion from float4) and the
+    * affine result is rounded BEFORE the int cast, so both engines cast
+    * the same integral double — no truncate-vs-round drift. Returns
+    * exploded (vec_id, dim, q): scalar rows hash-compare cleanly and
+    * re-assemble with one doc-keyed collect when a consumer wants
+    * arrays ([[scalarQuantizeVecs]]).
+    */
+  def scalarQuantize(vecs: DataFrame,
+                     vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val x = rebalance(vecs, idCol)
+      .select(col(idCol).as("vec_id"), posexplode(col(vecCol)).as(Seq("d0", "vf")))
+      .select(col("vec_id"), (col("d0") + 1).as("dim"), col("vf").cast("double").as("v"))
+    val mm = x.groupBy("dim").agg(min("v").as("lo"), max("v").as("hi"))
+    x.join(broadcast(mm), Seq("dim"))
+      .select(col("vec_id"), col("dim"),
+        when(col("hi") === col("lo"), lit(0))
+          .otherwise(round((col("v") - col("lo")) / (col("hi") - col("lo")) * 255)
+            .cast("int") - 128).as("q"))
+  }
+
+  /** Array form of [[scalarQuantize]] plus the dequantization ranges,
+    * for pipeline consumers (codes ordered by dimension).
+    */
+  def scalarQuantizeVecs(vecs: DataFrame,
+                         vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =
+    scalarQuantize(vecs, vecCol, idCol)
+      .groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("q")))),
+        s => s.getField("q")).as("qvec"))
+
+  /** Quantization-recall audit: cosine between each original vector and
+    * its dequantized reconstruction — the number that says whether int8
+    * codes are safe for a given ANN workload (spec asserts ≥ 0.99 on
+    * random gaussians). Same single-pass shape as [[scalarQuantize]].
+    */
+  def sqCosineError(vecs: DataFrame,
+                    vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val x = rebalance(vecs, idCol)
+      .select(col(idCol).as("vec_id"), posexplode(col(vecCol)).as(Seq("d0", "vf")))
+      .select(col("vec_id"), (col("d0") + 1).as("dim"), col("vf").cast("double").as("v"))
+    val mm = x.groupBy("dim").agg(min("v").as("lo"), max("v").as("hi"))
+    x.join(broadcast(mm), Seq("dim"))
+      .withColumn("q", when(col("hi") === col("lo"), lit(0))
+        .otherwise(round((col("v") - col("lo")) / (col("hi") - col("lo")) * 255)
+          .cast("int") - 128))
+      .withColumn("dv", when(col("hi") === col("lo"), col("lo"))
+        .otherwise((col("q") + 128) / 255.0 * (col("hi") - col("lo")) + col("lo")))
+      .groupBy("vec_id")
+      .agg(sum(col("v") * col("dv")).as("dot"),
+           sum(col("v") * col("v")).as("nn"),
+           sum(col("dv") * col("dv")).as("dd"))
+      .select(col("vec_id"), (col("dot") / sqrt(col("nn") * col("dd"))).as("cos"))
+  }
 }

@@ -159,6 +159,30 @@ class OperatorsSpec extends SparkSpec {
     rows.head.getAs[Double]("cos") shouldBe 1.0 +- 1e-12
   }
 
+  test("scalar quantization: codes in [-128,127], identical vecs share codes, reconstruction ≥ .99 cosine") {
+    val rnd = new scala.util.Random(31)
+    val base = (0L until 50L).map(i => (i, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+    val vecs = (base :+ (99L, base.head._2)).toDF("vec_id", "embedding") // 99 duplicates 0
+    val q = Similarity.scalarQuantize(vecs).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    q.size shouldBe 51 * 16
+    all(q.values) should (be >= -128 and be <= 127)
+    (1 to 16).foreach(d => q((99L, d)) shouldBe q((0L, d))) // same input → same codes
+    // codes actually span the range (min/max rows hit the endpoints)
+    (1 to 16).foreach { d =>
+      val col = q.collect { case ((_, dd), v) if dd == d => v }
+      col.min shouldBe -128
+      col.max shouldBe 127
+    }
+    // array form re-assembles in dimension order
+    val qv = Similarity.scalarQuantizeVecs(vecs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    qv(0L) shouldBe (1 to 16).map(d => q((0L, d)))
+    // dequantized reconstruction stays directionally faithful
+    val errs = Similarity.sqCosineError(vecs).collect().map(_.getDouble(1))
+    all(errs) should be >= 0.99
+  }
+
   test("multi-probe LSH dominates single-probe: per-query best cosine never degrades") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
