@@ -243,6 +243,34 @@ object OracleGen {
      SELECT v.vec_id, (c.node IS NULL OR c.node = c.component) AS keep
      FROM embeddings v LEFT JOIN comp c ON v.vec_id = c.node"""
 
+  /** PQ encoding (operators.Similarity.pqEncode): the codebook is
+    * rebuilt in SQL from the same smallest-md5 seed rows, and each
+    * subspace's L2 sum is unrolled in the identical left-associative
+    * double order, so the argmin codes hash-match exactly.
+    */
+  def pqSql(m: Int = 8, ksub: Int = 16, dim: Int = 64): String = {
+    require(dim % m == 0)
+    val w = dim / m
+    def l2(j: Int): String = (0 until w).map { i =>
+      val idx = j * w + i + 1
+      s"(CAST(e.embedding[$idx] AS DOUBLE) - CAST(s.sv[$idx] AS DOUBLE)) * " +
+        s"(CAST(e.embedding[$idx] AS DOUBLE) - CAST(s.sv[$idx] AS DOUBLE))"
+    }.mkString("(", " + ", ")")
+    val subqs = (0 until m).map(j =>
+      s"SELECT e.vec_id, $j AS subspace, s.cid, ${l2(j)} AS d " +
+        "FROM embeddings e CROSS JOIN seeds s").mkString("\n       UNION ALL ")
+    s"""WITH seeds AS (
+       SELECT sv, CAST(rn - 1 AS INT) AS cid FROM (
+         SELECT embedding AS sv,
+           ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+         FROM embeddings) WHERE rn <= $ksub),
+     d AS ($subqs)
+     SELECT vec_id, subspace, code FROM (
+       SELECT vec_id, subspace, cid AS code,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, subspace ORDER BY d, cid) AS rn
+       FROM d) WHERE rn = 1"""
+  }
+
   /** Rolling-hash fingerprint (functions.TextFunctions.fingerprint). */
   def fingerprintSql: String =
     s"""WITH t AS (

@@ -749,6 +749,12 @@ object SparkEntry {
     // engines cast the same integral double. Exploded scalar rows.
     "q68_embed_quantize" -> ((s, dir) =>
       operators.Similarity.scalarQuantize(
+        Tafra.readParquet(s, s"$dir/embeddings.parquet").df)),
+
+    // §2#35c product quantization: m=8 subspaces × 16 sub-centroids
+    // (md5-seeded, oracle-reproducible), nearest-L2 codes.
+    "q69_embed_pq" -> ((s, dir) =>
+      operators.Similarity.pqEncode(
         Tafra.readParquet(s, s"$dir/embeddings.parquet").df))
   )
 
@@ -929,6 +935,7 @@ object SparkEntry {
     "q58_semantic_dedup" -> OracleGen.semanticDedupSql(),
     "q28_ann_lsh" -> OracleGen.lshAnnSql(),
     "q36_ann_ivf" -> OracleGen.ivfAnnSql(),
+    "q69_embed_pq" -> OracleGen.pqSql(),
     "q32_text_fingerprint" -> OracleGen.fingerprintSql,
 
     "q50_audio" ->

@@ -202,6 +202,52 @@ object Similarity {
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("q")))),
         s => s.getField("q")).as("qvec"))
 
+  /** Product quantization (PQ) codes — the FAISS-style compressed
+    * representation next to [[scalarQuantize]]'s int8: the vector
+    * splits into `m` subspaces of dim/m dims; each sub-vector is coded
+    * as the id of its nearest sub-centroid (L2, ties to the smaller
+    * id) from a `ksub`-entry codebook. Codebook init reuses the IVF
+    * trick: sub-slices of the `ksub` corpus vectors with smallest
+    * md5(id) — deterministic AND engine-portable, so the DuckDB oracle
+    * rebuilds the identical codebook from the table and the assignment
+    * is hash-verified end to end (L2 sums unrolled in the same
+    * left-associative double order on both engines).
+    *
+    * Scale shape: the codebook is a model artifact (ksub×dim floats on
+    * the driver, like the IVF centroids); encoding is a pure map-only
+    * projection — m × ksub codegen'd L2 chains per row, no join, no
+    * shuffle beyond the pinned rebalance. m codes/vector at log2(ksub)
+    * bits each: 64-dim float32 → 8 bytes at m=8, ksub=256.
+    * Returns exploded (vec_id, subspace, code).
+    */
+  def pqEncode(vecs: DataFrame, m: Int = 8, ksub: Int = 16,
+               vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val seeds: Seq[Seq[Float]] = vecs
+      .select(col(vecCol).as("v"), md5(col(idCol).cast("string")).as("h"), col(idCol).as("i"))
+      .orderBy(col("h"), col("i")).limit(ksub)
+      .collect().map(_.getSeq[Float](0).toSeq).toSeq
+    require(seeds.nonEmpty, "pqEncode: empty corpus")
+    val dim = seeds.head.length
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
+    val w = dim / m
+
+    val c = rebalance(vecs, idCol).select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+    val codeCols = (0 until m).map { j =>
+      val scores = array(seeds.zipWithIndex.map { case (s, cidx) =>
+        val d = (0 until w).map { i =>
+          val diff = element_at(col("cv"), j * w + i + 1).cast("double") -
+            lit(s(j * w + i).toDouble)
+          diff * diff
+        }.reduceLeft(_ + _)
+        struct(d.as("d"), lit(cidx).as("cid"))
+      }: _*)
+      array_min(scores).getField("cid").as(s"_c$j")
+    }
+    c.select(col("vec_id") +: codeCols: _*)
+      .select(col("vec_id"),
+        posexplode(array((0 until m).map(j => col(s"_c$j")): _*)).as(Seq("subspace", "code")))
+  }
+
   /** Quantization-recall audit: cosine between each original vector and
     * its dequantized reconstruction — the number that says whether int8
     * codes are safe for a given ANN workload (spec asserts ≥ 0.99 on

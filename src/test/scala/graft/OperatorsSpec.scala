@@ -183,6 +183,31 @@ class OperatorsSpec extends SparkSpec {
     all(errs) should be >= 0.99
   }
 
+  test("PQ codes: argmin verified per subspace, identical vectors share codes, seeds self-code") {
+    val rnd = new scala.util.Random(41)
+    val base = (0L until 40L).map(i => (i, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+    val vecs = (base :+ (99L, base.head._2)).toDF("vec_id", "embedding")
+    val m = 4; val ksub = 8; val w = 4
+    val out = Similarity.pqEncode(vecs, m = m, ksub = ksub).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    out.size shouldBe 41 * m
+    all(out.values) should (be >= 0 and be < ksub)
+    (0 until m).foreach(j => out((99L, j)) shouldBe out((0L, j)))
+    // driver-side argmin agreement: chosen code's L2 is minimal (ties → smaller id)
+    val seeds = base.map { case (id, v) =>
+      (java.security.MessageDigest.getInstance("MD5").digest(id.toString.getBytes)
+        .map("%02x".format(_)).mkString, id, v)
+    }.sortBy(t => (t._1, t._2)).take(ksub).map(_._3)
+    def l2(v: Seq[Float], s: Seq[Float], j: Int): Double =
+      (0 until w).map { i =>
+        val d = v(j * w + i).toDouble - s(j * w + i).toDouble; d * d
+      }.sum
+    for ((id, v) <- base; j <- 0 until m) {
+      val ds = seeds.zipWithIndex.map { case (s, c) => (l2(v, s, j), c) }
+      out((id, j)) shouldBe ds.min._2
+    }
+  }
+
   test("multi-probe LSH dominates single-probe: per-query best cosine never degrades") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
