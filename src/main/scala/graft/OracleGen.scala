@@ -271,6 +271,50 @@ object OracleGen {
        FROM d) WHERE rn = 1"""
   }
 
+  /** PQ-ADC top-k (operators.Similarity.pqTopK, q70 query set
+    * `vec_id < 8`): codes + per-query LUT rebuilt from the same seeds,
+    * LUT entries DECIMAL(20,10)-quantized before the sum so the
+    * m-term additions are exact on both engines.
+    */
+  def pqAdcSql(m: Int = 8, ksub: Int = 16, dim: Int = 64, k: Int = 10): String = {
+    require(dim % m == 0)
+    val w = dim / m
+    def l2(vec: String, j: Int): String = (0 until w).map { i =>
+      val idx = j * w + i + 1
+      s"(CAST($vec[$idx] AS DOUBLE) - CAST(s.sv[$idx] AS DOUBLE)) * " +
+        s"(CAST($vec[$idx] AS DOUBLE) - CAST(s.sv[$idx] AS DOUBLE))"
+    }.mkString("(", " + ", ")")
+    val codeSubqs = (0 until m).map(j =>
+      s"SELECT e.vec_id, $j AS subspace, s.cid, ${l2("e.embedding", j)} AS d " +
+        "FROM embeddings e CROSS JOIN seeds s").mkString("\n       UNION ALL ")
+    val lutSubqs = (0 until m).map(j =>
+      s"SELECT q.vec_id AS query_id, $j AS subspace, s.cid AS code, " +
+        s"CAST(${l2("q.embedding", j)} AS DECIMAL(20,10)) AS d " +
+        "FROM embeddings q CROSS JOIN seeds s WHERE q.vec_id < 8").mkString("\n       UNION ALL ")
+    s"""WITH seeds AS (
+       SELECT sv, CAST(rn - 1 AS INT) AS cid FROM (
+         SELECT embedding AS sv,
+           ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+         FROM embeddings) WHERE rn <= $ksub),
+     cd AS ($codeSubqs),
+     codes AS (
+       SELECT vec_id AS neighbor_id, subspace, code FROM (
+         SELECT vec_id, subspace, cid AS code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, subspace ORDER BY d, cid) AS rn
+         FROM cd) WHERE rn = 1),
+     lut AS ($lutSubqs),
+     adc AS (
+       SELECT l.query_id, c.neighbor_id, SUM(l.d) AS adc
+       FROM codes c JOIN lut l ON c.subspace = l.subspace AND c.code = l.code
+       WHERE c.neighbor_id <> l.query_id
+       GROUP BY 1, 2)
+     SELECT query_id, neighbor_id, round(CAST(adc AS DOUBLE), 6) AS adc, rank FROM (
+       SELECT query_id, neighbor_id, adc,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY adc, neighbor_id) AS INT) AS rank
+       FROM adc) WHERE rank <= $k"""
+  }
+
   /** Rolling-hash fingerprint (functions.TextFunctions.fingerprint). */
   def fingerprintSql: String =
     s"""WITH t AS (

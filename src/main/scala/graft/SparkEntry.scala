@@ -755,7 +755,14 @@ object SparkEntry {
     // (md5-seeded, oracle-reproducible), nearest-L2 codes.
     "q69_embed_pq" -> ((s, dir) =>
       operators.Similarity.pqEncode(
-        Tafra.readParquet(s, s"$dir/embeddings.parquet").df))
+        Tafra.readParquet(s, s"$dir/embeddings.parquet").df)),
+
+    // §2#35d PQ-ADC search: compressed-domain top-k over the q69 codes
+    // (corpus floats never read at query time); LUT decimal-quantized.
+    "q70_pq_adc" -> ((s, dir) => {
+      val vecs = Tafra.readParquet(s, s"$dir/embeddings.parquet").df
+      operators.Similarity.pqTopK(vecs, vecs.filter(col("vec_id") < 8))
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -936,6 +943,7 @@ object SparkEntry {
     "q28_ann_lsh" -> OracleGen.lshAnnSql(),
     "q36_ann_ivf" -> OracleGen.ivfAnnSql(),
     "q69_embed_pq" -> OracleGen.pqSql(),
+    "q70_pq_adc" -> OracleGen.pqAdcSql(),
     "q32_text_fingerprint" -> OracleGen.fingerprintSql,
 
     "q50_audio" ->

@@ -220,13 +220,28 @@ object Similarity {
     * bits each: 64-dim float32 → 8 bytes at m=8, ksub=256.
     * Returns exploded (vec_id, subspace, code).
     */
-  def pqEncode(vecs: DataFrame, m: Int = 8, ksub: Int = 16,
-               vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    val seeds: Seq[Seq[Float]] = vecs
+  private def pqSeeds(vecs: DataFrame, ksub: Int,
+                      vecCol: String, idCol: String): Seq[Seq[Float]] = {
+    val seeds = vecs
       .select(col(vecCol).as("v"), md5(col(idCol).cast("string")).as("h"), col(idCol).as("i"))
       .orderBy(col("h"), col("i")).limit(ksub)
       .collect().map(_.getSeq[Float](0).toSeq).toSeq
-    require(seeds.nonEmpty, "pqEncode: empty corpus")
+    require(seeds.nonEmpty, "pq: empty corpus")
+    seeds
+  }
+
+  /** Left-associative sub-vector L2² against a codebook entry — the
+    * exact accumulation order the oracle unrolls.
+    */
+  private def pqL2(vc: Column, s: Seq[Float], j: Int, w: Int): Column =
+    (0 until w).map { i =>
+      val diff = element_at(vc, j * w + i + 1).cast("double") - lit(s(j * w + i).toDouble)
+      diff * diff
+    }.reduceLeft(_ + _)
+
+  def pqEncode(vecs: DataFrame, m: Int = 8, ksub: Int = 16,
+               vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val seeds = pqSeeds(vecs, ksub, vecCol, idCol)
     val dim = seeds.head.length
     require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
     val w = dim / m
@@ -234,18 +249,57 @@ object Similarity {
     val c = rebalance(vecs, idCol).select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
     val codeCols = (0 until m).map { j =>
       val scores = array(seeds.zipWithIndex.map { case (s, cidx) =>
-        val d = (0 until w).map { i =>
-          val diff = element_at(col("cv"), j * w + i + 1).cast("double") -
-            lit(s(j * w + i).toDouble)
-          diff * diff
-        }.reduceLeft(_ + _)
-        struct(d.as("d"), lit(cidx).as("cid"))
+        struct(pqL2(col("cv"), s, j, w).as("d"), lit(cidx).as("cid"))
       }: _*)
       array_min(scores).getField("cid").as(s"_c$j")
     }
     c.select(col("vec_id") +: codeCols: _*)
       .select(col("vec_id"),
         posexplode(array((0 until m).map(j => col(s"_c$j")): _*)).as(Seq("subspace", "code")))
+  }
+
+  /** PQ-ADC top-k search — the compressed-domain ANN query path over
+    * [[pqEncode]]'s codes: each query builds its asymmetric-distance
+    * lookup table (m × ksub sub-L2s against the codebook), the corpus
+    * contributes ONLY its codes, and a vector's approximate distance is
+    * the sum of its m looked-up entries. The LUT (m·ksub rows per
+    * query) is broadcast; the join keys on (subspace, code) and the
+    * per-(query, vector) sum is a partial agg — the corpus' float
+    * vectors are never read at query time, which is the entire point of
+    * PQ at 100 TB.
+    *
+    * Engine determinism: LUT entries quantize to DECIMAL(20,10) before
+    * the sum, so the m-term additions are exact and order-insensitive —
+    * ranking (adc asc, neighbor asc) is identical everywhere.
+    * Returns (query_id, neighbor_id, adc, rank).
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+             m: Int = 8, ksub: Int = 16,
+             vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val seeds = pqSeeds(corpus, ksub, vecCol, idCol)
+    val dim = seeds.head.length
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
+    val w = dim / m
+
+    val codes = pqEncode(corpus, m, ksub, vecCol, idCol)
+      .withColumnRenamed("vec_id", "neighbor_id")
+    val lutEntries = for (j <- 0 until m; c <- 0 until ksub) yield
+      struct(lit(j).as("subspace"), lit(c).as("code"),
+        pqL2(col("qv"), seeds(c), j, w).cast("decimal(20,10)").as("d"))
+    val lut = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .select(col("query_id"), explode(array(lutEntries: _*)).as("e"))
+      .select(col("query_id"), col("e.subspace").as("subspace"),
+        col("e.code").as("code"), col("e.d").as("d"))
+
+    codes.join(broadcast(lut), Seq("subspace", "code"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum("d").as("adc"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("adc"), col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("adc").cast("double"), 6).as("adc"), col("rank"))
   }
 
   /** Quantization-recall audit: cosine between each original vector and

@@ -208,6 +208,19 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("PQ-ADC search: a duplicated vector is its twin's rank-1 neighbor at minimal distance") {
+    val rnd = new scala.util.Random(47)
+    val base = (0L until 40L).map(i => (i, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+    val vecs = (base :+ (99L, base.head._2)).toDF("vec_id", "embedding")
+    val out = Similarity.pqTopK(vecs, vecs.filter(col("vec_id") === 99L),
+        k = 5, m = 4, ksub = 8).collect()
+      .map(r => (r.getInt(3), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    out.head._2 shouldBe 0L  // the twin shares every code → minimal ADC
+    all(out.map(_._3)) should be >= 0.0
+    out.map(_._3) shouldBe out.map(_._3).sorted  // ranks follow adc ascending
+  }
+
   test("multi-probe LSH dominates single-probe: per-query best cosine never degrades") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
