@@ -762,6 +762,23 @@ object SparkEntry {
     "q70_pq_adc" -> ((s, dir) => {
       val vecs = Tafra.readParquet(s, s"$dir/embeddings.parquet").df
       operators.Similarity.pqTopK(vecs, vecs.filter(col("vec_id") < 8))
+    }),
+
+    // §2#52 corpus stats report: per-source + grand-total doc counts,
+    // char totals, and EXACT length percentiles in ONE rollup pass
+    // (partial-agg; percentile state = distinct-value map, not rows).
+    "q71_corpus_stats" -> ((s, dir) =>
+      functions.Profile.stats(t(s, dir, "documents").df, "source", "n_chars")),
+
+    // §2#53 sliding time-range window: per-user trailing-5-minute
+    // event count and value sum as of every event — one RANGE-frame
+    // window, no self-join pair blowup. µs-long times (the ns trap).
+    "q72_rolling_window" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("tus"), col("value"))
+      operators.Rolling.trailing(ev, "user_id", "tus", 300L * 1000000L, "value")
+        .select("event_id", "user_id", "tus", "n_win", "sum_win")
     })
   )
 
@@ -1535,6 +1552,27 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
          c AS (SELECT user_id, tus AS cus, value AS click_value FROM e WHERE event_type = 'click'),
          b AS (SELECT user_id, tus AS bus, value AS buy_value FROM e WHERE event_type = 'purchase')
          SELECT c.user_id, cus, click_value, bus, buy_value
-         FROM c ASOF LEFT JOIN b ON c.user_id = b.user_id AND b.bus <= c.cus"""
+         FROM c ASOF LEFT JOIN b ON c.user_id = b.user_id AND b.bus <= c.cus""",
+
+    // quantile_cont shares percentile's p·(n−1) interpolation; both
+    // engines quantize the double through DECIMAL(18,4) (see Profile).
+    // SUM(bigint) is HUGEINT in DuckDB → cast back to BIGINT.
+    "q71_corpus_stats" ->
+      """SELECT source, CAST(GROUPING(source) AS INT) AS is_total,
+         COUNT(*) AS n_rows, CAST(SUM(n_chars) AS BIGINT) AS total,
+         CAST(CAST(quantile_cont(n_chars, 0.5) AS DECIMAL(18,4)) AS DOUBLE) AS p50,
+         CAST(CAST(quantile_cont(n_chars, 0.9) AS DECIMAL(18,4)) AS DOUBLE) AS p90,
+         CAST(CAST(quantile_cont(n_chars, 0.99) AS DECIMAL(18,4)) AS DOUBLE) AS p99
+         FROM documents GROUP BY ROLLUP(source)""",
+
+    "q72_rolling_window" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS tus,
+                      CAST(value AS DECIMAL(18,4)) AS v FROM events)
+         SELECT event_id, user_id, tus,
+           COUNT(*) OVER w AS n_win,
+           CAST(SUM(v) OVER w AS DOUBLE) AS sum_win
+         FROM e
+         WINDOW w AS (PARTITION BY user_id ORDER BY tus
+                      RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW)"""
   )
 }

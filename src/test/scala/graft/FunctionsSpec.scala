@@ -270,6 +270,30 @@ class FunctionsSpec extends SparkSpec {
       canon(TermStats.tfidfTopTerms(docs, m = 2))
   }
 
+  test("Profile.stats: rollup emits per-group and grand-total rows with exact percentiles") {
+    import graft.functions.Profile
+    val df = ((1 to 10).map(i => ("a", i.toLong)) :+ (("b", 100L)))
+      .toDF("source", "n_chars")
+    val out = Profile.stats(df, "source", "n_chars").collect()
+      .map(r => (Option(r.getString(0)), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))).sortBy(_._1)
+    out.length shouldBe 3
+    // grand total first (null group, is_total=1)
+    val total = out.find(_._2 == 1).get
+    total._1 shouldBe None
+    total._3 shouldBe 11L
+    total._4 shouldBe 155L
+    // group a: 1..10 → linear interpolation at p·(n−1)
+    val a = out.find(_._1.contains("a")).get
+    (a._2, a._3, a._4) shouldBe ((0, 10L, 55L))
+    a._5 shouldBe 5.5
+    a._6 shouldBe 9.1
+    a._7 shouldBe 9.91
+    // singleton group: every percentile is the value itself
+    val b = out.find(_._1.contains("b")).get
+    (b._5, b._6, b._7) shouldBe ((100.0, 100.0, 100.0))
+  }
+
   test("scrubPii phone/IPv6 do not fire on dates, versions, times, or IPv4") {
     val clean = "on 2024-01-02 at 12:30:45 version 1.2.3 ratio 10:1 end"
     val r = Seq(clean).toDF("t").select(T.scrubPii(col("t"))).as[String].head()

@@ -673,6 +673,24 @@ class OperatorsSpec extends SparkSpec {
     out shouldBe Seq((1000L, 20L, 7.0), (1005L, 20L, 7.0))
   }
 
+  test("Rolling.trailing matches a brute-force trailing-range scan") {
+    import graft.operators.Rolling
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 300).map(i =>
+      (i.toLong, i.toLong % 3, rnd.nextInt(1000).toLong, (rnd.nextInt(100) + 1) / 4.0))
+    val df = rows.toDF("id", "k", "t", "v")
+    val width = 100L
+    val out = Rolling.trailing(df, "k", "t", width, "v").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(4), r.getDouble(5)))).toMap
+    rows.foreach { case (id, k, t, _) =>
+      val frame = rows.filter { case (_, k2, t2, _) => k2 == k && t2 >= t - width && t2 <= t }
+      val expSum = frame.map { case (_, _, _, v) =>
+        BigDecimal(v).setScale(4) }.sum.toDouble
+      out(id)._1 shouldBe frame.size.toLong
+      out(id)._2 shouldBe expSum
+    }
+  }
+
   test("bandJoin matches the brute-force theta join, including bucket boundaries") {
     val rnd = new scala.util.Random(42)
     // times clustered so bands actually overlap, plus exact-boundary cases
