@@ -213,6 +213,29 @@ object OracleGen {
            PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
        FROM scored) WHERE rank <= $k"""
 
+  /** Cluster-balanced diversity sampling
+    * (operators.Similarity.diverseSample): the same md5-seeded
+    * quantizer as [[ivfAnnSql]], then a per-cell (md5(id), id)-ordered
+    * quota — every stage reproducible from the table.
+    */
+  def diverseSampleSql(ncells: Int = 16, quota: Int = 20, dim: Int = 64): String =
+    s"""WITH seeds AS (
+       SELECT sv, CAST(rn - 1 AS INT) AS cell FROM (
+         SELECT embedding AS sv,
+           ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+         FROM embeddings) WHERE rn <= $ncells),
+     cells AS (
+       SELECT vec_id, cell FROM (
+         SELECT e.vec_id, s.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY ${cosineSql("e.embedding", "s.sv", dim)} DESC, s.cell) AS crn
+         FROM embeddings e CROSS JOIN seeds s) WHERE crn = 1)
+     SELECT vec_id, cell, pick FROM (
+       SELECT vec_id, cell,
+         CAST(ROW_NUMBER() OVER (PARTITION BY cell
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT) AS pick
+       FROM cells) WHERE pick <= $quota"""
+
   /** Full semantic-dedup pipeline (operators.Dedup.semanticDedup):
     * bucketed pairs with cosine ≥ `minCos` → connected components
     * (recursive CTE) → keep = component minimum; vectors in no

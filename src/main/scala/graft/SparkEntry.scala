@@ -779,7 +779,14 @@ object SparkEntry {
           unix_micros(col("ts")).as("tus"), col("value"))
       operators.Rolling.trailing(ev, "user_id", "tus", 300L * 1000000L, "value")
         .select("event_id", "user_id", "tus", "n_win", "sum_win")
-    })
+    }),
+
+    // §2#54 cluster-balanced diversity sampling: embed → IVF cells →
+    // content-hash quota per cell; dense modes can't dominate the
+    // subset, and kept sets nest as the quota grows.
+    "q73_diverse_sample" -> ((s, dir) =>
+      operators.Similarity.diverseSample(
+        Tafra.readParquet(s, s"$dir/embeddings.parquet").df, quota = 20))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1573,6 +1580,8 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
            CAST(SUM(v) OVER w AS DOUBLE) AS sum_win
          FROM e
          WINDOW w AS (PARTITION BY user_id ORDER BY tus
-                      RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW)"""
+                      RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW)""",
+
+    "q73_diverse_sample" -> OracleGen.diverseSampleSql()
   )
 }

@@ -18,6 +18,31 @@ object Similarity {
     df.repartition(n, col(idCol))
   }
 
+  /** (cos, -cell) structs per centroid; array_max picks best cos, ties
+    * broken toward the smaller cell id — all inside codegen.
+    */
+  private def cellScores(vc: Column, cents: Seq[Seq[Float]]): Column =
+    array(cents.zipWithIndex.map { case (cv, i) =>
+      struct(V.cosine(vc, typedlit(cv)).as("cos"), lit(-i).as("negcell")) }: _*)
+
+  private def cellOf(vc: Column, cents: Seq[Seq[Float]]): Column =
+    -array_max(cellScores(vc, cents)).getField("negcell")
+
+  /** Deterministic centroid seeds: the `ncells` smallest-md5(id) rows —
+    * the library-standard random init made replayable AND
+    * engine-portable (the oracle rebuilds the identical set from the
+    * table). A bounded model artifact, like any trained quantizer.
+    */
+  private def seedCentroids(corpus: DataFrame, ncells: Int,
+                            vecCol: String, idCol: String): Seq[Seq[Float]] = {
+    val seeds = corpus
+      .select(col(vecCol).as("v"), md5(col(idCol).cast("string")).as("h"), col(idCol).as("i"))
+      .orderBy(col("h"), col("i")).limit(ncells)
+      .collect().map(_.getSeq[Float](0).toSeq).toSeq
+    require(seeds.nonEmpty, "seedCentroids: empty corpus")
+    seeds
+  }
+
   /** Brute-force cosine top-k: broadcast the (small) query set against
     * the full corpus, rank per query. Exact baseline; cost is
     * |queries| × |corpus| codegen'd dot products.
@@ -77,20 +102,8 @@ object Similarity {
     val c = rebalance(corpus, idCol)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
 
-    // (cos, -cell) structs per centroid; array_max picks best cos,
-    // ties broken toward the smaller cell id — all inside codegen.
-    def cellScores(vc: Column, cents: Seq[Seq[Float]]): Column =
-      array(cents.zipWithIndex.map { case (cv, i) =>
-        struct(V.cosine(vc, typedlit(cv)).as("cos"), lit(-i).as("negcell")) }: _*)
-    def cellOf(vc: Column, cents: Seq[Seq[Float]]): Column =
-      -array_max(cellScores(vc, cents)).getField("negcell")
-
     // --- coarse quantizer -------------------------------------------------
-    val seeds: Seq[Seq[Float]] = corpus
-      .select(col(vecCol).as("v"), md5(col(idCol).cast("string")).as("h"), col(idCol).as("i"))
-      .orderBy(col("h"), col("i")).limit(ncells)
-      .collect().map(_.getSeq[Float](0).toSeq).toSeq
-    require(seeds.nonEmpty, "ivfTopK: empty corpus")
+    val seeds = seedCentroids(corpus, ncells, vecCol, idCol)
     // embedding width comes from the data itself (was a caller-supplied
     // `dim` that silently truncated or NPE'd when wrong)
     val dim = seeds.head.length
@@ -121,6 +134,42 @@ object Similarity {
         Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
+  /** Cluster-balanced diversity sampling: a per-cluster quota over the
+    * IVF cells — the "embed → cluster → uniform per cluster" curation
+    * pass (SemDeDup/DBSCAN-style pipelines' selection step) that keeps
+    * a subset covering every region of embedding space instead of
+    * letting dense modes dominate a uniform sample.
+    *
+    * Spark design: cell assignment is the same codegen'd map-only
+    * projection as [[ivfTopK]] (centroids = the md5-seeded model
+    * artifact, so the decision is engine-reproducible); the per-cell
+    * quota is a row_number window ordered by (md5(id), id) — a
+    * content-hash shuffle inside each cell, so the picked subset is
+    * deterministic across runs, partitionings, and engines (the
+    * sampleHash contract applied per cluster). The `rn <= quota`
+    * filter gets WindowGroupLimit pushdown: each cell's window shuffle
+    * carries at most quota rows per map partition, so the window cost
+    * is bounded by quota × cells × partitions, not the corpus.
+    *
+    * Returns (id, cell, pick) for the kept rows — pick is the 1-based
+    * rank inside the cell, so callers can tighten the quota later
+    * WITHOUT resampling (kept sets nest as quota grows, like
+    * sampleHash's threshold).
+    */
+  def diverseSample(corpus: DataFrame, quota: Int, ncells: Int = 16,
+                    vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    require(quota > 0, "quota must be positive")
+    val cents = seedCentroids(corpus, ncells, vecCol, idCol)
+    rebalance(corpus, idCol)
+      .select(col(idCol), col(vecCol).as("cv"),
+        md5(col(idCol).cast("string")).as("h"))
+      .withColumn("cell", cellOf(col("cv"), cents))
+      .withColumn("pick", row_number().over(
+        Window.partitionBy(col("cell")).orderBy(col("h"), col(idCol))).cast("int"))
+      .filter(col("pick") <= quota)
+      .select(col(idCol), col("cell"), col("pick"))
   }
 
   /** LSH-bucketed ANN (the scale path): hyperplane-bucket the corpus

@@ -673,6 +673,23 @@ class OperatorsSpec extends SparkSpec {
     out shouldBe Seq((1000L, 20L, 7.0), (1005L, 20L, 7.0))
   }
 
+  test("diverseSample: quota bounds every cell and kept sets nest as quota grows") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 200L).map(i =>
+      (i, Seq.fill(16)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val small = Similarity.diverseSample(vecs, quota = 3, ncells = 8).collect()
+    val big = Similarity.diverseSample(vecs, quota = 10, ncells = 8).collect()
+    // quota bound per cell
+    small.groupBy(_.getInt(1)).values.foreach(_.length should be <= 3)
+    // a row's (cell, pick) is identical in both runs — tightening the
+    // quota later never resamples, it truncates
+    val bigMap = big.map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    small.foreach { r =>
+      bigMap(r.getLong(0)) shouldBe ((r.getInt(1), r.getInt(2)))
+    }
+    small.length should be < big.length
+  }
+
   test("Rolling.trailing matches a brute-force trailing-range scan") {
     import graft.operators.Rolling
     val rnd = new scala.util.Random(7)

@@ -54,6 +54,17 @@ class PlanSpec extends SparkSpec {
     p should include("WindowGroupLimit")
   }
 
+  test("q73 diversity sample: map-only cell projection, quota pushed into the window") {
+    val p = plan("q73_diverse_sample")
+    // cell assignment is a codegen'd projection — no join against a
+    // centroid table, no aggregate before the window
+    (p should not).include("BroadcastNestedLoopJoin")
+    p should include("vec_cosine")
+    // the pick <= quota filter gets rank-limit pushdown, bounding the
+    // per-cell window shuffle at quota rows per map partition
+    p should include("WindowGroupLimit")
+  }
+
   test("q23 minhash signature aggregation is partial-agg (map-side combine), pair scoring too") {
     val p = plan("q23_dedup_minhash")
     p should include("partial_min")   // k MIN(xxhash64) combine before the doc shuffle
