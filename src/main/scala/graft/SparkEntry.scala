@@ -786,7 +786,13 @@ object SparkEntry {
     // subset, and kept sets nest as the quota grows.
     "q73_diverse_sample" -> ((s, dir) =>
       operators.Similarity.diverseSample(
-        Tafra.readParquet(s, s"$dir/embeddings.parquet").df, quota = 20))
+        Tafra.readParquet(s, s"$dir/embeddings.parquet").df, quota = 20)),
+
+    // §2#55 per-doc trigram novelty: fraction of a document's distinct
+    // n-grams unique to it in the corpus — df==1 attribution rides the
+    // gram agg as min(doc_id), so no postings-vs-df join ever runs.
+    "q74_novelty" -> ((s, dir) =>
+      functions.TermStats.noveltyScore(t(s, dir, "documents").df))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1582,6 +1588,22 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
          WINDOW w AS (PARTITION BY user_id ORDER BY tus
                       RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW)""",
 
-    "q73_diverse_sample" -> OracleGen.diverseSampleSql()
+    "q73_diverse_sample" -> OracleGen.diverseSampleSql(),
+
+    "q74_novelty" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
+         sh AS (
+           SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            for i in generate_series(1, len(w)-2)]) AS grams
+           FROM toks WHERE len(w) >= 3),
+         post AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+         perdoc AS (SELECT doc_id, COUNT(*) AS n_grams FROM post GROUP BY 1),
+         gd AS (SELECT g, COUNT(*) AS df, MIN(doc_id) AS owner FROM post GROUP BY g),
+         novel AS (SELECT owner AS doc_id, COUNT(*) AS n_novel FROM gd WHERE df = 1 GROUP BY 1)
+         SELECT p.doc_id, p.n_grams, COALESCE(n.n_novel, 0) AS n_novel,
+           CAST(COALESCE(n.n_novel, 0) AS DOUBLE) / p.n_grams AS novelty
+         FROM perdoc p LEFT JOIN novel n ON p.doc_id = n.doc_id"""
   )
 }

@@ -54,4 +54,42 @@ object TermStats {
       .select(col("doc_id"), col("term"), col("tf"),
         round(col("score").cast("double"), 4).as("score"), col("rnk"))
   }
+
+  /** Per-document n-gram novelty: the fraction of a document's
+    * distinct n-grams that appear NOWHERE else in the corpus
+    * (df == 1) — the "how much of this doc is boilerplate vs
+    * original" curation signal, the scoring complement of the dedup
+    * family's keep/drop decisions.
+    *
+    * Scale shape: grams are `array_distinct`'d MAP-SIDE, so no
+    * distinct shuffle ever runs; df is a partial agg keyed on the
+    * gram (Zipf-hot boilerplate grams collapse before the shuffle).
+    * The trick that avoids joining the postings against a corpus-
+    * sized df table: a df == 1 gram has exactly ONE owner, so
+    * `min(doc_id)` carried through the same aggregate IS the
+    * attribution — novel counts fall out of the gram agg, and the
+    * final join is doc-keyed between two doc-sized tables. The
+    * per-doc denominator groupBy reuses the pinned rebalance
+    * exchange (doc_id-partitioned), so the corpus is tokenized once
+    * and shuffled only on the gram key.
+    */
+  def noveltyScore(docs: DataFrame, n: Int = 3,
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(n > 0, "n must be positive")
+    val nPart = docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val grams = docs.repartition(nPart, col(idCol))
+      .select(col(idCol).as("doc_id"), T.tokens(col(textCol)).as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), explode(array_distinct(T.wordNGrams(col("w"), n))).as("g"))
+    val perDoc = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val novel = grams.groupBy("g")
+      .agg(count(lit(1)).as("df"), min("doc_id").as("owner"))
+      .filter(col("df") === 1)
+      .groupBy(col("owner").as("doc_id")).agg(count(lit(1)).as("n_novel"))
+    perDoc.join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        (coalesce(col("n_novel"), lit(0L)).cast("double") / col("n_grams"))
+          .as("novelty"))
+  }
 }

@@ -270,6 +270,22 @@ class FunctionsSpec extends SparkSpec {
       canon(TermStats.tfidfTopTerms(docs, m = 2))
   }
 
+  test("noveltyScore: df==1 attribution on a planted-overlap corpus") {
+    import graft.functions.TermStats
+    val docs = Seq(
+      (1L, "a b c d e"),         // all grams shared with doc 2
+      (2L, "a b c d e"),         // exact twin
+      (3L, "x y z w"),           // fully original
+      (4L, "a b c q r s")        // shares "a b c", three own grams
+    ).toDF("doc_id", "text")
+    val out = TermStats.noveltyScore(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    out(1L) shouldBe ((3L, 0L, 0.0))
+    out(2L) shouldBe ((3L, 0L, 0.0))
+    out(3L) shouldBe ((2L, 2L, 1.0))
+    out(4L) shouldBe ((4L, 3L, 0.75))
+  }
+
   test("Profile.stats: rollup emits per-group and grand-total rows with exact percentiles") {
     import graft.functions.Profile
     val df = ((1 to 10).map(i => ("a", i.toLong)) :+ (("b", 100L)))

@@ -65,6 +65,17 @@ class PlanSpec extends SparkSpec {
     p should include("WindowGroupLimit")
   }
 
+  test("q74 novelty: gram dedup stays map-side, counts combine partially, no window") {
+    val p = plan("q74_novelty")
+    // per-doc gram dedup is array_distinct BEFORE the explode — a
+    // distinct operator here would shuffle the full postings list
+    p should include("array_distinct")
+    p should include("partial_count")
+    // attribution rides min(doc_id) through the gram agg — no window,
+    // no postings-vs-df join
+    (p should not).include("Window")
+  }
+
   test("q23 minhash signature aggregation is partial-agg (map-side combine), pair scoring too") {
     val p = plan("q23_dedup_minhash")
     p should include("partial_min")   // k MIN(xxhash64) combine before the doc shuffle
