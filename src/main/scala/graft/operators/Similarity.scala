@@ -279,32 +279,37 @@ object Similarity {
     seeds
   }
 
-  /** Left-associative sub-vector L2² against a codebook entry — the
-    * exact accumulation order the oracle unrolls.
+  /** Encode/LUT kernels run as the NATIVE [[graft.plans.PqCodes]] /
+    * [[graft.plans.PqLut]] expressions: the unrolled Column form
+    * (m × ksub × w arithmetic nodes in one projection) cost seconds of
+    * Janino compile and MB-scale task binaries PER PLAN — constant
+    * overhead that dwarfed the data work at every test scale. The
+    * native kernels loop in generated code (compile is O(1) in
+    * m·ksub), with the IDENTICAL left-associative double accumulation
+    * and strict-less argmin, so the oracle contract is unchanged
+    * (pinned by the driver-side argmin spec).
     */
-  private def pqL2(vc: Column, s: Seq[Float], j: Int, w: Int): Column =
-    (0 until w).map { i =>
-      val diff = element_at(vc, j * w + i + 1).cast("double") - lit(s(j * w + i).toDouble)
-      diff * diff
-    }.reduceLeft(_ + _)
+  private def pqCodesCol(vc: Column, seeds: Seq[Seq[Float]], ksub: Int, m: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.plans.PqCodes(
+        org.apache.spark.sql.graft.ColumnBridge.expression(vc),
+        seeds.flatten, ksub, m))
+
+  private def pqLutCol(vc: Column, seeds: Seq[Seq[Float]], ksub: Int, m: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.plans.PqLut(
+        org.apache.spark.sql.graft.ColumnBridge.expression(vc),
+        seeds.flatten, ksub, m))
 
   def pqEncode(vecs: DataFrame, m: Int = 8, ksub: Int = 16,
                vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     val seeds = pqSeeds(vecs, ksub, vecCol, idCol)
     val dim = seeds.head.length
     require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
-    val w = dim / m
 
-    val c = rebalance(vecs, idCol).select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
-    val codeCols = (0 until m).map { j =>
-      val scores = array(seeds.zipWithIndex.map { case (s, cidx) =>
-        struct(pqL2(col("cv"), s, j, w).as("d"), lit(cidx).as("cid"))
-      }: _*)
-      array_min(scores).getField("cid").as(s"_c$j")
-    }
-    c.select(col("vec_id") +: codeCols: _*)
+    rebalance(vecs, idCol).select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
       .select(col("vec_id"),
-        posexplode(array((0 until m).map(j => col(s"_c$j")): _*)).as(Seq("subspace", "code")))
+        posexplode(pqCodesCol(col("cv"), seeds, ksub, m)).as(Seq("subspace", "code")))
   }
 
   /** PQ-ADC top-k search — the compressed-domain ANN query path over
@@ -332,13 +337,14 @@ object Similarity {
 
     val codes = pqEncode(corpus, m, ksub, vecCol, idCol)
       .withColumnRenamed("vec_id", "neighbor_id")
-    val lutEntries = for (j <- 0 until m; c <- 0 until ksub) yield
-      struct(lit(j).as("subspace"), lit(c).as("code"),
-        pqL2(col("qv"), seeds(c), j, w).cast("decimal(20,10)").as("d"))
+    // LUT layout from the native kernel: index = subspace·ksub + code
     val lut = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .select(col("query_id"), explode(array(lutEntries: _*)).as("e"))
-      .select(col("query_id"), col("e.subspace").as("subspace"),
-        col("e.code").as("code"), col("e.d").as("d"))
+      .select(col("query_id"),
+        posexplode(pqLutCol(col("qv"), seeds, ksub, m)).as(Seq("pos", "dd")))
+      .select(col("query_id"),
+        (col("pos") / ksub).cast("int").as("subspace"),
+        pmod(col("pos"), lit(ksub)).as("code"),
+        col("dd").cast("decimal(20,10)").as("d"))
 
     codes.join(broadcast(lut), Seq("subspace", "code"))
       .filter(col("neighbor_id") =!= col("query_id"))

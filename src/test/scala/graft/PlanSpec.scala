@@ -65,6 +65,17 @@ class PlanSpec extends SparkSpec {
     p should include("WindowGroupLimit")
   }
 
+  test("q69/q70 PQ kernels run as single native expressions, not unrolled chains") {
+    // the unrolled Column form put m×ksub×w arithmetic nodes in one
+    // projection — seconds of Janino compile and MB task binaries per
+    // plan; the native kernels must stay
+    val enc = plan("q69_embed_pq")
+    enc should include("pq_codes")
+    val adc = plan("q70_pq_adc")
+    adc should include("pq_lut")
+    (adc should not).include("array_min")
+  }
+
   test("q74 novelty: gram dedup stays map-side, counts combine partially, no window") {
     val p = plan("q74_novelty")
     // per-doc gram dedup is array_distinct BEFORE the explode — a
