@@ -792,7 +792,22 @@ object SparkEntry {
     // n-grams unique to it in the corpus — df==1 attribution rides the
     // gram agg as min(doc_id), so no postings-vs-df join ever runs.
     "q74_novelty" -> ((s, dir) =>
-      functions.TermStats.noveltyScore(t(s, dir, "documents").df))
+      functions.TermStats.noveltyScore(t(s, dir, "documents").df)),
+
+    // §2#56 adaptive per-source quality gate: each source thresholds
+    // against its own p25 stopword ratio — per-domain cutoffs instead
+    // of one global gate; threshold table broadcast under a size gate.
+    "q75_adaptive_filter" -> ((s, dir) => {
+      import graft.functions.{TextFunctions => T}
+      val scored = t(s, dir, "documents").df
+        .select(col("doc_id"), col("source"), T.tokens(col("text")).as("w"))
+        .withColumn("stop_ratio",
+          T.markerCount(col("w"), Seq("the", "a")).cast("double") / size(col("w")))
+        .drop("w")
+      functions.Profile.adaptiveFilter(scored, "source", "stop_ratio", 0.25)
+        .select(col("doc_id"), col("source"), col("stop_ratio"),
+          col("thr").cast("double").as("thr"))
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1604,6 +1619,22 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
          novel AS (SELECT owner AS doc_id, COUNT(*) AS n_novel FROM gd WHERE df = 1 GROUP BY 1)
          SELECT p.doc_id, p.n_grams, COALESCE(n.n_novel, 0) AS n_novel,
            CAST(COALESCE(n.n_novel, 0) AS DOUBLE) / p.n_grams AS novelty
-         FROM perdoc p LEFT JOIN novel n ON p.doc_id = n.doc_id"""
+         FROM perdoc p LEFT JOIN novel n ON p.doc_id = n.doc_id""",
+
+    "q75_adaptive_filter" ->
+      """WITH t AS (
+           SELECT doc_id, source,
+             string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
+         sc AS (
+           SELECT doc_id, source,
+             CAST(len(list_filter(w, x -> list_contains(['the','a'], x))) AS DOUBLE)
+               / len(w) AS stop_ratio
+           FROM t),
+         thr AS (
+           SELECT source, CAST(quantile_cont(stop_ratio, 0.25) AS DECIMAL(18,6)) AS thr_d
+           FROM sc GROUP BY source)
+         SELECT doc_id, sc.source, stop_ratio, CAST(thr_d AS DOUBLE) AS thr
+         FROM sc JOIN thr ON sc.source = thr.source
+         WHERE CAST(stop_ratio AS DECIMAL(18,6)) >= thr_d"""
   )
 }

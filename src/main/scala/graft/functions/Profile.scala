@@ -41,4 +41,35 @@ object Profile {
         sum(col(metricCol)).as("total"),
         pct(0.5, "p50"), pct(0.9, "p90"), pct(0.99, "p99"))
   }
+
+  /** Adaptive per-group filtering: keep rows whose `scoreCol` is at or
+    * above their OWN group's p-quantile — the per-domain threshold
+    * pattern (a single global cutoff over-prunes clean domains and
+    * under-prunes noisy ones; thresholding each domain against itself
+    * is how modern curation pipelines set quality gates).
+    *
+    * Spark design: thresholds are ONE percentile agg (partial state =
+    * distinct-score map per group) joined back — a model artifact the
+    * size of the group count, BROADCAST only under `broadcastMaxRows`
+    * with a plain shuffled join past it (the q25 size-gate pattern;
+    * domains are usually thousands, but nothing guarantees it).
+    * Deliberately NOT a partition-wide window: an unbounded-frame
+    * window buffers each group in one task, the agg+join form
+    * combines map-side. Score and threshold are both quantized to
+    * DECIMAL(18,6) before the comparison, so the boundary decision is
+    * exact and engine-identical. Appends `thr` (the group threshold)
+    * for auditability.
+    */
+  def adaptiveFilter(df: DataFrame, groupCol: String, scoreCol: String,
+                     p: Double = 0.25,
+                     broadcastMaxRows: Long = 2000000L): DataFrame = {
+    require(p >= 0.0 && p <= 1.0, "p must be in [0, 1]")
+    val thr = df.groupBy(col(groupCol))
+      .agg(percentile(col(scoreCol), lit(p)).cast("decimal(18,6)").as("thr"))
+      .persist()
+    val nGroups = thr.count()
+    val thrT = if (nGroups <= broadcastMaxRows) broadcast(thr) else thr
+    df.join(thrT, Seq(groupCol))
+      .filter(col(scoreCol).cast("decimal(18,6)") >= col("thr"))
+  }
 }

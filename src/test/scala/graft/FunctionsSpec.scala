@@ -310,6 +310,23 @@ class FunctionsSpec extends SparkSpec {
     (b._5, b._6, b._7) shouldBe ((100.0, 100.0, 100.0))
   }
 
+  test("adaptiveFilter: per-group quantile cutoffs, boundary kept, fallback path identical") {
+    import graft.functions.Profile
+    val df = ((1 to 8).map(i => ("x", i.toLong, i.toDouble)) ++
+      (1 to 4).map(i => ("y", 100L + i, 5.0))).toDF("source", "id", "score")
+    val out = Profile.adaptiveFilter(df, "source", "score", 0.25).collect()
+      .map(r => r.getLong(1) -> r.getDecimal(3).doubleValue()).toMap
+    // group x: p25 of 1..8 = 1 + 0.25·7 = 2.75 → keeps 3..8
+    out.keySet.filter(_ < 100L) shouldBe (3L to 8L).toSet
+    out(3L) shouldBe 2.75
+    // group y: constant score → threshold IS the score, boundary rows kept
+    out.keySet.filter(_ > 100L) shouldBe (101L to 104L).toSet
+    out(101L) shouldBe 5.0
+    // shuffled fallback (gate forced off) selects the identical set
+    canon(Profile.adaptiveFilter(df, "source", "score", 0.25, broadcastMaxRows = -1L)) shouldBe
+      canon(Profile.adaptiveFilter(df, "source", "score", 0.25))
+  }
+
   test("scrubPii phone/IPv6 do not fire on dates, versions, times, or IPv4") {
     val clean = "on 2024-01-02 at 12:30:45 version 1.2.3 ratio 10:1 end"
     val r = Seq(clean).toDF("t").select(T.scrubPii(col("t"))).as[String].head()
