@@ -807,7 +807,14 @@ object SparkEntry {
       functions.Profile.adaptiveFilter(scored, "source", "stop_ratio", 0.25)
         .select(col("doc_id"), col("source"), col("stop_ratio"),
           col("thr").cast("double").as("thr"))
-    })
+    }),
+
+    // §2#57 per-label centroids: dim decimal sums in ONE partial agg —
+    // the corpus never explodes before the shuffle; means divide as
+    // double after the exact decimal aggregation.
+    "q76_label_centroids" -> ((s, dir) =>
+      operators.Similarity.labelCentroids(
+        Tafra.readParquet(s, s"$dir/embeddings.parquet").df))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1635,6 +1642,17 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
            FROM sc GROUP BY source)
          SELECT doc_id, sc.source, stop_ratio, CAST(thr_d AS DOUBLE) AS thr
          FROM sc JOIN thr ON sc.source = thr.source
-         WHERE CAST(stop_ratio AS DECIMAL(18,6)) >= thr_d"""
+         WHERE CAST(stop_ratio AS DECIMAL(18,6)) >= thr_d""",
+
+    // floor(v·1e12 + 0.5) is tie-free pure-IEEE quantization (HALF_UP
+    // decimal casts disagree across engines on floats' exact .5 ties)
+    "q76_label_centroids" ->
+      """WITH x AS (
+           SELECT label, CAST(i AS INT) AS dim,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e12 + 0.5) AS DECIMAL(38,0)) AS v
+           FROM embeddings, unnest(generate_series(1, 64)) t(i))
+         SELECT label, dim, COUNT(*) AS n_vecs,
+           CAST(SUM(v) AS DOUBLE) / 1e12 / COUNT(*) AS c
+         FROM x GROUP BY 1, 2"""
   )
 }

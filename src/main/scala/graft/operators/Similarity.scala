@@ -241,6 +241,41 @@ object Similarity {
             .cast("int") - 128).as("q"))
   }
 
+  /** Per-label embedding centroids (class prototypes): the mean vector
+    * of every label group — prototype-based classification, cluster
+    * drift audits, per-class diversity baselines.
+    *
+    * Spark design: `dim` map-side-combinable DECIMAL sums per label in
+    * ONE partial agg — the corpus never explodes before the shuffle
+    * (the exploded form ships dim× the rows; this ships dim columns of
+    * partial state per label per partition, constant in corpus size).
+    * Output is exploded to (label, dim, n_vecs, c) scalar rows for
+    * portability. Element sums quantize float→DECIMAL(28,12), so the
+    * aggregation is exact and order-insensitive; the mean divides as
+    * double (exact cast, identical IEEE division everywhere).
+    */
+  def labelCentroids(vecs: DataFrame, labelCol: String = "label",
+                     vecCol: String = "embedding"): DataFrame = {
+    val dim = vecs.select(size(col(vecCol))).head().getInt(0)
+    // Tie-free quantization: floats with short dyadic expansions land
+    // EXACTLY on .5 decimal ties, where Spark's HALF_UP and DuckDB's
+    // cast rounding disagree (measured: 1 element in 256k). floor(v·1e12
+    // + 0.5) is pure IEEE double arithmetic — multiply, add, floor are
+    // each exactly specified, so both engines compute the identical
+    // integer; summed as DECIMAL(38,0) the aggregation stays exact and
+    // order-insensitive at any corpus size.
+    val sums = (0 until dim).map(i =>
+      sum(floor(element_at(col(vecCol), i + 1).cast("double") * 1e12 + lit(0.5))
+        .cast("decimal(38,0)")).as(s"_s$i"))
+    vecs.groupBy(col(labelCol))
+      .agg(count(lit(1)).as("n_vecs"), sums: _*)
+      .select(col(labelCol), col("n_vecs"),
+        posexplode(array((0 until dim).map(i =>
+          col(s"_s$i").cast("double") / 1e12 / col("n_vecs")): _*)).as(Seq("d0", "c")))
+      .select(col(labelCol), (col("d0") + 1).cast("int").as("dim"),
+        col("n_vecs"), col("c"))
+  }
+
   /** Array form of [[scalarQuantize]] plus the dequantization ranges,
     * for pipeline consumers (codes ordered by dimension).
     */

@@ -673,6 +673,18 @@ class OperatorsSpec extends SparkSpec {
     out shouldBe Seq((1000L, 20L, 7.0), (1005L, 20L, 7.0))
   }
 
+  test("labelCentroids: exact per-label means at inferred dim") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 2.0f), 0), (2L, Seq(3.0f, 4.0f), 0), (3L, Seq(5.0f, 6.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelCentroids(vecs).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    out((0, 1)) shouldBe ((2L, 2.0))
+    out((0, 2)) shouldBe ((2L, 3.0))
+    out((1, 1)) shouldBe ((1L, 5.0))
+    out((1, 2)) shouldBe ((1L, 6.0))
+  }
+
   test("diverseSample: quota bounds every cell and kept sets nest as quota grows") {
     val rnd = new scala.util.Random(11)
     val vecs = (0L until 200L).map(i =>
