@@ -814,7 +814,13 @@ object SparkEntry {
     // double after the exact decimal aggregation.
     "q76_label_centroids" -> ((s, dir) =>
       operators.Similarity.labelCentroids(
-        Tafra.readParquet(s, s"$dir/embeddings.parquet").df))
+        Tafra.readParquet(s, s"$dir/embeddings.parquet").df)),
+
+    // §2#27b sliding streaming windows: 1-hour hopping every 15 min —
+    // each event in exactly 4 windows, expanded map-side before the
+    // same partial-agg shuffle as tumbling.
+    "q77_stream_sliding" -> ((s, dir) =>
+      streaming.Events.slidingByType(s, s"$dir/events.parquet"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1653,6 +1659,18 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
            FROM embeddings, unnest(generate_series(1, 64)) t(i))
          SELECT label, dim, COUNT(*) AS n_vecs,
            CAST(SUM(v) AS DOUBLE) / 1e12 / COUNT(*) AS c
-         FROM x GROUP BY 1, 2"""
+         FROM x GROUP BY 1, 2""",
+
+    // every event lands in the 4 slide-aligned windows whose start is
+    // in (ts - 1h, ts]: floor-align to the 15-min grid, back off k slides
+    "q77_stream_sliding" ->
+      """WITH e AS (SELECT event_type, epoch_ns(ts)//1000 AS tus, value FROM events),
+         w AS (SELECT event_type, value,
+                 (tus // 900000000) * 900000000 - k * 900000000 AS ws
+               FROM e, unnest(generate_series(0, 3)) t(k))
+         SELECT make_timestamp(ws) AS window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         FROM w GROUP BY 1, 2"""
   )
 }

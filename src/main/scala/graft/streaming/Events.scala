@@ -170,6 +170,34 @@ object Events {
     q.stop()
   }
 
+  /** #27b sliding (hopping) windows: 1-hour windows advancing every 15
+    * minutes — each event contributes to window/slide = 4 overlapping
+    * windows (trend smoothing / rate monitoring, where tumbling edges
+    * hide bursts). Spark expands the covering window set MAP-SIDE and
+    * runs the same partial-agg shuffle as tumbling; with a watermark,
+    * per-window state stays bounded by the lateness horizon (just 4×
+    * the window count of tumbling, never event-scaled).
+    */
+  def slidingByTypeStream(spark: SparkSession, eventsPath: String,
+                          watermark: Option[String] = None,
+                          maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val stream0 = readStream(spark, eventsPath, maxFilesPerTrigger)
+    val stream = watermark.fold(stream0)(w => stream0.withWatermark("ts", w))
+    stream
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("value").cast("decimal(18,4)")).as("sum_value_d"))
+  }
+
+  /** #27b test harness: [[slidingByTypeStream]] to a memory sink. */
+  def slidingByType(spark: SparkSession, eventsPath: String,
+                    watermark: Option[String] = None): DataFrame = {
+    val mode = if (watermark.isEmpty) "complete" else "append"
+    runToMemory(slidingByTypeStream(spark, eventsPath, watermark), mode, "graft_sliding_")
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value_d").cast("double").as("sum_value"))
+  }
+
   /** #29-streaming: exact dedup as a STREAM, state bounded by the
     * watermark: `dropDuplicatesWithinWatermark` keyed on (user_id, ts)
     * keeps a key's state only until the watermark passes it, so dedup

@@ -42,6 +42,16 @@ class StreamingSpec extends SparkSpec {
     canon(streamed) shouldBe canon(batch)
   }
 
+  test("sliding windows cover every event exactly window/slide times") {
+    val out = Events.slidingByType(spark, s"$sfDir/events.parquet")
+    val nEvents = Events.readBatch(spark, s"$sfDir/events.parquet").count()
+    // 1h windows on a 15min slide: each event in exactly 4 windows
+    out.agg(sum("n_events")).head().getLong(0) shouldBe nEvents * 4
+    // window starts sit on the slide grid, 4 windows apart at most
+    val starts = out.select(unix_micros(col("window_start"))).collect().map(_.getLong(0))
+    all(starts.map(_ % (15L * 60 * 1000000))) shouldBe 0L
+  }
+
   test("streaming dedup collapses a doubled stream to the distinct set") {
     val dir = "/root/testdata/sf0.001"
     val out = graft.streaming.Events.streamDedup(spark, s"$dir/events.parquet")
