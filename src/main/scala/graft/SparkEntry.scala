@@ -820,7 +820,18 @@ object SparkEntry {
     // each event in exactly 4 windows, expanded map-side before the
     // same partial-agg shuffle as tumbling.
     "q77_stream_sliding" -> ((s, dir) =>
-      streaming.Events.slidingByType(s, s"$dir/events.parquet"))
+      streaming.Events.slidingByType(s, s"$dir/events.parquet")),
+
+    // §2#58 token-budget mixing: fractions DERIVED from per-source
+    // token totals (min(1, budget/total)) — the "N tokens of web, M of
+    // code" mixture spec; src0's oversized budget exercises the cap.
+    "q78_token_budget_mix" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .update("n_tok", size(split(trim(col("text")), "\\s+")))
+        .mixToBudget("source", "n_tok",
+          Map("src0" -> 100000L, "src1" -> 1000L, "src2" -> 500L, "src3" -> 100L),
+          Seq("doc_id"))
+        .select(Seq("doc_id", "source", "n_tok", "keep_frac")).df)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1671,6 +1682,23 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
          SELECT make_timestamp(ws) AS window_start, event_type,
            COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-         FROM w GROUP BY 1, 2"""
+         FROM w GROUP BY 1, 2""",
+
+    "q78_token_budget_mix" ->
+      """WITH t AS (
+           SELECT doc_id, source,
+             len(string_split_regex(trim(text), '\s+')) AS n_tok FROM documents
+           WHERE source IN ('src0','src1','src2','src3')),
+         tot AS (SELECT source, SUM(n_tok) AS tot FROM t GROUP BY 1),
+         f AS (
+           SELECT t.doc_id, t.source, CAST(t.n_tok AS INT) AS n_tok,
+             least(1.0, CAST(CASE t.source
+                 WHEN 'src0' THEN 100000 WHEN 'src1' THEN 1000
+                 WHEN 'src2' THEN 500 ELSE 100 END AS DOUBLE)
+               / CAST(tot AS DOUBLE)) AS keep_frac
+           FROM t JOIN tot ON t.source = tot.source)
+         SELECT doc_id, source, n_tok, keep_frac FROM f
+         WHERE ('0x' || substr(md5('0' || chr(0) || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+               < floor(keep_frac * 65536)"""
   )
 }

@@ -141,6 +141,37 @@ final class Tafra(val df: DataFrame) extends Serializable {
     * auditable from SQL). Strata absent from `fractions` are dropped —
     * the mixing contract. Per-row filter expression: no shuffle.
     */
+  /** Token-BUDGET mixing: per-stratum keep fractions DERIVED from the
+    * data — frac = min(1, budget / stratum's total of `tokenCol`) —
+    * instead of hand-set fractions ([[sampleHashBy]]). This is how
+    * training mixtures are actually specified: "200B tokens of web,
+    * 50B of code", with the fraction falling out of the corpus.
+    * Strata without a budget drop (same contract as sampleHashBy).
+    *
+    * Scale shape: totals are one partial agg over the budgeted strata
+    * only (the isin filter prunes the scan); the totals table is
+    * bounded by the CALLER'S budget map (a config artifact, like
+    * sampleHashBy's fractions), so the join back broadcasts
+    * unconditionally. Membership is the sampleHashWeighted md5
+    * threshold — deterministic across runs, partitionings, and
+    * engines, and kept sets nest as a stratum's budget grows. Appends
+    * `keep_frac` for audit.
+    */
+  def mixToBudget(column: String, tokenCol: String, budgets: Map[String, Long],
+                  keyCols: Seq[String], seed: Long = 0L): Tafra = {
+    require(budgets.nonEmpty && budgets.values.forall(_ >= 0),
+      s"negative budgets: $budgets")
+    validateColumns(column +: tokenCol +: keyCols)
+    val inMix = df.filter(df(column).isInCollection(budgets.keys.toSeq))
+    val tot = inMix.groupBy(df(column)).agg(sum(df(tokenCol)).as("_tot"))
+    val budgetCol = element_at(typedlit(budgets), col(column))
+    new Tafra(inMix.join(bc(tot), Seq(column))
+        .withColumn("keep_frac",
+          least(lit(1.0), budgetCol.cast("double") / col("_tot").cast("double"))))
+      .sampleHashWeighted("keep_frac", keyCols, seed)
+      .delete(Seq("_tot"))
+  }
+
   def sampleHashBy(column: String, fractions: Map[String, Double],
                    keyCols: Seq[String]): Tafra = {
     require(fractions.nonEmpty && fractions.values.forall(f => f >= 0 && f <= 1),

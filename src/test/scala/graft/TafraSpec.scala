@@ -441,4 +441,22 @@ class TafraSpec extends SparkSpec {
       .df.select("g").distinct().collect().map(_.getString(0)).toSeq shouldBe Seq("s0")
   }
 
+  test("mixToBudget: derived fractions cap at 1, nest as budgets grow, unbudgeted drop") {
+    // 2 strata × 1000 rows × 10 tokens each = 10000 tokens per stratum
+    val t = Tafra((0L until 2000L).map(i => (i, s"s${i % 2}", 10L))
+      .toDF("id", "g", "n_tok"))
+    def keep(budgets: Map[String, Long]): Map[String, Set[Long]] =
+      t.mixToBudget("g", "n_tok", budgets, Seq("id")).df.select("id", "g").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+        .groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val m = keep(Map("s0" -> 100000L, "s1" -> 2500L))
+    m("s0").size shouldBe 1000 // budget ≥ total → frac caps at 1.0
+    m("s1").size.toDouble / 1000 shouldBe 0.25 +- 0.05
+    (keep(Map("s0" -> 100000L)) contains "s1") shouldBe false // unbudgeted drops
+    // kept sets nest as the budget grows
+    val small = keep(Map("s1" -> 1000L))("s1")
+    small.subsetOf(m("s1")) shouldBe true
+    small.size should be < m("s1").size
+  }
+
 }
