@@ -831,7 +831,22 @@ object SparkEntry {
         .mixToBudget("source", "n_tok",
           Map("src0" -> 100000L, "src1" -> 1000L, "src2" -> 500L, "src3" -> 100L),
           Seq("doc_id"))
-        .select(Seq("doc_id", "source", "n_tok", "keep_frac")).df)
+        .select(Seq("doc_id", "source", "n_tok", "keep_frac")).df),
+
+    // §2#59 text normalization (pre-dedup canonicalizer): NFC unifies
+    // byte-distinct spellings, controls strip, whitespace collapses.
+    // The corpus is clean ASCII, so decomposed accents / a control
+    // char / tab-space mess are planted (q43's pattern) — the oracle
+    // genuinely checks the normalization, not a no-op.
+    "q79_text_normalize" -> ((s, dir) => {
+      import graft.functions.{TextFunctions => T}
+      t(s, dir, "documents").df
+        .select(col("doc_id"),
+          concat(col("text"),
+            lit(" cafe\u0301 nai\u0308ve\u0007  x \t y "),
+            col("doc_id").cast("string")).as("dirty"))
+        .select(col("doc_id"), T.normalizeText(col("dirty")).as("clean"))
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1699,6 +1714,19 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
            FROM t JOIN tot ON t.source = tot.source)
          SELECT doc_id, source, n_tok, keep_frac FROM f
          WHERE ('0x' || substr(md5('0' || chr(0) || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
-               < floor(keep_frac * 65536)"""
+               < floor(keep_frac * 65536)""",
+
+    // chr(769)/chr(776) = combining acute/diaeresis, chr(7) = BEL,
+    // chr(9) = tab — the identical plant as the Spark escapes
+    "q79_text_normalize" ->
+      """WITH d AS (
+           SELECT doc_id,
+             text || ' cafe' || chr(769) || ' nai' || chr(776) || 've' || chr(7)
+                  || '  x ' || chr(9) || ' y ' || CAST(doc_id AS VARCHAR) AS dirty
+           FROM documents)
+         SELECT doc_id,
+           trim(regexp_replace(regexp_replace(nfc_normalize(dirty),
+             '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g')) AS clean
+         FROM d"""
   )
 }

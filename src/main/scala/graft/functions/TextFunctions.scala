@@ -12,6 +12,24 @@ object TextFunctions {
   /** Whitespace-normalized lower-cased text. */
   def normText(c: Column): Column = trim(regexp_replace(lower(c), "\\s+", " "))
 
+  /** Unicode NFC canonical composition (native codegen'd expression —
+    * Spark ships none and a UDF would break whole-stage codegen).
+    */
+  def nfcNorm(c: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.plans.NfcNormalize(org.apache.spark.sql.graft.ColumnBridge.expression(c)))
+
+  /** Full text-normalization pass (the pre-dedup canonicalizer): NFC
+    * composition (byte-distinct spellings of identical text unify —
+    * without this every dedup pass silently under-merges), control
+    * characters stripped, whitespace collapsed, edges trimmed. Pure
+    * map-only codegen chain; RE2-compatible so the identical chain
+    * runs as the oracle.
+    */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(nfcNorm(c), "[\\x00-\\x1f\\x7f]", " "), "\\s+", " "))
+
   /** Whitespace tokens of the normalized text. Mirrors DuckDB's
     * `string_split_regex(lower(trim(text)), '\s+')` for oracle parity.
     */

@@ -270,6 +270,20 @@ class FunctionsSpec extends SparkSpec {
       canon(TermStats.tfidfTopTerms(docs, m = 2))
   }
 
+  test("normalizeText: NFC unifies decomposed twins, strips controls, collapses whitespace") {
+    // decomposed (e + U+0301) and precomposed (U+00E9) spellings of the
+    // SAME text must normalize byte-identical — else dedup under-merges
+    val rows = Seq(
+      (1L, "cafe\u0301  au \t lait"),
+      (2L, "café au lait"),
+      (3L, "a\u0007b\u0000c")
+    ).toDF("id", "t").select(col("id"), T.normalizeText(col("t")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows(1L) shouldBe rows(2L)
+    rows(1L) shouldBe "café au lait"
+    rows(3L) shouldBe "a b c"
+  }
+
   test("noveltyScore: df==1 attribution on a planted-overlap corpus") {
     import graft.functions.TermStats
     val docs = Seq(
