@@ -846,7 +846,12 @@ object SparkEntry {
             lit(" cafe\u0301 nai\u0308ve\u0007  x \t y "),
             col("doc_id").cast("string")).as("dirty"))
         .select(col("doc_id"), T.normalizeText(col("dirty")).as("clean"))
-    })
+    }),
+
+    // §2#30g cross-source 8-gram overlap matrix: the symmetric
+    // inter-source duplication census (decontaminate's all-pairs form).
+    "q80_source_overlap" -> ((s, dir) =>
+      operators.Dedup.sourceOverlapMatrix(t(s, dir, "documents").df))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1727,6 +1732,20 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
          SELECT doc_id,
            trim(regexp_replace(regexp_replace(nfc_normalize(dirty),
              '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g')) AS clean
-         FROM d"""
+         FROM d""",
+
+    "q80_source_overlap" ->
+      """WITH toks AS (
+           SELECT source, string_split_regex(lower(trim(text)), '\s+') AS w
+           FROM documents),
+         p AS (
+           SELECT DISTINCT src, g FROM (
+             SELECT source AS src,
+               unnest(list_distinct([array_to_string(w[i : i+7], ' ')
+                                     for i in generate_series(1, len(w) - 7)])) AS g
+             FROM toks WHERE len(w) >= 8))
+         SELECT a.src AS src_a, b.src AS src_b, COUNT(*) AS n_shared
+         FROM p a JOIN p b ON a.g = b.g AND a.src < b.src
+         GROUP BY 1, 2"""
   )
 }

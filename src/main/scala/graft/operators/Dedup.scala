@@ -543,6 +543,36 @@ object Dedup {
       .withColumn("contaminated", col("n_hits") > 0)
   }
 
+  /** Cross-source n-gram overlap matrix (#30g): for every source pair,
+    * the number of DISTINCT n-grams both emit — the inter-source
+    * duplication audit ("how much does the web scrape mirror the books
+    * set") run before mixing/dedup decisions. [[decontaminate]] is the
+    * directed train-vs-eval form of this; the matrix is the symmetric
+    * all-pairs census.
+    *
+    * Scale shape: postings dedup to (gram, source) in a gram-keyed
+    * partial agg — the source-granular inverted index (Zipf-hot grams
+    * collapse map-side; the table is bounded by distinct grams ×
+    * |sources|). Pairs come from a self-join on the gram key: both
+    * sides are the SAME aggregated frame so Catalyst reuses one
+    * exchange, and a gram's fan-out is bounded by C(|sources|, 2),
+    * never corpus-scaled. The matrix is one more partial agg over at
+    * most |sources|² keys.
+    */
+  def sourceOverlapMatrix(docs: DataFrame, n: Int = 8,
+                          textCol: String = "text", srcCol: String = "source",
+                          idCol: String = "doc_id"): DataFrame = {
+    require(n > 0, "n-gram size must be positive")
+    val posts = rebalance(docs, idCol)
+      .select(col(srcCol).as("src"),
+        explode(array_distinct(T.wordNGrams(T.tokens(col(textCol)), n))).as("g"))
+      .distinct()
+    posts.select(col("g"), col("src").as("src_a"))
+      .join(posts.select(col("g"), col("src").as("src_b")), Seq("g"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Incremental batch-vs-corpus dedup (#30e): which documents of a
     * NEW batch already exist in the standing corpus? Membership is
     * keyed on the md5 of the sorted DISTINCT token set — an

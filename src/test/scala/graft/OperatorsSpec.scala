@@ -673,6 +673,19 @@ class OperatorsSpec extends SparkSpec {
     out shouldBe Seq((1000L, 20L, 7.0), (1005L, 20L, 7.0))
   }
 
+  test("sourceOverlapMatrix counts distinct shared n-grams per source pair only") {
+    val docs = Seq(
+      (1L, "A", "one two three four five six seven eight tail a"),
+      (2L, "B", "one two three four five six seven eight tail b"),
+      (3L, "B", "one two three four five six seven eight tail b again"), // dup gram must not double-count
+      (4L, "C", "alpha beta gamma delta epsilon zeta eta theta iota")
+    ).toDF("doc_id", "source", "text")
+    val out = Dedup.sourceOverlapMatrix(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // A and B share exactly the two 8-grams [one..eight] and [two..tail]
+    out shouldBe Map(("A", "B") -> 2L)
+  }
+
   test("labelCentroids: exact per-label means at inferred dim") {
     val vecs = Seq(
       (1L, Seq(1.0f, 2.0f), 0), (2L, Seq(3.0f, 4.0f), 0), (3L, Seq(5.0f, 6.0f), 1)
