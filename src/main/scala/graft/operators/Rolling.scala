@@ -36,8 +36,11 @@ object Rolling {
     require(width > 0, "width must be positive")
     val w = Window.partitionBy(keyCol).orderBy(col(timeCol))
       .rangeBetween(-width, 0)
-    df.withColumn("n_win", count(lit(1)).over(w))
-      .withColumn("sum_win",
-        sum(col(valueCol).cast("decimal(18,4)")).over(w).cast("double"))
+    // decimal cast BEFORE the window: both aggregates then share one
+    // Window node (an inline cast splits them into two frame scans)
+    df.withColumn("_vd", col(valueCol).cast("decimal(18,4)"))
+      .select(df.columns.map(col) :+
+        count(lit(1)).over(w).as("n_win") :+
+        sum(col("_vd")).over(w).cast("double").as("sum_win"): _*)
   }
 }

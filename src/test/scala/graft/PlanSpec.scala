@@ -65,6 +65,25 @@ class PlanSpec extends SparkSpec {
     p should include("WindowGroupLimit")
   }
 
+  test("q71 rollup aggregates percentiles partially before the one exchange") {
+    val p = plan("q71_corpus_stats")
+    // exact-percentile partial state (a value→count map) combines
+    // map-side; the grand-total row rides the same Expand, not a
+    // second scan
+    p should include("partial_percentile")
+    p should include("Expand")
+    p.sliding("Exchange hashpartitioning".length).count(_ == "Exchange hashpartitioning") shouldBe 1
+  }
+
+  test("q72 rolling window: one exchange, one sort, ONE fused Window node") {
+    val p = plan("q72_rolling_window")
+    p.sliding("Exchange".length).count(_ == "Exchange") shouldBe 1
+    // both aggregates share one frame scan — an inline cast between
+    // them would split the Window in two
+    p.sliding("Window [".length).count(_ == "Window [") shouldBe 1
+    p should include("RangeFrame")
+  }
+
   test("q69/q70 PQ kernels run as single native expressions, not unrolled chains") {
     // the unrolled Column form put m×ksub×w arithmetic nodes in one
     // projection — seconds of Janino compile and MB task binaries per
