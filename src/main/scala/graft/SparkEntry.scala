@@ -851,7 +851,13 @@ object SparkEntry {
     // §2#30g cross-source 8-gram overlap matrix: the symmetric
     // inter-source duplication census (decontaminate's all-pairs form).
     "q80_source_overlap" -> ((s, dir) =>
-      operators.Dedup.sourceOverlapMatrix(t(s, dir, "documents").df))
+      operators.Dedup.sourceOverlapMatrix(t(s, dir, "documents").df)),
+
+    // §2#37e top-100 bigram collocations by PMI: multi-word-expression
+    // mining for tokenizer vocab / phrase-aware keys; ln operand is one
+    // fixed-association double of exact longs, decimal-quantized.
+    "q81_pmi_collocations" -> ((s, dir) =>
+      functions.TermStats.pmiCollocations(t(s, dir, "documents").df))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1746,6 +1752,32 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
              FROM toks WHERE len(w) >= 8))
          SELECT a.src AS src_a, b.src AS src_b, COUNT(*) AS n_shared
          FROM p a JOIN p b ON a.g = b.g AND a.src < b.src
-         GROUP BY 1, 2"""
+         GROUP BY 1, 2""",
+
+    "q81_pmi_collocations" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
+         tot AS (
+           SELECT SUM(len(w)) AS nu, SUM(greatest(len(w) - 1, 0)) AS nb FROM toks),
+         uni AS (
+           SELECT t, COUNT(*) AS c FROM (SELECT unnest(w) AS t FROM toks) GROUP BY t),
+         bi AS (
+           SELECT bg, COUNT(*) AS cab FROM (
+             SELECT w[i] || ' ' || w[i+1] AS bg
+             FROM toks, unnest(generate_series(1, len(w) - 1)) s(i)
+             WHERE len(w) >= 2) GROUP BY bg
+           HAVING COUNT(*) >= 5),
+         scored AS (
+           SELECT bg, cab,
+             CAST(ln((CAST(cab AS DOUBLE) * nu * nu)
+                     / (CAST(nb AS DOUBLE) * ca.c * cb.c)) AS DECIMAL(20,6)) AS pmi_d
+           FROM bi
+           CROSS JOIN tot
+           JOIN uni ca ON ca.t = string_split(bg, ' ')[1]
+           JOIN uni cb ON cb.t = string_split(bg, ' ')[2])
+         SELECT bg, cab, pmi, rnk FROM (
+           SELECT bg, cab, CAST(pmi_d AS DOUBLE) AS pmi,
+             CAST(ROW_NUMBER() OVER (ORDER BY pmi_d DESC, bg) AS INT) AS rnk
+           FROM scored) WHERE rnk <= 100"""
   )
 }

@@ -55,6 +55,61 @@ object TermStats {
         round(col("score").cast("double"), 4).as("score"), col("rnk"))
   }
 
+  /** Top-k bigram collocations by pointwise mutual information — the
+    * corpus-linguistics pass that surfaces multi-word expressions
+    * ("new york", "machine learning") for tokenizer vocab decisions
+    * and phrase-aware dedup keys. PMI = ln(p(ab) / (p(a)·p(b))).
+    *
+    * Scale shape: unigram and bigram counts are gram-keyed partial
+    * aggs off one tokenized pass (Zipf heads collapse map-side);
+    * corpus totals ride a single two-column agg action (no second
+    * scan per total). The bigram→unigram probability join follows the
+    * q25 size-gate: the vocabulary broadcasts only under a row
+    * budget, else plain shuffled joins. minCount prunes the long tail
+    * BEFORE the join (PMI on hapax pairs is noise anyway), and the
+    * global top-k ranking gets WindowGroupLimit pushdown, so the
+    * single-task final sort sees ≤ k rows per map partition.
+    *
+    * Engine determinism: the PMI operand is one double expression of
+    * exact longs in a fixed association order, quantized to
+    * DECIMAL(20,6) after the ln (the q65 pattern) so ranking ties
+    * break identically everywhere.
+    */
+  def pmiCollocations(docs: DataFrame, minCount: Int = 5, topK: Int = 100,
+                      textCol: String = "text", idCol: String = "doc_id",
+                      broadcastMaxRows: Long = 2000000L): DataFrame = {
+    require(minCount > 0 && topK > 0, "minCount and topK must be positive")
+    val n = docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val toks = docs.repartition(n, col(idCol))
+      .select(T.tokens(col(textCol)).as("w"))
+    val totals = toks.agg(
+      sum(size(col("w"))).as("nu"),
+      sum(greatest(size(col("w")) - 1, lit(0))).as("nb")).head()
+    val (nUni, nBi) = (totals.getLong(0), totals.getLong(1))
+
+    val uni = toks.select(explode(col("w")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c")).persist()
+    val uniT = if (uni.count() <= broadcastMaxRows) broadcast(uni) else uni
+    val bi = toks.filter(size(col("w")) >= 2)
+      .select(explode(T.wordNGrams(col("w"), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= minCount)
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .withColumn("w2", split(col("bg"), " ").getItem(1))
+
+    bi.join(uniT.select(col("t").as("w1"), col("c").as("ca")), Seq("w1"))
+      .join(uniT.select(col("t").as("w2"), col("c").as("cb")), Seq("w2"))
+      .withColumn("pmi",
+        log((col("cab").cast("double") * nUni * nUni) /
+            (lit(nBi.toDouble) * col("ca") * col("cb")))
+        .cast("decimal(20,6)"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("pmi").desc, col("bg"))).cast("int"))
+      .filter(col("rnk") <= topK)
+      .select(col("bg"), col("cab"),
+        col("pmi").cast("double").as("pmi"), col("rnk"))
+  }
+
   /** Per-document n-gram novelty: the fraction of a document's
     * distinct n-grams that appear NOWHERE else in the corpus
     * (df == 1) — the "how much of this doc is boilerplate vs

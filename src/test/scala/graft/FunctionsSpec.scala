@@ -284,6 +284,23 @@ class FunctionsSpec extends SparkSpec {
     rows(3L) shouldBe "a b c"
   }
 
+  test("pmiCollocations: exclusive pairs outrank shared-word pairs, hand-checked PMI") {
+    import graft.functions.TermStats
+    // aa+bb only ever co-occur; xx spreads over cc and dd → lower PMI
+    val docs = ((1 to 6).map(i => (i.toLong, "aa bb")) ++
+      (7 to 12).map(i => (i.toLong, "xx cc")) ++
+      (13 to 18).map(i => (i.toLong, "xx dd"))).toDF("doc_id", "text")
+    val out = TermStats.pmiCollocations(docs, minCount = 5, topK = 10).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getInt(3)))).toMap
+    // nu = 36 tokens, nb = 18 bigrams; PMI(aa bb) = ln(6·36²/(18·6·6)) = ln(12)
+    out("aa bb")._1 shouldBe 6L
+    out("aa bb")._2 shouldBe (math.log(12.0) +- 1e-5)
+    out("aa bb")._3 shouldBe 1
+    // xx appears 12× → its pairs halve the PMI operand: ln(6)
+    out("xx cc")._2 shouldBe (math.log(6.0) +- 1e-5)
+    Seq(out("xx cc")._3, out("xx dd")._3).sorted shouldBe Seq(2, 3)
+  }
+
   test("noveltyScore: df==1 attribution on a planted-overlap corpus") {
     import graft.functions.TermStats
     val docs = Seq(
