@@ -857,7 +857,19 @@ object SparkEntry {
     // mining for tokenizer vocab / phrase-aware keys; ln operand is one
     // fixed-association double of exact longs, decimal-quantized.
     "q81_pmi_collocations" -> ((s, dir) =>
-      functions.TermStats.pmiCollocations(t(s, dir, "documents").df))
+      functions.TermStats.pmiCollocations(t(s, dir, "documents").df)),
+
+    // §2#42c FORWARD as-of: each click matched to the user's NEXT
+    // purchase at-or-after it — backward machinery on negated times.
+    "q82_asof_forward" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("cus"), col("value").as("click_value"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("bus"), col("value").as("buy_value"))
+      operators.AsofJoin.asofJoinForward(clicks, buys,
+        "user_id", "cus", "bus", Seq("bus", "buy_value"))
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1778,6 +1790,14 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
          SELECT bg, cab, pmi, rnk FROM (
            SELECT bg, cab, CAST(pmi_d AS DOUBLE) AS pmi,
              CAST(ROW_NUMBER() OVER (ORDER BY pmi_d DESC, bg) AS INT) AS rnk
-           FROM scored) WHERE rnk <= 100"""
+           FROM scored) WHERE rnk <= 100""",
+
+    "q82_asof_forward" ->
+      """WITH e AS (SELECT user_id, event_type,
+                      epoch_ns(ts)//1000 AS tus, value FROM events),
+         c AS (SELECT user_id, tus AS cus, value AS click_value FROM e WHERE event_type = 'click'),
+         b AS (SELECT user_id, tus AS bus, value AS buy_value FROM e WHERE event_type = 'purchase')
+         SELECT c.user_id, cus, click_value, bus, buy_value
+         FROM c ASOF LEFT JOIN b ON c.user_id = b.user_id AND b.bus >= c.cus"""
   )
 }

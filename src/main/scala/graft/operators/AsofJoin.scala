@@ -68,6 +68,31 @@ object AsofJoin {
       .select(lCols.map(col) ++ rightPayload.map(c => col(s"_m.$c").as(c)): _*)
   }
 
+  /** FORWARD as-of join: each left row matched to the EARLIEST right
+    * row at-or-after it (pandas merge_asof direction='forward' — "the
+    * next purchase after this click"). Pure duality: forward on t is
+    * backward on −t, so the one-shuffle union+window machinery and its
+    * tolerance gate are reused verbatim on negated times — at equal
+    * times the right row still sorts first (≥ includes equality), and
+    * the backward gate _t−_mt ≤ tol becomes exactly the forward bound
+    * rt−lt ≤ tol. Time columns must be NUMERIC (unix_micros first);
+    * a right-time column in the payload is un-negated on the way out
+    * (null stays null for unmatched rows).
+    */
+  def asofJoinForward(left: DataFrame, right: DataFrame,
+                      key: String, leftTime: String, rightTime: String,
+                      rightPayload: Seq[String],
+                      tolerance: Option[Column] = None): DataFrame = {
+    val out = asofJoin(
+      left.withColumn(leftTime, -col(leftTime)),
+      right.withColumn(rightTime, -col(rightTime)),
+      key, leftTime, rightTime, rightPayload, tolerance)
+    val restored = out.withColumn(leftTime, -col(leftTime))
+    if (rightPayload.contains(rightTime))
+      restored.withColumn(rightTime, -col(rightTime))
+    else restored
+  }
+
   /** Hot-key variant: [[asofJoin]] sorts EACH key's full history in one
     * window task — a Zipf-hot key (one user = 10% of a 100 TB stream)
     * serializes there, and AQE's skew splitting does not apply to

@@ -662,6 +662,31 @@ class OperatorsSpec extends SparkSpec {
     canon(buckTol) shouldBe canon(planTol)
   }
 
+  test("forward asof matches brute-force earliest-at-or-after, tolerance gated") {
+    val rnd = new scala.util.Random(19)
+    val left = (1 to 200).map(i => (i.toLong % 5, rnd.nextInt(1000).toLong)).toDF("k", "t")
+    val rightRows = (1 to 200).map(i => (i.toLong % 5, rnd.nextInt(1000).toLong, rnd.nextDouble()))
+    val right = rightRows.toDF("k", "rt", "rv")
+    val out = AsofJoin.asofJoinForward(left, right, "k", "t", "rt", Seq("rt", "rv"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    left.collect().foreach { lr =>
+      val (k, t) = (lr.getLong(0), lr.getLong(1))
+      val future = rightRows.filter(r => r._1 == k && r._2 >= t)
+      val expected = if (future.isEmpty) None else Some(future.map(_._2).min)
+      out((k, t)) shouldBe expected
+    }
+    // tolerance: matches farther than 50 ahead are nulled
+    val tol = AsofJoin.asofJoinForward(left, right, "k", "t", "rt", Seq("rt", "rv"),
+        tolerance = Some(lit(50L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    left.collect().foreach { lr =>
+      val (k, t) = (lr.getLong(0), lr.getLong(1))
+      tol((k, t)) shouldBe out((k, t)).filter(_ - t <= 50L)
+    }
+  }
+
   test("bucketed asof: a bucket with no right rows takes its match from the carry-in") {
     val left = Seq((1L, 1000L), (1L, 1005L)).toDF("k", "t")
     val right = Seq((1L, 10L, 9.0), (1L, 20L, 7.0)).toDF("k", "rt", "rv")
