@@ -869,6 +869,23 @@ object SparkEntry {
         .select(col("user_id"), unix_micros(col("ts")).as("bus"), col("value").as("buy_value"))
       operators.AsofJoin.asofJoinForward(clicks, buys,
         "user_id", "cus", "bus", Seq("bus", "buy_value"))
+    }),
+
+    // §2#60 wide pivot: per-priority totals by order status. Explicit
+    // pivot values — the discovery variant hides a distinct+collect
+    // pass over the pivot column. Catalyst rewrites to per-value
+    // conditional aggs: ONE partial-agg shuffle, same shape as the
+    // oracle's CASE WHEN form.
+    "q83_pivot" -> ((s, dir) => {
+      val wide = t(s, dir, "orders")
+        .update("price_d", dec(col("o_totalprice")))
+        .pivot(Seq("o_orderpriority"), "o_orderstatus", Seq("F", "O", "P"),
+          Agg("total", "sum", "price_d"))
+        .df.toDF("o_orderpriority", "total_f", "total_o", "total_p")
+      wide.select(col("o_orderpriority"),
+        col("total_f").cast("double").as("total_f"),
+        col("total_o").cast("double").as("total_o"),
+        col("total_p").cast("double").as("total_p"))
     })
   )
 
@@ -1798,6 +1815,16 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
          c AS (SELECT user_id, tus AS cus, value AS click_value FROM e WHERE event_type = 'click'),
          b AS (SELECT user_id, tus AS bus, value AS buy_value FROM e WHERE event_type = 'purchase')
          SELECT c.user_id, cus, click_value, bus, buy_value
-         FROM c ASOF LEFT JOIN b ON c.user_id = b.user_id AND b.bus >= c.cus"""
+         FROM c ASOF LEFT JOIN b ON c.user_id = b.user_id AND b.bus >= c.cus""",
+
+    "q83_pivot" ->
+      """SELECT o_orderpriority,
+         CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                       THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS total_f,
+         CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                       THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS total_o,
+         CAST(SUM(CASE WHEN o_orderstatus = 'P'
+                       THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS total_p
+         FROM orders GROUP BY 1"""
   )
 }

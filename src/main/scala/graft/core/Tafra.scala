@@ -250,6 +250,36 @@ final class Tafra(val df: DataFrame) extends Serializable {
     new Tafra(df.withColumns(withCols))
   }
 
+  /** Wide pivot: one output column per `values` entry, cells from
+    * `agg` over the matching rows — `groupBy(index).pivot(col).agg`.
+    * The pivot values are REQUIRED, not discovered: Spark's
+    * discovery variant first runs a hidden distinct+collect job over
+    * the pivot column (a full extra pass at 100 TB, and an unbounded
+    * driver collect if the column is high-cardinality); a pivot is
+    * only meaningful when the caller already knows the handful of
+    * columns they want, so we make that the contract. Catalyst
+    * rewrites the pivot into per-value conditional aggregates —
+    * one partial-agg shuffle on the index keys, same cost shape as a
+    * plain groupBy.
+    */
+  def pivot(index: Seq[String], pivotCol: String, values: Seq[String], agg: Agg): Tafra = {
+    validateColumns(index ++ Seq(pivotCol, agg.col))
+    require(values.nonEmpty, "pivot: explicit pivot values are required (see scaladoc)")
+    new Tafra(df.groupBy(index.map(df(_)): _*).pivot(pivotCol, values).agg(agg.toColumn))
+  }
+
+  /** Long unpivot (melt) — the inverse reshape of [[pivot]]: `cols`
+    * collapse into (`varName`, `valName`) rows. Map-side expansion
+    * (an Expand node, no shuffle); value columns must share a common
+    * type. Cells that are NULL (absent combinations from a prior
+    * pivot) are kept, matching Spark `Dataset.unpivot` — callers
+    * filter if they want the sparse form.
+    */
+  def unpivot(ids: Seq[String], cols: Seq[String], varName: String, valName: String): Tafra = {
+    validateColumns(ids ++ cols)
+    new Tafra(df.unpivot(ids.map(df(_)).toArray, cols.map(df(_)).toArray, varName, valName))
+  }
+
   /** Per-group iteration (group.py:342). The reference yields
     * driver-side sub-frames; the scale-safe analog runs `f` inside the
     * executors over each group's rows via flatMapGroups.

@@ -459,4 +459,25 @@ class TafraSpec extends SparkSpec {
     small.size should be < m("s1").size
   }
 
+  test("pivot widens, unpivot melts back; absent combos are NULL cells") {
+    val t = Tafra(Seq(("p1", "A", 10.0), ("p1", "A", 5.0), ("p1", "B", 2.0),
+                      ("p2", "B", 7.0)).toDF("k", "s", "v"))
+    val wide = t.pivot(Seq("k"), "s", Seq("A", "B"), Agg("total", "sum", "v"))
+    wide.columns.head shouldBe "k"
+    wide.columns.size shouldBe 3 // k + one per pivot value
+    val rows = wide.df.collect().map(r => r.getString(0) -> (r.get(1), r.get(2))).toMap
+    rows("p1") shouldBe ((15.0, 2.0))
+    rows("p2")._1.asInstanceOf[AnyRef] shouldBe null // no A rows → NULL cell, not 0
+    rows("p2")._2 shouldBe 7.0
+    // melt back: every (k, value-col) cell becomes a row, NULLs kept
+    val long = wide.unpivot(Seq("k"), wide.columns.drop(1), "s", "total")
+    long.columns shouldBe Seq("k", "s", "total")
+    long.rows shouldBe 4
+    long.df.where(col("total").isNull).count() shouldBe 1
+    // round trip: non-null long rows = the original groupBy
+    val back = long.df.where(col("total").isNotNull)
+      .select("k", "s", "total").collect().map(_.toSeq).toSet
+    back shouldBe Set(Seq("p1", "A", 15.0), Seq("p1", "B", 2.0), Seq("p2", "B", 7.0))
+  }
+
 }
