@@ -886,6 +886,24 @@ object SparkEntry {
         col("total_f").cast("double").as("total_f"),
         col("total_o").cast("double").as("total_o"),
         col("total_p").cast("double").as("total_p"))
+    }),
+
+    // §2#30h blocked edit-distance entity resolution: the distinct
+    // part-name catalog plus planted single-char typo variants (cut
+    // position content-derived from the entity id, mirrored in SQL);
+    // segment-pigeonhole blocking + threshold levenshtein verify.
+    "q84_fuzzy_pairs" -> ((s, dir) => {
+      val ent = t(s, dir, "part").df
+        .select(col("p_name").as("s"), col("p_partkey"))
+        .groupBy("s").agg(min("p_partkey").as("id"))
+      val l = length(col("s"))
+      val cut = pmod(col("id"), l.cast("long")).cast("int")
+      val variants = ent.filter(col("id") % 2 === 0)
+        .select((col("id") + 1000000L).as("id"),
+          concat(col("s").substr(lit(1), cut), lit("q"),
+                 col("s").substr(cut + lit(2), l)).as("s"))
+      val corpus = ent.select("id", "s").unionByName(variants)
+      operators.Dedup.editDistancePairs(corpus, "id", "s", maxDist = 2, maxBlock = 100)
     })
   )
 
@@ -1825,6 +1843,31 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
                        THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS total_o,
          CAST(SUM(CASE WHEN o_orderstatus = 'P'
                        THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS total_p
-         FROM orders GROUP BY 1"""
+         FROM orders GROUP BY 1""",
+
+    "q84_fuzzy_pairs" ->
+      """WITH ent AS (
+           SELECT p_name AS s, MIN(p_partkey) AS id FROM part GROUP BY p_name),
+         corpus AS (
+           SELECT id, s FROM ent
+           UNION ALL
+           SELECT id + 1000000 AS id,
+             substr(s, 1, CAST(id % len(s) AS INT)) || 'q'
+               || substr(s, CAST(id % len(s) AS INT) + 2) AS s
+           FROM ent WHERE id % 2 = 0),
+         base AS (SELECT id, s, len(s) AS l FROM corpus),
+         posts AS (
+           SELECT id, s, l, i AS idx,
+             substr(s, (i*l)//3 + 1, ((i+1)*l)//3 - (i*l)//3) AS seg
+           FROM base, unnest([0, 1, 2]) t(i)),
+         blocks AS (
+           SELECT idx, seg, l FROM posts GROUP BY idx, seg, l HAVING COUNT(*) <= 100),
+         allowed AS (SELECT p.* FROM posts p JOIN blocks b USING (idx, seg, l)),
+         pairs AS (
+           SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.s AS sa, b.s AS sb
+           FROM allowed a JOIN allowed b USING (idx, seg, l)
+           WHERE a.id < b.id)
+         SELECT id_a, id_b, CAST(levenshtein(sa, sb) AS INT) AS dist
+         FROM pairs WHERE levenshtein(sa, sb) <= 2"""
   )
 }

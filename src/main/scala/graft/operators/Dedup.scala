@@ -708,4 +708,55 @@ object Dedup {
     vecs.join(drops, Seq(idCol), "left")
       .withColumn("keep", col("_drop").isNull).drop("_drop")
   }
+
+  /** Blocked edit-distance pair mining (entity-resolution fuzzy dedup
+    * for short strings: names, titles, normalized URLs). Candidate
+    * generation is segment-pigeonhole blocking (PassJoin-style): each
+    * string of length L splits into maxDist+1 aligned segments; two
+    * same-length strings within substitution distance ≤ maxDist MUST
+    * share at least one aligned segment (pigeonhole — d edits cannot
+    * touch all d+1 segments), so recall is exact for the
+    * length-preserving (Hamming) case, the dominant dirty-data typo
+    * class; cross-length fuzzy matching needs the shifted-segment
+    * extension and is out of contract here (documented, oracle
+    * mirrors). Verification is `levenshtein(a, b, maxDist)` — the
+    * THRESHOLD form runs the banded O(L·maxDist) DP and bails early,
+    * not the full O(L²) matrix.
+    *
+    * Scale shape: postings are (maxDist+1) rows per string, map-side;
+    * blocks join on (segment, idx, length) — a plain hash equi-join,
+    * never all-pairs. Non-discriminative blocks (a segment shared by
+    * more than `maxBlock` strings — boilerplate prefixes) are DROPPED
+    * by an inner join against the census of qualifying blocks, the
+    * standard blocking safeguard: the hot key never reaches the
+    * pair-expansion join, so no reducer sees a B² blowup. The census
+    * is one partial agg over the postings.
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+                        maxDist: Int = 2, maxBlock: Int = 100): DataFrame = {
+    require(maxDist >= 1, s"maxDist $maxDist must be >= 1")
+    val k = maxDist + 1
+    val base = df.select(col(idCol).as("id"), col(strCol).as("s"))
+      .withColumn("l", length(col("s")))
+    val segs = (0 until k).map { i =>
+      val st = floor(lit(i) * col("l") / lit(k)).cast("int")
+      val en = floor(lit(i + 1) * col("l") / lit(k)).cast("int")
+      struct(lit(i).as("idx"), col("s").substr(st + 1, en - st).as("seg"))
+    }
+    val posts = base.select(col("id"), col("s"), col("l"),
+        explode(array(segs: _*)).as("p"))
+      .select(col("id"), col("s"), col("l"), col("p.idx").as("idx"), col("p.seg").as("seg"))
+    val blocks = posts.groupBy("idx", "seg", "l").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= maxBlock).select("idx", "seg", "l")
+    val allowed = posts.join(blocks, Seq("idx", "seg", "l"))
+    val pairs = allowed
+      .select(col("idx"), col("seg"), col("l"), col("id").as("id_a"), col("s").as("sa"))
+      .join(allowed.select(col("idx"), col("seg"), col("l"),
+        col("id").as("id_b"), col("s").as("sb")), Seq("idx", "seg", "l"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sa", "sb").distinct()
+    pairs.withColumn("dist", levenshtein(col("sa"), col("sb"), maxDist))
+      .filter(col("dist").between(0, maxDist))
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
 }

@@ -775,4 +775,38 @@ class OperatorsSpec extends SparkSpec {
     banded should contain theSameElementsInOrderAs brute
   }
 
+  test("editDistancePairs: pigeonhole recall is exact for Hamming <= d; no false positives") {
+    val alpha = "ab" // tiny alphabet forces many near pairs
+    val rnd2 = new scala.util.Random(7)
+    val strs = (0 until 120).map { i =>
+      val len = 6 + rnd2.nextInt(3)
+      (i.toLong, (0 until len).map(_ => alpha(rnd2.nextInt(alpha.length))).mkString)
+    }
+    val d = 2
+    val out = Dedup.editDistancePairs(strs.toDF("id", "s"), "id", "s",
+        maxDist = d, maxBlock = 10000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    // completeness: every same-length pair within Hamming d MUST be found
+    for (Seq((ia, sa), (ib, sb)) <- strs.combinations(2) if sa.length == sb.length) {
+      val ham = sa.zip(sb).count { case (x, y) => x != y }
+      if (ham <= d)
+        assert(out.exists(p => p._1 == math.min(ia, ib) && p._2 == math.max(ia, ib)),
+          s"missed Hamming-$ham pair ($ia,$ib): $sa / $sb")
+    }
+    // soundness: every reported pair really is within levenshtein d
+    for ((a, b, dist) <- out) {
+      val sa = strs(a.toInt)._2; val sb = strs(b.toInt)._2
+      lev(sa, sb) shouldBe dist
+      dist should be <= d
+    }
+  }
+
 }
