@@ -904,6 +904,18 @@ object SparkEntry {
                  col("s").substr(cut + lit(2), l)).as("s"))
       val corpus = ent.select("id", "s").unionByName(variants)
       operators.Dedup.editDistancePairs(corpus, "id", "s", maxDist = 2, maxBlock = 100)
+    }),
+
+    // §2#39b winnowing (MOSS) fingerprints: rightmost-min of each
+    // 4-window over 4-gram hashes, selected map-side via packed-long
+    // array_min (no shuffle before the explode); ~2/(w+1) density.
+    "q85_winnow" -> ((s, dir) => {
+      import graft.functions.{TextFunctions => T}
+      t(s, dir, "documents").df
+        .select(col("doc_id"), explode(T.winnow(T.tokens(col("text")), 4, 4)).as("packed"))
+        .select(col("doc_id"),
+          shiftright(col("packed"), 20).as("fp"),
+          (lit(1048575) - col("packed").bitwiseAND(lit(1048575L))).cast("int").as("pos"))
     })
   )
 
@@ -1868,6 +1880,31 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
            FROM allowed a JOIN allowed b USING (idx, seg, l)
            WHERE a.id < b.id)
          SELECT id_a, id_b, CAST(levenshtein(sa, sb) AS INT) AS dist
-         FROM pairs WHERE levenshtein(sa, sb) <= 2"""
+         FROM pairs WHERE levenshtein(sa, sb) <= 2""",
+
+    "q85_winnow" ->
+      s"""WITH t AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+           FROM documents),
+         g AS (
+           SELECT doc_id,
+             [array_to_string(w[i : i+3], ' ')
+              for i in generate_series(1, len(w) - 3)] AS grams
+           FROM t WHERE len(w) >= 4),
+         h AS (
+           SELECT doc_id,
+             list_transform(grams,
+               x -> ('0x' || substr(md5(x), 1, 8))::BIGINT % ${functions.Hashing.PortableP}) AS hs,
+             len(grams) AS m
+           FROM g),
+         sel AS (
+           SELECT doc_id, list_distinct([
+             list_min([hs[p] * 1048576 + (1048575 - p)
+                       for p in generate_series(j, least(j + 3, m))])
+             for j in generate_series(1, greatest(m - 3, 1))]) AS sels
+           FROM h)
+         SELECT doc_id, x // 1048576 AS fp,
+           CAST(1048575 - (x % 1048576) AS INT) AS pos
+         FROM sel, unnest(sels) u(x)"""
   )
 }

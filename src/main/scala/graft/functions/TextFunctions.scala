@@ -141,4 +141,36 @@ object TextFunctions {
     val p = lit(Hashing.PortableP)
     aggregate(toks, lit(0L), (acc, t) => pmod(acc * lit(31L) + Hashing.portableHash(t), p))
   }
+
+  /** Winnowing fingerprint selection (the MOSS algorithm, Schleimer/
+    * Wilkerson/Aho SIGMOD'03): hash every token k-gram, slide a window
+    * of `w` consecutive hashes, select the minimum of each window —
+    * rightmost occurrence on ties, the paper's choice that makes
+    * selections position-robust. Guarantees at least one shared
+    * fingerprint for any match of length ≥ w + k − 1 tokens while
+    * storing only ~2/(w+1) of all gram hashes — THE sub-linear sketch
+    * for copy detection over a 100 TB corpus (full gram inversion
+    * indexes every position).
+    *
+    * Entirely map-side array arithmetic — no explode, no shuffle: each
+    * window's rightmost-argmin is one `array_min` over packed longs
+    * `hash·2²⁰ + (2²⁰−1−pos)` (complementing the position makes the
+    * LARGEST position win among equal hashes while plain min picks the
+    * smallest hash; decode = shift/mask). Hash < 2³⁰ (portable md5
+    * family) and pos < 2²⁰ keep the pack exact in a long — and in
+    * DuckDB's BIGINT, so the identical selection runs as the oracle.
+    * Returns the DISTINCT packed selections (winnowing's fingerprint
+    * set); callers explode and decode.
+    */
+  def winnow(toks: Column, k: Int, w: Int): Column = {
+    require(k >= 1 && w >= 1, s"winnow: k=$k, w=$w must be >= 1")
+    val hs = transform(wordNGrams(toks, k), g => Hashing.portableHash(g))
+    val m = size(hs)
+    val nw = greatest(m - lit(w) + 1, lit(1))
+    when(m >= 1,
+      array_distinct(transform(sequence(lit(1), nw), j =>
+        array_min(transform(sequence(j, least(j + lit(w - 1), m)), p =>
+          element_at(hs, p) * lit(1048576L) + (lit(1048575) - p).cast("long"))))))
+      .otherwise(array().cast("array<bigint>"))
+  }
 }

@@ -367,4 +367,30 @@ class FunctionsSpec extends SparkSpec {
       .as[String].head() shouldBe "ip <IP> end"
   }
 
+  test("winnow: match guarantee, rightmost tie-break, sub-full density") {
+    val k = 4; val w = 4
+    def fps(s: String): Set[Long] =
+      Seq(s).toDF("t").select(T.winnow(T.tokens(col("t")), k, w))
+        .as[Seq[Long]].head().map(_ >> 20).toSet
+    // two docs sharing a run of >= w+k-1 = 7 tokens MUST share a fingerprint
+    val shared = "alpha beta gamma delta epsilon zeta eta"
+    val a = fps(s"one two three $shared x y z")
+    val b = fps(s"$shared p q r s t u v")
+    (a intersect b) should not be empty
+    // disjoint-vocabulary docs share nothing
+    (a intersect fps("ww xx yy zz aa bb cc dd ee ff gg hh")) shouldBe empty
+    // identical hash runs tie-break to the RIGHTMOST position
+    val rep = Seq.fill(10)("same").mkString(" ") // all 7 grams identical
+    val sels = Seq(rep).toDF("t").select(T.winnow(T.tokens(col("t")), k, w))
+      .as[Seq[Long]].head()
+    // every window picks its LAST position: {4,5,6,7}, not leftmost {1,2,3,4}
+    sels.map(p => 1048575L - (p & 1048575L)).toSet shouldBe Set(4L, 5L, 6L, 7L)
+    // density: far fewer selections than grams on real text
+    val long = (1 to 200).map(i => s"tok${i % 57}").mkString(" ")
+    val n = Seq(long).toDF("t")
+      .select(org.apache.spark.sql.functions.size(T.winnow(T.tokens(col("t")), k, w)))
+      .as[Int].head()
+    n should be < 120 // 197 grams; winnowing keeps roughly 2/(w+1)
+  }
+
 }
