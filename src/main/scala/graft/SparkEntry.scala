@@ -916,6 +916,16 @@ object SparkEntry {
         .select(col("doc_id"),
           shiftright(col("packed"), 20).as("fp"),
           (lit(1048575) - col("packed").bitwiseAND(lit(1048575L))).cast("int").as("pos"))
+    }),
+
+    // §2#53b resample: per-user 6-hour grid with as-of forward fill —
+    // irregular events → regular series. Grid anchored by exact
+    // integer pmod arithmetic; fill reuses the one-shuffle asof.
+    "q86_resample" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"), col("value"))
+      operators.Rolling.resample(ev, "user_id", "tus", 21600000000L, Seq("tus", "value"))
+        .withColumnsRenamed(Map("tus" -> "last_ts", "value" -> "last_value"))
     })
   )
 
@@ -1905,6 +1915,21 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
            FROM h)
          SELECT doc_id, x // 1048576 AS fp,
            CAST(1048575 - (x % 1048576) AS INT) AS pos
-         FROM sel, unnest(sels) u(x)"""
+         FROM sel, unnest(sels) u(x)""",
+
+    "q86_resample" ->
+      """WITH e AS (
+           SELECT user_id, epoch_ns(ts)//1000 AS tus, value FROM events),
+         b AS (
+           SELECT user_id,
+             MIN(tus) + (21600000000 - MIN(tus) % 21600000000) % 21600000000 AS g0,
+             MAX(tus) - MAX(tus) % 21600000000 AS g1
+           FROM e GROUP BY user_id),
+         g AS (
+           SELECT user_id, gts
+           FROM b, unnest(generate_series(g0, g1, 21600000000)) t(gts)
+           WHERE g0 <= g1)
+         SELECT g.user_id, gts AS grid_ts, e.tus AS last_ts, e.value AS last_value
+         FROM g ASOF LEFT JOIN e ON g.user_id = e.user_id AND e.tus <= g.gts"""
   )
 }

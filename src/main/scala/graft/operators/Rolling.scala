@@ -43,4 +43,40 @@ object Rolling {
         count(lit(1)).over(w).as("n_win") :+
         sum(col("_vd")).over(w).cast("double").as("sum_win"): _*)
   }
+
+  /** Per-key fixed-step resampling with as-of forward fill: a uniform
+    * time grid (step `stepUs`, anchored at multiples of the step)
+    * spanning each key's observed range, each grid instant carrying the
+    * most recent observation at-or-before it — the irregular-events →
+    * regular-series primitive (feature snapshots, charting, downstream
+    * joins on aligned time).
+    *
+    * Scale shape: per-key bounds are ONE partial agg (two longs per
+    * key survive the combine); the grid explodes MAP-SIDE from that
+    * key-sized table (span/step rows per key, a caller-controlled
+    * density, never event-scaled); the fill is [[AsofJoin.asofJoin]] —
+    * the one-shuffle union+window machinery, no per-grid-point probe
+    * join. Grid anchoring is pure integer arithmetic (`pmod`), exact
+    * on epoch-micros longs in both engines — never a floor of a double
+    * quotient, which can misround at exact step boundaries.
+    *
+    * Returns one row per (key, grid instant): left columns
+    * (`keyCol`, `grid_ts`) plus `payload` columns from the most recent
+    * event at-or-before the instant (never null here: the grid starts
+    * at the first event, so a predecessor always exists — but the
+    * machinery is left-outer like merge_asof).
+    */
+  def resample(events: DataFrame, keyCol: String, timeCol: String,
+               stepUs: Long, payload: Seq[String]): DataFrame = {
+    require(stepUs > 0, "stepUs must be positive")
+    val step = lit(stepUs)
+    val bounds = events.groupBy(keyCol)
+      .agg(min(timeCol).as("_t0"), max(timeCol).as("_t1"))
+      .select(col(keyCol),
+        (col("_t0") + pmod(step - pmod(col("_t0"), step), step)).as("_g0"),
+        (col("_t1") - pmod(col("_t1"), step)).as("_g1"))
+    val grid = bounds.filter(col("_g0") <= col("_g1"))
+      .select(col(keyCol), explode(sequence(col("_g0"), col("_g1"), step)).as("grid_ts"))
+    AsofJoin.asofJoin(grid, events, keyCol, "grid_ts", timeCol, payload)
+  }
 }

@@ -775,6 +775,19 @@ class OperatorsSpec extends SparkSpec {
     banded should contain theSameElementsInOrderAs brute
   }
 
+  test("resample: grid anchored to step multiples, forward fill from latest <= instant") {
+    import graft.operators.Rolling
+    val ev = Seq((1L, 3L, 1.0), (1L, 17L, 2.0), (1L, 35L, 3.0),
+                 (2L, 41L, 9.0), (2L, 44L, 8.0)) // span < step → no grid rows
+      .toDF("user_id", "tus", "value")
+    val out = Rolling.resample(ev, "user_id", "tus", 10L, Seq("tus", "value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sorted
+    out shouldBe Seq(
+      (1L, 10L, 3L, 1.0),  // latest at-or-before 10 is t=3
+      (1L, 20L, 17L, 2.0),
+      (1L, 30L, 17L, 2.0)) // t=35 is after the instant → still t=17
+  }
+
   test("editDistancePairs: pigeonhole recall is exact for Hamming <= d; no false positives") {
     val alpha = "ab" // tiny alphabet forces many near pairs
     val rnd2 = new scala.util.Random(7)
