@@ -926,7 +926,12 @@ object SparkEntry {
         .select(col("user_id"), unix_micros(col("ts")).as("tus"), col("value"))
       operators.Rolling.resample(ev, "user_id", "tus", 21600000000L, Seq("tus", "value"))
         .withColumnsRenamed(Map("tus" -> "last_ts", "value" -> "last_value"))
-    })
+    }),
+
+    // §2#28e stream-static broadcast enrich: live events against a
+    // precomputed per-user profile, daily windowed anomaly counts.
+    "q87_stream_enrich" -> ((s, dir) =>
+      streaming.Events.streamEnrichAnomalies(s, s"$dir/events.parquet"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1930,6 +1935,19 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
            FROM b, unnest(generate_series(g0, g1, 21600000000)) t(gts)
            WHERE g0 <= g1)
          SELECT g.user_id, gts AS grid_ts, e.tus AS last_ts, e.value AS last_value
-         FROM g ASOF LEFT JOIN e ON g.user_id = e.user_id AND e.tus <= g.gts"""
+         FROM g ASOF LEFT JOIN e ON g.user_id = e.user_id AND e.tus <= g.gts""",
+
+    "q87_stream_enrich" ->
+      """WITH e AS (
+           SELECT user_id, epoch_ns(ts)//1000 AS tus, event_type, value FROM events),
+         prof AS (
+           SELECT user_id,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_value
+           FROM e GROUP BY user_id)
+         SELECT date_trunc('day', make_timestamp(tus)) AS day_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN value > avg_value * 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalous
+         FROM e JOIN prof USING (user_id)
+         GROUP BY 1, 2"""
   )
 }

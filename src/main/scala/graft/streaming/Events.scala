@@ -256,6 +256,41 @@ object Events {
     runToMemory(joined, "append", "graft_ssjoin_")
   }
 
+  /** #28e stream-static enrich plan: the live stream joined to a
+    * precomputed per-user profile (historical mean value — the
+    * lookup/feature-table shape every production stream carries), each
+    * event flagged against 2× its user's mean, then a daily windowed
+    * anomaly count per event type.
+    *
+    * The static side is explicitly `broadcast()`: a stream-static join
+    * re-evaluates the static plan EVERY micro-batch, so the broadcast
+    * hash join keeps per-batch cost constant and the stream side
+    * shuffle-free — no join state store at all (only the downstream
+    * agg holds state; an unbroadcast static side would re-shuffle both
+    * sides each batch). The mean is decimal-sum / count in double —
+    * the engine-exact form, so the `> 2×mean` boundary decision is
+    * bit-identical in the oracle.
+    */
+  def streamEnrichPlan(spark: SparkSession, eventsPath: String,
+                       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val hist = readBatch(spark, eventsPath)
+      .groupBy("user_id")
+      .agg((sum(col("value").cast("decimal(18,4)")).cast("double") / count(lit(1)))
+        .as("avg_value"))
+    readStream(spark, eventsPath, maxFilesPerTrigger)
+      .join(broadcast(hist), Seq("user_id"))
+      .withColumn("anomalous", col("value") > col("avg_value") * 2)
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(when(col("anomalous"), 1L).otherwise(0L)).as("n_anomalous"))
+  }
+
+  /** #28e test harness: run [[streamEnrichPlan]] to a memory sink. */
+  def streamEnrichAnomalies(spark: SparkSession, eventsPath: String): DataFrame =
+    runToMemory(streamEnrichPlan(spark, eventsPath), "complete", "graft_enrich_")
+      .select(col("window.start").as("day_start"), col("event_type"),
+        col("n_events"), col("n_anomalous"))
+
   /** `ts` duplicates `tus` as a Timestamp only because the watermarked
     * event-time COLUMN must be present in the flatMapGroupsWithState
     * input for event-time timeouts (Spark's UnsupportedOperationChecker

@@ -300,4 +300,25 @@ class StreamingSpec extends SparkSpec {
     joined.filter(col("e.n_events") =!= col("b.n_events") ||
                   col("e.sum_value") =!= col("b.sum_value")).count() shouldBe 0L
   }
+
+  test("stream-static enrich: static side broadcast (no per-batch shuffle), counts exact") {
+    // the un-started plan must carry the broadcast hint on the static side
+    val plan = Events.streamEnrichPlan(spark, s"$sfDir/events.parquet")
+      .queryExecution.analyzed.toString()
+    plan.toLowerCase should include("broadcast")
+    val out = Events.streamEnrichAnomalies(spark, s"$sfDir/events.parquet")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    out.length should be > 0
+    // cross-check against the batch formulation
+    val e = Events.readBatch(spark, s"$sfDir/events.parquet")
+    val prof = e.groupBy("user_id")
+      .agg((sum(col("value").cast("decimal(18,4)")).cast("double") / count(lit(1)))
+        .as("avg_value"))
+    val batch = e.join(prof, Seq("user_id"))
+      .groupBy(date_trunc("day", col("ts")).as("day_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(when(col("value") > col("avg_value") * 2, 1L).otherwise(0L)).as("n_anomalous"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    out.sortBy(t => (t._1.getTime, t._2)) shouldBe batch.sortBy(t => (t._1.getTime, t._2))
+  }
 }
