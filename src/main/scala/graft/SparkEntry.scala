@@ -931,7 +931,18 @@ object SparkEntry {
     // §2#28e stream-static broadcast enrich: live events against a
     // precomputed per-user profile, daily windowed anomaly counts.
     "q87_stream_enrich" -> ((s, dir) =>
-      streaming.Events.streamEnrichAnomalies(s, s"$dir/events.parquet"))
+      streaming.Events.streamEnrichAnomalies(s, s"$dir/events.parquet")),
+
+    // §2#34b kNN majority-vote classification over the embeddings:
+    // top-10 cosine neighbors vote, ties to the smaller label.
+    "q88_knn_classify" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").df
+      val queries = emb.filter(col("vec_id") < 8)
+      operators.Similarity.knnClassify(emb, queries)
+        .join(queries.select(col("vec_id").as("query_id"),
+          col("label").as("true_label")), Seq("query_id"))
+        .withColumn("correct", col("pred_label") === col("true_label"))
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1948,6 +1959,30 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
            COUNT(*) AS n_events,
            CAST(SUM(CASE WHEN value > avg_value * 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalous
          FROM e JOIN prof USING (user_id)
-         GROUP BY 1, 2"""
+         GROUP BY 1, 2""",
+
+    "q88_knn_classify" ->
+      """WITH nb AS (
+           SELECT query_id, neighbor_id FROM (
+             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                          c.vec_id) AS rank
+             FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+             WHERE q.vec_id < 8)
+           WHERE rank <= 10),
+         votes AS (
+           SELECT query_id, c.label AS nb_label, COUNT(*) AS votes
+           FROM nb JOIN embeddings c ON c.vec_id = nb.neighbor_id
+           GROUP BY 1, 2),
+         best AS (
+           SELECT query_id, nb_label AS pred_label, CAST(votes AS INT) AS votes,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY votes DESC, nb_label) AS rn
+           FROM votes)
+         SELECT b.query_id, b.pred_label, b.votes, q.label AS true_label,
+           (b.pred_label = q.label) AS correct
+         FROM best b JOIN embeddings q ON q.vec_id = b.query_id
+         WHERE rn = 1"""
   )
 }

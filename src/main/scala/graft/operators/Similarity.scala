@@ -66,6 +66,34 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
+  /** kNN majority-vote classification — the end task the ANN machinery
+    * exists for (label propagation / weak supervision over an embedded
+    * corpus): each query's predicted label is the most common label
+    * among its top-k cosine neighbors, ties broken by the smaller
+    * label (deterministic, engine-portable).
+    *
+    * Scale shape: the neighbor table is nq × k rows (queries are
+    * broadcast-bounded in [[bruteForceTopK]]), so the label lookup
+    * BROADCASTS the neighbor table against the corpus — the
+    * corpus-sized side streams map-only through the join, never
+    * shuffles on neighbor id. The vote is a partial agg over nq × k
+    * rows and the argmax window sees ≤ |labels| rows per query.
+    */
+  def knnClassify(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+                  labelCol: String = "label", vecCol: String = "embedding",
+                  idCol: String = "vec_id"): DataFrame = {
+    val nb = bruteForceTopK(corpus, queries, k, vecCol, idCol)
+      .select("query_id", "neighbor_id")
+    corpus.select(col(idCol).as("neighbor_id"), col(labelCol).as("nb_label"))
+      .join(broadcast(nb), Seq("neighbor_id"))
+      .groupBy("query_id", "nb_label").agg(count(lit(1)).as("votes"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("votes").desc, col("nb_label"))))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("nb_label").as("pred_label"),
+        col("votes").cast("int").as("votes"))
+  }
+
   /** IVF (inverted-file) ANN — the other standard scale path next to
     * LSH. Coarse quantizer: `ncells` centroids seeded from a
     * deterministic corpus sample (smallest md5(id) — the
