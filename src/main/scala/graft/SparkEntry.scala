@@ -942,7 +942,13 @@ object SparkEntry {
         .join(queries.select(col("vec_id").as("query_id"),
           col("label").as("true_label")), Seq("query_id"))
         .withColumn("correct", col("pred_label") === col("true_label"))
-    })
+    }),
+
+    // §2#37f sparse TF-IDF all-pairs cosine: lexical near-dup pairs
+    // from the df-pruned inverted index (term-at-a-time dot products,
+    // decimal-exact weights — no embedding model needed).
+    "q89_tfidf_pairs" -> ((s, dir) =>
+      functions.TermStats.tfidfSimilarPairs(t(s, dir, "documents").df))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1983,6 +1989,33 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
          SELECT b.query_id, b.pred_label, b.votes, q.label AS true_label,
            (b.pred_label = q.label) AS correct
          FROM best b JOIN embeddings q ON q.vec_id = b.query_id
-         WHERE rn = 1"""
+         WHERE rn = 1""",
+
+    "q89_tfidf_pairs" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+         nd AS (SELECT COUNT(*) AS n FROM documents),
+         idf AS (
+           SELECT term, CAST(ln((n + 1.0) / (COUNT(*) + 1.0)) AS DECIMAL(20,6)) AS idf
+           FROM tf CROSS JOIN nd GROUP BY term, n HAVING COUNT(*) <= 100),
+         w AS (
+           SELECT doc_id, term,
+             CAST(floor(tf * CAST(idf AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS wq
+           FROM tf JOIN idf USING (term)),
+         norm AS (
+           SELECT doc_id, SUM(CAST(wq AS DECIMAL(38,0)) * wq) AS n2 FROM w GROUP BY doc_id),
+         dots AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             SUM(CAST(a.wq AS DECIMAL(38,0)) * b.wq) AS dot
+           FROM w a JOIN w b USING (term) WHERE a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT doc_a, doc_b,
+           CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos
+         FROM dots
+         JOIN norm na ON na.doc_id = doc_a
+         JOIN norm nb ON nb.doc_id = doc_b
+         WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.5"""
   )
 }

@@ -147,4 +147,61 @@ object TermStats {
         (coalesce(col("n_novel"), lit(0L)).cast("double") / col("n_grams"))
           .as("novelty"))
   }
+
+  /** Sparse TF-IDF all-pairs document similarity (the DISCO /
+    * term-at-a-time cosine join): doc pairs whose pruned TF-IDF
+    * vectors have cosine ≥ `minCos` — the lexical-overlap complement
+    * of the embedding-cosine dedup family, computable without any
+    * embedding model.
+    *
+    * Scale shape: candidates come from the TERM-keyed inverted index,
+    * never all-pairs — terms with df > `dfMax` (stop/boilerplate
+    * terms, the Zipf head that would contribute df² pair fragments
+    * each while carrying near-zero IDF weight anyway) are pruned
+    * BEFORE the postings self-join, bounding per-term fan-out at
+    * dfMax²; both join sides are the SAME weighted-postings frame so
+    * Catalyst reuses one exchange; dot products are a partial agg
+    * sized by the candidate pairs. Norms are one doc-keyed agg over
+    * the pruned space (cosine is defined over the surviving terms —
+    * standard practice once stop terms are removed).
+    *
+    * Engine determinism (the q76 tie-free pattern): idf quantizes to
+    * DECIMAL(20,6); weights quantize to integer millionths via
+    * `floor(tf·idf·10⁶ + 0.5)` in pure IEEE doubles (bit-identical in
+    * both engines, no decimal .5-tie cast); dots and norms then sum
+    * `DECIMAL(38,0)` products of those exact longs — order-insensitive
+    * at any parallelism — and only the final cosine divides as double,
+    * the same three IEEE ops on both engines.
+    */
+  def tfidfSimilarPairs(docs: DataFrame, minCos: Double = 0.5, dfMax: Long = 100,
+                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val nPart = docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val nDocs = docs.count()
+    val tf = docs.repartition(nPart, col(idCol))
+      .select(col(idCol).as("doc_id"), explode(T.tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfMax)
+      .withColumn("idf",
+        log((lit(nDocs) + 1.0) / (col("df") + 1.0)).cast("decimal(20,6)"))
+      .select("term", "idf")
+    val w = tf.join(idf, Seq("term"))
+      .withColumn("wq",
+        floor(col("tf") * col("idf").cast("double") * lit(1000000.0) + 0.5).cast("long"))
+      .select("doc_id", "term", "wq")
+    val norm = w.groupBy("doc_id")
+      .agg(sum(col("wq").cast("decimal(38,0)") * col("wq")).as("n2"))
+    val dots = w.select(col("term"), col("doc_id").as("doc_a"), col("wq").as("wa"))
+      .join(w.select(col("term"), col("doc_id").as("doc_b"), col("wq").as("wb")),
+        Seq("term"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(col("wa").cast("decimal(38,0)") * col("wb")).as("dot"))
+    dots.join(norm.select(col("doc_id").as("doc_a"), col("n2").as("na2")), Seq("doc_a"))
+      .join(norm.select(col("doc_id").as("doc_b"), col("n2").as("nb2")), Seq("doc_b"))
+      .withColumn("cos", col("dot").cast("double") /
+        (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double"))))
+      .filter(col("cos") >= minCos)
+      .select("doc_a", "doc_b", "cos")
+  }
 }
