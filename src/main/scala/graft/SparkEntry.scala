@@ -476,9 +476,11 @@ object SparkEntry {
       // AQE-coalescible shuffle that collapses back to few partitions on
       // small byte sizes, starving the CPU-heavy tokenize/explode stage
       val nPart = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      // tokens pre-exchange: materialized through the shuffle so the
+      // bigram lambda reads an O(1) attribute, not a re-split per element
       val toks = t(s, dir, "documents").df
-        .repartition(nPart, col("doc_id"))
         .select(col("doc_id"), T.tokens(col("text")).as("w"))
+        .repartition(nPart, col("doc_id"))
       val uni = toks.select(col("doc_id"), explode(col("w")).as("tok"))
         .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
         .groupBy("doc_id").agg(max("c").as("top_word"), sum("c").as("n_tok"),
@@ -908,11 +910,19 @@ object SparkEntry {
 
     // §2#39b winnowing (MOSS) fingerprints: rightmost-min of each
     // 4-window over 4-gram hashes, selected map-side via packed-long
-    // array_min (no shuffle before the explode); ~2/(w+1) density.
+    // array_min. Tokens materialize ACROSS the pinned rebalance: the
+    // exchange makes `w` a real array column, so the gram lambda's
+    // element_at hits O(1) attribute data instead of re-splitting the
+    // text per reference (HOFs are interpreted — no CSE), and the
+    // CPU-heavy selection stage gets full parallelism off a
+    // single-row-group scan.
     "q85_winnow" -> ((s, dir) => {
       import graft.functions.{TextFunctions => T}
+      val nPart = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
       t(s, dir, "documents").df
-        .select(col("doc_id"), explode(T.winnow(T.tokens(col("text")), 4, 4)).as("packed"))
+        .select(col("doc_id"), T.tokens(col("text")).as("w"))
+        .repartition(nPart, col("doc_id"))
+        .select(col("doc_id"), explode(T.winnow(col("w"), 4, 4)).as("packed"))
         .select(col("doc_id"),
           shiftright(col("packed"), 20).as("fp"),
           (lit(1048575) - col("packed").bitwiseAND(lit(1048575L))).cast("int").as("pos"))

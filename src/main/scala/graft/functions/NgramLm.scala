@@ -38,7 +38,7 @@ object NgramLm {
 
     // ---- the LM artifact (persisted: counted once, joined twice) ----
     val seedBg = lmDocs
-      .select(explode(T.wordNGrams(T.tokens(col(textCol)), 2)).as("bg"))
+      .select(explode(T.boundNGrams(col(textCol), 2)).as("bg"))
       .groupBy("bg").agg(count(lit(1)).as("c2"))
       .withColumn("w1", substring_index(col("bg"), " ", 1))
       .persist()
@@ -50,8 +50,11 @@ object NgramLm {
     val ctxT = if (nBigrams <= broadcastMaxRows) broadcast(ctx) else ctx
 
     // ---- one scoring pass over the corpus ----
-    val spine = docs.repartition(n, col(idCol)).select(col(idCol).as("doc_id"),
-      T.wordNGrams(T.tokens(col(textCol)), 2).as("bgs"))
+    // tokens pre-exchange (Dedup.minhashPairs pattern): materialized
+    // through the shuffle so the bigram lambda reads an O(1) attribute
+    val spine = docs.select(col(idCol).as("doc_id"), T.tokens(col(textCol)).as("w"))
+      .repartition(n, col("doc_id"))
+      .select(col("doc_id"), T.wordNGrams(col("w"), 2).as("bgs"))
     val terms = spine.select(col("doc_id"), explode(col("bgs")).as("bg"))
       .withColumn("w1", substring_index(col("bg"), " ", 1))
       .join(bgT, Seq("bg"), "left")

@@ -80,8 +80,11 @@ object TermStats {
                       broadcastMaxRows: Long = 2000000L): DataFrame = {
     require(minCount > 0 && topK > 0, "minCount and topK must be positive")
     val n = docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val toks = docs.repartition(n, col(idCol))
-      .select(T.tokens(col(textCol)).as("w"))
+    // tokens pre-exchange: materialized through the shuffle so the
+    // bigram lambda reads an O(1) attribute, not a re-split per element
+    val toks = docs.select(col(idCol), T.tokens(col(textCol)).as("w"))
+      .repartition(n, col(idCol))
+      .select("w")
     val totals = toks.agg(
       sum(size(col("w"))).as("nu"),
       sum(greatest(size(col("w")) - 1, lit(0))).as("nb")).head()
@@ -132,8 +135,10 @@ object TermStats {
                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(n > 0, "n must be positive")
     val nPart = docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val grams = docs.repartition(nPart, col(idCol))
-      .select(col(idCol).as("doc_id"), T.tokens(col(textCol)).as("w"))
+    // tokens pre-exchange: the post-exchange projections otherwise
+    // collapse into one, re-splitting the text per gram reference
+    val grams = docs.select(col(idCol).as("doc_id"), T.tokens(col(textCol)).as("w"))
+      .repartition(nPart, col("doc_id"))
       .filter(size(col("w")) >= n)
       .select(col("doc_id"), explode(array_distinct(T.wordNGrams(col("w"), n))).as("g"))
     val perDoc = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))

@@ -49,6 +49,15 @@ object TextFunctions {
         i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
       .otherwise(array().cast("array<string>"))
 
+  /** [[wordNGrams]] over [[tokens]] with the token array bound ONCE per
+    * row (single-element-array lambda binding): for call sites with no
+    * exchange to materialize the tokens across — an inlined tokens
+    * expression re-splits the text at every element_at reference
+    * because HOF lambdas are interpreted (no codegen CSE).
+    */
+  def boundNGrams(text: Column, n: Int): Column =
+    element_at(transform(array(tokens(text)), w => wordNGrams(w, n)), 1)
+
   /** Language marker dictionaries. The synthetic corpus shares one
     * vocabulary across langs, so this is the standard stopword-count
     * HEURISTIC shape (what a real pipeline runs with real dictionaries),
@@ -164,13 +173,20 @@ object TextFunctions {
     */
   def winnow(toks: Column, k: Int, w: Int): Column = {
     require(k >= 1 && w >= 1, s"winnow: k=$k, w=$w must be >= 1")
-    val hs = transform(wordNGrams(toks, k), g => Hashing.portableHash(g))
-    val m = size(hs)
-    val nw = greatest(m - lit(w) + 1, lit(1))
-    when(m >= 1,
-      array_distinct(transform(sequence(lit(1), nw), j =>
-        array_min(transform(sequence(j, least(j + lit(w - 1), m)), p =>
-          element_at(hs, p) * lit(1048576L) + (lit(1048575) - p).cast("long"))))))
-      .otherwise(array().cast("array<bigint>"))
+    val hsExpr = transform(wordNGrams(toks, k), g => Hashing.portableHash(g))
+    // Bind the hash array ONCE as a lambda variable (single-element
+    // array + transform). Naming it a plain Scala val instead would
+    // splice the whole tokenize→gram→md5 subtree into every reference
+    // (higher-order functions are interpreted — no codegen CSE), and
+    // the size()/bound references here would re-hash the document ~4×.
+    element_at(transform(array(hsExpr), hs => {
+      val m = size(hs)
+      val nw = greatest(m - lit(w) + 1, lit(1))
+      when(m >= 1,
+        array_distinct(transform(sequence(lit(1), nw), j =>
+          array_min(transform(sequence(j, least(j + lit(w - 1), m)), p =>
+            element_at(hs, p) * lit(1048576L) + (lit(1048575) - p).cast("long"))))))
+        .otherwise(array().cast("array<bigint>"))
+    }), 1)
   }
 }

@@ -91,8 +91,16 @@ object Dedup {
                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(k % bandWidth == 0, s"k=$k not divisible by bandWidth=$bandWidth")
     val nbands = k / bandWidth
-    val shingled = rebalance(docs, idCol).select(col(idCol).as("doc_id"),
-      explode(array_distinct(T.wordNGrams(T.tokens(col(textCol)), 2))).as("sh"))
+    // Tokens materialize ACROSS the rebalance exchange (tokenize is one
+    // cheap split/doc on the scan side; the exchange makes `w` a real
+    // array column): the shingle lambda's element_at then reads O(1)
+    // attribute data instead of re-splitting the text per reference —
+    // HOF lambdas are interpreted, so an inlined tokens expression
+    // re-evaluates per element (measured 2-4x on the gram stage).
+    val shingled = rebalance(
+        docs.select(col(idCol).as("doc_id"), T.tokens(col(textCol)).as("w")), "doc_id")
+      .select(col("doc_id"),
+        explode(array_distinct(T.wordNGrams(col("w"), 2))).as("sh"))
       .withColumn("h", Hashing.portableHash(col("sh")))
     val mins = (0 until k).map(i => min(Hashing.affine(i, col("h"))).as(s"_m$i"))
     val sig = shingled.groupBy("doc_id").agg(mins.head, mins.tail: _*)
@@ -234,8 +242,10 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, dfMax: Int = 20, topK: Int = 100,
                    textCol: String = "text", idCol: String = "doc_id",
                    frequentBroadcastRows: Long = 2000000L): DataFrame = {
-    val post = rebalance(docs, idCol)
-      .select(col(idCol).as("doc_id"), T.tokens(col(textCol)).as("w"))
+    // tokens pre-exchange (see minhashPairs): post-exchange projections
+    // collapse into one, re-splitting the text per gram reference
+    val post = rebalance(
+        docs.select(col(idCol).as("doc_id"), T.tokens(col(textCol)).as("w")), "doc_id")
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"),
         explode(array_distinct(T.wordNGrams(col("w"), 3))).as("g"))
@@ -470,8 +480,8 @@ object Dedup {
   def spanDedup(docs: DataFrame, k: Int = 8,
                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(k > 0, "k must be positive")
-    val base = rebalance(docs, idCol)
-      .select(col(idCol).as("doc_id"), T.tokens(col(textCol)).as("w"))
+    val base = rebalance(
+        docs.select(col(idCol).as("doc_id"), T.tokens(col(textCol)).as("w")), "doc_id")
       .withColumn("n", greatest(size(col("w")), lit(0)).cast("long"))
     val grams = base.filter(col("n") >= k)
       .select(col("doc_id"), posexplode(T.wordNGrams(col("w"), k)).as(Seq("p0", "g")))
@@ -523,7 +533,7 @@ object Dedup {
                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(n > 0, "n-gram size must be positive")
     val evGrams = evalSet
-      .select(explode(array_distinct(T.wordNGrams(T.tokens(col(textCol)), n))).as("g"))
+      .select(explode(array_distinct(T.boundNGrams(col(textCol), n))).as("g"))
       .distinct()
     // Two branches, deliberately: the hits branch explodes grams with a
     // PLAIN (inner) explode — `explode_outer` would keep gram-less docs
@@ -533,8 +543,9 @@ object Dedup {
     // hits BEFORE the count aggregates anything. The id branch that
     // restores gram-less/clean docs is column-pruned to bare ids at the
     // scan (8 bytes/row), so its second pass is cheap at any scale.
-    val base = rebalance(train, idCol).select(col(idCol).as("doc_id"),
-      array_distinct(T.wordNGrams(T.tokens(col(textCol)), n)).as("grams"))
+    val base = rebalance(
+        train.select(col(idCol).as("doc_id"), T.tokens(col(textCol)).as("w")), "doc_id")
+      .select(col("doc_id"), array_distinct(T.wordNGrams(col("w"), n)).as("grams"))
     val hits = base.select(col("doc_id"), explode(col("grams")).as("g"))
       .join(broadcast(evGrams), Seq("g"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
@@ -567,9 +578,10 @@ object Dedup {
                           textCol: String = "text", srcCol: String = "source",
                           idCol: String = "doc_id"): DataFrame = {
     require(n > 0, "n-gram size must be positive")
-    val posts = rebalance(docs, idCol)
-      .select(col(srcCol).as("src"),
-        explode(array_distinct(T.wordNGrams(T.tokens(col(textCol)), n))).as("g"))
+    val posts = rebalance(
+        docs.select(col(idCol), col(srcCol).as("src"), T.tokens(col(textCol)).as("w")),
+        idCol)
+      .select(col("src"), explode(array_distinct(T.wordNGrams(col("w"), n))).as("g"))
       .distinct()
     posts.groupBy("g").agg(array_sort(collect_set(col("src"))).as("ss"))
       .select(explode(expr(
