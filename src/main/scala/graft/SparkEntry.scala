@@ -958,7 +958,31 @@ object SparkEntry {
     // from the df-pruned inverted index (term-at-a-time dot products,
     // decimal-exact weights — no embedding model needed).
     "q89_tfidf_pairs" -> ((s, dir) =>
-      functions.TermStats.tfidfSimilarPairs(t(s, dir, "documents").df))
+      functions.TermStats.tfidfSimilarPairs(t(s, dir, "documents").df)),
+
+    // §2#4b semi/anti joins: per-segment counts of customers with no
+    // orders (NOT EXISTS) and with >=1 finished order (EXISTS) — the
+    // relational filter joins, no fan-out, no widening.
+    "q90_semi_anti" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val orders = t(s, dir, "orders")
+      val none = cust.antiJoin(orders, Seq(("c_custkey", "o_custkey", "==")))
+        .df.groupBy("c_mktsegment").agg(count(lit(1)).as("n_no_orders"))
+      val withF = cust.semiJoin(orders.filter(col("o_orderstatus") === "F"),
+          Seq(("c_custkey", "o_custkey", "==")))
+        .df.groupBy("c_mktsegment").agg(count(lit(1)).as("n_with_f"))
+      none.join(withF, Seq("c_mktsegment"), "full")
+        .select(col("c_mktsegment"),
+          coalesce(col("n_no_orders"), lit(0L)).as("n_no_orders"),
+          coalesce(col("n_with_f"), lit(0L)).as("n_with_f"))
+    }),
+
+    // §2#56b per-domain percentile-rank (cume_dist) normalization via
+    // the value-histogram window — never a per-row group window.
+    "q91_percentile_rank" -> ((s, dir) =>
+      functions.Profile.percentileRank(
+        t(s, dir, "documents").select(Seq("doc_id", "source", "n_chars")).df,
+        "source", "n_chars"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2026,6 +2050,33 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
          FROM dots
          JOIN norm na ON na.doc_id = doc_a
          JOIN norm nb ON nb.doc_id = doc_b
-         WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.5"""
+         WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.5""",
+
+    "q90_semi_anti" ->
+      """WITH no_o AS (
+           SELECT c_mktsegment, COUNT(*) AS n_no_orders FROM customer c
+           WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+           GROUP BY 1),
+         wf AS (
+           SELECT c_mktsegment, COUNT(*) AS n_with_f FROM customer c
+           WHERE EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+           GROUP BY 1)
+         SELECT COALESCE(n.c_mktsegment, w.c_mktsegment) AS c_mktsegment,
+           COALESCE(n_no_orders, CAST(0 AS BIGINT)) AS n_no_orders,
+           COALESCE(n_with_f, CAST(0 AS BIGINT)) AS n_with_f
+         FROM no_o n FULL JOIN wf w ON n.c_mktsegment = w.c_mktsegment""",
+
+    "q91_percentile_rank" ->
+      """WITH counts AS (
+           SELECT source, n_chars, COUNT(*) AS c FROM documents GROUP BY 1, 2),
+         cum AS (
+           SELECT source, n_chars,
+             CAST(SUM(c) OVER (PARTITION BY source ORDER BY n_chars
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / SUM(c) OVER (PARTITION BY source) AS pct
+           FROM counts)
+         SELECT d.doc_id, d.source, d.n_chars, cum.pct
+         FROM documents d JOIN cum USING (source, n_chars)"""
   )
 }

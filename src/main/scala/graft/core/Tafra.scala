@@ -321,6 +321,43 @@ final class Tafra(val df: DataFrame) extends Serializable {
     new Tafra(out)
   }
 
+  /** Left semi join (scale addition): rows WITH a match — relational
+    * EXISTS. Never widens the row and never duplicates a left row on
+    * multiple matches (unlike an inner join + distinct, which pays the
+    * match fan-out and a dedup shuffle); the probe side short-circuits
+    * on first hit.
+    */
+  def semiJoin(right: Tafra, on: Seq[(String, String, String)],
+               broadcastRight: Boolean = false): Tafra =
+    filterJoin(right, on, "left_semi", broadcastRight)
+
+  /** Left anti join (scale addition): rows WITHOUT a match — NOT
+    * EXISTS, the exclusion primitive (decontamination, incremental-
+    * ingest "only new keys", df-pruning) this library already uses
+    * internally; exposed as a first-class frame op.
+    */
+  def antiJoin(right: Tafra, on: Seq[(String, String, String)],
+               broadcastRight: Boolean = false): Tafra =
+    filterJoin(right, on, "left_anti", broadcastRight)
+
+  /** Shared semi/anti body: same validation as [[joinWith]], but the
+    * output is the LEFT schema by definition — no dedupOutput pass.
+    */
+  private def filterJoin(right: Tafra, on: Seq[(String, String, String)],
+                         how: String, broadcastRight: Boolean): Tafra = {
+    require(on.nonEmpty, "join requires at least one on-condition")
+    validateColumns(on.map(_._1))
+    right.validateColumns(on.map(_._2))
+    on.foreach { case (l, r, op) =>
+      require(joinOps.contains(op), s"invalid join op '$op'")
+      val (lt, rt) = (dtypes(l), right.dtypes(r))
+      require(lt == rt, s"join dtype mismatch: $l:$lt vs $r:$rt")
+    }
+    val rdf = if (broadcastRight) bc(right.df) else right.df
+    val cond = on.map { case (l, r, op) => joinOps(op)(df(l), right.df(r)) }.reduce(_ && _)
+    new Tafra(df.join(rdf, cond, how))
+  }
+
   private def joinWith(right: Tafra, on: Seq[(String, String, String)],
                        select: Seq[String], how: String, broadcastRight: Boolean): Tafra = {
     require(on.nonEmpty, "join requires at least one on-condition")

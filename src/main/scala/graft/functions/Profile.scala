@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** One-pass corpus profiling: per-group AND grand-total statistics via
@@ -71,5 +72,36 @@ object Profile {
     val thrT = if (nGroups <= broadcastMaxRows) broadcast(thr) else thr
     df.join(thrT, Seq(groupCol))
       .filter(col(scoreCol).cast("decimal(18,6)") >= col("thr"))
+  }
+
+  /** Per-group percentile-rank (cume_dist) normalization: each row's
+    * value mapped to the fraction of its group at-or-below it — the
+    * quantile transform that makes scores COMPARABLE across domains
+    * before a global gate or mixing decision ([[adaptiveFilter]] cuts
+    * at one quantile; this materializes the whole curve).
+    *
+    * Scale shape: deliberately NOT `cume_dist().over(partitionBy)` —
+    * that window buffers every row of a group in one task (AQE cannot
+    * split windows), the q75 rule. Instead the cumulative count runs
+    * over the per-(group, value) HISTOGRAM: a partial agg collapses
+    * rows to distinct values map-side (the q71 percentile-state
+    * shape), the running sum's window sees only distinct values per
+    * group, and rows get their rank back through a (group, value)
+    * equi-join against that histogram-sized table. Result is
+    * identical to cume_dist (ties share the at-or-below count); the
+    * division is cast(long)/long double — engine-identical.
+    */
+  def percentileRank(df: DataFrame, groupCol: String, valueCol: String,
+                     outCol: String = "pct"): DataFrame = {
+    val counts = df.groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("_c"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts
+      .withColumn("_cum", sum(col("_c")).over(w))
+      .withColumn("_n", sum(col("_c")).over(Window.partitionBy(col(groupCol))))
+      .select(col(groupCol), col(valueCol),
+        (col("_cum").cast("double") / col("_n")).as(outCol))
+    df.join(cum, Seq(groupCol, valueCol))
   }
 }

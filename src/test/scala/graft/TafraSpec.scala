@@ -459,6 +459,37 @@ class TafraSpec extends SparkSpec {
     small.size should be < m("s1").size
   }
 
+  test("semiJoin keeps matched rows un-widened; antiJoin keeps the complement") {
+    val orders = Tafra(Seq((1L, 9.0), (1L, 3.0), (3L, 5.0)).toDF("cust", "amt"))
+    val semi = people.semiJoin(orders, Seq(("id", "cust", "==")))
+    semi.columns shouldBe people.columns // never widens
+    // id 1 matches TWICE but appears once: no fan-out
+    semi.df.select("id").collect().map(_.getLong(0)).sorted shouldBe Seq(1L, 3L)
+    val anti = people.antiJoin(orders, Seq(("id", "cust", "==")))
+    anti.df.select("id").collect().map(_.getLong(0)).sorted shouldBe Seq(2L, 4L)
+    // dtype validation still applies
+    intercept[IllegalArgumentException](
+      people.semiJoin(orders, Seq(("name", "cust", "=="))))
+  }
+
+  test("percentileRank equals cume_dist, computed over the value histogram") {
+    import graft.functions.Profile
+    val df = Seq(("a", 10), ("a", 20), ("a", 20), ("a", 30),
+                 ("b", 5), ("b", 7)).toDF("g", "v")
+    val out = Profile.percentileRank(df, "g", "v").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+    // ties share the at-or-below fraction, exactly like cume_dist
+    out.count(_ == ("a", 20, 0.75)) shouldBe 2
+    out should contain("a", 10, 0.25)
+    out should contain("a", 30, 1.0)
+    out should contain("b", 5, 0.5)
+    out should contain("b", 7, 1.0)
+    val viaWindow = df.withColumn("pct",
+      cume_dist().over(org.apache.spark.sql.expressions.Window.partitionBy("g").orderBy("v")))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).sorted
+    out.sorted shouldBe viaWindow
+  }
+
   test("pivot widens, unpivot melts back; absent combos are NULL cells") {
     val t = Tafra(Seq(("p1", "A", 10.0), ("p1", "A", 5.0), ("p1", "B", 2.0),
                       ("p2", "B", 7.0)).toDF("k", "s", "v"))
