@@ -982,7 +982,14 @@ object SparkEntry {
     "q91_percentile_rank" -> ((s, dir) =>
       functions.Profile.percentileRank(
         t(s, dir, "documents").select(Seq("doc_id", "source", "n_chars")).df,
-        "source", "n_chars"))
+        "source", "n_chars")),
+
+    // §2#43b z-order (Morton) clustering key over (partkey, suppkey):
+    // the multi-dimensional layout key min/max-pruned scans want.
+    "q92_zorder" -> ((s, dir) =>
+      t(s, dir, "lineitem").df
+        .select(col("l_orderkey"), col("l_linenumber"),
+          functions.Layout.zorderKey(col("l_partkey"), col("l_suppkey")).as("zkey")))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2077,6 +2084,13 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
                / SUM(c) OVER (PARTITION BY source) AS pct
            FROM counts)
          SELECT d.doc_id, d.source, d.n_chars, cum.pct
-         FROM documents d JOIN cum USING (source, n_chars)"""
+         FROM documents d JOIN cum USING (source, n_chars)""",
+
+    "q92_zorder" ->
+      """SELECT l_orderkey, l_linenumber,
+         CAST(list_sum([((l_partkey % 65536) // (1 << i)) % 2 * (1 << (2*i))
+                        + ((l_suppkey % 65536) // (1 << i)) % 2 * (1 << (2*i + 1))
+                        for i in generate_series(0, 15)]) AS BIGINT) AS zkey
+         FROM lineitem"""
   )
 }

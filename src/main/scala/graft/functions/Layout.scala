@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data-layout keys: z-order (Morton) interleaving —
+  * the clustering technique behind Delta `OPTIMIZE ZORDER BY` and
+  * Iceberg sort orders. Sorting/range-partitioning by the interleaved
+  * key gives LOCALITY IN EVERY DIMENSION at once, so a parquet
+  * min/max-pruned scan filtered on either column (or both) skips most
+  * files — a plain sort by (a, b) clusters only the leading column.
+  *
+  * The key is a pure per-row bit-interleave expression — map-only,
+  * codegen'd, no shuffle; the layout pass is one range exchange.
+  */
+object Layout {
+
+  /** Bits per dimension; two dimensions fill 32 bits of the long. */
+  val DimBits = 16
+
+  /** Morton key of two dimensions, each first reduced into
+    * [0, 2^16) via `pmod` (callers feeding already-bucketed ranks can
+    * pass them straight through — pmod is the identity there).
+    * Interleave: bit i of `a` lands at 2i, bit i of `b` at 2i+1 —
+    * 32 shift/mask terms summed, exactly reproducible in SQL integer
+    * arithmetic, so the oracle computes the identical key.
+    */
+  def zorderKey(a: Column, b: Column): Column = {
+    val am = pmod(a.cast("long"), lit(1L << DimBits))
+    val bm = pmod(b.cast("long"), lit(1L << DimBits))
+    (0 until DimBits).map { i =>
+      (shiftright(am, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))) +
+        (shiftright(bm, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)))
+    }.reduce(_ + _)
+  }
+
+  /** Re-cluster a frame on the z-curve of (`aCol`, `bCol`): ONE range
+    * exchange on the key (sampled bounds, so files get balanced byte
+    * counts) plus an in-partition sort — the standard OPTIMIZE pass a
+    * table owner runs before handing a corpus to min/max-pruned
+    * readers. `nFiles` pins the output partition count (file count is
+    * a layout decision, not AQE's).
+    */
+  def zorderLayout(df: DataFrame, aCol: String, bCol: String, nFiles: Int): DataFrame = {
+    val keyed = df.withColumn("_zkey", zorderKey(col(aCol), col(bCol)))
+    keyed.repartitionByRange(nFiles, col("_zkey"))
+      .sortWithinPartitions("_zkey")
+      .drop("_zkey")
+  }
+}

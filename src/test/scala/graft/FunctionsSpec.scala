@@ -367,6 +367,30 @@ class FunctionsSpec extends SparkSpec {
       .as[String].head() shouldBe "ip <IP> end"
   }
 
+  test("zorderKey matches bit-interleave reference; zorderLayout is one range exchange") {
+    import graft.functions.Layout
+    def ref(a: Long, b: Long): Long = {
+      var z = 0L
+      for (i <- 0 until 16) {
+        z |= ((a >> i) & 1L) << (2 * i)
+        z |= ((b >> i) & 1L) << (2 * i + 1)
+      }
+      z
+    }
+    val rnd2 = new scala.util.Random(3)
+    val pairs = Seq.fill(50)((rnd2.nextLong().abs % 65536, rnd2.nextLong().abs % 65536))
+    val out = pairs.toDF("a", "b")
+      .select(Layout.zorderKey(col("a"), col("b"))).as[Long].collect()
+    out.toSeq shouldBe pairs.map { case (a, b) => ref(a, b) }
+    // out-of-range dims reduce mod 2^16 rather than colliding bits
+    Seq((65536L + 3L, 2L)).toDF("a", "b")
+      .select(Layout.zorderKey(col("a"), col("b"))).as[Long].head() shouldBe ref(3L, 2L)
+    val plan = Layout.zorderLayout(pairs.toDF("a", "b"), "a", "b", 4)
+      .queryExecution.executedPlan.toString
+    plan should include("rangepartitioning")
+    plan should include("Sort [_zkey")
+  }
+
   test("winnow: match guarantee, rightmost tie-break, sub-full density") {
     val k = 4; val w = 4
     def fps(s: String): Set[Long] =
