@@ -989,7 +989,13 @@ object SparkEntry {
     "q92_zorder" -> ((s, dir) =>
       t(s, dir, "lineitem").df
         .select(col("l_orderkey"), col("l_linenumber"),
-          functions.Layout.zorderKey(col("l_partkey"), col("l_suppkey")).as("zkey")))
+          functions.Layout.zorderKey(col("l_partkey"), col("l_suppkey")).as("zkey"))),
+
+    // §2#32b PPJoin prefix-filtered Jaccard >= 4/5 over 3-gram shingle
+    // sets: EXACT recall (no df-cap loss) from a (1-t)-sized index;
+    // integer threshold arithmetic, no float boundary.
+    "q93_jaccard_prefix" -> ((s, dir) =>
+      operators.Dedup.jaccardPrefixJoin(t(s, dir, "documents").df))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2091,6 +2097,35 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
          CAST(list_sum([((l_partkey % 65536) // (1 << i)) % 2 * (1 << (2*i))
                         + ((l_suppkey % 65536) // (1 << i)) % 2 * (1 << (2*i + 1))
                         for i in generate_series(0, 15)]) AS BIGINT) AS zkey
-         FROM lineitem"""
+         FROM lineitem""",
+
+    "q93_jaccard_prefix" ->
+      """WITH t0 AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+           FROM documents),
+         toks AS (
+           SELECT DISTINCT doc_id,
+             unnest([array_to_string(w[i : i+2], ' ')
+                     for i in generate_series(1, len(w) - 2)]) AS tok
+           FROM t0 WHERE len(w) >= 3),
+         dfq AS (SELECT tok, COUNT(*) AS dfc FROM toks GROUP BY tok),
+         rk AS (SELECT doc_id, tok,
+                  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY dfc, tok) AS rn,
+                  COUNT(*) OVER (PARTITION BY doc_id) AS s
+                FROM toks JOIN dfq USING (tok)),
+         pref AS (SELECT doc_id, tok FROM rk WHERE rn <= s - (4*s + 4)//5 + 1),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM pref a JOIN pref b USING (tok) WHERE a.doc_id < b.doc_id),
+         sets AS (SELECT doc_id, list_sort(list(tok)) AS st, COUNT(*) AS s
+                  FROM toks GROUP BY doc_id),
+         scored AS (
+           SELECT doc_a, doc_b, len(list_intersect(sa.st, sb.st)) AS inter,
+             sa.s AS ssa, sb.s AS ssb
+           FROM cand
+           JOIN sets sa ON sa.doc_id = doc_a
+           JOIN sets sb ON sb.doc_id = doc_b)
+         SELECT doc_a, doc_b,
+           CAST(inter AS DOUBLE) / (ssa + ssb - inter) AS jac
+         FROM scored WHERE 5*inter >= 4*(ssa + ssb - inter)"""
   )
 }

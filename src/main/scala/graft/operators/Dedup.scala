@@ -721,6 +721,65 @@ object Dedup {
       .withColumn("keep", col("_drop").isNull).drop("_drop")
   }
 
+  /** EXACT-threshold Jaccard similarity join with PPJoin-style prefix
+    * filtering (Chaudhuri/Ganti/Kaushik ICDE'06, Xiao et al WWW'08):
+    * all shingle-set pairs with Jaccard ≥ tNum/tDen — no recall loss,
+    * unlike [[ngramJaccard]]'s df-cap (which trades the Zipf head for
+    * index size). The trick: order each doc's shingles by global
+    * rarity (df asc, shingle asc — one total order both engines
+    * reproduce) and index ONLY the first s − ceil(t·s) + 1 of them;
+    * two sets with Jaccard ≥ t MUST share a prefix shingle
+    * (pigeonhole on the overlap bound), so the inverted index carries
+    * ~(1−t) of the postings and candidates collapse from all-pairs to
+    * near-misses only.
+    *
+    * Scale shape: df is one gram-keyed partial agg; the rank window
+    * is per-doc (group = a document's shingle set, never
+    * corpus-scaled); the candidate join fans out only on prefix
+    * shingles (rare by construction — the global Zipf head is ranked
+    * LAST and never indexed); verification joins the doc-keyed set
+    * table and intersects arrays per candidate pair.
+    *
+    * Engine exactness: the threshold is a RATIONAL tNum/tDen — prefix
+    * length and the ≥ t gate are pure integer arithmetic
+    * (tDen·inter ≥ tNum·(sa+sb−inter)), never a float boundary (a
+    * double 1−t literal and a decimal 0.2 disagree at exact
+    * multiples); the reported jac divides as double only after the
+    * exact decision.
+    */
+  def jaccardPrefixJoin(docs: DataFrame, tNum: Int = 4, tDen: Int = 5, n: Int = 3,
+                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(tNum > 0 && tDen > tNum, s"threshold $tNum/$tDen must be in (0,1)")
+    val toks = rebalance(
+        docs.select(col(idCol).as("doc_id"), T.tokens(col(textCol)).as("w")), "doc_id")
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), explode(array_distinct(T.wordNGrams(col("w"), n))).as("tok"))
+    val dfq = toks.groupBy("tok").agg(count(lit(1)).as("dfc"))
+    val rk = toks.join(dfq, Seq("tok"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("dfc"), col("tok"))))
+      .withColumn("s", count(lit(1)).over(Window.partitionBy("doc_id")))
+    // prefix length s − ceil(t·s) + 1, all integer: ceil(a/b) = (a+b−1) div b
+    val pref = rk.filter(col("rn") <=
+        col("s") - floor((lit(tNum) * col("s") + lit(tDen - 1)) / lit(tDen)) + 1)
+      .select("doc_id", "tok")
+    val cand = pref.select(col("tok"), col("doc_id").as("doc_a"))
+      .join(pref.select(col("tok"), col("doc_id").as("doc_b")), Seq("tok"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val sets = toks.groupBy("doc_id")
+      .agg(array_sort(collect_set(col("tok"))).as("st"), count(lit(1)).as("s"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("st").as("sta"), col("s").as("sa")),
+        Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("st").as("stb"), col("s").as("sb")),
+        Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sta"), col("stb"))).cast("long"))
+      .filter(lit(tDen) * col("inter") >= lit(tNum) * (col("sa") + col("sb") - col("inter")))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") / (col("sa") + col("sb") - col("inter"))).as("jac"))
+  }
+
   /** Blocked edit-distance pair mining (entity-resolution fuzzy dedup
     * for short strings: names, titles, normalized URLs). Candidate
     * generation is segment-pigeonhole blocking (PassJoin-style): each

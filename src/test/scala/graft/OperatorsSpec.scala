@@ -788,6 +788,30 @@ class OperatorsSpec extends SparkSpec {
       (1L, 30L, 17L, 2.0)) // t=35 is after the instant → still t=17
   }
 
+  test("jaccardPrefixJoin equals brute-force all-pairs at the threshold (exact recall)") {
+    val rnd3 = new scala.util.Random(11)
+    val vocab = (0 until 30).map(i => s"w$i")
+    // clusters of mutated copies → plenty of pairs straddling 0.8
+    val base = (0 until 12).map(_ => Seq.fill(20)(vocab(rnd3.nextInt(vocab.size))))
+    val docs = (0 until 60).map { i =>
+      val b = base(i % 12)
+      val mut = b.map(t => if (rnd3.nextInt(10) == 0) vocab(rnd3.nextInt(vocab.size)) else t)
+      (i.toLong, mut.mkString(" "))
+    }
+    val out = graft.operators.Dedup.jaccardPrefixJoin(docs.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def shingles(s: String): Set[String] =
+      s.split("\\s+").sliding(3).map(_.mkString(" ")).toSet
+    val brute = (for {
+      Seq((ia, ta), (ib, tb)) <- docs.combinations(2)
+      sa = shingles(ta); sb = shingles(tb)
+      inter = (sa intersect sb).size
+      if 5 * inter >= 4 * (sa.size + sb.size - inter)
+    } yield (math.min(ia, ib), math.max(ia, ib))).toSet
+    out shouldBe brute
+    brute.size should be > 0 // the plant actually produced threshold pairs
+  }
+
   test("editDistancePairs: pigeonhole recall is exact for Hamming <= d; no false positives") {
     val alpha = "ab" // tiny alphabet forces many near pairs
     val rnd2 = new scala.util.Random(7)
