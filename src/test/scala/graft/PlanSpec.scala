@@ -279,4 +279,44 @@ class PlanSpec extends SparkSpec {
     (p should not).include("SortMergeJoin") // the corpus is never shuffled for the join
   }
 
+  test("q84 fuzzy pairs: hash equi-join on segment blocks, levenshtein verified in the join") {
+    val p = plan("q84_fuzzy_pairs")
+    (p should not).include("CartesianProduct") // blocking, never all-pairs
+    // the threshold levenshtein runs as the join residual — candidates
+    // are verified during the pair join, not materialized first
+    p should include("levenshtein(sa")
+  }
+
+  test("q85 winnow: tokens materialize across ONE pinned exchange, selection map-side") {
+    val p = plan("q85_winnow")
+    p should include("REPARTITION_BY_NUM")
+    // exactly one exchange: selection + explode are map-only after it
+    p.linesIterator.count(_.contains("Exchange")) shouldBe 1
+    (p should not).include("Window")
+  }
+
+  test("q89 tfidf pairs: dot products aggregate partially, no all-pairs join") {
+    val p = plan("q89_tfidf_pairs")
+    p should include("partial_sum")
+    (p should not).include("CartesianProduct")
+    (p should not).include("BroadcastNestedLoopJoin")
+  }
+
+  test("q91 percentile rank: windows run over the value histogram, not raw rows") {
+    val p = plan("q91_percentile_rank")
+    // the histogram partial agg collapses rows BEFORE any window
+    p should include("partial_count")
+    // raw rows rejoin on (group, value) — the window's input is the
+    // aggregated histogram (its child chain contains the HashAggregate)
+    p should include("Window")
+  }
+
+  test("q93 prefix jaccard: per-doc rank window, no cartesian anywhere") {
+    val p = plan("q93_jaccard_prefix")
+    (p should not).include("CartesianProduct")
+    (p should not).include("BroadcastNestedLoopJoin")
+    p should include("row_number")
+    p should include("partial_count")       // df census combines map-side
+  }
+
 }
