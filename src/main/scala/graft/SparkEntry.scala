@@ -995,7 +995,19 @@ object SparkEntry {
     // sets: EXACT recall (no df-cap loss) from a (1-t)-sized index;
     // integer threshold arithmetic, no float boundary.
     "q93_jaccard_prefix" -> ((s, dir) =>
-      operators.Dedup.jaccardPrefixJoin(t(s, dir, "documents").df))
+      operators.Dedup.jaccardPrefixJoin(t(s, dir, "documents").df)),
+
+    // §2#46c sliding-window chunking (the RAG/embedding chunker):
+    // 20-token windows, stride 15, tail shortened — map-only.
+    "q94_sliding_chunks" -> ((s, dir) =>
+      operators.Packing.slidingChunks(t(s, dir, "documents").df)),
+
+    // §2#45c fixed-count per-stratum hash sample: exactly 10 docs per
+    // source, content-addressed, nested as k grows.
+    "q95_stratified_topk" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .sampleTopKByHash(10, Seq("source"), Seq("doc_id"))
+        .select(Seq("doc_id", "source")).df)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2126,6 +2138,28 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
            JOIN sets sb ON sb.doc_id = doc_b)
          SELECT doc_a, doc_b,
            CAST(inter AS DOUBLE) / (ssa + ssb - inter) AS jac
-         FROM scored WHERE 5*inter >= 4*(ssa + ssb - inter)"""
+         FROM scored WHERE 5*inter >= 4*(ssa + ssb - inter)""",
+
+    "q94_sliding_chunks" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+           FROM documents),
+         b AS (SELECT doc_id, w, len(w) AS n FROM t WHERE len(w) >= 1),
+         c AS (
+           SELECT doc_id, i AS chunk_idx, i*15 + 1 AS start_tok, n, w
+           FROM b, unnest(generate_series(0, (greatest(n - 20, 0) + 14)//15)) s(i))
+         SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(start_tok AS INT) AS start_tok,
+           CAST(least(20, n - start_tok + 1) AS INT) AS n_tok,
+           array_to_string(w[start_tok : start_tok + 19], ' ') AS chunk_text
+         FROM c""",
+
+    "q95_stratified_topk" ->
+      """SELECT doc_id, source FROM (
+           SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY md5('0' || chr(0) || CAST(doc_id AS VARCHAR)),
+                        CAST(doc_id AS VARCHAR)) AS rk
+           FROM documents) WHERE rk <= 10"""
   )
 }

@@ -125,6 +125,29 @@ final class Tafra(val df: DataFrame) extends Serializable {
     new Tafra(df.filter(hv < floor(w * 65536)))
   }
 
+  /** Fixed-COUNT deterministic per-stratum sample: the k rows of each
+    * stratum whose content hash is smallest — the eval-set / audit-
+    * sample carve ("exactly 1000 docs per domain") where the
+    * fraction-based samplers can't hit an exact size. Same contracts
+    * as [[sampleHash]]: selection is by md5 of the key (stable across
+    * runs, partitionings, cluster sizes, and engines; auditable from
+    * SQL) and kept sets NEST as k grows — raising the quota never
+    * resamples. One row_number window per stratum, ordered by (hash,
+    * key): the rn ≤ k filter gets WindowGroupLimit pushdown, so map
+    * partitions pre-prune to k rows per stratum before the shuffle —
+    * the window never sorts a full stratum.
+    */
+  def sampleTopKByHash(k: Int, strataCols: Seq[String], keyCols: Seq[String],
+                       seed: Long = 0L): Tafra = {
+    require(k > 0, s"k must be positive, got $k")
+    validateColumns(strataCols ++ keyCols)
+    val keyStr = concat_ws("\u0000", keyCols.map(df(_).cast("string")): _*)
+    val hx = md5(concat_ws("\u0000", lit(seed.toString) +: keyCols.map(df(_).cast("string")): _*))
+    val w = Window.partitionBy(strataCols.map(df(_)): _*).orderBy(hx, keyStr)
+    new Tafra(df.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k).drop("_rk"))
+  }
+
   /** Per-stratum sampling fractions (e.g. downsample one language,
     * keep another whole) — `df.stat.sampleBy` with a fixed seed.
     */

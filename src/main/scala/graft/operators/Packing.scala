@@ -119,4 +119,42 @@ object Packing {
            array_join(transform(
              array_sort(collect_list(struct(col("chunk_offset"), col("span_text")))),
              s => s.getField("span_text")), " ").as("packed_text"))
+
+  /** Sliding-window chunking with overlap (the retrieval/embedding
+    * chunker): each document cut into windows of `chunkTokens` tokens
+    * advancing by `strideTokens` (overlap = chunk − stride preserves
+    * context across cuts), the LAST window shortened to the tail
+    * rather than padded or dropped. The packing family
+    * ([[packSpans]]) fills fixed trainer contexts ACROSS documents;
+    * this is the per-document form an embedding/RAG index consumes —
+    * every token is covered, boundaries deterministic.
+    *
+    * Map-only at any scale: token array materialized across the
+    * pinned rebalance (HOF lambdas re-evaluate inlined children per
+    * element), chunk starts unrolled from one integer sequence, slice
+    * + join per chunk — no shuffle after the rebalance, O(n_chunks ×
+    * chunkTokens) per doc. Chunk count = ceil(max(n−C,0)/S) + 1 in
+    * pure integer arithmetic, mirrored exactly by the oracle.
+    */
+  def slidingChunks(docs: DataFrame, chunkTokens: Int = 20, strideTokens: Int = 15,
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(chunkTokens >= 1 && strideTokens >= 1 && strideTokens <= chunkTokens,
+      s"need 1 <= strideTokens($strideTokens) <= chunkTokens($chunkTokens)")
+    val n = docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val base = docs
+      .select(col(idCol).as("doc_id"), graft.functions.TextFunctions.tokens(col(textCol)).as("w"))
+      .repartition(n, col("doc_id"))
+      .withColumn("n", size(col("w")))
+      .filter(col("n") >= 1)
+    val nch = floor((greatest(col("n") - chunkTokens, lit(0)) + lit(strideTokens - 1))
+        / lit(strideTokens)).cast("int") + 1
+    base
+      .select(col("doc_id"), col("w"), col("n"),
+        posexplode(transform(sequence(lit(0), nch - 1), i => i * strideTokens + 1)))
+      .select(col("doc_id"),
+        col("pos").as("chunk_idx"),
+        col("col").as("start_tok"),
+        least(lit(chunkTokens), col("n") - col("col") + 1).as("n_tok"),
+        array_join(slice(col("w"), col("col"), lit(chunkTokens)), " ").as("chunk_text"))
+  }
 }

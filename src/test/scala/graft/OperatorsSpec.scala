@@ -788,6 +788,22 @@ class OperatorsSpec extends SparkSpec {
       (1L, 30L, 17L, 2.0)) // t=35 is after the instant → still t=17
   }
 
+  test("slidingChunks: stride starts, shortened tail, lossless stride reconstruction") {
+    val docs = Seq((1L, (1 to 47).map(i => s"t$i").mkString(" ")),
+                   (2L, "a b")).toDF("doc_id", "text")
+    val out = Packing.slidingChunks(docs, 20, 15).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    d1.map(c => (c._3, c._4)) shouldBe Seq((1, 20), (16, 20), (31, 17))
+    // overlap: chunk i shares its last (20-15)=5 tokens with chunk i+1's head
+    d1(0)._5.split(" ").takeRight(5) shouldBe d1(1)._5.split(" ").take(5)
+    // lossless: first `stride` tokens of each chunk + full tail = the doc
+    val rebuilt = d1.init.flatMap(_._5.split(" ").take(15)) ++ d1.last._5.split(" ")
+    rebuilt shouldBe (1 to 47).map(i => s"t$i")
+    // short doc: one shortened chunk
+    out.filter(_._1 == 2L).map(c => (c._2, c._3, c._4, c._5)) shouldBe Array((0, 1, 2, "a b"))
+  }
+
   test("jaccardPrefixJoin equals brute-force all-pairs at the threshold (exact recall)") {
     val rnd3 = new scala.util.Random(11)
     val vocab = (0 until 30).map(i => s"w$i")

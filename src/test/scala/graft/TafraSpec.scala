@@ -490,6 +490,21 @@ class TafraSpec extends SparkSpec {
     out.sorted shouldBe viaWindow
   }
 
+  test("sampleTopKByHash: exact stratum counts, nesting, WindowGroupLimit pushdown") {
+    val t = Tafra((0L until 300L).map(i => (i, s"s${i % 3}")).toDF("id", "g"))
+    def keep(k: Int): Map[String, Set[Long]] =
+      t.sampleTopKByHash(k, Seq("g"), Seq("id")).df.collect()
+        .map(r => (r.getString(1), r.getLong(0)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val k10 = keep(10)
+    k10.values.map(_.size).toSet shouldBe Set(10) // exact count per stratum
+    val k5 = keep(5)
+    k5.foreach { case (g, s) => s.subsetOf(k10(g)) shouldBe true } // nests
+    // quota pruned before the shuffle: the rn <= k filter pushes down
+    t.sampleTopKByHash(10, Seq("g"), Seq("id")).df
+      .queryExecution.executedPlan.toString should include("WindowGroupLimit")
+  }
+
   test("pivot widens, unpivot melts back; absent combos are NULL cells") {
     val t = Tafra(Seq(("p1", "A", 10.0), ("p1", "A", 5.0), ("p1", "B", 2.0),
                       ("p2", "B", 7.0)).toDF("k", "s", "v"))
