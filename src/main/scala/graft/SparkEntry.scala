@@ -2115,28 +2115,32 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
       """WITH t0 AS (
            SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
            FROM documents),
-         toks AS (
-           SELECT DISTINCT doc_id,
-             unnest([array_to_string(w[i : i+2], ' ')
-                     for i in generate_series(1, len(w) - 2)]) AS tok
+         sets AS (
+           SELECT doc_id,
+             list_sort(list_distinct([array_to_string(w[i : i+2], ' ')
+                                      for i in generate_series(1, len(w) - 2)])) AS st
            FROM t0 WHERE len(w) >= 3),
-         dfq AS (SELECT tok, COUNT(*) AS dfc FROM toks GROUP BY tok),
-         rk AS (SELECT doc_id, tok,
-                  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY dfc, tok) AS rn,
-                  COUNT(*) OVER (PARTITION BY doc_id) AS s
-                FROM toks JOIN dfq USING (tok)),
-         pref AS (SELECT doc_id, tok FROM rk WHERE rn <= s - (4*s + 4)//5 + 1),
-         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                  FROM pref a JOIN pref b USING (tok) WHERE a.doc_id < b.doc_id),
-         sets AS (SELECT doc_id, list_sort(list(tok)) AS st, COUNT(*) AS s
-                  FROM toks GROUP BY doc_id),
+         grp AS (
+           SELECT MIN(doc_id) AS rep, COUNT(*) AS members,
+             ANY_VALUE(st) AS st, ANY_VALUE(s) AS s
+           FROM (SELECT doc_id, st, len(st) AS s,
+                   md5(array_to_string(st, chr(10))) AS gkey FROM sets)
+           GROUP BY gkey),
+         posts AS (SELECT rep, s, unnest(st) AS tok FROM grp),
+         dfq AS (SELECT tok, COUNT(*) AS dfc FROM posts GROUP BY tok),
+         rk AS (SELECT rep, tok, s,
+                  ROW_NUMBER() OVER (PARTITION BY rep ORDER BY dfc, tok) AS rn
+                FROM posts JOIN dfq USING (tok)),
+         pref AS (SELECT rep, tok FROM rk WHERE rn <= s - (4*s + 4)//5 + 1),
+         cand AS (SELECT DISTINCT a.rep AS doc_a, b.rep AS doc_b
+                  FROM pref a JOIN pref b USING (tok) WHERE a.rep < b.rep),
          scored AS (
-           SELECT doc_a, doc_b, len(list_intersect(sa.st, sb.st)) AS inter,
-             sa.s AS ssa, sb.s AS ssb
+           SELECT doc_a, doc_b, ga.members AS members_a, gb.members AS members_b,
+             len(list_intersect(ga.st, gb.st)) AS inter, ga.s AS ssa, gb.s AS ssb
            FROM cand
-           JOIN sets sa ON sa.doc_id = doc_a
-           JOIN sets sb ON sb.doc_id = doc_b)
-         SELECT doc_a, doc_b,
+           JOIN grp ga ON ga.rep = doc_a
+           JOIN grp gb ON gb.rep = doc_b)
+         SELECT doc_a, doc_b, members_a, members_b,
            CAST(inter AS DOUBLE) / (ssa + ssb - inter) AS jac
          FROM scored WHERE 5*inter >= 4*(ssa + ssb - inter)""",
 

