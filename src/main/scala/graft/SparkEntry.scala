@@ -1007,7 +1007,13 @@ object SparkEntry {
     "q95_stratified_topk" -> ((s, dir) =>
       t(s, dir, "documents")
         .sampleTopKByHash(10, Seq("source"), Seq("doc_id"))
-        .select(Seq("doc_id", "source")).df)
+        .select(Seq("doc_id", "source")).df),
+
+    // §2#52b one-pass Pearson correlation matrix (decimal-exact sums,
+    // engine-identical double formula) over lineitem numerics.
+    "q96_corr_matrix" -> ((s, dir) =>
+      functions.Profile.corrMatrix(t(s, dir, "lineitem").df,
+        Seq("l_quantity", "l_extendedprice", "l_discount")))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2164,6 +2170,42 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
              ROW_NUMBER() OVER (PARTITION BY source
                ORDER BY md5('0' || chr(0) || CAST(doc_id AS VARCHAR)),
                         CAST(doc_id AS VARCHAR)) AS rk
-           FROM documents) WHERE rk <= 10"""
+           FROM documents) WHERE rk <= 10""",
+
+    "q96_corr_matrix" ->
+      """WITH q AS (
+           SELECT CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qq,
+                  CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS qp,
+                  CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS qd
+           FROM lineitem),
+         s AS (
+           SELECT COUNT(*) AS n,
+             SUM(CAST(qq AS DECIMAL(38,0))) AS sq,
+             SUM(CAST(qp AS DECIMAL(38,0))) AS sp,
+             SUM(CAST(qd AS DECIMAL(38,0))) AS sd,
+             SUM(CAST(qq*qq AS DECIMAL(38,0))) AS sqq,
+             SUM(CAST(qp*qp AS DECIMAL(38,0))) AS spp,
+             SUM(CAST(qd*qd AS DECIMAL(38,0))) AS sdd,
+             SUM(CAST(qq*qp AS DECIMAL(38,0))) AS s_qp,
+             SUM(CAST(qq*qd AS DECIMAL(38,0))) AS s_qd,
+             SUM(CAST(qp*qd AS DECIMAL(38,0))) AS s_pd
+           FROM q)
+         SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+           (CAST(n AS DOUBLE) * CAST(s_qp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))
+           / (sqrt(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+              * sqrt(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))) AS r
+         FROM s
+         UNION ALL
+         SELECT 'l_quantity', 'l_discount',
+           (CAST(n AS DOUBLE) * CAST(s_qd AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sd AS DOUBLE))
+           / (sqrt(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+              * sqrt(CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)))
+         FROM s
+         UNION ALL
+         SELECT 'l_extendedprice', 'l_discount',
+           (CAST(n AS DOUBLE) * CAST(s_pd AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sd AS DOUBLE))
+           / (sqrt(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))
+              * sqrt(CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)))
+         FROM s"""
   )
 }

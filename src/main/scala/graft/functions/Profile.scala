@@ -74,6 +74,51 @@ object Profile {
       .filter(col(scoreCol).cast("decimal(18,6)") >= col("thr"))
   }
 
+  /** Pairwise Pearson correlation matrix over numeric columns in ONE
+    * aggregation pass: k + k + C(k,2) sums (per-column S and S², plus
+    * per-pair cross products) computed together, so a k-column matrix
+    * costs one scan and one partial-agg combine regardless of k — the
+    * feature-audit pass (is quality_score redundant with length?)
+    * that naive per-pair `corr` calls turn into C(k,2) scans.
+    *
+    * Engine determinism (the q76/q89 pattern): values quantize to
+    * integer units via `floor(v·unitScale + 0.5)` in IEEE doubles
+    * (bit-identical in both engines), all sums then run as
+    * DECIMAL(38,0) over exact longs — order-insensitive at any
+    * parallelism — and the Pearson formula
+    * (n·Sxy − Sx·Sy) / (√(n·Sxx − Sx²)·√(n·Syy − Sy²)) evaluates in
+    * doubles from those exact sums, the same op sequence both
+    * engines. Caller picks `unitScale` so per-row products fit a
+    * long: |v·unitScale| must stay under ~3×10⁹ (√(2⁶³)).
+    *
+    * The pair rows expand map-side from the single agg row (explode
+    * of a struct array) — the aggregation is never recomputed per
+    * pair.
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[String], unitScale: Long = 100L): DataFrame = {
+    require(cols.size >= 2, "corrMatrix needs at least two columns")
+    val qn = cols.map(c => c -> s"_q_$c").toMap
+    val quantized = df.select(cols.map(c =>
+      floor(col(c) * unitScale + 0.5).cast("long").as(qn(c))): _*)
+    val pairs = cols.combinations(2).toSeq.map { case Seq(a, b) => (a, b) }
+    val aggs = Seq(count(lit(1)).as("_n")) ++
+      cols.map(c => sum(col(qn(c)).cast("decimal(38,0)")).as(s"_s_$c")) ++
+      cols.map(c => sum((col(qn(c)) * col(qn(c))).cast("decimal(38,0)")).as(s"_ss_$c")) ++
+      pairs.map { case (a, b) =>
+        sum((col(qn(a)) * col(qn(b))).cast("decimal(38,0)")).as(s"_sp_${a}_$b") }
+    val row = quantized.agg(aggs.head, aggs.tail: _*)
+    def d(name: String) = col(name).cast("double")
+    val structs = pairs.map { case (a, b) =>
+      val n = col("_n").cast("double")
+      val num = n * d(s"_sp_${a}_$b") - d(s"_s_$a") * d(s"_s_$b")
+      val den = sqrt(n * d(s"_ss_$a") - d(s"_s_$a") * d(s"_s_$a")) *
+                sqrt(n * d(s"_ss_$b") - d(s"_s_$b") * d(s"_s_$b"))
+      struct(lit(a).as("col_a"), lit(b).as("col_b"), (num / den).as("r"))
+    }
+    row.select(explode(array(structs: _*)).as("p"))
+      .select(col("p.col_a").as("col_a"), col("p.col_b").as("col_b"), col("p.r").as("r"))
+  }
+
   /** Per-group percentile-rank (cume_dist) normalization: each row's
     * value mapped to the fraction of its group at-or-below it — the
     * quantile transform that makes scores COMPARABLE across domains

@@ -490,6 +490,24 @@ class TafraSpec extends SparkSpec {
     out.sorted shouldBe viaWindow
   }
 
+  test("corrMatrix matches built-in Pearson corr on unit-grid data; one agg in plan") {
+    import graft.functions.Profile
+    val rnd3 = new scala.util.Random(5)
+    // values on the 0.01 grid → quantization is lossless
+    val rows = (0 until 500).map { _ =>
+      val x = rnd3.nextInt(5000) / 100.0
+      (x, x * 3 + rnd3.nextInt(1000) / 100.0, rnd3.nextInt(100) / 100.0)
+    }
+    val df = rows.toDF("x", "y", "z")
+    val out = Profile.corrMatrix(df, Seq("x", "y", "z")).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).toMap
+    out.size shouldBe 3
+    out(("x", "y")) shouldBe df.stat.corr("x", "y") +- 1e-9
+    out(("x", "z")) shouldBe df.stat.corr("x", "z") +- 1e-9
+    out(("y", "z")) shouldBe df.stat.corr("y", "z") +- 1e-9
+    out(("x", "y")) should be > 0.9 // the planted linear dependence shows
+  }
+
   test("sampleTopKByHash: exact stratum counts, nesting, WindowGroupLimit pushdown") {
     val t = Tafra((0L until 300L).map(i => (i, s"s${i % 3}")).toDF("id", "g"))
     def keep(k: Int): Map[String, Set[Long]] =
