@@ -266,6 +266,53 @@ object OracleGen {
      SELECT v.vec_id, (c.node IS NULL OR c.node = c.component) AS keep
      FROM embeddings v LEFT JOIN comp c ON v.vec_id = c.node"""
 
+  /** PageRank over the bucketed embedding-similarity graph
+    * (operators.Graph.pageRank on Dedup.embeddingPairs ≥ minCos):
+    * edges/degrees rebuilt from the same hyperplane pipeline, the
+    * `iters` rounds UNROLLED as CTEs. Teleport constants derive from
+    * exact integer division (dampNum/dampDen rationals) and per-edge
+    * contributions quantize to DECIMAL(30,15) before each sum —
+    * the identical arithmetic of the Spark rounds, so final ranks
+    * hash-match bit-for-bit.
+    */
+  def pageRankSql(minCos: Double = 0.4, nbits: Int = 6, dim: Int = 64,
+                  cap: Int = 40, iters: Int = 3,
+                  dampNum: Int = 17, dampDen: Int = 20): String = {
+    val baseNum = dampDen - dampNum
+    def iter(prev: String, out: String): String =
+      s"""$out AS (
+         SELECT e.dst AS node,
+           CAST($baseNum AS DOUBLE) / (CAST($dampDen AS DOUBLE) * CAST(nv.n AS DOUBLE))
+             + (CAST($dampNum AS DOUBLE) / CAST($dampDen AS DOUBLE))
+               * CAST(SUM(CAST(p.pr / d.deg AS DECIMAL(30,15))) AS DOUBLE) AS pr
+         FROM edges e
+         JOIN $prev p ON p.node = e.src
+         JOIN deg d ON d.src = e.src
+         CROSS JOIN nv
+         GROUP BY e.dst, nv.n)"""
+    val its = (1 to iters).map(i => iter(if (i == 1) "pr0" else s"it${i - 1}", s"it$i"))
+    s"""WITH b AS (
+       SELECT vec_id, embedding, ${bucketSql("embedding", nbits, dim)} AS bucket
+       FROM embeddings),
+     capped AS (
+       SELECT vec_id, embedding, bucket FROM (
+         SELECT vec_id, embedding, bucket,
+           ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY vec_id) AS bn
+         FROM b) WHERE bn <= $cap),
+     prs AS (
+       SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b FROM capped a JOIN capped b2
+         ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+       WHERE ${cosineSql("a.embedding", "b2.embedding", dim)} >= $minCos),
+     edges AS (SELECT vec_a AS src, vec_b AS dst FROM prs
+               UNION SELECT vec_b, vec_a FROM prs),
+     deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+     nv AS (SELECT COUNT(*) AS n FROM deg),
+     pr0 AS (SELECT src AS node, CAST(1 AS DOUBLE) / CAST(n AS DOUBLE) AS pr
+             FROM deg CROSS JOIN nv),
+     ${its.mkString(",\n     ")}
+     SELECT node, pr FROM it$iters"""
+  }
+
   /** PQ encoding (operators.Similarity.pqEncode): the codebook is
     * rebuilt in SQL from the same smallest-md5 seed rows, and each
     * subspace's L2 sum is unrolled in the identical left-associative

@@ -1013,7 +1013,16 @@ object SparkEntry {
     // engine-identical double formula) over lineitem numerics.
     "q96_corr_matrix" -> ((s, dir) =>
       functions.Profile.corrMatrix(t(s, dir, "lineitem").df,
-        Seq("l_quantity", "l_extendedprice", "l_discount")))
+        Seq("l_quantity", "l_extendedprice", "l_discount"))),
+
+    // §2#30i PageRank (3 rounds, damping 17/20) over the cos>=0.4
+    // embedding-similarity graph: exemplar/centrality scoring via
+    // join + decimal-quantized partial-agg rounds.
+    "q97_pagerank" -> ((s, dir) => {
+      val pairs = operators.Dedup.embeddingPairs(t(s, dir, "embeddings").df)
+        .filter(col("cos") >= 0.4)
+      operators.Graph.pageRank(pairs, "vec_a", "vec_b")
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2206,6 +2215,8 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
            (CAST(n AS DOUBLE) * CAST(s_pd AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sd AS DOUBLE))
            / (sqrt(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))
               * sqrt(CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)))
-         FROM s"""
+         FROM s""",
+
+    "q97_pagerank" -> OracleGen.pageRankSql()
   )
 }

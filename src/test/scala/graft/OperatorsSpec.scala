@@ -788,6 +788,18 @@ class OperatorsSpec extends SparkSpec {
       (1L, 30L, 17L, 2.0)) // t=35 is after the instant → still t=17
   }
 
+  test("pageRank: rank mass conserved, hub ranks highest, symmetric nodes tie") {
+    import graft.operators.Graph
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("a", "b")
+    val pr = Graph.pageRank(pairs, "a", "b", iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    pr.keySet shouldBe Set(1L, 2L, 3L, 4L)
+    // symmetric undirected graph, no dangling mass → ranks sum to 1
+    math.abs(pr.values.sum - 1.0) should be < 1e-9
+    pr(3L) shouldBe pr.values.max // degree-3 hub
+    pr(1L) shouldBe pr(2L) +- 1e-12 // isomorphic positions tie exactly
+  }
+
   test("slidingChunks: stride starts, shortened tail, lossless stride reconstruction") {
     val docs = Seq((1L, (1 to 47).map(i => s"t$i").mkString(" ")),
                    (2L, "a b")).toDF("doc_id", "text")
