@@ -1022,6 +1022,22 @@ object SparkEntry {
       val pairs = operators.Dedup.embeddingPairs(t(s, dir, "embeddings").df)
         .filter(col("cos") >= 0.4)
       operators.Graph.pageRank(pairs, "vec_a", "vec_b")
+    }),
+
+    // §2#53c ordered funnel view → click → purchase: per-step entry
+    // times chained by user-keyed joins, no per-user sort.
+    "q98_funnel" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"), col("event_type"))
+      operators.Behavior.funnel(ev, Seq("view", "click", "purchase"))
+    }),
+
+    // §2#53d retention cohorts by first active day; exact integer day
+    // arithmetic; (user, day) deduped before anything aggregates.
+    "q99_retention" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"))
+      operators.Behavior.retention(ev)
     })
   )
 
@@ -2217,6 +2233,35 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
               * sqrt(CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)))
          FROM s""",
 
-    "q97_pagerank" -> OracleGen.pageRankSql()
+    "q97_pagerank" -> OracleGen.pageRankSql(),
+
+    "q98_funnel" ->
+      """WITH e AS (
+           SELECT user_id, epoch_ns(ts)//1000 AS tus, event_type FROM events),
+         t0 AS (SELECT user_id, MIN(tus) AS t FROM e
+                WHERE event_type = 'view' GROUP BY 1),
+         t1 AS (SELECT e.user_id, MIN(tus) AS t FROM e JOIN t0 USING (user_id)
+                WHERE event_type = 'click' AND tus > t0.t GROUP BY 1),
+         t2 AS (SELECT e.user_id, MIN(tus) AS t FROM e JOIN t1 USING (user_id)
+                WHERE event_type = 'purchase' AND tus > t1.t GROUP BY 1),
+         c AS (SELECT (SELECT COUNT(*) FROM t0) AS n0,
+                      (SELECT COUNT(*) FROM t1) AS n1,
+                      (SELECT COUNT(*) FROM t2) AS n2)
+         SELECT 1 AS step_idx, 'view' AS step, n0 AS n_users,
+           CAST(1.0 AS DOUBLE) AS conv FROM c
+         UNION ALL
+         SELECT 2, 'click', n1, CAST(n1 AS DOUBLE) / CAST(n0 AS DOUBLE) FROM c
+         UNION ALL
+         SELECT 3, 'purchase', n2, CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE) FROM c""",
+
+    "q99_retention" ->
+      """WITH e AS (
+           SELECT user_id, (epoch_ns(ts)//1000) // 86400000000 AS dnum FROM events),
+         d AS (SELECT DISTINCT user_id, dnum FROM e),
+         f AS (SELECT user_id, MIN(dnum) AS cohort FROM d GROUP BY 1)
+         SELECT make_timestamp(cohort * 86400000000) AS cohort_day,
+           CAST(dnum - cohort AS INT) AS day_offset, COUNT(*) AS n_users
+         FROM d JOIN f USING (user_id)
+         GROUP BY cohort, day_offset"""
   )
 }

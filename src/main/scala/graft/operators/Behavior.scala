@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Behavioral analytics over event streams: ordered funnels and
+  * retention cohorts — the two queries every product-analytics engine
+  * ships first, expressed as key-partitioned aggs and joins (never a
+  * per-user sort or collect).
+  */
+object Behavior {
+
+  /** Ordered funnel: for each step i, the users whose earliest step-i
+    * event STRICTLY FOLLOWS their step-(i−1) entry time (the standard
+    * ordered-funnel semantics — a purchase before the first view does
+    * not convert). Returns one row per step: (step_idx, step,
+    * n_users, conv) where conv = step count / previous step count.
+    *
+    * Scale shape: each step is one filtered partial-agg min plus one
+    * user-keyed join against the previous step's (user, time) table —
+    * user-hash-partitioned end to end, no window, no per-user event
+    * sort; the per-step counts are single-row aggregates combined
+    * with map-side-expanded literals (no action, no collect).
+    */
+  def funnel(events: DataFrame, steps: Seq[String],
+             userCol: String = "user_id", timeCol: String = "tus",
+             typeCol: String = "event_type"): DataFrame = {
+    require(steps.size >= 2, "funnel needs at least two steps")
+    val stepTimes = steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (step, _)) =>
+        val mine = events.filter(col(typeCol) === step)
+        val scoped = prev match {
+          case None => mine
+          case Some(p) => mine.join(p, Seq(userCol)).filter(col(timeCol) > col("_t"))
+        }
+        Some(scoped.groupBy(userCol).agg(min(timeCol).as("_t")))
+    }.flatten
+    val counts = stepTimes.zipWithIndex.map { case (st, i) =>
+      st.agg(count(lit(1)).as(s"_n$i"))
+    }
+    val row = counts.reduce(_ crossJoin _)
+    val structs = steps.zipWithIndex.map { case (step, i) =>
+      val conv = if (i == 0) lit(1.0)
+                 else col(s"_n$i").cast("double") / col(s"_n${i - 1}")
+      struct(lit(i + 1).as("step_idx"), lit(step).as("step"),
+        col(s"_n$i").as("n_users"), conv.as("conv"))
+    }
+    row.select(explode(array(structs: _*)).as("p"))
+      .select(col("p.step_idx").as("step_idx"), col("p.step").as("step"),
+        col("p.n_users").as("n_users"), col("p.conv").as("conv"))
+  }
+
+  /** Retention cohorts: users grouped by their FIRST active day, a
+    * row per (cohort day, day offset) with the count of cohort users
+    * active that day — the retention-curve table.
+    *
+    * All day arithmetic is integer division on epoch micros (exact,
+    * engine-identical); the activity table dedups to (user, day)
+    * BEFORE anything else (a user's event volume never inflates the
+    * curve or the shuffle), first-day is a partial-agg min reusing
+    * the same user keying, and the final (cohort, offset) count is a
+    * partial agg over the deduped table.
+    */
+  def retention(events: DataFrame, userCol: String = "user_id",
+                timeCol: String = "tus"): DataFrame = {
+    val usPerDay = 86400000000L
+    // exact day number: subtract the remainder first so the double
+    // division is of an exact multiple (a raw tus/day double quotient
+    // can truncate wrong within ~350µs of a midnight boundary)
+    val dnum = ((col(timeCol) - pmod(col(timeCol), lit(usPerDay))) / usPerDay).cast("long")
+    val d = events.select(col(userCol), dnum.as("dnum")).distinct()
+    val f = d.groupBy(userCol).agg(min("dnum").as("cohort"))
+    d.join(f, Seq(userCol))
+      .groupBy(col("cohort"), (col("dnum") - col("cohort")).cast("int").as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(timestamp_micros(col("cohort") * usPerDay).as("cohort_day"),
+        col("day_offset"), col("n_users"))
+  }
+}

@@ -788,6 +788,27 @@ class OperatorsSpec extends SparkSpec {
       (1L, 30L, 17L, 2.0)) // t=35 is after the instant → still t=17
   }
 
+  test("funnel enforces strict step ordering; retention counts cohort-day activity once") {
+    import graft.operators.Behavior
+    val ev = Seq((1L, 1L, "view"), (1L, 2L, "click"), (1L, 3L, "purchase"),
+                 (2L, 1L, "purchase"), (2L, 2L, "view"), (2L, 5L, "click"),
+                 (3L, 1L, "click")) // u3 never viewed → outside the funnel
+      .toDF("user_id", "tus", "event_type")
+    val f = Behavior.funnel(ev, Seq("view", "click", "purchase")).collect()
+      .map(r => r.getInt(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    f(1) shouldBe ((2L, 1.0))
+    f(2) shouldBe ((2L, 1.0)) // both clicked after their first view
+    f(3)._1 shouldBe 1L       // u2's purchase PRECEDED the click → no convert
+    f(3)._2 shouldBe 0.5
+    val day = 86400000000L
+    val rev = Seq((1L, 0L), (1L, day + 5L), (1L, day + 9L), // day1 counted once
+                  (2L, 0L), (2L, 2L * day), (3L, day))
+      .toDF("user_id", "tus")
+    val r = Behavior.retention(rev).collect()
+      .map(x => (x.getTimestamp(0).getTime / 86400000L, x.getInt(1), x.getLong(2))).toSet
+    r shouldBe Set((0L, 0, 2L), (0L, 1, 1L), (0L, 2, 1L), (1L, 0, 1L))
+  }
+
   test("pageRank: rank mass conserved, hub ranks highest, symmetric nodes tie") {
     import graft.operators.Graph
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("a", "b")
