@@ -1038,7 +1038,15 @@ object SparkEntry {
       val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
         .select(col("user_id"), unix_micros(col("ts")).as("tus"))
       operators.Behavior.retention(ev)
-    })
+    }),
+
+    // §2#45d weighted sampling without replacement (A-ES exponential
+    // keys from content-addressed uniforms): 5 per source, selection
+    // probability scaling with n_chars.
+    "q100_weighted_topk" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .sampleWeightedTopK(5, Seq("source"), "n_chars", Seq("doc_id"))
+        .select(Seq("doc_id", "source", "n_chars")).df)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2262,6 +2270,17 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
          SELECT make_timestamp(cohort * 86400000000) AS cohort_day,
            CAST(dnum - cohort AS INT) AS day_offset, COUNT(*) AS n_users
          FROM d JOIN f USING (user_id)
-         GROUP BY cohort, day_offset"""
+         GROUP BY cohort, day_offset""",
+
+    "q100_weighted_topk" ->
+      """SELECT doc_id, source, n_chars FROM (
+           SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+               CAST(-ln(CAST(('0x' || substr(md5('0' || chr(0) || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                             + 1 AS DOUBLE)
+                        / CAST(4294967297 AS DOUBLE))
+                    / CAST(n_chars AS DOUBLE) AS DECIMAL(20,9)),
+               CAST(doc_id AS VARCHAR)) AS rk
+           FROM documents) WHERE rk <= 5"""
   )
 }

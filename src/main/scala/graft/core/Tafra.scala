@@ -148,6 +148,39 @@ final class Tafra(val df: DataFrame) extends Serializable {
       .filter(col("_rk") <= k).drop("_rk"))
   }
 
+  /** WEIGHTED sampling without replacement, fixed size k per stratum
+    * (Efraimidis–Spirakis A-ES): each row draws an Exp(weight) key
+    * −ln(u)/w from a CONTENT-ADDRESSED uniform u (md5 of the row key,
+    * not RNG — same row, same draw, any run/partitioning/engine) and
+    * the k smallest keys win; selection probability scales with the
+    * weight, so "prefer high-quality docs but keep diversity" becomes
+    * one deterministic, auditable pass. [[sampleTopKByHash]] is the
+    * uniform special case.
+    *
+    * Engine determinism: u = (h+1)/(2³²+1) is one exact division of
+    * the portable md5 32-bit hash; the Exp key QUANTIZES to
+    * DECIMAL(20,9) before ordering — libm and JVM `ln` can differ in
+    * the last ulp (~2e-16 relative), which at 1e-9 resolution flips a
+    * boundary with probability ~1e-7/row instead of corrupting ranks
+    * outright; ties (quantized equal keys) break by the row key.
+    * Same plan shape as sampleTopKByHash: per-stratum row_number with
+    * WindowGroupLimit pushdown.
+    */
+  def sampleWeightedTopK(k: Int, strataCols: Seq[String], weightCol: String,
+                         keyCols: Seq[String], seed: Long = 0L): Tafra = {
+    require(k > 0, s"k must be positive, got $k")
+    validateColumns(strataCols ++ (weightCol +: keyCols))
+    val keyStr = concat_ws("\u0000", keyCols.map(df(_).cast("string")): _*)
+    val h = conv(substring(md5(concat_ws("\u0000",
+      lit(seed.toString) +: keyCols.map(df(_).cast("string")): _*)), 1, 8), 16, 10)
+      .cast("long")
+    val u = (h + lit(1L)) / lit(4294967297.0)
+    val expKey = (-log(u) / df(weightCol).cast("double")).cast("decimal(20,9)")
+    val w = Window.partitionBy(strataCols.map(df(_)): _*).orderBy(expKey, keyStr)
+    new Tafra(df.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k).drop("_rk"))
+  }
+
   /** Per-stratum sampling fractions (e.g. downsample one language,
     * keep another whole) — `df.stat.sampleBy` with a fixed seed.
     */

@@ -490,6 +490,21 @@ class TafraSpec extends SparkSpec {
     out.sorted shouldBe viaWindow
   }
 
+  test("sampleWeightedTopK: exact counts, weight-proportional selection, deterministic") {
+    // stratum of 2000 rows: half weight 10, half weight 1 → the
+    // heavy half should win far more than half of a k=200 sample
+    val t = Tafra((0L until 2000L).map(i => (i, "g", if (i < 1000) 10.0 else 1.0))
+      .toDF("id", "g", "w"))
+    val kept = t.sampleWeightedTopK(200, Seq("g"), "w", Seq("id")).df
+      .collect().map(r => r.getLong(0)).toSet
+    kept.size shouldBe 200
+    val heavy = kept.count(_ < 1000L)
+    heavy should be > 150 // E[heavy] ≈ 183 under A-ES with 10:1 weights
+    // deterministic: the same call selects the identical set
+    t.sampleWeightedTopK(200, Seq("g"), "w", Seq("id")).df
+      .collect().map(_.getLong(0)).toSet shouldBe kept
+  }
+
   test("corrMatrix matches built-in Pearson corr on unit-grid data; one agg in plan") {
     import graft.functions.Profile
     val rnd3 = new scala.util.Random(5)
