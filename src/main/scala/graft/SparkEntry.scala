@@ -1046,7 +1046,25 @@ object SparkEntry {
     "q100_weighted_topk" -> ((s, dir) =>
       t(s, dir, "documents")
         .sampleWeightedTopK(5, Seq("source"), "n_chars", Seq("doc_id"))
-        .select(Seq("doc_id", "source", "n_chars")).df)
+        .select(Seq("doc_id", "source", "n_chars")).df),
+
+    // §2#53e time-weighted average: each observation weighted by how
+    // long it stayed current — the correct mean for irregular samples.
+    "q101_twap" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("tus"), col("value"))
+      operators.Rolling.twap(ev, "user_id", "tus", "value", "event_id")
+    }),
+
+    // §2#53f interval merging: 10-minute activity windows per event,
+    // fused into islands — per-user busy time and island counts.
+    "q102_interval_merge" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .select(col("user_id"), unix_micros(col("ts")).as("s0"))
+        .withColumn("e0", col("s0") + 600000000L)
+      operators.Rolling.mergeIntervals(ev, "user_id", "s0", "e0")
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2281,6 +2299,42 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
                         / CAST(4294967297 AS DOUBLE))
                     / CAST(n_chars AS DOUBLE) AS DECIMAL(20,9)),
                CAST(doc_id AS VARCHAR)) AS rk
-           FROM documents) WHERE rk <= 5"""
+           FROM documents) WHERE rk <= 5""",
+
+    "q101_twap" ->
+      """WITH e AS (
+           SELECT user_id, event_id, epoch_ns(ts)//1000 AS tus, value FROM events),
+         d AS (
+           SELECT user_id, value,
+             LEAD(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) - tus AS dur
+           FROM e),
+         a AS (
+           SELECT user_id,
+             SUM(CAST(value * dur AS DECIMAL(27,6))) AS num,
+             SUM(dur) AS den, COUNT(*) AS n_obs
+           FROM d WHERE dur IS NOT NULL GROUP BY 1)
+         SELECT user_id, n_obs,
+           ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS twap
+         FROM a""",
+
+    "q102_interval_merge" ->
+      """WITH e AS (
+           SELECT user_id, epoch_ns(ts)//1000 AS s0,
+                  epoch_ns(ts)//1000 + 600000000 AS e0 FROM events),
+         m AS (
+           SELECT user_id, s0, e0,
+             MAX(e0) OVER (PARTITION BY user_id ORDER BY s0, e0
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+           FROM e),
+         i AS (
+           SELECT user_id, s0, e0,
+             SUM(CASE WHEN pmax IS NULL OR s0 > pmax THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY s0, e0
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+           FROM m),
+         g AS (SELECT user_id, isl, MIN(s0) AS s, MAX(e0) AS e FROM i GROUP BY 1, 2)
+         SELECT user_id, COUNT(*) AS n_islands,
+           CAST(SUM(e - s) AS BIGINT) AS covered_us
+         FROM g GROUP BY 1"""
   )
 }

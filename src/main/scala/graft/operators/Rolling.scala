@@ -79,4 +79,69 @@ object Rolling {
       .select(col(keyCol), explode(sequence(col("_g0"), col("_g1"), step)).as("grid_ts"))
     AsofJoin.asofJoin(grid, events, keyCol, "grid_ts", timeCol, payload)
   }
+
+  /** Time-weighted average (TWAP): per key, each observation weighted
+    * by how long it REMAINED CURRENT (until the next observation) —
+    * the correct mean for irregularly-sampled state (a price held for
+    * an hour counts 60× a price held a minute; the row-mean is wrong
+    * whenever sampling correlates with value). The last observation
+    * has no successor and carries no weight (standard half-open
+    * convention).
+    *
+    * One shuffle: a per-key `lead` window ordered by (time, `idCol`)
+    * — the unique id breaks timestamp ties so peers order identically
+    * in every engine/run — then a partial agg. Each value×duration
+    * term quantizes to DECIMAL(27,6) before the sum (the q65 rule:
+    * per-term quantization makes the aggregation order-insensitive);
+    * durations sum as exact longs; the final division is one double
+    * op mirrored by the oracle.
+    */
+  def twap(df: DataFrame, keyCol: String, timeCol: String, valueCol: String,
+           idCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(timeCol), col(idCol))
+    df.withColumn("_dur", lead(col(timeCol), 1).over(w) - col(timeCol))
+      .filter(col("_dur").isNotNull)
+      .withColumn("_term", (col(valueCol) * col("_dur")).cast("decimal(27,6)"))
+      .groupBy(keyCol)
+      .agg(sum("_term").as("_num"), sum("_dur").as("_den"),
+           count(lit(1)).as("n_obs"))
+      // round(…, 6): the decimal→double casts can differ by one ulp
+      // between engines (two-step int128/scale conversion vs a
+      // correctly-rounded BigDecimal), so the reported mean is
+      // quantized like q67's scores rather than exposing the raw ulp
+      .select(col(keyCol), col("n_obs"),
+        round(col("_num").cast("double") / col("_den").cast("double"), 6).as("twap"))
+  }
+
+  /** Overlapping-interval merging (the "busy time" / coverage
+    * reduction): per key, overlapping or touching intervals fuse into
+    * islands; returns per key the island count and total covered
+    * time — session coverage, machine utilization, dedup of
+    * overlapping spans.
+    *
+    * The classic sweep as TWO window passes over one (key)-partitioned
+    * sort (one shuffle, windows bounded per key): an interval starts a
+    * new island iff its start exceeds the running max end of all
+    * PRIOR intervals (rows-frame max, not just the previous row — an
+    * engulfed interval must not re-open an island); the island id is
+    * the running sum of those starts. Island extents then aggregate
+    * with partial combines. All epoch-micros integer arithmetic —
+    * exact in both engines.
+    */
+  def mergeIntervals(df: DataFrame, keyCol: String, startCol: String,
+                     endCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(startCol), col(endCol))
+    val prior = w.rowsBetween(Window.unboundedPreceding, -1)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val islands = df
+      .withColumn("_pmax", max(col(endCol)).over(prior))
+      .withColumn("_new",
+        when(col("_pmax").isNull || col(startCol) > col("_pmax"), 1L).otherwise(0L))
+      .withColumn("_isl", sum(col("_new")).over(run))
+    islands.groupBy(col(keyCol), col("_isl"))
+      .agg(min(col(startCol)).as("_s"), max(col(endCol)).as("_e"))
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n_islands"),
+           sum(col("_e") - col("_s")).as("covered_us"))
+  }
 }

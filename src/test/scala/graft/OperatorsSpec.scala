@@ -788,6 +788,23 @@ class OperatorsSpec extends SparkSpec {
       (1L, 30L, 17L, 2.0)) // t=35 is after the instant → still t=17
   }
 
+  test("twap weights by holding time; mergeIntervals fuses overlaps including engulfed spans") {
+    import graft.operators.Rolling
+    // value 10 held for 9 units, value 1 held for 1, last obs weightless
+    val ev = Seq((1L, 0L, 10.0, 100L), (1L, 9L, 1.0, 101L), (1L, 10L, 99.0, 102L))
+      .toDF("user_id", "tus", "value", "event_id")
+    val tw = Rolling.twap(ev, "user_id", "tus", "value", "event_id").collect().head
+    tw.getLong(1) shouldBe 2 // two weighted observations
+    tw.getDouble(2) shouldBe (10.0 * 9 + 1.0 * 1) / 10.0 +- 1e-12
+    // islands: [0,10) ∪ [5,8) (engulfed) ∪ [9,12) → one island [0,12);
+    // [20,25) separate. The engulfed interval must NOT split the island.
+    val iv = Seq((1L, 0L, 10L), (1L, 5L, 8L), (1L, 9L, 12L), (1L, 20L, 25L))
+      .toDF("user_id", "s0", "e0")
+    val m = Rolling.mergeIntervals(iv, "user_id", "s0", "e0").collect().head
+    m.getLong(1) shouldBe 2  // n_islands
+    m.getLong(2) shouldBe 17 // (12-0) + (25-20)
+  }
+
   test("funnel enforces strict step ordering; retention counts cohort-day activity once") {
     import graft.operators.Behavior
     val ev = Seq((1L, 1L, "view"), (1L, 2L, "click"), (1L, 3L, "purchase"),
