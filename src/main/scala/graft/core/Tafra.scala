@@ -548,6 +548,12 @@ final class Tafra(val df: DataFrame) extends Serializable {
     */
   def toJsonl(path: String): Unit = df.write.mode("overwrite").json(path)
 
+  /** ORC write — the other columnar warehouse format (Hive-ecosystem
+    * interchange). Same predicate-pushdown / column-pruning / min-max
+    * stats story as parquet; splittable stripes.
+    */
+  def toOrc(path: String): Unit = df.write.mode("overwrite").orc(path)
+
   /** Driver-side materialization (base.py:1772 to_records). */
   def toRecords: Array[Row] = df.collect()
   def toLocalIterator: java.util.Iterator[Row] = df.toLocalIterator()
@@ -630,6 +636,9 @@ object Tafra {
     ">" -> (_ > _), ">=" -> (_ >= _))
 
   def apply(df: DataFrame): Tafra = new Tafra(df)
+
+  def readOrc(spark: SparkSession, path: String): Tafra =
+    new Tafra(spark.read.orc(path))
 
   def readParquet(spark: SparkSession, path: String): Tafra =
     new Tafra(spark.read.parquet(path))

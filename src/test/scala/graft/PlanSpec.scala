@@ -319,4 +319,41 @@ class PlanSpec extends SparkSpec {
     p should include("partial_count")       // df census combines map-side
   }
 
+  test("q94 sliding chunks: one pinned exchange, chunk expansion map-side") {
+    val p = plan("q94_sliding_chunks")
+    p should include("REPARTITION_BY_NUM")
+    p.linesIterator.count(_.contains("Exchange")) shouldBe 1
+    (p should not).include("Window")
+    (p should not).include("SortMergeJoin")
+  }
+
+  test("q96 corr matrix: ONE aggregation pass, pair rows from a map-side explode") {
+    val p = plan("q96_corr_matrix")
+    p should include("partial_sum")
+    // a single scan feeds a single two-phase agg — no per-pair scans
+    p.linesIterator.count(_.contains("FileScan")) shouldBe 1
+    p should include("Generate explode")
+  }
+
+  test("q99 retention: (user, day) dedup and counts all combine map-side") {
+    val p = plan("q99_retention")
+    p should include("partial_min")    // first-day agg
+    p should include("partial_count")  // curve counts
+    (p should not).include("Window")
+  }
+
+  test("q100 weighted sample: quota pruned map-side via WindowGroupLimit") {
+    val p = plan("q100_weighted_topk")
+    p should include("WindowGroupLimit")
+  }
+
+  test("q101 twap / q102 intervals: one shuffle each, windows then partial aggs") {
+    val p1 = plan("q101_twap")
+    p1.linesIterator.count(_.contains("Exchange hashpartitioning")) shouldBe 1
+    p1 should include("partial_sum")
+    val p2 = plan("q102_interval_merge")
+    p2.linesIterator.count(_.contains("Exchange hashpartitioning(user_id")) shouldBe 1
+    p2 should include("partial_count")
+  }
+
 }

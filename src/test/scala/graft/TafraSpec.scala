@@ -490,6 +490,17 @@ class TafraSpec extends SparkSpec {
     out.sorted shouldBe viaWindow
   }
 
+  test("ORC round-trip is lossless and filters push into the ORC scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc_").toString
+    people.toOrc(dir)
+    val back = Tafra.readOrc(spark, dir)
+    back.df.orderBy("id").collect().map(_.toSeq) shouldBe
+      people.df.orderBy("id").collect().map(_.toSeq)
+    val plan = back.filter(col("age") > 26).df.queryExecution.executedPlan.toString
+    plan should include("PushedFilters")
+    plan should include("GreaterThan(age,26)")
+  }
+
   test("sampleWeightedTopK: exact counts, weight-proportional selection, deterministic") {
     // stratum of 2000 rows: half weight 10, half weight 1 → the
     // heavy half should win far more than half of a k=200 sample
