@@ -1064,7 +1064,12 @@ object SparkEntry {
         .select(col("user_id"), unix_micros(col("ts")).as("s0"))
         .withColumn("e0", col("s0") + 600000000L)
       operators.Rolling.mergeIntervals(ev, "user_id", "s0", "e0")
-    })
+    }),
+
+    // §2#27c streaming trending: incrementally-maintained hourly
+    // counts, top-3 per hour ranked per emission (foreachBatch shape).
+    "q103_stream_trending" -> ((s, dir) =>
+      streaming.Events.trendingByHour(s, s"$dir/events.parquet"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2335,6 +2340,17 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
          g AS (SELECT user_id, isl, MIN(s0) AS s, MAX(e0) AS e FROM i GROUP BY 1, 2)
          SELECT user_id, COUNT(*) AS n_islands,
            CAST(SUM(e - s) AS BIGINT) AS covered_us
-         FROM g GROUP BY 1"""
+         FROM g GROUP BY 1""",
+
+    "q103_stream_trending" ->
+      """WITH c AS (
+           SELECT date_trunc('hour', make_timestamp(epoch_ns(ts)//1000)) AS hour_start,
+             event_type, COUNT(*) AS n_events
+           FROM events GROUP BY 1, 2)
+         SELECT hour_start, event_type, n_events, rnk FROM (
+           SELECT hour_start, event_type, n_events,
+             CAST(ROW_NUMBER() OVER (PARTITION BY hour_start
+               ORDER BY n_events DESC, event_type) AS INT) AS rnk
+           FROM c) WHERE rnk <= 3"""
   )
 }

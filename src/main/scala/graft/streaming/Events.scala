@@ -291,6 +291,26 @@ object Events {
       .select(col("window.start").as("day_start"), col("event_type"),
         col("n_events"), col("n_anomalous"))
 
+  /** #27c streaming trending: hourly counts maintained INCREMENTALLY
+    * by the stream ([[hourlyByTypeStream]] — the partial-agg state the
+    * engine keeps per window), ranked top-`topN` per hour on each
+    * emission. Ranking is a window function, which Structured
+    * Streaming cannot run inside the stream — so it runs as the
+    * per-emission transform (the `foreachBatch` pattern: the stream
+    * maintains the aggregate, the sink-side batch ranks it; here the
+    * memory-sink table IS that emission). Ties break by event type.
+    */
+  def trendingByHour(spark: SparkSession, eventsPath: String, topN: Int = 3): DataFrame = {
+    val counts = runToMemory(
+      hourlyByTypeStream(spark, eventsPath), "complete", "graft_trend_")
+    counts.select(col("window.start").as("hour_start"),
+        col("event_type"), col("n_events"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("hour_start")
+          .orderBy(col("n_events").desc, col("event_type"))))
+      .filter(col("rnk") <= topN)
+  }
+
   /** `ts` duplicates `tus` as a Timestamp only because the watermarked
     * event-time COLUMN must be present in the flatMapGroupsWithState
     * input for event-time timeouts (Spark's UnsupportedOperationChecker
