@@ -1069,7 +1069,24 @@ object SparkEntry {
     // §2#27c streaming trending: incrementally-maintained hourly
     // counts, top-3 per hour ranked per emission (foreachBatch shape).
     "q103_stream_trending" -> ((s, dir) =>
-      streaming.Events.trendingByHour(s, s"$dir/events.parquet"))
+      streaming.Events.trendingByHour(s, s"$dir/events.parquet")),
+
+    // §2#52c CUBE: all four grouping combinations in one pass,
+    // grouping() flags disambiguating real NULLs from subtotal rows.
+    "q104_cube" -> ((s, dir) =>
+      t(s, dir, "orders").df
+        .cube(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(grouping(col("o_orderpriority")).cast("int").as("g_pri"),
+             grouping(col("o_orderstatus")).cast("int").as("g_st"),
+             count(lit(1)).as("n"),
+             sum(dec(col("o_totalprice"))).cast("double").as("total"))),
+
+    // §2#52d robust outliers: |v − group median| > 3·MAD, all-decimal
+    // deviation arithmetic — no float boundary anywhere.
+    "q105_mad_outliers" -> ((s, dir) =>
+      functions.Profile.madOutliers(
+        t(s, dir, "documents").select(Seq("doc_id", "source", "n_chars")).df,
+        "source", "n_chars"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2351,6 +2368,29 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
            SELECT hour_start, event_type, n_events,
              CAST(ROW_NUMBER() OVER (PARTITION BY hour_start
                ORDER BY n_events DESC, event_type) AS INT) AS rnk
-           FROM c) WHERE rnk <= 3"""
+           FROM c) WHERE rnk <= 3""",
+
+    "q104_cube" ->
+      """SELECT o_orderpriority, o_orderstatus,
+         CAST(GROUPING(o_orderpriority) AS INT) AS g_pri,
+         CAST(GROUPING(o_orderstatus) AS INT) AS g_st,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+         FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)""",
+
+    "q105_mad_outliers" ->
+      """WITH med AS (
+           SELECT source, CAST(quantile_cont(n_chars, 0.5) AS DECIMAL(18,6)) AS med
+           FROM documents GROUP BY 1),
+         dev AS (
+           SELECT doc_id, source, n_chars,
+             abs(CAST(n_chars AS DECIMAL(18,6)) - med) AS dev
+           FROM documents JOIN med USING (source)),
+         mad AS (
+           SELECT source, CAST(quantile_cont(CAST(dev AS DOUBLE), 0.5) AS DECIMAL(18,6)) AS mad
+           FROM dev GROUP BY 1)
+         SELECT doc_id, source, n_chars, (dev > 3 * mad) AS is_outlier,
+           CAST(dev AS DOUBLE) AS dev
+         FROM dev JOIN mad USING (source)"""
   )
 }

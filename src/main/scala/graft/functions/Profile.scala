@@ -74,6 +74,37 @@ object Profile {
       .filter(col(scoreCol).cast("decimal(18,6)") >= col("thr"))
   }
 
+  /** Robust per-group outlier flagging by median absolute deviation:
+    * a row is an outlier iff |v − median| > k·MAD of its OWN group —
+    * the robust alternative to z-scores (mean and stddev are
+    * themselves dragged by the outliers they should flag; median/MAD
+    * have a 50% breakdown point).
+    *
+    * Two percentile aggs (exact `percentile` — value-map partial
+    * state, the q71 shape) joined back on the group key; deviations
+    * are computed ENTIRELY IN DECIMAL (|v − med| with both as
+    * DECIMAL(18,6) — exact, no float subtraction), the gate
+    * `dev > k·mad` is a decimal comparison with integer k, and the
+    * only double in sight is the MAD percentile's interpolation input,
+    * which converts exactly (≤ 6-decimal values under 2⁴⁷ are exact in
+    * a double). No boundary can disagree between engines.
+    */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                  k: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val med = df.groupBy(col(groupCol))
+      .agg(percentile(col(valueCol), lit(0.5)).cast("decimal(18,6)").as("_med"))
+    val dev = df.join(med, Seq(groupCol))
+      .withColumn("_dev", abs(col(valueCol).cast("decimal(18,6)") - col("_med")))
+    val mad = dev.groupBy(col(groupCol))
+      .agg(percentile(col("_dev").cast("double"), lit(0.5))
+        .cast("decimal(18,6)").as("_mad"))
+    dev.join(mad, Seq(groupCol))
+      .withColumn("is_outlier", col("_dev") > lit(k) * col("_mad"))
+      .withColumn("dev", col("_dev").cast("double"))
+      .drop("_med", "_dev", "_mad")
+  }
+
   /** Pairwise Pearson correlation matrix over numeric columns in ONE
     * aggregation pass: k + k + C(k,2) sums (per-column S and S², plus
     * per-pair cross products) computed together, so a k-column matrix

@@ -516,6 +516,17 @@ class TafraSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet shouldBe kept
   }
 
+  test("madOutliers flags only the planted extreme; robust to the outlier itself") {
+    import graft.functions.Profile
+    // 20 values near 100 plus one at 10000: median/MAD ignore the spike
+    val df = ((1 to 20).map(i => (i.toLong, "g", 95L + (i % 11))) :+ (99L, "g", 10000L))
+      .toDF("id", "g", "v")
+    val out = Profile.madOutliers(df, "g", "v").collect()
+      .map(r => r.getLong(1) -> r.getBoolean(3)).toMap
+    out(99L) shouldBe true
+    out.count(_._2) shouldBe 1 // nothing else flagged
+  }
+
   test("corrMatrix matches built-in Pearson corr on unit-grid data; one agg in plan") {
     import graft.functions.Profile
     val rnd3 = new scala.util.Random(5)
