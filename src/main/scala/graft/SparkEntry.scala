@@ -1086,7 +1086,23 @@ object SparkEntry {
     "q105_mad_outliers" -> ((s, dir) =>
       functions.Profile.madOutliers(
         t(s, dir, "documents").select(Seq("doc_id", "source", "n_chars")).df,
-        "source", "n_chars"))
+        "source", "n_chars")),
+
+    // §2#53g market-basket lift over per-user event-type sets:
+    // support / confidence / lift per type pair.
+    "q106_basket_lift" -> ((s, dir) =>
+      operators.Behavior.basketLift(
+        streaming.Events.readBatch(s, s"$dir/events.parquet")
+          .select("user_id", "event_type"),
+        "user_id", "event_type")),
+
+    // §2#52e behavioral diversity: Shannon entropy of each user's
+    // event-type distribution (decimal-quantized p·ln p terms).
+    "q107_label_entropy" -> ((s, dir) =>
+      functions.Profile.labelEntropy(
+        streaming.Events.readBatch(s, s"$dir/events.parquet")
+          .select("user_id", "event_type"),
+        "user_id", "event_type"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2391,6 +2407,36 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
            FROM dev GROUP BY 1)
          SELECT doc_id, source, n_chars, (dev > 3 * mad) AS is_outlier,
            CAST(dev AS DOUBLE) AS dev
-         FROM dev JOIN mad USING (source)"""
+         FROM dev JOIN mad USING (source)""",
+
+    "q106_basket_lift" ->
+      """WITH d AS (SELECT DISTINCT user_id AS k, event_type AS item FROM events),
+         nk AS (SELECT COUNT(DISTINCT k) AS n FROM d),
+         ic AS (SELECT item, COUNT(*) AS ic FROM d GROUP BY 1),
+         p AS (
+           SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS n_both
+           FROM d a JOIN d b ON a.k = b.k AND a.item < b.item
+           GROUP BY 1, 2)
+         SELECT item_a, item_b, n_both,
+           ROUND(n_both / CAST(n AS DOUBLE), 9) AS support,
+           ROUND(CAST(n_both AS DOUBLE) / ia.ic, 9) AS confidence,
+           ROUND(n_both * CAST(n AS DOUBLE) / (ia.ic * ib.ic), 9) AS lift
+         FROM p
+         CROSS JOIN nk
+         JOIN ic ia ON ia.item = item_a
+         JOIN ic ib ON ib.item = item_b""",
+
+    "q107_label_entropy" ->
+      """WITH c AS (
+           SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2),
+         t AS (SELECT user_id, COUNT(*) AS tot FROM events GROUP BY 1),
+         s AS (
+           SELECT c.user_id, MAX(tot) AS n_events,
+             SUM(CAST((c / CAST(tot AS DOUBLE)) * ln(c / CAST(tot AS DOUBLE))
+                      AS DECIMAL(20,9))) AS s
+           FROM c JOIN t USING (user_id)
+           GROUP BY 1)
+         SELECT user_id, n_events, ROUND(-CAST(s AS DOUBLE), 6) AS entropy
+         FROM s"""
   )
 }

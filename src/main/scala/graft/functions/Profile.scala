@@ -74,6 +74,28 @@ object Profile {
       .filter(col(scoreCol).cast("decimal(18,6)") >= col("thr"))
   }
 
+  /** Shannon entropy of a categorical distribution per group — the
+    * diversity/purity score (how varied is a user's behavior, how
+    * mixed is a cluster's label set). H = −Σ p·ln p over the
+    * (group, label) counts: two partial aggs and a group-keyed join,
+    * never a window. Each p·ln p term quantizes to DECIMAL(20,9)
+    * before the sum — `ln` differs between libm and the JVM in the
+    * last ulp, and a float sum would also be order-dependent; the
+    * quantized sum is exact and order-insensitive, and the result
+    * rounds at 1e-6 on both engines.
+    */
+  def labelEntropy(df: DataFrame, groupCol: String, labelCol: String): DataFrame = {
+    val cnt = df.groupBy(col(groupCol), col(labelCol)).agg(count(lit(1)).as("_c"))
+    val tot = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_tot"))
+    cnt.join(tot, Seq(groupCol))
+      .withColumn("_term",
+        ((col("_c") / col("_tot")) * log(col("_c") / col("_tot"))).cast("decimal(20,9)"))
+      .groupBy(col(groupCol))
+      .agg(max("_tot").as("n_events"), sum("_term").as("_s"))
+      .select(col(groupCol), col("n_events"),
+        round(-col("_s").cast("double"), 6).as("entropy"))
+  }
+
   /** Robust per-group outlier flagging by median absolute deviation:
     * a row is an outlier iff |v − median| > k·MAD of its OWN group —
     * the robust alternative to z-scores (mean and stddev are

@@ -50,6 +50,39 @@ object Behavior {
         col("p.n_users").as("n_users"), col("p.conv").as("conv"))
   }
 
+  /** Market-basket association mining over per-key item sets: for
+    * every item pair, support (co-occurrence fraction), confidence
+    * (P(b|a)), and lift (observed/expected co-occurrence — the
+    * signal that survives popularity imbalance). Here "basket" = the
+    * set of event types a user has ever fired; the same operator
+    * mines any (key, item) table.
+    *
+    * Scale shape: (key, item) DEDUPES first (multiplicity never
+    * inflates counts or the shuffle); item counts are one partial
+    * agg; pair counts come from the key-keyed self-join of the
+    * deduped table (fan-out per key = |itemset|², bounded by the
+    * item vocabulary, never event volume). Ratios are exact-count
+    * double divisions in the oracle's op order, rounded at 1e-9
+    * (engine-identical inputs, one guard against the final ulp).
+    */
+  def basketLift(df: DataFrame, keyCol: String, itemCol: String): DataFrame = {
+    val d = df.select(col(keyCol).as("k"), col(itemCol).as("item")).distinct()
+    val nKeys = d.select("k").distinct().count()
+    val ic = d.groupBy("item").agg(count(lit(1)).as("ic"))
+    val pairs = d.select(col("k"), col("item").as("item_a"))
+      .join(d.select(col("k"), col("item").as("item_b")), Seq("k"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b").agg(count(lit(1)).as("n_both"))
+    val n = lit(nKeys.toDouble)
+    pairs
+      .join(ic.select(col("item").as("item_a"), col("ic").as("ca")), Seq("item_a"))
+      .join(ic.select(col("item").as("item_b"), col("ic").as("cb")), Seq("item_b"))
+      .select(col("item_a"), col("item_b"), col("n_both"),
+        round(col("n_both") / n, 9).as("support"),
+        round(col("n_both").cast("double") / col("ca"), 9).as("confidence"),
+        round(col("n_both") * n / (col("ca") * col("cb")), 9).as("lift"))
+  }
+
   /** Retention cohorts: users grouped by their FIRST active day, a
     * row per (cohort day, day offset) with the count of cohort users
     * active that day — the retention-curve table.

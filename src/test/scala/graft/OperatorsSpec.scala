@@ -788,6 +788,28 @@ class OperatorsSpec extends SparkSpec {
       (1L, 30L, 17L, 2.0)) // t=35 is after the instant → still t=17
   }
 
+  test("basketLift: dedup before counting; lift detects positive/negative association") {
+    import graft.operators.Behavior
+    // 4 users: a+b always co-occur (lift 2); a+c never (no pair row);
+    // u1 fires 'a' twice — dedup must count it once
+    val ev = Seq((1L, "a"), (1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"),
+                 (3L, "c"), (4L, "c")).toDF("user_id", "event_type")
+    val out = Behavior.basketLift(ev, "user_id", "event_type").collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(5)))).toMap
+    out.keySet shouldBe Set(("a", "b")) // a-c / b-c never co-occur
+    out(("a", "b")) shouldBe ((2L, 2.0)) // both=2; lift = 2*4/(2*2) = 2
+  }
+
+  test("labelEntropy: zero for pure groups, ln(k) for uniform over k labels") {
+    import graft.functions.Profile
+    val df = (Seq.fill(6)((1L, "x")) ++ Seq((2L, "x"), (2L, "y"), (2L, "z")))
+      .toDF("user_id", "event_type")
+    val e = Profile.labelEntropy(df, "user_id", "event_type").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    e(1L) shouldBe ((6L, 0.0))                       // pure → H = 0
+    e(2L)._2 shouldBe math.log(3.0) +- 1e-5          // uniform over 3
+  }
+
   test("twap weights by holding time; mergeIntervals fuses overlaps including engulfed spans") {
     import graft.operators.Rolling
     // value 10 held for 9 units, value 1 held for 1, last obs weightless
