@@ -356,4 +356,26 @@ class PlanSpec extends SparkSpec {
     p2 should include("partial_count")
   }
 
+  test("q104 cube: one Expand + partial agg pass, no per-combination scans") {
+    val p = plan("q104_cube")
+    p should include("Expand")
+    p should include("partial_count")
+    p.linesIterator.count(_.contains("FileScan")) shouldBe 1
+  }
+
+  test("q105 MAD / q107 entropy: agg+join shape, never a per-group window") {
+    val p1 = plan("q105_mad_outliers")
+    p1 should include("partial_percentile")
+    (p1 should not).include("Window")
+    val p2 = plan("q107_label_entropy")
+    p2 should include("partial_count")
+    (p2 should not).include("Window")
+  }
+
+  test("q106 basket lift: itemsets dedup (partial agg) BEFORE the pair self-join") {
+    val p = plan("q106_basket_lift")
+    p should include("partial_count")
+    (p should not).include("CartesianProduct")
+  }
+
 }
