@@ -1102,7 +1102,20 @@ object SparkEntry {
       functions.Profile.labelEntropy(
         streaming.Events.readBatch(s, s"$dir/events.parquet")
           .select("user_id", "event_type"),
-        "user_id", "event_type"))
+        "user_id", "event_type")),
+
+    // §2#20b semi-structured extraction: JSON payload fields pulled
+    // with get_json_object (codegen'd path expression — no UDF, no
+    // full from_json schema materialization for one field), then a
+    // plain relational aggregation over the extracted values.
+    "q108_json_extract" -> ((s, dir) =>
+      streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+             sum(col("k").cast("long")).as("k_sum"),
+             count(when(col("k") > 50, 1)).as("n_high")))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2437,6 +2450,14 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
            FROM c JOIN t USING (user_id)
            GROUP BY 1)
          SELECT user_id, n_events, ROUND(-CAST(s AS DOUBLE), 6) AS entropy
-         FROM s"""
+         FROM s""",
+
+    "q108_json_extract" ->
+      """WITH e AS (
+           SELECT event_type, CAST(props->>'k' AS INT) AS k FROM events)
+         SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(k AS BIGINT)) AS BIGINT) AS k_sum,
+           COUNT(CASE WHEN k > 50 THEN 1 END) AS n_high
+         FROM e GROUP BY 1"""
   )
 }
