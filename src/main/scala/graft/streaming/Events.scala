@@ -15,22 +15,35 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * runs `runToFiles` — append mode, watermark-bounded state, checkpoint
   * — on the same plans.
   *
-  * events.parquet stores ns-precision timestamps, which Spark's parquet
-  * reader rejects; we read them as raw nanos
-  * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to µs
-  * (`ts div 1000`) — the DuckDB oracle mirrors with
-  * `epoch_ns(ts)//1000`, so both engines truncate identically.
+  * events.parquet has shipped two physical `ts` encodings across data
+  * generations: ns-precision int96-style timestamps Spark's reader
+  * rejects (read as raw longs via
+  * `spark.sql.legacy.parquet.nanosAsLong`, truncated `ts div 1000`)
+  * and plain timestamp[us] (arrives as TIMESTAMP_NTZ). Both normalize
+  * here to a session-UTC TIMESTAMP so every consumer sees one type;
+  * the DuckDB oracle's `epoch_ns(ts)//1000` yields the identical µs
+  * count for either encoding.
   */
 object Events {
 
   private def nanosConf(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
-  /** Batch read with the ns→µs conversion applied. */
+  /** Normalize whatever physical `ts` the file carries to TIMESTAMP
+    * (session tz, which every entry point pins to UTC). */
+  private def normTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
+
+  /** Batch read with the ts normalization applied. */
   def readBatch(spark: SparkSession, path: String): DataFrame = {
     nanosConf(spark)
-    spark.read.parquet(path)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normTs(spark.read.parquet(path))
   }
 
   /** Streaming read of the same files (schema taken from a batch probe,
@@ -60,8 +73,7 @@ object Events {
     val reader0 = spark.readStream.schema(schema)
     val reader = maxFilesPerTrigger.fold(reader0)(n =>
       reader0.option("maxFilesPerTrigger", n))
-    reader.parquet(streamDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normTs(reader.parquet(streamDir))
   }
 
   /** Drive an unstarted streaming frame through all available input via
