@@ -30,12 +30,34 @@ object Events {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
   /** Normalize whatever physical `ts` the file carries to TIMESTAMP
-    * (session tz, which every entry point pins to UTC). */
+    * (session tz, asserted UTC below).
+    *
+    * Invariants (fail loudly rather than corrupt silently):
+    *  - A LongType `ts` is BY CONTRACT epoch-NANOSECONDS (the legacy
+    *    generation written with ns annotations Spark's reader rejects;
+    *    `nanosAsLong` surfaces them as raw longs). A writer shipping
+    *    plain int64 epoch-µs must NOT rely on this path — it would be
+    *    divided by 1000 again. The contract is pinned at every in-repo
+    *    writer (StreamingSpec synthesizes `us * 1000`).
+    *  - The TIMESTAMP_NTZ → TIMESTAMP cast reinterprets the wall-clock
+    *    in the SESSION timezone; only UTC matches both the legacy ns
+    *    path (timezone-independent) and the DuckDB oracle, so a
+    *    non-UTC session fails fast here instead of silently shifting
+    *    every instant by the tz offset.
+    *  - One directory = one encoding: the batch schema probe cannot
+    *    merge LongType with TimestampNTZ, so a dataset/stream dir
+    *    mixing generations fails at probe time with Spark's merge
+    *    error — split mixed dirs by generation before reading.
+    */
   private def normTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
+        val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"events ts is timestamp_ntz; normalization requires spark.sql.session.timeZone=UTC (got '$tz') " +
+          "— a non-UTC session would shift every instant by the tz offset vs the legacy ns encoding and the oracle")
         df.withColumn("ts", col("ts").cast("timestamp"))
       case _ => df
     }

@@ -104,21 +104,30 @@ class StreamingSpec extends SparkSpec {
     s4 shouldBe Some(OpenSession(9000L, 8950L, 9000L, 2))
   }
 
-  /** Split the raw events parquet (ns-long ts) into `n` time-ordered
-    * files in a fresh dir, mtimes increasing, so maxFilesPerTrigger=1
-    * yields one micro-batch per time range.
+  /** Split the events parquet into `n` time-ordered files in a fresh
+    * dir, mtimes increasing, so maxFilesPerTrigger=1 yields one
+    * micro-batch per time range. Encoding-agnostic: quantile cuts and
+    * range filters run on a derived epoch-µs long whether `ts` arrives
+    * as a legacy raw ns int64 or as timestamp[us] (TIMESTAMP_NTZ); the
+    * split files are written in the SOURCE encoding so the stream under
+    * test reads exactly what production would.
     */
   private def timeSplitDir(src: String, n: Int): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import java.nio.file.attribute.FileTime
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(src) // ts stays a raw ns long
-    val cuts = ev.stat.approxQuantile("ts", (1 until n).map(_.toDouble / n).toArray, 0.001)
+    val ev0 = spark.read.parquet(src) // ts stays in its source encoding
+    val tnum = ev0.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => col("ts")
+      case _ => unix_micros(col("ts").cast("timestamp"))
+    }
+    val ev = ev0.withColumn("__tnum", tnum)
+    val cuts = ev.stat.approxQuantile("__tnum", (1 until n).map(_.toDouble / n).toArray, 0.001)
     val bounds = (Array(Long.MinValue) ++ cuts.map(_.toLong) :+ Long.MaxValue).sliding(2).toSeq
     val dir = Files.createTempDirectory("graft_multibatch_")
     bounds.zipWithIndex.foreach { case (Array(lo, hi), i) =>
       val stage = dir.resolve(s"stage$i")
-      ev.filter(col("ts") > lo && col("ts") <= hi)
+      ev.filter(col("__tnum") > lo && col("__tnum") <= hi).drop("__tnum")
         .coalesce(1).write.parquet(stage.toString)
       val part = Files.list(stage).filter(_.getFileName.toString.endsWith(".parquet")).findFirst.get
       val target = dir.resolve(f"f$i%02d.parquet")
