@@ -8,7 +8,7 @@ object PeekPlan extends App {
   spark.sparkContext.setLogLevel("ERROR")
   for (name <- args) {
     println(s"===== $name =====")
-    println(SparkEntry.queries(name)(spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString.take(3000))
+    println(SparkEntry.queries(name)(spark, sys.env.getOrElse("PEEK_DIR", "/root/testdata/sf0.001")).queryExecution.executedPlan.toString.take(sys.env.getOrElse("PEEK_LEN","3000").toInt))
   }
   spark.stop()
 }

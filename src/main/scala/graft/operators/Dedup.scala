@@ -249,8 +249,14 @@ object Dedup {
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"),
         explode(array_distinct(T.wordNGrams(col("w"), 3))).as("g"))
+    // persisted so the size-gate count below IS the materialization:
+    // without it the gate re-runs the full tokenize+explode+agg once
+    // for the count and again inside the main query (measured +1.2s at
+    // sf0.1). The cached set is the Zipf head (≤ postings/dfMax rows of
+    // one gram column), disk-spillable on the fallback path.
     val frequent = post.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") > dfMax).select("g")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nFrequent = frequent.count()
     val anti = if (nFrequent <= frequentBroadcastRows) broadcast(frequent) else frequent
     // Per-doc rare-gram count rides along as a window count: on the
@@ -782,10 +788,17 @@ object Dedup {
     // prefix length s − ceil(t·s) + 1, all integer: ceil(a/b) = (a+b−1) div b
     val pref = rk.filter(col("rn") <=
         col("s") - floor((lit(tNum) * col("s") + lit(tDen - 1)) / lit(tDen)) + 1)
-      .select("rep", "tok")
-    val cand = pref.select(col("tok"), col("rep").as("doc_a"))
-      .join(pref.select(col("tok"), col("rep").as("doc_b")), Seq("tok"))
-      .filter(col("doc_a") < col("doc_b"))
+      .select("rep", "tok", "s")
+    // PPJoin length filter: jac <= min(sa,sb)/max(sa,sb), so any pair
+    // with tNum*max > tDen*min can never pass the exact gate — pruned
+    // integer-exact inside the candidate join, before the distinct and
+    // the array-intersect verification see it. No result change (the
+    // verify gate subsumes it), only candidate volume — the lever that
+    // matters on a corpus with a wide shingle-count spread.
+    val cand = pref.select(col("tok"), col("rep").as("doc_a"), col("s").as("la"))
+      .join(pref.select(col("tok"), col("rep").as("doc_b"), col("s").as("lb")), Seq("tok"))
+      .filter(col("doc_a") < col("doc_b") &&
+        lit(tNum) * greatest(col("la"), col("lb")) <= lit(tDen) * least(col("la"), col("lb")))
       .select("doc_a", "doc_b").distinct()
     val side = grouped.select(col("rep"), col("st"), col("s"), col("members"))
     cand
