@@ -1115,7 +1115,68 @@ object SparkEntry {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
              sum(col("k").cast("long")).as("k_sum"),
-             count(when(col("k") > 50, 1)).as("n_high")))
+             count(when(col("k") > 50, 1)).as("n_high"))),
+
+    // §2#60 count-min heavy hitters: 4×1024 md5-cell sketch over the
+    // event user stream, point estimates (min over rows — upper bound)
+    // for every distinct key joined with exact counts, top 20. The
+    // sketch is the fixed-size mergeable artifact; estimate joins
+    // BROADCAST it.
+    "q109_cms_topk" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .select(col("user_id").cast("string").as("user_id"))
+      val sketch = functions.Sketches.cmsBuild(ev, "user_id")
+      val exact = ev.groupBy("user_id").agg(count(lit(1)).as("exact"))
+      functions.Sketches.cmsEstimate(sketch, exact.select("user_id"), "user_id")
+        .join(exact, Seq("user_id"))
+        .orderBy(col("est").desc, col("user_id")).limit(20)
+        .select("user_id", "est", "exact")
+    }),
+
+    // §2#61 HyperLogLog distinct (p=10, md5 registers): integer-exact
+    // register sum (Z scaled by 2^33 — every term a BIGINT), one
+    // double division at the end in an oracle-mirrored expression
+    // shape; exact distinct alongside for the error audit.
+    "q110_hll_distinct" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+      val regs = functions.Sketches.hllRegisters(ev, "user_id", 10)
+      functions.Sketches.hllEstimate(regs, 10)
+        .crossJoin(ev.agg(countDistinct("user_id").as("exact_distinct")))
+    }),
+
+    // §2#62 CDC merge: a deterministic change feed derived from
+    // lineitem (latest l_linenumber wins per order; ~1/7 of keys
+    // delete, the rest update status+price) applied onto the orders
+    // snapshot — winner-per-key window over the FEED only, one
+    // full-outer equi-join against the untouched base.
+    "q111_cdc_upsert" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+        .select(Seq("o_orderkey", "o_orderstatus", "o_totalprice")).df
+      val changes = t(s, dir, "lineitem").df.select(
+        col("l_orderkey").as("o_orderkey"),
+        col("l_linenumber").cast("long").as("seq"),
+        when(pmod(functions.Hashing.md5Long32(
+          concat(lit("op"), col("l_orderkey"), lit(":"), col("l_linenumber"))), lit(7)) === 0,
+          lit("D")).otherwise(lit("U")).as("op"),
+        lit("R").as("o_orderstatus"),
+        col("l_extendedprice").as("o_totalprice"))
+      // l_linenumber repeats within an order in this corpus, so the
+      // price column completes the total order the apply needs
+      operators.Upsert.applyChanges(base, changes, "o_orderkey", "seq", "op",
+        tieCols = Seq("o_totalprice"))
+    }),
+
+    // §2#63 binaryFile ingest: raw per-document files (materialized by
+    // a distributed foreachPartition writer — test stand-in for an
+    // object store) read back through Spark's binaryFile source and
+    // normalized to (file_name, n_bytes, content_md5); the DuckDB
+    // oracle re-reads the same files via read_blob.
+    "q112_binary_source" -> ((s, dir) => {
+      val out = "/tmp/graft_binsrc" // fixed path — mirrored in the oracle SQL
+      sources.BinaryDir.materializeText(
+        t(s, dir, "documents").df.orderBy("doc_id").limit(64), out)
+      sources.BinaryDir.ingest(s, out, "doc_*.txt")
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2458,6 +2519,64 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
          SELECT event_type, COUNT(*) AS n,
            CAST(SUM(CAST(k AS BIGINT)) AS BIGINT) AS k_sum,
            COUNT(CASE WHEN k > 50 THEN 1 END) AS n_high
-         FROM e GROUP BY 1"""
+         FROM e GROUP BY 1""",
+
+    "q109_cms_topk" ->
+      """WITH k AS (SELECT CAST(user_id AS VARCHAR) AS user_id FROM events),
+         cells AS (
+           SELECT user_id, j.j,
+             ('0x' || substr(md5('cm' || j.j || '|' || user_id), 1, 8))::BIGINT % 1024 AS cell
+           FROM k CROSS JOIN (SELECT unnest([0,1,2,3]) AS j) j),
+         sketch AS (SELECT j, cell, COUNT(*) AS cnt FROM cells GROUP BY 1, 2),
+         exact AS (SELECT user_id, COUNT(*) AS exact FROM k GROUP BY 1),
+         est AS (
+           SELECT e.user_id, MIN(COALESCE(s.cnt, 0)) AS est
+           FROM exact e
+           CROSS JOIN (SELECT unnest([0,1,2,3]) AS j) j
+           LEFT JOIN sketch s ON s.j = j.j
+             AND s.cell = ('0x' || substr(md5('cm' || j.j || '|' || e.user_id), 1, 8))::BIGINT % 1024
+           GROUP BY 1)
+         SELECT est.user_id, est.est, exact.exact
+         FROM est JOIN exact USING (user_id)
+         ORDER BY est DESC, user_id LIMIT 20""",
+
+    "q110_hll_distinct" ->
+      """WITH k AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS key FROM events),
+         h AS (SELECT ('0x' || substr(md5(key), 1, 8))::BIGINT AS h1,
+                      ('0x' || substr(md5(key), 9, 8))::BIGINT AS w FROM k),
+         regs AS (
+           SELECT h1 >> 22 AS bucket,
+                  MAX(CASE WHEN w = 0 THEN 33 ELSE 33 - length(bin(w)) END) AS r
+           FROM h GROUP BY 1),
+         s AS (SELECT COUNT(*) AS nonzero,
+                      CAST(SUM(1::BIGINT << (33 - r)) AS BIGINT) AS zsum FROM regs)
+         SELECT 1024::BIGINT AS m, nonzero,
+           zsum + (1024 - nonzero) * (1::BIGINT << 33) AS zs,
+           0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 1024.0::DOUBLE)
+             * 1048576.0::DOUBLE * 8589934592.0::DOUBLE
+             / CAST(zsum + (1024 - nonzero) * (1::BIGINT << 33) AS DOUBLE) AS est,
+           (SELECT COUNT(DISTINCT user_id) FROM events) AS exact_distinct
+         FROM s""",
+
+    "q111_cdc_upsert" ->
+      """WITH ch AS (
+           SELECT l_orderkey AS o_orderkey, CAST(l_linenumber AS BIGINT) AS seq,
+             CASE WHEN ('0x' || substr(md5('op' || l_orderkey || ':' || l_linenumber), 1, 8))::BIGINT % 7 = 0
+                  THEN 'D' ELSE 'U' END AS op,
+             'R' AS o_orderstatus, l_extendedprice AS o_totalprice
+           FROM lineitem),
+         w AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC, op DESC, o_totalprice DESC) AS rn FROM ch),
+         win AS (SELECT o_orderkey, op, o_orderstatus, o_totalprice FROM w WHERE rn = 1)
+         SELECT o_orderkey,
+           CASE WHEN win.op IS NOT NULL THEN win.o_orderstatus ELSE b.o_orderstatus END AS o_orderstatus,
+           CASE WHEN win.op IS NOT NULL THEN win.o_totalprice ELSE b.o_totalprice END AS o_totalprice
+         FROM orders b FULL OUTER JOIN win USING (o_orderkey)
+         WHERE win.op IS NULL OR win.op <> 'D'""",
+
+    "q112_binary_source" ->
+      """SELECT parse_filename(filename) AS file_name,
+           octet_length(content) AS n_bytes,
+           md5(decode(content)) AS content_md5
+         FROM read_blob('/tmp/graft_binsrc/doc_*.txt')"""
   )
 }

@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable frequency/cardinality sketches as plain DataFrame
+  * aggregations (SURVEY.md §2 #60-61). Spark ships approx sketches
+  * (`approx_count_distinct`, datasketches), but their register layouts
+  * are engine-private — useless when the sketch must be an AUDITABLE
+  * ARTIFACT shared across engines (the 100 TB case: the ingest
+  * pipeline builds sketches per shard, a reporting engine merges and
+  * queries them). These variants are built on the md5-prefix hash
+  * family ([[Hashing]]), so every register is reproducible from ANSI
+  * SQL in any engine, and the DuckDB oracle verifies the full
+  * sketch → estimate pipeline bit-exactly.
+  *
+  * Both sketches are MERGEABLE by construction — count-min cells add,
+  * HLL registers max — and both build as ONE partial-agg shuffle whose
+  * output is the fixed-size sketch (4096 cells / 1024 registers), so
+  * the reduce side is constant regardless of corpus size.
+  */
+object Sketches {
+
+  /** Count-min cell index of `key` for hash-family row j: first 32
+    * md5 bits of the seeded key, mod width. DuckDB mirror:
+    * `('0x'||substr(md5('cm' || j || '|' || key),1,8))::BIGINT % width`.
+    */
+  def cmsCell(key: Column, j: Int, width: Int): Column =
+    pmod(Hashing.md5Long32(concat(lit("cm"), lit(j), lit("|"), key)), lit(width))
+
+  /** Build a depth×width count-min sketch over `keyCol` (string).
+    * One row per (j, cell) with the summed hit count — ≤ depth·width
+    * rows total, partial-agg map-side so the shuffle carries at most
+    * depth·width rows PER MAP TASK, never per input row. Sketches from
+    * different shards/streams merge by summing cnt per (j, cell).
+    */
+  def cmsBuild(df: DataFrame, keyCol: String, depth: Int = 4, width: Int = 1024): DataFrame =
+    df.select(col(keyCol).cast("string").as("k"))
+      .select(posexplode(array((0 until depth).map(j =>
+        cmsCell(col("k"), j, width)): _*)).as(Seq("j", "cell")))
+      .groupBy("j", "cell").agg(count(lit(1)).as("cnt"))
+
+  /** Point-estimate the count of each key in `keys` (a one-column
+    * frame) from a built sketch: min over the depth rows of the cell
+    * counts — the classic CM upper-bound estimate (overestimates only,
+    * never under). The sketch is broadcast (≤ depth·width rows by
+    * construction); keys the sketch never saw estimate 0 via the
+    * left join.
+    */
+  def cmsEstimate(sketch: DataFrame, keys: DataFrame, keyCol: String,
+                  depth: Int = 4, width: Int = 1024): DataFrame = {
+    val exploded = keys.select(col(keyCol).cast("string").as("k"))
+      .select(col("k"), posexplode(array((0 until depth).map(j =>
+        cmsCell(col("k"), j, width)): _*)).as(Seq("j", "cell")))
+    exploded.join(broadcast(sketch), Seq("j", "cell"), "left")
+      .groupBy("k")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+      .withColumnRenamed("k", keyCol)
+  }
+
+  /** HyperLogLog registers over `keyCol`: bucket = top `p` bits of the
+    * first 32 md5 bits; rho = leading-zero count of the SECOND 32 md5
+    * bits + 1 (an independent 32-bit word — a few more hash bits than
+    * the textbook single-word split, same estimator). rho ∈ [1, 33];
+    * the w=0 case (all 32 bits zero) caps at 33. Integer-exact via the
+    * `bin()` length trick — `33 - length(bin(w))` — which both engines
+    * compute identically (both strip leading zeros).
+    * Output: (bucket, r) — ≤ 2^p rows, max-merged map-side.
+    */
+  def hllRegisters(df: DataFrame, keyCol: String, p: Int = 10): DataFrame = {
+    val k = col(keyCol).cast("string")
+    val w = Hashing.md5Long32b(k)
+    df.select(
+        shiftrightunsigned(Hashing.md5Long32(k), 32 - p).as("bucket"),
+        when(w === 0L, lit(33)).otherwise(lit(33) - length(bin(w))).as("rho"))
+      .groupBy("bucket").agg(max("rho").as("r"))
+  }
+
+  /** The raw HLL estimate from a register table: with Z scaled by 2^33
+    * every term 2^(33−r) is an exact integer (empty buckets contribute
+    * 2^33), so the register sum is pure BIGINT arithmetic — the single
+    * double division happens once at the end, in an expression shape
+    * the oracle mirrors token-for-token. No small/large-range
+    * correction (documented raw-estimator contract; bias corrections
+    * are presentation-layer).
+    * Output: one row (m, nonzero, zs, est).
+    */
+  def hllEstimate(registers: DataFrame, p: Int = 10): DataFrame = {
+    val m = 1L << p
+    registers
+      .agg(count(lit(1)).as("nonzero"),
+           sum(expr("shiftleft(cast(1 as bigint), 33 - r)")).as("zsum"))
+      .select(lit(m).as("m"), col("nonzero"),
+        (col("zsum") + (lit(m) - col("nonzero")) * lit(1L << 33)).as("zs"))
+      .withColumn("est",
+        lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble)) *
+          lit((m * m).toDouble) * lit(8589934592.0) / col("zs").cast("double"))
+  }
+}

@@ -378,4 +378,37 @@ class PlanSpec extends SparkSpec {
     (p should not).include("CartesianProduct")
   }
 
+  test("q109 count-min: sketch builds as ONE partial-agg shuffle; estimate join broadcasts the sketch") {
+    val p = plan("q109_cms_topk")
+    p should include("partial_count")
+    // the fixed-size sketch is the broadcast side of the estimate join
+    p should include("BroadcastHashJoin [j")
+    // top-20 is a distributed TakeOrdered, not a global sort
+    p should include("TakeOrderedAndProject")
+  }
+
+  test("q110 HLL: registers are one partial-max shuffle; no window, no join in the estimate") {
+    val p = plan("q110_hll_distinct")
+    p should include("partial_max")
+    (p should not).include("Window")
+    (p should not).include("SortMergeJoin")
+  }
+
+  test("q111 CDC upsert: winner window runs over the FEED only, base joins untouched") {
+    val p = plan("q111_cdc_upsert")
+    // exactly one Window (the feed reduction), never one over the base —
+    // and the winner-per-key limit runs map-side (partial WindowGroupLimit)
+    p.linesIterator.count(_.contains("Window [row_number()")) shouldBe 1
+    p should include("row_number(), 1, Partial")
+    p should include("FullOuter")
+    // the base side scan is pruned to key + payload
+    p should include("ReadSchema: struct<o_orderkey:bigint,o_orderstatus:string,o_totalprice:double>")
+  }
+
+  test("q112 binaryFile ingest: scan is the binaryFile source, map-only to the normalized projection") {
+    val p = plan("q112_binary_source")
+    p.toLowerCase should include("binaryfile")
+    (p should not).include("Exchange hashpartitioning")
+  }
+
 }

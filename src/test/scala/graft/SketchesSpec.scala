@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Sketches
+import graft.operators.Upsert
+import graft.sources.BinaryDir
+
+/** Sketches (SURVEY.md §2 #60-61), CDC upsert (#62), binaryFile ingest
+  * (#63): the sketch laws (upper bound, mergeability, error bound at
+  * the configured sizes), the merge semantics matrix, and the raw-file
+  * round trip.
+  */
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def keysDF(freq: Map[String, Int]) =
+    freq.toSeq.flatMap { case (k, n) => Seq.fill(n)(k) }.toDF("k")
+
+  test("count-min estimates are exact-or-over, never under") {
+    val freq = Map("a" -> 100, "b" -> 50, "c" -> 3, "d" -> 1)
+    val df = keysDF(freq)
+    val sk = Sketches.cmsBuild(df, "k", depth = 4, width = 64)
+    val est = Sketches.cmsEstimate(sk, df.distinct(), "k", depth = 4, width = 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((k, n) <- freq) est(k) should be >= n.toLong
+    // width 64 over 4 distinct keys: collisions vanishingly unlikely,
+    // and with depth 4 the MIN needs a collision in EVERY row to drift
+    est shouldBe freq.map { case (k, n) => k -> n.toLong }
+    // unseen key estimates 0 via the left join
+    val unseen = Sketches.cmsEstimate(sk, Seq("zz").toDF("k"), "k", depth = 4, width = 64)
+    unseen.collect().head.getLong(1) shouldBe 0L
+  }
+
+  test("count-min sketches MERGE: cell-wise sum of shard sketches equals the full build") {
+    val df = (1 to 400).map(i => s"k${i % 37}").toDF("k")
+    val (h1, h2) = (df.filter(md5(col("k")).substr(1, 1) < "8"),
+                    df.filter(md5(col("k")).substr(1, 1) >= "8"))
+    val merged = Sketches.cmsBuild(h1, "k").unionByName(Sketches.cmsBuild(h2, "k"))
+      .groupBy("j", "cell").agg(sum("cnt").as("cnt"))
+    canon(merged) shouldBe canon(Sketches.cmsBuild(df, "k"))
+  }
+
+  test("HLL registers MERGE by max; estimate lands within 5% at p=10 on 5k keys") {
+    val df = (1 to 5000).map(i => s"user_$i").toDF("k")
+    val est = Sketches.hllEstimate(Sketches.hllRegisters(df, "k", 10), 10)
+      .collect().head.getAs[Double]("est")
+    est shouldBe 5000.0 +- 250.0
+    // shard registers merge with MAX — same registers as the full pass
+    val (h1, h2) = (df.filter(org.apache.spark.sql.functions.length(col("k")) <= 6),
+                    df.filter(org.apache.spark.sql.functions.length(col("k")) > 6))
+    val merged = Sketches.hllRegisters(h1, "k", 10)
+      .unionByName(Sketches.hllRegisters(h2, "k", 10))
+      .groupBy("bucket").agg(max("r").as("r"))
+    canon(merged) shouldBe canon(Sketches.hllRegisters(df, "k", 10))
+  }
+
+  test("HLL estimate is insensitive to duplication (registers are max, not sum)") {
+    val once = (1 to 500).map(i => s"u$i").toDF("k")
+    val dup = once.union(once).union(once)
+    canon(Sketches.hllRegisters(dup, "k", 10)) shouldBe canon(Sketches.hllRegisters(once, "k", 10))
+  }
+
+  test("applyChanges: insert, update, delete, latest-wins, tie-break, passthrough") {
+    val base = Seq((1L, "A", 10.0), (2L, "B", 20.0), (3L, "C", 30.0))
+      .toDF("id", "status", "price")
+    val changes = Seq(
+      (2L, 1L, "U", "X", 21.0), (2L, 2L, "U", "Y", 22.0),  // latest (seq 2) wins
+      (3L, 5L, "D", "-", 0.0),                             // delete key 3
+      (4L, 1L, "I", "N", 40.0),                            // insert new key
+      (5L, 7L, "U", "Z", 50.0), (5L, 7L, "D", "-", 0.0))   // seq tie: U > D
+      .toDF("id", "seq", "op", "status", "price")
+    val out = Upsert.applyChanges(base, changes, "id", "seq", "op")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    out shouldBe Set(
+      (1L, "A", 10.0),   // untouched passthrough
+      (2L, "Y", 22.0),   // latest update applied
+      (4L, "N", 40.0),   // insert (base had no key)
+      (5L, "Z", 50.0))   // same-seq U beats D
+  }
+
+  test("applyChanges is idempotent: re-applying the same feed is a no-op") {
+    val base = Seq((1L, "A", 10.0), (2L, "B", 20.0)).toDF("id", "status", "price")
+    val changes = Seq((1L, 3L, "U", "U1", 11.0), (2L, 3L, "D", "-", 0.0))
+      .toDF("id", "seq", "op", "status", "price")
+    val once = Upsert.applyChanges(base, changes, "id", "seq", "op")
+    val twice = Upsert.applyChanges(once, changes, "id", "seq", "op")
+    canon(twice) shouldBe canon(once)
+  }
+
+  test("binaryFile round trip: materialized text files scan back with exact bytes") {
+    val docs = Seq((7L, "hello spark"), (8L, "binary\nsource"), (9L, ""))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_binspec_").toString
+    BinaryDir.materializeText(docs, dir)
+    val got = BinaryDir.ingest(spark, dir, "doc_*.txt")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    // the empty doc is skipped by contract: a 0-byte file would get no
+    // scan split anyway (see BinaryDir scaladoc)
+    val want = docs.filter("doc_id <> 9").select(
+        concat(lit("doc_"), col("doc_id"), lit(".txt")),
+        org.apache.spark.sql.functions.length(col("text")).cast("long"), md5(col("text")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    got shouldBe want
+    // re-materializing a DIFFERENT set cleans stale files first
+    BinaryDir.materializeText(Seq((1L, "only")).toDF("doc_id", "text"), dir)
+    BinaryDir.ingest(spark, dir, "doc_*.txt").count() shouldBe 1L
+  }
+}
