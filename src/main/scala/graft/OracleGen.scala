@@ -313,6 +313,46 @@ object OracleGen {
      SELECT node, pr FROM it$iters"""
   }
 
+  /** Triangle counts over the bucketed embedding-similarity graph
+    * (operators.Graph.triangleCounts on Dedup.embeddingPairs ≥ minCos):
+    * the same pair pipeline, then the identical (degree, id) edge
+    * orientation — each triangle closes exactly one oriented wedge, so
+    * both engines count the same integer set.
+    */
+  def triangleSql(minCos: Double = 0.4, nbits: Int = 6, dim: Int = 64,
+                  cap: Int = 40): String =
+    s"""WITH b AS (
+       SELECT vec_id, embedding, ${bucketSql("embedding", nbits, dim)} AS bucket
+       FROM embeddings),
+     capped AS (
+       SELECT vec_id, embedding, bucket FROM (
+         SELECT vec_id, embedding, bucket,
+           ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY vec_id) AS bn
+         FROM b) WHERE bn <= $cap),
+     prs AS (
+       SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b FROM capped a JOIN capped b2
+         ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+       WHERE ${cosineSql("a.embedding", "b2.embedding", dim)} >= $minCos),
+     edges AS (SELECT vec_a AS src, vec_b AS dst FROM prs
+               UNION SELECT vec_b, vec_a FROM prs),
+     deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+     o AS (
+       SELECT e.src, e.dst, dd.deg AS dg FROM edges e
+       JOIN deg ds ON ds.src = e.src
+       JOIN deg dd ON dd.src = e.dst
+       WHERE ds.deg < dd.deg OR (ds.deg = dd.deg AND e.src < e.dst)),
+     wed AS (
+       SELECT o1.src AS a, o1.dst AS b, o2.dst AS c FROM o o1 JOIN o o2 ON o1.src = o2.src
+       WHERE o1.dg < o2.dg OR (o1.dg = o2.dg AND o1.dst < o2.dst)),
+     tri AS (SELECT a, b, c FROM wed JOIN o ON o.src = wed.b AND o.dst = wed.c),
+     pn AS (
+       SELECT node, COUNT(*) AS n_triangles FROM (
+         SELECT a AS node FROM tri
+         UNION ALL SELECT b FROM tri
+         UNION ALL SELECT c FROM tri) GROUP BY 1)
+     SELECT pn.node, pn.n_triangles,
+       (SELECT COUNT(*) FROM tri) AS total_triangles FROM pn"""
+
   /** PQ encoding (operators.Similarity.pqEncode): the codebook is
     * rebuilt in SQL from the same smallest-md5 seed rows, and each
     * subspace's L2 sum is unrolled in the identical left-associative

@@ -1166,6 +1166,48 @@ object SparkEntry {
         tieCols = Seq("o_totalprice"))
     }),
 
+    // §2#64 analytic window sweep: the remaining rank/offset/
+    // distribution window functions over one shared (key, order) spec —
+    // one sort, one pass, no joins.
+    "q113_window_suite" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      t(s, dir, "orders").select(Seq("o_custkey", "o_orderkey", "o_totalprice")).df
+        .withColumn("rn", row_number().over(w))
+        .withColumn("prev_price", lag("o_totalprice", 1).over(w))
+        .withColumn("next_price", lead("o_totalprice", 1).over(w))
+        .withColumn("first_price", first("o_totalprice").over(w))
+        .withColumn("tile", ntile(4).over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .withColumn("pr", percent_rank().over(w))
+    }),
+
+    // §2#30j exact triangle counts over the cos>=0.4 similarity graph:
+    // (degree, id) edge orientation — wedge fan-out bounded by
+    // sqrt(2|E|) per vertex on ANY degree distribution, each triangle
+    // closes exactly one oriented wedge.
+    "q114_triangles" -> ((s, dir) => {
+      // 0.1 (vs pagerank's 0.4): this synthetic embedding space has no
+      // cos>=0.4 triangles at any sf — 0.1 yields a real triangle set
+      val pairs = operators.Dedup.embeddingPairs(t(s, dir, "embeddings").df)
+        .filter(col("cos") >= 0.1)
+      operators.Graph.triangleCounts(pairs, "vec_a", "vec_b")
+    }),
+
+    // §2#65 SCD2 history build: the per-user event_type change log
+    // compressed to validity periods (valid_to stitched by lead over
+    // the PERIOD rows, null = current) — micro-second longs out, so no
+    // timestamp formatting is in the hash.
+    "q115_scd2" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("tus"), col("event_type"))
+      operators.Rolling.scd2(ev, "user_id", "tus", "event_type",
+          tieCols = Seq("event_id"))
+        .select(col("user_id"), col("value").as("status"),
+          col("valid_from").as("from_us"), col("valid_to").as("to_us"),
+          col("n_rows"), col("period_seq"))
+    }),
+
     // §2#63 binaryFile ingest: raw per-document files (materialized by
     // a distributed foreachPartition writer — test stand-in for an
     // object store) read back through Spark's binaryFile source and
@@ -2572,6 +2614,39 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
            CASE WHEN win.op IS NOT NULL THEN win.o_totalprice ELSE b.o_totalprice END AS o_totalprice
          FROM orders b FULL OUTER JOIN win USING (o_orderkey)
          WHERE win.op IS NULL OR win.op <> 'D'""",
+
+    "q113_window_suite" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+           CAST(row_number() OVER w AS INT) AS rn,
+           lag(o_totalprice, 1) OVER w AS prev_price,
+           lead(o_totalprice, 1) OVER w AS next_price,
+           first_value(o_totalprice) OVER w AS first_price,
+           CAST(ntile(4) OVER w AS INT) AS tile,
+           cume_dist() OVER w AS cd,
+           percent_rank() OVER w AS pr
+         FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)""",
+
+    "q114_triangles" -> OracleGen.triangleSql(minCos = 0.1),
+
+    "q115_scd2" ->
+      """WITH e AS (
+           SELECT user_id, event_id, epoch_us(ts) AS tus, event_type FROM events),
+         r AS (
+           SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+                            OR lag(event_type) OVER w <> event_type
+                          THEN 1 ELSE 0 END AS chg
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+         p AS (
+           SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY tus, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS per FROM r),
+         g AS (
+           SELECT user_id, per, MIN(event_type) AS status, MIN(tus) AS from_us,
+                  COUNT(*) AS n_rows
+           FROM p GROUP BY 1, 2)
+         SELECT user_id, status, from_us,
+           lead(from_us) OVER (PARTITION BY user_id ORDER BY per) AS to_us,
+           n_rows, CAST(per AS BIGINT) AS period_seq
+         FROM g""",
 
     "q112_binary_source" ->
       """SELECT parse_filename(filename) AS file_name,

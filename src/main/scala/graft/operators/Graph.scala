@@ -57,4 +57,50 @@ object Graph {
     }
     pr
   }
+
+  /** Exact triangle count per vertex over an undirected pair list —
+    * the local clustering signal (a near-dup pair embedded in many
+    * triangles sits in a dense template/boilerplate cluster; an
+    * isolated pair is a one-off). Returns (node, n_triangles) for
+    * every vertex on at least one triangle, plus the global count as
+    * a column (same value every row — keeps the output one frame).
+    *
+    * The naive edge³ self-join is quadratic in the max degree. The
+    * standard fix (Schank/Wagner degree orientation): orient every
+    * edge from the endpoint with (degree, id)-smaller to the larger —
+    * an acyclic tournament where each triangle appears EXACTLY ONCE as
+    * a wedge a→b, a→c (a the smallest) closed by b→c. Out-degrees in
+    * the oriented graph are bounded by √(2·|E|) for ANY degree
+    * distribution — a Zipf-hot hub's edges point INTO it, so the
+    * wedge fan-out per vertex stays sub-quadratic; wedge generation
+    * is a self-join on the oriented source and the close check is a
+    * plain hash semi-join against the oriented edge set.
+    */
+  def triangleCounts(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    // orient by (deg, id): strict total order → acyclic
+    val oriented = edges
+      .join(deg.withColumnRenamed("src", "src_").withColumnRenamed("deg", "ds"),
+        col("src") === col("src_")).drop("src_")
+      .join(deg.withColumnRenamed("src", "dst_").withColumnRenamed("deg", "dd"),
+        col("dst") === col("dst_")).drop("dst_")
+      .filter(col("ds") < col("dd") || (col("ds") === col("dd") && col("src") < col("dst")))
+      .select(col("src"), col("dst"), col("dd").as("dg"))
+    // wedge pair ordered by the SAME (deg, id) orientation key, so the
+    // closing edge — if it exists — is oriented exactly b→c
+    val wedges = oriented.select(col("src").as("a"), col("dst").as("b"), col("dg").as("bg"))
+      .join(oriented.select(col("src").as("a"), col("dst").as("c"), col("dg").as("cg")), Seq("a"))
+      .filter(col("bg") < col("cg") || (col("bg") === col("cg") && col("b") < col("c")))
+      .select("a", "b", "c")
+    val tris = wedges.join(
+      oriented.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
+    val perNode = tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+    perNode.crossJoin(broadcast(
+      tris.agg(count(lit(1)).as("total_triangles"))))
+  }
 }

@@ -144,4 +144,46 @@ object Rolling {
       .agg(count(lit(1)).as("n_islands"),
            sum(col("_e") - col("_s")).as("covered_us"))
   }
+
+  /** SCD2 history build (SURVEY.md §2 #65): compress a per-key change
+    * log into validity periods — one row per RUN of consecutive equal
+    * values with [valid_from, valid_to) bounds, valid_to NULL on the
+    * open current row. The dimension-table shape every warehouse
+    * keeps; also the state-timeline view of an event stream (which
+    * plan/flag/status held when).
+    *
+    * Gaps-and-islands again ([[mergeIntervals]]'s kin) but keyed on
+    * VALUE CHANGE, not overlap: new period iff the value differs from
+    * `lag` (one key-partitioned sort both windows share); period id =
+    * running sum of change flags; bounds aggregate with partial
+    * combines, the close stitches via `lead` over the compressed
+    * period rows (a second window, but over periods — corpus-row
+    * volume never re-sorts).
+    *
+    * (timeCol, tieCols) must total-order rows per key (same contract
+    * as twap's unique-id tiebreak — repeated raw timestamps otherwise
+    * make run boundaries nondeterministic). `period_seq` (the run
+    * index, 1-based) orders the history and is what the close-stitch
+    * window sorts on — period start times CAN tie at a boundary,
+    * period indices cannot.
+    */
+  def scd2(df: DataFrame, keyCol: String, timeCol: String, valueCol: String,
+           tieCols: Seq[String] = Nil): DataFrame = {
+    val ord = col(timeCol) +: tieCols.map(col)
+    val w = Window.partitionBy(keyCol).orderBy(ord: _*)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val periods = df
+      .withColumn("_chg",
+        when(lag(col(valueCol), 1).over(w).isNull ||
+             lag(col(valueCol), 1).over(w) =!= col(valueCol), 1L).otherwise(0L))
+      .withColumn("_per", sum(col("_chg")).over(run))
+      .groupBy(col(keyCol), col("_per"))
+      .agg(min(col(valueCol)).as("value"), // all equal within a run
+           min(col(timeCol)).as("valid_from"),
+           count(lit(1)).as("n_rows"))
+    val wp = Window.partitionBy(keyCol).orderBy(col("_per"))
+    periods.withColumn("valid_to", lead(col("valid_from"), 1).over(wp))
+      .select(col(keyCol), col("value"), col("valid_from"), col("valid_to"),
+        col("n_rows"), col("_per").as("period_seq"))
+  }
 }

@@ -937,4 +937,73 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("triangleCounts: K4 has 4 triangles (3 per vertex); a path has none; hub star has none") {
+    import spark.implicits._
+    import graft.operators.Graph
+    val k4 = (for (a <- 1 to 4; b <- (a + 1) to 4) yield (a.toLong, b.toLong)).toDF("x", "y")
+    val got = Graph.triangleCounts(k4, "x", "y")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.map(_._3).distinct shouldBe Array(4L)
+    got.map(t => t._1 -> t._2).toMap shouldBe Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L)
+    // path 1-2-3-4: wedges exist, no closures
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("x", "y")
+    Graph.triangleCounts(path, "x", "y").count() shouldBe 0L
+    // Zipf-hub star (the orientation's reason to exist): no triangles,
+    // and every edge points INTO the hub so wedge fan-out stays 0
+    val star = (2 to 40).map(i => (1L, i.toLong)).toDF("x", "y")
+    Graph.triangleCounts(star, "x", "y").count() shouldBe 0L
+  }
+
+  test("triangleCounts matches brute-force enumeration on a random graph") {
+    import spark.implicits._
+    import graft.operators.Graph
+    val rnd = new scala.util.Random(11)
+    val edges = (1 to 120).map(_ => (rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val adj = edges.toSet
+    def linked(a: Long, b: Long) = adj((math.min(a, b), math.max(a, b)))
+    val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct.sorted
+    val brute = (for {
+      Seq(a, b, c) <- nodes.combinations(3)
+      if linked(a, b) && linked(a, c) && linked(b, c)
+    } yield Seq(a, b, c)).toSeq
+    val perNode = brute.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = Graph.triangleCounts(edges.toDF("x", "y"), "x", "y")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    if (brute.nonEmpty) {
+      got.map(_._3).distinct shouldBe Array(brute.size.toLong)
+      got.map(t => t._1 -> t._2).toMap shouldBe perNode
+    } else got.length shouldBe 0
+  }
+
+  test("scd2 compresses runs, stitches valid_to, leaves the current row open") {
+    import spark.implicits._
+    import graft.operators.Rolling
+    val log = Seq(
+      (1L, 10L, 1L, "A"), (1L, 20L, 2L, "A"), (1L, 30L, 3L, "B"),
+      (1L, 40L, 4L, "A"),                       // A returns → NEW period
+      (2L, 10L, 5L, "X"))
+      .toDF("k", "t", "id", "v")
+    val got = Rolling.scd2(log, "k", "t", "v", tieCols = Seq("id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    got shouldBe Set(
+      (1L, "A", 10L, 30L, 2L, 1L),
+      (1L, "B", 30L, 40L, 1L, 2L),
+      (1L, "A", 40L, -1L, 1L, 3L),
+      (2L, "X", 10L, -1L, 1L, 1L))
+  }
+
+  test("scd2 tie-break makes equal-timestamp boundaries deterministic") {
+    import spark.implicits._
+    import graft.operators.Rolling
+    // two rows at t=10 with different values: id order decides the runs
+    val log = Seq((1L, 10L, 1L, "A"), (1L, 10L, 2L, "B"), (1L, 20L, 3L, "B"))
+      .toDF("k", "t", "id", "v")
+    val got = Rolling.scd2(log, "k", "t", "v", tieCols = Seq("id"))
+      .collect().map(r => (r.getString(1), r.getLong(4), r.getLong(5))).toSet
+    got shouldBe Set(("A", 1L, 1L), ("B", 2L, 2L))
+  }
+
 }

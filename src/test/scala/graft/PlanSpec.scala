@@ -405,6 +405,21 @@ class PlanSpec extends SparkSpec {
     p should include("ReadSchema: struct<o_orderkey:bigint,o_orderstatus:string,o_totalprice:double>")
   }
 
+  test("q113 window sweep: ONE shared sort/exchange drives all seven window functions") {
+    val p = plan("q113_window_suite")
+    p.linesIterator.count(_.contains("Exchange hashpartitioning")) shouldBe 1
+    p.linesIterator.count(_.contains("+- Sort ")) shouldBe 1
+  }
+
+  test("q115 scd2: corpus rows sort once; the stitch window runs over compressed periods") {
+    val p = plan("q115_scd2")
+    // lag + running-sum share ONE raw-row sort; the stitch window and
+    // the period agg reuse the key partitioning — a single exchange
+    // for the whole history build
+    p.linesIterator.count(_.contains("Exchange hashpartitioning")) shouldBe 1
+    p.linesIterator.count(_.contains("+- Sort ")) shouldBe 2
+  }
+
   test("q112 binaryFile ingest: scan is the binaryFile source, map-only to the normalized projection") {
     val p = plan("q112_binary_source")
     p.toLowerCase should include("binaryfile")
