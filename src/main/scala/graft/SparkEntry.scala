@@ -1208,6 +1208,18 @@ object SparkEntry {
           col("n_rows"), col("period_seq"))
     }),
 
+    // §2#61b per-group HLL: distinct users per event type from one
+    // grouped register table (|groups|·2^p rows max) — the segment-
+    // cardinality report without shuffling every (group, key) pair;
+    // exact countDistinct alongside for the error audit.
+    "q116_hll_by_group" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+      val regs = functions.Sketches.hllRegistersBy(ev, Seq("event_type"), "user_id", 10)
+      functions.Sketches.hllEstimateBy(regs, Seq("event_type"), 10)
+        .join(ev.groupBy("event_type")
+          .agg(countDistinct("user_id").as("exact_distinct")), Seq("event_type"))
+    }),
+
     // §2#63 binaryFile ingest: raw per-document files (materialized by
     // a distributed foreachPartition writer — test stand-in for an
     // object store) read back through Spark's binaryFile source and
@@ -2647,6 +2659,27 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
            lead(from_us) OVER (PARTITION BY user_id ORDER BY per) AS to_us,
            n_rows, CAST(per AS BIGINT) AS period_seq
          FROM g""",
+
+    "q116_hll_by_group" ->
+      """WITH k AS (SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS key FROM events),
+         h AS (SELECT event_type, ('0x' || substr(md5(key), 1, 8))::BIGINT AS h1,
+                      ('0x' || substr(md5(key), 9, 8))::BIGINT AS w FROM k),
+         regs AS (
+           SELECT event_type, h1 >> 22 AS bucket,
+                  MAX(CASE WHEN w = 0 THEN 33 ELSE 33 - length(bin(w)) END) AS r
+           FROM h GROUP BY 1, 2),
+         s AS (SELECT event_type, COUNT(*) AS nonzero,
+                      CAST(SUM(1::BIGINT << (33 - r)) AS BIGINT) AS zsum
+               FROM regs GROUP BY 1),
+         ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+                FROM events GROUP BY 1)
+         SELECT s.event_type, s.nonzero,
+           zsum + (1024 - nonzero) * (1::BIGINT << 33) AS zs,
+           0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 1024.0::DOUBLE)
+             * 1048576.0::DOUBLE * 8589934592.0::DOUBLE
+             / CAST(zsum + (1024 - nonzero) * (1::BIGINT << 33) AS DOUBLE) AS est,
+           ex.exact_distinct
+         FROM s JOIN ex USING (event_type)""",
 
     "q112_binary_source" ->
       """SELECT parse_filename(filename) AS file_name,

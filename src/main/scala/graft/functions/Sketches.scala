@@ -76,6 +76,40 @@ object Sketches {
       .groupBy("bucket").agg(max("rho").as("r"))
   }
 
+  /** Per-group HLL registers: one register table per value of
+    * `groupCols` — the reporting shape (distinct users per segment,
+    * distinct docs per source) where exact per-group countDistinct
+    * would shuffle every (group, key) pair. Register volume is
+    * |groups| × 2^p rows max, partial-max map-side, one shuffle.
+    */
+  def hllRegistersBy(df: DataFrame, groupCols: Seq[String], keyCol: String,
+                     p: Int = 10): DataFrame = {
+    val k = col(keyCol).cast("string")
+    val w = Hashing.md5Long32b(k)
+    df.select(groupCols.map(col) :+
+        shiftrightunsigned(Hashing.md5Long32(k), 32 - p).as("bucket") :+
+        when(w === 0L, lit(33)).otherwise(lit(33) - length(bin(w))).as("rho"): _*)
+      .groupBy(groupCols.map(col) :+ col("bucket"): _*).agg(max("rho").as("r"))
+  }
+
+  /** Per-group estimates from [[hllRegistersBy]] output: same exact
+    * BIGINT Z-sum and final-division shape as [[hllEstimate]], one row
+    * per group.
+    */
+  def hllEstimateBy(registers: DataFrame, groupCols: Seq[String],
+                    p: Int = 10): DataFrame = {
+    val m = 1L << p
+    registers
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("nonzero"),
+           sum(expr("shiftleft(cast(1 as bigint), 33 - r)")).as("zsum"))
+      .select(groupCols.map(col) :+ col("nonzero") :+
+        (col("zsum") + (lit(m) - col("nonzero")) * lit(1L << 33)).as("zs"): _*)
+      .withColumn("est",
+        lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble)) *
+          lit((m * m).toDouble) * lit(8589934592.0) / col("zs").cast("double"))
+  }
+
   /** The raw HLL estimate from a register table: with Z scaled by 2^33
     * every term 2^(33−r) is an exact integer (empty buckets contribute
     * 2^33), so the register sum is pure BIGINT arithmetic — the single

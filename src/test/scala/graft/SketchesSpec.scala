@@ -55,6 +55,23 @@ class SketchesSpec extends SparkSpec {
     canon(merged) shouldBe canon(Sketches.hllRegisters(df, "k", 10))
   }
 
+  test("grouped HLL registers equal the per-group single-table build") {
+    // ≥ 2.5·m keys per group — the raw estimator's valid range (no
+    // small-range LinearCounting correction by documented contract)
+    val df = (1 to 15000).map(i => (s"g${i % 3}", s"user_${i % 5000}")).toDF("g", "k")
+    val grouped = Sketches.hllRegistersBy(df, Seq("g"), "k", 10)
+    for (g <- Seq("g0", "g1", "g2")) {
+      canon(grouped.filter(col("g") === g).select("bucket", "r")) shouldBe
+        canon(Sketches.hllRegisters(df.filter(col("g") === g), "k", 10))
+    }
+    // per-group estimates carry through the same arithmetic; each group
+    // holds every key (gcd(3, 5000) = 1 → residues cover all of them)
+    val est = Sketches.hllEstimateBy(grouped, Seq("g"), 10)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("est")).toMap
+    est.keySet shouldBe Set("g0", "g1", "g2")
+    all(est.values.map(_ / 5000.0)) should (be >= 0.9 and be <= 1.1)
+  }
+
   test("HLL estimate is insensitive to duplication (registers are max, not sum)") {
     val once = (1 to 500).map(i => s"u$i").toDF("k")
     val dup = once.union(once).union(once)
