@@ -1220,6 +1220,13 @@ object SparkEntry {
           .agg(countDistinct("user_id").as("exact_distinct")), Seq("event_type"))
     }),
 
+    // §2#60b streaming sketch build: the CMS aggregation over the
+    // event STREAM — state is the fixed-size sketch itself, and the
+    // final snapshot hash-matches the batch build (commutative cells),
+    // so the identical oracle verifies the streaming path.
+    "q117_stream_sketch" -> ((s, dir) =>
+      streaming.Events.streamCmsSketch(s, s"$dir/events.parquet")),
+
     // §2#63 binaryFile ingest: raw per-document files (materialized by
     // a distributed foreachPartition writer — test stand-in for an
     // object store) read back through Spark's binaryFile source and
@@ -2659,6 +2666,14 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
            lead(from_us) OVER (PARTITION BY user_id ORDER BY per) AS to_us,
            n_rows, CAST(per AS BIGINT) AS period_seq
          FROM g""",
+
+    "q117_stream_sketch" ->
+      """WITH k AS (SELECT CAST(user_id AS VARCHAR) AS user_id FROM events),
+         cells AS (
+           SELECT user_id, j.j,
+             ('0x' || substr(md5('cm' || j.j || '|' || user_id), 1, 8))::BIGINT % 1024 AS cell
+           FROM k CROSS JOIN (SELECT unnest([0,1,2,3]) AS j) j)
+         SELECT j, cell, COUNT(*) AS cnt FROM cells GROUP BY 1, 2""",
 
     "q116_hll_by_group" ->
       """WITH k AS (SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS key FROM events),

@@ -149,6 +149,24 @@ object Events {
     spark.table(name)
   }
 
+  /** #27c streaming count-min sketch build (SURVEY §2 #60): the CMS
+    * cell aggregation run in complete mode over the event stream —
+    * bit-identical to the batch [[graft.functions.Sketches.cmsBuild]]
+    * because cells are commutative sums, which is exactly why the
+    * sketch is the right continuous-ingest artifact: the operator
+    * state IS the sketch (≤ depth·width rows regardless of stream
+    * length or key cardinality — never keyed by user), and a snapshot
+    * at any micro-batch is a valid sketch of everything ingested.
+    */
+  def streamCmsSketch(spark: SparkSession, eventsPath: String,
+                      depth: Int = 4, width: Int = 1024,
+                      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val st = readStream(spark, eventsPath, maxFilesPerTrigger)
+      .select(col("user_id").cast("string").as("user_id"))
+    runToMemory(graft.functions.Sketches.cmsBuild(st, "user_id", depth, width),
+      "complete", "graft_cms_")
+  }
+
   /** Production sink: append-mode parquet with a checkpoint. State
     * stays bounded by the plan's watermark; output is distributed
     * (never driver-materialized). Caller owns the query lifecycle.

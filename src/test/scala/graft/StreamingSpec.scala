@@ -310,6 +310,15 @@ class StreamingSpec extends SparkSpec {
                   col("e.sum_value") =!= col("b.sum_value")).count() shouldBe 0L
   }
 
+  test("streaming CMS sketch across micro-batches equals the batch build cell-for-cell") {
+    val dir = timeSplitDir(s"$sfDir/events.parquet", 3)
+    val streamed = Events.streamCmsSketch(spark, dir, maxFilesPerTrigger = Some(1))
+    val batch = graft.functions.Sketches.cmsBuild(
+      Events.readBatch(spark, dir).select(col("user_id").cast("string").as("user_id")),
+      "user_id")
+    canon(streamed) shouldBe canon(batch)
+  }
+
   test("stream-static enrich: static side broadcast (no per-batch shuffle), counts exact") {
     // the un-started plan must carry the broadcast hint on the static side
     val plan = Events.streamEnrichPlan(spark, s"$sfDir/events.parquet")
