@@ -35,9 +35,13 @@ object Graph {
                dampNum: Int = 17, dampDen: Int = 20): DataFrame = {
     require(iters >= 1 && dampNum > 0 && dampDen > dampNum,
       s"need iters >= 1 and 0 < dampNum/dampDen < 1")
+    // the edge list is joined EVERY iteration — persist it (pair-list-
+    // sized, the components pattern) or each round re-runs the full
+    // upstream candidate-pair pipeline
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).persist()
     val nV = deg.count()
     require(nV > 0, "pageRank: empty edge list — no vertices to rank")
@@ -77,9 +81,14 @@ object Graph {
     * plain hash semi-join against the oriented edge set.
     */
   def triangleCounts(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // persisted like components' pair list: the edge list is the small
+    // derived artifact (candidate pairs), and it feeds degrees, both
+    // orientation joins, and the wedge closure — without the persist
+    // each reference re-runs the full upstream candidate pipeline
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     // orient by (deg, id): strict total order → acyclic
     val oriented = edges
