@@ -1227,6 +1227,103 @@ object SparkEntry {
     "q117_stream_sketch" -> ((s, dir) =>
       streaming.Events.streamCmsSketch(s, s"$dir/events.parquet")),
 
+    // §2#50b point-in-interval join: lineitems shipped inside their
+    // order's 120-day fulfillment window — intervals bucket-split to
+    // 32-day cells, points keep one cell, plain hash equi-join + exact
+    // BETWEEN residual.
+    "q118_interval_join" -> ((s, dir) => {
+      val usDay = 86400000000L
+      // dates ship as TIMESTAMP_NTZ; the cast reads them in the session
+      // tz, pinned UTC everywhere (the Events.normTs contract)
+      val pts = t(s, dir, "lineitem").df.select(
+        col("l_orderkey"), col("l_linenumber"),
+        expr(s"unix_micros(cast(l_shipdate as timestamp)) div $usDay").as("ship_day"))
+      val ivs = t(s, dir, "orders").df.select(
+        col("o_orderkey").as("l_orderkey"),
+        expr(s"unix_micros(cast(o_orderdate as timestamp)) div $usDay").as("d0"))
+        .withColumn("d1", col("d0") + 120)
+      operators.RangeJoin.intervalJoin(pts, ivs, Seq("l_orderkey"),
+        "ship_day", "d0", "d1", bucket = 32L)
+    }),
+
+    // §2#53h first-order Markov transitions: (from → to) step counts
+    // and row-normalized probabilities over per-user event sequences.
+    "q119_transitions" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("tus"), col("event_type"))
+      operators.Behavior.transitions(ev, "user_id", "tus", "event_type",
+        tieCols = Seq("event_id"))
+    }),
+
+    // §2#62b snapshot diff: the q111 CDC apply audited against its own
+    // base — every order key classified added/removed/changed/same via
+    // one full-outer join on null-safe payload-struct equality.
+    // assumeUnique: o_orderkey is the base PK and the q111 winner
+    // window emits one row per key by construction; the guard
+    // aggregations are for unknown feeds (spec-tested).
+    "q120_snapshot_diff" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+        .select(Seq("o_orderkey", "o_orderstatus", "o_totalprice")).df
+      val next = queries("q111_cdc_upsert")(s, dir)
+      operators.Upsert.diffSnapshots(base, next, "o_orderkey",
+        keepSame = true, assumeUnique = true)
+    }),
+
+    // §2#52f sparse equi-width histogram: document length distribution
+    // per source in 200-char bins — one partial agg, bins map-side.
+    "q121_histogram" -> ((s, dir) =>
+      functions.Profile.histogram(t(s, dir, "documents").df,
+        "source", "n_chars", 200L)),
+
+    // §2#56c Pareto frontier: users not dominated on (event volume,
+    // behavioral diversity) — the multi-criteria selection curve,
+    // histogram-sized at every step after the per-user agg.
+    "q122_pareto" -> ((s, dir) => {
+      val perUser = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+             countDistinct("event_type").as("n_types"))
+      functions.Profile.paretoFront2(perUser, "n_events", "n_types")
+    }),
+
+    // §2#32c containment near-dup: common/min(na,nb) ≥ 1/2 over the
+    // same rare-trigram inverted index as q25 — catches a short doc
+    // embedded in a long one, which Jaccard structurally misses.
+    "q123_containment" -> ((s, dir) =>
+      operators.Dedup.containmentJoin(t(s, dir, "documents").df)),
+
+    // §2#53i linear-decay weighted moving average: trailing-10 smoother
+    // per user via the (k−rn)·S1 + S2 two-frame-sum decomposition —
+    // exact integer arithmetic end to end, one double division.
+    "q124_wma" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("tus"), col("value"))
+      operators.Rolling.wma(ev, "user_id", "tus", "value", "event_id", k = 10)
+    }),
+
+    // §2#52g GROUPING SETS: the arbitrary-combination form completing
+    // cube (q104) / rollup (q71) — (pri, status), (pri), and the grand
+    // total in ONE Expand + partial-agg pass.
+    "q125_grouping_sets" -> ((s, dir) =>
+      t(s, dir, "orders").df
+        .groupingSets(
+          Seq(Seq(col("o_orderpriority"), col("o_orderstatus")),
+              Seq(col("o_orderpriority")), Seq()),
+          col("o_orderpriority"), col("o_orderstatus"))
+        .agg(grouping(col("o_orderpriority")).cast("int").as("g_pri"),
+             grouping(col("o_orderstatus")).cast("int").as("g_st"),
+             count(lit(1)).as("n"),
+             sum(dec(col("o_totalprice"))).cast("double").as("total"))),
+
+    // §2#61c streaming HLL build: the register max-aggregation over the
+    // event stream — state IS the ≤1024-row register table at any key
+    // cardinality; the final snapshot matches the batch registers
+    // cell-for-cell under the same oracle.
+    "q126_stream_hll" -> ((s, dir) =>
+      streaming.Events.streamHllRegisters(s, s"$dir/events.parquet")),
+
     // §2#63 binaryFile ingest: raw per-document files (materialized by
     // a distributed foreachPartition writer — test stand-in for an
     // object store) read back through Spark's binaryFile source and
@@ -2700,6 +2797,133 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
       """SELECT parse_filename(filename) AS file_name,
            octet_length(content) AS n_bytes,
            md5(decode(content)) AS content_md5
-         FROM read_blob('/tmp/graft_binsrc/doc_*.txt')"""
+         FROM read_blob('/tmp/graft_binsrc/doc_*.txt')""",
+
+    "q118_interval_join" ->
+      """SELECT l_orderkey, l_linenumber,
+           epoch_us(l_shipdate) // 86400000000 AS ship_day,
+           epoch_us(o_orderdate) // 86400000000 AS d0,
+           epoch_us(o_orderdate) // 86400000000 + 120 AS d1
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE epoch_us(l_shipdate) // 86400000000
+                 >= epoch_us(o_orderdate) // 86400000000
+           AND epoch_us(l_shipdate) // 86400000000
+                 <= epoch_us(o_orderdate) // 86400000000 + 120""",
+
+    "q119_transitions" ->
+      """WITH e AS (
+           SELECT user_id, event_id, epoch_us(ts) AS tus, event_type FROM events),
+         s AS (
+           SELECT event_type AS from_type,
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS to_type
+           FROM e),
+         c AS (SELECT from_type, to_type, COUNT(*) AS n FROM s
+               WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         t AS (SELECT from_type, SUM(n) AS tot FROM c GROUP BY 1)
+         SELECT from_type, to_type, n,
+           ROUND(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 9) AS p
+         FROM c JOIN t USING (from_type)""",
+
+    "q120_snapshot_diff" ->
+      """WITH ch AS (
+           SELECT l_orderkey AS o_orderkey, CAST(l_linenumber AS BIGINT) AS seq,
+             CASE WHEN ('0x' || substr(md5('op' || l_orderkey || ':' || l_linenumber), 1, 8))::BIGINT % 7 = 0
+                  THEN 'D' ELSE 'U' END AS op,
+             'R' AS o_orderstatus, l_extendedprice AS o_totalprice
+           FROM lineitem),
+         w AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC, op DESC, o_totalprice DESC) AS rn FROM ch),
+         win AS (SELECT o_orderkey, op, o_orderstatus, o_totalprice FROM w WHERE rn = 1),
+         newsnap AS (
+           SELECT o_orderkey,
+             CASE WHEN win.op IS NOT NULL THEN win.o_orderstatus ELSE b.o_orderstatus END AS o_orderstatus,
+             CASE WHEN win.op IS NOT NULL THEN win.o_totalprice ELSE b.o_totalprice END AS o_totalprice
+           FROM orders b FULL OUTER JOIN win USING (o_orderkey)
+           WHERE win.op IS NULL OR win.op <> 'D'),
+         o AS (SELECT o_orderkey, o_orderstatus AS os_o, o_totalprice AS tp_o, 1 AS in_o FROM orders),
+         n AS (SELECT o_orderkey, o_orderstatus AS os_n, o_totalprice AS tp_n, 1 AS in_n FROM newsnap)
+         SELECT o_orderkey,
+           CASE WHEN in_o IS NULL THEN 'added'
+                WHEN in_n IS NULL THEN 'removed'
+                WHEN os_o IS NOT DISTINCT FROM os_n
+                 AND tp_o IS NOT DISTINCT FROM tp_n THEN 'same'
+                ELSE 'changed' END AS change
+         FROM o FULL OUTER JOIN n USING (o_orderkey)""",
+
+    "q121_histogram" ->
+      """SELECT source, n_chars // 200 AS bin, (n_chars // 200) * 200 AS bin_lo,
+           COUNT(*) AS n
+         FROM documents GROUP BY 1, 2, 3""",
+
+    "q122_pareto" ->
+      """WITH u AS (
+           SELECT user_id, COUNT(*) AS x0, COUNT(DISTINCT event_type) AS y0
+           FROM events GROUP BY 1),
+         pts AS (SELECT x0 AS x, y0 AS y, COUNT(*) AS n FROM u GROUP BY 1, 2)
+         SELECT x, y, n FROM pts p
+         WHERE NOT EXISTS (
+           SELECT 1 FROM pts q
+           WHERE q.x >= p.x AND q.y >= p.y AND (q.x > p.x OR q.y > p.y))""",
+
+    "q123_containment" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
+         sh AS (
+           SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            for i in generate_series(1, len(w)-2)]) AS grams
+           FROM toks WHERE len(w) >= 3),
+         post AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+         rare AS (SELECT g FROM post GROUP BY g HAVING COUNT(*) <= 20),
+         rpost AS (SELECT doc_id, g FROM post WHERE g IN (SELECT g FROM rare)),
+         cnt AS (SELECT doc_id, COUNT(*) AS n FROM rpost GROUP BY doc_id),
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+           FROM rpost a JOIN rpost b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT doc_a, doc_b, common, containment, rnk FROM (
+           SELECT doc_a, doc_b, common,
+             CAST(common AS DOUBLE) / least(ca.n, cb.n) AS containment,
+             CAST(ROW_NUMBER() OVER (
+               ORDER BY CAST(common AS DOUBLE) / least(ca.n, cb.n) DESC, doc_a, doc_b) AS INT) AS rnk
+           FROM pairs
+           JOIN cnt ca ON doc_a = ca.doc_id
+           JOIN cnt cb ON doc_b = cb.doc_id
+           WHERE common * 2 >= least(ca.n, cb.n) * 1)
+         WHERE rnk <= 100""",
+
+    "q124_wma" ->
+      """WITH e AS (
+           SELECT user_id, event_id, epoch_us(ts) AS tus, value,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vq
+           FROM events),
+         r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY tus, event_id) AS rn FROM e),
+         f AS (
+           SELECT user_id, event_id, tus, value, rn,
+             SUM(CAST(vq AS DECIMAL(38,0))) OVER w AS s1,
+             SUM(CAST(vq AS DECIMAL(38,0)) * rn) OVER w AS s2,
+             COUNT(*) OVER w AS m
+           FROM r WINDOW w AS (PARTITION BY user_id ORDER BY rn
+             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+         SELECT user_id, event_id, tus, value,
+           ROUND(CAST((10 - rn) * s1 + s2 AS DOUBLE)
+             / CAST(m * 10 - (m * (m - 1)) // 2 AS DOUBLE) / 1000000.0, 9) AS wma
+         FROM f""",
+
+    "q125_grouping_sets" ->
+      """SELECT o_orderpriority, o_orderstatus,
+         CAST(GROUPING(o_orderpriority) AS INT) AS g_pri,
+         CAST(GROUPING(o_orderstatus) AS INT) AS g_st,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())""",
+
+    "q126_stream_hll" ->
+      """WITH k AS (SELECT CAST(user_id AS VARCHAR) AS key FROM events),
+         h AS (SELECT ('0x' || substr(md5(key), 1, 8))::BIGINT AS h1,
+                      ('0x' || substr(md5(key), 9, 8))::BIGINT AS w FROM k)
+         SELECT h1 >> 22 AS bucket,
+           CAST(MAX(CASE WHEN w = 0 THEN 33 ELSE 33 - length(bin(w)) END) AS INT) AS r
+         FROM h GROUP BY 1"""
   )
 }

@@ -172,6 +172,69 @@ object Profile {
       .select(col("p.col_a").as("col_a"), col("p.col_b").as("col_b"), col("p.r").as("r"))
   }
 
+  /** Sparse equi-width histogram of an integer metric per group: one
+    * row per OCCUPIED bin — the length/score/token-count distribution
+    * table behind every corpus dashboard, at any scale, in one partial
+    * agg (bin assignment is map-side integer arithmetic; the shuffle
+    * carries (group, bin) cells, never rows). Empty bins are not
+    * emitted (at 100 TB the value range is unknowable up front; a
+    * dense grid is the caller's map-side `sequence` explode over the
+    * observed bin bounds if a chart needs it).
+    *
+    * Bin id is exact floor division via the subtract-remainder trick
+    * (correct for negative values too — `bucketOf`'s contract in
+    * RangeJoin, same arithmetic both engines).
+    */
+  def histogram(df: DataFrame, groupCol: String, valueCol: String,
+                binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val v = col(valueCol)
+    val bin = ((v - pmod(v, lit(binWidth))) / binWidth).cast("long")
+    df.groupBy(col(groupCol), bin.as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(col(groupCol), col("bin"), (col("bin") * binWidth).as("bin_lo"), col("n"))
+  }
+
+  /** 2-D Pareto frontier (skyline): the points not dominated in BOTH
+    * `xCol` and `yCol` (maximize-maximize; dominance = ≥ on both with
+    * one strict) — multi-criteria data selection ("longest AND
+    * highest-quality docs", cost/quality trade-off curves) without
+    * collapsing the criteria into one ad-hoc weighted score.
+    *
+    * Scale shape: a skyline self-join is O(n²); this is three
+    * histogram-sized steps. Rows collapse to DISTINCT (x, y) points
+    * map-side (partial agg — corpus size never passes the shuffle),
+    * per-x only the max-y point can be on the frontier (same x,
+    * higher y dominates), and across x the frontier test is "y
+    * strictly above the running max over all STRICTLY GREATER x" —
+    * one window over the distinct-x table ordered by −x with a range
+    * frame to −1 (range, not rows: equal x must not shadow each
+    * other; on longs, −x ≤ −x_cur−1 ⟺ x > x_cur exactly). The window
+    * is unpartitioned but sees one row per distinct x — the
+    * percentileRank histogram-state argument. Exact duplicates of a
+    * frontier point ride along in `n`.
+    *
+    * Values must be integral (longs); quantize doubles first (the
+    * corrMatrix `floor(v·scale + 0.5)` rule) — a range frame over
+    * raw doubles would put the frontier on a float boundary.
+    * Null coordinates are excluded (no dominance order with null).
+    *
+    * Output: (x, y, n) frontier points with their duplicate counts.
+    */
+  def paretoFront2(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val pts = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+      .agg(count(lit(1)).as("n"))
+    val byX = pts.groupBy("x").agg(max("y").as("y"))
+    val w = Window.orderBy(col("_negx"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val frontier = byX.withColumn("_negx", -col("x"))
+      .withColumn("_rm", max(col("y")).over(w))
+      .filter(col("_rm").isNull || col("y") > col("_rm"))
+      .select("x", "y")
+    frontier.join(pts, Seq("x", "y")).select("x", "y", "n")
+  }
+
   /** Per-group percentile-rank (cume_dist) normalization: each row's
     * value mapped to the fraction of its group at-or-below it — the
     * quantile transform that makes scores COMPARABLE across domains

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Behavioral analytics over event streams: ordered funnels and
@@ -81,6 +82,38 @@ object Behavior {
         round(col("n_both") / n, 9).as("support"),
         round(col("n_both").cast("double") / col("ca"), 9).as("confidence"),
         round(col("n_both") * n / (col("ca") * col("cb")), 9).as("lift"))
+  }
+
+  /** First-order Markov transition matrix over per-key event sequences:
+    * for every ordered (from_type → to_type) step a key takes, the
+    * count and the row-normalized transition probability — the
+    * next-action model behind journey analysis, anomaly flags
+    * ("this sequence is improbable"), and session simulators.
+    *
+    * Scale shape: ONE key-partitioned `lead` window ordered by
+    * (timeCol, tieCols — the twap/scd2 total-order contract, so
+    * repeated timestamps cannot make successor choice
+    * nondeterministic), then a (from, to) partial agg. The
+    * denominator join is against the |types|-sized out-degree table —
+    * broadcast-small by nature (it is the label vocabulary, not the
+    * corpus). Probability is an exact-count double division rounded
+    * at 1e-9 (engine-identical inputs, one guard against the final
+    * ulp).
+    */
+  def transitions(events: DataFrame, keyCol: String = "user_id",
+                  timeCol: String = "tus", typeCol: String = "event_type",
+                  tieCols: Seq[String] = Nil): DataFrame = {
+    val ord = col(timeCol) +: tieCols.map(col)
+    val w = Window.partitionBy(keyCol).orderBy(ord: _*)
+    val steps = events
+      .withColumn("_to", lead(col(typeCol), 1).over(w))
+      .filter(col("_to").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("_to").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val outTot = steps.groupBy("from_type").agg(sum("n").as("_tot"))
+    steps.join(outTot, Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("_tot").cast("double"), 9).as("p"))
   }
 
   /** Retention cohorts: users grouped by their FIRST active day, a

@@ -242,6 +242,20 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, dfMax: Int = 20, topK: Int = 100,
                    textCol: String = "text", idCol: String = "doc_id",
                    frequentBroadcastRows: Long = 2000000L): DataFrame = {
+    ngramPairCounts(docs, dfMax, textCol, idCol, frequentBroadcastRows)
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")))
+      .select("doc_a", "doc_b", "common", "jaccard")
+      .transform(p => topKRanked(p, topK, col("jaccard").desc, col("doc_a"), col("doc_b")))
+  }
+
+  /** Shared candidate machinery for [[ngramJaccard]] and
+    * [[containmentJoin]]: (doc_a, doc_b, common, na, nb) over the
+    * df-filtered rare-gram inverted index (doc_a < doc_b).
+    */
+  private def ngramPairCounts(docs: DataFrame, dfMax: Int,
+                              textCol: String, idCol: String,
+                              frequentBroadcastRows: Long): DataFrame = {
     // tokens pre-exchange (see minhashPairs): post-exchange projections
     // collapse into one, re-splitting the text per gram reference
     val post = rebalance(
@@ -271,17 +285,42 @@ object Dedup {
     val rpost = post.join(anti, Seq("g"), "left_anti")
       .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
 
-    val pairs = rpost.select(col("g"), col("doc_id").as("doc_a"), col("n").as("na"))
+    rpost.select(col("g"), col("doc_id").as("doc_a"), col("n").as("na"))
       .join(rpost.select(col("g"), col("doc_id").as("doc_b"), col("n").as("nb")), "g")
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("common"), first("na").as("na"), first("nb").as("nb"))
+  }
 
-    pairs
-      .withColumn("jaccard",
-        col("common").cast("double") / (col("na") + col("nb") - col("common")))
-      .select("doc_a", "doc_b", "common", "jaccard")
-      .transform(p => topKRanked(p, topK, col("jaccard").desc, col("doc_a"), col("doc_b")))
+  /** Asymmetric near-dup: n-gram CONTAINMENT `common / min(na, nb)` ≥
+    * tNum/tDen — Broder's containment coefficient, the measure Jaccard
+    * structurally cannot see: a short doc fully embedded in a long one
+    * (quote farms, aggregator pages, template-plus-payload) has
+    * containment ≈ 1 but Jaccard ≈ |small|/|large| ≈ 0, so a
+    * Jaccard-thresholded dedup pass keeps both copies. This is the
+    * standard second pass next to [[ngramJaccard]], sharing its entire
+    * scale apparatus: the size-gated frequent-gram filter and the
+    * rare-gram inverted-index candidate join ([[ngramPairCounts]] —
+    * one tokenize pass, candidates bounded by rare-gram postings,
+    * never all-pairs). Counts are over DISCRIMINATIVE (df ≤ dfMax)
+    * grams — documented contract, same as the Jaccard pass.
+    *
+    * The threshold is RATIONAL: `tDen·common ≥ tNum·least(na, nb)` in
+    * exact integer arithmetic — no float boundary (the q93 rule). The
+    * reported score is one double division for human eyes only.
+    * Returns (doc_a, doc_b, common, containment, rnk) top-K ranked.
+    */
+  def containmentJoin(docs: DataFrame, tNum: Int = 1, tDen: Int = 2,
+                      dfMax: Int = 20, topK: Int = 100,
+                      textCol: String = "text", idCol: String = "doc_id",
+                      frequentBroadcastRows: Long = 2000000L): DataFrame = {
+    require(tNum >= 0 && tDen > 0 && tNum <= tDen, s"threshold $tNum/$tDen not in [0,1]")
+    ngramPairCounts(docs, dfMax, textCol, idCol, frequentBroadcastRows)
+      .filter(col("common") * tDen >= least(col("na"), col("nb")) * tNum)
+      .withColumn("containment",
+        col("common").cast("double") / least(col("na"), col("nb")))
+      .select("doc_a", "doc_b", "common", "containment")
+      .transform(p => topKRanked(p, topK, col("containment").desc, col("doc_a"), col("doc_b")))
   }
 
   /** Connected components over an undirected near-dup pair list —

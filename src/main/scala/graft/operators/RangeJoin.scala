@@ -76,4 +76,49 @@ object RangeJoin {
         rightOnly.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
     inner.unionByName(unmatched)
   }
+
+  /** Point-in-interval join: left POINTS `tCol` paired with right
+    * INTERVALS `[sCol, eCol]` (inclusive) sharing `keyCols` — the
+    * event-in-session / reading-in-maintenance-window / date-in-
+    * validity-period primitive. Where [[bandJoin]] pairs two point
+    * sets within a gap, this joins against true spans of varying
+    * length.
+    *
+    * A raw `s <= t AND t <= e` condition gives Catalyst no equi-key
+    * beyond `keyCols` — fine until a key is hot, then one reducer
+    * re-pairs everything. The scale form quantizes time into
+    * `bucket`-width cells: each INTERVAL explodes to the cells it
+    * overlaps (`sequence(cell(s), cell(e))` — fan-out = span/bucket+1,
+    * so pick `bucket` near the typical span), each POINT keeps its one
+    * cell, and the join is a plain hash equi-join on (keys, cell) +
+    * the exact `BETWEEN` residual. Each true pair appears exactly once
+    * (the point's single cell is covered by its interval exactly once).
+    * The shuffle is keyed by (key, time-cell), so a hot key's rows
+    * spread across reducers by time.
+    *
+    * Degenerate spans fail LOUDLY, not quadratically: an interval
+    * overlapping more than `maxSpanBuckets` cells raises at runtime
+    * (a year-long interval against a 1-minute bucket is a config
+    * error — re-bucket, or split the pathological rows out), and
+    * `e < s` intervals raise rather than silently match nothing.
+    */
+  def intervalJoin(points: DataFrame, intervals: DataFrame, keyCols: Seq[String],
+                   tCol: String, sCol: String, eCol: String, bucket: Long,
+                   maxSpanBuckets: Int = 1024): DataFrame = {
+    require(bucket > 0, s"bucket must be positive, got $bucket")
+    val b0 = bucketOf(col(sCol), bucket)
+    val b1 = bucketOf(col(eCol), bucket)
+    val guarded = when(col(eCol) < col(sCol),
+        raise_error(format_string(s"intervalJoin: interval end < start (%s < %s)", col(eCol), col(sCol))).cast("long"))
+      .when(b1 - b0 > maxSpanBuckets,
+        raise_error(format_string(
+          s"intervalJoin: interval spans %s buckets (> $maxSpanBuckets) — widen `bucket` or split outlier spans",
+          (b1 - b0).cast("string"))).cast("long"))
+      .otherwise(b1)
+    val ib = intervals.withColumn("_bucket", explode(sequence(b0, guarded)))
+    val pb = points.withColumn("_bucket", bucketOf(col(tCol), bucket))
+    pb.join(ib, keyCols :+ "_bucket")
+      .filter(col(sCol) <= col(tCol) && col(tCol) <= col(eCol))
+      .drop("_bucket")
+  }
 }

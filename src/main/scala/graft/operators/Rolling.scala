@@ -145,6 +145,55 @@ object Rolling {
            sum(col("_e") - col("_s")).as("covered_us"))
   }
 
+  /** Linear-decay weighted moving average: per key and row, the mean
+    * of the trailing `k` observations weighted `k, k−1, …, 1` from
+    * newest to oldest — the classic smoother that tracks level shifts
+    * faster than a plain moving average without the infinite tail of
+    * an EWMA (whose irrational decay powers also cannot be made
+    * engine-exact; linear weights stay in integer arithmetic).
+    *
+    * The weight of frame row i depends on its DISTANCE from the
+    * current row — naively not a window aggregate at all. The
+    * decomposition: with per-key row numbers rn, weight = k−(rn−rnᵢ),
+    * so Σwᵢvᵢ = (k−rn)·Σvᵢ + Σrnᵢvᵢ — two PLAIN frame sums (S1, S2)
+    * over the same rows frame, combined per row afterwards. One
+    * shuffle, one per-key sort shared by the row_number and both
+    * frame sums; cost is linear in rows, never k× (the literal
+    * k-lag-column form re-evaluates the frame per lag).
+    *
+    * Exactness: values quantize to integer micro-units map-side
+    * (`floor(v·10⁶+0.5)` — IEEE-identical both engines), the frame
+    * sums run as DECIMAL(38,0) over exact integers (rnᵢ·vqᵢ can pass
+    * 2⁶³ on a 100 TB key history; decimal sums are also
+    * order-insensitive), the weight denominator m·k−m(m−1)/2 is exact
+    * long arithmetic on the frame count (short leading frames weight
+    * correctly), and one final double division rounds at 1e-9.
+    *
+    * (timeCol, idCol) must total-order rows per key (the twap
+    * contract) or frame membership itself is nondeterministic.
+    */
+  def wma(df: DataFrame, keyCol: String, timeCol: String, valueCol: String,
+          idCol: String, k: Int = 20): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = Window.partitionBy(keyCol).orderBy(col(timeCol), col(idCol))
+    val f = w.rowsBetween(-(k - 1), 0)
+    val vq = floor(col(valueCol) * 1000000L + 0.5).cast("long")
+    val withRn = df
+      .withColumn("_vq", vq)
+      .withColumn("_rn", row_number().over(w))
+    val sums = withRn
+      .withColumn("_s1", sum(col("_vq").cast("decimal(38,0)")).over(f))
+      .withColumn("_s2", sum((col("_vq").cast("decimal(38,0)")) * col("_rn")).over(f))
+      .withColumn("_m", count(lit(1)).over(f))
+    sums
+      // `div`, not `/`: Spark's `/` is double division even on longs
+      .withColumn("_wsum", col("_m") * k - expr("(_m * (_m - 1)) div 2"))
+      .withColumn("wma",
+        round(((lit(k) - col("_rn")) * col("_s1") + col("_s2")).cast("double") /
+          col("_wsum").cast("double") / 1000000.0, 9))
+      .drop("_vq", "_rn", "_s1", "_s2", "_m", "_wsum")
+  }
+
   /** SCD2 history build (SURVEY.md §2 #65): compress a per-key change
     * log into validity periods — one row per RUN of consecutive equal
     * values with [valid_from, valid_to) bounds, valid_to NULL on the

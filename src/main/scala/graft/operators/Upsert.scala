@@ -52,4 +52,49 @@ object Upsert {
       .select(col(keyCol) +: payload.map(c =>
         when(col("_op").isNotNull, col(s"_c_$c")).otherwise(col(c)).as(c)): _*)
   }
+
+  /** Snapshot diff — the inverse audit of [[applyChanges]]: classify
+    * every key across two versions of a table as `added` / `removed` /
+    * `changed` / `same`. The regression gate a pipeline runs after a
+    * rebuild ("what did the new dedup config actually change?") and
+    * the reconciliation between a warehouse copy and its source.
+    *
+    * Scale shape: ONE full-outer equi-join on the key, with both
+    * sides pre-projected to (key, payload struct) — the struct
+    * comparison is a single null-safe equality Catalyst evaluates
+    * field-wise, codegen'd, no row hashing round trip and no string
+    * rendering (a rendered-hash diff breaks the moment two engines
+    * format a double differently). Keys must be unique per side
+    * (snapshot semantics) — duplicate keys raise on the count
+    * check rather than silently cross-pairing, unless `assumeUnique`
+    * skips the two guard aggregations.
+    *
+    * Output: (keyCol, change) for every key in either snapshot.
+    * `keepSame=false` drops the (dominant, boring) `same` class
+    * map-side — the typical production call reports only the delta.
+    */
+  def diffSnapshots(oldDf: DataFrame, newDf: DataFrame, keyCol: String,
+                    keepSame: Boolean = true,
+                    assumeUnique: Boolean = false): DataFrame = {
+    val payload = oldDf.columns.filterNot(_ == keyCol).toSeq
+    require(newDf.columns.toSet == oldDf.columns.toSet,
+      s"snapshot schemas differ: ${oldDf.columns.toSeq} vs ${newDf.columns.toSeq}")
+    if (!assumeUnique) {
+      Seq("old" -> oldDf, "new" -> newDf).foreach { case (name, df) =>
+        val dup = df.groupBy(keyCol).agg(count(lit(1)).as("c")).filter(col("c") > 1).limit(1).collect()
+        require(dup.isEmpty,
+          s"diffSnapshots: $name snapshot has duplicate key ${dup.head.get(0)} — not a snapshot")
+      }
+    }
+    def slim(df: DataFrame, tag: String) =
+      df.select(col(keyCol), struct(payload.sorted.map(col): _*).as(s"_p_$tag"))
+    val change =
+      when(col("_p_old").isNull, lit("added"))
+        .when(col("_p_new").isNull, lit("removed"))
+        .when(col("_p_old") <=> col("_p_new"), lit("same"))
+        .otherwise(lit("changed"))
+    val out = slim(oldDf, "old").join(slim(newDf, "new"), Seq(keyCol), "full_outer")
+      .select(col(keyCol), change.as("change"))
+    if (keepSame) out else out.filter(col("change") =!= "same")
+  }
 }

@@ -167,6 +167,26 @@ object Events {
       "complete", "graft_cms_")
   }
 
+  /** Streaming HyperLogLog register build (SURVEY §2 #61): the
+    * register max-aggregation run in complete mode over the event
+    * stream — the cardinality counterpart of [[streamCmsSketch]].
+    * Register maxes are commutative and idempotent, so the operator
+    * state is the ≤ 2^p register table (never keyed by user — a
+    * distinct-COUNT stream would keep every key in the state store;
+    * the sketch keeps 1024 rows at any cardinality), any micro-batch
+    * snapshot is a valid sketch of everything ingested so far, and
+    * the final snapshot equals the batch
+    * [[graft.functions.Sketches.hllRegisters]] cell-for-cell —
+    * verified by the SAME oracle SQL.
+    */
+  def streamHllRegisters(spark: SparkSession, eventsPath: String, p: Int = 10,
+                         maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val st = readStream(spark, eventsPath, maxFilesPerTrigger)
+      .select(col("user_id").cast("string").as("user_id"))
+    runToMemory(graft.functions.Sketches.hllRegisters(st, "user_id", p),
+      "complete", "graft_hll_")
+  }
+
   /** Production sink: append-mode parquet with a checkpoint. State
     * stays bounded by the plan's watermark; output is distributed
     * (never driver-materialized). Caller owns the query lifecycle.

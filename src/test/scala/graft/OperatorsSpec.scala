@@ -1006,4 +1006,144 @@ class OperatorsSpec extends SparkSpec {
     got shouldBe Set(("A", 1L, 1L), ("B", 2L, 2L))
   }
 
+  test("intervalJoin equals the brute-force BETWEEN join across buckets and negative times") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val pts = (1 to 200).map(i =>
+      (1L + rnd.nextInt(4), rnd.nextLong() % 1000, i.toLong))
+    val ivs = (1 to 60).map { j =>
+      val s = rnd.nextLong() % 1000
+      (1L + rnd.nextInt(4), s, s + rnd.nextInt(300), j.toLong)
+    }
+    val got = RangeJoin.intervalJoin(
+        pts.toDF("k", "t", "pid"), ivs.toDF("k", "s", "e", "iid"),
+        Seq("k"), "t", "s", "e", bucket = 50L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    val want = (for {
+      (pk, t, pid) <- pts; (ik, s, e, iid) <- ivs
+      if pk == ik && s <= t && t <= e
+    } yield (pid, iid)).toSet
+    got shouldBe want
+    want should not be empty
+  }
+
+  test("intervalJoin fails loudly on inverted intervals and pathological spans") {
+    import spark.implicits._
+    val pts = Seq((1L, 10L, 1L)).toDF("k", "t", "pid")
+    val inverted = Seq((1L, 10L, 5L, 1L)).toDF("k", "s", "e", "iid")
+    an[Exception] should be thrownBy
+      RangeJoin.intervalJoin(pts, inverted, Seq("k"), "t", "s", "e", 50L).collect()
+    val huge = Seq((1L, 0L, 1000L, 1L)).toDF("k", "s", "e", "iid")
+    an[Exception] should be thrownBy
+      RangeJoin.intervalJoin(pts, huge, Seq("k"), "t", "s", "e", 50L,
+        maxSpanBuckets = 2).collect()
+    // the same span under the default cap joins fine
+    RangeJoin.intervalJoin(pts, huge, Seq("k"), "t", "s", "e", 50L)
+      .count() shouldBe 1L
+  }
+
+  test("transitions: ordered step counts, tie-broken successors, per-state normalization") {
+    import spark.implicits._
+    import graft.operators.Behavior
+    // user 1: A→B→B→C; user 2: A→C where both rows share t=10 (id order decides)
+    val ev = Seq(
+      (1L, 1L, 10L, "A"), (1L, 2L, 20L, "B"), (1L, 3L, 30L, "B"), (1L, 4L, 40L, "C"),
+      (2L, 5L, 10L, "A"), (2L, 6L, 10L, "C"))
+      .toDF("user_id", "event_id", "tus", "event_type")
+    val got = Behavior.transitions(ev, "user_id", "tus", "event_type", Seq("event_id"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    got shouldBe Map(
+      ("A", "B") -> (1L, 0.5), ("A", "C") -> (1L, 0.5),
+      ("B", "B") -> (1L, 0.5), ("B", "C") -> (1L, 0.5))
+  }
+
+  test("diffSnapshots classifies added/removed/changed/same; null payloads compare null-safe") {
+    import spark.implicits._
+    import graft.operators.Upsert
+    val old = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0), (5L, null, 5.0))
+      .toDF("k", "s", "v")
+    val neu = Seq((1L, "a", 1.0), (2L, "B", 2.0), (4L, "d", 4.0), (5L, null, 5.0))
+      .toDF("k", "s", "v")
+    val got = Upsert.diffSnapshots(old, neu, "k")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    got shouldBe Map(1L -> "same", 2L -> "changed", 3L -> "removed",
+      4L -> "added", 5L -> "same")
+    Upsert.diffSnapshots(old, neu, "k", keepSame = false)
+      .collect().map(_.getLong(0)).toSet shouldBe Set(2L, 3L, 4L)
+    // a duplicated key is not a snapshot — the guard refuses it
+    val dup = Seq((1L, "a", 1.0), (1L, "a2", 1.5)).toDF("k", "s", "v")
+    an[IllegalArgumentException] should be thrownBy
+      Upsert.diffSnapshots(dup, neu, "k")
+  }
+
+  test("histogram: exact floor bins including negatives, occupied bins only") {
+    import spark.implicits._
+    import graft.functions.Profile
+    val df = Seq(("a", -5L), ("a", 0L), ("a", 9L), ("a", 10L), ("b", 25L))
+      .toDF("g", "v")
+    val got = Profile.histogram(df, "g", "v", 10L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    got shouldBe Set(("a", -1L, -10L, 1L), ("a", 0L, 0L, 2L),
+      ("a", 1L, 10L, 1L), ("b", 2L, 20L, 1L))
+  }
+
+  test("paretoFront2 equals brute-force dominance on random points with duplicates") {
+    import spark.implicits._
+    import graft.functions.Profile
+    val rnd = new scala.util.Random(11)
+    val pts = (1 to 300).map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+    val got = Profile.paretoFront2(pts.toDF("x", "y"), "x", "y")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val distinct = pts.distinct
+    val want = distinct.filterNot { case (x, y) =>
+      distinct.exists { case (qx, qy) =>
+        qx >= x && qy >= y && (qx > x || qy > y) }
+    }.map { case (x, y) => (x, y, pts.count(_ == (x, y)).toLong) }.toSet
+    got shouldBe want
+    want should not be empty
+  }
+
+  test("wma equals the brute-force linear-decay weighted mean on random data") {
+    import spark.implicits._
+    import graft.operators.Rolling
+    val rnd = new scala.util.Random(13)
+    val k = 4
+    val rows = (1 to 120).map(i =>
+      (1L + rnd.nextInt(3), i.toLong, rnd.nextDouble() * 200 - 100, i.toLong))
+    val got = Rolling.wma(rows.toDF("key", "t", "v", "id"), "key", "t", "v", "id", k)
+      .collect().map(r => (r.getLong(3), r.getDouble(4))).toMap
+    rows.groupBy(_._1).values.foreach { g =>
+      val sorted = g.sortBy(r => (r._2, r._4))
+      sorted.indices.foreach { i =>
+        val frame = sorted.slice(math.max(0, i - k + 1), i + 1)
+        val m = frame.size
+        val num = frame.zipWithIndex.map { case (r, j) =>
+          val w = k - (m - 1 - j) // newest weights k
+          BigInt(w) * BigInt(math.floor(r._3 * 1000000L + 0.5).toLong)
+        }.sum
+        val wsum = m.toLong * k - m.toLong * (m - 1) / 2
+        val want = BigDecimal(num.toDouble / wsum.toDouble / 1000000.0)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+        got(sorted(i)._4) shouldBe want
+      }
+    }
+  }
+
+  test("containmentJoin finds a short doc embedded in a long one that Jaccard ranks near zero") {
+    import spark.implicits._
+    val words = (1 to 120).map(i => s"w$i")
+    val big = words.mkString(" ")
+    val small = words.slice(40, 52).mkString(" ") // 12 words ⊂ big
+    val noise = (1 to 5).map(i => (10L + i, (1 to 30).map(j => s"n${i}_$j").mkString(" ")))
+    val docs = (Seq((1L, big), (2L, small)) ++ noise).toDF("doc_id", "text")
+    val cont = Dedup.containmentJoin(docs, tNum = 9, tDen = 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    cont.keySet shouldBe Set((1L, 2L))
+    cont((1L, 2L)) shouldBe 1.0 // every small-doc trigram appears in big
+    // Jaccard on the same corpus scores the pair far below containment
+    val jac = Dedup.ngramJaccard(docs)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    jac((1L, 2L)) should be < 0.15
+  }
+
 }

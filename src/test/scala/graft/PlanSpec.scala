@@ -426,4 +426,54 @@ class PlanSpec extends SparkSpec {
     (p should not).include("Exchange hashpartitioning")
   }
 
+  test("q118 interval join: bucket-split hash equi-join, never a nested loop") {
+    val p = plan("q118_interval_join")
+    (p should not).include("NestedLoop")
+    (p should not).include("CartesianProduct")
+    // the join keys carry the time cell alongside the natural key
+    p should include("_bucket")
+  }
+
+  test("q121 histogram: ONE partial-agg shuffle, bin ids map-side") {
+    val p = plan("q121_histogram")
+    p should include("partial_count")
+    p.linesIterator.count(_.contains("Exchange hashpartitioning")) shouldBe 1
+    (p should not).include("Window")
+  }
+
+  test("q122 pareto: windows run over aggregated point/x tables, never corpus rows") {
+    val p = plan("q122_pareto")
+    // the per-user agg shuffles raw events once; everything after is
+    // distinct-point-sized (two more aggs + the frontier window + join)
+    p should include("partial_count")
+    // the frontier window input comes from an aggregate, so a Window
+    // node must appear only ABOVE some HashAggregate in the tree
+    val winIdx = p.linesIterator.indexWhere(_.contains("Window"))
+    val aggIdx = p.linesIterator.indexWhere(_.contains("HashAggregate"))
+    winIdx should be >= 0
+    aggIdx should be >= 0
+    winIdx should be < aggIdx // plan prints top-down: window above = after the agg
+  }
+
+  test("q124 wma: one exchange, one raw-row sort shared by row_number and both frame sums") {
+    val p = plan("q124_wma")
+    p.linesIterator.count(_.contains("Exchange hashpartitioning")) shouldBe 1
+    p.linesIterator.count(_.contains("+- Sort ")) shouldBe 1
+  }
+
+  test("q125 grouping sets: one Expand + partial agg pass like cube") {
+    val p = plan("q125_grouping_sets")
+    p should include("Expand")
+    p should include("partial_count")
+    p.linesIterator.count(_.contains("Exchange hashpartitioning")) shouldBe 1
+  }
+
+  test("q120 snapshot diff: one full-outer join on slim payload structs, no window") {
+    val p = plan("q120_snapshot_diff")
+    p should include("FullOuter")
+    // the q111 feed winner window is inherited; the DIFF itself adds none
+    p.linesIterator.count(_.contains("Window")) shouldBe
+      plan("q111_cdc_upsert").linesIterator.count(_.contains("Window"))
+  }
+
 }

@@ -319,6 +319,17 @@ class StreamingSpec extends SparkSpec {
     canon(streamed) shouldBe canon(batch)
   }
 
+  test("streaming HLL registers across micro-batches equal the batch registers") {
+    val dir = timeSplitDir(s"$sfDir/events.parquet", 3)
+    val streamed = Events.streamHllRegisters(spark, dir, maxFilesPerTrigger = Some(1))
+    val batch = graft.functions.Sketches.hllRegisters(
+      Events.readBatch(spark, dir).select(col("user_id").cast("string").as("user_id")),
+      "user_id", 10)
+    canon(streamed) shouldBe canon(batch)
+    // fixed-size state: registers never exceed 2^p rows
+    streamed.count() should be <= 1024L
+  }
+
   test("stream-static enrich: static side broadcast (no per-batch shuffle), counts exact") {
     // the un-started plan must carry the broadcast hint on the static side
     val plan = Events.streamEnrichPlan(spark, s"$sfDir/events.parquet")
