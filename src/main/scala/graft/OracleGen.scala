@@ -85,6 +85,30 @@ object OracleGen {
        FROM pairs) WHERE rnk <= $topK"""
   }
 
+  /** Per-source MinHash similarity matrix
+    * (operators.Dedup.sourceMinhashMatrix defaults: k=16 trigram
+    * signatures per source, pairwise agreement / k).
+    */
+  def sourceMinhashSql(k: Int = 16, n: Int = 3): String = {
+    val gram = (1 to n).map(j => s"w[i + ${j - 1}]").mkString(" || ' ' || ")
+    val minCols = (0 until k)
+      .map(i => s"MIN((${Hashing.affineA(i)} * h0 + ${Hashing.affineB(i)}) % $P) AS m$i")
+      .mkString(", ")
+    val agree = (0 until k)
+      .map(i => s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH toks AS (
+       SELECT source, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents),
+     sh AS (
+       SELECT source, unnest([$gram for i in generate_series(1, len(w) - ${n - 1})]) AS g
+       FROM toks WHERE len(w) >= $n),
+     h AS (SELECT source, ${portableHashSql("g")} AS h0 FROM sh),
+     sig AS (SELECT source, $minCols FROM h GROUP BY source)
+     SELECT a.source AS src_a, b.source AS src_b,
+       ($agree) / ${k}.0 AS est_sim
+     FROM sig a JOIN sig b ON a.source < b.source"""
+  }
+
   /** Full SimHash pipeline (operators.Dedup.simhash defaults: 4×16-bit
     * bands, cap 50, top 100). The 64-bit token hash is rebuilt from the
     * two md5 32-bit halves; band values and Hamming distances are

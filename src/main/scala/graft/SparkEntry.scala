@@ -1324,6 +1324,24 @@ object SparkEntry {
     "q126_stream_hll" -> ((s, dir) =>
       streaming.Events.streamHllRegisters(s, s"$dir/events.parquet")),
 
+    // §2#40b image block-mean signature: real ImageIO decode → 4×4
+    // aHash-style perceptual key, bit decisions integer-exact so the
+    // oracle rebuilds every signature from the deterministic payload
+    // bytes; dup-group sizes ride a signature-keyed window (8-byte
+    // rows — pixels never shuffle).
+    "q127_image_sig" -> ((s, dir) => {
+      val sigs = operators.Multimodal.imageSignatures(
+        operators.Multimodal.withImagePayload(t(s, dir, "documents").df))
+      sigs.withColumn("n_same_sig", count(lit(1)).over(Window.partitionBy("sig")))
+    }),
+
+    // §2#30k sketched source-similarity matrix: per-source MinHash
+    // signatures (one partial-min shuffle), pairwise agreement as the
+    // Jaccard estimate between whole-source gram sets — the scale
+    // companion to q80's exact overlap census.
+    "q128_source_minhash" -> ((s, dir) =>
+      operators.Dedup.sourceMinhashMatrix(t(s, dir, "documents").df)),
+
     // §2#63 binaryFile ingest: raw per-document files (materialized by
     // a distributed foreachPartition writer — test stand-in for an
     // object store) read back through Spark's binaryFile source and
@@ -2924,6 +2942,42 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
                       ('0x' || substr(md5(key), 9, 8))::BIGINT AS w FROM k)
          SELECT h1 >> 22 AS bucket,
            CAST(MAX(CASE WHEN w = 0 THEN 33 ELSE 33 - length(bin(w)) END) AS INT) AS r
-         FROM h GROUP BY 1"""
+         FROM h GROUP BY 1""",
+
+    // pixels of the deterministic grayscale payload are the tiled text
+    // bytes (Multimodal.encodePng), so the block-mean signature is
+    // rebuilt from hex(encode(text)); the bit gate is the same integer
+    // cross-multiplication the Scala decoder computes
+    "q127_image_sig" ->
+      """WITH d AS (
+           SELECT doc_id, octet_length(encode(text)) AS n, hex(encode(text)) AS hx
+           FROM documents),
+         dims AS (
+           SELECT doc_id, n, hx,
+             CAST(n % 320 + 1 AS BIGINT) AS w, CAST(n % 240 + 1 AS BIGINT) AS h
+           FROM d),
+         px AS (
+           SELECT doc_id, w, h, unnest(generate_series(0, w * h - 1)) AS p
+           FROM dims),
+         pv AS (
+           SELECT px.doc_id, px.p,
+             ((px.p // px.w) * 4 // px.h) * 4 + ((px.p % px.w) * 4 // px.w) AS blk,
+             CASE WHEN dims.n = 0 THEN 0
+                  ELSE ('0x' || substr(dims.hx, CAST(2 * (px.p % dims.n) + 1 AS INT), 2))::BIGINT
+             END AS v
+           FROM px JOIN dims USING (doc_id)),
+         blocks AS (SELECT doc_id, blk, SUM(v) AS bsum, COUNT(*) AS bn FROM pv GROUP BY 1, 2),
+         tot AS (SELECT doc_id, SUM(v) AS gsum, COUNT(*) AS npix FROM pv GROUP BY 1),
+         sg AS (
+           SELECT b.doc_id,
+             CAST(SUM(CASE WHEN b.bsum * t.npix > t.gsum * b.bn
+                           THEN (1::BIGINT << b.blk) ELSE 0 END) AS BIGINT) AS sig
+           FROM blocks b JOIN tot t USING (doc_id) GROUP BY 1)
+         SELECT sg.doc_id,
+           CAST(dims.w AS INT) AS width, CAST(dims.h AS INT) AS height, sg.sig,
+           COUNT(*) OVER (PARTITION BY sg.sig) AS n_same_sig
+         FROM sg JOIN dims USING (doc_id)""",
+
+    "q128_source_minhash" -> OracleGen.sourceMinhashSql()
   )
 }

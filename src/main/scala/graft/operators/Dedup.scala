@@ -637,6 +637,43 @@ object Dedup {
       .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Sketched source-similarity matrix: per-source MinHash signatures
+    * over word n-grams, pairwise signature agreement as the Jaccard
+    * ESTIMATE between whole-source gram sets. The scale companion to
+    * [[sourceOverlapMatrix]]: exact distinct-gram counting shuffles a
+    * postings table bounded by distinct grams × sources, which at
+    * 100 TB is itself enormous — the sketch reduces each source to k
+    * longs in ONE partial-min shuffle (min is idempotent, so the
+    * explode needs no dedup and Zipf-repeated grams collapse map-side
+    * into the running min), and the matrix join touches only the
+    * |sources|-row signature table. Same portable md5+affine family
+    * as [[minhash]], so the DuckDB oracle rebuilds every signature and
+    * estimate bit-for-bit.
+    *
+    * Returns (src_a, src_b, est_sim) for src_a < src_b.
+    */
+  def sourceMinhashMatrix(docs: DataFrame, k: Int = 16, n: Int = 3,
+                          textCol: String = "text", srcCol: String = "source",
+                          idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1 && n >= 1, s"k=$k and n=$n must be positive")
+    val h = rebalance(
+        docs.select(col(idCol), col(srcCol).as("src"), T.tokens(col(textCol)).as("w")),
+        idCol)
+      .filter(size(col("w")) >= n)
+      .select(col("src"), explode(T.wordNGrams(col("w"), n)).as("g"))
+      .select(col("src"), Hashing.portableHash(col("g")).as("h0"))
+    val aggs = (0 until k).map(i => min(Hashing.affine(i, col("h0"))).as(s"m$i"))
+    val sig = h.groupBy("src").agg(aggs.head, aggs.tail: _*)
+    def sigArr(tag: String) = sig.select(col("src").as(s"src_$tag"),
+      array((0 until k).map(i => col(s"m$i")): _*).as(s"_s$tag"))
+    // |sources|² comparison of a |sources|-row table: the one join in
+    // the dedup family that MAY be a nested loop — its input is a
+    // config-artifact-sized frame, never the corpus
+    sigArr("a").join(sigArr("b"), col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        Hashing.signatureAgreement(col("_sa"), col("_sb"), k).as("est_sim"))
+  }
+
   /** Incremental batch-vs-corpus dedup (#30e): which documents of a
     * NEW batch already exist in the standing corpus? Membership is
     * keyed on the md5 of the sorted DISTINCT token set — an

@@ -174,6 +174,68 @@ object Multimodal {
     }
   }
 
+  val signatureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("sig", LongType)))
+
+  /** Block-mean perceptual signature (aHash family) over REAL decoded
+    * images: the image split into a grid×grid block lattice, bit b set
+    * iff block b's mean brightness exceeds the global mean — the
+    * classic resize-robust image-dedup key (identical and
+    * near-identical renders collide; a changed region flips only its
+    * block bits, so Hamming distance on `sig` is the image analog of
+    * SimHash banding).
+    *
+    * The bit decision is INTEGER-EXACT: `bsum·npix > gsum·bnpix`
+    * cross-multiplied in longs — no float mean, no boundary drift, so
+    * the signature is bit-reproducible by any engine that can see the
+    * pixel values (the DuckDB oracle rebuilds it from the deterministic
+    * payload bytes). Blocks outside a tiny image (w or h < grid) have
+    * no pixels and contribute 0 bits on both sides.
+    *
+    * Same distribution shape as [[decodeImageFeatures]]: batched
+    * ImageIO decode behind the caller's pinned rebalance, map-only; the
+    * signature is 8 bytes per image, so the downstream dup-group
+    * shuffle carries signatures, never pixels.
+    */
+  def imageSignatures(withPayload: DataFrame, grid: Int = 4, batchSize: Int = 64,
+                      idCol: String = "doc_id", binCol: String = "payload"): DataFrame = {
+    require(grid >= 1 && grid * grid <= 63, s"grid² must fit the long signature, got $grid")
+    val in = withPayload.select(col(idCol), col(binCol))
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(signatureSchema))
+    in.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          val (w, h) = (img.getWidth, img.getHeight)
+          val pix = img.getRaster.getSamples(0, 0, w, h, 0, new Array[Int](w * h))
+          val nb = grid * grid
+          val bsum = new Array[Long](nb)
+          val bn = new Array[Long](nb)
+          var gsum = 0L
+          var p = 0
+          while (p < pix.length) {
+            val blk = (p / w * grid / h) * grid + (p % w * grid / w)
+            bsum(blk) += pix(p); bn(blk) += 1; gsum += pix(p)
+            p += 1
+          }
+          val npix = pix.length.toLong
+          var sig = 0L
+          var b = 0
+          while (b < nb) {
+            if (bsum(b) * npix > gsum * bn(b)) sig |= 1L << b
+            b += 1
+          }
+          Row(r.getLong(0), w, h, sig)
+        }
+      }
+    }
+  }
+
   // ---- real audio path (javax.sound.sampled WAV codec, JDK-only) ----
 
   val audioSchema: StructType = StructType(Seq(

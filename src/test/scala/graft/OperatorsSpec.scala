@@ -1129,6 +1129,53 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("imageSignatures matches an independent per-pixel reference; dups collide, flat images are zero") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog " * 8),
+      (2L, "the quick brown fox jumps over the lazy dog " * 8), // exact dup
+      (3L, "z" * 97),                                           // flat image: no block above mean
+      (4L, ("a" * 200) + ("~" * 123))                           // two-tone
+    ).toDF("doc_id", "text")
+    val got = Multimodal.imageSignatures(Multimodal.withImagePayload(docs))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3)))).toMap
+    got(1L) shouldBe got(2L)
+    got(3L)._3 shouldBe 0L
+    // independent reference: re-derive each signature from the raw
+    // payload bytes with plain ImageIO + scalar arithmetic
+    docs.collect().foreach { r =>
+      val bytes = r.getString(1).getBytes("UTF-8")
+      val n = bytes.length
+      val (w, h) = (n % 320 + 1, n % 240 + 1)
+      val pix = Array.tabulate(w * h)(i => bytes(i % n).toInt & 0xff)
+      val bsum = new Array[Long](16); val bn = new Array[Long](16)
+      pix.indices.foreach { p =>
+        val blk = (p / w * 4 / h) * 4 + (p % w * 4 / w)
+        bsum(blk) += pix(p); bn(blk) += 1
+      }
+      val gsum = pix.map(_.toLong).sum
+      val want = (0 until 16).map { b =>
+        if (bsum(b) * pix.length > gsum * bn(b)) 1L << b else 0L
+      }.sum
+      got(r.getLong(0)) shouldBe ((w, h, want))
+    }
+  }
+
+  test("sourceMinhashMatrix: identical sources estimate 1.0, disjoint sources 0.0") {
+    import spark.implicits._
+    val shared = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val other = (1 to 40).map(i => s"alt$i").mkString(" ")
+    val docs = Seq(
+      (1L, shared, "a"), (2L, shared, "b"), // a and b hold the same grams
+      (3L, other, "c")                      // c shares nothing
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup.sourceMinhashMatrix(docs)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    got(("a", "b")) shouldBe 1.0
+    got(("a", "c")) shouldBe 0.0
+    got(("b", "c")) shouldBe 0.0
+  }
+
   test("containmentJoin finds a short doc embedded in a long one that Jaccard ranks near zero") {
     import spark.implicits._
     val words = (1 to 120).map(i => s"w$i")

@@ -468,6 +468,27 @@ class PlanSpec extends SparkSpec {
     p.linesIterator.count(_.contains("Exchange hashpartitioning")) shouldBe 1
   }
 
+  test("q127 image signatures: pixels stay in the codec stage — only 8-byte sigs shuffle") {
+    val p = plan("q127_image_sig")
+    // exchange 1 = the pinned codec rebalance; exchange 2 = the
+    // signature-keyed dup-group window; nothing else moves
+    p.linesIterator.count(_.contains("Exchange")) shouldBe 2
+    p should include("hashpartitioning(sig")
+    // the window never sees the payload bytes
+    p.linesIterator.filter(_.contains("Window")).foreach { l =>
+      (l should not).include("payload")
+    }
+  }
+
+  test("q128 source minhash: signature mins combine map-side; the matrix join is signature-sized") {
+    val p = plan("q128_source_minhash")
+    p should include("partial_min")
+    // the pair join compares the tiny signature table with itself —
+    // never the corpus (no gram column survives to the join)
+    val joinLine = p.linesIterator.find(_.contains("Join")).get
+    (joinLine should not).include("g#")
+  }
+
   test("q120 snapshot diff: one full-outer join on slim payload structs, no window") {
     val p = plan("q120_snapshot_diff")
     p should include("FullOuter")
