@@ -1342,6 +1342,142 @@ object SparkEntry {
     "q128_source_minhash" -> ((s, dir) =>
       operators.Dedup.sourceMinhashMatrix(t(s, dir, "documents").df)),
 
+    // §2#8b wide→long reshape (melt): lineitem's four money/quantity
+    // metrics collapse to (metric, value) rows — one Expand node,
+    // map-only, no shuffle (the inverse of q83's pivot).
+    "q129_unpivot" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(Seq("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_discount", "l_tax"))
+        .unpivot(Seq("l_orderkey", "l_linenumber"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+          "metric", "value").df),
+
+    // §2#7b SQL set operations: EXCEPT / INTERSECT (distinct) and
+    // their ALL (multiplicity) forms between the order-custkey multiset
+    // and its urgent-priority sub-multiset, each result rolled up per
+    // key so the four ops share one output schema. Spark plans these as
+    // hash aggregates / left-anti shapes — partial-agg shuffles on the
+    // row value, never a sort.
+    "q130_set_ops" -> ((s, dir) => {
+      val d1 = t(s, dir, "orders").df.select(col("o_custkey").as("custkey"))
+      val d2 = t(s, dir, "orders").df
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("custkey"))
+      def roll(df: DataFrame, op: String): DataFrame =
+        df.groupBy("custkey").agg(count(lit(1)).as("n")).withColumn("op", lit(op))
+      roll(d1.intersect(d2), "intersect")
+        .unionByName(roll(d1.except(d2), "except"))
+        .unionByName(roll(d1.intersectAll(d2), "intersect_all"))
+        .unionByName(roll(d1.exceptAll(d2), "except_all"))
+        .select(col("op"), col("custkey"), col("n"))
+    }),
+
+    // §2#19b array/HOF sweep: per-order sorted quantity arrays pushed
+    // through the higher-order-function surface (aggregate, filter,
+    // zip_with+sequence, transform, slice, array_join) — one partial
+    // agg builds the arrays, everything after is map-side; scalars and
+    // strings out, so the oracle compares exactly.
+    "q131_array_suite" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").df
+        .select(col("l_orderkey"), col("l_quantity").cast("int").as("q"))
+      li.groupBy("l_orderkey").agg(sort_array(collect_list(col("q"))).as("qs"))
+        .select(col("l_orderkey"),
+          size(col("qs")).as("n_items"),
+          aggregate(col("qs"), lit(0L), (acc, x) => acc + x).as("total_qty"),
+          size(filter(col("qs"), _ > 25)).as("n_big"),
+          aggregate(zip_with(col("qs"), sequence(lit(1), size(col("qs"))),
+            (x, i) => x.cast("long") * i), lit(0L), (acc, x) => acc + x).as("wsum"),
+          array_join(transform(slice(col("qs"), 1, 3), _.cast("string")), ",").as("first3"))
+    }),
+
+    // §2#53j per-user lag-1/lag-2 autocorrelation of event values —
+    // one key-partitioned sort for every lag's lead, pairs exploded
+    // map-side, five decimal-exact Pearson sums in one partial agg.
+    "q132_autocorr" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("tus"), col("value"))
+      operators.Rolling.autocorr(ev, "user_id", "tus", "value", "event_id",
+        lags = Seq(1, 2))
+    }),
+
+    // §2#53k last-touch attribution: each purchase credited to the
+    // user's most recent non-purchase touch within 7 days (as-of join
+    // with tolerance), rolled up per channel; the no-touch row reports
+    // as channel NULL. Touches dedupe to one per (user, instant) first
+    // so timestamp ties cannot make credit nondeterministic.
+    "q133_attribution" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+          col("event_type"), col("value"))
+      val conv = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("tus"), col("value"))
+      val touches = ev.filter(col("event_type") =!= "purchase")
+        .groupBy(col("user_id"), col("tus"))
+        .agg(max(col("event_type")).as("channel"))
+      operators.Behavior.lastTouchAttribution(conv, touches,
+        "user_id", "tus", "channel", "value", lookbackUs = 604800000000L)
+    }),
+
+    // §2#40c audio perceptual signature: real WAV decode → 16-block
+    // energy signature (integer-exact bit gates), dup groups counted
+    // over the 8-byte keys — waveforms never shuffle.
+    "q134_audio_sig" -> ((s, dir) => {
+      val sigs = operators.Multimodal.audioSignatures(
+        operators.Multimodal.withAudioPayload(t(s, dir, "documents").df))
+      sigs.withColumn("n_same_sig", count(lit(1)).over(Window.partitionBy("sig")))
+    }),
+
+    // §2#40d scene-change detection: every frame of the video container
+    // decoded, a cut whenever consecutive frames' mean luminance
+    // differs by more than 8 gray levels (rational threshold,
+    // cross-multiplied longs) — per-frame rows never leave the map.
+    "q135_scene_cuts" -> ((s, dir) =>
+      operators.Multimodal.videoSceneCuts(
+        operators.Multimodal.withVideoPayload(t(s, dir, "documents").df))),
+
+    // §2#42d nearest as-of join: each click matched to the closest
+    // purchase within ±1 h in either direction, ties to the earlier
+    // one — both directional carries from ONE exchange (two sorts).
+    // Purchases dedupe per (user, instant) for deterministic ties.
+    "q136_asof_nearest" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+          col("event_type"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("tus"), col("value").as("click_value"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("tus").as("btus"))
+        .agg(max(col("value")).as("buy_value"))
+      operators.AsofJoin.asofJoinNearest(clicks, buys, "user_id", "tus", "btus",
+        Seq("btus", "buy_value"), tolerance = Some(lit(3600000000L)))
+    }),
+
+    // §2#28e batch sessionization: the streaming sessionizer's (q21)
+    // reprocessable one-shot twin — 30-min inactivity gap, one
+    // key-partitioned sort shared by the gap flag and the running
+    // session counter.
+    "q137_batch_sessions" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"))
+      operators.Behavior.sessionizeBatch(ev, "user_id", "tus",
+        gapUs = 1800000000L, tieCols = Seq("event_id"))
+    }),
+
+    // §2#61d HLL set operations: click-users vs purchase-users from two
+    // register tables — |A|, |B|, |A∪B| (cellwise-max merge), |A∩B| by
+    // inclusion–exclusion; the sketch-artifact audit question answered
+    // without rescanning either side.
+    "q138_hll_setops" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+      val a = functions.Sketches.hllRegisters(
+        ev.filter(col("event_type") === "click"), "user_id")
+      val b = functions.Sketches.hllRegisters(
+        ev.filter(col("event_type") === "purchase"), "user_id")
+      functions.Sketches.hllSetEstimates(a, b)
+    }),
+
     // §2#63 binaryFile ingest: raw per-document files (materialized by
     // a distributed foreachPartition writer — test stand-in for an
     // object store) read back through Spark's binaryFile source and
@@ -2978,6 +3114,226 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
            COUNT(*) OVER (PARTITION BY sg.sig) AS n_same_sig
          FROM sg JOIN dims USING (doc_id)""",
 
-    "q128_source_minhash" -> OracleGen.sourceMinhashSql()
+    "q128_source_minhash" -> OracleGen.sourceMinhashSql(),
+
+    "q129_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+         UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+         UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+         UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem""",
+
+    // multiplicity arithmetic form of the four set ops: with d2 ⊆ d1
+    // rowwise, INTERSECT/EXCEPT are distinct-key membership, the ALL
+    // forms are least(n1,n2) / n1−n2 copies per key
+    "q130_set_ops" ->
+      """WITH d1 AS (SELECT o_custkey AS custkey, COUNT(*) AS n1 FROM orders GROUP BY 1),
+         d2 AS (SELECT o_custkey AS custkey, COUNT(*) AS n2 FROM orders
+                WHERE o_orderpriority = '1-URGENT' GROUP BY 1)
+         SELECT 'intersect' AS op, custkey, 1::BIGINT AS n
+           FROM d1 JOIN d2 USING (custkey)
+         UNION ALL
+         SELECT 'except', custkey, 1::BIGINT
+           FROM d1 LEFT JOIN d2 USING (custkey) WHERE n2 IS NULL
+         UNION ALL
+         SELECT 'intersect_all', custkey, least(n1, n2)
+           FROM d1 JOIN d2 USING (custkey)
+         UNION ALL
+         SELECT 'except_all', custkey, n1 - COALESCE(n2, 0)
+           FROM d1 LEFT JOIN d2 USING (custkey)
+           WHERE n1 - COALESCE(n2, 0) > 0""",
+
+    "q131_array_suite" ->
+      """WITH g AS (
+           SELECT l_orderkey, list_sort(list(CAST(l_quantity AS INT))) AS qs
+           FROM lineitem GROUP BY 1)
+         SELECT l_orderkey,
+           CAST(len(qs) AS INT) AS n_items,
+           CAST(list_sum(qs) AS BIGINT) AS total_qty,
+           CAST(len(list_filter(qs, x -> x > 25)) AS INT) AS n_big,
+           CAST(list_sum([qs[i] * i for i in generate_series(1, len(qs))]) AS BIGINT) AS wsum,
+           array_to_string(list_transform(qs[1:3], x -> CAST(x AS VARCHAR)), ',') AS first3
+         FROM g""",
+
+    // the q96 Pearson shape, grouped by (user, lag) over lead pairs
+    "q132_autocorr" ->
+      """WITH e AS (
+           SELECT user_id, event_id, epoch_us(ts) AS tus,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vq
+           FROM events),
+         l AS (
+           SELECT user_id, vq AS x,
+             LEAD(vq, 1) OVER w AS y1, LEAD(vq, 2) OVER w AS y2
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+         p AS (
+           SELECT user_id, CAST(1 AS INT) AS lag, x, y1 AS y FROM l WHERE y1 IS NOT NULL
+           UNION ALL
+           SELECT user_id, CAST(2 AS INT), x, y2 FROM l WHERE y2 IS NOT NULL),
+         s AS (
+           SELECT user_id, lag, COUNT(*) AS n_pairs,
+             SUM(CAST(x AS DECIMAL(38,0))) AS sx, SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+             SUM(CAST(x*x AS DECIMAL(38,0))) AS sxx, SUM(CAST(y*y AS DECIMAL(38,0))) AS syy,
+             SUM(CAST(x*y AS DECIMAL(38,0))) AS sxy
+           FROM p GROUP BY 1, 2)
+         SELECT user_id, lag, n_pairs,
+           CASE WHEN n_pairs >= 2
+                 AND CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                 AND CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+             THEN ROUND(
+               (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (sqrt(CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * sqrt(CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9)
+           END AS acf
+         FROM s""",
+
+    "q133_attribution" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_type, value FROM events),
+         c AS (SELECT user_id, tus, value FROM e WHERE event_type = 'purchase'),
+         tt AS (SELECT user_id, tus, MAX(event_type) AS channel
+                FROM e WHERE event_type <> 'purchase' GROUP BY 1, 2),
+         m AS (
+           SELECT c.user_id, c.value, t.channel
+           FROM c LEFT JOIN LATERAL (
+             SELECT channel FROM tt
+             WHERE tt.user_id = c.user_id AND tt.tus <= c.tus
+               AND c.tus - tt.tus <= 604800000000
+             ORDER BY tt.tus DESC LIMIT 1) t ON TRUE)
+         SELECT channel, COUNT(*) AS n_conv,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+         FROM m GROUP BY 1""",
+
+    // block-energy signature rebuilt from the ASCII payload bytes: the
+    // same p·blocks/n block membership and bss·n > gss·bn integer gate
+    // as Multimodal.audioSignatures; empty docs sign 0
+    "q134_audio_sig" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+         pos AS (
+           SELECT doc_id, text, n, unnest(generate_series(1, n)) AS j
+           FROM d WHERE n > 0),
+         amp AS (
+           SELECT doc_id, n, ((j - 1) * 16) // n AS b,
+             ord(substr(text, j, 1)) - 128 AS a
+           FROM pos),
+         bs AS (
+           SELECT doc_id, n, b, SUM(CAST(a AS BIGINT) * a) AS ss, COUNT(*) AS bn
+           FROM amp GROUP BY 1, 2, 3),
+         g AS (SELECT doc_id, SUM(ss) AS gss FROM bs GROUP BY 1),
+         sigs AS (
+           SELECT bs.doc_id, CAST(MAX(bs.n) AS BIGINT) AS n_samples,
+             CAST(SUM(CASE WHEN ss * bs.n > gss * bn THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS sig
+           FROM bs JOIN g ON bs.doc_id = g.doc_id GROUP BY 1
+           UNION ALL
+           SELECT doc_id, 0::BIGINT, 0::BIGINT FROM d WHERE n = 0)
+         SELECT doc_id, n_samples, sig,
+           COUNT(*) OVER (PARTITION BY sig) AS n_same_sig
+         FROM sigs""",
+
+    // per-frame pixel sums from the q54 tiling formula over ALL frames,
+    // cut iff |Δ mean| > 8 via the cross-multiplied integer gate
+    "q135_scene_cuts" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+         fr AS (
+           SELECT doc_id, text, n, least(n // 64 + 1, 8) AS nf,
+             unnest(generate_series(0, least(n // 64 + 1, 8) - 1)) AS f
+           FROM d),
+         fx AS (
+           SELECT doc_id, text, nf, f,
+             CASE WHEN f < nf - 1 THEN 64 ELSE n - 64 * (nf - 1) END AS flen
+           FROM fr),
+         px AS (
+           SELECT doc_id, nf, f,
+             CASE WHEN flen = 0 THEN CAST(1 AS BIGINT)
+                  ELSE CAST((flen % 320 + 1) * (flen % 240 + 1) AS BIGINT) END AS pix,
+             CASE WHEN flen = 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST(((flen % 320 + 1) * (flen % 240 + 1)) // flen AS BIGINT)
+                       * list_sum([ord(substr(text, 64 * f + j, 1))
+                                   for j in generate_series(1, flen)])
+                       + COALESCE(list_sum([ord(substr(text, 64 * f + j, 1))
+                                   for j in generate_series(1,
+                                     ((flen % 320 + 1) * (flen % 240 + 1)) % flen)]), 0)
+             END AS psum
+           FROM fx),
+         lg AS (
+           SELECT doc_id, nf, f, pix, psum,
+             LAG(pix) OVER w AS ppix, LAG(psum) OVER w AS ppsum
+           FROM px WINDOW w AS (PARTITION BY doc_id ORDER BY f)),
+         cuts AS (
+           SELECT doc_id, nf, f,
+             CASE WHEN ppix IS NOT NULL
+                   AND abs(psum * ppix - ppsum * pix) > 8 * pix * ppix
+               THEN 1 ELSE 0 END AS cut
+           FROM lg)
+         SELECT doc_id, CAST(MAX(nf) AS INT) AS n_frames,
+           CAST(SUM(cut) AS INT) AS n_cuts,
+           CAST(MIN(CASE WHEN cut = 1 THEN f END) AS INT) AS first_cut
+         FROM cuts GROUP BY doc_id""",
+
+    "q136_asof_nearest" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_type, value FROM events),
+         c AS (SELECT user_id, tus, value AS click_value FROM e WHERE event_type = 'click'),
+         b AS (SELECT user_id, tus AS btus, MAX(value) AS buy_value
+               FROM e WHERE event_type = 'purchase' GROUP BY 1, 2)
+         SELECT c.user_id, c.tus, c.click_value, m.btus, m.buy_value
+         FROM c LEFT JOIN LATERAL (
+           SELECT btus, buy_value FROM b
+           WHERE b.user_id = c.user_id AND abs(b.btus - c.tus) <= 3600000000
+           ORDER BY abs(b.btus - c.tus), b.btus LIMIT 1) m ON TRUE""",
+
+    "q137_batch_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+         f AS (
+           SELECT user_id, event_id, tus,
+             CASE WHEN LAG(tus) OVER w IS NULL
+                    OR tus - LAG(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+         s AS (
+           SELECT user_id, tus,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM f)
+         SELECT user_id, CAST(sid AS BIGINT) AS session_seq,
+           MIN(tus) AS start_us, MAX(tus) AS end_us,
+           COUNT(*) AS n_events, MAX(tus) - MIN(tus) AS duration_us
+         FROM s GROUP BY 1, 2""",
+
+    // q110's exact-BIGINT Z-sum shape three times (A, B, cellwise-max
+    // union), intersection by inclusion–exclusion in the same token
+    // order as Sketches.hllSetEstimates
+    "q138_hll_setops" ->
+      """WITH ka AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS key FROM events WHERE event_type = 'click'),
+         kb AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS key FROM events WHERE event_type = 'purchase'),
+         ra AS (
+           SELECT ('0x' || substr(md5(key), 1, 8))::BIGINT >> 22 AS bucket,
+             MAX(CASE WHEN ('0x' || substr(md5(key), 9, 8))::BIGINT = 0 THEN 33
+                      ELSE 33 - length(bin(('0x' || substr(md5(key), 9, 8))::BIGINT)) END) AS r
+           FROM ka GROUP BY 1),
+         rb AS (
+           SELECT ('0x' || substr(md5(key), 1, 8))::BIGINT >> 22 AS bucket,
+             MAX(CASE WHEN ('0x' || substr(md5(key), 9, 8))::BIGINT = 0 THEN 33
+                      ELSE 33 - length(bin(('0x' || substr(md5(key), 9, 8))::BIGINT)) END) AS r
+           FROM kb GROUP BY 1),
+         ru AS (
+           SELECT bucket, MAX(r) AS r
+           FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb) GROUP BY 1),
+         za AS (SELECT CAST(SUM(1::BIGINT << (33 - r)) AS BIGINT)
+                  + (1024 - COUNT(*)) * (1::BIGINT << 33) AS zs FROM ra),
+         zb AS (SELECT CAST(SUM(1::BIGINT << (33 - r)) AS BIGINT)
+                  + (1024 - COUNT(*)) * (1::BIGINT << 33) AS zs FROM rb),
+         zu AS (SELECT CAST(SUM(1::BIGINT << (33 - r)) AS BIGINT)
+                  + (1024 - COUNT(*)) * (1::BIGINT << 33) AS zs FROM ru)
+         SELECT
+           0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 1024.0::DOUBLE)
+             * 1048576.0::DOUBLE * 8589934592.0::DOUBLE / CAST(za.zs AS DOUBLE) AS est_a,
+           0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 1024.0::DOUBLE)
+             * 1048576.0::DOUBLE * 8589934592.0::DOUBLE / CAST(zb.zs AS DOUBLE) AS est_b,
+           0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 1024.0::DOUBLE)
+             * 1048576.0::DOUBLE * 8589934592.0::DOUBLE / CAST(zu.zs AS DOUBLE) AS est_union,
+           ROUND(
+             0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 1024.0::DOUBLE)
+               * 1048576.0::DOUBLE * 8589934592.0::DOUBLE / CAST(za.zs AS DOUBLE)
+             + 0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 1024.0::DOUBLE)
+               * 1048576.0::DOUBLE * 8589934592.0::DOUBLE / CAST(zb.zs AS DOUBLE)
+             - 0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 1024.0::DOUBLE)
+               * 1048576.0::DOUBLE * 8589934592.0::DOUBLE / CAST(zu.zs AS DOUBLE), 6) AS est_intersect
+         FROM za, zb, zu"""
   )
 }

@@ -110,6 +110,38 @@ object Sketches {
           lit((m * m).toDouble) * lit(8589934592.0) / col("zs").cast("double"))
   }
 
+  /** Set-operation estimates from two HLL register tables: |A|, |B|,
+    * |A∪B| (the registers' cellwise max — HLL's native, error-free
+    * merge), and |A∩B| by inclusion–exclusion — the audit question
+    * sketch artifacts exist to answer ("how many users do these two
+    * segments share?") without ever re-scanning either corpus. The
+    * intersection estimate inherits the union's relative error scaled
+    * by |A∪B|/|A∩B| (standard HLL caveat — small intersections of
+    * large sets are noisy) and CAN go slightly negative on disjoint
+    * sets; it is reported raw (presentation clamps are the caller's).
+    *
+    * All three estimates run the exact-BIGINT Z-sum shape of
+    * [[hllEstimate]]; the union merge is one partial-max agg over
+    * ≤ 2·2^p register rows. Every double op is mirrored token-for-token
+    * by the oracle; the derived intersection rounds at 1e-6 (one
+    * guard against the final subtraction's ulp).
+    */
+  def hllSetEstimates(regsA: DataFrame, regsB: DataFrame, p: Int = 10): DataFrame = {
+    val m = 1L << p
+    def zs(regs: DataFrame, name: String): DataFrame =
+      regs.agg(count(lit(1)).as("nonzero"),
+          sum(expr("shiftleft(cast(1 as bigint), 33 - r)")).as("zsum"))
+        .select((col("zsum") + (lit(m) - col("nonzero")) * lit(1L << 33)).as(name))
+    val est = (c: Column) =>
+      lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble)) *
+        lit((m * m).toDouble) * lit(8589934592.0) / c.cast("double")
+    val merged = regsA.unionByName(regsB).groupBy("bucket").agg(max("r").as("r"))
+    zs(regsA, "zsa").crossJoin(zs(regsB, "zsb")).crossJoin(zs(merged, "zsu"))
+      .select(est(col("zsa")).as("est_a"), est(col("zsb")).as("est_b"),
+        est(col("zsu")).as("est_union"),
+        round(est(col("zsa")) + est(col("zsb")) - est(col("zsu")), 6).as("est_intersect"))
+  }
+
   /** The raw HLL estimate from a register table: with Z scaled by 2^33
     * every term 2^(33−r) is an exact integer (empty buckets contribute
     * 2^33), so the register sum is pure BIGINT arithmetic — the single

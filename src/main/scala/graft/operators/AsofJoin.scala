@@ -93,6 +93,66 @@ object AsofJoin {
     else restored
   }
 
+  /** NEAREST as-of join: each left row matched to the right row whose
+    * time is CLOSEST in either direction (pandas merge_asof
+    * direction='nearest'); on an exact-distance tie the backward
+    * (earlier) match wins — the deterministic convention, mirrored in
+    * the oracle's ORDER BY (abs(dt), rt).
+    *
+    * Both directional carries come from ONE union and ONE hash
+    * exchange on the key: the ascending window yields the latest
+    * at-or-before payload (exactly [[asofJoin]]'s carry), and a second
+    * window over the SAME partitioning sorted descending yields the
+    * earliest at-or-after (right rows sort before left rows at equal
+    * times in BOTH orders, so an equal-time right is eligible both
+    * ways). Two Sort nodes, one Exchange — never a second shuffle, and
+    * never the O(|L|·|R|) per-key blowup of an abs-difference range
+    * join. The per-row winner is a null-safe comparison of the two
+    * carried times; `tolerance` bounds |leftTime − matchTime| on each
+    * side before the comparison.
+    *
+    * Time columns must be NUMERIC (unix_micros first) — distances
+    * subtract as longs.
+    */
+  def asofJoinNearest(left: DataFrame, right: DataFrame,
+                      key: String, leftTime: String, rightTime: String,
+                      rightPayload: Seq[String],
+                      tolerance: Option[Column] = None): DataFrame = {
+    val lCols = left.columns.toSeq
+    val payloadT = struct(rightPayload.map(col): _*)
+
+    val l = left
+      .withColumn("_t", col(leftTime).cast("long")).withColumn("_src", lit(1))
+      .withColumn("_p", lit(null).cast(right.select(payloadT).schema.head.dataType))
+    val r = right
+      .select(col(key), col(rightTime).cast("long").as("_t"), lit(0).as("_src"), payloadT.as("_p"))
+      .withColumns(lCols.filterNot(_ == key).map(c => c -> lit(null).cast(left.schema(c).dataType)).toMap)
+      .select(lCols.map(col) :+ col("_t") :+ col("_src") :+ col("_p"): _*)
+
+    val wB = Window.partitionBy(col(key)).orderBy(col("_t").asc, col("_src").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(col(key)).orderBy(col("_t").desc, col("_src").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val both = l.unionByName(r)
+      .withColumn("_pb", last(col("_p"), ignoreNulls = true).over(wB))
+      .withColumn("_bt", last(when(col("_src") === 0, col("_t")), ignoreNulls = true).over(wB))
+      .withColumn("_pf", last(col("_p"), ignoreNulls = true).over(wF))
+      .withColumn("_ft", last(when(col("_src") === 0, col("_t")), ignoreNulls = true).over(wF))
+    val gated = tolerance match {
+      case Some(tol) => both
+        .withColumn("_pb", when(col("_t") - col("_bt") <= tol, col("_pb")))
+        .withColumn("_bt", when(col("_t") - col("_bt") <= tol, col("_bt")))
+        .withColumn("_pf", when(col("_ft") - col("_t") <= tol, col("_pf")))
+        .withColumn("_ft", when(col("_ft") - col("_t") <= tol, col("_ft")))
+      case None => both
+    }
+    val takeBack = col("_ft").isNull ||
+      (col("_bt").isNotNull && (col("_t") - col("_bt")) <= (col("_ft") - col("_t")))
+    gated.filter(col("_src") === 1)
+      .withColumn("_m", when(takeBack, col("_pb")).otherwise(col("_pf")))
+      .select(lCols.map(col) ++ rightPayload.map(c => col(s"_m.$c").as(c)): _*)
+  }
+
   /** Hot-key variant: [[asofJoin]] sorts EACH key's full history in one
     * window task — a Zipf-hot key (one user = 10% of a 100 TB stream)
     * serializes there, and AQE's skew splitting does not apply to

@@ -116,6 +116,71 @@ object Behavior {
         round(col("n").cast("double") / col("_tot").cast("double"), 9).as("p"))
   }
 
+  /** Batch sessionization (gaps-and-islands on inactivity): per key,
+    * consecutive events closer than `gapUs` belong to one session; a
+    * gap strictly larger starts a new one. The BATCH twin of the
+    * streaming GroupState sessionizer (q21) — same semantics, but as a
+    * reprocessable one-shot over history (backfills, research cuts,
+    * re-sessionizing with a different gap), with no state store at all.
+    *
+    * Scale shape: `lag` and the running sum share ONE key-partitioned
+    * (time, tieCols) sort — one exchange, one sort (the scd2 shape,
+    * keyed on time GAP instead of value change); session extents then
+    * aggregate with partial combines. (timeCol, tieCols) must
+    * total-order rows per key or boundary membership is
+    * nondeterministic at repeated timestamps (the twap contract).
+    * Output: one row per session — key, session_seq (1-based per key,
+    * in time order), start/end micros, n_events, duration_us.
+    */
+  def sessionizeBatch(events: DataFrame, keyCol: String = "user_id",
+                      timeCol: String = "tus", gapUs: Long = 1800000000L,
+                      tieCols: Seq[String] = Nil): DataFrame = {
+    require(gapUs > 0, s"gapUs must be positive, got $gapUs")
+    val ord = col(timeCol) +: tieCols.map(col)
+    val w = Window.partitionBy(keyCol).orderBy(ord: _*)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("_prev", lag(col(timeCol), 1).over(w))
+      .withColumn("_new",
+        when(col("_prev").isNull || col(timeCol) - col("_prev") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("_sid", sum(col("_new")).over(run))
+      .groupBy(col(keyCol), col("_sid").as("session_seq"))
+      .agg(min(col(timeCol)).as("start_us"), max(col(timeCol)).as("end_us"),
+           count(lit(1)).as("n_events"))
+      .withColumn("duration_us", col("end_us") - col("start_us"))
+  }
+
+  /** Last-touch marketing attribution: each conversion credited to the
+    * most recent touch at-or-before it within `lookbackUs`, then
+    * rolled up per channel — conversions with no touch in the window
+    * report as channel NULL (the "direct / unattributed" row every
+    * attribution report carries).
+    *
+    * Pure composition: the credit assignment IS an as-of join with a
+    * tolerance ([[AsofJoin.asofJoin]] — one shuffle, no pair blowup on
+    * users with many touches), and the rollup is one partial agg.
+    * Conversion values sum as DECIMAL (order-insensitive), cast to
+    * double once at the end.
+    *
+    * `conversions` needs (keyCol, timeCol, valueCol); `touches` needs
+    * (keyCol, timeCol, channelCol). Times must be numeric epoch micros.
+    */
+  def lastTouchAttribution(conversions: DataFrame, touches: DataFrame,
+                           keyCol: String, timeCol: String,
+                           channelCol: String, valueCol: String,
+                           lookbackUs: Long): DataFrame = {
+    require(lookbackUs > 0, s"lookbackUs must be positive, got $lookbackUs")
+    val credited = AsofJoin.asofJoin(
+      conversions.select(col(keyCol), col(timeCol), col(valueCol)),
+      touches.select(col(keyCol), col(timeCol).as("_touch_t"), col(channelCol)),
+      keyCol, timeCol, "_touch_t", Seq(channelCol),
+      tolerance = Some(lit(lookbackUs)))
+    credited.groupBy(col(channelCol).as("channel"))
+      .agg(count(lit(1)).as("n_conv"),
+           sum(col(valueCol).cast("decimal(18,4)")).cast("double").as("total_value"))
+  }
+
   /** Retention cohorts: users grouped by their FIRST active day, a
     * row per (cohort day, day offset) with the count of cohort users
     * active that day — the retention-curve table.

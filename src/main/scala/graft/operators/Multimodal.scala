@@ -335,6 +335,62 @@ object Multimodal {
     }
   }
 
+  val audioSigSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_samples", LongType),
+    StructField("sig", LongType)))
+
+  /** Block-energy perceptual signature over REAL decoded audio — the
+    * 1-D analog of [[imageSignatures]]: the sample stream split into
+    * `blocks` contiguous blocks, bit b set iff block b's mean ENERGY
+    * (mean square around the PCM midpoint) exceeds the stream's global
+    * mean energy. Identical/near-identical clips collide; a changed
+    * region flips only its block bits, so Hamming distance on `sig`
+    * is audio near-dup blocking (the poor-man's chromaprint whose
+    * Spark-side shape — batched decode, 8-byte keys shuffling instead
+    * of waveforms — is exactly a fingerprinting pipeline's).
+    *
+    * The bit decision is INTEGER-EXACT (`bss·n > gss·bn`
+    * cross-multiplied in longs over the exact sum-of-squares; no float
+    * RMS), and block membership is pure integer math (`p·blocks/n`),
+    * so the oracle rebuilds every signature from the deterministic
+    * payload bytes. Empty streams sign 0.
+    */
+  def audioSignatures(withPayload: DataFrame, blocks: Int = 16, batchSize: Int = 64,
+                      idCol: String = "doc_id", binCol: String = "payload"): DataFrame = {
+    require(blocks >= 1 && blocks <= 63, s"blocks must fit the long signature, got $blocks")
+    val in = withPayload.select(col(idCol), col(binCol))
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(audioSigSchema))
+    in.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val ais = wavReader.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          val buf = ais.readAllBytes()
+          ais.close()
+          val n = buf.length.toLong
+          val bss = new Array[Long](blocks)
+          val bn = new Array[Long](blocks)
+          var gss = 0L
+          var p = 0
+          while (p < buf.length) {
+            val a = (buf(p) & 0xff) - 128
+            val blk = (p.toLong * blocks / n).toInt
+            bss(blk) += a.toLong * a; bn(blk) += 1; gss += a.toLong * a
+            p += 1
+          }
+          var sig = 0L
+          var b = 0
+          while (b < blocks) {
+            if (bss(b) * n > gss * bn(b)) sig |= 1L << b
+            b += 1
+          }
+          Row(r.getLong(0), n, sig)
+        }
+      }
+    }
+  }
+
   // ---- video path: PNG-frame container + stride sampling (JDK-only) ----
   // The JDK ships no video codec, but what the SPARK side of a video
   // pipeline owes the cluster is container demux, frame SAMPLING (seek
@@ -402,6 +458,71 @@ object Multimodal {
       f += stride
     }
     (nFrames, sampled, pixels, if (pixels == 0) 0.0 else pixSum.toDouble / pixels.toDouble)
+  }
+
+  val sceneCutSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_frames", IntegerType),
+    StructField("n_cuts", IntegerType),
+    StructField("first_cut", IntegerType)))
+
+  /** Scene-change detection over the video container: a cut between
+    * consecutive frames whenever their mean luminance differs by more
+    * than `tNum/tDen` gray levels — the shot-boundary primitive behind
+    * frame-sampling policies ("one frame per scene beats one per N"),
+    * here over every frame via the same index-demux + ImageIO decode
+    * as [[decodeVideoFeatures]] (stride 1 by definition: a cut needs
+    * both neighbors).
+    *
+    * The threshold is RATIONAL and the decision INTEGER-EXACT:
+    * |sumᵢ·nᵢ₋₁ − sumᵢ₋₁·nᵢ|·tDen > tNum·nᵢ·nᵢ₋₁ — cross-multiplied
+    * longs, no float means, so the oracle rebuilds every cut from the
+    * deterministic payload bytes. Returns per video: frame count, cut
+    * count, and the first cut's frame index (1-based; NULL when no
+    * cut — the "scene 2 starts here" seek target), all computed inside
+    * the batched map — per-frame rows never leave the executor.
+    */
+  def videoSceneCuts(withPayload: DataFrame, tNum: Long = 8L, tDen: Long = 1L,
+                     batchSize: Int = 64,
+                     idCol: String = "doc_id", binCol: String = "payload"): DataFrame = {
+    require(tNum >= 0 && tDen > 0, s"threshold must be a nonneg rational, got $tNum/$tDen")
+    val in = withPayload.select(col(idCol), col(binCol))
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(sceneCutSchema))
+    in.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val container = r.getAs[Array[Byte]](1)
+          val buf = java.nio.ByteBuffer.wrap(container)
+          val nFrames = buf.getInt
+          val lens = Array.fill(nFrames)(buf.getInt)
+          val offsets = lens.scanLeft(4 * (1 + nFrames))(_ + _)
+          var prevSum = 0L
+          var prevN = 0L
+          var cuts = 0
+          var firstCut = -1
+          var f = 0
+          while (f < nFrames) {
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+              container, offsets(f), lens(f)))
+            val (w, h) = (img.getWidth, img.getHeight)
+            val pix = img.getRaster.getSamples(0, 0, w, h, 0, new Array[Int](w * h))
+            var s = 0L
+            var i = 0
+            while (i < pix.length) { s += pix(i); i += 1 }
+            val np = pix.length.toLong
+            if (f > 0 && math.abs(s * prevN - prevSum * np) * tDen > tNum * np * prevN) {
+              cuts += 1
+              if (firstCut < 0) firstCut = f
+            }
+            prevSum = s; prevN = np
+            f += 1
+          }
+          Row(r.getLong(0), nFrames, cuts,
+            if (firstCut < 0) null else Integer.valueOf(firstCut))
+        }
+      }
+    }
   }
 
   /** Attach a REAL video-container payload (batched mapPartitions). */

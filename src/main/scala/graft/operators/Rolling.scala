@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -192,6 +192,64 @@ object Rolling {
         round(((lit(k) - col("_rn")) * col("_s1") + col("_s2")).cast("double") /
           col("_wsum").cast("double") / 1000000.0, 9))
       .drop("_vq", "_rn", "_s1", "_s2", "_m", "_wsum")
+  }
+
+  /** Per-key lag-k autocorrelation (SURVEY.md §2 #53j): Pearson
+    * correlation between a series and itself shifted by `lag` steps,
+    * for each requested lag — the periodicity/burstiness signal behind
+    * bot detection ("perfectly regular activity"), seasonality checks,
+    * and feature screening for forecasting.
+    *
+    * Scale shape: ONE key-partitioned sort (the twap (time, id)
+    * total-order contract) computes every lag's `lead` in the same
+    * Window node; the per-lag (x, y) pairs then expand MAP-SIDE from
+    * an inline struct array (rows × |lags|, no extra shuffle) and
+    * reduce in one partial agg carrying the five Pearson sums. Nothing
+    * is ever quadratic and no state outlives the agg combine.
+    *
+    * Exactness (the q96 corrMatrix pattern, grouped): values quantize
+    * to integer micro-units via `floor(v·10⁶+0.5)` (IEEE-identical in
+    * both engines), the five sums run as DECIMAL(38,0) over exact
+    * longs (order-insensitive at any parallelism), and the Pearson
+    * formula then runs in doubles cast from those exact sums in the
+    * oracle's token order (q96's shape; sqrt and division are IEEE
+    * correctly-rounded in both engines), rounded at 1e-9. Degenerate
+    * groups (under 2 pairs, or zero variance on either side) emit NULL
+    * acf, mirrored by the oracle's CASE.
+    */
+  def autocorr(df: DataFrame, keyCol: String, timeCol: String, valueCol: String,
+               idCol: String, lags: Seq[Int] = Seq(1)): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ >= 1), s"lags must be >= 1, got $lags")
+    val w = Window.partitionBy(keyCol).orderBy(col(timeCol), col(idCol))
+    val vq = floor(col(valueCol) * 1000000L + 0.5).cast("long")
+    val withLeads = lags.foldLeft(df.withColumn("_x", vq)) { (d, k) =>
+      d.withColumn(s"_y$k", lead(col("_x"), k).over(w))
+    }
+    val exploded = withLeads
+      .select(col(keyCol), col("_x"), explode(
+        array(lags.map(k => struct(lit(k).as("lag"), col(s"_y$k").as("y"))): _*))
+        .as("_p"))
+      .filter(col("_p.y").isNotNull)
+      .select(col(keyCol), col("_p.lag").as("lag"),
+        col("_x").cast("decimal(38,0)").as("x"),
+        col("_p.y").cast("decimal(38,0)").as("y"))
+    val sums = exploded.groupBy(col(keyCol), col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+           sum("x").as("sx"), sum("y").as("sy"),
+           sum(col("x") * col("x")).as("sxx"),
+           sum(col("y") * col("y")).as("syy"),
+           sum(col("x") * col("y")).as("sxy"))
+    // the q96 corrMatrix op order exactly: every exact sum casts to
+    // double FIRST, all arithmetic runs in doubles — deterministic on
+    // identical inputs, token-mirrored by the oracle
+    val n = col("n_pairs").cast("double")
+    def d(c: String): Column = col(c).cast("double")
+    val cov = n * d("sxy") - d("sx") * d("sy")
+    val vx = n * d("sxx") - d("sx") * d("sx")
+    val vy = n * d("syy") - d("sy") * d("sy")
+    sums.select(col(keyCol), col("lag"), col("n_pairs"),
+      when(col("n_pairs") >= 2 && vx > 0 && vy > 0,
+        round(cov / (sqrt(vx) * sqrt(vy)), 9)).as("acf"))
   }
 
   /** SCD2 history build (SURVEY.md §2 #65): compress a per-key change

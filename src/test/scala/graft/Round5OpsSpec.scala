@@ -1,0 +1,306 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Sketches
+import graft.operators.{AsofJoin, Behavior, Multimodal, Rolling}
+
+/** Round-5 additions: autocorrelation, batch sessionization, last-touch
+  * attribution, nearest as-of, audio/scene signatures, HLL set ops,
+  * and the set-operation multiplicity arithmetic — each verified
+  * against brute-force or first-principles references computed
+  * driver-side on small planted corpora.
+  */
+class Round5OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- autocorr ----
+
+  test("autocorr matches driver-computed Pearson on random series, NULL on degenerate") {
+    val rnd = new scala.util.Random(7)
+    val rows = for (u <- 1 to 4; i <- 1 to 30) yield
+      (u.toLong, (u * 1000 + i).toLong, i.toLong * 1000L, math.floor(rnd.nextDouble() * 1000) / 10)
+    // one constant-value user → zero variance → NULL acf
+    val const = (1 to 10).map(i => (9L, (9000 + i).toLong, i.toLong * 1000L, 5.0))
+    val df = (rows ++ const).toDF("user_id", "event_id", "tus", "value")
+    val out = Rolling.autocorr(df, "user_id", "tus", "value", "event_id", lags = Seq(1, 2))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+
+    def ref(u: Long, lag: Int): (Long, Option[Double]) = {
+      val vs = (rows ++ const).filter(_._1 == u).sortBy(r => (r._3, r._2)).map(_._4)
+      val q = vs.map(v => math.floor(v * 1000000L + 0.5).toLong)
+      val pairs = q.dropRight(lag).zip(q.drop(lag))
+      val n = pairs.size.toDouble
+      val sx = pairs.map(_._1).sum.toDouble
+      val sy = pairs.map(_._2).sum.toDouble
+      val sxx = pairs.map(p => p._1 * p._1).sum.toDouble
+      val syy = pairs.map(p => p._2 * p._2).sum.toDouble
+      val sxy = pairs.map(p => p._1 * p._2).sum.toDouble
+      val vx = n * sxx - sx * sx
+      val vy = n * syy - sy * sy
+      val acf = if (pairs.size >= 2 && vx > 0 && vy > 0)
+        Some(BigDecimal((n * sxy - sx * sy) / (math.sqrt(vx) * math.sqrt(vy)))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      else None
+      (pairs.size.toLong, acf)
+    }
+    for (u <- Seq(1L, 2L, 3L, 4L); lag <- Seq(1, 2)) {
+      val (n, acf) = ref(u, lag)
+      out((u, lag))._1 shouldBe n
+      (out((u, lag))._2, acf) match {
+        case (Some(a), Some(b)) => a shouldBe b +- 1e-9
+        case (a, b) => a shouldBe b
+      }
+    }
+    out((9L, 1))._2 shouldBe None // constant series: zero variance
+  }
+
+  // ---- batch sessionization ----
+
+  test("sessionizeBatch splits on gaps > gapUs, events partition into sessions") {
+    val gap = 100L
+    val ev = Seq(
+      (1L, 1L, 0L), (1L, 2L, 50L), (1L, 3L, 100L),   // gaps 50,50 → one session
+      (1L, 4L, 300L),                                  // gap 200 → new session
+      (1L, 5L, 301L),
+      (2L, 6L, 0L)                                     // lone event
+    ).toDF("user_id", "event_id", "tus")
+    val out = Behavior.sessionizeBatch(ev, "user_id", "tus", gapUs = gap,
+      tieCols = Seq("event_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    out.size shouldBe 3
+    out((1L, 1L)) shouldBe ((0L, 100L, 3L))
+    out((1L, 2L)) shouldBe ((300L, 301L, 2L))
+    out((2L, 1L)) shouldBe ((0L, 0L, 1L))
+  }
+
+  test("sessionizeBatch property: a gap exactly equal to gapUs does NOT split") {
+    val ev = Seq((1L, 1L, 0L), (1L, 2L, 100L)).toDF("user_id", "event_id", "tus")
+    Behavior.sessionizeBatch(ev, "user_id", "tus", gapUs = 100L,
+      tieCols = Seq("event_id")).count() shouldBe 1L
+  }
+
+  // ---- last-touch attribution ----
+
+  test("lastTouchAttribution credits the latest in-window touch; outside-lookback is NULL channel") {
+    val conv = Seq((1L, 1000L, 10.0), (2L, 1000L, 20.0), (3L, 1000L, 40.0))
+      .toDF("user_id", "tus", "value")
+    val touches = Seq(
+      (1L, 900L, "email"), (1L, 950L, "ad"),   // latest in window: ad
+      (2L, 100L, "ad"),                        // outside 500-lookback → NULL
+      (3L, 1000L, "search")                    // touch AT conversion time counts
+    ).toDF("user_id", "tus", "channel")
+    val out = Behavior.lastTouchAttribution(conv, touches,
+      "user_id", "tus", "channel", "value", lookbackUs = 500L)
+      .collect().map(r => Option(r.getString(0)) -> (r.getLong(1), r.getDouble(2))).toMap
+    out(Some("ad")) shouldBe ((1L, 10.0))
+    out(Some("search")) shouldBe ((1L, 40.0))
+    out(None) shouldBe ((1L, 20.0))
+  }
+
+  // ---- nearest as-of ----
+
+  test("asofJoinNearest equals brute force incl. equidistant-tie-to-backward and tolerance") {
+    val rnd = new scala.util.Random(11)
+    val left = (1 to 120).map(_ => (rnd.nextInt(4).toLong, rnd.nextInt(200).toLong * 10))
+      .distinct.map { case (k, t) => (k, t, s"L$k-$t") }
+    val right = (1 to 80).map(_ => (rnd.nextInt(4).toLong, rnd.nextInt(200).toLong * 10))
+      .distinct.map { case (k, t) => (k, t, t * 7) }
+    val l = left.toDF("k", "t", "tag")
+    val r = right.toDF("k", "rt", "pay")
+    val tol = 70L
+    val out = AsofJoin.asofJoinNearest(l, r, "k", "t", "rt", Seq("rt", "pay"),
+      tolerance = Some(lit(tol))).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) ->
+        (if (x.isNullAt(3)) None else Some(x.getLong(3)))).toMap
+    for ((k, t, _) <- left) {
+      val cands = right.filter(c => c._1 == k && math.abs(c._2 - t) <= tol)
+      val want = if (cands.isEmpty) None
+        else Some(cands.minBy(c => (math.abs(c._2 - t), c._2))._2)
+      withClue(s"k=$k t=$t: ") { out((k, t)) shouldBe want }
+    }
+  }
+
+  test("asofJoinNearest prefers the backward row on an exact-distance tie") {
+    val l = Seq((1L, 100L)).toDF("k", "t")
+    val r = Seq((1L, 90L, "back"), (1L, 110L, "fwd")).toDF("k", "rt", "who")
+    AsofJoin.asofJoinNearest(l, r, "k", "t", "rt", Seq("who"))
+      .collect().head.getString(2) shouldBe "back"
+  }
+
+  // ---- audio signatures ----
+
+  test("audioSignatures matches a first-principles reference on the raw bytes") {
+    val docs = Seq(
+      (1L, "aaaaaaaaaaaaaaaaZZZZZZZZZZZZZZZZ"),  // quiet half, loud half
+      (2L, "aaaaaaaaaaaaaaaaZZZZZZZZZZZZZZZZ"),  // identical → same sig
+      (3L, "mixed content with Varying LOUDNESS and quiet stretches here"),
+      (4L, "")                                    // empty → sig 0
+    ).toDF("doc_id", "text")
+    val out = Multimodal.audioSignatures(Multimodal.withAudioPayload(docs))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    def ref(text: String): (Long, Long) = {
+      val bytes = text.getBytes("UTF-8")
+      val n = bytes.length.toLong
+      if (n == 0) return (0L, 0L)
+      val blocks = 16
+      val bss = new Array[Long](blocks); val bn = new Array[Long](blocks)
+      var gss = 0L
+      for (p <- bytes.indices) {
+        val a = (bytes(p) & 0xff) - 128
+        val blk = (p.toLong * blocks / n).toInt
+        bss(blk) += a.toLong * a; bn(blk) += 1; gss += a.toLong * a
+      }
+      var sig = 0L
+      for (b <- 0 until blocks) if (bss(b) * n > gss * bn(b)) sig |= 1L << b
+      (n, sig)
+    }
+    out(1L) shouldBe ref("aaaaaaaaaaaaaaaaZZZZZZZZZZZZZZZZ")
+    out(3L) shouldBe ref("mixed content with Varying LOUDNESS and quiet stretches here")
+    out(4L) shouldBe ((0L, 0L))
+    out(1L) shouldBe out(2L) // identical clips collide
+    // the loud half must dominate: its blocks carry the set bits
+    val sig1 = out(1L)._2
+    (sig1 >> 8) should not be 0L
+    (sig1 & 0xff) shouldBe 0L
+  }
+
+  // ---- scene cuts ----
+
+  test("videoSceneCuts matches the tiling-formula reference; uniform video has no cuts") {
+    // 200 chars → 4 frames (64/64/64/8); uniform bytes → equal means → 0 cuts
+    val uniform = "x" * 200
+    // frame 0 = 'a'*64 (mean 97), frame 1 = 'z'*64 ... but the tail frame
+    // tiles a short slice — compute the expected cuts from the same
+    // integer formula the decoder uses
+    val jumpy = "a" * 64 + "z" * 64 + "a" * 64 + "zz"
+    val docs = Seq((1L, uniform), (2L, jumpy)).toDF("doc_id", "text")
+    val out = Multimodal.videoSceneCuts(Multimodal.withVideoPayload(docs))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), if (r.isNullAt(3)) None else Some(r.getInt(3)))).toMap
+
+    def ref(text: String): (Int, Int, Option[Int]) = {
+      val bytes = text.getBytes("UTF-8")
+      val n = bytes.length
+      val nf = math.min(n / 64 + 1, 8)
+      val frames = (0 until nf).map { f =>
+        val lo = f * 64
+        val hi = if (f == nf - 1) n else (f + 1) * 64
+        val slice = bytes.slice(lo, hi)
+        val flen = slice.length
+        if (flen == 0) (1L, 0L)
+        else {
+          val (w, h) = (flen % 320 + 1, flen % 240 + 1)
+          val npix = (w * h).toLong
+          val sliceSum = slice.map(b => (b & 0xff).toLong).sum
+          val cycles = npix / flen
+          val rem = (npix % flen).toInt
+          (npix, cycles * sliceSum + slice.take(rem).map(b => (b & 0xff).toLong).sum)
+        }
+      }
+      var cuts = 0; var first = -1
+      for (f <- 1 until nf) {
+        val (np, s) = frames(f); val (pp, ps) = frames(f - 1)
+        if (math.abs(s * pp - ps * np) > 8 * np * pp) {
+          cuts += 1; if (first < 0) first = f
+        }
+      }
+      (nf, cuts, if (first < 0) None else Some(first))
+    }
+    out(1L) shouldBe ref(uniform)
+    out(1L)._2 shouldBe 0
+    out(2L) shouldBe ref(jumpy)
+    out(2L)._2 should be >= 2
+  }
+
+  // ---- HLL set estimates ----
+
+  test("hllSetEstimates: A=A collapses, disjoint sets intersect near zero, union = max-merge") {
+    val a = Sketches.hllRegisters((1 to 3000).map(i => s"a$i").toDF("k"), "k")
+    val b = Sketches.hllRegisters((1 to 3000).map(i => s"b$i").toDF("k"), "k")
+    val same = Sketches.hllSetEstimates(a, a).collect().head
+    same.getDouble(0) shouldBe same.getDouble(2) // est_a == est_union when B = A
+    same.getDouble(3) shouldBe same.getDouble(0) +- 1e-6
+
+    val disj = Sketches.hllSetEstimates(a, b).collect().head
+    val (ea, eb, eu, ei) = (disj.getDouble(0), disj.getDouble(1), disj.getDouble(2), disj.getDouble(3))
+    eu shouldBe (ea + eb) +- 0.2 * (ea + eb)   // ~6000 distinct
+    math.abs(ei) should be < 0.2 * (ea + eb)   // near-zero intersection
+
+    // union registers from the merged KEY SET equal the cellwise max
+    val both = Sketches.hllRegisters(
+      ((1 to 3000).map(i => s"a$i") ++ (1 to 3000).map(i => s"b$i")).toDF("k"), "k")
+    val mergedMax = a.unionByName(b).groupBy("bucket").agg(max("r").as("r"))
+    both.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap shouldBe
+      mergedMax.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+  }
+
+  // ---- plan shapes ----
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+
+  test("q129 unpivot is map-only: one Expand, no Exchange") {
+    val p = plan("q129_unpivot")
+    p should include("Expand")
+    (p should not).include("Exchange")
+  }
+
+  test("q137 sessionize: gap flag and running session id share ONE exchange and ONE sort") {
+    val p = plan("q137_batch_sessions")
+    p.linesIterator.count(_.contains("Exchange hashpartitioning(user_id")) shouldBe 1
+    p.linesIterator.count(_.contains("Sort [")) shouldBe 1
+    p should include("partial_min") // session extents combine map-side
+  }
+
+  test("asofJoinNearest: both directional carries from ONE exchange (two sorts)") {
+    val l = (1 to 50).map(i => (i.toLong % 5, i.toLong * 10)).toDF("k", "t")
+    val r = (1 to 30).map(i => (i.toLong % 5, i.toLong * 13)).toDF("k", "rt")
+    val p = AsofJoin.asofJoinNearest(l, r.withColumn("pay", col("rt") * 2),
+      "k", "t", "rt", Seq("pay")).queryExecution.executedPlan.toString
+    p.linesIterator.count(_.contains("Exchange hashpartitioning(k")) shouldBe 1
+    p.linesIterator.count(_.contains("Sort [")) shouldBe 2
+  }
+
+  test("q132 autocorr: leads share one window sort, Pearson sums combine map-side") {
+    val p = plan("q132_autocorr")
+    p.linesIterator.count(_.contains("Sort [")) shouldBe 1
+    p should include("partial_sum")
+    p should include("partial_count")
+  }
+
+  test("q135 scene cuts stay inside the pinned codec rebalance: exactly one Exchange") {
+    val p = plan("q135_scene_cuts")
+    p.linesIterator.count(_.contains("Exchange")) shouldBe 1
+    p should include("REPARTITION_BY_NUM")
+  }
+
+  // ---- set-op multiplicity arithmetic (the q130 oracle rule) ----
+
+  test("exceptAll/intersectAll equal per-key multiplicity arithmetic on random multisets") {
+    val rnd = new scala.util.Random(3)
+    val m1 = Seq.fill(400)(rnd.nextInt(40).toLong)
+    val m2 = Seq.fill(250)(rnd.nextInt(40).toLong)
+    val d1 = m1.toDF("k"); val d2 = m2.toDF("k")
+    val c1 = m1.groupBy(identity).view.mapValues(_.size).toMap
+    val c2 = m2.groupBy(identity).view.mapValues(_.size).toMap
+
+    val ex = d1.exceptAll(d2).groupBy("k").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exRef = c1.map { case (k, n) => k -> (n - c2.getOrElse(k, 0)).toLong }
+      .filter(_._2 > 0)
+    ex shouldBe exRef
+
+    val in = d1.intersectAll(d2).groupBy("k").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val inRef = c1.flatMap { case (k, n) =>
+      val m = math.min(n, c2.getOrElse(k, 0)).toLong
+      if (m > 0) Some(k -> m) else None
+    }
+    in shouldBe inRef
+  }
+}
