@@ -1478,6 +1478,38 @@ object SparkEntry {
       functions.Sketches.hllSetEstimates(a, b)
     }),
 
+    // §2#53l trailing-window anomaly flags: per user, is this value
+    // > 3σ from the trailing hour's OTHER observations? — the z-score
+    // gate cross-multiplied into pure decimal integer arithmetic
+    // (dev² > 9·var·n²-form), so no float ever decides a flag.
+    "q139_rolling_anomaly" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("tus"), col("value"))
+      operators.Rolling.anomalies(ev, "user_id", "tus", "value",
+          widthUs = 3600000000L, minObs = 5L, k = 3)
+        .withColumn("is_anomaly", col("is_anomaly").cast("int"))
+    }),
+
+    // §2#58b distribution-matching resample: rebalance three sources to
+    // a 50/30/20 marginal — the binding stratum keeps everything,
+    // others downsample by the content-hash threshold; keep_frac
+    // audits the realized fractions.
+    "q140_distribution_match" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .matchDistribution("source",
+          Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), Seq("doc_id"))
+        .select(Seq("doc_id", "source", "keep_frac")).df),
+
+    // §2#52h two-sample KS drift: how far apart are the click and
+    // purchase value distributions, and where does the gap peak —
+    // CDFs over the distinct-value histogram, argmax a TakeOrdered.
+    "q141_ks_drift" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .select(col("event_type"), col("value"))
+      functions.Profile.ksDistance(ev, "event_type", "click", "purchase", "value")
+    }),
+
     // §2#63 binaryFile ingest: raw per-document files (materialized by
     // a distributed foreachPartition writer — test stand-in for an
     // object store) read back through Spark's binaryFile source and
@@ -3294,6 +3326,74 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
            MIN(tus) AS start_us, MAX(tus) AS end_us,
            COUNT(*) AS n_events, MAX(tus) - MIN(tus) AS duration_us
          FROM s GROUP BY 1, 2""",
+
+    // the z-score gate entirely in exact integer arithmetic: DuckDB's
+    // BIGINT sums widen to HUGEINT, Spark's run DECIMAL(38,0) — same
+    // integers, so the cross-multiplied dev² > 9·var gate agrees at
+    // every boundary
+    "q139_rolling_anomaly" ->
+      """WITH e AS (
+           SELECT user_id, event_id, epoch_us(ts) AS tus, value,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vq
+           FROM events),
+         f AS (
+           SELECT user_id, event_id, tus, value, vq,
+             COUNT(*) OVER w AS cnt,
+             SUM(vq) OVER w AS s,
+             SUM(vq * vq) OVER w AS ss
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW))
+         SELECT user_id, event_id, tus, value,
+           CAST(cnt - 1 AS BIGINT) AS n_win,
+           CASE WHEN cnt - 1 >= 5 THEN
+             CASE WHEN ((cnt - 1) * vq - (s - vq)) * ((cnt - 1) * vq - (s - vq))
+                       > 9 * ((cnt - 1) * (ss - vq * vq) - (s - vq) * (s - vq))
+               THEN 1 ELSE 0 END
+           END AS is_anomaly
+         FROM f""",
+
+    // counts → ratios → binding-stratum scale → md5-threshold
+    // membership, all mirroring Tafra.matchDistribution token-for-token
+    "q140_distribution_match" ->
+      """WITH d AS (SELECT doc_id, source FROM documents
+                    WHERE source IN ('src0', 'src1', 'src2')),
+         t AS (SELECT * FROM (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2))
+               AS t(source, share)),
+         c AS (SELECT source, COUNT(*) AS n FROM d GROUP BY 1),
+         sc AS (SELECT MIN(CAST(n AS DOUBLE) / share) AS scale
+                FROM c JOIN t USING (source)),
+         k AS (
+           SELECT d.doc_id, d.source,
+             least(1.0, sc.scale * t.share / CAST(c.n AS DOUBLE)) AS keep_frac
+           FROM d JOIN c USING (source) JOIN t USING (source), sc)
+         SELECT doc_id, source, keep_frac FROM k
+         WHERE ('0x' || substr(md5('0' || chr(0) || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+               < floor(keep_frac * 65536)""",
+
+    "q141_ks_drift" ->
+      """WITH e AS (SELECT event_type, value FROM events
+                    WHERE event_type IN ('click', 'purchase')),
+         h AS (
+           SELECT value AS v,
+             COUNT(*) FILTER (event_type = 'click') AS ca,
+             COUNT(*) FILTER (event_type = 'purchase') AS cb
+           FROM e GROUP BY 1),
+         c AS (
+           SELECT v,
+             SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+             SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb
+           FROM h),
+         t AS (
+           SELECT COUNT(*) FILTER (event_type = 'click') AS na,
+             COUNT(*) FILTER (event_type = 'purchase') AS nb
+           FROM e)
+         SELECT ROUND(abs(CAST(cuma AS DOUBLE) / CAST(na AS DOUBLE)
+                  - CAST(cumb AS DOUBLE) / CAST(nb AS DOUBLE)), 9) AS d_stat,
+           v AS at_value, na AS n_a, nb AS n_b
+         FROM c, t
+         ORDER BY abs(CAST(cuma AS DOUBLE) / CAST(na AS DOUBLE)
+           - CAST(cumb AS DOUBLE) / CAST(nb AS DOUBLE)) DESC, v
+         LIMIT 1""",
 
     // q110's exact-BIGINT Z-sum shape three times (A, B, cellwise-max
     // union), intersection by inclusion–exclusion in the same token

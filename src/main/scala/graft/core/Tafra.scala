@@ -228,6 +228,44 @@ final class Tafra(val df: DataFrame) extends Serializable {
       .delete(Seq("_tot"))
   }
 
+  /** Distribution-matching resample (importance resampling to a target
+    * marginal): keep a maximal subset whose `column` shares equal the
+    * caller's `targetShares` — the "rebalance the corpus to 30% code /
+    * 50% web / 20% books" knob when the raw mix is wrong, the
+    * share-spec complement of [[mixToBudget]]'s absolute budgets.
+    * The binding stratum (smallest n_b/t_b) keeps everything; every
+    * other stratum downsamples to scale·t_b rows. Strata absent from
+    * the map drop (the mixing contract).
+    *
+    * Scale shape: stratum counts are one partial agg; the scale factor
+    * is an agg over that |strata|-row table; both broadcast back as
+    * config-sized artifacts (the mixToBudget pattern). Membership is
+    * the sampleHashWeighted md5 threshold — deterministic across runs,
+    * partitionings, and engines; kept sets NEST as a stratum's target
+    * share grows against a fixed binding stratum. The keep fraction is
+    * a double computed from exact counts in an oracle-mirrored op
+    * order (ratios and min over a handful of strata — both engines see
+    * identical doubles). Appends `keep_frac` for audit.
+    */
+  def matchDistribution(column: String, targetShares: Map[String, Double],
+                        keyCols: Seq[String], seed: Long = 0L): Tafra = {
+    require(targetShares.nonEmpty && targetShares.values.forall(_ > 0),
+      s"target shares must be positive: $targetShares")
+    validateColumns(column +: keyCols)
+    val total = targetShares.values.sum
+    val norm = targetShares.map { case (k, v) => k -> v / total }
+    val inMix = df.filter(df(column).isInCollection(targetShares.keys.toSeq))
+    val counts = inMix.groupBy(df(column)).agg(count(lit(1)).as("_n"))
+    val tShare = element_at(typedlit(norm), col(column))
+    val ratios = counts.withColumn("_ratio", col("_n").cast("double") / tShare)
+    val scale = ratios.agg(min(col("_ratio")).as("_scale"))
+    new Tafra(inMix.join(bc(ratios.drop("_ratio")), Seq(column)).crossJoin(bc(scale))
+        .withColumn("keep_frac",
+          least(lit(1.0), col("_scale") * tShare / col("_n").cast("double"))))
+      .sampleHashWeighted("keep_frac", keyCols, seed)
+      .delete(Seq("_n", "_scale"))
+  }
+
   def sampleHashBy(column: String, fractions: Map[String, Double],
                    keyCols: Seq[String]): Tafra = {
     require(fractions.nonEmpty && fractions.values.forall(f => f >= 0 && f <= 1),

@@ -265,4 +265,47 @@ object Profile {
         (col("_cum").cast("double") / col("_n")).as(outCol))
     df.join(cum, Seq(groupCol, valueCol))
   }
+
+  /** Two-sample Kolmogorov–Smirnov distance (SURVEY.md §2 #52h):
+    * D = max over values of |CDF_a − CDF_b| between the `valueCol`
+    * distributions of groups `a` and `b` — THE distribution-drift
+    * gate between corpus versions, sources, or time slices ("did this
+    * re-crawl change the length distribution?"), reported with the
+    * value where the gap peaks (the drift location) and both sample
+    * sizes.
+    *
+    * Scale shape: the empirical CDFs run over the per-VALUE histogram
+    * (one partial agg collapses rows map-side; the window walks
+    * distinct values only — the percentileRank state argument, so a
+    * billion rows with thousands of distinct values sort thousands),
+    * totals are one tiny agg crossed back, and the argmax is a
+    * TakeOrdered over the histogram — never a row-scaled sort.
+    *
+    * Determinism: both CDFs divide exact counts by exact totals in an
+    * oracle-mirrored op order (identical doubles), the peak
+    * tie-breaks to the SMALLEST value (ORDER BY d DESC, value), and
+    * d_stat rounds at 1e-9 on output.
+    */
+  def ksDistance(df: DataFrame, groupCol: String, a: String, b: String,
+                 valueCol: String): DataFrame = {
+    val twoS = df.filter(col(groupCol).isin(a, b))
+    val hist = twoS.groupBy(col(valueCol).as("v"))
+      .agg(count(when(col(groupCol) === a, 1)).as("_ca"),
+           count(when(col(groupCol) === b, 1)).as("_cb"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = twoS.agg(
+      count(when(col(groupCol) === a, 1)).as("_na"),
+      count(when(col(groupCol) === b, 1)).as("_nb"))
+    hist
+      .withColumn("_cuma", sum(col("_ca")).over(w))
+      .withColumn("_cumb", sum(col("_cb")).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("_d", abs(col("_cuma").cast("double") / col("_na").cast("double")
+        - col("_cumb").cast("double") / col("_nb").cast("double")))
+      .orderBy(col("_d").desc, col("v"))
+      .limit(1)
+      .select(round(col("_d"), 9).as("d_stat"), col("v").as("at_value"),
+        col("_na").as("n_a"), col("_nb").as("n_b"))
+  }
 }

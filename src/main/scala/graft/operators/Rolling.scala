@@ -194,6 +194,56 @@ object Rolling {
       .drop("_vq", "_rn", "_s1", "_s2", "_m", "_wsum")
   }
 
+  /** Trailing-window anomaly flags (SURVEY.md §2 #53l): per event,
+    * is its value more than `k` standard deviations from the mean of
+    * the key's OTHER observations in the trailing `widthUs` window? —
+    * the streaming-telemetry outlier gate (spike detection, sensor
+    * faults, fraud velocity) in its batch/backfill form. The current
+    * row is excluded from its own baseline (an extreme value must not
+    * mask itself); rows with fewer than `minObs` baseline points flag
+    * NULL (no verdict), mirroring the oracle's CASE.
+    *
+    * Scale shape: ONE range-frame window (the q72 trailing shape —
+    * shuffle on key, per-key sort, linear frame scan) computes count/
+    * Σv/Σv² over [t−width, t]; the self-row subtracts out of each sum
+    * afterwards, which keeps the frame bounds identical in both
+    * engines (trailing-exclusive RANGE frames are where engine
+    * dialects diverge).
+    *
+    * Exactness: the z-score gate NEVER compares floats — values
+    * quantize to micro-units, sums run DECIMAL(38,0), and |v−μ|>k·σ
+    * cross-multiplies to (n·vq−S)² > k²·(n·ΣvQ²−S²): pure decimal
+    * integer arithmetic, engine-identical at every boundary. (Bounds:
+    * |n·vq−S| ≤ 2·n·max|vq|, so the square stays inside 38 digits for
+    * n·max|vq| < 10¹⁹ — a million-row window of 10¹²-quantized
+    * values.)
+    */
+  def anomalies(df: DataFrame, keyCol: String, timeCol: String, valueCol: String,
+                widthUs: Long, minObs: Long = 5L, k: Int = 3): DataFrame = {
+    require(widthUs > 0 && minObs >= 2 && k >= 1,
+      s"need widthUs>0, minObs>=2, k>=1; got $widthUs/$minObs/$k")
+    val w = Window.partitionBy(keyCol).orderBy(col(timeCol))
+      .rangeBetween(-widthUs, 0)
+    val vq = floor(col(valueCol) * 1000000L + 0.5).cast("long")
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val withSums = df
+      .withColumn("_vq", vq)
+      .select(df.columns.map(col) :+ col("_vq") :+
+        count(lit(1)).over(w).as("_cnt") :+
+        sum(d38(col("_vq"))).over(w).as("_s") :+
+        sum(d38(col("_vq")) * col("_vq")).over(w).as("_ss"): _*)
+    val n = col("_cnt") - 1 // baseline excludes the current row
+    val s = col("_s") - col("_vq")
+    val ss = col("_ss") - d38(col("_vq")) * col("_vq")
+    val dev = d38(n) * col("_vq") - s
+    val vard = d38(n) * ss - s * s
+    withSums
+      .withColumn("n_win", n)
+      .withColumn("is_anomaly",
+        when(n >= minObs, dev * dev > lit(k.toLong * k) * vard))
+      .drop("_vq", "_cnt", "_s", "_ss")
+  }
+
   /** Per-key lag-k autocorrelation (SURVEY.md §2 #53j): Pearson
     * correlation between a series and itself shifted by `lag` steps,
     * for each requested lag — the periodicity/burstiness signal behind

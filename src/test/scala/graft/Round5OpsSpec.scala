@@ -238,6 +238,98 @@ class Round5OpsSpec extends SparkSpec {
       mergedMax.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
   }
 
+  // ---- rolling anomaly flags ----
+
+  test("anomalies flags a planted spike, gives no verdict under minObs, and matches brute force") {
+    val base = (1 to 20).map(i => (1L, i.toLong * 10L, 100.0 + (i % 3))) // tame baseline
+    val spike = Seq((1L, 205L, 500.0))
+    val young = Seq((2L, 10L, 1.0), (2L, 20L, 999.0)) // only 1 baseline obs → NULL
+    val df = (base ++ spike ++ young).toDF("k", "tus", "v")
+    val out = Rolling.anomalies(df, "k", "tus", "v", widthUs = 1000L, minObs = 5L, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(4)) None else Some(r.getBoolean(4)))).toMap
+    out((1L, 205L)) shouldBe Some(true)   // the spike
+    out((1L, 200L)) shouldBe Some(false)  // a tame row with full baseline
+    out((2L, 20L)) shouldBe None          // under minObs → no verdict
+
+    // brute-force agreement on random data (quantized driver-side)
+    val rnd = new scala.util.Random(5)
+    val rows = (1 to 200).map(i => (i.toLong % 3, rnd.nextInt(500).toLong,
+      math.floor(rnd.nextDouble() * 10000) / 100))
+    val d2 = rows.toDF("k", "tus", "v")
+    val got = Rolling.anomalies(d2, "k", "tus", "v", widthUs = 100L, minObs = 3L, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)) ->
+        (r.getLong(3), if (r.isNullAt(4)) None else Some(r.getBoolean(4)))).toMap
+    for ((k, t, v) <- rows.distinct) {
+      val vq = (x: Double) => math.floor(x * 1000000L + 0.5).toLong
+      val frame = rows.filter(r => r._1 == k && r._2 >= t - 100L && r._2 <= t)
+      // baseline = frame minus ONE copy of this row
+      val self = (k, t, v)
+      val idx = frame.indexOf(self)
+      val baseline = frame.patch(idx, Nil, 1).map(r => vq(r._3))
+      val n = baseline.size.toLong
+      val want: Option[Boolean] = if (n < 3) None else {
+        val s = baseline.map(BigInt(_)).sum
+        val ss = baseline.map(x => BigInt(x) * x).sum
+        val dev = BigInt(n) * vq(v) - s
+        Some(dev * dev > BigInt(4) * (BigInt(n) * ss - s * s))
+      }
+      // rows duplicated in the random draw collapse to one map entry;
+      // compare whichever verdict the engine reported for the key
+      got.get((k, t, v)).foreach { case (gn, gf) =>
+        val dups = frame.count(_ == self) - 1
+        if (dups == 0) { gn shouldBe n; gf shouldBe want }
+      }
+    }
+  }
+
+  // ---- distribution matching ----
+
+  test("matchDistribution realizes the target marginal; binding stratum keeps everything") {
+    // skewed raw mix: a=600, b=300, c=100 rows
+    val rows = (1 to 600).map(i => (s"d$i", "a")) ++
+      (601 to 900).map(i => (s"d$i", "b")) ++
+      (901 to 1000).map(i => (s"d$i", "c")) ++
+      (1001 to 1050).map(i => (s"d$i", "zz")) // unlisted → dropped
+    val tf = new graft.core.Tafra(rows.toDF("doc_id", "source"))
+    val target = Map("a" -> 0.2, "b" -> 0.3, "c" -> 0.5)
+    val out = tf.matchDistribution("source", target, Seq("doc_id")).df.collect()
+    val kept = out.groupBy(_.getAs[String]("source")).view.mapValues(_.length).toMap
+    kept.keySet shouldBe Set("a", "b", "c")
+    // scale = min(600/0.2, 300/0.3, 100/0.5) = 200 → targets 40/60/100
+    val fracs = out.map(r => r.getAs[String]("source") -> r.getAs[Double]("keep_frac")).toMap
+    fracs("c") shouldBe 1.0 // binding stratum
+    kept("c") shouldBe 100  // keeps everything
+    fracs("a") shouldBe (200.0 * 0.2 / 600.0) +- 1e-12
+    fracs("b") shouldBe (200.0 * 0.3 / 300.0) +- 1e-12
+    // realized counts near the 40/60 targets (16-bit hash threshold)
+    kept("a").toDouble shouldBe 40.0 +- 12.0
+    kept("b").toDouble shouldBe 60.0 +- 14.0
+  }
+
+  // ---- KS drift ----
+
+  test("ksDistance: disjoint distributions give D=1, interleaved give small D, known case exact") {
+    val disj = ((1 to 50).map(i => ("a", i.toDouble)) ++
+      (1 to 50).map(i => ("b", 1000.0 + i))).toDF("g", "v")
+    val d1 = functions.Profile.ksDistance(disj, "g", "a", "b", "v").collect().head
+    d1.getDouble(0) shouldBe 1.0
+    d1.getLong(2) shouldBe 50L
+
+    val same = ((1 to 50) ++ (1 to 50)).map(i => ("a", i.toDouble))
+      .zipWithIndex.map { case ((g, v), i) => (if (i % 2 == 0) "a" else "b", v) }
+      .toDF("g", "v")
+    val d2 = functions.Profile.ksDistance(same, "g", "a", "b", "v").collect().head
+    d2.getDouble(0) should be < 0.3
+
+    // hand-computable: a={1,2,3,4}, b={3,4,5,6} → D peaks at v=2: |2/4-0|=0.5
+    val known = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+      ("b", 3.0), ("b", 4.0), ("b", 5.0), ("b", 6.0)).toDF("g", "v")
+    val d3 = functions.Profile.ksDistance(known, "g", "a", "b", "v").collect().head
+    d3.getDouble(0) shouldBe 0.5
+    d3.getDouble(1) shouldBe 2.0 // smallest peak value wins the tie
+  }
+
   // ---- plan shapes ----
 
   private def plan(name: String): String =
