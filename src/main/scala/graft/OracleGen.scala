@@ -377,6 +377,44 @@ object OracleGen {
      SELECT pn.node, pn.n_triangles,
        (SELECT COUNT(*) FROM tri) AS total_triangles FROM pn"""
 
+  /** k-core membership over the bucketed embedding-similarity graph
+    * (operators.Graph.kCore on Dedup.embeddingPairs ≥ minCos): the
+    * same pair pipeline, then the iterative peel UNROLLED as `rounds`
+    * fixed CTE rounds (each: degree filter ≥ k on both endpoints).
+    * Spark iterates to an asserted fixpoint; the peel is monotone, so
+    * once converged every extra unrolled round is the identity — the
+    * oracle only needs rounds ≥ the gate corpus' peel depth (checked
+    * by the compare itself: an unconverged oracle mismatches).
+    */
+  def kCoreSql(minCos: Double = 0.1, nbits: Int = 6, dim: Int = 64,
+               cap: Int = 40, k: Int = 2, rounds: Int = 8): String = {
+    // every round references its predecessor THREE times (edges + both
+    // endpoint filters): AS MATERIALIZED pins each round to evaluate
+    // once — inlined, the pair pipeline would re-run 3^rounds times
+    def peel(prev: String, out: String): String =
+      s"""$out AS MATERIALIZED (
+         SELECT e.src, e.dst FROM $prev e
+         JOIN (SELECT src FROM $prev GROUP BY src HAVING COUNT(*) >= $k) ka ON e.src = ka.src
+         JOIN (SELECT src FROM $prev GROUP BY src HAVING COUNT(*) >= $k) kb ON e.dst = kb.src)"""
+    val its = (1 to rounds).map(i => peel(if (i == 1) "e0" else s"e${i - 1}", s"e$i"))
+    s"""WITH b AS (
+       SELECT vec_id, embedding, ${bucketSql("embedding", nbits, dim)} AS bucket
+       FROM embeddings),
+     capped AS (
+       SELECT vec_id, embedding, bucket FROM (
+         SELECT vec_id, embedding, bucket,
+           ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY vec_id) AS bn
+         FROM b) WHERE bn <= $cap),
+     prs AS (
+       SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b FROM capped a JOIN capped b2
+         ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+       WHERE ${cosineSql("a.embedding", "b2.embedding", dim)} >= $minCos),
+     e0 AS MATERIALIZED (SELECT vec_a AS src, vec_b AS dst FROM prs
+            UNION SELECT vec_b, vec_a FROM prs),
+     ${its.mkString(",\n     ")}
+     SELECT src AS node, COUNT(*) AS core_degree FROM e$rounds GROUP BY 1"""
+  }
+
   /** PQ encoding (operators.Similarity.pqEncode): the codebook is
     * rebuilt in SQL from the same smallest-md5 seed rows, and each
     * subspace's L2 sum is unrolled in the identical left-associative

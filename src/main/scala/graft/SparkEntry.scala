@@ -1510,6 +1510,119 @@ object SparkEntry {
       functions.Profile.ksDistance(ev, "event_type", "click", "purchase", "value")
     }),
 
+    // §2#30l k-core membership: the dense-cluster vs stringy-chain
+    // separator over the q114 similarity graph — iterative peel to an
+    // asserted fixpoint, each round edge-list-sized.
+    "q142_kcore" -> ((s, dir) => {
+      val pairs = operators.Dedup.embeddingPairs(t(s, dir, "embeddings").df)
+        .filter(col("cos") >= 0.1)
+      operators.Graph.kCore(pairs, "vec_a", "vec_b", k = 2)
+    }),
+
+    // §2#52i PSI drift score between the click and purchase value
+    // distributions in width-25 bins — the whole-shape companion of
+    // q141's KS point statistic; empty-on-one-side bins report as
+    // dropped instead of smoothing.
+    "q143_psi" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .select(col("event_type"), col("value"))
+      functions.Profile.psi(ev, "event_type", "click", "purchase", "value",
+        binWidth = 25.0)
+    }),
+
+    // §2#45e global ordinal assignment: contiguous ids in
+    // (l_orderkey, l_linenumber) order WITHOUT a single-task global
+    // window — order-aligned buckets + bucket-partitioned ranks + a
+    // histogram-sized offset table.
+    "q144_global_index" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(Seq("l_orderkey", "l_linenumber"))
+        .globalIndex("l_orderkey", Seq("l_linenumber"), bucketWidth = 1000L).df),
+
+    // §2#52j per-type winsorization: event values clamped into their
+    // own type's exact [p05, p95] band — every row kept, tails tamed;
+    // percentile interpolation is bit-identical across engines (q71).
+    "q145_winsorize" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .select(col("event_type"), col("event_id"), col("value"))
+      functions.Profile.winsorize(ev, "event_type", "value")
+    }),
+
+    // §2#52k categorical drift: is the event-type mix independent of
+    // weekday-vs-weekend? χ² over the (cohort, type) contingency
+    // cells — label-vocabulary-sized everywhere after one partial agg.
+    "q146_chisq" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .select(col("event_type"),
+          when(expr("pmod(unix_micros(ts) div 86400000000, 7)") < 5, "weekday")
+            .otherwise("weekend").as("cohort"))
+      functions.Profile.chiSquare(ev, "cohort", "event_type")
+    }),
+
+    // §2#37g URL domain census: extract every http(s) host from the
+    // text (URLs planted deterministically from doc_id, like q43's PII)
+    // and report per-domain URL + document counts — the source-quality
+    // census behind domain allow/deny lists. RE2-compatible pattern
+    // runs verbatim as the oracle.
+    "q147_url_domains" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df.select(col("doc_id"),
+        concat(col("text"),
+          lit(" see http://site"), pmod(col("doc_id"), lit(20)),
+          lit(".example.com/page and https://cdn"), pmod(col("doc_id"), lit(7)),
+          lit(".example.org/x")).as("text"))
+      docs
+        .select(col("doc_id"),
+          explode(expr("regexp_extract_all(text, 'https?://([^/\\\\s]+)', 1)")).as("domain"))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_urls"), countDistinct("doc_id").as("n_docs"))
+    }),
+
+    // §2#43c compaction plan: the q112 file listing grouped into
+    // ≈4 KiB merge batches by exclusive byte prefix-sum — the
+    // lakehouse OPTIMIZE planning half, engine-exact.
+    "q148_compaction_plan" -> ((s, dir) => {
+      val out = "/tmp/graft_binsrc" // fixed path — mirrored in the oracle SQL
+      sources.BinaryDir.materializeText(
+        t(s, dir, "documents").df.orderBy("doc_id").limit(64), out)
+      functions.Layout.compactionPlan(
+        sources.BinaryDir.ingest(s, out, "doc_*.txt"),
+        "file_name", "n_bytes", targetBytes = 4096L)
+    }),
+
+    // §2#4b null-safe equi-join (<=>): the NULL key buckets MATCH each
+    // other (IS NOT DISTINCT FROM), unlike `=` which drops them — the
+    // semantics gap every dedup-on-nullable-key pipeline hits.
+    "q149_nullsafe_join" -> ((s, dir) => {
+      val keyed = t(s, dir, "orders").df.select(
+        when(col("o_orderpriority") === "1-URGENT", lit(null).cast("string"))
+          .otherwise(col("o_orderpriority")).as("pri"),
+        col("o_totalprice"))
+      val a = keyed.groupBy("pri").agg(count(lit(1)).as("na"))
+      val b = keyed.filter(col("o_totalprice") > 150000)
+        .groupBy("pri").agg(count(lit(1)).as("nb"))
+      a.join(b, a("pri") <=> b("pri"), "left")
+        .select(a("pri").as("pri"), col("na"), col("nb"))
+    }),
+
+    // §2#52l k-anonymity / l-diversity audit: can a user be singled
+    // out from (event_type, weekday)? group sizes + distinct users per
+    // quasi-identifier cell with k=50 / l=5 violation flags.
+    "q150_k_anonymity" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .select(col("event_type"), col("user_id"),
+          expr("pmod(unix_micros(ts) div 86400000000, 7)").as("dow"))
+      functions.Profile.kAnonymity(ev, Seq("event_type", "dow"), "user_id",
+        k = 50L, l = 5L)
+    }),
+
+    // §2#52m exact char-weighted median doc length per source: the
+    // value where HALF THE CHARACTERS live in shorter docs — giant
+    // docs move it, a million stubs don't; rational-threshold step
+    // contract, no float boundary.
+    "q151_weighted_median" -> ((s, dir) =>
+      functions.Profile.weightedPercentile(t(s, dir, "documents").df,
+        "source", "n_chars", "n_chars", pNum = 1L, pDen = 2L)),
+
     // §2#63 binaryFile ingest: raw per-document files (materialized by
     // a distributed foreachPartition writer — test stand-in for an
     // object store) read back through Spark's binaryFile source and
@@ -3394,6 +3507,137 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
          ORDER BY abs(CAST(cuma AS DOUBLE) / CAST(na AS DOUBLE)
            - CAST(cumb AS DOUBLE) / CAST(nb AS DOUBLE)) DESC, v
          LIMIT 1""",
+
+    "q142_kcore" -> OracleGen.kCoreSql(minCos = 0.1, k = 2),
+
+    "q144_global_index" ->
+      """SELECT l_orderkey, l_linenumber,
+           ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS global_idx
+         FROM lineitem""",
+
+    "q145_winsorize" ->
+      """WITH b AS (
+           SELECT event_type,
+             quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
+           FROM events GROUP BY 1)
+         SELECT e.event_type, e.event_id, e.value,
+           least(greatest(e.value, b.lo), b.hi) AS clamped
+         FROM events e JOIN b USING (event_type)""",
+
+    "q147_url_domains" ->
+      """WITH d AS (
+           SELECT doc_id,
+             text || ' see http://site' || (doc_id % 20)
+                  || '.example.com/page and https://cdn' || (doc_id % 7)
+                  || '.example.org/x' AS text
+           FROM documents),
+         u AS (
+           SELECT doc_id,
+             unnest(regexp_extract_all(text, 'https?://([^/\s]+)', 1)) AS domain
+           FROM d)
+         SELECT domain, COUNT(*) AS n_urls,
+           COUNT(DISTINCT doc_id) AS n_docs
+         FROM u GROUP BY 1""",
+
+    "q150_k_anonymity" ->
+      """SELECT event_type,
+           CAST((epoch_us(ts) // 86400000000) % 7 AS BIGINT) AS dow,
+           COUNT(*) AS group_size,
+           COUNT(DISTINCT user_id) AS n_sensitive,
+           CAST(COUNT(*) < 50 AS INT) AS k_violation,
+           CAST(COUNT(DISTINCT user_id) < 5 AS INT) AS l_violation
+         FROM events GROUP BY 1, 2""",
+
+    "q151_weighted_median" ->
+      """WITH h AS (
+           SELECT source, n_chars AS v, SUM(n_chars) AS w
+           FROM documents GROUP BY 1, 2),
+         c AS (
+           SELECT source, v,
+             SUM(w) OVER (PARTITION BY source ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(w) OVER (PARTITION BY source) AS tot
+           FROM h)
+         SELECT source, CAST(MIN(v) AS BIGINT) AS wpct,
+           CAST(MAX(tot) AS BIGINT) AS total_weight
+         FROM c WHERE cum * 2 >= tot * 1 GROUP BY 1""",
+
+    "q148_compaction_plan" ->
+      """WITH f AS (
+           SELECT parse_filename(filename) AS file_name,
+             CAST(octet_length(content) AS BIGINT) AS n_bytes
+           FROM read_blob('/tmp/graft_binsrc/doc_*.txt')),
+         p AS (
+           SELECT file_name, n_bytes,
+             COALESCE(SUM(n_bytes) OVER (ORDER BY file_name
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx
+           FROM f)
+         SELECT CAST(pfx // 4096 AS BIGINT) AS group_id, COUNT(*) AS n_files,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           MIN(file_name) AS first_file, MAX(file_name) AS last_file
+         FROM p GROUP BY 1""",
+
+    "q149_nullsafe_join" ->
+      """WITH k AS (
+           SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN NULL
+                       ELSE o_orderpriority END AS pri, o_totalprice
+           FROM orders),
+         a AS (SELECT pri, COUNT(*) AS na FROM k GROUP BY 1),
+         b AS (SELECT pri, COUNT(*) AS nb FROM k
+               WHERE o_totalprice > 150000 GROUP BY 1)
+         SELECT a.pri, a.na, b.nb
+         FROM a LEFT JOIN b ON a.pri IS NOT DISTINCT FROM b.pri""",
+
+    "q146_chisq" ->
+      """WITH ev AS (
+           SELECT event_type,
+             CASE WHEN (epoch_us(ts) // 86400000000) % 7 < 5
+                  THEN 'weekday' ELSE 'weekend' END AS cohort
+           FROM events),
+         cells AS (
+           SELECT cohort AS r, event_type AS c, COUNT(*) AS o
+           FROM ev GROUP BY 1, 2),
+         rt AS (SELECT r, SUM(o) AS rtot FROM cells GROUP BY 1),
+         ct AS (SELECT c, SUM(o) AS ctot FROM cells GROUP BY 1),
+         g AS (SELECT SUM(o) AS n, COUNT(DISTINCT r) AS nr,
+                      COUNT(DISTINCT c) AS nc FROM cells),
+         terms AS (
+           SELECT CAST(
+               (CAST(o AS DOUBLE) - CAST(rtot AS DOUBLE) * CAST(ctot AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(o AS DOUBLE) - CAST(rtot AS DOUBLE) * CAST(ctot AS DOUBLE) / CAST(n AS DOUBLE))
+               / (CAST(rtot AS DOUBLE) * CAST(ctot AS DOUBLE) / CAST(n AS DOUBLE))
+             AS DECIMAL(20,9)) AS term, n, nr, nc
+           FROM cells JOIN rt USING (r) JOIN ct USING (c), g)
+         SELECT ROUND(CAST(SUM(term) AS DOUBLE), 6) AS chi2,
+           MAX((nr - 1) * (nc - 1)) AS dof,
+           CAST(MAX(n) AS BIGINT) AS n
+         FROM terms""",
+
+    "q143_psi" ->
+      """WITH e AS (SELECT event_type, value FROM events
+                    WHERE event_type IN ('click', 'purchase')),
+         c AS (
+           SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin,
+             COUNT(*) FILTER (event_type = 'click') AS ca,
+             COUNT(*) FILTER (event_type = 'purchase') AS cb
+           FROM e GROUP BY 1),
+         t AS (
+           SELECT COUNT(*) FILTER (event_type = 'click') AS na,
+             COUNT(*) FILTER (event_type = 'purchase') AS nb
+           FROM e),
+         terms AS (
+           SELECT CASE WHEN ca > 0 AND cb > 0 THEN
+               CAST((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+                     - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+                 * ln((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+                      / (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))) AS DECIMAL(20,9))
+             END AS term, na, nb
+           FROM c, t)
+         SELECT ROUND(CAST(SUM(term) AS DOUBLE), 6) AS psi,
+           COUNT(term) AS n_bins_used,
+           COUNT(*) FILTER (term IS NULL) AS n_bins_dropped,
+           MAX(na) AS n_a, MAX(nb) AS n_b
+         FROM terms""",
 
     // q110's exact-BIGINT Z-sum shape three times (A, B, cellwise-max
     // union), intersection by inclusion–exclusion in the same token

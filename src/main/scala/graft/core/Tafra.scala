@@ -282,6 +282,49 @@ final class Tafra(val df: DataFrame) extends Serializable {
     new Tafra(df.filter(keep))
   }
 
+  /** Global ordinal assignment (SURVEY.md §2 #45e): a contiguous
+    * 1-based `global_idx` in (`orderCol`, `tieCols`) order — the
+    * "stable row ids for sharding/resume" primitive (pack manifests,
+    * sample ledgers, deterministic interleaving) that a naive
+    * `row_number() OVER (ORDER BY …)` computes in ONE task (a global
+    * unpartitioned window serializes the corpus and is the single
+    * worst scale anti-pattern in the window family).
+    *
+    * Two-level decomposition instead: rows bucket by
+    * `floorDiv(orderCol, bucketWidth)` (order-ALIGNED ranges, exact
+    * integer arithmetic, negative-safe); within-bucket ranks come from
+    * a bucket-PARTITIONED window (distributed, bounded per bucket);
+    * bucket offsets come from one running sum over the bucket-count
+    * table (histogram-sized — thousands of rows where the corpus has
+    * billions); global_idx = offset + rank. One row shuffle + one
+    * tiny-table window, same answer as the global sort.
+    *
+    * (`orderCol`, `tieCols`) must total-order rows or the assignment
+    * is nondeterministic (the twap contract). `orderCol` must be
+    * integral (bucket arithmetic); keys needn't be dense or positive.
+    */
+  def globalIndex(orderCol: String, tieCols: Seq[String], bucketWidth: Long,
+                  idxCol: String = "global_idx"): Tafra = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    validateColumns(orderCol +: tieCols)
+    val oc = df(orderCol)
+    val bucket = ((oc - pmod(oc, lit(bucketWidth))) / bucketWidth).cast("long")
+    val withB = df.withColumn("_b", bucket)
+    val counts = withB.groupBy(col("_b")).agg(count(lit(1)).as("_bn"))
+    val wOff = Window.orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("_off", coalesce(sum(col("_bn")).over(wOff), lit(0L)))
+      .select(col("_b"), col("_off"))
+    val wIn = Window.partitionBy(col("_b"))
+      .orderBy((df(orderCol) +: tieCols.map(df(_))).map(c => c.asc): _*)
+    new Tafra(withB
+      .withColumn("_rn", row_number().over(wIn))
+      .join(bc(offsets), Seq("_b"))
+      .withColumn(idxCol, col("_off") + col("_rn"))
+      .drop("_b", "_rn", "_off"))
+  }
+
   /** Deterministic train/val/test assignment by key hash: a new
     * `splitCol` labels each row with the name whose cumulative weight
     * range its key's md5 prefix falls in. Content-addressed like

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multi-dimensional data-layout keys: z-order (Morton) interleaving —
@@ -41,6 +42,36 @@ object Layout {
     * readers. `nFiles` pins the output partition count (file count is
     * a layout decision, not AQE's).
     */
+  /** Small-file compaction plan (SURVEY.md §2 #43c): assign a file
+    * listing to merge groups of ≈ `targetBytes` each — the lakehouse
+    * maintenance op (OPTIMIZE / rewriteDataFiles) in its planning
+    * half, which is the half that needs engine-exact audit (the
+    * rewrite itself is a copy). Deterministic contract: files order by
+    * name; a file joins the group its EXCLUSIVE byte prefix-sum falls
+    * in (`prefix div target` — exact integer arithmetic), so group
+    * sizes hover around the target and a file larger than the target
+    * claims its span of group ids without splitting.
+    *
+    * Scale note: the input is a FILE LISTING — metadata-scale by
+    * definition (millions of rows where the data is petabytes), so
+    * the single unpartitioned window over it is the histogram-sized
+    * exception the percentileRank rule allows; the plan output is
+    * group-count-sized.
+    */
+  def compactionPlan(files: DataFrame, nameCol: String, sizeCol: String,
+                     targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val w = Window.orderBy(col(nameCol)).rowsBetween(Window.unboundedPreceding, -1)
+    files
+      .withColumn("_pfx", coalesce(sum(col(sizeCol)).over(w), lit(0L)))
+      .withColumn("_grp", expr(s"_pfx div $targetBytes"))
+      .groupBy(col("_grp").as("group_id"))
+      .agg(count(lit(1)).as("n_files"),
+           sum(col(sizeCol)).as("total_bytes"),
+           min(col(nameCol)).as("first_file"),
+           max(col(nameCol)).as("last_file"))
+  }
+
   def zorderLayout(df: DataFrame, aCol: String, bCol: String, nFiles: Int): DataFrame = {
     val keyed = df.withColumn("_zkey", zorderKey(col(aCol), col(bCol)))
     keyed.repartitionByRange(nFiles, col("_zkey"))

@@ -266,6 +266,168 @@ object Profile {
     df.join(cum, Seq(groupCol, valueCol))
   }
 
+  /** k-anonymity / l-diversity audit (SURVEY.md §2 #52l): for each
+    * quasi-identifier combination, its group size and the number of
+    * DISTINCT sensitive values it carries, with violation flags —
+    * the data-governance gate run before a corpus (or its metadata)
+    * ships: a group smaller than k re-identifies its members; a
+    * k-large group with one sensitive value still discloses it
+    * (which is why k-anonymity alone is not enough and l-diversity
+    * rides the same pass).
+    *
+    * One partial agg over the quasi columns (count + distinct
+    * sensitive per group — the distinct is a two-level agg, both
+    * combines map-side); output is quasi-vocabulary-sized. Flags are
+    * integer comparisons — nothing float anywhere.
+    */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], sensitiveCol: String,
+                 k: Long, l: Long = 1L): DataFrame = {
+    require(k >= 1 && l >= 1, s"need k,l >= 1; got $k/$l")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("group_size"),
+           countDistinct(col(sensitiveCol)).as("n_sensitive"))
+      .withColumn("k_violation", (col("group_size") < k).cast("int"))
+      .withColumn("l_violation", (col("n_sensitive") < l).cast("int"))
+  }
+
+  /** Exact WEIGHTED percentile per group (SURVEY.md §2 #52m): the
+    * value at which the cumulative WEIGHT (not row count) crosses
+    * p·W — "the token-weighted median document length" class of
+    * question, where a handful of giant documents should move the
+    * answer and a million stubs should not. Type-7-style answer
+    * without interpolation: the SMALLEST value whose inclusive weight
+    * prefix reaches the threshold (deterministic, integer-exact —
+    * interpolating between weighted steps has no standard any two
+    * engines agree on, so the step function IS the contract).
+    *
+    * The cumulative walk runs over the per-(group, value) HISTOGRAM
+    * (partial agg collapses rows map-side — the percentileRank state
+    * shape); the crossing threshold compares integer weight sums
+    * cross-multiplied against the rational p = pNum/pDen (no float
+    * boundary); one row per group out.
+    */
+  def weightedPercentile(df: DataFrame, groupCol: String, valueCol: String,
+                         weightCol: String, pNum: Long, pDen: Long): DataFrame = {
+    require(pNum >= 0 && pNum <= pDen && pDen > 0, s"bad rational p=$pNum/$pDen")
+    val hist = df.groupBy(col(groupCol), col(valueCol).as("v"))
+      .agg(sum(col(weightCol)).as("_w"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col(groupCol))
+    hist
+      .withColumn("_cum", sum(col("_w")).over(w))
+      .withColumn("_tot", sum(col("_w")).over(tot))
+      // first value whose inclusive prefix reaches p·W: cum·pDen >= W·pNum
+      .filter(col("_cum") * pDen >= col("_tot") * pNum)
+      .groupBy(col(groupCol))
+      .agg(min(col("v")).as("wpct"), max(col("_tot")).as("total_weight"))
+  }
+
+  /** Chi-square independence statistic (SURVEY.md §2 #52k): is the
+    * CATEGORICAL distribution of `catCol` the same across the cohorts
+    * of `cohortCol`? — completing the drift family (KS = numeric
+    * worst point, PSI = numeric shape, χ² = categorical mix). Returns
+    * the statistic, the degrees of freedom (r−1)(c−1) for the
+    * caller's p-value lookup, and the grand total.
+    *
+    * Scale shape: one partial agg to (cohort, category) cells —
+    * bounded by the label vocabularies, never row-scaled; marginals
+    * re-aggregate from the cells (no second scan); expected counts
+    * e = rowTot·colTot/n in exact-count doubles. Each (o−e)²/e term
+    * quantizes to DECIMAL(20,9) before the sum (float sums are
+    * order-dependent; quantized terms make the reduction
+    * order-insensitive and engine-exact), χ² rounds at 1e-6.
+    */
+  def chiSquare(df: DataFrame, cohortCol: String, catCol: String): DataFrame = {
+    val cells = df.groupBy(col(cohortCol).as("_r"), col(catCol).as("_c"))
+      .agg(count(lit(1)).as("_o"))
+    val rowTot = cells.groupBy("_r").agg(sum("_o").as("_rt"))
+    val colTot = cells.groupBy("_c").agg(sum("_o").as("_ct"))
+    val grand = cells.agg(sum("_o").as("_n"),
+      countDistinct("_r").as("_nr"), countDistinct("_c").as("_nc"))
+    val e = col("_rt").cast("double") * col("_ct").cast("double") / col("_n").cast("double")
+    val o = col("_o").cast("double")
+    cells
+      .join(broadcast(rowTot), Seq("_r")).join(broadcast(colTot), Seq("_c"))
+      .crossJoin(broadcast(grand))
+      .withColumn("_term", ((o - e) * (o - e) / e).cast("decimal(20,9)"))
+      .agg(round(sum(col("_term")).cast("double"), 6).as("chi2"),
+           max((col("_nr") - 1) * (col("_nc") - 1)).as("dof"),
+           max(col("_n")).as("n"))
+  }
+
+  /** Per-group winsorization (SURVEY.md §2 #52j): clamp `valueCol`
+    * into its OWN group's [pLo, pHi] exact-percentile band — the
+    * outlier-taming transform that keeps every row (unlike a filter)
+    * while bounding the moments heavy tails corrupt; per-group bounds
+    * for the same reason as [[adaptiveFilter]]'s cutoffs (one global
+    * band over-clamps clean domains).
+    *
+    * Scale shape: both bounds come from ONE exact-`percentile` agg
+    * (value→count map partial state — scales with distinct values,
+    * not rows; `approx_percentile` is the unbounded-cardinality
+    * swap-in) joined back as a group-count-sized artifact under the
+    * q25-style size gate logic (broadcast here: the group table is
+    * bounded by the group vocabulary). The clamp itself is
+    * `least/greatest` — comparisons only, no new arithmetic, so the
+    * q71 bit-identical-percentile guarantee carries straight through
+    * to the clamped values.
+    */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+                pLo: Double = 0.05, pHi: Double = 0.95,
+                outCol: String = "clamped"): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"bad percentile band [$pLo, $pHi]")
+    val bounds = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile($valueCol, array($pLo, $pHi))").as("_pb"))
+      .select(col(groupCol), col("_pb")(0).as("_lo"), col("_pb")(1).as("_hi"))
+    df.join(broadcast(bounds), Seq(groupCol))
+      .withColumn(outCol, least(greatest(col(valueCol), col("_lo")), col("_hi")))
+      .drop("_lo", "_hi")
+  }
+
+  /** Population Stability Index (SURVEY.md §2 #52i): the
+    * ML-monitoring drift score Σ (pᵦ−qᵦ)·ln(pᵦ/qᵦ) over equal-width
+    * value bins between groups `a` (baseline) and `b` (current) — the
+    * binned, symmetrized-KL companion to [[ksDistance]] (KS finds the
+    * worst single point; PSI weighs the whole shape; > 0.2 is the
+    * conventional "investigate" line). Bins where either side is
+    * empty are EXCLUDED from the sum and reported in
+    * `n_bins_dropped` — the deterministic alternative to an arbitrary
+    * smoothing epsilon (documented contract; monitoring dashboards
+    * alert on the dropped count too, since a brand-new occupied bin
+    * IS drift).
+    *
+    * Scale shape: one partial agg to (bin, ca, cb) cells — the
+    * histogram state argument, shuffle carries cells never rows — one
+    * tiny totals agg crossed back, one final single-row agg.
+    * Exactness: bin = floor(v/width) on IEEE doubles (identical both
+    * engines); each (p−q)·ln(p/q) term quantizes to DECIMAL(20,9)
+    * before the sum (the q107 entropy rule: libm vs JVM ln differ in
+    * the last ulp AND float sums are order-dependent); psi rounds at
+    * 1e-6.
+    */
+  def psi(df: DataFrame, groupCol: String, a: String, b: String,
+          valueCol: String, binWidth: Double): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val twoS = df.filter(col(groupCol).isin(a, b))
+    val cells = twoS
+      .groupBy(floor(col(valueCol) / binWidth).cast("long").as("bin"))
+      .agg(count(when(col(groupCol) === a, 1)).as("_ca"),
+           count(when(col(groupCol) === b, 1)).as("_cb"))
+    val tot = twoS.agg(
+      count(when(col(groupCol) === a, 1)).as("_na"),
+      count(when(col(groupCol) === b, 1)).as("_nb"))
+    val p = col("_ca").cast("double") / col("_na").cast("double")
+    val q = col("_cb").cast("double") / col("_nb").cast("double")
+    cells.crossJoin(broadcast(tot))
+      .withColumn("_term", when(col("_ca") > 0 && col("_cb") > 0,
+        ((p - q) * log(p / q)).cast("decimal(20,9)")))
+      .agg(round(sum(col("_term")).cast("double"), 6).as("psi"),
+           count(col("_term")).as("n_bins_used"),
+           count(when(col("_term").isNull, 1)).as("n_bins_dropped"),
+           max(col("_na")).as("n_a"), max(col("_nb")).as("n_b"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov distance (SURVEY.md §2 #52h):
     * D = max over values of |CDF_a − CDF_b| between the `valueCol`
     * distributions of groups `a` and `b` — THE distribution-drift

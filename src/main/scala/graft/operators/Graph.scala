@@ -62,6 +62,50 @@ object Graph {
     pr
   }
 
+  /** k-core decomposition membership (SURVEY.md §2 #30l): the maximal
+    * subgraph where every vertex keeps degree ≥ k — the standard
+    * "dense cluster vs stringy chain" separator over a similarity
+    * graph (a boilerplate/template cluster is a high-k core; a chain
+    * of borderline near-dup pairs dissolves). Returns each surviving
+    * vertex with its degree INSIDE the core.
+    *
+    * The classic iterative peel, Spark-relational: each round is one
+    * partial-agg degree count plus two left-semi joins pruning edges
+    * whose endpoint fell under k — shuffles sized by the (shrinking)
+    * edge list, `localCheckpoint` truncating lineage per round (the
+    * components pattern: without it round r replans r copies of the
+    * upstream candidate-pair pipeline). Rounds are bounded by the peel
+    * depth of the graph, NOT its size (a vertex only peels when a
+    * neighbor's loss drops it below k); the one count() per round is
+    * the convergence probe. Fails loudly if maxIter rounds don't
+    * converge — a silent partial peel would overstate the core.
+    */
+  def kCore(pairs: DataFrame, aCol: String, bCol: String, k: Int,
+            maxIter: Int = 30): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    var edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var n = edges.count()
+    var it = 0
+    var converged = n == 0
+    while (!converged && it < maxIter) {
+      val keep = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("src")
+      val pruned = edges
+        .join(keep, Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+        .select("src", "dst")
+        .localCheckpoint()
+      val n2 = pruned.count()
+      converged = n2 == n
+      edges = pruned; n = n2; it += 1
+    }
+    require(converged, s"kCore($k) did not converge within $maxIter peel rounds")
+    edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_degree"))
+  }
+
   /** Exact triangle count per vertex over an undirected pair list —
     * the local clustering signal (a near-dup pair embedded in many
     * triangles sits in a dense template/boilerplate cluster; an

@@ -330,6 +330,161 @@ class Round5OpsSpec extends SparkSpec {
     d3.getDouble(1) shouldBe 2.0 // smallest peak value wins the tie
   }
 
+  // ---- k-core ----
+
+  test("kCore peels to the maximal min-degree-k subgraph; brute-force equal on random graphs") {
+    // triangle {1,2,3} + pendant 3→4 + chain 5-6-7: only the triangle survives k=2
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (5L, 6L), (6L, 7L)).toDF("a", "b")
+    val out = graft.operators.Graph.kCore(pairs, "a", "b", k = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out shouldBe Map(1L -> 2L, 2L -> 2L, 3L -> 2L)
+
+    val rnd = new scala.util.Random(17)
+    val redges = (1 to 60).map(_ => (rnd.nextInt(15).toLong, rnd.nextInt(15).toLong))
+      .filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val got = graft.operators.Graph.kCore(redges.toDF("a", "b"), "a", "b", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var adj = redges.flatMap(e => Seq(e, e.swap)).toSet
+    var changed = true
+    while (changed) {
+      val deg = adj.groupBy(_._1).view.mapValues(_.size).toMap
+      val keep = deg.filter(_._2 >= 3).keySet
+      val pruned = adj.filter(e => keep(e._1) && keep(e._2))
+      changed = pruned.size != adj.size
+      adj = pruned
+    }
+    val want = adj.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    got shouldBe want
+  }
+
+  // ---- PSI ----
+
+  test("psi: zero on identical histograms, hand-computable on a planted shift, dropped bins counted") {
+    val same = ((1 to 100).map(i => ("a", (i % 10).toDouble)) ++
+      (1 to 100).map(i => ("b", (i % 10).toDouble))).toDF("g", "v")
+    val r0 = functions.Profile.psi(same, "g", "a", "b", "v", 2.0).collect().head
+    r0.getDouble(0) shouldBe 0.0
+    r0.getLong(2) shouldBe 0L
+
+    // a: bins {0: .8, 1: .2}; b: {0: .5, 1: .3, 2: .2} at width 1
+    val av = Seq.fill(80)(0.5) ++ Seq.fill(20)(1.5)
+    val bv = Seq.fill(50)(0.5) ++ Seq.fill(30)(1.5) ++ Seq.fill(20)(2.5)
+    val df = (av.map(("a", _)) ++ bv.map(("b", _))).toDF("g", "v")
+    val r = functions.Profile.psi(df, "g", "a", "b", "v", 1.0).collect().head
+    def term(p: Double, q: Double) =
+      BigDecimal((p - q) * math.log(p / q)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val want = BigDecimal((term(0.8, 0.5) + term(0.2, 0.3)).toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    r.getDouble(0) shouldBe want
+    r.getLong(1) shouldBe 2L // bins 0 and 1 used
+    r.getLong(2) shouldBe 1L // bin 2 exists only in b → dropped, flagged
+  }
+
+  // ---- global ordinal assignment ----
+
+  test("globalIndex equals the global sort rank, contiguous, negative keys included") {
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 500).map(i => (rnd.nextInt(2000).toLong - 1000L, i.toLong)).distinct
+    val tf = new graft.core.Tafra(rows.toDF("k", "tie"))
+    val out = tf.globalIndex("k", Seq("tie"), bucketWidth = 100L).df.collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("tie")) -> r.getAs[Long]("global_idx")).toMap
+    val want = rows.sortBy(identity).zipWithIndex.map { case (kv, i) => kv -> (i + 1L) }.toMap
+    out shouldBe want
+    out.values.toSeq.sorted shouldBe (1L to rows.size.toLong)
+  }
+
+  test("globalIndex ranks inside PARTITIONED windows — never one global window task") {
+    val df = (1 to 100).map(i => (i.toLong, i.toLong)).toDF("k", "tie")
+    val p = new graft.core.Tafra(df).globalIndex("k", Seq("tie"), 10L)
+      .df.queryExecution.executedPlan.toString
+    p should include("Exchange hashpartitioning(_b")
+    // the row-level window must be partitioned by bucket; the only
+    // unpartitioned window runs over the bucket-count table
+    val rowWindows = p.linesIterator.filter(_.contains("row_number")).toList
+    rowWindows should not be empty
+    rowWindows.foreach(_ should include("windowspecdefinition(_b"))
+  }
+
+  // ---- winsorize ----
+
+  test("winsorize clamps into the per-group exact percentile band and keeps every row") {
+    val vals = (1 to 99).map(_.toDouble) :+ 100000.0 // one huge outlier in group a
+    val df = (vals.map(("a", _)) ++ Seq(("b", 5.0), ("b", 6.0), ("b", 7.0))).toDF("g", "v")
+    val out = functions.Profile.winsorize(df, "g", "v", 0.05, 0.95).collect()
+    out.length shouldBe vals.size + 3
+    val aCl = out.filter(_.getString(0) == "a").map(_.getAs[Double]("clamped"))
+    // p95 of {1..99, 100000} via the p·(n−1) rule: rank 94.05 → 95.05;
+    // the outlier must clamp to it, interior values stay put
+    aCl.max shouldBe 95.05 +- 1e-9
+    out.filter(r => r.getString(0) == "a" && r.getAs[Double]("v") == 50.0)
+      .head.getAs[Double]("clamped") shouldBe 50.0
+    // lows clamp up to p05
+    aCl.min shouldBe (1.0 + 0.05 * 99) +- 1e-9
+  }
+
+  // ---- chi-square ----
+
+  test("chiSquare matches the hand-computed 2x2 statistic; independent table gives 0") {
+    // r1: A=30 B=10; r2: A=10 B=30 → e=20 everywhere → χ² = 4·(10²/20) = 20
+    val skew = (Seq.fill(30)(("r1", "A")) ++ Seq.fill(10)(("r1", "B")) ++
+      Seq.fill(10)(("r2", "A")) ++ Seq.fill(30)(("r2", "B"))).toDF("coh", "cat")
+    val r = functions.Profile.chiSquare(skew, "coh", "cat").collect().head
+    r.getDouble(0) shouldBe 20.0
+    r.getLong(1) shouldBe 1L
+    r.getLong(2) shouldBe 80L
+
+    // perfectly proportional table → statistic exactly 0
+    val indep = (Seq.fill(40)(("r1", "A")) ++ Seq.fill(20)(("r1", "B")) ++
+      Seq.fill(20)(("r2", "A")) ++ Seq.fill(10)(("r2", "B"))).toDF("coh", "cat")
+    functions.Profile.chiSquare(indep, "coh", "cat")
+      .collect().head.getDouble(0) shouldBe 0.0
+  }
+
+  // ---- compaction plan ----
+
+  test("compactionPlan groups by exclusive byte prefix; an oversized file claims its id span") {
+    val files = Seq(("a", 3000L), ("b", 3000L), ("c", 10000L), ("d", 100L)).toDF("f", "sz")
+    // exclusive prefixes: a=0, b=3000 → group 0; c=6000 → group 1; d=16000 → group 3
+    val out = functions.Layout.compactionPlan(files, "f", "sz", 4096L).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    out shouldBe Map(0L -> ((2L, 6000L)), 1L -> ((1L, 10000L)), 3L -> ((1L, 100L)))
+  }
+
+  // ---- k-anonymity / l-diversity ----
+
+  test("kAnonymity flags small groups and low-diversity groups") {
+    val rows = Seq.fill(10)(("NY", "F", 1L)) ++ Seq.fill(10)(("NY", "F", 2L)) ++
+      Seq.fill(2)(("SF", "M", 3L)) ++        // tiny group → k violation
+      Seq.fill(10)(("LA", "F", 4L))          // one sensitive value → l violation
+    val out = functions.Profile.kAnonymity(rows.toDF("city", "sex", "uid"),
+      Seq("city", "sex"), "uid", k = 5L, l = 2L).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getInt(4), r.getInt(5))).toMap
+    out(("NY", "F")) shouldBe ((20L, 2L, 0, 0))
+    out(("SF", "M")) shouldBe ((2L, 1L, 1, 1))
+    out(("LA", "F")) shouldBe ((10L, 1L, 0, 1))
+  }
+
+  // ---- weighted percentile ----
+
+  test("weightedPercentile: weight moves the crossing; uniform weights reduce to the step median") {
+    val skew = Seq(("g", 1L, 1L), ("g", 10L, 9L)).toDF("grp", "v", "w")
+    functions.Profile.weightedPercentile(skew, "grp", "v", "w", 1L, 2L)
+      .collect().head.getLong(1) shouldBe 10L
+
+    val rnd = new scala.util.Random(29)
+    val rows = (1 to 300).map(_ => ("u", rnd.nextInt(50).toLong, 1L + rnd.nextInt(9)))
+    val got = functions.Profile.weightedPercentile(rows.toDF("grp", "v", "w"),
+      "grp", "v", "w", 3L, 4L).collect().head
+    val total = rows.map(_._3).sum
+    val byV = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toSeq.sortBy(_._1)
+    var cum = 0L
+    val want = byV.collectFirst { case (v, w0) if { cum += w0; cum * 4 >= total * 3 } => v }.get
+    got.getLong(1) shouldBe want
+    got.getLong(2) shouldBe total
+  }
+
   // ---- plan shapes ----
 
   private def plan(name: String): String =
