@@ -1623,6 +1623,47 @@ object SparkEntry {
       functions.Profile.weightedPercentile(t(s, dir, "documents").df,
         "source", "n_chars", "n_chars", pNum = 1L, pDen = 2L)),
 
+    // §2#61e per-hour streaming HLL: one register table per event-time
+    // hour — "distinct users per hour in constant per-window memory";
+    // complete mode here for the oracle, watermarked append in
+    // production (spec-asserted sealed-window emission).
+    "q152_stream_hll_hourly" -> ((s, dir) =>
+      streaming.Events.streamHllHourly(s, s"$dir/events.parquet")),
+
+    // §2#21c schema-evolution parquet read: an early-generation shard
+    // (doc_id, source) and a later one with a NEW lang column load as
+    // one frame via mergeSchema; early rows surface lang NULL.
+    "q153_schema_merge" -> ((s, dir) => {
+      val out = "/tmp/graft_merge" // fixed path — mirrored in the oracle SQL
+      val d = t(s, dir, "documents").df
+      d.filter(col("doc_id") % 2 === 0).select("doc_id", "source")
+        .write.mode("overwrite").parquet(out)
+      d.filter(col("doc_id") % 2 === 1).select("doc_id", "source", "lang")
+        .write.mode("append").parquet(out)
+      Tafra.readParquetMerged(s, out).df
+    }),
+
+    // §2#60c shuffle-free join-size probe: the AMS inner product of
+    // the orders and customer custkey sketches — min over hash rows is
+    // the tightest upper bound two CMS artifacts support, computed
+    // without touching either table.
+    "q154_join_size" -> ((s, dir) => {
+      val a = functions.Sketches.cmsBuild(
+        t(s, dir, "orders").df.select(col("o_custkey").as("k")), "k")
+      val b = functions.Sketches.cmsBuild(
+        t(s, dir, "customer").df.select(col("c_custkey").as("k")), "k")
+      functions.Sketches.cmsJoinSizeEstimate(a, b)
+        .select(col("j"), col("row_estimate").cast("long").as("row_estimate"),
+          col("est").cast("long").as("est"))
+    }),
+
+    // §2#52n contribution inequality: per-source Gini of document
+    // character mass — "is this source a few giants or many stubs" in
+    // one number; exact integer rank identity, one rank window.
+    "q155_gini" -> ((s, dir) =>
+      functions.Profile.gini(t(s, dir, "documents").df,
+        "source", "n_chars", "doc_id")),
+
     // §2#63 binaryFile ingest: raw per-document files (materialized by
     // a distributed foreachPartition writer — test stand-in for an
     // object store) read back through Spark's binaryFile source and
@@ -3538,6 +3579,58 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
          SELECT domain, COUNT(*) AS n_urls,
            COUNT(DISTINCT doc_id) AS n_docs
          FROM u GROUP BY 1""",
+
+    "q154_join_size" ->
+      """WITH ka AS (SELECT CAST(o_custkey AS VARCHAR) AS k FROM orders),
+         kb AS (SELECT CAST(c_custkey AS VARCHAR) AS k FROM customer),
+         ca AS (
+           SELECT j.j, ('0x' || substr(md5('cm' || j.j || '|' || k), 1, 8))::BIGINT % 1024 AS cell,
+             COUNT(*) AS cnt
+           FROM ka CROSS JOIN (SELECT unnest([0,1,2,3]) AS j) j GROUP BY 1, 2),
+         cb AS (
+           SELECT j.j, ('0x' || substr(md5('cm' || j.j || '|' || k), 1, 8))::BIGINT % 1024 AS cell,
+             COUNT(*) AS cnt
+           FROM kb CROSS JOIN (SELECT unnest([0,1,2,3]) AS j) j GROUP BY 1, 2),
+         pr AS (
+           SELECT ca.j, CAST(SUM(ca.cnt * cb.cnt) AS BIGINT) AS row_estimate
+           FROM ca JOIN cb ON ca.j = cb.j AND ca.cell = cb.cell GROUP BY 1)
+         SELECT j, row_estimate,
+           (SELECT MIN(row_estimate) FROM pr) AS est
+         FROM pr""",
+
+    "q155_gini" ->
+      """WITH r AS (
+           SELECT source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS i
+           FROM documents),
+         s AS (
+           SELECT source, COUNT(*) AS n,
+             SUM(CAST(n_chars AS DECIMAL(38,0))) AS sx,
+             SUM(CAST(n_chars AS DECIMAL(38,0)) * i) AS six
+           FROM r GROUP BY 1)
+         SELECT source, n,
+           CASE WHEN sx > 0 THEN
+             ROUND(CAST(2 * six - (n + 1) * sx AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)), 9)
+           END AS gini
+         FROM s""",
+
+    "q152_stream_hll_hourly" ->
+      """WITH k AS (
+           SELECT DISTINCT date_trunc('hour', make_timestamp(epoch_ns(ts)//1000)) AS h,
+             CAST(user_id AS VARCHAR) AS key
+           FROM events),
+         hh AS (
+           SELECT h, ('0x' || substr(md5(key), 1, 8))::BIGINT AS h1,
+                  ('0x' || substr(md5(key), 9, 8))::BIGINT AS w
+           FROM k)
+         SELECT h AS hour_start, h1 >> 22 AS bucket,
+           CAST(MAX(CASE WHEN w = 0 THEN 33 ELSE 33 - length(bin(w)) END) AS INT) AS r
+         FROM hh GROUP BY 1, 2""",
+
+    "q153_schema_merge" ->
+      """SELECT doc_id, source, lang
+         FROM read_parquet('/tmp/graft_merge/*.parquet', union_by_name=true)""",
 
     "q150_k_anonymity" ->
       """SELECT event_type,

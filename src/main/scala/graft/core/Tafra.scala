@@ -724,6 +724,18 @@ object Tafra {
   def readParquet(spark: SparkSession, path: String): Tafra =
     new Tafra(spark.read.parquet(path))
 
+  /** Schema-evolution read: parquet files written at different corpus
+    * generations (later shards carrying NEW columns) load as ONE
+    * frame — `mergeSchema` unions the footers' schemas and rows
+    * missing a column surface NULL. The long-lived-corpus reality the
+    * plain reader mishandles (it trusts one random footer, silently
+    * dropping late-added columns). Schema merge is a FOOTER-level
+    * operation — metadata-scale, no data pass; the scan itself stays
+    * pushdown/pruning-capable per file.
+    */
+  def readParquetMerged(spark: SparkSession, path: String): Tafra =
+    new Tafra(spark.read.option("mergeSchema", "true").parquet(path))
+
   /** Read a catalog table (e.g. one written by [[Tafra.writeBucketed]];
     * the bucketing metadata rides along into the plan).
     */

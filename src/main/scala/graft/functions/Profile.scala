@@ -266,6 +266,39 @@ object Profile {
     df.join(cum, Seq(groupCol, valueCol))
   }
 
+  /** Per-group Gini coefficient (SURVEY.md §2 #52n): inequality of a
+    * nonnegative contribution measure — "10% of sources contribute
+    * 90% of tokens" in one number per group (0 = uniform, →1 =
+    * concentrated). The mixing/dedup reporting companion: a corpus
+    * with high token-Gini across sources is one hot-source outage
+    * away from collapse, and a near-1 dup-count Gini says dedup
+    * should target a few clusters.
+    *
+    * Exact integer arithmetic via the sorted-rank identity
+    * G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) (i = 1-based rank, ties
+    * broken by a caller-supplied unique id so ranks are deterministic
+    * — the identity's value is tie-order-invariant because equal x
+    * swap freely): Σ i·xᵢ runs as a DECIMAL(38,0) partial agg off ONE
+    * per-group rank window; the single double division rounds at
+    * 1e-9. Zero-total groups emit NULL (undefined), mirrored by the
+    * oracle's CASE.
+    */
+  def gini(df: DataFrame, groupCol: String, valueCol: String,
+           idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(valueCol), col(idCol))
+    df
+      .withColumn("_i", row_number().over(w))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+           sum(col(valueCol).cast("decimal(38,0)")).as("_sx"),
+           sum(col(valueCol).cast("decimal(38,0)") * col("_i")).as("_six"))
+      .select(col(groupCol), col("n"),
+        when(col("_sx") > 0, round(
+          (lit(2) * col("_six") - (col("n") + 1) * col("_sx")).cast("double")
+            / (col("n").cast("double") * col("_sx").cast("double")), 9))
+          .as("gini"))
+  }
+
   /** k-anonymity / l-diversity audit (SURVEY.md §2 #52l): for each
     * quasi-identifier combination, its group size and the number of
     * DISTINCT sensitive values it carries, with violation flags —

@@ -110,6 +110,30 @@ object Sketches {
           lit((m * m).toDouble) * lit(8589934592.0) / col("zs").cast("double"))
   }
 
+  /** Join-size estimate from two count-min sketches (the AMS-style
+    * inner product): for each hash row j, Σ_cells cntA·cntB
+    * overestimates |A ⋈ B| on the sketched key (colliding keys only
+    * ADD mass), so the MIN over rows is the tightest upper bound the
+    * pair of sketches supports — the shuffle-free cardinality probe a
+    * planner wants before committing to a join strategy, computed
+    * from two ≤ depth·width artifacts without touching either table.
+    *
+    * Exact integer arithmetic end to end (counts are longs, the
+    * per-row inner product sums as DECIMAL(38,0) — order-insensitive,
+    * overflow-free to 10³⁸); output (j, row_estimate) per hash row
+    * plus the min as `est` on every row (one tiny frame, the
+    * triangleCounts total-column convention).
+    */
+  def cmsJoinSizeEstimate(sketchA: DataFrame, sketchB: DataFrame): DataFrame = {
+    val joined = sketchA.select(col("j"), col("cell"), col("cnt").as("ca"))
+      .join(sketchB.select(col("j"), col("cell"), col("cnt").as("cb")),
+        Seq("j", "cell"))
+    val perRow = joined.groupBy("j")
+      .agg(sum(col("ca").cast("decimal(38,0)") * col("cb")).as("row_estimate"))
+    perRow.crossJoin(broadcast(
+      perRow.agg(min(col("row_estimate")).as("est"))))
+  }
+
   /** Set-operation estimates from two HLL register tables: |A|, |B|,
     * |A∪B| (the registers' cellwise max — HLL's native, error-free
     * merge), and |A∩B| by inclusion–exclusion — the audit question

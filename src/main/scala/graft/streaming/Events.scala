@@ -187,6 +187,44 @@ object Events {
       "complete", "graft_hll_")
   }
 
+  /** Per-WINDOW HLL registers over the stream (SURVEY.md §2 #61e):
+    * one ≤2^p register table per event-time hour — the
+    * "distinct users per hour, forever, in constant memory per
+    * window" report (q126's global sketch can never tell you WHEN).
+    * Because the register value is a plain `max`, this is an ordinary
+    * windowed aggregation: with a watermark it runs APPEND mode —
+    * sealed windows emit finalized register tables and state stays
+    * bounded by (open windows within the lateness horizon) × 2^p,
+    * never by key cardinality; without one (test/oracle path) it runs
+    * complete mode so every window lands in the batch-SQL compare
+    * (the q20 harness convention). Emitted registers max-merge across
+    * shards/restarts like any HLL table.
+    */
+  def streamHllHourlyStream(spark: SparkSession, eventsPath: String, p: Int = 10,
+                            watermark: Option[String] = None,
+                            maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val stream0 = readStream(spark, eventsPath, maxFilesPerTrigger)
+    val stream = watermark.fold(stream0)(w => stream0.withWatermark("ts", w))
+    val k = col("user_id").cast("string")
+    val w32 = graft.functions.Hashing.md5Long32b(k)
+    stream
+      .select(window(col("ts"), "1 hour").as("win"),
+        shiftrightunsigned(graft.functions.Hashing.md5Long32(k), 32 - p).as("bucket"),
+        when(w32 === 0L, lit(33)).otherwise(lit(33) - length(bin(w32))).as("rho"))
+      .groupBy(col("win"), col("bucket")).agg(max("rho").as("r"))
+  }
+
+  /** #61e test harness: [[streamHllHourlyStream]] to a memory sink. */
+  def streamHllHourly(spark: SparkSession, eventsPath: String, p: Int = 10,
+                      watermark: Option[String] = None,
+                      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val mode = if (watermark.isEmpty) "complete" else "append"
+    runToMemory(
+      streamHllHourlyStream(spark, eventsPath, p, watermark, maxFilesPerTrigger),
+      mode, "graft_hllw_")
+      .select(col("win.start").as("hour_start"), col("bucket"), col("r"))
+  }
+
   /** Production sink: append-mode parquet with a checkpoint. State
     * stays bounded by the plan's watermark; output is distributed
     * (never driver-materialized). Caller owns the query lifecycle.

@@ -485,6 +485,64 @@ class Round5OpsSpec extends SparkSpec {
     got.getLong(2) shouldBe total
   }
 
+  // ---- schema-evolution read ----
+
+  test("readParquetMerged unions evolved schemas; early rows surface NULL for late columns") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_merge_spec_").toString
+    Seq((1L, "a")).toDF("id", "s").write.mode("overwrite").parquet(dir)
+    Seq((2L, "b", "en")).toDF("id", "s", "lang").write.mode("append").parquet(dir)
+    val out = graft.core.Tafra.readParquetMerged(spark, dir).df
+    out.columns.toSet shouldBe Set("id", "s", "lang")
+    out.count() shouldBe 2L
+    out.filter(col("id") === 1L).head.getAs[String]("lang") shouldBe null
+    out.filter(col("id") === 2L).head.getAs[String]("lang") shouldBe "en"
+  }
+
+  // ---- CMS join-size estimate ----
+
+  test("cmsJoinSizeEstimate never underestimates; exact when keys don't collide") {
+    import graft.functions.Sketches
+    val rnd = new scala.util.Random(31)
+    val as = Seq.fill(300)(rnd.nextInt(40).toLong)
+    val bs = Seq.fill(200)(rnd.nextInt(40).toLong)
+    val exact = {
+      val bc = bs.groupBy(identity).view.mapValues(_.size).toMap
+      as.map(k => bc.getOrElse(k, 0).toLong).sum
+    }
+    val est = Sketches.cmsJoinSizeEstimate(
+      Sketches.cmsBuild(as.toDF("k"), "k"), Sketches.cmsBuild(bs.toDF("k"), "k"))
+      .collect().head.getAs[java.math.BigDecimal]("est").longValueExact()
+    est should be >= exact
+    // 40 distinct keys over 1024 cells: no in-row collision is certain
+    // only per hash row, but the MIN over 4 independent rows lands on a
+    // collision-free row with near-certainty for this key count
+    est shouldBe exact
+  }
+
+  // ---- Gini ----
+
+  test("gini: 0 on uniform, (n-1)/n on total concentration, matches the rank identity") {
+    val uniform = (1 to 50).map(i => ("u", 7L, i.toLong)).toDF("g", "v", "id")
+    functions.Profile.gini(uniform, "g", "v", "id")
+      .collect().head.getDouble(2) shouldBe 0.0
+
+    val conc = ((1 to 9).map(i => ("c", 0L, i.toLong)) :+ (("c", 100L, 10L))).toDF("g", "v", "id")
+    functions.Profile.gini(conc, "g", "v", "id")
+      .collect().head.getDouble(2) shouldBe 0.9 +- 1e-9
+
+    val rnd = new scala.util.Random(37)
+    val rows = (1 to 200).map(i => ("r", rnd.nextInt(1000).toLong, i.toLong))
+    val got = functions.Profile.gini(rows.toDF("g", "v", "id"), "g", "v", "id")
+      .collect().head.getDouble(2)
+    val sorted = rows.map(_._2).sorted
+    val n = sorted.size
+    val sx = sorted.sum.toDouble
+    val six = sorted.zipWithIndex.map { case (x, i) => x.toDouble * (i + 1) }.sum
+    val want = BigDecimal((2 * six - (n + 1) * sx) / (n * sx))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got shouldBe want +- 1e-9
+  }
+
   // ---- plan shapes ----
 
   private def plan(name: String): String =

@@ -330,6 +330,26 @@ class StreamingSpec extends SparkSpec {
     streamed.count() should be <= 1024L
   }
 
+  test("per-hour streaming HLL equals batch registers; watermarked append emits only sealed windows") {
+    val dir = timeSplitDir(s"$sfDir/events.parquet", 3)
+    val streamed = Events.streamHllHourly(spark, dir, maxFilesPerTrigger = Some(1))
+    val ev = Events.readBatch(spark, dir)
+      .select(date_trunc("hour", col("ts")).as("hour_start"),
+        col("user_id").cast("string").as("k"))
+    val batch = graft.functions.Sketches.hllRegistersBy(ev, Seq("hour_start"), "k")
+    canon(streamed) shouldBe canon(batch)
+
+    val sealedRegs = Events.streamHllHourly(spark, dir,
+      watermark = Some("1 hour"), maxFilesPerTrigger = Some(1))
+    sealedRegs.count() should be > 0L
+    // every sealed register row is exactly the batch value...
+    val j = sealedRegs.alias("s").join(batch.alias("b"), Seq("hour_start", "bucket"), "left")
+    j.filter(col("b.r").isNull || col("s.r") =!= col("b.r")).count() shouldBe 0L
+    // ...and the unsealed tail inside the lateness horizon did NOT emit
+    sealedRegs.select("hour_start").distinct().count() should be <
+      batch.select("hour_start").distinct().count()
+  }
+
   test("stream-static enrich: static side broadcast (no per-batch shuffle), counts exact") {
     // the un-started plan must carry the broadcast hint on the static side
     val plan = Events.streamEnrichPlan(spark, s"$sfDir/events.parquet")
