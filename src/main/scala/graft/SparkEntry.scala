@@ -1664,6 +1664,47 @@ object SparkEntry {
       functions.Profile.gini(t(s, dir, "documents").df,
         "source", "n_chars", "doc_id")),
 
+    // §2#52o per-flag OLS trend: does quantity predict price, per
+    // return flag — slope/intercept/r² from one six-sum partial agg
+    // (the corrMatrix sums, closed-form OLS), DECIMAL(38,0)-exact.
+    "q156_linreg" -> ((s, dir) =>
+      functions.Profile.linReg(t(s, dir, "lineitem").df,
+        "l_returnflag", "l_quantity", "l_extendedprice")),
+
+    // §2#52p Welch's t between two sources' doc-length distributions —
+    // the mean-level drift gate (KS = worst point, PSI = shape,
+    // χ² = categorical, t = mean); one both-cohort partial agg.
+    "q157_welch_t" -> ((s, dir) =>
+      functions.Profile.welchT(t(s, dir, "documents").df,
+        "source", "src1", "src2", "n_chars", unitScale = 1L)),
+
+    // §2#52q Benford first-digit audit of order totals (in exact
+    // cents): observed vs ln(1+1/d)/ln 10 — the fabricated-data smell
+    // test; leading digit by exact string arithmetic, never log10.
+    "q158_benford" -> ((s, dir) =>
+      functions.Profile.benford(
+        t(s, dir, "orders").df.select(
+          floor(col("o_totalprice") * 100 + 0.5).as("cents")), "cents")),
+
+    // §2#52r column completeness profile over derived nullable
+    // views of orders — n_null / n_distinct / fill_rate per column in
+    // ONE scan (the k distincts share one Expand pass).
+    "q159_null_profile" -> ((s, dir) =>
+      functions.Profile.nullProfile(
+        t(s, dir, "orders").df.select(
+          when(col("o_orderpriority") =!= "1-URGENT", col("o_orderpriority")).as("pri"),
+          when(col("o_orderstatus") === "F", col("o_orderstatus")).as("status_f"),
+          when(col("o_totalprice") > 200000, col("o_totalprice")).as("price_high")),
+        Seq("pri", "status_f", "price_high"))),
+
+    // §2#52s deterministic per-user modal event type: histogram partial
+    // agg + one distinct-value window, ties to the smallest value.
+    "q160_mode" -> ((s, dir) =>
+      functions.Profile.modeBy(
+        streaming.Events.readBatch(s, s"$dir/events.parquet")
+          .select("user_id", "event_type"),
+        "user_id", "event_type")),
+
     // §2#63 binaryFile ingest: raw per-document files (materialized by
     // a distributed foreachPartition writer — test stand-in for an
     // object store) read back through Spark's binaryFile source and
@@ -3614,6 +3655,113 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
                / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)), 9)
            END AS gini
          FROM s""",
+
+    "q156_linreg" ->
+      """WITH q AS (
+           SELECT l_returnflag,
+             CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS x,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+           FROM lineitem),
+         s AS (
+           SELECT l_returnflag, COUNT(*) AS n,
+             SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+             SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+             SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+             SUM(CAST(y * y AS DECIMAL(38,0))) AS syy,
+             SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy
+           FROM q GROUP BY 1)
+         SELECT l_returnflag, n,
+           CASE WHEN n >= 2 AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0 THEN
+             ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 9) END AS slope,
+           CASE WHEN n >= 2 AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0 THEN
+             ROUND((CAST(sy AS DOUBLE) - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+               / CAST(n AS DOUBLE) / 100, 9) END AS intercept,
+           CASE WHEN n >= 2 AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                  AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0 THEN
+             ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9) END AS r2
+         FROM s""",
+
+    "q157_welch_t" ->
+      """WITH q AS (
+           SELECT source, CAST(floor(n_chars * 1 + 0.5) AS BIGINT) AS v
+           FROM documents WHERE source IN ('src1', 'src2')),
+         s AS (
+           SELECT
+             COUNT(*) FILTER (source = 'src1') AS n_a,
+             COUNT(*) FILTER (source = 'src2') AS n_b,
+             SUM(CAST(v AS DECIMAL(38,0))) FILTER (source = 'src1') AS sa,
+             SUM(CAST(v AS DECIMAL(38,0))) FILTER (source = 'src2') AS sb,
+             SUM(CAST(v * v AS DECIMAL(38,0))) FILTER (source = 'src1') AS ssa,
+             SUM(CAST(v * v AS DECIMAL(38,0))) FILTER (source = 'src2') AS ssb
+           FROM q),
+         e AS (
+           SELECT n_a, n_b,
+             CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
+             CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb,
+             (CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1) / CAST(n_a AS DOUBLE) AS sea,
+             (CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1) / CAST(n_b AS DOUBLE) AS seb
+           FROM s)
+         SELECT n_a, n_b,
+           ROUND(ma / 1, 6) AS mean_a, ROUND(mb / 1, 6) AS mean_b,
+           CASE WHEN n_a >= 2 AND n_b >= 2 AND sea + seb > 0 THEN
+             ROUND((ma - mb) / sqrt(sea + seb), 6) END AS t_stat,
+           CASE WHEN n_a >= 2 AND n_b >= 2 AND sea + seb > 0 THEN
+             ROUND((sea + seb) * (sea + seb)
+               / (sea * sea / (CAST(n_a AS DOUBLE) - 1) + seb * seb / (CAST(n_b AS DOUBLE) - 1)), 6) END AS dof
+         FROM e""",
+
+    "q158_benford" ->
+      """WITH base AS (
+           SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v FROM orders),
+         tot AS (
+           SELECT COUNT(*) FILTER (v > 0) AS n_pos,
+             COUNT(*) FILTER (v <= 0 OR v IS NULL) AS n_skipped
+           FROM base)
+         SELECT CAST(substring(CAST(v AS VARCHAR), 1, 1) AS INT) AS digit,
+           COUNT(*) AS n,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(MAX(tot.n_pos) AS DOUBLE), 9) AS p_obs,
+           ROUND(ln(1.0 + 1.0 / CAST(CAST(substring(CAST(v AS VARCHAR), 1, 1) AS INT) AS DOUBLE)) / ln(10.0), 9) AS p_exp,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(MAX(tot.n_pos) AS DOUBLE)
+             - ln(1.0 + 1.0 / CAST(CAST(substring(CAST(v AS VARCHAR), 1, 1) AS INT) AS DOUBLE)) / ln(10.0), 9) AS dev,
+           MAX(tot.n_skipped) AS n_skipped
+         FROM base CROSS JOIN tot WHERE v > 0 GROUP BY 1""",
+
+    "q159_null_profile" ->
+      """WITH d AS (
+           SELECT
+             CASE WHEN o_orderpriority <> '1-URGENT' THEN o_orderpriority END AS pri,
+             CASE WHEN o_orderstatus = 'F' THEN o_orderstatus END AS status_f,
+             CASE WHEN o_totalprice > 200000 THEN o_totalprice END AS price_high
+           FROM orders)
+         SELECT 'pri' AS "column", COUNT(*) AS n_rows, COUNT(pri) AS n_nonnull,
+           COUNT(*) - COUNT(pri) AS n_null, COUNT(DISTINCT pri) AS n_distinct,
+           ROUND(CAST(COUNT(pri) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9) AS fill_rate
+         FROM d
+         UNION ALL
+         SELECT 'status_f', COUNT(*), COUNT(status_f),
+           COUNT(*) - COUNT(status_f), COUNT(DISTINCT status_f),
+           ROUND(CAST(COUNT(status_f) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+         FROM d
+         UNION ALL
+         SELECT 'price_high', COUNT(*), COUNT(price_high),
+           COUNT(*) - COUNT(price_high), COUNT(DISTINCT price_high),
+           ROUND(CAST(COUNT(price_high) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+         FROM d""",
+
+    "q160_mode" ->
+      """WITH h AS (
+           SELECT user_id, event_type AS mode_value, COUNT(*) AS n
+           FROM events GROUP BY 1, 2),
+         r AS (
+           SELECT user_id, mode_value, n,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n DESC, mode_value) AS rn
+           FROM h)
+         SELECT user_id, mode_value, n FROM r WHERE rn = 1""",
 
     "q152_stream_hll_hourly" ->
       """WITH k AS (

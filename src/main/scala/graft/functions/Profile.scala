@@ -461,6 +461,178 @@ object Profile {
            max(col("_na")).as("n_a"), max(col("_nb")).as("n_b"))
   }
 
+  /** Per-group ordinary-least-squares trend line: slope, intercept,
+    * and r² of `yCol` on `xCol` — the "is quality drifting with time /
+    * does length predict score" regression every monitoring dashboard
+    * fits, per group, in ONE partial-agg pass (the closed-form OLS
+    * needs only n, Σx, Σy, Σx², Σy², Σxy — the corrMatrix sums plus
+    * nothing).
+    *
+    * Engine determinism (the q96 pattern): x and y quantize to integer
+    * units via `floor(v·unitScale + 0.5)` in IEEE doubles, the six
+    * sums run as DECIMAL(38,0) over exact longs (order-insensitive at
+    * any parallelism), and the OLS formulas evaluate in doubles from
+    * those exact sums in a fixed op order mirrored by the oracle.
+    * Slope is scale-invariant (both axes scale by `unitScale`);
+    * intercept divides back by `unitScale`. Groups with n < 2 or zero
+    * x-variance emit NULLs (no line to fit). Outputs round at 1e-9.
+    */
+  def linReg(df: DataFrame, groupCol: String, xCol: String, yCol: String,
+             unitScale: Long = 100L): DataFrame = {
+    val xq = floor(col(xCol) * unitScale + 0.5).cast("long")
+    val yq = floor(col(yCol) * unitScale + 0.5).cast("long")
+    val agg = df
+      .select(col(groupCol), xq.as("_x"), yq.as("_y"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+           sum(col("_x").cast("decimal(38,0)")).as("_sx"),
+           sum(col("_y").cast("decimal(38,0)")).as("_sy"),
+           sum((col("_x") * col("_x")).cast("decimal(38,0)")).as("_sxx"),
+           sum((col("_y") * col("_y")).cast("decimal(38,0)")).as("_syy"),
+           sum((col("_x") * col("_y")).cast("decimal(38,0)")).as("_sxy"))
+    def d(c: String) = col(c).cast("double")
+    val n = col("n").cast("double")
+    val num = n * d("_sxy") - d("_sx") * d("_sy")
+    val denX = n * d("_sxx") - d("_sx") * d("_sx")
+    val denY = n * d("_syy") - d("_sy") * d("_sy")
+    val slope = num / denX
+    agg
+      .withColumn("slope", when(col("n") >= 2 && denX > 0, round(slope, 9)))
+      .withColumn("intercept", when(col("n") >= 2 && denX > 0,
+        round((d("_sy") - slope * d("_sx")) / n / unitScale, 9)))
+      .withColumn("r2", when(col("n") >= 2 && denX > 0 && denY > 0,
+        round(num * num / (denX * denY), 9)))
+      .select(col(groupCol), col("n"), col("slope"), col("intercept"), col("r2"))
+  }
+
+  /** Welch's unequal-variance t statistic between cohorts `a` and `b`
+    * of `groupCol` — "did the mean move, beyond what the spread
+    * explains?" — the mean-level member of the drift family
+    * ([[ksDistance]] = worst CDF point, [[psi]] = whole shape,
+    * [[chiSquare]] = categorical mix). Welch rather than pooled
+    * Student: corpus cohorts never share a variance. Reports t, the
+    * Welch–Satterthwaite dof for the caller's p-value lookup, and both
+    * cohort means/sizes.
+    *
+    * One partial agg computes both cohorts' n/Σ/Σ² on quantized longs
+    * (DECIMAL(38,0) sums — the linReg exactness pattern); means,
+    * sample variances, t, and dof evaluate in doubles from exact sums
+    * in a fixed oracle-mirrored op order; outputs round at 1e-6.
+    * Degenerate cohorts (n < 2) or zero both-side variance emit NULL
+    * t/dof.
+    */
+  def welchT(df: DataFrame, groupCol: String, a: String, b: String,
+             valueCol: String, unitScale: Long = 100L): DataFrame = {
+    val twoS = df.filter(col(groupCol).isin(a, b))
+      .select(col(groupCol).as("_g"),
+        floor(col(valueCol) * unitScale + 0.5).cast("long").as("_v"))
+    def side(s: String, tag: String) = Seq(
+      count(when(col("_g") === s, 1)).as(s"n_$tag"),
+      sum(when(col("_g") === s, col("_v").cast("decimal(38,0)"))).as(s"_s_$tag"),
+      sum(when(col("_g") === s, (col("_v") * col("_v")).cast("decimal(38,0)"))).as(s"_ss_$tag"))
+    val aggs = side(a, "a") ++ side(b, "b")
+    val row = twoS.agg(aggs.head, aggs.tail: _*)
+    def d(c: String) = col(c).cast("double")
+    def mean(tag: String) = d(s"_s_$tag") / d(s"n_$tag")
+    // sample variance in QUANTIZED units: (Σv² − (Σv)²/n) / (n−1)
+    def va(tag: String) =
+      (d(s"_ss_$tag") - d(s"_s_$tag") * d(s"_s_$tag") / d(s"n_$tag")) / (d(s"n_$tag") - 1)
+    val sea = va("a") / d("n_a")
+    val seb = va("b") / d("n_b")
+    val se2 = sea + seb
+    val ok = col("n_a") >= 2 && col("n_b") >= 2 && se2 > 0
+    row
+      .withColumn("t_stat", when(ok,
+        round((mean("a") - mean("b")) / sqrt(se2), 6)))
+      .withColumn("dof", when(ok, round(
+        se2 * se2 / (sea * sea / (d("n_a") - 1) + seb * seb / (d("n_b") - 1)), 6)))
+      .select(col("n_a"), col("n_b"),
+        round(mean("a") / unitScale, 6).as("mean_a"),
+        round(mean("b") / unitScale, 6).as("mean_b"),
+        col("t_stat"), col("dof"))
+  }
+
+  /** Benford first-digit audit: observed vs expected leading-digit
+    * distribution of a POSITIVE INTEGRAL measure — the classic
+    * fabricated/synthetic-data smell test (organically-grown
+    * magnitudes follow P(d) = ln(1+1/d)/ln 10; generated or truncated
+    * ones rarely do). Output: one row per digit 1–9 with counts, both
+    * probabilities, and the signed deviation.
+    *
+    * The leading digit is EXACT string arithmetic — `substring(cast(v
+    * AS string), 1, 1)` on a positive long renders identically in
+    * every engine (no float log10, whose boundary at exact powers of
+    * ten misclassifies). One partial agg to 9 cells; expected
+    * probabilities are ln expressions in a fixed op order, both
+    * p columns round at 1e-9. Non-positive rows are excluded and
+    * counted in `n_skipped` (Benford is undefined there — a loud
+    * column, not a silent drop).
+    */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("long")
+    val tot = df.agg(count(when(v > 0, 1)).as("_n"),
+                     count(when(v <= 0 || v.isNull, 1)).as("n_skipped"))
+    df.filter(v > 0)
+      .groupBy(substring(v.cast("string"), 1, 1).cast("int").as("digit"))
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        round(col("n").cast("double") / col("_n").cast("double"), 9).as("p_obs"),
+        round(log(lit(1.0) + lit(1.0) / col("digit").cast("double")) / log(lit(10.0)), 9).as("p_exp"),
+        round(col("n").cast("double") / col("_n").cast("double")
+          - log(lit(1.0) + lit(1.0) / col("digit").cast("double")) / log(lit(10.0)), 9).as("dev"),
+        col("n_skipped"))
+  }
+
+  /** Column completeness/cardinality profile: per listed column, row
+    * count, non-null count, null count, exact distinct count, and fill
+    * rate — the first report run on ANY new corpus drop (a column that
+    * went 40% null between generations is a pipeline bug upstream).
+    *
+    * One aggregation pass: the k exact distincts plan as ONE Expand
+    * (k× map-side fan-out, each branch a partial agg) — a single scan
+    * of the data, not k scans. Per-column rows expand map-side from
+    * the single agg row (the corrMatrix struct-explode trick). For
+    * unbounded-cardinality columns at extreme scale, swap
+    * `approx_count_distinct` in — the report contract is unchanged.
+    */
+  def nullProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "nullProfile needs at least one column")
+    val aggs = Seq(count(lit(1)).as("_n")) ++
+      cols.flatMap(c => Seq(
+        count(col(c)).as(s"_nn_$c"),
+        countDistinct(col(c)).as(s"_nd_$c")))
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val structs = cols.map(c => struct(
+      lit(c).as("column"),
+      col("_n").as("n_rows"),
+      col(s"_nn_$c").as("n_nonnull"),
+      (col("_n") - col(s"_nn_$c")).as("n_null"),
+      col(s"_nd_$c").as("n_distinct"),
+      round(col(s"_nn_$c").cast("double") / col("_n").cast("double"), 9).as("fill_rate")))
+    row.select(explode(array(structs: _*)).as("p")).select(col("p.*"))
+  }
+
+  /** Deterministic per-group mode: the most frequent `valueCol` per
+    * group, ties broken to the SMALLEST value (an unordered mode is
+    * nondeterministic under shuffle order — useless as a gate or an
+    * oracle). Two-level shape: rows collapse to the (group, value)
+    * histogram in one partial agg, then a row_number window ordered by
+    * (count desc, value) picks the winner — the window sees distinct
+    * values per group, never rows (the percentileRank state argument),
+    * and the rn = 1 filter gets WindowGroupLimit pushdown so map
+    * partitions pre-prune to one candidate each.
+    */
+  def modeBy(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val hist = df.groupBy(col(groupCol), col(valueCol).as("mode_value"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("n").desc, col("mode_value"))
+    hist.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col(groupCol), col("mode_value"), col("n"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov distance (SURVEY.md §2 #52h):
     * D = max over values of |CDF_a − CDF_b| between the `valueCol`
     * distributions of groups `a` and `b` — THE distribution-drift

@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Profile
+
+/** Round-5 statistics additions: per-group OLS, Welch's t, Benford
+  * first-digit audit, column completeness profile, deterministic mode —
+  * each checked against first-principles references computed
+  * driver-side on planted data.
+  */
+class StatsOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- linReg ----
+
+  test("linReg recovers a planted exact line with r2 = 1") {
+    // y = 3x + 7 exactly: slope/intercept/r² are closed-form recoverable
+    val df = (1 to 50).map(i => ("g", i.toDouble, 3.0 * i + 7.0))
+      .toDF("g", "x", "y")
+    val r = Profile.linReg(df, "g", "x", "y").collect().head
+    r.getAs[Double]("slope") shouldBe 3.0 +- 1e-9
+    r.getAs[Double]("intercept") shouldBe 7.0 +- 1e-9
+    r.getAs[Double]("r2") shouldBe 1.0 +- 1e-9
+  }
+
+  test("linReg matches a driver-computed fit on noisy data and NULLs degenerate groups") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 200).map { i =>
+      val x = math.floor(rnd.nextDouble() * 1000) / 100
+      val y = math.floor((2.5 * x + 4 + rnd.nextGaussian()) * 100) / 100
+      ("g", x, y)
+    }
+    // degenerate: single point and zero x-variance
+    val degen = Seq(("one", 1.0, 2.0), ("flat", 5.0, 1.0), ("flat", 5.0, 9.0))
+    val out = Profile.linReg((rows ++ degen).toDF("g", "x", "y"), "g", "x", "y")
+      .collect().map(r => r.getString(0) -> r).toMap
+
+    val q = rows.map { case (_, x, y) =>
+      (math.floor(x * 100 + 0.5).toLong, math.floor(y * 100 + 0.5).toLong) }
+    val n = q.size.toDouble
+    val sx = q.map(_._1).sum.toDouble; val sy = q.map(_._2).sum.toDouble
+    val sxx = q.map(p => p._1 * p._1).sum.toDouble
+    val syy = q.map(p => p._2 * p._2).sum.toDouble
+    val sxy = q.map(p => p._1 * p._2).sum.toDouble
+    val num = n * sxy - sx * sy
+    val denX = n * sxx - sx * sx
+    val denY = n * syy - sy * sy
+    out("g").getAs[Double]("slope") shouldBe (num / denX) +- 1e-9
+    out("g").getAs[Double]("intercept") shouldBe ((sy - num / denX * sx) / n / 100) +- 1e-9
+    out("g").getAs[Double]("r2") shouldBe (num * num / (denX * denY)) +- 1e-9
+    out("one").isNullAt(out("one").fieldIndex("slope")) shouldBe true
+    out("flat").isNullAt(out("flat").fieldIndex("slope")) shouldBe true
+  }
+
+  // ---- welchT ----
+
+  test("welchT matches the driver-computed Welch statistic and dof") {
+    val rnd = new scala.util.Random(5)
+    val a = (1 to 40).map(_ => math.floor((10 + rnd.nextGaussian() * 2) * 100) / 100)
+    val b = (1 to 60).map(_ => math.floor((12 + rnd.nextGaussian() * 5) * 100) / 100)
+    val df = (a.map(("a", _)) ++ b.map(("b", _))).toDF("g", "v")
+    val r = Profile.welchT(df, "g", "a", "b", "v").collect().head
+
+    def sums(vs: Seq[Double]) = {
+      val q = vs.map(v => math.floor(v * 100 + 0.5).toLong)
+      (q.size.toDouble, q.sum.toDouble, q.map(x => x * x).sum.toDouble)
+    }
+    val (na, sa, ssa) = sums(a); val (nb, sb, ssb) = sums(b)
+    val (ma, mb) = (sa / na, sb / nb)
+    val sea = (ssa - sa * sa / na) / (na - 1) / na
+    val seb = (ssb - sb * sb / nb) / (nb - 1) / nb
+    val t = (ma - mb) / math.sqrt(sea + seb)
+    val dof = (sea + seb) * (sea + seb) /
+      (sea * sea / (na - 1) + seb * seb / (nb - 1))
+    r.getAs[Long]("n_a") shouldBe 40L
+    r.getAs[Long]("n_b") shouldBe 60L
+    r.getAs[Double]("mean_a") shouldBe (ma / 100) +- 1e-6
+    r.getAs[Double]("t_stat") shouldBe t +- 1e-5
+    r.getAs[Double]("dof") shouldBe dof +- 1e-5
+  }
+
+  test("welchT is NULL when both cohorts are constant (zero variance)") {
+    val df = ((1 to 5).map(_ => ("a", 3.0)) ++ (1 to 5).map(_ => ("b", 4.0)))
+      .toDF("g", "v")
+    val r = Profile.welchT(df, "g", "a", "b", "v").collect().head
+    r.isNullAt(r.fieldIndex("t_stat")) shouldBe true
+    r.getAs[Double]("mean_a") shouldBe 3.0 +- 1e-9
+  }
+
+  // ---- benford ----
+
+  test("benford counts leading digits exactly and excludes non-positives") {
+    // planted: 111, 12, 13 → digit 1 ×3; 25 → 2; 999 → 9; plus 0 and -5 skipped
+    val df = Seq(111L, 12L, 13L, 25L, 999L, 0L, -5L).toDF("v")
+    val out = Profile.benford(df, "v").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getAs[Double]("p_obs"), r.getLong(5))).toMap
+    out(1)._1 shouldBe 3L
+    out(2)._1 shouldBe 1L
+    out(9)._1 shouldBe 1L
+    out(1)._2 shouldBe 0.6 +- 1e-9
+    out(1)._3 shouldBe 2L // n_skipped rides every row
+    out.keySet shouldBe Set(1, 2, 9)
+  }
+
+  test("benford expected probabilities sum to 1 over digits 1-9") {
+    val df = (1 to 9).map(_.toLong).toDF("v")
+    val ps = Profile.benford(df, "v").collect().map(_.getAs[Double]("p_exp"))
+    ps.sum shouldBe 1.0 +- 1e-8
+  }
+
+  // ---- nullProfile ----
+
+  test("nullProfile reports exact null/distinct/fill per column in one pass") {
+    val df = Seq(
+      (Some("a"), Some(1)), (Some("a"), None), (None, Some(2)),
+      (Some("b"), None), (None, Some(2))
+    ).toDF("s", "i")
+    val out = Profile.nullProfile(df, Seq("s", "i")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    out("s").getAs[Long]("n_rows") shouldBe 5L
+    out("s").getAs[Long]("n_nonnull") shouldBe 3L
+    out("s").getAs[Long]("n_null") shouldBe 2L
+    out("s").getAs[Long]("n_distinct") shouldBe 2L
+    out("s").getAs[Double]("fill_rate") shouldBe 0.6 +- 1e-9
+    out("i").getAs[Long]("n_distinct") shouldBe 2L
+    out("i").getAs[Long]("n_null") shouldBe 2L
+  }
+
+  // ---- modeBy ----
+
+  test("modeBy picks the most frequent value, ties to the smallest") {
+    val df = Seq(
+      ("u1", "b"), ("u1", "b"), ("u1", "a"),          // clear winner b
+      ("u2", "z"), ("u2", "y"),                        // tie → y
+      ("u3", "x")
+    ).toDF("u", "v")
+    val out = Profile.modeBy(df, "u", "v").collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    out("u1") shouldBe ("b", 2L)
+    out("u2") shouldBe ("y", 1L)
+    out("u3") shouldBe ("x", 1L)
+  }
+
+  test("modeBy plans a WindowGroupLimit over the histogram (rn pushdown)") {
+    val df = Seq(("u1", "b"), ("u1", "a")).toDF("u", "v")
+    val plan = Profile.modeBy(df, "u", "v").queryExecution.executedPlan.toString
+    plan should include("WindowGroupLimit")
+  }
+}
