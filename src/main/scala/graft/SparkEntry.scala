@@ -1705,6 +1705,45 @@ object SparkEntry {
           .select("user_id", "event_type"),
         "user_id", "event_type")),
 
+    // §2#37h BM25 ranked retrieval for a 3-term query: the reference
+    // lexical ranking (k1=3/2, b=3/4 dyadic rationals); postings filter
+    // to query terms map-side, df table broadcast, per-term
+    // contributions DECIMAL(20,9)-quantized pre-sum.
+    "q161_bm25" -> ((s, dir) =>
+      functions.TermStats.bm25Rank(t(s, dir, "documents").df,
+        Seq("join", "hash", "scan"), topK = 10)),
+
+    // §2#30m sorted-neighborhood (SNM) candidate pairs within 5
+    // positions of the normalized-prefix sort order — global ordinal
+    // via the two-level bucket decomposition (never a global window),
+    // neighbor pairing a block ±1 hash equi-join in rank space.
+    "q162_snm" -> ((s, dir) =>
+      operators.Dedup.sortedNeighborhood(
+        t(s, dir, "documents").df.select(col("doc_id"),
+          substring(lower(col("text")), 1, 16).as("sk")),
+        "sk", "doc_id", w = 5)),
+
+    // §2#53m sequence-gap detection: missing o_orderkey ranges per
+    // priority — within-bucket lead window + histogram-sized
+    // cross-bucket summary, never a per-key global sort.
+    "q163_gaps" -> ((s, dir) =>
+      operators.Rolling.gaps(
+        t(s, dir, "orders").df.select(col("o_orderpriority").as("pri"),
+          col("o_orderkey")),
+        "pri", "o_orderkey", bucketWidth = 64L)),
+
+    // §2#43d per-file min/max pruning audit over a freshly z-ordered
+    // layout: the proof that the q92 key clusters BOTH dimensions —
+    // per-file ranges near-disjoint in partkey and suppkey at once.
+    "q164_file_stats" -> ((s, dir) => {
+      val out = "/tmp/graft_zorder" // fixed path — mirrored in the oracle SQL
+      functions.Layout.zorderLayout(
+        t(s, dir, "lineitem").df.select("l_orderkey", "l_partkey", "l_suppkey"),
+        "l_partkey", "l_suppkey", nFiles = 8)
+        .write.mode("overwrite").parquet(out)
+      functions.Layout.fileStats(s, out, Seq("l_partkey", "l_suppkey"))
+    }),
+
     // §2#63 binaryFile ingest: raw per-document files (materialized by
     // a distributed foreachPartition writer — test stand-in for an
     // object store) read back through Spark's binaryFile source and
@@ -3655,6 +3694,64 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
                / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)), 9)
            END AS gini
          FROM s""",
+
+    "q161_bm25" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+           FROM documents),
+         tot AS (
+           SELECT CAST(SUM(len(w)) AS BIGINT) AS nt, COUNT(*) AS nd FROM toks),
+         tf AS (
+           SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, unnest(w) AS term
+           FROM toks),
+         tfc AS (
+           SELECT doc_id, dl, term, COUNT(*) AS tf
+           FROM tf WHERE term IN ('join', 'hash', 'scan') GROUP BY 1, 2, 3),
+         dft AS (
+           SELECT term,
+             CAST(ln((CAST((SELECT nd FROM tot) AS DOUBLE) - COUNT(*) + 0.5)
+               / (COUNT(*) + 0.5) + 1.0) AS DECIMAL(20,6)) AS idf
+           FROM tfc GROUP BY 1),
+         sc AS (
+           SELECT tfc.doc_id,
+             CAST(CAST(idf AS DOUBLE) * (tf * 2.5)
+               / (tf + 1.5 * (0.25 + 0.75 * dl
+                   / (CAST((SELECT nt FROM tot) AS DOUBLE) / CAST((SELECT nd FROM tot) AS DOUBLE))))
+               AS DECIMAL(20,9)) AS c
+           FROM tfc JOIN dft ON tfc.term = dft.term),
+         agg AS (
+           SELECT doc_id, SUM(c) AS score, COUNT(*) AS n_terms FROM sc GROUP BY 1),
+         rk AS (
+           SELECT doc_id, score, n_terms,
+             CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+           FROM agg)
+         SELECT doc_id, ROUND(CAST(score AS DOUBLE), 6) AS score, n_terms, rank
+         FROM rk WHERE rank <= 10""",
+
+    "q162_snm" ->
+      """WITH k AS (
+           SELECT doc_id, substring(lower(text), 1, 16) AS sk FROM documents),
+         r AS (
+           SELECT doc_id, ROW_NUMBER() OVER (ORDER BY sk, doc_id) AS idx FROM k)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, b.idx - a.idx AS d
+         FROM r a JOIN r b ON b.idx - a.idx BETWEEN 1 AND 5""",
+
+    "q163_gaps" ->
+      """WITH ids AS (
+           SELECT DISTINCT o_orderpriority AS pri, o_orderkey AS id FROM orders),
+         g AS (
+           SELECT pri, id,
+             lead(id) OVER (PARTITION BY pri ORDER BY id) AS nxt
+           FROM ids)
+         SELECT pri, id + 1 AS gap_lo, nxt - 1 AS gap_hi, nxt - id - 1 AS gap_len
+         FROM g WHERE nxt - id > 1""",
+
+    "q164_file_stats" ->
+      """SELECT parse_filename(filename) AS file_name, COUNT(*) AS n_rows,
+           MIN(l_partkey) AS min_l_partkey, MAX(l_partkey) AS max_l_partkey,
+           MIN(l_suppkey) AS min_l_suppkey, MAX(l_suppkey) AS max_l_suppkey
+         FROM read_parquet('/tmp/graft_zorder/*.parquet', filename=true)
+         GROUP BY 1""",
 
     "q156_linreg" ->
       """WITH q AS (

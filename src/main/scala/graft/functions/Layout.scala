@@ -72,6 +72,27 @@ object Layout {
            max(col(nameCol)).as("last_file"))
   }
 
+  /** Per-file column statistics of a parquet layout: for every file,
+    * row count plus min/max of each listed column — the PRUNING AUDIT
+    * that makes layout decisions measurable ([[zorderLayout]] claims
+    * min/max-pruned scans skip most files; this table is the proof: on
+    * a z-ordered layout the per-file ranges are near-disjoint in BOTH
+    * dimensions, on a heap layout every file spans everything).
+    *
+    * One partial agg grouped on `input_file_name()` (basename — the
+    * engine-neutral identity): output is file-count-sized (metadata
+    * scale), the scan itself is column-pruned to the audited columns.
+    */
+  def fileStats(spark: org.apache.spark.sql.SparkSession, path: String,
+                cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "fileStats needs at least one column")
+    val df = spark.read.parquet(path)
+    val aggs = Seq(count(lit(1)).as("n_rows")) ++
+      cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    df.groupBy(regexp_extract(input_file_name(), "([^/]+)$", 1).as("file_name"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   def zorderLayout(df: DataFrame, aCol: String, bCol: String, nFiles: Int): DataFrame = {
     val keyed = df.withColumn("_zkey", zorderKey(col(aCol), col(bCol)))
     keyed.repartitionByRange(nFiles, col("_zkey"))

@@ -153,6 +153,66 @@ object TermStats {
           .as("novelty"))
   }
 
+  /** BM25 ranked retrieval: top-k documents for a bag-of-terms query —
+    * the reference lexical ranking function (Robertson/Spärck Jones;
+    * what Lucene/Elasticsearch score with) and the standard seed-doc /
+    * relevance-mining pass over a training corpus. idf uses the
+    * +1-inside-the-log form ln((N−df+0.5)/(df+0.5)+1) (always
+    * positive); tf saturates through k1 with length normalization b.
+    *
+    * Scale shape: the query's term list is tiny by nature, so postings
+    * filter to query terms MAP-SIDE before any shuffle (the corpus
+    * never aggregates on its full vocabulary); the df table is at most
+    * |query| rows → unconditional broadcast; doc lengths ride the same
+    * tokenized pass as the tf agg (tokens materialized ACROSS the
+    * pinned rebalance — the §5 interpreted-lambda rule); corpus totals
+    * for avgdl are one cheap map-side-combined agg. The global top-k
+    * rank is a WindowGroupLimit-pushed row_number (each map partition
+    * pre-prunes to k candidate rows).
+    *
+    * Engine determinism: k1 = 3/2 and b = 3/4 are dyadic rationals
+    * (exact doubles); idf quantizes to DECIMAL(20,6) per term; each
+    * term's score contribution evaluates in doubles in a fixed
+    * oracle-mirrored op order and quantizes to DECIMAL(20,9) BEFORE
+    * the per-doc sum (order-insensitive at any parallelism — the q65
+    * rule); ranking ties break by doc id; the output score rounds at
+    * 1e-6.
+    */
+  def bm25Rank(docs: DataFrame, queryTerms: Seq[String], topK: Int = 10,
+               textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(queryTerms.nonEmpty && topK > 0, "need query terms and topK > 0")
+    val nPart = docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val totals = docs.agg(
+      sum(size(T.tokens(col(textCol)))).as("nt"), count(lit(1)).as("nd")).head()
+    val (nTok, nDocs) = (totals.getLong(0), totals.getLong(1))
+    val avgdl = nTok.toDouble / nDocs.toDouble
+
+    val toks = docs.select(col(idCol).as("doc_id"), T.tokens(col(textCol)).as("w"))
+      .repartition(nPart, col("doc_id"))
+      .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("dl"))
+    val tf = toks.select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .withColumn("idf",
+        log((lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+          .cast("decimal(20,6)"))
+    // k1 = 3/2, b = 3/4: (k1+1) = 2.5 and (1−b) = 0.25 fold to exact
+    // dyadic doubles — the identical literals appear in the oracle SQL
+    val contrib = (col("idf").cast("double") * (col("tf") * lit(2.5)) /
+      (col("tf") + lit(1.5) * (lit(0.25) + lit(0.75) * col("dl") / avgdl)))
+      .cast("decimal(20,9)")
+    tf.join(broadcast(dfT), Seq("term"))
+      .withColumn("_c", contrib)
+      .groupBy("doc_id")
+      .agg(sum(col("_c")).as("_score"), count(lit(1)).as("n_terms"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("_score").desc, col("doc_id"))).cast("int"))
+      .filter(col("rank") <= topK)
+      .select(col("doc_id"), round(col("_score").cast("double"), 6).as("score"),
+        col("n_terms"), col("rank"))
+  }
+
   /** Sparse TF-IDF all-pairs document similarity (the DISCO /
     * term-at-a-time cosine join): doc pairs whose pruned TF-IDF
     * vectors have cosine ≥ `minCos` — the lexical-overlap complement

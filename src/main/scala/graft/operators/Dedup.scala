@@ -938,4 +938,52 @@ object Dedup {
       .filter(col("dist").between(0, maxDist))
       .select(col("id_a"), col("id_b"), col("dist"))
   }
+
+  /** Sorted-neighborhood candidate pairs (the SNM blocking method,
+    * Hernández/Stolfo SIGMOD'95): all pairs within `w` POSITIONS of
+    * each other in the global (sortKey, id) sort order — the classic
+    * entity-resolution blocking for dirty keys, complementary to the
+    * segment-pigeonhole ([[editDistancePairs]]) and gram-index
+    * families: a window over a well-chosen sort key catches near-dups
+    * whose differences fall outside any fixed gram/segment alignment.
+    *
+    * Scale shape: the naive form is a global `row_number() OVER
+    * (ORDER BY key)` — the single worst window anti-pattern (one task
+    * sorts the corpus). Here the global ordinal comes from the
+    * globalIndex two-level decomposition: an ORDER-PRESERVING numeric
+    * prefix code of the sort key (first 3 bytes big-endian — exact for
+    * single-byte-charset keys, the documented contract; the combined
+    * (code, key, id) order equals plain (key, id) order precisely
+    * because the code is an order-preserving prefix function) buckets
+    * rows for a partitioned rank window plus a histogram-sized offset
+    * table. Neighbor pairing is then a plain hash equi-join on the
+    * index block `idx div w` (a pair within w positions spans at most
+    * adjacent blocks, so the left side probes block and block+1 —
+    * the RangeJoin ±1 trick applied to rank space). No global sort
+    * task anywhere; property-tested equal to the naive window form.
+    *
+    * Output: (id_a, id_b, d) with d = idx_b − idx_a ∈ [1, w], id_a
+    * the earlier row in sort order.
+    */
+  def sortedNeighborhood(df: DataFrame, sortCol: String, idCol: String,
+                         w: Int, bucketWidth: Long = 1L << 16): DataFrame = {
+    require(w >= 1, s"window w must be >= 1, got $w")
+    val code = (ascii(substring(col(sortCol), 1, 1)) * lit(65536L) +
+      ascii(substring(col(sortCol), 2, 1)) * lit(256L) +
+      ascii(substring(col(sortCol), 3, 1))).cast("long")
+    val idx = new graft.core.Tafra(df.withColumn("_ord", code))
+      .globalIndex("_ord", Seq(sortCol, idCol), bucketWidth, "idx")
+      .df.select(col(idCol).as("_id"), col("idx"))
+    def blk(c: org.apache.spark.sql.Column) =
+      ((c - pmod(c, lit(w.toLong))) / w).cast("long")
+    val probe = idx.select(col("_id").as("id_a"), col("idx").as("ia"),
+        explode(array(blk(col("idx")), blk(col("idx")) + 1)).as("_blk"))
+    val build = idx.select(col("_id").as("id_b"), col("idx").as("ib"),
+        blk(col("idx")).as("_blk"))
+    // a pair joins exactly once: b sits in one block, and the probe's
+    // two blocks are distinct — no dedup shuffle needed after
+    probe.join(build, Seq("_blk"))
+      .filter((col("ib") - col("ia")).between(1, w))
+      .select(col("id_a"), col("id_b"), (col("ib") - col("ia")).as("d"))
+  }
 }
