@@ -37,6 +37,37 @@ object OracleGen {
   def cosineSql(a: String, b: String, dim: Int): String =
     s"(${dotSql(a, b, dim)} / (sqrt(${dotSql(a, a, dim)}) * sqrt(${dotSql(b, b, dim)})))"
 
+  /** Signed-random-projection element list — mirror of
+    * [[graft.plans.RandomProjectVec]]: each output element is the
+    * left-associative sum of the fused loop, with the identical
+    * plan-time sign matrix inlined.
+    */
+  def projListSql(vec: String, outDim: Int, dim: Int, seed: Int = 7): String = {
+    val signs = HyperplaneBucket.signMatrix(outDim, dim, seed)
+    (0 until outDim).map { p =>
+      (0 until dim)
+        .map(d => s"CAST($vec[${d + 1}] AS DOUBLE) * ${if (signs(p * dim + d) > 0) "1.0" else "-1.0"}")
+        .mkString(" + ")
+    }.mkString("[", ", ", "]")
+  }
+
+  /** Consecutive-pair cosine-preservation audit of the random
+    * projection (q165): original-space vs projected-space cosine with
+    * the absolute error, all doubles in mirrored op order.
+    */
+  def randomProjectionSql(outDim: Int = 16, dim: Int = 64): String =
+    s"""WITH p AS (
+       SELECT vec_id, embedding, ${projListSql("embedding", outDim, dim)} AS proj
+       FROM embeddings),
+     j AS (
+       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ${cosineSql("a.embedding", "b.embedding", dim)} AS co,
+         ${cosineSql("a.proj", "b.proj", outDim)} AS cp
+       FROM p a JOIN p b ON b.vec_id = a.vec_id + 1)
+     SELECT id_a, id_b, ROUND(co, 6) AS cos_orig, ROUND(cp, 6) AS cos_proj,
+       ROUND(abs(co - cp), 6) AS err
+     FROM j"""
+
   /** Hyperplane LSH bucket with the plan-time sign matrix inlined. */
   def bucketSql(vec: String, nbits: Int, dim: Int, seed: Int = 7): String = {
     val signs = HyperplaneBucket.signMatrix(nbits, dim, seed)
@@ -335,6 +366,47 @@ object OracleGen {
              FROM deg CROSS JOIN nv),
      ${its.mkString(",\n     ")}
      SELECT node, pr FROM it$iters"""
+  }
+
+  /** Label propagation over the bucketed embedding-similarity graph
+    * (operators.Graph.labelPropagation on Dedup.embeddingPairs ≥
+    * minCos): the same pair pipeline, `iters` rounds unrolled as
+    * MATERIALIZED CTEs (the kCore lesson — DuckDB inlines multiply-
+    * referenced CTEs, so an unmaterialized unroll re-runs the full
+    * upstream pipeline per reference). Vote = (count DESC, label)
+    * row_number — pure integer arithmetic, no float anywhere.
+    */
+  def labelPropSql(minCos: Double = 0.4, nbits: Int = 6, dim: Int = 64,
+                   cap: Int = 40, iters: Int = 2): String = {
+    def round(prev: String, out: String): String =
+      s"""$out AS MATERIALIZED (
+         SELECT node, label FROM (
+           SELECT e.src AS node, p.label,
+             ROW_NUMBER() OVER (PARTITION BY e.src
+               ORDER BY COUNT(*) DESC, p.label) AS rn
+           FROM edges e JOIN $prev p ON p.node = e.dst
+           GROUP BY e.src, p.label)
+         WHERE rn = 1)"""
+    val rounds = (1 to iters).map(i =>
+      round(if (i == 1) "l0" else s"l${i - 1}", s"l$i"))
+    s"""WITH b AS (
+       SELECT vec_id, embedding, ${bucketSql("embedding", nbits, dim)} AS bucket
+       FROM embeddings),
+     capped AS (
+       SELECT vec_id, embedding, bucket FROM (
+         SELECT vec_id, embedding, bucket,
+           ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY vec_id) AS bn
+         FROM b) WHERE bn <= $cap),
+     prs AS (
+       SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b FROM capped a JOIN capped b2
+         ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+       WHERE ${cosineSql("a.embedding", "b2.embedding", dim)} >= $minCos),
+     edges AS MATERIALIZED (
+       SELECT vec_a AS src, vec_b AS dst FROM prs
+       UNION SELECT vec_b, vec_a FROM prs),
+     l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+     ${rounds.mkString(",\n     ")}
+     SELECT node, label FROM l$iters"""
   }
 
   /** Triangle counts over the bucketed embedding-similarity graph

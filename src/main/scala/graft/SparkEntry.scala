@@ -1744,6 +1744,41 @@ object SparkEntry {
       functions.Layout.fileStats(s, out, Seq("l_partkey", "l_suppkey"))
     }),
 
+    // §2#35e signed random projection (JL/Rademacher) 64→16 dims with
+    // a cosine-preservation audit over consecutive pairs: projected
+    // cosine tracks the original (scale-free, so no 1/√k factor);
+    // native codegen'd kernel sharing the hyperplane sign matrix.
+    "q165_random_projection" -> ((s, dir) => {
+      val proj = t(s, dir, "embeddings").df.select(col("vec_id"), col("embedding"),
+        functions.VectorFunctions.randomProject(col("embedding"), 16, 64).as("proj"))
+      val a = proj.select(col("vec_id").as("id_a"),
+        col("embedding").as("ea"), col("proj").as("pa"))
+      val b = proj.select((col("vec_id") - 1).as("id_a"), col("vec_id").as("id_b"),
+        col("embedding").as("eb"), col("proj").as("pb"))
+      a.join(b, Seq("id_a"))
+        .withColumn("_co", functions.VectorFunctions.cosine(col("ea"), col("eb")))
+        .withColumn("_cp", functions.VectorFunctions.cosineHof(col("pa"), col("pb")))
+        .select(col("id_a"), col("id_b"),
+          round(col("_co"), 6).as("cos_orig"), round(col("_cp"), 6).as("cos_proj"),
+          round(abs(col("_co") - col("_cp")), 6).as("err"))
+    }),
+
+    // §2#25b order-insensitive corpus content digest: one mergeable
+    // (n_rows, Σ md5-word1, Σ md5-word2) attestation row over the
+    // audited columns — "did this snapshot change?" in one partial agg.
+    "q166_table_digest" -> ((s, dir) =>
+      t(s, dir, "lineitem").contentDigest(
+        Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus")).df),
+
+    // §2#30n label-propagation communities over the similarity graph
+    // (deterministic sync LPA, 2 rounds, ties to smallest label) — the
+    // density-free community view components/kCore can't give.
+    "q167_label_prop" -> ((s, dir) => {
+      val pairs = operators.Dedup.embeddingPairs(t(s, dir, "embeddings").df)
+        .filter(col("cos") >= 0.4)
+      operators.Graph.labelPropagation(pairs, "vec_a", "vec_b", iters = 2)
+    }),
+
     // §2#63 binaryFile ingest: raw per-document files (materialized by
     // a distributed foreachPartition writer — test stand-in for an
     // object store) read back through Spark's binaryFile source and
@@ -1937,6 +1972,8 @@ object SparkEntry {
     "q69_embed_pq" -> OracleGen.pqSql(),
     "q70_pq_adc" -> OracleGen.pqAdcSql(),
     "q32_text_fingerprint" -> OracleGen.fingerprintSql,
+    "q165_random_projection" -> OracleGen.randomProjectionSql(),
+    "q167_label_prop" -> OracleGen.labelPropSql(),
 
     "q50_audio" ->
       """SELECT doc_id,
@@ -3694,6 +3731,19 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
                / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)), 9)
            END AS gini
          FROM s""",
+
+    "q166_table_digest" ->
+      """WITH k AS (
+           SELECT md5(concat_ws(chr(1),
+             coalesce(CAST(l_orderkey AS VARCHAR), chr(0)),
+             coalesce(CAST(l_linenumber AS VARCHAR), chr(0)),
+             coalesce(l_returnflag, chr(0)),
+             coalesce(l_linestatus, chr(0)))) AS h
+           FROM lineitem)
+         SELECT COUNT(*) AS n_rows,
+           CAST(SUM(('0x' || substr(h, 1, 8))::BIGINT) AS VARCHAR) AS digest_a,
+           CAST(SUM(('0x' || substr(h, 9, 8))::BIGINT) AS VARCHAR) AS digest_b
+         FROM k""",
 
     "q161_bm25" ->
       """WITH toks AS (

@@ -181,6 +181,40 @@ final class Tafra(val df: DataFrame) extends Serializable {
       .filter(col("_rk") <= k).drop("_rk"))
   }
 
+  /** Order-insensitive content digest of the frame over `cols`: one
+    * row (n_rows, digest_a, digest_b) where the digests are sums of
+    * the two leading 32-bit words of each row's md5 — the
+    * corpus-version attestation primitive ("are these two snapshots
+    * byte-identical in the audited columns?") that costs ONE partial
+    * agg instead of a full diff ([[graft.operators.Upsert.diffSnapshots]]
+    * answers WHAT changed; this answers WHETHER, cheaply enough to run
+    * on every publish). Because the digest is a plain sum it is
+    * MERGEABLE: shard digests fold by addition, so an object-store
+    * layout can be attested shard-by-shard and combined driver-side.
+    *
+    * Engine determinism: rows render as `coalesce(cast(c AS string),
+    * chr(0))` joined by chr(1) — explicit null sentinel (concat_ws
+    * SKIPS nulls, which would alias (a, NULL, b) with (a, b, NULL));
+    * md5 is byte-identical everywhere; sums run DECIMAL(38,0) and
+    * emit as scale-0 strings (a 10¹² -row digest exceeds a long; a
+    * double would round). Contract: cast columns whose string
+    * rendering is engine-dependent (doubles, timestamps) to a stable
+    * form first — integral/string columns digest as-is.
+    */
+  def contentDigest(cols: Seq[String]): Tafra = {
+    validateColumns(cols)
+    val key = concat_ws("\u0001",
+      cols.map(c => coalesce(df(c).cast("string"), lit("\u0000"))): _*)
+    val h = md5(key)
+    def word(start: Int) =
+      conv(substring(h, start, 8), 16, 10).cast("long").cast("decimal(38,0)")
+    new Tafra(df
+      .select(word(1).as("_w1"), word(9).as("_w2"))
+      .agg(count(lit(1)).as("n_rows"),
+           sum(col("_w1")).cast("string").as("digest_a"),
+           sum(col("_w2")).cast("string").as("digest_b")))
+  }
+
   /** Per-stratum sampling fractions (e.g. downsample one language,
     * keep another whole) — `df.stat.sampleBy` with a fixed seed.
     */

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.functions._
 
-import graft.plans.{CosineSimilarity, DotProduct}
+import graft.plans.{CosineSimilarity, DotProduct, RandomProjectVec}
 
 /** Vector math over `array<float>` embedding columns (SURVEY.md §2
   * #34-35).
@@ -38,4 +38,12 @@ object VectorFunctions {
   def normHof(a: Column): Column = sqrt(dotHof(a, a))
 
   def cosineHof(a: Column, b: Column): Column = dotHof(a, b) / (normHof(a) * normHof(b))
+
+  /** Signed random projection to `outDim` dimensions (JL/Rademacher) —
+    * native codegen'd kernel sharing [[graft.plans.HyperplaneBucket]]'s
+    * deterministic sign matrix; emits `array<double>`. Cosine over
+    * projections is scale-free, so no 1/√k factor is applied.
+    */
+  def randomProject(c: Column, outDim: Int, dim: Int, seed: Int = 7): Column =
+    ColumnBridge.column(RandomProjectVec(ColumnBridge.expression(c), outDim, dim, seed))
 }

@@ -156,4 +156,46 @@ object Graph {
     perNode.crossJoin(broadcast(
       tris.agg(count(lit(1)).as("total_triangles"))))
   }
+
+  /** Synchronous label propagation (fixed rounds, deterministic): each
+    * node adopts the most frequent label among its neighbors, ties to
+    * the SMALLEST label — community detection over the similarity
+    * graph, the density-free companion to [[kCore]] (which thresholds)
+    * and Dedup.components (which merges ANY connectivity): LPA splits a
+    * barbell the bridge edge would glue into one component. Fixed
+    * iteration count (like [[pageRank]]) rather than
+    * convergence-probing: sync LPA can oscillate on bipartite-ish
+    * structures, and a fixed unrollable round count is what an oracle
+    * can replay.
+    *
+    * Scale shape per round: one edge⨝label hash join + one
+    * (node, label) partial agg + one per-node argmax window — the
+    * window sees DISTINCT NEIGHBOR LABELS per node (bounded by degree,
+    * collapsing as communities form), with WindowGroupLimit pushdown
+    * on the rn = 1 filter. `localCheckpoint` truncates lineage per
+    * round (the components pattern). Labels init to the node id, so
+    * output labels are canonical member ids.
+    */
+  def labelPropagation(pairs: DataFrame, aCol: String, bCol: String,
+                       iters: Int = 2): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 0 until iters) {
+      val counts = edges
+        .join(labels.select(col("node").as("dst"), col("label").as("nl")), Seq("dst"))
+        .groupBy(col("src").as("node"), col("nl").as("label"))
+        .agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("node").orderBy(col("c").desc, col("label"))
+      labels = counts.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1).select("node", "label")
+        .localCheckpoint()
+    }
+    labels
+  }
 }
