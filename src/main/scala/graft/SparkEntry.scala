@@ -1779,6 +1779,36 @@ object SparkEntry {
       operators.Graph.labelPropagation(pairs, "vec_a", "vec_b", iters = 2)
     }),
 
+    // §2#40e decode-free PNG header metadata: signature + IHDR
+    // width/height/depth/color via pure Column byte arithmetic — the
+    // prune-before-decode pass; no ImageIO anywhere in this plan.
+    "q168_png_meta" -> ((s, dir) =>
+      operators.Multimodal.pngHeaderMeta(
+        operators.Multimodal.withImagePayload(t(s, dir, "documents").df))),
+
+    // §2#52t streaming PSI drift: per event-time hour, PSI of the
+    // hour's value histogram vs the corpus baseline — bounded
+    // (window × bin) stream state + the q143 per-emission arithmetic.
+    "q169_stream_psi" -> ((s, dir) =>
+      streaming.Events.streamPsiHourly(s, s"$dir/events.parquet")),
+
+    // §2#53n per-user inter-arrival cadence: count/min/max/exact-median
+    // gap micros off one (time, id)-ordered key window.
+    "q170_interarrival" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"), col("event_id"))
+      operators.Behavior.interArrival(ev, "user_id", "tus", Seq("event_id"))
+    }),
+
+    // §2#52u equi-depth quantile binning: per-source quartile bucket
+    // per doc from ONE percentile-array agg joined back — never ntile
+    // (whose tie handling is row-order-dependent and whose window
+    // buffers a group per task).
+    "q171_quantile_bins" -> ((s, dir) =>
+      functions.Profile.quantileBins(
+        t(s, dir, "documents").select(Seq("doc_id", "source", "n_chars")).df,
+        "source", "n_chars", k = 4)),
+
     // §2#63 binaryFile ingest: raw per-document files (materialized by
     // a distributed foreachPartition writer — test stand-in for an
     // object store) read back through Spark's binaryFile source and
@@ -3731,6 +3761,66 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
                / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)), 9)
            END AS gini
          FROM s""",
+
+    "q168_png_meta" ->
+      """SELECT doc_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         true AS is_png,
+         CAST(octet_length(encode(text)) % 320 + 1 AS INT) AS width,
+         CAST(octet_length(encode(text)) % 240 + 1 AS INT) AS height,
+         CAST(8 AS INT) AS bit_depth,
+         CAST(0 AS INT) AS color_type
+         FROM documents""",
+
+    "q169_stream_psi" ->
+      """WITH e AS (
+           SELECT date_trunc('hour', make_timestamp(epoch_ns(ts)//1000)) AS h,
+             CAST(floor(value / 20.0) AS BIGINT) AS bin
+           FROM events),
+         cells AS (SELECT h, bin, COUNT(*) AS n FROM e GROUP BY 1, 2),
+         ht AS (SELECT h, SUM(n) AS tot FROM cells GROUP BY 1),
+         base AS (SELECT bin, COUNT(*) AS bn FROM e GROUP BY 1),
+         bt AS (SELECT SUM(bn) AS btot FROM base),
+         grid AS (
+           SELECT hh.h, b.bin, b.bn
+           FROM (SELECT DISTINCT h FROM cells) hh CROSS JOIN base b),
+         f AS (
+           SELECT coalesce(g.h, c.h) AS h, coalesce(g.bin, c.bin) AS bin, g.bn, c.n
+           FROM grid g FULL JOIN cells c ON g.h = c.h AND g.bin = c.bin),
+         t AS (
+           SELECT f.h,
+             CASE WHEN n > 0 AND bn > 0 THEN
+               CAST((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) - CAST(bn AS DOUBLE) / CAST(btot AS DOUBLE))
+                 * ln((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)) / (CAST(bn AS DOUBLE) / CAST(btot AS DOUBLE)))
+                 AS DECIMAL(20,9)) END AS term,
+             tot
+           FROM f JOIN ht ON ht.h = f.h CROSS JOIN bt)
+         SELECT h AS hour_start, ROUND(CAST(SUM(term) AS DOUBLE), 6) AS psi,
+           COUNT(term) AS n_bins_used,
+           COUNT(CASE WHEN term IS NULL THEN 1 END) AS n_bins_dropped,
+           CAST(MAX(tot) AS BIGINT) AS n_events
+         FROM t GROUP BY 1""",
+
+    "q170_interarrival" ->
+      """WITH e AS (
+           SELECT user_id, epoch_ns(ts)//1000 AS tus, event_id FROM events),
+         g AS (
+           SELECT user_id,
+             lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) - tus AS gap
+           FROM e)
+         SELECT user_id, COUNT(*) AS n_gaps, MIN(gap) AS min_gap, MAX(gap) AS max_gap,
+           CAST(CAST(quantile_cont(gap, 0.5) AS DECIMAL(18,4)) AS DOUBLE) AS median_gap
+         FROM g WHERE gap IS NOT NULL GROUP BY 1""",
+
+    "q171_quantile_bins" ->
+      """WITH b AS (
+           SELECT source,
+             list_transform(quantile_cont(n_chars, [0.25, 0.5, 0.75]),
+               x -> CAST(x AS DECIMAL(18,6))) AS qs
+           FROM documents GROUP BY 1)
+         SELECT d.doc_id, d.source, d.n_chars,
+           CAST(1 + len(list_filter(b.qs, x -> x <= CAST(d.n_chars AS DECIMAL(18,6)))) AS INT) AS bin
+         FROM documents d JOIN b USING (source)""",
 
     "q166_table_digest" ->
       """WITH k AS (

@@ -633,6 +633,38 @@ object Profile {
       .select(col(groupCol), col("mode_value"), col("n"))
   }
 
+  /** Equi-depth (quantile) binning: each row labeled with its group's
+    * quantile bucket 1..k — the feature-bucketing / monotone-binning
+    * transform (equal-POPULATION bins, where [[histogram]]'s
+    * equal-width bins collapse under heavy tails). Deliberately NOT
+    * `ntile().over(partitionBy)` — that buffers each group in one task
+    * (the q75/q91 window rule); instead the k−1 exact-percentile
+    * cutoffs come from ONE `percentile(array(...))` agg per group
+    * (value-map partial state) joined back as a group-vocabulary-sized
+    * broadcast artifact, and the bin is 1 + the count of cutoffs at or
+    * below the value — map-side comparisons only.
+    *
+    * Boundary determinism: cutoffs and values compare as
+    * DECIMAL(18,6) (the q71 interpolation parity carries through the
+    * quantize), so every bin decision is engine-exact. Ties across a
+    * cutoff all land in the higher bin (documented contract — exact
+    * ntile semantics differ engine-to-engine precisely because they
+    * split ties by row order, which no distributed engine should).
+    */
+  def quantileBins(df: DataFrame, groupCol: String, valueCol: String,
+                   k: Int, outCol: String = "bin"): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val ps = (1 until k).map(i => i.toDouble / k).mkString(", ")
+    val bounds = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile($valueCol, array($ps))").as("_qs"))
+      .select(col(groupCol),
+        expr("transform(_qs, x -> cast(x as decimal(18,6)))").as("_qs"))
+    df.join(broadcast(bounds), Seq(groupCol))
+      .withColumn(outCol,
+        (lit(1) + expr(s"size(filter(_qs, x -> x <= cast($valueCol as decimal(18,6))))")).cast("int"))
+      .drop("_qs")
+  }
+
   /** Two-sample Kolmogorov–Smirnov distance (SURVEY.md §2 #52h):
     * D = max over values of |CDF_a − CDF_b| between the `valueCol`
     * distributions of groups `a` and `b` — THE distribution-drift

@@ -166,6 +166,38 @@ object Behavior {
     * `conversions` needs (keyCol, timeCol, valueCol); `touches` needs
     * (keyCol, timeCol, channelCol). Times must be numeric epoch micros.
     */
+  /** Per-key inter-arrival time statistics: count, min, max, and exact
+    * median of the gaps between consecutive events — the cadence
+    * report behind bot detection (suspiciously regular gaps), sensor
+    * health (gaps stretching), and capacity planning, and the
+    * distribution [[graft.operators.Rolling.resample]]'s grid step
+    * should be sized from.
+    *
+    * One key-partitioned (time, tieCols) sort computes every gap via
+    * `lead` (the twap total-order contract — ties order identically in
+    * every engine/run), then one partial agg per key; the exact
+    * `percentile` median keeps value-map state (distinct gap values,
+    * never row-scaled). Gaps are pure integer micros; only the median
+    * interpolation is a double, emitted through the q71
+    * DECIMAL(18,4)-quantize so a last-bit difference can't flip the
+    * hash.
+    */
+  def interArrival(events: DataFrame, keyCol: String = "user_id",
+                   timeCol: String = "tus",
+                   tieCols: Seq[String] = Nil): DataFrame = {
+    val ord = col(timeCol) +: tieCols.map(col)
+    val w = Window.partitionBy(keyCol).orderBy(ord: _*)
+    events
+      .withColumn("_gap", lead(col(timeCol), 1).over(w) - col(timeCol))
+      .filter(col("_gap").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_gaps"),
+           min(col("_gap")).as("min_gap"),
+           max(col("_gap")).as("max_gap"),
+           percentile(col("_gap"), lit(0.5))
+             .cast("decimal(18,4)").cast("double").as("median_gap"))
+  }
+
   def lastTouchAttribution(conversions: DataFrame, touches: DataFrame,
                            keyCol: String, timeCol: String,
                            channelCol: String, valueCol: String,

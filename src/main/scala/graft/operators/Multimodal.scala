@@ -154,6 +154,30 @@ object Multimodal {
     }
   }
 
+  /** DECODE-FREE image metadata: parse the PNG header (signature +
+    * IHDR width/height/bit depth/color type) with pure Column byte
+    * arithmetic — `substring` on the binary column, `hex`, `conv` —
+    * no ImageIO, no mapPartitions, no codec CPU. This is the metadata
+    * pass a real media pipeline runs FIRST at 100 TB ("how many 4k
+    * images do we have / drop everything under 64px") — filtering on
+    * it prunes the corpus before any expensive decode runs, and being
+    * a plain projection it pipelines into the payload scan
+    * (plan-asserted map-only). PNG stores IHDR at a fixed offset with
+    * big-endian fields, so the parse is engine-exact byte arithmetic
+    * (the oracle predicts the same geometry from the deterministic
+    * encoder).
+    */
+  def pngHeaderMeta(withPayload: DataFrame, binCol: String = "payload"): DataFrame = {
+    def be(start: Int, len: Int) =
+      conv(hex(substring(col(binCol), start, len)), 16, 10)
+    withPayload.select(col("doc_id"), col("n_bytes"),
+      (hex(substring(col(binCol), 1, 8)) === lit("89504E470D0A1A0A")).as("is_png"),
+      be(17, 4).cast("int").as("width"),
+      be(21, 4).cast("int").as("height"),
+      be(25, 1).cast("int").as("bit_depth"),
+      be(26, 1).cast("int").as("color_type"))
+  }
+
   /** Batched REAL decode over partitions: fixed-size batches drained
     * through `ImageIO` (bounded memory, the vectorized-decoder shape),
     * emitting the [[decodedSchema]] metadata + features. `n_bytes` is

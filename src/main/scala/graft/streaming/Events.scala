@@ -225,6 +225,58 @@ object Events {
       .select(col("win.start").as("hour_start"), col("bucket"), col("r"))
   }
 
+  /** Streaming drift monitor (SURVEY.md §2 #52t): per event-time hour,
+    * the PSI of that hour's `value` distribution against the corpus
+    * baseline — "alert when an hour's traffic stops looking like
+    * history", the continuous form of
+    * [[graft.functions.Profile.psi]].
+    *
+    * The genuinely streaming half is the (window, bin) count
+    * aggregation: operator state is open-windows × occupied-bins cells
+    * (never event- or key-scaled; with a watermark it runs append and
+    * sealed hours emit finalized cell tables — complete mode here for
+    * the oracle harness, the q20 convention). The PSI arithmetic is
+    * the per-emission transform (the q103 foreachBatch pattern): hour
+    * cells FULL-OUTER the broadcast baseline histogram (a config-sized
+    * artifact from one batch pass), per-bin (p−q)·ln(p/q) terms
+    * DECIMAL(20,9)-quantized pre-sum, bins empty on either side
+    * excluded and counted (the q143 contract — a brand-new occupied
+    * bin IS drift), psi rounds at 1e-6.
+    */
+  def streamPsiHourly(spark: SparkSession, eventsPath: String,
+                      binWidth: Double = 20.0,
+                      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val cells = runToMemory(
+      readStream(spark, eventsPath, maxFilesPerTrigger)
+        .groupBy(window(col("ts"), "1 hour").as("win"),
+          floor(col("value") / binWidth).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n")),
+      "complete", "graft_psi_")
+      .select(col("win.start").as("hour_start"), col("bin"), col("n"))
+    // per-emission transform: PSI of each hour vs the corpus baseline
+    val baseline = readBatch(spark, eventsPath)
+      .groupBy(floor(col("value") / binWidth).cast("long").as("bin"))
+      .agg(count(lit(1)).as("bn"))
+    val bTot = baseline.agg(sum("bn").as("btot"))
+    val hourTot = cells.groupBy("hour_start").agg(sum("n").as("tot"))
+    val grid = cells.select("hour_start").distinct()
+      .crossJoin(broadcast(baseline))
+    val full = grid.join(cells, Seq("hour_start", "bin"), "full")
+    val p = col("n").cast("double") / col("tot").cast("double")
+    val q = col("bn").cast("double") / col("btot").cast("double")
+    full
+      .join(hourTot, Seq("hour_start"))
+      .crossJoin(broadcast(bTot))
+      .withColumn("_term",
+        when(col("n") > 0 && col("bn") > 0, ((p - q) * log(p / q)).cast("decimal(20,9)")))
+      .groupBy("hour_start")
+      .agg(round(sum(col("_term")).cast("double"), 6).as("psi"),
+           count(col("_term")).as("n_bins_used"),
+           count(when(col("_term").isNull, 1)).as("n_bins_dropped"),
+           max(col("tot")).as("n_events"))
+  }
+
   /** Production sink: append-mode parquet with a checkpoint. State
     * stays bounded by the plan's watermark; output is distributed
     * (never driver-materialized). Caller owns the query lifecycle.
