@@ -1809,6 +1809,30 @@ object SparkEntry {
         t(s, dir, "documents").select(Seq("doc_id", "source", "n_chars")).df,
         "source", "n_chars", k = 4)),
 
+    // §2#40f decode-free WAV header metadata: RIFF/WAVE signature +
+    // fmt-chunk channels/rate/bits + data size via little-endian
+    // Column byte assembly — no AudioSystem in this plan.
+    "q172_wav_meta" -> ((s, dir) =>
+      operators.Multimodal.wavHeaderMeta(
+        operators.Multimodal.withAudioPayload(t(s, dir, "documents").df))),
+
+    // §2#53o top within-session event trigram paths: session islands +
+    // both lookaheads off ONE key sort; cross-session windows cut by
+    // comparing the session index lead.
+    "q173_top_paths" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+          col("event_type"), col("event_id"))
+      operators.Behavior.topPaths(ev, "user_id", "tus", "event_type",
+        gapUs = 1800000000L, n = 3, topK = 20, tieCols = Seq("event_id"))
+    }),
+
+    // §2#37i Zipf rank-frequency fit: ln-ln OLS slope over the top-200
+    // terms — the corpus-health scalar (natural text ≈ −1); micro-unit
+    // quantized logs through the q156 six-sum regression.
+    "q174_zipf" -> ((s, dir) =>
+      functions.TermStats.zipfFit(t(s, dir, "documents").df, topN = 200)),
+
     // §2#63 binaryFile ingest: raw per-document files (materialized by
     // a distributed foreachPartition writer — test stand-in for an
     // object store) read back through Spark's binaryFile source and
@@ -3760,6 +3784,74 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
              ROUND(CAST(2 * six - (n + 1) * sx AS DOUBLE)
                / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)), 9)
            END AS gini
+         FROM s""",
+
+    "q172_wav_meta" ->
+      """SELECT doc_id,
+         true AS is_wav,
+         CAST(1 AS INT) AS n_channels,
+         CAST(8000 AS INT) AS sample_rate,
+         CAST(8 AS INT) AS bits_per_sample,
+         CAST(octet_length(encode(text)) AS BIGINT) AS data_bytes
+         FROM documents""",
+
+    "q173_top_paths" ->
+      """WITH e AS (
+           SELECT user_id, epoch_ns(ts)//1000 AS tus, event_type, event_id
+           FROM events),
+         s AS (
+           SELECT user_id, tus, event_type, event_id,
+             CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) IS NULL
+                    OR tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) > 1800000000
+                  THEN 1 ELSE 0 END AS nw
+           FROM e),
+         sd AS (
+           SELECT user_id, tus, event_type, event_id,
+             SUM(nw) OVER (PARTITION BY user_id ORDER BY tus, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM s),
+         p AS (
+           SELECT event_type AS t0, sid,
+             lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS t1,
+             lead(sid, 1) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS s1,
+             lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS t2,
+             lead(sid, 2) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS s2
+           FROM sd),
+         c AS (
+           SELECT t0 || '>' || t1 || '>' || t2 AS path, COUNT(*) AS c
+           FROM p WHERE t1 IS NOT NULL AND t2 IS NOT NULL AND s1 = sid AND s2 = sid
+           GROUP BY 1),
+         r AS (
+           SELECT path, c,
+             CAST(ROW_NUMBER() OVER (ORDER BY c DESC, path) AS INT) AS rank
+           FROM c)
+         SELECT path, c, rank FROM r WHERE rank <= 20""",
+
+    "q174_zipf" ->
+      """WITH tf AS (
+           SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+           FROM documents),
+         cc AS (SELECT t, COUNT(*) AS c FROM tf GROUP BY 1),
+         r AS (
+           SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, t) AS rank FROM cc),
+         q AS (
+           SELECT CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS x,
+                  CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS y
+           FROM r WHERE rank <= 200),
+         s AS (
+           SELECT COUNT(*) AS n,
+             SUM(CAST(x AS DECIMAL(38,0))) AS sx, SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+             SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+             SUM(CAST(y * y AS DECIMAL(38,0))) AS syy,
+             SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy
+           FROM q)
+         SELECT n AS n_terms,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 9) AS slope,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9) AS r2
          FROM s""",
 
     "q168_png_meta" ->

@@ -213,6 +213,53 @@ object TermStats {
         col("n_terms"), col("rank"))
   }
 
+  /** Zipf rank-frequency fit: the OLS slope of ln(count) on ln(rank)
+    * over the corpus's top-`topN` terms — natural text sits near
+    * slope ≈ −1, and deviation is a cheap whole-corpus health signal
+    * (template/boilerplate floods flatten the head; token-salad
+    * generators flatten the tail). One number per corpus drop, worth
+    * tracking next to the drift family.
+    *
+    * Scale shape: term counts are one gram-keyed partial agg (Zipf
+    * head collapses map-side — the thing being measured is also what
+    * makes the agg cheap); the rank window is unpartitioned but its
+    * rn ≤ topN filter gets WindowGroupLimit pushdown, so map
+    * partitions pre-prune to topN rows. The regression is the q156
+    * closed-form six-sum OLS on ln values quantized to micro-units
+    * (floor(ln·10⁶+0.5) — the q107 ln rule: libm vs JVM ln differ in
+    * the last ulp; quantized longs sum exactly as DECIMAL(38,0)).
+    */
+  def zipfFit(docs: DataFrame, topN: Int = 200,
+              textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(topN >= 2, s"topN must be >= 2, got $topN")
+    val nPart = docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val counts = docs.select(col(idCol), T.tokens(col(textCol)).as("w"))
+      .repartition(nPart, col(idCol))
+      .select(explode(col("w")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val ranked = counts
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("c").desc, col("t"))))
+      .filter(col("rank") <= topN)
+    val q = ranked.select(
+      floor(log(col("rank").cast("double")) * 1000000.0 + 0.5).cast("long").as("_x"),
+      floor(log(col("c").cast("double")) * 1000000.0 + 0.5).cast("long").as("_y"))
+    val agg = q.agg(count(lit(1)).as("n"),
+      sum(col("_x").cast("decimal(38,0)")).as("_sx"),
+      sum(col("_y").cast("decimal(38,0)")).as("_sy"),
+      sum((col("_x") * col("_x")).cast("decimal(38,0)")).as("_sxx"),
+      sum((col("_y") * col("_y")).cast("decimal(38,0)")).as("_syy"),
+      sum((col("_x") * col("_y")).cast("decimal(38,0)")).as("_sxy"))
+    def d(c: String) = col(c).cast("double")
+    val nn = col("n").cast("double")
+    val num = nn * d("_sxy") - d("_sx") * d("_sy")
+    val denX = nn * d("_sxx") - d("_sx") * d("_sx")
+    val denY = nn * d("_syy") - d("_sy") * d("_sy")
+    agg.select(col("n").as("n_terms"),
+      round(num / denX, 9).as("slope"),
+      round(num * num / (denX * denY), 9).as("r2"))
+  }
+
   /** Sparse TF-IDF all-pairs document similarity (the DISCO /
     * term-at-a-time cosine join): doc pairs whose pruned TF-IDF
     * vectors have cosine ≥ `minCos` — the lexical-overlap complement

@@ -166,6 +166,50 @@ object Behavior {
     * `conversions` needs (keyCol, timeCol, valueCol); `touches` needs
     * (keyCol, timeCol, channelCol). Times must be numeric epoch micros.
     */
+  /** Top-k most frequent within-session event-type paths of length
+    * `n` — the journey-mining report ("view>click>purchase happens
+    * 12k times") that [[transitions]]' pairwise matrix can't give for
+    * longer motifs. Sessions are the same inactivity-gap
+    * gaps-and-islands as [[sessionizeBatch]].
+    *
+    * Scale shape: session assignment AND the n−1 lookaheads all ride
+    * ONE key-partitioned (time, tieCols) sort — the leads stay
+    * partitioned by key (not by (key, session), which would need a
+    * second sort) and cross-session windows are discarded by
+    * comparing the lead of the session index (a lead over the SAME
+    * window spec — no extra exchange). Path counts are one partial
+    * agg on the path string; global top-k is a WindowGroupLimit-pushed
+    * row_number with (count desc, path) ties.
+    */
+  def topPaths(events: DataFrame, keyCol: String = "user_id",
+               timeCol: String = "tus", typeCol: String = "event_type",
+               gapUs: Long = 1800000000L, n: Int = 3, topK: Int = 20,
+               tieCols: Seq[String] = Nil): DataFrame = {
+    require(n >= 2 && topK > 0, s"need n >= 2 and topK > 0, got n=$n topK=$topK")
+    val ord = col(timeCol) +: tieCols.map(col)
+    val w = Window.partitionBy(keyCol).orderBy(ord: _*)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withSid = events
+      .withColumn("_prev", lag(col(timeCol), 1).over(w))
+      .withColumn("_new",
+        when(col("_prev").isNull || col(timeCol) - col("_prev") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("_sid", sum(col("_new")).over(run))
+    val steps = (1 until n).flatMap(i => Seq(
+      lead(col(typeCol), i).over(w).as(s"_t$i"),
+      lead(col("_sid"), i).over(w).as(s"_s$i")))
+    val sameSession = (1 until n).map(i => col(s"_s$i") === col("_sid")).reduce(_ && _)
+    val path = concat_ws(">", col(typeCol) +: (1 until n).map(i => col(s"_t$i")): _*)
+    withSid
+      .select((col(typeCol) +: col("_sid") +: steps): _*)
+      .filter((1 until n).map(i => col(s"_t$i").isNotNull).reduce(_ && _) && sameSession)
+      .groupBy(path.as("path"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("c").desc, col("path"))).cast("int"))
+      .filter(col("rank") <= topK)
+  }
+
   /** Per-key inter-arrival time statistics: count, min, max, and exact
     * median of the gaps between consecutive events — the cadence
     * report behind bot detection (suspiciously regular gaps), sensor

@@ -178,6 +178,28 @@ object Multimodal {
       be(26, 1).cast("int").as("color_type"))
   }
 
+  /** DECODE-FREE audio metadata — the WAV companion of
+    * [[pngHeaderMeta]]: RIFF/WAVE signature, channel count, sample
+    * rate, bit depth, and data-chunk byte size parsed from the
+    * canonical 44-byte header with pure Column byte arithmetic. WAV is
+    * LITTLE-endian, so multi-byte fields assemble per byte
+    * (b0 + 256·b1 + …) instead of one hex slice — still a plain
+    * projection: no AudioSystem, no mapPartitions, prune-before-decode
+    * at any scale.
+    */
+  def wavHeaderMeta(withPayload: DataFrame, binCol: String = "payload"): DataFrame = {
+    def byte(pos: Int) = conv(hex(substring(col(binCol), pos, 1)), 16, 10).cast("long")
+    def le(start: Int, len: Int) =
+      (0 until len).map(i => byte(start + i) * lit(1L << (8 * i))).reduce(_ + _)
+    withPayload.select(col("doc_id"),
+      (hex(substring(col(binCol), 1, 4)) === lit("52494646") &&
+        hex(substring(col(binCol), 9, 4)) === lit("57415645")).as("is_wav"),
+      le(23, 2).cast("int").as("n_channels"),
+      le(25, 4).cast("int").as("sample_rate"),
+      le(35, 2).cast("int").as("bits_per_sample"),
+      le(41, 4).as("data_bytes"))
+  }
+
   /** Batched REAL decode over partitions: fixed-size batches drained
     * through `ImageIO` (bounded memory, the vectorized-decoder shape),
     * emitting the [[decodedSchema]] metadata + features. `n_bytes` is
