@@ -291,6 +291,29 @@ object OracleGen {
            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT) AS pick
        FROM cells) WHERE pick <= $quota"""
 
+  /** Centroid-distance outlier scoring
+    * (operators.Similarity.centroidOutliers): the diverseSample seed +
+    * cell machinery, emitting the nearest-centroid cosine and the
+    * DECIMAL(18,6) threshold flag instead of a quota pick.
+    */
+  def centroidOutliersSql(minCos: String = "0.15", ncells: Int = 16,
+                          dim: Int = 64): String =
+    s"""WITH seeds AS (
+       SELECT sv, CAST(rn - 1 AS INT) AS cell FROM (
+         SELECT embedding AS sv,
+           ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+         FROM embeddings) WHERE rn <= $ncells),
+     best AS (
+       SELECT vec_id, cell, cos FROM (
+         SELECT e.vec_id, s.cell,
+           ${cosineSql("e.embedding", "s.sv", dim)} AS cos,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY ${cosineSql("e.embedding", "s.sv", dim)} DESC, s.cell) AS crn
+         FROM embeddings e CROSS JOIN seeds s) WHERE crn = 1)
+     SELECT vec_id, cell, ROUND(cos, 6) AS cos_center,
+       CAST(cos AS DECIMAL(18,6)) < CAST('$minCos' AS DECIMAL(18,6)) AS is_outlier
+     FROM best"""
+
   /** Full semantic-dedup pipeline (operators.Dedup.semanticDedup):
     * bucketed pairs with cosine ≥ `minCos` → connected components
     * (recursive CTE) → keep = component minimum; vectors in no

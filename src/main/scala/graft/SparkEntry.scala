@@ -1833,6 +1833,24 @@ object SparkEntry {
     "q174_zipf" -> ((s, dir) =>
       functions.TermStats.zipfFit(t(s, dir, "documents").df, topN = 200)),
 
+    // §2#35f centroid-distance outliers: nearest-IVF-centroid cosine +
+    // DECIMAL(18,6) threshold flag — "belongs to no prototype"
+    // embedding anomaly scoring; map-only cell projection.
+    "q175_centroid_outliers" -> ((s, dir) =>
+      operators.Similarity.centroidOutliers(t(s, dir, "embeddings").df)),
+
+    // §2#53p CUSUM mean-shift scores per event type: Page's recurrence
+    // in its closed prefix form (cum − running extremum incl. the
+    // empty prefix) — one key sort, exact integer micro-units.
+    "q176_cusum" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .select(col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("tus"), col("value"))
+      operators.Rolling.cusum(ev, "event_type", "tus", "value",
+        target = 50.0, h = 2000.0, tieCols = Seq("event_id"))
+        .select("event_id", "event_type", "tus", "cusum_hi", "cusum_lo", "is_shift")
+    }),
+
     // §2#63 binaryFile ingest: raw per-document files (materialized by
     // a distributed foreachPartition writer — test stand-in for an
     // object store) read back through Spark's binaryFile source and
@@ -2028,6 +2046,7 @@ object SparkEntry {
     "q32_text_fingerprint" -> OracleGen.fingerprintSql,
     "q165_random_projection" -> OracleGen.randomProjectionSql(),
     "q167_label_prop" -> OracleGen.labelPropSql(),
+    "q175_centroid_outliers" -> OracleGen.centroidOutliersSql(),
 
     "q50_audio" ->
       """SELECT doc_id,
@@ -3785,6 +3804,29 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
                / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)), 9)
            END AS gini
          FROM s""",
+
+    "q176_cusum" ->
+      """WITH e AS (
+           SELECT event_id, event_type, epoch_ns(ts)//1000 AS tus,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) - 50000000 AS dev
+           FROM events),
+         c AS (
+           SELECT event_id, event_type, tus,
+             SUM(dev) OVER (PARTITION BY event_type ORDER BY tus, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM e),
+         d AS (
+           SELECT event_id, event_type, tus, cum,
+             MIN(cum) OVER (PARTITION BY event_type ORDER BY tus, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rmin,
+             MAX(cum) OVER (PARTITION BY event_type ORDER BY tus, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rmax
+           FROM c)
+         SELECT event_id, event_type, tus,
+           CAST(cum - least(0, rmin) AS BIGINT) AS cusum_hi,
+           CAST(greatest(0, rmax) - cum AS BIGINT) AS cusum_lo,
+           (cum - least(0, rmin) > 2000000000 OR greatest(0, rmax) - cum > 2000000000) AS is_shift
+         FROM d""",
 
     "q172_wav_meta" ->
       """SELECT doc_id,

@@ -344,6 +344,45 @@ object Rolling {
         col("n_rows"), col("_per").as("period_seq"))
   }
 
+  /** Two-sided CUSUM change-point scores (Page's test): per event, the
+    * one-sided cumulative drift sums
+    * S⁺ᵢ = max(0, S⁺ᵢ₋₁ + (vᵢ − target)) and the mirrored S⁻, plus a
+    * crossing flag — THE sequential mean-shift detector (rolling
+    * z-scores flag single spikes; CUSUM accumulates small sustained
+    * shifts until they cross h). The recurrence looks iterative but
+    * has a closed prefix form: S⁺ᵢ = cumᵢ − min_{j≤i} cumⱼ (and S⁻
+    * mirrored with the running max), so the whole operator is ONE
+    * key-partitioned (time, tieCols) sort carrying three running
+    * window aggregates — no recursion, no UDAF, one exchange
+    * (plan-asserted; recurrence ≡ prefix form property-tested).
+    *
+    * Everything is exact integer arithmetic: values and `target`
+    * quantize to micro-units via floor(v·unitScale + 0.5) (IEEE-double
+    * identical both engines), deviations/cusums are long sums, and the
+    * `h` threshold compares in quantized units — no float boundary.
+    */
+  def cusum(df: DataFrame, keyCol: String, timeCol: String, valueCol: String,
+            target: Double, h: Double, unitScale: Long = 1000000L,
+            tieCols: Seq[String] = Nil): DataFrame = {
+    require(h > 0, s"h must be positive, got $h")
+    val ord = col(timeCol) +: tieCols.map(col)
+    val w = Window.partitionBy(keyCol).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val vq = floor(col(valueCol) * unitScale + 0.5).cast("long")
+    val tq = math.floor(target * unitScale + 0.5).toLong
+    val hq = math.floor(h * unitScale + 0.5).toLong
+    df
+      .withColumn("_dev", vq - lit(tq))
+      .withColumn("_cum", sum(col("_dev")).over(w))
+      // the prefix extremum must include the EMPTY prefix (cum₀ = 0):
+      // S⁺ᵢ = cumᵢ − min(0, cum₁..cumᵢ), else a run that never dips
+      // below zero reports S⁺ = 0 at its own start
+      .withColumn("cusum_hi", col("_cum") - least(lit(0L), min(col("_cum")).over(w)))
+      .withColumn("cusum_lo", greatest(lit(0L), max(col("_cum")).over(w)) - col("_cum"))
+      .withColumn("is_shift", col("cusum_hi") > hq || col("cusum_lo") > hq)
+      .drop("_dev", "_cum")
+  }
+
   /** Sequence-gap detection: per key, the missing integer ranges
     * between consecutive PRESENT values of `idCol` — the completeness
     * audit for anything that should be dense (event sequence numbers,

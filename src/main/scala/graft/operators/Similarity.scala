@@ -420,6 +420,33 @@ object Similarity {
         round(col("adc").cast("double"), 6).as("adc"), col("rank"))
   }
 
+  /** Centroid-distance outlier scoring: each vector's IVF cell and its
+    * cosine to the NEAREST centroid, with a threshold flag — "far from
+    * every prototype" embedding-space anomaly detection, the corpus-
+    * cleaning complement of [[diverseSample]] (which balances clusters;
+    * this surfaces what belongs to none). Cell assignment is the same
+    * codegen'd map-only projection against the md5-seeded centroid
+    * artifact as [[ivfTopK]]/[[diverseSample]] — no join, no shuffle
+    * beyond the pinned rebalance, and the oracle rebuilds the seeds
+    * from the table. The flag compares cosines as DECIMAL(18,6)
+    * (threshold passed as an exact decimal string), so the boundary
+    * decision is engine-exact; the emitted cosine is the raw mirrored
+    * double rounded at 1e-6.
+    */
+  def centroidOutliers(corpus: DataFrame, minCos: String = "0.15", ncells: Int = 16,
+                       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val cents = seedCentroids(corpus, ncells, vecCol, idCol)
+    val best = array_max(cellScores(col("cv"), cents))
+    rebalance(corpus, idCol)
+      .select(col(idCol), col(vecCol).as("cv"))
+      .withColumn("_best", best)
+      .select(col(idCol),
+        (-col("_best").getField("negcell")).cast("int").as("cell"),
+        round(col("_best").getField("cos"), 6).as("cos_center"),
+        (col("_best").getField("cos").cast("decimal(18,6)") < lit(minCos).cast("decimal(18,6)"))
+          .as("is_outlier"))
+  }
+
   /** Quantization-recall audit: cosine between each original vector and
     * its dequantized reconstruction — the number that says whether int8
     * codes are safe for a given ANN workload (spec asserts ≥ 0.99 on

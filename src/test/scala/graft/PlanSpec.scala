@@ -497,4 +497,65 @@ class PlanSpec extends SparkSpec {
       plan("q111_cdc_upsert").linesIterator.count(_.contains("Window"))
   }
 
+  test("q156 linReg: the six OLS sums combine map-side in one exchange, no window") {
+    val p = plan("q156_linreg")
+    p should include("partial_sum")
+    p.linesIterator.count(_.contains("Exchange")) shouldBe 1
+    (p should not).include("Window")
+  }
+
+  test("q158 benford: 9-cell partial agg, totals broadcast back, no shuffle join") {
+    val p = plan("q158_benford")
+    p should include("partial_count")
+    p should include("BroadcastNestedLoopJoin")
+    (p should not).include("SortMergeJoin")
+  }
+
+  test("q161 bm25: query-term df table broadcasts; top-k pushed into the window") {
+    val p = plan("q161_bm25")
+    p should include("BroadcastHashJoin")
+    // global top-k is limit-pushed: either a WindowGroupLimit or (better)
+    // a full TakeOrderedAndProject under the rank window
+    assert(p.contains("WindowGroupLimit") || p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q164 file stats: the audit scan prunes to the audited columns") {
+    val p = plan("q164_file_stats")
+    p should include("input_file_name")
+    p should include("ReadSchema: struct<l_partkey:bigint,l_suppkey:bigint>")
+    (p should not).include("l_orderkey:")
+  }
+
+  test("q166 content digest: one partial agg, no shuffle beyond it") {
+    val p = plan("q166_table_digest")
+    p should include("partial_count")
+    p.linesIterator.count(_.contains("Exchange")) shouldBe 1
+  }
+
+  test("q171 quantile bins: cutoff table broadcasts; no per-group window, no ntile") {
+    val p = plan("q171_quantile_bins")
+    p should include("BroadcastHashJoin")
+    // no Window node at all — which also rules out an ntile() rewrite
+    (p should not).include("Window")
+  }
+
+  test("q173 top paths: session islands and both lookaheads share ONE user-keyed sort") {
+    val p = plan("q173_top_paths")
+    p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(user_id")) shouldBe 1
+    // top-k over the path histogram is limit-pushed (WindowGroupLimit or
+    // the stronger TakeOrderedAndProject rewrite)
+    assert(p.contains("WindowGroupLimit") || p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q165 random projection runs the native kernel inside codegen") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("q165_random_projection")(spark, sfDir)
+      val codegen = org.apache.spark.sql.execution.debug.codegenString(df.queryExecution.executedPlan)
+      codegen should include("vec_random_project")
+      (codegen should not).include("Found 0 WholeStageCodegen")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
 }
