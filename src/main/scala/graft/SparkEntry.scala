@@ -1851,6 +1851,57 @@ object SparkEntry {
         .select("event_id", "event_type", "tus", "cusum_hi", "cusum_lo", "is_shift")
     }),
 
+    // §2#36b canonical URL normalization: scheme/host lowercase, www +
+    // default port + fragment + trailing slash stripped, tracking
+    // params dropped, survivors sorted — the URL-dedup key. Three
+    // planted mess-shapes per doc; map-only codegen'd chain; oracle
+    // PREDICTS the canonical form (matches the spec, not just itself).
+    "q177_canonical_url" -> ((s, dir) => {
+      import graft.functions.{TextFunctions => T}
+      val urls = t(s, dir, "documents").df.select(col("doc_id"),
+        explode(array(
+          concat(lit("HTTP://WWW.Site"), pmod(col("doc_id"), lit(20)),
+            lit(".Example.COM:80/Page"), pmod(col("doc_id"), lit(5)),
+            lit("/?utm_source=x&b="), pmod(col("doc_id"), lit(3)), lit("&a=1#sec")),
+          concat(lit("https://CDN"), pmod(col("doc_id"), lit(7)),
+            lit(".example.org:443/x/y/")),
+          concat(lit("http://shop.example.net/p?z=9&a="), pmod(col("doc_id"), lit(2)),
+            lit("&fbclid=abc")))).as("url"))
+      urls.select(col("doc_id"), col("url"), T.canonicalUrl(col("url")).as("canon"))
+    }),
+
+    // §2#31b line-level boilerplate removal: lines in ≥ 1/2 of a
+    // source's docs (planted copyright/banner chrome) are stripped
+    // from every doc; content + the per-doc unique tail survive.
+    "q178_boilerplate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df.select(col("doc_id"), col("source"),
+        concat(col("text"), lit("\nCopyright Example Corp\nBanner "),
+          pmod(col("doc_id"), lit(2)), lit("\nunique tail "), col("doc_id")).as("text"))
+      operators.Dedup.stripBoilerplateLines(docs, 1, 2)
+    }),
+
+    // §2#50b golden-record consolidation: q84's fuzzy name pairs →
+    // components → one canonical row per cluster, each attribute
+    // resolved to most-frequent / tie-to-smallest independently.
+    "q179_golden_records" -> ((s, dir) => {
+      val base = t(s, dir, "part").df
+        .groupBy(col("p_name").as("s"))
+        .agg(min("p_partkey").as("id"), min("p_brand").as("brand"),
+          min("p_size").as("psize"))
+      val l = length(col("s"))
+      val cut = pmod(col("id"), l.cast("long")).cast("int")
+      val variants = base.filter(col("id") % 2 === 0)
+        .select((col("id") + 1000000L).as("id"),
+          concat(col("s").substr(lit(1), cut), lit("q"),
+                 col("s").substr(cut + lit(2), l)).as("s"),
+          col("brand"), (col("psize") + 1).as("psize"))
+      val corpus = base.select("id", "s", "brand", "psize").unionByName(variants)
+      val pairs = operators.Dedup.editDistancePairs(corpus, "id", "s",
+        maxDist = 2, maxBlock = 100)
+      operators.Dedup.goldenRecords(corpus, pairs, "id", "id_a", "id_b",
+        Seq("s", "brand", "psize"))
+    }),
+
     // §2#63 binaryFile ingest: raw per-document files (materialized by
     // a distributed foreachPartition writer — test stand-in for an
     // object store) read back through Spark's binaryFile source and
@@ -3827,6 +3878,104 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
            CAST(greatest(0, rmax) - cum AS BIGINT) AS cusum_lo,
            (cum - least(0, rmin) > 2000000000 OR greatest(0, rmax) - cum > 2000000000) AS is_shift
          FROM d""",
+
+    // The oracle PREDICTS each planted URL's canonical form from the
+    // normalization spec — stronger than mirroring the chain.
+    "q177_canonical_url" ->
+      """SELECT doc_id, url, canon FROM (
+           SELECT doc_id,
+             'HTTP://WWW.Site' || (doc_id % 20) || '.Example.COM:80/Page' || (doc_id % 5)
+               || '/?utm_source=x&b=' || (doc_id % 3) || '&a=1#sec' AS url,
+             'http://site' || (doc_id % 20) || '.example.com/Page' || (doc_id % 5)
+               || '?a=1&b=' || (doc_id % 3) AS canon
+           FROM documents
+           UNION ALL
+           SELECT doc_id,
+             'https://CDN' || (doc_id % 7) || '.example.org:443/x/y/' AS url,
+             'https://cdn' || (doc_id % 7) || '.example.org/x/y' AS canon
+           FROM documents
+           UNION ALL
+           SELECT doc_id,
+             'http://shop.example.net/p?z=9&a=' || (doc_id % 2) || '&fbclid=abc' AS url,
+             'http://shop.example.net/p?a=' || (doc_id % 2) || '&z=9' AS canon
+           FROM documents)""",
+
+    "q178_boilerplate" ->
+      """WITH d AS (
+           SELECT doc_id, source,
+             text || chr(10) || 'Copyright Example Corp' || chr(10) || 'Banner '
+               || (doc_id % 2) || chr(10) || 'unique tail ' || doc_id AS text
+           FROM documents),
+         ls AS (SELECT doc_id, source, string_split(text, chr(10)) AS arr FROM d),
+         l AS (SELECT doc_id, source, unnest(arr) AS line,
+                 unnest(generate_series(1, len(arr))) AS pos FROM ls),
+         tot AS (SELECT source, COUNT(DISTINCT doc_id) AS n_docs FROM d GROUP BY 1),
+         lf AS (SELECT source, line, COUNT(DISTINCT doc_id) AS df FROM l GROUP BY 1, 2),
+         boiler AS (
+           SELECT source, line FROM lf JOIN tot USING (source)
+           WHERE df * 2 >= n_docs * 1),
+         kept AS (
+           SELECT l.doc_id, l.line, l.pos FROM l
+           ANTI JOIN boiler b ON l.source = b.source AND l.line = b.line)
+         SELECT doc_id, CAST(COUNT(*) AS INT) AS n_lines,
+           array_to_string(list(line ORDER BY pos), chr(10)) AS text
+         FROM kept GROUP BY doc_id""",
+
+    "q179_golden_records" ->
+      """WITH RECURSIVE ent AS (
+           SELECT p_name AS s, MIN(p_partkey) AS id, MIN(p_brand) AS brand,
+             MIN(p_size) AS psize
+           FROM part GROUP BY p_name),
+         corpus AS (
+           SELECT id, s, brand, psize FROM ent
+           UNION ALL
+           SELECT id + 1000000 AS id,
+             substr(s, 1, CAST(id % len(s) AS INT)) || 'q'
+               || substr(s, CAST(id % len(s) AS INT) + 2) AS s,
+             brand, psize + 1 AS psize
+           FROM ent WHERE id % 2 = 0),
+         base AS (SELECT id, s, len(s) AS l FROM corpus),
+         posts AS (
+           SELECT id, s, l, i AS idx,
+             substr(s, (i*l)//3 + 1, ((i+1)*l)//3 - (i*l)//3) AS seg
+           FROM base, unnest([0, 1, 2]) t(i)),
+         blocks AS (
+           SELECT idx, seg, l FROM posts GROUP BY idx, seg, l HAVING COUNT(*) <= 100),
+         allowed AS (SELECT p.* FROM posts p JOIN blocks b USING (idx, seg, l)),
+         prs AS (
+           SELECT DISTINCT a.id AS id_a, b.id AS id_b
+           FROM allowed a JOIN allowed b USING (idx, seg, l)
+           WHERE a.id < b.id AND levenshtein(a.s, b.s) <= 2),
+         edges AS (SELECT id_a AS a, id_b AS bb FROM prs
+                   UNION SELECT id_b, id_a FROM prs),
+         reach(node, lbl) AS (
+           SELECT a, a FROM edges
+           UNION
+           SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.bb = r.node),
+         comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node),
+         lab AS (
+           SELECT c.*, coalesce(m.component, c.id) AS cluster
+           FROM corpus c LEFT JOIN comp m ON c.id = m.node),
+         melt AS (
+           SELECT cluster, 's' AS attr, CAST(s AS VARCHAR) AS v FROM lab
+           UNION ALL SELECT cluster, 'brand', CAST(brand AS VARCHAR) FROM lab
+           UNION ALL SELECT cluster, 'psize', CAST(psize AS VARCHAR) FROM lab),
+         cnts AS (
+           SELECT cluster, attr, v, COUNT(*) AS cnt FROM melt
+           WHERE v IS NOT NULL GROUP BY 1, 2, 3),
+         best AS (
+           SELECT cluster, attr, v FROM (
+             SELECT cluster, attr, v,
+               ROW_NUMBER() OVER (PARTITION BY cluster, attr
+                 ORDER BY cnt DESC, v) AS rn
+             FROM cnts) WHERE rn = 1),
+         mem AS (SELECT cluster, COUNT(*) AS n_members FROM lab GROUP BY 1)
+         SELECT b.cluster, m.n_members,
+           MAX(CASE WHEN attr = 's' THEN v END) AS s,
+           MAX(CASE WHEN attr = 'brand' THEN v END) AS brand,
+           MAX(CASE WHEN attr = 'psize' THEN v END) AS psize
+         FROM best b JOIN mem m USING (cluster)
+         GROUP BY b.cluster, m.n_members""",
 
     "q172_wav_meta" ->
       """SELECT doc_id,

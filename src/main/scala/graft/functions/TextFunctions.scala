@@ -189,4 +189,37 @@ object TextFunctions {
         .otherwise(array().cast("array<bigint>"))
     }), 1)
   }
+
+  /** Canonical URL normalization — the key-maker for URL-level dedup of
+    * a web corpus (the same page arrives as `HTTP://WWW.Site.COM:80/p/`
+    * and `http://site.com/p?utm_source=x`; raw-string dedup keeps
+    * both). Normalizations, each one deliberate:
+    * scheme + host lowercase (case-insensitive per RFC 3986) while the
+    * PATH case is preserved (it is not); fragment dropped (client-side
+    * only); leading `www.` and the scheme's default port stripped;
+    * trailing path slashes trimmed; tracking parameters (`utm_*`,
+    * `fbclid`, `gclid`, `ref`) removed and the surviving query
+    * parameters SORTED so parameter order cannot split a group.
+    *
+    * A pure codegen'd Column chain (regexp + array HOFs), map-only at
+    * any scale, RE2-compatible so the identical chain is the oracle.
+    */
+  def canonicalUrl(c: Column): Column = {
+    val noFrag = regexp_replace(c, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostRaw = lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    val noWww = regexp_replace(hostRaw, "^www\\.", "")
+    val host = when(scheme === "http", regexp_replace(noWww, ":80$", ""))
+      .when(scheme === "https", regexp_replace(noWww, ":443$", ""))
+      .otherwise(noWww)
+    val path = regexp_replace(
+      regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1),
+      "/+$", "")
+    val query = regexp_extract(noFrag, "\\?(.*)$", 1)
+    val params = filter(split(query, "&"), p =>
+      !p.rlike("^(utm_[^=]*|fbclid|gclid|ref)=") && p =!= lit(""))
+    val q = array_join(array_sort(params), "&")
+    concat(scheme, lit("://"), host, path,
+      when(q === "", lit("")).otherwise(concat(lit("?"), q)))
+  }
 }

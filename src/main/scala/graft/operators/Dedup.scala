@@ -986,4 +986,100 @@ object Dedup {
       .filter((col("ib") - col("ia")).between(1, w))
       .select(col("id_a"), col("id_b"), (col("ib") - col("ia")).as("d"))
   }
+
+  /** Line-level boilerplate removal (the CCNet/RefinedWeb pass the
+    * document-level family cannot do): a line that appears in at least
+    * `dfNum/dfDen` of a source's documents is template chrome —
+    * copyright footers, cookie banners, nav menus — and is stripped
+    * from EVERY document while the document itself survives. Document-
+    * level dedup sees such docs as distinct (the payload differs);
+    * line-level df is the signal that separates chrome from content.
+    *
+    * Shape at scale: per-source doc totals are a tiny agg (|sources|
+    * rows, broadcast). Line df is ONE partial-agg shuffle keyed on
+    * (source, md5-prefix line hash) — the 16-hex-char key bounds
+    * shuffle width no matter how long lines get; counting DISTINCT
+    * docs per line via (source, hash, doc) pre-dedup keeps a
+    * doc-internal repeated line from inflating df. The boilerplate set
+    * (lines over the threshold) is the Zipf head — tiny by the same
+    * argument as [[ngramPairCounts]]'s frequent set — and is joined
+    * back LEFT_ANTI under the same size gate: broadcast within budget,
+    * shuffled anti past it (correct at any scale, one extra shuffle).
+    * Reassembly is a partition-local sort_array over (pos, line) — the
+    * exploded lines are still hash-partitioned by doc_id from the
+    * pinned rebalance, so the final groupBy needs no extra exchange.
+    * The threshold compares integers (df·dfDen ≥ nDocs·dfNum) — no
+    * float boundary, engine-exact.
+    */
+  def stripBoilerplateLines(docs: DataFrame, dfNum: Int = 1, dfDen: Int = 2,
+                            textCol: String = "text", idCol: String = "doc_id",
+                            srcCol: String = "source",
+                            frequentBroadcastRows: Long = 4000000L): DataFrame = {
+    require(dfNum >= 1 && dfDen >= dfNum, s"threshold $dfNum/$dfDen not in (0,1]")
+    val lines = rebalance(
+        docs.select(col(idCol).as("doc_id"), col(srcCol).as("src"),
+          split(col(textCol), "\n").as("ls")), "doc_id")
+      .select(col("doc_id"), col("src"), posexplode(col("ls")).as(Seq("pos", "line")))
+      .withColumn("lh", substring(md5(col("line")), 1, 16))
+    val srcTotals = docs.groupBy(col(srcCol).as("src"))
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+    // distinct (src, lh, doc) first so df counts DOCUMENTS, not
+    // occurrences — both aggs partial-combine on the same key prefix
+    val lineDf = lines.select("src", "lh", "doc_id").distinct()
+      .groupBy("src", "lh").agg(count(lit(1)).as("df"))
+    val boiler = lineDf.join(broadcast(srcTotals), Seq("src"))
+      .filter(col("df") * dfDen >= col("n_docs") * dfNum)
+      .select("src", "lh")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val anti = if (boiler.count() <= frequentBroadcastRows) broadcast(boiler) else boiler
+    lines.join(anti, Seq("src", "lh"), "left_anti")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("pos"), col("line")))).as("kept"))
+      .select(col("doc_id"), size(col("kept")).as("n_lines"),
+        array_join(transform(col("kept"), k => k.getField("line")), "\n").as("text"))
+  }
+
+  /** Golden-record consolidation — the step AFTER matching that entity
+    * resolution exists for: fuzzy pairs ([[editDistancePairs]] or any
+    * blocker) → connected components → ONE canonical row per cluster,
+    * each attribute resolved independently to its most frequent
+    * non-null value, ties to the smallest (so a 1-vs-1 tie inside a
+    * duplicate pair resolves deterministically, not by partition
+    * order). Unmatched entities pass through as their own cluster.
+    *
+    * Shape at scale: clustering is [[components]] (pair-list-sized
+    * shuffles); the melt to (cluster, attr, value) long format lets
+    * ALL attributes resolve in one partial-agg pass — the
+    * most-frequent-with-tie-break is `min(struct(-cnt, value))`
+    * (lexicographic struct ordering = count desc, value asc), a plain
+    * map-side-combining aggregate, NOT a per-cluster window (a
+    * mega-cluster would sort in one task); the pivot back to wide is
+    * the same one agg. Values travel as strings in the melt (one
+    * column, k attrs) — callers re-cast.
+    */
+  def goldenRecords(entities: DataFrame, pairs: DataFrame,
+                    idCol: String, aCol: String, bCol: String,
+                    attrCols: Seq[String]): DataFrame = {
+    require(attrCols.nonEmpty, "goldenRecords needs at least one attribute")
+    val comp = components(pairs, aCol, bCol)
+    val labeled = entities
+      .join(comp, entities(idCol) === comp("node"), "left")
+      .withColumn("cluster", coalesce(col("component"), col(idCol).cast("long")))
+      .drop("node", "component")
+    val melted = labeled.select(col("cluster"),
+      explode(map(attrCols.flatMap(a => Seq(lit(a), col(a).cast("string"))): _*))
+        .as(Seq("attr", "v")))
+    val best = melted.filter(col("v").isNotNull)
+      .groupBy("cluster", "attr", "v").agg(count(lit(1)).as("cnt"))
+      .groupBy("cluster", "attr")
+      .agg(min(struct((-col("cnt")).as("nc"), col("v").as("v"))).as("b"))
+      .select(col("cluster"), col("attr"), col("b").getField("v").as("v"))
+    val members = labeled.groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"))
+    val head +: tail = attrCols.map(a =>
+      max(when(col("attr") === a, col("v"))).as(a))
+    best.groupBy("cluster").agg(head, tail: _*)
+      .join(members, Seq("cluster"))
+      .select(col("cluster") +: col("n_members") +: attrCols.map(col): _*)
+  }
 }

@@ -548,6 +548,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit") || p.contains("TakeOrderedAndProject"))
   }
 
+  test("q177 canonical url is map-only: no exchange anywhere") {
+    val p = plan("q177_canonical_url")
+    (p should not).include("Exchange")
+  }
+
+  test("q178 boilerplate: df counts combine partially; anti join broadcasts under the gate") {
+    val p = plan("q178_boilerplate")
+    p should include("partial_count")
+    p should include("BroadcastHashJoin")
+    // the boilerplate set joins LEFT_ANTI, never a shuffled sort-merge
+    p should include("LeftAnti")
+    (p should not).include("SortMergeJoin")
+  }
+
   test("q165 random projection runs the native kernel inside codegen") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
