@@ -116,6 +116,48 @@ object OracleGen {
        FROM pairs) WHERE rnk <= $topK"""
   }
 
+  /** Fuzzy benchmark decontamination
+    * (operators.Dedup.decontaminateFuzzy on the q56 doc_id%10 split):
+    * the same portable signature/banding family as [[minhashSql]],
+    * split into train/eval, best per-position agreement per train doc
+    * (ties to the smallest eval id), integer `minMatches` threshold.
+    */
+  def decontaminateFuzzySql(k: Int = 16, minMatches: Int = 4): String = {
+    val minCols = (0 until k)
+      .map(i => s"MIN((${Hashing.affineA(i)} * h0 + ${Hashing.affineB(i)}) % $P) AS m$i")
+      .mkString(", ")
+    val sigList = (0 until k).map(i => s"m$i").mkString("[", ", ", "]")
+    s"""WITH toks AS (
+       SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents),
+     sh AS (
+       SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1]
+                                            for i in generate_series(1, len(w)-1)])) AS sh
+       FROM toks WHERE len(w) >= 2),
+     h AS (SELECT doc_id, ${portableHashSql("sh")} AS h0 FROM sh),
+     sig AS (SELECT doc_id, $minCols FROM h GROUP BY doc_id),
+     banded AS (
+       SELECT doc_id, band, (band * 31 + m) % $P AS bandval FROM (
+         SELECT doc_id, unnest($sigList) AS m,
+                unnest(generate_series(0, ${k - 1})) AS band
+         FROM sig)),
+     tb AS (SELECT doc_id, band, bandval FROM banded WHERE doc_id % 10 <> 0),
+     eb AS (SELECT doc_id AS eval_id, band, bandval FROM banded WHERE doc_id % 10 = 0),
+     cand AS (
+       SELECT t.doc_id, e.eval_id, COUNT(*) AS n_agree
+       FROM tb t JOIN eb e USING (band, bandval) GROUP BY 1, 2),
+     best AS (
+       SELECT doc_id, eval_id, n_agree FROM (
+         SELECT doc_id, eval_id, n_agree,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+             ORDER BY n_agree DESC, eval_id) AS rn
+         FROM cand) WHERE rn = 1)
+     SELECT d.doc_id, b.eval_id,
+       coalesce(b.n_agree, 0) / ${k}.0 AS est_sim,
+       coalesce(b.n_agree, 0) >= $minMatches AS contaminated
+     FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
+     LEFT JOIN best b USING (doc_id)"""
+  }
+
   /** Per-source MinHash similarity matrix
     * (operators.Dedup.sourceMinhashMatrix defaults: k=16 trigram
     * signatures per source, pairwise agreement / k).

@@ -1902,6 +1902,30 @@ object SparkEntry {
         Seq("s", "brand", "psize"))
     }),
 
+    // §2#30f fuzzy decontamination: q56's split, but MinHash signature
+    // agreement instead of exact n-gram hits — catches paraphrased
+    // leaks; eval side broadcast, integer band-count threshold.
+    "q180_decontaminate_fuzzy" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      operators.Dedup.decontaminateFuzzy(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0))
+    }),
+
+    // §2#30l quality-aware dedup keep: q41's components, winner =
+    // highest n_chars (tie smallest id) via one partial-agg argmax.
+    "q181_dedup_keep_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      operators.Dedup.dedupKeepBest(docs,
+        operators.Dedup.ngramJaccard(docs), "n_chars")
+    }),
+
+    // §2#45d temperature-smoothed mixing: √n source quotas (α=1/2,
+    // IEEE-exact), integer quota arithmetic, md5-ranked membership.
+    "q182_temperature_mix" -> ((s, dir) =>
+      t(s, dir, "documents").mixTemperature("source", 300L, Seq("doc_id"))
+        .select(Seq("doc_id", "source", "quota")).df),
+
     // §2#63 binaryFile ingest: raw per-document files (materialized by
     // a distributed foreachPartition writer — test stand-in for an
     // object store) read back through Spark's binaryFile source and
@@ -2098,6 +2122,7 @@ object SparkEntry {
     "q165_random_projection" -> OracleGen.randomProjectionSql(),
     "q167_label_prop" -> OracleGen.labelPropSql(),
     "q175_centroid_outliers" -> OracleGen.centroidOutliersSql(),
+    "q180_decontaminate_fuzzy" -> OracleGen.decontaminateFuzzySql(),
 
     "q50_audio" ->
       """SELECT doc_id,
@@ -3976,6 +4001,67 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
            MAX(CASE WHEN attr = 'psize' THEN v END) AS psize
          FROM best b JOIN mem m USING (cluster)
          GROUP BY b.cluster, m.n_members""",
+
+    // q41's pair list + components, winner = highest n_chars / tie
+    // smallest id
+    "q181_dedup_keep_best" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
+         sh AS (
+           SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            for i in generate_series(1, len(w)-2)]) AS grams
+           FROM toks WHERE len(w) >= 3),
+         post AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+         rare AS (SELECT g FROM post GROUP BY g HAVING COUNT(*) <= 20),
+         rpost AS (SELECT doc_id, g FROM post WHERE g IN (SELECT g FROM rare)),
+         cnt AS (SELECT doc_id, COUNT(*) AS n FROM rpost GROUP BY doc_id),
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+           FROM rpost a JOIN rpost b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         top AS (
+           SELECT doc_a, doc_b FROM (
+             SELECT doc_a, doc_b,
+               ROW_NUMBER() OVER (
+                 ORDER BY CAST(common AS DOUBLE) / (ca.n + cb.n - common) DESC, doc_a, doc_b) AS rnk
+             FROM pairs
+             JOIN cnt ca ON doc_a = ca.doc_id
+             JOIN cnt cb ON doc_b = cb.doc_id)
+           WHERE rnk <= 100),
+         edges AS (SELECT doc_a AS a, doc_b AS b FROM top
+                   UNION SELECT doc_b, doc_a FROM top),
+         reach(node, lbl) AS (
+           SELECT a, a FROM edges
+           UNION
+           SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.node),
+         comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node),
+         lab AS (
+           SELECT d.doc_id, d.n_chars, coalesce(c.component, d.doc_id) AS cluster
+           FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+         win AS (
+           SELECT cluster, doc_id AS keep_id FROM (
+             SELECT cluster, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY cluster
+                 ORDER BY n_chars DESC, doc_id) AS rn
+             FROM lab) WHERE rn = 1)
+         SELECT l.doc_id, l.cluster, l.doc_id = w.keep_id AS keep
+         FROM lab l JOIN win w USING (cluster)""",
+
+    "q182_temperature_mix" ->
+      """WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+         w AS (SELECT source,
+                 CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS wq
+               FROM c),
+         t AS (SELECT SUM(wq) AS totw FROM w),
+         q AS (SELECT source, CAST((300 * wq) // totw AS BIGINT) AS quota FROM w, t),
+         r AS (SELECT doc_id, source,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY md5('0 ' || CAST(doc_id AS VARCHAR)),
+                            CAST(doc_id AS VARCHAR)) AS rk
+               FROM documents)
+         SELECT r.doc_id, r.source, q.quota
+         FROM r JOIN q USING (source) WHERE r.rk <= q.quota""",
 
     "q172_wav_meta" ->
       """SELECT doc_id,

@@ -262,6 +262,49 @@ final class Tafra(val df: DataFrame) extends Serializable {
       .delete(Seq("_tot"))
   }
 
+  /** Temperature-smoothed source mixing — the multilingual √n sampling
+    * rule (quota_s ∝ √n_s): big sources are damped, small sources
+    * up-weighted relative to proportional sampling, without any
+    * hand-written per-source budget ([[mixToBudget]]'s knob). α is
+    * fixed at 1/2 because √ is the one power IEEE 754 computes
+    * CORRECTLY ROUNDED — `sqrt(n)` is the identical double on the JVM
+    * and in DuckDB, while `pow(n, α)` is libm-dependent; the weight
+    * then quantizes to exact micro-units and every downstream step
+    * (weight sum, quota = budget·w/Σw floor division) is INTEGER
+    * arithmetic — no float boundary anywhere.
+    *
+    * Scale shape: per-source doc counts are one partial agg
+    * (|sources| rows), quotas derive in a broadcast-sized frame, and
+    * membership is the content-addressed md5 rank within each source
+    * ([[sampleTopKByHash]]'s ordering — deterministic across runs,
+    * partitionings, engines; kept sets nest as the budget grows). The
+    * rank prefilters against the CONSTANT `budget` (every quota is ≤
+    * it) so WindowGroupLimit prunes before the quota join. Long
+    * arithmetic bounds: budget·√n_max·10⁶ must fit a long — holds to
+    * budget ~10⁶ at n_max ~10¹³. Keeps the row subset; appends
+    * `quota` for audit.
+    */
+  def mixTemperature(column: String, budget: Long, keyCols: Seq[String],
+                     seed: Long = 0L): Tafra = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    validateColumns(column +: keyCols)
+    val counts = df.groupBy(df(column)).agg(count(lit(1)).as("_n"))
+      .withColumn("_wq", floor(sqrt(col("_n").cast("double")) * 1e6).cast("long"))
+    val tot = counts.agg(sum("_wq").as("_totw"))
+    val quotas = counts.crossJoin(bc(tot))
+      .withColumn("quota", when(col("_totw") <= 0, lit(0L))
+        .otherwise(expr(s"($budget * _wq) div _totw")))
+      .select(df(column), col("quota"))
+    val keyStr = concat_ws(" ", keyCols.map(df(_).cast("string")): _*)
+    val hx = md5(concat_ws(" ",
+      lit(seed.toString) +: keyCols.map(df(_).cast("string")): _*))
+    val w = Window.partitionBy(df(column)).orderBy(hx, keyStr)
+    new Tafra(df.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= budget)
+      .join(bc(quotas), Seq(column))
+      .filter(col("_rk") <= col("quota")).drop("_rk"))
+  }
+
   /** Distribution-matching resample (importance resampling to a target
     * marginal): keep a maximal subset whose `column` shares equal the
     * caller's `targetShares` — the "rebalance the corpus to 30% code /

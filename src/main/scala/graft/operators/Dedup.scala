@@ -81,6 +81,29 @@ object Dedup {
     topKRanked(minhashPairs(docs, k, bandWidth, textCol, idCol), topK,
       col("est_sim").desc, col("doc_a"), col("doc_b"))
 
+  /** Shared signature + banding stage of the MinHash family: tokens
+    * materialize ACROSS the rebalance exchange (tokenize is one cheap
+    * split/doc on the scan side; the exchange makes `w` a real array
+    * column, so the shingle lambda's element_at reads O(1) attribute
+    * data instead of re-splitting the text per reference — HOF lambdas
+    * are interpreted, so an inlined tokens expression re-evaluates per
+    * element; measured 2-4x on the gram stage). One partial-min
+    * shuffle builds the k-slot signature; banding is map-side.
+    */
+  private def bandedMinhash(docs: DataFrame, k: Int, bandWidth: Int,
+                            textCol: String, idCol: String): DataFrame = {
+    val shingled = rebalance(
+        docs.select(col(idCol).as("doc_id"), T.tokens(col(textCol)).as("w")), "doc_id")
+      .select(col("doc_id"),
+        explode(array_distinct(T.wordNGrams(col("w"), 2))).as("sh"))
+      .withColumn("h", Hashing.portableHash(col("sh")))
+    val mins = (0 until k).map(i => min(Hashing.affine(i, col("h"))).as(s"_m$i"))
+    val sig = shingled.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until k).map(i => col(s"_m$i")): _*).as("sig"))
+    sig.select(col("doc_id"),
+      posexplode(Hashing.bandHashes(col("sig"), k, bandWidth)).as(Seq("band", "bandval")))
+  }
+
   /** The unranked pair stage of [[minhash]]: every candidate pair with
     * its band-collision similarity estimate. This is what a DEDUP run
     * consumes (all pairs above a threshold) — ranking/limiting is a
@@ -91,20 +114,6 @@ object Dedup {
                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(k % bandWidth == 0, s"k=$k not divisible by bandWidth=$bandWidth")
     val nbands = k / bandWidth
-    // Tokens materialize ACROSS the rebalance exchange (tokenize is one
-    // cheap split/doc on the scan side; the exchange makes `w` a real
-    // array column): the shingle lambda's element_at then reads O(1)
-    // attribute data instead of re-splitting the text per reference —
-    // HOF lambdas are interpreted, so an inlined tokens expression
-    // re-evaluates per element (measured 2-4x on the gram stage).
-    val shingled = rebalance(
-        docs.select(col(idCol).as("doc_id"), T.tokens(col(textCol)).as("w")), "doc_id")
-      .select(col("doc_id"),
-        explode(array_distinct(T.wordNGrams(col("w"), 2))).as("sh"))
-      .withColumn("h", Hashing.portableHash(col("sh")))
-    val mins = (0 until k).map(i => min(Hashing.affine(i, col("h"))).as(s"_m$i"))
-    val sig = shingled.groupBy("doc_id").agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"), array((0 until k).map(i => col(s"_m$i")): _*).as("sig"))
 
     // Bands of `bandWidth` signature components (standard LSH: a pair
     // is a candidate iff some band agrees on ALL its components —
@@ -121,8 +130,7 @@ object Dedup {
     // distinct() pass. (Bucket capping can only drop band collisions,
     // so est_sim is a lower bound — exact for any pair whose buckets
     // stayed under the cap.)
-    val banded = sig.select(col("doc_id"),
-        posexplode(Hashing.bandHashes(col("sig"), k, bandWidth)).as(Seq("band", "bandval")))
+    val banded = bandedMinhash(docs, k, bandWidth, textCol, idCol)
     val capped = capBucket(banded, Seq("band", "bandval"), "doc_id", 50)
 
     val a = capped.select(col("band"), col("bandval"), col("doc_id").as("doc_a"))
@@ -1081,5 +1089,75 @@ object Dedup {
     best.groupBy("cluster").agg(head, tail: _*)
       .join(members, Seq("cluster"))
       .select(col("cluster") +: col("n_members") +: attrCols.map(col): _*)
+  }
+
+  /** FUZZY benchmark decontamination — [[decontaminate]]'s exact
+    * n-gram hits miss a paraphrased or lightly-edited eval leak; this
+    * is the MinHash form: per train doc, the best per-position
+    * signature agreement against ANY eval doc (bandWidth=1 banding =
+    * position-wise collision), flagged when at least `minMatches` of
+    * the k positions agree. The threshold is an INTEGER band count —
+    * no float boundary — and est_sim = n/k is exact for k a power of
+    * two, so the whole pipeline hash-oracles.
+    *
+    * Scale shape: both sides reuse [[bandedMinhash]] (one partial-min
+    * shuffle each); the eval side is the SMALL side by definition
+    * (benchmarks are ~10³-10⁶ docs vs a 10¹¹-doc corpus) and
+    * broadcasts — k×|eval| banded rows, megabytes at any realistic
+    * benchmark size — so the train side is never reshuffled past its
+    * signature agg. Per-bucket fan-out is bounded by the eval docs in
+    * the bucket (no self-join, no cap needed). Best-match selection is
+    * `min(struct(-n, eval_id))` — a partial agg, tie to the smallest
+    * eval id, NOT a per-doc window. Clean docs (including docs too
+    * short to shingle) restore via a column-pruned id-only left join,
+    * the [[decontaminate]] two-branch pattern.
+    */
+  def decontaminateFuzzy(train: DataFrame, evalSet: DataFrame, k: Int = 16,
+                         minMatches: Int = 4, textCol: String = "text",
+                         idCol: String = "doc_id"): DataFrame = {
+    require(minMatches >= 1 && minMatches <= k,
+      s"minMatches $minMatches not in [1, $k]")
+    val tb = bandedMinhash(train, k, 1, textCol, idCol)
+    val eb = bandedMinhash(evalSet, k, 1, textCol, idCol)
+      .withColumnRenamed("doc_id", "eval_id")
+    val best = tb.join(broadcast(eb), Seq("band", "bandval"))
+      .groupBy("doc_id", "eval_id").agg(count(lit(1)).as("n_agree"))
+      .groupBy("doc_id")
+      .agg(min(struct((-col("n_agree")).as("na"), col("eval_id").as("e"))).as("b"))
+      .select(col("doc_id"), (-col("b").getField("na")).as("n_agree"),
+        col("b").getField("e").as("eval_id"))
+    train.select(col(idCol).as("doc_id"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("eval_id"),
+        (coalesce(col("n_agree"), lit(0L)).cast("double") / k).as("est_sim"),
+        (coalesce(col("n_agree"), lit(0L)) >= minMatches).as("contaminated"))
+  }
+
+  /** Quality-aware dedup decision: within each near-dup component keep
+    * the HIGHEST-`qualityCol` member (ties to the smallest id), not
+    * the smallest id as [[dedupCorpus]] does — the keep rule real
+    * pipelines want ("of these five mirrors, keep the cleanest copy").
+    * Returns (doc_id, cluster, keep); singletons keep trivially.
+    *
+    * The winner per cluster is `max(struct(quality, -id))` — a plain
+    * partial agg (lexicographic struct order = quality desc, id asc),
+    * never a per-cluster window, so a mega-cluster of boilerplate
+    * mirrors aggregates map-side instead of sorting in one task.
+    */
+  def dedupKeepBest(docs: DataFrame, pairs: DataFrame, qualityCol: String,
+                    idCol: String = "doc_id", aCol: String = "doc_a",
+                    bCol: String = "doc_b"): DataFrame = {
+    val comp = components(pairs, aCol, bCol)
+    val labeled = docs
+      .select(col(idCol).cast("long").as("doc_id"), col(qualityCol).as("q"))
+      .join(comp, col("doc_id") === col("node"), "left")
+      .withColumn("cluster", coalesce(col("component"), col("doc_id")))
+      .drop("node", "component")
+    val winners = labeled.groupBy("cluster")
+      .agg(max(struct(col("q").as("q"), (-col("doc_id")).as("ni"))).as("w"))
+      .select(col("cluster"), (-col("w").getField("ni")).as("keep_id"))
+    labeled.join(winners, Seq("cluster"))
+      .select(col("doc_id"), col("cluster"),
+        (col("doc_id") === col("keep_id")).as("keep"))
   }
 }

@@ -562,6 +562,20 @@ class PlanSpec extends SparkSpec {
     (p should not).include("SortMergeJoin")
   }
 
+  test("q180 fuzzy decontamination broadcasts the eval side; signatures are partial aggs") {
+    val p = plan("q180_decontaminate_fuzzy")
+    p should include("partial_min")
+    p should include("BroadcastHashJoin")
+    // best-match selection is an agg, not a per-doc window
+    (p should not).include("Window")
+  }
+
+  test("q182 temperature mix: rank prunes against the constant budget pre-join") {
+    val p = plan("q182_temperature_mix")
+    p should include("WindowGroupLimit")
+    p should include("BroadcastHashJoin")
+  }
+
   test("q165 random projection runs the native kernel inside codegen") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
