@@ -356,6 +356,27 @@ object OracleGen {
        CAST(cos AS DECIMAL(18,6)) < CAST('$minCos' AS DECIMAL(18,6)) AS is_outlier
      FROM best"""
 
+  /** Label-conformity scoring (operators.Similarity.labelConformity):
+    * exact quantized label centroids (the q76 sums), cast FLOAT (IEEE
+    * round-to-nearest — same both engines), cosine in the fused-loop
+    * order, DECIMAL(18,6) threshold flag.
+    */
+  def labelConformitySql(minCos: String = "0.1", dim: Int = 64): String =
+    s"""WITH x AS (
+       SELECT label, CAST(i AS INT) AS dim,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e12 + 0.5) AS DECIMAL(38,0)) AS v
+       FROM embeddings, unnest(generate_series(1, $dim)) t(i)),
+     c AS (
+       SELECT label, dim, CAST(SUM(v) AS DOUBLE) / 1e12 / COUNT(*) AS c
+       FROM x GROUP BY 1, 2),
+     cw AS (SELECT label, list(CAST(c AS FLOAT) ORDER BY dim) AS cent
+            FROM c GROUP BY label)
+     SELECT e.vec_id, e.label,
+       ROUND(${cosineSql("e.embedding", "cw.cent", dim)}, 6) AS cos_centroid,
+       CAST(${cosineSql("e.embedding", "cw.cent", dim)} AS DECIMAL(18,6))
+         < CAST('$minCos' AS DECIMAL(18,6)) AS mislabeled
+     FROM embeddings e JOIN cw USING (label)"""
+
   /** Full semantic-dedup pipeline (operators.Dedup.semanticDedup):
     * bucketed pairs with cosine ≥ `minCos` → connected components
     * (recursive CTE) → keep = component minimum; vectors in no

@@ -1926,6 +1926,24 @@ object SparkEntry {
       t(s, dir, "documents").mixTemperature("source", 300L, Seq("doc_id"))
         .select(Seq("doc_id", "source", "quota")).df),
 
+    // §2#35g label-conformity (mislabel) scoring: cosine to the OWN
+    // label's exact-sum centroid, broadcast centroids, map-only pass.
+    "q183_label_conformity" -> ((s, dir) =>
+      operators.Similarity.labelConformity(
+        t(s, dir, "embeddings").df)),
+
+    // §2#53q seasonal-baseline residual anomalies: per (type,
+    // hour-of-day) mean broadcast back; decision cross-multiplied in
+    // exact integers — the daily-rhythm-aware spike detector.
+    "q184_seasonal_anomaly" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .select(col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("tus"), col("value"))
+      operators.Rolling.seasonalAnomaly(ev, "event_type", "tus", "value",
+        threshold = 25.0)
+        .select("event_id", "event_type", "hod", "base_mean", "is_anomaly")
+    }),
+
     // §2#63 binaryFile ingest: raw per-document files (materialized by
     // a distributed foreachPartition writer — test stand-in for an
     // object store) read back through Spark's binaryFile source and
@@ -2123,6 +2141,7 @@ object SparkEntry {
     "q167_label_prop" -> OracleGen.labelPropSql(),
     "q175_centroid_outliers" -> OracleGen.centroidOutliersSql(),
     "q180_decontaminate_fuzzy" -> OracleGen.decontaminateFuzzySql(),
+    "q183_label_conformity" -> OracleGen.labelConformitySql(),
 
     "q50_audio" ->
       """SELECT doc_id,
@@ -4062,6 +4081,23 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
                FROM documents)
          SELECT r.doc_id, r.source, q.quota
          FROM r JOIN q USING (source) WHERE r.rk <= q.quota""",
+
+    "q184_seasonal_anomaly" ->
+      """WITH e AS (
+           SELECT event_id, event_type, epoch_ns(ts)//1000 AS tus,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vq
+           FROM events),
+         h AS (
+           SELECT event_id, event_type,
+             CAST((tus // 3600000000) % 24 AS INT) AS hod, vq
+           FROM e),
+         b AS (
+           SELECT event_type, hod, SUM(vq) AS s, COUNT(*) AS n
+           FROM h GROUP BY 1, 2)
+         SELECT h.event_id, h.event_type, h.hod,
+           CAST(s AS DOUBLE) / n AS base_mean,
+           abs(n * vq - s) > 25000000 * n AS is_anomaly
+         FROM h JOIN b USING (event_type, hod)""",
 
     "q172_wav_meta" ->
       """SELECT doc_id,

@@ -383,6 +383,43 @@ object Rolling {
       .drop("_dev", "_cum")
   }
 
+  /** Seasonal-baseline residual anomalies: each event's deviation from
+    * its (key, hour-of-day) mean — the detector for metrics with a
+    * daily rhythm, where a raw threshold ([[anomalies]]' rolling z)
+    * fires every peak hour and misses a quiet-hour spike. The flag is
+    * |value − hourly mean| > threshold, evaluated EXACTLY: values
+    * quantize to micro-unit longs, and the comparison cross-multiplies
+    * (|n·v_q − Σ_q| > thr_q·n) so no division ever happens in the
+    * decision — engine-exact at any count. The emitted baseline mean
+    * is one double division of exact integers (correctly rounded,
+    * identical both engines).
+    *
+    * Scale shape: the baseline is a (|keys|·24)-row partial agg that
+    * BROADCASTS back — the event pass itself is map-only; no window,
+    * no per-key sort, nothing keyed on time. Hour-of-day derives from
+    * epoch micros by integer division (UTC).
+    */
+  def seasonalAnomaly(df: DataFrame, keyCol: String, timeCol: String,
+                      valueCol: String, threshold: Double,
+                      unitScale: Long = 1000000L): DataFrame = {
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    val vq = floor(col(valueCol) * unitScale + 0.5).cast("long")
+    val thrQ = math.floor(threshold * unitScale + 0.5).toLong
+    // integer hour bucket — float division could round across an hour
+    // boundary; `div` truncates, so times must be >= 0 (epoch micros)
+    val hod = pmod(expr(s"$timeCol div 3600000000"), lit(24)).cast("int")
+    val base = df.select(col(keyCol), hod.as("hod"), vq.as("_vq"))
+      .groupBy(keyCol, "hod")
+      .agg(sum("_vq").as("_sum"), count(lit(1)).as("_n"))
+    df.withColumn("hod", hod).withColumn("_vq", vq)
+      .join(broadcast(base), Seq(keyCol, "hod"))
+      .select(col("*"),
+        (col("_sum").cast("double") / col("_n")).as("base_mean"),
+        (abs(col("_n") * col("_vq") - col("_sum")) > lit(thrQ) * col("_n"))
+          .as("is_anomaly"))
+      .drop("_vq", "_sum", "_n")
+  }
+
   /** Sequence-gap detection: per key, the missing integer ranges
     * between consecutive PRESENT values of `idCol` — the completeness
     * audit for anything that should be dense (event sequence numbers,

@@ -447,6 +447,38 @@ object Similarity {
           .as("is_outlier"))
   }
 
+  /** Label-conformity scoring — mislabel detection for training data:
+    * each vector's cosine to its OWN label's centroid, with a
+    * threshold flag. [[centroidOutliers]] asks "does this belong to
+    * ANY prototype"; this asks "does it belong to the prototype it
+    * CLAIMS" — low conformity = probable labeling error (or a label
+    * whose cluster is not compact), the audit run before training a
+    * classifier on the corpus.
+    *
+    * Centroids come from [[labelCentroids]]'s exact quantized sums
+    * (order-insensitive DECIMAL(38,0) — identical across engines and
+    * cluster layouts), are cast to float (IEEE round-to-nearest, same
+    * on both engines) so the fused `vec_cosine` kernel applies, and
+    * broadcast — |labels| rows. The scoring pass is map-only after the
+    * pinned rebalance; the flag compares DECIMAL(18,6) (engine-exact
+    * boundary), the emitted cosine rounds at 1e-6.
+    */
+  def labelConformity(vecs: DataFrame, minCos: String = "0.1",
+                      labelCol: String = "label", vecCol: String = "embedding",
+                      idCol: String = "vec_id"): DataFrame = {
+    val cents = labelCentroids(vecs, labelCol, vecCol)
+      .groupBy(labelCol)
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        s => s.getField("c").cast("float")).as("cent"))
+    val cos = V.cosine(col(vecCol), col("cent"))
+    rebalance(vecs, idCol)
+      .join(broadcast(cents), Seq(labelCol))
+      .select(col(idCol), col(labelCol),
+        round(cos, 6).as("cos_centroid"),
+        (cos.cast("decimal(18,6)") < lit(minCos).cast("decimal(18,6)"))
+          .as("mislabeled"))
+  }
+
   /** Quantization-recall audit: cosine between each original vector and
     * its dequantized reconstruction — the number that says whether int8
     * codes are safe for a given ANN workload (spec asserts ≥ 0.99 on

@@ -576,6 +576,22 @@ class PlanSpec extends SparkSpec {
     p should include("BroadcastHashJoin")
   }
 
+  test("q183 label conformity: centroids broadcast; scoring joins hash, no window") {
+    val p = plan("q183_label_conformity")
+    p should include("BroadcastHashJoin")
+    p should include("vec_cosine")
+    (p should not).include("Window")
+    (p should not).include("SortMergeJoin")
+  }
+
+  test("q184 seasonal anomaly: baseline is a partial agg broadcast back, no window no sort") {
+    val p = plan("q184_seasonal_anomaly")
+    p should include("partial_sum")
+    p should include("BroadcastHashJoin")
+    (p should not).include("Window")
+    (p should not).include("SortMergeJoin")
+  }
+
   test("q165 random projection runs the native kernel inside codegen") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
