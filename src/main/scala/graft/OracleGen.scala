@@ -377,6 +377,54 @@ object OracleGen {
          < CAST('$minCos' AS DECIMAL(18,6)) AS mislabeled
      FROM embeddings e JOIN cw USING (label)"""
 
+  /** Dominant principal component + per-vector projection
+    * (operators.Similarity.principalComponent): the moment sums are
+    * rebuilt with the identical micro-unit quantization (exact,
+    * order-insensitive), and the power iterations are UNROLLED as
+    * CTEs with every double op in the Scala pass's left-to-right
+    * order, so the axis — and each projection — is bit-identical.
+    */
+  def principalComponentSql(dims: Int = 16, iters: Int = 3): String = {
+    def qe(i: Int) =
+      s"CAST(floor(CAST(embedding[${i + 1}] AS DOUBLE) * 1e6 + 0.5) AS BIGINT)"
+    val sums =
+      (0 until dims).map(i => s"SUM(CAST(${qe(i)} AS DECIMAL(38,0))) AS s$i") ++
+      (for (i <- 0 until dims; j <- i until dims)
+        yield s"SUM(CAST(${qe(i)} * ${qe(j)} AS DECIMAL(38,0))) AS p${i}_$j")
+    def mRef(i: Int) = s"(CAST(s$i AS DOUBLE) / 1e6 / n)"
+    def cRef(i: Int, j: Int) = { val (a, b) = (math.min(i, j), math.max(i, j)); s"c${a}_$b" }
+    val cCols = (for (i <- 0 until dims; j <- i until dims) yield
+      s"CAST(p${i}_$j AS DOUBLE) / 1e12 / n - ${mRef(i)} * ${mRef(j)} AS c${i}_$j")
+      .mkString(",\n         ")
+    def xRef(k: Int, j: Int) = if (k == 0) (if (j == 0) "1.0" else "0.0") else s"x${k}_$j"
+    val iterCtes = (1 to iters).map { k =>
+      val ys = (0 until dims).map(i =>
+        (0 until dims).map(j => s"${cRef(i, j)} * ${xRef(k - 1, j)}")
+          .mkString(" + ") + s" AS y${k}_$i").mkString(",\n         ")
+      val nn = (0 until dims).map(i => s"y${k}_$i * y${k}_$i").mkString(" + ")
+      val xs = (0 until dims).map(i => s"y${k}_$i / nn$k AS x${k}_$i")
+        .mkString(", ")
+      s"""yy$k AS (SELECT *, $ys FROM ${if (k == 1) "c" else s"xx${k - 1}"}),
+       nnt$k AS (SELECT *, sqrt($nn) AS nn$k FROM yy$k),
+       xx$k AS (SELECT *, $xs FROM nnt$k)"""
+    }.mkString(",\n     ")
+    val pf = (0 until dims).map(i =>
+      s"CASE WHEN x${iters}_0 < 0 THEN -x${iters}_$i ELSE x${iters}_$i END AS pf$i")
+      .mkString(", ")
+    val proj = (0 until dims).map(i =>
+      s"(CAST(e.embedding[${i + 1}] AS DOUBLE) - ${mRef(i)}) * pf$i")
+      .mkString(" + ")
+    s"""WITH cov AS (
+       SELECT COUNT(*) AS n, ${sums.mkString(",\n         ")} FROM embeddings),
+     c AS (SELECT n, ${(0 until dims).map(i => s"s$i").mkString(", ")},
+         $cCols
+       FROM cov),
+     $iterCtes,
+     fin AS (SELECT *, $pf FROM xx$iters)
+     SELECT e.vec_id, ROUND($proj, 6) AS proj
+     FROM embeddings e CROSS JOIN fin"""
+  }
+
   /** Full semantic-dedup pipeline (operators.Dedup.semanticDedup):
     * bucketed pairs with cosine ≥ `minCos` → connected components
     * (recursive CTE) → keep = component minimum; vectors in no

@@ -1932,6 +1932,13 @@ object SparkEntry {
       operators.Similarity.labelConformity(
         t(s, dir, "embeddings").df)),
 
+    // §2#35h distributed PCA dominant component: exact quantized
+    // moment sums (one partial agg), driver power iteration (bounded
+    // model artifact), map-only mean-centered projection.
+    "q185_pca_project" -> ((s, dir) =>
+      operators.Similarity.principalComponent(
+        t(s, dir, "embeddings").df)),
+
     // §2#53q seasonal-baseline residual anomalies: per (type,
     // hour-of-day) mean broadcast back; decision cross-multiplied in
     // exact integers — the daily-rhythm-aware spike detector.
@@ -2142,6 +2149,7 @@ object SparkEntry {
     "q175_centroid_outliers" -> OracleGen.centroidOutliersSql(),
     "q180_decontaminate_fuzzy" -> OracleGen.decontaminateFuzzySql(),
     "q183_label_conformity" -> OracleGen.labelConformitySql(),
+    "q185_pca_project" -> OracleGen.principalComponentSql(),
 
     "q50_audio" ->
       """SELECT doc_id,

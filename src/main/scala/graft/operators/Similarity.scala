@@ -479,6 +479,71 @@ object Similarity {
           .as("mislabeled"))
   }
 
+  /** Distributed PCA, dominant component: the top principal axis of
+    * the embedding cloud by power iteration, plus each vector's
+    * projection onto it — the one-axis summary that drives drift
+    * monitoring ("did the corpus move along its main direction"),
+    * 1-D stratification, and compression audits.
+    *
+    * Scale split: the DATA pass is one partial agg building the
+    * dim + dim(dim+1)/2 moment sums (means + upper-triangle
+    * co-moments), with every term quantized to micro-unit longs and
+    * summed as DECIMAL(38,0) — exact and ORDER-INSENSITIVE, so the
+    * covariance is bit-identical on any cluster layout and rebuildable
+    * by the oracle. The EIGEN pass is power iteration on the dims×dims
+    * driver-side matrix (a bounded model artifact, the IVF-centroid
+    * class); every double op is in a fixed left-to-right order, so the
+    * oracle replays the identical iterations as unrolled SQL. Sign
+    * fixed by the first component (flip if negative). The scoring pass
+    * is a map-only mean-centered dot product behind the pinned
+    * rebalance.
+    *
+    * Quantization: elements scale by 1e6 (unit-norm-ish embeddings);
+    * co-moment products are ≤ ~1e12 per row — the DECIMAL(38,0) sum
+    * never overflows at any corpus size that fits in storage.
+    */
+  def principalComponent(vecs: DataFrame, dims: Int = 16, iters: Int = 3,
+                         vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    require(dims >= 1 && iters >= 1, s"dims=$dims iters=$iters must be >= 1")
+    def q(i: Int) =
+      floor(element_at(col(vecCol), i + 1).cast("double") * 1e6 + lit(0.5)).cast("long")
+    val sumCols =
+      (0 until dims).map(i => sum(q(i).cast("decimal(38,0)")).as(s"_s$i")) ++
+      (for (i <- 0 until dims; j <- i until dims)
+        yield sum((q(i) * q(j)).cast("decimal(38,0)")).as(s"_p${i}_$j"))
+    val m = vecs.agg(count(lit(1)).as("_n"), sumCols: _*).head()
+    val n = m.getAs[Long]("_n").toDouble
+    require(n > 0, "principalComponent: empty corpus")
+    val mean = (0 until dims).map(i =>
+      m.getAs[java.math.BigDecimal](s"_s$i").doubleValue() / 1e6 / n)
+    // C_ij = E[v_i v_j] − m_i m_j, each term one correctly-rounded op
+    val cov = Array.tabulate(dims, dims) { (i, j) =>
+      val (a, b) = if (i <= j) (i, j) else (j, i)
+      m.getAs[java.math.BigDecimal](s"_p${a}_$b").doubleValue() / 1e12 / n -
+        mean(i) * mean(j)
+    }
+    // power iteration, fixed start [1, 0, …], left-to-right sums
+    var x = Array.tabulate(dims)(i => if (i == 0) 1.0 else 0.0)
+    for (_ <- 0 until iters) {
+      val y = Array.tabulate(dims) { i =>
+        var acc = 0.0
+        for (j <- 0 until dims) acc += cov(i)(j) * x(j)
+        acc
+      }
+      var nn = 0.0
+      for (i <- 0 until dims) nn += y(i) * y(i)
+      val norm = math.sqrt(nn)
+      require(norm > 0, "principalComponent: degenerate covariance (zero norm)")
+      x = y.map(_ / norm)
+    }
+    val p = if (x(0) < 0) x.map(-_) else x
+    val proj = (0 until dims)
+      .map(i => (element_at(col(vecCol), i + 1).cast("double") - mean(i)) * p(i))
+      .reduce(_ + _)
+    rebalance(vecs, idCol)
+      .select(col(idCol), round(proj, 6).as("proj"))
+  }
+
   /** Quantization-recall audit: cosine between each original vector and
     * its dequantized reconstruction — the number that says whether int8
     * codes are safe for a given ANN workload (spec asserts ≥ 0.99 on
