@@ -377,6 +377,36 @@ object OracleGen {
          < CAST('$minCos' AS DECIMAL(18,6)) AS mislabeled
      FROM embeddings e JOIN cw USING (label)"""
 
+  /** Hard-negative mining (operators.Similarity.hardNegatives): the
+    * hyperplane bucket pipeline with labels carried, both directions,
+    * different-label filter, per-anchor top-k by exact cosine.
+    */
+  def hardNegativesSql(k: Int = 5, nbits: Int = 6, dim: Int = 64,
+                       cap: Int = 40): String =
+    s"""WITH b AS (
+       SELECT vec_id, label, embedding, ${bucketSql("embedding", nbits, dim)} AS bucket
+       FROM embeddings),
+     capped AS (
+       SELECT vec_id, label, embedding, bucket FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY vec_id) AS bn
+         FROM b) WHERE bn <= $cap),
+     prs AS (
+       SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+         a.label AS la, b2.label AS lb,
+         ${cosineSql("a.embedding", "b2.embedding", dim)} AS cos
+       FROM capped a JOIN capped b2
+         ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id),
+     sym AS (
+       SELECT vec_a AS anchor, vec_b AS neg, la, lb, cos FROM prs
+       UNION ALL
+       SELECT vec_b, vec_a, lb, la, cos FROM prs),
+     r AS (
+       SELECT anchor, neg, cos,
+         CAST(ROW_NUMBER() OVER (PARTITION BY anchor
+           ORDER BY cos DESC, neg) AS INT) AS rank
+       FROM sym WHERE la <> lb)
+     SELECT anchor, neg, ROUND(cos, 6) AS cos, rank FROM r WHERE rank <= $k"""
+
   /** Dominant principal component + per-vector projection
     * (operators.Similarity.principalComponent): the moment sums are
     * rebuilt with the identical micro-unit quantization (exact,

@@ -1939,6 +1939,33 @@ object SparkEntry {
       operators.Similarity.principalComponent(
         t(s, dir, "embeddings").df)),
 
+    // §2#52v streaming CUSUM monitor: three longs of state per key,
+    // per-event scores emitted once; exact match with the batch
+    // closed form, so q176's SQL is the oracle for the whole stream.
+    "q187_stream_cusum" -> ((s, dir) =>
+      streaming.Events.streamCusum(s, s"$dir/events.parquet")
+        .select("event_id", "event_type", "tus", "cusum_hi", "cusum_lo", "is_shift")),
+
+    // §2#40g decode-free GIF header metadata: GIF signature + LE
+    // logical-screen dims off real encoder output, pure Columns.
+    "q188_gif_meta" -> ((s, dir) =>
+      operators.Multimodal.gifHeaderMeta(
+        operators.Multimodal.withGifPayload(t(s, dir, "documents").df))),
+
+    // §2#52w m-estimate target encoding: smoothed per-category target
+    // means — two partial aggs, exact integer sums, broadcast prior.
+    "q189_target_encode" -> ((s, dir) =>
+      functions.Profile.targetEncode(
+        t(s, dir, "lineitem").select(Seq("l_suppkey", "l_quantity")).df,
+        "l_suppkey", "l_quantity", m = 10)),
+
+    // §2#35i hard-negative mining: per anchor the k most-similar
+    // DIFFERENT-label vectors — labels carried through the bucket
+    // pipeline, no corpus join onto the pair list.
+    "q186_hard_negatives" -> ((s, dir) =>
+      operators.Similarity.hardNegatives(
+        t(s, dir, "embeddings").df)),
+
     // §2#53q seasonal-baseline residual anomalies: per (type,
     // hour-of-day) mean broadcast back; decision cross-multiplied in
     // exact integers — the daily-rhythm-aware spike detector.
@@ -2150,6 +2177,7 @@ object SparkEntry {
     "q180_decontaminate_fuzzy" -> OracleGen.decontaminateFuzzySql(),
     "q183_label_conformity" -> OracleGen.labelConformitySql(),
     "q185_pca_project" -> OracleGen.principalComponentSql(),
+    "q186_hard_negatives" -> OracleGen.hardNegativesSql(),
 
     "q50_audio" ->
       """SELECT doc_id,
@@ -3909,6 +3937,50 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
          FROM s""",
 
     "q176_cusum" ->
+      """WITH e AS (
+           SELECT event_id, event_type, epoch_ns(ts)//1000 AS tus,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) - 50000000 AS dev
+           FROM events),
+         c AS (
+           SELECT event_id, event_type, tus,
+             SUM(dev) OVER (PARTITION BY event_type ORDER BY tus, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM e),
+         d AS (
+           SELECT event_id, event_type, tus, cum,
+             MIN(cum) OVER (PARTITION BY event_type ORDER BY tus, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rmin,
+             MAX(cum) OVER (PARTITION BY event_type ORDER BY tus, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rmax
+           FROM c)
+         SELECT event_id, event_type, tus,
+           CAST(cum - least(0, rmin) AS BIGINT) AS cusum_hi,
+           CAST(greatest(0, rmax) - cum AS BIGINT) AS cusum_lo,
+           (cum - least(0, rmin) > 2000000000 OR greatest(0, rmax) - cum > 2000000000) AS is_shift
+         FROM d""",
+
+    "q188_gif_meta" ->
+      """SELECT doc_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         true AS is_gif,
+         CAST(octet_length(encode(text)) % 320 + 1 AS INT) AS width,
+         CAST(octet_length(encode(text)) % 240 + 1 AS INT) AS height
+         FROM documents""",
+
+    "q189_target_encode" ->
+      """WITH q AS (
+           SELECT l_suppkey,
+             CAST(floor(CAST(l_quantity AS DOUBLE) * 1000000 + 0.5) AS DECIMAL(38,0)) AS vq
+           FROM lineitem),
+         g AS (SELECT SUM(vq) AS gs, COUNT(*) AS gn FROM q),
+         c AS (SELECT l_suppkey, SUM(vq) AS s, COUNT(*) AS n FROM q GROUP BY 1)
+         SELECT l_suppkey, n,
+           ROUND((CAST(s AS DOUBLE) / 1e6 + 10 * (CAST(gs AS DOUBLE) / 1e6 / gn))
+             / (n + 10), 6) AS encoded
+         FROM c, g""",
+
+    // the streaming monitor is exact-equal to the batch closed form
+    "q187_stream_cusum" ->
       """WITH e AS (
            SELECT event_id, event_type, epoch_ns(ts)//1000 AS tus,
              CAST(floor(value * 1000000 + 0.5) AS BIGINT) - 50000000 AS dev

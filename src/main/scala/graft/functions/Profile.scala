@@ -707,4 +707,31 @@ object Profile {
       .select(round(col("_d"), 9).as("d_stat"), col("v").as("at_value"),
         col("_na").as("n_a"), col("_nb").as("n_b"))
   }
+
+  /** m-estimate target encoding: per category, the smoothed target
+    * mean (Σ_c + m·prior)/(n_c + m) — the standard leakage-bounded
+    * categorical encoder (a 1-row category collapses toward the global
+    * prior instead of memorizing its single target). Returns the
+    * encoding TABLE (category, n, encoded) — a broadcast-sized feature
+    * artifact consumers join onto training rows.
+    *
+    * Exactness: target values quantize to micro-unit longs summed as
+    * DECIMAL(38,0) (order-insensitive), and the one encoded double per
+    * category is a fixed-order chain of correctly-rounded ops —
+    * engine-identical. Two partial aggs (global + per-category), the
+    * global row broadcast; no window, no join against the fact table.
+    */
+  def targetEncode(df: DataFrame, catCol: String, valueCol: String,
+                   m: Int = 10): DataFrame = {
+    require(m >= 0, s"smoothing m must be >= 0, got $m")
+    val vq = floor(col(valueCol).cast("double") * 1e6 + lit(0.5)).cast("decimal(38,0)")
+    val glob = df.agg(sum(vq).as("_gs"), count(lit(1)).as("_gn"))
+    val prior = col("_gs").cast("double") / 1e6 / col("_gn")
+    df.groupBy(col(catCol))
+      .agg(sum(vq).as("_s"), count(lit(1)).as("_n"))
+      .crossJoin(broadcast(glob))
+      .select(col(catCol), col("_n").as("n"),
+        round((col("_s").cast("double") / 1e6 + lit(m) * prior) / (col("_n") + m), 6)
+          .as("encoded"))
+  }
 }

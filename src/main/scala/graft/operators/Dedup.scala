@@ -774,17 +774,26 @@ object Dedup {
     * free of any global sort.
     */
   def embeddingPairs(vecs: DataFrame, nbits: Int = 6, dim: Int = 64, cap: Int = 40,
-                     vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+                     vecCol: String = "embedding", idCol: String = "vec_id",
+                     carryCols: Seq[String] = Nil): DataFrame = {
     import graft.functions.VectorFunctions
-    val bucketed = rebalance(vecs, idCol).select(col(idCol).as("vec_id"), col(vecCol).as("v"),
-      Hashing.hyperplaneBucket(col(vecCol), nbits, dim).as("bucket"))
+    val bucketed = rebalance(vecs, idCol).select(
+      col(idCol).as("vec_id") +: col(vecCol).as("v") +:
+        Hashing.hyperplaneBucket(col(vecCol), nbits, dim).as("bucket") +:
+        carryCols.map(col): _*)
     val capped = capBucket(bucketed, Seq("bucket"), "vec_id", cap)
 
-    val a = capped.select(col("bucket"), col("vec_id").as("vec_a"), col("v").as("va"))
-    val b = capped.select(col("bucket"), col("vec_id").as("vec_b"), col("v").as("vb"))
+    // carried columns ride the pair row suffixed _a/_b — labels for
+    // hard-negative mining, quality for keep-best — so consumers never
+    // join the corpus back onto the pair list
+    val a = capped.select(col("bucket") +: col("vec_id").as("vec_a") +:
+      col("v").as("va") +: carryCols.map(c => col(c).as(s"${c}_a")): _*)
+    val b = capped.select(col("bucket") +: col("vec_id").as("vec_b") +:
+      col("v").as("vb") +: carryCols.map(c => col(c).as(s"${c}_b")): _*)
     a.join(b, Seq("bucket")).filter(col("vec_a") < col("vec_b"))
       .withColumn("cos", VectorFunctions.cosine(col("va"), col("vb")))
-      .select("vec_a", "vec_b", "cos")
+      .select(col("vec_a") +: col("vec_b") +: col("cos") +:
+        carryCols.flatMap(c => Seq(col(s"${c}_a"), col(s"${c}_b"))): _*)
   }
 
   /** SemDeDup-style semantic corpus dedup (#33b): the end-to-end

@@ -116,6 +116,57 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Deterministic real GIF from the document bytes — the [[encodePng]]
+    * geometry rule through the GIF encoder (LZW, palette), so the
+    * header parse below reads genuine codec output.
+    */
+  private[operators] def encodeGif(bytes: Array[Byte]): Array[Byte] = {
+    val n = bytes.length
+    val w = n % 320 + 1
+    val h = n % 240 + 1
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val pix = new Array[Byte](w * h)
+    var i = 0
+    while (i < pix.length) { pix(i) = if (n == 0) 0 else bytes(i % n); i += 1 }
+    img.getRaster.setDataElements(0, 0, w, h, pix)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "gif", out)
+    out.toByteArray
+  }
+
+  /** GIF companion of [[withImagePayload]]. */
+  def withGifPayload(docs: DataFrame, textCol: String = "text",
+                     idCol: String = "doc_id", binCol: String = "payload"): DataFrame = {
+    val in = rebalance(docs, idCol).select(col(idCol), col(textCol).cast("binary").as("_raw"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("n_bytes", LongType),
+      StructField(binCol, BinaryType)))
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(schema))
+    in.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val raw = r.getAs[Array[Byte]](1)
+        Row(r.getLong(0), raw.length.toLong, encodeGif(raw))
+      }
+    }
+  }
+
+  /** DECODE-FREE GIF metadata — [[pngHeaderMeta]]'s little-endian
+    * sibling: `GIF` signature + logical-screen width/height from the
+    * fixed 6-10 byte header, pure Column byte arithmetic. GIF is
+    * LITTLE-endian like WAV, so fields assemble per byte.
+    */
+  def gifHeaderMeta(withPayload: DataFrame, binCol: String = "payload"): DataFrame = {
+    def byte(pos: Int) = conv(hex(substring(col(binCol), pos, 1)), 16, 10).cast("long")
+    def le(start: Int, len: Int) =
+      (0 until len).map(i => byte(start + i) * lit(1L << (8 * i))).reduce(_ + _)
+    withPayload.select(col("doc_id"), col("n_bytes"),
+      (hex(substring(col(binCol), 1, 3)) === lit("474946")).as("is_gif"),
+      le(7, 2).cast("int").as("width"),
+      le(9, 2).cast("int").as("height"))
+  }
+
   /** Real decode of one PNG: dimensions + pixel statistics via
     * `ImageIO`. Returns (width, height, features = [n_pixels,
     * mean_pixel, first_pixel, last_pixel]).

@@ -544,6 +544,41 @@ object Similarity {
       .select(col(idCol), round(proj, 6).as("proj"))
   }
 
+  /** Hard-negative mining for contrastive training: for each anchor,
+    * the k most-similar vectors carrying a DIFFERENT label — the
+    * near-misses that make a contrastive/triplet objective learn
+    * boundaries instead of memorizing easy negatives. Candidates come
+    * from the hyperplane-bucketed pair generator (never all-pairs;
+    * same recall contract as the semantic-dedup family), with labels
+    * CARRIED through the bucket pipeline so the corpus is never joined
+    * back onto the pair list; both pair directions explode map-side
+    * and the per-anchor top-k is WindowGroupLimit-prunable. Returns
+    * (anchor, neg, cos, rank).
+    */
+  def hardNegatives(vecs: DataFrame, k: Int = 5, nbits: Int = 6, dim: Int = 64,
+                    cap: Int = 40, labelCol: String = "label",
+                    vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val pairs = Dedup.embeddingPairs(vecs, nbits, dim, cap, vecCol, idCol,
+      carryCols = Seq(labelCol))
+    // both directions explode MAP-SIDE from one joined pair row — a
+    // union of two selects would plan the bucket self-join twice
+    val sym = pairs.select(explode(array(
+        struct(col("vec_a").as("anchor"), col("vec_b").as("neg"),
+          col(s"${labelCol}_a").as("la"), col(s"${labelCol}_b").as("lb"),
+          col("cos").as("cos")),
+        struct(col("vec_b").as("anchor"), col("vec_a").as("neg"),
+          col(s"${labelCol}_b").as("la"), col(s"${labelCol}_a").as("lb"),
+          col("cos").as("cos")))).as("p"))
+      .select(col("p.anchor").as("anchor"), col("p.neg").as("neg"),
+        col("p.la").as("la"), col("p.lb").as("lb"), col("p.cos").as("cos"))
+    sym.filter(col("la") =!= col("lb"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("anchor").orderBy(col("cos").desc, col("neg"))))
+      .filter(col("rank") <= k)
+      .select(col("anchor"), col("neg"), round(col("cos"), 6).as("cos"), col("rank"))
+  }
+
   /** Quantization-recall audit: cosine between each original vector and
     * its dequantized reconstruction — the number that says whether int8
     * codes are safe for a given ANN workload (spec asserts ≥ 0.99 on

@@ -599,6 +599,56 @@ object Events {
       }
   }
 
+  case class CusumEvent(event_id: Long, key: String, tus: Long, value: Double)
+  case class CusumState(cum: Long, runMin: Long, runMax: Long)
+  case class CusumOut(event_id: Long, event_type: String, tus: Long,
+                      cusum_hi: Long, cusum_lo: Long, is_shift: Boolean)
+
+  /** Streaming CUSUM change-point monitor — the online form of
+    * Rolling.cusum: per key, the running (cum, prefix-min, prefix-max)
+    * triple lives in GroupState (three longs per key, O(|keys|) state
+    * FOREVER — no growth with stream length), each event emits its
+    * two-sided score exactly once in the batch that carries it.
+    * Within a batch the group's events process in (time, id) order;
+    * ACROSS batches the operator trusts arrival order (the append-log
+    * contract: a source replaying history out of order would corrupt
+    * any sequential detector). Exact integer micro-unit arithmetic —
+    * identical to the batch closed form, so the q176 SQL is the oracle
+    * for the full stream.
+    */
+  def streamCusum(spark: SparkSession, eventsPath: String,
+                  target: Double = 50.0, h: Double = 2000.0,
+                  unitScale: Long = 1000000L,
+                  maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    require(h > 0, s"h must be positive, got $h")
+    val tq = math.floor(target * unitScale + 0.5).toLong
+    val hq = math.floor(h * unitScale + 0.5).toLong
+    val ev = readStream(spark, eventsPath, maxFilesPerTrigger)
+      .select(col("event_id"), col("event_type").as("key"),
+        unix_micros(col("ts")).as("tus"), col("value"))
+      .as[CusumEvent]
+    val scored = ev.groupByKey(_.key)
+      .flatMapGroupsWithState[CusumState, CusumOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, events: Iterator[CusumEvent], state: GroupState[CusumState]) =>
+          val st = state.getOption.getOrElse(CusumState(0L, 0L, 0L))
+          var cum = st.cum; var runMin = st.runMin; var runMax = st.runMax
+          val out = events.toArray.sortBy(e => (e.tus, e.event_id)).map { e =>
+            val vq = math.floor(e.value * unitScale + 0.5).toLong
+            cum += vq - tq
+            runMin = math.min(runMin, cum)
+            runMax = math.max(runMax, cum)
+            val hi = cum - runMin
+            val lo = runMax - cum
+            CusumOut(e.event_id, key, e.tus, hi, lo, hi > hq || lo > hq)
+          }
+          state.update(CusumState(cum, runMin, runMax))
+          out.iterator
+      }
+    runToMemory(scored.toDF(), "update", "graft_cusum_")
+  }
+
   /** #28 test/oracle harness over [[sessionizeStream]]: memory-sink
     * upsert keyed on the content address, then per-user ordinal ids
     * (row_number by session start) projected for the batch-SQL oracle —

@@ -592,6 +592,22 @@ class PlanSpec extends SparkSpec {
     (p should not).include("SortMergeJoin")
   }
 
+  test("q186 hard negatives: labels ride the bucket join; top-k limit-pushed; no corpus re-join") {
+    val p = plan("q186_hard_negatives")
+    p should include("WindowGroupLimit")
+    p should include("vec_cosine")
+    // exactly the bucket self-join — no second join bringing labels back
+    p.linesIterator.count(_.contains("SortMergeJoin")) +
+      p.linesIterator.count(_.contains("BroadcastHashJoin")) shouldBe 1
+  }
+
+  test("q189 target encode: two partial aggs, global prior broadcast, no window") {
+    val p = plan("q189_target_encode")
+    p should include("partial_sum")
+    p should include("BroadcastNestedLoopJoin")
+    (p should not).include("Window")
+  }
+
   test("q165 random projection runs the native kernel inside codegen") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {

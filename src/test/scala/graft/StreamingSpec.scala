@@ -143,6 +143,21 @@ class StreamingSpec extends SparkSpec {
     canon(streamed) shouldBe canon(batchSessions(dir))
   }
 
+  test("streaming CUSUM carries (cum, min, max) state exactly across micro-batches") {
+    val dir = timeSplitDir(s"$sfDir/events.parquet", 3)
+    val streamed = Events.streamCusum(spark, dir, maxFilesPerTrigger = Some(1))
+      .select("event_id", "event_type", "tus", "cusum_hi", "cusum_lo", "is_shift")
+    val batch = {
+      val ev = Events.readBatch(spark, dir)
+        .select(col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("tus"), col("value"))
+      graft.operators.Rolling.cusum(ev, "event_type", "tus", "value",
+        target = 50.0, h = 2000.0, tieCols = Seq("event_id"))
+        .select("event_id", "event_type", "tus", "cusum_hi", "cusum_lo", "is_shift")
+    }
+    canon(streamed) shouldBe canon(batch)
+  }
+
   /** Three micro-batches (ns-long ts, one file each, mtimes ascending;
     * times start at 1h — an epoch-0 event would be dropped by the
     * initial watermark's <= 0 late-data predicate):
