@@ -455,6 +455,31 @@ object OracleGen {
      FROM embeddings e CROSS JOIN fin"""
   }
 
+  /** One spherical k-means step (operators.Similarity.kmeansStep):
+    * the q175 nearest-seed assignment + q76-style exact quantized
+    * per-cell means.
+    */
+  def kmeansStepSql(ncells: Int = 16, dim: Int = 64): String =
+    s"""WITH seeds AS (
+       SELECT sv, CAST(rn - 1 AS INT) AS cell FROM (
+         SELECT embedding AS sv,
+           ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+         FROM embeddings) WHERE rn <= $ncells),
+     best AS (
+       SELECT vec_id, cell FROM (
+         SELECT e.vec_id, s.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY ${cosineSql("e.embedding", "s.sv", dim)} DESC, s.cell) AS crn
+         FROM embeddings e CROSS JOIN seeds s) WHERE crn = 1),
+     x AS (
+       SELECT b.cell, CAST(i AS INT) AS dim,
+         CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 1e12 + 0.5) AS DECIMAL(38,0)) AS v
+       FROM embeddings e JOIN best b USING (vec_id),
+            unnest(generate_series(1, $dim)) t(i))
+     SELECT cell, dim, COUNT(*) AS n_vecs,
+       CAST(SUM(v) AS DOUBLE) / 1e12 / COUNT(*) AS c
+     FROM x GROUP BY 1, 2"""
+
   /** Full semantic-dedup pipeline (operators.Dedup.semanticDedup):
     * bucketed pairs with cosine ≥ `minCos` → connected components
     * (recursive CTE) → keep = component minimum; vectors in no

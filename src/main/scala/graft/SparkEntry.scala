@@ -1959,6 +1959,23 @@ object SparkEntry {
         t(s, dir, "lineitem").select(Seq("l_suppkey", "l_quantity")).df,
         "l_suppkey", "l_quantity", m = 10)),
 
+    // §2#35j one spherical k-means step: map-only nearest-seed
+    // assignment (centroids as plan literals) + ONE exact partial-agg
+    // centroid update — the IVF-build iteration as an operator.
+    "q190_kmeans_step" -> ((s, dir) =>
+      operators.Similarity.kmeansStep(t(s, dir, "embeddings").df)),
+
+    // §2#49b leakage-safe grouped split: the SAME hash split as q46
+    // keyed on user_id, so every event of a user lands in one split —
+    // the contract that stops cross-split user leakage.
+    "q191_grouped_split" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .select("event_id", "user_id")
+      new core.Tafra(ev)
+        .splitByHash(Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), Seq("user_id"))
+        .df.select("event_id", "user_id", "split")
+    }),
+
     // §2#35i hard-negative mining: per anchor the k most-similar
     // DIFFERENT-label vectors — labels carried through the bucket
     // pipeline, no corpus join onto the pair list.
@@ -2178,6 +2195,7 @@ object SparkEntry {
     "q183_label_conformity" -> OracleGen.labelConformitySql(),
     "q185_pca_project" -> OracleGen.principalComponentSql(),
     "q186_hard_negatives" -> OracleGen.hardNegativesSql(),
+    "q190_kmeans_step" -> OracleGen.kmeansStepSql(),
 
     "q50_audio" ->
       """SELECT doc_id,
@@ -3958,6 +3976,13 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
            CAST(greatest(0, rmax) - cum AS BIGINT) AS cusum_lo,
            (cum - least(0, rmin) > 2000000000 OR greatest(0, rmax) - cum > 2000000000) AS is_shift
          FROM d""",
+
+    "q191_grouped_split" ->
+      """SELECT event_id, user_id,
+           CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+                WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                ELSE 'test' END AS split
+         FROM events""",
 
     "q188_gif_meta" ->
       """SELECT doc_id,

@@ -579,6 +579,39 @@ object Similarity {
       .select(col("anchor"), col("neg"), round(col("cos"), 6).as("cos"), col("rank"))
   }
 
+  /** One spherical k-means (Lloyd) step: assign every vector to its
+    * nearest seed centroid by cosine, then recompute each cell's
+    * centroid as the EXACT element-wise mean of its members — the
+    * training iteration behind every IVF/coarse-quantizer build, here
+    * as a first-class distributed operator (iterate by feeding the
+    * output back as seeds). Returns long format (cell, dim, n_vecs, c)
+    * like [[labelCentroids]].
+    *
+    * Scale shape: assignment is the [[ivfTopK]] codegen'd map-only
+    * cell projection (centroids broadcast as plan literals — no join);
+    * the update is ONE partial agg of micro-unit-quantized DECIMAL
+    * (38,0) sums — exact, order-insensitive, engine-identical; empty
+    * cells vanish (standard Lloyd). No window, no pair join, nothing
+    * all-pairs.
+    */
+  def kmeansStep(vecs: DataFrame, ncells: Int = 16,
+                 vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val dim = vecs.select(size(col(vecCol))).head().getInt(0)
+    val cents = seedCentroids(vecs, ncells, vecCol, idCol)
+    val assigned = rebalance(vecs, idCol)
+      .select(col(vecCol).as("v"), cellOf(col(vecCol), cents).as("cell"))
+    val sums = (0 until dim).map(i =>
+      sum(floor(element_at(col("v"), i + 1).cast("double") * 1e12 + lit(0.5))
+        .cast("decimal(38,0)")).as(s"_s$i"))
+    assigned.groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"), sums: _*)
+      .select(col("cell"), col("n_vecs"),
+        posexplode(array((0 until dim).map(i =>
+          col(s"_s$i").cast("double") / 1e12 / col("n_vecs")): _*)).as(Seq("d0", "c")))
+      .select(col("cell").cast("int").as("cell"),
+        (col("d0") + 1).cast("int").as("dim"), col("n_vecs"), col("c"))
+  }
+
   /** Quantization-recall audit: cosine between each original vector and
     * its dequantized reconstruction — the number that says whether int8
     * codes are safe for a given ANN workload (spec asserts ≥ 0.99 on

@@ -608,6 +608,20 @@ class PlanSpec extends SparkSpec {
     (p should not).include("Window")
   }
 
+  test("q190 kmeans step: literal-centroid assignment, ONE partial agg, no join") {
+    val p = plan("q190_kmeans_step")
+    p should include("partial_count")
+    p should include("vec_cosine")
+    (p should not).include("Join")
+    (p should not).include("Window")
+  }
+
+  test("q191 grouped split is map-only: membership is a per-row expression") {
+    val p = plan("q191_grouped_split")
+    (p should not).include("Exchange")
+    (p should not).include("Join")
+  }
+
   test("q165 random projection runs the native kernel inside codegen") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
