@@ -45,24 +45,40 @@ object Bench {
     // also run the FK-consistent dup-heavy 10× replica (materialized
     // once, marker-gated) so sub-linear growth is re-proven every round
     // in BENCH itself, not by an ad-hoc probe. SPARK_GRAFT_SF1=0 skips.
-    val sf1Fields =
+    val (sf1Fields, sf1Scalars) =
       if (sfDir.endsWith("sf0.1") && sys.env.getOrElse("SPARK_GRAFT_SF1", "1") != "0") {
         val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/root/repo/target/sf1")
         ScaleUp.scale(spark, sfDir, sf1Dir, 10)
         val r1 = minOf3(sf1Dir, "sf1")
         val t1 = r1.map(_._2).sum
         val growth = if (total > 0) t1 / total else -1.0
-        s""","sf1_total":${fmt(t1)},"sf1_growth":${fmt(growth)},"sf1_queries":${json(r1)}"""
-      } else ""
+        val scalars = s""","sf1_total":${fmt(t1)},"sf1_growth":${fmt(growth)}"""
+        (s"""$scalars,"sf1_queries":${json(r1)}""", scalars)
+      } else ("", "")
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${json(results)},"sf":"$sfDir"$sf1Fields}"""
-    println(line)
-    // belt-and-braces: the complete JSON also lands in a file, immune to
-    // any stdout tail truncation by the calling harness
+    // The complete JSON lands in a file (committed per round), immune to
+    // any stdout tail truncation by the calling harness.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
+    // stdout gets ONE line guaranteed to fit the driver's 2000-char
+    // stdout-tail capture (r3/r4 lost the headline total because ~190
+    // per-query entries pushed it past the window): headline totals +
+    // the slowest queries, capped by line length, with a pointer to the
+    // full per-query file.
+    val headlineCap = 1700
+    val slowest = results.sortBy(-_._2)
+    val prefix = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size}$sf1Scalars,"queries_full":"BENCH_LOCAL.json","queries":"""
+    val entries = slowest.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    val kept = new StringBuilder
+    var n = 0
+    while (n < entries.size && prefix.length + kept.length + entries(n).length + 2 < headlineCap) {
+      if (n > 0) kept.append(',')
+      kept.append(entries(n)); n += 1
+    }
+    println(prefix + "{" + kept + "}}")
     spark.stop()
   }
 }
