@@ -104,7 +104,8 @@ object RangeJoin {
     */
   def intervalJoin(points: DataFrame, intervals: DataFrame, keyCols: Seq[String],
                    tCol: String, sCol: String, eCol: String, bucket: Long,
-                   maxSpanBuckets: Int = 1024): DataFrame = {
+                   maxSpanBuckets: Int = 1024,
+                   broadcastMaxIntervals: Long = 500000L): DataFrame = {
     require(bucket > 0, s"bucket must be positive, got $bucket")
     val b0 = bucketOf(col(sCol), bucket)
     val b1 = bucketOf(col(eCol), bucket)
@@ -117,7 +118,20 @@ object RangeJoin {
       .otherwise(b1)
     val ib = intervals.withColumn("_bucket", explode(sequence(b0, guarded)))
     val pb = points.withColumn("_bucket", bucketOf(col(tCol), bucket))
-    pb.join(ib, keyCols :+ "_bucket")
+    // Join strategy can't be left to Catalyst here: size estimates are
+    // taken BEFORE the explode, so a fact-table interval side (orders
+    // vs lineitem) still looks broadcastable and Spark statically
+    // builds a hashed relation of |intervals| × fan-out rows on the
+    // driver — linear driver memory, the one thing that cannot survive
+    // a 100× scale-up (and AQE can demote SMJ→BHJ but never the
+    // reverse). One pruned-scan count() on the un-exploded side picks
+    // the plan: small dim-table intervals broadcast (ideal — points
+    // never shuffle), anything bigger goes sort-merge on
+    // (keys, time-cell), which spills gracefully at any scale.
+    val ibSized =
+      if (intervals.count() <= broadcastMaxIntervals) broadcast(ib)
+      else ib.hint("merge")
+    pb.join(ibSized, keyCols :+ "_bucket")
       .filter(col(sCol) <= col(tCol) && col(tCol) <= col(eCol))
       .drop("_bucket")
   }

@@ -1025,6 +1025,13 @@ class OperatorsSpec extends SparkSpec {
     } yield (pid, iid)).toSet
     got shouldBe want
     want should not be empty
+    // the over-budget path (sort-merge instead of broadcast) pairs
+    // identically — the strategy switch must never change results
+    val gotMerge = RangeJoin.intervalJoin(
+        pts.toDF("k", "t", "pid"), ivs.toDF("k", "s", "e", "iid"),
+        Seq("k"), "t", "s", "e", bucket = 50L, broadcastMaxIntervals = 0L)
+    gotMerge.queryExecution.executedPlan.toString should include("SortMergeJoin")
+    gotMerge.select("pid", "iid").as[(Long, Long)].collect().toSet shouldBe want
   }
 
   test("intervalJoin fails loudly on inverted intervals and pathological spans") {

@@ -432,6 +432,9 @@ class PlanSpec extends SparkSpec {
     (p should not).include("CartesianProduct")
     // the join keys carry the time cell alongside the natural key
     p should include("_bucket")
+    // under the interval-count budget (1.5k orders at sf0.001) the
+    // exploded dim side broadcasts — points never shuffle
+    p should include("BroadcastHashJoin")
   }
 
   test("q121 histogram: ONE partial-agg shuffle, bin ids map-side") {
