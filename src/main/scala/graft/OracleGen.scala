@@ -480,6 +480,81 @@ object OracleGen {
        CAST(SUM(v) AS DOUBLE) / 1e12 / COUNT(*) AS c
      FROM x GROUP BY 1, 2"""
 
+  /** ANN recall@k audit (operators.Similarity.recallAudit): the q36
+    * IVF pipeline intersected with the q27 exact ranking, hit counts
+    * per query.
+    */
+  def annRecallSql(k: Int = 10, ncells: Int = 16, nprobe: Int = 4, dim: Int = 64): String =
+    s"""WITH seeds AS (
+       SELECT sv, CAST(rn - 1 AS INT) AS cell FROM (
+         SELECT embedding AS sv,
+           ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+         FROM embeddings) WHERE rn <= $ncells),
+     cells AS (
+       SELECT vec_id, embedding, cell FROM (
+         SELECT e.vec_id, e.embedding, s.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY ${cosineSql("e.embedding", "s.sv", dim)} DESC, s.cell) AS crn
+         FROM embeddings e CROSS JOIN seeds s) WHERE crn = 1),
+     probes AS (
+       SELECT query_id, cell FROM (
+         SELECT e.vec_id AS query_id, s.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY ${cosineSql("e.embedding", "s.sv", dim)} DESC, s.cell) AS prn
+         FROM embeddings e CROSS JOIN seeds s WHERE e.vec_id < 8) WHERE prn <= $nprobe),
+     qv AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+     approx AS (
+       SELECT query_id, neighbor_id FROM (
+         SELECT p.query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY p.query_id
+             ORDER BY ${cosineSql("q.embedding", "c.embedding", dim)} DESC, c.vec_id) AS rank
+         FROM probes p
+         JOIN cells c ON c.cell = p.cell
+         JOIN qv q ON q.vec_id = p.query_id
+         WHERE c.vec_id <> p.query_id) WHERE rank <= $k),
+     exact AS (
+       SELECT query_id, neighbor_id FROM (
+         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rank
+         FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+         WHERE q.vec_id < 8) WHERE rank <= $k),
+     hits AS (
+       SELECT e.query_id, COUNT(*) AS n_hits
+       FROM exact e JOIN approx a USING (query_id, neighbor_id) GROUP BY 1)
+     SELECT q.vec_id AS query_id, CAST(COALESCE(h.n_hits, 0) AS INT) AS n_hits,
+       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / $k AS recall_at_k
+     FROM qv q LEFT JOIN hits h ON h.query_id = q.vec_id"""
+
+  /** One k-means|| oversampling round
+    * (operators.Similarity.kmeansOversample): md5-frac coin vs
+    * l·d²/cost, d² micro-quantized, cost its exact integer sum.
+    */
+  def kmeansOversampleSql(ncells: Int = 16, l: Int = 32, dim: Int = 64): String =
+    s"""WITH seeds AS (
+       SELECT sv, CAST(rn - 1 AS INT) AS cell FROM (
+         SELECT embedding AS sv,
+           ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+         FROM embeddings) WHERE rn <= $ncells),
+     best AS (
+       SELECT vec_id, cell, cos FROM (
+         SELECT e.vec_id, s.cell,
+           ${cosineSql("e.embedding", "s.sv", dim)} AS cos,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY ${cosineSql("e.embedding", "s.sv", dim)} DESC, s.cell) AS crn
+         FROM embeddings e CROSS JOIN seeds s) WHERE crn = 1),
+     scored AS (
+       SELECT vec_id, cell,
+         CAST(floor((1.0 - cos) * (1.0 - cos) * 1e12 + 0.5) AS BIGINT) AS d2q
+       FROM best),
+     c AS (SELECT CAST(SUM(d2q) AS DOUBLE) AS cost FROM scored)
+     SELECT vec_id, CAST(cell AS INT) AS cell,
+       CAST(d2q AS DOUBLE) / 1e12 AS d2
+     FROM scored, c
+     WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+             / 1152921504606846976.0
+           < $l * CAST(d2q AS DOUBLE) / cost"""
+
   /** Full semantic-dedup pipeline (operators.Dedup.semanticDedup):
     * bucketed pairs with cosine ≥ `minCos` → connected components
     * (recursive CTE) → keep = component minimum; vectors in no

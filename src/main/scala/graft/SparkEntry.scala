@@ -46,6 +46,12 @@ object SparkEntry {
        JOIN region ON n_regionkey = r_regionkey
        GROUP BY r_name, n_name"""
 
+  /** q194's term list — one source of truth for the Spark census and
+    * the SQL oracle's VALUES list (substring semantics, lowercase).
+    */
+  private val BlocklistTerms: Seq[String] =
+    Seq("spark", "vector", "window dup", "slow batch", "agg")
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -1976,6 +1982,36 @@ object SparkEntry {
         .df.select("event_id", "user_id", "split")
     }),
 
+    // §2#35k ANN recall@k audit: IVF results intersected with the exact
+    // top-k per query — the metric that picks ncells/nprobe before a
+    // 100-TB index build; membership compare, no float boundary.
+    "q192_ann_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").df
+      operators.Similarity.recallAudit(emb, emb.filter(col("vec_id") < 8))
+    }),
+
+    // §2#35l one k-means|| oversampling round: keep-with-prob l·d²/cost
+    // via the content-addressed md5 coin — scalable seeding between the
+    // md5 seeds and the q190 Lloyd step; map-only score + ONE scalar
+    // agg broadcast back.
+    "q193_kmeanspp_round" -> ((s, dir) =>
+      operators.Similarity.kmeansOversample(t(s, dir, "embeddings").df)),
+
+    // §2#37c blocklist term census: per (doc, term) substring counts
+    // for a literal term list — one codegen'd projection, map-only.
+    "q194_blocklist" -> ((s, dir) =>
+      functions.TextFunctions.blocklistCensus(t(s, dir, "documents").df,
+        BlocklistTerms)),
+
+    // §2#49c leakage-safe k-fold: fold = md5(user) mod k, every event
+    // of a user in ONE fold — the cross-validation form of q191.
+    "q195_kfold" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .select("event_id", "user_id")
+      new core.Tafra(ev).kfoldByHash(5, Seq("user_id"))
+        .df.select("event_id", "user_id", "fold")
+    }),
+
     // §2#35i hard-negative mining: per anchor the k most-similar
     // DIFFERENT-label vectors — labels carried through the bucket
     // pipeline, no corpus join onto the pair list.
@@ -2196,6 +2232,8 @@ object SparkEntry {
     "q185_pca_project" -> OracleGen.principalComponentSql(),
     "q186_hard_negatives" -> OracleGen.hardNegativesSql(),
     "q190_kmeans_step" -> OracleGen.kmeansStepSql(),
+    "q192_ann_recall" -> OracleGen.annRecallSql(),
+    "q193_kmeanspp_round" -> OracleGen.kmeansOversampleSql(),
 
     "q50_audio" ->
       """SELECT doc_id,
@@ -3982,6 +4020,19 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
            CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
                 WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
                 ELSE 'test' END AS split
+         FROM events""",
+
+    "q194_blocklist" -> {
+      val values = BlocklistTerms.map(t => s"('$t')").mkString(", ")
+      s"""SELECT doc_id, term,
+           CAST((len(lower(text)) - len(replace(lower(text), term, ''))) / len(term) AS INT) AS n_occ
+         FROM documents CROSS JOIN (VALUES $values) t(term)
+         WHERE len(lower(text)) - len(replace(lower(text), term, '')) > 0"""
+    },
+
+    "q195_kfold" ->
+      """SELECT event_id, user_id,
+           CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 5 AS INT) AS fold
          FROM events""",
 
     "q188_gif_meta" ->

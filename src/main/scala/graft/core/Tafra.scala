@@ -429,6 +429,22 @@ final class Tafra(val df: DataFrame) extends Serializable {
     new Tafra(df.withColumn(splitCol, expr))
   }
 
+  /** Leakage-safe k-fold assignment: fold = md5(keyCols) mod k, so every
+    * row of a group (e.g. a user) lands in ONE fold — the cross-
+    * validation companion to [[splitByHash]]'s train/val/test contract.
+    * Content-addressed like the whole sampling family: stable across
+    * runs, re-shards, and engines (the oracle recomputes the identical
+    * 32-bit md5 prefix), and a per-row map-only expression — no
+    * shuffle, no join, at any scale.
+    */
+  def kfoldByHash(k: Int, keyCols: Seq[String], foldCol: String = "fold"): Tafra = {
+    require(k >= 2, s"need k >= 2 folds, got $k")
+    validateColumns(keyCols)
+    val h32 = conv(substring(
+      md5(concat_ws(" ", keyCols.map(df(_).cast("string")): _*)), 1, 8), 16, 10)
+    new Tafra(df.withColumn(foldCol, pmod(h32.cast("long"), lit(k.toLong)).cast("int")))
+  }
+
   // ---- union (base.py:1969, group.py:56) ----
 
   /** UNION ALL with the reference's validation: same column names and

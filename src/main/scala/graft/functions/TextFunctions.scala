@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis column functions for the LLM-training-data pipeline
@@ -221,5 +221,36 @@ object TextFunctions {
     val q = array_join(array_sort(params), "&")
     concat(scheme, lit("://"), host, path,
       when(q === "", lit("")).otherwise(concat(lit("?"), q)))
+  }
+
+  /** Blocklist term census: per (doc, term) occurrence counts for a
+    * bounded term list — the "count contaminant / policy phrases before
+    * deciding to drop or redact" pass of a corpus audit. SUBSTRING
+    * semantics (multi-word phrases allowed), case-insensitive.
+    *
+    * Spark design: the term list is a plan-time literal array of
+    * (term, count) structs — one codegen'd projection per row computes
+    * every term's count via the length-difference identity
+    * `(len(text) - len(remove(text, term))) / len(term)` (exact, no
+    * regex, so no escaping pitfalls and the identical arithmetic runs
+    * as the SQL oracle), then one explode + filter keeps the hits.
+    * Map-only at any scale: no shuffle, no join — the census pipelines
+    * with the scan like [[scrubPii]]. Term list size is a plan-size
+    * concern, not a data concern (hundreds are fine; tens of thousands
+    * belong in a broadcast-join variant instead).
+    */
+  def blocklistCensus(docs: DataFrame, terms: Seq[String],
+                      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(terms.nonEmpty && terms.forall(_.nonEmpty), "blocklistCensus: empty term")
+    val lowered = lower(col(textCol))
+    val counts = array(terms.map { t =>
+      val tl = t.toLowerCase
+      struct(lit(tl).as("term"),
+        ((length(lowered) - length(call_function("replace", lowered, lit(tl), lit(""))))
+          .cast("long") / lit(tl.length.toLong)).cast("int").as("n_occ"))
+    }: _*)
+    docs.select(col(idCol), explode(counts).as("m"))
+      .select(col(idCol), col("m.term").as("term"), col("m.n_occ").as("n_occ"))
+      .filter(col("n_occ") > 0)
   }
 }

@@ -612,6 +612,70 @@ object Similarity {
         (col("d0") + 1).cast("int").as("dim"), col("n_vecs"), col("c"))
   }
 
+  /** ANN recall@k audit: for each query, how many of the EXACT cosine
+    * top-k does [[ivfTopK]] return? The standard approximate-search
+    * quality metric, as an operator — run it on a query SAMPLE to pick
+    * ncells/nprobe before committing a 100-TB index build.
+    *
+    * Scale shape: both arms keep the corpus unshuffled (queries are
+    * the broadcast side throughout); the intersection joins two
+    * |queries|×k result tables — negligible next to either search.
+    * Ranks tie-break by neighbor id in both arms, so the metric is
+    * deterministic and engine-portable (no float-boundary dependence:
+    * membership, not scores, is compared).
+    */
+  def recallAudit(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+                  ncells: Int = 16, nprobe: Int = 4,
+                  vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val exact = bruteForceTopK(corpus, queries, k, vecCol, idCol)
+      .select("query_id", "neighbor_id")
+    val approx = ivfTopK(corpus, queries, k, ncells, nprobe, lloydSteps = 0, vecCol, idCol)
+      .select("query_id", "neighbor_id")
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).cast("int").as("n_hits"))
+    queries.select(col(idCol).as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("n_hits"), lit(0)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0)).cast("double") / lit(k.toDouble)).as("recall_at_k"))
+  }
+
+  /** One k-means|| oversampling round (Bahmani et al., VLDB'12): every
+    * vector is kept with probability min(1, l·d²/cost) where d is its
+    * cosine distance to the nearest current seed and cost = Σd² — the
+    * scalable replacement for k-means++'s inherently sequential
+    * seeding, and the missing piece between [[seedCentroids]] and
+    * [[kmeansStep]] in a distributed IVF/quantizer build (iterate: the
+    * picked rows join the seed set for the next round).
+    *
+    * Determinism contract: the coin flip is the sampling family's
+    * content-addressed md5 fraction (60-bit prefix / 2⁶⁰ — exact), d²
+    * is micro-unit-quantized to a long, cost is its exact integer sum,
+    * and the kept-if inequality is a fixed-order double chain — so the
+    * picked set is identical across runs, re-shards, and engines.
+    *
+    * Scale shape: scoring is a map-only codegen'd projection (seeds are
+    * plan literals); cost is ONE scalar agg broadcast back; the filter
+    * is map-only. Two streaming passes over the corpus, no shuffle of
+    * it, no windows.
+    */
+  def kmeansOversample(vecs: DataFrame, ncells: Int = 16, l: Int = 32,
+                       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val cents = seedCentroids(vecs, ncells, vecCol, idCol)
+    val best = array_max(cellScores(col("v"), cents))
+    val d = lit(1.0) - best.getField("cos")
+    val scored = rebalance(vecs, idCol)
+      .select(col(idCol), col(vecCol).as("v"))
+      .select(col(idCol), (-best.getField("negcell")).as("cell"),
+        floor(d * d * lit(1e12) + lit(0.5)).cast("long").as("d2q"))
+    val cost = scored.agg(sum(col("d2q")).cast("double").as("_cost"))
+    val md5frac = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long").cast("double") / lit(1152921504606846976.0) // / 2^60: exact
+    scored.crossJoin(broadcast(cost))
+      .filter(md5frac < lit(l.toDouble) * col("d2q").cast("double") / col("_cost"))
+      .select(col(idCol), col("cell").cast("int").as("cell"),
+        (col("d2q").cast("double") / lit(1e12)).as("d2"))
+  }
+
   /** Quantization-recall audit: cosine between each original vector and
     * its dequantized reconstruction — the number that says whether int8
     * codes are safe for a given ANN workload (spec asserts ≥ 0.99 on

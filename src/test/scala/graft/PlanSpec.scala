@@ -625,6 +625,28 @@ class PlanSpec extends SparkSpec {
     (p should not).include("Join")
   }
 
+  test("q194 blocklist census is map-only: literal terms, no join, no shuffle") {
+    val p = plan("q194_blocklist")
+    (p should not).include("Exchange")
+    (p should not).include("Join")
+    p should include("Generate explode")
+  }
+
+  test("q195 kfold is map-only: fold is a per-row expression") {
+    val p = plan("q195_kfold")
+    (p should not).include("Exchange")
+    (p should not).include("Join")
+  }
+
+  test("q193 kmeans|| round: literal-seed scoring, one scalar agg broadcast back, no window") {
+    val p = plan("q193_kmeanspp_round")
+    (p should not).include("Window")
+    (p should not).include("SortMergeJoin")
+    // the cost scalar joins back as a 1-row broadcast
+    p should include("BroadcastNestedLoopJoin")
+    p should include("vec_cosine")
+  }
+
   test("q165 random projection runs the native kernel inside codegen") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
