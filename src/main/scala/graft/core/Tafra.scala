@@ -441,7 +441,7 @@ final class Tafra(val df: DataFrame) extends Serializable {
     require(k >= 2, s"need k >= 2 folds, got $k")
     validateColumns(keyCols)
     val h32 = conv(substring(
-      md5(concat_ws(" ", keyCols.map(df(_).cast("string")): _*)), 1, 8), 16, 10)
+      md5(concat_ws("\u0000", keyCols.map(df(_).cast("string")): _*)), 1, 8), 16, 10)
     new Tafra(df.withColumn(foldCol, pmod(h32.cast("long"), lit(k.toLong)).cast("int")))
   }
 
