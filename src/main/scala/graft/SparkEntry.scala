@@ -2003,6 +2003,24 @@ object SparkEntry {
       functions.TextFunctions.blocklistCensus(t(s, dir, "documents").df,
         BlocklistTerms)),
 
+    // §2#62d mergeable aggregate states: per-batch partial aggregates
+    // folded WITHOUT rescanning history — the merged state must be
+    // bit-identical to a from-scratch aggregation (exact quantized
+    // sums), which is exactly what the oracle checks (it aggregates
+    // the full table directly).
+    "q196_state_merge" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .select("event_id", "event_type", "value")
+      val base = operators.Upsert.aggState(
+        ev.filter(col("event_id") % 3 =!= 0), Seq("event_type"), "value")
+      val delta = operators.Upsert.aggState(
+        ev.filter(col("event_id") % 3 === 0), Seq("event_type"), "value")
+      operators.Upsert.mergeAggStates(Seq(base, delta), Seq("event_type"))
+        .select(col("event_type"), col("n"),
+          (col("sum_q").cast("double") / 1e6).as("sum_v"),
+          col("min_v"), col("max_v"))
+    }),
+
     // §2#49c leakage-safe k-fold: fold = md5(user) mod k, every event
     // of a user in ONE fold — the cross-validation form of q191.
     "q195_kfold" -> ((s, dir) => {
@@ -4034,6 +4052,12 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
       """SELECT event_id, user_id,
            CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 5 AS INT) AS fold
          FROM events""",
+
+    "q196_state_merge" ->
+      """SELECT event_type, COUNT(value) AS n,
+           CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS sum_v,
+           MIN(value) AS min_v, MAX(value) AS max_v
+         FROM events GROUP BY 1""",
 
     "q188_gif_meta" ->
       """SELECT doc_id,

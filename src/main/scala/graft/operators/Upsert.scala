@@ -97,4 +97,37 @@ object Upsert {
       .select(col(keyCol), change.as("change"))
     if (keepSame) out else out.filter(col("change") =!= "same")
   }
+
+  /** Canonical mergeable aggregate state per key over `valueCol`:
+    * (n, sum_q, min_v, max_v), the sum micro-unit-quantized to an
+    * exact long — the partial-aggregate shape that makes incremental
+    * pipelines possible: aggregate each arriving batch once, then
+    * [[mergeAggStates]] folds states without ever rescanning history.
+    * One partial-agg shuffle; every component is commutative +
+    * associative (that's the contract the merge relies on), and the
+    * quantized sum makes the state EXACT and order-insensitive — the
+    * merged result is bit-identical to a from-scratch aggregation, no
+    * float drift however many increments the state has absorbed.
+    */
+  def aggState(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(
+      count(col(valueCol)).as("n"),
+      sum(floor(col(valueCol).cast("double") * 1e6 + lit(0.5)).cast("long")).as("sum_q"),
+      min(col(valueCol)).as("min_v"),
+      max(col(valueCol)).as("max_v"))
+
+  /** Merge [[aggState]] tables: union + ONE partial agg re-combining
+    * each component (counts and quantized sums add, min/max fold).
+    * Keys absent from one side pass through untouched — no join, no
+    * null-fill logic, because a missing state is simply the identity.
+    * At 100 TB the inputs are state tables (|keys|-sized, not
+    * corpus-sized); the merge shuffles only them.
+    */
+  def mergeAggStates(states: Seq[DataFrame], keys: Seq[String]): DataFrame = {
+    require(states.nonEmpty, "mergeAggStates: no states")
+    states.reduce(_.unionByName(_))
+      .groupBy(keys.map(col): _*)
+      .agg(sum("n").as("n"), sum("sum_q").as("sum_q"),
+           min("min_v").as("min_v"), max("max_v").as("max_v"))
+  }
 }

@@ -64,6 +64,36 @@ class CurationOpsSpec extends SparkSpec {
     all(out.values) should be >= 0
   }
 
+  // ---- mergeable aggregate states ----
+
+  test("mergeAggStates of any batch split equals the from-scratch state") {
+    import graft.operators.Upsert
+    val rnd = new scala.util.Random(41)
+    val rows = (1 to 300).map(i =>
+      (s"k${i % 7}", math.floor(rnd.nextDouble() * 2000 - 1000) / 8))
+    val df = rows.toDF("k", "v")
+    val direct = Upsert.aggState(df, Seq("k"), "v").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    // three-way split by hash of the value, merged in two different orders
+    val parts = (0 until 3).map(p => Upsert.aggState(
+      df.filter(abs(hash(col("v"))) % 3 === p), Seq("k"), "v"))
+    for (order <- Seq(parts, parts.reverse)) {
+      val merged = Upsert.mergeAggStates(order, Seq("k")).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+      merged shouldBe direct
+    }
+  }
+
+  test("mergeAggStates passes through keys absent from one side") {
+    import graft.operators.Upsert
+    val a = Seq(("x", 1.0), ("y", 2.0)).toDF("k", "v")
+    val b = Seq(("y", 4.0), ("z", 8.0)).toDF("k", "v")
+    val m = Upsert.mergeAggStates(
+        Seq(Upsert.aggState(a, Seq("k"), "v"), Upsert.aggState(b, Seq("k"), "v")), Seq("k"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    m shouldBe Map("x" -> (1L, 1000000L), "y" -> (2L, 6000000L), "z" -> (1L, 8000000L))
+  }
+
   // ---- k-means|| oversampling ----
 
   private def md5hex(s: String): String = {
