@@ -2021,6 +2021,44 @@ object SparkEntry {
           col("min_v"), col("max_v"))
     }),
 
+    // §2#62e mergeable MOMENTS state: power sums in exact integer
+    // arithmetic (the distributed Welford replacement) — two disjoint
+    // batch states merged, then finalized to mean/var/std; the oracle
+    // computes the same statistics from scratch over the full table,
+    // so the merge path must be bit-identical to a one-pass agg.
+    "q197_moments_merge" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .select("event_id", "event_type", "value")
+      val base = operators.Upsert.momentsState(
+        ev.filter(col("event_id") % 3 =!= 0), Seq("event_type"), "value")
+      val delta = operators.Upsert.momentsState(
+        ev.filter(col("event_id") % 3 === 0), Seq("event_type"), "value")
+      operators.Upsert.momentsOf(
+          operators.Upsert.mergeMomentsStates(Seq(base, delta), Seq("event_type")))
+        .select("event_type", "n", "mean_v", "var_v", "std_v")
+    }),
+
+    // §2#31c Fellegi–Sunter record linkage: blocked candidate pairs
+    // scored by integer log2 likelihood-ratio weights (name agreement
+    // at bounded edit distance 1: m=8/9,u=1/9 → ±3; acctbal within
+    // 50.00 in exact cents: m=4/5,u=1/5 → ±2); pairs scoring ≥ 1 are
+    // candidate links. Block key (nation, segment) bounds pair count.
+    "q198_linkage" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").df
+      operators.Linkage.scorePairs(
+        cust, "c_custkey",
+        blockCols = Seq("c_nationkey", "c_mktsegment"),
+        valueCols = Seq("c_name", "c_acctbal"),
+        fields = Seq(
+          operators.Linkage.LinkField("c_name",
+            (a, b) => levenshtein(a, b, 1) >= 0, 3, -3),
+          operators.Linkage.LinkField("c_acctbal",
+            (a, b) => abs(floor(a.cast("double") * 100 + lit(0.5)).cast("long") -
+                          floor(b.cast("double") * 100 + lit(0.5)).cast("long")) <= 5000,
+            2, -2)),
+        minScore = 1)
+    }),
+
     // §2#49c leakage-safe k-fold: fold = md5(user) mod k, every event
     // of a user in ONE fold — the cross-validation form of q191.
     "q195_kfold" -> ((s, dir) => {
@@ -4058,6 +4096,38 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
            CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS sum_v,
            MIN(value) AS min_v, MAX(value) AS max_v
          FROM events GROUP BY 1""",
+
+    "q197_moments_merge" ->
+      """WITH q AS (
+           SELECT event_type, value,
+             CAST(floor(value * 1e6 + 0.5) AS HUGEINT) AS q
+           FROM events),
+         s AS (
+           SELECT event_type, COUNT(value) AS n, SUM(q) AS sq, SUM(q*q) AS sq2
+           FROM q GROUP BY 1)
+         SELECT event_type, n,
+           round(CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6), 9) AS mean_v,
+           CASE WHEN n >= 2 THEN round(CAST(n*sq2 - sq*sq AS DOUBLE)
+             / (CAST(n*(n-1) AS DOUBLE) * 1e12), 9) END AS var_v,
+           CASE WHEN n >= 2 THEN round(sqrt(CAST(n*sq2 - sq*sq AS DOUBLE)
+             / (CAST(n*(n-1) AS DOUBLE) * 1e12)), 9) END AS std_v
+         FROM s""",
+
+    "q198_linkage" ->
+      """WITH c AS (
+           SELECT c_custkey, c_nationkey, c_mktsegment, c_name,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+           FROM customer)
+         SELECT a.c_custkey AS c_custkey_a, b.c_custkey AS c_custkey_b,
+           (CASE WHEN levenshtein(a.c_name, b.c_name) <= 1 THEN '1' ELSE '0' END) ||
+           (CASE WHEN abs(a.cents - b.cents) <= 5000 THEN '1' ELSE '0' END) AS pattern,
+           (CASE WHEN levenshtein(a.c_name, b.c_name) <= 1 THEN 3 ELSE -3 END) +
+           (CASE WHEN abs(a.cents - b.cents) <= 5000 THEN 2 ELSE -2 END) AS score
+         FROM c a JOIN c b
+           ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+           AND a.c_custkey < b.c_custkey
+         WHERE (CASE WHEN levenshtein(a.c_name, b.c_name) <= 1 THEN 3 ELSE -3 END) +
+               (CASE WHEN abs(a.cents - b.cents) <= 5000 THEN 2 ELSE -2 END) >= 1""",
 
     "q188_gif_meta" ->
       """SELECT doc_id,

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fellegi–Sunter record linkage: probabilistic duplicate scoring over
+  * blocked candidate pairs (scale addition — the reference has no
+  * entity-resolution surface; this is the scoring half that
+  * `goldenRecords` consolidation and `editDistancePairs` blocking
+  * assume exists upstream).
+  *
+  * Model: each field comparator emits agree/disagree; a pair's score is
+  * the sum of per-field log-likelihood ratios — `log(m/u)` on
+  * agreement, `log((1-m)/(1-u))` on disagreement, where m = P(agree |
+  * same entity) and u = P(agree | different entities). Pairs at or
+  * above `minScore` are candidate links.
+  *
+  * Exactness contract: weights are INTEGERS (log base 2 of dyadic m/u
+  * ratios — e.g. m=8/9, u=1/9 gives +3/−3; m=4/5, u=1/5 gives +2/−2).
+  * Real-valued weights are a caller-side scaling of the same sum; the
+  * integer form keeps the score exact and engine-portable (the q123
+  * rational-threshold rule), so the oracle hash-matches bit-for-bit.
+  *
+  * Scale shape: candidate generation is a self-equi-join on the block
+  * key — pairs = Σ_b |b|² over blocks, NEVER all-pairs, and the join
+  * shuffles each record once keyed by block. The field comparators run
+  * on the joined pairs map-side (codegen'd `when` chains; a bounded
+  * `levenshtein(a, b, k)` comparator stays cheap on runaway strings).
+  * Oversized blocks (a null-heavy or default-valued block key is the
+  * classic trap: one degenerate block quadratically dominates) are
+  * REFUSED loudly by a cheap pre-count guard rather than silently
+  * ground through; when no natural blocking key bounds |b|, use
+  * sorted-neighborhood blocking (`Dedup.sortedNeighborPairs`) to feed
+  * pairs instead.
+  */
+object Linkage {
+
+  /** One field comparator: `agree(aCol, bCol)` is a Column predicate
+    * over the two sides' values; weights are the integer log2
+    * likelihood ratios (agreeW > 0 > disagreeW for any informative
+    * field). A NULL agreement (e.g. comparator over null fields)
+    * counts as disagreement — the conservative choice.
+    */
+  case class LinkField(name: String, agree: (Column, Column) => Column,
+                       agreeW: Int, disagreeW: Int)
+
+  /** Score all within-block pairs of `records` (self-linkage /
+    * dedup form). Output: (idCol_a, idCol_b, pattern, score) with
+    * idCol_a < idCol_b, `pattern` the per-field agreement bitstring in
+    * `fields` order (the audit surface: which evidence fired), `score`
+    * the summed integer weights; only pairs with score ≥ minScore
+    * survive (the filter runs map-side on the join output — sub-
+    * threshold pairs never reach another shuffle).
+    *
+    * @param valueCols columns the comparators read (projected before
+    *                  the join so the pair shuffle carries only them)
+    * @param maxBlockRows refuse blocks larger than this (quadratic
+    *                  blow-up guard); the check is one partial-agg
+    *                  count over the slim projection
+    */
+  def scorePairs(records: DataFrame, idCol: String, blockCols: Seq[String],
+                 valueCols: Seq[String], fields: Seq[LinkField],
+                 minScore: Int, maxBlockRows: Long = 100000L): DataFrame = {
+    require(fields.nonEmpty, "scorePairs: no comparators")
+    require(blockCols.nonEmpty, "scorePairs: no block key")
+    val slim = records.select((idCol +: blockCols ++: valueCols).distinct.map(col): _*)
+    val big = slim.groupBy(blockCols.map(col): _*)
+      .agg(count(lit(1)).as("_n")).filter(col("_n") > maxBlockRows).limit(1).collect()
+    require(big.isEmpty,
+      s"scorePairs: block ${big.headOption.map(_.toSeq.init.mkString(","))} exceeds " +
+      s"$maxBlockRows rows — pairs are quadratic per block; refine blockCols or use sorted-neighborhood blocking")
+    def side(tag: String) = slim.select(
+      (col(idCol).as(s"${idCol}_$tag") +: blockCols.map(col)) ++:
+        valueCols.map(c => col(c).as(s"_${tag}_$c")): _*)
+    val pairs = side("a").join(side("b"), blockCols, "inner")
+      .filter(col(s"${idCol}_a") < col(s"${idCol}_b"))
+    val agrees = fields.map(f =>
+      coalesce(f.agree(col(s"_a_${f.name}"), col(s"_b_${f.name}")), lit(false)))
+    val score = fields.zip(agrees).map { case (f, a) =>
+      when(a, lit(f.agreeW)).otherwise(lit(f.disagreeW))
+    }.reduce(_ + _)
+    val pattern = concat(agrees.map(a => when(a, lit("1")).otherwise(lit("0"))): _*)
+    pairs.select(col(s"${idCol}_a"), col(s"${idCol}_b"),
+        pattern.as("pattern"), score.as("score"))
+      .filter(col("score") >= minScore)
+  }
+}

@@ -116,6 +116,62 @@ object Upsert {
       min(col(valueCol)).as("min_v"),
       max(col(valueCol)).as("max_v"))
 
+  /** Second-moment extension of [[aggState]]: (n, sum_q, sum_q2) per
+    * key, where q = round(value·1e6) is the micro-unit quantized value
+    * (a long) and sum_q2 = Σq² is carried as DECIMAL(38,0) — q² alone
+    * reaches ~10¹⁷ for values in the thousands, so a long sum would
+    * overflow silently while decimal arithmetic stays exact to 38
+    * digits (plenty: 10⁶ rows of 10¹⁷ is 10²³). From this state mean,
+    * variance, and stddev are exact rational functions — see
+    * [[momentsOf]] — and the state merges like any other power sum:
+    * component-wise addition, order- and split-invariant, bit-identical
+    * to a from-scratch pass. This is the distributed Welford
+    * replacement: Welford's streaming update is sequential by design;
+    * power sums in exact integer arithmetic are the shuffle-friendly
+    * form with none of the float cancellation that makes naive
+    * double-precision power sums dangerous.
+    */
+  def momentsState(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame = {
+    val q = floor(col(valueCol).cast("double") * 1e6 + lit(0.5)).cast("long")
+    df.groupBy(keys.map(col): _*).agg(
+      count(col(valueCol)).as("n"),
+      // both sums as decimal: Σq alone would overflow a long once the
+      // state has absorbed ~10¹⁰ rows of 10⁹-unit values — state types
+      // must survive the CORPUS lifetime, not one batch
+      sum(q).cast("decimal(38,0)").as("sum_q"),
+      sum(q.cast("decimal(19,0)") * q).cast("decimal(38,0)").as("sum_q2"))
+  }
+
+  /** Merge [[momentsState]] tables — union + one partial agg, the
+    * identical contract to [[mergeAggStates]]. */
+  def mergeMomentsStates(states: Seq[DataFrame], keys: Seq[String]): DataFrame = {
+    require(states.nonEmpty, "mergeMomentsStates: no states")
+    states.reduce(_.unionByName(_))
+      .groupBy(keys.map(col): _*)
+      .agg(sum("n").as("n"), sum("sum_q").cast("decimal(38,0)").as("sum_q"),
+           sum("sum_q2").cast("decimal(38,0)").as("sum_q2"))
+  }
+
+  /** Finalize a moments state into (mean, var_samp, stddev): the
+    * numerators are computed in exact decimal integers (n·Σq² − (Σq)²
+    * cannot cancel catastrophically — it never passes through a float
+    * until the single final division), then ONE IEEE double division
+    * per statistic, engine-portable because every operand is the same
+    * exact integer on any engine. Keys with n < 2 get NULL variance
+    * (sample variance undefined), mirroring SQL var_samp.
+    */
+  def momentsOf(state: DataFrame): DataFrame = {
+    val n = col("n")
+    val num = (n.cast("decimal(38,0)") * col("sum_q2") -
+               col("sum_q") * col("sum_q")).cast("decimal(38,0)")
+    val den = (n * (n - lit(1L))).cast("double") * lit(1e12)
+    val varS = when(n >= 2, round(num.cast("double") / den, 9))
+    state.withColumn("mean_v", round(col("sum_q").cast("double") / (n.cast("double") * lit(1e6)), 9))
+      .withColumn("var_v", varS)
+      .withColumn("std_v", when(n >= 2, round(sqrt(num.cast("double") / den), 9)))
+      .drop("sum_q", "sum_q2")
+  }
+
   /** Merge [[aggState]] tables: union + ONE partial agg re-combining
     * each component (counts and quantized sums add, min/max fold).
     * Keys absent from one side pass through untouched — no join, no

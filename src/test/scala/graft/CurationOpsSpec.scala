@@ -94,6 +94,76 @@ class CurationOpsSpec extends SparkSpec {
     m shouldBe Map("x" -> (1L, 1000000L), "y" -> (2L, 6000000L), "z" -> (1L, 8000000L))
   }
 
+  // ---- mergeable moments state ----
+
+  test("momentsOf(mergeMomentsStates) is split-invariant and matches driver-exact statistics") {
+    import graft.operators.Upsert
+    val rnd = new scala.util.Random(43)
+    val rows = (1 to 240).map(i => (s"k${i % 5}", math.floor(rnd.nextDouble() * 9000) / 16)) :+
+      ("single", 7.25) // n=1 key: variance must be NULL, mean exact
+    val df = rows.toDF("k", "v")
+    val parts = (0 until 4).map(p => Upsert.momentsState(
+      df.filter(abs(hash(col("v"))) % 4 === p), Seq("k"), "v"))
+    val out = Upsert.momentsOf(Upsert.mergeMomentsStates(parts, Seq("k"))).collect()
+      .map(r => r.getString(0) -> r).toMap
+    for ((k, grp) <- rows.groupBy(_._1)) {
+      val q = grp.map(v => math.floor(v._2 * 1e6 + 0.5).toLong)
+      val n = q.size
+      val sq = q.map(BigInt(_)).sum
+      val sq2 = q.map(x => BigInt(x) * x).sum
+      val r = out(k)
+      r.getLong(1) shouldBe n.toLong
+      r.getDouble(2) shouldBe (sq.toDouble / (n.toDouble * 1e6) * 1e9).round / 1e9
+      if (n >= 2) {
+        val num = (BigInt(n) * sq2 - sq * sq).toDouble
+        val den = (n.toLong * (n - 1)).toDouble * 1e12
+        r.getDouble(3) shouldBe math.floor(num / den * 1e9 + 0.5) / 1e9 +- 1e-12
+        r.getDouble(4) shouldBe math.floor(math.sqrt(num / den) * 1e9 + 0.5) / 1e9 +- 1e-12
+      } else { r.isNullAt(3) shouldBe true; r.isNullAt(4) shouldBe true }
+    }
+  }
+
+  // ---- Fellegi-Sunter linkage ----
+
+  test("scorePairs matches a brute-force likelihood-ratio reference on planted records") {
+    import graft.operators.Linkage
+    val recs = Seq(
+      (1L, "b1", "alpha", 100.0), (2L, "b1", "alphb", 101.0), // agree both: +5
+      (3L, "b1", "gamma", 500.0),                             // vs 1: name no, bal no: -5
+      (4L, "b2", "delta", 10.0), (5L, "b2", "delte", 900.0),  // name yes, bal no: +1
+      (6L, "b2", "zzzzz", 12.0),                              // vs 4: name no, bal yes: -1
+      (7L, "b3", "omega", 1.0)                                // lone block: no pairs
+    ).toDF("id", "blk", "name", "bal")
+    val out = Linkage.scorePairs(recs, "id", Seq("blk"), Seq("name", "bal"),
+      Seq(
+        Linkage.LinkField("name", (a, b) => levenshtein(a, b, 1) >= 0, 3, -3),
+        Linkage.LinkField("bal", (a, b) => abs(a - b) <= lit(50.0), 2, -2)),
+      minScore = Int.MinValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getString(2), r.getInt(3))).toMap
+    out((1L, 2L)) shouldBe ("11", 5)
+    out((1L, 3L)) shouldBe ("00", -5)
+    out((2L, 3L)) shouldBe ("00", -5)
+    out((4L, 5L)) shouldBe ("10", 1)
+    out((4L, 6L)) shouldBe ("01", -1)
+    out((5L, 6L)) shouldBe ("00", -5)
+    out.size shouldBe 6
+    // threshold filters map-side
+    graft.operators.Linkage.scorePairs(recs, "id", Seq("blk"), Seq("name", "bal"),
+      Seq(Linkage.LinkField("name", (a, b) => levenshtein(a, b, 1) >= 0, 3, -3)),
+      minScore = 3).count() shouldBe 2
+  }
+
+  test("scorePairs refuses a quadratic runaway block loudly") {
+    import graft.operators.Linkage
+    val recs = (1 to 50).map(i => (i.toLong, "hot", s"n$i", 1.0)).toDF("id", "blk", "name", "bal")
+    val ex = intercept[IllegalArgumentException] {
+      Linkage.scorePairs(recs, "id", Seq("blk"), Seq("name"),
+        Seq(Linkage.LinkField("name", (a, b) => a === b, 1, -1)),
+        minScore = 0, maxBlockRows = 10)
+    }
+    ex.getMessage should include("sorted-neighborhood")
+  }
+
   // ---- k-means|| oversampling ----
 
   private def md5hex(s: String): String = {
