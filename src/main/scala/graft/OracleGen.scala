@@ -751,6 +751,42 @@ object OracleGen {
      SELECT src AS node, COUNT(*) AS core_degree FROM e$rounds GROUP BY 1"""
   }
 
+  /** Resource-allocation link prediction (Graph.raLinkPrediction on
+    * Dedup.embeddingPairs ≥ minCos): identical pair prelude to
+    * [[kCoreSql]], then degrees, hub-capped common-neighbor shares
+    * (exact integer 10⁹ // deg), neighbor-pair enumeration through
+    * the shared w, and a NOT EXISTS drop of already-present edges.
+    */
+  def raLinksSql(minCos: Double = 0.1, nbits: Int = 6, dim: Int = 64,
+                 cap: Int = 40, maxDeg: Long = 1000L): String =
+    s"""WITH b AS (
+       SELECT vec_id, embedding, ${bucketSql("embedding", nbits, dim)} AS bucket
+       FROM embeddings),
+     capped AS (
+       SELECT vec_id, embedding, bucket FROM (
+         SELECT vec_id, embedding, bucket,
+           ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY vec_id) AS bn
+         FROM b) WHERE bn <= $cap),
+     prs AS (
+       SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b FROM capped a JOIN capped b2
+         ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+       WHERE ${cosineSql("a.embedding", "b2.embedding", dim)} >= $minCos),
+     edges AS (SELECT vec_a AS src, vec_b AS dst FROM prs
+               UNION SELECT vec_b, vec_a FROM prs),
+     deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+     nbr AS (
+       SELECT e.src AS w, e.dst AS u, 1000000000 // d.deg AS share
+       FROM edges e JOIN deg d ON d.src = e.src WHERE d.deg <= $maxDeg),
+     cand AS (
+       SELECT n1.u AS node_a, n2.u AS node_b, n1.share
+       FROM nbr n1 JOIN nbr n2 ON n1.w = n2.w AND n1.u < n2.u),
+     scored AS (
+       SELECT node_a, node_b, COUNT(*) AS cn, CAST(SUM(share) AS BIGINT) AS ra_q
+       FROM cand GROUP BY 1, 2)
+     SELECT s.node_a, s.node_b, s.cn, s.ra_q FROM scored s
+     WHERE NOT EXISTS (SELECT 1 FROM edges e
+       WHERE e.src = s.node_a AND e.dst = s.node_b)"""
+
   /** PQ encoding (operators.Similarity.pqEncode): the codebook is
     * rebuilt in SQL from the same smallest-md5 seed rows, and each
     * subspace's L2 sum is unrolled in the identical left-associative

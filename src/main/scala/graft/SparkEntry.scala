@@ -2059,6 +2059,25 @@ object SparkEntry {
         minScore = 1)
     }),
 
+    // §2#53s dyadic-decay EWMA: exponential smoothing made engine-
+    // exact by pinning decay to 1/2 and truncating at w=16 lags — the
+    // answer to wma's "EWMA cannot be engine-exact" caveat.
+    "q199_ewma" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("tus"), col("value"))
+      operators.Rolling.ewmaDyadic(ev, "user_id", "tus", "value", "event_id")
+    }),
+
+    // §2#66b resource-allocation link prediction over the bucketed
+    // embedding-similarity graph: which near-dup edges are MISSING —
+    // common-neighbor enumeration with hub cap, exact integer shares.
+    "q200_ra_links" -> ((s, dir) => {
+      val pairs = operators.Dedup.embeddingPairs(t(s, dir, "embeddings").df)
+        .filter(col("cos") >= 0.1)
+      operators.Graph.raLinkPrediction(pairs, "vec_a", "vec_b")
+    }),
+
     // §2#49c leakage-safe k-fold: fold = md5(user) mod k, every event
     // of a user in ONE fold — the cross-validation form of q191.
     "q195_kfold" -> ((s, dir) => {
@@ -4112,6 +4131,29 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
            CASE WHEN n >= 2 THEN round(sqrt(CAST(n*sq2 - sq*sq AS DOUBLE)
              / (CAST(n*(n-1) AS DOUBLE) * 1e12)), 9) END AS std_v
          FROM s""",
+
+    "q199_ewma" -> {
+      val w = 16
+      val terms = (0 until w).map { l =>
+        val src = if (l == 0) "vq" else s"lag(vq, $l) OVER w"
+        s"COALESCE(CAST($src AS HUGEINT) * ${1L << (w - 1 - l)}, 0)"
+      }.mkString(" + ")
+      s"""WITH e AS (
+           SELECT user_id, event_id, epoch_us(ts) AS tus, value,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vq
+           FROM events),
+         f AS (
+           SELECT user_id, event_id, tus, value,
+             LEAST(ROW_NUMBER() OVER w, $w) AS m,
+             $terms AS num
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id))
+         SELECT user_id, event_id, tus, value,
+           ROUND(CAST(num AS DOUBLE)
+             / (${(1L << w).toDouble} - power(2, $w - m)) / 1000000.0, 9) AS ewma
+         FROM f"""
+    },
+
+    "q200_ra_links" -> OracleGen.raLinksSql(),
 
     "q198_linkage" ->
       """WITH c AS (

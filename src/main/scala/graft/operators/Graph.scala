@@ -157,6 +157,52 @@ object Graph {
       tris.agg(count(lit(1)).as("total_triangles"))))
   }
 
+  /** Resource-allocation link prediction (Zhou–Lü–Zhang): for every
+    * non-adjacent pair (u,v) sharing at least one neighbor, the RA
+    * index Σ_{w ∈ N(u)∩N(v)} 1/deg(w) — the "which links are missing"
+    * ranker over a similarity graph (candidate duplicate pairs the
+    * bucketing step missed; suggested merges in an entity graph). RA
+    * over Adamic–Adar deliberately: 1/deg keeps the statistic in
+    * EXACT integer arithmetic (each term quantizes as 10⁹ div deg, so
+    * the score is an order-insensitive integer sum), while 1/ln(deg)
+    * would hang the result on last-ulp libm agreement across engines.
+    *
+    * Scale shape: candidate pairs enumerate through the COMMON
+    * NEIGHBOR — a self-join of the adjacency list keyed on w, cost
+    * Σ_w deg(w)², never all-pairs. A Zipf hub is exactly the w whose
+    * deg² explodes AND whose 1/deg contribution is negligible, so
+    * common neighbors above `maxDeg` are excluded (documented model
+    * parameter, mirrored in the oracle — each excluded hub changes a
+    * pair's score by < 10⁹/maxDeg). Known edges drop via one
+    * left-anti join onto the symmetrized edge list; degrees and
+    * adjacency come from the one persisted edge artifact.
+    *
+    * Output: (node_a, node_b, cn, ra_q) with node_a < node_b, cn the
+    * common-neighbor count (capped set), ra_q the integer-quantized
+    * RA score.
+    */
+  def raLinkPrediction(pairs: DataFrame, aCol: String, bCol: String,
+                       maxDeg: Long = 1000L): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    // adjacency keyed by the COMMON neighbor w: (w, u, 1e9 div deg(w))
+    val nbr = edges.join(deg, Seq("src"))
+      .filter(col("deg") <= maxDeg)
+      .select(col("src").as("w"), col("dst").as("u"),
+        // `div`, not `/`: integer division (Spark `/` is double even on longs)
+        expr("1000000000L div deg").as("share"))
+    val cand = nbr.select(col("w"), col("u"), col("share"))
+      .join(nbr.select(col("w"), col("u").as("v"), col("share").as("_s2")), Seq("w"))
+      .filter(col("u") < col("v"))
+    val scored = cand.groupBy(col("u").as("node_a"), col("v").as("node_b"))
+      .agg(count(lit(1)).as("cn"), sum(col("share")).as("ra_q"))
+    scored.join(edges.select(col("src").as("node_a"), col("dst").as("node_b")),
+      Seq("node_a", "node_b"), "left_anti")
+  }
+
   /** Synchronous label propagation (fixed rounds, deterministic): each
     * node adopts the most frequent label among its neighbors, ties to
     * the SMALLEST label — community detection over the similarity

@@ -194,6 +194,49 @@ object Rolling {
       .drop("_vq", "_rn", "_s1", "_s2", "_m", "_wsum")
   }
 
+  /** Dyadic-decay EWMA: per key and row, the exponentially weighted
+    * mean of the trailing `w` observations with decay 1/2 — newest
+    * weighs 2^(w−1), each older step halves. The [[wma]] Scaladoc
+    * notes a general-α EWMA cannot be made engine-exact (irrational
+    * decay powers); pinning α to 1/2 and truncating the tail at `w`
+    * rows makes every weight an exact power of two and the whole
+    * statistic integer arithmetic until one final division. The
+    * truncation error is bounded by the dropped tail mass 2^−w
+    * (≈1.5e-5 at the default w=16) — but that is a MODELING choice,
+    * not error: the operator's contract IS the truncated kernel, and
+    * the oracle computes the identical kernel.
+    *
+    * Shape: exponential weights admit no [[wma]]-style two-frame-sum
+    * decomposition (2^rn overflows immediately), so the kernel is
+    * unrolled as `w` lag terms over ONE shared window sort — same
+    * shuffle/sort cost as a frame scan, O(w) work per row, each lag
+    * term cast to DECIMAL(38,0) before scaling so arbitrarily large
+    * micro-unit values cannot overflow mid-sum. Short leading frames
+    * renormalize exactly: denominator 2^w − 2^(w−m) for m = min(rn,w)
+    * observed rows, both engines computing it via IEEE-exact pow(2,k).
+    *
+    * (timeCol, idCol) must total-order rows per key (the twap
+    * contract) or the lag sequence itself is nondeterministic.
+    */
+  def ewmaDyadic(df: DataFrame, keyCol: String, timeCol: String, valueCol: String,
+                 idCol: String, w: Int = 16): DataFrame = {
+    require(w >= 1 && w <= 62, s"w must be in [1, 62], got $w")
+    val win = Window.partitionBy(keyCol).orderBy(col(timeCol), col(idCol))
+    val vq = floor(col(valueCol) * 1000000L + 0.5).cast("long")
+    val terms = (0 until w).map { l =>
+      val src = if (l == 0) col("_vq") else lag(col("_vq"), l).over(win)
+      coalesce(src.cast("decimal(38,0)") * lit(1L << (w - 1 - l)), lit(0L).cast("decimal(38,0)"))
+    }
+    val num = terms.reduce(_ + _)
+    df.withColumn("_vq", vq)
+      .withColumn("_m", least(row_number().over(win), lit(w)))
+      .withColumn("_num", num)
+      .withColumn("ewma",
+        round(col("_num").cast("double") /
+          (lit((1L << w).toDouble) - pow(lit(2.0), lit(w) - col("_m"))) / 1000000.0, 9))
+      .drop("_vq", "_m", "_num")
+  }
+
   /** Trailing-window anomaly flags (SURVEY.md §2 #53l): per event,
     * is its value more than `k` standard deviations from the mean of
     * the key's OTHER observations in the trailing `widthUs` window? —

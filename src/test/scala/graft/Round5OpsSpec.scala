@@ -15,6 +15,64 @@ import graft.operators.{AsofJoin, Behavior, Multimodal, Rolling}
 class Round5OpsSpec extends SparkSpec {
   import spark.implicits._
 
+  // ---- dyadic EWMA ----
+
+  test("ewmaDyadic matches a driver-computed truncated kernel, incl. short leading frames") {
+    import graft.operators.Rolling
+    val rnd = new scala.util.Random(11)
+    val rows = for (u <- 1 to 3; i <- 1 to 40) yield
+      (u.toLong, (u * 1000 + i).toLong, i.toLong * 100L, math.floor(rnd.nextDouble() * 20000 - 10000) / 16)
+    val df = rows.toDF("user_id", "event_id", "tus", "value")
+    val out = Rolling.ewmaDyadic(df, "user_id", "tus", "value", "event_id", w = 16)
+      .collect().map(r => r.getLong(1) -> r.getDouble(4)).toMap
+    for (u <- 1 to 3) {
+      val series = rows.filter(_._1 == u).sortBy(r => (r._3, r._2))
+      for ((row, idx) <- series.zipWithIndex) {
+        val frame = series.slice(math.max(0, idx - 15), idx + 1).map(_._4)
+        val m = frame.size
+        val num = frame.zipWithIndex.map { case (v, j) =>
+          BigInt(math.floor(v * 1e6 + 0.5).toLong) * BigInt(1L << (16 - m + j))
+        }.sum
+        val den = 65536.0 - math.pow(2.0, 16 - m)
+        val exp = math.floor(num.toDouble / den / 1e6 * 1e9 + 0.5) / 1e9
+        out(row._2) shouldBe exp +- 1e-12
+      }
+    }
+  }
+
+  test("ewmaDyadic weights halve per step back (planted impulse decays geometrically)") {
+    import graft.operators.Rolling
+    // value 1 at t=1, zeros after: ewma at row n (n<=16) = 2^(16-n)/(2^16-2^(16-n))
+    val rows = (1 to 10).map(i => (1L, i.toLong, i.toLong, if (i == 1) 1.0 else 0.0))
+    val out = Rolling.ewmaDyadic(rows.toDF("user_id", "event_id", "tus", "value"),
+        "user_id", "tus", "value", "event_id", w = 16)
+      .collect().map(r => r.getLong(1) -> r.getDouble(4)).toMap
+    for (n <- 1 to 10) {
+      val wgt = math.pow(2.0, 16 - n)
+      out(n.toLong) shouldBe (math.floor(wgt / (65536.0 - wgt) * 1e9 + 0.5) / 1e9) +- 1e-12
+    }
+  }
+
+  // ---- RA link prediction ----
+
+  test("raLinkPrediction matches brute force and drops known edges and hub neighbors") {
+    import graft.operators.Graph
+    // path 1-2-3-4 plus hub 9 connected to 1,2,3,4: with maxDeg=3 the
+    // hub (deg 4) cannot serve as a common neighbor but still counts
+    // as a known-edge endpoint
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (9L, 1L), (9L, 2L), (9L, 3L), (9L, 4L))
+      .toDF("a", "b")
+    val out = Graph.raLinkPrediction(pairs, "a", "b", maxDeg = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // deg: 1->2 (2,9), 2->3 (1,3,9), 3->3 (2,4,9), 4->2 (3,9), 9->4
+    // candidate common neighbors (deg<=3): 1,2,3,4
+    // (1,3) via w=2 (deg 3): cn=1, ra=333333333; edge absent -> kept
+    // (2,4) via w=3 (deg 3): cn=1, ra=333333333; kept
+    // (1,9),(2,9)... all hub pairs are existing edges -> dropped
+    // (1,2) via w=9? hub excluded; (1,2) is an edge anyway
+    out shouldBe Map((1L, 3L) -> (1L, 333333333L), (2L, 4L) -> (1L, 333333333L))
+  }
+
   // ---- autocorr ----
 
   test("autocorr matches driver-computed Pearson on random series, NULL on degenerate") {
