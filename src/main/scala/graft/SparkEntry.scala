@@ -2078,6 +2078,39 @@ object SparkEntry {
       operators.Graph.raLinkPrediction(pairs, "vec_a", "vec_b")
     }),
 
+    // §2#31d Jaro-Winkler name matching: the native codegen'd
+    // comparator (Spark has levenshtein only) over blocked customer
+    // pairs — DuckDB's jaro_winkler_similarity is the oracle, so the
+    // expression semantics are pinned bit-for-bit to the standard.
+    "q201_jw_linkage" -> ((s, dir) => {
+      val c = t(s, dir, "customer").df
+      val a = c.select(col("c_custkey").as("k_a"), col("c_nationkey"),
+        col("c_mktsegment"), col("c_name").as("name_a"))
+      val b = c.select(col("c_custkey").as("k_b"), col("c_nationkey"),
+        col("c_mktsegment"), col("c_name").as("name_b"))
+      a.join(b, Seq("c_nationkey", "c_mktsegment"))
+        .filter(col("k_a") < col("k_b"))
+        .withColumn("jw", round(
+          functions.TextFunctions.jaroWinkler(col("name_a"), col("name_b")), 9))
+        .filter(col("jw") >= 0.96)
+        .select("k_a", "k_b", "jw")
+    }),
+
+    // §2#4b bloom-filtered join: dim-key bloom prunes the fact side
+    // map-side BEFORE the shuffle — the explicit form of AQE's
+    // runtime row-level filter, guaranteed rather than heuristic.
+    "q202_bloom_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").df
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+      val dim = t(s, dir, "part").df.filter(col("p_size") <= 2)
+        .select("p_partkey", "p_brand")
+      operators.BloomJoin.bloomFilteredJoin(
+          li.withColumnRenamed("l_partkey", "p_partkey"), dim, Seq("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+    }),
+
     // §2#49c leakage-safe k-fold: fold = md5(user) mod k, every event
     // of a user in ONE fold — the cross-validation form of q191.
     "q195_kfold" -> ((s, dir) => {
@@ -4154,6 +4187,21 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
     },
 
     "q200_ra_links" -> OracleGen.raLinksSql(),
+
+    "q201_jw_linkage" ->
+      """SELECT a.c_custkey AS k_a, b.c_custkey AS k_b,
+           round(jaro_winkler_similarity(a.c_name, b.c_name), 9) AS jw
+         FROM customer a JOIN customer b
+           ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+           AND a.c_custkey < b.c_custkey
+         WHERE round(jaro_winkler_similarity(a.c_name, b.c_name), 9) >= 0.96""",
+
+    "q202_bloom_join" ->
+      """SELECT p.p_brand, COUNT(*) AS n,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         WHERE p.p_size <= 2
+         GROUP BY 1""",
 
     "q198_linkage" ->
       """WITH c AS (

@@ -19,6 +19,18 @@ object TextFunctions {
     org.apache.spark.sql.graft.ColumnBridge.column(
       graft.plans.NfcNormalize(org.apache.spark.sql.graft.ColumnBridge.expression(c)))
 
+  /** Jaro–Winkler similarity (native codegen'd expression — Spark
+    * ships levenshtein only, and JW is the standard name-matching
+    * comparator for record linkage). Semantics pinned to the
+    * DuckDB/rapidfuzz de-facto standard; see
+    * [[graft.plans.JaroWinklerSim]] for the exact contract.
+    */
+  def jaroWinkler(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.plans.JaroWinklerSim(
+        org.apache.spark.sql.graft.ColumnBridge.expression(a),
+        org.apache.spark.sql.graft.ColumnBridge.expression(b)))
+
   /** Full text-normalization pass (the pre-dedup canonicalizer): NFC
     * composition (byte-distinct spellings of identical text unify —
     * without this every dedup pass silently under-merges), control

@@ -51,6 +51,40 @@ class FunctionsSpec extends SparkSpec {
     Seq(1).toDF("x").select(T.argmaxLang(deWins)).as[String].head() shouldBe "de"
   }
 
+  test("jaroWinkler matches the standard reference values bit-for-bit") {
+    import graft.functions.TextFunctions.jaroWinkler
+    val cases = Seq(
+      ("martha", "marhta", 0.9611111111111111),     // classic textbook pair
+      ("DIXON", "DICKSONX", 0.8133333333333332),
+      ("JELLYFISH", "SMELLYFISH", 0.8962962962962964),
+      ("abc", "abc", 1.0),
+      ("abc", "xyz", 0.0),
+      ("a", "", 0.0),
+      ("", "", 0.0),                                 // DuckDB convention: empty -> 0
+      ("ab", "ba", 0.0),                             // window 0: no matches
+      ("abcdefgh", "abzzzzzz", 0.5),                 // jaro<=0.7: NO Winkler boost
+      ("CRATE", "TRACE", 0.7333333333333334),
+      ("aab", "aba", 0.5555555555555555))
+    val df = cases.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+    val out = df.select(jaroWinkler(col("a"), col("b"))).collect().map(_.getDouble(0))
+    out.zip(cases.map(_._3)).foreach { case (got, exp) => got shouldBe exp }
+    // interpreted path (eval without codegen) agrees
+    cases.foreach { case (a, b, exp) =>
+      graft.plans.JaroWinklerSim.similarity(
+        org.apache.spark.unsafe.types.UTF8String.fromString(a),
+        org.apache.spark.unsafe.types.UTF8String.fromString(b)) shouldBe exp
+    }
+  }
+
+  test("jaroWinkler nulls propagate and non-string inputs are refused") {
+    import graft.functions.TextFunctions.jaroWinkler
+    val df = Seq((Option("x"), Option.empty[String])).toDF("a", "b")
+    df.select(jaroWinkler(col("a"), col("b"))).collect().head.isNullAt(0) shouldBe true
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Seq((1, 2)).toDF("a", "b").select(jaroWinkler(col("a"), col("b"))).collect()
+    }
+  }
+
   test("fingerprint is deterministic, order-sensitive, bounded") {
     val fps = Seq("a b c", "a b c", "c b a").toDF("t")
       .select(T.fingerprint(T.tokens(col("t")))).as[Long].collect().toSeq

@@ -1200,4 +1200,28 @@ class OperatorsSpec extends SparkSpec {
     jac((1L, 2L)) should be < 0.15
   }
 
+  test("bloomFilteredJoin equals the plain join, prunes in-plan, and refuses unsound types") {
+    import graft.operators.BloomJoin
+    // parquet-backed fact: a local relation would eager-evaluate the
+    // bloom predicate (ConvertToLocalRelation) and hide it from the plan
+    val fdir = java.nio.file.Files.createTempDirectory("graft_bloomjoin_").toString
+    (1 to 2000).map(i => (i.toLong % 97, i.toLong)).toDF("k", "v")
+      .write.mode("overwrite").parquet(fdir)
+    val fact = spark.read.parquet(fdir)
+    val dim = Seq((3L, "a"), (11L, "b"), (96L, "c")).toDF("k", "tag")
+    val out = BloomJoin.bloomFilteredJoin(fact, dim, Seq("k"), expectedDimKeys = 10)
+    canon(out) shouldBe canon(fact.join(dim, Seq("k"), "inner"))
+    // the bloom predicate sits in the fact side of the physical plan
+    out.queryExecution.executedPlan.toString should include("might_contain")
+    // left_semi sound, outer refused
+    canon(BloomJoin.bloomFilteredJoin(fact, dim, Seq("k"), "left_semi",
+      expectedDimKeys = 10)) shouldBe canon(fact.join(dim, Seq("k"), "left_semi"))
+    intercept[IllegalArgumentException] {
+      BloomJoin.bloomFilteredJoin(fact, dim, Seq("k"), "left_outer")
+    }.getMessage should include("unmatched fact rows")
+    // empty dim: inner join is exactly empty (no NPE on a null bloom)
+    BloomJoin.bloomFilteredJoin(fact, dim.limit(0), Seq("k"),
+      expectedDimKeys = 10).count() shouldBe 0L
+  }
+
 }

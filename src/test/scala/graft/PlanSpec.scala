@@ -279,6 +279,19 @@ class PlanSpec extends SparkSpec {
     (p should not).include("SortMergeJoin") // the corpus is never shuffled for the join
   }
 
+  test("q202 bloom join: fact side prefiltered by might_contain before any join shuffle") {
+    val p = plan("q202_bloom_join")
+    p should include("might_contain")       // dim-key bloom inside the fact scan stage
+    (p should not).include("CartesianProduct")
+  }
+
+  test("q201 jw linkage: native jaro_winkler runs as the block-join residual, codegen'd") {
+    val p = plan("q201_jw_linkage")
+    p should include("jaro_winkler")        // the custom expression, not a UDF
+    (p should not).include("BatchEvalPython")
+    (p should not).include("CartesianProduct") // blocked, never all-pairs
+  }
+
   test("q84 fuzzy pairs: hash equi-join on segment blocks, levenshtein verified in the join") {
     val p = plan("q84_fuzzy_pairs")
     (p should not).include("CartesianProduct") // blocking, never all-pairs
