@@ -2111,6 +2111,35 @@ object SparkEntry {
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
     }),
 
+    // §2#62f point-in-time (PIT) join: facts enriched with the
+    // dimension state AS OF each fact's own event time — scd2 builds
+    // the status periods from the profile-update stream (event_id%5),
+    // asofJoin attaches (status, period start) to every other event.
+    // The leakage-safe feature join: never reads a FUTURE dim state.
+    "q203_pit_join" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("tus"), col("event_type"))
+      val periods = operators.Rolling.scd2(
+          ev.filter(col("event_id") % 5 === 0),
+          "user_id", "tus", "event_type", tieCols = Seq("event_id"))
+        .select(col("user_id"), col("value").as("status"),
+          col("valid_from").as("from_us"))
+      val facts = ev.filter(col("event_id") % 5 =!= 0)
+        .select("user_id", "event_id", "tus")
+      operators.AsofJoin.asofJoin(facts, periods, "user_id", "tus", "from_us",
+        Seq("status", "from_us"))
+    }),
+
+    // §2#53t Theil-Sen robust trend: median of pairwise slopes per
+    // user — the OLS companion (q156) with a 29% breakdown point;
+    // exact integer slope quantization + lower-median rank selection.
+    "q204_theil_sen" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"), col("value"))
+      functions.Profile.theilSen(ev, "user_id", "tus", "value")
+    }),
+
     // §2#49c leakage-safe k-fold: fold = md5(user) mod k, every event
     // of a user in ONE fold — the cross-validation form of q191.
     "q195_kfold" -> ((s, dir) => {
@@ -4187,6 +4216,41 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
     },
 
     "q200_ra_links" -> OracleGen.raLinksSql(),
+
+    "q203_pit_join" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus, event_type FROM events),
+         upd AS (SELECT * FROM e WHERE event_id % 5 = 0),
+         r AS (
+           SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+                            OR lag(event_type) OVER w <> event_type
+                          THEN 1 ELSE 0 END AS chg
+           FROM upd WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+         p AS (
+           SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY tus, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS per FROM r),
+         g AS (SELECT user_id, per, MIN(event_type) AS status, MIN(tus) AS from_us
+               FROM p GROUP BY 1, 2),
+         f AS (SELECT user_id, event_id, tus FROM e WHERE event_id % 5 <> 0)
+         SELECT f.user_id, f.event_id, f.tus, g.status, g.from_us
+         FROM f ASOF LEFT JOIN g ON f.user_id = g.user_id AND g.from_us <= f.tus""",
+
+    "q204_theil_sen" ->
+      """WITH e AS (
+           SELECT user_id, epoch_us(ts) AS t,
+             CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vq
+           FROM events),
+         p AS (
+           SELECT a.user_id,
+             (CAST(b.vq - a.vq AS HUGEINT) * 3600000000) // ((b.t - a.t) * 1000) AS sq
+           FROM e a JOIN e b ON a.user_id = b.user_id AND a.t < b.t),
+         r AS (
+           SELECT user_id, CAST(sq AS BIGINT) AS sq,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY sq) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS np
+           FROM p)
+         SELECT user_id, np AS n_pairs, sq AS slope_q,
+           round(CAST(sq AS DOUBLE) / 1000.0, 9) AS slope
+         FROM r WHERE rn = (np + 1) // 2""",
 
     "q201_jw_linkage" ->
       """SELECT a.c_custkey AS k_a, b.c_custkey AS k_b,

@@ -505,6 +505,63 @@ object Profile {
       .select(col(groupCol), col("n"), col("slope"), col("intercept"), col("r2"))
   }
 
+  /** Theil–Sen robust trend: per key, the MEDIAN of all pairwise
+    * slopes (v_j − v_i)/(t_j − t_i) over its time series — the
+    * outlier-immune companion to [[linReg]] (OLS slope moves
+    * arbitrarily far on one corrupted point; the pairwise-slope median
+    * has a 29% breakdown point), the estimator to trust on telemetry
+    * with sensor faults or corpus signals with scraper glitches.
+    *
+    * Pairwise slopes are quadratic per key BY DEFINITION, so the
+    * operator is for bounded per-key series (the events-per-entity
+    * shape) and REFUSES oversized groups loudly (the scorePairs
+    * guard) rather than grinding through a hot key; the pair join and
+    * the median window shuffle on the same key, so the sort reuses
+    * the join's partitioning.
+    *
+    * Exactness: slopes quantize to integer milli-units-per-
+    * `slopeUnitUs` via DECIMAL(38,0) cross-multiplication and ONE
+    * truncating integer division (Spark `div` ≡ DuckDB `//`, both
+    * toward zero — verified, the engines agree on negatives); the
+    * median is the LOWER median (rank (n+1) div 2) of the sorted
+    * quantized slopes — rank selection over exact integers, no
+    * interpolation, no float compare. Same-timestamp pairs are
+    * excluded (slope undefined), documented: a key whose events all
+    * share one timestamp emits nothing.
+    *
+    * Output: (keyCol, n_pairs, slope_q, slope) — slope_q the exact
+    * quantized median, slope = slope_q/1000 in value-units per
+    * `slopeUnitUs` (default: per hour).
+    */
+  def theilSen(df: DataFrame, keyCol: String, timeCol: String, valueCol: String,
+               slopeUnitUs: Long = 3600000000L,
+               maxGroupRows: Long = 10000L): DataFrame = {
+    require(slopeUnitUs > 0, s"slopeUnitUs must be positive, got $slopeUnitUs")
+    val slim = df.select(col(keyCol), col(timeCol).cast("long").as("_t"),
+      floor(col(valueCol) * 1000000L + 0.5).cast("long").as("_vq"))
+    val big = slim.groupBy(keyCol).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > maxGroupRows).limit(1).collect()
+    require(big.isEmpty,
+      s"theilSen: key ${big.headOption.map(_.get(0))} exceeds $maxGroupRows rows — " +
+      "pairwise slopes are quadratic per key; pre-aggregate the series first")
+    val a = slim.select(col(keyCol), col("_t").as("_ta"), col("_vq").as("_va"))
+    val b = slim.select(col(keyCol), col("_t").as("_tb"), col("_vq").as("_vb"))
+    // slope_q in MILLI-value-units per slopeUnitUs: dv is in micro-
+    // units, so the 1e6 quantization and the 1e3 output scale fold
+    // into ONE exact division: (dv_u · U) div (dt · 1000)
+    val pairs = a.join(b, Seq(keyCol)).filter(col("_ta") < col("_tb"))
+      .withColumn("_sq", expr(
+        s"(CAST(_vb - _va AS DECIMAL(38,0)) * ${slopeUnitUs}L) div ((_tb - _ta) * 1000L)"))
+    val wk = Window.partitionBy(keyCol)
+    val ws = wk.orderBy(col("_sq"))
+    pairs
+      .withColumn("_rn", row_number().over(ws))
+      .withColumn("n_pairs", count(lit(1)).over(wk))
+      .filter(col("_rn") === expr("(n_pairs + 1) div 2"))
+      .select(col(keyCol), col("n_pairs"), col("_sq").as("slope_q"),
+        round(col("_sq").cast("double") / 1000.0, 9).as("slope"))
+  }
+
   /** Welch's unequal-variance t statistic between cohorts `a` and `b`
     * of `groupCol` — "did the mean move, beyond what the spread
     * explains?" — the mean-level member of the drift family

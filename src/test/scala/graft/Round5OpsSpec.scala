@@ -15,6 +15,25 @@ import graft.operators.{AsofJoin, Behavior, Multimodal, Rolling}
 class Round5OpsSpec extends SparkSpec {
   import spark.implicits._
 
+  // ---- point-in-time join (scd2 + asof composition) ----
+
+  test("PIT join reads the dim state as of the fact time — never a future state, NULL before the first") {
+    val upd = Seq((1L, 100L, 10L, "A"), (1L, 110L, 20L, "A"), (1L, 105L, 30L, "B"))
+      .toDF("user_id", "event_id", "tus", "event_type")
+    val periods = Rolling.scd2(upd, "user_id", "tus", "event_type", tieCols = Seq("event_id"))
+      .select(col("user_id"), col("value").as("status"), col("valid_from").as("from_us"))
+    // the repeated-A update compresses into ONE period starting at 10
+    periods.collect().map(r => (r.getString(1), r.getLong(2))).sorted shouldBe
+      Seq(("A", 10L), ("B", 30L))
+    val facts = Seq((1L, 1L, 5L), (1L, 2L, 10L), (1L, 3L, 25L), (1L, 4L, 30L), (1L, 5L, 40L))
+      .toDF("user_id", "event_id", "tus")
+    val out = AsofJoin.asofJoin(facts, periods, "user_id", "tus", "from_us",
+        Seq("status", "from_us"))
+      .collect().map(r => r.getLong(1) ->
+        (if (r.isNullAt(3)) null else r.getString(3))).toMap
+    out shouldBe Map(1L -> null, 2L -> "A", 3L -> "A", 4L -> "B", 5L -> "B")
+  }
+
   // ---- dyadic EWMA ----
 
   test("ewmaDyadic matches a driver-computed truncated kernel, incl. short leading frames") {

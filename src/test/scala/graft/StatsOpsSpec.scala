@@ -12,6 +12,53 @@ import graft.functions.Profile
 class StatsOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  // ---- theilSen ----
+
+  test("theilSen recovers a planted slope exactly where one outlier wrecks OLS") {
+    val usH = 3600000000L
+    // clean line: v = 2·hours + 5; one wild outlier at i=7
+    val rows = (1 to 11).map(i =>
+      ("u", i.toLong * usH, if (i == 7) 9000.0 else 2.0 * i + 5.0))
+    val df = rows.toDF("k", "tus", "v")
+    val ts = Profile.theilSen(df, "k", "tus", "v").collect()
+    ts.length shouldBe 1
+    ts.head.getLong(1) shouldBe 55L           // 11 choose 2 pairs
+    ts.head.getLong(2) shouldBe 2000L         // exact milli-units/hour median
+    ts.head.getDouble(3) shouldBe 2.0
+    // OLS on the same series is dragged far from 2 by the outlier
+    val ols = Profile.linReg(df.select(col("k"),
+      (col("tus") / usH).as("x"), col("v")), "k", "x", "v").collect().head.getDouble(2)
+    math.abs(ols - 2.0) should be > 10.0
+  }
+
+  test("theilSen matches a brute-force pairwise-median reference on random series") {
+    val rnd = new scala.util.Random(17)
+    val rows = for (k <- Seq("a", "b"); i <- 1 to 25) yield
+      (k, i.toLong * 60000000L + rnd.nextInt(1000), math.floor(rnd.nextDouble() * 8000 - 4000) / 4)
+    val out = Profile.theilSen(rows.toDF("k", "tus", "v"), "k", "tus", "v")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for (k <- Seq("a", "b")) {
+      val s = rows.filter(_._1 == k)
+      val slopes = (for {
+        (a, i) <- s.zipWithIndex; (b, j) <- s.zipWithIndex if a._2 < b._2 && i != j
+      } yield {
+        val dv = BigInt(math.floor(b._3 * 1e6 + 0.5).toLong - math.floor(a._3 * 1e6 + 0.5).toLong)
+        (dv * 3600000000L / ((b._2 - a._2) * 1000L)).toLong  // BigInt / truncates toward zero
+      }).sorted
+      out(k) shouldBe ((slopes.size.toLong, slopes((slopes.size + 1) / 2 - 1)))
+    }
+  }
+
+  test("theilSen refuses an oversized group and drops same-timestamp pairs") {
+    val big = (1 to 30).map(i => ("k", i.toLong, i.toDouble)).toDF("k", "tus", "v")
+    intercept[IllegalArgumentException] {
+      Profile.theilSen(big, "k", "tus", "v", maxGroupRows = 10)
+    }.getMessage should include("quadratic")
+    // all events at one timestamp: no defined slope, key absent
+    val flat = Seq(("k", 5L, 1.0), ("k", 5L, 2.0), ("k", 5L, 3.0)).toDF("k", "tus", "v")
+    Profile.theilSen(flat, "k", "tus", "v").count() shouldBe 0L
+  }
+
   // ---- linReg ----
 
   test("linReg recovers a planted exact line with r2 = 1") {
