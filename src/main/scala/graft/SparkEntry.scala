@@ -2140,6 +2140,27 @@ object SparkEntry {
       functions.Profile.theilSen(ev, "user_id", "tus", "value")
     }),
 
+    // §2#52p robust scaling: (v − median)/IQR per group, quartiles
+    // from one histogram walk (type-1 inverse ECDF, integer-decided) —
+    // the outlier-immune feature standardization.
+    "q205_robust_scale" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .select("event_id", "event_type", "value")
+      functions.Profile.robustScale(ev, "event_type", "value")
+    }),
+
+    // §2#43d rendezvous (HRW) shard assignment: stateless consistent
+    // placement — the n→n+1 movement audit shows only ~1/(n+1) of
+    // keys move, the property mod-n sharding lacks.
+    "q206_rendezvous" -> ((s, dir) => {
+      val k = col("doc_id").cast("string")
+      t(s, dir, "documents").df.select(
+        col("doc_id"),
+        functions.Layout.rendezvousShard(k, 8).as("shard8"),
+        functions.Layout.rendezvousShard(k, 9).as("shard9"))
+        .withColumn("moved", col("shard8") =!= col("shard9"))
+    }),
+
     // §2#49c leakage-safe k-fold: fold = md5(user) mod k, every event
     // of a user in ONE fold — the cross-validation form of q191.
     "q195_kfold" -> ((s, dir) => {
@@ -4216,6 +4237,48 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
     },
 
     "q200_ra_links" -> OracleGen.raLinksSql(),
+
+    "q205_robust_scale" ->
+      """WITH q AS (
+           SELECT event_id, event_type, value,
+             CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vq
+           FROM events),
+         h AS (SELECT event_type, vq AS v, COUNT(*) AS c FROM q GROUP BY 1, 2),
+         cw AS (
+           SELECT event_type, v,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(c) OVER (PARTITION BY event_type) AS n
+           FROM h),
+         s AS (
+           SELECT event_type,
+             MIN(CASE WHEN cum * 4 >= n THEN v END) AS q1,
+             MIN(CASE WHEN cum * 2 >= n THEN v END) AS med,
+             MIN(CASE WHEN cum * 4 >= n * 3 THEN v END) AS q3
+           FROM cw GROUP BY 1)
+         SELECT q.event_id, q.event_type, q.value,
+           CASE WHEN s.q3 > s.q1 THEN
+             round(CAST(q.vq - s.med AS DOUBLE) / CAST(s.q3 - s.q1 AS DOUBLE), 9)
+           END AS scaled
+         FROM q JOIN s USING (event_type)""",
+
+    "q206_rendezvous" ->
+      """WITH d AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS k FROM documents),
+         h AS (
+           SELECT doc_id, s.s AS s,
+             ('0x' || substr(md5('hrw|' || s.s || '|' || k), 1, 8))::BIGINT AS hv
+           FROM d CROSS JOIN (SELECT unnest(range(0, 9)) AS s) s),
+         m8 AS (SELECT doc_id, MAX(hv) AS mh FROM h WHERE s < 8 GROUP BY 1),
+         a8 AS (
+           SELECT h.doc_id, MAX(h.s) AS shard8 FROM h
+           JOIN m8 ON h.doc_id = m8.doc_id AND h.hv = m8.mh WHERE h.s < 8 GROUP BY 1),
+         m9 AS (SELECT doc_id, MAX(hv) AS mh FROM h GROUP BY 1),
+         a9 AS (
+           SELECT h.doc_id, MAX(h.s) AS shard9 FROM h
+           JOIN m9 ON h.doc_id = m9.doc_id AND h.hv = m9.mh GROUP BY 1)
+         SELECT a8.doc_id, CAST(shard8 AS INT) AS shard8, CAST(shard9 AS INT) AS shard9,
+           shard8 <> shard9 AS moved
+         FROM a8 JOIN a9 ON a8.doc_id = a9.doc_id""",
 
     "q203_pit_join" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus, event_type FROM events),

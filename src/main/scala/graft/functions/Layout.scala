@@ -35,6 +35,35 @@ object Layout {
     }.reduce(_ + _)
   }
 
+  /** Rendezvous (highest-random-weight) shard assignment: key k goes
+    * to argmax over shards s of md5(salt|s|k) — the STATELESS
+    * consistent-placement rule (Thaler–Ravishankar): every reader
+    * computes the same owner with no lookup table, no coordination,
+    * and when the shard count changes n→n+1 only ≈ 1/(n+1) of keys
+    * move (mod-n reshuffles nearly everything). The placement map for
+    * shard-local caches, embedding-index partitions, and sticky
+    * routing — and, content-addressed on md5, re-shard-stable in the
+    * same sense as the sampling family (Tafra.sampleHash).
+    *
+    * Map-only: the argmax folds over a plan-time literal shard
+    * sequence per row (`array_max` over (hash, shard) structs —
+    * struct order compares hash first, shard breaks the ~impossible
+    * md5 tie deterministically); no shuffle, no state. O(n) hashes
+    * per key bounds practical n to the thousands — the regime HRW is
+    * for; ring-based consistent hashing is the log-n alternative when
+    * shards reach the millions, at the cost of a materialized ring.
+    */
+  def rendezvousShard(keyCol: Column, nShards: Int, salt: String = "hrw"): Column = {
+    require(nShards >= 1 && nShards <= 4096,
+      s"nShards must be in [1, 4096] (O(n) hashes per row), got $nShards")
+    val pairs = (0 until nShards).map { s =>
+      struct(
+        Hashing.md5Long32(concat_ws("|", lit(salt), lit(s), keyCol)).as("h"),
+        lit(s).as("s"))
+    }
+    array_max(array(pairs: _*)).getField("s")
+  }
+
   /** Re-cluster a frame on the z-curve of (`aCol`, `bCol`): ONE range
     * exchange on the key (sampled bounds, so files get balanced byte
     * counts) plus an in-partition sort — the standard OPTIMIZE pass a

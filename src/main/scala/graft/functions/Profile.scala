@@ -356,6 +356,47 @@ object Profile {
       .agg(min(col("v")).as("wpct"), max(col("_tot")).as("total_weight"))
   }
 
+  /** Robust scaling (median/IQR standardization) per group: scaled =
+    * (v − median)/(Q3 − Q1) — the feature-normalization transform
+    * that ignores the outliers a z-score is corrupted BY (mean and
+    * stddev both move with the tail; the quartile band does not).
+    * Per-group for the [[winsorize]] reason: one global band
+    * mis-scales every clean domain.
+    *
+    * All three quartiles come from ONE cumulative walk over the
+    * per-(group, value) HISTOGRAM (the [[weightedPercentile]] state
+    * shape with unit weights — scales with distinct values, never
+    * rows), selected by the same type-1 inverse-ECDF convention: the
+    * smallest value whose inclusive count prefix reaches p·n, decided
+    * by integer cross-multiplication (no float boundary). The
+    * group-stats table is group-vocabulary-sized and broadcasts back;
+    * the scaling itself is micro-quantized integer subtraction and
+    * ONE IEEE division, rounded at 1e-9. Zero-IQR groups (over half
+    * the mass on one value) emit NULL — scaling by 0 is undefined and
+    * must not fabricate ±inf features.
+    */
+  def robustScale(df: DataFrame, groupCol: String, valueCol: String,
+                  outCol: String = "scaled"): DataFrame = {
+    val vq = floor(col(valueCol) * 1000000L + 0.5).cast("long")
+    val hist = df.select(col(groupCol), vq.as("_v"))
+      .groupBy(col(groupCol), col("_v")).agg(count(lit(1)).as("_c"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col(groupCol))
+    val cum = hist
+      .withColumn("_cum", sum(col("_c")).over(w))
+      .withColumn("_n", sum(col("_c")).over(tot))
+    val stats = cum.groupBy(col(groupCol)).agg(
+      min(when(col("_cum") * 4 >= col("_n"), col("_v"))).as("_q1"),
+      min(when(col("_cum") * 2 >= col("_n"), col("_v"))).as("_med"),
+      min(when(col("_cum") * 4 >= col("_n") * 3, col("_v"))).as("_q3"))
+    df.join(broadcast(stats), Seq(groupCol))
+      .withColumn(outCol, when(col("_q3") > col("_q1"),
+        round((vq - col("_med")).cast("double") /
+          (col("_q3") - col("_q1")).cast("double"), 9)))
+      .drop("_q1", "_med", "_q3")
+  }
+
   /** Chi-square independence statistic (SURVEY.md §2 #52k): is the
     * CATEGORICAL distribution of `catCol` the same across the cohorts
     * of `cohortCol`? — completing the drift family (KS = numeric

@@ -34,6 +34,32 @@ class Round5OpsSpec extends SparkSpec {
     out shouldBe Map(1L -> null, 2L -> "A", 3L -> "A", 4L -> "B", 5L -> "B")
   }
 
+  // ---- rendezvous hashing ----
+
+  test("rendezvousShard matches a driver md5 argmax reference and moves ~1/(n+1) on growth") {
+    import graft.functions.Layout
+    val keys = (1 to 2000).map(_.toString)
+    val df = keys.toDF("k")
+    val out = df.select(col("k"), Layout.rendezvousShard(col("k"), 8).as("s8"),
+        Layout.rendezvousShard(col("k"), 9).as("s9"))
+      .collect().map(r => r.getString(0) -> (r.getInt(1), r.getInt(2))).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(s: Int, k: String): Long = {
+      val d = md.digest(s"hrw|$s|$k".getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    def ref(k: String, n: Int): Int = (0 until n).maxBy(s => (h(s, k), s))
+    keys.foreach { k => out(k) shouldBe ((ref(k, 8), ref(k, 9))) }
+    // growth 8 -> 9 moves only the keys the new shard wins: ~1/9
+    val moved = keys.count(k => out(k)._1 != out(k)._2)
+    moved.toDouble / keys.size should be < 0.2
+    moved should be > 0
+    // every moved key moved TO the new shard (the HRW minimal-movement law)
+    keys.filter(k => out(k)._1 != out(k)._2).foreach(k => out(k)._2 shouldBe 8)
+    // all 8 shards populated
+    keys.map(k => out(k)._1).distinct.size shouldBe 8
+  }
+
   // ---- dyadic EWMA ----
 
   test("ewmaDyadic matches a driver-computed truncated kernel, incl. short leading frames") {

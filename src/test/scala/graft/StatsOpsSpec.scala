@@ -12,6 +12,29 @@ import graft.functions.Profile
 class StatsOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  // ---- robustScale ----
+
+  test("robustScale matches a driver-computed type-1 quantile reference and is outlier-immune") {
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 200).map(i => ("g", i.toLong, math.floor(rnd.nextDouble() * 5000) / 8)) ++
+      Seq(("g", 900L, 1e9)) ++ // one wild outlier: must not move median/IQR materially
+      (1 to 5).map(i => ("flat", 1000L + i, 42.0)) // zero IQR -> NULL scaled
+    val df = rows.toDF("k", "id", "v")
+    val out = Profile.robustScale(df, "k", "v").collect()
+      .map(r => r.getLong(1) -> (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    // driver reference on the "g" group
+    val vq = rows.filter(_._1 == "g").map(r => math.floor(r._3 * 1e6 + 0.5).toLong).sorted
+    val n = vq.size
+    def typ1(num: Int, den: Int): Long = vq((n * num + den - 1) / den - 1)
+    val (q1, med, q3) = (typ1(1, 4), typ1(1, 2), typ1(3, 4))
+    for (r <- rows.filter(_._1 == "g")) {
+      val x = math.floor(r._3 * 1e6 + 0.5).toLong
+      val exp = math.floor((x - med).toDouble / (q3 - q1).toDouble * 1e9 + 0.5) / 1e9
+      out(r._2).get shouldBe exp +- 1e-12
+    }
+    rows.filter(_._1 == "flat").foreach(r => out(r._2) shouldBe None)
+  }
+
   // ---- theilSen ----
 
   test("theilSen recovers a planted slope exactly where one outlier wrecks OLS") {
