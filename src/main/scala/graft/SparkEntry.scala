@@ -2161,6 +2161,41 @@ object SparkEntry {
         .withColumn("moved", col("shard8") =!= col("shard9"))
     }),
 
+    // §2#50c interval-overlap join: concurrent-validity detection —
+    // per customer, pairs of 31-day order windows that overlap; each
+    // pair emitted exactly once via the overlap-start-cell rule, no
+    // dedup shuffle.
+    "q207_interval_overlap" -> ((s, dir) => {
+      val usDay = 86400000000L
+      def ivs(ka: String, sa: String, ea: String) =
+        t(s, dir, "orders").df.select(
+          col("o_custkey"), col("o_orderkey").as(ka),
+          expr(s"unix_micros(cast(o_orderdate as timestamp)) div $usDay").as(sa))
+          .withColumn(ea, col(sa) + 30)
+      operators.RangeJoin.intervalOverlapJoin(
+          ivs("key_a", "s_a", "e_a"), ivs("key_b", "s_b", "e_b"),
+          Seq("o_custkey"), "s_a", "e_a", "s_b", "e_b", bucket = 32L)
+        .filter(col("key_a") < col("key_b"))
+        .select(col("o_custkey"), col("key_a"), col("key_b"),
+          (least(col("e_a"), col("e_b")) - greatest(col("s_a"), col("s_b")) + 1)
+            .as("ov_days"))
+    }),
+
+    // §2#35j reciprocal-rank fusion: hybrid retrieval — BM25 lexical
+    // top-50 and embedding-cosine top-50 (query = vec 0) fused by
+    // exact integer 1e9 div (60+rank) sums; the score-free combiner
+    // for incommensurable retrievers.
+    "q208_rrf_fusion" -> ((s, dir) => {
+      val lex = functions.TermStats.bm25Rank(
+        t(s, dir, "documents").df, Seq("join", "hash", "scan"), topK = 50)
+        .select(col("doc_id"), col("rank"))
+      val emb = t(s, dir, "embeddings").df
+      val sem = operators.Similarity.bruteForceTopK(
+          emb, emb.filter(col("vec_id") === 0), k = 50)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      operators.Similarity.rrfFuse(Seq(lex, sem), "doc_id", "rank")
+    }),
+
     // §2#49c leakage-safe k-fold: fold = md5(user) mod k, every event
     // of a user in ONE fold — the cross-validation form of q191.
     "q195_kfold" -> ((s, dir) => {
@@ -4237,6 +4272,67 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
     },
 
     "q200_ra_links" -> OracleGen.raLinksSql(),
+
+    "q207_interval_overlap" ->
+      """WITH i AS (
+           SELECT o_custkey, o_orderkey,
+             epoch_us(o_orderdate) // 86400000000 AS s,
+             epoch_us(o_orderdate) // 86400000000 + 30 AS e
+           FROM orders)
+         SELECT a.o_custkey, a.o_orderkey AS key_a, b.o_orderkey AS key_b,
+           least(a.e, b.e) - greatest(a.s, b.s) + 1 AS ov_days
+         FROM i a JOIN i b
+           ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+           AND a.s <= b.e AND b.s <= a.e""",
+
+    "q208_rrf_fusion" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+           FROM documents),
+         tot AS (
+           SELECT CAST(SUM(len(w)) AS BIGINT) AS nt, COUNT(*) AS nd FROM toks),
+         tfc AS (
+           SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, unnest(w) AS term
+           FROM toks),
+         tfg AS (
+           SELECT doc_id, dl, term, COUNT(*) AS tf
+           FROM tfc WHERE term IN ('join', 'hash', 'scan') GROUP BY 1, 2, 3),
+         dft AS (
+           SELECT term,
+             CAST(ln((CAST((SELECT nd FROM tot) AS DOUBLE) - COUNT(*) + 0.5)
+               / (COUNT(*) + 0.5) + 1.0) AS DECIMAL(20,6)) AS idf
+           FROM tfg GROUP BY 1),
+         sc AS (
+           SELECT tfg.doc_id,
+             CAST(CAST(idf AS DOUBLE) * (tf * 2.5)
+               / (tf + 1.5 * (0.25 + 0.75 * dl
+                   / (CAST((SELECT nt FROM tot) AS DOUBLE) / CAST((SELECT nd FROM tot) AS DOUBLE))))
+               AS DECIMAL(20,9)) AS c
+           FROM tfg JOIN dft ON tfg.term = dft.term),
+         lex AS (
+           SELECT doc_id, rank FROM (
+             SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY SUM(c) DESC, doc_id) AS INT) AS rank
+             FROM sc GROUP BY doc_id)
+           WHERE rank <= 50),
+         sem AS (
+           SELECT doc_id, rank FROM (
+             SELECT c.vec_id AS doc_id,
+               CAST(ROW_NUMBER() OVER (
+                 ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                          c.vec_id) AS INT) AS rank
+             FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+             WHERE q.vec_id = 0)
+           WHERE rank <= 50),
+         u AS (SELECT doc_id, rank FROM lex UNION ALL SELECT doc_id, rank FROM sem),
+         f AS (
+           SELECT doc_id, CAST(SUM(1000000000 // (60 + rank)) AS BIGINT) AS rrf_q,
+             COUNT(*) AS n_rankers
+           FROM u GROUP BY 1)
+         SELECT doc_id, rrf_q, n_rankers, fused_rank FROM (
+           SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY rrf_q DESC, doc_id) AS INT) AS fused_rank
+           FROM f)
+         WHERE fused_rank <= 20""",
 
     "q205_robust_scale" ->
       """WITH q AS (

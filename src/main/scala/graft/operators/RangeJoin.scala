@@ -135,4 +135,59 @@ object RangeJoin {
       .filter(col(sCol) <= col(tCol) && col(tCol) <= col(eCol))
       .drop("_bucket")
   }
+
+  /** Interval×interval OVERLAP join: all pairs of [ls,le] × [rs,re]
+    * spans sharing equi-keys with a non-empty closed-interval overlap
+    * (ls ≤ re AND rs ≤ le) — concurrent-session detection, validity-
+    * period conflicts, booking collisions. Completes the interval
+    * family: [[intervalJoin]] is point-in-span, `Rolling
+    * .mergeIntervals` is span-union; this is span-meets-span.
+    *
+    * Scale shape: BOTH sides explode to their gap-width cells and
+    * hash-equi-join on (keys, cell) — same shuffle key as
+    * intervalJoin, hot keys spread by time. An overlapping pair
+    * shares every cell in the overlap, so naive cell-join output
+    * needs a dedup shuffle; instead each pair is emitted EXACTLY ONCE
+    * with zero extra shuffle by keeping only the cell containing
+    * max(ls, rs) — the overlap's first instant, which lies in both
+    * spans by definition, so its cell is always in both cell lists.
+    * Degenerate spans fail LOUDLY (the intervalJoin guard: e < s and
+    * spans past `maxSpanBuckets` raise, never go quadratic); the
+    * join strategy is picked from an un-exploded count for the same
+    * driver-safety reason as intervalJoin.
+    *
+    * Non-key columns of the two sides must be disjoint (caller
+    * aliases); self-joins pass the same frame twice with aliased
+    * payloads and filter an id order afterwards.
+    */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                          lsCol: String, leCol: String, rsCol: String, reCol: String,
+                          bucket: Long, maxSpanBuckets: Int = 1024,
+                          broadcastMaxIntervals: Long = 500000L): DataFrame = {
+    require(bucket > 0, s"bucket must be positive, got $bucket")
+    val dup = left.columns.toSet.intersect(right.columns.toSet) -- keyCols
+    require(dup.isEmpty, s"non-key columns must be disjoint; shared: $dup")
+    def explodeCells(df: DataFrame, s: String, e: String): DataFrame = {
+      val b0 = bucketOf(col(s), bucket)
+      val b1 = bucketOf(col(e), bucket)
+      val guarded = when(col(e) < col(s),
+          raise_error(format_string(
+            s"intervalOverlapJoin: interval end < start (%s < %s)", col(e), col(s))).cast("long"))
+        .when(b1 - b0 > maxSpanBuckets,
+          raise_error(format_string(
+            s"intervalOverlapJoin: interval spans %s buckets (> $maxSpanBuckets) — widen `bucket` or split outlier spans",
+            (b1 - b0).cast("string"))).cast("long"))
+        .otherwise(b1)
+      df.withColumn("_bucket", explode(sequence(b0, guarded)))
+    }
+    val lb = explodeCells(left, lsCol, leCol)
+    val rb = explodeCells(right, rsCol, reCol)
+    val rbSized =
+      if (right.count() <= broadcastMaxIntervals) broadcast(rb)
+      else rb.hint("merge")
+    lb.join(rbSized, keyCols :+ "_bucket")
+      .filter(col(lsCol) <= col(reCol) && col(rsCol) <= col(leCol) &&
+        col("_bucket") === bucketOf(greatest(col(lsCol), col(rsCol)), bucket))
+      .drop("_bucket")
+  }
 }

@@ -699,4 +699,37 @@ object Similarity {
            sum(col("dv") * col("dv")).as("dd"))
       .select(col("vec_id"), (col("dot") / sqrt(col("nn") * col("dd"))).as("cos"))
   }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher SIGIR'09): merge
+    * ranked lists from heterogeneous retrievers — lexical BM25,
+    * embedding ANN, recency — into one ranking by summing 1/(k+rank)
+    * per document. The standard hybrid-search combiner BECAUSE it is
+    * score-free: BM25 scores and cosine similarities are
+    * incommensurable, ranks always fuse.
+    *
+    * Exactness: each term quantizes to the exact integer
+    * 10⁹ div (k+rank) (the RA-index rule: a 1/(k+r) double sum would
+    * hang on addition order), so the fused score is an
+    * order-insensitive integer sum — engine-identical, hash-stable.
+    *
+    * Scale shape: input lists are top-K artifacts (retriever outputs,
+    * not corpora) — one union + one partial agg keyed by doc; the
+    * final top-`topK` is the q161 WindowGroupLimit-pushed global rank
+    * over an aggregate already bounded by Σ|lists|.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, rankCol: String,
+              kRrf: Int = 60, topK: Int = 20): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse: no rankings")
+    require(kRrf >= 1 && topK >= 1, s"need kRrf>=1, topK>=1; got $kRrf/$topK")
+    val tagged = rankings.map(df =>
+      df.select(col(idCol), col(rankCol).cast("long").as("_r")))
+      .reduce(_.unionByName(_))
+    tagged
+      .groupBy(idCol)
+      .agg(sum(expr(s"1000000000L div (${kRrf}L + _r)")).as("rrf_q"),
+           count(lit(1)).as("n_rankers"))
+      .withColumn("fused_rank", row_number().over(
+        Window.orderBy(col("rrf_q").desc, col(idCol))).cast("int"))
+      .filter(col("fused_rank") <= topK)
+  }
 }

@@ -1200,6 +1200,52 @@ class OperatorsSpec extends SparkSpec {
     jac((1L, 2L)) should be < 0.15
   }
 
+  test("intervalOverlapJoin matches brute force with each pair emitted exactly once") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    // random spans incl. negative times, widths 0..~3 buckets at bucket=16
+    val spans = (1 to 120).map { i =>
+      val s = rnd.nextInt(400) - 200L
+      (s"k${i % 4}", i.toLong, s, s + rnd.nextInt(50))
+    }
+    val l = spans.toDF("k", "id_a", "s_a", "e_a")
+    val r = spans.map { case (k, i, s, e) => (k, i, s, e) }.toDF("k", "id_b", "s_b", "e_b")
+    val out = RangeJoin.intervalOverlapJoin(l, r, Seq("k"),
+        "s_a", "e_a", "s_b", "e_b", bucket = 16L)
+      .filter(col("id_a") < col("id_b"))
+      .select("k", "id_a", "id_b")
+      .collect().map(row => (row.getString(0), row.getLong(1), row.getLong(2)))
+    val expected = for {
+      a <- spans; b <- spans
+      if a._1 == b._1 && a._2 < b._2 && a._3 <= b._4 && b._3 <= a._4
+    } yield (a._1, a._2, b._2)
+    out.sorted shouldBe expected.sorted        // exact pair set...
+    out.length shouldBe out.distinct.length    // ...each emitted once, no dedup pass
+  }
+
+  test("intervalOverlapJoin refuses degenerate and runaway spans loudly") {
+    import spark.implicits._
+    val l = Seq(("k", 1L, 10L, 5L)).toDF("k", "id_a", "s_a", "e_a") // end < start
+    val r = Seq(("k", 2L, 0L, 1L)).toDF("k", "id_b", "s_b", "e_b")
+    val ex = intercept[Exception] {
+      RangeJoin.intervalOverlapJoin(l, r, Seq("k"), "s_a", "e_a", "s_b", "e_b", 16L).collect()
+    }
+    ex.getMessage should include("end < start")
+  }
+
+  test("rrfFuse fuses ranked lists by exact reciprocal-rank integers") {
+    import graft.operators.Similarity
+    val l1 = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
+    val l2 = Seq((20L, 1), (40L, 2)).toDF("id", "rank")
+    val out = Similarity.rrfFuse(Seq(l1, l2), "id", "rank", kRrf = 60, topK = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getInt(3))).toMap
+    def t(r: Int) = 1000000000L / (60 + r)
+    out(20L) shouldBe ((t(2) + t(1), 2L, 1))  // in both lists: fused first
+    out(10L) shouldBe ((t(1), 1L, 2))
+    out(40L) shouldBe ((t(2), 1L, 3))
+    out(30L) shouldBe ((t(3), 1L, 4))
+  }
+
   test("bloomFilteredJoin equals the plain join, prunes in-plan, and refuses unsound types") {
     import graft.operators.BloomJoin
     // parquet-backed fact: a local relation would eager-evaluate the
