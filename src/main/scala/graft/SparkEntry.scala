@@ -2196,6 +2196,32 @@ object SparkEntry {
       operators.Similarity.rrfFuse(Seq(lex, sem), "doc_id", "rank")
     }),
 
+    // §2#45d Neyman-allocation stratified sample: budget ∝ N_h·σ_h
+    // (the survey-sampling optimum), largest-remainder apportionment
+    // entirely in integers, md5-rank selection within strata.
+    "q209_neyman" -> ((s, dir) =>
+      functions.Profile.neymanSample(
+        t(s, dir, "documents").df.select(col("source"), col("doc_id"),
+          size(functions.TextFunctions.tokens(col("text"))).cast("double").as("nt")),
+        "source", "nt", totalN = 120L, idCol = "doc_id")),
+
+    // §2#53u time-decay attribution: every lookback touch credited
+    // 2^(−half-lives) of the conversion — dyadic weights, exact
+    // integer normalization, completing last-touch (q133).
+    "q210_decay_attribution" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+          col("event_type"), col("value"))
+      val conv = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("tus"), col("value"))
+      val touches = ev.filter(col("event_type") =!= "purchase")
+        .groupBy(col("user_id"), col("tus"))
+        .agg(max(col("event_type")).as("channel"))
+      operators.Behavior.timeDecayAttribution(conv, touches,
+        "user_id", "tus", "channel", "value",
+        lookbackUs = 604800000000L, halflifeUs = 86400000000L)
+    }),
+
     // §2#49c leakage-safe k-fold: fold = md5(user) mod k, every event
     // of a user in ONE fold — the cross-validation form of q191.
     "q195_kfold" -> ((s, dir) => {
@@ -4272,6 +4298,80 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
     },
 
     "q200_ra_links" -> OracleGen.raLinksSql(),
+
+    "q209_neyman" ->
+      """WITH v AS (
+           SELECT source, doc_id,
+             CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS nt
+           FROM documents),
+         q AS (
+           SELECT source, doc_id,
+             CAST(floor(CAST(nt AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS vq
+           FROM v),
+         m AS (
+           SELECT source, COUNT(*) AS n_rows,
+             SUM(CAST(vq AS HUGEINT)) AS sq, SUM(CAST(vq AS HUGEINT) * vq) AS sq2
+           FROM q GROUP BY 1),
+         w AS (
+           SELECT source, n_rows,
+             CASE WHEN n_rows >= 2 THEN
+               sqrt(CAST(n_rows*sq2 - sq*sq AS DOUBLE)
+                 / (CAST(n_rows*(n_rows-1) AS DOUBLE) * 1e12))
+             ELSE 0.0 END AS sigma
+           FROM m),
+         wq AS (
+           SELECT source, n_rows,
+             CAST(floor(CAST(n_rows AS DOUBLE) * sigma * 1e6 + 0.5) AS BIGINT) AS wq0
+           FROM w),
+         tw AS (SELECT *, SUM(wq0) OVER () AS tw0, COUNT(*) OVER () AS ns FROM wq),
+         ww AS (
+           SELECT source, n_rows,
+             CASE WHEN tw0 > 0 THEN wq0 ELSE 1 END AS wqe,
+             CASE WHEN tw0 > 0 THEN CAST(tw0 AS BIGINT) ELSE ns END AS twe
+           FROM tw),
+         ap AS (
+           SELECT source, n_rows,
+             (120 * wqe) // twe AS base, (120 * wqe) % twe AS rem
+           FROM ww),
+         rk AS (
+           SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk,
+             120 - SUM(base) OVER () AS leftover
+           FROM ap),
+         al AS (
+           SELECT source, n_rows,
+             LEAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END, n_rows) AS alloc
+           FROM rk),
+         rn AS (
+           SELECT source, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+           FROM q)
+         SELECT rn.source, rn.doc_id, al.n_rows, CAST(al.alloc AS BIGINT) AS alloc
+         FROM rn JOIN al ON rn.source = al.source WHERE rn.rn <= al.alloc""",
+
+    "q210_decay_attribution" ->
+      """WITH e AS (
+           SELECT user_id, epoch_us(ts) AS tus, event_type, value FROM events),
+         conv AS (
+           SELECT user_id, tus AS ct, SUM(value) AS cv FROM e
+           WHERE event_type = 'purchase' GROUP BY 1, 2),
+         tch AS (
+           SELECT user_id, tus AS tt, MAX(event_type) AS ch FROM e
+           WHERE event_type <> 'purchase' GROUP BY 1, 2),
+         p AS (
+           SELECT c.user_id, c.ct, c.cv, t.ch,
+             (c.ct - t.tt) // 86400000000 AS b
+           FROM conv c JOIN tch t ON c.user_id = t.user_id
+             AND t.tt <= c.ct AND c.ct - t.tt <= 604800000000),
+         w AS (SELECT *, CAST(power(2.0, 7 - b) AS BIGINT) AS wt FROM p),
+         sw AS (SELECT *, SUM(wt) OVER (PARTITION BY user_id, ct) AS swt FROM w),
+         cr AS (
+           SELECT ch,
+             CAST(cv * CAST(wt AS DOUBLE) / CAST(swt AS DOUBLE) AS DECIMAL(18,6)) AS credit
+           FROM sw)
+         SELECT ch AS channel, COUNT(*) AS n_credits,
+           CAST(SUM(credit) AS DOUBLE) AS total_credit
+         FROM cr GROUP BY 1""",
 
     "q207_interval_overlap" ->
       """WITH i AS (

@@ -397,6 +397,76 @@ object Profile {
       .drop("_q1", "_med", "_q3")
   }
 
+  /** Neyman-allocation stratified sampling: a fixed total budget of
+    * `totalN` rows split across strata PROPORTIONAL TO N_h·σ_h — the
+    * survey-sampling optimum (minimum-variance estimate of the
+    * population mean for a fixed budget): big AND noisy strata earn
+    * samples, huge-but-constant strata don't (equal or proportional
+    * allocation wastes budget on them). The eval-set constructor for
+    * heterogeneous corpora.
+    *
+    * Exactness: σ_h comes from the momentsState power sums (exact
+    * integers to one IEEE sqrt); the weights then QUANTIZE to integer
+    * micro-units so every subsequent step is integer arithmetic —
+    * critically the weight TOTAL (a float Σw_h is addition-order-
+    * sensitive across engines; the quantized sum is not). The budget
+    * apportions by the largest-remainder method entirely in integers:
+    * base_h = N·w_h div W, leftover = N − Σbase goes to the largest
+    * remainders (rem desc, stratum asc ties). Allocations cap at the
+    * stratum size (no redistribution pass — a second Neyman round on
+    * the residual is the caller's loop, documented).
+    *
+    * Selection within a stratum is md5-rank content addressing (the
+    * sampling-family rule: engine-portable, re-shard-stable, and
+    * nested — growing totalN keeps every previously selected row).
+    *
+    * Scale shape: one partial-agg moments pass; the strata table is
+    * vocabulary-sized (windows over it are free) and broadcasts back;
+    * selection is one per-stratum rank window with WindowGroupLimit
+    * pushdown from the rn ≤ alloc filter.
+    */
+  def neymanSample(df: DataFrame, stratumCol: String, valueCol: String,
+                   totalN: Long, idCol: String): DataFrame = {
+    require(totalN > 0, s"totalN must be positive, got $totalN")
+    val q = floor(col(valueCol).cast("double") * 1e6 + lit(0.5)).cast("long")
+    val m = df.groupBy(col(stratumCol)).agg(
+      count(lit(1)).as("n_rows"),
+      sum(q).cast("decimal(38,0)").as("_sq"),
+      sum(q.cast("decimal(19,0)") * q).cast("decimal(38,0)").as("_sq2"))
+    val n = col("n_rows")
+    val num = (n.cast("decimal(38,0)") * col("_sq2") - col("_sq") * col("_sq"))
+      .cast("decimal(38,0)")
+    val sigma = when(n >= 2,
+      sqrt(num.cast("double") / ((n * (n - lit(1L))).cast("double") * lit(1e12))))
+      .otherwise(lit(0.0))
+    val wq = floor(n.cast("double") * sigma * 1e6 + lit(0.5)).cast("long")
+    val all = Window.partitionBy()
+    val byRem = Window.orderBy(col("_rem").desc, col(stratumCol))
+    val alloc = m
+      .withColumn("_wq0", wq)
+      .withColumn("_tw0", sum(col("_wq0")).over(all))
+      // all-constant strata (zero total weight) degrade to EQUAL
+      // allocation rather than a 0/0 — deterministic, oracle-mirrored
+      .withColumn("_wq", when(col("_tw0") > 0, col("_wq0")).otherwise(lit(1L)))
+      .withColumn("_tw", when(col("_tw0") > 0, col("_tw0"))
+        .otherwise(count(lit(1)).over(all)))
+      .withColumn("_base", expr(s"(${totalN}L * _wq) div _tw"))
+      .withColumn("_rem", expr(s"(${totalN}L * _wq) % _tw"))
+      .withColumn("_left", lit(totalN) - sum(col("_base")).over(all))
+      .withColumn("_rk", row_number().over(byRem))
+      .withColumn("alloc", least(
+        col("_base") + when(col("_rk") <= col("_left"), 1L).otherwise(0L),
+        col("n_rows")))
+      .select(col(stratumCol), col("n_rows"), col("alloc"))
+    val rank = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.select(col(stratumCol), col(idCol))
+      .withColumn("_rn", row_number().over(rank))
+      .join(broadcast(alloc), Seq(stratumCol))
+      .filter(col("_rn") <= col("alloc"))
+      .select(col(stratumCol), col(idCol), col("n_rows"), col("alloc"))
+  }
+
   /** Chi-square independence statistic (SURVEY.md §2 #52k): is the
     * CATEGORICAL distribution of `catCol` the same across the cohorts
     * of `cohortCol`? — completing the drift family (KS = numeric

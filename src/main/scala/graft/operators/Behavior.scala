@@ -257,6 +257,58 @@ object Behavior {
            sum(col(valueCol).cast("decimal(18,4)")).cast("double").as("total_value"))
   }
 
+  /** Time-decay multi-touch attribution: every touchpoint in the
+    * lookback window shares a conversion's value, weighted by 2^(−b)
+    * for b = elapsed half-lives — the industry-standard decay model
+    * completing [[lastTouchAttribution]] (which gives 100% to one
+    * touch). Decay pinned DYADIC (the ewmaDyadic rule): each weight is
+    * an exact power of two from an integer bucket count, the
+    * per-conversion weight total is an exact integer sum, and the only
+    * floats are one multiply and one divide per touch in
+    * oracle-mirrored order — then per-touch credits quantize to
+    * DECIMAL(18,6) BEFORE the per-channel sum (order-insensitive at
+    * any parallelism, the q71 rule).
+    *
+    * Scale shape: conversions first collapse to (key, time) grain
+    * (one partial agg — the conversion identity the weight
+    * normalization groups by, so duplicate-timestamp purchases merge
+    * rather than double-credit); the conversion×touch pairing is
+    * [[RangeJoin.bandJoin]]'s gap-bucket equi-join (shuffle keyed
+    * (key, time-cell), hot users spread by time — never a per-key
+    * quadratic blowup past the window); Σw per conversion is a window
+    * over the SAME key partitioning.
+    *
+    * `lookbackUs` must be a multiple of `halflifeUs`, with at most 32
+    * half-lives (weights 2^32 stay exact longs and a touch older than
+    * 32 half-lives credits < 1e-9 of the value — cut it off, don't
+    * carry it).
+    */
+  def timeDecayAttribution(conversions: DataFrame, touches: DataFrame,
+                           keyCol: String, timeCol: String,
+                           channelCol: String, valueCol: String,
+                           lookbackUs: Long, halflifeUs: Long): DataFrame = {
+    require(halflifeUs > 0 && lookbackUs > 0 && lookbackUs % halflifeUs == 0,
+      s"lookbackUs must be a positive multiple of halflifeUs; got $lookbackUs/$halflifeUs")
+    val h = (lookbackUs / halflifeUs).toInt
+    require(h >= 1 && h <= 32, s"at most 32 half-lives in the lookback, got $h")
+    val conv = conversions.groupBy(col(keyCol), col(timeCol).as("_ct"))
+      .agg(sum(col(valueCol)).as("_cv"))
+    val tch = touches.select(col(keyCol), col(timeCol).as("_tt"), col(channelCol).as("_ch"))
+    val paired = RangeJoin.bandJoin(conv, tch, Seq(keyCol), "_ct", "_tt", lookbackUs)
+      .filter(col("_tt") <= col("_ct"))
+      .withColumn("_b", expr(s"(_ct - _tt) div ${halflifeUs}L"))
+      .withColumn("_w", expr(s"cast(pow(2.0, $h - _b) as bigint)"))
+    val wc = Window.partitionBy(col(keyCol), col("_ct"))
+    paired
+      .withColumn("_sw", sum(col("_w")).over(wc))
+      .withColumn("_credit",
+        ((col("_cv") * col("_w").cast("double")) / col("_sw").cast("double"))
+          .cast("decimal(18,6)"))
+      .groupBy(col("_ch").as("channel"))
+      .agg(count(lit(1)).as("n_credits"),
+           sum(col("_credit")).cast("double").as("total_credit"))
+  }
+
   /** Retention cohorts: users grouped by their FIRST active day, a
     * row per (cohort day, day offset) with the count of cohort users
     * active that day — the retention-curve table.

@@ -34,6 +34,43 @@ class Round5OpsSpec extends SparkSpec {
     out shouldBe Map(1L -> null, 2L -> "A", 3L -> "A", 4L -> "B", 5L -> "B")
   }
 
+  // ---- time-decay attribution ----
+
+  test("timeDecayAttribution credits by exact dyadic half-life weights within the lookback") {
+    import graft.operators.Behavior
+    val day = 86400000000L
+    val conv = Seq((1L, 10L * day, 90.0)).toDF("user_id", "tus", "value")
+    val touches = Seq(
+      (1L, 10L * day, "same_instant"),   // delta 0   -> w = 2^7 = 128
+      (1L, 9L * day, "one_day"),          // delta 1d  -> w = 2^6 = 64
+      (1L, 8L * day, "two_days"),         // delta 2d  -> w = 2^5 = 32
+      (1L, 2L * day, "too_old"),          // delta 8d  -> outside lookback
+      (1L, 11L * day, "future")           // after the conversion: never credited
+    ).toDF("user_id", "tus", "channel")
+    val out = Behavior.timeDecayAttribution(conv, touches, "user_id", "tus",
+        "channel", "value", lookbackUs = 7L * day, halflifeUs = day)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // sw = 128 + 64 + 32 = 224; credits: 90·128/224, 90·64/224, 90·32/224
+    out.keySet shouldBe Set("same_instant", "one_day", "two_days")
+    out("same_instant")._2 shouldBe (90.0 * 128 / 224) +- 1e-6
+    out("one_day")._2 shouldBe (90.0 * 64 / 224) +- 1e-6
+    out("two_days")._2 shouldBe (90.0 * 32 / 224) +- 1e-6
+    // total credit conserves the conversion value
+    out.values.map(_._2).sum shouldBe 90.0 +- 1e-5
+  }
+
+  test("timeDecayAttribution merges duplicate-timestamp conversions before crediting") {
+    import graft.operators.Behavior
+    val day = 86400000000L
+    val conv = Seq((1L, 5L * day, 10.0), (1L, 5L * day, 20.0)).toDF("user_id", "tus", "value")
+    val touches = Seq((1L, 4L * day, "ch")).toDF("user_id", "tus", "channel")
+    val out = Behavior.timeDecayAttribution(conv, touches, "user_id", "tus",
+        "channel", "value", 7L * day, day).collect()
+    out.length shouldBe 1
+    out.head.getLong(1) shouldBe 1L            // ONE credit row, not two
+    out.head.getDouble(2) shouldBe 30.0 +- 1e-6
+  }
+
   // ---- rendezvous hashing ----
 
   test("rendezvousShard matches a driver md5 argmax reference and moves ~1/(n+1) on growth") {

@@ -12,6 +12,56 @@ import graft.functions.Profile
 class StatsOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  // ---- neymanSample ----
+
+  test("neymanSample apportions by N_h*sigma_h with exact largest-remainder and caps at stratum size") {
+    // stratum "noisy": 40 rows, high spread; "calm": 40 rows, tiny
+    // spread; "flat": 40 constant rows (sigma 0 -> weight 0);
+    // "tiny": 3 high-spread rows (cap binds)
+    val rnd = new scala.util.Random(31)
+    val rows =
+      (1 to 40).map(i => ("noisy", 1000L + i, math.floor(rnd.nextDouble() * 10000) / 2)) ++
+      (1 to 40).map(i => ("calm", 2000L + i, 100.0 + (i % 2))) ++
+      (1 to 40).map(i => ("flat", 3000L + i, 7.0)) ++
+      (1 to 3).map(i => ("tiny", 4000L + i, if (i == 1) 0.0 else i * 4000.0))
+    val df = rows.toDF("src", "id", "v")
+    val out = Profile.neymanSample(df, "src", "v", totalN = 30L, idCol = "id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val alloc = out.map(t => t._1 -> t._4).toMap
+    // driver reference: same power sums, same apportionment
+    def wq(s: String): Long = {
+      val vs = rows.filter(_._1 == s).map(r => math.floor(r._3 * 1e6 + 0.5).toLong)
+      val n = vs.size
+      val (sq, sq2) = (vs.map(BigInt(_)).sum, vs.map(x => BigInt(x) * x).sum)
+      val sigma = if (n < 2) 0.0
+        else math.sqrt((BigInt(n) * sq2 - sq * sq).toDouble / ((n.toLong * (n - 1)).toDouble * 1e12))
+      math.floor(n.toDouble * sigma * 1e6 + 0.5).toLong
+    }
+    val strata = Seq("calm", "flat", "noisy", "tiny")
+    val ws = strata.map(s => s -> wq(s)).toMap
+    val tw = ws.values.sum
+    val base = strata.map(s => s -> 30L * ws(s) / tw).toMap
+    val rem = strata.map(s => s -> 30L * ws(s) % tw)
+    val leftover = 30L - base.values.sum
+    val plusOne = rem.sortBy { case (s, r) => (-r, s) }.take(leftover.toInt).map(_._1).toSet
+    for (s <- strata) {
+      val expected = math.min(base(s) + (if (plusOne(s)) 1L else 0L),
+        rows.count(_._1 == s).toLong)
+      alloc.getOrElse(s, 0L) shouldBe expected
+    }
+    // selected count per stratum == alloc; selection is md5-nested
+    out.groupBy(_._1).foreach { case (s, rs) => rs.size.toLong shouldBe alloc(s) }
+    val out20 = Profile.neymanSample(df, "src", "v", totalN = 20L, idCol = "id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // a smaller budget's per-stratum picks nest inside the larger's
+    val sel30 = out.map(t => (t._1, t._2)).toSet
+    val byS30 = sel30.groupBy(_._1); val byS20 = out20.groupBy(_._1)
+    byS20.foreach { case (s, picks) =>
+      if (byS30.contains(s) && picks.size <= byS30(s).size)
+        assert(picks.subsetOf(byS30(s)), s"stratum $s picks not nested")
+    }
+  }
+
   // ---- robustScale ----
 
   test("robustScale matches a driver-computed type-1 quantile reference and is outlier-immune") {
