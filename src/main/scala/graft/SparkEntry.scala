@@ -2222,6 +2222,35 @@ object SparkEntry {
         lookbackUs = 604800000000L, halflifeUs = 86400000000L)
     }),
 
+    // §2#21c ORC roundtrip: the Hive-ecosystem columnar format as a
+    // first-class sink/source (toOrc/readOrc) — the written stripes
+    // must read back to EXACTLY the parquet-derived oracle result.
+    "q211_orc" -> ((s, dir) => {
+      val out = "/tmp/graft_orc_rt"
+      new core.Tafra(t(s, dir, "lineitem").df
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")).toOrc(out)
+      core.Tafra.readOrc(s, out).df
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          max(col("l_orderkey")).as("max_key"))
+    }),
+
+    // §2#62g bitemporal as-of: the state known at tx time T about
+    // validity time V — two-axis time travel over the change feed
+    // (events as (key, valid=tus, tx=event_id, payload)).
+    "q212_bitemporal" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .select(col("user_id"), unix_micros(col("ts")).as("valid_from"),
+          col("event_id").as("tx"), col("event_type").as("status"), col("value"))
+      val b = ev.agg(expr("max(tx) div 2").as("_tmax"),
+        (max(col("valid_from")) - lit(604800000000L)).as("_vmax"))
+      operators.Upsert.bitemporalAsOf(
+          ev.crossJoin(broadcast(b)), "user_id", "valid_from", "tx",
+          txAt = col("_tmax"), validAt = col("_vmax"))
+        .select("user_id", "valid_from", "tx", "status", "value")
+    }),
+
     // §2#49c leakage-safe k-fold: fold = md5(user) mod k, every event
     // of a user in ONE fold — the cross-validation form of q191.
     "q195_kfold" -> ((s, dir) => {
@@ -4298,6 +4327,27 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
     },
 
     "q200_ra_links" -> OracleGen.raLinksSql(),
+
+    "q211_orc" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           MAX(l_orderkey) AS max_key
+         FROM lineitem GROUP BY 1""",
+
+    "q212_bitemporal" ->
+      """WITH e AS (
+           SELECT user_id, epoch_us(ts) AS valid_from, event_id AS tx,
+             event_type AS status, value
+           FROM events),
+         b AS (
+           SELECT MAX(tx) // 2 AS tmax, MAX(valid_from) - 604800000000 AS vmax
+           FROM e),
+         f AS (SELECT e.* FROM e, b WHERE tx <= tmax AND valid_from <= vmax),
+         r AS (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+             ORDER BY valid_from DESC, tx DESC) AS rn
+           FROM f)
+         SELECT user_id, valid_from, tx, status, value FROM r WHERE rn = 1""",
 
     "q209_neyman" ->
       """WITH v AS (

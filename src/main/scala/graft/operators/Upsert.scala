@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -96,6 +96,35 @@ object Upsert {
     val out = slim(oldDf, "old").join(slim(newDf, "new"), Seq(keyCol), "full_outer")
       .select(col(keyCol), change.as("change"))
     if (keepSame) out else out.filter(col("change") =!= "same")
+  }
+
+  /** Bitemporal as-of reconstruction: the state the system BELIEVED at
+    * transaction time `txAt` about validity time `validAt` — the
+    * two-axis time travel (Snodgrass; SQL:2011 temporal) that CDC
+    * apply (one axis: tx) and SCD2 periods (one axis: validity) each
+    * give half of. The audit question it answers: "what did the
+    * feature store say on March 1st about the user's state on
+    * February 1st?" — indispensable once late-arriving corrections
+    * exist, because the corrected history and the as-known-then
+    * history differ exactly where a training/serving skew audit needs
+    * to look.
+    *
+    * Per key: among changes with tx ≤ txAt (known by then) and
+    * valid_from ≤ validAt (effective by then), the one with the
+    * LATEST validity wins; among same-validity rows the latest tx
+    * wins (a correction to the same effective instant supersedes).
+    *
+    * Scale shape: the temporal filters are scan predicates (pushed to
+    * the source); the winner is ONE per-key window with
+    * WindowGroupLimit pushdown from rn = 1 — the applyChanges winner
+    * shape, shuffles sized by the SURVIVING change feed.
+    */
+  def bitemporalAsOf(changes: DataFrame, keyCol: String, validCol: String,
+                     txCol: String, txAt: Column, validAt: Column): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(validCol).desc, col(txCol).desc)
+    changes.filter(col(txCol) <= txAt && col(validCol) <= validAt)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
   }
 
   /** Canonical mergeable aggregate state per key over `valueCol`:

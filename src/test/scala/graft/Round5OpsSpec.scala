@@ -34,6 +34,38 @@ class Round5OpsSpec extends SparkSpec {
     out shouldBe Map(1L -> null, 2L -> "A", 3L -> "A", 4L -> "B", 5L -> "B")
   }
 
+  // ---- bitemporal as-of ----
+
+  test("bitemporalAsOf separates known-then from corrected-later on both time axes") {
+    import graft.operators.Upsert
+    // (key, valid_from, tx, status): tx=5 is a late CORRECTION to valid=10
+    val ch = Seq(
+      (1L, 10L, 1L, "A"), (1L, 10L, 5L, "A2"), (1L, 20L, 3L, "B"), (1L, 30L, 9L, "C")
+    ).toDF("k", "vf", "tx", "st")
+    def asOf(t: Long, v: Long): Seq[(Long, String)] =
+      Upsert.bitemporalAsOf(ch, "k", "vf", "tx", lit(t), lit(v))
+        .collect().map(r => r.getLong(0) -> r.getString(3)).toSeq
+    asOf(4, 25) shouldBe Seq(1L -> "B")   // before the correction arrived
+    asOf(6, 25) shouldBe Seq(1L -> "B")   // correction is to an older validity
+    asOf(6, 15) shouldBe Seq(1L -> "A2")  // same validity: later tx supersedes
+    asOf(4, 15) shouldBe Seq(1L -> "A")   // as known then: the uncorrected value
+    asOf(9, 100) shouldBe Seq(1L -> "C")
+    asOf(0, 100) shouldBe Seq()           // nothing known yet
+  }
+
+  // ---- ORC roundtrip ----
+
+  test("toOrc/readOrc roundtrips rows and schema exactly") {
+    import graft.core.Tafra
+    val df = Seq((1L, "a", 1.5, true), (2L, null.asInstanceOf[String], -0.25, false))
+      .toDF("id", "s", "d", "b")
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc_spec_").toString
+    new Tafra(df).toOrc(dir)
+    val back = Tafra.readOrc(spark, dir).df
+    back.schema.map(f => (f.name, f.dataType)) shouldBe df.schema.map(f => (f.name, f.dataType))
+    canon(back) shouldBe canon(df)
+  }
+
   // ---- time-decay attribution ----
 
   test("timeDecayAttribution credits by exact dyadic half-life weights within the lookback") {
