@@ -2251,6 +2251,23 @@ object SparkEntry {
         .select("user_id", "valid_from", "tx", "status", "value")
     }),
 
+    // §2#61c exact bitmap distinct: bucket-bitmap bit_or fold — the
+    // roaring-index trick; exact cardinality with a |ids|/64-word
+    // shuffle instead of count(distinct)'s Expand, zero error.
+    "q213_bitmap_distinct" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .select("event_type", "user_id")
+      functions.Sketches.bitmapDistinct(ev, "event_type", "user_id")
+    }),
+
+    // §2#40b JPEG header metadata: REAL ImageIO baseline JFIF bytes,
+    // then a decode-free SEGMENT WALK (variable-length APP0/DQT/DHT
+    // run) to the SOF frame — pure Column arithmetic, no codec on the
+    // read path.
+    "q214_jpeg_meta" -> ((s, dir) =>
+      operators.Multimodal.jpegHeaderMeta(
+        operators.Multimodal.withJpegPayload(t(s, dir, "documents").df))),
+
     // §2#49c leakage-safe k-fold: fold = md5(user) mod k, every event
     // of a user in ONE fold — the cross-validation form of q191.
     "q195_kfold" -> ((s, dir) => {
@@ -4327,6 +4344,20 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
     },
 
     "q200_ra_links" -> OracleGen.raLinksSql(),
+
+    "q213_bitmap_distinct" ->
+      """SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_distinct,
+           COUNT(DISTINCT user_id // 64) AS n_buckets
+         FROM events GROUP BY 1""",
+
+    "q214_jpeg_meta" ->
+      """SELECT doc_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         true AS is_jpeg,
+         CAST(octet_length(encode(text)) % 240 + 1 AS INT) AS height,
+         CAST(octet_length(encode(text)) % 320 + 1 AS INT) AS width
+         FROM documents""",
 
     "q211_orc" ->
       """SELECT l_returnflag, COUNT(*) AS n,

@@ -186,4 +186,37 @@ object Sketches {
         lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble)) *
           lit((m * m).toDouble) * lit(8589934592.0) / col("zs").cast("double"))
   }
+
+  /** EXACT distinct count per group via bucketed bitmaps — the
+    * roaring-bitmap-index trick as two partial aggs: bucket = id div
+    * 64, mask = 1 << (id mod 64), per-(group, bucket) `bit_or` fold,
+    * then Σ popcount. Both aggregations are commutative/associative →
+    * full map-side combine, so the shuffle carries (group, bucket,
+    * 64-bit word) cells — for a DENSE integer id domain that is
+    * |ids|/64 words per group, an ~64× reduction over the
+    * `count(distinct)` Expand shuffle of raw (group, id) pairs, with
+    * none of HLL's error. This is the exact-cardinality scale path
+    * when ids are dense integers (surrogate keys, user ordinals);
+    * sparse/huge domains should stay on [[hllByGroup]].
+    *
+    * The bitmap state is also a mergeable artifact (bit_or across
+    * batches — the mergeAggStates contract). Ids must be
+    * non-negative; a negative id fails LOUDLY in the mask expression
+    * rather than aliasing another id's bit.
+    *
+    * Output: (group, n_distinct, n_buckets).
+    */
+  def bitmapDistinct(df: DataFrame, groupCol: String, idCol: String): DataFrame = {
+    val id = col(idCol).cast("long")
+    val guarded = when(id < 0, raise_error(
+        format_string(s"bitmapDistinct: negative id %s in $idCol — bitmap bits would alias",
+          id.cast("string"))).cast("long"))
+      .otherwise(id)
+    df.select(col(groupCol), guarded.as("_id"))
+      .groupBy(col(groupCol), expr("_id div 64").as("_bucket"))
+      .agg(bit_or(expr("shiftleft(1L, cast(_id % 64 as int))")).as("_bits"))
+      .groupBy(col(groupCol))
+      .agg(sum(bit_count(col("_bits")).cast("long")).as("n_distinct"),
+           count(lit(1)).as("n_buckets"))
+  }
 }

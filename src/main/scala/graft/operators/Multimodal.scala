@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -165,6 +165,72 @@ object Multimodal {
       (hex(substring(col(binCol), 1, 3)) === lit("474946")).as("is_gif"),
       le(7, 2).cast("int").as("width"),
       le(9, 2).cast("int").as("height"))
+  }
+
+  /** Real JPEG encode of one doc's bytes (ImageIO baseline JFIF):
+    * dims derived from the byte count like [[encodeGif]], pixels from
+    * the doc bytes. */
+  private[operators] def encodeJpeg(bytes: Array[Byte]): Array[Byte] = {
+    val n = bytes.length
+    val w = n % 320 + 1
+    val h = n % 240 + 1
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val pix = new Array[Byte](w * h)
+    var i = 0
+    while (i < pix.length) { pix(i) = if (n == 0) 0 else bytes(i % n); i += 1 }
+    img.getRaster.setDataElements(0, 0, w, h, pix)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
+  /** JPEG companion of [[withGifPayload]]: REAL baseline JFIF bytes. */
+  def withJpegPayload(docs: DataFrame, textCol: String = "text",
+                      idCol: String = "doc_id", binCol: String = "payload"): DataFrame = {
+    val in = rebalance(docs, idCol).select(col(idCol), col(textCol).cast("binary").as("_raw"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("n_bytes", LongType),
+      StructField(binCol, BinaryType)))
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(schema))
+    in.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val raw = r.getAs[Array[Byte]](1)
+        Row(r.getLong(0), raw.length.toLong, encodeJpeg(raw))
+      }
+    }
+  }
+
+  /** DECODE-FREE JPEG metadata — unlike PNG/GIF's fixed-offset
+    * headers, JPEG's SOF frame sits after a VARIABLE run of segments
+    * (APP0/DQT/DHT tables the encoder sizes as it likes), so this is
+    * a real container WALK in pure Column arithmetic: each segment is
+    * FF marker, 2-byte big-endian length (self-inclusive), next = pos
+    * + 2 + len; the walk is unrolled to `maxSegments` chained
+    * columns (linear plan growth — nesting the position expression
+    * would be exponential) and PARKS at the first SOF0/1/2 marker.
+    * Rows whose SOF lies deeper than the unroll emit NULL dims (no
+    * verdict) rather than garbage — the anomalies-minObs convention.
+    */
+  def jpegHeaderMeta(withPayload: DataFrame, binCol: String = "payload",
+                     maxSegments: Int = 12): DataFrame = {
+    def byteAt(p: Column): Column =
+      conv(hex(col(binCol).substr(p.cast("int"), lit(1))), 16, 10).cast("long")
+    def be2(p: Column): Column = byteAt(p) * 256L + byteAt(p + 1L)
+    def isSof(p: Column): Column =
+      byteAt(p) === 255L && byteAt(p + 1L).isin(192L, 193L, 194L)
+    var dfx = withPayload.withColumn("_p0", lit(3L))
+    for (i <- 0 until maxSegments) {
+      val p = col(s"_p$i")
+      dfx = dfx.withColumn(s"_p${i + 1}",
+        when(isSof(p), p).otherwise(p + 2L + be2(p + 2L)))
+    }
+    val sof = col(s"_p$maxSegments")
+    dfx.select(col("doc_id"), col("n_bytes"),
+        (hex(substring(col(binCol), 1, 2)) === lit("FFD8")).as("is_jpeg"),
+        when(isSof(sof), be2(sof + 5L)).cast("int").as("height"),
+        when(isSof(sof), be2(sof + 7L)).cast("int").as("width"))
   }
 
   /** Real decode of one PNG: dimensions + pixel statistics via

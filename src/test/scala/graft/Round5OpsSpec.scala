@@ -34,6 +34,37 @@ class Round5OpsSpec extends SparkSpec {
     out shouldBe Map(1L -> null, 2L -> "A", 3L -> "A", 4L -> "B", 5L -> "B")
   }
 
+  // ---- bitmap distinct ----
+
+  test("bitmapDistinct is exact vs countDistinct and refuses negative ids") {
+    val rnd = new scala.util.Random(37)
+    val rows = (1 to 3000).map(_ => (s"g${rnd.nextInt(4)}", rnd.nextInt(500).toLong))
+    val df = rows.toDF("g", "id")
+    val out = Sketches.bitmapDistinct(df, "g", "id")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for ((g, grp) <- rows.groupBy(_._1)) {
+      out(g)._1 shouldBe grp.map(_._2).distinct.size.toLong
+      out(g)._2 shouldBe grp.map(_._2 / 64).distinct.size.toLong
+    }
+    val ex = intercept[Exception] {
+      Sketches.bitmapDistinct(Seq(("g", -1L)).toDF("g", "id"), "g", "id").collect()
+    }
+    ex.getMessage should include("alias")
+  }
+
+  // ---- JPEG header walk ----
+
+  test("jpegHeaderMeta walks real ImageIO segments to the SOF frame") {
+    import graft.operators.Multimodal
+    val docs = Seq((1L, "x" * 17), (2L, "y" * 500), (3L, "z")).toDF("doc_id", "text")
+    val out = Multimodal.jpegHeaderMeta(Multimodal.withJpegPayload(docs))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getBoolean(2), r.getInt(3), r.getInt(4))).toMap
+    for ((id, n) <- Seq((1L, 17L), (2L, 500L), (3L, 1L))) {
+      out(id) shouldBe ((n, true, (n % 240 + 1).toInt, (n % 320 + 1).toInt))
+    }
+  }
+
   // ---- bitemporal as-of ----
 
   test("bitemporalAsOf separates known-then from corrected-later on both time axes") {
