@@ -279,6 +279,33 @@ class PlanSpec extends SparkSpec {
     (p should not).include("SortMergeJoin") // the corpus is never shuffled for the join
   }
 
+  test("q203 PIT join: union+window asof — zero join operators in the plan") {
+    val p = plan("q203_pit_join")
+    (p should not).include("SortMergeJoin")
+    (p should not).include("BroadcastHashJoin")
+    (p should not).include("CartesianProduct")
+    p should include("Window")              // the single asof pass
+  }
+
+  test("q213 bitmap distinct: map-side partial bit_or, never count-distinct Expand") {
+    val p = plan("q213_bitmap_distinct")
+    p should include("partial_bit_or")      // combines before the shuffle
+    (p should not).include("Expand")        // the count(distinct) shape it replaces
+  }
+
+  test("q205 robust scale: vocabulary-sized stats broadcast back, rows never re-shuffled for the join") {
+    val p = plan("q205_robust_scale")
+    p should include("BroadcastHashJoin")
+    (p should not).include("SortMergeJoin")
+  }
+
+  test("q204 theil-sen: block-bounded pair join, no cartesian, shared median sort") {
+    val p = plan("q204_theil_sen")
+    (p should not).include("CartesianProduct")
+    // both the rank and the count window ride ONE per-key sort
+    p.split("Sort \\[user_id").length - 1 should be <= 2
+  }
+
   test("q202 bloom join: fact side prefiltered by might_contain before any join shuffle") {
     val p = plan("q202_bloom_join")
     p should include("might_contain")       // dim-key bloom inside the fact scan stage
