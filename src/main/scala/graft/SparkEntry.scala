@@ -2268,6 +2268,23 @@ object SparkEntry {
       operators.Multimodal.jpegHeaderMeta(
         operators.Multimodal.withJpegPayload(t(s, dir, "documents").df))),
 
+    // §2#52r Mann-Whitney U: the nonparametric drift test — rank
+    // arithmetic entirely in exact integer half-units, tie-corrected
+    // z from exact sums; survives the tails Welch's t assumes away.
+    "q215_mannwhitney" -> ((s, dir) =>
+      functions.Profile.mannWhitneyU(t(s, dir, "documents").df,
+        "source", "src1", "src2", "n_chars", unitScale = 1L)),
+
+    // §2#52s Spearman rank correlation: per event type, the monotone
+    // association between time and value — Pearson on exact
+    // tie-averaged half-unit ranks.
+    "q216_spearman" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .select(col("event_type"), unix_micros(col("ts")).as("tus"), col("value"))
+      functions.Profile.spearman(ev, "event_type", "tus", "value",
+        unitScaleX = 1L, unitScaleY = 1000000L)
+    }),
+
     // §2#49c leakage-safe k-fold: fold = md5(user) mod k, every event
     // of a user in ONE fold — the cross-validation form of q191.
     "q195_kfold" -> ((s, dir) => {
@@ -4344,6 +4361,78 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
     },
 
     "q200_ra_links" -> OracleGen.raLinksSql(),
+
+    "q215_mannwhitney" ->
+      """WITH two AS (
+           SELECT source AS g,
+             CAST(floor(CAST(n_chars AS DOUBLE) * 1 + 0.5) AS BIGINT) AS v
+           FROM documents WHERE source IN ('src1', 'src2')),
+         h AS (
+           SELECT v, COUNT(*) FILTER (WHERE g = 'src1') AS ca,
+                     COUNT(*) FILTER (WHERE g = 'src2') AS cb
+           FROM two GROUP BY 1),
+         c AS (
+           SELECT *, COALESCE(SUM(ca + cb) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+           FROM h),
+         s AS (
+           SELECT SUM(ca) AS n_a, SUM(cb) AS n_b,
+             SUM(ca * (2*cum + (ca + cb) + 1)) AS r2sum,
+             SUM(CAST((ca+cb)*(ca+cb)*(ca+cb) - (ca+cb) AS HUGEINT)) AS ties
+           FROM c),
+         f AS (
+           SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+             CAST(r2sum - n_a*(n_a+1) AS BIGINT) AS u2_a,
+             CAST(ties AS DOUBLE) AS ties_d
+           FROM s),
+         g AS (
+           SELECT *, CAST(n_a AS DOUBLE)*CAST(n_b AS DOUBLE)/12.0 *
+             ((CAST(n_a+n_b AS DOUBLE) + 1.0)
+               - ties_d/(CAST(n_a+n_b AS DOUBLE)*(CAST(n_a+n_b AS DOUBLE) - 1.0))) AS varu
+           FROM f)
+         SELECT n_a, n_b, u2_a, CAST(u2_a AS DOUBLE)/2.0 AS u_a,
+           CASE WHEN n_a >= 1 AND n_b >= 1 AND varu > 0 THEN
+             round((CAST(u2_a AS DOUBLE)/2.0
+               - CAST(n_a AS DOUBLE)*CAST(n_b AS DOUBLE)/2.0)/sqrt(varu), 6)
+           END AS z
+         FROM g""",
+
+    "q216_spearman" ->
+      """WITH b AS (
+           SELECT event_type AS g,
+             CAST(floor(CAST(epoch_us(ts) AS DOUBLE) * 1 + 0.5) AS BIGINT) AS x,
+             CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS y
+           FROM events),
+         hx AS (SELECT g, x, COUNT(*) AS t FROM b GROUP BY 1, 2),
+         cx AS (
+           SELECT g, x, 2*COALESCE(SUM(t) OVER (PARTITION BY g ORDER BY x
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1 AS rx
+           FROM hx),
+         hy AS (SELECT g, y, COUNT(*) AS t FROM b GROUP BY 1, 2),
+         cy AS (
+           SELECT g, y, 2*COALESCE(SUM(t) OVER (PARTITION BY g ORDER BY y
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1 AS ry
+           FROM hy),
+         r AS (
+           SELECT b.g, cx.rx, cy.ry FROM b
+           JOIN cx ON b.g = cx.g AND b.x = cx.x
+           JOIN cy ON b.g = cy.g AND b.y = cy.y),
+         a AS (
+           SELECT g, COUNT(*) AS n,
+             SUM(CAST(rx AS HUGEINT)) AS sx, SUM(CAST(ry AS HUGEINT)) AS sy,
+             SUM(CAST(rx AS HUGEINT) * rx) AS sxx,
+             SUM(CAST(ry AS HUGEINT) * ry) AS syy,
+             SUM(CAST(rx AS HUGEINT) * ry) AS sxy
+           FROM r GROUP BY 1)
+         SELECT g AS event_type, n,
+           CASE WHEN n >= 2
+                 AND CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) > 0
+                 AND CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE) > 0
+           THEN round((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+                  * (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))), 9)
+           END AS rho
+         FROM a""",
 
     "q213_bitmap_distinct" ->
       """SELECT event_type,

@@ -467,6 +467,115 @@ object Profile {
       .select(col(stratumCol), col(idCol), col("n_rows"), col("alloc"))
   }
 
+  /** Mann–Whitney U (Wilcoxon rank-sum) between cohorts `a` and `b` —
+    * the NONPARAMETRIC location test completing the drift family:
+    * [[welchT]] asks "did the mean move" assuming roughly-normal
+    * cohorts; U asks "does one cohort stochastically dominate" with
+    * no distribution assumption at all, so it survives the heavy
+    * tails and outliers real telemetry drifts WITH.
+    *
+    * Exactness: the entire rank computation is integer arithmetic in
+    * HALF-units — per distinct value, twice-the-average-tie-rank is
+    * 2·cumBefore + t + 1 (always an integer), so 2·R_a and
+    * 2·U_a = 2·R_a − n_a(n_a+1) are exact longs; the tie-corrected
+    * normal approximation (σ² = n_a·n_b/12·((N+1) − Σ(t³−t)/(N(N−1))))
+    * evaluates in doubles from those exact integers in one
+    * oracle-mirrored op order, z rounds at 1e-6. All-tied cohorts
+    * (zero variance) emit NULL z.
+    *
+    * Scale shape: one partial agg to the joint value HISTOGRAM
+    * (distinct-value-sized, the weightedPercentile state), one
+    * cumulative window over it, one scalar agg — rows never shuffle.
+    *
+    * Output: (n_a, n_b, u2_a = 2·U_a exact, u_a, z).
+    */
+  def mannWhitneyU(df: DataFrame, groupCol: String, a: String, b: String,
+                   valueCol: String, unitScale: Long = 1000000L): DataFrame = {
+    val vq = floor(col(valueCol).cast("double") * unitScale + lit(0.5)).cast("long")
+    val hist = df.filter(col(groupCol).isin(a, b))
+      .select(col(groupCol).as("_g"), vq.as("_v"))
+      .groupBy(col("_v"))
+      .agg(count(when(col("_g") === a, 1)).as("_ca"),
+           count(when(col("_g") === b, 1)).as("_cb"))
+    val w = Window.orderBy(col("_v")).rowsBetween(Window.unboundedPreceding, -1)
+    val t = col("_ca") + col("_cb")
+    val avgRank2 = lit(2L) * coalesce(sum(col("_ca") + col("_cb")).over(w), lit(0L)) + t + 1L
+    val sums = hist
+      .withColumn("_r2a", col("_ca") * avgRank2)
+      .withColumn("_tie", (t * t * t - t).cast("decimal(38,0)"))
+      .agg(sum("_ca").as("n_a"), sum("_cb").as("n_b"),
+           sum("_r2a").as("_r2sum"), sum("_tie").cast("decimal(38,0)").as("_ties"))
+    def d(c: Column) = c.cast("double")
+    val n1 = col("n_a"); val n2 = col("n_b"); val nT = n1 + n2
+    val u2 = col("_r2sum") - n1 * (n1 + 1L)
+    val varU = d(n1) * d(n2) / 12.0 *
+      ((d(nT) + 1.0) - d(col("_ties")) / (d(nT) * (d(nT) - 1.0)))
+    sums
+      .withColumn("u2_a", u2)
+      .withColumn("u_a", d(u2) / 2.0)
+      .withColumn("z", when(n1 >= 1 && n2 >= 1 && varU > 0,
+        round((d(u2) / 2.0 - d(n1) * d(n2) / 2.0) / sqrt(varU), 6)))
+      .select("n_a", "n_b", "u2_a", "u_a", "z")
+  }
+
+  /** Spearman rank correlation per group — the monotonic-association
+    * companion to the Pearson family (q96's correlation matrix, q156's
+    * OLS): Pearson asks "linear?", Spearman asks "monotone?" and is
+    * immune to the outliers and nonlinear-but-ordered relationships
+    * that wreck covariance-based estimates.
+    *
+    * rho = Pearson on the tie-averaged ranks, computed EXACTLY: twice-
+    * the-average-rank per distinct value is the integer
+    * 2·cumBefore + t + 1 (the [[mannWhitneyU]] half-unit rule; Pearson
+    * is scale-invariant so doubling both axes changes nothing), ranks
+    * join back to rows by (group, value), and the six-sum closed form
+    * runs as DECIMAL(38,0) over exact integers (the [[linReg]]
+    * pattern) with one double evaluation in oracle-mirrored order,
+    * rounded at 1e-9. Degenerate groups (n < 2 or a constant axis)
+    * emit NULL.
+    *
+    * Scale shape: two (group, value)-histogram partial aggs + two
+    * cumulative windows over them (distinct-value-sized), two hash
+    * join-backs keyed (group, value) — same key as the row shuffle,
+    * no row ever carries more than its two rank integers — then one
+    * partial-agg six-sum reduction.
+    */
+  def spearman(df: DataFrame, groupCol: String, xCol: String, yCol: String,
+               unitScaleX: Long = 1000000L, unitScaleY: Long = 1000000L): DataFrame = {
+    def q(c: String, s: Long) =
+      floor(col(c).cast("double") * s + lit(0.5)).cast("long")
+    val base = df.select(col(groupCol),
+      q(xCol, unitScaleX).as("_x"), q(yCol, unitScaleY).as("_y"))
+    def rank2(valCol: String, out: String): DataFrame = {
+      val h = base.groupBy(col(groupCol), col(valCol))
+        .agg(count(lit(1)).as("_t"))
+      val w = Window.partitionBy(col(groupCol)).orderBy(col(valCol))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      h.withColumn(out,
+        lit(2L) * coalesce(sum(col("_t")).over(w), lit(0L)) + col("_t") + 1L)
+        .drop("_t")
+    }
+    val ranked = base
+      .join(rank2("_x", "_rx"), Seq(groupCol, "_x"))
+      .join(rank2("_y", "_ry"), Seq(groupCol, "_y"))
+    val agg = ranked.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n"),
+      sum(col("_rx").cast("decimal(38,0)")).as("_sx"),
+      sum(col("_ry").cast("decimal(38,0)")).as("_sy"),
+      sum((col("_rx") * col("_rx")).cast("decimal(38,0)")).as("_sxx"),
+      sum((col("_ry") * col("_ry")).cast("decimal(38,0)")).as("_syy"),
+      sum((col("_rx") * col("_ry")).cast("decimal(38,0)")).as("_sxy"))
+    def d(c: String) = col(c).cast("double")
+    val n = col("n").cast("double")
+    val num = n * d("_sxy") - d("_sx") * d("_sy")
+    val denX = n * d("_sxx") - d("_sx") * d("_sx")
+    val denY = n * d("_syy") - d("_sy") * d("_sy")
+    agg
+      .withColumn("rho", when(col("n") >= 2 && denX > 0 && denY > 0,
+        round(num / sqrt(denX * denY), 9)))
+      .select(col(groupCol), col("n"), col("rho"))
+  }
+
   /** Chi-square independence statistic (SURVEY.md §2 #52k): is the
     * CATEGORICAL distribution of `catCol` the same across the cohorts
     * of `cohortCol`? — completing the drift family (KS = numeric

@@ -12,6 +12,78 @@ import graft.functions.Profile
 class StatsOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  // ---- mannWhitneyU ----
+
+  test("mannWhitneyU computes the textbook U with tie-averaged ranks and a tie-corrected z") {
+    val df = (Seq(1.0, 2.0, 3.0).map(("a", _)) ++ Seq(2.0, 3.0, 4.0).map(("b", _)))
+      .toDF("g", "v")
+    val r = Profile.mannWhitneyU(df, "g", "a", "b", "v").collect().head
+    r.getLong(0) shouldBe 3L
+    r.getLong(1) shouldBe 3L
+    r.getLong(2) shouldBe 4L          // 2*U_a: ranks 1, 2.5, 4.5 -> R_a=8, U_a=2
+    r.getDouble(3) shouldBe 2.0
+    // driver z: mu=4.5, var = (9/12)*((7) - (t-corr 12)/(6*5)) = 0.75*(7-0.4)=4.95
+    val z = (2.0 - 4.5) / math.sqrt(4.95)
+    r.getDouble(4) shouldBe
+      BigDecimal(z).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble +- 1e-9
+    // all-tied cohorts: zero variance -> NULL z
+    val flat = (Seq(5.0, 5.0).map(("a", _)) ++ Seq(5.0).map(("b", _))).toDF("g", "v")
+    Profile.mannWhitneyU(flat, "g", "a", "b", "v").collect().head.isNullAt(4) shouldBe true
+  }
+
+  test("mannWhitneyU is symmetric: U_a + U_b = n_a*n_b") {
+    val rnd = new scala.util.Random(41)
+    val df = (1 to 200).map(i =>
+      (if (i % 3 == 0) "a" else "b", math.floor(rnd.nextDouble() * 100) / 4)).toDF("g", "v")
+    val ra = Profile.mannWhitneyU(df, "g", "a", "b", "v").collect().head
+    val rb = Profile.mannWhitneyU(df, "g", "b", "a", "v").collect().head
+    ra.getLong(2) + rb.getLong(2) shouldBe 2L * ra.getLong(0) * ra.getLong(1)
+  }
+
+  // ---- spearman ----
+
+  test("spearman is 1/-1 on monotone data, outlier-immune, NULL on constant axes") {
+    val mono = (1 to 20).map(i => ("up", i.toDouble, i.toDouble * i)) ++
+      (1 to 20).map(i => ("down", i.toDouble, -3.0 * i + 100)) ++
+      (1 to 20).map(i => ("flat", i.toDouble, 7.0))
+    val out = Profile.spearman(mono.toDF("g", "x", "y"), "g", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    out("up") shouldBe Some(1.0)      // nonlinear but perfectly monotone
+    out("down") shouldBe Some(-1.0)
+    out("flat") shouldBe None
+    // one wild outlier barely moves rho (ranks absorb it)
+    val noisy = (1 to 50).map(i => ("g", i.toDouble, i + 0.1 * (i % 7))) :+ (("g", 51.0, 1e9))
+    val rho = Profile.spearman(noisy.toDF("g", "x", "y"), "g", "x", "y")
+      .collect().head.getDouble(2)
+    rho should be > 0.99
+  }
+
+  test("spearman with ties matches a driver tie-averaged-rank Pearson reference") {
+    val rnd = new scala.util.Random(43)
+    val rows = (1 to 120).map(_ => ("g", rnd.nextInt(12).toDouble, rnd.nextInt(9).toDouble))
+    val got = Profile.spearman(rows.toDF("g", "x", "y"), "g", "x", "y")
+      .collect().head.getDouble(2)
+    def ranks2(vs: Seq[Long]): Map[Long, Double] = {
+      val sorted = vs.sorted
+      vs.distinct.map { v =>
+        val lo = sorted.indexOf(v) + 1; val hi = sorted.lastIndexOf(v) + 1
+        v -> (lo + hi).toDouble
+      }.toMap
+    }
+    val xs = rows.map(r => math.floor(r._2 * 1e6 + 0.5).toLong)
+    val ys = rows.map(r => math.floor(r._3 * 1e6 + 0.5).toLong)
+    val (rx, ry) = (ranks2(xs), ranks2(ys))
+    val px = xs.map(rx); val py = ys.map(ry)
+    val n = px.size.toDouble
+    val (sx, sy) = (px.sum, py.sum)
+    val sxx = px.map(v => v * v).sum; val syy = py.map(v => v * v).sum
+    val sxy = px.zip(py).map { case (u, v) => u * v }.sum
+    val expected = (n * sxy - sx * sy) /
+      math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    got shouldBe expected +- 1e-8
+  }
+
   // ---- neymanSample ----
 
   test("neymanSample apportions by N_h*sigma_h with exact largest-remainder and caps at stratum size") {
