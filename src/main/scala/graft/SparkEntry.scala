@@ -2285,6 +2285,51 @@ object SparkEntry {
         unitScaleX = 1L, unitScaleY = 1000000L)
     }),
 
+    // §2#62h streaming incremental state merge: each micro-batch
+    // aggregated once, folded into the standing state via foreachBatch
+    // + mergeAggStates — history never rescanned, bit-identical to a
+    // from-scratch agg (the oracle recomputes from scratch).
+    "q217_stream_state_merge" -> ((s, dir) =>
+      streaming.Events.streamAggState(s, s"$dir/events.parquet")
+        .select(col("event_type"), col("n"),
+          (col("sum_q").cast("double") / 1e6).as("sum_v"),
+          col("min_v"), col("max_v"))),
+
+    // §2#52t referential-integrity audit: orphans and childless
+    // parents across the FK chain, each ONE anti-join partial count.
+    "q218_fk_audit" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").df.select(col("l_orderkey"))
+      val ord = t(s, dir, "orders").df.select(col("o_orderkey"), col("o_custkey"))
+      val cust = t(s, dir, "customer").df.select(col("c_custkey"))
+      def cnt(df: DataFrame, rel: String) =
+        df.agg(count(lit(1)).as("n_violations")).select(lit(rel).as("relationship"), col("n_violations"))
+      cnt(li.join(ord.select(col("o_orderkey").as("l_orderkey")), Seq("l_orderkey"), "left_anti"),
+          "lineitem_orphans")
+        .unionByName(cnt(ord.join(cust.select(col("c_custkey").as("o_custkey")), Seq("o_custkey"), "left_anti"),
+          "order_orphans"))
+        .unionByName(cnt(ord.join(li.select(col("l_orderkey").as("o_orderkey")).distinct(), Seq("o_orderkey"), "left_anti"),
+          "childless_orders"))
+        .unionByName(cnt(cust.join(ord.select(col("o_custkey").as("c_custkey")).distinct(), Seq("c_custkey"), "left_anti"),
+          "childless_customers"))
+    }),
+
+    // §2#64b running distinct: cumulative unique users per type over
+    // time — first-occurrence flags (one window) summed by a second
+    // running window; exact, no state explosion.
+    "q219_running_distinct" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .select(col("event_id"), col("event_type"), col("user_id"),
+          unix_micros(col("ts")).as("tus"))
+      val first = Window.partitionBy(col("event_type"), col("user_id"))
+        .orderBy(col("tus"), col("event_id"))
+      val run = Window.partitionBy(col("event_type"))
+        .orderBy(col("tus"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("_f", when(row_number().over(first) === 1, 1L).otherwise(0L))
+        .withColumn("cum_distinct", sum(col("_f")).over(run))
+        .select("event_id", "event_type", "tus", "cum_distinct")
+    }),
+
     // §2#49c leakage-safe k-fold: fold = md5(user) mod k, every event
     // of a user in ONE fold — the cross-validation form of q191.
     "q195_kfold" -> ((s, dir) => {
@@ -4361,6 +4406,41 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
     },
 
     "q200_ra_links" -> OracleGen.raLinksSql(),
+
+    "q217_stream_state_merge" ->
+      """SELECT event_type, COUNT(value) AS n,
+           CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS sum_v,
+           MIN(value) AS min_v, MAX(value) AS max_v
+         FROM events GROUP BY 1""",
+
+    "q218_fk_audit" ->
+      """SELECT 'lineitem_orphans' AS relationship,
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_violations
+         UNION ALL
+         SELECT 'order_orphans',
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+         UNION ALL
+         SELECT 'childless_orders',
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey))
+         UNION ALL
+         SELECT 'childless_customers',
+           (SELECT COUNT(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))""",
+
+    "q219_running_distinct" ->
+      """WITH e AS (
+           SELECT event_id, event_type, user_id, epoch_us(ts) AS tus FROM events),
+         f AS (
+           SELECT *, CASE WHEN ROW_NUMBER() OVER (PARTITION BY event_type, user_id
+             ORDER BY tus, event_id) = 1 THEN 1 ELSE 0 END AS ff
+           FROM e)
+         SELECT event_id, event_type, tus,
+           CAST(SUM(ff) OVER (PARTITION BY event_type ORDER BY tus, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_distinct
+         FROM f""",
 
     "q215_mannwhitney" ->
       """WITH two AS (

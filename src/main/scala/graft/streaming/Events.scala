@@ -277,6 +277,54 @@ object Events {
            max(col("tot")).as("n_events"))
   }
 
+  /** Streaming incremental aggregate-state maintenance — the streaming
+    * half of the mergeable-state family (Upsert.aggState /
+    * mergeAggStates): each micro-batch is aggregated ONCE and FOLDED
+    * into the standing state inside `foreachBatch`; history is never
+    * rescanned. This is the medallion-silver incremental rollup
+    * pattern — the state table is |keys|-sized however much history
+    * the stream has absorbed, and because every component is
+    * commutative/associative the result is bit-identical to a
+    * from-scratch aggregation of everything ever seen (exactly what
+    * the oracle checks; the multi-batch spec checks it across real
+    * micro-batch boundaries).
+    *
+    * Per batch the new state is `localCheckpoint`ed: materialized and
+    * lineage-cut, so batch k's merge reads (state_{k−1}, batch_k)
+    * only — without the cut, batch k would re-execute every prior
+    * merge and the incremental pipeline silently degrades to
+    * quadratic recomputation.
+    */
+  def streamAggState(spark: SparkSession, eventsPath: String,
+                     keys: Seq[String] = Seq("event_type"),
+                     valueCol: String = "value",
+                     maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val stream = readStream(spark, eventsPath, maxFilesPerTrigger)
+      .select(keys.map(col) :+ col(valueCol): _*)
+    @volatile var state: Option[DataFrame] = None
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val ckpt = if (java.nio.file.Files.isWritable(shm))
+      java.nio.file.Files.createTempDirectory(shm, "graft_ckpt_")
+    else java.nio.file.Files.createTempDirectory("graft_ckpt_")
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val bs = graft.operators.Upsert.aggState(batch, keys, valueCol)
+        state = Some(state
+          .map(s => graft.operators.Upsert.mergeAggStates(Seq(s, bs), keys))
+          .getOrElse(bs)
+          .localCheckpoint())
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    state.getOrElse(
+      graft.operators.Upsert.aggState(
+        readBatch(spark, eventsPath).limit(0).select(keys.map(col) :+ col(valueCol): _*),
+        keys, valueCol))
+  }
+
   /** Production sink: append-mode parquet with a checkpoint. State
     * stays bounded by the plan's watermark; output is distributed
     * (never driver-materialized). Caller owns the query lifecycle.

@@ -143,6 +143,19 @@ class StreamingSpec extends SparkSpec {
     canon(streamed) shouldBe canon(batchSessions(dir))
   }
 
+  test("streamAggState folds micro-batch states to the exact from-scratch aggregate") {
+    val dir = timeSplitDir(s"$sfDir/events.parquet", 3)
+    val streamed = Events.streamAggState(spark, dir, maxFilesPerTrigger = Some(1))
+      .select(col("event_type"), col("n"),
+        (col("sum_q").cast("double") / 1e6).as("sum_v"), col("min_v"), col("max_v"))
+    val batch = Events.readBatch(spark, dir)
+      .groupBy("event_type")
+      .agg(count(col("value")).as("n"),
+        (sum(floor(col("value") * 1e6 + lit(0.5)).cast("long")).cast("double") / 1e6).as("sum_v"),
+        min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+    canon(streamed) shouldBe canon(batch)
+  }
+
   test("streaming CUSUM carries (cum, min, max) state exactly across micro-batches") {
     val dir = timeSplitDir(s"$sfDir/events.parquet", 3)
     val streamed = Events.streamCusum(spark, dir, maxFilesPerTrigger = Some(1))
