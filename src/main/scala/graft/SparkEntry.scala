@@ -2038,16 +2038,16 @@ object SparkEntry {
         .select("event_type", "n", "mean_v", "var_v", "std_v")
     }),
 
-    // §2#31c Fellegi–Sunter record linkage: blocked candidate pairs
-    // scored by integer log2 likelihood-ratio weights (name agreement
-    // at bounded edit distance 1: m=8/9,u=1/9 → ±3; acctbal within
-    // 50.00 in exact cents: m=4/5,u=1/5 → ±2); pairs scoring ≥ 1 are
-    // candidate links. Block key (nation, segment) bounds pair count.
+    // §2#31c Fellegi–Sunter record linkage over SORTED-NEIGHBORHOOD
+    // candidates (n·w pairs — LINEAR at any scale; the blocked
+    // scorePairs form is quadratic per block and measured 15× on the
+    // 10× replica): integer log2 likelihood-ratio weights (name
+    // agreement at bounded edit distance 1: m=8/9,u=1/9 → ±3; acctbal
+    // within 50.00 in exact cents: m=4/5,u=1/5 → ±2), links at ≥ 1.
     "q198_linkage" -> ((s, dir) => {
       val cust = t(s, dir, "customer").df
-      operators.Linkage.scorePairs(
-        cust, "c_custkey",
-        blockCols = Seq("c_nationkey", "c_mktsegment"),
+      operators.Linkage.scoreNeighborPairs(
+        cust, "c_custkey", sortCol = "c_name",
         valueCols = Seq("c_name", "c_acctbal"),
         fields = Seq(
           operators.Linkage.LinkField("c_name",
@@ -2056,7 +2056,7 @@ object SparkEntry {
             (a, b) => abs(floor(a.cast("double") * 100 + lit(0.5)).cast("long") -
                           floor(b.cast("double") * 100 + lit(0.5)).cast("long")) <= 5000,
             2, -2)),
-        minScore = 1)
+        minScore = 1, w = 10)
     }),
 
     // §2#53s dyadic-decay EWMA: exponential smoothing made engine-
@@ -2079,17 +2079,20 @@ object SparkEntry {
     }),
 
     // §2#31d Jaro-Winkler name matching: the native codegen'd
-    // comparator (Spark has levenshtein only) over blocked customer
-    // pairs — DuckDB's jaro_winkler_similarity is the oracle, so the
-    // expression semantics are pinned bit-for-bit to the standard.
+    // comparator (Spark has levenshtein only) over sorted-neighborhood
+    // candidates (n·w pairs, linear at scale — the blocked join form
+    // measured 14× on the 10× replica) — DuckDB's
+    // jaro_winkler_similarity is the oracle, so the expression
+    // semantics are pinned bit-for-bit to the standard.
     "q201_jw_linkage" -> ((s, dir) => {
       val c = t(s, dir, "customer").df
-      val a = c.select(col("c_custkey").as("k_a"), col("c_nationkey"),
-        col("c_mktsegment"), col("c_name").as("name_a"))
-      val b = c.select(col("c_custkey").as("k_b"), col("c_nationkey"),
-        col("c_mktsegment"), col("c_name").as("name_b"))
-      a.join(b, Seq("c_nationkey", "c_mktsegment"))
-        .filter(col("k_a") < col("k_b"))
+      val cand = operators.Dedup.sortedNeighborhood(
+        c.select(col("c_custkey"), col("c_name").as("_sk")), "_sk", "c_custkey", w = 10)
+        .select(col("id_a").as("k_a"), col("id_b").as("k_b"))
+      val names = c.select(col("c_custkey"), col("c_name"))
+      cand
+        .join(names.select(col("c_custkey").as("k_a"), col("c_name").as("name_a")), Seq("k_a"))
+        .join(names.select(col("c_custkey").as("k_b"), col("c_name").as("name_b")), Seq("k_b"))
         .withColumn("jw", round(
           functions.TextFunctions.jaroWinkler(col("name_a"), col("name_b")), 9))
         .filter(col("jw") >= 0.96)
@@ -2329,6 +2332,30 @@ object SparkEntry {
         .withColumn("cum_distinct", sum(col("_f")).over(run))
         .select("event_id", "event_type", "tus", "cum_distinct")
     }),
+
+    // §2#52u CUPED variance reduction: per-user experiment metric
+    // adjusted by the pre-period covariate, theta from exact integer
+    // sums — the A/B-test-duration halver; mean-preserving.
+    "q220_cuped" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"), col("value"))
+      val mid = ev.agg(expr("(min(tus) + max(tus)) div 2").as("_mid"))
+      val vq = floor(col("value") * 1e6 + lit(0.5)).cast("long")
+      val units = ev.crossJoin(broadcast(mid))
+        .groupBy("user_id")
+        .agg((sum(when(col("tus") < col("_mid"), vq).otherwise(0L)).cast("double") / 1e6).as("x"),
+             (sum(when(col("tus") >= col("_mid"), vq).otherwise(0L)).cast("double") / 1e6).as("y"))
+      functions.Profile.cuped(units, "user_id", "x", "y")
+    }),
+
+    // §2#52v trimmed mean: robust location from the same histogram
+    // walk as the cuts themselves — tails dropped from the estimate,
+    // unlike winsorize's clamp.
+    "q221_trimmed_mean" -> ((s, dir) =>
+      functions.Profile.trimmedMean(
+        streaming.Events.readBatch(s, s"$dir/events.parquet")
+          .select("event_type", "value"),
+        "event_type", "value")),
 
     // §2#49c leakage-safe k-fold: fold = md5(user) mod k, every event
     // of a user in ONE fold — the cross-validation form of q191.
@@ -4407,6 +4434,60 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
 
     "q200_ra_links" -> OracleGen.raLinksSql(),
 
+    "q220_cuped" ->
+      """WITH e AS (
+           SELECT user_id, epoch_us(ts) AS tus,
+             CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vq
+           FROM events),
+         b AS (SELECT (MIN(tus) + MAX(tus)) // 2 AS mid FROM e),
+         u AS (
+           SELECT user_id,
+             CAST(SUM(CASE WHEN tus < mid THEN vq ELSE 0 END) AS DOUBLE) / 1e6 AS x,
+             CAST(SUM(CASE WHEN tus >= mid THEN vq ELSE 0 END) AS DOUBLE) / 1e6 AS y
+           FROM e, b GROUP BY user_id),
+         q AS (
+           SELECT user_id,
+             CAST(floor(x * 1e6 + 0.5) AS BIGINT) AS qx,
+             CAST(floor(y * 1e6 + 0.5) AS BIGINT) AS qy
+           FROM u),
+         s AS (
+           SELECT COUNT(*) AS n,
+             SUM(CAST(qx AS HUGEINT)) AS sx, SUM(CAST(qy AS HUGEINT)) AS sy,
+             SUM(CAST(qx AS HUGEINT) * qx) AS sxx, SUM(CAST(qx AS HUGEINT) * qy) AS sxy
+           FROM q),
+         t AS (
+           SELECT *,
+             CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE) AS covnum,
+             CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) AS varnum,
+             CAST(sx AS DOUBLE)/CAST(n AS DOUBLE) AS xbar
+           FROM s)
+         SELECT user_id, round(CAST(qy AS DOUBLE) / 1e6, 6) AS y,
+           CASE WHEN varnum > 0 THEN
+             round((CAST(qy AS DOUBLE) - (covnum/varnum) * (CAST(qx AS DOUBLE) - xbar)) / 1e6, 6)
+           ELSE round(CAST(qy AS DOUBLE) / 1e6, 6) END AS y_adj,
+           CASE WHEN varnum > 0 THEN round(covnum/varnum, 6) END AS theta
+         FROM q, t""",
+
+    "q221_trimmed_mean" ->
+      """WITH h AS (
+           SELECT event_type AS g, CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v,
+             COUNT(*) AS c
+           FROM events GROUP BY 1, 2),
+         cw AS (
+           SELECT g, v, c,
+             SUM(c) OVER (PARTITION BY g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(c) OVER (PARTITION BY g) AS n
+           FROM h),
+         bd AS (
+           SELECT g, MIN(CASE WHEN cum * 20 >= n * 1 THEN v END) AS lo,
+                     MIN(CASE WHEN cum * 20 >= n * 19 THEN v END) AS hi
+           FROM cw GROUP BY 1)
+         SELECT cw.g AS event_type, CAST(SUM(c) AS BIGINT) AS n_kept,
+           round(CAST(SUM(CAST(v AS HUGEINT) * c) AS DOUBLE)
+             / (CAST(SUM(c) AS DOUBLE) * 1000000.0), 9) AS trimmed_mean
+         FROM cw JOIN bd ON cw.g = bd.g WHERE v > lo AND v < hi GROUP BY 1""",
+
     "q217_stream_state_merge" ->
       """SELECT event_type, COUNT(value) AS n,
            CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS sum_v,
@@ -4762,11 +4843,13 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
          FROM r WHERE rn = (np + 1) // 2""",
 
     "q201_jw_linkage" ->
-      """SELECT a.c_custkey AS k_a, b.c_custkey AS k_b,
+      """WITH r AS (
+           SELECT c_custkey, c_name,
+             ROW_NUMBER() OVER (ORDER BY c_name, c_custkey) AS idx
+           FROM customer)
+         SELECT a.c_custkey AS k_a, b.c_custkey AS k_b,
            round(jaro_winkler_similarity(a.c_name, b.c_name), 9) AS jw
-         FROM customer a JOIN customer b
-           ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
-           AND a.c_custkey < b.c_custkey
+         FROM r a JOIN r b ON b.idx - a.idx BETWEEN 1 AND 10
          WHERE round(jaro_winkler_similarity(a.c_name, b.c_name), 9) >= 0.96""",
 
     "q202_bloom_join" ->
@@ -4778,17 +4861,16 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
 
     "q198_linkage" ->
       """WITH c AS (
-           SELECT c_custkey, c_nationkey, c_mktsegment, c_name,
+           SELECT c_custkey, c_name,
              CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
-           FROM customer)
+           FROM customer),
+         r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY c_name, c_custkey) AS idx FROM c)
          SELECT a.c_custkey AS c_custkey_a, b.c_custkey AS c_custkey_b,
            (CASE WHEN levenshtein(a.c_name, b.c_name) <= 1 THEN '1' ELSE '0' END) ||
            (CASE WHEN abs(a.cents - b.cents) <= 5000 THEN '1' ELSE '0' END) AS pattern,
            (CASE WHEN levenshtein(a.c_name, b.c_name) <= 1 THEN 3 ELSE -3 END) +
            (CASE WHEN abs(a.cents - b.cents) <= 5000 THEN 2 ELSE -2 END) AS score
-         FROM c a JOIN c b
-           ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
-           AND a.c_custkey < b.c_custkey
+         FROM r a JOIN r b ON b.idx - a.idx BETWEEN 1 AND 10
          WHERE (CASE WHEN levenshtein(a.c_name, b.c_name) <= 1 THEN 3 ELSE -3 END) +
                (CASE WHEN abs(a.cents - b.cents) <= 5000 THEN 2 ELSE -2 END) >= 1""",
 

@@ -502,7 +502,8 @@ object Profile {
     val avgRank2 = lit(2L) * coalesce(sum(col("_ca") + col("_cb")).over(w), lit(0L)) + t + 1L
     val sums = hist
       .withColumn("_r2a", col("_ca") * avgRank2)
-      .withColumn("_tie", (t * t * t - t).cast("decimal(38,0)"))
+      .withColumn("_tie",
+        (t.cast("decimal(12,0)") * t * t - t).cast("decimal(38,0)"))
       .agg(sum("_ca").as("n_a"), sum("_cb").as("n_b"),
            sum("_r2a").as("_r2sum"), sum("_tie").cast("decimal(38,0)").as("_ties"))
     def d(c: Column) = c.cast("double")
@@ -562,9 +563,9 @@ object Profile {
       count(lit(1)).as("n"),
       sum(col("_rx").cast("decimal(38,0)")).as("_sx"),
       sum(col("_ry").cast("decimal(38,0)")).as("_sy"),
-      sum((col("_rx") * col("_rx")).cast("decimal(38,0)")).as("_sxx"),
-      sum((col("_ry") * col("_ry")).cast("decimal(38,0)")).as("_syy"),
-      sum((col("_rx") * col("_ry")).cast("decimal(38,0)")).as("_sxy"))
+      sum(col("_rx").cast("decimal(19,0)") * col("_rx")).cast("decimal(38,0)").as("_sxx"),
+      sum(col("_ry").cast("decimal(19,0)") * col("_ry")).cast("decimal(38,0)").as("_syy"),
+      sum(col("_rx").cast("decimal(19,0)") * col("_ry")).cast("decimal(38,0)").as("_sxy"))
     def d(c: String) = col(c).cast("double")
     val n = col("n").cast("double")
     val num = n * d("_sxy") - d("_sx") * d("_sy")
@@ -574,6 +575,86 @@ object Profile {
       .withColumn("rho", when(col("n") >= 2 && denX > 0 && denY > 0,
         round(num / sqrt(denX * denY), 9)))
       .select(col(groupCol), col("n"), col("rho"))
+  }
+
+  /** CUPED variance reduction (Deng et al. WSDM'13): adjust each
+    * unit's experiment metric by its PRE-PERIOD covariate,
+    * y' = y − θ(x − x̄) with θ = cov(x,y)/var(x) — the standard
+    * experimentation trick that removes the between-user variance the
+    * treatment can't explain, often halving A/B test duration. Run on
+    * the metric table BEFORE the treatment comparison; the adjustment
+    * is mean-preserving (Σy' = Σy) by construction.
+    *
+    * Exactness: x and y quantize to integer micro-units; θ's five
+    * sums run as DECIMAL(38,0) (the linReg pattern), θ and the
+    * per-row adjustment evaluate in doubles from exact integers in
+    * one oracle-mirrored op order, rounded at 1e-6. Zero pre-period
+    * variance (constant covariate — nothing to remove) emits y
+    * unadjusted with theta NULL.
+    *
+    * Scale shape: one partial-agg moments pass over the unit table;
+    * the θ/x̄ scalars broadcast back via a 1-row cross join; the
+    * adjustment is map-only.
+    */
+  def cuped(units: DataFrame, idCol: String, xCol: String, yCol: String,
+            unitScale: Long = 1000000L): DataFrame = {
+    def q(c: String) = floor(col(c).cast("double") * unitScale + lit(0.5)).cast("long")
+    val base = units.select(col(idCol), q(xCol).as("_x"), q(yCol).as("_y"))
+    val s = base.agg(
+      count(lit(1)).as("_n"),
+      sum(col("_x").cast("decimal(38,0)")).as("_sx"),
+      sum(col("_y").cast("decimal(38,0)")).as("_sy"),
+      // cast BEFORE multiplying: per-unit covariate totals reach 10¹¹
+      // micro-units, whose square overflows a long
+      sum(col("_x").cast("decimal(19,0)") * col("_x")).cast("decimal(38,0)").as("_sxx"),
+      sum(col("_x").cast("decimal(19,0)") * col("_y")).cast("decimal(38,0)").as("_sxy"))
+    def d(c: String) = col(c).cast("double")
+    val n = d("_n")
+    val covNum = n * d("_sxy") - d("_sx") * d("_sy")
+    val varNum = n * d("_sxx") - d("_sx") * d("_sx")
+    val theta = covNum / varNum
+    val xbar = d("_sx") / n
+    base.crossJoin(broadcast(s))
+      .withColumn("theta", when(varNum > 0, round(theta, 6)))
+      .withColumn("y", round(col("_y").cast("double") / unitScale, 6))
+      .withColumn("y_adj", when(varNum > 0,
+          round((col("_y").cast("double") - theta *
+            (col("_x").cast("double") - xbar)) / unitScale, 6))
+        .otherwise(round(col("_y").cast("double") / unitScale, 6)))
+      .select(col(idCol), col("y"), col("y_adj"), col("theta"))
+  }
+
+  /** Trimmed mean per group: the mean of the values STRICTLY inside
+    * the group's own [pLo, pHi] type-1 percentile band — the
+    * robust-location companion to [[winsorize]] (which clamps and
+    * keeps every row; trimming drops the tails from the estimate
+    * entirely). One histogram walk gives both cut values (the
+    * [[robustScale]] machinery), the trimmed sum/count come from the
+    * SAME histogram (no second pass over rows), and the mean is one
+    * exact-integer division evaluated as a double, rounded 1e-9.
+    */
+  def trimmedMean(df: DataFrame, groupCol: String, valueCol: String,
+                  loNum: Int = 1, loDen: Int = 20, hiNum: Int = 19,
+                  hiDen: Int = 20): DataFrame = {
+    require(loNum * hiDen < hiNum * loDen, "empty trim band")
+    val vq = floor(col(valueCol).cast("double") * 1000000L + lit(0.5)).cast("long")
+    val hist = df.select(col(groupCol), vq.as("_v"))
+      .groupBy(col(groupCol), col("_v")).agg(count(lit(1)).as("_c"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col(groupCol))
+    val cum = hist
+      .withColumn("_cum", sum(col("_c")).over(w))
+      .withColumn("_n", sum(col("_c")).over(tot))
+    val bounds = cum.groupBy(col(groupCol)).agg(
+      min(when(col("_cum") * loDen >= col("_n") * loNum, col("_v"))).as("_lo"),
+      min(when(col("_cum") * hiDen >= col("_n") * hiNum, col("_v"))).as("_hi"))
+    cum.join(bounds, Seq(groupCol))
+      .filter(col("_v") > col("_lo") && col("_v") < col("_hi"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("_c")).as("n_kept"),
+           round(sum(col("_v").cast("decimal(38,0)") * col("_c")).cast("double") /
+             (sum(col("_c")).cast("double") * 1000000.0), 9).as("trimmed_mean"))
   }
 
   /** Chi-square independence statistic (SURVEY.md §2 #52k): is the

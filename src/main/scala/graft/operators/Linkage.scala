@@ -74,6 +74,38 @@ object Linkage {
         valueCols.map(c => col(c).as(s"_${tag}_$c")): _*)
     val pairs = side("a").join(side("b"), blockCols, "inner")
       .filter(col(s"${idCol}_a") < col(s"${idCol}_b"))
+    scoreJoined(pairs, idCol, fields, minScore)
+  }
+
+  /** Score pairs from SORTED-NEIGHBORHOOD candidates instead of a
+    * blocked self-join — the scale-robust candidate path when no
+    * natural block key bounds |b|: [[scorePairs]]'s cost is Σ|b|²
+    * (QUADRATIC in block size, so 10× more records in the same blocks
+    * is 100× the pairs — measured on the dup-heavy 10× replica), while
+    * SNM pairs each record with its `w` neighbors in `sortCol` order —
+    * n·w candidates, LINEAR at any scale, recall governed by how well
+    * the sort key co-locates true duplicates (the standard SNM
+    * trade-off; multi-pass over several sort keys is the recall fix).
+    * Candidates come from `Dedup.sortedNeighborhood` (two-level global
+    * ordinal — never a global window), values hash-join back onto the
+    * n·w pair list, and the same integer likelihood-ratio scoring
+    * applies.
+    */
+  def scoreNeighborPairs(records: DataFrame, idCol: String, sortCol: String,
+                         valueCols: Seq[String], fields: Seq[LinkField],
+                         minScore: Int, w: Int = 10): DataFrame = {
+    val slim = records.select((idCol +: valueCols).distinct.map(col): _*)
+    val keyed = records.select(col(idCol), col(sortCol).as("_sk"))
+    val cand = Dedup.sortedNeighborhood(keyed, "_sk", idCol, w)
+      .select(col("id_a").as(s"${idCol}_a"), col("id_b").as(s"${idCol}_b"))
+    def side(tag: String) = slim.select(
+      col(idCol).as(s"${idCol}_$tag") +: valueCols.map(c => col(c).as(s"_${tag}_$c")): _*)
+    val pairs = cand.join(side("a"), Seq(s"${idCol}_a")).join(side("b"), Seq(s"${idCol}_b"))
+    scoreJoined(pairs, idCol, fields, minScore)
+  }
+
+  private def scoreJoined(pairs: DataFrame, idCol: String,
+                          fields: Seq[LinkField], minScore: Int): DataFrame = {
     val agrees = fields.map(f =>
       coalesce(f.agree(col(s"_a_${f.name}"), col(s"_b_${f.name}")), lit(false)))
     val score = fields.zip(agrees).map { case (f, a) =>

@@ -153,6 +153,24 @@ class CurationOpsSpec extends SparkSpec {
       minScore = 3).count() shouldBe 2
   }
 
+  test("scoreNeighborPairs scores exactly the n*w sorted-neighborhood candidates") {
+    import graft.operators.Linkage
+    val recs = (1 to 30).map(i => (i.toLong, f"n$i%03d", i * 10.0)).toDF("id", "name", "bal")
+    val out = Linkage.scoreNeighborPairs(recs, "id", "name",
+        Seq("name", "bal"),
+        Seq(
+          Linkage.LinkField("name", (a, b) => levenshtein(a, b, 1) >= 0, 3, -3),
+          Linkage.LinkField("bal", (a, b) => abs(a - b) <= lit(25.0), 2, -2)),
+        minScore = Int.MinValue, w = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(3)).toMap
+    // candidate set = each record with its 1..3 successors in name order — LINEAR n*w
+    val expected = (for (i <- 1 to 30; j <- i + 1 to math.min(i + 3, 30)) yield (i.toLong, j.toLong)).toSet
+    out.keySet shouldBe expected
+    // adjacent: name lev<=1 (+3), bal diff 10 (+2) -> 5; distance-3: lev<=1 but bal diff 30 -> +3-2=1
+    out((5L, 6L)) shouldBe 5
+    out((5L, 8L)) shouldBe 1
+  }
+
   test("scorePairs refuses a quadratic runaway block loudly") {
     import graft.operators.Linkage
     val recs = (1 to 50).map(i => (i.toLong, "hot", s"n$i", 1.0)).toDF("id", "blk", "name", "bal")

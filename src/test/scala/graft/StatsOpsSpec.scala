@@ -12,6 +12,55 @@ import graft.functions.Profile
 class StatsOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  // ---- cuped ----
+
+  test("cuped removes a perfectly-predictive covariate and preserves the mean") {
+    // y = 2x exactly: theta = 2, every adjusted value collapses to ybar
+    val exact = (1 to 40).map(i => (i.toLong, i.toDouble, 2.0 * i)).toDF("id", "x", "y")
+    val out = Profile.cuped(exact, "id", "x", "y").collect()
+    val theta = out.head.getDouble(3)
+    theta shouldBe 2.0 +- 1e-9
+    val ybar = (1 to 40).map(2.0 * _).sum / 40
+    out.foreach(r => r.getDouble(2) shouldBe ybar +- 1e-5)
+    // mean preservation on noisy data
+    val rnd = new scala.util.Random(47)
+    val noisy = (1 to 100).map(i =>
+      (i.toLong, math.floor(rnd.nextDouble() * 800) / 8,
+       math.floor(rnd.nextDouble() * 400) / 4)).toDF("id", "x", "y")
+    val o2 = Profile.cuped(noisy, "id", "x", "y").collect()
+    val (sy, sadj) = (o2.map(_.getDouble(1)).sum, o2.map(_.getDouble(2)).sum)
+    sadj shouldBe sy +- 1e-3
+    // adjusted variance never exceeds raw variance (the point of CUPED)
+    def variance(vs: Seq[Double]) = {
+      val m = vs.sum / vs.size; vs.map(v => (v - m) * (v - m)).sum / vs.size
+    }
+    variance(o2.map(_.getDouble(2)).toSeq) should be <= variance(o2.map(_.getDouble(1)).toSeq) + 1e-9
+    // constant covariate: nothing to remove, y passes through, theta NULL
+    val flat = (1 to 10).map(i => (i.toLong, 5.0, i.toDouble)).toDF("id", "x", "y")
+    val o3 = Profile.cuped(flat, "id", "x", "y").collect()
+    o3.foreach { r => r.getDouble(2) shouldBe r.getDouble(1); r.isNullAt(3) shouldBe true }
+  }
+
+  // ---- trimmedMean ----
+
+  test("trimmedMean drops the tails a plain mean is corrupted by") {
+    val clean = (1 to 100).map(i => ("g", 50.0 + (i % 11)))        // tight cluster
+    val spikes = Seq(("g", 1e8), ("g", -1e8))                      // two wild tails
+    val df = (clean ++ spikes).toDF("k", "v")
+    val r = Profile.trimmedMean(df, "k", "v").collect().head
+    // the band excludes both spikes; the kept mean sits in the cluster
+    r.getDouble(2) should (be >= 50.0 and be <= 61.0)
+    // driver reference with the exact same type-1 band convention
+    val vq = (clean ++ spikes).map(x => math.floor(x._2 * 1e6 + 0.5).toLong).sorted
+    val n = vq.size
+    def cut(num: Int, den: Int) = vq((n * num + den - 1) / den - 1)
+    val (lo, hi) = (cut(1, 20), cut(19, 20))
+    val kept = vq.filter(v => v > lo && v < hi)
+    r.getLong(1) shouldBe kept.size.toLong
+    r.getDouble(2) shouldBe
+      (math.floor(kept.map(BigInt(_)).sum.toDouble / (kept.size.toDouble * 1e6) * 1e9 + 0.5) / 1e9) +- 1e-9
+  }
+
   // ---- mannWhitneyU ----
 
   test("mannWhitneyU computes the textbook U with tie-averaged ranks and a tie-corrected z") {
