@@ -2357,6 +2357,18 @@ object SparkEntry {
           .select("event_type", "value"),
         "event_type", "value")),
 
+    // §2#52w split-conformal prediction intervals: the finite-sample
+    // distribution-free uncertainty band — conformal-rank residual
+    // quantile on a calibration split, realized coverage on held-out;
+    // every decision an integer comparison (residuals scale through
+    // by n so the mean never floats).
+    "q222_conformal" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .select(col("event_type"), col("event_id"), col("value"))
+      functions.Profile.conformalInterval(ev, "event_type", "value",
+        calCol = col("event_id") % 2 === 0)
+    }),
+
     // §2#49c leakage-safe k-fold: fold = md5(user) mod k, every event
     // of a user in ONE fold — the cross-validation form of q191.
     "q195_kfold" -> ((s, dir) => {
@@ -4433,6 +4445,35 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
     },
 
     "q200_ra_links" -> OracleGen.raLinksSql(),
+
+    "q222_conformal" ->
+      """WITH b AS (
+           SELECT event_type AS g, CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS q,
+             event_id % 2 = 0 AS cal
+           FROM events),
+         cs AS (SELECT g, COUNT(*) AS nc, SUM(CAST(q AS HUGEINT)) AS sq
+                FROM b WHERE cal GROUP BY 1),
+         cr AS (SELECT b.g, cs.nc, abs(CAST(b.q AS HUGEINT)*cs.nc - cs.sq) AS r
+                FROM b JOIN cs ON b.g = cs.g WHERE b.cal),
+         h AS (SELECT g, nc, r, COUNT(*) AS c FROM cr GROUP BY 1, 2, 3),
+         cw AS (
+           SELECT *, SUM(c) OVER (PARTITION BY g ORDER BY r
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             ((nc + 1) * 9 + 9) // 10 AS k0
+           FROM h),
+         qh AS (
+           SELECT g, MIN(r) AS rhat, MIN(nc) AS ncal,
+             bool_or(k0 > nc) AS rank_clamped
+           FROM cw WHERE cum >= LEAST(k0, nc) GROUP BY 1)
+         SELECT b.g AS event_type,
+           CAST(MIN(qh.ncal) AS BIGINT) AS n_cal,
+           COUNT(*) AS n_test,
+           round(CAST(MIN(qh.rhat) AS DOUBLE) / (CAST(MIN(cs.nc) AS DOUBLE) * 1e6), 9) AS qhat,
+           CAST(SUM(CASE WHEN abs(CAST(b.q AS HUGEINT)*cs.nc - cs.sq) <= qh.rhat
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+           bool_or(qh.rank_clamped) AS rank_clamped
+         FROM b JOIN cs ON b.g = cs.g JOIN qh ON b.g = qh.g
+         WHERE NOT b.cal GROUP BY 1""",
 
     "q220_cuped" ->
       """WITH e AS (

@@ -657,6 +657,71 @@ object Profile {
              (sum(col("_c")).cast("double") * 1000000.0), 9).as("trimmed_mean"))
   }
 
+  /** Split-conformal prediction intervals (Vovk; Lei et al.): per
+    * group, the residual quantile q̂ such that "prediction ± q̂" covers
+    * a FRESH point with probability ≥ 1−α, distribution-free — the
+    * finite-sample-guaranteed uncertainty band modern eval pipelines
+    * attach to any point predictor. Here the predictor is the
+    * calibration split's own group mean (caller swaps in any
+    * prediction column); q̂ is the ⌈(n+1)(1−α)⌉-th smallest absolute
+    * calibration residual (the conformal rank — NOT the plain
+    * quantile; the +1 is what buys the finite-sample guarantee), and
+    * the held-out split reports realized coverage.
+    *
+    * Exactness: the group mean is the rational Σq/n, so residuals
+    * scale through by n: |q·n − Σq| is an exact integer per row, the
+    * rank selection walks the per-group residual HISTOGRAM (the
+    * weightedPercentile machinery) comparing integer ranks, and the
+    * coverage decision on the test split is one integer comparison
+    * |q·n − Σq| ≤ r̂ — no float crosses a decision boundary anywhere;
+    * q̂ converts to value units only for reporting. A conformal rank
+    * past n (tiny calibration sets) clamps to the max residual,
+    * reported via `rank_clamped`.
+    *
+    * Scale shape: one calibration agg (|groups| rows, broadcast), one
+    * map-side residual pass, one histogram walk per group, one
+    * broadcast join onto the test split, one final partial agg.
+    */
+  def conformalInterval(df: DataFrame, groupCol: String, valueCol: String,
+                        calCol: Column, alphaNum: Int = 1, alphaDen: Int = 10,
+                        unitScale: Long = 1000000L): DataFrame = {
+    require(alphaNum > 0 && alphaNum < alphaDen, s"alpha=$alphaNum/$alphaDen out of (0,1)")
+    val vq = floor(col(valueCol).cast("double") * unitScale + lit(0.5)).cast("long")
+    val base = df.select(col(groupCol), vq.as("_q"), calCol.as("_cal"))
+    val calStats = base.filter(col("_cal"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("_nc"), sum(col("_q").cast("decimal(38,0)")).as("_sq"))
+    // scaled residual |q·n − Σq| — integer, exact (mean never floats)
+    def res(q: Column) =
+      abs((q.cast("decimal(38,0)") * col("_nc") - col("_sq")).cast("decimal(38,0)"))
+    val calRes = base.filter(col("_cal")).join(broadcast(calStats), Seq(groupCol))
+      .select(col(groupCol), col("_nc"), res(col("_q")).as("_r"))
+    val hist = calRes.groupBy(col(groupCol), col("_nc"), col("_r"))
+      .agg(count(lit(1)).as("_c"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("_r"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // conformal rank k = ceil((n+1)(den−num)/den), clamped to n
+    val k = expr(s"((_nc + 1) * ${alphaDen - alphaNum} + ${alphaDen - 1}) div $alphaDen")
+    val qhat = hist
+      .withColumn("_cum", sum(col("_c")).over(w))
+      .withColumn("_k", least(k, col("_nc")))
+      .withColumn("_clamped", k > col("_nc"))
+      .filter(col("_cum") >= col("_k"))
+      .groupBy(col(groupCol))
+      .agg(min(col("_r")).as("_rhat"), first(col("_nc")).as("n_cal"),
+           first(col("_clamped")).as("rank_clamped"))
+    val test = base.filter(!col("_cal")).join(broadcast(calStats), Seq(groupCol))
+      .join(broadcast(qhat), Seq(groupCol))
+      .withColumn("_cov", res(col("_q")) <= col("_rhat"))
+    test.groupBy(col(groupCol))
+      .agg(first(col("n_cal")).as("n_cal"),
+           count(lit(1)).as("n_test"),
+           first(round(col("_rhat").cast("double") /
+             (col("_nc").cast("double") * unitScale), 9)).as("qhat"),
+           sum(when(col("_cov"), 1L).otherwise(0L)).as("n_covered"),
+           first(col("rank_clamped")).as("rank_clamped"))
+  }
+
   /** Chi-square independence statistic (SURVEY.md §2 #52k): is the
     * CATEGORICAL distribution of `catCol` the same across the cohorts
     * of `cohortCol`? — completing the drift family (KS = numeric

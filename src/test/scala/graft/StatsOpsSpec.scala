@@ -12,6 +12,36 @@ import graft.functions.Profile
 class StatsOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  // ---- conformal ----
+
+  test("conformalInterval selects the exact conformal-rank residual and achieves coverage") {
+    val rnd = new scala.util.Random(53)
+    val rows = (1 to 400).map(i =>
+      ("g", i.toLong, 100.0 + math.floor(rnd.nextGaussian() * 800) / 16))
+    val df = rows.toDF("k", "id", "v")
+    val r = Profile.conformalInterval(df, "k", "v", col("id") % 2 === 0)
+      .collect().head
+    val (nCal, nTest, qhat, nCov) =
+      (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))
+    nCal shouldBe 200L; nTest shouldBe 200L
+    // driver reference: same integer-scaled residual rank selection
+    val cal = rows.filter(_._2 % 2 == 0).map(x => math.floor(x._3 * 1e6 + 0.5).toLong)
+    val sq = cal.map(BigInt(_)).sum
+    val res = cal.map(q => (BigInt(q) * cal.size - sq).abs).sorted
+    val k = math.min(((cal.size + 1) * 9 + 9) / 10, cal.size)
+    val rhat = res(k - 1)
+    qhat shouldBe (math.floor(rhat.toDouble / (cal.size.toDouble * 1e6) * 1e9 + 0.5) / 1e9) +- 1e-9
+    val test = rows.filter(_._2 % 2 == 1).map(x => math.floor(x._3 * 1e6 + 0.5).toLong)
+    nCov shouldBe test.count(q => (BigInt(q) * cal.size - sq).abs <= rhat).toLong
+    // the conformal guarantee: realized coverage near/above 1 - alpha
+    nCov.toDouble / nTest.toDouble should be >= 0.85
+    r.getBoolean(5) shouldBe false
+    // tiny calibration set: rank past n clamps and reports it
+    val tiny = (1 to 6).map(i => ("t", i.toLong, i.toDouble)).toDF("k", "id", "v")
+    val rt = Profile.conformalInterval(tiny, "k", "v", col("id") <= 3).collect().head
+    rt.getBoolean(5) shouldBe true
+  }
+
   // ---- cuped ----
 
   test("cuped removes a perfectly-predictive covariate and preserves the mean") {
