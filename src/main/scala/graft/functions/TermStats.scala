@@ -316,4 +316,53 @@ object TermStats {
       .filter(col("cos") >= minCos)
       .select("doc_a", "doc_b", "cos")
   }
+
+  /** Frequency vocabulary + id-encoding: build the (token → id) table
+    * a word-level model consumes (id 1..V ordered by count desc, token
+    * asc; 0 reserved for UNK) and re-emit every document as its
+    * ordered id sequence — the text→tensor boundary of a training
+    * pipeline, downstream of cleaning and upstream of [[graft.operators.Packing]].
+    *
+    * Scale shape: tokenization + position tagging are map-side
+    * (posexplode); the vocabulary is ONE term-keyed partial-agg
+    * shuffle (Zipf-hot tokens collapse map-side) pruned by `minCount`
+    * BEFORE ranking, so the global row_number window sorts the
+    * ARTIFACT (|vocab|, bounded by minCount), never the corpus — same
+    * artifact class as the IVF centroids, and like the IDF table it
+    * re-joins the exploded corpus broadcast ONLY UNDER a row budget
+    * with a plain shuffled join past it. Reassembly is one groupBy per
+    * doc; in-doc order is restored by array_sort over (pos, id)
+    * structs — positions are unique per doc, so the sort is total and
+    * the emitted sequence deterministic on any engine.
+    *
+    * Exactness: counts, ranks, and ids are integers end-to-end; ties
+    * in frequency break on the token string. Empty-token splits are
+    * dropped; a document with no tokens emits nothing (it has no
+    * sequence), consistently on every engine.
+    *
+    * Output: (doc_id, n_tokens, n_unk, ids array<long>).
+    */
+  def vocabEncode(docs: DataFrame, minCount: Int = 5,
+                  textCol: String = "text", idCol: String = "doc_id",
+                  broadcastMaxRows: Long = 2000000L): DataFrame = {
+    require(minCount >= 1, "minCount must be >= 1")
+    val nPart = docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val tok = docs.repartition(nPart, col(idCol))
+      .select(col(idCol).as("doc_id"),
+        posexplode(filter(T.tokens(col(textCol)), t => t =!= "")).as(Seq("pos", "term")))
+    val vocab = tok.groupBy("term").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .withColumn("id", row_number().over(
+        Window.orderBy(col("n").desc, col("term"))).cast("long"))
+      .select("term", "id")
+      .persist()
+    val vocabT = if (vocab.count() <= broadcastMaxRows) broadcast(vocab) else vocab
+    tok.join(vocabT, Seq("term"), "left")
+      .withColumn("id", coalesce(col("id"), lit(0L)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("id") === 0L, 1L).otherwise(0L)).as("n_unk"),
+        transform(array_sort(collect_list(struct(col("pos"), col("id")))),
+          x => x.getField("id")).as("ids"))
+  }
 }

@@ -639,6 +639,47 @@ object Similarity {
         (coalesce(col("n_hits"), lit(0)).cast("double") / lit(k.toDouble)).as("recall_at_k"))
   }
 
+  /** Mean-average-precision companion to [[recallAudit]]: per query,
+    * AP@k over the exact cosine top-k with binary relevance = label
+    * match — the rank-sensitive retrieval metric (recall@k counts
+    * hits; AP rewards putting them EARLY), the second number an
+    * embedding-quality eval reports.
+    *
+    * Exactness: AP = (Σ_{relevant rank r} P@r) / R is rational with
+    * denominators ≤ k, so the numerator is carried as the exact
+    * integer Σ hits_r · (L/r) with L = lcm(1..k) (k ≤ 10 ⇒ L = 2520
+    * divides evenly for every r) and ONE IEEE double division ends it
+    * — bit-identical on any engine, no float accumulation order to
+    * disagree on. Queries with zero relevant neighbors report ap = 0.
+    *
+    * Scale shape: the search arm is [[bruteForceTopK]] (corpus never
+    * shuffled); the eval adds one slim label join against the
+    * |queries|×k result table and a k-row-per-group window — cost
+    * invisible next to the search.
+    */
+  def apAtK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+            vecCol: String = "embedding", idCol: String = "vec_id",
+            labelCol: String = "label"): DataFrame = {
+    require(k >= 1 && k <= 10, s"apAtK: k must be in [1,10] (lcm scaling), got $k")
+    val tk = bruteForceTopK(corpus, queries, k, vecCol, idCol)
+    val qlab = queries.select(col(idCol).as("query_id"), col(labelCol).as("_ql"))
+    val clab = corpus.select(col(idCol).as("neighbor_id"), col(labelCol).as("_nl"))
+    val wRun = Window.partitionBy("query_id").orderBy("rank")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tk.join(broadcast(qlab), Seq("query_id"))
+      .join(clab, Seq("neighbor_id"))
+      .withColumn("_rel", when(col("_ql") === col("_nl"), 1L).otherwise(0L))
+      .withColumn("_hits", sum(col("_rel")).over(wRun))
+      .withColumn("_contrib",
+        when(col("_rel") === 1L, col("_hits") * expr("2520 div rank")).otherwise(0L))
+      .groupBy("query_id")
+      .agg(sum(col("_rel")).as("n_rel"), sum(col("_contrib")).as("_num"))
+      .select(col("query_id"), col("n_rel"),
+        when(col("n_rel") > 0,
+          round(col("_num").cast("double") / (lit(2520.0) * col("n_rel")), 9))
+          .otherwise(lit(0.0)).as("ap"))
+  }
+
   /** One k-means|| oversampling round (Bahmani et al., VLDB'12): every
     * vector is kept with probability min(1, l·d²/cost) where d is its
     * cosine distance to the nearest current seed and cost = Σd² — the

@@ -201,6 +201,39 @@ object Upsert {
       .drop("sum_q", "sum_q2")
   }
 
+  /** Incremental join-view maintenance for insert-only deltas: the
+    * rows a materialized join view A⋈B GAINS when batches dA and dB
+    * land — Δ(A⋈B) = dA⋈(B∪dB) ∪ A⋈dB, the classic delta rule with
+    * the dA⋈dB cross term folded into the first join exactly once
+    * (A and dA are disjoint by the insert-only contract, so the two
+    * terms cannot overlap and the union is exact as a multiset).
+    *
+    * Why this beats recomputing the view: the full join re-emits (and
+    * re-shuffles, or re-sorts into the sink layout) the ENTIRE view —
+    * output ∝ |A⋈B|; the delta emits only the new rows — output ∝
+    * fan-out of the deltas. Each base side is scanned at most once as
+    * a probe-side stream, and when the deltas are batch-sized (the
+    * norm: a day's landing against a years-deep view) AQE broadcasts
+    * them, so NEITHER base table shuffles at all. The hint is NOT
+    * forced (the q25 lesson): a backfill-sized delta degrades to a
+    * plain shuffled join instead of OOMing the driver.
+    *
+    * Contract: deltas are pure inserts (no updates/deletes — route
+    * those through [[applyChanges]] first) and disjoint from their
+    * base by key-carrying row identity. Columns are aligned by name;
+    * `on` names the shared equi-key columns.
+    */
+  def deltaJoin(aOld: DataFrame, aDelta: DataFrame,
+                bOld: DataFrame, bDelta: DataFrame,
+                on: Seq[String]): DataFrame = {
+    require(on.nonEmpty, "deltaJoin: need at least one join key")
+    require(aDelta.columns.toSeq == aOld.columns.toSeq &&
+            bDelta.columns.toSeq == bOld.columns.toSeq,
+      "deltaJoin: delta schema must match its base")
+    aDelta.join(bOld.unionByName(bDelta), on)
+      .unionByName(aOld.join(bDelta, on))
+  }
+
   /** Merge [[aggState]] tables: union + ONE partial agg re-combining
     * each component (counts and quantized sums add, min/max fold).
     * Keys absent from one side pass through untouched — no join, no
