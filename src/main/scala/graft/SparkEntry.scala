@@ -25,6 +25,22 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): Tafra =
     Tafra.readParquet(spark, s"$dir/$name.parquet")
 
+  /** Side-channel /tmp paths are derived from the input dir so runs at
+    * different scale factors (the sf0.1/sf1 bench vs the sf0.01
+    * correctness gate) can never clobber each other's files — the exact
+    * cross-process race that produced the only two red rows in
+    * CORRECTNESS_r05 (bench overwrote /tmp/graft_merge between the
+    * gate's Spark pass and its DuckDB pass). Verify substitutes the same
+    * tag into the oracle SQL's __SFTAG__ token at dump time, so query
+    * and oracle always read the same run's files.
+    */
+  def sfTag(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+
+  private def sidePath(base: String, dir: String): String =
+    s"/tmp/${base}_${sfTag(dir)}"
+
   /** Exact money arithmetic: sums over DECIMAL are order-independent
     * and match the DuckDB oracle bit-for-bit (doubles would drift with
     * shuffle order).
@@ -1587,7 +1603,7 @@ object SparkEntry {
     // ≈4 KiB merge batches by exclusive byte prefix-sum — the
     // lakehouse OPTIMIZE planning half, engine-exact.
     "q148_compaction_plan" -> ((s, dir) => {
-      val out = "/tmp/graft_binsrc" // fixed path — mirrored in the oracle SQL
+      val out = sidePath("graft_binsrc", dir) // dir-derived — mirrored via __SFTAG__ in the oracle SQL
       sources.BinaryDir.materializeText(
         t(s, dir, "documents").df.orderBy("doc_id").limit(64), out)
       functions.Layout.compactionPlan(
@@ -1640,7 +1656,7 @@ object SparkEntry {
     // (doc_id, source) and a later one with a NEW lang column load as
     // one frame via mergeSchema; early rows surface lang NULL.
     "q153_schema_merge" -> ((s, dir) => {
-      val out = "/tmp/graft_merge" // fixed path — mirrored in the oracle SQL
+      val out = sidePath("graft_merge", dir) // dir-derived — mirrored via __SFTAG__ in the oracle SQL
       val d = t(s, dir, "documents").df
       d.filter(col("doc_id") % 2 === 0).select("doc_id", "source")
         .write.mode("overwrite").parquet(out)
@@ -1742,7 +1758,7 @@ object SparkEntry {
     // layout: the proof that the q92 key clusters BOTH dimensions —
     // per-file ranges near-disjoint in partkey and suppkey at once.
     "q164_file_stats" -> ((s, dir) => {
-      val out = "/tmp/graft_zorder" // fixed path — mirrored in the oracle SQL
+      val out = sidePath("graft_zorder", dir) // dir-derived — mirrored via __SFTAG__ in the oracle SQL
       functions.Layout.zorderLayout(
         t(s, dir, "lineitem").df.select("l_orderkey", "l_partkey", "l_suppkey"),
         "l_partkey", "l_suppkey", nFiles = 8)
@@ -2229,7 +2245,7 @@ object SparkEntry {
     // first-class sink/source (toOrc/readOrc) — the written stripes
     // must read back to EXACTLY the parquet-derived oracle result.
     "q211_orc" -> ((s, dir) => {
-      val out = "/tmp/graft_orc_rt"
+      val out = sidePath("graft_orc_rt", dir) // dir-derived: concurrent SFs each round-trip their own stripes
       new core.Tafra(t(s, dir, "lineitem").df
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")).toOrc(out)
       core.Tafra.readOrc(s, out).df
@@ -2403,7 +2419,7 @@ object SparkEntry {
     // normalized to (file_name, n_bytes, content_md5); the DuckDB
     // oracle re-reads the same files via read_blob.
     "q112_binary_source" -> ((s, dir) => {
-      val out = "/tmp/graft_binsrc" // fixed path — mirrored in the oracle SQL
+      val out = sidePath("graft_binsrc", dir) // dir-derived — mirrored via __SFTAG__ in the oracle SQL
       sources.BinaryDir.materializeText(
         t(s, dir, "documents").df.orderBy("doc_id").limit(64), out)
       sources.BinaryDir.ingest(s, out, "doc_*.txt")
@@ -3880,7 +3896,7 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
       """SELECT parse_filename(filename) AS file_name,
            octet_length(content) AS n_bytes,
            md5(decode(content)) AS content_md5
-         FROM read_blob('/tmp/graft_binsrc/doc_*.txt')""",
+         FROM read_blob('/tmp/graft_binsrc___SFTAG__/doc_*.txt')""",
 
     "q118_interval_join" ->
       """SELECT l_orderkey, l_linenumber,
@@ -5331,7 +5347,7 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
       """SELECT parse_filename(filename) AS file_name, COUNT(*) AS n_rows,
            MIN(l_partkey) AS min_l_partkey, MAX(l_partkey) AS max_l_partkey,
            MIN(l_suppkey) AS min_l_suppkey, MAX(l_suppkey) AS max_l_suppkey
-         FROM read_parquet('/tmp/graft_zorder/*.parquet', filename=true)
+         FROM read_parquet('/tmp/graft_zorder___SFTAG__/*.parquet', filename=true)
          GROUP BY 1""",
 
     "q156_linreg" ->
@@ -5456,7 +5472,7 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
 
     "q153_schema_merge" ->
       """SELECT doc_id, source, lang
-         FROM read_parquet('/tmp/graft_merge/*.parquet', union_by_name=true)""",
+         FROM read_parquet('/tmp/graft_merge___SFTAG__/*.parquet', union_by_name=true)""",
 
     "q150_k_anonymity" ->
       """SELECT event_type,
@@ -5485,7 +5501,7 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
       """WITH f AS (
            SELECT parse_filename(filename) AS file_name,
              CAST(octet_length(content) AS BIGINT) AS n_bytes
-           FROM read_blob('/tmp/graft_binsrc/doc_*.txt')),
+           FROM read_blob('/tmp/graft_binsrc___SFTAG__/doc_*.txt')),
          p AS (
            SELECT file_name, n_bytes,
              COALESCE(SUM(n_bytes) OVER (ORDER BY file_name

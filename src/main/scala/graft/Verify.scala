@@ -40,9 +40,15 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Side-channel queries (q112/q148/q153/q164) write dir-derived /tmp
+    // paths; the oracle SQL carries a __SFTAG__ token resolved here with
+    // the SAME derivation, so a bench run at another SF can never clobber
+    // the files between this dump and the driver's DuckDB pass.
+    val tag = SparkEntry.sfTag(sfDir)
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => only.forall(_.findFirstIn(k).isDefined) }
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__SFTAG__", tag))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
