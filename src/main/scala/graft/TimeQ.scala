@@ -1,8 +1,9 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object TimeQ extends App {
-  val spark = SparkSession.builder().master("local[8]")
-    .config("spark.sql.shuffle.partitions", "8")
+  private val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+  val spark = SparkSession.builder().master(s"local[$cpus]")
+    .config("spark.sql.shuffle.partitions", cpus)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     .config("spark.ui.enabled", "false").getOrCreate()

@@ -880,10 +880,17 @@ object Profile {
     *
     * Pairwise slopes are quadratic per key BY DEFINITION, so the
     * operator is for bounded per-key series (the events-per-entity
-    * shape) and REFUSES oversized groups loudly (the scorePairs
-    * guard) rather than grinding through a hot key; the pair join and
-    * the median window shuffle on the same key, so the sort reuses
-    * the join's partitioning.
+    * shape) and REFUSES oversized groups loudly rather than grinding
+    * through a hot key. The guard is FUSED into the plan (the
+    * intervalJoin raise_error pattern): a per-key count window on the
+    * same key partitioning the pair join needs anyway fires before any
+    * quadratic row is emitted — no separate probe scan.
+    *
+    * The median is NEVER a sort over the raw pair list (up to n²/2
+    * rows of one key in one task): pairs collapse map-side to a
+    * per-(key, slope_q) HISTOGRAM partial agg, and the lower median
+    * rank-selects with the [[weightedPercentile]] cumulative walk —
+    * the window walks distinct slope VALUES, not pairs.
     *
     * Exactness: slopes quantize to integer milli-units-per-
     * `slopeUnitUs` via DECIMAL(38,0) cross-multiplication and ONE
@@ -905,12 +912,19 @@ object Profile {
     require(slopeUnitUs > 0, s"slopeUnitUs must be positive, got $slopeUnitUs")
     val slim = df.select(col(keyCol), col(timeCol).cast("long").as("_t"),
       floor(col(valueCol) * 1000000L + 0.5).cast("long").as("_vq"))
-    val big = slim.groupBy(keyCol).agg(count(lit(1)).as("_n"))
-      .filter(col("_n") > maxGroupRows).limit(1).collect()
-    require(big.isEmpty,
-      s"theilSen: key ${big.headOption.map(_.get(0))} exceeds $maxGroupRows rows — " +
-      "pairwise slopes are quadratic per key; pre-aggregate the series first")
-    val a = slim.select(col(keyCol), col("_t").as("_ta"), col("_vq").as("_va"))
+    // In-plan guard: the count window shares the pair join's key
+    // partitioning and raises BEFORE any quadratic pair row exists —
+    // replaces the old eager limit(1).collect() probe that cost a full
+    // extra input scan. ONE side only: every key reaches side a, so
+    // one firing row suffices and side b skips the window entirely.
+    val kn = count(lit(1)).over(Window.partitionBy(keyCol))
+    val guarded = slim.withColumn("_vg",
+      when(kn > maxGroupRows, raise_error(format_string(
+        s"theilSen: key %s exceeds $maxGroupRows rows — pairwise slopes are " +
+        "quadratic per key; pre-aggregate the series first",
+        col(keyCol).cast("string"))).cast("long"))
+      .otherwise(col("_vq")))
+    val a = guarded.select(col(keyCol), col("_t").as("_ta"), col("_vg").as("_va"))
     val b = slim.select(col(keyCol), col("_t").as("_tb"), col("_vq").as("_vb"))
     // slope_q in MILLI-value-units per slopeUnitUs: dv is in micro-
     // units, so the 1e6 quantization and the 1e3 output scale fold
@@ -918,14 +932,23 @@ object Profile {
     val pairs = a.join(b, Seq(keyCol)).filter(col("_ta") < col("_tb"))
       .withColumn("_sq", expr(
         s"(CAST(_vb - _va AS DECIMAL(38,0)) * ${slopeUnitUs}L) div ((_tb - _ta) * 1000L)"))
-    val wk = Window.partitionBy(keyCol)
-    val ws = wk.orderBy(col("_sq"))
-    pairs
-      .withColumn("_rn", row_number().over(ws))
-      .withColumn("n_pairs", count(lit(1)).over(wk))
-      .filter(col("_rn") === expr("(n_pairs + 1) div 2"))
-      .select(col(keyCol), col("n_pairs"), col("_sq").as("slope_q"),
-        round(col("_sq").cast("double") / 1000.0, 9).as("slope"))
+    // Histogram rank-selection of the lower median: duplicate slopes
+    // collapse in the partial agg (map-side combine on the join's
+    // output), the cumulative walk scans distinct values, and the
+    // lower median is the SMALLEST slope whose inclusive count prefix
+    // reaches rank (n_pairs+1) div 2 — identical selection to a
+    // row_number over the sorted pair list, without ever sorting it.
+    val hist = pairs.groupBy(col(keyCol), col("_sq")).agg(count(lit(1)).as("_c"))
+    val wcum = Window.partitionBy(keyCol).orderBy(col("_sq"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("_cum", sum(col("_c")).over(wcum))
+      .withColumn("n_pairs", sum(col("_c")).over(Window.partitionBy(keyCol)))
+      .filter(col("_cum") >= expr("(n_pairs + 1) div 2"))
+      .groupBy(col(keyCol))
+      .agg(max(col("n_pairs")).as("n_pairs"), min(col("_sq")).as("slope_q"))
+      .withColumn("slope", round(col("slope_q").cast("double") / 1000.0, 9))
+      .select(col(keyCol), col("n_pairs"), col("slope_q"), col("slope"))
   }
 
   /** Welch's unequal-variance t statistic between cohorts `a` and `b`

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Fellegi–Sunter record linkage: probabilistic duplicate scoring over
@@ -28,9 +29,11 @@ import org.apache.spark.sql.functions._
   * `levenshtein(a, b, k)` comparator stays cheap on runaway strings).
   * Oversized blocks (a null-heavy or default-valued block key is the
   * classic trap: one degenerate block quadratically dominates) are
-  * REFUSED loudly by a cheap pre-count guard rather than silently
-  * ground through; when no natural blocking key bounds |b|, use
-  * sorted-neighborhood blocking (`Dedup.sortedNeighborPairs`) to feed
+  * REFUSED loudly by a guard FUSED into the join plan (a per-block
+  * count window sharing the join's shuffle — no separate probe scan)
+  * rather than silently ground through; when no natural blocking key
+  * bounds |b|, use sorted-neighborhood blocking
+  * (`Dedup.sortedNeighborhood` via [[scoreNeighborPairs]]) to feed
   * pairs instead.
   */
 object Linkage {
@@ -55,8 +58,11 @@ object Linkage {
     * @param valueCols columns the comparators read (projected before
     *                  the join so the pair shuffle carries only them)
     * @param maxBlockRows refuse blocks larger than this (quadratic
-    *                  blow-up guard); the check is one partial-agg
-    *                  count over the slim projection
+    *                  blow-up guard); the check rides the join's own
+    *                  block-key shuffle as a count window threaded
+    *                  through the id column, so it raises before any
+    *                  quadratic pair row exists and costs no extra
+    *                  input pass
     */
   def scorePairs(records: DataFrame, idCol: String, blockCols: Seq[String],
                  valueCols: Seq[String], fields: Seq[LinkField],
@@ -64,15 +70,20 @@ object Linkage {
     require(fields.nonEmpty, "scorePairs: no comparators")
     require(blockCols.nonEmpty, "scorePairs: no block key")
     val slim = records.select((idCol +: blockCols ++: valueCols).distinct.map(col): _*)
-    val big = slim.groupBy(blockCols.map(col): _*)
-      .agg(count(lit(1)).as("_n")).filter(col("_n") > maxBlockRows).limit(1).collect()
-    require(big.isEmpty,
-      s"scorePairs: block ${big.headOption.map(_.toSeq.init.mkString(","))} exceeds " +
-      s"$maxBlockRows rows — pairs are quadratic per block; refine blockCols or use sorted-neighborhood blocking")
-    def side(tag: String) = slim.select(
-      (col(idCol).as(s"${idCol}_$tag") +: blockCols.map(col)) ++:
+    // The guard routes through the id the pair filter reads, so column
+    // pruning can never drop it; it only wraps side "a" — every block
+    // row passes through that side, one firing row is enough.
+    val guardedId = when(
+      count(lit(1)).over(Window.partitionBy(blockCols.map(col): _*)) > maxBlockRows,
+      raise_error(format_string(
+        s"scorePairs: block %s exceeds $maxBlockRows rows — pairs are quadratic " +
+        "per block; refine blockCols or use sorted-neighborhood blocking",
+        concat_ws(",", blockCols.map(c => col(c).cast("string")): _*))))
+      .otherwise(col(idCol))
+    def side(tag: String, id: Column) = slim.select(
+      (id.as(s"${idCol}_$tag") +: blockCols.map(col)) ++:
         valueCols.map(c => col(c).as(s"_${tag}_$c")): _*)
-    val pairs = side("a").join(side("b"), blockCols, "inner")
+    val pairs = side("a", guardedId).join(side("b", col(idCol)), blockCols, "inner")
       .filter(col(s"${idCol}_a") < col(s"${idCol}_b"))
     scoreJoined(pairs, idCol, fields, minScore)
   }

@@ -65,9 +65,11 @@ object Upsert {
     * field-wise, codegen'd, no row hashing round trip and no string
     * rendering (a rendered-hash diff breaks the moment two engines
     * format a double differently). Keys must be unique per side
-    * (snapshot semantics) — duplicate keys raise on the count
-    * check rather than silently cross-pairing, unless `assumeUnique`
-    * skips the two guard aggregations.
+    * (snapshot semantics) — duplicate keys raise rather than silently
+    * cross-pairing; the guard is FUSED into the plan as a per-key
+    * count window on the same key partitioning the join needs anyway
+    * (zero extra input passes — the old eager probe scanned each side
+    * once more), unless `assumeUnique` skips it.
     *
     * Output: (keyCol, change) for every key in either snapshot.
     * `keepSame=false` drops the (dominant, boring) `same` class
@@ -79,15 +81,21 @@ object Upsert {
     val payload = oldDf.columns.filterNot(_ == keyCol).toSeq
     require(newDf.columns.toSet == oldDf.columns.toSet,
       s"snapshot schemas differ: ${oldDf.columns.toSeq} vs ${newDf.columns.toSeq}")
-    if (!assumeUnique) {
-      Seq("old" -> oldDf, "new" -> newDf).foreach { case (name, df) =>
-        val dup = df.groupBy(keyCol).agg(count(lit(1)).as("c")).filter(col("c") > 1).limit(1).collect()
-        require(dup.isEmpty,
-          s"diffSnapshots: $name snapshot has duplicate key ${dup.head.get(0)} — not a snapshot")
-      }
+    // Guard fused into each side's projection: the payload struct the
+    // diff reads is routed through a when(dup, raise_error) so column
+    // pruning can never drop the check, and the count window shares
+    // the full-outer join's key partitioning — one shuffle per side,
+    // no separate probe job.
+    def slim(df: DataFrame, tag: String) = {
+      val p = struct(payload.sorted.map(col): _*)
+      val guarded = if (assumeUnique) p
+        else when(count(lit(1)).over(Window.partitionBy(keyCol)) > 1,
+          raise_error(format_string(
+            s"diffSnapshots: $tag snapshot has duplicate key %s — not a snapshot",
+            col(keyCol).cast("string"))))
+        .otherwise(p)
+      df.select(col(keyCol), guarded.as(s"_p_$tag"))
     }
-    def slim(df: DataFrame, tag: String) =
-      df.select(col(keyCol), struct(payload.sorted.map(col): _*).as(s"_p_$tag"))
     val change =
       when(col("_p_old").isNull, lit("added"))
         .when(col("_p_new").isNull, lit("removed"))
@@ -128,20 +136,26 @@ object Upsert {
   }
 
   /** Canonical mergeable aggregate state per key over `valueCol`:
-    * (n, sum_q, min_v, max_v), the sum micro-unit-quantized to an
-    * exact long — the partial-aggregate shape that makes incremental
-    * pipelines possible: aggregate each arriving batch once, then
-    * [[mergeAggStates]] folds states without ever rescanning history.
-    * One partial-agg shuffle; every component is commutative +
-    * associative (that's the contract the merge relies on), and the
-    * quantized sum makes the state EXACT and order-insensitive — the
-    * merged result is bit-identical to a from-scratch aggregation, no
-    * float drift however many increments the state has absorbed.
+    * (n, sum_q, min_v, max_v), the sum micro-unit-quantized and
+    * carried as DECIMAL(38,0) — the partial-aggregate shape that makes
+    * incremental pipelines possible: aggregate each arriving batch
+    * once, then [[mergeAggStates]] folds states without ever
+    * rescanning history. One partial-agg shuffle; every component is
+    * commutative + associative (that's the contract the merge relies
+    * on), and the quantized DECIMAL sum makes the state EXACT and
+    * order-insensitive — the merged result is bit-identical to a
+    * from-scratch aggregation, no float drift and NO SILENT LONG WRAP
+    * (a long Σq overflows at ~10¹⁰ rows of 10⁹-unit values in
+    * non-ANSI mode; state types must survive the corpus lifetime, not
+    * one batch — the momentsState rule). The addend is decimal-cast
+    * BEFORE the sum — summing longs and casting after would wrap
+    * inside the aggregation buffer.
     */
   def aggState(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
     df.groupBy(keys.map(col): _*).agg(
       count(col(valueCol)).as("n"),
-      sum(floor(col(valueCol).cast("double") * 1e6 + lit(0.5)).cast("long")).as("sum_q"),
+      sum(floor(col(valueCol).cast("double") * 1e6 + lit(0.5)).cast("decimal(20,0)"))
+        .cast("decimal(38,0)").as("sum_q"),
       min(col(valueCol)).as("min_v"),
       max(col(valueCol)).as("max_v"))
 
@@ -166,8 +180,10 @@ object Upsert {
       count(col(valueCol)).as("n"),
       // both sums as decimal: Σq alone would overflow a long once the
       // state has absorbed ~10¹⁰ rows of 10⁹-unit values — state types
-      // must survive the CORPUS lifetime, not one batch
-      sum(q).cast("decimal(38,0)").as("sum_q"),
+      // must survive the CORPUS lifetime, not one batch. The addend is
+      // decimal-cast BEFORE the sum (sum over longs wraps inside the
+      // aggregation buffer; a cast after the fact can't undo it).
+      sum(q.cast("decimal(20,0)")).cast("decimal(38,0)").as("sum_q"),
       sum(q.cast("decimal(19,0)") * q).cast("decimal(38,0)").as("sum_q2"))
   }
 
@@ -245,7 +261,10 @@ object Upsert {
     require(states.nonEmpty, "mergeAggStates: no states")
     states.reduce(_.unionByName(_))
       .groupBy(keys.map(col): _*)
-      .agg(sum("n").as("n"), sum("sum_q").as("sum_q"),
+      // re-cast pins the schema across merge generations (sum over
+      // decimal(38,0) would otherwise stay 38,0 but via Spark's
+      // precision-widening rule — make the contract explicit)
+      .agg(sum("n").as("n"), sum("sum_q").cast("decimal(38,0)").as("sum_q"),
            min("min_v").as("min_v"), max("max_v").as("max_v"))
   }
 }

@@ -72,14 +72,15 @@ class CurationOpsSpec extends SparkSpec {
     val rows = (1 to 300).map(i =>
       (s"k${i % 7}", math.floor(rnd.nextDouble() * 2000 - 1000) / 8))
     val df = rows.toDF("k", "v")
+    // sum_q is DECIMAL(38,0) (lifetime-exact, no long wrap) — read as BigDecimal
     val direct = Upsert.aggState(df, Seq("k"), "v").collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDecimal(2), r.getDouble(3), r.getDouble(4))).toMap
     // three-way split by hash of the value, merged in two different orders
     val parts = (0 until 3).map(p => Upsert.aggState(
       df.filter(abs(hash(col("v"))) % 3 === p), Seq("k"), "v"))
     for (order <- Seq(parts, parts.reverse)) {
       val merged = Upsert.mergeAggStates(order, Seq("k")).collect()
-        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDecimal(2), r.getDouble(3), r.getDouble(4))).toMap
       merged shouldBe direct
     }
   }
@@ -90,7 +91,7 @@ class CurationOpsSpec extends SparkSpec {
     val b = Seq(("y", 4.0), ("z", 8.0)).toDF("k", "v")
     val m = Upsert.mergeAggStates(
         Seq(Upsert.aggState(a, Seq("k"), "v"), Upsert.aggState(b, Seq("k"), "v")), Seq("k"))
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDecimal(2).longValueExact())).toMap
     m shouldBe Map("x" -> (1L, 1000000L), "y" -> (2L, 6000000L), "z" -> (1L, 8000000L))
   }
 
@@ -174,10 +175,12 @@ class CurationOpsSpec extends SparkSpec {
   test("scorePairs refuses a quadratic runaway block loudly") {
     import graft.operators.Linkage
     val recs = (1 to 50).map(i => (i.toLong, "hot", s"n$i", 1.0)).toDF("id", "blk", "name", "bal")
-    val ex = intercept[IllegalArgumentException] {
+    // the guard is fused into the plan (raise_error), so it fires on
+    // the ACTION, wrapped in Spark's runtime exception
+    val ex = intercept[Exception] {
       Linkage.scorePairs(recs, "id", Seq("blk"), Seq("name"),
         Seq(Linkage.LinkField("name", (a, b) => a === b, 1, -1)),
-        minScore = 0, maxBlockRows = 10)
+        minScore = 0, maxBlockRows = 10).count()
     }
     ex.getMessage should include("sorted-neighborhood")
   }

@@ -1077,10 +1077,13 @@ class OperatorsSpec extends SparkSpec {
       4L -> "added", 5L -> "same")
     Upsert.diffSnapshots(old, neu, "k", keepSame = false)
       .collect().map(_.getLong(0)).toSet shouldBe Set(2L, 3L, 4L)
-    // a duplicated key is not a snapshot — the guard refuses it
+    // a duplicated key is not a snapshot — the in-plan guard raises
+    // on the action (fused raise_error, no separate probe job)
     val dup = Seq((1L, "a", 1.0), (1L, "a2", 1.5)).toDF("k", "s", "v")
-    an[IllegalArgumentException] should be thrownBy
-      Upsert.diffSnapshots(dup, neu, "k")
+    val ex = intercept[Exception] {
+      Upsert.diffSnapshots(dup, neu, "k").collect()
+    }
+    ex.getMessage should include("duplicate key")
   }
 
   test("histogram: exact floor bins including negatives, occupied bins only") {

@@ -299,11 +299,14 @@ class PlanSpec extends SparkSpec {
     (p should not).include("SortMergeJoin")
   }
 
-  test("q204 theil-sen: block-bounded pair join, no cartesian, shared median sort") {
+  test("q204 theil-sen: median rank-selects over a slope histogram, never the raw pair list") {
     val p = plan("q204_theil_sen")
     (p should not).include("CartesianProduct")
-    // both the rank and the count window ride ONE per-key sort
-    p.split("Sort \\[user_id").length - 1 should be <= 2
+    // the old shape row_number'd the sorted pair list (n²/2 rows of a
+    // hot key in ONE task); now pairs collapse map-side to a
+    // (key, slope) histogram before any window touches them
+    (p should not).include("row_number")
+    p should include("partial_count")
   }
 
   test("q202 bloom join: fact side prefiltered by might_contain before any join shuffle") {

@@ -275,8 +275,10 @@ class StatsOpsSpec extends SparkSpec {
 
   test("theilSen refuses an oversized group and drops same-timestamp pairs") {
     val big = (1 to 30).map(i => ("k", i.toLong, i.toDouble)).toDF("k", "tus", "v")
-    intercept[IllegalArgumentException] {
-      Profile.theilSen(big, "k", "tus", "v", maxGroupRows = 10)
+    // guard is in-plan (raise_error on the same shuffle the pair join
+    // uses) — it fires when the query RUNS, before any pair is built
+    intercept[Exception] {
+      Profile.theilSen(big, "k", "tus", "v", maxGroupRows = 10).count()
     }.getMessage should include("quadratic")
     // all events at one timestamp: no defined slope, key absent
     val flat = Seq(("k", 5L, 1.0), ("k", 5L, 2.0), ("k", 5L, 3.0)).toDF("k", "tus", "v")
