@@ -968,16 +968,28 @@ object Dedup {
     * (ORDER BY key)` — the single worst window anti-pattern (one task
     * sorts the corpus). Here the global ordinal comes from the
     * globalIndex two-level decomposition: an ORDER-PRESERVING numeric
-    * prefix code of the sort key (first 3 bytes big-endian — exact for
-    * single-byte-charset keys, the documented contract; the combined
-    * (code, key, id) order equals plain (key, id) order precisely
-    * because the code is an order-preserving prefix function) buckets
-    * rows for a partitioned rank window plus a histogram-sized offset
-    * table. Neighbor pairing is then a plain hash equi-join on the
-    * index block `idx div w` (a pair within w positions spans at most
-    * adjacent blocks, so the left side probes block and block+1 —
-    * the RangeJoin ±1 trick applied to rank space). No global sort
-    * task anywhere; property-tested equal to the naive window form.
+    * prefix code of the sort key (3 codepoints at 21-bit weights — the
+    * full-Unicode-safe spacing; byte-weight packing could invert order
+    * the moment a multi-byte codepoint bled into the next position's
+    * weight; the combined (code, key, id) order equals plain (key, id)
+    * order precisely because the code is an order-preserving prefix
+    * function) buckets rows for a partitioned rank window plus a
+    * histogram-sized offset table. Neighbor pairing is then a plain
+    * hash equi-join on the index block `idx div w` (a pair within w
+    * positions spans at most adjacent blocks, so the left side probes
+    * block and block+1 — the RangeJoin ±1 trick applied to rank
+    * space). No global sort task anywhere; property-tested equal to
+    * the naive window form.
+    *
+    * A CONSTANT shared key prefix (the 'Customer#…' shape) would make
+    * every row code identically and collapse the decomposition into
+    * one single-task bucket sort, so it is detected and SKIPPED before
+    * coding: min(key) and max(key) bound every row lexicographically,
+    * hence their longest common prefix is constant across the whole
+    * column — one pruned two-string partial agg configures the code
+    * offset. Keys STILL identical for 3 codepoints past that prefix
+    * share a bucket (the documented residual degeneracy: supply a more
+    * discriminating sort key).
     *
     * Output: (id_a, id_b, d) with d = idx_b − idx_a ∈ [1, w], id_a
     * the earlier row in sort order.
@@ -985,9 +997,13 @@ object Dedup {
   def sortedNeighborhood(df: DataFrame, sortCol: String, idCol: String,
                          w: Int, bucketWidth: Long = 1L << 16): DataFrame = {
     require(w >= 1, s"window w must be >= 1, got $w")
-    val code = (ascii(substring(col(sortCol), 1, 1)) * lit(65536L) +
-      ascii(substring(col(sortCol), 2, 1)) * lit(256L) +
-      ascii(substring(col(sortCol), 3, 1))).cast("long")
+    val mm = df.agg(min(col(sortCol)).cast("string").as("lo"),
+                    max(col(sortCol)).cast("string").as("hi")).head()
+    val lo = Option(mm.getString(0)).getOrElse("")
+    val hi = Option(mm.getString(1)).getOrElse("")
+    val off = lo.zip(hi).takeWhile { case (a, b) => a == b }.length
+    def cp(i: Int) = ascii(substring(col(sortCol), off + i, 1)).cast("long")
+    val code = cp(1) * lit(1L << 42) + cp(2) * lit(1L << 21) + cp(3)
     val idx = new graft.core.Tafra(df.withColumn("_ord", code))
       .globalIndex("_ord", Seq(sortCol, idCol), bucketWidth, "idx")
       .df.select(col(idCol).as("_id"), col("idx"))
@@ -1079,9 +1095,22 @@ object Dedup {
                     attrCols: Seq[String]): DataFrame = {
     require(attrCols.nonEmpty, "goldenRecords needs at least one attribute")
     val comp = components(pairs, aCol, bCol)
+    // Unmatched entities self-cluster on their id AS A LONG; a
+    // non-numeric id would try_cast to NULL and silently merge EVERY
+    // unmatched entity into one bogus NULL-cluster golden record (or,
+    // in ANSI mode, die mid-join with an uninformative CAST error), so
+    // the cast is guarded: a non-null id that won't cast raises with
+    // the fix spelled out.
+    val idTry = expr(s"try_cast(`$idCol` as long)")
+    val selfCluster = when(col(idCol).isNotNull && idTry.isNull,
+        raise_error(format_string(
+          "goldenRecords: id %s is not numeric — cluster ids are longs; " +
+          "map ids through a numeric surrogate (e.g. globalIndex) first",
+          col(idCol).cast("string"))).cast("long"))
+      .otherwise(idTry)
     val labeled = entities
       .join(comp, entities(idCol) === comp("node"), "left")
-      .withColumn("cluster", coalesce(col("component"), col(idCol).cast("long")))
+      .withColumn("cluster", coalesce(col("component"), selfCluster))
       .drop("node", "component")
     val melted = labeled.select(col("cluster"),
       explode(map(attrCols.flatMap(a => Seq(lit(a), col(a).cast("string"))): _*))
@@ -1157,8 +1186,18 @@ object Dedup {
                     idCol: String = "doc_id", aCol: String = "doc_a",
                     bCol: String = "doc_b"): DataFrame = {
     val comp = components(pairs, aCol, bCol)
+    // Guarded long cast (the goldenRecords rule): a non-numeric id
+    // would try_cast to NULL and every singleton would collapse into
+    // one NULL cluster — raise with the fix spelled out instead.
+    val idTry = expr(s"try_cast(`$idCol` as long)")
+    val idNum = when(col(idCol).isNotNull && idTry.isNull,
+        raise_error(format_string(
+          "dedupKeepBest: id %s is not numeric — cluster ids are longs; " +
+          "map ids through a numeric surrogate (e.g. globalIndex) first",
+          col(idCol).cast("string"))).cast("long"))
+      .otherwise(idTry)
     val labeled = docs
-      .select(col(idCol).cast("long").as("doc_id"), col(qualityCol).as("q"))
+      .select(idNum.as("doc_id"), col(qualityCol).as("q"))
       .join(comp, col("doc_id") === col("node"), "left")
       .withColumn("cluster", coalesce(col("component"), col("doc_id")))
       .drop("node", "component")

@@ -105,7 +105,7 @@ object RangeJoin {
   def intervalJoin(points: DataFrame, intervals: DataFrame, keyCols: Seq[String],
                    tCol: String, sCol: String, eCol: String, bucket: Long,
                    maxSpanBuckets: Int = 1024,
-                   broadcastMaxIntervals: Long = 500000L): DataFrame = {
+                   broadcastMaxCells: Long = 500000L): DataFrame = {
     require(bucket > 0, s"bucket must be positive, got $bucket")
     val b0 = bucketOf(col(sCol), bucket)
     val b1 = bucketOf(col(eCol), bucket)
@@ -124,12 +124,18 @@ object RangeJoin {
     // builds a hashed relation of |intervals| × fan-out rows on the
     // driver — linear driver memory, the one thing that cannot survive
     // a 100× scale-up (and AQE can demote SMJ→BHJ but never the
-    // reverse). One pruned-scan count() on the un-exploded side picks
-    // the plan: small dim-table intervals broadcast (ideal — points
-    // never shuffle), anything bigger goes sort-merge on
-    // (keys, time-cell), which spills gracefully at any scale.
+    // reverse). The gate counts EXPLODED CELLS (Σ span fan-out on a
+    // pruned scan), not raw intervals — the broadcast pins the
+    // post-explode frame, so 500k intervals × 1024-cell spans would
+    // otherwise hint ~5×10⁸ rows onto the driver, the exact OOM this
+    // branch exists to prevent. Small dim-table intervals broadcast
+    // (ideal — points never shuffle); anything bigger goes sort-merge
+    // on (keys, time-cell), which spills gracefully at any scale.
+    val cells = Option(intervals
+        .agg(sum(greatest(b1 - b0, lit(0L)) + 1).as("c")).head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
     val ibSized =
-      if (intervals.count() <= broadcastMaxIntervals) broadcast(ib)
+      if (cells <= broadcastMaxCells) broadcast(ib)
       else ib.hint("merge")
     pb.join(ibSized, keyCols :+ "_bucket")
       .filter(col(sCol) <= col(tCol) && col(tCol) <= col(eCol))
@@ -163,7 +169,7 @@ object RangeJoin {
   def intervalOverlapJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                           lsCol: String, leCol: String, rsCol: String, reCol: String,
                           bucket: Long, maxSpanBuckets: Int = 1024,
-                          broadcastMaxIntervals: Long = 500000L): DataFrame = {
+                          broadcastMaxCells: Long = 500000L): DataFrame = {
     require(bucket > 0, s"bucket must be positive, got $bucket")
     val dup = left.columns.toSet.intersect(right.columns.toSet) -- keyCols
     require(dup.isEmpty, s"non-key columns must be disjoint; shared: $dup")
@@ -182,8 +188,14 @@ object RangeJoin {
     }
     val lb = explodeCells(left, lsCol, leCol)
     val rb = explodeCells(right, rsCol, reCol)
+    // Same exploded-cell gate as intervalJoin: the hint pins the
+    // post-explode frame, so the bound must be on cells, not rows.
+    val rCells = Option(right
+        .agg(sum(greatest(bucketOf(col(reCol), bucket) - bucketOf(col(rsCol), bucket), lit(0L)) + 1)
+          .as("c")).head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
     val rbSized =
-      if (right.count() <= broadcastMaxIntervals) broadcast(rb)
+      if (rCells <= broadcastMaxCells) broadcast(rb)
       else rb.hint("merge")
     lb.join(rbSized, keyCols :+ "_bucket")
       .filter(col(lsCol) <= col(reCol) && col(rsCol) <= col(leCol) &&

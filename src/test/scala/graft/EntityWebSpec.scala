@@ -102,6 +102,15 @@ class EntityWebSpec extends SparkSpec {
     r.isNullAt(3) shouldBe true // no non-null value anywhere
   }
 
+  test("goldenRecords refuses non-numeric ids instead of a silent NULL mega-cluster") {
+    val ents = Seq(("u1", "x"), ("u2", "y")).toDF("id", "a")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b").limit(0)
+    val ex = intercept[Exception] {
+      Dedup.goldenRecords(ents, pairs, "id", "id_a", "id_b", Seq("a")).collect()
+    }
+    ex.getMessage should include("not numeric")
+  }
+
   test("golden selection is a partial agg, not a per-cluster window") {
     val ents = Seq((1L, "x"), (2L, "y")).toDF("id", "a")
     val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")

@@ -1029,7 +1029,7 @@ class OperatorsSpec extends SparkSpec {
     // identically — the strategy switch must never change results
     val gotMerge = RangeJoin.intervalJoin(
         pts.toDF("k", "t", "pid"), ivs.toDF("k", "s", "e", "iid"),
-        Seq("k"), "t", "s", "e", bucket = 50L, broadcastMaxIntervals = 0L)
+        Seq("k"), "t", "s", "e", bucket = 50L, broadcastMaxCells = 0L)
     gotMerge.queryExecution.executedPlan.toString should include("SortMergeJoin")
     gotMerge.select("pid", "iid").as[(Long, Long)].collect().toSet shouldBe want
   }
@@ -1047,6 +1047,23 @@ class OperatorsSpec extends SparkSpec {
     // the same span under the default cap joins fine
     RangeJoin.intervalJoin(pts, huge, Seq("k"), "t", "s", "e", 50L)
       .count() shouldBe 1L
+  }
+
+  test("intervalJoin broadcast gate counts exploded cells, not raw intervals") {
+    import spark.implicits._
+    val pts = Seq((1L, 5L, 1L)).toDF("k", "t", "pid")
+    // ONE interval, but ~1000 cells at bucket=50 — the forced broadcast
+    // pins the EXPLODED frame, so the gate must see cells, not rows
+    val wide = Seq((1L, 0L, 50000L, 1L)).toDF("k", "s", "e", "iid")
+    val demoted = RangeJoin.intervalJoin(pts, wide, Seq("k"), "t", "s", "e", 50L,
+        broadcastMaxCells = 100L)
+      .queryExecution.sparkPlan.toString
+    (demoted should not).include("BroadcastHashJoin")
+    val narrow = Seq((1L, 0L, 100L, 1L)).toDF("k", "s", "e", "iid")
+    val kept = RangeJoin.intervalJoin(pts, narrow, Seq("k"), "t", "s", "e", 50L,
+        broadcastMaxCells = 100L)
+      .queryExecution.sparkPlan.toString
+    kept should include("BroadcastHashJoin")
   }
 
   test("transitions: ordered step counts, tie-broken successors, per-state normalization") {

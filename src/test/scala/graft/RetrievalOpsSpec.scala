@@ -78,6 +78,31 @@ class RetrievalOpsSpec extends SparkSpec {
     }
   }
 
+  test("sortedNeighborhood skips a constant key prefix and survives non-ASCII keys") {
+    // ALL keys share 'Customer#' — without the min/max prefix skip the
+    // 3-codepoint code is constant and every row lands in ONE bucket
+    // (single-task sort); with it, order must still equal the naive
+    // form. Alphabet mixes 1-, 2-, and 3-byte BMP codepoints to
+    // exercise the 21-bit weight spacing (byte weights could invert).
+    val rnd = new scala.util.Random(17)
+    val alphabet = "abλд€"
+    val rows = (1L to 200L).map { i =>
+      (i, "Customer#" + (1 to 6).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }
+    val df = rows.toDF("id", "k")
+    val fast = Dedup.sortedNeighborhood(df, "k", "id", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val naive = {
+      val idx = rows.sortBy { case (id, k) => (k, id) }.zipWithIndex
+        .map { case ((id, _), i) => (id, i.toLong + 1) }
+      (for {
+        (ia, xa) <- idx; (ib, xb) <- idx
+        d = xb - xa if d >= 1 && d <= 4
+      } yield (ia, ib, d)).toSet
+    }
+    fast shouldBe naive
+  }
+
   test("sortedNeighborhood plans bucket-partitioned windows only (no global sort window)") {
     val df = (1L to 50L).map(i => (i, s"k$i")).toDF("id", "k")
     val plan = Dedup.sortedNeighborhood(df, "k", "id", 3)
