@@ -8,6 +8,9 @@ loads the corresponding Spark parquet dump, sorts columns by name and
 rows by value, and compares. Not part of the Scala deliverable.
 """
 import json, sys, glob, os
+import pyarrow.parquet  # preload the .so BEFORE duckdb: a large
+# materialized-CTE oracle can exhaust the process mmap budget and a
+# lazy pyarrow import then fails to map its shared object
 import duckdb
 import pandas as pd
 

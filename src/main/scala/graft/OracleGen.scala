@@ -480,6 +480,57 @@ object OracleGen {
        CAST(SUM(v) AS DOUBLE) / 1e12 / COUNT(*) AS c
      FROM x GROUP BY 1, 2"""
 
+  /** Multi-round k-means trainer (operators.Similarity.kmeansTrain):
+    * the rounds unroll as chained CTEs (the kCore materialized-round
+    * lesson). Every round's centroid feed-back is the integer
+    * micro-unit vector m_u = SUM(quantized) // (n·10⁶) — bigint
+    * division toward zero on both engines — cast to DOUBLE for the
+    * unrolled bit-exact cosine; empty cells renumber via ROW_NUMBER
+    * ordered by cell, mirroring the Scala list rebuild.
+    */
+  def kmeansTrainSql(ncells: Int = 8, dim: Int = 64, iters: Int = 3): String = {
+    val seed =
+      s"""s1 AS MATERIALIZED (
+         SELECT CAST(rn - 1 AS INT) AS cell, sv FROM (
+           SELECT list_transform(embedding, x ->
+               CAST(CAST(floor(CAST(x AS DOUBLE) * 1e12 + 0.5) AS BIGINT) // 1000000 AS DOUBLE)) AS sv,
+             ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+           FROM embeddings) WHERE rn <= $ncells)"""
+    def round(r: Int): String = {
+      val cos = cosineSql("e.embedding", "s.sv", dim)
+      val relist = if (r == 1) "" else s""",
+         s$r AS MATERIALIZED (
+           SELECT CAST(ROW_NUMBER() OVER (ORDER BY cell) - 1 AS INT) AS cell, sv FROM (
+             SELECT cell, list(CAST(m_u AS DOUBLE) ORDER BY dim) AS sv
+             FROM c${r - 1} GROUP BY cell))"""
+      s"""$relist,
+         b$r AS MATERIALIZED (
+           SELECT vec_id, cell, cs FROM (
+             SELECT e.vec_id, s.cell, $cos AS cs,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY $cos DESC, s.cell) AS crn
+             FROM embeddings e CROSS JOIN s$r s) WHERE crn = 1),
+         x$r AS (
+           SELECT b.cell, CAST(i AS INT) AS dim,
+             CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 1e12 + 0.5) AS BIGINT) AS vq
+           FROM embeddings e JOIN b$r b USING (vec_id),
+                unnest(generate_series(1, $dim)) t(i)),
+         c$r AS MATERIALIZED (
+           SELECT cell, dim, COUNT(*) AS n_vecs,
+             CAST(SUM(vq) AS BIGINT) // (COUNT(*) * 1000000) AS m_u
+           FROM x$r GROUP BY 1, 2),
+         i$r AS (
+           SELECT cell, CAST(SUM(CAST(floor((1.0 - cs) * 1e12 + 0.5) AS BIGINT))
+             AS DECIMAL(38,0)) AS inertia_q
+           FROM b$r GROUP BY 1)"""
+    }
+    val rounds = (1 to iters).map(round).mkString
+    val selects = (1 to iters).map(r =>
+      s"""SELECT CAST($r AS INT) AS round, c.cell, c.dim, c.n_vecs, c.m_u,
+           CAST(i.inertia_q AS DOUBLE) AS inertia
+         FROM c$r c JOIN i$r i USING (cell)""").mkString("\n UNION ALL\n ")
+    s"WITH $seed$rounds\n $selects"
+  }
+
   /** ANN recall@k audit (operators.Similarity.recallAudit): the q36
     * IVF pipeline intersected with the q27 exact ranking, hit counts
     * per query.

@@ -2413,6 +2413,16 @@ object SparkEntry {
         .select("event_id", "event_type", "hod", "base_mean", "is_anomaly")
     }),
 
+    // §2#35m multi-round k-means trainer: the q190/q193 bricks driven
+    // to a full quantizer build — 3 exact-integer-centroid Lloyd
+    // rounds with per-round inertia (the convergence curve); the
+    // oracle replays every round as chained CTEs.
+    "q223_kmeans_train" -> ((s, dir) =>
+      operators.Similarity.kmeansTrain(t(s, dir, "embeddings").df,
+        ncells = 8, iters = 3, stopMoveU = -1L)
+        // gate boundary: DECIMAL stringifies differently across engines
+        .withColumn("inertia", col("inertia_q").cast("double")).drop("inertia_q")),
+
     // §2#63 binaryFile ingest: raw per-document files (materialized by
     // a distributed foreachPartition writer — test stand-in for an
     // object store) read back through Spark's binaryFile source and
@@ -2614,6 +2624,7 @@ object SparkEntry {
     "q185_pca_project" -> OracleGen.principalComponentSql(),
     "q186_hard_negatives" -> OracleGen.hardNegativesSql(),
     "q190_kmeans_step" -> OracleGen.kmeansStepSql(),
+    "q223_kmeans_train" -> OracleGen.kmeansTrainSql(),
     "q192_ann_recall" -> OracleGen.annRecallSql(),
     "q193_kmeanspp_round" -> OracleGen.kmeansOversampleSql(),
 

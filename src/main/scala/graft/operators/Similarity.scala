@@ -717,6 +717,106 @@ object Similarity {
         (col("d2q").cast("double") / lit(1e12)).as("d2"))
   }
 
+  /** Multi-round spherical k-means trainer — the driver loop that
+    * turns the [[kmeansStep]] / [[kmeansOversample]] single-step bricks
+    * into a usable quantizer build: seed (md5-deterministic) → assign →
+    * exact-mean update, `iters` rounds or until no centroid moves more
+    * than `stopMoveU` micro-units, reporting per-round centroids,
+    * cell sizes, and quantized inertia (the convergence curve).
+    *
+    * Exactness contract (what makes the whole LOOP oracle-replayable,
+    * not just one step): centroids are carried as INTEGER micro-unit
+    * components m_u = Σ floor(v·1e12 + ½) div (n·10⁶) — exact decimal
+    * sums, one truncating integer division (Spark `div` ≡ DuckDB `//`,
+    * toward zero), no float mean ever fed back. Cosine is
+    * scale-invariant, so assigning against the m_u vector ≡ assigning
+    * against the true mean at micro-unit granularity; |m_u| < 2²⁴ is
+    * REQUIRED (loudly) so the float literal the codegen'd kernel takes
+    * is exact and (double)(float) m_u round-trips — both engines then
+    * compute bit-identical cosines. Inertia quantizes (1 − best cos)
+    * at 1e12 per row and sums as DECIMAL(38,0). Empty cells drop and
+    * the survivors renumber by cell order (standard Lloyd, mirrored by
+    * the oracle's ROW_NUMBER re-index).
+    *
+    * Scale shape: per round ONE streaming pass over the persisted slim
+    * projection — assignment is the [[ivfTopK]] map-only codegen'd
+    * projection (centroids are plan literals), the update one partial
+    * agg of dim+2 columns; the only driver materialization is the
+    * ncells×dim centroid state (a model artifact, the documented
+    * bounded-collect family). `iters` jobs total, history never
+    * re-read, no window, nothing pair-scaled.
+    *
+    * Output long format: (round, cell, dim, n_vecs, m_u, inertia_q) —
+    * round ∈ [1, iters], cell the index in THAT round's centroid list,
+    * inertia_q the cell's Σ quantized (1 − cos) (repeated per dim row).
+    */
+  def kmeansTrain(vecs: DataFrame, ncells: Int = 16, iters: Int = 3,
+                  stopMoveU: Long = 0L,
+                  vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = vecs.sparkSession
+    val slim = rebalance(vecs, idCol).select(col(vecCol).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val seeds = seedCentroids(vecs, ncells, vecCol, idCol)
+      val dim = seeds.head.length
+      def microExact(m: Long): Long = {
+        require(math.abs(m) < (1L << 24),
+          s"kmeansTrain: centroid component $m micro-units exceeds 2^24 — " +
+          "float literals would round; rescale the vectors")
+        m
+      }
+      // seed m_u: the n=1 case of the general rule (quantize at 1e12,
+      // divide by n·1e6; Long `/` truncates toward zero like `div`)
+      var cents: Seq[Seq[Long]] = seeds.map(_.map(f =>
+        microExact(math.floor(f.toDouble * 1e12 + 0.5).toLong / 1000000L)))
+      val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+      var round = 0
+      var done = false
+      while (round < iters && !done) {
+        round += 1
+        val cf = cents.map(_.map(_.toFloat)) // exact: |m_u| < 2^24 asserted
+        val best = array_max(cellScores(col("v"), cf))
+        val dq = floor((lit(1.0) - best.getField("cos")) * lit(1e12) + lit(0.5))
+          .cast("decimal(38,0)")
+        val sums = (0 until dim).map(i =>
+          sum(floor(element_at(col("v"), i + 1).cast("double") * 1e12 + lit(0.5))
+            .cast("decimal(38,0)")).as(s"_s$i"))
+        val state = slim
+          .select(col("v"), (-best.getField("negcell")).cast("int").as("cell"), dq.as("dq"))
+          .groupBy("cell")
+          .agg(count(lit(1)).as("n"),
+            (sums :+ sum(col("dq")).cast("decimal(38,0)").as("inert")): _*)
+          .orderBy("cell").collect()
+        val newCents = state.map { r =>
+          val n = r.getLong(1)
+          (0 until dim).map { i =>
+            microExact(r.getDecimal(2 + i).toBigInteger
+              .divide(java.math.BigInteger.valueOf(n * 1000000L)).longValueExact())
+          }
+        }.toSeq
+        var moveU = 0L
+        state.zipWithIndex.foreach { case (r, pos) =>
+          val oldCell = r.getInt(0)
+          val inert = r.getDecimal(2 + dim)
+          (0 until dim).foreach { i =>
+            moveU = math.max(moveU, math.abs(newCents(pos)(i) - cents(oldCell)(i)))
+            out += org.apache.spark.sql.Row(
+              round, oldCell, i + 1, r.getLong(1), newCents(pos)(i), inert)
+          }
+        }
+        cents = newCents
+        if (moveU <= stopMoveU) done = true
+      }
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("round", IntegerType), StructField("cell", IntegerType),
+        StructField("dim", IntegerType), StructField("n_vecs", LongType),
+        StructField("m_u", LongType), StructField("inertia_q", DecimalType(38, 0))))
+      spark.createDataFrame(spark.sparkContext.parallelize(out.toSeq, 1), schema)
+    } finally slim.unpersist()
+  }
+
   /** Quantization-recall audit: cosine between each original vector and
     * its dequantized reconstruction — the number that says whether int8
     * codes are safe for a given ANN workload (spec asserts ≥ 0.99 on

@@ -71,6 +71,78 @@ class KmeansSplitSpec extends SparkSpec {
     }
   }
 
+  test("kmeansTrain matches a driver-exact multi-round reference on planted clusters") {
+    val r = new scala.util.Random(29)
+    def near(base: Array[Float]) = base.map(v => v + r.nextFloat() * 0.2f - 0.1f)
+    val a = Array(1.0f, 0.1f, 0.0f, 0.0f)
+    val b = Array(0.0f, 0.1f, 1.0f, 0.0f)
+    val c = Array(0.0f, 1.0f, 0.0f, 0.3f)
+    val vecs = (1L to 30L).map(i =>
+      (i, near(if (i % 3 == 0) a else if (i % 3 == 1) b else c)))
+    val got = Similarity.kmeansTrain(vecs.toDF("vec_id", "embedding"),
+        ncells = 3, iters = 3, stopMoveU = -1L)
+      .collect()
+      .map(r0 => (r0.getInt(0), r0.getInt(1), r0.getInt(2)) ->
+        (r0.getLong(3), r0.getLong(4), BigInt(r0.getDecimal(5).toBigInteger)))
+      .toMap
+
+    // driver reference: IDENTICAL arithmetic, plain Scala
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def q12(v: Float): Long = math.floor(v.toDouble * 1e12 + 0.5).toLong
+    val seeds = vecs.sortBy { case (id, _) => (md5hex(id.toString), id) }
+      .take(3).map(_._2.toSeq)
+    var cents: Seq[Seq[Long]] = seeds.map(_.map(f => q12(f) / 1000000L))
+    def cos(v: Array[Float], cent: Seq[Long]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- v.indices) {
+        val x = v(i).toDouble; val y = cent(i).toFloat.toDouble
+        dot += x * y; na += x * x; nb += y * y
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val ref = scala.collection.mutable.Map.empty[(Int, Int, Int), (Long, Long, BigInt)]
+    for (round <- 1 to 3) {
+      val assign = vecs.map { case (id, v) =>
+        val (bc, cell) = cents.indices.map(i => (cos(v, cents(i)), i))
+          .maxBy { case (cc, i) => (cc, -i) }
+        (cell, v, bc)
+      }
+      val byCell = assign.groupBy(_._1).toSeq.sortBy(_._1)
+      cents = byCell.map { case (cell, ms) =>
+        val n = ms.size.toLong
+        val inert = ms.map(m => BigInt(math.floor((1.0 - m._3) * 1e12 + 0.5).toLong)).sum
+        val mu = (0 until 4).map { d =>
+          val s = ms.map(m => BigInt(q12(m._2(d)))).sum
+          (s / (BigInt(n) * 1000000)).toLong
+        }
+        (0 until 4).foreach(d => ref((round, cell, d + 1)) = (n, mu(d), inert))
+        mu
+      }
+    }
+    got shouldBe ref.toMap
+  }
+
+  test("kmeansTrain stops on the movement tolerance and nests deterministically") {
+    val r = new scala.util.Random(31)
+    val vecs = (1L to 40L).map(i => (i, Array.fill(4)(r.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("vec_id", "embedding")
+    // an infinite tolerance stops after round 1 — the round still emits
+    Similarity.kmeansTrain(df, ncells = 4, iters = 5, stopMoveU = Long.MaxValue)
+      .select(max(col("round"))).head().getInt(0) shouldBe 1
+    // deterministic: two runs collect identically
+    val one = Similarity.kmeansTrain(df, ncells = 4, iters = 2).collect().toSeq
+    val two = Similarity.kmeansTrain(df, ncells = 4, iters = 2).collect().toSeq
+    one shouldBe two
+    // the convergence curve: total inertia never increases round-over-round
+    val inert = Similarity.kmeansTrain(df, ncells = 4, iters = 3, stopMoveU = -1L)
+      .filter(col("dim") === 1)
+      .groupBy("round").agg(sum(col("inertia_q")).as("i"))
+      .orderBy("round").collect().map(_.getDecimal(1).doubleValue())
+    inert.sliding(2).foreach { case Array(x, y) => y should be <= x }
+  }
+
   test("grouped split never puts one user's events in two splits") {
     val df = SparkEntry.queries("q191_grouped_split")(spark, "/root/testdata/sf0.001")
     df.groupBy("user_id").agg(countDistinct("split").as("ns"))
