@@ -30,10 +30,22 @@ object Profile {
     * `groupCol`. Output: (groupCol, is_total, n_rows, total, p50, p90,
     * p99) — `is_total = 1` marks the rollup's grand-total row (its
     * groupCol is NULL).
+    *
+    * `exact = false` routes every percentile through
+    * `approx_percentile` (a KLL-family sketch at `accuracy` —
+    * CONSTANT state per group regardless of value cardinality): the
+    * right default at 100 TB of double-valued metrics, where the exact
+    * aggregate's value→count map state is unbounded. Contract
+    * difference: the approx answer is a real value from the data
+    * within rank error n/accuracy (no interpolation), so it is NOT
+    * oracle-hash-stable — reports only; the exact default remains the
+    * gate path.
     */
-  def stats(df: DataFrame, groupCol: String, metricCol: String): DataFrame = {
+  def stats(df: DataFrame, groupCol: String, metricCol: String,
+            exact: Boolean = true, accuracy: Int = 10000): DataFrame = {
     def pct(p: Double, name: String): Column =
-      percentile(col(metricCol), lit(p))
+      (if (exact) percentile(col(metricCol), lit(p))
+       else approx_percentile(col(metricCol), lit(p), lit(accuracy)).cast("double"))
         .cast("decimal(18,4)").cast("double").as(name)
     df.rollup(col(groupCol))
       .agg(
@@ -63,10 +75,16 @@ object Profile {
     */
   def adaptiveFilter(df: DataFrame, groupCol: String, scoreCol: String,
                      p: Double = 0.25,
-                     broadcastMaxRows: Long = 2000000L): DataFrame = {
+                     broadcastMaxRows: Long = 2000000L,
+                     exact: Boolean = true, accuracy: Int = 10000): DataFrame = {
     require(p >= 0.0 && p <= 1.0, "p must be in [0, 1]")
+    // exact=false: constant-state sketch thresholds (the stats rule) —
+    // the cutoff moves by at most rank error n/accuracy per group;
+    // same keep semantics, not hash-stable
+    val pc = if (exact) percentile(col(scoreCol), lit(p))
+             else approx_percentile(col(scoreCol), lit(p), lit(accuracy)).cast("double")
     val thr = df.groupBy(col(groupCol))
-      .agg(percentile(col(scoreCol), lit(p)).cast("decimal(18,6)").as("thr"))
+      .agg(pc.cast("decimal(18,6)").as("thr"))
       .persist()
     val nGroups = thr.count()
     val thrT = if (nGroups <= broadcastMaxRows) broadcast(thr) else thr
@@ -774,10 +792,16 @@ object Profile {
     */
   def winsorize(df: DataFrame, groupCol: String, valueCol: String,
                 pLo: Double = 0.05, pHi: Double = 0.95,
-                outCol: String = "clamped"): DataFrame = {
+                outCol: String = "clamped",
+                exact: Boolean = true, accuracy: Int = 10000): DataFrame = {
     require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"bad percentile band [$pLo, $pHi]")
+    // exact=false: sketch bounds (constant per-group state; the stats
+    // rule) — clamp band moves by at most rank error n/accuracy
+    val pb = if (exact) expr(s"percentile($valueCol, array($pLo, $pHi))")
+             else expr(s"approx_percentile($valueCol, array($pLo, $pHi), $accuracy)")
+               .cast("array<double>")
     val bounds = df.groupBy(col(groupCol))
-      .agg(expr(s"percentile($valueCol, array($pLo, $pHi))").as("_pb"))
+      .agg(pb.as("_pb"))
       .select(col(groupCol), col("_pb")(0).as("_lo"), col("_pb")(1).as("_hi"))
     df.join(broadcast(bounds), Seq(groupCol))
       .withColumn(outCol, least(greatest(col(valueCol), col("_lo")), col("_hi")))

@@ -44,6 +44,57 @@ object Rolling {
         sum(col("_vd")).over(w).cast("double").as("sum_win"): _*)
   }
 
+  /** Hot-key decomposition shared by [[trailingBucketed]] /
+    * [[anomaliesBucketed]]: every row appears once as itself and once
+    * as a GHOST in the NEXT coarse time bucket (one map-side explode,
+    * 2× rows). With `bucketWidth >= width`, every contributor to a
+    * row's trailing [t−width, t] frame lives in the row's bucket or
+    * the one before it, so a (key, bucket)-partitioned RANGE window
+    * over natives+ghosts sees EXACTLY the plain per-key frame — and
+    * each contributor exactly once (native copy serves same-bucket
+    * targets, ghost copy next-bucket targets). Window tasks are
+    * bounded by 2× a bucket's rows however hot the key.
+    *
+    * Why ghosts and not the asofJoinBucketed carry-in: an as-of carry
+    * is ONE prefix value per bucket, but a trailing frame's lower edge
+    * moves with every row — the boundary state is per-row, so the
+    * previous bucket's rows themselves must be visible. 2× replication
+    * is the standard price of the decomposition.
+    */
+  private def ghosted(df: DataFrame, timeCol: String, bucketWidth: Long): DataFrame = {
+    val t = col(timeCol).cast("long")
+    val b = ((t - pmod(t, lit(bucketWidth))) / bucketWidth).cast("long")
+    df.withColumn("_gb", explode(array(
+        struct(b.as("b"), lit(0).as("g")),
+        struct((b + 1).as("b"), lit(1).as("g")))))
+      .withColumn("_b", col("_gb.b")).withColumn("_ghost", col("_gb.g"))
+      .drop("_gb")
+  }
+
+  /** [[trailing]] for Zipf-hot keys: identical output, window
+    * partitioned by (key, coarse bucket) via [[ghosted]] so no task
+    * ever sorts a hot key's full history. Property-tested equal to the
+    * plain form; requires `bucketWidth >= width` (the two-bucket
+    * coverage invariant).
+    */
+  def trailingBucketed(df: DataFrame, keyCol: String, timeCol: String,
+                       width: Long, valueCol: String,
+                       bucketWidth: Long): DataFrame = {
+    require(width > 0, "width must be positive")
+    require(bucketWidth >= width,
+      s"bucketWidth ($bucketWidth) must be >= width ($width): a trailing frame " +
+      "may span two buckets only if buckets are at least frame-wide")
+    val g = ghosted(df.withColumn("_vd", col(valueCol).cast("decimal(18,4)")),
+      timeCol, bucketWidth)
+    val w = Window.partitionBy(col(keyCol), col("_b"))
+      .orderBy(col(timeCol).cast("long")).rangeBetween(-width, 0)
+    g.select(g.columns.map(col) :+
+        count(lit(1)).over(w).as("n_win") :+
+        sum(col("_vd")).over(w).cast("double").as("sum_win"): _*)
+      .filter(col("_ghost") === 0)
+      .select(df.columns.map(col) :+ col("n_win") :+ col("sum_win"): _*)
+  }
+
   /** Per-key fixed-step resampling with as-of forward fill: a uniform
     * time grid (step `stepUs`, anchored at multiples of the step)
     * spanning each key's observed range, each grid instant carrying the
@@ -267,11 +318,42 @@ object Rolling {
       s"need widthUs>0, minObs>=2, k>=1; got $widthUs/$minObs/$k")
     val w = Window.partitionBy(keyCol).orderBy(col(timeCol))
       .rangeBetween(-widthUs, 0)
-    val vq = floor(col(valueCol) * 1000000L + 0.5).cast("long")
+    anomalyMath(df.withColumn("_vq",
+        floor(col(valueCol) * 1000000L + 0.5).cast("long")), w, minObs, k)
+      .select(df.columns.map(col) :+ col("n_win") :+ col("is_anomaly"): _*)
+  }
+
+  /** [[anomalies]] for Zipf-hot keys: the [[trailingBucketed]] ghost
+    * decomposition applied to the three anomaly sums — identical
+    * flags, window tasks bounded by 2× a bucket's rows. Requires
+    * `bucketWidth >= widthUs`.
+    */
+  def anomaliesBucketed(df: DataFrame, keyCol: String, timeCol: String,
+                        valueCol: String, widthUs: Long, bucketWidth: Long,
+                        minObs: Long = 5L, k: Int = 3): DataFrame = {
+    require(widthUs > 0 && minObs >= 2 && k >= 1,
+      s"need widthUs>0, minObs>=2, k>=1; got $widthUs/$minObs/$k")
+    require(bucketWidth >= widthUs,
+      s"bucketWidth ($bucketWidth) must be >= widthUs ($widthUs)")
+    val g = ghosted(df.withColumn("_vq",
+      floor(col(valueCol) * 1000000L + 0.5).cast("long")), timeCol, bucketWidth)
+    val w = Window.partitionBy(col(keyCol), col("_b"))
+      .orderBy(col(timeCol).cast("long")).rangeBetween(-widthUs, 0)
+    anomalyMath(g, w, minObs, k)
+      .filter(col("_ghost") === 0)
+      .select(df.columns.map(col) :+ col("n_win") :+ col("is_anomaly"): _*)
+  }
+
+  /** The shared exact z-gate arithmetic over a trailing frame's
+    * (count, Σvq, Σvq²) — see [[anomalies]] for the integer-exactness
+    * argument. Expects `_vq` present; appends n_win / is_anomaly.
+    */
+  private def anomalyMath(withVq: DataFrame,
+                          w: org.apache.spark.sql.expressions.WindowSpec,
+                          minObs: Long, k: Int): DataFrame = {
     val d38 = (c: Column) => c.cast("decimal(38,0)")
-    val withSums = df
-      .withColumn("_vq", vq)
-      .select(df.columns.map(col) :+ col("_vq") :+
+    val withSums = withVq
+      .select(withVq.columns.map(col) :+
         count(lit(1)).over(w).as("_cnt") :+
         sum(d38(col("_vq"))).over(w).as("_s") :+
         sum(d38(col("_vq")) * col("_vq")).over(w).as("_ss"): _*)
@@ -284,7 +366,6 @@ object Rolling {
       .withColumn("n_win", n)
       .withColumn("is_anomaly",
         when(n >= minObs, dev * dev > lit(k.toLong * k) * vard))
-      .drop("_vq", "_cnt", "_s", "_ss")
   }
 
   /** Per-key lag-k autocorrelation (SURVEY.md §2 #53j): Pearson

@@ -758,6 +758,36 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("trailingBucketed and anomaliesBucketed equal their plain forms on hot keys") {
+    import graft.operators.Rolling
+    val rnd = new scala.util.Random(19)
+    // ONE hot key with 400 rows + two cold keys; duplicate timestamps
+    // and negative times; several bucket widths incl. the width==bucket
+    // boundary case
+    val rows = (1 to 500).map { i =>
+      val k = if (i <= 400) 0L else i.toLong % 2 + 1
+      (i.toLong, k, rnd.nextInt(2000).toLong - 500, (rnd.nextInt(80) + 1) / 8.0)
+    }
+    val df = rows.toDF("id", "k", "t", "v")
+    val width = 64L
+    val plainT = Rolling.trailing(df, "k", "t", width, "v").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(4), r.getDouble(5)))).toMap
+    val plainA = Rolling.anomalies(df, "k", "t", "v", widthUs = width, minObs = 3L, k = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(4), if (r.isNullAt(5)) null else r.getBoolean(5)))).toMap
+    for (bw <- Seq(64L, 100L, 1000L)) {
+      Rolling.trailingBucketed(df, "k", "t", width, "v", bucketWidth = bw).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(4), r.getDouble(5)))).toMap shouldBe plainT
+      Rolling.anomaliesBucketed(df, "k", "t", "v", widthUs = width, bucketWidth = bw,
+          minObs = 3L, k = 2).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(4), if (r.isNullAt(5)) null else r.getBoolean(5)))).toMap shouldBe plainA
+    }
+    // the coverage invariant is enforced, not silently wrong
+    an[IllegalArgumentException] should be thrownBy
+      Rolling.trailingBucketed(df, "k", "t", width, "v", bucketWidth = width - 1)
+  }
+
   test("bandJoin matches the brute-force theta join, including bucket boundaries") {
     val rnd = new scala.util.Random(42)
     // times clustered so bands actually overlap, plus exact-boundary cases

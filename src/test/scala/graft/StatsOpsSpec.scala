@@ -12,6 +12,39 @@ import graft.functions.Profile
 class StatsOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  // ---- approx-percentile swap-in ----
+
+  test("approx-percentile routing tracks the exact path within rank tolerance on the corpus") {
+    import graft.functions.Profile
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (Option(r.getString(0)).getOrElse("<total>"), r.getInt(1)) ->
+        (r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
+    val ex = keyed(Profile.stats(docs, "source", "n_chars"))
+    val ap = keyed(Profile.stats(docs, "source", "n_chars", exact = false))
+    ap.keySet shouldBe ex.keySet
+    // approx returns a REAL data value within rank error n/accuracy;
+    // at accuracy=10000 and n≤500 that's < 1 rank — only the exact
+    // path's interpolation can differ, bounded by one value step
+    for (k <- ex.keySet) {
+      val (e50, e90, e99) = ex(k); val (a50, a90, a99) = ap(k)
+      math.abs(a50 - e50) / e50 should be < 0.05
+      math.abs(a90 - e90) / e90 should be < 0.05
+      math.abs(a99 - e99) / e99 should be < 0.05
+    }
+    // adaptiveFilter: same keep semantics, cutoff within rank error —
+    // kept-set sizes match at this accuracy
+    Profile.adaptiveFilter(docs, "source", "n_chars", exact = false).count() shouldBe
+      Profile.adaptiveFilter(docs, "source", "n_chars").count()
+    // winsorize: clamp band from the sketch stays inside the exact
+    // band's neighboring data values → clamped sums agree closely
+    val se = Profile.winsorize(docs, "source", "n_chars")
+      .agg(sum(col("clamped").cast("double"))).head().getDouble(0)
+    val sa = Profile.winsorize(docs, "source", "n_chars", exact = false)
+      .agg(sum(col("clamped").cast("double"))).head().getDouble(0)
+    math.abs(sa - se) / se should be < 0.01
+  }
+
   // ---- conformal ----
 
   test("conformalInterval selects the exact conformal-rank residual and achieves coverage") {
