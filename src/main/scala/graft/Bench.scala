@@ -1,6 +1,33 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Per-frame codec queries whose cost is per-byte CPU: 10× data
+    * legitimately costs up to ~10× wall on a fixed-core box (scales
+    * with executor count on a cluster, not a shuffle problem), so the
+    * growth gate exempts them.
+    */
+  val CodecQueries: Set[String] = Set(
+    "q33_multimodal", "q50_audio", "q54_video", "q127_image_sig",
+    "q134_audio_sig", "q135_scene_cuts")
+
+  /** The sf1 growth gate as a pure function (unit-testable): queries
+    * whose 10×-data wall grew past `maxGrowth` — the signature of an
+    * accidental quadratic (the PPJoin lesson: a 9.2× growth was a
+    * real structural defect both earlier rounds' JSON recorded but
+    * nothing ENFORCED). Queries under `minSecs` at sf1 are skipped
+    * (sub-second timings on this host are noise-dominated), as are
+    * the per-byte codec queries.
+    */
+  def growthViolations(base: Seq[(String, Double)], sf1: Seq[(String, Double)],
+                       maxGrowth: Double, minSecs: Double = 1.0): Seq[String] = {
+    val b = base.toMap
+    sf1.collect {
+      case (name, t1) if !CodecQueries.contains(name) && t1 >= minSecs &&
+        b.get(name).exists(t0 => t0 > 0 && t1 / t0 > maxGrowth) =>
+        f"$name: ${b(name)}%.2fs -> $t1%.2fs (${t1 / b(name)}%.1fx > $maxGrowth%.1fx)"
+    }
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -45,16 +72,18 @@ object Bench {
     // also run the FK-consistent dup-heavy 10× replica (materialized
     // once, marker-gated) so sub-linear growth is re-proven every round
     // in BENCH itself, not by an ad-hoc probe. SPARK_GRAFT_SF1=0 skips.
-    val (sf1Fields, sf1Scalars) =
+    val (sf1Fields, sf1Scalars, sf1Violations) =
       if (sfDir.endsWith("sf0.1") && sys.env.getOrElse("SPARK_GRAFT_SF1", "1") != "0") {
         val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/root/repo/target/sf1")
         ScaleUp.scale(spark, sfDir, sf1Dir, 10)
         val r1 = minOf3(sf1Dir, "sf1")
         val t1 = r1.map(_._2).sum
         val growth = if (total > 0) t1 / total else -1.0
+        val maxGrowth = sys.env.getOrElse("SPARK_GRAFT_MAX_GROWTH", "8.0").toDouble
+        val bad = growthViolations(results, r1, maxGrowth)
         val scalars = s""","sf1_total":${fmt(t1)},"sf1_growth":${fmt(growth)}"""
-        (s"""$scalars,"sf1_queries":${json(r1)}""", scalars)
-      } else ("", "")
+        (s"""$scalars,"sf1_queries":${json(r1)}""", scalars, bad)
+      } else ("", "", Nil)
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${json(results)},"sf":"$sfDir"$sf1Fields}"""
     // The complete JSON lands in a file (committed per round), immune to
@@ -80,5 +109,13 @@ object Bench {
     }
     println(prefix + "{" + kept + "}}")
     spark.stop()
+    // Growth gate LAST: the JSON is printed and the file written above,
+    // so a violation costs the exit code, never the round's numbers.
+    if (sf1Violations.nonEmpty) {
+      System.err.println(
+        "[bench] sf1 growth gate FAILED — superlinear non-codec queries:\n  " +
+        sf1Violations.mkString("\n  "))
+      sys.exit(1)
+    }
   }
 }

@@ -115,6 +115,42 @@ object Linkage {
     scoreJoined(pairs, idCol, fields, minScore)
   }
 
+  /** Multi-pass SNM: [[scoreNeighborPairs]] over SEVERAL sort keys,
+    * with the candidate pair lists unioned and deduplicated BEFORE the
+    * value join-back and scoring. One sort key is the documented
+    * recall ceiling of single-pass SNM — two records whose difference
+    * falls early in the key sort far apart and never meet; the classic
+    * fix (Hernández/Stolfo's own) is independent passes over
+    * differently-ordered keys (name, zip+street, phone …): a true
+    * duplicate only has to co-locate under ONE of them.
+    *
+    * Scale shape: each pass is the linear n·w candidate generator
+    * (two-level ordinal, never a global window); the union is
+    * |passes|·n·w rows and the pair dedup ONE distinct on (id_a, id_b)
+    * — map-side-combinable, shuffle bounded by the candidate list, so
+    * recall is bought at strictly linear cost per extra pass. Pairs
+    * are normalized id_a < id_b first: two passes can discover the
+    * same pair in opposite sort orders, and an unnormalized distinct
+    * would double-score it.
+    */
+  def scoreNeighborPairsMulti(records: DataFrame, idCol: String,
+                              sortCols: Seq[String], valueCols: Seq[String],
+                              fields: Seq[LinkField], minScore: Int,
+                              w: Int = 10): DataFrame = {
+    require(sortCols.nonEmpty, "scoreNeighborPairsMulti: no sort keys")
+    val slim = records.select((idCol +: valueCols).distinct.map(col): _*)
+    val cand = sortCols.map { sc =>
+      val keyed = records.select(col(idCol), col(sc).cast("string").as("_sk"))
+      Dedup.sortedNeighborhood(keyed, "_sk", idCol, w)
+        .select(least(col("id_a"), col("id_b")).as(s"${idCol}_a"),
+          greatest(col("id_a"), col("id_b")).as(s"${idCol}_b"))
+    }.reduce(_.unionByName(_)).distinct()
+    def side(tag: String) = slim.select(
+      col(idCol).as(s"${idCol}_$tag") +: valueCols.map(c => col(c).as(s"_${tag}_$c")): _*)
+    val pairs = cand.join(side("a"), Seq(s"${idCol}_a")).join(side("b"), Seq(s"${idCol}_b"))
+    scoreJoined(pairs, idCol, fields, minScore)
+  }
+
   private def scoreJoined(pairs: DataFrame, idCol: String,
                           fields: Seq[LinkField], minScore: Int): DataFrame = {
     val agrees = fields.map(f =>

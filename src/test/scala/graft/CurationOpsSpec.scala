@@ -172,6 +172,34 @@ class CurationOpsSpec extends SparkSpec {
     out((5L, 8L)) shouldBe 1
   }
 
+  test("scoreNeighborPairsMulti catches a duplicate the first sort key misses") {
+    import graft.operators.Linkage
+    // the planted pair agrees on email but their names sort to opposite
+    // ends of the corpus — a single name-ordered pass can never put
+    // them within w positions; the email pass makes them adjacent
+    val filler = (10L to 80L).map(i => (i, s"m${i}name", s"m${i}@x$i.com"))
+    val recs = (Seq(
+      (1L, "aaaa dup", "same@dup.com"),
+      (2L, "zzzz dup", "same@dup.com")) ++ filler)
+      .toDF("id", "name", "email")
+    val fields = Seq(Linkage.LinkField("email", (a, b) => a === b, 3, -3))
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val onePass = hits(Linkage.scoreNeighborPairs(recs, "id", "name",
+      Seq("email"), fields, minScore = 1, w = 5))
+    onePass should not contain ((1L, 2L))
+    val multi = hits(Linkage.scoreNeighborPairsMulti(recs, "id",
+      Seq("name", "email"), Seq("email"), fields, minScore = 1, w = 5))
+    multi should contain((1L, 2L))
+    // pass union is a superset of the single pass, and pairs are
+    // deduped — no pair appears twice however many passes found it
+    multi should contain allElementsOf onePass
+    val all = Linkage.scoreNeighborPairsMulti(recs, "id",
+      Seq("name", "email", "name"), Seq("email"), fields, minScore = -100, w = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    all.length shouldBe all.distinct.length
+  }
+
   test("scorePairs refuses a quadratic runaway block loudly") {
     import graft.operators.Linkage
     val recs = (1 to 50).map(i => (i.toLong, "hot", s"n$i", 1.0)).toDF("id", "blk", "name", "bal")
