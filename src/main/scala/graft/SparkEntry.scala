@@ -2423,6 +2423,27 @@ object SparkEntry {
         // gate boundary: DECIMAL stringifies differently across engines
         .withColumn("inertia", col("inertia_q").cast("double")).drop("inertia_q")),
 
+    // §2#62i transactional snapshot layer: three commits (append,
+    // append, overwrite) then a time-travel read of EVERY version —
+    // the oracle re-reads each version's deterministic file set
+    // directly, proving manifest isolation (v2 = v1+v2 files, the
+    // overwrite's v3 = only its own).
+    "q224_tx_snapshot" -> ((s, dir) => {
+      val table = sidePath("graft_tx", dir) // dir-derived — mirrored via __SFTAG__ in the oracle SQL
+      val ord = t(s, dir, "orders").df
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      sources.TxTable.drop(s, table)
+      sources.TxTable.commit(ord.filter(col("o_orderpriority") === "1-URGENT"), table)
+      sources.TxTable.commit(ord.filter(col("o_orderpriority") === "2-HIGH"), table)
+      sources.TxTable.commit(ord.filter(col("o_orderpriority") === "5-LOW"), table, "overwrite")
+      (1 to 3).map { v =>
+        sources.TxTable.readVersion(s, table, v)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
+          .select(lit(v).as("version"), col("n_rows"), col("sum_price"))
+      }.reduce(_.unionByName(_))
+    }),
+
     // §2#63 binaryFile ingest: raw per-document files (materialized by
     // a distributed foreachPartition writer — test stand-in for an
     // object store) read back through Spark's binaryFile source and
@@ -2625,6 +2646,20 @@ object SparkEntry {
     "q186_hard_negatives" -> OracleGen.hardNegativesSql(),
     "q190_kmeans_step" -> OracleGen.kmeansStepSql(),
     "q223_kmeans_train" -> OracleGen.kmeansTrainSql(),
+
+    "q224_tx_snapshot" ->
+      """SELECT CAST(1 AS INT) AS version, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+         FROM read_parquet('/tmp/graft_tx___SFTAG__/data/v1_*.parquet')
+         UNION ALL
+         SELECT CAST(2 AS INT), COUNT(*),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+         FROM read_parquet(['/tmp/graft_tx___SFTAG__/data/v1_*.parquet',
+                            '/tmp/graft_tx___SFTAG__/data/v2_*.parquet'])
+         UNION ALL
+         SELECT CAST(3 AS INT), COUNT(*),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+         FROM read_parquet('/tmp/graft_tx___SFTAG__/data/v3_*.parquet')""",
     "q192_ann_recall" -> OracleGen.annRecallSql(),
     "q193_kmeanspp_round" -> OracleGen.kmeansOversampleSql(),
 
