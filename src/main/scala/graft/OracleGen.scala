@@ -480,6 +480,51 @@ object OracleGen {
        CAST(SUM(v) AS DOUBLE) / 1e12 / COUNT(*) AS c
      FROM x GROUP BY 1, 2"""
 
+  /** Distributed BPE merge training (functions.Bpe
+    * .learnMergesDistributed): rounds unroll as chained CTEs; each
+    * round's merge application is a replace-until-fixpoint RECURSIVE
+    * member (the q63-verified equivalence with the engine's mergePair
+    * fixpoint), each round's vocab/pair tables MATERIALIZED (the kCore
+    * inlining lesson). Tie-break mirrors the engine: count desc, then
+    * binary-largest (a, b).
+    */
+  def bpeTrainSql(nMerges: Int = 6, sampleMod: Int = 20): String = {
+    val base =
+      s"""wc AS MATERIALIZED (
+         SELECT word, COUNT(*) AS cnt FROM (
+           SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+           FROM documents WHERE doc_id % $sampleMod = 0)
+         WHERE word <> '' GROUP BY 1),
+       v0 AS MATERIALIZED (
+         SELECT ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS s, cnt
+         FROM wc)"""
+    def round(r: Int): String =
+      s""",
+       p$r AS MATERIALIZED (
+         SELECT sy[i] AS a, sy[i + 1] AS b, SUM(cnt) AS c FROM (
+           SELECT string_split(trim(s), ' ') AS sy, cnt,
+             unnest(generate_series(1, len(string_split(trim(s), ' ')) - 1)) AS i
+           FROM v${r - 1})
+         GROUP BY 1, 2),
+       m$r AS MATERIALIZED (
+         SELECT a, b, c FROM p$r ORDER BY c DESC, a DESC, b DESC LIMIT 1),
+       a$r AS (
+         SELECT s, cnt, 0 AS fin FROM v${r - 1}
+         UNION ALL
+         SELECT CASE WHEN rep <> s THEN rep ELSE s END AS s, cnt,
+                CASE WHEN rep <> s THEN 0 ELSE 1 END AS fin
+         FROM (
+           SELECT x.s, x.cnt,
+             replace(x.s, ' ' || m.a || ' ' || m.b || ' ',
+                     ' ' || m.a || m.b || ' ') AS rep
+           FROM a$r x JOIN m$r m ON x.fin = 0) t),
+       v$r AS MATERIALIZED (SELECT s, cnt FROM a$r WHERE fin = 1)"""
+    val selects = (1 to nMerges).map(r =>
+      s"""SELECT CAST($r AS INT) AS rank, a AS sym_a, b AS sym_b,
+         CAST(c AS BIGINT) AS pair_count FROM m$r""").mkString("\n UNION ALL\n ")
+    s"WITH RECURSIVE $base${(1 to nMerges).map(round).mkString}\n $selects"
+  }
+
   /** Multi-round k-means trainer (operators.Similarity.kmeansTrain):
     * the rounds unroll as chained CTEs (the kCore materialized-round
     * lesson). Every round's centroid feed-back is the integer

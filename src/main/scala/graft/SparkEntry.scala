@@ -2423,6 +2423,15 @@ object SparkEntry {
         // gate boundary: DECIMAL stringifies differently across engines
         .withColumn("inertia", col("inertia_q").cast("double")).drop("inertia_q")),
 
+    // §2#38c distributed BPE merge training: the q63 encoder's missing
+    // trainer loop — 6 rounds of pair-count → argmax → merge over the
+    // corpus vocabulary (the Zipf collapse makes rounds vocab-priced);
+    // the oracle replays every round with recursive replace-to-fixpoint
+    // CTEs. Same %20 sampling rationale as q63's %100.
+    "q225_bpe_train" -> ((s, dir) =>
+      functions.Bpe.learnMergesDistributed(
+        t(s, dir, "documents").df.filter(col("doc_id") % 20 === 0), nMerges = 6)),
+
     // §2#62i transactional snapshot layer: three commits (append,
     // append, overwrite) then a time-travel read of EVERY version —
     // the oracle re-reads each version's deterministic file set
@@ -2646,6 +2655,7 @@ object SparkEntry {
     "q186_hard_negatives" -> OracleGen.hardNegativesSql(),
     "q190_kmeans_step" -> OracleGen.kmeansStepSql(),
     "q223_kmeans_train" -> OracleGen.kmeansTrainSql(),
+    "q225_bpe_train" -> OracleGen.bpeTrainSql(),
 
     "q224_tx_snapshot" ->
       """SELECT CAST(1 AS INT) AS version, COUNT(*) AS n_rows,

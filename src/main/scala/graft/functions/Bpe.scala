@@ -69,6 +69,72 @@ object Bpe {
     out.result()
   }
 
+  /** DISTRIBUTED BPE merge learning — [[learnMerges]] scaled off the
+    * driver: the corpus collapses once to a (word, count) vocabulary
+    * (the Zipf collapse that makes corpus-scale BPE training tractable
+    * — rounds then cost vocabulary, not corpus), and each round counts
+    * adjacent symbol pairs with word multiplicity in ONE partial agg,
+    * picks the most frequent pair (ties to the binary-largest pair —
+    * the [[learnMerges]] convention, identical for ASCII; UTF8-binary
+    * order on both engines beyond it), and applies the merge to every
+    * word. Returns the ordered merge table (rank, sym_a, sym_b,
+    * pair_count) — the model artifact, one collected row per round.
+    *
+    * Scale shape: pair counting is explode + map-side-combining agg
+    * over the vocab; the argmax is a 1-row limit over the pair table
+    * (WindowGroupLimit-free: a global sort of the PAIR VOCABULARY,
+    * bounded by distinct adjacent pairs); the merge application is a
+    * per-row [[mergePair]] fixpoint (the q63-verified equivalence with
+    * the oracle's replace-until-fixpoint recursion) via a typed map —
+    * vocabulary-sized, imperative by nature. Each round
+    * `localCheckpoint`s the vocab: round k reads (vocab_{k-1}) only,
+    * never re-executes history (the streamAggState lineage rule).
+    * Merging never makes two distinct words' symbol sequences
+    * collide (concatenation is invariant), so the vocab never needs
+    * re-aggregation.
+    */
+  def learnMergesDistributed(docs: DataFrame, nMerges: Int = 6,
+                             textCol: String = "text"): DataFrame = {
+    require(nMerges >= 1 && nMerges <= 256, s"nMerges out of range: $nMerges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab = docs
+      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .select(split(col("word"), "").as("syms"), col("cnt"))
+      .localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 0
+    var done = false
+    while (rank < nMerges && !done) {
+      // single-symbol words carry no pairs (and sequence(0,-1) would
+      // walk DESCENDING into an ANSI index error)
+      val best = vocab.filter(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(0, size(syms) - 2), i -> struct(syms[i] AS a, syms[i+1] AS b))"))
+          .as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("a").desc, col("b").desc)
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        rank += 1
+        val (ba, bb, c) = (best.head.getString(0), best.head.getString(1), best.head.getLong(2))
+        out += ((rank, ba, bb, c))
+        val pair = (ba, bb)
+        vocab = vocab.as[(Seq[String], Long)].map { case (syms, cnt) =>
+          var v = syms.toVector
+          var prev: Vector[String] = null
+          while (prev != v) { prev = v; v = mergePair(v, pair) }
+          (v, cnt)
+        }.toDF("syms", "cnt").localCheckpoint()
+      }
+    }
+    out.toSeq.toDF("rank", "sym_a", "sym_b", "pair_count")
+  }
+
   /** One left-to-right non-overlapping merge pass. */
   private[functions] def mergePair(toks: Vector[String], p: (String, String)): Vector[String] = {
     val buf = Vector.newBuilder[String]

@@ -16,6 +16,27 @@ class BpeSpec extends SparkSpec {
     Bpe.learnMerges(Bpe.SeedText, 48) shouldBe Bpe.Merges
   }
 
+  test("learnMergesDistributed equals the driver learner, merge for merge") {
+    // the seed text split across documents — the distributed trainer
+    // must learn the IDENTICAL ordered merge table the driver
+    // reference does (counts are corpus-global, so the doc split is
+    // invisible); also exercises 1-char words (the 'a' in the seed)
+    val docs = Bpe.SeedText.split("\n").zipWithIndex
+      .map { case (line, i) => (i.toLong, line) }.toSeq.toDF("doc_id", "text")
+    val got = Bpe.learnMergesDistributed(docs, nMerges = 20).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+    val ref = Bpe.learnMerges(Bpe.SeedText, 20).zipWithIndex
+      .map { case ((a, b), i) => (i + 1, a, b) }
+    got.toSeq shouldBe ref
+    // pair_count of rank 1 equals the brute-force count of its pair
+    val r1 = Bpe.learnMergesDistributed(docs, nMerges = 1).collect().head
+    val (a1, b1) = (r1.getString(1), r1.getString(2))
+    val brute = Bpe.SeedText.toLowerCase.trim.split("\\s+")
+      .map(w => w.map(_.toString).toVector.sliding(2)
+        .count(p => p.length == 2 && p(0) == a1 && p(1) == b1)).sum
+    r1.getLong(3) shouldBe brute.toLong
+  }
+
   test("encodeWord: rank-by-rank merging, seen and unseen words") {
     // fully merged seed words collapse to one symbol
     Bpe.encodeWord("the") shouldBe Vector("the")
