@@ -480,6 +480,43 @@ object OracleGen {
        CAST(SUM(v) AS DOUBLE) / 1e12 / COUNT(*) AS c
      FROM x GROUP BY 1, 2"""
 
+  /** DSIR importance weights (functions.NgramLm.dsirWeights): hashed
+    * unigram+bigram bucket histograms for target vs raw, add-1
+    * smoothed log-ratio per bucket quantized to DECIMAL(20,6), summed
+    * per document — op order mirrored token for token.
+    */
+  def dsirSql(nBuckets: Int = 1024, targetSource: String = "src1"): String = {
+    val b = s"((('0x' || substr(md5(g), 1, 8))::BIGINT % $P) % $nBuckets)"
+    s"""WITH tok AS MATERIALIZED (
+       SELECT doc_id, source,
+         string_split_regex(lower(trim(text)), '\\s+') AS w
+       FROM documents),
+     gb AS MATERIALIZED (
+       SELECT doc_id, source, $b AS b FROM (
+         SELECT doc_id, source,
+           unnest(w || [array_to_string(w[i : i + 1], ' ')
+                        for i in generate_series(1, len(w) - 1)]) AS g
+         FROM tok)),
+     p AS (SELECT b, COUNT(*) AS pc FROM gb WHERE source = '$targetSource' GROUP BY 1),
+     q AS (SELECT b, COUNT(*) AS qc FROM gb GROUP BY 1),
+     tot AS (SELECT (SELECT COALESCE(SUM(pc), 0) FROM p) AS np,
+                    (SELECT COALESCE(SUM(qc), 0) FROM q) AS nq),
+     lam AS (
+       SELECT bb.b,
+         CAST(ln((COALESCE(p.pc, 0) + 1.0) / (t.np + $nBuckets.0))
+            - ln((COALESCE(q.qc, 0) + 1.0) / (t.nq + $nBuckets.0)) AS DECIMAL(20,6)) AS lam
+       FROM (SELECT unnest(generate_series(0, ${nBuckets - 1})) AS b) bb
+       LEFT JOIN p ON p.b = bb.b
+       LEFT JOIN q ON q.b = bb.b
+       CROSS JOIN tot t),
+     sc AS (
+       SELECT doc_id, COUNT(*) AS n_grams, SUM(lam) AS s
+       FROM gb JOIN lam USING (b) GROUP BY 1)
+     SELECT t.doc_id, CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(CAST(s * 1000000 AS BIGINT) AS DOUBLE) / 1e6 AS logw
+     FROM tok t LEFT JOIN sc ON sc.doc_id = t.doc_id"""
+  }
+
   /** Distributed BPE merge training (functions.Bpe
     * .learnMergesDistributed): rounds unroll as chained CTEs; each
     * round's merge application is a replace-until-fixpoint RECURSIVE

@@ -2423,6 +2423,16 @@ object SparkEntry {
         // gate boundary: DECIMAL stringifies differently across engines
         .withColumn("inertia", col("inertia_q").cast("double")).drop("inertia_q")),
 
+    // §2#58c DSIR importance weights: hashed-ngram importance
+    // resampling scores (target = src1 docs vs the whole corpus) —
+    // the domain-adaptation selection signal beside quality (q30),
+    // perplexity (q65), and novelty (q74); B-cell histograms, λ table
+    // broadcast, one scoring pass.
+    "q226_dsir" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      functions.NgramLm.dsirWeights(docs, docs.filter(col("source") === "src1"))
+    }),
+
     // §2#38c distributed BPE merge training: the q63 encoder's missing
     // trainer loop — 6 rounds of pair-count → argmax → merge over the
     // corpus vocabulary (the Zipf collapse makes rounds vocab-priced);
@@ -2656,6 +2666,7 @@ object SparkEntry {
     "q190_kmeans_step" -> OracleGen.kmeansStepSql(),
     "q223_kmeans_train" -> OracleGen.kmeansTrainSql(),
     "q225_bpe_train" -> OracleGen.bpeTrainSql(),
+    "q226_dsir" -> OracleGen.dsirSql(),
 
     "q224_tx_snapshot" ->
       """SELECT CAST(1 AS INT) AS version, COUNT(*) AS n_rows,

@@ -77,4 +77,80 @@ object NgramLm {
         coalesce(col("oov_bigrams"), lit(0L)).as("oov_bigrams"),
         col("nll"))
   }
+
+  /** DSIR importance weights (Xie et al., "Data Selection for Language
+    * Models via Importance Resampling", NeurIPS'23 — public): score
+    * every raw document by how much more likely its hashed n-gram
+    * features are under a TARGET domain's distribution than under the
+    * raw corpus's own — log w(x) = Σ_g [ln p̂(h(g)) − ln q̂(h(g))] over
+    * the doc's unigrams+bigrams, features hashed into `nBuckets`
+    * buckets (the dimensionality collapse that makes the estimator
+    * corpus-scale: both distributions are B-cell histograms however
+    * large either corpus is). Downstream selection is the sampling
+    * family's job (`weightedSampleTopK` on exp-scaled weights, or a
+    * plain top-k on logw).
+    *
+    * Estimates are add-1 smoothed over the FULL bucket space
+    * (p̂_b = (c_b+1)/(N+B)), so buckets unseen in either corpus still
+    * carry a defined, nonzero log-ratio.
+    *
+    * Scale shape: both histograms are ONE map-side-combining partial
+    * agg to ≤ B cells; the λ_b = ln p̂ − ln q̂ table is B rows,
+    * BROADCAST; scoring is one pass over the raw corpus — pinned
+    * rebalance → gram explode (tokens materialized across the
+    * exchange, the q85 lambda rule) → md5 bucket → broadcast λ join →
+    * per-doc partial agg. No window, nothing pair-scaled, and the
+    * model artifact is B doubles.
+    *
+    * Determinism: the bucket is the portable md5 hash mod B (both
+    * engines bit-identical); each λ_b quantizes to DECIMAL(20,6)
+    * BEFORE the per-doc sum (the q65 rule — exact, order-insensitive),
+    * and logw exits through an exact micro-unit long (never a raw
+    * decimal→double cast, which differs by an ulp between engines).
+    */
+  def dsirWeights(raw: DataFrame, target: DataFrame, nBuckets: Int = 1024,
+                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    val spark = raw.sparkSession
+    val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val B = nBuckets
+    def bucket(g: org.apache.spark.sql.Column) =
+      pmod(Hashing.portableHash(g), lit(B.toLong))
+    // grams = the raw token array (unigrams, split-faithful incl. the
+    // empty-text artifact, oracle-mirrored) ++ space-joined bigrams
+    def grams(text: org.apache.spark.sql.Column) = {
+      val w = T.tokens(text)
+      concat(w, T.wordNGrams(w, 2))
+    }
+    def hist(df: DataFrame, cName: String) = df
+      .select(explode(grams(col(textCol))).as("g"))
+      .groupBy(bucket(col("g")).as("b")).agg(count(lit(1)).as(cName))
+    val pCnt = hist(target, "pc")
+    val qCnt = hist(raw, "qc")
+    val lam = spark.range(B).select(col("id").as("b"))
+      .join(broadcast(pCnt), Seq("b"), "left")
+      .join(broadcast(qCnt), Seq("b"), "left")
+      .select(col("b"),
+        coalesce(col("pc"), lit(0L)).as("pc"), coalesce(col("qc"), lit(0L)).as("qc"))
+      .crossJoin(broadcast(pCnt.agg(coalesce(sum("pc"), lit(0L)).as("np"))))
+      .crossJoin(broadcast(qCnt.agg(coalesce(sum("qc"), lit(0L)).as("nq"))))
+      .select(col("b"),
+        (log((col("pc") + lit(1.0)) / (col("np") + lit(B.toDouble))) -
+         log((col("qc") + lit(1.0)) / (col("nq") + lit(B.toDouble))))
+          .cast("decimal(20,6)").as("lam"))
+    val spine = raw.select(col(idCol).as("doc_id"), T.tokens(col(textCol)).as("w"))
+      .repartition(n, col("doc_id"))
+      .select(col("doc_id"), concat(col("w"), T.wordNGrams(col("w"), 2)).as("gs"))
+    val scored = spine.select(col("doc_id"), explode(col("gs")).as("g"))
+      .select(col("doc_id"), bucket(col("g")).as("b"))
+      .join(broadcast(lam), Seq("b"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_grams"), sum("lam").as("s"))
+      // exact-integer exit: DECIMAL->DOUBLE casts differ by an ulp
+      // between engines (the q101 note), so the micro-unit sum leaves
+      // as a LONG and one IEEE division reconstructs the double
+      .withColumn("logw", (col("s") * 1000000).cast("long").cast("double") / 1e6)
+    spine.select("doc_id").join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        col("logw"))
+  }
 }

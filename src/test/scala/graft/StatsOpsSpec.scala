@@ -45,6 +45,25 @@ class StatsOpsSpec extends SparkSpec {
     math.abs(sa - se) / se should be < 0.01
   }
 
+  // ---- dsir ----
+
+  test("dsirWeights ranks target-domain documents above the rest on average") {
+    import graft.functions.NgramLm
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val w = NgramLm.dsirWeights(docs, docs.filter(col("source") === "src1"))
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+    val Array(inT, outT) = w
+      .groupBy((col("source") === "src1").as("t"))
+      .agg(avg("logw").as("m")).orderBy(col("t").desc)
+      .collect().map(_.getDouble(1))
+    // the estimator's defining property: importance weights favor the
+    // target's own distribution
+    inT should be > outT
+    // weights are finite for every doc (add-1 smoothing over the full
+    // bucket space — no -inf even for unseen buckets)
+    w.filter(col("logw").isNull || isnan(col("logw"))).count() shouldBe 0
+  }
+
   // ---- conformal ----
 
   test("conformalInterval selects the exact conformal-rank residual and achieves coverage") {
