@@ -2423,6 +2423,36 @@ object SparkEntry {
         // gate boundary: DECIMAL stringifies differently across engines
         .withColumn("inertia", col("inertia_q").cast("double")).drop("inertia_q")),
 
+    // §2#60e streaming quantile-state build: the q227 state maintained
+    // by the stream in complete mode (state = bin table, never keyed
+    // by value), read out as the live per-type p99.
+    "q228_stream_quantile" -> ((s, dir) => {
+      val st = streaming.Events.streamQuantileState(s, s"$dir/events.parquet")
+      functions.Sketches.quantileOf(st, Seq("event_type"), 99, 100)
+        .select(col("event_type"), col("n"), col("q_est").as("p99"))
+    }),
+
+    // §2#60d deterministic mergeable quantile state: two disjoint
+    // batch states merged, then p50/p90 rank-selected from the bin
+    // histogram — the "p99 across shards without rescanning" member
+    // of the mergeable-state family; the oracle computes the same
+    // dyadic bins directly over the full table (merge ≡ direct is the
+    // state contract, spec-asserted).
+    "q227_quantile_state" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val sA = functions.Sketches.quantileState(
+        ev.filter(col("event_id") % 2 === 0), Seq("event_type"), "value")
+      val sB = functions.Sketches.quantileState(
+        ev.filter(col("event_id") % 2 === 1), Seq("event_type"), "value")
+      val m = functions.Sketches.mergeQuantileStates(Seq(sA, sB), Seq("event_type"))
+      val p50 = functions.Sketches.quantileOf(m, Seq("event_type"), 1, 2)
+        .select(col("event_type"), col("n"), col("q_est").as("p50"))
+      val p90 = functions.Sketches.quantileOf(m, Seq("event_type"), 9, 10)
+        .select(col("event_type"), col("q_est").as("p90"))
+      p50.join(p90, Seq("event_type"))
+    }),
+
     // §2#58c DSIR importance weights: hashed-ngram importance
     // resampling scores (target = src1 docs vs the whole corpus) —
     // the domain-adaptation selection signal beside quality (q30),
@@ -2667,6 +2697,55 @@ object SparkEntry {
     "q223_kmeans_train" -> OracleGen.kmeansTrainSql(),
     "q225_bpe_train" -> OracleGen.bpeTrainSql(),
     "q226_dsir" -> OracleGen.dsirSql(),
+
+    "q228_stream_quantile" ->
+      """WITH e AS (
+           SELECT event_type, CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS q
+           FROM events),
+         bnn AS (
+           SELECT event_type,
+             (CASE WHEN q < 0 THEN -1 ELSE 1 END)
+               * ((abs(q) // CAST(pow(2, GREATEST(0, length(bin(abs(q))) - 6)) AS BIGINT))
+                  * CAST(pow(2, GREATEST(0, length(bin(abs(q))) - 6)) AS BIGINT)) AS bin
+           FROM e),
+         st AS (SELECT event_type, bin, COUNT(*) AS cnt FROM bnn GROUP BY 1, 2),
+         c AS (
+           SELECT event_type, bin, cnt,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(cnt) OVER (PARTITION BY event_type) AS n
+           FROM st)
+         SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MIN(bin) AS DOUBLE) / 1000000 AS p99
+         FROM c WHERE cum * 100 >= n * 99 GROUP BY 1""",
+
+    // dyadic quantile bins: value truncated to its top 6 significant
+    // bits via the HLL oracle's length(bin(abs(q))) trick + one exact
+    // power-of-two division; type-1 rank by integer cross-multiply
+    "q227_quantile_state" ->
+      """WITH e AS (
+           SELECT event_type, CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS q
+           FROM events),
+         bnn AS (
+           SELECT event_type,
+             (CASE WHEN q < 0 THEN -1 ELSE 1 END)
+               * ((abs(q) // CAST(pow(2, GREATEST(0, length(bin(abs(q))) - 6)) AS BIGINT))
+                  * CAST(pow(2, GREATEST(0, length(bin(abs(q))) - 6)) AS BIGINT)) AS bin
+           FROM e),
+         st AS (SELECT event_type, bin, COUNT(*) AS cnt FROM bnn GROUP BY 1, 2),
+         c AS (
+           SELECT event_type, bin, cnt,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(cnt) OVER (PARTITION BY event_type) AS n
+           FROM st),
+         p50 AS (SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+                   CAST(MIN(bin) AS DOUBLE) / 1000000 AS p50
+                 FROM c WHERE cum * 2 >= n * 1 GROUP BY 1),
+         p90 AS (SELECT event_type, CAST(MIN(bin) AS DOUBLE) / 1000000 AS p90
+                 FROM c WHERE cum * 10 >= n * 9 GROUP BY 1)
+         SELECT p50.event_type, n, p50.p50, p90.p90
+         FROM p50 JOIN p90 ON p50.event_type = p90.event_type""",
 
     "q224_tx_snapshot" ->
       """SELECT CAST(1 AS INT) AS version, COUNT(*) AS n_rows,

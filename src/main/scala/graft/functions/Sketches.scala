@@ -219,4 +219,77 @@ object Sketches {
       .agg(sum(bit_count(col("_bits")).cast("long")).as("n_distinct"),
            count(lit(1)).as("n_buckets"))
   }
+
+  /** Deterministic mergeable QUANTILE state — the member the
+    * mergeable-state family was missing (aggState = sum/min/max,
+    * momentsState = mean/var, HLL = distinct, CMS = frequency, bitmap
+    * = exact distinct … and nothing answered "p99 across shards
+    * without rescanning"). Randomized mergeable sketches (KLL,
+    * t-digest) trade determinism away; the exact value→count map state
+    * is unbounded on continuous metrics. This is the deterministic
+    * middle: values quantize to longs, then collapse to DYADIC BINS —
+    * the value truncated to its top `subBits+1` significant bits (the
+    * bin id IS the bin's toward-zero bound, directly reconstructible)
+    * — so per key the state is ≤ 64·2^subBits bins per sign however
+    * many rows it absorbs, merges are plain per-bin count sums
+    * (order/split-invariant, bit-exact), and any quantile's estimate
+    * is within relative error 2^-subBits of the true quantized value.
+    *
+    * All bit arithmetic is the HLL oracle's `length(bin(abs(q)))`
+    * trick plus an exact power-of-two division — both engines compute
+    * identical bins, so state AND estimates hash-verify.
+    *
+    * Scale shape: ONE map-side-combining partial agg to the bin table;
+    * [[mergeQuantileStates]] is union + one partial agg;
+    * [[quantileOf]] walks the cumulative histogram (bins, not rows —
+    * the weightedPercentile shape) with integer rank cross-multiply.
+    */
+  def quantileState(df: DataFrame, keys: Seq[String], valueCol: String,
+                    unitScale: Long = 1000000L, subBits: Int = 5): DataFrame = {
+    require(subBits >= 1 && subBits <= 20, s"subBits out of range: $subBits")
+    val q = floor(col(valueCol).cast("double") * unitScale + lit(0.5)).cast("long")
+    df.select(keys.map(col) :+ q.as("_q"): _*)
+      .withColumn("_a", abs(col("_q")))
+      // shift = max(0, bitLength - 1 - subBits); bin() of 0 is "0"
+      // (length 1) so zero needs no special case
+      .withColumn("_s", greatest(lit(0), length(bin(col("_a"))) - lit(1 + subBits)))
+      .withColumn("_p", expr("cast(pow(2, _s) as long)")) // 2^s exact in double
+      // integer div, NOT `/` (long / long is double division in Spark)
+      .withColumn("bin",
+        (when(col("_q") < 0, -1L).otherwise(1L)) * expr("(_a div _p) * _p"))
+      .groupBy(keys.map(col) :+ col("bin"): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Union + one partial agg — the mergeAggStates contract. */
+  def mergeQuantileStates(states: Seq[DataFrame], keys: Seq[String]): DataFrame = {
+    require(states.nonEmpty, "mergeQuantileStates: no states")
+    states.reduce(_.unionByName(_))
+      .groupBy(keys.map(col) :+ col("bin"): _*)
+      .agg(sum("cnt").as("cnt"))
+  }
+
+  /** Type-1 quantile from a state: the SMALLEST bin whose inclusive
+    * count prefix reaches rank p = pNum/pDen (integer cross-multiply,
+    * no float boundary). Reports the bin's toward-zero bound scaled
+    * back to value units — within relative error 2^-subBits of the
+    * true type-1 quantile's quantized value by construction.
+    * Output: (keys…, n, q_est).
+    */
+  def quantileOf(state: DataFrame, keys: Seq[String], pNum: Long, pDen: Long,
+                 unitScale: Long = 1000000L): DataFrame = {
+    require(pNum >= 0 && pNum <= pDen && pDen > 0, s"bad rational p=$pNum/$pDen")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+    state
+      .withColumn("_cum", sum(col("cnt")).over(w))
+      .withColumn("_n", sum(col("cnt")).over(tot))
+      .filter(col("_cum") * pDen >= col("_n") * pNum)
+      .groupBy(keys.map(col): _*)
+      .agg(max(col("_n")).as("n"),
+        (min(col("bin")).cast("double") / unitScale).as("q_est"))
+  }
 }

@@ -167,6 +167,29 @@ object Events {
       "complete", "graft_cms_")
   }
 
+  /** Streaming dyadic quantile-state build (SURVEY §2 #60d): the
+    * per-(key, bin) count aggregation run in complete mode over the
+    * event stream — the quantile member of the streaming-sketch trio
+    * ([[streamCmsSketch]] = frequency, [[streamHllRegisters]] =
+    * distinct). Bin counts are commutative sums, so the operator state
+    * IS the state table (≤ 64·2^subBits bins per sign per key,
+    * NEVER keyed by row value), any micro-batch snapshot is a valid
+    * state of everything ingested, and the final snapshot equals the
+    * batch [[graft.functions.Sketches.quantileState]] bin-for-bin —
+    * feed it to `quantileOf` for the live p50/p99 dashboard read.
+    */
+  def streamQuantileState(spark: SparkSession, eventsPath: String,
+                          keys: Seq[String] = Seq("event_type"),
+                          valueCol: String = "value",
+                          unitScale: Long = 1000000L, subBits: Int = 5,
+                          maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val st = readStream(spark, eventsPath, maxFilesPerTrigger)
+      .select(keys.map(col) :+ col(valueCol): _*)
+    runToMemory(
+      graft.functions.Sketches.quantileState(st, keys, valueCol, unitScale, subBits),
+      "complete", "graft_qs_")
+  }
+
   /** Streaming HyperLogLog register build (SURVEY §2 #61): the
     * register max-aggregation run in complete mode over the event
     * stream — the cardinality counterpart of [[streamCmsSketch]].

@@ -78,6 +78,42 @@ class SketchesSpec extends SparkSpec {
     canon(Sketches.hllRegisters(dup, "k", 10)) shouldBe canon(Sketches.hllRegisters(once, "k", 10))
   }
 
+  test("quantileState merges split-invariantly and bounds quantile error by 2^-subBits") {
+    import graft.functions.Sketches
+    val rnd = new scala.util.Random(61)
+    // log-spread positive values + a negative band; two keys
+    val rows = (1 to 4000).map { i =>
+      val k = if (i % 3 == 0) "a" else "b"
+      val mag = math.exp(rnd.nextDouble() * 10) // 1 .. ~22000
+      (i.toLong, k, if (i % 17 == 0) -mag else mag)
+    }
+    val df = rows.toDF("id", "k", "v")
+    def canon(st: org.apache.spark.sql.DataFrame) = st.collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val direct = Sketches.quantileState(df, Seq("k"), "v")
+    // ANY split merges back to the direct state, bit for bit
+    val parts = (0 until 3).map(p =>
+      Sketches.quantileState(df.filter(col("id") % 3 === p), Seq("k"), "v"))
+    canon(Sketches.mergeQuantileStates(parts, Seq("k"))) shouldBe canon(direct)
+    canon(Sketches.mergeQuantileStates(parts.reverse, Seq("k"))) shouldBe canon(direct)
+    // state is BOUNDED: far fewer bins than distinct values
+    val nBins = direct.count()
+    val nVals = df.select("k", "v").distinct().count()
+    nBins.toDouble should be < nVals.toDouble / 3
+    // error bound: the estimate is the type-1 quantile's value
+    // truncated toward zero to 6 significant bits
+    for ((pn, pd) <- Seq((1L, 2L), (9L, 10L), (99L, 100L))) {
+      val est = Sketches.quantileOf(direct, Seq("k"), pn, pd)
+        .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+      for (k <- Seq("a", "b")) {
+        val vs = rows.filter(_._2 == k)
+          .map(x => math.floor(x._3 * 1e6 + 0.5) / 1e6).sorted
+        val exact = vs(((vs.size * pn + pd - 1) / pd - 1).toInt)
+        math.abs(est(k) - exact) should be <= math.abs(exact) * math.pow(2, -5) + 1e-6
+      }
+    }
+  }
+
   test("applyChanges: insert, update, delete, latest-wins, tie-break, passthrough") {
     val base = Seq((1L, "A", 10.0), (2L, "B", 20.0), (3L, "C", 30.0))
       .toDF("id", "status", "price")

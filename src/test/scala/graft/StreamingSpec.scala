@@ -347,6 +347,17 @@ class StreamingSpec extends SparkSpec {
     canon(streamed) shouldBe canon(batch)
   }
 
+  test("streaming quantile state across micro-batches equals the batch build bin-for-bin") {
+    val dir = timeSplitDir(s"$sfDir/events.parquet", 3)
+    val streamed = Events.streamQuantileState(spark, dir, maxFilesPerTrigger = Some(1))
+    val batch = graft.functions.Sketches.quantileState(
+      Events.readBatch(spark, dir).select(col("event_type"), col("value")),
+      Seq("event_type"), "value")
+    canon(streamed) shouldBe canon(batch)
+    // sketch-shaped state: bins, not values — bounded per key
+    streamed.count() should be <= streamed.select("event_type").distinct().count() * 64 * 32 * 2
+  }
+
   test("streaming HLL registers across micro-batches equal the batch registers") {
     val dir = timeSplitDir(s"$sfDir/events.parquet", 3)
     val streamed = Events.streamHllRegisters(spark, dir, maxFilesPerTrigger = Some(1))
