@@ -299,6 +299,23 @@ class PlanSpec extends SparkSpec {
     (p should not).include("SortMergeJoin")
   }
 
+  test("q226 dsir: lambda table broadcasts, corpus streams map-only into a partial agg") {
+    val p = plan("q226_dsir")
+    p should include("BroadcastHashJoin")     // B-row λ table, corpus never shuffles on bucket
+    p should include("partial_count")         // per-doc score combines map-side
+    (p should not).include("CartesianProduct")
+  }
+
+  test("q227 quantile state: windows walk the BIN table partitioned by key, never rows") {
+    val p = plan("q227_quantile_state")
+    // every window is key-partitioned (no global sort) and sits above
+    // the (key, bin) aggregate — the state, not the input rows
+    p.linesIterator.filter(_.contains("windowspecdefinition")).foreach { l =>
+      l should include("event_type")
+    }
+    p should include("partial_sum")
+  }
+
   test("q204 theil-sen: median rank-selects over a slope histogram, never the raw pair list") {
     val p = plan("q204_theil_sen")
     (p should not).include("CartesianProduct")
