@@ -936,18 +936,31 @@ object Profile {
     require(slopeUnitUs > 0, s"slopeUnitUs must be positive, got $slopeUnitUs")
     val slim = df.select(col(keyCol), col(timeCol).cast("long").as("_t"),
       floor(col(valueCol) * 1000000L + 0.5).cast("long").as("_vq"))
-    // In-plan guard: the count window shares the pair join's key
-    // partitioning and raises BEFORE any quadratic pair row exists —
-    // replaces the old eager limit(1).collect() probe that cost a full
-    // extra input scan. ONE side only: every key reaches side a, so
-    // one firing row suffices and side b skips the window entirely.
-    val kn = count(lit(1)).over(Window.partitionBy(keyCol))
-    val guarded = slim.withColumn("_vg",
-      when(kn > maxGroupRows, raise_error(format_string(
-        s"theilSen: key %s exceeds $maxGroupRows rows — pairwise slopes are " +
-        "quadratic per key; pre-aggregate the series first",
-        col(keyCol).cast("string"))).cast("long"))
-      .otherwise(col("_vq")))
+    // In-plan guard with NO shuffle of the series: the pair join
+    // broadcasts one side, so the fact side never exchanges — a count
+    // window would have added the plan's only full-data shuffle
+    // (measured +1s at sf0.1, and a fact-table shuffle at 100 TB).
+    // Instead the OFFENDER key set (normally empty) comes from one
+    // tiny partial agg, broadcasts, and a left join + raise_error
+    // threaded through the value column refuses before any pair is
+    // emitted — one extra column-pruned scan, zero extra shuffles,
+    // no separate action (the old probe was an eager collect).
+    val offenders = slim.groupBy(col(keyCol)).agg(count(lit(1)).as("_kn"))
+      .filter(col("_kn") > maxGroupRows)
+    // ONE key exchange of the probe side (pinned count — AQE would
+    // coalesce), installed BEFORE the join so the downstream histogram
+    // agg and cumulative window both run in place: the alternative is
+    // exchanging the (pair-scaled) cell table twice. No sort here —
+    // a guard WINDOW would add one; the broadcast join needs none.
+    val nPart = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val guarded = slim.repartition(nPart, col(keyCol))
+      .join(broadcast(offenders), Seq(keyCol), "left")
+      .withColumn("_vg",
+        when(col("_kn").isNotNull, raise_error(format_string(
+          s"theilSen: key %s exceeds $maxGroupRows rows — pairwise slopes are " +
+          "quadratic per key; pre-aggregate the series first",
+          col(keyCol).cast("string"))).cast("long"))
+        .otherwise(col("_vq")))
     val a = guarded.select(col(keyCol), col("_t").as("_ta"), col("_vg").as("_va"))
     val b = slim.select(col(keyCol), col("_t").as("_tb"), col("_vq").as("_vb"))
     // slope_q in MILLI-value-units per slopeUnitUs: dv is in micro-
