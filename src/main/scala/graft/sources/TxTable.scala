@@ -105,14 +105,17 @@ object TxTable {
     require(op == "append" || op == "overwrite", s"unknown op $op")
     val spark = df.sparkSession
     val f = fs(spark, table)
-    // distributed data write to a scratch dir, then deterministic
-    // versioned names — the move is a metadata op on HDFS-likes
-    val tmp = new Path(s"$table/_tmp_v$v")
+    // distributed data write to a WRITER-UNIQUE scratch dir (two
+    // writers racing to the same version must not clobber each
+    // other's in-flight part files — the nonce that de-collides the
+    // final names has to cover the scratch too), then versioned
+    // names — the move is a metadata op on HDFS-likes
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new Path(s"$table/_tmp_v${v}_$nonce")
     df.write.mode("overwrite").parquet(tmp.toString)
     val parts = f.listStatus(tmp).map(_.getPath)
       .filter(_.getName.startsWith("part-")).sortBy(_.getName)
     f.mkdirs(new Path(s"$table/data"))
-    val nonce = java.util.UUID.randomUUID().toString.take(8)
     val named = parts.zipWithIndex.map { case (p, i) =>
       val rel = s"data/v${v}_${i}_$nonce.parquet"
       require(f.rename(p, new Path(s"$table/$rel")), s"rename failed for $p")
@@ -125,12 +128,31 @@ object TxTable {
       s""""files":[${all.map("\"" + _ + "\"").mkString(",")}]}"""
     val mp = manifestPath(table, v)
     f.mkdirs(mp.getParent)
-    val out = try f.create(mp, false) catch {
-      case _: java.io.IOException =>
-        sys.error(s"TxTable: commit conflict — version $v at $table was " +
-          "published by another writer; re-read and retry")
+    def conflict(): Nothing =
+      sys.error(s"TxTable: commit conflict — version $v at $table was " +
+        "published by another writer; re-read and retry")
+    if (f.getScheme == "file") {
+      // Hadoop's LOCAL create(overwrite=false) is exists-then-create —
+      // a TOCTOU window two racing writers really do hit (caught by
+      // the 8-writer stress spec). The atomic local protocol: write
+      // the manifest COMPLETE to a hidden temp, then claim the version
+      // with a HARD LINK — link(2) fails EEXIST atomically and the
+      // published file is whole from its first instant (no
+      // partially-written manifest is ever visible).
+      val dir = java.nio.file.Paths.get(mp.getParent.toUri.getPath)
+      val tmpM = dir.resolve(s".v$v.$nonce.tmp")
+      java.nio.file.Files.write(tmpM, json.getBytes("UTF-8"))
+      try java.nio.file.Files.createLink(dir.resolve(mp.getName), tmpM)
+      catch { case _: java.nio.file.FileAlreadyExistsException => conflict() }
+      finally java.nio.file.Files.deleteIfExists(tmpM)
+    } else {
+      // HDFS-likes: create(overwrite=false) IS atomic there; object
+      // stores need their conditional put (documented above)
+      val out = try f.create(mp, false) catch {
+        case _: java.io.IOException => conflict()
+      }
+      try out.write(json.getBytes("UTF-8")) finally out.close()
     }
-    try out.write(json.getBytes("UTF-8")) finally out.close()
     v
   }
 

@@ -58,6 +58,38 @@ class TxTableSpec extends SparkSpec {
       TxTable.filesOf(spark, table, 1)) shouldBe empty
   }
 
+  test("eight genuinely-racing writers: every version has exactly one winner, no manifest lost") {
+    val table = freshTable()
+    import spark.implicits._
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    // every writer retries on conflict against the fresh head — the
+    // documented caller loop; all 8 single-row commits must land
+    val futures = (1 to 8).map { i =>
+      scala.concurrent.Future {
+        var committed = -1
+        var attempts = 0
+        while (committed < 0 && attempts < 50) {
+          attempts += 1
+          try committed = TxTable.commit(Seq((i.toLong, s"w$i")).toDF("id", "s"), table)
+          catch { case e: RuntimeException if e.getMessage.contains("conflict") => () }
+        }
+        committed
+      }
+    }
+    val versions = futures.map(f =>
+      scala.concurrent.Await.result(f, scala.concurrent.duration.Duration(120, "s")))
+    pool.shutdown()
+    // exactly versions 1..8, each won by exactly one writer
+    versions.sorted shouldBe (1 to 8)
+    TxTable.currentVersion(spark, table) shouldBe 8
+    // the final snapshot carries every committed row exactly once
+    TxTable.read(spark, table).collect().map(_.getLong(0)).sorted shouldBe (1L to 8L)
+    // history is contiguous and every manifest resolves
+    (1 to 8).foreach(v => TxTable.filesOf(spark, table, v) should not be empty)
+  }
+
   test("readVersion reads the manifest's explicit file list, never a directory listing") {
     val table = freshTable()
     TxTable.commit(Seq((1L, "a")).toDF("id", "s"), table)
