@@ -2493,6 +2493,72 @@ object SparkEntry {
       }.reduce(_.unionByName(_))
     }),
 
+    // §2#62j change-data read off the snapshot layer: append → compact
+    // → overwrite, then one CDC poll over the whole interval. The
+    // manifest diff makes the append step's inserts exactly its new
+    // files (consuming an hourly append reads hourly volume, never the
+    // table), the compact step silent (dataChange=false), and the
+    // overwrite a delete-of-prior + insert-of-new pair. Own side table
+    // (graft_txc): q224 builds graft_tx and the oracle reads both
+    // AFTER all queries ran — shared state would clobber.
+    "q229_tx_changes" -> ((s, dir) => {
+      val table = sidePath("graft_txc", dir) // dir-derived — mirrored via __SFTAG__ in the oracle SQL
+      val ord = t(s, dir, "orders").df
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      sources.TxTable.drop(s, table)
+      sources.TxTable.commit(ord.filter(col("o_orderpriority") === "1-URGENT"), table)
+      sources.TxTable.commit(ord.filter(col("o_orderpriority") === "2-HIGH"), table)
+      sources.TxTable.compact(s, table)
+      sources.TxTable.commit(ord.filter(col("o_orderpriority") === "5-LOW"), table, "overwrite")
+      sources.TxTable.changes(s, table, 1, 4)
+        .groupBy(col("_version").as("version"), col("_change").as("change"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
+    }),
+
+    // §2#62k OPTIMIZE commit: a fragmented append (8 files) compacted
+    // into a fresh content-preserving version; the gate itself proves
+    // preservation (identical n_rows/sum_price across versions) and
+    // the oracle counts files via read_parquet(filename=true) over the
+    // same manifest-named globs.
+    "q230_tx_compact" -> ((s, dir) => {
+      val table = sidePath("graft_txo", dir) // dir-derived — mirrored via __SFTAG__ in the oracle SQL
+      val ord = t(s, dir, "orders").df.select(col("o_orderkey"), col("o_totalprice"))
+      sources.TxTable.drop(s, table)
+      sources.TxTable.commit(ord.repartition(8), table)
+      sources.TxTable.compact(s, table)
+      (1 to 2).map { v =>
+        sources.TxTable.readVersion(s, table, v)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
+          .select(lit(v).as("version"),
+            lit(sources.TxTable.opOf(s, table, v)).as("op"),
+            lit(sources.TxTable.filesOf(s, table, v).size).as("n_files"),
+            col("n_rows"), col("sum_price"))
+      }.reduce(_.unionByName(_))
+    }),
+
+    // §2#62l incremental aggregate maintenance: a persisted per-key
+    // state absorbs a CDC delta of inserts AND deletes without ever
+    // rescanning the corpus — n/sum_q subtract exactly (abelian),
+    // min/max fold over inserts only (sound bounds). The oracle mirrors
+    // the signed algebra; the exact-recompute equivalence for n/sum_q
+    // is spec-proven separately.
+    "q231_agg_delta" -> ((s, dir) => {
+      val ord = t(s, dir, "orders").df
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      val base = ord.filter(col("o_orderkey") % 10 =!= 0)
+      val delta = ord.filter(col("o_orderkey") % 10 === 0).withColumn("op", lit("I"))
+        .unionByName(base.filter(col("o_orderkey") % 10 === 3).withColumn("op", lit("D")))
+        .select(col("o_orderpriority"), col("o_totalprice"), col("op"))
+      val st = operators.Upsert.aggState(
+        base.select("o_orderpriority", "o_totalprice"), Seq("o_orderpriority"), "o_totalprice")
+      operators.Upsert.applyAggDelta(st, delta, Seq("o_orderpriority"), "o_totalprice", "op")
+        // exact-integer exit (the q101 ulp rule): micro-unit sum as LONG
+        .select(col("o_orderpriority"), col("n"), col("sum_q").cast("long").as("sum_q"),
+          col("min_v"), col("max_v"))
+    }),
+
     // §2#63 binaryFile ingest: raw per-document files (materialized by
     // a distributed foreachPartition writer — test stand-in for an
     // object store) read back through Spark's binaryFile source and
@@ -2760,6 +2826,47 @@ object SparkEntry {
          SELECT CAST(3 AS INT), COUNT(*),
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
          FROM read_parquet('/tmp/graft_tx___SFTAG__/data/v3_*.parquet')""",
+
+    "q229_tx_changes" ->
+      """SELECT CAST(2 AS INT) AS version, 'insert' AS change, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+         FROM read_parquet('/tmp/graft_txc___SFTAG__/data/v2_*.parquet')
+         UNION ALL
+         SELECT CAST(4 AS INT), 'delete', COUNT(*),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+         FROM read_parquet('/tmp/graft_txc___SFTAG__/data/v3_*.parquet')
+         UNION ALL
+         SELECT CAST(4 AS INT), 'insert', COUNT(*),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+         FROM read_parquet('/tmp/graft_txc___SFTAG__/data/v4_*.parquet')""",
+
+    "q230_tx_compact" ->
+      """SELECT CAST(1 AS INT) AS version, 'append' AS op,
+           CAST(COUNT(DISTINCT filename) AS INT) AS n_files, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+         FROM read_parquet('/tmp/graft_txo___SFTAG__/data/v1_*.parquet', filename=true)
+         UNION ALL
+         SELECT CAST(2 AS INT), 'compact',
+           CAST(COUNT(DISTINCT filename) AS INT), COUNT(*),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+         FROM read_parquet('/tmp/graft_txo___SFTAG__/data/v2_*.parquet', filename=true)""",
+
+    "q231_agg_delta" ->
+      """WITH ev AS (
+           SELECT o_orderpriority AS k, o_totalprice AS v, 1 AS s
+           FROM orders WHERE o_orderkey % 10 <> 0
+           UNION ALL
+           SELECT o_orderpriority, o_totalprice, 1 FROM orders WHERE o_orderkey % 10 = 0
+           UNION ALL
+           SELECT o_orderpriority, o_totalprice, -1 FROM orders WHERE o_orderkey % 10 = 3),
+         b AS (SELECT o_orderpriority AS k, MIN(o_totalprice) AS min_v,
+                      MAX(o_totalprice) AS max_v
+               FROM orders GROUP BY 1)
+         SELECT ev.k AS o_orderpriority, CAST(SUM(s) AS BIGINT) AS n,
+           CAST(SUM(CAST(s AS DECIMAL(20,0)) * CAST(FLOOR(v * 1000000 + 0.5) AS DECIMAL(20,0))) AS BIGINT) AS sum_q,
+           MIN(b.min_v) AS min_v, MAX(b.max_v) AS max_v
+         FROM ev JOIN b ON ev.k = b.k
+         GROUP BY 1""",
     "q192_ann_recall" -> OracleGen.annRecallSql(),
     "q193_kmeanspp_round" -> OracleGen.kmeansOversampleSql(),
 

@@ -250,6 +250,54 @@ object Upsert {
       .unionByName(aOld.join(bDelta, on))
   }
 
+  /** Incremental maintenance of an [[aggState]] under a CDC delta of
+    * inserts AND deletes — the materialized-aggregate half of the
+    * incremental-view story ([[deltaJoin]] is the join half): per-key
+    * stats over a 100 TB corpus stay current by aggregating ONLY each
+    * arriving delta (map-side, delta-sized) and folding it into the
+    * persisted state; the corpus is never rescanned.
+    *
+    * Algebra: n and the quantized sum are abelian-group components, so
+    * deletes subtract exactly — the maintained (n, sum_q) is
+    * bit-identical to a from-scratch aggregation of the post-delta
+    * corpus (spec-proven). min_v/max_v are only a SEMILATTICE (no
+    * inverse): inserts fold in exactly, but deleting the extremum
+    * cannot tighten the bound without a rescan, so after deletes they
+    * remain CONSERVATIVE BOUNDS (stale min ≤ true min ≤ true max ≤
+    * stale max) — still sound for pruning/z-maps, no longer exact
+    * extrema; callers needing exact extrema after deletes recompute
+    * those two columns (documented trade, the same one every
+    * zone-map-maintaining system makes). Keys whose n reaches 0 drop
+    * out of the state entirely.
+    *
+    * Contract: every D row must name a (key, value) actually present —
+    * deleting a never-inserted row silently corrupts n/sum_q (the
+    * inverse exists, the referent doesn't); that audit is
+    * [[diffSnapshots]]'s job upstream.
+    *
+    * Scale shape: one delta-sized partial agg (signed addends built
+    * map-side), then union + one state-keyed partial agg — the exact
+    * [[mergeAggStates]] shuffle budget.
+    */
+  def applyAggDelta(state: DataFrame, delta: DataFrame, keys: Seq[String],
+                    valueCol: String, opCol: String): DataFrame = {
+    val sign = when(col(opCol) === "D", lit(-1L))
+      .when(col(opCol) === "I", lit(1L))
+      .otherwise(raise_error(concat(lit("applyAggDelta: op must be I or D, got "), col(opCol))))
+    val q = floor(col(valueCol).cast("double") * 1e6 + lit(0.5)).cast("decimal(20,0)")
+    val deltaState = delta.groupBy(keys.map(col): _*).agg(
+      sum(sign).as("n"),
+      sum(sign.cast("decimal(20,0)") * q).cast("decimal(38,0)").as("sum_q"),
+      // bounds fold over INSERTS only: a delete never tightens a bound
+      min(when(col(opCol) === "I", col(valueCol))).as("min_v"),
+      max(when(col(opCol) === "I", col(valueCol))).as("max_v"))
+    state.unionByName(deltaState)
+      .groupBy(keys.map(col): _*)
+      .agg(sum("n").as("n"), sum("sum_q").cast("decimal(38,0)").as("sum_q"),
+           min("min_v").as("min_v"), max("max_v").as("max_v"))
+      .filter(col("n") > 0)
+  }
+
   /** Merge [[aggState]] tables: union + ONE partial agg re-combining
     * each component (counts and quantized sums add, min/max fold).
     * Keys absent from one side pass through untouched — no join, no

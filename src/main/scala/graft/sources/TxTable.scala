@@ -55,16 +55,22 @@ object TxTable {
   private def manifestPath(table: String, v: Int) =
     new Path(s"$table/_manifests/v$v.json")
 
-  /** Largest committed version, or 0 if the table doesn't exist yet. */
-  def currentVersion(spark: SparkSession, table: String): Int = {
+  /** Versions whose manifest still exists (contiguous from 1 until
+    * `expireVersions` trims the head of history). Sorted ascending.
+    */
+  def liveVersions(spark: SparkSession, table: String): Seq[Int] = {
     val dir = new Path(s"$table/_manifests")
     val f = fs(spark, table)
-    if (!f.exists(dir)) 0
+    if (!f.exists(dir)) Seq.empty
     else f.listStatus(dir).map(_.getPath.getName)
       .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
         n.stripPrefix("v").stripSuffix(".json").toInt }
-      .foldLeft(0)(math.max)
+      .sorted.toSeq
   }
+
+  /** Largest committed version, or 0 if the table doesn't exist yet. */
+  def currentVersion(spark: SparkSession, table: String): Int =
+    liveVersions(spark, table).foldLeft(0)(math.max)
 
   /** Data files of version `v`, as written in its manifest (relative
     * to the table root). Manifest format is engine-owned and flat, so
@@ -102,7 +108,7 @@ object TxTable {
     * retry loop) drive this directly with a chosen target version.
     */
   private[graft] def commitAs(df: DataFrame, table: String, v: Int, op: String): Int = {
-    require(op == "append" || op == "overwrite", s"unknown op $op")
+    require(op == "append" || op == "overwrite" || op == "compact", s"unknown op $op")
     val spark = df.sparkSession
     val f = fs(spark, table)
     // distributed data write to a WRITER-UNIQUE scratch dir (two
@@ -169,16 +175,106 @@ object TxTable {
   def read(spark: SparkSession, table: String): DataFrame =
     readVersion(spark, table, currentVersion(spark, table))
 
-  /** The version history as a DataFrame — (version, op, n_files). */
+  private def manifestText(spark: SparkSession, table: String, v: Int): String = {
+    val in = fs(spark, table).open(manifestPath(table, v))
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+
+  /** The op recorded in version `v`'s manifest. */
+  def opOf(spark: SparkSession, table: String, v: Int): String =
+    "\"op\":\"(.*?)\"".r.findFirstMatchIn(manifestText(spark, table, v))
+      .getOrElse(sys.error(s"TxTable: malformed manifest v$v at $table")).group(1)
+
+  /** The version history as a DataFrame — (version, op, n_files).
+    * Expired versions no longer appear.
+    */
   def history(spark: SparkSession, table: String): DataFrame = {
     import spark.implicits._
-    (1 to currentVersion(spark, table)).map { v =>
-      val p = manifestPath(table, v)
-      val in = fs(spark, table).open(p)
-      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      val op = "\"op\":\"(.*?)\"".r.findFirstMatchIn(txt).get.group(1)
-      (v, op, filesOf(spark, table, v).size)
+    liveVersions(spark, table).map { v =>
+      (v, opOf(spark, table, v), filesOf(spark, table, v).size)
     }.toDF("version", "op", "n_files")
+  }
+
+  /** Change-data read: every row inserted or deleted between versions
+    * `fromV` (exclusive) and `toV` (inclusive), tagged with
+    * (_change ∈ insert|delete, _version). `fromV = 0` replays the
+    * table from its beginning.
+    *
+    * This is the incremental-consumption half of the snapshot layer
+    * (Delta's CDF shape, derived instead of logged): a downstream
+    * consumer keeps only its last-seen version number and each poll
+    * costs ONLY the delta, never a snapshot rescan. The file-set
+    * manifest makes that derivation exact and cheap:
+    *  - an APPEND commit's inserts are precisely the files the
+    *    manifest added over its parent — the read touches only those
+    *    new files, so consuming a 100 TB table's hourly appends reads
+    *    hourly volume, not 100 TB;
+    *  - an OVERWRITE commit replaces the snapshot wholesale, so its
+    *    changes are deletes of every parent file + inserts of every
+    *    new file — the two snapshot reads are unavoidable without a
+    *    row-level change log, and that cost sits exactly where the
+    *    semantics put it (row-level MERGE deltas belong to
+    *    `Upsert.diffSnapshots`, which this composes with).
+    * Rows are NOT deduplicated across versions: a row appended at v2
+    * and deleted by an overwrite at v3 appears twice, once per event —
+    * that is what makes the stream replayable into any consumer.
+    * COMPACT commits are skipped: they rewrite bytes, not rows (the
+    * `dataChange=false` rule), so consumers never re-see a compacted
+    * snapshot as churn.
+    */
+  def changes(spark: SparkSession, table: String, fromV: Int, toV: Int): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    require(fromV >= 0 && toV > fromV, s"need 0 <= fromV < toV, got ($fromV, $toV)")
+    require(toV <= currentVersion(spark, table), s"TxTable: no version $toV at $table")
+    def readFiles(files: Seq[String]): Option[DataFrame] =
+      if (files.isEmpty) None
+      else Some(spark.read.parquet(files.map(rel => s"$table/$rel"): _*))
+    val steps = ((fromV + 1) to toV).flatMap { v =>
+      val prev = if (v == 1) Seq.empty else filesOf(spark, table, v - 1)
+      val cur = filesOf(spark, table, v)
+      opOf(spark, table, v) match {
+        case "compact" => Seq.empty // byte rewrite, no row change
+        case op =>
+          val (ins, del) =
+            if (op == "append") (cur.diff(prev), Seq.empty[String])
+            else (cur, prev) // overwrite: full snapshot replace
+          readFiles(ins).map(_.withColumn("_change", lit("insert")).withColumn("_version", lit(v))) ++
+            readFiles(del).map(_.withColumn("_change", lit("delete")).withColumn("_version", lit(v)))
+      }
+    }
+    if (steps.isEmpty) // e.g. a compact-only interval: a legitimate empty delta
+      changesSchemaFrame(spark, table, toV)
+    else steps.reduce(_.unionByName(_))
+  }
+
+  private def changesSchemaFrame(spark: SparkSession, table: String, v: Int): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    readVersion(spark, table, v).limit(0)
+      .withColumn("_change", lit("insert")).withColumn("_version", lit(v))
+  }
+
+  /** OPTIMIZE: rewrite the current snapshot into ~`targetBytes` files
+    * and publish the result as the next version (op "compact" — a
+    * content-preserving overwrite). Time travel to pre-compaction
+    * versions still works (their files are immutable and untouched)
+    * until `expireVersions` reclaims them.
+    *
+    * The rewrite is the standard small-file remedy at scale: the data
+    * plane is one distributed read→repartition→write of the CURRENT
+    * snapshot only (never history), and the file count is derived from
+    * the manifest's own byte accounting, so a 100 TB table compacts in
+    * snapshot-sized work with the usual exchange. Returns the new
+    * version.
+    */
+  def compact(spark: SparkSession, table: String, targetBytes: Long = 128L << 20): Int = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val v = currentVersion(spark, table)
+    require(v >= 1, s"TxTable: nothing to compact at $table")
+    val f = fs(spark, table)
+    val totalBytes = filesOf(spark, table, v)
+      .map(rel => f.getFileStatus(new Path(s"$table/$rel")).getLen).sum
+    val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    commitAs(readVersion(spark, table, v).repartition(nOut), table, v + 1, "compact")
   }
 
   /** Drop the whole table (tests / rebuild-from-scratch pipelines). */
@@ -198,9 +294,49 @@ object TxTable {
     val f = fs(spark, table)
     val dataDir = new Path(s"$table/data")
     if (!f.exists(dataDir)) return Seq.empty
-    val referenced = (1 to currentVersion(spark, table))
+    val referenced = liveVersions(spark, table)
       .flatMap(v => filesOf(spark, table, v)).toSet
     f.listStatus(dataDir).map(s => s"data/${s.getPath.getName}")
       .filterNot(referenced).sorted.toSeq
+  }
+
+  /** Delete every orphan data file (failed/lost-race commits). Live
+    * manifests are never touched, so this is always safe to run — the
+    * standing maintenance job. Returns the deleted relative paths.
+    */
+  def vacuum(spark: SparkSession, table: String): Seq[String] = {
+    val f = fs(spark, table)
+    val dead = orphans(spark, table)
+    dead.foreach(rel => f.delete(new Path(s"$table/$rel"), false))
+    dead
+  }
+
+  /** Expire history: drop every manifest older than the newest
+    * `keepLast` versions, then delete data files only the dropped
+    * manifests referenced. Time travel to expired versions fails
+    * loudly afterwards (their manifests are gone); the kept versions
+    * are untouched — their files are immutable and still fully
+    * referenced. This is the retention half vacuum alone can't do:
+    * after an overwrite/compact, the replaced snapshot's bytes are
+    * reclaimable only once its manifest is out of the retention
+    * window. Returns (expired manifests, deleted data files).
+    */
+  def expireVersions(spark: SparkSession, table: String, keepLast: Int): (Seq[Int], Seq[String]) = {
+    require(keepLast >= 1, s"must keep at least the current version, got $keepLast")
+    val f = fs(spark, table)
+    val live = liveVersions(spark, table)
+    val head = live.foldLeft(0)(math.max)
+    val cut = head - keepLast // expire live versions <= cut
+    val (expire, keep) = live.partition(_ <= cut)
+    if (expire.isEmpty) return (Seq.empty, Seq.empty)
+    val keptFiles = keep.flatMap(v => filesOf(spark, table, v)).toSet
+    val deadFiles = expire.flatMap(v => filesOf(spark, table, v))
+      .distinct.filterNot(keptFiles).sorted
+    // Order matters for crash safety: drop manifests FIRST so no
+    // reader can resolve a version whose files are mid-delete; a crash
+    // between the two phases leaves orphans, which vacuum reclaims.
+    expire.foreach(v => f.delete(manifestPath(table, v), false))
+    deadFiles.foreach(rel => f.delete(new Path(s"$table/$rel"), false))
+    (expire, deadFiles)
   }
 }

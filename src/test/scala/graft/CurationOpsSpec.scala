@@ -85,6 +85,46 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("applyAggDelta maintains n/sum_q bit-identical to a from-scratch recompute; bounds stay conservative") {
+    import graft.operators.Upsert
+    val rnd = new scala.util.Random(47)
+    val base = (1 to 200).map(i => (s"k${i % 5}", math.floor(rnd.nextDouble() * 4000 - 2000) / 8))
+    // deletes name actual base rows (the contract); inserts are fresh
+    val dels = rnd.shuffle(base).take(60).map { case (k, v) => (k, v, "D") }
+    val ins = (1 to 50).map(i => (s"k${i % 5}", math.floor(rnd.nextDouble() * 4000 - 2000) / 8, "I"))
+    val state0 = Upsert.aggState(base.toDF("k", "v"), Seq("k"), "v")
+    val maintained = Upsert.applyAggDelta(
+        state0, (dels ++ ins).toDF("k", "v", "op"), Seq("k"), "v", "op")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDecimal(2), r.getDouble(3), r.getDouble(4))).toMap
+    // post-delta corpus: base minus deleted multiset plus inserts
+    val afterRows = dels.foldLeft(base.toBuffer) { case (buf, (k, v, _)) =>
+      buf.remove(buf.indexOf((k, v))); buf }.toSeq ++ ins.map(t => (t._1, t._2))
+    val exact = Upsert.aggState(afterRows.toDF("k", "v"), Seq("k"), "v")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDecimal(2), r.getDouble(3), r.getDouble(4))).toMap
+    maintained.keySet shouldBe exact.keySet
+    for ((k, (n, sq, mn, mx)) <- maintained) {
+      (n, sq) shouldBe ((exact(k)._1, exact(k)._2)) // abelian components: exact
+      mn should be <= exact(k)._3                   // semilattice components: sound bounds
+      mx should be >= exact(k)._4
+    }
+  }
+
+  test("applyAggDelta drops a key whose rows are all deleted, and rejects unknown ops") {
+    import graft.operators.Upsert
+    val base = Seq(("gone", 3.5), ("stays", 1.0)).toDF("k", "v")
+    val delta = Seq(("gone", 3.5, "D"), ("stays", 2.0, "I")).toDF("k", "v", "op")
+    val out = Upsert.applyAggDelta(Upsert.aggState(base, Seq("k"), "v"),
+        delta, Seq("k"), "v", "op")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out shouldBe Map("stays" -> 2L)
+    val bad = Seq(("x", 1.0, "UPSERT")).toDF("k", "v", "op")
+    val ex = intercept[Exception] {
+      Upsert.applyAggDelta(Upsert.aggState(base, Seq("k"), "v"),
+        bad, Seq("k"), "v", "op").collect()
+    }
+    ex.getMessage should include("op must be I or D")
+  }
+
   test("mergeAggStates passes through keys absent from one side") {
     import graft.operators.Upsert
     val a = Seq(("x", 1.0), ("y", 2.0)).toDF("k", "v")

@@ -90,6 +90,67 @@ class TxTableSpec extends SparkSpec {
     (1 to 8).foreach(v => TxTable.filesOf(spark, table, v) should not be empty)
   }
 
+  test("changes replays exactly the delta: append = new files only, overwrite = delete+insert, compact = silent") {
+    val table = freshTable()
+    TxTable.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), table) shouldBe 1
+    TxTable.commit(Seq((3L, "c")).toDF("id", "s"), table) shouldBe 2
+    TxTable.compact(spark, table) shouldBe 3
+    TxTable.commit(Seq((9L, "z")).toDF("id", "s"), table, op = "overwrite") shouldBe 4
+    def evs(from: Int, to: Int) = TxTable.changes(spark, table, from, to)
+      .select("_version", "_change", "id").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    // append step: only v2's new rows, never a v1 rescan
+    evs(1, 2) shouldBe Seq((2, "insert", 3L))
+    // compact step is byte-only: no row events at all (dataChange=false)
+    evs(2, 3) shouldBe Seq.empty[(Int, String, Long)]
+    // the overwrite deletes the (compacted) prior snapshot and inserts the new one
+    evs(3, 4) shouldBe Seq((4, "delete", 1L), (4, "delete", 2L), (4, "delete", 3L), (4, "insert", 9L))
+    // full replay from the beginning composes all of it
+    evs(0, 4) shouldBe Seq(
+      (1, "insert", 1L), (1, "insert", 2L), (2, "insert", 3L),
+      (4, "delete", 1L), (4, "delete", 2L), (4, "delete", 3L), (4, "insert", 9L))
+  }
+
+  test("compact shrinks the snapshot's file count, preserves content, and keeps time travel intact") {
+    val table = freshTable()
+    val df = spark.range(1000).select(col("id"), (col("id") % 7).cast("string").as("s"))
+    TxTable.commit(df.repartition(8), table) shouldBe 1
+    TxTable.filesOf(spark, table, 1).size shouldBe 8
+    TxTable.compact(spark, table) shouldBe 2 // 1000 tiny rows << targetBytes → 1 file
+    TxTable.filesOf(spark, table, 2).size shouldBe 1
+    TxTable.opOf(spark, table, 2) shouldBe "compact"
+    // content-preserving: same rows before and after
+    TxTable.readVersion(spark, table, 2).collect().map(_.getLong(0)).sorted shouldBe
+      TxTable.readVersion(spark, table, 1).collect().map(_.getLong(0)).sorted
+    // pre-compaction snapshot still resolves (files untouched)
+    TxTable.readVersion(spark, table, 1).count() shouldBe 1000
+  }
+
+  test("vacuum deletes only orphans; expireVersions reclaims replaced history and keeps live versions whole") {
+    val table = freshTable()
+    TxTable.commit(Seq((1L, "a")).toDF("id", "s"), table) shouldBe 1
+    TxTable.commit(Seq((2L, "b")).toDF("id", "s"), table) shouldBe 2
+    // plant a lost-race orphan
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$table/data/v9_0_deadbeef.parquet"), Array[Byte](1))
+    TxTable.vacuum(spark, table) shouldBe Seq("data/v9_0_deadbeef.parquet")
+    new java.io.File(s"$table/data/v9_0_deadbeef.parquet").exists() shouldBe false
+    // overwrite makes v1/v2 history; expire down to the head only
+    TxTable.commit(Seq((9L, "z")).toDF("id", "s"), table, op = "overwrite") shouldBe 3
+    val (expired, deleted) = TxTable.expireVersions(spark, table, keepLast = 1)
+    expired shouldBe Seq(1, 2)
+    deleted should not be empty
+    // v2 carried v1's files forward: every expired file is really gone
+    deleted.foreach(rel => new java.io.File(s"$table/$rel").exists() shouldBe false)
+    // expired manifests are gone → time travel fails loudly
+    intercept[IllegalArgumentException] { TxTable.readVersion(spark, table, 1) }
+    // the live head is untouched and whole
+    TxTable.read(spark, table).collect().map(_.getLong(0)) shouldBe Seq(9L)
+    TxTable.history(spark, table).collect().map(_.getInt(0)) shouldBe Array(3)
+    // expiring again is a no-op
+    TxTable.expireVersions(spark, table, keepLast = 1) shouldBe ((Seq.empty, Seq.empty))
+  }
+
   test("readVersion reads the manifest's explicit file list, never a directory listing") {
     val table = freshTable()
     TxTable.commit(Seq((1L, "a")).toDF("id", "s"), table)
