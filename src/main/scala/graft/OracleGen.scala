@@ -992,6 +992,82 @@ object OracleGen {
        FROM adc) WHERE rank <= $k"""
   }
 
+  /** Markov removal-effect attribution
+    * (operators.Behavior.removalEffect): journey construction +
+    * transition matrix in plain SQL, then `rounds` value-iteration
+    * steps unrolled as CTEs — each round the EXACT arithmetic of the
+    * Spark loop (p·v products quantized to DECIMAL(20,10) pre-sum, v
+    * carried as exact 1e-10-unit BIGINTs between rounds, never a
+    * decimal→double cast).
+    */
+  def removalEffectSql(channels: Seq[String], convType: String = "purchase",
+                       rounds: Int = 16): String = {
+    val scenList = ("'__FULL__'" +: channels.map(c => s"'$c'")).mkString(", ")
+    def vRound(r: Int): String =
+      s"""v$r AS (SELECT c.scenario, c.state,
+           CAST((COALESCE(st.st, CAST(0 AS DECIMAL(20,10))) + c.pconv) * 10000000000 AS BIGINT) AS vu
+         FROM pc c LEFT JOIN (
+           SELECT p.scenario, p.from_s AS state,
+             SUM(CAST(p.p * (CAST(v.vu AS DOUBLE) / 1e10) AS DECIMAL(20,10))) AS st
+           FROM pt p JOIN v${r - 1} v ON v.scenario = p.scenario AND v.state = p.to_s
+           GROUP BY 1, 2) st ON st.scenario = c.scenario AND st.state = c.state)"""
+    s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus, event_type FROM events),
+       j AS (
+         SELECT user_id, event_id, tus, event_type,
+           CASE WHEN event_type = '$convType' THEN 1 ELSE 0 END AS ic,
+           SUM(CASE WHEN event_type = '$convType' THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY tus, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - CASE WHEN event_type = '$convType' THEN 1 ELSE 0 END AS jid
+         FROM e),
+       ab AS (SELECT user_id, jid, MAX(ic) AS abs_,
+                COUNT(CASE WHEN event_type <> '$convType' THEN 1 END) AS nch
+              FROM j GROUP BY 1, 2),
+       chs AS (
+         SELECT user_id, jid, event_type,
+           LEAD(event_type) OVER (PARTITION BY user_id, jid ORDER BY tus, event_id) AS nxt,
+           ROW_NUMBER() OVER (PARTITION BY user_id, jid ORDER BY tus, event_id) AS rn
+         FROM j WHERE event_type <> '$convType'),
+       tr AS (
+         SELECT '__START__' AS from_s, event_type AS to_s FROM chs WHERE rn = 1
+         UNION ALL SELECT event_type, nxt FROM chs WHERE nxt IS NOT NULL
+         UNION ALL SELECT c.event_type,
+             CASE WHEN a.abs_ = 1 THEN '__CONV__' ELSE '__NULL__' END
+           FROM chs c JOIN ab a ON c.user_id = a.user_id AND c.jid = a.jid
+           WHERE c.nxt IS NULL
+         UNION ALL SELECT '__START__', '__CONV__' FROM ab WHERE abs_ = 1 AND nch = 0),
+       tc AS (SELECT from_s, to_s, COUNT(*) AS n FROM tr GROUP BY 1, 2),
+       tt AS (SELECT from_s, SUM(n) AS tot FROM tc GROUP BY 1),
+       pm AS (SELECT from_s, to_s, ROUND(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 9) AS p
+              FROM tc JOIN tt USING (from_s)),
+       sc AS (SELECT unnest([$scenList]) AS scenario),
+       ps AS (SELECT s.scenario, p.from_s, p.to_s, p.p FROM pm p CROSS JOIN sc s
+              WHERE s.scenario = '__FULL__'
+                 OR (p.from_s <> s.scenario AND p.to_s <> s.scenario)),
+       sts AS (SELECT DISTINCT scenario, from_s AS state FROM ps),
+       pc AS (SELECT s.scenario, s.state,
+                CAST(COALESCE(p.p, 0) AS DECIMAL(20,10)) AS pconv
+              FROM sts s LEFT JOIN
+                (SELECT scenario, from_s AS state, p FROM ps WHERE to_s = '__CONV__') p
+                ON p.scenario = s.scenario AND p.state = s.state),
+       pt AS (SELECT scenario, from_s, to_s, p FROM ps
+              WHERE to_s NOT IN ('__CONV__', '__NULL__')),
+       v0 AS (SELECT scenario, state, CAST(0 AS BIGINT) AS vu FROM pc),
+       ${(1 to rounds).map(vRound).mkString(",\n       ")},
+       pa AS (SELECT scenario, vu FROM v$rounds WHERE state = '__START__'),
+       uf AS (SELECT vu AS uf FROM pa WHERE scenario = '__FULL__'),
+       re AS (SELECT scenario AS channel,
+                CAST(ROUND((CAST(1 AS DOUBLE) - CAST(vu AS DOUBLE) / CAST(uf AS DOUBLE)) * 1e9, 0) AS BIGINT) AS re_u
+              FROM pa CROSS JOIN uf WHERE scenario <> '__FULL__'),
+       rt AS (SELECT SUM(re_u) AS re_tot FROM re),
+       cv AS (SELECT CAST(COALESCE(SUM(CAST(FLOOR(value * 1e4 + 0.5) AS DECIMAL(38,0))), 0) AS BIGINT) AS cvq
+              FROM events WHERE event_type = '$convType')
+       SELECT channel, CAST(re_u AS DOUBLE) / 1e9 AS removal_effect,
+         ROUND(CAST(re_u AS DOUBLE) / CAST(re_tot AS DOUBLE), 6) AS credit_share,
+         ROUND(CAST(re_u AS DOUBLE) / CAST(re_tot AS DOUBLE) * (CAST(cvq AS DOUBLE) / 1e4), 4) AS attributed_value
+       FROM re CROSS JOIN rt CROSS JOIN cv"""
+  }
+
   /** Rolling-hash fingerprint (functions.TextFunctions.fingerprint). */
   def fingerprintSql: String =
     s"""WITH t AS (

@@ -756,6 +756,15 @@ object SparkEntry {
       functions.NgramLm.perplexity(docs, docs.filter(col("doc_id") % 10 === 0))
     }),
 
+    // §2#37j Stupid Backoff trigram scoring (Brants et al. EMNLP'07):
+    // the MapReduce-native LM — raw counts, fixed α=0.4 backoff, add-1
+    // unigram floor — scoring every doc against the doc_id % 10 == 0
+    // seed split; the trigram-context sibling of q65's bigram filter.
+    "q232_stupid_backoff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      functions.NgramLm.stupidBackoff(docs, docs.filter(col("doc_id") % 10 === 0))
+    }),
+
     // §2#30f duplicated-span removal (Lee et al. exact-substring pass,
     // overlapping 8-token windows): re-seen spans cut token-exact,
     // first occurrence kept, docs rebuilt from surviving tokens.
@@ -1276,6 +1285,18 @@ object SparkEntry {
           unix_micros(col("ts")).as("tus"), col("event_type"))
       operators.Behavior.transitions(ev, "user_id", "tus", "event_type",
         tieCols = Seq("event_id"))
+    }),
+
+    // §2#53v Markov removal-effect attribution: journeys → transition
+    // chain → per-channel counterfactual absorption drop, normalized
+    // into conversion-value shares. 16 value-iteration rounds on the
+    // scenario-keyed model frame; the oracle unrolls every round.
+    "q234_removal_effect" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"),
+          col("event_type"), col("value"))
+      operators.Behavior.removalEffect(ev, "user_id", "tus", "event_type",
+        "purchase", "value", tieCols = Seq("event_id"), rounds = 16)
     }),
 
     // §2#62b snapshot diff: the q111 CDC apply audited against its own
@@ -1980,6 +2001,17 @@ object SparkEntry {
       functions.Profile.targetEncode(
         t(s, dir, "lineitem").select(Seq("l_suppkey", "l_quantity")).df,
         "l_suppkey", "l_quantity", m = 10)),
+
+    // §2#52x out-of-fold target encoding: the leakage-free variant of
+    // q189 — fold f's encoding uses ONLY the other folds' statistics
+    // (prior included), all k leave-one-fold-out encoders from one
+    // corpus pass over the (cat, fold) state table.
+    "q233_target_encode_oof" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .select("event_type", "user_id", "value")
+      val folded = new core.Tafra(ev).kfoldByHash(5, Seq("user_id")).df
+      functions.Profile.targetEncodeOof(folded, "event_type", "value", "fold", m = 10)
+    }),
 
     // §2#35j one spherical k-means step: map-only nearest-seed
     // assignment (centroids as plan literals) + ONE exact partial-agg
@@ -2867,6 +2899,8 @@ object SparkEntry {
            MIN(b.min_v) AS min_v, MAX(b.max_v) AS max_v
          FROM ev JOIN b ON ev.k = b.k
          GROUP BY 1""",
+    "q234_removal_effect" ->
+      OracleGen.removalEffectSql(Seq("click", "error", "signup", "view")),
     "q192_ann_recall" -> OracleGen.annRecallSql(),
     "q193_kmeanspp_round" -> OracleGen.kmeansOversampleSql(),
 
@@ -3377,6 +3411,50 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
            CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
            CAST(COALESCE(oov_bigrams, 0) AS BIGINT) AS oov_bigrams,
            round(-CAST(s AS DOUBLE) / n_bigrams, 4) AS nll
+         FROM tok t LEFT JOIN sc ON t.doc_id = sc.doc_id""",
+
+    "q232_stupid_backoff" ->
+      """WITH tok AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
+         tg AS (
+           SELECT doc_id, unnest([array_to_string(w[i : i+2], ' ')
+                                  for i in generate_series(1, len(w) - 2)]) AS tg
+           FROM tok WHERE len(w) >= 3),
+         bgall AS (
+           SELECT doc_id, unnest([array_to_string(w[i : i+1], ' ')
+                                  for i in generate_series(1, len(w) - 1)]) AS bg
+           FROM tok WHERE len(w) >= 2),
+         tri AS (SELECT tg, COUNT(*) AS c3 FROM tg WHERE doc_id % 10 = 0 GROUP BY 1),
+         bi AS (SELECT bg, COUNT(*) AS c2 FROM bgall WHERE doc_id % 10 = 0 GROUP BY 1),
+         uni AS (SELECT t, COUNT(*) AS c1
+                 FROM (SELECT unnest(w) AS t FROM tok WHERE doc_id % 10 = 0) GROUP BY 1),
+         nv AS (SELECT (SELECT SUM(len(w)) FROM tok WHERE doc_id % 10 = 0) AS ntok,
+                       (SELECT COUNT(*) FROM uni) AS v),
+         terms AS (
+           SELECT g.doc_id,
+             COALESCE(t3.c3, 0) AS c3, COALESCE(bc.c2, 0) AS c2ctx,
+             COALESCE(bl.c2, 0) AS c2last, COALESCE(um.c1, 0) AS c1mid,
+             COALESCE(ul.c1, 0) AS c1last
+           FROM tg g
+           LEFT JOIN tri t3 ON g.tg = t3.tg
+           LEFT JOIN bi bc ON array_to_string(string_split(g.tg, ' ')[1:2], ' ') = bc.bg
+           LEFT JOIN bi bl ON array_to_string(string_split(g.tg, ' ')[2:3], ' ') = bl.bg
+           LEFT JOIN uni um ON string_split(g.tg, ' ')[2] = um.t
+           LEFT JOIN uni ul ON string_split(g.tg, ' ')[3] = ul.t),
+         sc AS (
+           SELECT doc_id, COUNT(*) AS n_trigrams,
+             SUM(CASE WHEN c3 = 0 AND c2last = 0 THEN 1 ELSE 0 END) AS floor_hits,
+             SUM(CAST(CASE
+               WHEN c3 > 0 THEN ln(CAST(c3 AS DOUBLE) / CAST(c2ctx AS DOUBLE))
+               WHEN c2last > 0 THEN ln(CAST(0.4 AS DOUBLE) * CAST(c2last AS DOUBLE) / CAST(c1mid AS DOUBLE))
+               ELSE ln(CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE) * (CAST(c1last AS DOUBLE) + 1.0)
+                       / CAST((SELECT ntok + v FROM nv) AS DOUBLE))
+             END AS DECIMAL(20,6))) AS s
+           FROM terms GROUP BY 1)
+         SELECT t.doc_id,
+           CAST(COALESCE(n_trigrams, 0) AS BIGINT) AS n_trigrams,
+           CAST(COALESCE(floor_hits, 0) AS BIGINT) AS floor_hits,
+           round(-CAST(s AS DOUBLE) / n_trigrams, 4) AS sb_nll
          FROM tok t LEFT JOIN sc ON t.doc_id = sc.doc_id""",
 
     // overlapping 8-token windows; first occurrence by (doc_id, pos)
@@ -4669,6 +4747,26 @@ load();</script><style>p { color: red }</style></head><body><h1>Doc &amp; entry<
       """SELECT event_id, user_id,
            CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 5 AS INT) AS fold
          FROM events""",
+
+    "q233_target_encode_oof" ->
+      """WITH f AS (
+           SELECT event_type,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 5 AS INT) AS fold,
+             CAST(floor(value * 1e6 + 0.5) AS DECIMAL(38,0)) AS q
+           FROM events),
+         cf AS (SELECT event_type, fold, CAST(SUM(q) AS DECIMAL(38,0)) AS s_cf,
+                       COUNT(*) AS n_cf
+                FROM f GROUP BY 1, 2),
+         c AS (SELECT event_type, CAST(SUM(s_cf) AS DECIMAL(38,0)) AS s_c,
+                      SUM(n_cf) AS n_c FROM cf GROUP BY 1),
+         g AS (SELECT fold, CAST(SUM(s_cf) AS DECIMAL(38,0)) AS s_f,
+                      SUM(n_cf) AS n_f FROM cf GROUP BY 1),
+         t AS (SELECT CAST(SUM(s_cf) AS DECIMAL(38,0)) AS s_all, SUM(n_cf) AS n_all FROM cf)
+         SELECT cf.event_type, cf.fold, CAST(c.n_c - cf.n_cf AS BIGINT) AS n_oof,
+           round((CAST(c.s_c - cf.s_cf AS DOUBLE) / 1e6
+                  + 10 * (CAST(t.s_all - g.s_f AS DOUBLE) / 1e6 / (t.n_all - g.n_f)))
+                 / ((c.n_c - cf.n_cf) + 10), 6) AS encoded
+         FROM cf JOIN c USING (event_type) JOIN g USING (fold) CROSS JOIN t""",
 
     "q196_state_merge" ->
       """SELECT event_type, COUNT(value) AS n,

@@ -78,6 +78,96 @@ object NgramLm {
         col("nll"))
   }
 
+  /** Stupid Backoff trigram scoring (Brants et al., "Large Language
+    * Models in Machine Translation", EMNLP'07 — the smoothing designed
+    * FOR distributed MapReduce LMs: no normalization pass, no
+    * discount fitting, just raw counts and a fixed backoff penalty,
+    * which is why it was the first LM trained on trillions of tokens).
+    * Every document's word trigrams are scored
+    *   S(w3|w1w2) = c3/c2ctx                 if the trigram was seen
+    *              = α · c2/c1                else if the bigram was
+    *              = α² · (c1+1)/(N+V)        else (add-1 unigram floor
+    *                                          so OOV words stay finite)
+    * with α = 0.4 (the paper's constant), and sb_nll is the negative
+    * mean log score — the #37c perplexity filter's big sibling: the
+    * trigram context catches phrase-level gibberish a bigram LM
+    * scores fluent.
+    *
+    * Scale shape: the LM is THREE partial-agg count tables (tri, bi,
+    * uni — each one map-side-combining shuffle over the seed), all
+    * joined under the same size-gated broadcast rule as [[perplexity]]
+    * (a huge seed degrades to shuffled joins, never a driver OOM);
+    * scoring is one pass over the corpus — pinned rebalance → trigram
+    * explode (tokens materialized across the exchange, the q85 lambda
+    * rule) → five gated lookup joins → per-doc partial agg. No
+    * windows, nothing pair-scaled.
+    *
+    * Determinism: every branch's log term is an IEEE double of exact
+    * integer operands (identical on both engines), quantized to
+    * DECIMAL(20,6) BEFORE the per-doc sum (exact, order-insensitive);
+    * the mean exits through round(·, 4).
+    */
+  def stupidBackoff(docs: DataFrame, lmDocs: DataFrame, alpha: Double = 0.4,
+                    textCol: String = "text", idCol: String = "doc_id",
+                    broadcastMaxRows: Long = 2000000L): DataFrame = {
+    val n = docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+
+    // ---- the LM artifact: three count tables + two scalars ----
+    val tri = lmDocs.select(explode(T.boundNGrams(col(textCol), 3)).as("tg"))
+      .groupBy("tg").agg(count(lit(1)).as("c3")).persist()
+    val bi = lmDocs.select(explode(T.boundNGrams(col(textCol), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c2")).persist()
+    val uni = lmDocs.select(explode(T.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1")).persist()
+    val nTri = tri.count()
+    val nTok = lmDocs.select(sum(size(T.tokens(col(textCol))))).head.getLong(0)
+    val vocab = uni.count()
+    def gated(df: DataFrame) = if (nTri <= broadcastMaxRows) broadcast(df) else df
+
+    // ---- one scoring pass over the corpus ----
+    val spine = docs.select(col(idCol).as("doc_id"), T.tokens(col(textCol)).as("w"))
+      .repartition(n, col("doc_id"))
+      .select(col("doc_id"), T.wordNGrams(col("w"), 3).as("tgs"))
+    val parts = spine.select(col("doc_id"), explode(col("tgs")).as("tg"))
+      .withColumn("ctx2", substring_index(col("tg"), " ", 2))
+      .withColumn("last2", substring_index(col("tg"), " ", -2))
+      .withColumn("w2", substring_index(col("last2"), " ", 1))
+      .withColumn("w3", substring_index(col("tg"), " ", -1))
+      .join(gated(tri), Seq("tg"), "left")
+      .join(gated(bi.select(col("bg").as("ctx2"), col("c2").as("c2ctx"))), Seq("ctx2"), "left")
+      .join(gated(bi.select(col("bg").as("last2"), col("c2").as("c2last"))), Seq("last2"), "left")
+      .join(gated(uni.select(col("w").as("w2"), col("c1").as("c1mid"))), Seq("w2"), "left")
+      .join(gated(uni.select(col("w").as("w3"), col("c1").as("c1last"))), Seq("w3"), "left")
+      .select(col("doc_id"),
+        coalesce(col("c3"), lit(0L)).as("c3"),
+        coalesce(col("c2ctx"), lit(0L)).as("c2ctx"),
+        coalesce(col("c2last"), lit(0L)).as("c2last"),
+        coalesce(col("c1mid"), lit(0L)).as("c1mid"),
+        coalesce(col("c1last"), lit(0L)).as("c1last"))
+    val term =
+      when(col("c3") > 0,
+        log(col("c3").cast("double") / col("c2ctx").cast("double")))
+      .when(col("c2last") > 0,
+        log(lit(alpha) * col("c2last").cast("double") / col("c1mid").cast("double")))
+      .otherwise(
+        log(lit(alpha * alpha) * (col("c1last").cast("double") + lit(1.0)) /
+          lit((nTok + vocab).toDouble)))
+    val scored = parts
+      .withColumn("termd", term.cast("decimal(20,6)"))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_trigrams"),
+        sum(when(col("c3") === 0L && col("c2last") === 0L, 1L).otherwise(0L)).as("floor_hits"),
+        sum(col("termd")).as("s"))
+      .withColumn("sb_nll", round(-col("s").cast("double") / col("n_trigrams"), 4))
+    // docs with < 3 tokens have no trigrams: kept with 0 counts, null
+    // score (nothing to measure, not "perfect") — the perplexity rule
+    spine.select("doc_id").join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("floor_hits"), lit(0L)).as("floor_hits"),
+        col("sb_nll"))
+  }
+
   /** DSIR importance weights (Xie et al., "Data Selection for Language
     * Models via Importance Resampling", NeurIPS'23 — public): score
     * every raw document by how much more likely its hashed n-gram

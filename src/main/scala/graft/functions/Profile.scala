@@ -1217,4 +1217,49 @@ object Profile {
         round((col("_s").cast("double") / 1e6 + lit(m) * prior) / (col("_n") + m), 6)
           .as("encoded"))
   }
+
+  /** Out-of-fold (leakage-free) [[targetEncode]]: the encoding each
+    * TRAINING row may actually see. Plain target encoding leaks — a
+    * row's own target is inside its category mean, and a model reads
+    * the answer off its feature. The standard fix: assign rows to k
+    * folds (content-addressed, `Tafra.kfoldByHash` — grouped so a
+    * user never straddles folds) and encode fold f's rows from the
+    * OTHER folds' statistics only, global prior included (the prior
+    * is also out-of-fold — a fold-f row must not see fold f even
+    * through the smoothing term).
+    *
+    * Equivalence contract (spec-proven): the (cat, f) encoding is
+    * EXACTLY `targetEncode(df without fold f)` for that category —
+    * this operator just computes all k leave-one-fold-out encoders
+    * from ONE corpus pass instead of k.
+    *
+    * Scale shape: one corpus-sized partial agg to the |cat|×k state
+    * table; every subsequent total (per-cat, per-fold, global) is an
+    * agg OVER THE STATE, broadcast back onto it — the corpus is read
+    * once however many folds there are, no window, no fact-table
+    * join. Returns (catCol, foldCol, n_oof, encoded), the
+    * broadcast-sized feature artifact consumers join on (cat, fold).
+    * A category confined to one fold encodes to the pure prior
+    * (n_oof = 0, the m-weight takes over) — hence m >= 1.
+    */
+  def targetEncodeOof(df: DataFrame, catCol: String, valueCol: String,
+                      foldCol: String, m: Int = 10): DataFrame = {
+    require(m >= 1, s"out-of-fold smoothing needs m >= 1 (n_oof can be 0), got $m")
+    val vq = floor(col(valueCol).cast("double") * 1e6 + lit(0.5)).cast("decimal(38,0)")
+    val cf = df.groupBy(col(catCol), col(foldCol))
+      .agg(sum(vq).cast("decimal(38,0)").as("s_cf"), count(lit(1)).as("n_cf"))
+    val c = cf.groupBy(col(catCol))
+      .agg(sum("s_cf").cast("decimal(38,0)").as("s_c"), sum("n_cf").as("n_c"))
+    val g = cf.groupBy(col(foldCol))
+      .agg(sum("s_cf").cast("decimal(38,0)").as("s_f"), sum("n_cf").as("n_f"))
+    val tot = cf.agg(sum("s_cf").cast("decimal(38,0)").as("s_all"), sum("n_cf").as("n_all"))
+    val priorOof = (col("s_all") - col("s_f")).cast("double") / 1e6 / (col("n_all") - col("n_f"))
+    cf.join(broadcast(c), Seq(catCol))
+      .join(broadcast(g), Seq(foldCol))
+      .crossJoin(broadcast(tot))
+      .select(col(catCol), col(foldCol),
+        (col("n_c") - col("n_cf")).as("n_oof"),
+        round(((col("s_c") - col("s_cf")).cast("double") / 1e6 + lit(m) * priorOof)
+          / ((col("n_c") - col("n_cf")) + lit(m)), 6).as("encoded"))
+  }
 }

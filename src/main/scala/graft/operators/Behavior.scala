@@ -320,6 +320,147 @@ object Behavior {
     * the same user keying, and the final (cohort, offset) count is a
     * partial agg over the deduped table.
     */
+  /** Markov removal-effect attribution (Anderl et al. 2014, "Mapping
+    * the Customer Journeys" — the data-driven multi-touch model):
+    * journeys become a first-order Markov chain START → channels →
+    * {CONV, NULL}; a channel's credit is its REMOVAL EFFECT — how much
+    * the chain's absorption probability into CONV drops when every
+    * edge touching the channel is redirected to NULL — normalized
+    * into shares of the conversion value. Completes the attribution
+    * family: last-touch (q133) and time-decay (q210) are positional
+    * heuristics; this one is causal-counterfactual on the observed
+    * transition structure.
+    *
+    * Journey semantics: each `convType` event CLOSES a journey as
+    * converted (START→…→CONV); a user's trailing events after the
+    * last conversion form an unconverted journey (…→NULL); a
+    * conversion with no preceding channel is START→CONV directly.
+    *
+    * Scale shape in two regimes:
+    *  - corpus-scale: journey construction is two windows on ONE
+    *    user-keyed sort (running conversion count = journey id, then
+    *    lead/row_number inside (user, journey)) and a partial agg to
+    *    the (from, to) transition matrix — nothing pair-scaled;
+    *  - model-scale: the matrix is ≤ (|types|+3)² rows (the label
+    *    vocabulary, never the corpus). All removal scenarios iterate
+    *    TOGETHER as one scenario-keyed frame — `rounds` fixed value-
+    *    iteration steps v ← p_conv + P·v, each one tiny join +
+    *    partial agg, localCheckpoint-truncated lineage (the
+    *    components/kmeansTrain rule).
+    *
+    * Determinism (the oracle replays every round): p = round(n/tot,9)
+    * exact-count division; each product term quantizes to
+    * DECIMAL(20,10) BEFORE the sum; v exits every round as an exact
+    * 1e-10-unit LONG (never a decimal→double cast — the q101 ulp
+    * rule); removal effects re-quantize to 1e-9-unit longs before the
+    * share division. Removal monotonicity (dropping edges can only
+    * lower every v_r) keeps effects in [0, 1] by construction.
+    *
+    * Returns (channel, removal_effect, credit_share, attributed_value)
+    * — value is the conversion events' `valueCol` total, split by
+    * share.
+    */
+  def removalEffect(events: DataFrame, keyCol: String = "user_id",
+                    timeCol: String = "tus", typeCol: String = "event_type",
+                    convType: String = "purchase", valueCol: String = "value",
+                    tieCols: Seq[String] = Nil, rounds: Int = 16): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ord = col(timeCol) +: tieCols.map(col)
+    val wU = Window.partitionBy(keyCol).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val isConv = when(col(typeCol) === convType, 1L).otherwise(0L)
+    val ev2 = events
+      .withColumn("_ic", isConv)
+      .withColumn("_jid", sum(col("_ic")).over(
+        Window.partitionBy(keyCol).orderBy(ord: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("_ic"))
+      .persist()
+    val wJ = Window.partitionBy(col(keyCol), col("_jid")).orderBy(ord: _*)
+    val absorbed = ev2.groupBy(col(keyCol), col("_jid"))
+      .agg(max(col("_ic")).as("_abs"),
+           count(when(col(typeCol) =!= convType, 1)).as("_nch"))
+    val ch = ev2.filter(col(typeCol) =!= convType)
+      .withColumn("_next", lead(col(typeCol), 1).over(wJ))
+      .withColumn("_rn", row_number().over(wJ))
+    val trans = ch.filter(col("_rn") === 1)
+        .select(lit("__START__").as("from_s"), col(typeCol).as("to_s"))
+      .unionByName(ch.filter(col("_next").isNotNull)
+        .select(col(typeCol).as("from_s"), col("_next").as("to_s")))
+      .unionByName(ch.filter(col("_next").isNull)
+        .join(absorbed, Seq(keyCol, "_jid"))
+        .select(col(typeCol).as("from_s"),
+          when(col("_abs") === 1L, lit("__CONV__")).otherwise(lit("__NULL__")).as("to_s")))
+      .unionByName(absorbed.filter(col("_abs") === 1L && col("_nch") === 0L)
+        .select(lit("__START__").as("from_s"), lit("__CONV__").as("to_s")))
+      .groupBy("from_s", "to_s").agg(count(lit(1)).as("n"))
+    val tot = trans.groupBy("from_s").agg(sum("n").as("_tot"))
+    // model artifact from here on: ≤ (|types|+3)² rows by construction
+    val pmat = trans.join(tot, Seq("from_s"))
+      .select(col("from_s"), col("to_s"),
+        round(col("n").cast("double") / col("_tot").cast("double"), 9).as("p"))
+      .persist()
+    // conversion value total as an exact centi-unit integer (never a
+    // decimal→double cast crosses an engine boundary)
+    val cv = ev2.filter(col(typeCol) === convType)
+      .agg(coalesce(
+        sum(floor(col(valueCol).cast("double") * 1e4 + lit(0.5)).cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")).cast("long").as("cvq"))
+      .head.getLong(0)
+    val channels = pmat.select(col("to_s").as("c"))
+      .filter(!col("c").isin("__CONV__", "__NULL__"))
+      .unionByName(pmat.select(col("from_s").as("c")).filter(col("c") =!= "__START__"))
+      .distinct().collect().map(_.getString(0)).sorted.toSeq
+    ev2.unpersist()
+    require(channels.nonEmpty, "removalEffect: no channel states in the event stream")
+    // every removal scenario rides one scenario-keyed frame
+    val scen = ("__FULL__" +: channels).toDF("scenario")
+    val pS = pmat.crossJoin(broadcast(scen))
+      .filter(col("scenario") === "__FULL__" ||
+        (col("from_s") =!= col("scenario") && col("to_s") =!= col("scenario")))
+      .persist()
+    val statesS = pS.select(col("scenario"), col("from_s").as("state")).distinct()
+    val pconv = statesS.join(
+        pS.filter(col("to_s") === "__CONV__")
+          .select(col("scenario"), col("from_s").as("state"), col("p")),
+        Seq("scenario", "state"), "left")
+      .select(col("scenario"), col("state"),
+        coalesce(col("p"), lit(0.0)).cast("decimal(20,10)").as("pconv"))
+      .localCheckpoint()
+    val pT = pS.filter(!col("to_s").isin("__CONV__", "__NULL__"))
+      .select(col("scenario"), col("from_s"), col("to_s"), col("p"))
+      .localCheckpoint()
+    pS.unpersist()
+    pmat.unpersist()
+    var v = pconv.select(col("scenario"), col("state"), lit(0L).as("vu")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val st = pT.join(v.withColumnRenamed("state", "to_s"), Seq("scenario", "to_s"))
+        .select(col("scenario"), col("from_s").as("state"),
+          (col("p") * (col("vu").cast("double") / lit(1e10))).cast("decimal(20,10)").as("term"))
+        .groupBy("scenario", "state").agg(sum("term").as("st"))
+      v = pconv.join(st, Seq("scenario", "state"), "left")
+        .select(col("scenario"), col("state"),
+          ((coalesce(col("st"), lit(0).cast("decimal(20,10)")) + col("pconv")) *
+            lit(10000000000L)).cast("long").as("vu"))
+        .localCheckpoint()
+    }
+    val pAbs = v.filter(col("state") === "__START__").select(col("scenario"), col("vu"))
+    val uf = pAbs.filter(col("scenario") === "__FULL__").select(col("vu").as("uf"))
+    val re = pAbs.filter(col("scenario") =!= "__FULL__")
+      .crossJoin(broadcast(uf))
+      .select(col("scenario").as("channel"),
+        round((lit(1.0) - col("vu").cast("double") / col("uf").cast("double")) * 1e9, 0)
+          .cast("long").as("re_u"))
+    val reTot = re.agg(sum("re_u").as("re_tot"))
+    re.crossJoin(broadcast(reTot))
+      .select(col("channel"),
+        (col("re_u").cast("double") / 1e9).as("removal_effect"),
+        round(col("re_u").cast("double") / col("re_tot").cast("double"), 6).as("credit_share"),
+        round(col("re_u").cast("double") / col("re_tot").cast("double") *
+          (lit(cv).cast("double") / 1e4), 4).as("attributed_value"))
+  }
+
   def retention(events: DataFrame, userCol: String = "user_id",
                 timeCol: String = "tus"): DataFrame = {
     val usPerDay = 86400000000L

@@ -281,6 +281,63 @@ class FunctionsSpec extends SparkSpec {
     fb shouldBe out
   }
 
+  test("stupidBackoff: every branch (trigram hit, bigram backoff, unigram floor) matches a driver brute force") {
+    import graft.functions.NgramLm
+    val seed = Seq((0L, "the cat sat on the mat"), (10L, "the dog sat on a log")).toDF("doc_id", "text")
+    val docs = Seq(
+      (0L, "the cat sat on the mat"), // all trigrams in-LM
+      (1L, "mat sat on the log"),     // trigram misses, bigram backoff hits
+      (2L, "cat sat quickly"),        // unigram floor with an OOV word
+      (3L, "one two")                 // no trigrams at all
+    ).toDF("doc_id", "text")
+    val out = NgramLm.stupidBackoff(docs, seed).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3)))).toMap
+    // driver brute force with the same quantization and literals
+    val seedTexts = Seq("the cat sat on the mat", "the dog sat on a log")
+    def grams(ts: Seq[String], n: Int) =
+      ts.flatMap(_.split(" ").sliding(n).filter(_.size == n).map(_.mkString(" ")).toSeq)
+    val c3 = grams(seedTexts, 3).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c2 = grams(seedTexts, 2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c1 = grams(seedTexts, 1).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nTok = seedTexts.map(_.split(" ").length).sum.toLong
+    val v = c1.size.toLong
+    val a = 0.4
+    def score(text: String): (Long, Long, Double) = {
+      val tgs = text.split(" ").sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSeq
+      if (tgs.isEmpty) return (0L, 0L, -1.0)
+      val terms = tgs.map { tg =>
+        val ws = tg.split(" ")
+        val t =
+          if (c3.getOrElse(tg, 0L) > 0)
+            math.log(c3(tg).toDouble / c2(ws(0) + " " + ws(1)).toDouble)
+          else if (c2.getOrElse(ws(1) + " " + ws(2), 0L) > 0)
+            math.log(a * c2(ws(1) + " " + ws(2)).toDouble / c1(ws(1)).toDouble)
+          else
+            math.log(a * a * (c1.getOrElse(ws(2), 0L).toDouble + 1.0) / (nTok + v).toDouble)
+        BigDecimal(t).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }
+      val floors = tgs.count(tg => {
+        val ws = tg.split(" ")
+        c3.getOrElse(tg, 0L) == 0 && c2.getOrElse(ws(1) + " " + ws(2), 0L) == 0
+      })
+      (tgs.size.toLong, floors.toLong,
+        (-(terms.sum.toDouble) / tgs.size * 10000).round / 10000.0)
+    }
+    val texts = Seq("the cat sat on the mat", "mat sat on the log", "cat sat quickly", "one two")
+    for (id <- 0L to 3L) out(id) shouldBe score(texts(id.toInt))
+    // the planted docs really exercise distinct branches
+    out(0L)._2 shouldBe 0L
+    out(2L)._2 should be >= 1L
+    // in-distribution text scores better than the floor-heavy doc
+    out(0L)._3 should be < out(2L)._3
+    // the shuffled fallback (over-budget LM) scores identically
+    val fb = NgramLm.stupidBackoff(docs, seed, broadcastMaxRows = -1L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3)))).toMap
+    fb shouldBe out
+  }
+
   test("tfidfTopTerms ranks by exact decimal tf*idf with deterministic tie-break") {
     import graft.functions.TermStats
     val docs = Seq(

@@ -78,4 +78,38 @@ class NegativesEncodeSpec extends SparkSpec {
     out("a") shouldBe 2.0 +- 1e-9
     out("b") shouldBe 4.0 +- 1e-9
   }
+
+  test("targetEncodeOof fold-f rows equal targetEncode trained without fold f — the leakage contract") {
+    val rnd = new scala.util.Random(53)
+    val rows = (1 to 400).map(i =>
+      (s"c${i % 7}", i % 4, math.floor(rnd.nextDouble() * 3000 - 1500) / 16))
+    val df = rows.toDF("cat", "fold", "v")
+    val oof = Profile.targetEncodeOof(df, "cat", "v", "fold", m = 10)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    for (f <- 0 to 3) {
+      val loo = Profile.targetEncode(df.filter(col("fold") =!= f), "cat", "v", m = 10)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      for (((cat, fold), (n, e)) <- oof if fold == f) {
+        n shouldBe loo(cat)._1
+        e shouldBe loo(cat)._2 +- 1e-6
+      }
+    }
+    // tampering with fold f's targets must not move fold f's encodings
+    val tampered = df.withColumn("v",
+      when(col("fold") === 2, col("v") * 1000).otherwise(col("v")))
+    val oof2 = Profile.targetEncodeOof(tampered, "cat", "v", "fold", m = 10)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    for (((cat, fold), _) <- oof if fold == 2)
+      oof2((cat, 2)) shouldBe oof((cat, 2))._2 +- 1e-9
+  }
+
+  test("targetEncodeOof: a single-fold category encodes to the out-of-fold prior with n_oof = 0") {
+    val df = (Seq.fill(20)(("common", 0, 10.0)) ++ Seq.fill(20)(("common", 1, 20.0)) :+
+      (("lonely", 0, 999.0))).toDF("cat", "fold", "v")
+    val out = Profile.targetEncodeOof(df, "cat", "v", "fold", m = 10)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    // fold 0 excluded → prior over fold 1 only = 20.0; lonely has no
+    // out-of-fold mass, so it lands exactly on the prior
+    out(("lonely", 0)) shouldBe ((0L, 20.0))
+  }
 }

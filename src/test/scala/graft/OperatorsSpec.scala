@@ -1111,6 +1111,46 @@ class OperatorsSpec extends SparkSpec {
       ("B", "B") -> (1L, 0.5), ("B", "C") -> (1L, 0.5))
   }
 
+  test("removalEffect: load-bearing channel gets RE=1, dead-end gets RE=0, partial path in between") {
+    import spark.implicits._
+    import graft.operators.Behavior
+    // u1/u2: view→click→purchase; u3: view→error (no conv);
+    // u4: click→purchase; u5: error only (no conv).
+    // Chain: every conversion flows through click → RE(click)=1;
+    // error is a dead end off converting paths → RE(error)=0;
+    // view feeds 2 of 3 conversions → RE(view)=1−0.2/0.6=2/3.
+    val ev = Seq(
+      (1L, 1L, 10L, "view", 0.0), (1L, 2L, 20L, "click", 0.0), (1L, 3L, 30L, "purchase", 10.0),
+      (2L, 4L, 10L, "view", 0.0), (2L, 5L, 20L, "click", 0.0), (2L, 6L, 30L, "purchase", 20.0),
+      (3L, 7L, 10L, "view", 0.0), (3L, 8L, 20L, "error", 0.0),
+      (4L, 9L, 10L, "click", 0.0), (4L, 10L, 20L, "purchase", 30.0),
+      (5L, 11L, 10L, "error", 0.0)
+    ).toDF("user_id", "event_id", "tus", "event_type", "value")
+    val out = Behavior.removalEffect(ev, "user_id", "tus", "event_type",
+        "purchase", "value", tieCols = Seq("event_id"), rounds = 16)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    out.keySet shouldBe Set("view", "click", "error")
+    out("click")._1 shouldBe 1.0
+    out("error")._1 shouldBe 0.0
+    out("view")._1 shouldBe (2.0 / 3.0) +- 1e-6
+    // shares: click 1/(5/3)=0.6, view 0.4, error 0; value pool = 60
+    out("click")._2 shouldBe 0.6 +- 1e-6
+    out("view")._2 shouldBe 0.4 +- 1e-6
+    out("error")._2 shouldBe 0.0
+    out("click")._3 shouldBe 36.0 +- 1e-4
+    out("view")._3 shouldBe 24.0 +- 1e-4
+    // a conversion-only user (no channels) contributes START→CONV and
+    // its value, shifting no channel's effect ordering
+    val ev2 = ev.unionByName(Seq((6L, 12L, 10L, "purchase", 40.0))
+      .toDF("user_id", "event_id", "tus", "event_type", "value"))
+    val out2 = Behavior.removalEffect(ev2, "user_id", "tus", "event_type",
+        "purchase", "value", tieCols = Seq("event_id"), rounds = 16)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    out2("error") shouldBe 0.0
+    out2("click") should be < 1.0 // the direct conversion survives click removal
+    out2("click") should be > out2("view")
+  }
+
   test("diffSnapshots classifies added/removed/changed/same; null payloads compare null-safe") {
     import spark.implicits._
     import graft.operators.Upsert

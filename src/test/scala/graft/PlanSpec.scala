@@ -223,6 +223,17 @@ class PlanSpec extends SparkSpec {
     p should include("partial_sum")         // per-doc score combines map-side
   }
 
+  test("q232 stupid backoff: all five LM lookups broadcast, scoring one pinned pass, no window") {
+    val p = plan("q232_stupid_backoff")
+    p should include("BroadcastHashJoin")   // tri/bi/bi/uni/uni lookups
+    p should include("REPARTITION_BY_NUM")  // pinned scoring rebalance
+    p should include("partial_sum")         // per-doc score combines map-side
+    (p should not).include("Window")
+    // the ONLY sort-merge join is the doc-keyed spine join-back (the
+    // q65 shape) — every LM lookup must stay broadcast at gate scale
+    p.sliding("SortMergeJoin".length).count(_ == "SortMergeJoin") should be <= 1
+  }
+
   test("q50 audio codec pipeline: exactly one pinned rebalance exchange, codec chained map-side") {
     val p = plan("q50_audio")
     p should include("REPARTITION_BY_NUM")
