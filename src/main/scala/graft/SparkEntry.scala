@@ -1299,6 +1299,97 @@ object SparkEntry {
         "purchase", "value", tieCols = Seq("event_id"), rounds = 16)
     }),
 
+    // §2#52y ROC AUC per group via the exact rank-sum identity — the
+    // per-group, [0,1]-normalized form of q215's U statistic; one
+    // histogram partial agg + a group-partitioned cumulative window.
+    "q235_grouped_auc" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .select(col("event_type"), col("value"),
+          (pmod(col("user_id"), lit(2)) === 1).as("label"))
+      functions.Eval.groupedAuc(ev, "event_type", "label", "value", unitScale = 100L)
+    }),
+
+    // §2#52z Jensen–Shannon drift: finite on one-side-empty bins (the
+    // PSI drop / KL blow-up case), bounded by ln 2 — the psi plan
+    // shape exactly (bin cells + broadcast totals + one-row agg).
+    "q236_js_divergence" -> ((s, dir) =>
+      functions.Eval.jsDivergence(
+        streaming.Events.readBatch(s, s"$dir/events.parquet"),
+        "event_type", "click", "purchase", "value", binWidth = 10.0)),
+
+    // §2#52aa pairwise mutual information (feature redundancy /
+    // leakage audit): all column pairs from ONE corpus pass —
+    // per-row pair-cell explode (k(k−1)/2 structs, k fixed), one
+    // partial agg to category-pair cells, marginals as aggs OVER the
+    // cells joined back.
+    "q237_mi_matrix" -> ((s, dir) => {
+      val o = t(s, dir, "orders").df.select(
+        col("o_orderstatus"), col("o_orderpriority"),
+        year(col("o_orderdate")).cast("string").as("o_year"))
+      functions.Eval.miMatrix(o, Seq("o_orderstatus", "o_orderpriority", "o_year"))
+    }),
+
+    // §2#61f KMV bottom-k distinct sketch: two shard states (split by
+    // event parity) merged, then estimated — the mergeable-state
+    // merge≡direct contract (the oracle computes directly over the
+    // union; equality IS the split-invariance proof, the q227 rule).
+    "q238_kmv_distinct" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .select(col("event_type"), col("user_id"), col("event_id"))
+      val sA = functions.Sketches.kmvState(
+        ev.filter(col("event_id") % 2 === 0), Seq("event_type"), "user_id")
+      val sB = functions.Sketches.kmvState(
+        ev.filter(col("event_id") % 2 === 1), Seq("event_type"), "user_id")
+      val m = functions.Sketches.mergeKmvStates(Seq(sA, sB), Seq("event_type"))
+      functions.Sketches.kmvEstimate(m, Seq("event_type"))
+    }),
+
+    // §2#52ab cumulative gain/lift table: deciles of the (score desc,
+    // id) total order via the two-level q144 global-ordinal
+    // decomposition — never a global row window; the final cumulative
+    // window runs over 10 bucket rows.
+    "q239_lift_table" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .select(col("event_id"), col("value"),
+          (pmod(col("user_id"), lit(2)) === 1).as("label"))
+      functions.Eval.liftTable(ev, "label", "value", "event_id",
+        nBuckets = 10, unitScale = 100L, bucketWidth = 5000L)
+    }),
+
+    // §2#30o modularity of a community labeling over the co-purchase
+    // graph (parts sharing an order, a<b, distinct; community =
+    // partkey mod 8) — grades what labelProp/components propose;
+    // everything edge-list-sized, exact integer aggs, one mirrored
+    // double evaluation per community.
+    "q240_modularity" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").df.select(col("l_orderkey"), col("l_partkey"))
+      val pairs = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("pa"), col("y.l_partkey").as("pb"))
+        .distinct()
+      val labels = li.select(col("l_partkey").as("node")).distinct()
+        .withColumn("community", pmod(col("node"), lit(8)))
+      operators.Graph.modularity(pairs, "pa", "pb", labels)
+    }),
+
+    // §2#30p content-defined chunk dedup: boundaries where the
+    // trailing 16-gram's md5 ends in '0' — the insertion-robust form
+    // of q55's fixed grid; map-side boundary HOFs, the same two
+    // corpus shuffles (min-struct first-occurrence + per-doc rebuild).
+    "q241_cdc_chunks" -> ((s, dir) =>
+      operators.Dedup.cdcChunkDedup(t(s, dir, "documents").df, w = 16)),
+
+    // §2#52ac calibration (reliability) bins: conf-vs-acc per
+    // confidence decile — ONE partial agg to ≤10 cells; micro-unit
+    // DECIMAL sums make the mean confidence order-free.
+    "q242_calibration" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .select((col("value") / 500.0).as("pred"),
+          (pmod(col("user_id"), lit(2)) === 1).as("label"))
+      functions.Eval.calibration(ev, "label", "pred", nBins = 10)
+    }),
+
     // §2#62b snapshot diff: the q111 CDC apply audited against its own
     // base — every order key classified added/removed/changed/same via
     // one full-outer join on null-safe payload-struct equality.
@@ -2901,6 +2992,215 @@ object SparkEntry {
          GROUP BY 1""",
     "q234_removal_effect" ->
       OracleGen.removalEffectSql(Seq("click", "error", "signup", "view")),
+
+    "q235_grouped_auc" ->
+      """WITH e AS (
+           SELECT event_type AS g,
+             CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT) AS v,
+             (user_id % 2 = 1) AS p
+           FROM events),
+         h AS (
+           SELECT g, v, COUNT(*) FILTER (WHERE p) AS cp,
+                        COUNT(*) FILTER (WHERE NOT p) AS cn
+           FROM e GROUP BY 1, 2),
+         c AS (
+           SELECT *, COALESCE(SUM(cp + cn) OVER (PARTITION BY g ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+           FROM h),
+         s AS (
+           SELECT g, SUM(cp) AS n_pos, SUM(cn) AS n_neg,
+             SUM(CAST(cp AS HUGEINT) * (2*cum + (cp + cn) + 1)) AS r2
+           FROM c GROUP BY 1)
+         SELECT g AS event_type, CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(n_neg AS BIGINT) AS n_neg,
+           CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+             round(CAST(r2 - n_pos*(n_pos+1) AS DOUBLE)
+               / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 9)
+           END AS auc
+         FROM s""",
+
+    "q236_js_divergence" ->
+      """WITH t AS (
+           SELECT event_type, value FROM events
+           WHERE event_type IN ('click', 'purchase')),
+         cells AS (
+           SELECT CAST(floor(value / 10.0) AS BIGINT) AS bin,
+             COUNT(*) FILTER (WHERE event_type = 'click') AS ca,
+             COUNT(*) FILTER (WHERE event_type = 'purchase') AS cb
+           FROM t GROUP BY 1),
+         tot AS (
+           SELECT COUNT(*) FILTER (WHERE event_type = 'click') AS na,
+                  COUNT(*) FILTER (WHERE event_type = 'purchase') AS nb
+           FROM t),
+         terms AS (
+           SELECT
+             CASE WHEN ca > 0 THEN CAST(0.5 * (CAST(ca AS DOUBLE)/CAST(na AS DOUBLE))
+               * ln((CAST(ca AS DOUBLE)/CAST(na AS DOUBLE))
+                 / ((CAST(ca AS DOUBLE)/CAST(na AS DOUBLE)
+                   + CAST(cb AS DOUBLE)/CAST(nb AS DOUBLE)) / 2.0)) AS DECIMAL(20,9)) END AS ta,
+             CASE WHEN cb > 0 THEN CAST(0.5 * (CAST(cb AS DOUBLE)/CAST(nb AS DOUBLE))
+               * ln((CAST(cb AS DOUBLE)/CAST(nb AS DOUBLE))
+                 / ((CAST(ca AS DOUBLE)/CAST(na AS DOUBLE)
+                   + CAST(cb AS DOUBLE)/CAST(nb AS DOUBLE)) / 2.0)) AS DECIMAL(20,9)) END AS tb,
+             na, nb
+           FROM cells, tot)
+         SELECT round(CAST(COALESCE(SUM(ta), 0) + COALESCE(SUM(tb), 0) AS DOUBLE), 6) AS jsd_nats,
+           COUNT(*) AS n_bins, MAX(na) AS n_a, MAX(nb) AS n_b
+         FROM terms""",
+
+    "q237_mi_matrix" ->
+      """WITH o AS (
+           SELECT COALESCE(CAST(o_orderstatus AS VARCHAR), ' null') AS s,
+                  COALESCE(CAST(o_orderpriority AS VARCHAR), ' null') AS p,
+                  COALESCE(CAST(year(o_orderdate) AS VARCHAR), ' null') AS y
+           FROM orders),
+         pr AS (
+           SELECT 'o_orderstatus' AS cx, 'o_orderpriority' AS cy, s AS x, p AS y FROM o
+           UNION ALL
+           SELECT 'o_orderstatus', 'o_year', s, y FROM o
+           UNION ALL
+           SELECT 'o_orderpriority', 'o_year', p, y FROM o),
+         cells AS (SELECT cx, cy, x, y, COUNT(*) AS c FROM pr GROUP BY 1,2,3,4),
+         m AS (
+           SELECT *, SUM(c) OVER (PARTITION BY cx, cy, x) AS cxn,
+                     SUM(c) OVER (PARTITION BY cx, cy, y) AS cyn,
+                     SUM(c) OVER (PARTITION BY cx, cy) AS n
+           FROM cells),
+         terms AS (
+           SELECT cx, cy, n,
+             CAST((CAST(c AS DOUBLE)/CAST(n AS DOUBLE))
+               * ln(CAST(n AS DOUBLE)*CAST(c AS DOUBLE)
+                 / (CAST(cxn AS DOUBLE)*CAST(cyn AS DOUBLE))) AS DECIMAL(20,9)) AS term
+           FROM m)
+         SELECT cx AS col_x, cy AS col_y, CAST(MAX(n) AS BIGINT) AS n,
+           round(CAST(SUM(term) AS DOUBLE), 6) AS mi_nats
+         FROM terms GROUP BY 1, 2""",
+
+    "q238_kmv_distinct" ->
+      """WITH h AS (
+           SELECT DISTINCT event_type,
+             ('0x' || substr(md5('kmv|' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+           FROM events),
+         r AS (
+           SELECT event_type, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+           FROM h),
+         k AS (
+           SELECT event_type, CAST(COUNT(*) AS INT) AS n_state,
+             MAX(CASE WHEN rn = 64 THEN h END) AS hk
+           FROM r WHERE rn <= 64 GROUP BY 1)
+         SELECT event_type, n_state,
+           CASE WHEN n_state < 64 THEN CAST(n_state AS DOUBLE)
+                ELSE round(63.0 * pow(2.0, 60) / CAST(hk AS DOUBLE), 6) END AS est_distinct
+         FROM k""",
+
+    "q239_lift_table" ->
+      """WITH e AS (
+           SELECT event_id, (user_id % 2 = 1) AS p,
+             -CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT) AS sq
+           FROM events),
+         r AS (
+           SELECT *, ROW_NUMBER() OVER (ORDER BY sq, event_id) AS idx,
+             COUNT(*) OVER () AS nt,
+             SUM(CASE WHEN p THEN 1 ELSE 0 END) OVER () AS npt
+           FROM e),
+         b AS (
+           SELECT ((idx - 1) * 10) // nt AS bucket, COUNT(*) AS n,
+             COUNT(*) FILTER (WHERE p) AS n_pos, MAX(nt) AS nt, MAX(npt) AS npt
+           FROM r GROUP BY 1),
+         c AS (
+           SELECT *, SUM(n) OVER (ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+             SUM(n_pos) OVER (ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp
+           FROM b)
+         SELECT CAST(bucket AS BIGINT) AS bucket, n, n_pos,
+           round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 9) AS rate,
+           CASE WHEN npt > 0 THEN
+             round((CAST(cp AS DOUBLE) / CAST(cn AS DOUBLE))
+               / (CAST(npt AS DOUBLE) / CAST(nt AS DOUBLE)), 9) END AS cum_lift
+         FROM c""",
+
+    "q240_modularity" ->
+      """WITH e AS (
+           SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+           FROM lineitem l1 JOIN lineitem l2
+             ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+         deg AS (
+           SELECT nd, COUNT(*) AS d FROM (
+             SELECT a AS nd FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+         dc AS (SELECT nd % 8 AS c, SUM(d) AS d_tot FROM deg GROUP BY 1),
+         ec AS (SELECT a % 8 AS c, COUNT(*) AS e_in FROM e
+                WHERE a % 8 = b % 8 GROUP BY 1),
+         mm AS (SELECT COUNT(*) AS m FROM e),
+         terms AS (
+           SELECT CAST(CAST(COALESCE(ec.e_in, 0) AS DOUBLE) / CAST(mm.m AS DOUBLE)
+             - (CAST(dc.d_tot AS DOUBLE) / (2.0 * CAST(mm.m AS DOUBLE)))
+               * (CAST(dc.d_tot AS DOUBLE) / (2.0 * CAST(mm.m AS DOUBLE)))
+             AS DECIMAL(20,9)) AS term
+           FROM dc LEFT JOIN ec ON dc.c = ec.c, mm)
+         SELECT (SELECT m FROM mm) AS m, COUNT(*) AS n_communities,
+           round(CAST(SUM(term) AS DOUBLE), 6) AS modularity
+         FROM terms""",
+
+    "q241_cdc_chunks" ->
+      """WITH d AS (
+           SELECT doc_id, COALESCE(text, '') AS t,
+             length(COALESCE(text, '')) AS n
+           FROM documents),
+         pos AS (
+           SELECT doc_id, t, n, unnest(range(1, n + 1)) AS i FROM d WHERE n > 0),
+         bf AS (
+           SELECT doc_id, t, i,
+             CASE WHEN i = n THEN 1
+                  WHEN i >= 16 AND i < n
+                   AND substr(md5(substr(t, CAST(i - 15 AS INT), 16)), 32, 1) = '0' THEN 1
+                  ELSE 0 END AS isb
+           FROM pos),
+         cid AS (
+           SELECT doc_id, t, i,
+             COALESCE(SUM(isb) OVER (PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pos
+           FROM bf),
+         chunks AS (
+           SELECT doc_id, pos, substr(t, CAST(MIN(i) AS INT),
+             CAST(MAX(i) - MIN(i) + 1 AS INT)) AS chunk
+           FROM cid GROUP BY doc_id, pos, t),
+         firsts AS (
+           SELECT chunk, MIN([doc_id, pos]) AS first FROM chunks GROUP BY 1),
+         flagged AS (
+           SELECT c.doc_id, c.chunk,
+             (f.first = [c.doc_id, c.pos]) AS kept
+           FROM chunks c JOIN firsts f USING (chunk)),
+         agg AS (
+           SELECT doc_id, CAST(COUNT(*) AS INT) AS n_chunks,
+             SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS n_kept,
+             SUM(CASE WHEN kept THEN length(chunk) ELSE 0 END) AS kept_chars
+           FROM flagged GROUP BY 1)
+         SELECT d.doc_id, COALESCE(a.n_chunks, 0) AS n_chunks,
+           CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(COALESCE(a.kept_chars, 0) AS BIGINT) AS kept_chars
+         FROM d LEFT JOIN agg a USING (doc_id)""",
+
+    "q242_calibration" ->
+      """WITH e AS (
+           SELECT (user_id % 2 = 1) AS p, CAST(value AS DOUBLE) / 500.0 AS pr
+           FROM events),
+         b AS (
+           SELECT LEAST(GREATEST(CAST(floor(pr * 10) AS BIGINT), 0), 9) AS bin,
+             CAST(floor(pr * 1000000 + 0.5) AS BIGINT) AS pq, p
+           FROM e),
+         a AS (
+           SELECT bin, COUNT(*) AS n, COUNT(*) FILTER (WHERE p) AS n_pos,
+             SUM(CAST(pq AS HUGEINT)) AS sp
+           FROM b GROUP BY 1)
+         SELECT bin, n, n_pos,
+           round(CAST(sp AS DOUBLE) / (1000000.0 * CAST(n AS DOUBLE)), 9) AS conf,
+           round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 9) AS acc,
+           round(abs(CAST(sp AS DOUBLE) / (1000000.0 * CAST(n AS DOUBLE))
+             - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)), 9) AS gap
+         FROM a""",
+
     "q192_ann_recall" -> OracleGen.annRecallSql(),
     "q193_kmeanspp_round" -> OracleGen.kmeansOversampleSql(),
 

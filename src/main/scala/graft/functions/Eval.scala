@@ -1,0 +1,256 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Model-evaluation / label-quality metrics over scored corpora —
+  * the read-out side of the training-data pipeline: once documents
+  * carry model scores (quality, toxicity, relevance, a classifier
+  * proba), these answer "does the score actually rank the label?"
+  * (AUC, lift), "are the probabilities honest?" (calibration), "did
+  * the distribution move?" (Jensen–Shannon, beside PSI/KS/chi²),
+  * and "which features are redundant?" (mutual information).
+  *
+  * House determinism rules throughout (see SparkEntry doc): rank
+  * arithmetic in exact integer half-units (the mannWhitneyU rule),
+  * log/division terms evaluated in doubles FROM exact integers in
+  * one oracle-mirrored op order, per-cell terms quantized to
+  * DECIMAL(20,9) before any float sum (the q107 entropy rule),
+  * outputs rounded.
+  *
+  * Reference scope: tafra (the reference library) has no evaluation
+  * module; these are the scale additions a 100 TB curation pipeline
+  * needs to close the loop between filtering and model behavior.
+  */
+object Eval {
+
+  private def d(c: Column): Column = c.cast("double")
+
+  /** ROC AUC per group, exactly, via the rank-sum identity
+    * AUC = U⁺/(n⁺·n⁻) (Hanley–McNeil 1982): the probability a random
+    * positive outranks a random negative, ties counted half. This is
+    * the per-group, [0,1]-normalized form of [[Profile.mannWhitneyU]]
+    * and shares its half-unit integer rank arithmetic: per distinct
+    * score, twice-the-average-tie-rank is the exact integer
+    * 2·cumBefore + t + 1, so 2·R⁺ and 2·U⁺ = 2·R⁺ − n⁺(n⁺+1) are
+    * exact (DECIMAL(38,0) against overflow), and
+    * auc = 2U⁺/(2·2·n⁺·n⁻)… i.e. u2/(2·n⁺·n⁻) evaluates once in
+    * doubles, rounded at 1e-9. Groups missing a class emit NULL auc.
+    *
+    * Scale shape: ONE partial agg to the (group, score)-histogram —
+    * the shuffle carries distinct-value cells, never rows — one
+    * cumulative window over it PARTITIONED BY GROUP (never global),
+    * one per-group agg. Zipf-scored corpora collapse map-side.
+    *
+    * @param labelCol boolean (or 0/1-castable) positive-class column
+    */
+  def groupedAuc(df: DataFrame, groupCol: String, labelCol: String,
+                 scoreCol: String, unitScale: Long = 1000000L): DataFrame = {
+    val vq = floor(col(scoreCol).cast("double") * unitScale + lit(0.5)).cast("long")
+    val pos = col(labelCol).cast("boolean")
+    val hist = df
+      .select(col(groupCol).as("_g"), vq.as("_v"), pos.as("_p"))
+      .groupBy(col("_g"), col("_v"))
+      .agg(count(when(col("_p"), 1)).as("_cp"),
+           count(when(!col("_p"), 1)).as("_cn"))
+    val w = Window.partitionBy(col("_g")).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val t = col("_cp") + col("_cn")
+    val avgRank2 = lit(2L) * coalesce(sum(t).over(w), lit(0L)) + t + 1L
+    val agg = hist
+      .withColumn("_r2p", (col("_cp").cast("decimal(19,0)") * avgRank2).cast("decimal(38,0)"))
+      .groupBy(col("_g"))
+      .agg(sum("_cp").as("n_pos"), sum("_cn").as("n_neg"),
+           sum("_r2p").cast("decimal(38,0)").as("_r2sum"))
+    val u2 = col("_r2sum") - col("n_pos").cast("decimal(38,0)") * (col("n_pos") + 1L)
+    agg
+      .withColumn("auc", when(col("n_pos") > 0 && col("n_neg") > 0,
+        round(d(u2) / (lit(2.0) * d(col("n_pos")) * d(col("n_neg"))), 9)))
+      .select(col("_g").as(groupCol), col("n_pos"), col("n_neg"), col("auc"))
+  }
+
+  /** Jensen–Shannon divergence between cohorts `a` and `b` of
+    * `valueCol`, over equal-width bins — the drift score that stays
+    * FINITE when a bin is empty on one side (its defining advantage
+    * over KL/PSI, which [[Profile.psi]] handles by dropping bins):
+    * JSD = ½Σ p·ln(p/m) + ½Σ q·ln(q/m) with m = (p+q)/2, bounded by
+    * ln 2, symmetric, the square of a proper metric. Every occupied
+    * bin contributes — a brand-new bin on one side scores its full
+    * ½p·ln2 instead of vanishing from the sum.
+    *
+    * Exactness: bin = floor(v/width) on IEEE doubles (identical both
+    * engines); each side's term evaluates in doubles from exact
+    * counts in one mirrored op order and quantizes to DECIMAL(20,9)
+    * before the sum; jsd_nats rounds at 1e-6.
+    *
+    * Scale shape: the psi shape exactly — one partial agg to
+    * (bin, ca, cb) cells, one tiny totals agg broadcast back, one
+    * single-row agg. Shuffles carry bins, never rows.
+    */
+  def jsDivergence(df: DataFrame, groupCol: String, a: String, b: String,
+                   valueCol: String, binWidth: Double): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val twoS = df.filter(col(groupCol).isin(a, b))
+    val cells = twoS
+      .groupBy(floor(col(valueCol) / binWidth).cast("long").as("bin"))
+      .agg(count(when(col(groupCol) === a, 1)).as("_ca"),
+           count(when(col(groupCol) === b, 1)).as("_cb"))
+    val tot = twoS.agg(
+      count(when(col(groupCol) === a, 1)).as("_na"),
+      count(when(col(groupCol) === b, 1)).as("_nb"))
+    val p = d(col("_ca")) / d(col("_na"))
+    val q = d(col("_cb")) / d(col("_nb"))
+    val m = (p + q) / 2.0
+    cells.crossJoin(broadcast(tot))
+      .withColumn("_ta", when(col("_ca") > 0, (lit(0.5) * p * log(p / m)).cast("decimal(20,9)")))
+      .withColumn("_tb", when(col("_cb") > 0, (lit(0.5) * q * log(q / m)).cast("decimal(20,9)")))
+      .agg(round((coalesce(sum(col("_ta")), lit(java.math.BigDecimal.ZERO).cast("decimal(20,9)"))
+                + coalesce(sum(col("_tb")), lit(java.math.BigDecimal.ZERO).cast("decimal(20,9)")))
+             .cast("double"), 6).as("jsd_nats"),
+           count(lit(1)).as("n_bins"),
+           max(col("_na")).as("n_a"), max(col("_nb")).as("n_b"))
+  }
+
+  /** Calibration (reliability) bins: predictions in [0,1] bucketed
+    * into `nBins` equal-width confidence bins; per bin the mean
+    * predicted probability (confidence) vs the observed positive
+    * rate (accuracy) — the reliability-diagram table behind ECE
+    * (Guo et al. ICML'17). A well-calibrated scorer has conf ≈ acc
+    * in every bin; a quality filter trained on one domain typically
+    * shows over-confidence bins on a new one.
+    *
+    * Exactness: bin assignment is integer floor(pred·nBins) clamped
+    * to [0, nBins−1] on IEEE doubles; per-bin mean confidence sums
+    * micro-unit-quantized predictions as DECIMAL(38,0) (order-free)
+    * and divides once in doubles; conf/acc/gap round at 1e-9.
+    *
+    * Scale shape: ONE partial agg to ≤nBins cells. Nothing else.
+    */
+  def calibration(df: DataFrame, labelCol: String, predCol: String,
+                  nBins: Int = 10): DataFrame = {
+    require(nBins > 0, s"nBins must be positive, got $nBins")
+    val pred = col(predCol).cast("double")
+    val bin = least(greatest(floor(pred * nBins).cast("long"), lit(0L)), lit(nBins - 1L))
+    val predq = floor(pred * 1000000L + lit(0.5)).cast("long")
+    val pos = col(labelCol).cast("boolean")
+    val conf = d(col("_sp")) / (lit(1000000.0) * d(col("n")))
+    val acc = d(col("n_pos")) / d(col("n"))
+    df.select(bin.as("bin"), predq.as("_pq"), pos.as("_p"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), count(when(col("_p"), 1)).as("n_pos"),
+           sum(col("_pq").cast("decimal(38,0)")).as("_sp"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(conf, 9).as("conf"), round(acc, 9).as("acc"),
+        round(abs(conf - acc), 9).as("gap"))
+  }
+
+  /** Expected Calibration Error over the [[calibration]] bins:
+    * ECE = Σ_b (n_b/N)·|acc_b − conf_b| — one scalar for dashboards.
+    * Per-bin |gap| terms weight by exact counts and quantize to
+    * DECIMAL(20,9) pre-sum; rounds at 1e-6.
+    */
+  def ece(df: DataFrame, labelCol: String, predCol: String,
+          nBins: Int = 10): DataFrame = {
+    val bins = calibration(df, labelCol, predCol, nBins)
+    val tot = bins.agg(sum("n").as("_nt"))
+    bins.crossJoin(broadcast(tot))
+      .withColumn("_term",
+        ((d(col("n")) / d(col("_nt"))) * abs(col("acc") - col("conf"))).cast("decimal(20,9)"))
+      .agg(max(col("_nt")).as("n"), round(sum(col("_term")).cast("double"), 6).as("ece"))
+  }
+
+  /** Cumulative gain / lift table: rows ranked by score descending
+    * (ties broken by `idCol` — a TOTAL order, so the table is
+    * deterministic and engine-portable), cut into `nBuckets`
+    * equal-count buckets; per bucket the positive rate and the
+    * CUMULATIVE lift vs the base rate — "the top decile captures
+    * 3.1× its share of positives", the campaign/filter-targeting
+    * read-out of [[groupedAuc]]'s single number.
+    *
+    * The global ordinal comes from the two-level
+    * [[graft.core.Tafra.globalIndex]] decomposition (per-range
+    * windows + broadcast offsets — NEVER a global window over rows),
+    * so the ranking scales like q144, and bucket = ((idx−1)·B) div N
+    * is exact integer arithmetic. Cumulative lift evaluates in
+    * doubles from exact counts, mirrored, rounded 1e-9. The final
+    * cumulative window runs over nBuckets rows — metadata-scale by
+    * construction (the §5 bounded-window rule).
+    */
+  def liftTable(df: DataFrame, labelCol: String, scoreCol: String,
+                idCol: String, nBuckets: Int = 10,
+                unitScale: Long = 1000000L, bucketWidth: Long = 10000000L): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    // ascending order on the NEGATED quantized score = descending score
+    val sq = -floor(col(scoreCol).cast("double") * unitScale + lit(0.5)).cast("long")
+    val pos = col(labelCol).cast("boolean")
+    val indexed = graft.core.Tafra(
+        df.select(sq.as("_sq"), col(idCol).as("_id"), pos.as("_p")))
+      .globalIndex("_sq", Seq("_id"), bucketWidth, idxCol = "_idx").df
+    val tot = indexed.agg(count(lit(1)).as("_n"),
+      count(when(col("_p"), 1)).as("_npos"))
+    // exact integer division (Spark's `/` on longs is double division):
+    // the globalIndex (x − x mod n)/n trick — the quotient is an exact
+    // integer multiple, so the double carries it losslessly
+    val x = (col("_idx") - 1L) * nBuckets
+    val bucketed = indexed.crossJoin(broadcast(tot))
+      .withColumn("bucket", ((x - pmod(x, col("_n"))) / col("_n")).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), count(when(col("_p"), 1)).as("n_pos"),
+           max(col("_n")).as("_nt"), max(col("_npos")).as("_npt"))
+    val wc = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed
+      .withColumn("_cn", sum(col("n")).over(wc))
+      .withColumn("_cp", sum(col("n_pos")).over(wc))
+      .select(col("bucket"), col("n"), col("n_pos"),
+        round(d(col("n_pos")) / d(col("n")), 9).as("rate"),
+        when(col("_npt") > 0,
+          round((d(col("_cp")) / d(col("_cn"))) / (d(col("_npt")) / d(col("_nt"))), 9))
+          .as("cum_lift"))
+  }
+
+  /** Pairwise mutual information (nats) between categorical columns
+    * — the feature-redundancy / leakage audit: MI(X;Y) =
+    * Σ (c_xy/N)·ln(N·c_xy/(c_x·c_y)). High MI between a feature and
+    * a to-be-predicted label flags target leakage; high MI between
+    * two features flags redundancy a dedup/selection pass can use.
+    *
+    * ONE corpus pass builds every pair's joint table at once: each
+    * row emits its k(k−1)/2 column-pair cells (k = |cols|, small and
+    * fixed), one partial agg collapses them to (pair, x, y) counts —
+    * category-pair-sized state, never rows. Marginals are aggs OVER
+    * the joint cells (no second corpus pass), joined back
+    * cell-to-marginal. NULL categories count as their own level
+    * (sentinel-coalesced so join keys stay null-safe). Terms follow
+    * the entropy rule: doubles from exact counts, mirrored op order,
+    * DECIMAL(20,9) pre-sum quantization; mi_nats rounds at 1e-6.
+    */
+  def miMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"need at least 2 columns, got $cols")
+    val sent = " null"
+    def cv(c: String): Column = coalesce(col(c).cast("string"), lit(sent))
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield struct(lit(cols(i)).as("cx"), lit(cols(j)).as("cy"),
+                   cv(cols(i)).as("x"), cv(cols(j)).as("y"))
+    val cells = df
+      .select(explode(array(pairs: _*)).as("_pr"))
+      .select(col("_pr.cx").as("cx"), col("_pr.cy").as("cy"),
+              col("_pr.x").as("x"), col("_pr.y").as("y"))
+      .groupBy("cx", "cy", "x", "y").agg(count(lit(1)).as("_c"))
+    val margX = cells.groupBy("cx", "cy", "x").agg(sum("_c").as("_cx_n"))
+    val margY = cells.groupBy("cx", "cy", "y").agg(sum("_c").as("_cy_n"))
+    val tot = cells.groupBy("cx", "cy").agg(sum("_c").as("_n"))
+    val term = (d(col("_c")) / d(col("_n"))) *
+      log(d(col("_n")) * d(col("_c")) / (d(col("_cx_n")) * d(col("_cy_n"))))
+    cells
+      .join(margX, Seq("cx", "cy", "x"))
+      .join(margY, Seq("cx", "cy", "y"))
+      .join(broadcast(tot), Seq("cx", "cy"))
+      .withColumn("_term", term.cast("decimal(20,9)"))
+      .groupBy(col("cx").as("col_x"), col("cy").as("col_y"))
+      .agg(max(col("_n")).as("n"),
+           round(sum(col("_term")).cast("double"), 6).as("mi_nats"))
+  }
+}

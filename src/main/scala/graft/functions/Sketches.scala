@@ -292,4 +292,73 @@ object Sketches {
       .agg(max(col("_n")).as("n"),
         (min(col("bin")).cast("double") / unitScale).as("q_est"))
   }
+
+  /** KMV (bottom-k / K-Minimum-Values) distinct sketch (Bar-Yossef et
+    * al. RANDOM'02; Beyer et al. SIGMOD'07) — the DETERMINISTIC
+    * mergeable distinct estimator beside [[hllRegisters]]: where HLL
+    * keeps 2^p max-run registers, KMV keeps the k smallest 60-bit
+    * md5 hash values of the distinct keys. Same content-addressed
+    * portability as the whole sampling family (md5 is byte-identical
+    * across engines/runs/shards, so states AND estimates
+    * hash-verify), better intersection behavior than HLL
+    * inclusion–exclusion (the k-min union IS a uniform sample of the
+    * union, so Jaccard reads off it directly — the minhash insight).
+    *
+    * State per key group: the ascending array of ≤k smallest hashes
+    * over DISTINCT values. Merge = array union → k smallest again —
+    * associative, commutative, split-invariant (bit-exact, the
+    * mergeable-state family contract).
+    *
+    * Scale shape: one (keys, hash) distinct partial agg (the shuffle
+    * carries distinct values once, never rows), one per-key bottom-k
+    * window WITH WindowGroupLimit pushdown (rank ≤ k prunes map-side),
+    * one bounded collect_list (≤k rows per key by construction).
+    */
+  def kmvState(df: DataFrame, keys: Seq[String], valueCol: String,
+               k: Int = 64): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    // 60-bit hash: 15 hex chars, positive, identical to the oracle's
+    // ('0x' || substr(md5('kmv|' || v), 1, 15))::BIGINT
+    val h = conv(substring(md5(concat(lit("kmv|"), col(valueCol).cast("string"))), 1, 15),
+      16, 10).cast("long")
+    bottomK(df.select(keys.map(col) :+ h.as("_h"): _*), keys, k)
+  }
+
+  /** k smallest distinct hashes per key group, as a sorted array. */
+  private def bottomK(hashed: DataFrame, keys: Seq[String], k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col("_h"))
+    hashed
+      .groupBy(keys.map(col) :+ col("_h"): _*).agg(count(lit(1)).as("_one"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(col("_h"))).as("kmv"))
+  }
+
+  /** Union + bottom-k again — the mergeable-state contract: merging
+    * shard states is bit-identical to building from the union.
+    */
+  def mergeKmvStates(states: Seq[DataFrame], keys: Seq[String],
+                     k: Int = 64): DataFrame = {
+    require(states.nonEmpty, "mergeKmvStates: no states")
+    val all = states.reduce(_.unionByName(_))
+      .select(keys.map(col) :+ explode(col("kmv")).as("_h"): _*)
+    bottomK(all, keys, k)
+  }
+
+  /** Distinct-count estimate from a KMV state: exact |state| while the
+    * sketch is unsaturated (< k hashes seen = ALL distinct hashes are
+    * in the state), else the unbiased (k−1)·2^60/h_(k) — doubles from
+    * exact integers, mirrored op order, rounded 1e-6.
+    * Output: (keys…, n_state, est_distinct).
+    */
+  def kmvEstimate(state: DataFrame, keys: Seq[String], k: Int = 64): DataFrame = {
+    val nS = size(col("kmv"))
+    val hk = element_at(col("kmv"), k)
+    state.select(keys.map(col) :+ nS.as("n_state") :+
+      when(nS < k, nS.cast("double"))
+        .otherwise(round(lit((k - 1).toDouble) * pow(lit(2.0), lit(60)) / hk.cast("double"), 6))
+        .as("est_distinct"): _*)
+  }
 }

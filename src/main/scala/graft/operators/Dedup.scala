@@ -510,6 +510,74 @@ object Dedup {
         s => s.getField("chunk")), " ").as("clean_text"))
   }
 
+  /** CONTENT-DEFINED chunk dedup — the insertion-robust form of
+    * [[chunkDedup]] (the FastCDC/LBFS idea, Muthitacharoen et al.
+    * SOSP'01): fixed-grid chunks break on a one-character insertion
+    * (every later chunk shifts and stops matching), while
+    * content-defined boundaries are cut where the text ITSELF says so
+    * — here, at character positions whose trailing `w`-gram's md5
+    * ends in '0' (boundary probability 1/16 → expected chunk ≈ 16+w/…
+    * chars) — so an edit only perturbs the chunks it touches and the
+    * rest of the document still deduplicates against the corpus.
+    *
+    * The rolling window is a WINDOWED HASH, not a gear/rabin rolling
+    * state: md5 of each w-char substring is stateless per position
+    * (map-only, engine-portable, exactly replayable in SQL), at the
+    * cost of O(n·w) hashed bytes per document — the deliberate trade
+    * for a deterministic cross-engine oracle; a production variant
+    * would swap a gear hash into the same plan shape.
+    *
+    * Scale shape: boundary detection and chunk building are pure
+    * map-side HOFs over each row (tokens never shuffle); the ONLY
+    * corpus shuffles are [[chunkDedup]]'s two — first-occurrence
+    * selection as the map-side-combinable `min(struct)` on the chunk
+    * hash (Zipf-hot boilerplate chunks collapse before the exchange)
+    * and the per-doc rebuild agg. Deterministic at any partitioning.
+    * Returns (doc_id, n_chunks, n_kept, kept_chars).
+    */
+  def cdcChunkDedup(docs: DataFrame, w: Int = 16,
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(w >= 2, s"window w must be >= 2, got $w")
+    val base = rebalance(docs, idCol)
+      .select(col(idCol).as("doc_id"), coalesce(col(textCol), lit("")).as("_t"))
+      .withColumn("_n", length(col("_t")))
+    // boundary positions: i in [w, n-1] where md5(text[i-w+1 .. i])
+    // ends in '0'; position n is always a boundary (the final cut),
+    // so short docs (n < w) emit exactly one chunk. i < n keeps the
+    // forced final cut from duplicating a content boundary at n.
+    // _n > w: interior candidates [w, n-1] exist (sequence never
+    // auto-reverses under this guard); _n in (0, w]: one forced chunk;
+    // _n = 0: no chunks (the posexplode_outer sentinel keeps the doc).
+    val bounds = when(col("_n") > w,
+        concat(
+          filter(transform(sequence(lit(w), col("_n") - 1),
+            i => when(substring(md5(col("_t").substr(i - w + 1, lit(w))), 32, 1) === "0", i)),
+            x => x.isNotNull),
+          array(col("_n"))))
+      .when(col("_n") > 0, array(col("_n")))
+      .otherwise(array().cast("array<int>"))
+    val spans = base.withColumn("_b", bounds)
+      // chunk i spans (prevBoundary+1 .. boundary_i)
+      .withColumn("_starts", concat(array(lit(1)), transform(
+        slice(col("_b"), lit(1), greatest(size(col("_b")) - 1, lit(0))), x => x + 1)))
+      .select(col("doc_id"),
+        posexplode_outer(zip_with(col("_starts"), col("_b"),
+          (s, e) => struct(s.as("s"), e.as("e")))).as(Seq("pos", "se")),
+        col("_t"))
+      .select(col("doc_id"), col("pos"),
+        when(col("se").isNotNull,
+          col("_t").substr(col("se.s"), col("se.e") - col("se.s") + 1)).as("chunk"))
+    val firsts = spans.filter(col("chunk").isNotNull).groupBy("chunk")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+    val flagged = spans.join(firsts, Seq("chunk"), "left")
+      .withColumn("kept", col("chunk").isNotNull &&
+        col("first.doc_id") === col("doc_id") && col("first.pos") === col("pos"))
+    flagged.groupBy("doc_id").agg(
+      count(col("chunk")).cast("int").as("n_chunks"),
+      sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+      sum(when(col("kept"), length(col("chunk")).cast("long")).otherwise(0L)).as("kept_chars"))
+  }
+
   /** Duplicated-SPAN removal (#30f — the overlapping-window form of
     * exact-substring dedup from "Deduplicating Training Data Makes
     * Language Models Better"; [[chunkDedup]] is the aligned-chunk

@@ -244,4 +244,65 @@ object Graph {
     }
     labels
   }
+
+  /** Newman modularity of a community labeling over an undirected
+    * graph: Q = Σ_c (e_c/m − (d_c/(2m))²) — the standard "is this
+    * partition better than chance" score that closes the community
+    * loop ([[labelPropagation]] / Dedup.components propose labels;
+    * modularity grades them). Q ∈ [−½, 1); ≳0.3 is conventionally
+    * "real community structure".
+    *
+    * Input edges are canonicalized (min,max), self-loops dropped,
+    * duplicates collapsed; nodes absent from `labels` fall back to
+    * their own singleton community (they contribute degree but no
+    * internal edges — the conservative read).
+    *
+    * Exactness: m, e_c, d_c are exact longs from partial aggs; each
+    * community's term evaluates in doubles from those integers in one
+    * oracle-mirrored op order and quantizes to DECIMAL(20,9) before
+    * the final sum (the entropy rule); modularity rounds at 1e-6.
+    *
+    * Scale shape: everything is edge-list-sized — one distinct, one
+    * explode+partial-agg for degrees, two label hash joins, two
+    * community-sized aggs. No windows, no per-row state.
+    */
+  def modularity(pairs: DataFrame, aCol: String, bCol: String,
+                 labels: DataFrame, nodeCol: String = "node",
+                 communityCol: String = "community"): DataFrame = {
+    val e = pairs
+      .select(least(col(aCol), col(bCol)).as("a"), greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lab = labels.select(col(nodeCol).as("_ln"), col(communityCol).as("_lc"))
+    def comm(end: String) = coalesce(col("_lc"), col(end)) // singleton fallback
+    // degree sum per community: explode endpoints, count, label
+    val dC = e.select(col("a").as("_nd")).unionByName(e.select(col("b").as("_nd")))
+      .groupBy(col("_nd")).agg(count(lit(1)).as("_deg"))
+      .join(lab.withColumnRenamed("_ln", "_nd"), Seq("_nd"), "left")
+      .groupBy(coalesce(col("_lc"), col("_nd")).as("_c"))
+      .agg(sum("_deg").as("d_tot"), count(lit(1)).as("n_nodes"))
+    // internal edges per community: both endpoints in the same label
+    val eC = e
+      .join(lab.select(col("_ln").as("a"), col("_lc").as("_ca")), Seq("a"), "left")
+      .join(lab.select(col("_ln").as("b"), col("_lc").as("_cb")), Seq("b"), "left")
+      .filter(coalesce(col("_ca"), col("a")) === coalesce(col("_cb"), col("b")))
+      .groupBy(coalesce(col("_ca"), col("a")).as("_c"))
+      .agg(count(lit(1)).as("e_in"))
+    val m = e.count() // materializes the persisted edge list
+    val dm = lit(m).cast("double")
+    val term = (col("e_in").cast("double") / dm
+      - (col("d_tot").cast("double") / (lit(2.0) * dm)) * (col("d_tot").cast("double") / (lit(2.0) * dm)))
+      .cast("decimal(20,9)")
+    // single-row result checkpointed EAGERLY so the edge cache can be
+    // released before return (a lazy result would recompute e cold)
+    val out = dC.join(eC, Seq("_c"), "left")
+      .withColumn("e_in", coalesce(col("e_in"), lit(0L)))
+      .withColumn("_term", term)
+      .agg(lit(m).as("m"), count(lit(1)).as("n_communities"),
+           round(sum(col("_term")).cast("double"), 6).as("modularity"))
+      .localCheckpoint()
+    e.unpersist()
+    out
+  }
 }

@@ -1,0 +1,265 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Eval, Sketches}
+import graft.operators.{Dedup, Graph}
+
+/** Round-6 eval/metrics family: grouped AUC, JS divergence,
+  * calibration/ECE, lift table, MI matrix, modularity, KMV sketch,
+  * content-defined chunk dedup — each verified against first-principles
+  * references computed driver-side on small planted inputs.
+  */
+class EvalOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- grouped AUC ----
+
+  test("groupedAuc: perfect separation 1.0, inverted 0.0, all-tied 0.5, one-class NULL") {
+    val rows =
+      // g=sep: positives strictly above negatives
+      (1 to 10).map(i => ("sep", i % 2 == 0, if (i % 2 == 0) 10.0 + i else 1.0 + i)) ++
+      // g=inv: positives strictly below (negatives offset past any overlap)
+      (1 to 10).map(i => ("inv", i % 2 == 0, if (i % 2 == 0) 1.0 + i else 20.0 + i)) ++
+      // g=tie: every score identical -> AUC exactly 1/2 by tie-averaging
+      (1 to 10).map(i => ("tie", i % 2 == 0, 7.0)) ++
+      // g=one: a single class -> NULL
+      (1 to 5).map(i => ("one", true, i.toDouble))
+    val out = Eval.groupedAuc(rows.toDF("g", "label", "score"), "g", "label", "score")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    out("sep") shouldBe Some(1.0)
+    out("inv") shouldBe Some(0.0)
+    out("tie") shouldBe Some(0.5)
+    out("one") shouldBe None
+  }
+
+  test("groupedAuc matches the brute-force pair count with half-credit ties") {
+    val rnd = new scala.util.Random(41)
+    val rows = (1 to 400).map(_ => ("g", rnd.nextBoolean(), rnd.nextInt(20).toDouble))
+    val auc = Eval.groupedAuc(rows.toDF("g", "label", "score"), "g", "label", "score")
+      .collect().head.getDouble(3)
+    val pos = rows.filter(_._2).map(_._3); val neg = rows.filterNot(_._2).map(_._3)
+    val wins = (for (p <- pos; n <- neg)
+      yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+    auc shouldBe (wins / (pos.size * neg.size) +- 1e-9)
+  }
+
+  // ---- Jensen–Shannon ----
+
+  test("jsDivergence: 0 on identical, ln 2 on disjoint, finite on one-side-empty bins") {
+    val same = ((1 to 100).map(i => ("a", i.toDouble)) ++
+      (1 to 100).map(i => ("b", i.toDouble))).toDF("g", "v")
+    Eval.jsDivergence(same, "g", "a", "b", "v", 10.0)
+      .collect().head.getDouble(0) shouldBe 0.0
+    val disj = ((1 to 100).map(i => ("a", i.toDouble)) ++
+      (1 to 100).map(i => ("b", 1000.0 + i))).toDF("g", "v")
+    Eval.jsDivergence(disj, "g", "a", "b", "v", 10.0)
+      .collect().head.getDouble(0) shouldBe (math.log(2) +- 1e-6)
+    // one bin exists only on side a: still finite, between 0 and ln 2
+    val partial = ((1 to 90).map(i => ("a", i.toDouble / 10)) ++
+      (1 to 10).map(i => ("a", 100.0 + i)) ++
+      (1 to 100).map(i => ("b", i.toDouble / 10))).toDF("g", "v")
+    val jsd = Eval.jsDivergence(partial, "g", "a", "b", "v", 1.0)
+      .collect().head.getDouble(0)
+    assert(jsd > 0.0 && jsd < math.log(2))
+  }
+
+  test("jsDivergence matches a driver-side reference on random data") {
+    val rnd = new scala.util.Random(43)
+    val rows = (1 to 2000).map(_ =>
+      (if (rnd.nextBoolean()) "a" else "b", rnd.nextGaussian() * 10))
+    val got = Eval.jsDivergence(rows.toDF("g", "v"), "g", "a", "b", "v", 5.0)
+      .collect().head.getDouble(0)
+    val bins = rows.groupBy(r => (math.floor(r._2 / 5.0).toLong))
+    val na = rows.count(_._1 == "a").toDouble; val nb = rows.count(_._1 == "b").toDouble
+    val ref = bins.values.map { g =>
+      val ca = g.count(_._1 == "a"); val cb = g.count(_._1 == "b")
+      val p = ca / na; val q = cb / nb; val m = (p + q) / 2
+      val ta = if (ca > 0) 0.5 * p * math.log(p / m) else 0.0
+      val tb = if (cb > 0) 0.5 * q * math.log(q / m) else 0.0
+      ta + tb
+    }.sum
+    got shouldBe (ref +- 1e-5)
+  }
+
+  // ---- calibration / ECE ----
+
+  test("calibration bins conf vs acc exactly; ece matches the weighted gap sum") {
+    // bin 0: preds ~0.05, none positive (gap 0.05); bin 9: preds 0.95, all positive (gap 0.05)
+    val rows = (1 to 50).map(i => (false, 0.05)) ++ (1 to 50).map(i => (true, 0.95))
+    val bins = Eval.calibration(rows.toDF("label", "pred"), "label", "pred", 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    bins(0L) shouldBe ((50L, 0L, 0.05, 0.0))
+    bins(9L) shouldBe ((50L, 50L, 0.95, 1.0))
+    val e = Eval.ece(rows.toDF("label", "pred"), "label", "pred", 10)
+      .collect().head
+    e.getDouble(1) shouldBe (0.05 +- 1e-9) // both bins gap 0.05, weights 1/2 each
+  }
+
+  test("calibration clamps out-of-range predictions into the edge bins") {
+    val rows = Seq((true, -0.2), (false, 1.3), (true, 0.5))
+    val bins = Eval.calibration(rows.toDF("label", "pred"), "label", "pred", 10)
+      .collect().map(r => r.getLong(0)).toSet
+    bins shouldBe Set(0L, 9L, 5L)
+  }
+
+  // ---- lift table ----
+
+  test("liftTable: top-loaded positives give front-bucket lift ~2 and last cum_lift exactly 1") {
+    // 200 rows, scores 200..1 descending by id; positives = top 100 exactly
+    val rows = (1 to 200).map(i => (i.toLong, (201 - i).toDouble, i <= 100))
+    val out = Eval.liftTable(rows.toDF("id", "score", "label"),
+        "label", "score", "id", nBuckets = 10, unitScale = 1L, bucketWidth = 50L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(4))).sortBy(_._1)
+    out.length shouldBe 10
+    out.foreach(_._2 shouldBe 20L) // equal buckets
+    out.take(5).foreach(_._3 shouldBe 20L) // first half all positive
+    out.head._4 shouldBe 2.0 // 100% rate vs 50% base
+    out.last._4 shouldBe 1.0 // full cumulative = base
+  }
+
+  test("liftTable is deterministic under reshuffling (total order by score desc, id)") {
+    val rnd = new scala.util.Random(47)
+    val rows = (1 to 500).map(i => (i.toLong, rnd.nextInt(10).toDouble, rnd.nextBoolean()))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Eval.liftTable(df, "label", "score", "id", 10, 1000000L, 100000000L)
+        .collect().map(_.toSeq).toSeq.sortBy(_.head.asInstanceOf[Long])
+    val a = run(rows.toDF("id", "score", "label").repartition(13))
+    val b = run(scala.util.Random.shuffle(rows).toDF("id", "score", "label").repartition(3))
+    a shouldBe b
+  }
+
+  // ---- mutual information ----
+
+  test("miMatrix: MI(X,X)=H(X), MI independent = 0, matches driver reference") {
+    val rnd = new scala.util.Random(53)
+    val rows = (1 to 1000).map { _ =>
+      val x = rnd.nextInt(4); val y = rnd.nextInt(3)
+      (s"x$x", s"x$x", s"y$y") // c2 duplicates c1; c3 independent
+    }
+    val out = Eval.miMatrix(rows.toDF("c1", "c2", "c3"), Seq("c1", "c2", "c3"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    // H(X) from the sample
+    val n = rows.size.toDouble
+    val h = rows.groupBy(_._1).values.map { g =>
+      val p = g.size / n; -p * math.log(p)
+    }.sum
+    out(("c1", "c2")) shouldBe (h +- 1e-5)
+    // independent columns: MI >= 0 always, near 0 for a random draw
+    assert(out(("c1", "c3")) >= 0.0 && out(("c1", "c3")) < 0.02)
+    // driver-side exact reference for the (c1, c3) pair
+    val joint = rows.groupBy(r => (r._1, r._3)).view.mapValues(_.size).toMap
+    val mx = rows.groupBy(_._1).view.mapValues(_.size).toMap
+    val my = rows.groupBy(_._3).view.mapValues(_.size).toMap
+    val ref = joint.map { case ((x, y), c) =>
+      (c / n) * math.log(n * c / (mx(x).toDouble * my(y)))
+    }.sum
+    out(("c1", "c3")) shouldBe (ref +- 1e-5)
+  }
+
+  test("miMatrix counts NULL as its own category level") {
+    val rows = Seq((Some("a"), "u"), (None, "v"), (None, "v"), (Some("b"), "u"))
+    val out = Eval.miMatrix(rows.toDF("x", "y"), Seq("x", "y")).collect().head
+    // null x perfectly predicts y=v here: MI > 0 and finite
+    assert(!out.isNullAt(3) && out.getDouble(3) > 0.0)
+  }
+
+  // ---- modularity ----
+
+  test("modularity: two clean cliques labeled correctly score 1/2 - sum((d_c/2m)^2)") {
+    // two disjoint triangles; communities = the triangles
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L), (10L, 12L))
+      .toDF("a", "b")
+    val labels = Seq((1L, 0L), (2L, 0L), (3L, 0L), (10L, 1L), (11L, 1L), (12L, 1L))
+      .toDF("node", "community")
+    val r = Graph.modularity(pairs, "a", "b", labels).collect().head
+    r.getLong(0) shouldBe 6L // m
+    r.getLong(1) shouldBe 2L
+    // each community: e_c = 3, d_c = 6, m = 6 -> 3/6 - (6/12)^2 = 0.25; total 0.5
+    r.getDouble(2) shouldBe (0.5 +- 1e-6)
+    // the WRONG labeling (split one triangle) must score strictly lower
+    val bad = Seq((1L, 0L), (2L, 0L), (3L, 1L), (10L, 1L), (11L, 1L), (12L, 1L))
+      .toDF("node", "community")
+    val rb = Graph.modularity(pairs, "a", "b", bad).collect().head
+    assert(rb.getDouble(2) < 0.5)
+  }
+
+  test("modularity canonicalizes edges and drops self-loops; unlabeled nodes are singletons") {
+    val pairs = Seq((2L, 1L), (1L, 2L), (2L, 2L), (3L, 4L)).toDF("a", "b")
+    val labels = Seq((1L, 9L), (2L, 9L)).toDF("node", "community") // 3,4 unlabeled
+    val r = Graph.modularity(pairs, "a", "b", labels).collect().head
+    r.getLong(0) shouldBe 2L // (1,2) once + (3,4); self-loop dropped
+    // communities: {1,2} internal edge, singleton 3, singleton 4 (no internal)
+    r.getLong(1) shouldBe 3L
+  }
+
+  // ---- KMV ----
+
+  test("kmvState merge of shard states is bit-identical to the direct build") {
+    val rnd = new scala.util.Random(59)
+    val rows = (1 to 5000).map(_ => (s"g${rnd.nextInt(3)}", rnd.nextInt(800).toLong))
+    val df = rows.toDF("g", "v")
+    val direct = Sketches.kmvState(df, Seq("g"), "v", 64)
+    val parts = (0 until 4).map(i => Sketches.kmvState(
+      df.filter(pmod(col("v"), lit(4)) === i), Seq("g"), "v", 64))
+    val merged = Sketches.mergeKmvStates(parts, Seq("g"), 64)
+    val dm = direct.collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val mm = merged.collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    dm shouldBe mm
+  }
+
+  test("kmvEstimate is exact below k and within ~3 sigma above it") {
+    val small = (1 to 40).map(i => ("s", i.toLong)).toDF("g", "v")
+    val es = Sketches.kmvEstimate(Sketches.kmvState(small, Seq("g"), "v", 64), Seq("g"))
+      .collect().head
+    es.getInt(1) shouldBe 40
+    es.getDouble(2) shouldBe 40.0
+    // saturated: 10k distinct, k=64 -> relative sigma ~ 1/sqrt(62) ~ 12.7%
+    val big = (1 to 10000).map(i => ("b", i.toLong)).toDF("g", "v")
+    val eb = Sketches.kmvEstimate(Sketches.kmvState(big, Seq("g"), "v", 64), Seq("g"))
+      .collect().head.getDouble(2)
+    assert(math.abs(eb - 10000) / 10000 < 0.4, s"estimate $eb too far from 10000")
+  }
+
+  // ---- content-defined chunking ----
+
+  test("cdcChunkDedup: an exact duplicate document deduplicates completely") {
+    val text = (1 to 30).map(i => s"sentence number $i with some words.").mkString(" ")
+    val docs = Seq((1L, text), (2L, text)).toDF("doc_id", "text")
+    val out = Dedup.cdcChunkDedup(docs, w = 16)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getLong(3))).toMap
+    val (n1, k1, c1) = out(1L)
+    out(2L) shouldBe ((n1, 0L, 0L)) // same chunks, all owned by doc 1
+    // doc 1 may self-dedupe repeated phrases, but keeps all FIRST occurrences
+    assert(k1 > 0 && k1 <= n1.toLong)
+    assert(c1 > 0 && c1 <= text.length.toLong)
+  }
+
+  test("cdcChunkDedup is insertion-robust where fixed-grid chunking is not") {
+    val base = (1 to 40).map(i => s"common shared sentence $i of the pair;").mkString(" ")
+    val shifted = "X" + base // one-char insertion shifts every later offset
+    val docs = Seq((1L, base), (2L, shifted)).toDF("doc_id", "text")
+    val out = Dedup.cdcChunkDedup(docs, w = 16)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getLong(3))).toMap
+    val (n2, k2, chars2) = out(2L)
+    // all but the first chunk(s) around the insertion must dedupe away:
+    // the surviving share of doc 2 is small
+    assert(chars2.toDouble / shifted.length < 0.25,
+      s"CDC should dedupe the shifted copy; kept $chars2/${shifted.length} chars")
+    assert(k2 < n2)
+  }
+
+  test("cdcChunkDedup edge cases: empty text, short doc, unique chunks tile the document") {
+    val varied = (1 to 40).map(i => s"token$i").mkString(" ") // all chunks distinct
+    val docs = Seq((1L, ""), (2L, "tiny"), (3L, varied)).toDF("doc_id", "text")
+    val out = Dedup.cdcChunkDedup(docs, w = 16)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getLong(3))).toMap
+    out(1L) shouldBe ((0, 0L, 0L))
+    out(2L) shouldBe ((1, 1L, 4L)) // n < w: one forced chunk
+    // all-unique chunks: every chunk kept, and they tile the full text
+    val (n3, k3, c3) = out(3L)
+    k3 shouldBe n3.toLong
+    c3 shouldBe varied.length.toLong
+  }
+}
