@@ -1363,11 +1363,18 @@ object SparkEntry {
     // double evaluation per community.
     "q240_modularity" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").df.select(col("l_orderkey"), col("l_partkey"))
-      val pairs = li.as("x").join(li.as("y"),
-          col("x.l_orderkey") === col("y.l_orderkey") &&
-          col("x.l_partkey") < col("y.l_partkey"))
-        .select(col("x.l_partkey").as("pa"), col("y.l_partkey").as("pb"))
-        .distinct()
+      // pair generation from per-order item ARRAYS, not a self-join:
+      // one hash shuffle to (order, sorted item set), then the C(n,2)
+      // combinations explode MAP-SIDE (bounded by the ≤13-line order
+      // contract) — a sort-merge self-join pays two corpus sorts for
+      // the same rows. a<b canonical by the sort.
+      val pairs = li.groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("it"))
+        .select(explode(flatten(transform(col("it"), (x, i) =>
+          transform(slice(col("it"), i + 2, size(col("it"))),
+            y => struct(x.as("pa"), y.as("pb")))))).as("pr"))
+        .select(col("pr.pa"), col("pr.pb"))
+      // no .distinct() here: modularity canonicalizes + distincts once
       val labels = li.select(col("l_partkey").as("node")).distinct()
         .withColumn("community", pmod(col("node"), lit(8)))
       operators.Graph.modularity(pairs, "pa", "pb", labels)

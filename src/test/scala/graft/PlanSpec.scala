@@ -728,4 +728,53 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  // ---- round-6 eval family ----
+
+  test("q235 grouped AUC: histogram partial agg; cumulative window partitioned by group, never global") {
+    val p = plan("q235_grouped_auc")
+    p should include("partial_count") // (group, score) histogram combines map-side
+    // every window is partitioned by the group key — a global rank here
+    // would serialize the whole histogram into one task
+    p.linesIterator.filter(_.contains("windowspecdefinition")).foreach { l =>
+      l should include("windowspecdefinition(_g")
+    }
+  }
+
+  test("q238 KMV: bottom-k is WindowGroupLimit-pruned MAP-SIDE before the exchange") {
+    val p = plan("q238_kmv_distinct")
+    // the rank <= k filter pushes a PARTIAL group-limit below the
+    // shuffle: each input partition forwards at most k hashes per key
+    p should include("row_number(), 64, Partial")
+    p should include("row_number(), 64, Final")
+  }
+
+  test("q242 calibration is ONE partial agg: single exchange, no join, no window") {
+    val p = plan("q242_calibration")
+    p.linesIterator.count(_.contains("Exchange")) shouldBe 1
+    (p should not).include("Join")
+    (p should not).include("windowspecdefinition")
+    p should include("partial_sum") // micro-unit decimal conf sum combines map-side
+  }
+
+  test("q239 lift table: ordinal windows are range-bucket-partitioned (two-level), bucket rollup tiny") {
+    val p = plan("q239_lift_table")
+    // the row-scaled window (row_number over rows) must be partitioned by
+    // the range bucket _b; the only unpartitioned windows are the
+    // nBuckets-row cumulative sums (metadata-scale by construction)
+    val rowScaled = p.linesIterator.filter(l =>
+      l.contains("windowspecdefinition") && l.contains("row_number"))
+    rowScaled.foreach(_ should include("windowspecdefinition(_b"))
+  }
+
+  test("q241 CDC chunking: boundary HOFs map-side; first-occurrence is a partial min(struct), no window") {
+    val p = plan("q241_cdc_chunks")
+    p should include("partial_min") // Zipf-hot chunks collapse before the exchange
+    (p should not).include("windowspecdefinition")
+  }
+
+  test("q236 JS divergence: bin cells combine partially; totals broadcast back") {
+    val p = plan("q236_js_divergence")
+    p should include("partial_count")
+    p should include("BroadcastNestedLoopJoin") // the 1-row totals cross join
+  }
 }
