@@ -1387,6 +1387,49 @@ object SparkEntry {
     "q241_cdc_chunks" -> ((s, dir) =>
       operators.Dedup.cdcChunkDedup(t(s, dir, "documents").df, w = 16)),
 
+    // §2#53w frequent 3-itemsets by map-side basket enumeration:
+    // C(w,3) combinations explode in the map stage (bounded basket
+    // width, loud refusal above), zero corpus self-joins — the triple
+    // extension of q106's pair lift.
+    "q243_frequent_triples" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .select(concat_ws("|", col("user_id"),
+          to_date(col("ts")).cast("string")).as("basket"), col("event_type"))
+      operators.Behavior.frequentTriples(ev, "basket", "event_type", minCount = 2L)
+    }),
+
+    // §2#61g KMV set operations: per-day click vs purchase user sets —
+    // Jaccard read directly off the k-min union sample (the estimator
+    // HLL inclusion–exclusion can't give); states, never corpora.
+    "q244_kmv_setops" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .select(to_date(col("ts")).as("day"), col("event_type"), col("user_id"))
+      val sa = functions.Sketches.kmvState(
+        ev.filter(col("event_type") === "click"), Seq("day"), "user_id")
+      val sb = functions.Sketches.kmvState(
+        ev.filter(col("event_type") === "purchase"), Seq("day"), "user_id")
+      functions.Sketches.kmvSetEstimates(sa, sb, Seq("day"))
+    }),
+
+    // §2#61f streaming KMV build: per-batch states folded via
+    // mergeKmvStates (foreachBatch, history never rescanned) — final
+    // state bit-identical to the direct build across ANY micro-batch
+    // boundaries; estimates read off it exactly like q238.
+    "q245_stream_kmv" -> ((s, dir) =>
+      functions.Sketches.kmvEstimate(
+        streaming.Events.streamKmv(s, s"$dir/events.parquet"), Seq("event_type"))),
+
+    // §2#52ad isotonic (PAV) calibration: the optimal monotone
+    // score→probability map via the data-parallel minimax identity —
+    // pooled (group, x) cells, bounded pair join under the theilSen
+    // loud-refusal contract, two cell-sized windows.
+    "q246_isotonic" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .select(col("event_type"), floor(col("value")).as("xb"),
+          (pmod(col("user_id"), lit(2)) === 1).cast("int").as("label"))
+      functions.Eval.isotonicFit(ev, "event_type", "xb", "label")
+    }),
+
     // §2#52ac calibration (reliability) bins: conf-vs-acc per
     // confidence decile — ONE partial agg to ≤10 cells; micro-unit
     // DECIMAL sums make the mean confidence order-free.
@@ -3188,6 +3231,126 @@ object SparkEntry {
            CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
            CAST(COALESCE(a.kept_chars, 0) AS BIGINT) AS kept_chars
          FROM d LEFT JOIN agg a USING (doc_id)""",
+
+    "q243_frequent_triples" ->
+      """WITH b AS (
+           SELECT DISTINCT CAST(user_id AS VARCHAR) || '|' ||
+             CAST(CAST(ts AS DATE) AS VARCHAR) AS k, event_type AS i
+           FROM events),
+         t AS (
+           SELECT b1.k, b1.i AS a, b2.i AS bb, b3.i AS c
+           FROM b b1
+           JOIN b b2 ON b1.k = b2.k AND b1.i < b2.i
+           JOIN b b3 ON b2.k = b3.k AND b2.i < b3.i),
+         nb AS (SELECT COUNT(DISTINCT k) AS n FROM b)
+         SELECT a AS item_a, bb AS item_b, c AS item_c,
+           COUNT(*) AS n_baskets,
+           round(CAST(COUNT(*) AS DOUBLE) / CAST((SELECT n FROM nb) AS DOUBLE), 9) AS support
+         FROM t GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2""",
+
+    "q244_kmv_setops" ->
+      """WITH e AS (
+           SELECT CAST(ts AS DATE) AS day, event_type,
+             ('0x' || substr(md5('kmv|' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+           FROM events WHERE event_type IN ('click', 'purchase')),
+         hd AS (SELECT DISTINCT day, event_type, h FROM e),
+         r AS (
+           SELECT day, event_type, h,
+             ROW_NUMBER() OVER (PARTITION BY day, event_type ORDER BY h) AS rn
+           FROM hd),
+         ka AS (SELECT day, h FROM r WHERE event_type = 'click' AND rn <= 64),
+         kb AS (SELECT day, h FROM r WHERE event_type = 'purchase' AND rn <= 64),
+         u0 AS (SELECT day, h FROM ka UNION SELECT day, h FROM kb),
+         ur AS (SELECT day, h, ROW_NUMBER() OVER (PARTITION BY day ORDER BY h) AS rn FROM u0),
+         uk AS (SELECT day, h FROM ur WHERE rn <= 64),
+         asq AS (SELECT day, CAST(COUNT(*) AS INT) AS n_a,
+                   MAX(CASE WHEN rn = 64 THEN h END) AS hk FROM r
+                 WHERE event_type = 'click' AND rn <= 64 GROUP BY 1),
+         bsq AS (SELECT day, CAST(COUNT(*) AS INT) AS n_b,
+                   MAX(CASE WHEN rn = 64 THEN h END) AS hk FROM r
+                 WHERE event_type = 'purchase' AND rn <= 64 GROUP BY 1),
+         usq AS (SELECT day, CAST(COUNT(*) AS INT) AS n_u,
+                   MAX(CASE WHEN rn = 64 THEN h END) AS hk FROM ur
+                 WHERE rn <= 64 GROUP BY 1),
+         kap AS (
+           SELECT uk.day, COUNT(*) AS kappa
+           FROM uk
+           JOIN ka ON uk.day = ka.day AND uk.h = ka.h
+           JOIN kb ON uk.day = kb.day AND uk.h = kb.h
+           GROUP BY 1),
+         days AS (SELECT DISTINCT day FROM hd)
+         SELECT d.day,
+           COALESCE(asq.n_a, 0) AS n_a, COALESCE(bsq.n_b, 0) AS n_b,
+           CASE WHEN COALESCE(asq.n_a, 0) < 64 THEN CAST(COALESCE(asq.n_a, 0) AS DOUBLE)
+                ELSE round(63.0 * pow(2.0, 60) / CAST(asq.hk AS DOUBLE), 6) END AS est_a,
+           CASE WHEN COALESCE(bsq.n_b, 0) < 64 THEN CAST(COALESCE(bsq.n_b, 0) AS DOUBLE)
+                ELSE round(63.0 * pow(2.0, 60) / CAST(bsq.hk AS DOUBLE), 6) END AS est_b,
+           CASE WHEN COALESCE(usq.n_u, 0) < 64 THEN CAST(COALESCE(usq.n_u, 0) AS DOUBLE)
+                ELSE round(63.0 * pow(2.0, 60) / CAST(usq.hk AS DOUBLE), 6) END AS est_union,
+           round(CASE WHEN COALESCE(usq.n_u, 0) > 0
+             THEN CAST(COALESCE(kap.kappa, 0) AS DOUBLE) / CAST(usq.n_u AS DOUBLE)
+             ELSE 0.0 END, 9) AS jaccard,
+           round((CASE WHEN COALESCE(usq.n_u, 0) > 0
+             THEN CAST(COALESCE(kap.kappa, 0) AS DOUBLE) / CAST(usq.n_u AS DOUBLE)
+             ELSE 0.0 END)
+             * (CASE WHEN COALESCE(usq.n_u, 0) < 64 THEN CAST(COALESCE(usq.n_u, 0) AS DOUBLE)
+                ELSE 63.0 * pow(2.0, 60) / CAST(usq.hk AS DOUBLE) END), 6) AS est_intersection
+         FROM days d
+         LEFT JOIN asq ON d.day = asq.day
+         LEFT JOIN bsq ON d.day = bsq.day
+         LEFT JOIN usq ON d.day = usq.day
+         LEFT JOIN kap ON d.day = kap.day""",
+
+    "q245_stream_kmv" ->
+      """WITH h AS (
+           SELECT DISTINCT event_type,
+             ('0x' || substr(md5('kmv|' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+           FROM events),
+         r AS (
+           SELECT event_type, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+           FROM h),
+         k AS (
+           SELECT event_type, CAST(COUNT(*) AS INT) AS n_state,
+             MAX(CASE WHEN rn = 64 THEN h END) AS hk
+           FROM r WHERE rn <= 64 GROUP BY 1)
+         SELECT event_type, n_state,
+           CASE WHEN n_state < 64 THEN CAST(n_state AS DOUBLE)
+                ELSE round(63.0 * pow(2.0, 60) / CAST(hk AS DOUBLE), 6) END AS est_distinct
+         FROM k""",
+
+    "q246_isotonic" ->
+      """WITH base AS (
+           SELECT event_type AS g,
+             CAST(floor(CAST(floor(value) AS DOUBLE) * 1 + 0.5) AS BIGINT) AS x,
+             CAST(floor(CAST(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS DOUBLE)
+               * 1000000 + 0.5) AS BIGINT) AS y
+           FROM events),
+         pooled AS (
+           SELECT g, x, SUM(CAST(y AS HUGEINT)) AS sy, COUNT(*) AS w
+           FROM base GROUP BY 1, 2),
+         pref AS (
+           SELECT g, x, sy, w,
+             ROW_NUMBER() OVER (PARTITION BY g ORDER BY x) AS i,
+             SUM(sy) OVER (PARTITION BY g ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+             SUM(w) OVER (PARTITION BY g ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+           FROM pooled),
+         pairs AS (
+           SELECT l.g, l.i AS j, r.i AS k,
+             CAST(r.s - (l.s - l.sy) AS DOUBLE)
+               / CAST(r.cw - (l.cw - l.w) AS DOUBLE) AS a
+           FROM pref l JOIN pref r ON l.g = r.g AND l.i <= r.i),
+         sm AS (
+           SELECT g, j, k, MIN(a) OVER (PARTITION BY g, j ORDER BY k DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+           FROM pairs),
+         ft AS (SELECT g, k, MAX(m) AS fit FROM sm GROUP BY 1, 2)
+         SELECT p.g AS event_type, CAST(p.x AS DOUBLE) AS x, p.w AS n,
+           round(CAST(p.sy AS DOUBLE) / (1000000.0 * CAST(p.w AS DOUBLE)), 9) AS y_mean,
+           round(ft.fit / 1000000.0, 9) AS fit
+         FROM pref p JOIN ft ON p.g = ft.g AND p.i = ft.k""",
 
     "q242_calibration" ->
       """WITH e AS (

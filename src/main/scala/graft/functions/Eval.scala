@@ -210,6 +210,82 @@ object Eval {
           .as("cum_lift"))
   }
 
+  /** Isotonic regression (PAV) per group — the OPTIMAL monotone
+    * calibrator: fit the nondecreasing ŷ(x) minimizing Σ(y−ŷ)², the
+    * standard score→probability calibration when [[calibration]]'s
+    * fixed bins are too coarse (Zadrozny–Elkan KDD'02). Computed by
+    * the MINIMAX identity fit_i = max_{j≤i} min_{k≥i} avg(y[j..k])
+    * (Robertson–Wright–Dykstra §1.2) rather than the sequential
+    * pool-adjacent-violators sweep: PAV is an inherently serial
+    * per-group loop, while the minimax form is three data-parallel
+    * steps — prefix sums, a bounded pair join, two windows — that
+    * Spark and the SQL oracle replay IDENTICALLY.
+    *
+    * The pair table is quadratic in the number of DISTINCT x per
+    * group (ties pool first, as isotonic regression requires), so the
+    * operator carries the Theil–Sen bounded-series contract: an
+    * in-plan broadcast-offender guard REFUSES loudly above
+    * `maxPoints` distinct x — quantize x coarser (the usual
+    * calibration practice) rather than letting one group emit 10⁸
+    * pairs. Within the budget every structure is cell-sized: the
+    * corpus collapses to (group, x) cells in ONE partial agg and
+    * never reappears.
+    *
+    * Exactness: y quantizes to micro-units, prefix sums are
+    * DECIMAL(38,0), each block average A(j,k) is ONE double division
+    * of exact integers (IEEE-identical both engines), min/max of
+    * identical doubles are deterministic; outputs round at 1e-9.
+    * Output: (group, x, n, y_mean, fit) — fit is nondecreasing in x
+    * within every group by construction.
+    */
+  def isotonicFit(df: DataFrame, groupCol: String, xCol: String, yCol: String,
+                  unitScaleX: Long = 1L, unitScaleY: Long = 1000000L,
+                  maxPoints: Long = 1000L): DataFrame = {
+    val xq = floor(col(xCol).cast("double") * unitScaleX + lit(0.5)).cast("long")
+    val yq = floor(col(yCol).cast("double") * unitScaleY + lit(0.5)).cast("long")
+    val pooled = df.select(col(groupCol).as("_g"), xq.as("_x"), yq.as("_y"))
+      .groupBy("_g", "_x")
+      .agg(sum(col("_y").cast("decimal(38,0)")).as("_sy0"), count(lit(1)).as("_w"))
+    // the theilSen guard: offender keys (normally none) broadcast back,
+    // raise_error threaded through the value column — no extra action,
+    // no series shuffle
+    val offenders = pooled.groupBy("_g").agg(count(lit(1)).as("_kn"))
+      .filter(col("_kn") > maxPoints)
+    val guarded = pooled.join(broadcast(offenders), Seq("_g"), "left")
+      .withColumn("_sy", when(col("_kn").isNotNull, raise_error(format_string(
+          s"isotonicFit: group %s has %s distinct x (> maxPoints=$maxPoints) — " +
+            "the minimax pair table is quadratic; quantize x coarser",
+          col("_g").cast("string"), col("_kn").cast("string"))).cast("decimal(38,0)"))
+        .otherwise(col("_sy0")))
+      .drop("_kn", "_sy0")
+    val wCum = Window.partitionBy("_g").orderBy("_x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pref = guarded
+      .withColumn("_i", row_number().over(Window.partitionBy("_g").orderBy("_x")))
+      .withColumn("_s", sum(col("_sy")).over(wCum))
+      .withColumn("_cw", sum(col("_w")).over(wCum))
+    val lft = pref.select(col("_g"), col("_i").as("_j"),
+      (col("_s") - col("_sy")).as("_sjm"), (col("_cw") - col("_w")).as("_wjm"))
+    val rgt = pref.select(col("_g"), col("_i").as("_k"),
+      col("_s").as("_sk"), col("_cw").as("_wk"))
+    val pairs = lft.join(rgt, Seq("_g")).filter(col("_j") <= col("_k"))
+      .withColumn("_A", (col("_sk") - col("_sjm")).cast("double")
+        / (col("_wk") - col("_wjm")).cast("double"))
+    val wSuf = Window.partitionBy("_g", "_j").orderBy(col("_k").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fit = pairs.withColumn("_m", min(col("_A")).over(wSuf))
+      .groupBy(col("_g"), col("_k")).agg(max(col("_m")).as("_fit"))
+    pref.select(col("_g"), col("_x"), col("_w"), col("_sy"), col("_i"))
+      .join(fit.withColumnRenamed("_g", "_g2"),
+        col("_g") === col("_g2") && col("_i") === col("_k"))
+      .select(col("_g").as(groupCol),
+        (col("_x").cast("double") / unitScaleX.toDouble).as("x"),
+        col("_w").as("n"),
+        round(col("_sy").cast("double")
+          / (lit(unitScaleY.toDouble) * col("_w").cast("double")), 9).as("y_mean"),
+        round(col("_fit") / unitScaleY.toDouble, 9).as("fit"))
+  }
+
   /** Pairwise mutual information (nats) between categorical columns
     * — the feature-redundancy / leakage audit: MI(X;Y) =
     * Σ (c_xy/N)·ln(N·c_xy/(c_x·c_y)). High MI between a feature and

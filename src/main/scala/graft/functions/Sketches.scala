@@ -347,6 +347,50 @@ object Sketches {
     bottomK(all, keys, k)
   }
 
+  /** Set-operation estimates from two KMV states (Beyer et al.
+    * SIGMOD'07 §4): the k-min set of A∪B is itself the union's KMV
+    * (bottom-k of a union = bottom-k of the two bottom-k's — the
+    * closure property), AND a uniform hash-sample of the union — so
+    * Jaccard is read DIRECTLY as ĵ = |U ∩ A ∩ B|/|U| (the minhash
+    * estimator) and intersection = ĵ·est(U). This is the estimator
+    * HLL cannot give: HLL intersections go through inclusion–
+    * exclusion, whose error scales with the UNION (catastrophic for
+    * small overlaps); the KMV ratio estimator scales with the overlap
+    * itself. All arithmetic over exact 60-bit hash longs; estimates
+    * mirrored doubles rounded 1e-6 (jaccard 1e-9).
+    *
+    * Scale shape: one state-keyed hash join + per-row array ops over
+    * ≤2k-element arrays. States, never corpora.
+    * Output: (keys…, n_a, n_b, est_a, est_b, est_union, jaccard,
+    * est_intersection). Keys present in only one state get the
+    * empty-array treatment (jaccard 0, intersection 0).
+    */
+  def kmvSetEstimates(sa: DataFrame, sb: DataFrame, keys: Seq[String],
+                      k: Int = 64): DataFrame = {
+    val empty = array().cast("array<long>")
+    val a = sa.select(keys.map(col) :+ col("kmv").as("_ka"): _*)
+    val b = sb.select(keys.map(col) :+ col("kmv").as("_kb"): _*)
+    val j = a.join(b, keys, "full_outer")
+      .withColumn("_ka", coalesce(col("_ka"), empty))
+      .withColumn("_kb", coalesce(col("_kb"), empty))
+      .withColumn("_u", slice(array_sort(array_union(col("_ka"), col("_kb"))), 1, k))
+    def est(arr: Column): Column = {
+      val nS = size(arr)
+      when(nS < k, nS.cast("double"))
+        .otherwise(lit((k - 1).toDouble) * pow(lit(2.0), lit(60))
+          / element_at(arr, k).cast("double"))
+    }
+    val kU = size(col("_u"))
+    val kappa = size(array_intersect(array_intersect(col("_u"), col("_ka")), col("_kb")))
+    val jac = when(kU > 0, kappa.cast("double") / kU.cast("double")).otherwise(lit(0.0))
+    j.select(keys.map(col) ++ Seq(
+      size(col("_ka")).as("n_a"), size(col("_kb")).as("n_b"),
+      round(est(col("_ka")), 6).as("est_a"), round(est(col("_kb")), 6).as("est_b"),
+      round(est(col("_u")), 6).as("est_union"),
+      round(jac, 9).as("jaccard"),
+      round(jac * est(col("_u")), 6).as("est_intersection")): _*)
+  }
+
   /** Distinct-count estimate from a KMV state: exact |state| while the
     * sketch is unsaturated (< k hashes seen = ALL distinct hashes are
     * in the state), else the unbiased (k−1)·2^60/h_(k) — doubles from

@@ -84,6 +84,53 @@ object Behavior {
         round(col("n_both") * n / (col("ca") * col("cb")), 9).as("lift"))
   }
 
+  /** Frequent 3-itemsets by direct map-side enumeration — the triple
+    * extension of [[basketLift]]'s pairs: each basket's sorted
+    * distinct-item array emits its C(w,3) combinations IN THE MAP
+    * STAGE (one HOF, no self-join), one partial agg counts supports,
+    * the floor filters. Sound because basket width w is small and
+    * BOUNDED (retail baskets, per-session event types, tags): the
+    * cubic fan-out is C(w,3) per basket, and `maxBasket` REFUSES
+    * loudly rather than letting one mega-basket emit millions of
+    * rows — the same loud-refusal contract as Theil–Sen/linkage
+    * (SURVEY §5). An unbounded-width corpus needs staged Apriori
+    * (pairs → join) instead; this is the direct path for the common
+    * bounded case, with ZERO corpus self-joins.
+    *
+    * Scale shape: one (basket, item) distinct shuffle, one basket
+    * collect, map-side combination explode, one (a,b,c) partial agg
+    * — Zipf-hot triples collapse before the exchange. Support share
+    * uses the broadcast basket total (exact-count mirrored division,
+    * 1e-9). Output: (item_a, item_b, item_c, n_baskets, support).
+    */
+  def frequentTriples(df: DataFrame, keyCol: String, itemCol: String,
+                      minCount: Long = 2L, maxBasket: Int = 64): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val collected = df.select(col(keyCol).as("_k"), col(itemCol).as("_i")).distinct()
+      .groupBy("_k").agg(sort_array(collect_set(col("_i"))).as("_it0"))
+    val itType = collected.schema("_it0").dataType
+    val baskets = collected
+      .withColumn("it", when(size(col("_it0")) > maxBasket,
+        raise_error(format_string(
+          s"frequentTriples: basket %s has %s items (> maxBasket=$maxBasket) — " +
+            "C(w,3) fan-out unbounded; raise maxBasket deliberately or pre-filter",
+          col("_k").cast("string"), size(col("_it0")).cast("string"))).cast(itType))
+        .otherwise(col("_it0")))
+    val tot = baskets.agg(count(lit(1)).as("_nb"))
+    val triples = baskets.select(explode(flatten(transform(col("it"), (x, i) =>
+        flatten(transform(slice(col("it"), i + 2, size(col("it"))), (y, j) =>
+          transform(slice(col("it"), i + j + 3, size(col("it"))),
+            z => struct(x.as("a"), y.as("b"), z.as("c")))))))).as("t"))
+    triples
+      .groupBy(col("t.a").as("item_a"), col("t.b").as("item_b"), col("t.c").as("item_c"))
+      .agg(count(lit(1)).as("n_baskets"))
+      .filter(col("n_baskets") >= minCount)
+      .crossJoin(broadcast(tot))
+      .withColumn("support",
+        round(col("n_baskets").cast("double") / col("_nb").cast("double"), 9))
+      .drop("_nb")
+  }
+
   /** First-order Markov transition matrix over per-key event sequences:
     * for every ordered (from_type → to_type) step a key takes, the
     * count and the row-normalized transition probability — the

@@ -348,6 +348,48 @@ object Events {
         keys, valueCol))
   }
 
+  /** Streaming KMV bottom-k distinct sketch (SURVEY §2 #61f): each
+    * micro-batch builds its own KMV state and folds it into the
+    * standing state via [[graft.functions.Sketches.mergeKmvStates]] —
+    * history is never rescanned, the standing state is ≤k hashes per
+    * key however long the stream runs (never keyed by value), and
+    * because bottom-k over a set is ORDER-INVARIANT the final state is
+    * bit-identical to a from-scratch batch build (the oracle computes
+    * directly over everything ingested — equality across arbitrary
+    * micro-batch boundaries IS the split-invariance proof, the q217
+    * foreachBatch contract). Completes the streaming sketch family:
+    * CMS = frequency, HLL = distinct, dyadic bins = quantiles,
+    * KMV = distinct WITH set-operation support downstream.
+    */
+  def streamKmv(spark: SparkSession, eventsPath: String,
+                keys: Seq[String] = Seq("event_type"),
+                valueCol: String = "user_id", k: Int = 64,
+                maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val stream = readStream(spark, eventsPath, maxFilesPerTrigger)
+      .select(keys.map(col) :+ col(valueCol): _*)
+    @volatile var state: Option[DataFrame] = None
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val ckpt = if (java.nio.file.Files.isWritable(shm))
+      java.nio.file.Files.createTempDirectory(shm, "graft_ckpt_")
+    else java.nio.file.Files.createTempDirectory("graft_ckpt_")
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val bs = graft.functions.Sketches.kmvState(batch, keys, valueCol, k)
+        state = Some(state
+          .map(s => graft.functions.Sketches.mergeKmvStates(Seq(s, bs), keys, k))
+          .getOrElse(bs)
+          .localCheckpoint())
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    state.getOrElse(graft.functions.Sketches.kmvState(
+      readBatch(spark, eventsPath).limit(0).select(keys.map(col) :+ col(valueCol): _*),
+      keys, valueCol, k))
+  }
+
   /** Production sink: append-mode parquet with a checkpoint. State
     * stays bounded by the plan's watermark; output is distributed
     * (never driver-materialized). Caller owns the query lifecycle.

@@ -222,6 +222,128 @@ class EvalOpsSpec extends SparkSpec {
     assert(math.abs(eb - 10000) / 10000 < 0.4, s"estimate $eb too far from 10000")
   }
 
+  // ---- isotonic (PAV) ----
+
+  /** Classic sequential pool-adjacent-violators on (x, weight, ySum)
+    * triples sorted by x — the reference the minimax form must match.
+    */
+  private def pavReference(cells: Seq[(Long, Long, Double)]): Seq[(Long, Double)] = {
+    case class Block(var w: Double, var s: Double, val xs: scala.collection.mutable.Buffer[Long])
+    val stack = scala.collection.mutable.Stack[Block]()
+    for ((x, w, s) <- cells.sortBy(_._1)) {
+      var b = Block(w.toDouble, s, scala.collection.mutable.Buffer(x))
+      while (stack.nonEmpty && stack.top.s / stack.top.w >= b.s / b.w) {
+        val t = stack.pop()
+        b = Block(t.w + b.w, t.s + b.s, t.xs ++ b.xs)
+      }
+      stack.push(b)
+    }
+    stack.toSeq.reverse.flatMap(b => b.xs.map(x => x -> b.s / b.w))
+  }
+
+  test("isotonicFit matches sequential PAV and is nondecreasing") {
+    val rnd = new scala.util.Random(61)
+    val rows = (1 to 2000).map { _ =>
+      val x = rnd.nextInt(40).toLong
+      // noisy increasing trend so the fit has real pooled blocks
+      val y = if (rnd.nextDouble() < 0.2 + 0.015 * x) 1 else 0
+      ("g", x, y)
+    }
+    val out = Eval.isotonicFit(rows.toDF("g", "x", "y"), "g", "x", "y")
+      .collect().map(r => (r.getDouble(1).toLong, r.getDouble(4))).sortBy(_._1)
+    // nondecreasing
+    out.sliding(2).foreach { case Array((_, a), (_, b)) => assert(a <= b + 1e-12) }
+    // matches PAV (y quantized to micro-units exactly: y is 0/1)
+    val cells = rows.groupBy(_._2).map { case (x, g) =>
+      (x, g.size.toLong, g.map(_._3.toDouble * 1e6).sum)
+    }.toSeq
+    val ref = pavReference(cells).toMap
+    out.foreach { case (x, f) => f shouldBe (ref(x) / 1e6 +- 1e-6) }
+  }
+
+  test("isotonicFit returns y_mean unchanged when the means are already monotone") {
+    val rows = Seq(("g", 1L, 10), ("g", 1L, 20), ("g", 2L, 30), ("g", 3L, 40))
+    val out = Eval.isotonicFit(rows.toDF("g", "x", "y"), "g", "x", "y",
+        unitScaleY = 1L)
+      .collect().map(r => r.getDouble(1) -> (r.getDouble(3), r.getDouble(4))).toMap
+    out(1.0) shouldBe ((15.0, 15.0))
+    out(2.0) shouldBe ((30.0, 30.0))
+    out(3.0) shouldBe ((40.0, 40.0))
+  }
+
+  test("isotonicFit refuses loudly above the maxPoints contract") {
+    val rows = (1 to 50).map(i => ("g", i.toLong, i))
+    val ex = intercept[Exception] {
+      Eval.isotonicFit(rows.toDF("g", "x", "y"), "g", "x", "y",
+        maxPoints = 10L).collect()
+    }
+    ex.getMessage should include("quantize x coarser")
+  }
+
+  // ---- frequent triples ----
+
+  test("frequentTriples matches the brute-force enumeration and orders items") {
+    import graft.operators.Behavior
+    val rows = Seq(
+      (1, "a"), (1, "b"), (1, "c"), (1, "d"),
+      (2, "a"), (2, "b"), (2, "c"),
+      (3, "b"), (3, "c"), (3, "d"),
+      (4, "a"), (4, "b"))
+    val out = Behavior.frequentTriples(rows.toDF("k", "i"), "k", "i", minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        (r.getLong(3), r.getDouble(4))).toMap
+    // abc in baskets 1,2; abd only 1; acd only 1; bcd in 1,3
+    out.keySet shouldBe Set(("a", "b", "c"), ("b", "c", "d"))
+    out(("a", "b", "c")) shouldBe ((2L, 0.5)) // 2 of 4 baskets
+    out(("b", "c", "d")) shouldBe ((2L, 0.5))
+  }
+
+  test("frequentTriples refuses loudly on a basket wider than maxBasket") {
+    import graft.operators.Behavior
+    val rows = (1 to 20).map(i => (1, s"i$i"))
+    val ex = intercept[Exception] {
+      Behavior.frequentTriples(rows.toDF("k", "i"), "k", "i",
+        minCount = 1L, maxBasket = 10).collect()
+    }
+    ex.getMessage should include("maxBasket")
+  }
+
+  // ---- KMV set estimates ----
+
+  test("kmvSetEstimates: Jaccard and intersection are exact below saturation") {
+    // A = 1..60, B = 31..90 -> |A∩B| = 30, |A∪B| = 90, J = 1/3
+    val a = (1 to 60).map(i => ("g", i.toLong)).toDF("g", "v")
+    val b = (31 to 90).map(i => ("g", i.toLong)).toDF("g", "v")
+    val sa = Sketches.kmvState(a, Seq("g"), "v", 256)
+    val sb = Sketches.kmvState(b, Seq("g"), "v", 256)
+    val r = Sketches.kmvSetEstimates(sa, sb, Seq("g"), 256).collect().head
+    r.getDouble(5) shouldBe 90.0 // est_union exact (unsaturated)
+    r.getDouble(6) shouldBe (30.0 / 90.0 +- 1e-9)
+    r.getDouble(7) shouldBe (30.0 +- 1e-6)
+  }
+
+  test("kmvSetEstimates: saturated sketches estimate a planted 50% overlap within tolerance") {
+    val a = (1 to 4000).map(i => ("g", i.toLong)).toDF("g", "v")
+    val b = (2001 to 6000).map(i => ("g", i.toLong)).toDF("g", "v")
+    val sa = Sketches.kmvState(a, Seq("g"), "v", 128)
+    val sb = Sketches.kmvState(b, Seq("g"), "v", 128)
+    val r = Sketches.kmvSetEstimates(sa, sb, Seq("g"), 128).collect().head
+    // true: union 6000, intersection 2000, jaccard 1/3
+    assert(math.abs(r.getDouble(4) - 6000) / 6000 < 0.35, s"union ${r.getDouble(4)}")
+    assert(r.getDouble(6) > 0.12 && r.getDouble(6) < 0.6, s"jaccard ${r.getDouble(6)}")
+  }
+
+  test("kmvSetEstimates: a key on one side only gets zero overlap, not a crash") {
+    val a = (1 to 10).map(i => ("only_a", i.toLong)).toDF("g", "v")
+    val b = (1 to 10).map(i => ("only_b", i.toLong)).toDF("g", "v")
+    val r = Sketches.kmvSetEstimates(
+        Sketches.kmvState(a, Seq("g"), "v", 64),
+        Sketches.kmvState(b, Seq("g"), "v", 64), Seq("g"))
+      .collect().map(x => x.getString(0) -> (x.getInt(1), x.getInt(2), x.getDouble(6))).toMap
+    r("only_a") shouldBe ((10, 0, 0.0))
+    r("only_b") shouldBe ((0, 10, 0.0))
+  }
+
   // ---- content-defined chunking ----
 
   test("cdcChunkDedup: an exact duplicate document deduplicates completely") {
