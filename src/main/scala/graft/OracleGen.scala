@@ -1003,8 +1003,14 @@ object OracleGen {
   def removalEffectSql(channels: Seq[String], convType: String = "purchase",
                        rounds: Int = 16): String = {
     val scenList = ("'__FULL__'" +: channels.map(c => s"'$c'")).mkString(", ")
+    // AS MATERIALIZED on pc/pt and every round: the kCore lesson —
+    // DuckDB inlines plain CTEs, so without pinning each of the
+    // `rounds` levels re-expands the ENTIRE journey pipeline (v_r →
+    // v_{r-1} chain, ×(pc + pt) per level): measured 8 minutes and an
+    // allocator OOM at sf0.01 inside the shared gate connection;
+    // materialized, the same query runs in seconds.
     def vRound(r: Int): String =
-      s"""v$r AS (SELECT c.scenario, c.state,
+      s"""v$r AS MATERIALIZED (SELECT c.scenario, c.state,
            CAST((COALESCE(st.st, CAST(0 AS DECIMAL(20,10))) + c.pconv) * 10000000000 AS BIGINT) AS vu
          FROM pc c LEFT JOIN (
            SELECT p.scenario, p.from_s AS state,
@@ -1045,12 +1051,12 @@ object OracleGen {
               WHERE s.scenario = '__FULL__'
                  OR (p.from_s <> s.scenario AND p.to_s <> s.scenario)),
        sts AS (SELECT DISTINCT scenario, from_s AS state FROM ps),
-       pc AS (SELECT s.scenario, s.state,
+       pc AS MATERIALIZED (SELECT s.scenario, s.state,
                 CAST(COALESCE(p.p, 0) AS DECIMAL(20,10)) AS pconv
               FROM sts s LEFT JOIN
                 (SELECT scenario, from_s AS state, p FROM ps WHERE to_s = '__CONV__') p
                 ON p.scenario = s.scenario AND p.state = s.state),
-       pt AS (SELECT scenario, from_s, to_s, p FROM ps
+       pt AS MATERIALIZED (SELECT scenario, from_s, to_s, p FROM ps
               WHERE to_s NOT IN ('__CONV__', '__NULL__')),
        v0 AS (SELECT scenario, state, CAST(0 AS BIGINT) AS vu FROM pc),
        ${(1 to rounds).map(vRound).mkString(",\n       ")},
@@ -1078,4 +1084,97 @@ object OracleGen {
            list_transform(w, x -> ${portableHashSql("x")})),
          (acc, hx) -> (acc * 31 + hx) % $P) AS fp
      FROM t"""
+
+  /** Local clustering coefficient (operators.Graph.clusteringCoefficient
+    * over Dedup.embeddingPairs): the triangleSql pipeline — identical
+    * bucketing, capping, cosine gate, (deg,id) orientation, wedge
+    * closure — finished with the degree join and the mirrored
+    * cc = 2T/(d(d−1)) double instead of the global roll-up.
+    */
+  def clusteringSql(minCos: Double = 0.1, nbits: Int = 6, dim: Int = 64,
+                    cap: Int = 40): String =
+    s"""WITH b AS (
+       SELECT vec_id, embedding, ${bucketSql("embedding", nbits, dim)} AS bucket
+       FROM embeddings),
+     capped AS (
+       SELECT vec_id, embedding, bucket FROM (
+         SELECT vec_id, embedding, bucket,
+           ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY vec_id) AS bn
+         FROM b) WHERE bn <= $cap),
+     prs AS (
+       SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b FROM capped a JOIN capped b2
+         ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+       WHERE ${cosineSql("a.embedding", "b2.embedding", dim)} >= $minCos),
+     edges AS (SELECT vec_a AS src, vec_b AS dst FROM prs
+               UNION SELECT vec_b, vec_a FROM prs),
+     deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+     o AS (
+       SELECT e.src, e.dst, dd.deg AS dg FROM edges e
+       JOIN deg ds ON ds.src = e.src
+       JOIN deg dd ON dd.src = e.dst
+       WHERE ds.deg < dd.deg OR (ds.deg = dd.deg AND e.src < e.dst)),
+     wed AS (
+       SELECT o1.src AS a, o1.dst AS b, o2.dst AS c FROM o o1 JOIN o o2 ON o1.src = o2.src
+       WHERE o1.dg < o2.dg OR (o1.dg = o2.dg AND o1.dst < o2.dst)),
+     tri AS (SELECT a, b, c FROM wed JOIN o ON o.src = wed.b AND o.dst = wed.c),
+     pn AS (
+       SELECT node, COUNT(*) AS n_triangles FROM (
+         SELECT a AS node FROM tri
+         UNION ALL SELECT b FROM tri
+         UNION ALL SELECT c FROM tri) GROUP BY 1)
+     SELECT d.src AS node, d.deg, COALESCE(pn.n_triangles, 0) AS n_triangles,
+       CASE WHEN d.deg >= 2 THEN
+         round(2.0 * CAST(COALESCE(pn.n_triangles, 0) AS DOUBLE)
+           / (CAST(d.deg AS DOUBLE) * (CAST(d.deg AS DOUBLE) - 1.0)), 9)
+       END AS cc
+     FROM deg d LEFT JOIN pn ON pn.node = d.src"""
+
+  /** Poisson bootstrap CI (functions.Eval.bootstrapCiMean): replicate
+    * multiplicities from the SAME md5-uniform + integer CDF thresholds
+    * ([[graft.functions.Eval.PoissonThresholds32]], inlined here from
+    * the one Scala definition), replicate means as mirrored double
+    * divisions, exact cross-multiply rank selection of the percentile
+    * interval over the B means.
+    */
+  def bootstrapCiSql(groupExpr: String, valueExpr: String, idExpr: String,
+                     table: String, b: Int = 100, unitScale: Long = 1000000L,
+                     alphaNum: Long = 5L, alphaDen: Long = 100L,
+                     groupAlias: String = "event_type"): String = {
+    val th = graft.functions.Eval.PoissonThresholds32
+    val mCase = th.zipWithIndex
+      .map { case (t, k) => s"WHEN h < $t THEN $k" }
+      .mkString("CASE ", " ", " ELSE 6 END")
+    s"""WITH base AS (
+       SELECT $groupExpr AS g,
+         CAST(floor(CAST($valueExpr AS DOUBLE) * $unitScale + 0.5) AS BIGINT) AS v,
+         CAST($idExpr AS VARCHAR) AS id
+       FROM $table),
+     reps AS (
+       SELECT g, v, id, r.r,
+         ('0x' || substr(md5('bs' || '|' || r.r || '|' || id), 1, 8))::BIGINT AS h
+       FROM base CROSS JOIN (SELECT unnest(range(0, $b)) AS r) r),
+     mm AS (SELECT g, r, v, $mCase AS m FROM reps),
+     means AS (
+       SELECT g, r, SUM(CAST(m AS HUGEINT) * v) AS sv, SUM(m) AS sm
+       FROM mm GROUP BY 1, 2 HAVING SUM(m) > 0),
+     mv AS (
+       SELECT g, (CAST(sv AS DOUBLE) / CAST(sm AS DOUBLE)) / $unitScale.0 AS mean_r
+       FROM means),
+     ranked AS (
+       SELECT g, mean_r,
+         COUNT(*) OVER (PARTITION BY g ORDER BY mean_r
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         COUNT(*) OVER (PARTITION BY g) AS nb
+       FROM mv),
+     lo AS (SELECT g, MIN(mean_r) AS lo FROM ranked
+            WHERE cum * ${2 * alphaDen} >= nb * $alphaNum GROUP BY 1),
+     hi AS (SELECT g, MIN(mean_r) AS hi FROM ranked
+            WHERE cum * ${2 * alphaDen} >= nb * ${2 * alphaDen - alphaNum} GROUP BY 1),
+     overall AS (
+       SELECT g, COUNT(*) AS n, SUM(CAST(v AS HUGEINT)) AS s FROM base GROUP BY 1)
+     SELECT o.g AS $groupAlias, o.n,
+       round((CAST(o.s AS DOUBLE) / CAST(o.n AS DOUBLE)) / $unitScale.0, 9) AS mean,
+       round(lo.lo, 9) AS ci_lo, round(hi.hi, 9) AS ci_hi
+     FROM overall o JOIN lo ON o.g = lo.g JOIN hi ON o.g = hi.g"""
+  }
 }

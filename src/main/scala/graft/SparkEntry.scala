@@ -1419,6 +1419,27 @@ object SparkEntry {
       functions.Sketches.kmvEstimate(
         streaming.Events.streamKmv(s, s"$dir/events.parquet"), Seq("event_type"))),
 
+    // §2#30q local clustering coefficient: closed-wedge share per
+    // node over the embedding-similarity graph — separates genuine
+    // dup clusters (cc→1) from LSH-bucket hubs (cc→0); the q114
+    // triangle plan plus one degree left-join.
+    "q247_clustering_coeff" -> ((s, dir) => {
+      val pairs = operators.Dedup.embeddingPairs(t(s, dir, "embeddings").df)
+        .filter(col("cos") >= 0.1)
+      operators.Graph.clusteringCoefficient(pairs, "vec_a", "vec_b")
+    }),
+
+    // §2#52ae Poisson bootstrap CI for per-type mean value: B=100
+    // content-addressed replicates, multiplicities from integer CDF
+    // thresholds, fan-out map-local collapsing to (group, replicate)
+    // cells — uncertainty at corpus scale without coordinated
+    // resampling.
+    "q248_bootstrap_ci" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .select(col("event_type"), col("value"), col("event_id"))
+      functions.Eval.bootstrapCiMean(ev, "event_type", "value", "event_id")
+    }),
+
     // §2#52ad isotonic (PAV) calibration: the optimal monotone
     // score→probability map via the data-parallel minimax identity —
     // pooled (group, x) cells, bounded pair join under the theilSen
@@ -3318,6 +3339,11 @@ object SparkEntry {
            CASE WHEN n_state < 64 THEN CAST(n_state AS DOUBLE)
                 ELSE round(63.0 * pow(2.0, 60) / CAST(hk AS DOUBLE), 6) END AS est_distinct
          FROM k""",
+
+    "q247_clustering_coeff" -> OracleGen.clusteringSql(minCos = 0.1),
+
+    "q248_bootstrap_ci" -> OracleGen.bootstrapCiSql(
+      "event_type", "value", "event_id", "events"),
 
     "q246_isotonic" ->
       """WITH base AS (

@@ -286,6 +286,82 @@ object Eval {
         round(col("_fit") / unitScaleY.toDouble, 9).as("fit"))
   }
 
+  /** Poisson(1) CDF boundaries scaled to 32-bit hash space — floor(
+    * P(X ≤ k)·2³²) for k = 0..5 — shared verbatim with the SQL oracle
+    * (OracleGen.bootstrapCiSql) so replicate multiplicities are
+    * integer-exact on both engines. P(X > 5) ≈ 6e-4 caps m at 6.
+    */
+  val PoissonThresholds32: Seq[Long] =
+    Seq(1580030168L, 3160060337L, 3950075421L, 4213413783L, 4279248373L, 4292415291L)
+
+  /** Bootstrap confidence interval for the per-group mean via the
+    * POISSON BOOTSTRAP (Chamandy et al., "Estimating Uncertainty for
+    * Massive Data Streams", Google TR 2012; Kleiner's BLB is the
+    * alternative): classical resampling draws n rows WITH replacement
+    * — impossible to coordinate across a shuffled corpus — but each
+    * row's multiplicity in a resample is asymptotically Poisson(1)
+    * INDEPENDENTLY, so replicate r gives every row a multiplicity
+    * m = F⁻¹(u(row, r)) from a content-addressed uniform
+    * (md5(bs|r|id) — the house sampling rule: re-shard-stable,
+    * engine-portable, auditable from SQL). No row ever leaves its
+    * partition: the B-fold replicate fan-out is MAP-LOCAL compute and
+    * collapses to (group, replicate) cells in the partial agg — the
+    * shuffle carries |groups|·B cells, never corpus rows.
+    *
+    * The CI is the percentile-bootstrap interval: exact integer
+    * cross-multiply rank selection over each group's B replicate
+    * means (the weightedPercentile walk over B rows — bounded by
+    * construction). Replicate means are single double divisions of
+    * exact DECIMAL/long sums; multiplicity thresholds are integer
+    * compares ([[PoissonThresholds32]]); outputs round 1e-9.
+    * Output: (group, n, mean, ci_lo, ci_hi) at ± alpha/2 with
+    * alpha = alphaNum/alphaDen (default 5/100 → 2.5%/97.5%).
+    */
+  def bootstrapCiMean(df: DataFrame, groupCol: String, valueCol: String,
+                      idCol: String, b: Int = 100,
+                      unitScale: Long = 1000000L,
+                      alphaNum: Long = 5L, alphaDen: Long = 100L): DataFrame = {
+    require(b >= 2, s"need at least 2 replicates, got $b")
+    require(alphaNum > 0 && alphaNum * 2 < alphaDen,
+      s"alpha must be in (0, 1/2): $alphaNum/$alphaDen")
+    val vq = floor(col(valueCol).cast("double") * unitScale + lit(0.5)).cast("long")
+    val base = df.select(col(groupCol).as("_g"), vq.as("_v"), col(idCol).as("_id"))
+    val h = conv(substring(md5(
+      concat_ws("|", lit("bs"), col("_r"), col("_id").cast("string"))), 1, 8),
+      16, 10).cast("long")
+    val m = PoissonThresholds32.zipWithIndex.foldRight(lit(6L): Column) {
+      case ((t, k), rest) => when(col("_h") < t, k.toLong).otherwise(rest)
+    }
+    val means = base
+      .withColumn("_r", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("_h", h)
+      .withColumn("_m", m)
+      .groupBy(col("_g"), col("_r"))
+      .agg(sum((col("_m").cast("decimal(19,0)") * col("_v")).cast("decimal(38,0)")).as("_sv"),
+           sum(col("_m")).as("_sm"))
+      .filter(col("_sm") > 0)
+      .withColumn("_mean",
+        (col("_sv").cast("double") / col("_sm").cast("double")) / unitScale.toDouble)
+    // exact rank selection over the B replicate means per group
+    val wc = Window.partitionBy(col("_g")).orderBy(col("_mean"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wt = Window.partitionBy(col("_g"))
+    val ranked = means
+      .withColumn("_cum", count(lit(1)).over(wc))
+      .withColumn("_nb", count(lit(1)).over(wt))
+    val lo = ranked.filter(col("_cum") * lit(2L * alphaDen) >= col("_nb") * alphaNum)
+      .groupBy(col("_g")).agg(min(col("_mean")).as("_lo"))
+    val hi = ranked.filter(col("_cum") * lit(2L * alphaDen) >= col("_nb") * (2L * alphaDen - alphaNum))
+      .groupBy(col("_g")).agg(min(col("_mean")).as("_hi"))
+    val overall = base.groupBy(col("_g"))
+      .agg(count(lit(1)).as("n"), sum(col("_v").cast("decimal(38,0)")).as("_s"))
+      .withColumn("mean",
+        round((col("_s").cast("double") / col("n").cast("double")) / unitScale.toDouble, 9))
+    overall.join(lo, Seq("_g")).join(hi, Seq("_g"))
+      .select(col("_g").as(groupCol), col("n"), col("mean"),
+        round(col("_lo"), 9).as("ci_lo"), round(col("_hi"), 9).as("ci_hi"))
+  }
+
   /** Pairwise mutual information (nats) between categorical columns
     * — the feature-redundancy / leakage audit: MI(X;Y) =
     * Σ (c_xy/N)·ln(N·c_xy/(c_x·c_y)). High MI between a feature and

@@ -157,6 +157,54 @@ object Graph {
       tris.agg(count(lit(1)).as("total_triangles"))))
   }
 
+  /** Local clustering coefficient per node: cc(v) = 2·T(v)/(deg(v)·
+    * (deg(v)−1)) — the closed-wedge share, the standard "how clique-
+    * like is this node's neighborhood" signal (Watts–Strogatz): near 1
+    * inside near-duplicate clusters, near 0 on hub/bridge nodes —
+    * which is exactly how it separates genuine dup clusters from
+    * LSH-bucket hubs in the similarity graph that [[triangleCounts]]
+    * only scores globally.
+    *
+    * Same plan as triangleCounts (one persisted symmetrized edge
+    * artifact, (deg,id) orientation, √(2E)-bounded wedge fan-out,
+    * hash-join closure) plus ONE left join of the degree table onto
+    * per-node triangle counts — everything edge-list-sized. Triangle
+    * counts are exact longs; cc is one mirrored double expression
+    * rounded 1e-9; deg < 2 emits NULL (undefined, not zero — a leaf
+    * is not "perfectly unclustered").
+    * Output: (node, deg, n_triangles, cc).
+    */
+  def clusteringCoefficient(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val oriented = edges
+      .join(deg.withColumnRenamed("src", "src_").withColumnRenamed("deg", "ds"),
+        col("src") === col("src_")).drop("src_")
+      .join(deg.withColumnRenamed("src", "dst_").withColumnRenamed("deg", "dd"),
+        col("dst") === col("dst_")).drop("dst_")
+      .filter(col("ds") < col("dd") || (col("ds") === col("dd") && col("src") < col("dst")))
+      .select(col("src"), col("dst"), col("dd").as("dg"))
+    val wedges = oriented.select(col("src").as("a"), col("dst").as("b"), col("dg").as("bg"))
+      .join(oriented.select(col("src").as("a"), col("dst").as("c"), col("dg").as("cg")), Seq("a"))
+      .filter(col("bg") < col("cg") || (col("bg") === col("cg") && col("b") < col("c")))
+      .select("a", "b", "c")
+    val tris = wedges.join(
+      oriented.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
+    val perNode = tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+    val dd = col("deg").cast("double")
+    deg.withColumnRenamed("src", "node")
+      .join(perNode, Seq("node"), "left")
+      .withColumn("n_triangles", coalesce(col("n_triangles"), lit(0L)))
+      .withColumn("cc", when(col("deg") >= 2,
+        round(lit(2.0) * col("n_triangles").cast("double") / (dd * (dd - lit(1.0))), 9)))
+      .select("node", "deg", "n_triangles", "cc")
+  }
+
   /** Resource-allocation link prediction (Zhou–Lü–Zhang): for every
     * non-adjacent pair (u,v) sharing at least one neighbor, the RA
     * index Σ_{w ∈ N(u)∩N(v)} 1/deg(w) — the "which links are missing"
