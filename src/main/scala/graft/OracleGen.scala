@@ -1144,14 +1144,16 @@ object OracleGen {
     val mCase = th.zipWithIndex
       .map { case (t, k) => s"WHEN h < $t THEN $k" }
       .mkString("CASE ", " ", " ELSE 6 END")
+    val aList = (0 until b).map(graft.functions.Hashing.affineA).mkString("[", ", ", "]")
+    val bList = (0 until b).map(graft.functions.Hashing.affineB).mkString("[", ", ", "]")
     s"""WITH base AS (
        SELECT $groupExpr AS g,
          CAST(floor(CAST($valueExpr AS DOUBLE) * $unitScale + 0.5) AS BIGINT) AS v,
-         CAST($idExpr AS VARCHAR) AS id
+         ('0x' || substr(md5('bs|' || CAST($idExpr AS VARCHAR)), 1, 8))::BIGINT % $P AS hb
        FROM $table),
      reps AS (
-       SELECT g, v, id, r.r,
-         ('0x' || substr(md5('bs' || '|' || r.r || '|' || id), 1, 8))::BIGINT AS h
+       SELECT g, v, r.r,
+         (list_extract($aList, r.r + 1) * hb + list_extract($bList, r.r + 1)) % $P AS h
        FROM base CROSS JOIN (SELECT unnest(range(0, $b)) AS r) r),
      mm AS (SELECT g, r, v, $mCase AS m FROM reps),
      means AS (

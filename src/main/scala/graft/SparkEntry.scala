@@ -1419,6 +1419,48 @@ object SparkEntry {
       functions.Sketches.kmvEstimate(
         streaming.Events.streamKmv(s, s"$dir/events.parquet"), Seq("event_type"))),
 
+    // §2#53x Kaplan-Meier time-to-conversion: per-user duration to
+    // first purchase (censored at last observation otherwise), cohort
+    // by user hash — the censoring-aware retention curve; exact log-
+    // survival out (callers exp for display).
+    "q249_survival" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"), col("event_type"))
+      val perUser = ev.groupBy("user_id").agg(
+        min(col("tus")).as("_t0"),
+        min(when(col("event_type") === "purchase", col("tus"))).as("_tc"),
+        max(col("tus")).as("_tm"))
+      val obs = perUser.select(
+        concat(lit("c"), pmod(col("user_id"), lit(3)).cast("string")).as("cohort"),
+        expr("(coalesce(_tc, _tm) - _t0) div 86400000000").as("dur_days"),
+        col("_tc").isNotNull.cast("int").as("converted"))
+      operators.Behavior.survivalCurve(obs, "cohort", "dur_days", "converted")
+    }),
+
+    // §2#53y Markov entropy rate: H(next|state) over the q119
+    // transition counts — the sequence-predictability scalar (low =
+    // scripted/bot-like traffic, high = diverse organic behavior);
+    // exact counts, entropy-rule terms.
+    "q250_markov_entropy" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("tus"), col("event_type"))
+      val tr = operators.Behavior.transitions(ev, "user_id", "tus", "event_type",
+        tieCols = Seq("event_id"))
+      val tot = Window.partitionBy(col("from_type"))
+      val withN = tr.select(col("from_type"), col("to_type"), col("n"))
+        .withColumn("_tot", sum(col("n")).over(tot))
+        .crossJoin(broadcast(tr.agg(sum(col("n")).as("_N"))))
+      withN
+        .withColumn("_term",
+          ((col("n").cast("double") / col("_N").cast("double"))
+            * log(col("n").cast("double") / col("_tot").cast("double")))
+            .cast("decimal(20,9)"))
+        .agg(max(col("_N")).as("n_steps"),
+          countDistinct(col("from_type")).as("n_states"),
+          round(-sum(col("_term")).cast("double"), 6).as("entropy_nats"))
+    }),
+
     // §2#30q local clustering coefficient: closed-wedge share per
     // node over the embedding-similarity graph — separates genuine
     // dup clusters (cc→1) from LSH-bucket hubs (cc→0); the q114
@@ -3339,6 +3381,63 @@ object SparkEntry {
            CASE WHEN n_state < 64 THEN CAST(n_state AS DOUBLE)
                 ELSE round(63.0 * pow(2.0, 60) / CAST(hk AS DOUBLE), 6) END AS est_distinct
          FROM k""",
+
+    "q249_survival" ->
+      """WITH u AS (
+           SELECT user_id, MIN(epoch_us(ts)) AS t0,
+             MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS tc,
+             MAX(epoch_us(ts)) AS tm
+           FROM events GROUP BY 1),
+         obs AS (
+           SELECT 'c' || CAST(user_id % 3 AS VARCHAR) AS g,
+             (COALESCE(tc, tm) - t0) // 86400000000 AS t,
+             CASE WHEN tc IS NOT NULL THEN 1 ELSE 0 END AS e
+           FROM u),
+         cells AS (SELECT g, t, SUM(e) AS d, COUNT(*) AS c FROM obs GROUP BY 1, 2),
+         r AS (
+           SELECT *, SUM(c) OVER (PARTITION BY g)
+             - COALESCE(SUM(c) OVER (PARTITION BY g ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nrisk
+           FROM cells),
+         tm2 AS (
+           SELECT *, CASE WHEN d > 0 AND d < nrisk THEN
+               CAST(ln(CAST(nrisk - d AS DOUBLE) / CAST(nrisk AS DOUBLE)) AS DECIMAL(20,9))
+             END AS term,
+             SUM(CASE WHEN d = nrisk AND d > 0 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY g ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead
+           FROM r),
+         lg AS (
+           SELECT *, SUM(term) OVER (PARTITION BY g ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS logs
+           FROM tm2)
+         SELECT g AS cohort, CAST(t AS BIGINT) AS t, CAST(nrisk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS d_events,
+           CASE WHEN dead = 0 THEN round(CAST(logs AS DOUBLE), 6) END AS log_surv
+         FROM lg WHERE d > 0""",
+
+    "q250_markov_entropy" ->
+      """WITH e AS (
+           SELECT user_id, event_id, epoch_us(ts) AS tus, event_type FROM events),
+         st AS (
+           SELECT event_type AS from_type,
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS to_type
+           FROM e),
+         tc AS (SELECT from_type, to_type, COUNT(*) AS n FROM st
+                WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         w AS (
+           SELECT *, SUM(n) OVER (PARTITION BY from_type) AS tot,
+                     SUM(n) OVER () AS nn
+           FROM tc),
+         terms AS (
+           SELECT nn, from_type,
+             CAST((CAST(n AS DOUBLE) / CAST(nn AS DOUBLE))
+               * ln(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)) AS DECIMAL(20,9)) AS term
+           FROM w)
+         SELECT CAST(MAX(nn) AS BIGINT) AS n_steps,
+           COUNT(DISTINCT from_type) AS n_states,
+           round(-CAST(SUM(term) AS DOUBLE), 6) AS entropy_nats
+         FROM terms""",
 
     "q247_clustering_coeff" -> OracleGen.clusteringSql(minCos = 0.1),
 

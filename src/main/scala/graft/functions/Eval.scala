@@ -286,13 +286,14 @@ object Eval {
         round(col("_fit") / unitScaleY.toDouble, 9).as("fit"))
   }
 
-  /** Poisson(1) CDF boundaries scaled to 32-bit hash space — floor(
-    * P(X ≤ k)·2³²) for k = 0..5 — shared verbatim with the SQL oracle
-    * (OracleGen.bootstrapCiSql) so replicate multiplicities are
-    * integer-exact on both engines. P(X > 5) ≈ 6e-4 caps m at 6.
+  /** Poisson(1) CDF boundaries scaled to the portable affine hash
+    * space — floor(P(X ≤ k)·[[Hashing.PortableP]]) for k = 0..5 —
+    * shared verbatim with the SQL oracle (OracleGen.bootstrapCiSql)
+    * so replicate multiplicities are integer-exact on both engines.
+    * P(X > 5) ≈ 6e-4 caps m at 6.
     */
   val PoissonThresholds32: Seq[Long] =
-    Seq(1580030168L, 3160060337L, 3950075421L, 4213413783L, 4279248373L, 4292415291L)
+    Seq(367879443L, 735758887L, 919698609L, 981011849L, 996340160L, 999405822L)
 
   /** Bootstrap confidence interval for the per-group mean via the
     * POISSON BOOTSTRAP (Chamandy et al., "Estimating Uncertainty for
@@ -314,6 +315,13 @@ object Eval {
     * construction). Replicate means are single double divisions of
     * exact DECIMAL/long sums; multiplicity thresholds are integer
     * compares ([[PoissonThresholds32]]); outputs round 1e-9.
+    *
+    * Hashing cost is ONE md5 per ROW (the native Md5Word kernel),
+    * not per (row, replicate): replicate r's uniform is the r-th
+    * member of the portable affine family over the base hash (the
+    * minhash-signature trick, [[Hashing.affine]]) — B fused
+    * multiply-adds replace B digests (measured 12s → ~3s at sf0.1
+    * with B = 100), and the oracle replays the same literals.
     * Output: (group, n, mean, ci_lo, ci_hi) at ± alpha/2 with
     * alpha = alphaNum/alphaDen (default 5/100 → 2.5%/97.5%).
     */
@@ -325,16 +333,18 @@ object Eval {
     require(alphaNum > 0 && alphaNum * 2 < alphaDen,
       s"alpha must be in (0, 1/2): $alphaNum/$alphaDen")
     val vq = floor(col(valueCol).cast("double") * unitScale + lit(0.5)).cast("long")
-    val base = df.select(col(groupCol).as("_g"), vq.as("_v"), col(idCol).as("_id"))
-    val h = conv(substring(md5(
-      concat_ws("|", lit("bs"), col("_r"), col("_id").cast("string"))), 1, 8),
-      16, 10).cast("long")
+    val base = df.select(col(groupCol).as("_g"), vq.as("_v"),
+      Hashing.portableHash(concat(lit("bs|"), col(idCol).cast("string"))).as("_hb"))
+    val aArr = array((0 until b).map(i => lit(Hashing.affineA(i))): _*)
+    val bArr = array((0 until b).map(i => lit(Hashing.affineB(i))): _*)
+    val u = pmod(element_at(aArr, col("_r") + 1) * col("_hb")
+      + element_at(bArr, col("_r") + 1), lit(Hashing.PortableP))
     val m = PoissonThresholds32.zipWithIndex.foldRight(lit(6L): Column) {
       case ((t, k), rest) => when(col("_h") < t, k.toLong).otherwise(rest)
     }
     val means = base
       .withColumn("_r", explode(sequence(lit(0), lit(b - 1))))
-      .withColumn("_h", h)
+      .withColumn("_h", u)
       .withColumn("_m", m)
       .groupBy(col("_g"), col("_r"))
       .agg(sum((col("_m").cast("decimal(19,0)") * col("_v")).cast("decimal(38,0)")).as("_sv"),

@@ -84,6 +84,59 @@ object Behavior {
         round(col("n_both") * n / (col("ca") * col("cb")), 9).as("lift"))
   }
 
+  /** Kaplan–Meier product-limit survival curve per cohort (Kaplan &
+    * Meier 1958): from (duration, event) observations — event = 1 the
+    * terminal event happened at `duration`, 0 censored there — the
+    * stepwise estimate Ŝ(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ), the standard
+    * time-to-conversion / churn / retention-with-censoring curve
+    * (plain retention #53d silently treats censored users as churned;
+    * KM doesn't).
+    *
+    * Output rows at DEATH times only (the convention: Ŝ steps only
+    * where dᵢ > 0): (group, t, n_risk, d_events, log_surv) with
+    * log_surv = ln Ŝ(t). The LOG survival is the exact deliverable —
+    * each step's ln((nᵢ−dᵢ)/nᵢ) is one IEEE double of exact integer
+    * operands quantized to DECIMAL(20,9) pre-sum (the entropy rule),
+    * so the cumulative sum is order-free and engine-exact; the house
+    * avoids a final exp() (no cross-engine transcendental precedent —
+    * callers exp() for display). A time where everyone at risk dies
+    * (nᵢ = dᵢ, Ŝ hits exactly 0) emits NULL log_surv — documented, not
+    * -inf.
+    *
+    * Scale shape: observations collapse to (group, t) cells in ONE
+    * partial agg; risk sets and the cumulative log walk are two
+    * windows over DISTINCT TIMES per group (the histogram state
+    * argument — never rows).
+    */
+  def survivalCurve(df: DataFrame, groupCol: String, durationCol: String,
+                    eventCol: String): DataFrame = {
+    val cells = df.select(col(groupCol).as("_g"),
+        col(durationCol).cast("long").as("_t"),
+        col(eventCol).cast("int").as("_e"))
+      .groupBy("_g", "_t")
+      .agg(sum(col("_e").cast("long")).as("_d"), count(lit(1)).as("_c"))
+    val wPrev = Window.partitionBy("_g").orderBy("_t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy("_g")
+    val wCum = Window.partitionBy("_g").orderBy("_t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val risked = cells
+      .withColumn("_nrisk",
+        sum(col("_c")).over(wAll) - coalesce(sum(col("_c")).over(wPrev), lit(0L)))
+      .withColumn("_term", when(col("_d") > 0 && col("_d") < col("_nrisk"),
+        log((col("_nrisk") - col("_d")).cast("double") / col("_nrisk").cast("double"))
+          .cast("decimal(20,9)")))
+      // a total-death time poisons every later step to S = 0: carry a
+      // cumulative flag instead of summing a -inf term
+      .withColumn("_dead", sum(when(col("_d") === col("_nrisk") && col("_d") > 0, 1L)
+        .otherwise(0L)).over(wCum))
+      .withColumn("_logS", sum(col("_term")).over(wCum))
+    risked.filter(col("_d") > 0)
+      .select(col("_g").as(groupCol), col("_t").as("t"),
+        col("_nrisk").as("n_risk"), col("_d").as("d_events"),
+        when(col("_dead") === 0, round(col("_logS").cast("double"), 6)).as("log_surv"))
+  }
+
   /** Frequent 3-itemsets by direct map-side enumeration — the triple
     * extension of [[basketLift]]'s pairs: each basket's sorted
     * distinct-item array emits its C(w,3) combinations IN THE MAP

@@ -412,6 +412,42 @@ class EvalOpsSpec extends SparkSpec {
     out.getDouble(4) shouldBe 1.0
   }
 
+  // ---- Kaplan–Meier ----
+
+  test("survivalCurve matches the textbook product-limit estimate with censoring") {
+    import graft.operators.Behavior
+    // classic example: deaths at t=1 (n=10), t=3 (n=7, after 2 censored at 2), ...
+    val obs = Seq(
+      ("g", 1L, 1), ("g", 1L, 1),          // 2 deaths at 1, n=10
+      ("g", 2L, 0), ("g", 2L, 0),          // 2 censored at 2
+      ("g", 3L, 1),                        // 1 death at 3, n=6
+      ("g", 4L, 0),                        // censored
+      ("g", 5L, 1), ("g", 5L, 1),          // 2 deaths at 5, n=4
+      ("g", 6L, 0), ("g", 6L, 0))          // censored tail
+    val out = Behavior.survivalCurve(obs.toDF("g", "t", "e"), "g", "t", "e")
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    out.keySet shouldBe Set(1L, 3L, 5L)
+    out(1L)._1 shouldBe 10L; out(1L)._2 shouldBe 2L
+    out(3L)._1 shouldBe 6L
+    out(5L)._1 shouldBe 4L
+    def q(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val s1 = q(math.log(8.0 / 10.0))
+    val s3 = s1 + q(math.log(5.0 / 6.0))
+    val s5 = s3 + q(math.log(2.0 / 4.0))
+    out(1L)._3 shouldBe (s1 +- 1e-6)
+    out(3L)._3 shouldBe (s3 +- 1e-6)
+    out(5L)._3 shouldBe (s5 +- 1e-6)
+  }
+
+  test("survivalCurve: total-death time emits NULL log_surv (S = 0), not -inf") {
+    import graft.operators.Behavior
+    val obs = Seq(("g", 1L, 1), ("g", 2L, 1)) // everyone dies by t=2
+    val out = Behavior.survivalCurve(obs.toDF("g", "t", "e"), "g", "t", "e")
+      .collect().map(r => r.getLong(1) -> r.isNullAt(4)).toMap
+    out(1L) shouldBe false
+    out(2L) shouldBe true // n_risk = d at t=2 -> S exactly 0
+  }
+
   // ---- content-defined chunking ----
 
   test("cdcChunkDedup: an exact duplicate document deduplicates completely") {
