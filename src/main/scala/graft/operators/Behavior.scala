@@ -514,44 +514,51 @@ object Behavior {
       .distinct().collect().map(_.getString(0)).sorted.toSeq
     ev2.unpersist()
     require(channels.nonEmpty, "removalEffect: no channel states in the event stream")
-    // every removal scenario rides one scenario-keyed frame
-    val scen = ("__FULL__" +: channels).toDF("scenario")
-    val pS = pmat.crossJoin(broadcast(scen))
-      .filter(col("scenario") === "__FULL__" ||
-        (col("from_s") =!= col("scenario") && col("to_s") =!= col("scenario")))
-      .persist()
-    val statesS = pS.select(col("scenario"), col("from_s").as("state")).distinct()
-    val pconv = statesS.join(
-        pS.filter(col("to_s") === "__CONV__")
-          .select(col("scenario"), col("from_s").as("state"), col("p")),
-        Seq("scenario", "state"), "left")
-      .select(col("scenario"), col("state"),
-        coalesce(col("p"), lit(0.0)).cast("decimal(20,10)").as("pconv"))
-      .localCheckpoint()
-    val pT = pS.filter(!col("to_s").isin("__CONV__", "__NULL__"))
-      .select(col("scenario"), col("from_s"), col("to_s"), col("p"))
-      .localCheckpoint()
-    pS.unpersist()
+    // MODEL SIDE ON THE DRIVER: the transition matrix is a ≤(k+3)²-row
+    // artifact (the IVF-centroid / kmeansTrain precedent — corpus work
+    // stays distributed, artifact-sized iteration doesn't schedule 16
+    // cluster rounds of ~100-row joins; measured 5.0s → ~1.3s at
+    // sf0.1). The arithmetic REPLICATES the distributed form bit for
+    // bit — and therefore the unrolled SQL oracle: each term is the
+    // double p·(vu/1e10) cast to DECIMAL(20,10) (JBD.valueOf =
+    // Double.toString = Spark's double→decimal path, HALF_UP), sums
+    // are exact decimal adds, and the round exit (st+pconv)·1e10 is an
+    // integer-valued decimal (longValueExact — loud if ever not).
+    val pRows = pmat.collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
     pmat.unpersist()
-    var v = pconv.select(col("scenario"), col("state"), lit(0L).as("vu")).localCheckpoint()
-    for (_ <- 1 to rounds) {
-      val st = pT.join(v.withColumnRenamed("state", "to_s"), Seq("scenario", "to_s"))
-        .select(col("scenario"), col("from_s").as("state"),
-          (col("p") * (col("vu").cast("double") / lit(1e10))).cast("decimal(20,10)").as("term"))
-        .groupBy("scenario", "state").agg(sum("term").as("st"))
-      v = pconv.join(st, Seq("scenario", "state"), "left")
-        .select(col("scenario"), col("state"),
-          ((coalesce(col("st"), lit(0).cast("decimal(20,10)")) + col("pconv")) *
-            lit(10000000000L)).cast("long").as("vu"))
-        .localCheckpoint()
+    import java.math.{BigDecimal => JBD, RoundingMode => RM}
+    def iterate(scenario: String): Long = {
+      val ps = pRows.filter { case (f, t, _) =>
+        scenario == "__FULL__" || (f != scenario && t != scenario) }
+      val states = ps.map(_._1).distinct
+      val pconvD = states.map { s =>
+        s -> JBD.valueOf(ps.collectFirst {
+          case (`s`, "__CONV__", p) => p }.getOrElse(0.0)).setScale(10, RM.HALF_UP)
+      }.toMap
+      val pt = ps.filter(e => e._2 != "__CONV__" && e._2 != "__NULL__")
+      var vu: Map[String, Long] = states.map(_ -> 0L).toMap
+      for (_ <- 1 to rounds) {
+        val st = pt.groupBy(_._1).map { case (s, es) =>
+          // inner-join semantics of the distributed form: an edge to a
+          // state with no outgoing transitions contributes nothing
+          s -> es.flatMap { case (_, to, p) => vu.get(to).map(v0 =>
+            JBD.valueOf(p * (v0.toDouble / 1e10)).setScale(10, RM.HALF_UP))
+          }.foldLeft(JBD.ZERO)(_.add(_))
+        }
+        vu = states.map { s =>
+          s -> st.getOrElse(s, JBD.ZERO).add(pconvD(s))
+            .multiply(JBD.valueOf(10000000000L)).setScale(0).longValueExact
+        }.toMap
+      }
+      vu("__START__")
     }
-    val pAbs = v.filter(col("state") === "__START__").select(col("scenario"), col("vu"))
-    val uf = pAbs.filter(col("scenario") === "__FULL__").select(col("vu").as("uf"))
-    val re = pAbs.filter(col("scenario") =!= "__FULL__")
-      .crossJoin(broadcast(uf))
-      .select(col("scenario").as("channel"),
-        round((lit(1.0) - col("vu").cast("double") / col("uf").cast("double")) * 1e9, 0)
-          .cast("long").as("re_u"))
+    val ufV = iterate("__FULL__")
+    val reRows = channels.map { c =>
+      val vuC = iterate(c)
+      c -> JBD.valueOf((1.0 - vuC.toDouble / ufV.toDouble) * 1e9)
+        .setScale(0, RM.HALF_UP).longValue
+    }
+    val re = reRows.toDF("channel", "re_u")
     val reTot = re.agg(sum("re_u").as("re_tot"))
     re.crossJoin(broadcast(reTot))
       .select(col("channel"),
