@@ -1419,6 +1419,42 @@ object SparkEntry {
       functions.Sketches.kmvEstimate(
         streaming.Events.streamKmv(s, s"$dir/events.parquet"), Seq("event_type"))),
 
+    // §2#62m incremental join-view maintenance: the delta rule
+    // Δ(A⋈B) = dA⋈(B∪dB) ∪ A⋈dB over insert-only batches — output
+    // scales with the deltas' fan-out, never the view; AQE broadcasts
+    // batch-sized deltas so neither base shuffles.
+    "q251_delta_join" -> ((s, dir) => {
+      val ord = t(s, dir, "orders").df
+        .select(col("o_orderkey").as("okey"), col("o_totalprice"))
+      val li = t(s, dir, "lineitem").df
+        .select(col("l_orderkey").as("okey"), col("l_quantity"), col("l_linenumber"))
+      operators.Upsert.deltaJoin(
+        ord.filter(col("okey") % 10 =!= 0), ord.filter(col("okey") % 10 === 0),
+        li.filter(col("okey") % 7 =!= 0), li.filter(col("okey") % 7 === 0),
+        Seq("okey"))
+    }),
+
+    // §2#53z hot-key-safe trailing windows: the q64 bucket+carry
+    // decomposition applied to q72's time-range frames — per-(key,
+    // bucket) windows with ghosted carry-in rows, result ≡ the plain
+    // per-key sort (THIS gate proves it: same oracle SQL as q72).
+    "q252_trailing_bucketed" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("tus"), col("value"))
+      operators.Rolling.trailingBucketed(ev, "user_id", "tus",
+          300L * 1000000L, "value", bucketWidth = 600L * 1000000L)
+        .select("event_id", "user_id", "tus", "n_win", "sum_win")
+    }),
+
+    // §2#35n average precision @ k: the rank-position-sensitive
+    // retrieval metric beside q192's recall — integer 2520/rank
+    // harmonic arithmetic keeps AP exact across engines.
+    "q253_ap_at_k" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").df
+      operators.Similarity.apAtK(emb, emb.filter(col("vec_id") % 50 === 0), k = 10)
+    }),
+
     // §2#53x Kaplan-Meier time-to-conversion: per-user duration to
     // first purchase (censored at last observation otherwise), cohort
     // by user hash — the censoring-aware retention curve; exact log-
@@ -3381,6 +3417,63 @@ object SparkEntry {
            CASE WHEN n_state < 64 THEN CAST(n_state AS DOUBLE)
                 ELSE round(63.0 * pow(2.0, 60) / CAST(hk AS DOUBLE), 6) END AS est_distinct
          FROM k""",
+
+    "q251_delta_join" ->
+      """WITH ao AS (SELECT o_orderkey AS okey, o_totalprice FROM orders
+                     WHERE o_orderkey % 10 <> 0),
+         ad AS (SELECT o_orderkey AS okey, o_totalprice FROM orders
+                WHERE o_orderkey % 10 = 0),
+         bo AS (SELECT l_orderkey AS okey, l_quantity, l_linenumber FROM lineitem
+                WHERE l_orderkey % 7 <> 0),
+         bd AS (SELECT l_orderkey AS okey, l_quantity, l_linenumber FROM lineitem
+                WHERE l_orderkey % 7 = 0)
+         SELECT ad.okey, ad.o_totalprice, b.l_quantity, b.l_linenumber
+         FROM ad JOIN (SELECT * FROM bo UNION ALL SELECT * FROM bd) b USING (okey)
+         UNION ALL
+         SELECT ao.okey, ao.o_totalprice, bd.l_quantity, bd.l_linenumber
+         FROM ao JOIN bd USING (okey)""",
+
+    "q252_trailing_bucketed" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS tus,
+                      CAST(value AS DECIMAL(18,4)) AS v FROM events)
+         SELECT event_id, user_id, tus,
+           COUNT(*) OVER w AS n_win,
+           CAST(SUM(v) OVER w AS DOUBLE) AS sum_win
+         FROM e
+         WINDOW w AS (PARTITION BY user_id ORDER BY tus
+                      RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW)""",
+
+    "q253_ap_at_k" ->
+      """WITH tk AS (
+           SELECT query_id, neighbor_id, rank FROM (
+             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                          c.vec_id) AS INT) AS rank
+             FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+             WHERE q.vec_id % 50 = 0)
+           WHERE rank <= 10),
+         lab AS (SELECT vec_id, label FROM embeddings),
+         j AS (
+           SELECT t.query_id, t.rank,
+             CASE WHEN ql.label = cl.label THEN 1 ELSE 0 END AS rel
+           FROM tk t
+           JOIN lab ql ON ql.vec_id = t.query_id
+           JOIN lab cl ON cl.vec_id = t.neighbor_id),
+         h AS (
+           SELECT query_id, rank, rel,
+             SUM(rel) OVER (PARTITION BY query_id ORDER BY rank
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hits
+           FROM j),
+         a AS (
+           SELECT query_id, SUM(rel) AS n_rel,
+             SUM(CASE WHEN rel = 1 THEN hits * (2520 // rank) ELSE 0 END) AS num
+           FROM h GROUP BY 1)
+         SELECT query_id, CAST(n_rel AS BIGINT) AS n_rel,
+           CASE WHEN n_rel > 0 THEN
+             round(CAST(num AS DOUBLE) / (2520.0 * CAST(n_rel AS DOUBLE)), 9)
+           ELSE 0.0 END AS ap
+         FROM a""",
 
     "q249_survival" ->
       """WITH u AS (

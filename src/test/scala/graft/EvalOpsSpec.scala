@@ -412,6 +412,28 @@ class EvalOpsSpec extends SparkSpec {
     out.getDouble(4) shouldBe 1.0
   }
 
+  // ---- delta join ----
+
+  test("deltaJoin equals full-view minus old-view as a multiset") {
+    import graft.operators.Upsert
+    val rnd = new scala.util.Random(73)
+    val a = (1 to 300).map(i => (rnd.nextInt(50).toLong, s"a$i"))
+    val b = (1 to 300).map(i => (rnd.nextInt(50).toLong, s"b$i"))
+    val (aOld, aDelta) = a.partition(_._2.hashCode % 5 != 0)
+    val (bOld, bDelta) = b.partition(_._2.hashCode % 7 != 0)
+    def df(s: Seq[(Long, String)], v: String) = s.toDF("k", v)
+    val delta = Upsert.deltaJoin(df(aOld, "va"), df(aDelta, "va"),
+        df(bOld, "vb"), df(bDelta, "vb"), Seq("k"))
+      .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.size).toMap
+    val full = df(a, "va").join(df(b, "vb"), Seq("k"))
+      .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.size).toMap
+    val old = df(aOld, "va").join(df(bOld, "vb"), Seq("k"))
+      .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.size).toMap
+    val expected = full.map { case (r, n) => r -> (n - old.getOrElse(r, 0)) }
+      .filter(_._2 > 0)
+    delta shouldBe expected
+  }
+
   // ---- Kaplan–Meier ----
 
   test("survivalCurve matches the textbook product-limit estimate with censoring") {
