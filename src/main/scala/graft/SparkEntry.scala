@@ -1419,6 +1419,30 @@ object SparkEntry {
       functions.Sketches.kmvEstimate(
         streaming.Events.streamKmv(s, s"$dir/events.parquet"), Seq("event_type"))),
 
+    // §2#62n timestamp time travel: Delta's timestampAsOf over the
+    // manifest layer — commit times strictly monotonic by protocol, so
+    // "the table as of ts" resolves unambiguously; probes at v2's
+    // commit, just before v3's, and at v3's.
+    "q254_tx_timetravel" -> ((s, dir) => {
+      val table = sidePath("graft_txt", dir)
+      val ord = t(s, dir, "orders").df
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      sources.TxTable.drop(s, table)
+      sources.TxTable.commit(ord.filter(col("o_orderpriority") === "1-URGENT"), table)
+      sources.TxTable.commit(ord.filter(col("o_orderpriority") === "2-HIGH"), table)
+      sources.TxTable.commit(ord.filter(col("o_orderpriority") === "5-LOW"), table, "overwrite")
+      def probe(tag: String, tsMs: Long) =
+        sources.TxTable.readAsOf(s, table, tsMs)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
+          .select(lit(tag).as("probe"), col("n_rows"), col("sum_price"))
+      val t2 = sources.TxTable.commitMsOf(s, table, 2)
+      val t3 = sources.TxTable.commitMsOf(s, table, 3)
+      probe("at_v2", t2)
+        .unionByName(probe("before_v3", t3 - 1))
+        .unionByName(probe("at_v3", t3))
+    }),
+
     // §2#62m incremental join-view maintenance: the delta rule
     // Δ(A⋈B) = dA⋈(B∪dB) ∪ A⋈dB over insert-only batches — output
     // scales with the deltas' fan-out, never the view; AQE broadcasts
@@ -3417,6 +3441,21 @@ object SparkEntry {
            CASE WHEN n_state < 64 THEN CAST(n_state AS DOUBLE)
                 ELSE round(63.0 * pow(2.0, 60) / CAST(hk AS DOUBLE), 6) END AS est_distinct
          FROM k""",
+
+    "q254_tx_timetravel" ->
+      """SELECT 'at_v2' AS probe, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+         FROM read_parquet(['/tmp/graft_txt___SFTAG__/data/v1_*.parquet',
+                            '/tmp/graft_txt___SFTAG__/data/v2_*.parquet'])
+         UNION ALL
+         SELECT 'before_v3', COUNT(*),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+         FROM read_parquet(['/tmp/graft_txt___SFTAG__/data/v1_*.parquet',
+                            '/tmp/graft_txt___SFTAG__/data/v2_*.parquet'])
+         UNION ALL
+         SELECT 'at_v3', COUNT(*),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+         FROM read_parquet('/tmp/graft_txt___SFTAG__/data/v3_*.parquet')""",
 
     "q251_delta_join" ->
       """WITH ao AS (SELECT o_orderkey AS okey, o_totalprice FROM orders

@@ -130,7 +130,14 @@ object TxTable {
     f.delete(tmp, true)
     val carried = if (op == "append" && v > 1) filesOf(spark, table, v - 1) else Seq.empty
     val all = carried ++ named
-    val json = s"""{"version":$v,"op":"$op","n_files":${all.size},""" +
+    // commit time, STRICTLY MONOTONIC over the parent (Delta's
+    // timestamp-as-of contract: two commits landing in the same wall
+    // millisecond must still resolve distinctly — max(now, parent+1))
+    val parentMs = if (v > 1)
+      try commitMsOf(spark, table, v - 1) catch { case _: Throwable => 0L }
+    else 0L
+    val ts = math.max(System.currentTimeMillis(), parentMs + 1L)
+    val json = s"""{"version":$v,"op":"$op","commit_ms":$ts,"n_files":${all.size},""" +
       s""""files":[${all.map("\"" + _ + "\"").mkString(",")}]}"""
     val mp = manifestPath(table, v)
     f.mkdirs(mp.getParent)
@@ -184,6 +191,31 @@ object TxTable {
   def opOf(spark: SparkSession, table: String, v: Int): String =
     "\"op\":\"(.*?)\"".r.findFirstMatchIn(manifestText(spark, table, v))
       .getOrElse(sys.error(s"TxTable: malformed manifest v$v at $table")).group(1)
+
+  /** Commit time (epoch ms) of version `v` — strictly increasing with
+    * the version by the commit protocol. Pre-timestamp manifests read
+    * as 0 (epoch) so an old table stays time-travelable to "ever".
+    */
+  def commitMsOf(spark: SparkSession, table: String, v: Int): Long =
+    "\"commit_ms\":(\\d+)".r.findFirstMatchIn(manifestText(spark, table, v))
+      .map(_.group(1).toLong).getOrElse(0L)
+
+  /** Timestamp time travel (Delta's `timestampAsOf`): the snapshot the
+    * table showed at `tsMs` — the LARGEST live version whose commit
+    * time is ≤ tsMs. Strict commit-time monotonicity (enforced at
+    * commit) makes the resolution unambiguous even for commits landing
+    * in the same wall millisecond. Refuses loudly before the first
+    * commit rather than returning an empty frame.
+    */
+  def readAsOf(spark: SparkSession, table: String, tsMs: Long): DataFrame = {
+    val vs = liveVersions(spark, table)
+    require(vs.nonEmpty, s"TxTable: no versions at $table")
+    val at = vs.filter(v => commitMsOf(spark, table, v) <= tsMs)
+    require(at.nonEmpty,
+      s"TxTable: no version of $table existed at ts=$tsMs " +
+      s"(earliest commit ${commitMsOf(spark, table, vs.min)})")
+    readVersion(spark, table, at.max)
+  }
 
   /** The version history as a DataFrame — (version, op, n_files).
     * Expired versions no longer appear.

@@ -165,4 +165,24 @@ class TxTableSpec extends SparkSpec {
     TxTable.read(spark, table).collect().map(_.getLong(0)) shouldBe Seq(1L)
     TxTable.orphans(spark, table) should contain("data/stray.parquet")
   }
+
+  test("commit times are strictly monotonic; readAsOf resolves boundaries exactly") {
+    val table = freshTable()
+    TxTable.commit(Seq((1L, "a")).toDF("id", "s"), table)
+    TxTable.commit(Seq((2L, "b")).toDF("id", "s"), table)
+    TxTable.commit(Seq((9L, "z")).toDF("id", "s"), table, op = "overwrite")
+    val ts = (1 to 3).map(v => TxTable.commitMsOf(spark, table, v))
+    ts.sliding(2).foreach { case Seq(a, b) => assert(a < b) } // strict, even same-ms commits
+    // at v2's commit time: v1+v2 content
+    TxTable.readAsOf(spark, table, ts(1)).collect().map(_.getLong(0)).sorted shouldBe Seq(1L, 2L)
+    // one ms before v3: still v2's snapshot
+    TxTable.readAsOf(spark, table, ts(2) - 1).collect().map(_.getLong(0)).sorted shouldBe Seq(1L, 2L)
+    // at/after v3: the overwrite
+    TxTable.readAsOf(spark, table, ts(2) + 1000).collect().map(_.getLong(0)) shouldBe Seq(9L)
+    // before the first commit: loud refusal, not an empty frame
+    val ex = intercept[IllegalArgumentException] {
+      TxTable.readAsOf(spark, table, ts(0) - 1)
+    }
+    ex.getMessage should include("existed at ts")
+  }
 }
