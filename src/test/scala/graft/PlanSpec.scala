@@ -777,4 +777,43 @@ class PlanSpec extends SparkSpec {
     p should include("partial_count")
     p should include("BroadcastNestedLoopJoin") // the 1-row totals cross join
   }
+
+  test("q243 triples: combinations explode map-side — no corpus self-join anywhere") {
+    val p = plan("q243_frequent_triples")
+    p should include("Generate explode")
+    (p should not).include("SortMergeJoin")
+    p should include("partial_count") // triple supports combine before the exchange
+  }
+
+  test("q248 bootstrap: replicate fan-out is map-local; windows only over the B means per group") {
+    val p = plan("q248_bootstrap_ci")
+    p should include("partial_sum") // (group, replicate) cells combine map-side
+    p.linesIterator.filter(_.contains("windowspecdefinition")).foreach { l =>
+      l should include("windowspecdefinition(_g") // never a global row window
+    }
+  }
+
+  test("q249 survival: risk sets and the log walk are group-partitioned distinct-time windows") {
+    val p = plan("q249_survival")
+    p.linesIterator.filter(_.contains("windowspecdefinition")).foreach { l =>
+      l should include("windowspecdefinition(_g")
+    }
+    p should include("partial_sum") // (group, t) cells combine map-side
+  }
+
+  test("q252 bucketed trailing: every frame window is (key, bucket)-partitioned, never per-key global") {
+    val p = plan("q252_trailing_bucketed")
+    val frames = p.linesIterator.filter(l =>
+      l.contains("windowspecdefinition") && l.contains("RangeFrame")).toSeq
+    frames should not be empty
+    frames.foreach(_ should include("_b"))
+  }
+
+  test("q246 isotonic: all windows are group- (or group,j-) partitioned; corpus collapses to cells first") {
+    val p = plan("q246_isotonic")
+    p.linesIterator.filter(_.contains("windowspecdefinition")).foreach { l =>
+      l should include("windowspecdefinition(_g")
+    }
+    p should include("partial_sum") // the (group, x) pooling agg
+  }
 }
