@@ -1419,6 +1419,17 @@ object SparkEntry {
       functions.Sketches.kmvEstimate(
         streaming.Events.streamKmv(s, s"$dir/events.parquet"), Seq("event_type"))),
 
+    // §2#60f CDF probes on the quantile state: "what share of values
+    // sit at or below x" read off the standing dyadic bins — the
+    // inverse of q227's quantileOf; probe bins computed with the
+    // state's own arithmetic, constant-folded.
+    "q255_quantile_cdf" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .select(col("event_type"), col("value"))
+      val st = functions.Sketches.quantileState(ev, Seq("event_type"), "value")
+      functions.Sketches.cdfOf(st, Seq("event_type"), Seq(25.0, 50.0, 100.0))
+    }),
+
     // §2#62n timestamp time travel: Delta's timestampAsOf over the
     // manifest layer — commit times strictly monotonic by protocol, so
     // "the table as of ts" resolves unambiguously; probes at v2's
@@ -3441,6 +3452,32 @@ object SparkEntry {
            CASE WHEN n_state < 64 THEN CAST(n_state AS DOUBLE)
                 ELSE round(63.0 * pow(2.0, 60) / CAST(hk AS DOUBLE), 6) END AS est_distinct
          FROM k""",
+
+    "q255_quantile_cdf" ->
+      """WITH e AS (
+           SELECT event_type, CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS q
+           FROM events),
+         bnn AS (
+           SELECT event_type,
+             (CASE WHEN q < 0 THEN -1 ELSE 1 END)
+               * ((abs(q) // CAST(pow(2, GREATEST(0, length(bin(abs(q))) - 6)) AS BIGINT))
+                  * CAST(pow(2, GREATEST(0, length(bin(abs(q))) - 6)) AS BIGINT)) AS bin
+           FROM e),
+         st AS (SELECT event_type, bin, COUNT(*) AS cnt FROM bnn GROUP BY 1, 2),
+         pb AS (
+           SELECT CAST(probe AS DOUBLE) AS probe,
+             (CASE WHEN q < 0 THEN -1 ELSE 1 END)
+               * ((abs(q) // CAST(pow(2, GREATEST(0, length(bin(abs(q))) - 6)) AS BIGINT))
+                  * CAST(pow(2, GREATEST(0, length(bin(abs(q))) - 6)) AS BIGINT)) AS pbin
+           FROM (SELECT probe, CAST(floor(CAST(probe AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
+                 FROM (SELECT unnest([25.0, 50.0, 100.0]) AS probe)))
+         SELECT s.event_type, pb.probe,
+           CAST(SUM(CASE WHEN s.bin <= pb.pbin THEN s.cnt ELSE 0 END) AS BIGINT) AS n_le,
+           CAST(SUM(s.cnt) AS BIGINT) AS n,
+           round(CAST(SUM(CASE WHEN s.bin <= pb.pbin THEN s.cnt ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(s.cnt) AS DOUBLE), 9) AS cdf
+         FROM st s CROSS JOIN pb
+         GROUP BY 1, 2""",
 
     "q254_tx_timetravel" ->
       """SELECT 'at_v2' AS probe, COUNT(*) AS n_rows,

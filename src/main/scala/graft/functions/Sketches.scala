@@ -347,6 +347,41 @@ object Sketches {
     bottomK(all, keys, k)
   }
 
+  /** Inverse-quantile (CDF) probes against a [[quantileState]]: the
+    * fraction of absorbed rows at or below each probe value — "what
+    * share of requests beat the 200ms SLO" read straight off the
+    * standing state, no corpus rescan. The probe maps to its dyadic
+    * bin with the SAME arithmetic the state used (Column expressions
+    * over the literal, constant-folded — bit-identical by
+    * construction, mirrored by the oracle), so the answer is exact at
+    * the state's 2^-subBits resolution: rows in bins bounded ≤ the
+    * probe's bin count as ≤.
+    *
+    * Scale shape: one conditional partial agg over the BIN TABLE per
+    * probe (state-sized, never rows).
+    * Output: (keys…, probe, n_le, n, cdf).
+    */
+  def cdfOf(state: DataFrame, keys: Seq[String], probes: Seq[Double],
+            unitScale: Long = 1000000L, subBits: Int = 5): DataFrame = {
+    require(probes.nonEmpty, "cdfOf: need at least one probe")
+    def binOf(v: Column): Column = {
+      val q = floor(v.cast("double") * unitScale + lit(0.5)).cast("long")
+      val a = abs(q)
+      val s = greatest(lit(0), length(bin(a)) - lit(1 + subBits))
+      val p2 = pow(lit(2.0), s).cast("long") // 2^s exact in double
+      (when(q < 0, -1L).otherwise(1L)) *
+        (((a - pmod(a, p2)) / p2).cast("long") * p2) // a div p2, exact multiple
+    }
+    probes.map { p =>
+      val pbin = binOf(lit(p))
+      state.groupBy(keys.map(col): _*)
+        .agg(sum(when(col("bin") <= pbin, col("cnt")).otherwise(lit(0L))).as("n_le"),
+             sum(col("cnt")).as("n"))
+        .select(keys.map(col) ++ Seq(lit(p).as("probe"), col("n_le"), col("n"),
+          round(col("n_le").cast("double") / col("n").cast("double"), 9).as("cdf")): _*)
+    }.reduce(_.unionByName(_))
+  }
+
   /** Set-operation estimates from two KMV states (Beyer et al.
     * SIGMOD'07 §4): the k-min set of A∪B is itself the union's KMV
     * (bottom-k of a union = bottom-k of the two bottom-k's — the

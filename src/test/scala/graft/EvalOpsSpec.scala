@@ -412,6 +412,26 @@ class EvalOpsSpec extends SparkSpec {
     out.getDouble(4) shouldBe 1.0
   }
 
+  // ---- quantile-state CDF probes ----
+
+  test("cdfOf is monotone in the probe and exact at the state's resolution") {
+    val rnd = new scala.util.Random(79)
+    val rows = (1 to 5000).map(_ => ("g", rnd.nextDouble() * 200))
+    val st = Sketches.quantileState(rows.toDF("g", "v"), Seq("g"), "v")
+    val probes = Seq(10.0, 50.0, 100.0, 150.0, 500.0)
+    val out = Sketches.cdfOf(st, Seq("g"), probes)
+      .collect().map(r => r.getDouble(1) -> (r.getLong(2), r.getDouble(4))).toMap
+    val cdfs = probes.map(out(_)._2)
+    cdfs.sliding(2).foreach { case Seq(a, b) => assert(a <= b) }
+    out(500.0) shouldBe ((5000L, 1.0)) // above the max: everything
+    // within the 2^-5 relative-resolution band of the true CDF
+    for (p <- probes.init) {
+      val truth = rows.count(_._2 <= p).toDouble / rows.size
+      assert(math.abs(out(p)._2 - truth) < 0.06,
+        s"cdf($p)=${out(p)._2} vs truth $truth")
+    }
+  }
+
   // ---- delta join ----
 
   test("deltaJoin equals full-view minus old-view as a multiset") {
