@@ -553,6 +553,13 @@ object Behavior {
       vu("__START__")
     }
     val ufV = iterate("__FULL__")
+    // ufV = 0 means no conversion mass reaches __START__ (e.g. every
+    // journey abandons within `rounds` steps): removal shares would be
+    // 0/0. Refuse loudly (the theilSen house rule) instead of the
+    // NaN→NumberFormatException crash the division would produce.
+    require(ufV != 0L,
+      "removalEffect: the full graph absorbs zero conversion mass from __START__ " +
+      s"within $rounds rounds — no conversions to attribute; nothing to credit")
     val reRows = channels.map { c =>
       val vuC = iterate(c)
       c -> JBD.valueOf((1.0 - vuC.toDouble / ufV.toDouble) * 1e9)

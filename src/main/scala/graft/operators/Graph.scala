@@ -323,19 +323,27 @@ object Graph {
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lab = labels.select(col(nodeCol).as("_ln"), col(communityCol).as("_lc"))
-    def comm(end: String) = coalesce(col("_lc"), col(end)) // singleton fallback
+    // Singleton fallback keys are TYPE-TAGGED ("L:" label vs "N:" node)
+    // so an unlabeled node whose id happens to equal an existing
+    // community label (common: labelPropagation/components emit
+    // communities that ARE node ids) stays a genuine singleton instead
+    // of silently merging into that community and skewing d_tot/e_in.
+    // The tag is internal — the output carries counts, never keys.
+    def ckey(labC: org.apache.spark.sql.Column,
+             nodeC: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      coalesce(concat(lit("L:"), labC), concat(lit("N:"), nodeC))
     // degree sum per community: explode endpoints, count, label
     val dC = e.select(col("a").as("_nd")).unionByName(e.select(col("b").as("_nd")))
       .groupBy(col("_nd")).agg(count(lit(1)).as("_deg"))
       .join(lab.withColumnRenamed("_ln", "_nd"), Seq("_nd"), "left")
-      .groupBy(coalesce(col("_lc"), col("_nd")).as("_c"))
+      .groupBy(ckey(col("_lc"), col("_nd")).as("_c"))
       .agg(sum("_deg").as("d_tot"), count(lit(1)).as("n_nodes"))
     // internal edges per community: both endpoints in the same label
     val eC = e
       .join(lab.select(col("_ln").as("a"), col("_lc").as("_ca")), Seq("a"), "left")
       .join(lab.select(col("_ln").as("b"), col("_lc").as("_cb")), Seq("b"), "left")
-      .filter(coalesce(col("_ca"), col("a")) === coalesce(col("_cb"), col("b")))
-      .groupBy(coalesce(col("_ca"), col("a")).as("_c"))
+      .filter(ckey(col("_ca"), col("a")) === ckey(col("_cb"), col("b")))
+      .groupBy(ckey(col("_ca"), col("a")).as("_c"))
       .agg(count(lit(1)).as("e_in"))
     val m = e.count() // materializes the persisted edge list
     val dm = lit(m).cast("double")

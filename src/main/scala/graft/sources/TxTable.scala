@@ -47,7 +47,65 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * keeps racing writers from colliding on a NAME before exactly one
   * of them wins the manifest race (Delta's GUID-name rule).
   */
+/** Atomic manifest publish — the ONE store-specific step in the commit
+  * protocol (the "atomic rename / conditional put" point of the Delta
+  * paper). An implementation must make the manifest visible
+  * all-or-nothing (no reader may ever observe a partial manifest) and
+  * return false IFF the version path already exists — i.e. another
+  * writer won the version race. Everything else in the protocol
+  * (scratch writes, versioned names, carried file lists, monotonic
+  * timestamps) is store-agnostic and lives in [[TxTable.commitAs]].
+  *
+  * Shipped impls: [[LocalLinkCommitter]] (file:// — hard-link claim)
+  * and [[AtomicCreateCommitter]] (HDFS-likes — create(overwrite =
+  * false) is atomic there). An object store needs its conditional put
+  * (S3 `If-None-Match: *`, GCS `ifGenerationMatch=0`); this seam is
+  * where that impl plugs in without touching the protocol.
+  */
+private[graft] trait TxCommitter {
+  /** @return true if this writer won version `mp`; false on conflict */
+  def publish(f: FileSystem, mp: Path, json: String, nonce: String): Boolean
+}
+
+/** Hadoop's LOCAL create(overwrite=false) is exists-then-create — a
+  * TOCTOU window two racing writers really do hit (caught by the
+  * 8-writer stress spec). The atomic local protocol: write the
+  * manifest COMPLETE to a hidden temp, then claim the version with a
+  * HARD LINK — link(2) fails EEXIST atomically and the published file
+  * is whole from its first instant.
+  */
+private[graft] object LocalLinkCommitter extends TxCommitter {
+  def publish(f: FileSystem, mp: Path, json: String, nonce: String): Boolean = {
+    val dir = java.nio.file.Paths.get(mp.getParent.toUri.getPath)
+    val tmpM = dir.resolve(s".${mp.getName.stripSuffix(".json")}.$nonce.tmp")
+    java.nio.file.Files.write(tmpM, json.getBytes("UTF-8"))
+    try { java.nio.file.Files.createLink(dir.resolve(mp.getName), tmpM); true }
+    catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    finally java.nio.file.Files.deleteIfExists(tmpM)
+  }
+}
+
+/** HDFS-likes: create(overwrite=false) IS an atomic namespace op. */
+private[graft] object AtomicCreateCommitter extends TxCommitter {
+  def publish(f: FileSystem, mp: Path, json: String, nonce: String): Boolean = {
+    val out = try f.create(mp, false) catch {
+      case _: java.io.IOException => return false
+    }
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+    true
+  }
+}
+
 object TxTable {
+
+  /** Test/extension hook: force a specific committer (e.g. a double
+    * proving the conflict path, or a future object-store impl).
+    */
+  @volatile private[graft] var committerOverride: Option[TxCommitter] = None
+
+  private def committerFor(f: FileSystem): TxCommitter =
+    committerOverride.getOrElse(
+      if (f.getScheme == "file") LocalLinkCommitter else AtomicCreateCommitter)
 
   private def fs(spark: SparkSession, p: String): FileSystem =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -107,10 +165,36 @@ object TxTable {
     * the head read and the manifest create, so tests (and a future
     * retry loop) drive this directly with a chosen target version.
     */
+  /** Normalized (name, type) schema fingerprint: order- and
+    * nullability-insensitive (parquet resolves columns by name; a
+    * reordered append round-trips losslessly), type-strict.
+    */
+  private def schemaKey(s: org.apache.spark.sql.types.StructType): Seq[(String, String)] =
+    s.fields.map(fd => (fd.name, fd.dataType.sql)).sortBy(_._1).toSeq
+
   private[graft] def commitAs(df: DataFrame, table: String, v: Int, op: String): Int = {
     require(op == "append" || op == "overwrite" || op == "compact", s"unknown op $op")
     val spark = df.sparkSession
     val f = fs(spark, table)
+    // APPEND SCHEMA GATE: an append commit carries the parent's files
+    // forward, and `readVersion` hands Spark the mixed file set with
+    // parquet's sampled-footer schema — an incompatible append would
+    // commit a snapshot that silently reads with whichever footer is
+    // sampled (late-added columns can vanish without an error). Refuse
+    // LOUDLY before any distributed work; schema changes go through an
+    // explicit `overwrite` (or a future schema-evolved manifest).
+    // One footer read of the parent's first file — metadata-scale.
+    if (op == "append" && v > 1) {
+      val parentFiles = filesOf(spark, table, v - 1)
+      if (parentFiles.nonEmpty) {
+        val parent = spark.read.parquet(s"$table/${parentFiles.head}").schema
+        require(schemaKey(parent) == schemaKey(df.schema),
+          s"TxTable: append schema mismatch at $table v$v — parent snapshot has " +
+          s"${schemaKey(parent).map(p => p._1 + ":" + p._2).mkString("[", ", ", "]")} but the " +
+          s"appended frame has ${schemaKey(df.schema).map(p => p._1 + ":" + p._2).mkString("[", ", ", "]")}; " +
+          "schema changes require op=\"overwrite\"")
+      }
+    }
     // distributed data write to a WRITER-UNIQUE scratch dir (two
     // writers racing to the same version must not clobber each
     // other's in-flight part files — the nonce that de-collides the
@@ -133,8 +217,13 @@ object TxTable {
     // commit time, STRICTLY MONOTONIC over the parent (Delta's
     // timestamp-as-of contract: two commits landing in the same wall
     // millisecond must still resolve distinctly — max(now, parent+1))
+    // Only the EXPECTED miss (parent manifest expired by
+    // expireVersions) resets the baseline to epoch; anything else —
+    // OOM, interrupts, a corrupt manifest — must propagate, not
+    // silently zero the monotonicity floor.
     val parentMs = if (v > 1)
-      try commitMsOf(spark, table, v - 1) catch { case _: Throwable => 0L }
+      try commitMsOf(spark, table, v - 1)
+      catch { case _: java.io.FileNotFoundException => 0L }
     else 0L
     val ts = math.max(System.currentTimeMillis(), parentMs + 1L)
     val json = s"""{"version":$v,"op":"$op","commit_ms":$ts,"n_files":${all.size},""" +
@@ -144,28 +233,7 @@ object TxTable {
     def conflict(): Nothing =
       sys.error(s"TxTable: commit conflict — version $v at $table was " +
         "published by another writer; re-read and retry")
-    if (f.getScheme == "file") {
-      // Hadoop's LOCAL create(overwrite=false) is exists-then-create —
-      // a TOCTOU window two racing writers really do hit (caught by
-      // the 8-writer stress spec). The atomic local protocol: write
-      // the manifest COMPLETE to a hidden temp, then claim the version
-      // with a HARD LINK — link(2) fails EEXIST atomically and the
-      // published file is whole from its first instant (no
-      // partially-written manifest is ever visible).
-      val dir = java.nio.file.Paths.get(mp.getParent.toUri.getPath)
-      val tmpM = dir.resolve(s".v$v.$nonce.tmp")
-      java.nio.file.Files.write(tmpM, json.getBytes("UTF-8"))
-      try java.nio.file.Files.createLink(dir.resolve(mp.getName), tmpM)
-      catch { case _: java.nio.file.FileAlreadyExistsException => conflict() }
-      finally java.nio.file.Files.deleteIfExists(tmpM)
-    } else {
-      // HDFS-likes: create(overwrite=false) IS atomic there; object
-      // stores need their conditional put (documented above)
-      val out = try f.create(mp, false) catch {
-        case _: java.io.IOException => conflict()
-      }
-      try out.write(json.getBytes("UTF-8")) finally out.close()
-    }
+    if (!committerFor(f).publish(f, mp, json, nonce)) conflict()
     v
   }
 
@@ -332,13 +400,46 @@ object TxTable {
       .filterNot(referenced).sorted.toSeq
   }
 
-  /** Delete every orphan data file (failed/lost-race commits). Live
-    * manifests are never touched, so this is always safe to run — the
-    * standing maintenance job. Returns the deleted relative paths.
+  /** Target version encoded in a data-file name (`v<N>_<i>_<nonce>`),
+    * None for files the commit protocol didn't name.
     */
-  def vacuum(spark: SparkSession, table: String): Seq[String] = {
+  private def fileVersion(name: String): Option[Int] =
+    "^v(\\d+)_".r.findFirstMatchIn(name).map(_.group(1).toInt)
+
+  /** Delete orphan data files (failed/lost-race commits, pruned
+    * history) — the standing maintenance job. Returns the deleted
+    * relative paths.
+    *
+    * An unreferenced file is NOT proof of a dead file: `commitAs`
+    * renames data files into `data/` BEFORE publishing the manifest,
+    * so every in-flight commit's files are momentarily orphans by the
+    * listing's lights — an unguarded vacuum racing a commit would
+    * delete files whose manifest is about to publish, corrupting that
+    * version unreadably. Two independent guards close the window
+    * (Delta's retention-window idea, plus what our versioned names
+    * make possible):
+    *  - IN-FLIGHT SKIP: a file whose encoded target version exceeds
+    *    the current head belongs to a commit that hasn't published
+    *    yet — never touched, regardless of age. (If that writer
+    *    crashed, its files are reclaimed as soon as a later commit
+    *    advances the head past their version.)
+    *  - AGE GATE: only files at least `minAgeMs` old are deleted
+    *    (default 24 h), covering clock-skewed stores and the loser of
+    *    a same-version race whose files carry version ≤ head. Pass 0
+    *    only when no commit can be concurrently in flight.
+    */
+  def vacuum(spark: SparkSession, table: String,
+             minAgeMs: Long = 24L * 3600 * 1000): Seq[String] = {
+    require(minAgeMs >= 0, s"minAgeMs must be >= 0, got $minAgeMs")
     val f = fs(spark, table)
-    val dead = orphans(spark, table)
+    val head = currentVersion(spark, table)
+    val now = System.currentTimeMillis()
+    val dead = orphans(spark, table).filter { rel =>
+      val inFlight = fileVersion(rel.stripPrefix("data/")).exists(_ > head)
+      !inFlight && (try {
+        now - f.getFileStatus(new Path(s"$table/$rel")).getModificationTime >= minAgeMs
+      } catch { case _: java.io.FileNotFoundException => false }) // a racing vacuum got it
+    }
     dead.foreach(rel => f.delete(new Path(s"$table/$rel"), false))
     dead
   }

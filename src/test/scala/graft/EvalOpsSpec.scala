@@ -194,6 +194,21 @@ class EvalOpsSpec extends SparkSpec {
     r.getLong(1) shouldBe 3L
   }
 
+  test("modularity: an unlabeled node whose id equals a community label stays a singleton") {
+    // labels emit community 9 for {1,2}; node 9 itself is UNLABELED —
+    // an untagged coalesce fallback would silently merge node 9 into
+    // community 9, skewing d_tot (regression for the round-6 advice)
+    val pairs = Seq((1L, 2L), (9L, 3L)).toDF("a", "b")
+    val labels = Seq((1L, 9L), (2L, 9L)).toDF("node", "community")
+    val r = Graph.modularity(pairs, "a", "b", labels).collect().head
+    r.getLong(0) shouldBe 2L
+    // {1,2} labeled + singleton 9 + singleton 3 = three communities
+    r.getLong(1) shouldBe 3L
+    // community {1,2}: e=1, d=2 → 1/2 − (2/4)² = 0.25; singletons 9,3:
+    // e=0, d=1 each → −(1/4)² twice = −0.125; Q = 0.125
+    r.getDouble(2) shouldBe (0.125 +- 1e-6)
+  }
+
   // ---- KMV ----
 
   test("kmvState merge of shard states is bit-identical to the direct build") {

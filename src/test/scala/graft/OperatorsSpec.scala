@@ -1151,6 +1151,21 @@ class OperatorsSpec extends SparkSpec {
     out2("click") should be > out2("view")
   }
 
+  test("removalEffect refuses loudly when no conversion mass reaches __START__") {
+    import spark.implicits._
+    import graft.operators.Behavior
+    // journeys that never convert: ufV would be 0 and every share 0/0
+    val ev = Seq(
+      (1L, 1L, 10L, "view", 0.0), (1L, 2L, 20L, "error", 0.0),
+      (2L, 3L, 10L, "view", 0.0)
+    ).toDF("user_id", "event_id", "tus", "event_type", "value")
+    val ex = intercept[IllegalArgumentException] {
+      Behavior.removalEffect(ev, "user_id", "tus", "event_type",
+        "purchase", "value", tieCols = Seq("event_id"), rounds = 16).collect()
+    }
+    ex.getMessage should include("zero conversion mass")
+  }
+
   test("diffSnapshots classifies added/removed/changed/same; null payloads compare null-safe") {
     import spark.implicits._
     import graft.operators.Upsert

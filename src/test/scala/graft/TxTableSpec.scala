@@ -130,11 +130,29 @@ class TxTableSpec extends SparkSpec {
     val table = freshTable()
     TxTable.commit(Seq((1L, "a")).toDF("id", "s"), table) shouldBe 1
     TxTable.commit(Seq((2L, "b")).toDF("id", "s"), table) shouldBe 2
-    // plant a lost-race orphan
+    // plant a lost-race orphan (version ≤ head → a genuinely dead file)
     java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"$table/data/v9_0_deadbeef.parquet"), Array[Byte](1))
-    TxTable.vacuum(spark, table) shouldBe Seq("data/v9_0_deadbeef.parquet")
-    new java.io.File(s"$table/data/v9_0_deadbeef.parquet").exists() shouldBe false
+      java.nio.file.Paths.get(s"$table/data/v1_9_deadbeef.parquet"), Array[Byte](1))
+    // ...and an in-flight commit's file (version > head): protected
+    // from vacuum REGARDLESS of age — its manifest may be about to
+    // publish
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$table/data/v9_0_inflight.parquet"), Array[Byte](1))
+    TxTable.vacuum(spark, table, minAgeMs = 0) shouldBe Seq("data/v1_9_deadbeef.parquet")
+    new java.io.File(s"$table/data/v1_9_deadbeef.parquet").exists() shouldBe false
+    new java.io.File(s"$table/data/v9_0_inflight.parquet").exists() shouldBe true
+    // under the default 24h age gate a FRESH dead file survives too
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$table/data/v1_8_fresh.parquet"), Array[Byte](1))
+    TxTable.vacuum(spark, table) shouldBe Seq.empty
+    // ...but an AGED one (mtime 25h ago) is reclaimed by the default
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(s"$table/data/v1_8_fresh.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 25L * 3600 * 1000))
+    TxTable.vacuum(spark, table) shouldBe Seq("data/v1_8_fresh.parquet")
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$table/data/v9_0_inflight.parquet"))
     // overwrite makes v1/v2 history; expire down to the head only
     TxTable.commit(Seq((9L, "z")).toDF("id", "s"), table, op = "overwrite") shouldBe 3
     val (expired, deleted) = TxTable.expireVersions(spark, table, keepLast = 1)
@@ -164,6 +182,98 @@ class TxTableSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$table/data/stray.parquet"))
     TxTable.read(spark, table).collect().map(_.getLong(0)) shouldBe Seq(1L)
     TxTable.orphans(spark, table) should contain("data/stray.parquet")
+  }
+
+  test("vacuum racing live commits never deletes a published manifest's files") {
+    val table = freshTable()
+    TxTable.commit(Seq((0L, "seed")).toDF("id", "s"), table) shouldBe 1
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // the adversarial maintenance job: minAgeMs=0 (no age protection)
+    // so ONLY the in-flight version skip stands between a racing
+    // vacuum and the files a commit has renamed into data/ but not
+    // yet published a manifest for
+    val vac = new Thread(() => {
+      while (!stop.get()) { TxTable.vacuum(spark, table, minAgeMs = 0); () }
+    })
+    vac.start()
+    try (2 to 13).foreach { i =>
+      TxTable.commit(Seq((i.toLong, s"w$i")).toDF("id", "s"), table) shouldBe i
+    } finally { stop.set(true); vac.join() }
+    // every published manifest's files all exist and resolve
+    (1 to 13).foreach { v =>
+      TxTable.filesOf(spark, table, v).foreach { rel =>
+        assert(new java.io.File(s"$table/$rel").exists(), s"v$v lost $rel to vacuum")
+      }
+      TxTable.readVersion(spark, table, v).count() shouldBe v
+    }
+    TxTable.read(spark, table).collect().map(_.getLong(0)).sorted shouldBe (Seq(0L) ++ (2L to 13L))
+  }
+
+  test("append refuses a schema-incompatible frame loudly; reordered columns round-trip; overwrite may change schema") {
+    val table = freshTable()
+    TxTable.commit(Seq((1L, "a")).toDF("id", "s"), table) shouldBe 1
+    // new column → refusal naming both schemas, BEFORE any data lands
+    val ex = intercept[IllegalArgumentException] {
+      TxTable.commit(Seq((2L, "b", 0.5)).toDF("id", "s", "score"), table)
+    }
+    ex.getMessage should include("schema mismatch")
+    ex.getMessage should include("score")
+    TxTable.currentVersion(spark, table) shouldBe 1 // nothing committed
+    TxTable.orphans(spark, table) shouldBe empty    // nothing written either
+    // same type change → refusal too
+    intercept[IllegalArgumentException] {
+      TxTable.commit(Seq(("2", "b")).toDF("id", "s"), table)
+    }.getMessage should include("schema mismatch")
+    // REORDERED columns are compatible (parquet resolves by name):
+    // the mixed snapshot round-trips losslessly
+    TxTable.commit(Seq(("c", 3L)).toDF("s", "id"), table) shouldBe 2
+    TxTable.read(spark, table).select("id", "s").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted shouldBe Seq((1L, "a"), (3L, "c"))
+    // overwrite is the documented schema-change path
+    TxTable.commit(Seq((9L, "z", 1.0)).toDF("id", "s", "score"), table, op = "overwrite") shouldBe 3
+    TxTable.read(spark, table).columns.sorted shouldBe Array("id", "s", "score").sorted
+  }
+
+  test("the committer seam drives the conflict path: a publish returning false raises the retryable conflict") {
+    val table = freshTable()
+    TxTable.commit(Seq((1L, "a")).toDF("id", "s"), table) shouldBe 1
+    val alwaysLose = new graft.sources.TxCommitter {
+      def publish(f: org.apache.hadoop.fs.FileSystem, mp: org.apache.hadoop.fs.Path,
+                  json: String, nonce: String): Boolean = false
+    }
+    TxTable.committerOverride = Some(alwaysLose)
+    try {
+      val ex = intercept[RuntimeException] {
+        TxTable.commit(Seq((2L, "b")).toDF("id", "s"), table)
+      }
+      ex.getMessage should include("conflict")
+    } finally TxTable.committerOverride = None
+    // the doomed writer's data files surfaced as orphans; the table is intact
+    TxTable.currentVersion(spark, table) shouldBe 1
+    TxTable.orphans(spark, table).foreach(_ should startWith("data/v2_"))
+    // with the real committer the same commit lands
+    TxTable.commit(Seq((2L, "b")).toDF("id", "s"), table) shouldBe 2
+  }
+
+  test("a crash mid-expiry leaves only vacuum-reclaimable orphans, never a dangling manifest") {
+    val table = freshTable()
+    TxTable.commit(Seq((1L, "a")).toDF("id", "s"), table) shouldBe 1
+    TxTable.commit(Seq((2L, "b")).toDF("id", "s"), table) shouldBe 2
+    TxTable.commit(Seq((9L, "z")).toDF("id", "s"), table, op = "overwrite") shouldBe 3
+    val v1Files = TxTable.filesOf(spark, table, 1)
+    val v2Files = TxTable.filesOf(spark, table, 2)
+    // simulate expireVersions crashing BETWEEN its two phases: the
+    // expired manifests are gone, their data files are not
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$table/_manifests/v1.json"))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$table/_manifests/v2.json"))
+    // no dangling manifest: every live version still resolves fully
+    TxTable.liveVersions(spark, table) shouldBe Seq(3)
+    TxTable.read(spark, table).collect().map(_.getLong(0)) shouldBe Seq(9L)
+    // the stranded files are exactly the orphan set…
+    TxTable.orphans(spark, table).toSet shouldBe (v1Files ++ v2Files).toSet
+    // …and vacuum reclaims them (no in-flight versions here)
+    TxTable.vacuum(spark, table, minAgeMs = 0).toSet shouldBe (v1Files ++ v2Files).toSet
+    TxTable.orphans(spark, table) shouldBe empty
   }
 
   test("commit times are strictly monotonic; readAsOf resolves boundaries exactly") {
