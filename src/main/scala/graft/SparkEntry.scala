@@ -1430,6 +1430,86 @@ object SparkEntry {
       functions.Sketches.cdfOf(st, Seq("event_type"), Seq(25.0, 50.0, 100.0))
     }),
 
+    // §2#60g (r7) per-hour streaming quantile states: one dyadic bin
+    // table per event-time hour (watermarked append in production —
+    // sealed windows emit finalized states, spec-asserted; complete
+    // mode here for the oracle), read out as the live per-hour
+    // p50/p99 — "latency percentiles per hour, forever, in constant
+    // per-window memory".
+    "q257_stream_quantile_hourly" -> ((s, dir) => {
+      val st = streaming.Events.streamQuantileHourly(s, s"$dir/events.parquet")
+      val p50 = functions.Sketches.quantileOf(st, Seq("hour_start"), 1, 2)
+        .select(col("hour_start"), col("n"), col("q_est").as("p50"))
+      val p99 = functions.Sketches.quantileOf(st, Seq("hour_start"), 99, 100)
+        .select(col("hour_start"), col("q_est").as("p99"))
+      p50.join(p99, Seq("hour_start"))
+    }),
+
+    // §2#61h (r7) per-hour streaming KMV: one bottom-k hash array per
+    // event-time hour via the foreachBatch fold with explicit
+    // watermark sealing (bottom-k is not a bounded native streaming
+    // agg; state = open-windows × k hashes) — distinct-per-hour WITH
+    // downstream set-op support; estimates read off the states.
+    "q258_stream_kmv_hourly" -> ((s, dir) =>
+      functions.Sketches.kmvEstimate(
+        streaming.Events.streamKmvHourly(s, s"$dir/events.parquet").drop("sealed"),
+        Seq("hour_start"))),
+
+    // §2#62o (r7) the lakehouse write path composed end-to-end: MERGE
+    // INTO a transactional table. v1 = the urgent-orders snapshot; a
+    // CDC feed (U = key%3==0 price doubled, D = key%3==1, I = the
+    // 2-HIGH orders) applies via Upsert.applyChanges and the result
+    // commits through TxTable as an overwrite; then the commit is
+    // audited three independent ways — the pre-commit merge frame
+    // (oracle RECOMPUTES it from the v1 manifest glob + the same
+    // SQL-derived feed: a wrong merge fails here), the committed
+    // snapshot re-read (oracle re-reads the v2 glob: a wrong manifest
+    // fails here), and the CDC replay + snapshot diff between the
+    // manifests (delete-of-v1 + insert-of-v2; added/removed/changed/
+    // same counts). Each stage stays its own scale shape: the merge
+    // is one key-shuffled window+join, the commit data-plane one
+    // distributed write, the audits manifest-glob-sized.
+    "q256_tx_merge" -> ((s, dir) => {
+      val table = sidePath("graft_txm", dir) // dir-derived — mirrored via __SFTAG__ in the oracle SQL
+      val ord = t(s, dir, "orders").df
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      sources.TxTable.drop(s, table)
+      val urgent = ord.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      sources.TxTable.commit(urgent, table)
+      // the CDC feed: ×2 keeps the update double-exact on both engines
+      val feed = urgent.filter(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey"), (col("o_totalprice") * 2).as("o_totalprice"),
+            lit(1L).as("seq"), lit("U").as("op"))
+        .unionByName(urgent.filter(col("o_orderkey") % 3 === 1)
+          .select(col("o_orderkey"), col("o_totalprice"), lit(1L).as("seq"), lit("D").as("op")))
+        .unionByName(ord.filter(col("o_orderpriority") === "2-HIGH")
+          .select(col("o_orderkey"), col("o_totalprice"), lit(1L).as("seq"), lit("I").as("op")))
+      val merged = operators.Upsert.applyChanges(
+        sources.TxTable.read(s, table), feed, "o_orderkey", "seq", "op")
+      sources.TxTable.commit(merged, table, op = "overwrite")
+      def summarize(df: org.apache.spark.sql.DataFrame, section: String, label: String) =
+        df.agg(count(lit(1)).as("n_rows"),
+            sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
+          .select(lit(section).as("section"), lit(label).as("label"),
+            col("n_rows"), col("sum_price"))
+      val expect = summarize(merged, "merge", "expected")
+      val snap = summarize(sources.TxTable.readVersion(s, table, 2), "snapshot", "v2")
+      val cdc = sources.TxTable.changes(s, table, 1, 2)
+        .groupBy(concat(col("_change"), lit("@"), col("_version")).as("label"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
+        .select(lit("cdc").as("section"), col("label"), col("n_rows"), col("sum_price"))
+      val diff = operators.Upsert.diffSnapshots(
+          sources.TxTable.readVersion(s, table, 1),
+          sources.TxTable.readVersion(s, table, 2), "o_orderkey")
+        .groupBy(col("change").as("label"))
+        .agg(count(lit(1)).as("n_rows"))
+        .select(lit("diff").as("section"), col("label"), col("n_rows"),
+          lit(null).cast("double").as("sum_price"))
+      expect.unionByName(snap).unionByName(cdc).unionByName(diff)
+    }),
+
     // §2#62n timestamp time travel: Delta's timestampAsOf over the
     // manifest layer — commit times strictly monotonic by protocol, so
     // "the table as of ts" resolves unambiguously; probes at v2's
@@ -3453,6 +3533,53 @@ object SparkEntry {
                 ELSE round(63.0 * pow(2.0, 60) / CAST(hk AS DOUBLE), 6) END AS est_distinct
          FROM k""",
 
+    "q257_stream_quantile_hourly" ->
+      """WITH e AS (
+           SELECT date_trunc('hour', make_timestamp(epoch_ns(ts)//1000)) AS hour_start,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS q
+           FROM events),
+         bnn AS (
+           SELECT hour_start,
+             (CASE WHEN q < 0 THEN -1 ELSE 1 END)
+               * ((abs(q) // CAST(pow(2, GREATEST(0, length(bin(abs(q))) - 6)) AS BIGINT))
+                  * CAST(pow(2, GREATEST(0, length(bin(abs(q))) - 6)) AS BIGINT)) AS bin
+           FROM e),
+         st AS (SELECT hour_start, bin, COUNT(*) AS cnt FROM bnn GROUP BY 1, 2),
+         c AS (
+           SELECT hour_start, bin, cnt,
+             SUM(cnt) OVER (PARTITION BY hour_start ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(cnt) OVER (PARTITION BY hour_start) AS n
+           FROM st),
+         p50 AS (
+           SELECT hour_start, CAST(MAX(n) AS BIGINT) AS n,
+             CAST(MIN(bin) AS DOUBLE) / 1000000 AS p50
+           FROM c WHERE cum * 2 >= n * 1 GROUP BY 1),
+         p99 AS (
+           SELECT hour_start, CAST(MIN(bin) AS DOUBLE) / 1000000 AS p99
+           FROM c WHERE cum * 100 >= n * 99 GROUP BY 1)
+         SELECT p50.hour_start, n, p50, p99
+         FROM p50 JOIN p99 USING (hour_start)""",
+
+    "q258_stream_kmv_hourly" ->
+      """WITH h AS (
+           SELECT DISTINCT
+             date_trunc('hour', make_timestamp(epoch_ns(ts)//1000)) AS hour_start,
+             ('0x' || substr(md5('kmv|' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+           FROM events),
+         r AS (
+           SELECT hour_start, h,
+             ROW_NUMBER() OVER (PARTITION BY hour_start ORDER BY h) AS rn
+           FROM h),
+         k AS (
+           SELECT hour_start, CAST(COUNT(*) AS INT) AS n_state,
+             MAX(CASE WHEN rn = 64 THEN h END) AS hk
+           FROM r WHERE rn <= 64 GROUP BY 1)
+         SELECT hour_start, n_state,
+           CASE WHEN n_state < 64 THEN CAST(n_state AS DOUBLE)
+                ELSE round(63.0 * pow(2.0, 60) / CAST(hk AS DOUBLE), 6) END AS est_distinct
+         FROM k""",
+
     "q255_quantile_cdf" ->
       """WITH e AS (
            SELECT event_type, CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS q
@@ -3493,6 +3620,45 @@ object SparkEntry {
          SELECT 'at_v3', COUNT(*),
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
          FROM read_parquet('/tmp/graft_txt___SFTAG__/data/v3_*.parquet')""",
+
+    // the merge audit recomputes the EXPECTED post-MERGE snapshot from
+    // the v1 manifest glob + the same deterministic feed rules — a
+    // wrong applyChanges or a wrong manifest each fail a distinct row
+    "q256_tx_merge" ->
+      """WITH v1 AS (
+           SELECT o_orderkey, o_totalprice
+           FROM read_parquet('/tmp/graft_txm___SFTAG__/data/v1_*.parquet')),
+         v2 AS (
+           SELECT o_orderkey, o_totalprice
+           FROM read_parquet('/tmp/graft_txm___SFTAG__/data/v2_*.parquet')),
+         expected AS (
+           SELECT o_orderkey, o_totalprice FROM v1 WHERE o_orderkey % 3 = 2
+           UNION ALL
+           SELECT o_orderkey, o_totalprice * 2 FROM v1 WHERE o_orderkey % 3 = 0
+           UNION ALL
+           SELECT o_orderkey, o_totalprice FROM orders
+           WHERE o_orderpriority = '2-HIGH'),
+         d AS (
+           SELECT CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                       WHEN b.o_orderkey IS NULL THEN 'removed'
+                       WHEN a.o_totalprice IS DISTINCT FROM b.o_totalprice THEN 'changed'
+                       ELSE 'same' END AS label
+           FROM v1 a FULL OUTER JOIN v2 b ON a.o_orderkey = b.o_orderkey)
+         SELECT 'merge' AS section, 'expected' AS label, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+         FROM expected
+         UNION ALL
+         SELECT 'snapshot', 'v2', COUNT(*),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) FROM v2
+         UNION ALL
+         SELECT 'cdc', 'delete@2', COUNT(*),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) FROM v1
+         UNION ALL
+         SELECT 'cdc', 'insert@2', COUNT(*),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) FROM v2
+         UNION ALL
+         SELECT 'diff', label, COUNT(*), CAST(NULL AS DOUBLE)
+         FROM d GROUP BY 2""",
 
     "q251_delta_join" ->
       """WITH ao AS (SELECT o_orderkey AS okey, o_totalprice FROM orders

@@ -361,19 +361,27 @@ object Sketches {
     * probe (state-sized, never rows).
     * Output: (keys…, probe, n_le, n, cdf).
     */
+  /** The dyadic-bin map as a pure Column expression — the exact
+    * arithmetic [[quantileState]] applies, usable anywhere a plain
+    * column works (probe literals in [[cdfOf]], the windowed streaming
+    * build): quantize to `unitScale` units, truncate to the top
+    * `subBits+1` significant bits via the HLL `length(bin(abs(q)))`
+    * trick + one exact power-of-two division.
+    */
+  private[graft] def dyadicBin(v: Column, unitScale: Long, subBits: Int): Column = {
+    val q = floor(v.cast("double") * unitScale + lit(0.5)).cast("long")
+    val a = abs(q)
+    val s = greatest(lit(0), length(bin(a)) - lit(1 + subBits))
+    val p2 = pow(lit(2.0), s).cast("long") // 2^s exact in double
+    (when(q < 0, -1L).otherwise(1L)) *
+      (((a - pmod(a, p2)) / p2).cast("long") * p2) // a div p2, exact multiple
+  }
+
   def cdfOf(state: DataFrame, keys: Seq[String], probes: Seq[Double],
             unitScale: Long = 1000000L, subBits: Int = 5): DataFrame = {
     require(probes.nonEmpty, "cdfOf: need at least one probe")
-    def binOf(v: Column): Column = {
-      val q = floor(v.cast("double") * unitScale + lit(0.5)).cast("long")
-      val a = abs(q)
-      val s = greatest(lit(0), length(bin(a)) - lit(1 + subBits))
-      val p2 = pow(lit(2.0), s).cast("long") // 2^s exact in double
-      (when(q < 0, -1L).otherwise(1L)) *
-        (((a - pmod(a, p2)) / p2).cast("long") * p2) // a div p2, exact multiple
-    }
     probes.map { p =>
-      val pbin = binOf(lit(p))
+      val pbin = dyadicBin(lit(p), unitScale, subBits)
       state.groupBy(keys.map(col): _*)
         .agg(sum(when(col("bin") <= pbin, col("cnt")).otherwise(lit(0L))).as("n_le"),
              sum(col("cnt")).as("n"))

@@ -248,6 +248,140 @@ object Events {
       .select(col("win.start").as("hour_start"), col("bucket"), col("r"))
   }
 
+  /** Per-WINDOW dyadic quantile states over the stream (SURVEY §2
+    * #60g): one bin table per event-time hour — "p99 per hour,
+    * forever, in constant memory per window", the quantile member of
+    * the per-window sealed-emission family [[streamHllHourlyStream]]
+    * founded. Because a bin count is a plain windowed `count`, this is
+    * an ordinary windowed aggregation: with a watermark it runs APPEND
+    * mode — sealed windows emit finalized bin tables and state stays
+    * bounded by (open windows within the lateness horizon) ×
+    * (≤ 64·2^subBits bins per sign), never by row count or value
+    * cardinality; without one (test/oracle path) it runs complete mode
+    * so every window lands in the batch-SQL compare (the q20
+    * convention). Emitted bin tables sum-merge across shards/restarts
+    * like any quantile state, and [[graft.functions.Sketches
+    * .quantileOf]] reads p50/p99 per hour off them directly.
+    */
+  def streamQuantileHourlyStream(spark: SparkSession, eventsPath: String,
+                                 valueCol: String = "value",
+                                 unitScale: Long = 1000000L, subBits: Int = 5,
+                                 watermark: Option[String] = None,
+                                 maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val stream0 = readStream(spark, eventsPath, maxFilesPerTrigger)
+    val stream = watermark.fold(stream0)(w => stream0.withWatermark("ts", w))
+    stream
+      .select(window(col("ts"), "1 hour").as("win"),
+        graft.functions.Sketches.dyadicBin(col(valueCol), unitScale, subBits).as("bin"))
+      .groupBy(col("win"), col("bin")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** #60g test harness: [[streamQuantileHourlyStream]] to a memory
+    * sink, unwrapped to (hour_start, bin, cnt).
+    */
+  def streamQuantileHourly(spark: SparkSession, eventsPath: String,
+                           valueCol: String = "value",
+                           unitScale: Long = 1000000L, subBits: Int = 5,
+                           watermark: Option[String] = None,
+                           maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val mode = if (watermark.isEmpty) "complete" else "append"
+    runToMemory(
+      streamQuantileHourlyStream(spark, eventsPath, valueCol, unitScale, subBits,
+        watermark, maxFilesPerTrigger),
+      mode, "graft_qsw_")
+      .select(col("win.start").as("hour_start"), col("bin"), col("cnt"))
+  }
+
+  /** Per-WINDOW KMV states over the stream (SURVEY §2 #61h): one ≤k
+    * bottom-hash array per event-time hour — "distinct users per hour
+    * WITH set-operation support downstream" (hour-over-hour Jaccard /
+    * intersection via [[graft.functions.Sketches.kmvSetEstimates]],
+    * which the per-hour HLL of #61e cannot give).
+    *
+    * Bottom-k is not expressible as a Spark streaming aggregate
+    * without unbounded per-window distinct state (collect would keep
+    * every value), so this uses the foreachBatch fold (the q217/q245
+    * contract) with the WATERMARK LOGIC MADE EXPLICIT: per batch, new
+    * per-(hour) KMV states fold into the standing OPEN-window state;
+    * any window whose end falls at or below the high-water mark
+    * (max event time seen − `latenessUs`) is SEALED — emitted once,
+    * final, and dropped from the standing state. Standing state is
+    * therefore (open windows within the lateness horizon) × k hashes,
+    * never stream-length- or cardinality-scaled, exactly the bound a
+    * watermarked append aggregation would give. Because bottom-k over
+    * a set is order/split-invariant, every sealed window's state is
+    * bit-identical to the batch build of that hour (the oracle
+    * contract); `latenessUs = None` (test/oracle path) never seals, so
+    * the final flush covers every window.
+    *
+    * Returns sealed emissions ∪ the final open tail — i.e. every
+    * window, each exactly once, marked `sealed`.
+    */
+  def streamKmvHourly(spark: SparkSession, eventsPath: String,
+                      valueCol: String = "user_id", k: Int = 64,
+                      latenessUs: Option[Long] = None,
+                      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val HOUR_US = 3600000000L
+    val stream = readStream(spark, eventsPath, maxFilesPerTrigger)
+      .select(date_trunc("hour", col("ts")).as("hour_start"),
+        col("ts"), col(valueCol))
+    @volatile var open: Option[DataFrame] = None
+    @volatile var sealedOut: Option[DataFrame] = None
+    @volatile var highWaterUs: Long = Long.MinValue
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val ckpt = if (java.nio.file.Files.isWritable(shm))
+      java.nio.file.Files.createTempDirectory(shm, "graft_ckpt_")
+    else java.nio.file.Files.createTempDirectory("graft_ckpt_")
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // Spark's own rule, made explicit: the late-data predicate uses
+        // the watermark SEALED AT THE END OF THE PREVIOUS BATCH. Rows
+        // for a window already sealed are dropped — folding them into a
+        // fresh state entry would re-emit that hour at the final flush.
+        val hwPrev = highWaterUs
+        val fresh = latenessUs.fold(batch)(_ => batch.filter(
+          unix_micros(col("hour_start")) + lit(HOUR_US) > lit(hwPrev)))
+        val bs = graft.functions.Sketches.kmvState(
+          fresh.select(col("hour_start"), col(valueCol)), Seq("hour_start"), valueCol, k)
+        val merged = open
+          .map(s => graft.functions.Sketches.mergeKmvStates(Seq(s, bs), Seq("hour_start"), k))
+          .getOrElse(bs)
+        latenessUs match {
+          case None => open = Some(merged.localCheckpoint())
+          case Some(lu) =>
+            // advance the high-water mark off the FULL batch (dropped
+            // rows still advance event time — Spark's semantics), then
+            // seal windows fully below it: window end ≤ hw
+            val mx = batch.agg(max(unix_micros(col("ts")))).head
+            if (!mx.isNullAt(0)) highWaterUs = math.max(highWaterUs, mx.getLong(0) - lu)
+            val isSealed = unix_micros(col("hour_start")) + lit(HOUR_US) <= lit(highWaterUs)
+            val sealedNow = merged.filter(isSealed)
+            if (!sealedNow.isEmpty) {
+              val emitted = sealedNow.localCheckpoint()
+              sealedOut = Some(sealedOut.map(_.unionByName(emitted)).getOrElse(emitted))
+            }
+            open = Some(merged.filter(!isSealed).localCheckpoint())
+        }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val tail = open.map(_.withColumn("sealed", lit(false)))
+    val sealedPart = sealedOut.map(_.withColumn("sealed", lit(true)))
+    (sealedPart, tail) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case (None, None) =>
+        graft.functions.Sketches.kmvState(
+          readBatch(spark, eventsPath).limit(0)
+            .select(date_trunc("hour", col("ts")).as("hour_start"), col(valueCol)),
+          Seq("hour_start"), valueCol, k).withColumn("sealed", lit(false))
+    }
+  }
+
   /** Streaming drift monitor (SURVEY.md §2 #52t): per event-time hour,
     * the PSI of that hour's `value` distribution against the corpus
     * baseline — "alert when an hour's traffic stops looking like

@@ -389,6 +389,51 @@ class StreamingSpec extends SparkSpec {
       batch.select("hour_start").distinct().count()
   }
 
+  test("per-hour streaming quantile state equals batch bins; watermarked append emits only sealed windows") {
+    val dir = timeSplitDir(s"$sfDir/events.parquet", 3)
+    val streamed = Events.streamQuantileHourly(spark, dir, maxFilesPerTrigger = Some(1))
+    val ev = Events.readBatch(spark, dir)
+      .select(date_trunc("hour", col("ts")).as("hour_start"), col("value"))
+    val batch = graft.functions.Sketches.quantileState(ev, Seq("hour_start"), "value")
+    canon(streamed) shouldBe canon(batch)
+
+    val sealedBins = Events.streamQuantileHourly(spark, dir,
+      watermark = Some("1 hour"), maxFilesPerTrigger = Some(1))
+    sealedBins.count() should be > 0L
+    // every sealed bin row is exactly the batch value...
+    val j = sealedBins.alias("s").join(batch.alias("b"), Seq("hour_start", "bin"), "left")
+    j.filter(col("b.cnt").isNull || col("s.cnt") =!= col("b.cnt")).count() shouldBe 0L
+    // ...and the unsealed tail inside the lateness horizon did NOT emit
+    sealedBins.select("hour_start").distinct().count() should be <
+      batch.select("hour_start").distinct().count()
+  }
+
+  test("per-hour streaming KMV: sealed windows bit-equal the batch build and the open tail stays unsealed") {
+    val dir = timeSplitDir(s"$sfDir/events.parquet", 3)
+    // oracle path (no lateness): every hour flushes, equals batch
+    val all = Events.streamKmvHourly(spark, dir, maxFilesPerTrigger = Some(1))
+    val ev = Events.readBatch(spark, dir)
+      .select(date_trunc("hour", col("ts")).as("hour_start"), col("user_id"))
+    val batch = graft.functions.Sketches.kmvState(ev, Seq("hour_start"), "user_id", 64)
+    canon(all.drop("sealed")) shouldBe canon(batch)
+
+    // sealing path: 1h lateness over 3 time-ordered batches
+    val out = Events.streamKmvHourly(spark, dir,
+      latenessUs = Some(3600000000L), maxFilesPerTrigger = Some(1))
+    // every hour appears exactly once (sealed ∪ open tail, no dupes)
+    out.groupBy("hour_start").count().filter(col("count") > 1).count() shouldBe 0L
+    val sealedHours = out.filter(col("sealed")).select("hour_start")
+    sealedHours.count() should be > 0L
+    // sealed states are bit-identical to the batch build of that hour
+    canon(out.filter(col("sealed")).drop("sealed")
+      .join(sealedHours, Seq("hour_start"))) shouldBe
+      canon(batch.join(sealedHours, Seq("hour_start")))
+    // the newest hours (inside the lateness horizon) are the open tail
+    val maxSealed = out.filter(col("sealed")).agg(max("hour_start")).head.getTimestamp(0)
+    val maxOpen = out.filter(!col("sealed")).agg(max("hour_start")).head.getTimestamp(0)
+    assert(maxOpen.after(maxSealed))
+  }
+
   test("stream-static enrich: static side broadcast (no per-batch shuffle), counts exact") {
     // the un-started plan must carry the broadcast hint on the static side
     val plan = Events.streamEnrichPlan(spark, s"$sfDir/events.parquet")
