@@ -1455,6 +1455,16 @@ object SparkEntry {
         streaming.Events.streamKmvHourly(s, s"$dir/events.parquet").drop("sealed"),
         Seq("hour_start"))),
 
+    // §2#53aa (r7) hot-key probe: the selection guide for the per-key
+    // sequence-window family (transitions/sessions/paths/trailing) —
+    // one partial agg + single-row rollup answering "is any key
+    // corpus-scaled enough to need the bucketed decomposition"; run
+    // once per source, not per query.
+    "q259_hot_key_probe" -> ((s, dir) =>
+      operators.Behavior.hotKeyProbe(
+        streaming.Events.readBatch(s, s"$dir/events.parquet"), "user_id",
+        bucketThreshold = 1000L)),
+
     // §2#62o (r7) the lakehouse write path composed end-to-end: MERGE
     // INTO a transactional table. v1 = the urgent-orders snapshot; a
     // CDC feed (U = key%3==0 price doubled, D = key%3==1, I = the
@@ -3620,6 +3630,14 @@ object SparkEntry {
          SELECT 'at_v3', COUNT(*),
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
          FROM read_parquet('/tmp/graft_txt___SFTAG__/data/v3_*.parquet')""",
+
+    "q259_hot_key_probe" ->
+      """WITH k AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1)
+         SELECT CAST(SUM(n) AS BIGINT) AS n_rows, CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(MAX(n) AS BIGINT) AS max_key_rows,
+           round(CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 9) AS hot_share,
+           MAX(n) > 1000 AS use_bucketed
+         FROM k""",
 
     // the merge audit recomputes the EXPECTED post-MERGE snapshot from
     // the v1 manifest glob + the same deterministic feed rules — a

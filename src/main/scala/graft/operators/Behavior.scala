@@ -199,7 +199,42 @@ object Behavior {
     * corpus). Probability is an exact-count double division rounded
     * at 1e-9 (engine-identical inputs, one guard against the final
     * ulp).
+    *
+    * BOUNDED-PER-KEY CONTRACT: the window sorts each key's rows in one
+    * task — correct and fast while no single key is corpus-scaled.
+    * Probe with [[hotKeyProbe]] before pointing this at a new source;
+    * a hot key (bot/NULL/default) wants quarantining or the bucketed
+    * decomposition first.
     */
+  /** One-pass hot-key probe — the SELECTION GUIDE for the per-key
+    * sequence-window family ([[transitions]], [[sessionizeBatch]],
+    * [[topPaths]], and Rolling's trailing/anomalies vs their bucketed
+    * forms). Those operators sort each key's rows inside one task:
+    * the right plan while per-key row counts are human-scaled (events
+    * per user — thousands, not billions), and the wrong one the
+    * moment a single key is corpus-scaled (a bot user, a NULL key, an
+    * instrumentation default). The probe is one map-side-combining
+    * partial agg plus a single-row rollup — max rows on any key, its
+    * corpus share, and the verdict against `bucketThreshold`:
+    * `use_bucketed = false` → the plain per-key form is safe;
+    * `true` → switch to the bucketed decomposition (the q252
+    * trailingBucketed pattern) or quarantine the offending keys
+    * first. Costs one scan of (key) only — run once per SOURCE, not
+    * per query; the threshold default is the row count whose one-task
+    * sort (~100 MB of timestamps) starts to dominate a stage.
+    */
+  def hotKeyProbe(df: DataFrame, keyCol: String,
+                  bucketThreshold: Long = 1000000L): DataFrame = {
+    require(bucketThreshold > 0, s"bucketThreshold must be positive, got $bucketThreshold")
+    df.groupBy(col(keyCol)).agg(count(lit(1)).as("_n"))
+      .agg(sum("_n").as("n_rows"), count(lit(1)).as("n_keys"),
+           max("_n").as("max_key_rows"))
+      .select(col("n_rows"), col("n_keys"), col("max_key_rows"),
+        round(col("max_key_rows").cast("double") / col("n_rows").cast("double"), 9)
+          .as("hot_share"),
+        (col("max_key_rows") > bucketThreshold).as("use_bucketed"))
+  }
+
   def transitions(events: DataFrame, keyCol: String = "user_id",
                   timeCol: String = "tus", typeCol: String = "event_type",
                   tieCols: Seq[String] = Nil): DataFrame = {
@@ -229,6 +264,8 @@ object Behavior {
     * aggregate with partial combines. (timeCol, tieCols) must
     * total-order rows per key or boundary membership is
     * nondeterministic at repeated timestamps (the twap contract).
+    * Bounded-per-key contract: each key sorts in one task — probe new
+    * sources with [[hotKeyProbe]] (the [[transitions]] rule).
     * Output: one row per session — key, session_seq (1-based per key,
     * in time order), start/end micros, n_events, duration_us.
     */
@@ -279,7 +316,9 @@ object Behavior {
     * comparing the lead of the session index (a lead over the SAME
     * window spec — no extra exchange). Path counts are one partial
     * agg on the path string; global top-k is a WindowGroupLimit-pushed
-    * row_number with (count desc, path) ties.
+    * row_number with (count desc, path) ties. Bounded-per-key
+    * contract: each key sorts in one task — probe new sources with
+    * [[hotKeyProbe]] (the [[transitions]] rule).
     */
   def topPaths(events: DataFrame, keyCol: String = "user_id",
                timeCol: String = "tus", typeCol: String = "event_type",

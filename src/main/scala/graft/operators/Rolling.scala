@@ -30,6 +30,13 @@ object Rolling {
   /** Appends `n_win` (trailing count) and `sum_win` (trailing DECIMAL
     * sum of `valueCol`, cast to double) over the last `width` time
     * units (inclusive of the current row's instant) per `keyCol`.
+    *
+    * PLAIN vs BUCKETED selection rule: this form sorts each key in one
+    * task — use it while no key is corpus-scaled. Probe a new source
+    * once with `Behavior.hotKeyProbe(df, keyCol)`; if it reports
+    * `use_bucketed`, switch to [[trailingBucketed]] (same output,
+    * 2× row replication as the price of hot-key safety — don't pay it
+    * by default).
     */
   def trailing(df: DataFrame, keyCol: String, timeCol: String,
                width: Long, valueCol: String): DataFrame = {
@@ -311,6 +318,9 @@ object Rolling {
     * |n·vq−S| ≤ 2·n·max|vq|, so the square stays inside 38 digits for
     * n·max|vq| < 10¹⁹ — a million-row window of 10¹²-quantized
     * values.)
+    *
+    * Plain vs bucketed: the [[trailing]] selection rule — probe once
+    * with `Behavior.hotKeyProbe`; `use_bucketed` → [[anomaliesBucketed]].
     */
   def anomalies(df: DataFrame, keyCol: String, timeCol: String, valueCol: String,
                 widthUs: Long, minObs: Long = 5L, k: Int = 3): DataFrame = {

@@ -1151,6 +1151,24 @@ class OperatorsSpec extends SparkSpec {
     out2("click") should be > out2("view")
   }
 
+  test("hotKeyProbe measures a planted hot key and flips the bucketed verdict at the threshold") {
+    import spark.implicits._
+    import graft.operators.Behavior
+    // 100-row bot key planted among 20 5-row humans
+    val rows = (1 to 100).map(i => ("bot", i.toLong)) ++
+      (1 to 20).flatMap(u => (1 to 5).map(i => (s"u$u", i.toLong)))
+    val df = rows.toDF("user_id", "x")
+    val r = Behavior.hotKeyProbe(df, "user_id", bucketThreshold = 50L).collect().head
+    r.getLong(0) shouldBe 200L   // n_rows
+    r.getLong(1) shouldBe 21L    // n_keys
+    r.getLong(2) shouldBe 100L   // max_key_rows = the bot
+    r.getDouble(3) shouldBe 0.5 +- 1e-9
+    r.getBoolean(4) shouldBe true
+    // a threshold above the hottest key clears the verdict
+    Behavior.hotKeyProbe(df, "user_id", bucketThreshold = 200L)
+      .collect().head.getBoolean(4) shouldBe false
+  }
+
   test("removalEffect refuses loudly when no conversion mass reaches __START__") {
     import spark.implicits._
     import graft.operators.Behavior
