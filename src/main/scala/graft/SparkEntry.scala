@@ -1455,6 +1455,29 @@ object SparkEntry {
         streaming.Events.streamKmvHourly(s, s"$dir/events.parquet").drop("sealed"),
         Seq("hour_start"))),
 
+    // §2#53ab (r7) classical additive seasonal decomposition of the
+    // hourly value series: y = trend (24h centered MA) + seasonal
+    // (hour-of-day mean detrended deviation) + residual — corpus
+    // collapses to hourly cells in one partial agg; every window after
+    // that is calendar-scaled (the §5 metadata exemption).
+    "q261_seasonal_decompose" -> ((s, dir) =>
+      operators.Rolling.seasonalDecompose(
+        streaming.Events.readBatch(s, s"$dir/events.parquet"), "ts", "value")),
+
+    // §2#52af (r7) grouped two-proportion z-tests with
+    // Benjamini–Hochberg FDR control: "which event types shifted the
+    // value>50 share between user cohorts" asked across ALL types at
+    // once with the false-discovery share capped at 5% — one partial
+    // agg to |types| cells; the BH sort runs over the vocabulary-sized
+    // group table, quantized-integer thresholds.
+    "q260_fdr_bh" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .select(col("event_type"),
+          (pmod(col("user_id"), lit(2)) === 1).as("arm"),
+          (col("value") > 50.0).as("flag"))
+      functions.Eval.proportionTestBh(ev, "event_type", "arm", "flag")
+    }),
+
     // §2#53aa (r7) hot-key probe: the selection guide for the per-key
     // sequence-window family (transitions/sessions/paths/trailing) —
     // one partial agg + single-row rollup answering "is any key
@@ -3630,6 +3653,84 @@ object SparkEntry {
          SELECT 'at_v3', COUNT(*),
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
          FROM read_parquet('/tmp/graft_txt___SFTAG__/data/v3_*.parquet')""",
+
+    "q261_seasonal_decompose" ->
+      """WITH hourly AS (
+           SELECT date_trunc('hour', make_timestamp(epoch_ns(ts)//1000)) AS hour_start,
+             SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS yq
+           FROM events GROUP BY 1),
+         w AS (
+           SELECT hour_start, yq,
+             SUM(yq) OVER (ORDER BY hour_start
+               ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING) AS s24,
+             COUNT(*) OVER (ORDER BY hour_start
+               ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING) AS c24,
+             EXTRACT(hour FROM hour_start) AS k
+           FROM hourly),
+         wd AS (
+           SELECT *, CASE WHEN c24 = 24 THEN 24 * yq - s24 END AS det FROM w),
+         slots AS (
+           SELECT k, SUM(CAST(det AS DECIMAL(38,0))) AS sd, COUNT(*) AS nk
+           FROM wd WHERE det IS NOT NULL GROUP BY 1)
+         SELECT hour_start,
+           round(CAST(yq AS DOUBLE) / 1000000.0, 6) AS y,
+           round(CASE WHEN c24 = 24 THEN CAST(s24 AS DOUBLE) / 24.0 / 1000000.0 END, 6) AS trend,
+           round(CAST(sd AS DOUBLE) / (24.0 * CAST(nk AS DOUBLE)) / 1000000.0, 6) AS seasonal,
+           round(CAST(yq AS DOUBLE) / 1000000.0
+               - CASE WHEN c24 = 24 THEN CAST(s24 AS DOUBLE) / 24.0 / 1000000.0 END
+               - CAST(sd AS DOUBLE) / (24.0 * CAST(nk AS DOUBLE)) / 1000000.0, 6) AS residual
+         FROM wd LEFT JOIN slots USING (k)""",
+
+    // z from exact counts in ONE mirrored double op order; normal tail
+    // via the A&S 7.1.26 erf polynomial (Horner order mirrored); BH on
+    // 1e-9-quantized p's with DECIMAL cross-multiplied thresholds
+    "q260_fdr_bh" ->
+      """WITH c AS (
+           SELECT event_type,
+             COUNT(*) FILTER (WHERE user_id % 2 = 1) AS n_treat,
+             COUNT(*) FILTER (WHERE user_id % 2 = 1 AND value > 50) AS x_treat,
+             COUNT(*) FILTER (WHERE user_id % 2 = 0) AS n_ctrl,
+             COUNT(*) FILTER (WHERE user_id % 2 = 0 AND value > 50) AS x_ctrl
+           FROM events GROUP BY 1),
+         z AS (
+           SELECT *,
+             (n_treat = 0 OR n_ctrl = 0 OR x_treat + x_ctrl = 0
+              OR x_treat + x_ctrl = n_treat + n_ctrl) AS degen,
+             (CAST(x_treat AS DOUBLE) / CAST(n_treat AS DOUBLE)
+              - CAST(x_ctrl AS DOUBLE) / CAST(n_ctrl AS DOUBLE))
+             / sqrt((CAST(x_treat + x_ctrl AS DOUBLE) / CAST(n_treat + n_ctrl AS DOUBLE))
+                 * (1.0 - CAST(x_treat + x_ctrl AS DOUBLE) / CAST(n_treat + n_ctrl AS DOUBLE))
+                 * (1.0 / CAST(n_treat AS DOUBLE) + 1.0 / CAST(n_ctrl AS DOUBLE))) AS zv
+           FROM c),
+         pv AS (
+           SELECT *,
+             CASE WHEN NOT degen THEN CAST(floor(
+               (((((1.061405429 * (1.0 / (1.0 + 0.3275911 * (abs(zv) / 1.4142135623730951)))
+                  + -1.453152027) * (1.0 / (1.0 + 0.3275911 * (abs(zv) / 1.4142135623730951)))
+                  + 1.421413741) * (1.0 / (1.0 + 0.3275911 * (abs(zv) / 1.4142135623730951)))
+                  + -0.284496736) * (1.0 / (1.0 + 0.3275911 * (abs(zv) / 1.4142135623730951)))
+                  + 0.254829592) * (1.0 / (1.0 + 0.3275911 * (abs(zv) / 1.4142135623730951))))
+               * exp(-(abs(zv) / 1.4142135623730951) * (abs(zv) / 1.4142135623730951))
+               * 1000000000 + 0.5) AS BIGINT) END AS pq
+           FROM z),
+         b AS (
+           SELECT *,
+             CASE WHEN pq IS NOT NULL THEN CAST(ROW_NUMBER() OVER
+               (ORDER BY pq ASC NULLS LAST, event_type) AS INT) END AS rk,
+             COUNT(pq) OVER () AS m
+           FROM pv),
+         o AS (
+           SELECT *, CASE WHEN pq IS NOT NULL
+               AND CAST(pq AS DECIMAL(38,0)) * 100 * m
+                   <= CAST(5 AS DECIMAL(38,0)) * rk * 1000000000
+             THEN rk END AS ok
+           FROM b)
+         SELECT event_type, n_treat, x_treat, n_ctrl, x_ctrl,
+           CASE WHEN NOT degen THEN round(zv, 6) END AS z,
+           CAST(pq AS DOUBLE) / 1e9 AS p_value,
+           rk AS p_rank, m AS m_tests,
+           COALESCE(rk <= MAX(ok) OVER (), false) AS rejected
+         FROM o""",
 
     "q259_hot_key_probe" ->
       """WITH k AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1)

@@ -112,6 +112,86 @@ object Eval {
            max(col("_na")).as("n_a"), max(col("_nb")).as("n_b"))
   }
 
+  /** Per-group two-proportion z-tests with Benjamini–Hochberg FDR
+    * control (Benjamini & Hochberg JRSS-B'95) — "which segments
+    * really moved?" asked across MANY segments at once: testing 500
+    * event types at α=0.05 hands ~25 false discoveries to anyone who
+    * skips multiplicity control; BH caps the EXPECTED false-discovery
+    * share at α while keeping far more power than Bonferroni.
+    *
+    * Per group: success share of the treatment arm vs the control arm
+    * (pooled-variance z). The normal tail is the Abramowitz–Stegun
+    * 7.1.26 erf polynomial (|err| < 1.5e-7, far inside any honest
+    * screening tolerance): p = poly(t)·e^(−z²/2), t = 1/(1+0.3275911·
+    * |z|/√2) — plain arithmetic both engines evaluate identically
+    * (exp's ≤1-ulp cross-engine drift vanishes in the 1e-9
+    * quantization, the PSI/ln precedent). BH then runs on the
+    * QUANTIZED p's with integer cross-multiplied thresholds
+    * (p·αDen·m ≤ αNum·rank·10⁹ in DECIMAL — no float boundary):
+    * reject every rank ≤ the largest in-threshold rank.
+    *
+    * Degenerate groups (an empty arm, or pooled share 0/1 → se = 0)
+    * emit NULL z/p, rank NULL, rejected false, and do NOT count
+    * toward m.
+    *
+    * Scale shape: one partial agg corpus → |groups| cells; the BH
+    * sort/windows run UNPARTITIONED over the group table — the label
+    * vocabulary, never the corpus (the q119 denominator rule).
+    * Output: (group, n_treat, x_treat, n_ctrl, x_ctrl, z, p_value,
+    * p_rank, m_tests, rejected).
+    */
+  def proportionTestBh(df: DataFrame, groupCol: String, armCol: String,
+                       flagCol: String, alphaNum: Long = 5L,
+                       alphaDen: Long = 100L): DataFrame = {
+    require(alphaNum > 0 && alphaDen >= alphaNum,
+      s"need 0 < alphaNum <= alphaDen, got $alphaNum/$alphaDen")
+    val arm = col(armCol).cast("boolean")
+    val flag = col(flagCol).cast("boolean")
+    val cells = df
+      .groupBy(col(groupCol))
+      .agg(count(when(arm, 1)).as("n_treat"),
+           count(when(arm && flag, 1)).as("x_treat"),
+           count(when(!arm, 1)).as("n_ctrl"),
+           count(when(!arm && flag, 1)).as("x_ctrl"))
+    // z from exact counts, ONE mirrored double op order
+    val p1 = d(col("x_treat")) / d(col("n_treat"))
+    val p0 = d(col("x_ctrl")) / d(col("n_ctrl"))
+    val pp = d(col("x_treat") + col("x_ctrl")) / d(col("n_treat") + col("n_ctrl"))
+    val se = sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / d(col("n_treat")) + lit(1.0) / d(col("n_ctrl"))))
+    val zRaw = (p1 - p0) / se
+    val degenerate = col("n_treat") === 0 || col("n_ctrl") === 0 ||
+      col("x_treat") + col("x_ctrl") === 0 ||
+      col("x_treat") + col("x_ctrl") === col("n_treat") + col("n_ctrl")
+    // A&S 7.1.26 upper tail: 2·(1−Φ(|z|)) = poly(t)·e^(−x²), x=|z|/√2
+    val x = abs(zRaw) / lit(math.sqrt(2.0))
+    val tt = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
+    val poly = ((((lit(1.061405429) * tt + lit(-1.453152027)) * tt + lit(1.421413741)) * tt
+      + lit(-0.284496736)) * tt + lit(0.254829592)) * tt
+    val pRaw = poly * exp(-x * x)
+    val withP = cells
+      .withColumn("z", when(!degenerate, round(zRaw, 6)))
+      .withColumn("_pq", when(!degenerate,
+        floor(pRaw * 1000000000L + lit(0.5)).cast("long")))
+    // BH over the group table: rank ascending (p, group), m = tested
+    val wAll = Window.partitionBy()
+    val wOrd = Window.partitionBy().orderBy(col("_pq").asc_nulls_last,
+      col(groupCol).cast("string"))
+    val dz = (c: Column) => c.cast("decimal(38,0)")
+    withP
+      .withColumn("_m", count(col("_pq")).over(wAll))
+      .withColumn("_rk", when(col("_pq").isNotNull, row_number().over(wOrd)))
+      .withColumn("_ok", when(col("_pq").isNotNull &&
+        dz(col("_pq")) * alphaDen * dz(col("_m")) <=
+          dz(lit(alphaNum)) * col("_rk") * lit(1000000000L), col("_rk")))
+      .withColumn("_cut", max(col("_ok")).over(wAll))
+      .select(col(groupCol), col("n_treat"), col("x_treat"),
+        col("n_ctrl"), col("x_ctrl"), col("z"),
+        (d(col("_pq")) / 1e9).as("p_value"),
+        col("_rk").as("p_rank"), col("_m").as("m_tests"),
+        coalesce(col("_rk") <= col("_cut"), lit(false)).as("rejected"))
+  }
+
   /** Calibration (reliability) bins: predictions in [0,1] bucketed
     * into `nBins` equal-width confidence bins; per bin the mean
     * predicted probability (confidence) vs the observed positive

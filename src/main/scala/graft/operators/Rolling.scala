@@ -554,6 +554,57 @@ object Rolling {
       .drop("_vq", "_sum", "_n")
   }
 
+  /** Classical additive seasonal decomposition of the hourly series:
+    * y(h) = trend(h) + seasonal(hour-of-day) + residual(h) — the
+    * series triage behind capacity planning and anomaly explanation
+    * ("is the spike growth, rhythm, or noise?"), complementing
+    * [[seasonalAnomaly]] (which flags against a static rhythm but
+    * never separates trend from it).
+    *
+    *  - y: the hourly sum of `valueCol`, exactly (micro-unit longs);
+    *  - trend: 24-hour centered moving average (rows −12..+11), NULL
+    *    until the frame is full — the classical period-m MA;
+    *  - seasonal: the mean DETRENDED deviation of the hour-of-day
+    *    slot, over complete-trend rows only;
+    *  - residual = y − trend − seasonal, NULL where trend is.
+    *
+    * Exactness: detrended deviations stay in exact ×24 integer units
+    * (24·y_q − Σ24) with DECIMAL(38,0) slot sums; each output is ONE
+    * double evaluation of exact integers in a mirrored op order,
+    * rounded 1e-6.
+    *
+    * Scale shape: one partial agg corpus → hourly cells; every window
+    * after that runs over the HOURLY SERIES — calendar-scaled
+    * (a decade ≈ 9e4 rows), the documented metadata-scale exemption
+    * for unpartitioned windows (§5) — and the 24-slot seasonal table
+    * broadcasts back.
+    */
+  def seasonalDecompose(df: DataFrame, timeCol: String, valueCol: String,
+                        unitScale: Long = 1000000L): DataFrame = {
+    val hourly = df
+      .groupBy(date_trunc("hour", col(timeCol)).as("hour_start"))
+      .agg(sum(floor(col(valueCol).cast("double") * unitScale + 0.5).cast("long")).as("_yq"))
+    val w24 = Window.partitionBy().orderBy(col("hour_start")).rowsBetween(-12, 11)
+    val h = hourly
+      .withColumn("_s24", sum(col("_yq")).over(w24))
+      .withColumn("_c24", count(lit(1)).over(w24))
+      .withColumn("_det", when(col("_c24") === 24, lit(24L) * col("_yq") - col("_s24")))
+      .withColumn("_k", hour(col("hour_start")))
+    val slots = h.filter(col("_det").isNotNull)
+      .groupBy(col("_k"))
+      .agg(sum(col("_det").cast("decimal(38,0)")).as("_sd"), count(lit(1)).as("_nk"))
+    val us = lit(unitScale.toDouble)
+    val y = col("_yq").cast("double") / us
+    val trend = when(col("_c24") === 24, col("_s24").cast("double") / 24.0 / us)
+    val seasonal = col("_sd").cast("double") / (lit(24.0) * col("_nk").cast("double")) / us
+    h.join(broadcast(slots), Seq("_k"), "left")
+      .select(col("hour_start"),
+        round(y, 6).as("y"),
+        round(trend, 6).as("trend"),
+        round(seasonal, 6).as("seasonal"),
+        round(y - trend - seasonal, 6).as("residual"))
+  }
+
   /** Sequence-gap detection: per key, the missing integer ranges
     * between consecutive PRESENT values of `idCol` — the completeness
     * audit for anything that should be dense (event sequence numbers,

@@ -85,4 +85,32 @@ class ConformitySeasonalSpec extends SparkSpec {
     val out = Rolling.seasonalAnomaly(rows.toDF("k", "t", "v"), "k", "t", "v", 1.0)
     out.select("hod").distinct().collect().map(_.getInt(0)).toSeq shouldBe Seq(5)
   }
+
+  test("seasonalDecompose recovers a planted pure rhythm: flat trend, exact slot means, zero residual") {
+    val hour = 3600000000L
+    // y(h) = 100 + (h mod 24): pure daily rhythm, no growth, no noise.
+    // Interior trend = the cycle mean 111.5; seasonal(k) = k − 11.5;
+    // residual = 0 wherever the 24h frame is full.
+    val rows = (0 until 96).map(h =>
+      (h.toLong * hour + 1, 100.0 + (h % 24).toDouble))
+    val df = rows.toDF("tus", "v").select(
+      org.apache.spark.sql.functions.timestamp_micros(col("tus")).as("ts"), col("v"))
+    val out = Rolling.seasonalDecompose(df, "ts", "v").collect()
+      .map(r => (r.getTimestamp(0).toInstant.getEpochSecond / 3600,
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+         r.getDouble(3), if (r.isNullAt(4)) None else Some(r.getDouble(4)))))
+      .toMap
+    out.size shouldBe 96
+    // edges: first 12 and last 11 hours have no full frame
+    (0L until 12L).foreach(h => out(h)._1 shouldBe None)
+    (85L until 96L).foreach(h => out(h)._1 shouldBe None)
+    (12L until 85L).foreach { h =>
+      out(h)._1.get shouldBe 111.5 +- 1e-9
+      out(h)._3.get shouldBe 0.0 +- 1e-9
+    }
+    // seasonal(k) = k − 11.5 on every row of slot k
+    (0L until 96L).foreach { h =>
+      out(h)._2 shouldBe ((h % 24) - 11.5) +- 1e-9
+    }
+  }
 }

@@ -194,6 +194,33 @@ class EvalOpsSpec extends SparkSpec {
     r.getLong(1) shouldBe 3L
   }
 
+  test("proportionTestBh: planted effect rejected, null effects kept, degenerate group excluded from m") {
+    import graft.functions.Eval
+    // "big": 50% vs 25% success on 400/400 — a massive effect;
+    // "n1".."n3": identical arms (z = 0, p ≈ 1);
+    // "degen": every row succeeds → se = 0, no test
+    def rows(g: String, nt: Int, xt: Int, nc: Int, xc: Int) =
+      (1 to nt).map(i => (g, true, i <= xt)) ++ (1 to nc).map(i => (g, false, i <= xc))
+    val df = (rows("big", 400, 200, 400, 100) ++
+      rows("n1", 200, 50, 200, 50) ++ rows("n2", 200, 50, 200, 50) ++
+      rows("n3", 200, 50, 200, 50) ++ rows("degen", 100, 100, 100, 100))
+      .toDF("g", "arm", "flag")
+    val out = Eval.proportionTestBh(df, "g", "arm", "flag").collect()
+      .map(r => r.getString(0) -> r).toMap
+    out("big").getBoolean(9) shouldBe true      // rejected
+    out("big").getInt(7) shouldBe 1             // smallest p
+    Seq("n1", "n2", "n3").foreach { g =>
+      out(g).getBoolean(9) shouldBe false
+      out(g).getDouble(6) should be > 0.9       // p ≈ 1 at z = 0
+    }
+    out("degen").isNullAt(5) shouldBe true      // no z
+    out("degen").isNullAt(7) shouldBe true      // no rank
+    out("degen").getBoolean(9) shouldBe false
+    out("big").getLong(8) shouldBe 4L           // m excludes the degenerate group
+    // the planted effect's p really is tiny
+    out("big").getDouble(6) should be < 1e-6
+  }
+
   test("modularity: an unlabeled node whose id equals a community label stays a singleton") {
     // labels emit community 9 for {1,2}; node 9 itself is UNLABELED —
     // an untagged coalesce fallback would silently merge node 9 into
