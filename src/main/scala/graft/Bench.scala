@@ -28,6 +28,34 @@ object Bench {
         f"$name: ${b(name)}%.2fs -> $t1%.2fs (${t1 / b(name)}%.1fx > $maxGrowth%.1fx)"
     }
   }
+  /** Cross-round regression gate (unit-testable): queries whose wall
+    * vs the PREVIOUS committed BENCH_LOCAL grew past `maxRatio` — the
+    * round-6 lesson: per-query times recorded under host contention
+    * drifted 1.4-6.8× on UNCHANGED queries and polluted the committed
+    * record. Comparing min-of-3 against the previous min-of-3 catches a
+    * real regression the moment it lands instead of one round later.
+    * Sub-`minSecs` timings are noise-dominated and skipped, as are the
+    * per-byte codec queries (same rationale as the growth gate).
+    */
+  def regressionViolations(prev: Map[String, Double], cur: Seq[(String, Double)],
+                           maxRatio: Double, minSecs: Double = 0.5): Seq[String] =
+    cur.collect {
+      case (name, t1) if !CodecQueries.contains(name) && t1 >= minSecs &&
+        prev.get(name).exists(t0 => t0 > 0 && t1 / t0 > maxRatio) =>
+        f"$name: ${prev(name)}%.2fs -> $t1%.2fs (${t1 / prev(name)}%.1fx > $maxRatio%.1fx)"
+    }
+
+  /** Per-query times from a previous BENCH_LOCAL line. The file carries
+    * `"queries":{...}` before `"sf1_queries":{...}`, so keeping the
+    * FIRST occurrence of each name yields the sf0.1 pass.
+    */
+  def parseBenchQueries(line: String): Map[String, Double] = {
+    val pair = """"(q[^"]+)":([0-9]+(?:\.[0-9]+)?)""".r
+    pair.findAllMatchIn(line).foldLeft(Map.empty[String, Double]) { (m, g) =>
+      if (m.contains(g.group(1))) m else m + (g.group(1) -> g.group(2).toDouble)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -84,11 +112,28 @@ object Bench {
         val scalars = s""","sf1_total":${fmt(t1)},"sf1_growth":${fmt(growth)}"""
         (s"""$scalars,"sf1_queries":${json(r1)}""", scalars, bad)
       } else ("", "", Nil)
+    // Cross-round regression check against the previous committed
+    // record (read BEFORE this run overwrites it). Reported in the JSON
+    // and on stderr every run; hard-fails only under
+    // SPARK_GRAFT_REGRESSION_STRICT=1 — unlike the sf1 growth gate
+    // (structural, host-independent), a cross-round ratio embeds the
+    // previous round's host weather, so by default it must not cost the
+    // round its numbers.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL.json")
+    val maxRegression = sys.env.getOrElse("SPARK_GRAFT_MAX_REGRESSION", "1.5").toDouble
+    val regressions =
+      try {
+        val prevLine = new String(
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(outFile)), "UTF-8")
+        regressionViolations(parseBenchQueries(prevLine), results, maxRegression)
+      } catch { case scala.util.control.NonFatal(_) => Nil } // first run: no record
+    val regField =
+      if (regressions.isEmpty) ""
+      else s""","regressions":[${regressions.map(r => "\"" + r + "\"").mkString(",")}]"""
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${json(results)},"sf":"$sfDir"$sf1Fields}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${json(results)},"sf":"$sfDir"$sf1Fields$regField}"""
     // The complete JSON lands in a file (committed per round), immune to
     // any stdout tail truncation by the calling harness.
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
@@ -109,6 +154,12 @@ object Bench {
     }
     println(prefix + "{" + kept + "}}")
     spark.stop()
+    if (regressions.nonEmpty) {
+      System.err.println(
+        "[bench] cross-round regressions vs previous BENCH_LOCAL (>" +
+        maxRegression + "x):\n  " + regressions.mkString("\n  "))
+      if (sys.env.getOrElse("SPARK_GRAFT_REGRESSION_STRICT", "0") == "1") sys.exit(2)
+    }
     // Growth gate LAST: the JSON is printed and the file written above,
     // so a violation costs the exit code, never the round's numbers.
     if (sf1Violations.nonEmpty) {

@@ -31,6 +31,25 @@ class SparkEntrySpec extends SparkSpec {
     Bench.growthViolations(base, sf1.filterNot(_._1 == "q_quad"), 8.0) shouldBe empty
   }
 
+  test("cross-round regression gate flags a planted slowdown and nothing else") {
+    val prev = Map("q_slow" -> 1.0, "q_ok" -> 1.0, "q_tiny" -> 0.05,
+      "q54_video" -> 1.0)
+    val cur = Seq("q_slow" -> 2.0,     // 2x vs last round: a real regression
+      "q_ok" -> 1.3,                   // 1.3x: under the 1.5x bar
+      "q_tiny" -> 0.3,                 // 6x but sub-minSecs: noise-exempt
+      "q54_video" -> 4.0,              // codec CPU: exempt by name
+      "q_new" -> 9.0)                  // no previous record: skipped
+    val bad = Bench.regressionViolations(prev, cur, maxRatio = 1.5)
+    bad.length shouldBe 1
+    bad.head should startWith("q_slow")
+  }
+
+  test("parseBenchQueries keeps the sf0.1 pass, not sf1_queries") {
+    val line = """{"metric":"total","value":3.5,"unit":"sec","queries":{"q1_a":1.25,"q2_b":2.25},""" +
+      """"sf":"/x/sf0.1","sf1_total":9.0,"sf1_queries":{"q1_a":4.5,"q2_b":4.5}}"""
+    Bench.parseBenchQueries(line) shouldBe Map("q1_a" -> 1.25, "q2_b" -> 2.25)
+  }
+
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name runs and returns rows at sf0.001") {
       fn(spark, sfDir).count() should be > 0L
