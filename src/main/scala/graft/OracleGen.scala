@@ -920,6 +920,49 @@ object OracleGen {
      WHERE NOT EXISTS (SELECT 1 FROM edges e
        WHERE e.src = s.node_a AND e.dst = s.node_b)"""
 
+  /** Jaccard link prediction (Graph.jaccardLinkPrediction on
+    * Dedup.embeddingPairs ≥ minCos): the raLinksSql pair prelude and
+    * hub-capped wedge enumeration, union sizes from FULL degrees,
+    * jaccard = one rounded double division of exact counts.
+    */
+  def jaccardLinksSql(minCos: Double = 0.1, nbits: Int = 6, dim: Int = 64,
+                      cap: Int = 40, maxDeg: Long = 1000L): String =
+    s"""WITH b AS (
+       SELECT vec_id, embedding, ${bucketSql("embedding", nbits, dim)} AS bucket
+       FROM embeddings),
+     capped AS (
+       SELECT vec_id, embedding, bucket FROM (
+         SELECT vec_id, embedding, bucket,
+           ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY vec_id) AS bn
+         FROM b) WHERE bn <= $cap),
+     prs AS (
+       SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b FROM capped a JOIN capped b2
+         ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+       WHERE ${cosineSql("a.embedding", "b2.embedding", dim)} >= $minCos),
+     edges AS MATERIALIZED (
+       SELECT vec_a AS src, vec_b AS dst FROM prs
+       UNION SELECT vec_b, vec_a FROM prs),
+     deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+     nbr AS (
+       SELECT e.src AS w, e.dst AS u
+       FROM edges e JOIN deg d ON d.src = e.src WHERE d.deg <= $maxDeg),
+     cand AS (
+       SELECT n1.u AS node_a, n2.u AS node_b
+       FROM nbr n1 JOIN nbr n2 ON n1.w = n2.w AND n1.u < n2.u),
+     cn AS (
+       SELECT node_a, node_b, COUNT(*) AS cn FROM cand GROUP BY 1, 2),
+     kept AS (
+       SELECT c.node_a, c.node_b, c.cn FROM cn c
+       WHERE NOT EXISTS (SELECT 1 FROM edges e
+         WHERE e.src = c.node_a AND e.dst = c.node_b))
+     SELECT k.node_a, k.node_b, k.cn,
+       da.deg + db.deg - k.cn AS n_union,
+       round(CAST(k.cn AS DOUBLE)
+         / CAST(da.deg + db.deg - k.cn AS DOUBLE), 9) AS jaccard
+     FROM kept k
+     JOIN deg da ON da.src = k.node_a
+     JOIN deg db ON db.src = k.node_b"""
+
   /** PQ encoding (operators.Similarity.pqEncode): the codebook is
     * rebuilt in SQL from the same smallest-md5 seed rows, and each
     * subspace's L2 sum is unrolled in the identical left-associative
@@ -1179,4 +1222,104 @@ object OracleGen {
        round(lo.lo, 9) AS ci_lo, round(hi.hi, 9) AS ci_hi
      FROM overall o JOIN lo ON o.g = lo.g JOIN hi ON o.g = hi.g"""
   }
+
+  /** Personalized PageRank over the bucketed embedding-similarity
+    * graph (Graph.personalizedPageRank on Dedup.embeddingPairs >=
+    * minCos, seeds = vec_id % seedMod = 0 present in the edge list):
+    * the pageRankSql arithmetic with the teleport restricted to the
+    * seed CTE; each round's spread FULL OUTER JOINs the seeds so the
+    * sparse frontier frame matches Spark's row set exactly.
+    */
+  def pprSql(seedMod: Int, minCos: Double = 0.4, nbits: Int = 6,
+             dim: Int = 64, cap: Int = 40, iters: Int = 3,
+             dampNum: Int = 17, dampDen: Int = 20): String = {
+    val baseNum = dampDen - dampNum
+    // contributions quantize by integer floor(x*1e15 + 0.5), mirroring
+    // Graph.personalizedPageRank — a double->DECIMAL cast rounds via
+    // different paths on the two engines (Spark: shortest-string;
+    // DuckDB: full binary expansion)
+    def iter(prev: String, out: String): String =
+      s"""$out AS MATERIALIZED (
+         SELECT COALESCE(sp.node, sd.node) AS node,
+           CASE WHEN sd.node IS NOT NULL THEN
+             CAST($baseNum AS DOUBLE) / (CAST($dampDen AS DOUBLE) * CAST((SELECT n FROM ns) AS DOUBLE))
+           ELSE 0.0 END
+           + (CAST($dampNum AS DOUBLE) / CAST($dampDen AS DOUBLE))
+             * (COALESCE(CAST(sp.csum AS DOUBLE), 0.0) / 1000000000000000.0) AS pr
+         FROM (SELECT e.dst AS node,
+                 SUM(CAST(floor(p.pr / d.deg * 1000000000000000.0 + 0.5) AS HUGEINT)) AS csum
+               FROM edges e
+               JOIN $prev p ON p.node = e.src
+               JOIN deg d ON d.src = e.src
+               GROUP BY e.dst) sp
+         FULL OUTER JOIN seeds sd ON sd.node = sp.node)"""
+    val its = (1 to iters).map(i => iter(if (i == 1) "pr0" else s"it${i - 1}", s"it$i"))
+    s"""WITH b AS (
+       SELECT vec_id, embedding, ${bucketSql("embedding", nbits, dim)} AS bucket
+       FROM embeddings),
+     capped AS (
+       SELECT vec_id, embedding, bucket FROM (
+         SELECT vec_id, embedding, bucket,
+           ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY vec_id) AS bn
+         FROM b) WHERE bn <= $cap),
+     prs AS (
+       SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b FROM capped a JOIN capped b2
+         ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+       WHERE ${cosineSql("a.embedding", "b2.embedding", dim)} >= $minCos),
+     edges AS MATERIALIZED (
+       SELECT vec_a AS src, vec_b AS dst FROM prs
+       UNION SELECT vec_b, vec_a FROM prs),
+     deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+     seeds AS MATERIALIZED (
+       SELECT DISTINCT vec_id AS node FROM embeddings
+       WHERE vec_id % $seedMod = 0 AND vec_id IN (SELECT src FROM deg)),
+     ns AS (SELECT COUNT(*) AS n FROM seeds),
+     pr0 AS (SELECT node, CAST(1 AS DOUBLE) / CAST((SELECT n FROM ns) AS DOUBLE) AS pr
+             FROM seeds),
+     ${its.mkString(",\n     ")}
+     SELECT node, pr FROM it$iters"""
+  }
+
+  /** Degree assortativity over the bucketed embedding-similarity
+    * graph (Graph.assortativity on Dedup.embeddingPairs >= minCos):
+    * same pair prelude, Pearson of endpoint degrees over the directed
+    * edge list from exact HUGEINT sums, one mirrored double formula.
+    */
+  def assortativitySql(minCos: Double = 0.4, nbits: Int = 6,
+                       dim: Int = 64, cap: Int = 40): String =
+    s"""WITH b AS (
+       SELECT vec_id, embedding, ${bucketSql("embedding", nbits, dim)} AS bucket
+       FROM embeddings),
+     capped AS (
+       SELECT vec_id, embedding, bucket FROM (
+         SELECT vec_id, embedding, bucket,
+           ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY vec_id) AS bn
+         FROM b) WHERE bn <= $cap),
+     prs AS (
+       SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b FROM capped a JOIN capped b2
+         ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+       WHERE ${cosineSql("a.embedding", "b2.embedding", dim)} >= $minCos),
+     edges AS MATERIALIZED (
+       SELECT vec_a AS src, vec_b AS dst FROM prs
+       UNION SELECT vec_b, vec_a FROM prs),
+     deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+     j AS (
+       SELECT dx.deg AS x, dy.deg AS y
+       FROM edges e JOIN deg dx ON dx.src = e.src JOIN deg dy ON dy.src = e.dst),
+     s AS (
+       SELECT COUNT(*) AS m,
+         SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(y AS HUGEINT) * y) AS syy
+       FROM j)
+     SELECT CAST(m AS BIGINT) AS n_directed_edges,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+       CASE WHEN CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+             AND CAST(m AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0 THEN
+         round((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / sqrt((CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9)
+       END AS assortativity
+     FROM s"""
 }

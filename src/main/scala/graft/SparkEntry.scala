@@ -1464,6 +1464,233 @@ object SparkEntry {
       operators.Rolling.seasonalDecompose(
         streaming.Events.readBatch(s, s"$dir/events.parquet"), "ts", "value")),
 
+    // §2#35o (r7) NDCG@k: the log-discount retrieval metric beside
+    // recall@k (q192) and AP@k (q253) — discount weights are shared
+    // integer nano-unit literals, so DCG/IDCG are exact longs and
+    // neither engine evaluates a logarithm.
+    "q262_ndcg" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").df
+      operators.Similarity.ndcgAtK(emb, emb.filter(col("vec_id") % 50 === 0), k = 10)
+    }),
+
+    // §2#52ag (r7) multi-class classification report: confusion-table
+    // marginals → per-class precision/recall/F1 + one overall row with
+    // macro averages, accuracy, and Cohen's κ. Predictions synthesized
+    // with a systematic event_id%7 confusion toward 'click' so every
+    // cell type (diagonal, off-diagonal, imbalance) is exercised.
+    "q263_classification_report" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .select(col("event_type").as("actual"),
+          when(col("event_id") % 7 === 0, lit("click"))
+            .otherwise(col("event_type")).as("predicted"))
+      functions.Eval.classificationReport(ev, "actual", "predicted")
+    }),
+
+    // §2#52ah (r7) one-way ANOVA F across event types — the k-group
+    // mean screen (one F replaces k(k−1)/2 pairwise Welch tests);
+    // decimal moment sums, mirrored double F.
+    "q264_anova" -> ((s, dir) =>
+      functions.Profile.anovaF(
+        streaming.Events.readBatch(s, s"$dir/events.parquet"), "event_type", "value")),
+
+    // §2#52ai (r7) Kruskal–Wallis H across event types — the rank-
+    // based k-group screen for heavy-tailed metrics; half-unit integer
+    // ranks over the joint value histogram, tie-corrected.
+    "q265_kruskal" -> ((s, dir) =>
+      functions.Profile.kruskalWallis(
+        streaming.Events.readBatch(s, s"$dir/events.parquet"), "event_type", "value")),
+
+    // §2#52aj (r7) Brown–Forsythe Levene: variance-equality across
+    // event types (the ANOVA assumption check and a spread-drift
+    // signal) — ANOVA on |v − group median|, medians by exact
+    // inverse-ECDF rank selection.
+    "q266_levene" -> ((s, dir) =>
+      functions.Profile.levene(
+        streaming.Events.readBatch(s, s"$dir/events.parquet"), "event_type", "value")),
+
+    // §2#30r (r7) personalized PageRank from a seed set over the
+    // cos>=0.4 similarity graph (q97's edges): seed-relative relevance
+    // for corpus expansion — sparse rank frame grows with the reached
+    // frontier, teleport only to seeds.
+    "q267_ppr" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").df
+      val pairs = operators.Dedup.embeddingPairs(emb).filter(col("cos") >= 0.1)
+      operators.Graph.personalizedPageRank(pairs, "vec_a", "vec_b",
+        emb.filter(col("vec_id") % 2 === 0).select(col("vec_id")))
+    }),
+
+    // §2#30s (r7) degree assortativity over the same similarity graph:
+    // do hubs link to hubs? — one scalar from exact degree sums over
+    // the directed edge list.
+    "q268_assortativity" -> ((s, dir) => {
+      val pairs = operators.Dedup.embeddingPairs(t(s, dir, "embeddings").df)
+        .filter(col("cos") >= 0.1)
+      operators.Graph.assortativity(pairs, "vec_a", "vec_b")
+    }),
+
+    // §2#53ac (r7) Pettitt change-point over the daily mean-value
+    // series: rank-based single-shift detector — the series is the
+    // collapsed per-day table (calendar-scale, §5 exemption), means
+    // are exact-integer divisions rounded 1e-6 on both engines.
+    "q269_pettitt" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .select((unix_micros(col("ts")) / lit(86400000000L)).cast("long").as("day"),
+          floor(col("value") * 1000000L + lit(0.5)).cast("long").as("_vq"))
+      val daily = ev.groupBy("day")
+        .agg(round(sum(col("_vq").cast("decimal(38,0)")).cast("double")
+          / count(lit(1)).cast("double") / 1e6, 6).as("day_mean"))
+      functions.Profile.pettitt(daily, "day", "day_mean")
+    }),
+
+    // §2#52ak (r7) Cramér's V association matrix over the q237
+    // categorical triple — χ² normalized to [0,1] per pair so
+    // associations are comparable across level counts; empty cells
+    // folded in closed form.
+    "q270_cramers_v" -> ((s, dir) =>
+      functions.Eval.cramersV(
+        t(s, dir, "orders").df.select(col("o_orderstatus"), col("o_orderpriority"),
+          year(col("o_orderdate")).as("o_year")),
+        Seq("o_orderstatus", "o_orderpriority", "o_year"))),
+
+    // §2#52al (r7) declarative constraint audit (the Deequ shape):
+    // completeness / key uniqueness / bounds / enum domain in ONE
+    // shared agg pass + referential integrity as one anti-join count —
+    // the assertion layer over the descriptive profile family.
+    "q271_quality_audit" -> ((s, dir) => {
+      import functions.Quality._
+      audit(t(s, dir, "orders").df, Seq(
+        Completeness("o_custkey"),
+        Uniqueness("o_orderkey"),
+        MinBound("o_totalprice", 0.0),
+        MaxBound("o_totalprice", 1000000.0),
+        NonNegative("o_totalprice"),
+        InSet("o_orderstatus", Seq("F", "O", "P")),
+        ForeignKey("o_custkey", t(s, dir, "customer").df, "c_custkey")))
+    }),
+
+    // §2#62p (r7) manifest data-skipping: per-file min/max recorded in
+    // the TxTable transaction log at commit (the Delta shape), range
+    // reads prune FILES from the manifest alone — the gated query
+    // proves the pruned read returns exactly the full snapshot's
+    // filtered rows; the spec proves files were actually skipped.
+    "q272_tx_skipping" -> ((s, dir) => {
+      val table = sidePath("graft_txk", dir)
+      sources.TxTable.drop(s, table)
+      val ord = t(s, dir, "orders").df
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .repartitionByRange(8, col("o_orderkey"))
+      sources.TxTable.commit(ord, table, statsCols = Seq("o_orderkey"))
+      def summarize(df: org.apache.spark.sql.DataFrame, tag: String) =
+        df.agg(count(lit(1)).as("n_rows"),
+            sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
+          .select(lit(tag).as("section"), col("n_rows"), col("sum_price"))
+      summarize(sources.TxTable.readWhere(s, table, "o_orderkey", 1000.0, 3000.0), "pruned")
+        .unionByName(summarize(sources.TxTable.read(s, table)
+          .filter(col("o_orderkey").between(1000, 3000)), "snapshot"))
+    }),
+
+    // §2#52am (r7) PR-AUC per group: the imbalance-honest companion to
+    // q235's ROC AUC — tie-aware step interpolation over the same
+    // (group, score)-histogram state, exact cumulative counts.
+    "q273_pr_auc" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .select(col("event_type"), (pmod(col("user_id"), lit(2)) === 1).as("label"),
+          col("value"))
+      functions.Eval.groupedPrAuc(ev, "event_type", "label", "value", unitScale = 100L)
+    }),
+
+    // §2#30u (r7) Jaccard link prediction over the cos>=0.1 similarity
+    // graph: the degree-penalized companion to q200's RA — cn from the
+    // hub-capped wedge enumeration, union from full degrees, one
+    // division.
+    "q274_jaccard_links" -> ((s, dir) => {
+      val pairs = operators.Dedup.embeddingPairs(t(s, dir, "embeddings").df)
+        .filter(col("cos") >= 0.1)
+      operators.Graph.jaccardLinkPrediction(pairs, "vec_a", "vec_b")
+    }),
+
+    // §2#52an (r7) Welch's heteroscedastic ANOVA across event types:
+    // the k-group mean screen without q264's equal-variance assumption
+    // — run it when q266's Levene rejects.
+    "q275_welch_anova" -> ((s, dir) =>
+      functions.Profile.welchAnova(
+        streaming.Events.readBatch(s, s"$dir/events.parquet"), "event_type", "value")),
+
+    // §2#52ao (r7) Murphy decomposition of the binned Brier score over
+    // the q242 calibration bins: reliability (recalibration can fix) −
+    // resolution (it can't add) + irreducible uncertainty.
+    "q276_brier" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .select((col("value") / 500.0).as("pred"),
+          (pmod(col("user_id"), lit(2)) === 1).as("label"))
+      functions.Eval.brierDecomposition(ev, "label", "pred", nBins = 10)
+    }),
+
+    // §2#60h (r7) per-hour streaming CMS: the frequency member of the
+    // per-window sealed-emission family (HLL q152 / quantile q257 /
+    // KMV q258) — read out as per-hour point estimates for a fixed
+    // probe key set (min over depth rows, the classic CM upper bound).
+    "q277_stream_cms_hourly" -> ((s, dir) => {
+      val sk = streaming.Events.streamCmsHourly(s, s"$dir/events.parquet")
+      val probes = s.createDataFrame(Seq(Tuple1("1"), Tuple1("2"), Tuple1("3")))
+        .toDF("k")
+      val pc = probes.select(col("k"), posexplode(array((0 until 4).map(j =>
+        functions.Sketches.cmsCell(col("k"), j, 1024)): _*)).as(Seq("j", "cell")))
+      val skr = sk.select(col("hour_start").as("_h"), col("j").as("_j"),
+        col("cell").as("_cell"), col("cnt"))
+      sk.select(col("hour_start")).distinct()
+        .crossJoin(pc)
+        .join(skr, col("_h") === col("hour_start")
+          && col("_j") === col("j") && col("_cell") === col("cell"), "left")
+        .groupBy(col("hour_start"), col("k").as("user_id"))
+        .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+    }),
+
+    // §2#53ad (r7) Nelson–Aalen cumulative hazard on q249's
+    // time-to-conversion observations: the rate-space dual of the
+    // Kaplan–Meier curve — hazard ratios read directly off H(t).
+    "q278_hazard" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"), col("event_type"))
+      val perUser = ev.groupBy("user_id").agg(
+        min(col("tus")).as("_t0"),
+        min(when(col("event_type") === "purchase", col("tus"))).as("_tc"),
+        max(col("tus")).as("_tm"))
+      val obs = perUser.select(
+        concat(lit("c"), pmod(col("user_id"), lit(3)).cast("string")).as("cohort"),
+        expr("(coalesce(_tc, _tm) - _t0) div 86400000000").as("dur_days"),
+        col("_tc").isNotNull.cast("int").as("converted"))
+      operators.Behavior.hazardCurve(obs, "cohort", "dur_days", "converted")
+    }),
+
+    // §2#38d (r7) vocabulary coverage curve: share of running text the
+    // top-k term types cover, at a probe ladder — the BPE/vocab budget
+    // read-out beside q174's Zipf slope; windows over the vocabulary
+    // table only.
+    "q279_vocab_coverage" -> ((s, dir) =>
+      functions.TermStats.vocabCoverage(t(s, dir, "documents").df)),
+
+    // §2#62q (r7) z-order + manifest skipping composed: the q92 layout
+    // committed through TxTable with BOTH dims' stats, then range
+    // reads on EITHER dim prune files from the transaction log —
+    // multi-dimensional data skipping, the full OPTIMIZE story.
+    "q280_tx_zorder_skip" -> ((s, dir) => {
+      val table = sidePath("graft_txz", dir)
+      sources.TxTable.drop(s, table)
+      val li = t(s, dir, "lineitem").df
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      sources.TxTable.commit(
+        functions.Layout.zorderLayout(li, "l_orderkey", "l_partkey", 16),
+        table, statsCols = Seq("l_orderkey", "l_partkey"))
+      def summarize(df: org.apache.spark.sql.DataFrame, tag: String) =
+        df.agg(count(lit(1)).as("n_rows"),
+            sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+          .select(lit(tag).as("section"), col("n_rows"), col("sum_qty"))
+      summarize(sources.TxTable.readWhere(s, table, "l_orderkey", 1000.0, 3000.0), "by_okey")
+        .unionByName(
+          summarize(sources.TxTable.readWhere(s, table, "l_partkey", 10.0, 60.0), "by_pkey"))
+    }),
+
     // §2#52af (r7) grouped two-proportion z-tests with
     // Benjamini–Hochberg FDR control: "which event types shifted the
     // value>50 share between user cohorts" asked across ALL types at
@@ -3680,6 +3907,558 @@ object SparkEntry {
                - CASE WHEN c24 = 24 THEN CAST(s24 AS DOUBLE) / 24.0 / 1000000.0 END
                - CAST(sd AS DOUBLE) / (24.0 * CAST(nk AS DOUBLE)) / 1000000.0, 6) AS residual
          FROM wd LEFT JOIN slots USING (k)""",
+
+    // discount weights are the SAME nano-unit long literals Spark uses
+    // (ndcgWeightsNano), so DCG/IDCG are exact integer sums on both
+    // engines — no logarithm is ever evaluated
+    "q262_ndcg" -> {
+      val w = operators.Similarity.ndcgWeightsNano(10)
+      val cums = w.scanLeft(0L)(_ + _).tail
+      s"""WITH tk AS (
+           SELECT query_id, neighbor_id, rank FROM (
+             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                          c.vec_id) AS INT) AS rank
+             FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+             WHERE q.vec_id % 50 = 0)
+           WHERE rank <= 10),
+         lab AS (SELECT vec_id, label FROM embeddings),
+         j AS (
+           SELECT t.query_id, t.rank,
+             CASE WHEN ql.label = cl.label THEN 1 ELSE 0 END AS rel
+           FROM tk t
+           JOIN lab ql ON ql.vec_id = t.query_id
+           JOIN lab cl ON cl.vec_id = t.neighbor_id),
+         a AS (
+           SELECT query_id, SUM(rel) AS n_rel,
+             SUM(CASE WHEN rel = 1 THEN ([${w.mkString(", ")}])[rank] ELSE 0 END) AS dcg
+           FROM j GROUP BY 1)
+         SELECT query_id, CAST(n_rel AS BIGINT) AS n_rel,
+           CASE WHEN n_rel > 0 THEN
+             round(CAST(dcg AS DOUBLE)
+               / CAST(([${cums.mkString(", ")}])[CAST(LEAST(n_rel, 10) AS INT)] AS DOUBLE), 9)
+           ELSE 0.0 END AS ndcg
+         FROM a"""
+    },
+
+    // confusion cells -> marginals -> per-class PRF (rounded BEFORE the
+    // macro DECIMAL(20,9) sums, mirroring Spark); kappa's expected
+    // agreement from the exact HUGEINT marginal-product sum
+    "q263_classification_report" ->
+      """WITH e AS (
+           SELECT event_type AS a,
+             CASE WHEN event_id % 7 = 0 THEN 'click' ELSE event_type END AS p
+           FROM events),
+         cells AS (SELECT a, p, COUNT(*) AS c FROM e GROUP BY 1, 2),
+         cls AS (SELECT a AS label FROM cells UNION SELECT p FROM cells),
+         rm AS (SELECT a AS label, SUM(c) AS n_actual FROM cells GROUP BY 1),
+         cm AS (SELECT p AS label, SUM(c) AS n_pred FROM cells GROUP BY 1),
+         dg AS (SELECT a AS label, c AS tp FROM cells WHERE a = p),
+         pc AS (
+           SELECT cls.label,
+             COALESCE(n_actual, 0) AS n_actual, COALESCE(n_pred, 0) AS n_pred,
+             COALESCE(tp, 0) AS tp
+           FROM cls LEFT JOIN rm USING (label) LEFT JOIN cm USING (label)
+             LEFT JOIN dg USING (label)),
+         sc AS (
+           SELECT label, n_actual, n_pred, tp,
+             CASE WHEN n_pred > 0 THEN
+               round(CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE), 9) END AS prec,
+             CASE WHEN n_actual > 0 THEN
+               round(CAST(tp AS DOUBLE) / CAST(n_actual AS DOUBLE), 9) END AS rec,
+             CASE WHEN n_pred > 0 AND n_actual > 0 THEN
+               CASE WHEN tp > 0 THEN
+                 round(2.0 * (CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE))
+                   * (CAST(tp AS DOUBLE) / CAST(n_actual AS DOUBLE))
+                   / ((CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE))
+                     + (CAST(tp AS DOUBLE) / CAST(n_actual AS DOUBLE))), 9)
+               ELSE 0.0 END END AS f1
+           FROM pc),
+         ov AS (
+           SELECT COUNT(*) AS k, SUM(n_actual) AS n, SUM(tp) AS tpt,
+             SUM(CAST(COALESCE(prec, 0) AS DECIMAL(20,9))) AS sp,
+             SUM(CAST(COALESCE(rec, 0) AS DECIMAL(20,9))) AS sr,
+             SUM(CAST(COALESCE(f1, 0) AS DECIMAL(20,9))) AS sf,
+             SUM(CAST(n_actual AS HUGEINT) * n_pred) AS pe
+           FROM sc)
+         SELECT 'overall' AS section, 'all' AS label,
+           CAST(n AS BIGINT) AS n_actual, CAST(n AS BIGINT) AS n_pred,
+           CAST(tpt AS BIGINT) AS tp,
+           round(CAST(sp AS DOUBLE) / CAST(k AS DOUBLE), 9) AS "precision",
+           round(CAST(sr AS DOUBLE) / CAST(k AS DOUBLE), 9) AS recall,
+           round(CAST(sf AS DOUBLE) / CAST(k AS DOUBLE), 9) AS f1,
+           round(CAST(tpt AS DOUBLE) / CAST(n AS DOUBLE), 9) AS accuracy,
+           CASE WHEN CAST(pe AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) < 1.0 THEN
+             round((CAST(tpt AS DOUBLE) / CAST(n AS DOUBLE)
+                 - CAST(pe AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+               / (1.0 - CAST(pe AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 9)
+           END AS kappa
+         FROM ov
+         UNION ALL
+         SELECT 'class', label, CAST(n_actual AS BIGINT), CAST(n_pred AS BIGINT),
+           CAST(tp AS BIGINT), prec, rec, f1,
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+         FROM sc""",
+
+    // decimal moment sums per group; each S_g^2/n_g quantized
+    // DECIMAL(38,6) pre-sum; F in one mirrored double op order
+    "q264_anova" ->
+      """WITH q AS (
+           SELECT event_type AS g,
+             CAST(floor(CAST(value AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS v
+           FROM events),
+         cells AS (
+           SELECT g, COUNT(*) AS n, SUM(CAST(v AS HUGEINT)) AS s,
+             SUM(CAST(v AS HUGEINT) * v) AS ss
+           FROM q GROUP BY 1),
+         agg AS (
+           SELECT COUNT(*) AS k, SUM(n) AS n, SUM(s) AS st, SUM(ss) AS sst,
+             SUM(CAST(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+               AS DECIMAL(38,6))) AS sbt
+           FROM cells)
+         SELECT CAST(k AS BIGINT) AS k_groups, CAST(n AS BIGINT) AS n,
+           round((CAST(sbt AS DOUBLE)
+             - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(n AS DOUBLE))
+             / (1000000.0 * 1000000.0), 6) AS ss_between,
+           round((CAST(sst AS DOUBLE) - CAST(sbt AS DOUBLE))
+             / (1000000.0 * 1000000.0), 6) AS ss_within,
+           CASE WHEN k >= 2 AND n > k
+                 AND CAST(sst AS DOUBLE) - CAST(sbt AS DOUBLE) > 0 THEN
+             round(((CAST(sbt AS DOUBLE)
+                 - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(n AS DOUBLE))
+                 / (CAST(k AS DOUBLE) - 1.0))
+               / ((CAST(sst AS DOUBLE) - CAST(sbt AS DOUBLE))
+                 / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6)
+           END AS f_stat
+         FROM agg""",
+
+    // half-unit integer ranks over the joint value histogram (the
+    // mannWhitneyU rule); (2R_g)^2/(4n_g) quantized DECIMAL(38,6)
+    // pre-sum; H and the tie correction in mirrored double order
+    "q265_kruskal" ->
+      """WITH q AS (
+           SELECT event_type AS g,
+             CAST(floor(CAST(value AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS v
+           FROM events),
+         cells AS (SELECT g, v, COUNT(*) AS c FROM q GROUP BY 1, 2),
+         vh AS (SELECT v, SUM(c) AS t FROM cells GROUP BY 1),
+         rk AS (
+           SELECT v, t,
+             2 * COALESCE(SUM(t) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1 AS r2,
+             CAST(t AS HUGEINT) * t * t - t AS tie
+           FROM vh),
+         bg AS (
+           SELECT g, SUM(c) AS n, SUM(CAST(c AS HUGEINT) * r2) AS r2g
+           FROM cells JOIN rk USING (v) GROUP BY 1),
+         gs AS (
+           SELECT COUNT(*) AS k, SUM(n) AS n,
+             SUM(CAST(CAST(r2g AS DOUBLE) * CAST(r2g AS DOUBLE)
+               / (4.0 * CAST(n AS DOUBLE)) AS DECIMAL(38,6))) AS rrt
+           FROM bg),
+         tt AS (SELECT SUM(tie) AS ties FROM rk)
+         SELECT CAST(k AS BIGINT) AS k_groups, CAST(n AS BIGINT) AS n,
+           round(12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+             * CAST(rrt AS DOUBLE) - 3.0 * (CAST(n AS DOUBLE) + 1.0), 6) AS h_stat,
+           CASE WHEN k >= 2 AND n >= 2
+                 AND 1.0 - CAST(ties AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                     - CAST(n AS DOUBLE)) > 0 THEN
+             round((12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+                 * CAST(rrt AS DOUBLE) - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+               / (1.0 - CAST(ties AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                   - CAST(n AS DOUBLE))), 6)
+           END AS h_corrected
+         FROM gs, tt""",
+
+    // group medians by exact inverse-ECDF rank selection, then the
+    // q264 ANOVA arithmetic over |v - med|
+    "q266_levene" ->
+      """WITH q AS (
+           SELECT event_type AS g,
+             CAST(floor(CAST(value AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS v0
+           FROM events),
+         h AS (SELECT g, v0, COUNT(*) AS c FROM q GROUP BY 1, 2),
+         cum AS (
+           SELECT g, v0,
+             SUM(c) OVER (PARTITION BY g ORDER BY v0
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc,
+             SUM(c) OVER (PARTITION BY g) AS n
+           FROM h),
+         med AS (SELECT g, MIN(CASE WHEN cumc * 2 >= n THEN v0 END) AS med
+                 FROM cum GROUP BY 1),
+         dv AS (SELECT q.g, ABS(v0 - med) AS v FROM q JOIN med ON q.g = med.g),
+         cells AS (
+           SELECT g, COUNT(*) AS n, SUM(CAST(v AS HUGEINT)) AS s,
+             SUM(CAST(v AS HUGEINT) * v) AS ss
+           FROM dv GROUP BY 1),
+         agg AS (
+           SELECT COUNT(*) AS k, SUM(n) AS n, SUM(st2) AS st, SUM(ss) AS sst,
+             SUM(CAST(CAST(st2 AS DOUBLE) * CAST(st2 AS DOUBLE) / CAST(n AS DOUBLE)
+               AS DECIMAL(38,6))) AS sbt
+           FROM (SELECT g, n, s AS st2, ss FROM cells))
+         SELECT CAST(k AS BIGINT) AS k_groups, CAST(n AS BIGINT) AS n,
+           CASE WHEN k >= 2 AND n > k
+                 AND CAST(sst AS DOUBLE) - CAST(sbt AS DOUBLE) > 0 THEN
+             round(((CAST(sbt AS DOUBLE)
+                 - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(n AS DOUBLE))
+                 / (CAST(k AS DOUBLE) - 1.0))
+               / ((CAST(sst AS DOUBLE) - CAST(sbt AS DOUBLE))
+                 / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6)
+           END AS f_stat
+         FROM agg""",
+
+    "q267_ppr" -> OracleGen.pprSql(seedMod = 2, minCos = 0.1),
+
+    "q268_assortativity" -> OracleGen.assortativitySql(minCos = 0.1),
+
+    // daily means from exact integer sums (rounded 1e-6 on both
+    // engines), half-unit ranks, U_t exact longs, earliest-t argmax
+    "q269_pettitt" ->
+      """WITH e AS (
+           SELECT epoch_us(ts) // 86400000000 AS day,
+             CAST(floor(CAST(value AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS vq
+           FROM events),
+         daily AS (
+           SELECT day, round(CAST(SUM(CAST(vq AS HUGEINT)) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) / 1000000.0, 6) AS m
+           FROM e GROUP BY 1),
+         b AS (SELECT day AS o,
+             CAST(floor(m * 1000000 + 0.5) AS BIGINT) AS v FROM daily),
+         vh AS (SELECT v, COUNT(*) AS t FROM b GROUP BY 1),
+         rk AS (
+           SELECT v, 2 * COALESCE(SUM(t) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1 AS r2
+           FROM vh),
+         u AS (
+           SELECT o,
+             SUM(r2) OVER (ORDER BY o
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s2,
+             COUNT(*) OVER (ORDER BY o
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ti,
+             COUNT(*) OVER () AS n
+           FROM b JOIN rk USING (v)),
+         uu AS (SELECT o, n, s2 - ti * (n + 1) AS uv FROM u),
+         kk AS (SELECT *, MAX(ABS(uv)) OVER () AS k FROM uu)
+         SELECT CAST(n AS BIGINT) AS n, MIN(o) AS t_star,
+           CAST(k AS BIGINT) AS k_stat,
+           round(2.0 * exp(-6.0 * CAST(k AS DOUBLE) * CAST(k AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+               + CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 9) AS p_approx
+         FROM kk WHERE ABS(uv) = k GROUP BY n, k""",
+
+    // the q237 cell build; chi^2 folds empty cells in closed form
+    // (sum over occupied of (c-e)^2/e - e, + N); terms DECIMAL(29,9)
+    "q270_cramers_v" ->
+      """WITH o AS (
+           SELECT COALESCE(CAST(o_orderstatus AS VARCHAR), ' null') AS s,
+                  COALESCE(CAST(o_orderpriority AS VARCHAR), ' null') AS p,
+                  COALESCE(CAST(year(o_orderdate) AS VARCHAR), ' null') AS y
+           FROM orders),
+         pr AS (
+           SELECT 'o_orderstatus' AS cx, 'o_orderpriority' AS cy, s AS x, p AS y FROM o
+           UNION ALL
+           SELECT 'o_orderstatus', 'o_year', s, y FROM o
+           UNION ALL
+           SELECT 'o_orderpriority', 'o_year', p, y FROM o),
+         cells AS (SELECT cx, cy, x, y, COUNT(*) AS c FROM pr GROUP BY 1,2,3,4),
+         m AS (
+           SELECT *, SUM(c) OVER (PARTITION BY cx, cy, x) AS cxn,
+                     SUM(c) OVER (PARTITION BY cx, cy, y) AS cyn,
+                     SUM(c) OVER (PARTITION BY cx, cy) AS n
+           FROM cells),
+         lev AS (
+           SELECT cx, cy, COUNT(DISTINCT x) AS r, COUNT(DISTINCT y) AS sl
+           FROM cells GROUP BY 1, 2),
+         terms AS (
+           SELECT cx, cy, n,
+             CAST((CAST(c AS DOUBLE)
+                 - CAST(cxn AS DOUBLE) * CAST(cyn AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(c AS DOUBLE)
+                 - CAST(cxn AS DOUBLE) * CAST(cyn AS DOUBLE) / CAST(n AS DOUBLE))
+               / (CAST(cxn AS DOUBLE) * CAST(cyn AS DOUBLE) / CAST(n AS DOUBLE))
+               - CAST(cxn AS DOUBLE) * CAST(cyn AS DOUBLE) / CAST(n AS DOUBLE)
+               AS DECIMAL(29,9)) AS term
+           FROM m),
+         agg AS (
+           SELECT cx AS col_x, cy AS col_y, MAX(n) AS nt, SUM(term) AS chi
+           FROM terms GROUP BY 1, 2)
+         SELECT col_x, col_y, CAST(nt AS BIGINT) AS n,
+           CAST(r AS BIGINT) AS levels_x, CAST(sl AS BIGINT) AS levels_y,
+           round(CAST(chi AS DOUBLE) + CAST(nt AS DOUBLE), 6) AS chi2,
+           CASE WHEN LEAST(r, sl) - 1 > 0 THEN
+             round(sqrt((CAST(chi AS DOUBLE) + CAST(nt AS DOUBLE))
+               / (CAST(nt AS DOUBLE) * CAST(LEAST(r, sl) - 1 AS DOUBLE))), 9)
+           END AS cramers_v
+         FROM agg JOIN lev ON agg.col_x = lev.cx AND agg.col_y = lev.cy""",
+
+    // one shared scan for the row-local checks + one NOT EXISTS count
+    // for referential integrity; passes decided by integer arithmetic
+    "q271_quality_audit" ->
+      """WITH t AS (
+           SELECT COUNT(*) AS n, COUNT(o_custkey) AS cc,
+             COUNT(DISTINCT o_orderkey) AS du, COUNT(o_orderkey) AS cu,
+             MIN(CAST(o_totalprice AS DOUBLE)) AS mn,
+             MAX(CAST(o_totalprice AS DOUBLE)) AS mx,
+             COUNT(*) FILTER (WHERE o_totalprice < 0) AS neg,
+             COUNT(*) FILTER (WHERE CAST(o_orderstatus AS VARCHAR) IN ('F','O','P')) AS ins,
+             COUNT(*) FILTER (WHERE o_orderstatus IS NOT NULL
+               AND CAST(o_orderstatus AS VARCHAR) NOT IN ('F','O','P')) AS outs
+           FROM orders),
+         fk AS (
+           SELECT COUNT(*) AS orphans FROM orders o
+           WHERE o.o_custkey IS NOT NULL
+             AND NOT EXISTS (SELECT 1 FROM customer c
+                             WHERE c.c_custkey = o.o_custkey))
+         SELECT 'completeness' AS "check", 'o_custkey' AS "column",
+           round(CAST(cc AS DOUBLE) / CAST(n AS DOUBLE), 9) AS metric,
+           1.0 AS threshold, cc * 1 >= n * 1 AS passed FROM t
+         UNION ALL SELECT 'uniqueness', 'o_orderkey',
+           round(CAST(du AS DOUBLE) / CAST(n AS DOUBLE), 9), 1.0,
+           du = n AND cu = n FROM t
+         UNION ALL SELECT 'min_bound', 'o_totalprice', round(mn, 9), 0.0,
+           mn >= 0.0 FROM t
+         UNION ALL SELECT 'max_bound', 'o_totalprice', round(mx, 9), 1000000.0,
+           mx <= 1000000.0 FROM t
+         UNION ALL SELECT 'non_negative', 'o_totalprice', CAST(neg AS DOUBLE), 0.0,
+           neg = 0 FROM t
+         UNION ALL SELECT 'in_set', 'o_orderstatus',
+           round(CAST(ins AS DOUBLE) / CAST(n AS DOUBLE), 9), 1.0, outs = 0 FROM t
+         UNION ALL SELECT 'foreign_key', 'o_custkey', CAST(orphans AS DOUBLE), 0.0,
+           orphans = 0 FROM fk""",
+
+    // the q249 risk-set machinery with d/n and d/n^2 terms
+    // DECIMAL(20,9) pre-cumsum
+    "q278_hazard" ->
+      """WITH u AS (
+           SELECT user_id, MIN(epoch_us(ts)) AS t0,
+             MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS tc,
+             MAX(epoch_us(ts)) AS tm
+           FROM events GROUP BY 1),
+         obs AS (
+           SELECT 'c' || CAST(user_id % 3 AS VARCHAR) AS g,
+             (COALESCE(tc, tm) - t0) // 86400000000 AS t,
+             CASE WHEN tc IS NOT NULL THEN 1 ELSE 0 END AS e
+           FROM u),
+         cells AS (SELECT g, t, SUM(e) AS d, COUNT(*) AS c FROM obs GROUP BY 1, 2),
+         r AS (
+           SELECT *, SUM(c) OVER (PARTITION BY g)
+             - COALESCE(SUM(c) OVER (PARTITION BY g ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nrisk
+           FROM cells),
+         tm2 AS (
+           SELECT *,
+             CASE WHEN d > 0 THEN
+               CAST(CAST(d AS DOUBLE) / CAST(nrisk AS DOUBLE) AS DECIMAL(20,9)) END AS term,
+             CASE WHEN d > 0 THEN
+               CAST(CAST(d AS DOUBLE) / (CAST(nrisk AS DOUBLE) * CAST(nrisk AS DOUBLE))
+                 AS DECIMAL(20,9)) END AS vterm
+           FROM r),
+         hz AS (
+           SELECT *,
+             SUM(term) OVER (PARTITION BY g ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hh,
+             SUM(vterm) OVER (PARTITION BY g ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vv
+           FROM tm2)
+         SELECT g AS cohort, CAST(t AS BIGINT) AS t, CAST(nrisk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS d_events,
+           round(CAST(hh AS DOUBLE), 6) AS cum_hazard,
+           round(CAST(vv AS DOUBLE), 9) AS hazard_var
+         FROM hz WHERE d > 0""",
+
+    // term histogram + vocabulary-scale rank/cumulative windows; the
+    // shared whitespace tokenizer (the q174 oracle's split) inlined
+    "q279_vocab_coverage" ->
+      """WITH tok AS (
+           SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+           FROM documents),
+         counts AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY 1),
+         ranked AS (
+           SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, t) AS rank,
+             SUM(c) OVER (ORDER BY c DESC, t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM counts),
+         tot AS (SELECT SUM(c) AS total, COUNT(*) AS v FROM counts),
+         probes AS (SELECT unnest([10, 30, 100, 300, 1000, 3000, 10000]) AS k)
+         SELECT CAST(p.k AS BIGINT) AS k, CAST(r.rank AS BIGINT) AS rank_used,
+           CAST(r.cum AS BIGINT) AS covered_tokens,
+           CAST(t.total AS BIGINT) AS total_tokens,
+           round(CAST(r.cum AS DOUBLE) / CAST(t.total AS DOUBLE), 9) AS coverage
+         FROM probes p CROSS JOIN tot t
+         JOIN ranked r ON r.rank = LEAST(p.k, t.v)""",
+
+    // both sections recompute from the base table — the z-ordered
+    // pruned reads must be row-exact
+    "q280_tx_zorder_skip" ->
+      """SELECT 'by_okey' AS section, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+         FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 3000
+         UNION ALL
+         SELECT 'by_pkey', COUNT(*),
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+         FROM lineitem WHERE l_partkey BETWEEN 10 AND 60""",
+
+    // the q242 bins (conf/acc rounded 1e-9 there, mirrored), Murphy
+    // terms DECIMAL(29,9) pre-sum, final row in one mirrored op order
+    "q276_brier" ->
+      """WITH e AS (
+           SELECT (user_id % 2 = 1) AS p, CAST(value AS DOUBLE) / 500.0 AS pr
+           FROM events),
+         b AS (
+           SELECT LEAST(GREATEST(CAST(floor(pr * 10) AS BIGINT), 0), 9) AS bin,
+             CAST(floor(pr * 1000000 + 0.5) AS BIGINT) AS pq, p
+           FROM e),
+         a AS (
+           SELECT bin, COUNT(*) AS n, COUNT(*) FILTER (WHERE p) AS n_pos,
+             SUM(CAST(pq AS HUGEINT)) AS sp
+           FROM b GROUP BY 1),
+         c AS (
+           SELECT bin, n, n_pos,
+             round(CAST(sp AS DOUBLE) / (1000000.0 * CAST(n AS DOUBLE)), 9) AS conf,
+             round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 9) AS acc
+           FROM a),
+         t AS (SELECT SUM(n) AS nt, SUM(n_pos) AS pt FROM c),
+         terms AS (
+           SELECT nt, pt,
+             CAST(CAST(n AS DOUBLE) * (conf - acc) * (conf - acc) AS DECIMAL(29,9)) AS rel,
+             CAST(CAST(n AS DOUBLE)
+               * (acc - CAST(pt AS DOUBLE) / CAST(nt AS DOUBLE))
+               * (acc - CAST(pt AS DOUBLE) / CAST(nt AS DOUBLE)) AS DECIMAL(29,9)) AS res
+           FROM c, t),
+         g AS (SELECT nt, pt, SUM(rel) AS relt, SUM(res) AS rest
+               FROM terms GROUP BY 1, 2)
+         SELECT CAST(nt AS BIGINT) AS n,
+           round(CAST(pt AS DOUBLE) / CAST(nt AS DOUBLE), 9) AS base_rate,
+           round(CAST(relt AS DOUBLE) / CAST(nt AS DOUBLE), 9) AS reliability,
+           round(CAST(rest AS DOUBLE) / CAST(nt AS DOUBLE), 9) AS resolution,
+           round(CAST(pt AS DOUBLE) / CAST(nt AS DOUBLE)
+             * (1.0 - CAST(pt AS DOUBLE) / CAST(nt AS DOUBLE)), 9) AS uncertainty,
+           round(CAST(relt AS DOUBLE) / CAST(nt AS DOUBLE)
+             - CAST(rest AS DOUBLE) / CAST(nt AS DOUBLE)
+             + CAST(pt AS DOUBLE) / CAST(nt AS DOUBLE)
+               * (1.0 - CAST(pt AS DOUBLE) / CAST(nt AS DOUBLE)), 9) AS brier
+         FROM g""",
+
+    // the q117 CMS cells with an hour dimension; probe estimates =
+    // min over depth rows (missing cell -> 0 via the left join)
+    "q277_stream_cms_hourly" ->
+      """WITH e AS (
+           SELECT date_trunc('hour', make_timestamp(epoch_ns(ts)//1000)) AS hour_start,
+             CAST(user_id AS VARCHAR) AS k
+           FROM events),
+         cells AS (
+           SELECT hour_start, j.j,
+             ('0x' || substr(md5('cm' || j.j || '|' || k), 1, 8))::BIGINT % 1024 AS cell
+           FROM e CROSS JOIN (SELECT unnest([0,1,2,3]) AS j) j),
+         sk AS (SELECT hour_start, j, cell, COUNT(*) AS cnt FROM cells GROUP BY 1,2,3),
+         probes AS (SELECT unnest(['1','2','3']) AS k),
+         pc AS (
+           SELECT p.k, j.j,
+             ('0x' || substr(md5('cm' || j.j || '|' || p.k), 1, 8))::BIGINT % 1024 AS cell
+           FROM probes p CROSS JOIN (SELECT unnest([0,1,2,3]) AS j) j),
+         hrs AS (SELECT DISTINCT hour_start FROM sk)
+         SELECT h.hour_start, pc.k AS user_id,
+           CAST(MIN(COALESCE(sk.cnt, 0)) AS BIGINT) AS est
+         FROM hrs h
+         CROSS JOIN pc
+         LEFT JOIN sk ON sk.hour_start = h.hour_start
+           AND sk.j = pc.j AND sk.cell = pc.cell
+         GROUP BY 1, 2""",
+
+    // the pruned read must return EXACTLY the full snapshot's filtered
+    // rows — both sections recompute from the base table
+    "q272_tx_skipping" ->
+      """WITH f AS (SELECT * FROM orders WHERE o_orderkey BETWEEN 1000 AND 3000),
+         a AS (SELECT COUNT(*) AS n_rows,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+           FROM f)
+         SELECT 'pruned' AS section, n_rows, sum_price FROM a
+         UNION ALL
+         SELECT 'snapshot', n_rows, sum_price FROM a""",
+
+    // the groupedAuc histogram state walked DESCENDING; per-threshold
+    // tp*(cumTP/cumN) terms DECIMAL(20,9) pre-sum
+    "q273_pr_auc" ->
+      """WITH e AS (
+           SELECT event_type AS g,
+             CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT) AS v,
+             (user_id % 2 = 1) AS p
+           FROM events),
+         h AS (
+           SELECT g, v, COUNT(*) FILTER (WHERE p) AS cp,
+                        COUNT(*) FILTER (WHERE NOT p) AS cn
+           FROM e GROUP BY 1, 2),
+         c AS (
+           SELECT *,
+             SUM(cp) OVER (PARTITION BY g ORDER BY v DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ctp,
+             SUM(cp + cn) OVER (PARTITION BY g ORDER BY v DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnn
+           FROM h),
+         s AS (
+           SELECT g, SUM(cp) AS n_pos, SUM(cn) AS n_neg,
+             SUM(CAST(CAST(cp AS DOUBLE) * (CAST(ctp AS DOUBLE) / CAST(cnn AS DOUBLE))
+               AS DECIMAL(20,9))) AS num
+           FROM c GROUP BY 1)
+         SELECT g AS event_type, CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(n_neg AS BIGINT) AS n_neg,
+           CASE WHEN n_pos > 0 THEN
+             round(CAST(num AS DOUBLE) / CAST(n_pos AS DOUBLE), 9)
+           END AS pr_auc
+         FROM s""",
+
+    "q274_jaccard_links" -> OracleGen.jaccardLinksSql(),
+
+    // per-group moments in ORIGINAL units (one mirrored op order);
+    // w-weighted terms DECIMAL(38,9), h terms DECIMAL(20,9) pre-sum
+    "q275_welch_anova" ->
+      """WITH q AS (
+           SELECT event_type AS g,
+             CAST(floor(CAST(value AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS v
+           FROM events),
+         cells AS (
+           SELECT g, COUNT(*) AS n, SUM(CAST(v AS HUGEINT)) AS s,
+             SUM(CAST(v AS HUGEINT) * v) AS ss
+           FROM q GROUP BY 1),
+         c2 AS (
+           SELECT *,
+             (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / 1000000.0 AS m,
+             ((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+               / (CAST(n AS DOUBLE) - 1.0)) / (1000000.0 * 1000000.0) AS va
+           FROM cells),
+         c3 AS (
+           SELECT *, (n >= 2 AND va > 0) AS usable,
+             CASE WHEN n >= 2 AND va > 0 THEN CAST(n AS DOUBLE) / va END AS w
+           FROM c2),
+         tot AS (
+           SELECT COUNT(*) FILTER (WHERE usable) AS k,
+             COUNT(*) FILTER (WHERE NOT usable) AS k_excluded,
+             SUM(n) FILTER (WHERE usable) AS nt,
+             SUM(CAST(w AS DECIMAL(38,9))) FILTER (WHERE usable) AS wt,
+             SUM(CAST(w * m AS DECIMAL(38,9))) FILTER (WHERE usable) AS wmt
+           FROM c3),
+         terms AS (
+           SELECT k, k_excluded, nt,
+             SUM(CAST(w * (m - CAST(wmt AS DOUBLE) / CAST(wt AS DOUBLE))
+               * (m - CAST(wmt AS DOUBLE) / CAST(wt AS DOUBLE)) AS DECIMAL(38,9))) AS at,
+             SUM(CAST((1.0 - w / CAST(wt AS DOUBLE)) * (1.0 - w / CAST(wt AS DOUBLE))
+               / (CAST(n AS DOUBLE) - 1.0) AS DECIMAL(20,9))) AS ht
+           FROM c3, tot WHERE usable GROUP BY 1, 2, 3)
+         SELECT CAST(k AS BIGINT) AS k_groups,
+           CAST(k_excluded AS BIGINT) AS k_excluded, CAST(nt AS BIGINT) AS n,
+           CASE WHEN k >= 2 AND CAST(ht AS DOUBLE) > 0 THEN
+             round((CAST(at AS DOUBLE) / (CAST(k AS DOUBLE) - 1.0))
+               / (1.0 + 2.0 * (CAST(k AS DOUBLE) - 2.0)
+                 / (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0) * CAST(ht AS DOUBLE)), 6)
+           END AS w_stat,
+           CASE WHEN k >= 2 AND CAST(ht AS DOUBLE) > 0 THEN
+             round((CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0)
+               / (3.0 * CAST(ht AS DOUBLE)), 6)
+           END AS dof
+         FROM terms""",
 
     // z from exact counts in ONE mirrored double op order; normal tail
     // via the A&S 7.1.26 erf polynomial (Horner order mirrored); BH on

@@ -240,6 +240,49 @@ object Eval {
       .agg(max(col("_nt")).as("n"), round(sum(col("_term")).cast("double"), 6).as("ece"))
   }
 
+  /** Murphy decomposition of the (binned) Brier score over the
+    * [[calibration]] bins: Brier = RELIABILITY − RESOLUTION +
+    * UNCERTAINTY, with REL = Σn_b(conf_b−acc_b)²/N (how far the
+    * stated confidences sit from the observed rates — what
+    * recalibration can fix), RES = Σn_b(acc_b−base)²/N (how much the
+    * scorer actually separates — what recalibration can NOT add), and
+    * UNC = base(1−base) the irreducible noise. The diagnosis behind
+    * [[ece]]'s single gap number: two models with equal Brier can be
+    * a sharp-but-miscalibrated one (high RES, high REL — recalibrate
+    * it) and a well-calibrated-but-useless one (both ≈ 0 — retrain
+    * it).
+    *
+    * Exactness: bins come from [[calibration]] (exact counts; conf/acc
+    * already rounded 1e-9 there, the oracle mirrors that), per-bin
+    * REL/RES terms are doubles of those quantized DECIMAL(29,9)
+    * pre-sum; the final row evaluates base/REL/RES/UNC/Brier in one
+    * mirrored op order, rounded 1e-9. Scale: one ≤nBins partial agg +
+    * a 1-row totals broadcast. Nothing row-scaled.
+    */
+  def brierDecomposition(df: DataFrame, labelCol: String, predCol: String,
+                         nBins: Int = 10): DataFrame = {
+    val bins = calibration(df, labelCol, predCol, nBins)
+    val tot = bins.agg(sum("n").as("_nt"), sum("n_pos").as("_pt"))
+    val base = d(col("_pt")) / d(col("_nt"))
+    val agg = bins.crossJoin(broadcast(tot))
+      .withColumn("_rel",
+        (d(col("n")) * (col("conf") - col("acc")) * (col("conf") - col("acc")))
+          .cast("decimal(29,9)"))
+      .withColumn("_res",
+        (d(col("n")) * (col("acc") - base) * (col("acc") - base)).cast("decimal(29,9)"))
+      .groupBy(col("_nt"), col("_pt"))
+      .agg(sum("_rel").as("_relt"), sum("_res").as("_rest"))
+    val rel = d(col("_relt")) / d(col("_nt"))
+    val res = d(col("_rest")) / d(col("_nt"))
+    val unc = base * (lit(1.0) - base)
+    agg.select(col("_nt").as("n"),
+      round(base, 9).as("base_rate"),
+      round(rel, 9).as("reliability"),
+      round(res, 9).as("resolution"),
+      round(unc, 9).as("uncertainty"),
+      round(rel - res + unc, 9).as("brier"))
+  }
+
   /** Cumulative gain / lift table: rows ranked by score descending
     * (ties broken by `idCol` — a TOTAL order, so the table is
     * deterministic and engine-portable), cut into `nBuckets`
@@ -494,5 +537,179 @@ object Eval {
       .groupBy(col("cx").as("col_x"), col("cy").as("col_y"))
       .agg(max(col("_n")).as("n"),
            round(sum(col("_term")).cast("double"), 6).as("mi_nats"))
+  }
+
+  /** Average precision (area under the precision–recall curve) per
+    * group — the headline that matters when positives are RARE:
+    * [[groupedAuc]] compares a random positive against a random
+    * negative (insensitive to the 1:10⁶ imbalance a contamination or
+    * PII detector lives at), while PR-AUC measures precision exactly
+    * where the ranker operates. AP = Σ_t tp_t · P@t / n⁺ over
+    * descending score thresholds t with P@t the inclusive cumulative
+    * precision — the tie-aware step interpolation (no trapezoid,
+    * which flatters saw-tooth curves).
+    *
+    * Exactness: the groupedAuc state shape — one partial agg to the
+    * (group, score)-histogram, one cumulative window over it
+    * partitioned by group DESCENDING — so cumTP/cumN are exact longs;
+    * each tp_t·(cumTP/cumN) term is doubles-from-exact-ints quantized
+    * DECIMAL(20,9) pre-sum; ap is ONE division, rounded 1e-9. Groups
+    * without positives emit NULL.
+    */
+  def groupedPrAuc(df: DataFrame, groupCol: String, labelCol: String,
+                   scoreCol: String, unitScale: Long = 1000000L): DataFrame = {
+    val vq = floor(col(scoreCol).cast("double") * unitScale + lit(0.5)).cast("long")
+    val pos = col(labelCol).cast("boolean")
+    val hist = df
+      .select(col(groupCol).as("_g"), vq.as("_v"), pos.as("_p"))
+      .groupBy(col("_g"), col("_v"))
+      .agg(count(when(col("_p"), 1)).as("_cp"),
+           count(when(!col("_p"), 1)).as("_cn"))
+    val w = Window.partitionBy(col("_g")).orderBy(col("_v").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("_ctp", sum(col("_cp")).over(w))
+      .withColumn("_cnn", sum(col("_cp") + col("_cn")).over(w))
+      .withColumn("_term",
+        (d(col("_cp")) * (d(col("_ctp")) / d(col("_cnn")))).cast("decimal(20,9)"))
+      .groupBy(col("_g"))
+      .agg(sum("_cp").as("n_pos"), sum("_cn").as("n_neg"),
+           sum("_term").as("_num"))
+      .select(col("_g").as(groupCol), col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0,
+          round(d(col("_num")) / d(col("n_pos")), 9)).as("pr_auc"))
+  }
+
+  /** Multi-class classification report: the confusion-table read-out
+    * — per class (precision, recall, F1 from the marginals and the
+    * diagonal) plus ONE overall row carrying the macro averages,
+    * accuracy, and Cohen's κ (agreement beyond chance — the honest
+    * headline when classes are imbalanced: a 95%-majority-class
+    * predictor scores accuracy 0.95 and κ ≈ 0). The label-quality
+    * audit beside [[groupedAuc]] (scores) and [[calibration]]
+    * (probabilities) once predictions are hard classes.
+    *
+    * Exactness: everything derives from ONE partial agg to the
+    * |classes|² confusion cells — exact counts; precision/recall/F1
+    * are double expressions of exact integers in one mirrored op
+    * order, rounded 1e-9; macro averages quantize per-class terms to
+    * DECIMAL(20,9) pre-sum (absent-denominator classes contribute 0,
+    * the sklearn zero-division convention); κ's expected agreement
+    * Σ n_actual·n_pred runs in DECIMAL(38,0). Classes appearing only
+    * in predictions still get a row (NULL recall).
+    *
+    * Scale shape: the corpus collapses in the first partial agg;
+    * every window after runs over the class-vocabulary table (§5
+    * metadata exemption). Rows never shuffle.
+    */
+  def classificationReport(df: DataFrame, actualCol: String,
+                           predCol: String): DataFrame = {
+    val cells = df
+      .groupBy(col(actualCol).cast("string").as("_a"),
+               col(predCol).cast("string").as("_p"))
+      .agg(count(lit(1)).as("_c"))
+    val classes = cells.select(col("_a").as("label"))
+      .unionByName(cells.select(col("_p").as("label"))).distinct()
+    val rowM = cells.groupBy(col("_a").as("label")).agg(sum("_c").as("n_actual"))
+    val colM = cells.groupBy(col("_p").as("label")).agg(sum("_c").as("n_pred"))
+    val diag = cells.filter(col("_a") === col("_p"))
+      .select(col("_a").as("label"), col("_c").as("tp"))
+    val perClass = classes
+      .join(rowM, Seq("label"), "left").join(colM, Seq("label"), "left")
+      .join(diag, Seq("label"), "left")
+      .select(col("label"),
+        coalesce(col("n_actual"), lit(0L)).as("n_actual"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+    val prec = d(col("tp")) / d(col("n_pred"))
+    val rec = d(col("tp")) / d(col("n_actual"))
+    val f1 = lit(2.0) * prec * rec / (prec + rec)
+    val scored = perClass
+      .withColumn("precision", when(col("n_pred") > 0, round(prec, 9)))
+      .withColumn("recall", when(col("n_actual") > 0, round(rec, 9)))
+      .withColumn("f1", when(col("n_pred") > 0 && col("n_actual") > 0 && col("tp") > 0,
+        round(f1, 9)).otherwise(when(col("n_pred") > 0 && col("n_actual") > 0, lit(0.0))))
+    val classRows = scored.select(lit("class").as("section"), col("label"),
+      col("n_actual"), col("n_pred"), col("tp"), col("precision"), col("recall"),
+      col("f1"), lit(null).cast("double").as("accuracy"),
+      lit(null).cast("double").as("kappa"))
+    // overall: macro averages over ALL classes (absent terms = 0), κ
+    // from the exact marginal-product sum
+    val overall = scored.agg(
+        count(lit(1)).as("_k"),
+        sum("n_actual").as("_n"), sum("tp").as("_tp"),
+        sum(coalesce(col("precision"), lit(0.0)).cast("decimal(20,9)")).as("_sp"),
+        sum(coalesce(col("recall"), lit(0.0)).cast("decimal(20,9)")).as("_sr"),
+        sum(coalesce(col("f1"), lit(0.0)).cast("decimal(20,9)")).as("_sf"),
+        sum((col("n_actual").cast("decimal(19,0)") * col("n_pred")).cast("decimal(38,0)"))
+          .as("_pe"))
+    val po = d(col("_tp")) / d(col("_n"))
+    val pe = d(col("_pe")) / (d(col("_n")) * d(col("_n")))
+    overall.select(lit("overall").as("section"), lit("all").as("label"),
+        col("_n").as("n_actual"), col("_n").as("n_pred"), col("_tp").as("tp"),
+        round(d(col("_sp")) / d(col("_k")), 9).as("precision"),
+        round(d(col("_sr")) / d(col("_k")), 9).as("recall"),
+        round(d(col("_sf")) / d(col("_k")), 9).as("f1"),
+        round(po, 9).as("accuracy"),
+        when(pe < 1.0, round((po - pe) / (lit(1.0) - pe), 9)).as("kappa"))
+      .unionByName(classRows)
+  }
+
+  /** Pairwise Cramér's V association matrix over categorical columns
+    * — the NORMALIZED companion to [[miMatrix]]: χ² scaled to [0,1]
+    * via V = √(χ²/(N·(min(r,c)−1))), comparable ACROSS pairs with
+    * different level counts (raw MI and raw χ² both grow with
+    * cardinality; V answers "which feature pair is most entangled?"
+    * on one scale). Same one-pass cell build as miMatrix.
+    *
+    * χ² sums over ALL (x, y) level combinations including empty
+    * cells; materializing the full cross product is quadratic in the
+    * level counts, so empty cells are folded in CLOSED FORM:
+    * Σ_empty (0−e)²/e = Σ_empty e = N − Σ_occupied e, hence
+    * χ² = Σ_occ[(c−e)²/e − e] + N over occupied cells only. Each
+    * occupied term is a double expression of exact counts quantized
+    * DECIMAL(29,9) pre-sum; χ² rounds 1e-6, V 1e-9. Single-level
+    * columns (min(r,c) = 1 — no association defined) emit NULL v.
+    */
+  def cramersV(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"need at least 2 columns, got $cols")
+    val sent = " null"
+    def cv(c: String): Column = coalesce(col(c).cast("string"), lit(sent))
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield struct(lit(cols(i)).as("cx"), lit(cols(j)).as("cy"),
+                   cv(cols(i)).as("x"), cv(cols(j)).as("y"))
+    val cells = df
+      .select(explode(array(pairs: _*)).as("_pr"))
+      .select(col("_pr.cx").as("cx"), col("_pr.cy").as("cy"),
+              col("_pr.x").as("x"), col("_pr.y").as("y"))
+      .groupBy("cx", "cy", "x", "y").agg(count(lit(1)).as("_c"))
+    val margX = cells.groupBy("cx", "cy", "x")
+      .agg(sum("_c").as("_cx_n"))
+    val margY = cells.groupBy("cx", "cy", "y")
+      .agg(sum("_c").as("_cy_n"))
+    val levX = margX.groupBy("cx", "cy").agg(count(lit(1)).as("_r"))
+    val levY = margY.groupBy("cx", "cy").agg(count(lit(1)).as("_s"))
+    val tot = cells.groupBy("cx", "cy").agg(sum("_c").as("_n"))
+    val e = d(col("_cx_n")) * d(col("_cy_n")) / d(col("_n"))
+    val term = (d(col("_c")) - e) * (d(col("_c")) - e) / e - e
+    val chi2 = d(col("_chi")) + d(col("_nt"))
+    val minDim = least(col("_rt"), col("_st")) - 1L
+    cells
+      .join(margX, Seq("cx", "cy", "x"))
+      .join(margY, Seq("cx", "cy", "y"))
+      .join(broadcast(tot), Seq("cx", "cy"))
+      .withColumn("_term", term.cast("decimal(29,9)"))
+      .groupBy(col("cx").as("col_x"), col("cy").as("col_y"))
+      .agg(max(col("_n")).as("_nt"), sum(col("_term")).as("_chi"))
+      .join(broadcast(levX.select(col("cx").as("col_x"), col("cy").as("col_y"), col("_r").as("_rt"))),
+        Seq("col_x", "col_y"))
+      .join(broadcast(levY.select(col("cx").as("col_x"), col("cy").as("col_y"), col("_s").as("_st"))),
+        Seq("col_x", "col_y"))
+      .select(col("col_x"), col("col_y"), col("_nt").as("n"),
+        col("_rt").as("levels_x"), col("_st").as("levels_y"),
+        round(chi2, 6).as("chi2"),
+        when(minDim > 0, round(sqrt(chi2 / (d(col("_nt")) * d(minDim))), 9))
+          .as("cramers_v"))
   }
 }

@@ -1262,4 +1262,267 @@ object Profile {
         round(((col("s_c") - col("s_cf")).cast("double") / 1e6 + lit(m) * priorOof)
           / ((col("n_c") - col("n_cf")) + lit(m)), 6).as("encoded"))
   }
+
+  /** One-way ANOVA F over an already-quantized (_g, _v) frame — the
+    * shared compute behind [[anovaF]] and [[levene]]. One partial agg
+    * to |groups| moment cells; per-group S_g²/n_g terms evaluate in
+    * doubles from exact DECIMAL sums and quantize to DECIMAL(38,6)
+    * before the cross-group sum (order-insensitive at any
+    * parallelism); F is ONE mirrored double expression.
+    */
+  private def anovaOnQuantized(q: DataFrame): DataFrame = {
+    val cells = q.groupBy(col("_g")).agg(
+      count(lit(1)).as("_n"),
+      sum(col("_v").cast("decimal(38,0)")).as("_s"),
+      sum((col("_v").cast("decimal(19,0)") * col("_v")).cast("decimal(38,0)")).as("_ss"))
+    def d(c: String) = col(c).cast("double")
+    cells
+      .withColumn("_t", (d("_s") * d("_s") / d("_n")).cast("decimal(38,6)"))
+      .agg(count(lit(1)).as("k_groups"), sum("_n").as("n"),
+           sum("_s").cast("decimal(38,0)").as("_st"),
+           sum("_ss").cast("decimal(38,0)").as("_sst"),
+           sum("_t").cast("decimal(38,6)").as("_sbt"))
+  }
+
+  /** One-way ANOVA: does the group factor explain the metric's
+    * variance beyond noise? F = (SSB/(k−1))/(SSW/(N−k)) — the k-group
+    * generalization of [[welchT]]'s two-cohort question (classical
+    * equal-variance form; pair with [[levene]] to check that
+    * assumption first). The screening pass before per-pair tests: one
+    * F across 20 sources replaces 190 pairwise t-tests and their
+    * multiplicity problem (the [[graft.functions.Eval.proportionTestBh]]
+    * rationale).
+    *
+    * Exactness: values quantize to integer `unitScale`-units; per-group
+    * n/Σ/Σ² are exact DECIMAL(38,0); each S_g²/n_g is one double
+    * division of exact integers quantized DECIMAL(38,6) pre-sum; SSB =
+    * Σ_g S_g²/n_g − S²/N and F evaluate in one oracle-mirrored double
+    * op order, rounded 1e-6 (SS outputs rescaled to original units²).
+    * Degenerate inputs (k < 2, N ≤ k, or zero within-variance) emit
+    * NULL f_stat.
+    *
+    * Scale shape: ONE partial agg corpus → |groups| moment cells, one
+    * scalar agg over the group table. Rows never shuffle.
+    */
+  def anovaF(df: DataFrame, groupCol: String, valueCol: String,
+             unitScale: Long = 1000000L): DataFrame = {
+    val vq = floor(col(valueCol).cast("double") * unitScale + lit(0.5)).cast("long")
+    val row = anovaOnQuantized(df.select(col(groupCol).as("_g"), vq.as("_v")))
+    def d(c: String) = col(c).cast("double")
+    val nD = d("n")
+    val ssb = d("_sbt") - d("_st") * d("_st") / nD
+    val ssw = d("_sst") - d("_sbt")
+    val ok = col("k_groups") >= 2 && col("n") > col("k_groups") && ssw > 0
+    val u2 = unitScale.toDouble * unitScale.toDouble
+    row.select(col("k_groups"), col("n"),
+      round(ssb / u2, 6).as("ss_between"),
+      round(ssw / u2, 6).as("ss_within"),
+      when(ok, round((ssb / (d("k_groups") - 1.0)) / (ssw / (nD - d("k_groups"))), 6))
+        .as("f_stat"))
+  }
+
+  /** Brown–Forsythe Levene test: one-way ANOVA ([[anovaF]]) on the
+    * absolute deviations from each GROUP MEDIAN — "do the groups even
+    * share a variance?", the assumption check classical ANOVA and
+    * pooled t silently make, and a drift signal in its own right (a
+    * source whose spread exploded fails Levene long before its mean
+    * moves). Median-centered (Brown–Forsythe '74) rather than
+    * mean-centered: robust to the heavy tails that motivate the test.
+    *
+    * Exactness: group medians are the [[robustScale]] inverse-ECDF
+    * rank selection over the per-(group, value) histogram (integer
+    * cross-multiplied boundary, no float); |v − med| is exact integer
+    * subtraction in quantized units; the F over deviations inherits
+    * [[anovaF]]'s decimal/mirrored arithmetic, rounded 1e-6.
+    *
+    * Scale shape: one histogram partial agg (distinct-value-sized) +
+    * a broadcast of the group-median table back to rows + the anova
+    * moment pass. Rows shuffle once, keyed by group, carrying one
+    * integer each.
+    */
+  def levene(df: DataFrame, groupCol: String, valueCol: String,
+             unitScale: Long = 1000000L): DataFrame = {
+    val vq = floor(col(valueCol).cast("double") * unitScale + lit(0.5)).cast("long")
+    val base = df.select(col(groupCol).as("_g"), vq.as("_v0"))
+    val hist = base.groupBy(col("_g"), col("_v0")).agg(count(lit(1)).as("_c"))
+    val w = Window.partitionBy(col("_g")).orderBy(col("_v0"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("_g"))
+    val med = hist
+      .withColumn("_cum", sum(col("_c")).over(w))
+      .withColumn("_n", sum(col("_c")).over(tot))
+      .groupBy(col("_g"))
+      .agg(min(when(col("_cum") * 2 >= col("_n"), col("_v0"))).as("_med"))
+    val devs = base.join(broadcast(med), Seq("_g"))
+      .select(col("_g"), abs(col("_v0") - col("_med")).as("_v"))
+    val row = anovaOnQuantized(devs)
+    def d(c: String) = col(c).cast("double")
+    val nD = d("n")
+    val ssb = d("_sbt") - d("_st") * d("_st") / nD
+    val ssw = d("_sst") - d("_sbt")
+    val ok = col("k_groups") >= 2 && col("n") > col("k_groups") && ssw > 0
+    row.select(col("k_groups"), col("n"),
+      when(ok, round((ssb / (d("k_groups") - 1.0)) / (ssw / (nD - d("k_groups"))), 6))
+        .as("f_stat"))
+  }
+
+  /** Welch's heteroscedastic one-way ANOVA (Welch '51): the k-group
+    * mean screen WITHOUT the equal-variance assumption [[anovaF]]
+    * makes — the k-group generalization of [[welchT]] exactly as
+    * anovaF generalizes the pooled t. Use when [[levene]] rejects:
+    * classical F's pooled SSW is dominated by the noisiest group and
+    * silently loses power on the quiet ones. W = Σw_g(m̄_g − m̃)² /
+    * (k−1) over B = 1 + 2(k−2)/(k²−1)·Σh_g with w_g = n_g/s²_g,
+    * m̃ the w-weighted grand mean, h_g = (1−w_g/W_tot)²/(n_g−1);
+    * Welch–Satterthwaite dof = (k²−1)/(3Σh_g).
+    *
+    * Exactness: one partial agg to |groups| DECIMAL moment cells;
+    * per-group mean/variance/weight evaluate in doubles from exact
+    * sums IN ORIGINAL UNITS (one mirrored op order — the quantized-
+    * unit inflation would push w under any decimal quantum);
+    * w-weighted terms quantize DECIMAL(38,9) pre-sum, h terms
+    * DECIMAL(20,9); two passes over the GROUP TABLE only (the grand
+    * mean needs Σw first), scalars broadcast back. Groups with n < 2
+    * or zero variance are EXCLUDED (reported in k_excluded — Welch
+    * weights are undefined there); k < 2 usable groups emits NULL.
+    */
+  def welchAnova(df: DataFrame, groupCol: String, valueCol: String,
+                 unitScale: Long = 1000000L): DataFrame = {
+    val vq = floor(col(valueCol).cast("double") * unitScale + lit(0.5)).cast("long")
+    val cells0 = df.select(col(groupCol).as("_g"), vq.as("_v"))
+      .groupBy(col("_g")).agg(
+        count(lit(1)).as("_n"),
+        sum(col("_v").cast("decimal(38,0)")).as("_s"),
+        sum((col("_v").cast("decimal(19,0)") * col("_v")).cast("decimal(38,0)")).as("_ss"))
+    def d(c: String) = col(c).cast("double")
+    val u = unitScale.toDouble
+    val m = (d("_s") / d("_n")) / u
+    val va = ((d("_ss") - d("_s") * d("_s") / d("_n")) / (d("_n") - 1.0)) / (lit(u) * u)
+    val usable = col("_n") >= 2 && va > 0
+    val cells = cells0
+      .withColumn("_use", usable)
+      .withColumn("_m", when(usable, m))
+      .withColumn("_w", when(usable, d("_n") / va))
+    val tot = cells.agg(
+      count(when(col("_use"), 1)).as("_k"),
+      count(when(!col("_use"), 1)).as("k_excluded"),
+      sum(when(col("_use"), col("_n"))).as("_nt"),
+      sum(when(col("_use"), col("_w").cast("decimal(38,9)"))).as("_wt"),
+      sum(when(col("_use"), (col("_w") * col("_m")).cast("decimal(38,9)"))).as("_wmt"))
+    val mw = d("_wmt") / d("_wt") // the w-weighted grand mean
+    val terms = cells.filter(col("_use")).crossJoin(broadcast(tot))
+      .withColumn("_a", (col("_w") * (col("_m") - mw) * (col("_m") - mw))
+        .cast("decimal(38,9)"))
+      .withColumn("_h", (((lit(1.0) - col("_w") / d("_wt"))
+          * (lit(1.0) - col("_w") / d("_wt"))) / (d("_n") - 1.0))
+        .cast("decimal(20,9)"))
+      .groupBy(col("_k"), col("k_excluded"), col("_nt"))
+      .agg(sum("_a").as("_at"), sum("_h").as("_ht"))
+    val kD = d("_k")
+    val aStat = d("_at") / (kD - 1.0)
+    val b = lit(1.0) + lit(2.0) * (kD - 2.0) / (kD * kD - 1.0) * d("_ht")
+    val ok = col("_k") >= 2 && d("_ht") > 0
+    terms.select(col("_k").as("k_groups"), col("k_excluded"),
+      col("_nt").as("n"),
+      when(ok, round(aStat / b, 6)).as("w_stat"),
+      when(ok, round((kD * kD - 1.0) / (lit(3.0) * d("_ht")), 6)).as("dof"))
+  }
+
+  /** Kruskal–Wallis H: the k-group rank test — [[mannWhitneyU]]'s
+    * generalization exactly as [[anovaF]] generalizes [[welchT]], and
+    * the right screening test when the metric is heavy-tailed or
+    * ordinal (rank arithmetic is immune to the outliers that inflate
+    * SSW and mask real location shifts).
+    *
+    * Exactness: the mannWhitneyU half-unit rule throughout — per
+    * distinct value, twice-the-average-tie-rank is the exact integer
+    * 2·cumBefore + t + 1 from ONE cumulative window over the joint
+    * value histogram (UNPARTITIONED but distinct-value-sized, the
+    * documented §5 histogram exemption); per-group 2R_g sums are
+    * DECIMAL(38,0); each (2R_g)²/(4n_g) term is one double division
+    * quantized DECIMAL(38,6) pre-sum; H, the tie correction
+    * C = 1 − Σ(t³−t)/(N³−N), and H/C evaluate in one mirrored double
+    * op order, rounded 1e-6. Degenerate inputs (k < 2, N < 2, or all
+    * values tied → C = 0) emit NULL h_corrected.
+    *
+    * Scale shape: one partial agg corpus → (group, value) cells, one
+    * value-histogram agg over those cells + its cumulative window,
+    * one join back cell-to-rank (cell-sized), two scalar aggs. Rows
+    * never shuffle.
+    */
+  def kruskalWallis(df: DataFrame, groupCol: String, valueCol: String,
+                    unitScale: Long = 1000000L): DataFrame = {
+    val vq = floor(col(valueCol).cast("double") * unitScale + lit(0.5)).cast("long")
+    val cells = df.select(col(groupCol).as("_g"), vq.as("_v"))
+      .groupBy(col("_g"), col("_v")).agg(count(lit(1)).as("_c"))
+    val vhist = cells.groupBy(col("_v")).agg(sum(col("_c")).as("_t"))
+    val w = Window.orderBy(col("_v")).rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = vhist
+      .withColumn("_r2",
+        lit(2L) * coalesce(sum(col("_t")).over(w), lit(0L)) + col("_t") + 1L)
+      .withColumn("_tie",
+        (col("_t").cast("decimal(12,0)") * col("_t") * col("_t") - col("_t"))
+          .cast("decimal(38,0)"))
+    val byGroup = cells.join(ranked, Seq("_v"))
+      .groupBy(col("_g"))
+      .agg(sum(col("_c")).as("_n"),
+           sum((col("_c").cast("decimal(19,0)") * col("_r2")).cast("decimal(38,0)")).as("_r2g"))
+    def d(c: String) = col(c).cast("double")
+    val gstats = byGroup
+      .withColumn("_rr", (d("_r2g") * d("_r2g") / (lit(4.0) * d("_n"))).cast("decimal(38,6)"))
+      .agg(count(lit(1)).as("k_groups"), sum("_n").as("n"),
+           sum("_rr").cast("decimal(38,6)").as("_rrt"))
+    val ties = ranked.agg(sum("_tie").cast("decimal(38,0)").as("_ties"))
+    val nD = d("n")
+    val h = lit(12.0) / (nD * (nD + 1.0)) * d("_rrt") - lit(3.0) * (nD + 1.0)
+    val corr = lit(1.0) - d("_ties") / (nD * nD * nD - nD)
+    val ok = col("k_groups") >= 2 && col("n") >= 2 && corr > 0
+    gstats.crossJoin(broadcast(ties))
+      .select(col("k_groups"), col("n"),
+        round(h, 6).as("h_stat"),
+        when(ok, round(h / corr, 6)).as("h_corrected"))
+  }
+
+  /** Pettitt change-point test over an ordered series: the rank-based
+    * (distribution-free) detector for a SINGLE shift point —
+    * "when did this metric move?", upstream of [[cusum]]'s
+    * known-baseline monitoring and complementary to
+    * [[graft.operators.Rolling.seasonalDecompose]]'s rhythm split.
+    * U_t = 2·Σ_{i≤t} r_i − t(N+1) over global ranks; the change point
+    * maximizes |U_t| and p ≈ 2·exp(−6K²/(N³+N²)) (Pettitt '79).
+    *
+    * Intended for SERIES, not corpora: call it on the collapsed
+    * per-bucket table (daily means, hourly medians — the
+    * seasonalDecompose shape), where the global rank window runs over
+    * calendar-scaled rows (the §5 metadata exemption). Exactness: the
+    * mannWhitneyU half-unit rank rule makes every U_t an exact long
+    * (2Σr is the cumulative of exact r2 integers); K/t* selection is
+    * integer max with the EARLIEST t on ties; p evaluates in one
+    * mirrored double op order, rounded 1e-9.
+    */
+  def pettitt(df: DataFrame, orderCol: String, valueCol: String,
+              unitScale: Long = 1000000L): DataFrame = {
+    val vq = floor(col(valueCol).cast("double") * unitScale + lit(0.5)).cast("long")
+    val base = df.select(col(orderCol).as("_o"), vq.as("_v"))
+    val vhist = base.groupBy(col("_v")).agg(count(lit(1)).as("_t"))
+    val wv = Window.orderBy(col("_v")).rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = vhist.withColumn("_r2",
+      lit(2L) * coalesce(sum(col("_t")).over(wv), lit(0L)) + col("_t") + 1L)
+    val wo = Window.orderBy(col("_o"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    val u = base.join(ranked, Seq("_v"))
+      .withColumn("_s2", sum(col("_r2")).over(wo))     // 2·Σ_{i≤t} r_i, exact
+      .withColumn("_ti", count(lit(1)).over(wo))
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .withColumn("_u", col("_s2") - col("_ti") * (col("_n") + 1L))
+    def d(c: String) = col(c).cast("double")
+    u.withColumn("_k", max(abs(col("_u"))).over(wAll))
+      .filter(abs(col("_u")) === col("_k"))
+      .groupBy(col("_n").as("n"), col("_k").as("k_stat"))
+      .agg(min(col("_o")).as("t_star"))
+      .select(col("n"), col("t_star"), col("k_stat"),
+        round(lit(2.0) * exp(lit(-6.0) * d("k_stat") * d("k_stat")
+          / (d("n") * d("n") * d("n") + d("n") * d("n"))), 9).as("p_approx"))
+  }
 }

@@ -260,6 +260,46 @@ object TermStats {
       round(num * num / (denX * denY), 9).as("r2"))
   }
 
+  /** Vocabulary coverage curve: the share of ALL corpus token
+    * occurrences covered by the top-k most frequent terms, at a fixed
+    * probe ladder — the tokenizer-sizing read-out beside [[zipfFit]]
+    * (Zipf says the head is heavy; this says HOW heavy, in the units
+    * a BPE/vocab budget decision needs: "8k types cover 97.4% of
+    * running text"). One row per probe (probes past the vocabulary
+    * clamp to it, reported via rank_used).
+    *
+    * Scale shape: one token partial agg to the term histogram; the
+    * rank/cumulative windows run over the VOCABULARY table only (the
+    * zipfFit / §5 histogram exemption); probes join against ≤|probes|
+    * matched ranks. Exact integer counts; coverage is one mirrored
+    * division, rounded 1e-9.
+    */
+  def vocabCoverage(docs: DataFrame,
+                    probes: Seq[Long] = Seq(10L, 30L, 100L, 300L, 1000L, 3000L, 10000L),
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(probes.nonEmpty && probes.forall(_ >= 1), s"bad probes $probes")
+    val spark = docs.sparkSession
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val counts = docs.select(col(idCol), T.tokens(col(textCol)).as("w"))
+      .repartition(nPart, col(idCol))
+      .select(explode(col("w")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val wRank = Window.orderBy(col("c").desc, col("t"))
+    val wCum = wRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = counts.agg(sum("c").as("_tot"), count(lit(1)).as("_v"))
+    val ranked = counts
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .withColumn("_cum", sum(col("c")).over(wCum))
+      .crossJoin(broadcast(tot))
+    import spark.implicits._
+    val probesDf = probes.toDF("k")
+    probesDf.join(ranked, col("rank") === least(col("k"), col("_v")))
+      .select(col("k"), col("rank").as("rank_used"),
+        col("_cum").as("covered_tokens"), col("_tot").as("total_tokens"),
+        round(col("_cum").cast("double") / col("_tot").cast("double"), 9)
+          .as("coverage"))
+  }
+
   /** Sparse TF-IDF all-pairs document similarity (the DISCO /
     * term-at-a-time cosine join): doc pairs whose pruned TF-IDF
     * vectors have cosine ≥ `minCos` — the lexical-overlap complement

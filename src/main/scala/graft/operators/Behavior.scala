@@ -137,6 +137,49 @@ object Behavior {
         when(col("_dead") === 0, round(col("_logS").cast("double"), 6)).as("log_surv"))
   }
 
+  /** Nelson–Aalen cumulative hazard — the estimator DUAL to
+    * [[survivalCurve]]'s Kaplan–Meier: H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ with the
+    * Poisson variance Σ dᵢ/nᵢ² (Aalen '78). Prefer it over −log(KM)
+    * when event counts per time are small (it's the unbiased-increment
+    * form) and when the RATE ITSELF is the question — hazard ratios
+    * between cohorts read directly off H(t) slopes, and
+    * H is additive over disjoint exposure periods where S multiplies.
+    *
+    * Same shape and exactness contract as survivalCurve: one partial
+    * agg to (cohort, time) cells, risk sets from the two bounded
+    * per-cohort windows over DISTINCT times, per-step dᵢ/nᵢ terms are
+    * doubles of exact counts quantized DECIMAL(20,9) pre-cumsum
+    * (mirrored), outputs rounded 1e-6/1e-9.
+    */
+  def hazardCurve(df: DataFrame, groupCol: String, durationCol: String,
+                  eventCol: String): DataFrame = {
+    val cells = df.select(col(groupCol).as("_g"),
+        col(durationCol).cast("long").as("_t"),
+        col(eventCol).cast("int").as("_e"))
+      .groupBy("_g", "_t")
+      .agg(sum(col("_e").cast("long")).as("_d"), count(lit(1)).as("_c"))
+    val wPrev = Window.partitionBy("_g").orderBy("_t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy("_g")
+    val wCum = Window.partitionBy("_g").orderBy("_t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def d(c: String) = col(c).cast("double")
+    cells
+      .withColumn("_nrisk",
+        sum(col("_c")).over(wAll) - coalesce(sum(col("_c")).over(wPrev), lit(0L)))
+      .withColumn("_term", when(col("_d") > 0,
+        (d("_d") / d("_nrisk")).cast("decimal(20,9)")))
+      .withColumn("_vterm", when(col("_d") > 0,
+        (d("_d") / (d("_nrisk") * d("_nrisk"))).cast("decimal(20,9)")))
+      .withColumn("_H", sum(col("_term")).over(wCum))
+      .withColumn("_V", sum(col("_vterm")).over(wCum))
+      .filter(col("_d") > 0)
+      .select(col("_g").as(groupCol), col("_t").as("t"),
+        col("_nrisk").as("n_risk"), col("_d").as("d_events"),
+        round(col("_H").cast("double"), 6).as("cum_hazard"),
+        round(col("_V").cast("double"), 9).as("hazard_var"))
+  }
+
   /** Frequent 3-itemsets by direct map-side enumeration — the triple
     * extension of [[basketLift]]'s pairs: each basket's sorted
     * distinct-item array emits its C(w,3) combinations IN THE MAP

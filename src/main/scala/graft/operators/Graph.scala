@@ -361,4 +361,162 @@ object Graph {
     e.unpersist()
     out
   }
+
+  /** Jaccard-coefficient link prediction: for non-adjacent vertex
+    * pairs sharing ≥1 common neighbor, |N(a)∩N(b)| / |N(a)∪N(b)| —
+    * the NORMALIZED companion to [[raLinkPrediction]] (RA weights
+    * common neighbors by rarity and favors hub-adjacent pairs; the
+    * Jaccard score is degree-penalized, so two low-degree documents
+    * sharing most of their neighborhoods outrank two hubs sharing a
+    * few). Candidate generation is the same common-neighbor wedge
+    * enumeration, HUB-CAPPED at `maxDeg` (a corpus-scaled hub would
+    * otherwise emit deg² wedges; its common-neighbor evidence is
+    * near-zero Jaccard anyway — the documented RA contract). Union
+    * sizes use FULL degrees: |N(a)∪N(b)| = deg(a) + deg(b) − cn.
+    *
+    * Exactness: cn and degrees are exact longs; jaccard is ONE double
+    * division, rounded 1e-9. Scale shape: the RA shape exactly —
+    * degree partial agg, wedge self-join keyed by the common
+    * neighbor, pair partial agg, two degree hash joins, one anti-join
+    * against the edge set.
+    */
+  def jaccardLinkPrediction(pairs: DataFrame, aCol: String, bCol: String,
+                            maxDeg: Long = 1000L): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nbr = edges.join(deg, Seq("src"))
+      .filter(col("deg") <= maxDeg)
+      .select(col("src").as("w"), col("dst").as("u"))
+    val cand = nbr
+      .join(nbr.select(col("w"), col("u").as("v")), Seq("w"))
+      .filter(col("u") < col("v"))
+    val cn = cand.groupBy(col("u").as("node_a"), col("v").as("node_b"))
+      .agg(count(lit(1)).as("cn"))
+    cn
+      .join(edges.select(col("src").as("node_a"), col("dst").as("node_b")),
+        Seq("node_a", "node_b"), "left_anti")
+      .join(deg.select(col("src").as("node_a"), col("deg").as("_da")), Seq("node_a"))
+      .join(deg.select(col("src").as("node_b"), col("deg").as("_db")), Seq("node_b"))
+      .select(col("node_a"), col("node_b"), col("cn"),
+        (col("_da") + col("_db") - col("cn")).as("n_union"),
+        round(col("cn").cast("double")
+          / (col("_da") + col("_db") - col("cn")).cast("double"), 9).as("jaccard"))
+  }
+
+  /** Personalized PageRank: [[pageRank]] with the teleport mass
+    * restricted to a SEED SET — "which documents are most related to
+    * THESE exemplars through the similarity graph?", the standard
+    * seed-based corpus-expansion primitive (grow a curated domain
+    * from a hand-picked nucleus; rank candidates for a target mix).
+    * Uniform PageRank answers global importance; PPR answers
+    * importance RELATIVE to the seeds.
+    *
+    * Same arithmetic contract as pageRank: rational damping, per-edge
+    * contributions quantized DECIMAL(30,15) pre-sum, fixed `iters`
+    * the oracle unrolls. The rank frame stays SPARSE — only nodes
+    * with mass appear (mass reaches exactly the ≤iters-hop
+    * neighborhood of the seeds), so each round's join is sized by the
+    * reached frontier, not the graph; teleport adds base only on seed
+    * rows (left join against the broadcast seed set). Nodes never
+    * reached simply don't appear (ppr = 0 implicitly).
+    *
+    * @param seeds one-column frame of seed node ids (deduplicated
+    *              here; must be nonempty)
+    */
+  def personalizedPageRank(pairs: DataFrame, aCol: String, bCol: String,
+                           seeds: DataFrame, iters: Int = 3,
+                           dampNum: Int = 17, dampDen: Int = 20): DataFrame = {
+    require(iters >= 1 && dampNum > 0 && dampDen > dampNum,
+      s"need iters >= 1 and 0 < dampNum/dampDen < 1")
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).persist()
+    val seedSet = seeds.toDF("node").distinct()
+      .join(deg.withColumnRenamed("src", "node"), Seq("node"), "left_semi")
+      .persist()
+    val nS = seedSet.count() // scalar model artifact, the pageRank nV pattern
+    require(nS > 0, "personalizedPageRank: no seed appears in the edge list")
+    val d = dampNum.toDouble / dampDen.toDouble
+    val base = lit((dampDen - dampNum).toDouble) / (lit(dampDen.toDouble) * lit(nS.toDouble))
+    var pr = seedSet.select(col("node"), (lit(1.0) / lit(nS.toDouble)).as("pr"))
+    for (_ <- 0 until iters) {
+      // contributions quantize by INTEGER floor(x·10¹⁵ + ½), not a
+      // double→DECIMAL cast: Spark's cast routes through the shortest
+      // string representation (Decimal(double) = BigDecimal.valueOf),
+      // which can round a quantum differently than an engine reading
+      // the full binary expansion — measured 1-ulp-of-quantum drift on
+      // ~3% of nodes vs the oracle. floor on the same IEEE product is
+      // engine-exact.
+      val spread = edges
+        .join(pr.withColumnRenamed("node", "src"), Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst").as("node"),
+          floor(col("pr") / col("deg") * lit(1e15) + lit(0.5))
+            .cast("decimal(38,0)").as("c"))
+        .groupBy("node")
+        .agg(sum("c").as("csum"))
+      pr = spread
+        .join(seedSet.withColumn("_s", lit(1)), Seq("node"), "full")
+        .select(col("node"),
+          (when(col("_s").isNotNull, base).otherwise(lit(0.0))
+            + lit(d) * (coalesce(col("csum").cast("double"), lit(0.0)) / lit(1e15)))
+            .as("pr"))
+    }
+    pr
+  }
+
+  /** Degree assortativity: the Pearson correlation of endpoint
+    * degrees over the (directed-both-ways) edge list — "do hubs link
+    * to hubs?" (Newman 2002). Positive on social/citation graphs;
+    * near-dup similarity graphs are typically strongly positive (a
+    * template cluster is a clique of equal-degree nodes), so a NEGATIVE
+    * value flags hub-and-spoke boilerplate (one page quoted by many
+    * one-off pages) that near-dup clustering treats differently.
+    *
+    * Exactness: degrees are exact longs; the five correlation sums
+    * run as DECIMAL(38,0) over the directed edge list (each
+    * undirected edge contributes both orientations — the standard
+    * symmetrization making r orientation-free); r is one mirrored
+    * double expression, rounded 1e-9. Degenerate graphs (all degrees
+    * equal) emit NULL.
+    *
+    * Scale shape: one degree partial agg + two edge⋈degree hash joins
+    * + one scalar agg — everything edge-list-sized, no windows.
+    */
+  def assortativity(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val joined = edges
+      .join(deg.select(col("src"), col("deg").as("_dx")), Seq("src"))
+      .join(deg.select(col("src").as("dst"), col("deg").as("_dy")), Seq("dst"))
+    def dz(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
+    val sums = joined.agg(
+      count(lit(1)).as("m"),
+      sum(dz(col("_dx")).cast("decimal(38,0)")).as("_sx"),
+      sum(dz(col("_dy")).cast("decimal(38,0)")).as("_sy"),
+      sum((dz(col("_dx")) * col("_dy")).cast("decimal(38,0)")).as("_sxy"),
+      sum((dz(col("_dx")) * col("_dx")).cast("decimal(38,0)")).as("_sxx"),
+      sum((dz(col("_dy")) * col("_dy")).cast("decimal(38,0)")).as("_syy"))
+    val nNodes = deg.count()
+    def d(c: String) = col(c).cast("double")
+    val m = d("m")
+    val num = m * d("_sxy") - d("_sx") * d("_sy")
+    val denX = m * d("_sxx") - d("_sx") * d("_sx")
+    val denY = m * d("_syy") - d("_sy") * d("_sy")
+    val out = sums.select(col("m").as("n_directed_edges"),
+        lit(nNodes).as("n_nodes"),
+        when(denX > 0 && denY > 0, round(num / sqrt(denX * denY), 9))
+          .as("assortativity"))
+      .localCheckpoint()
+    edges.unpersist()
+    out
+  }
 }

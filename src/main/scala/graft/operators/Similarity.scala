@@ -680,6 +680,60 @@ object Similarity {
           .otherwise(lit(0.0)).as("ap"))
   }
 
+  /** NDCG@k discount weights in nano-units: round(10⁹/log₂(r+1)) for
+    * rank r = 1..k — EXACT LONG LITERALS shared verbatim with the SQL
+    * oracle (the PoissonThresholds32 pattern), so neither engine ever
+    * evaluates a logarithm: DCG/IDCG are exact integer sums and NDCG
+    * is one final division.
+    */
+  def ndcgWeightsNano(k: Int): Seq[Long] =
+    (1 to k).map(r => math.round(1e9 * math.log(2.0) / math.log(r + 1.0)))
+
+  /** NDCG@k over the exact cosine top-k with binary label-match
+    * relevance — the third retrieval metric beside [[recallAudit]]
+    * (membership) and [[apAtK]] (precision-weighted rank): NDCG's
+    * log-discount penalizes late hits more gently than AP, the
+    * standard ranking-eval headline. NDCG = DCG/IDCG with
+    * DCG = Σ rel_r/log₂(r+1) and IDCG the same sum over an ideal
+    * prefix of n_rel hits.
+    *
+    * Exactness: the discount weights are the [[ndcgWeightsNano]]
+    * integer literals (k ≤ 10), so DCG's numerator is an exact long
+    * Σ rel_r·w_r, IDCG is element_at of the literal PREFIX-SUM array
+    * at min(n_rel, k), and ndcg is ONE IEEE double division — the
+    * apAtK lcm trick with logs baked into shared literals. Zero-
+    * relevant queries report ndcg = 0.
+    *
+    * Scale shape: identical to apAtK — the [[bruteForceTopK]] arm
+    * never shuffles the corpus; the eval is a label join on the
+    * |queries|×k table plus a per-query agg.
+    */
+  def ndcgAtK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+              vecCol: String = "embedding", idCol: String = "vec_id",
+              labelCol: String = "label"): DataFrame = {
+    require(k >= 1 && k <= 10, s"ndcgAtK: k must be in [1,10] (literal weights), got $k")
+    val wq = ndcgWeightsNano(k)
+    val cums = wq.scanLeft(0L)(_ + _).tail
+    val wArr = array(wq.map(lit): _*)
+    val cArr = array(cums.map(lit): _*)
+    val tk = bruteForceTopK(corpus, queries, k, vecCol, idCol)
+    val qlab = queries.select(col(idCol).as("query_id"), col(labelCol).as("_ql"))
+    val clab = corpus.select(col(idCol).as("neighbor_id"), col(labelCol).as("_nl"))
+    tk.join(broadcast(qlab), Seq("query_id"))
+      .join(clab, Seq("neighbor_id"))
+      .withColumn("_rel", when(col("_ql") === col("_nl"), 1L).otherwise(0L))
+      .withColumn("_gain",
+        when(col("_rel") === 1L, element_at(wArr, col("rank").cast("int"))).otherwise(0L))
+      .groupBy("query_id")
+      .agg(sum(col("_rel")).as("n_rel"), sum(col("_gain")).as("_dcg"))
+      .withColumn("_idcg", // index clamps to >= 1: zero-relevant rows emit 0 below
+        element_at(cArr, greatest(least(col("n_rel"), lit(k.toLong)), lit(1L)).cast("int")))
+      .select(col("query_id"), col("n_rel"),
+        when(col("n_rel") > 0,
+          round(col("_dcg").cast("double") / col("_idcg").cast("double"), 9))
+          .otherwise(lit(0.0)).as("ndcg"))
+  }
+
   /** One k-means|| oversampling round (Bahmani et al., VLDB'12): every
     * vector is kept with probability min(1, l·d²/cost) where d is its
     * cosine distance to the nearest current seed and cost = Σd² — the

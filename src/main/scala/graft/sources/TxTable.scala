@@ -158,8 +158,9 @@ object TxTable {
     * retries; automatic rebase is deliberately out of scope for
     * append-only semantics it would silently reorder).
     */
-  def commit(df: DataFrame, table: String, op: String = "append"): Int =
-    commitAs(df, table, currentVersion(df.sparkSession, table) + 1, op)
+  def commit(df: DataFrame, table: String, op: String = "append",
+             statsCols: Seq[String] = Nil): Int =
+    commitAs(df, table, currentVersion(df.sparkSession, table) + 1, op, statsCols)
 
   /** The version-pinned commit body — the race window lives between
     * the head read and the manifest create, so tests (and a future
@@ -172,7 +173,8 @@ object TxTable {
   private def schemaKey(s: org.apache.spark.sql.types.StructType): Seq[(String, String)] =
     s.fields.map(fd => (fd.name, fd.dataType.sql)).sortBy(_._1).toSeq
 
-  private[graft] def commitAs(df: DataFrame, table: String, v: Int, op: String): Int = {
+  private[graft] def commitAs(df: DataFrame, table: String, v: Int, op: String,
+                              statsCols: Seq[String] = Nil): Int = {
     require(op == "append" || op == "overwrite" || op == "compact", s"unknown op $op")
     val spark = df.sparkSession
     val f = fs(spark, table)
@@ -214,6 +216,56 @@ object TxTable {
     f.delete(tmp, true)
     val carried = if (op == "append" && v > 1) filesOf(spark, table, v - 1) else Seq.empty
     val all = carried ++ named
+    // DATA-SKIPPING STATS (the Delta data-skipping shape: per-file
+    // min/max recorded in the transaction log at commit time, so a
+    // range read prunes FILES from the manifest alone — no footer
+    // round-trips on the read path, which at 100 TB is millions of
+    // them). Extracted here from the just-written parquet FOOTERS
+    // (metadata-only reads, one per new file, driver-side like the
+    // renames); numeric columns only — a min/max on floor-truncated
+    // binary stats would prune wrongly. Append carries the parent's
+    // stats forward with its files; files without stats are always
+    // kept by the pruner (conservative by construction).
+    val carriedStats = if (op == "append" && v > 1)
+      statsOf(spark, table, v - 1).filter(s => carried.contains(s._1))
+    else Seq.empty
+    val newStats: Seq[(String, String, Double, Double)] =
+      if (statsCols.isEmpty) Seq.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        val conf = spark.sparkContext.hadoopConfiguration
+        named.flatMap { rel =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new Path(s"$table/$rel"), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            val blocks = r.getFooter.getBlocks.asScala.toSeq
+            statsCols.flatMap { c =>
+              val perBlock = blocks.map { b =>
+                b.getColumns.asScala.find(_.getPath.toDotString == c)
+                  .map(_.getStatistics)
+                  .filter(s => s != null && s.hasNonNullValue)
+                  .flatMap { s =>
+                    (s.genericGetMin, s.genericGetMax) match {
+                      case (lo: Number, hi: Number) =>
+                        Some((lo.doubleValue(), hi.doubleValue()))
+                      case _ => None // non-numeric: no skipping stats
+                    }
+                  }
+              }
+              if (perBlock.nonEmpty && perBlock.forall(_.isDefined))
+                Some((rel, c, perBlock.map(_.get._1).min, perBlock.map(_.get._2).max))
+              else None
+            }
+          } finally r.close()
+        }
+      }
+    val stats = carriedStats ++ newStats
+    val statsJson =
+      if (stats.isEmpty) ""
+      else "," + "\"stats\":[" + stats.map { case (fl, c, lo, hi) =>
+        s"""{"f":"$fl","c":"$c","lo":$lo,"hi":$hi}"""
+      }.mkString(",") + "]"
     // commit time, STRICTLY MONOTONIC over the parent (Delta's
     // timestamp-as-of contract: two commits landing in the same wall
     // millisecond must still resolve distinctly — max(now, parent+1))
@@ -227,7 +279,7 @@ object TxTable {
     else 0L
     val ts = math.max(System.currentTimeMillis(), parentMs + 1L)
     val json = s"""{"version":$v,"op":"$op","commit_ms":$ts,"n_files":${all.size},""" +
-      s""""files":[${all.map("\"" + _ + "\"").mkString(",")}]}"""
+      s""""files":[${all.map("\"" + _ + "\"").mkString(",")}]$statsJson}"""
     val mp = manifestPath(table, v)
     f.mkdirs(mp.getParent)
     def conflict(): Nothing =
@@ -249,6 +301,52 @@ object TxTable {
   /** Latest-snapshot read. */
   def read(spark: SparkSession, table: String): DataFrame =
     readVersion(spark, table, currentVersion(spark, table))
+
+  /** Per-file data-skipping stats recorded in version `v`'s manifest:
+    * (file, column, min, max). Empty for commits made without
+    * `statsCols`.
+    */
+  def statsOf(spark: SparkSession, table: String, v: Int): Seq[(String, String, Double, Double)] =
+    """\{"f":"(.*?)","c":"(.*?)","lo":([-0-9.eE]+),"hi":([-0-9.eE]+)\}""".r
+      .findAllMatchIn(manifestText(spark, table, v))
+      .map(m => (m.group(1), m.group(2), m.group(3).toDouble, m.group(4).toDouble))
+      .toSeq
+
+  /** The file subset of version `v` a range predicate `lo ≤ col ≤ hi`
+    * can touch, decided from the MANIFEST STATS ALONE (no footer
+    * reads): a file is skipped only when its recorded [min, max] is
+    * disjoint from [lo, hi]; files without stats for `col` are always
+    * kept (conservative).
+    */
+  def prunedFiles(spark: SparkSession, table: String, v: Int,
+                  colName: String, lo: Double, hi: Double): Seq[String] = {
+    val byFile = statsOf(spark, table, v)
+      .collect { case (fl, c, flo, fhi) if c == colName => fl -> (flo, fhi) }
+      .toMap
+    filesOf(spark, table, v).filter { fl =>
+      byFile.get(fl).forall { case (flo, fhi) => !(fhi < lo || flo > hi) }
+    }
+  }
+
+  /** Range read with manifest-level data skipping: reads ONLY the
+    * files [[prunedFiles]] keeps, then applies the row filter. With a
+    * range-clustered layout (repartitionByRange / z-order before
+    * commit) this is the Delta data-skipping read: planning and IO
+    * scale with the MATCHING file count, not the snapshot. Falls back
+    * to the full file list when no file survives pruning is impossible
+    * — an empty keep-set still reads one manifest file to preserve the
+    * snapshot's schema (row-group stats prune its pages anyway).
+    */
+  def readWhere(spark: SparkSession, table: String, colName: String,
+                lo: Double, hi: Double, version: Int = -1): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val v = if (version > 0) version else currentVersion(spark, table)
+    val kept = prunedFiles(spark, table, v, colName, lo, hi)
+    val paths = (if (kept.nonEmpty) kept else filesOf(spark, table, v).take(1))
+      .map(rel => s"$table/$rel")
+    spark.read.parquet(paths: _*)
+      .filter(col(colName) >= lo && col(colName) <= hi)
+  }
 
   private def manifestText(spark: SparkSession, table: String, v: Int): String = {
     val in = fs(spark, table).open(manifestPath(table, v))

@@ -248,6 +248,44 @@ object Events {
       .select(col("win.start").as("hour_start"), col("bucket"), col("r"))
   }
 
+  /** Per-WINDOW count-min sketches over the stream (SURVEY §2 #60h):
+    * one ≤depth·width cell table per event-time hour — "who was hot
+    * THIS hour, forever, in constant memory per window", the frequency
+    * member of the per-window sealed-emission family beside the HLL
+    * (#61e), quantile (#60g), and KMV (#61h) members. CMS cells are
+    * commutative counts, so like the HLL this is an ORDINARY windowed
+    * aggregation: with a watermark it runs append mode (sealed hours
+    * emit finalized sketches, state bounded by open-windows ×
+    * depth·width cells — never by key cardinality); without one
+    * (test/oracle path) complete mode. Per-hour sketches sum-merge
+    * across shards/restarts like any CMS.
+    */
+  def streamCmsHourlyStream(spark: SparkSession, eventsPath: String,
+                            depth: Int = 4, width: Int = 1024,
+                            watermark: Option[String] = None,
+                            maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val stream0 = readStream(spark, eventsPath, maxFilesPerTrigger)
+    val stream = watermark.fold(stream0)(w => stream0.withWatermark("ts", w))
+    stream
+      .select(window(col("ts"), "1 hour").as("win"),
+        col("user_id").cast("string").as("k"))
+      .select(col("win"), posexplode(array((0 until depth).map(j =>
+        graft.functions.Sketches.cmsCell(col("k"), j, width)): _*)).as(Seq("j", "cell")))
+      .groupBy(col("win"), col("j"), col("cell")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** #60h test harness: [[streamCmsHourlyStream]] to a memory sink. */
+  def streamCmsHourly(spark: SparkSession, eventsPath: String,
+                      depth: Int = 4, width: Int = 1024,
+                      watermark: Option[String] = None,
+                      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val mode = if (watermark.isEmpty) "complete" else "append"
+    runToMemory(
+      streamCmsHourlyStream(spark, eventsPath, depth, width, watermark, maxFilesPerTrigger),
+      mode, "graft_cmsw_")
+      .select(col("win.start").as("hour_start"), col("j"), col("cell"), col("cnt"))
+  }
+
   /** Per-WINDOW dyadic quantile states over the stream (SURVEY §2
     * #60g): one bin table per event-time hour — "p99 per hour,
     * forever, in constant memory per window", the quantile member of

@@ -816,4 +816,57 @@ class PlanSpec extends SparkSpec {
     }
     p should include("partial_sum") // the (group, x) pooling agg
   }
+
+  test("q264 anova: one partial-agg moments pass, no windows, no corpus join") {
+    val p = plan("q264_anova")
+    p should include("partial_sum")
+    (p should not).include("windowspecdefinition")
+    (p should not).include("SortMergeJoin")
+  }
+
+  test("q265 kruskal: corpus collapses to cells; the only window walks the value histogram") {
+    val p = plan("q265_kruskal")
+    p should include("partial_count")
+    p.linesIterator.filter(_.contains("windowspecdefinition")).foreach { l =>
+      l should include("_v") // the distinct-value cumulative, never a row window
+    }
+  }
+
+  test("q266 levene: median windows are group-partitioned; deviations shuffle keyed by group only") {
+    val p = plan("q266_levene")
+    p.linesIterator.filter(_.contains("windowspecdefinition")).foreach { l =>
+      l should include("windowspecdefinition(_g")
+    }
+    p should include("partial_count")
+  }
+
+  test("q263 classification report: one confusion partial agg, windows never touch rows") {
+    val p = plan("q263_classification_report")
+    p should include("partial_count")
+    (p should not).include("windowspecdefinition")
+  }
+
+  test("q270 cramers V: pair cells explode map-side, no corpus self-join") {
+    val p = plan("q270_cramers_v")
+    p should include("Generate explode")
+    p should include("partial_count")
+  }
+
+  test("q271 quality audit: row checks share ONE scan; FK adds exactly one more") {
+    val p = plan("q271_quality_audit")
+    // two scans of orders total: the shared agg + the anti-join probe side
+    p.linesIterator.count(l => l.contains("Scan parquet") && l.contains("orders.parquet")) shouldBe 2
+    p should include("LeftAnti")
+  }
+
+  test("q262 ndcg: the search arm is the broadcast kernel with top-k pushed into the window") {
+    val p = plan("q262_ndcg")
+    p should include("BroadcastNestedLoopJoin BuildRight")
+    p should include("WindowGroupLimit")
+  }
+
+  test("q269 pettitt: the corpus collapses to the daily table before any window") {
+    val p = plan("q269_pettitt")
+    p should include("partial_sum") // daily mean cells combine map-side
+  }
 }

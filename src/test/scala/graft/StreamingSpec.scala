@@ -389,6 +389,28 @@ class StreamingSpec extends SparkSpec {
       batch.select("hour_start").distinct().count()
   }
 
+  test("per-hour streaming CMS equals batch cells; watermarked append emits only sealed windows") {
+    val dir = timeSplitDir(s"$sfDir/events.parquet", 3)
+    val streamed = Events.streamCmsHourly(spark, dir, maxFilesPerTrigger = Some(1))
+    val ev = Events.readBatch(spark, dir)
+      .select(date_trunc("hour", col("ts")).as("hour_start"),
+        col("user_id").cast("string").as("k"))
+    val batch = ev.select(col("hour_start"), posexplode(array((0 until 4).map(j =>
+        graft.functions.Sketches.cmsCell(col("k"), j, 1024)): _*)).as(Seq("j", "cell")))
+      .groupBy("hour_start", "j", "cell").agg(count(lit(1)).as("cnt"))
+    canon(streamed) shouldBe canon(batch)
+
+    val sealedCells = Events.streamCmsHourly(spark, dir,
+      watermark = Some("1 hour"), maxFilesPerTrigger = Some(1))
+    sealedCells.count() should be > 0L
+    // every sealed cell is exactly the batch count...
+    val j = sealedCells.alias("s").join(batch.alias("b"), Seq("hour_start", "j", "cell"), "left")
+    j.filter(col("b.cnt").isNull || col("s.cnt") =!= col("b.cnt")).count() shouldBe 0L
+    // ...and the unsealed tail inside the lateness horizon did NOT emit
+    sealedCells.select("hour_start").distinct().count() should be <
+      batch.select("hour_start").distinct().count()
+  }
+
   test("per-hour streaming quantile state equals batch bins; watermarked append emits only sealed windows") {
     val dir = timeSplitDir(s"$sfDir/events.parquet", 3)
     val streamed = Events.streamQuantileHourly(spark, dir, maxFilesPerTrigger = Some(1))
