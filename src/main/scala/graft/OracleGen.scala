@@ -1322,4 +1322,76 @@ object OracleGen {
                 * (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9)
        END AS assortativity
      FROM s"""
+
+  /** HITS over the bipartite customer→part purchase graph
+    * (operators.Graph.hits, iters alternating rounds unrolled as
+    * MATERIALIZED CTEs): per-edge contributions quantize by integer
+    * floor(score·10¹⁵ + ½) exactly like the Spark side (the pprSql
+    * rule — double→DECIMAL casts round differently between engines),
+    * each round's L1 normalization is one double division of two
+    * exact integer sums.
+    */
+  def hitsSql(iters: Int = 2): String = {
+    def half(prev: String, tag: String, edgeKey: String, outKey: String): Seq[String] = Seq(
+      s"""${tag}s AS MATERIALIZED (
+       SELECT e.$outKey AS node,
+         SUM(CAST(floor(p.score * 1000000000000000.0 + 0.5) AS HUGEINT)) AS s
+       FROM edges e JOIN $prev p ON p.node = e.$edgeKey
+       GROUP BY 1)""",
+      s"""$tag AS MATERIALIZED (
+       SELECT node, CAST(s AS DOUBLE)
+         / CAST((SELECT SUM(s) FROM ${tag}s) AS DOUBLE) AS score
+       FROM ${tag}s)""")
+    val rounds = (1 to iters).flatMap { i =>
+      half(if (i == 1) "h0" else s"h${i - 1}", s"a$i", "src", "dst") ++
+        half(s"a$i", s"h$i", "dst", "src")
+    }
+    s"""WITH edges AS MATERIALIZED (
+       SELECT DISTINCT o_custkey AS src, l_partkey AS dst
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+     nh AS (SELECT COUNT(DISTINCT src) AS n FROM edges),
+     h0 AS (SELECT DISTINCT src AS node,
+              1.0 / CAST((SELECT n FROM nh) AS DOUBLE) AS score FROM edges),
+     ${rounds.mkString(",\n     ")}
+     SELECT 'hub' AS side, node, round(score, 9) AS score FROM h$iters
+     UNION ALL
+     SELECT 'authority', node, round(score, 9) FROM a$iters"""
+  }
+
+  /** Hill tail-index of the similarity graph's degree distribution
+    * (operators.Graph.degreeTailAlpha on Dedup.embeddingPairs ≥
+    * minCos): the raLinksSql pair prelude; top-(k+1) exact rank
+    * selection tie-broken by node; each ln(dᵢ)−ln(d_{k+1}) term (the
+    * difference form, mirroring the Spark expression exactly)
+    * quantized DECIMAL(20,9) pre-sum.
+    */
+  def degreeTailSql(k: Int = 50, minCos: Double = 0.1, nbits: Int = 6,
+                    dim: Int = 64, cap: Int = 40): String =
+    s"""WITH b AS (
+       SELECT vec_id, embedding, ${bucketSql("embedding", nbits, dim)} AS bucket
+       FROM embeddings),
+     capped AS (
+       SELECT vec_id, embedding, bucket FROM (
+         SELECT vec_id, embedding, bucket,
+           ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY vec_id) AS bn
+         FROM b) WHERE bn <= $cap),
+     prs AS (
+       SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b FROM capped a JOIN capped b2
+         ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+       WHERE ${cosineSql("a.embedding", "b2.embedding", dim)} >= $minCos),
+     deg AS (
+       SELECT node, COUNT(*) AS deg FROM (
+         SELECT vec_a AS node FROM prs UNION ALL SELECT vec_b FROM prs)
+       GROUP BY 1),
+     top AS (
+       SELECT node, deg, ROW_NUMBER() OVER (ORDER BY deg DESC, node) AS rk
+       FROM deg),
+     ref AS (SELECT deg AS dref FROM top WHERE rk = ${k + 1}),
+     terms AS (
+       SELECT CAST(ln(CAST(t.deg AS DOUBLE)) - ln(CAST(r.dref AS DOUBLE))
+         AS DECIMAL(20,9)) AS tm
+       FROM top t, ref r WHERE t.rk <= $k AND r.dref > 0)
+     SELECT CAST(COUNT(*) AS INT) AS k,
+       round(CAST($k AS DOUBLE) / CAST(SUM(tm) AS DOUBLE), 9) AS alpha
+     FROM terms"""
 }

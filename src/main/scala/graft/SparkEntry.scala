@@ -1691,6 +1691,204 @@ object SparkEntry {
           summarize(sources.TxTable.readWhere(s, table, "l_partkey", 10.0, 60.0), "by_pkey"))
     }),
 
+    // §2#53ae (r7) log-rank test across q249's conversion cohorts: the
+    // hypothesis-test read-out of the survival family — per-cohort
+    // observed vs expected deaths under the pooled-hazard null, with
+    // the k-sample chi-square approximation on the overall row.
+    "q281_log_rank" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"), col("event_type"))
+      val perUser = ev.groupBy("user_id").agg(
+        min(col("tus")).as("_t0"),
+        min(when(col("event_type") === "purchase", col("tus"))).as("_tc"),
+        max(col("tus")).as("_tm"))
+      val obs = perUser.select(
+        concat(lit("c"), pmod(col("user_id"), lit(3)).cast("string")).as("cohort"),
+        expr("(coalesce(_tc, _tm) - _t0) div 86400000000").as("dur_days"),
+        col("_tc").isNotNull.cast("int").as("converted"))
+      operators.Behavior.logRank(obs, "cohort", "dur_days", "converted")
+    }),
+
+    // §2#52ap (r7) grouped multiclass MCC: the chance-corrected model-
+    // comparison scalar per segment — three synthetic "models" with
+    // DIFFERENT confusion rates (event_id mod 5/6/7 flipped to
+    // 'click') so the ranking itself is exercised, not just the value.
+    "q282_mcc" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .select(concat(lit("m"), pmod(col("user_id"), lit(3)).cast("string")).as("model"),
+          col("event_type").as("actual"),
+          when(pmod(col("event_id"), lit(5) + pmod(col("user_id"), lit(3))) === 0,
+            lit("click")).otherwise(col("event_type")).as("predicted"))
+      functions.Eval.mccByGroup(ev, "model", "actual", "predicted")
+    }),
+
+    // §2#53af (r7) forecast-accuracy scorecard: the naive lag-1
+    // forecast on each event type's daily mean series scored with
+    // MAPE/sMAPE/RMSE/MASE (seasonal-naive denominator, season=7) —
+    // the baseline every forecasting pipeline must publish first.
+    "q283_forecast_metrics" -> ((s, dir) =>
+      operators.Rolling.forecastAccuracy(
+        streaming.Events.readBatch(s, s"$dir/events.parquet"),
+        "event_type", "ts", "value", season = 7)),
+
+    // §2#52aq (r7) supplier-concentration profile per nation: HHI /
+    // effective supplier count / top share over exact-cent revenue —
+    // the dependence audit dual to q155's Gini.
+    "q284_concentration" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").df
+      val sup = t(s, dir, "supplier").df
+      val rev = li.join(sup, col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_nationkey"), col("l_suppkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      functions.Profile.concentration(rev, "s_nationkey", "l_suppkey", "rev")
+    }),
+
+    // §2#60i (r7) AMS F₂ sketch: 9 signed md5-family counters whose
+    // squared median estimates Σf_k² (self-join size / skew) — built
+    // in one partial agg, merged by addition, verified against the
+    // exact F₂ in the same result row.
+    "q285_ams_f2" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+      val est = functions.Sketches.amsF2Estimate(
+        functions.Sketches.amsF2Sketch(ev, "user_id", reps = 9))
+      val exact = ev.groupBy("user_id").agg(count(lit(1)).as("_c"))
+        .agg(sum((col("_c").cast("decimal(19,0)") * col("_c")).cast("decimal(38,0)"))
+          .as("_f2"))
+      est.crossJoin(exact)
+        .select(col("reps"), col("f2_est"),
+          col("_f2").cast("double").as("f2_exact"),
+          round(abs(col("f2_est") / col("_f2").cast("double") - lit(1.0)), 9)
+            .as("rel_err"))
+    }),
+
+    // §2#45f (r7) class-balanced downsampling: every language keeps
+    // exactly the minority language's count, lowest-content-hash rows
+    // first — verified by per-class size AND an order-free md5
+    // checksum of the kept ids (the exact selection, not just its
+    // cardinality).
+    "q286_balanced_sample" -> ((s, dir) => {
+      val bal = t(s, dir, "documents").balancedByClass(Seq("lang"), Seq("doc_id")).df
+      bal.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long").cast("decimal(38,0)")).cast("string").as("id_digest"))
+    }),
+
+    // §2#53ag (r7) RFM segmentation of the customer base from orders:
+    // recency/frequency/monetary each scored 1–5 against exact global
+    // quintiles, collapsed to the ≤125-cell segment table.
+    "q287_rfm" -> ((s, dir) =>
+      operators.Behavior.rfmSegments(
+        t(s, dir, "orders").df, "o_custkey", "o_orderdate", "o_totalprice")),
+
+    // §2#30v (r7) HITS hubs & authorities over the bipartite
+    // customer→part purchase graph (2 alternating L1-normalized
+    // rounds, unrolled in the oracle): good buyers vs anchor products
+    // — the mutually-recursive centrality PageRank can't express.
+    "q288_hits" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem").df
+        .join(t(s, dir, "orders").df, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+      operators.Graph.hits(edges, "cust", "part", iters = 2)
+    }),
+
+    // §2#62r (r7) copy-on-write row-level DELETE through TxTable: four
+    // range-bucketed single-file commits (manifest stats per file),
+    // then a delete whose range stats-prunes to ONE candidate file —
+    // the other three carry forward untouched (zero write
+    // amplification), CDC reads the version as remove+add of the
+    // rewritten subset only. Sections audit the final snapshot, the
+    // prune counts, and the CDC churn.
+    "q289_tx_delete" -> ((s, dir) => {
+      val table = sidePath("graft_txdel", dir)
+      sources.TxTable.drop(s, table)
+      val ord = t(s, dir, "orders").df.select(col("o_orderkey"), col("o_totalprice"))
+      val m = ord.agg(max(col("o_orderkey"))).head().getLong(0)
+      val width = (m + 3) / 4
+      for (i <- 0 until 4) {
+        val bucket = ord.filter(expr(s"(o_orderkey - 1) div ${width}L") === i)
+          .coalesce(1)
+        sources.TxTable.commit(bucket, table, statsCols = Seq("o_orderkey"))
+      }
+      val lo = 1.0
+      val hi = (width / 2).toDouble
+      val (v, nRewritten, nCarried) =
+        sources.TxTable.deleteWhere(s, table, "o_orderkey", lo, hi,
+          statsCols = Seq("o_orderkey"))
+      def summarize(df: org.apache.spark.sql.DataFrame, section: String, label: String) =
+        df.agg(count(lit(1)).as("n_rows"),
+            sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
+          .select(lit(section).as("section"), lit(label).as("label"),
+            col("n_rows"), col("sum_price"))
+      val snap = summarize(sources.TxTable.readVersion(s, table, v), "snapshot", "after_delete")
+      val files = s.createDataFrame(Seq(
+          ("files", "rewritten", nRewritten.toLong),
+          ("files", "carried", nCarried.toLong)))
+        .toDF("section", "label", "n_rows")
+        .withColumn("sum_price", lit(null).cast("double"))
+      val cdc = sources.TxTable.changes(s, table, v - 1, v)
+        .groupBy(concat(col("_change"), lit("@"), col("_version")).as("label"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
+        .select(lit("cdc").as("section"), col("label"), col("n_rows"), col("sum_price"))
+      snap.unionByName(files).unionByName(cdc)
+    }),
+
+    // §2#62s (r7) exactly-once idempotent commits (the Delta
+    // txnAppId/txnVersion contract): three event batches committed
+    // with (app, batch) markers, batch 0 REDELIVERED in between — the
+    // replay must be a no-op (version count stays 3, the duplicate
+    // reports not-applied, and the final table sums every event ONCE;
+    // a double apply fails the data row's hash).
+    "q290_tx_idempotent" -> ((s, dir) => {
+      val table = sidePath("graft_txid", dir)
+      sources.TxTable.drop(s, table)
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id"), col("value"))
+      def batch(i: Int) = ev.filter(pmod(col("event_id"), lit(3)) === i)
+      val (v1, _) = sources.TxTable.commitIdempotent(batch(0), table, "ingest", 0L)
+      sources.TxTable.commitIdempotent(batch(1), table, "ingest", 1L)
+      val (vr, ar) = sources.TxTable.commitIdempotent(batch(0), table, "ingest", 0L)
+      sources.TxTable.commitIdempotent(batch(2), table, "ingest", 2L)
+      val tbl = sources.TxTable.read(s, table)
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(floor(col("value") * 1000000L + lit(0.5)).cast("long")
+            .cast("decimal(38,0)")).cast("double") / 1e6, 6).as("metric"))
+        .select(lit("table").as("section"), lit("all").as("label"),
+          col("n_rows"), col("metric"))
+      val meta = s.createDataFrame(Seq(
+          ("meta", "n_versions", sources.TxTable.currentVersion(s, table).toLong),
+          ("meta", "replay_applied", if (ar) 1L else 0L),
+          ("meta", "replay_version", vr.toLong),
+          ("meta", "first_version", v1.toLong)))
+        .toDF("section", "label", "n_rows")
+        .withColumn("metric", lit(null).cast("double"))
+      tbl.unionByName(meta)
+    }),
+
+    // §2#30w (r7) Hill tail-index of the similarity graph's degree
+    // distribution (top-50 order statistics): the "how heavy is the
+    // hub tail" scalar behind every bucketed-decomposition decision
+    // (SURVEY §5), beside q259's absolute hot-key probe.
+    "q291_degree_tail" -> ((s, dir) => {
+      val pairs = operators.Dedup.embeddingPairs(t(s, dir, "embeddings").df)
+        .filter(col("cos") >= 0.1)
+      operators.Graph.degreeTailAlpha(pairs, "vec_a", "vec_b", k = 50)
+    }),
+
+    // §2#52ar (r7) character error rate per language: Spark's native
+    // levenshtein between the ASCII-pinned reference text and a
+    // deterministic corruption (leet substitutions + tail truncation)
+    // — micro vs macro CER per language, the ASR/OCR eval shape on
+    // pipeline text transforms.
+    "q292_cer" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      val ref = substring(regexp_replace(lower(col("text")), "[^\\x20-\\x7e]", ""), 1, 200)
+      val prep = docs.select(col("lang"), ref.as("ref"),
+        substring(translate(ref, "aeio", "4310"), 1, 180).as("hyp"))
+      functions.Eval.charErrorRate(prep, "lang", "ref", "hyp")
+    }),
+
     // §2#52af (r7) grouped two-proportion z-tests with
     // Benjamini–Hochberg FDR control: "which event types shifted the
     // value>50 share between user cohorts" asked across ALL types at
@@ -4113,6 +4311,322 @@ object SparkEntry {
     "q267_ppr" -> OracleGen.pprSql(seedMod = 2, minCos = 0.1),
 
     "q268_assortativity" -> OracleGen.assortativitySql(minCos = 0.1),
+
+    // the q249 observation machinery; E/V terms doubles of exact longs
+    // DECIMAL(20,9) pre-sum; k-sample chi-square on the overall row
+    "q281_log_rank" ->
+      """WITH u AS (
+           SELECT user_id, MIN(epoch_us(ts)) AS t0,
+             MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS tc,
+             MAX(epoch_us(ts)) AS tm
+           FROM events GROUP BY 1),
+         obs AS (
+           SELECT 'c' || CAST(user_id % 3 AS VARCHAR) AS g,
+             (COALESCE(tc, tm) - t0) // 86400000000 AS t,
+             CASE WHEN tc IS NOT NULL THEN 1 ELSE 0 END AS e
+           FROM u),
+         cells AS (SELECT g, t, SUM(e) AS d, COUNT(*) AS c FROM obs GROUP BY 1, 2),
+         ptot AS (SELECT t, SUM(d) AS dt, SUM(c) AS ct FROM cells GROUP BY 1),
+         pooled AS (
+           SELECT t, dt,
+             SUM(ct) OVER () - COALESCE(SUM(ct) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nt
+           FROM ptot),
+         pev AS (SELECT t, dt, nt FROM pooled WHERE dt > 0),
+         grid AS (
+           SELECT gs.g, ts.t, 0 AS d, 0 AS c
+           FROM (SELECT DISTINCT g FROM cells) gs, (SELECT t FROM pev) ts),
+         aug AS (
+           SELECT g, t, SUM(d) AS d, SUM(c) AS c FROM (
+             SELECT g, t, d, c FROM cells
+             UNION ALL SELECT g, t, d, c FROM grid) GROUP BY 1, 2),
+         aug2 AS (
+           SELECT g, t, d,
+             SUM(c) OVER (PARTITION BY g)
+               - COALESCE(SUM(c) OVER (PARTITION BY g ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ng
+           FROM aug),
+         risked AS (
+           SELECT a.g, a.d,
+             CAST(CAST(p.dt AS DOUBLE) * CAST(a.ng AS DOUBLE)
+               / CAST(p.nt AS DOUBLE) AS DECIMAL(20,9)) AS eterm,
+             CASE WHEN p.nt > 1 THEN
+               CAST(CAST(p.dt AS DOUBLE) * (CAST(a.ng AS DOUBLE) / CAST(p.nt AS DOUBLE))
+                 * (1.0 - CAST(a.ng AS DOUBLE) / CAST(p.nt AS DOUBLE))
+                 * (CAST(p.nt - p.dt AS DOUBLE) / CAST(p.nt - 1 AS DOUBLE))
+                 AS DECIMAL(20,9))
+             ELSE CAST(0.0 AS DECIMAL(20,9)) END AS vterm
+           FROM aug2 a JOIN pev p USING (t)),
+         per AS (SELECT g, SUM(d) AS o, SUM(eterm) AS ex, SUM(vterm) AS vr
+                 FROM risked GROUP BY 1)
+         SELECT 'group' AS section, g AS label, CAST(o AS BIGINT) AS observed,
+           round(CAST(ex AS DOUBLE), 6) AS expected,
+           round(CAST(vr AS DOUBLE), 6) AS variance,
+           CASE WHEN CAST(vr AS DOUBLE) > 0 THEN
+             round((CAST(o AS DOUBLE) - CAST(ex AS DOUBLE))
+               / sqrt(CAST(vr AS DOUBLE)), 9) END AS z,
+           CAST(NULL AS DOUBLE) AS chi2, CAST(NULL AS BIGINT) AS df
+         FROM per
+         UNION ALL
+         SELECT 'overall', 'all', CAST(SUM(o) AS BIGINT),
+           round(CAST(SUM(ex) AS DOUBLE), 6), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), round(CAST(SUM(x2) AS DOUBLE), 9),
+           COUNT(*) - 1
+         FROM (SELECT o, ex,
+             CAST(CASE WHEN CAST(ex AS DOUBLE) > 0 THEN
+               (CAST(o AS DOUBLE) - CAST(ex AS DOUBLE))
+                 * (CAST(o AS DOUBLE) - CAST(ex AS DOUBLE)) / CAST(ex AS DOUBLE)
+             ELSE 0.0 END AS DECIMAL(20,9)) AS x2 FROM per)""",
+
+    // confusion marginals exact HUGEINT; MCC numerator and both
+    // sqrt factors mirrored doubles of exact integers
+    "q282_mcc" ->
+      """WITH e AS (
+           SELECT 'm' || CAST(user_id % 3 AS VARCHAR) AS g, event_type AS a,
+             CASE WHEN event_id % (5 + user_id % 3) = 0 THEN 'click'
+                  ELSE event_type END AS p
+           FROM events),
+         cells AS (SELECT g, a, p, COUNT(*) AS c FROM e GROUP BY 1, 2, 3),
+         rm AS (SELECT g, a AS l, SUM(c) AS t FROM cells GROUP BY 1, 2),
+         cm AS (SELECT g, p AS l, SUM(c) AS q FROM cells GROUP BY 1, 2),
+         marg AS (
+           SELECT COALESCE(rm.g, cm.g) AS g,
+             COALESCE(t, 0) AS t, COALESCE(q, 0) AS q
+           FROM rm FULL OUTER JOIN cm ON rm.g = cm.g AND rm.l = cm.l),
+         ms AS (
+           SELECT g, SUM(CAST(t AS HUGEINT) * q) AS pt,
+             SUM(CAST(q AS HUGEINT) * q) AS p2,
+             SUM(CAST(t AS HUGEINT) * t) AS t2
+           FROM marg GROUP BY 1),
+         tot AS (
+           SELECT g, SUM(c) AS n,
+             SUM(CASE WHEN a = p THEN c ELSE 0 END) AS corr
+           FROM cells GROUP BY 1)
+         SELECT t.g AS model, CAST(n AS BIGINT) AS n,
+           round(CAST(corr AS DOUBLE) / CAST(n AS DOUBLE), 9) AS accuracy,
+           CASE WHEN CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(p2 AS DOUBLE) > 0
+                 AND CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(t2 AS DOUBLE) > 0 THEN
+             round((CAST(corr AS DOUBLE) * CAST(n AS DOUBLE) - CAST(pt AS DOUBLE))
+               / sqrt(CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(p2 AS DOUBLE))
+               / sqrt(CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(t2 AS DOUBLE)), 9)
+           END AS mcc
+         FROM tot t JOIN ms USING (g)""",
+
+    // q269's daily means; error terms doubles of the rounded means
+    // quantized DECIMAL(20,9)/(25,12) pre-sum; final folds mirrored
+    "q283_forecast_metrics" ->
+      """WITH e AS (
+           SELECT event_type AS g, epoch_us(ts) // 86400000000 AS day,
+             CAST(floor(CAST(value AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS vq
+           FROM events),
+         cells AS (
+           SELECT g, day, round(CAST(SUM(CAST(vq AS HUGEINT)) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) / 1000000.0, 6) AS y
+           FROM e GROUP BY 1, 2),
+         lagd AS (
+           SELECT g, y,
+             LAG(y, 1) OVER (PARTITION BY g ORDER BY day) AS f,
+             LAG(y, 7) OVER (PARTITION BY g ORDER BY day) AS fs
+           FROM cells),
+         agg AS (
+           SELECT g, COUNT(*) AS n_days,
+             SUM(CASE WHEN f IS NOT NULL THEN 1 ELSE 0 END) AS n_scored,
+             SUM(CASE WHEN f IS NOT NULL AND y <> 0.0 THEN 1 ELSE 0 END) AS nm,
+             SUM(CASE WHEN f IS NOT NULL THEN
+               CAST(abs(y - f) AS DECIMAL(20,9)) END) AS sae,
+             SUM(CASE WHEN f IS NOT NULL AND y <> 0.0 THEN
+               CAST(abs(y - f) / abs(y) AS DECIMAL(20,9)) END) AS sape,
+             SUM(CASE WHEN f IS NOT NULL AND abs(y) + abs(f) <> 0.0 THEN
+               CAST(2.0 * abs(y - f) / (abs(y) + abs(f)) AS DECIMAL(20,9)) END) AS ssm,
+             SUM(CASE WHEN f IS NOT NULL THEN
+               CAST(abs(y - f) * abs(y - f) AS DECIMAL(25,12)) END) AS sse,
+             SUM(CASE WHEN fs IS NOT NULL THEN
+               CAST(abs(y - fs) AS DECIMAL(20,9)) END) AS ssn,
+             SUM(CASE WHEN fs IS NOT NULL THEN 1 ELSE 0 END) AS nsn
+           FROM lagd GROUP BY 1)
+         SELECT g AS event_type, CAST(n_days AS BIGINT) AS n_days,
+           CAST(n_scored AS BIGINT) AS n_scored,
+           CASE WHEN nm > 0 THEN
+             round(CAST(sape AS DOUBLE) / CAST(nm AS DOUBLE), 9) END AS mape,
+           CASE WHEN n_scored > 0 THEN
+             round(CAST(ssm AS DOUBLE) / CAST(n_scored AS DOUBLE), 9) END AS smape,
+           CASE WHEN n_scored > 0 THEN
+             round(sqrt(CAST(sse AS DOUBLE) / CAST(n_scored AS DOUBLE)), 9) END AS rmse,
+           CASE WHEN nsn > 0 AND CAST(ssn AS DOUBLE) > 0 AND n_scored > 0 THEN
+             round((CAST(sae AS DOUBLE) / CAST(n_scored AS DOUBLE))
+               / (CAST(ssn AS DOUBLE) / CAST(nsn AS DOUBLE)), 9) END AS mase
+         FROM agg""",
+
+    // exact-cent revenue cells; share² terms DECIMAL(25,15) pre-sum
+    "q284_concentration" ->
+      """WITH cells AS (
+           SELECT s_nationkey AS g, l_suppkey AS e,
+             SUM(CAST(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5)
+               AS BIGINT) AS DECIMAL(38,0))) AS v
+           FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+           GROUP BY 1, 2),
+         tot AS (SELECT g, SUM(v) AS vt, COUNT(*) AS ne FROM cells GROUP BY 1),
+         terms AS (
+           SELECT c.g, ne,
+             CAST((CAST(v AS DOUBLE) / CAST(vt AS DOUBLE))
+               * (CAST(v AS DOUBLE) / CAST(vt AS DOUBLE)) AS DECIMAL(25,15)) AS t,
+             CAST(v AS DOUBLE) / CAST(vt AS DOUBLE) AS sh
+           FROM cells c JOIN tot USING (g) WHERE vt > 0)
+         SELECT g AS s_nationkey, CAST(MAX(ne) AS BIGINT) AS n_entities,
+           round(CAST(SUM(t) AS DOUBLE), 9) AS hhi,
+           round(1.0 / CAST(SUM(t) AS DOUBLE), 6) AS effective_n,
+           round(MAX(sh), 9) AS top_share
+         FROM terms GROUP BY 1""",
+
+    // signed md5-family counters exact; median-of-z² the exact order
+    // statistic; exact F2 from per-key HUGEINT squares
+    "q285_ams_f2" ->
+      """WITH signs AS (
+           SELECT r, SUM(1 - 2 * (('0x' || substr(md5('ams' || r || '|'
+             || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2)) AS z
+           FROM events, (SELECT UNNEST(range(9)) AS r) reps GROUP BY r),
+         med AS (
+           SELECT CAST(z AS HUGEINT) * z AS z2,
+             ROW_NUMBER() OVER (ORDER BY CAST(z AS HUGEINT) * z) AS rk,
+             COUNT(*) OVER () AS n
+           FROM signs),
+         est AS (
+           SELECT CAST(n AS INT) AS reps, CAST(z2 AS DOUBLE) AS f2_est
+           FROM med WHERE rk = (n + 1) // 2),
+         exact AS (
+           SELECT SUM(CAST(c AS HUGEINT) * c) AS f2
+           FROM (SELECT COUNT(*) AS c FROM events GROUP BY user_id))
+         SELECT reps, f2_est, CAST(f2 AS DOUBLE) AS f2_exact,
+           round(abs(f2_est / CAST(f2 AS DOUBLE) - 1.0), 9) AS rel_err
+         FROM est, exact""",
+
+    // the q95 hash-rank selection with the data-derived minority k;
+    // kept-set digest = order-free md5 sum (the contentDigest shape)
+    "q286_balanced_sample" ->
+      """WITH cnt AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+         k AS (SELECT MIN(n) AS kmin FROM cnt),
+         r AS (
+           SELECT lang, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY md5('0' || chr(0) || CAST(doc_id AS VARCHAR)),
+                        CAST(doc_id AS VARCHAR)) AS rk
+           FROM documents)
+         SELECT lang, COUNT(*) AS n_kept,
+           CAST(SUM(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+             AS DECIMAL(38,0))) AS VARCHAR) AS id_digest
+         FROM r, k WHERE rk <= kmin GROUP BY lang""",
+
+    // exact quantile_cont boundaries quantized DECIMAL(18,6) (the
+    // q171 rule) over integer day/count/cent metrics
+    "q287_rfm" ->
+      """WITH per AS (
+           SELECT o_custkey AS cust,
+             MAX(CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)) AS r,
+             COUNT(*) AS f,
+             CAST(SUM(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+               AS DECIMAL(38,0))) AS BIGINT) AS m
+           FROM orders GROUP BY 1),
+         b AS (
+           SELECT
+             list_transform(quantile_cont(r, [0.2, 0.4, 0.6, 0.8]),
+               x -> CAST(x AS DECIMAL(18,6))) AS qr,
+             list_transform(quantile_cont(f, [0.2, 0.4, 0.6, 0.8]),
+               x -> CAST(x AS DECIMAL(18,6))) AS qf,
+             list_transform(quantile_cont(m, [0.2, 0.4, 0.6, 0.8]),
+               x -> CAST(x AS DECIMAL(18,6))) AS qm
+           FROM per),
+         scored AS (
+           SELECT
+             CAST(1 + len(list_filter(qr, x -> x <= CAST(r AS DECIMAL(18,6)))) AS INT)
+               AS r_score,
+             CAST(1 + len(list_filter(qf, x -> x <= CAST(f AS DECIMAL(18,6)))) AS INT)
+               AS f_score,
+             CAST(1 + len(list_filter(qm, x -> x <= CAST(m AS DECIMAL(18,6)))) AS INT)
+               AS m_score,
+             m
+           FROM per, b)
+         SELECT r_score, f_score, m_score, COUNT(*) AS n_customers,
+           round(CAST(SUM(CAST(m AS DECIMAL(38,0))) AS DOUBLE) / 100.0, 2)
+             AS total_spend
+         FROM scored GROUP BY 1, 2, 3""",
+
+    "q288_hits" -> OracleGen.hitsSql(iters = 2),
+
+    // the bucket layout, prune counts, snapshot, and CDC churn all
+    // derived from orders + the same integer width arithmetic
+    "q289_tx_delete" ->
+      """WITH w AS (SELECT (MAX(o_orderkey) + 3) // 4 AS width FROM orders),
+         del AS (SELECT width, width // 2 AS hi FROM w)
+         SELECT 'snapshot' AS section, 'after_delete' AS label,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+         FROM orders, del WHERE NOT (o_orderkey >= 1 AND o_orderkey <= hi)
+         UNION ALL
+         SELECT 'files', 'rewritten',
+           (SELECT COUNT(DISTINCT (o_orderkey - 1) // width)
+            FROM orders, del WHERE o_orderkey >= 1 AND o_orderkey <= hi),
+           CAST(NULL AS DOUBLE)
+         UNION ALL
+         SELECT 'files', 'carried',
+           (SELECT COUNT(DISTINCT (o_orderkey - 1) // width) FROM orders, del)
+             - (SELECT COUNT(DISTINCT (o_orderkey - 1) // width)
+                FROM orders, del WHERE o_orderkey >= 1 AND o_orderkey <= hi),
+           CAST(NULL AS DOUBLE)
+         UNION ALL
+         SELECT 'cdc', 'insert@5', COUNT(*),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+         FROM orders, del WHERE o_orderkey <= width
+           AND NOT (o_orderkey >= 1 AND o_orderkey <= hi)
+         UNION ALL
+         SELECT 'cdc', 'delete@5', COUNT(*),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+         FROM orders, del WHERE o_orderkey <= width""",
+
+    // the data row proves single application (a double apply would
+    // double n_rows/metric); the meta rows pin the protocol outcome
+    "q290_tx_idempotent" ->
+      """SELECT 'table' AS section, 'all' AS label, COUNT(*) AS n_rows,
+           round(CAST(SUM(CAST(CAST(floor(value * 1000000 + 0.5) AS BIGINT)
+             AS DECIMAL(38,0))) AS DOUBLE) / 1e6, 6) AS metric
+         FROM events
+         UNION ALL SELECT 'meta', 'n_versions', 3, CAST(NULL AS DOUBLE)
+         UNION ALL SELECT 'meta', 'replay_applied', 0, CAST(NULL AS DOUBLE)
+         UNION ALL SELECT 'meta', 'replay_version', 1, CAST(NULL AS DOUBLE)
+         UNION ALL SELECT 'meta', 'first_version', 1, CAST(NULL AS DOUBLE)""",
+
+    "q291_degree_tail" -> OracleGen.degreeTailSql(k = 50, minCos = 0.1),
+
+    // ASCII-pinned alphabet so levenshtein counts identically; macro
+    // terms DECIMAL(20,9) pre-sum, micro one division of exact longs
+    "q292_cer" ->
+      """WITH prep AS (
+           SELECT lang,
+             substr(regexp_replace(lower(text), '[^\x20-\x7e]', '', 'g'), 1, 200)
+               AS ref
+           FROM documents),
+         p2 AS (
+           SELECT lang, ref,
+             substr(translate(ref, 'aeio', '4310'), 1, 180) AS hyp
+           FROM prep),
+         sc AS (
+           SELECT lang, CAST(levenshtein(ref, hyp) AS BIGINT) AS lev,
+             CAST(length(ref) AS BIGINT) AS len
+           FROM p2)
+         SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN len = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_ref,
+           CAST(SUM(CASE WHEN len > 0 THEN lev ELSE 0 END) AS BIGINT) AS edit_total,
+           CAST(SUM(CASE WHEN len > 0 THEN len ELSE 0 END) AS BIGINT) AS ref_chars,
+           CASE WHEN SUM(CASE WHEN len > 0 THEN len ELSE 0 END) > 0 THEN
+             round(CAST(SUM(CASE WHEN len > 0 THEN lev ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(CASE WHEN len > 0 THEN len ELSE 0 END) AS DOUBLE), 9)
+           END AS cer_micro,
+           CASE WHEN SUM(CASE WHEN len > 0 THEN 1 ELSE 0 END) > 0 THEN
+             round(CAST(SUM(CASE WHEN len > 0 THEN
+                 CAST(CAST(lev AS DOUBLE) / CAST(len AS DOUBLE) AS DECIMAL(20,9))
+               END) AS DOUBLE)
+               / CAST(SUM(CASE WHEN len > 0 THEN 1 ELSE 0 END) AS DOUBLE), 9)
+           END AS cer_macro
+         FROM sc GROUP BY 1""",
 
     // daily means from exact integer sums (rounded 1e-6 on both
     // engines), half-unit ranks, U_t exact longs, earliest-t argmax

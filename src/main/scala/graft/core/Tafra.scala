@@ -181,6 +181,31 @@ final class Tafra(val df: DataFrame) extends Serializable {
       .filter(col("_rk") <= k).drop("_rk"))
   }
 
+  /** Class-balanced downsampling: every class keeps EXACTLY the
+    * minority class's row count, selected as the lowest-content-hash
+    * rows per class ([[sampleTopKByHash]] with the data-derived k) —
+    * the label-balancing step before training a classifier on skewed
+    * labels, deterministic and auditable like the whole sampling
+    * family (same rows in or out across runs, partitionings, cluster
+    * sizes, and engines; kept sets nest if the minority grows).
+    *
+    * Scale shape: one partial agg to the class-count table (class-
+    * vocabulary-sized) whose min is pulled as ONE scalar (a model
+    * artifact, the pageRank-nV pattern — and it must be a LITERAL:
+    * a column-bound rank filter would defeat WindowGroupLimit
+    * pushdown, turning per-class top-k pre-pruning into full
+    * per-class sorts), then the sampleTopKByHash window.
+    */
+  def balancedByClass(classCols: Seq[String], keyCols: Seq[String],
+                      seed: Long = 0L): Tafra = {
+    validateColumns(classCols ++ keyCols)
+    val nMin = df.groupBy(classCols.map(df(_)): _*).agg(count(lit(1)).as("_n"))
+      .agg(min(col("_n"))).head().getLong(0)
+    require(nMin > 0 && nMin <= Int.MaxValue,
+      s"balancedByClass: minority class count $nMin outside (0, 2^31)")
+    sampleTopKByHash(nMin.toInt, classCols, keyCols, seed)
+  }
+
   /** Order-insensitive content digest of the frame over `cols`: one
     * row (n_rows, digest_a, digest_b) where the digests are sums of
     * the two leading 32-bit words of each row's md5 — the

@@ -712,4 +712,94 @@ object Eval {
         when(minDim > 0, round(sqrt(chi2 / (d(col("_nt")) * d(minDim))), 9))
           .as("cramers_v"))
   }
+
+  /** Multiclass Matthews correlation per group (Gorodkin 2004's R_K):
+    * MCC = (c·s − Σ_k p_k t_k) / √(s² − Σp_k²) / √(s² − Σt_k²) from
+    * the confusion-matrix MARGINALS alone (c = correct, s = total,
+    * t_k/p_k = actual/predicted class counts) — the single
+    * chance-corrected scalar that, unlike accuracy or macro-F1, stays
+    * honest under class imbalance, making it the model-COMPARISON
+    * column beside [[classificationReport]]'s per-class table. Groups
+    * are model/segment keys: one row per group ranks them directly.
+    *
+    * Exactness: every Σ term is an exact integer (counts multiplied
+    * as DECIMAL(19,0)→DECIMAL(38,0), summed in DECIMAL(38,0)); the
+    * numerator and the two √ factors evaluate in doubles FROM those
+    * exact integers in one oracle-mirrored op order, rounded 1e-9. A
+    * degenerate group (single actual or single predicted class —
+    * either √ factor 0) emits NULL mcc, the sklearn convention.
+    *
+    * Scale shape: the corpus collapses to (group, actual, predicted)
+    * cells in ONE partial agg; marginals and the per-group fold run
+    * over the class-vocabulary table (§5 metadata exemption).
+    */
+  def mccByGroup(df: DataFrame, groupCol: String, actualCol: String,
+                 predCol: String): DataFrame = {
+    val cells = df
+      .groupBy(col(groupCol).as("_g"),
+        col(actualCol).cast("string").as("_a"),
+        col(predCol).cast("string").as("_p"))
+      .agg(count(lit(1)).as("_c"))
+    val rowM = cells.groupBy(col("_g"), col("_a").as("_l")).agg(sum("_c").as("_t"))
+    val colM = cells.groupBy(col("_g"), col("_p").as("_l")).agg(sum("_c").as("_q"))
+    def dd(c: Column) = c.cast("decimal(19,0)")
+    val marg = rowM.join(colM, Seq("_g", "_l"), "full_outer")
+      .select(col("_g"), coalesce(col("_t"), lit(0L)).as("_t"),
+        coalesce(col("_q"), lit(0L)).as("_q"))
+      .groupBy("_g")
+      .agg(sum((dd(col("_t")) * dd(col("_q"))).cast("decimal(38,0)")).as("_pt"),
+        sum((dd(col("_q")) * dd(col("_q"))).cast("decimal(38,0)")).as("_p2"),
+        sum((dd(col("_t")) * dd(col("_t"))).cast("decimal(38,0)")).as("_t2"))
+    val tot = cells.groupBy("_g")
+      .agg(sum("_c").as("_n"),
+        sum(when(col("_a") === col("_p"), col("_c")).otherwise(lit(0L))).as("_corr"))
+    val s2 = d(col("_n")) * d(col("_n"))
+    val num = d(col("_corr")) * d(col("_n")) - d(col("_pt"))
+    val fp = s2 - d(col("_p2"))
+    val ft = s2 - d(col("_t2"))
+    tot.join(marg, Seq("_g"))
+      .select(col("_g").as(groupCol), col("_n").as("n"),
+        round(d(col("_corr")) / d(col("_n")), 9).as("accuracy"),
+        when(fp > 0 && ft > 0, round(num / sqrt(fp) / sqrt(ft), 9)).as("mcc"))
+  }
+
+  /** Micro + macro character error rate per group — the ASR/OCR-shape
+    * transcription metric (edit distance over reference length)
+    * applied to pipeline text transforms: score a cleaner/scrubber by
+    * CER between raw and transformed text, grouped by language or
+    * source. Micro = Σ edits / Σ ref chars (corpus-weighted); macro =
+    * mean of per-document rates (document-weighted) — divergence
+    * between the two flags length-correlated damage.
+    *
+    * Levenshtein runs as Spark's native codegen'd expression (same
+    * O(|a|·|b|) DP every engine implements; byte=char-identical on
+    * ASCII input — the CALLER pins the alphabet, e.g. strip
+    * non-ASCII, because engines differ on multi-byte counting).
+    * Per-row macro terms quantize DECIMAL(20,9) pre-sum; micro
+    * divides exact longs once, rounded 1e-9. Empty references are
+    * counted (n_empty_ref) and excluded from both rates.
+    *
+    * Scale shape: one map-side pass computes the DP per row (CPU
+    * scales with text length — cap inputs like any per-byte codec),
+    * then ONE partial agg per group; nothing row-scaled shuffles.
+    */
+  def charErrorRate(df: DataFrame, groupCol: String, refCol: String,
+                    hypCol: String): DataFrame = {
+    val scored = df.select(col(groupCol).as("_g"),
+        levenshtein(col(refCol), col(hypCol)).cast("long").as("_lev"),
+        length(col(refCol)).cast("long").as("_len"))
+    scored.groupBy(col("_g").as(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("_len") === 0, 1L).otherwise(0L)).as("n_empty_ref"),
+        sum(when(col("_len") > 0, col("_lev")).otherwise(0L)).as("edit_total"),
+        sum(when(col("_len") > 0, col("_len")).otherwise(0L)).as("ref_chars"),
+        sum(when(col("_len") > 0,
+          (d(col("_lev")) / d(col("_len"))).cast("decimal(20,9)"))).as("_mr"),
+        sum(when(col("_len") > 0, 1L).otherwise(0L)).as("_nv"))
+      .select(col(groupCol), col("n_docs"), col("n_empty_ref"),
+        col("edit_total"), col("ref_chars"),
+        when(col("ref_chars") > 0,
+          round(d(col("edit_total")) / d(col("ref_chars")), 9)).as("cer_micro"),
+        when(col("_nv") > 0, round(d(col("_mr")) / d(col("_nv")), 9)).as("cer_macro"))
+  }
 }

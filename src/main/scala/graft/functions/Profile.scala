@@ -1525,4 +1525,42 @@ object Profile {
         round(lit(2.0) * exp(lit(-6.0) * d("k_stat") * d("k_stat")
           / (d("n") * d("n") * d("n") + d("n") * d("n"))), 9).as("p_approx"))
   }
+
+  /** Market-concentration profile per group: the Herfindahl–Hirschman
+    * index HHI = Σ share², its inverse (the "effective number" of
+    * entities — 1/HHI equals k for k equal shares), and the top
+    * single-entity share — the dependence audit for a training-data
+    * mixture ("is this domain really one crawler in a trenchcoat?"),
+    * a supplier base, or traffic sources. Beside [[gini]] (inequality
+    * of a value column) this answers the DUAL question: how dominated
+    * is the group by its largest members.
+    *
+    * Exactness: values quantize to cents summed in DECIMAL(38,0), so
+    * shares are doubles of exact integers; per-entity share² terms
+    * quantize DECIMAL(25,15) pre-sum (order-free); HHI rounds 1e-9,
+    * effective_n 1e-6, top_share 1e-9.
+    *
+    * Scale shape: one partial agg to (group, entity) cells, one
+    * per-group total joined back (group-table-sized, broadcast), one
+    * per-group fold. Nothing row-scaled shuffles twice.
+    */
+  def concentration(df: DataFrame, groupCol: String, entityCol: String,
+                    valueCol: String): DataFrame = {
+    val cells = df.select(col(groupCol).as("_g"), col(entityCol).as("_e"),
+        floor(col(valueCol).cast("double") * 100 + lit(0.5)).cast("long").as("_cq"))
+      .groupBy("_g", "_e")
+      .agg(sum(col("_cq").cast("decimal(38,0)")).as("_v"))
+    val tot = cells.groupBy("_g")
+      .agg(sum("_v").as("_vt"), count(lit(1)).as("_ne"))
+    def dbl(c: String) = col(c).cast("double")
+    val share = dbl("_v") / dbl("_vt")
+    cells.join(broadcast(tot), Seq("_g"))
+      .filter(col("_vt") > 0)
+      .withColumn("_t", (share * share).cast("decimal(25,15)"))
+      .groupBy(col("_g").as(groupCol))
+      .agg(max("_ne").cast("long").as("n_entities"),
+        round(sum(col("_t")).cast("double"), 9).as("hhi"),
+        round(lit(1.0) / sum(col("_t")).cast("double"), 6).as("effective_n"),
+        round(max(share), 9).as("top_share"))
+  }
 }

@@ -448,4 +448,47 @@ object Sketches {
         .otherwise(round(lit((k - 1).toDouble) * pow(lit(2.0), lit(60)) / hk.cast("double"), 6))
         .as("est_distinct"): _*)
   }
+
+  /** AMS second-moment (F₂) sketch (Alon–Matias–Szegedy '96): `reps`
+    * signed counters z_r = Σ_rows s_r(key) with s_r ∈ {−1,+1} from the
+    * md5 family — each z_r² is an unbiased F₂ = Σ_k f_k² estimate, the
+    * sketch answering "how skewed is this key column?" and sizing
+    * SELF-join output (|A ⋈ A| on a key = F₂ of the key) the way
+    * [[cmsJoinSize]] sizes A ⋈ B, in `reps` longs instead of
+    * depth×width cells. Like every sketch in this family it is
+    * MERGEABLE by construction — shard counters ADD (signs are
+    * content-addressed, not positional) — so 100 TB sketches build
+    * shard-local and fold anywhere, auditable from ANSI SQL.
+    *
+    * One partial agg builds all `reps` counters (map-side combine
+    * collapses rows; the shuffle carries ≤ reps rows per map task).
+    * Output: (r, z) — reps rows.
+    */
+  def amsF2Sketch(df: DataFrame, keyCol: String, reps: Int = 9): DataFrame = {
+    require(reps >= 1, s"reps must be >= 1, got $reps")
+    val k = col(keyCol).cast("string")
+    df.select(posexplode(array((0 until reps).map(r =>
+        lit(1L) - lit(2L) * pmod(Hashing.md5Long32(
+          concat(lit("ams"), lit(r), lit("|"), k)), lit(2L))): _*)).as(Seq("r", "s")))
+      .groupBy("r").agg(sum("s").as("z"))
+  }
+
+  /** Median-of-estimates F₂ read-out of an AMS sketch: the median
+    * over the reps of z_r² (odd reps → the exact order statistic —
+    * no averaging, no float fold), which concentrates the single-z²
+    * estimator's variance away (the AMS median-of-means argument).
+    * All arithmetic exact integers until the final cast; the window
+    * runs over `reps` rows (a fixed model artifact, never data).
+    * Output: one row (reps, f2_est).
+    */
+  def amsF2Estimate(sketch: DataFrame): DataFrame = {
+    val sq = sketch.select((col("z").cast("decimal(38,0)") * col("z")).as("_z2"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("_z2"))
+    sq.withColumn("_rk", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .filter(col("_rk") === floor((col("_n") + 1L) / 2L).cast("long"))
+      .select(col("_n").cast("int").as("reps"),
+        col("_z2").cast("double").as("f2_est"))
+  }
 }

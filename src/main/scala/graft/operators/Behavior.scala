@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -655,6 +655,132 @@ object Behavior {
         round(col("re_u").cast("double") / col("re_tot").cast("double"), 6).as("credit_share"),
         round(col("re_u").cast("double") / col("re_tot").cast("double") *
           (lit(cv).cast("double") / 1e4), 4).as("attributed_value"))
+  }
+
+  /** Log-rank test across survival cohorts — the hypothesis-test
+    * companion to [[survivalCurve]]/[[hazardCurve]]: "do these cohorts
+    * share one survival distribution?" At each pooled event time t,
+    * each group's expected deaths under H₀ are d_t·n_g/n_t and the
+    * hypergeometric variance d_t·(n_g/n_t)(1−n_g/n_t)(n_t−d_t)/(n_t−1);
+    * per-group O−E (with per-group z = (O−E)/√V) plus the k-sample
+    * score approximation χ² = Σ_g (O_g−E_g)²/E_g on an overall row
+    * (df = k−1) — the standard screen before reading curve plots.
+    *
+    * Determinism: O, d_t, n_g, n_t are exact longs; E/V terms are
+    * doubles OF those longs quantized DECIMAL(20,9) pre-sum in one
+    * oracle-mirrored op order; outputs round 1e-6 (expected/variance)
+    * and 1e-9 (z, χ²). Groups at risk but absent from a time cell
+    * still count via the pooled-time grid.
+    *
+    * Scale shape: observations collapse to (group, t) cells in ONE
+    * partial agg; the pooled-event-time grid is |times|×k rows and
+    * every window after runs over it (calendar-scale, the §5
+    * histogram exemption — distinct durations, never rows).
+    */
+  def logRank(df: DataFrame, groupCol: String, durationCol: String,
+              eventCol: String): DataFrame = {
+    val cells = df.select(col(groupCol).cast("string").as("_g"),
+        col(durationCol).cast("long").as("_t"),
+        col(eventCol).cast("int").as("_e"))
+      .groupBy("_g", "_t")
+      .agg(sum(col("_e").cast("long")).as("_d"), count(lit(1)).as("_c"))
+    // pooled per-time totals; the unpartitioned windows below run over
+    // DISTINCT DURATIONS (histogram-scale — the §5 exemption)
+    val wPrevAll = Window.orderBy("_t").rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy()
+    val pooled = cells.groupBy("_t")
+      .agg(sum("_d").as("_dt"), sum("_c").as("_ct"))
+      .withColumn("_nt",
+        sum(col("_ct")).over(wAll) - coalesce(sum(col("_ct")).over(wPrevAll), lit(0L)))
+      .filter(col("_dt") > 0)
+      .select("_t", "_dt", "_nt")
+    // grid: every (group × pooled event time) — a group with no cell at
+    // t is still at risk there, so union zero-cells in before the
+    // per-group risk-set walk
+    val grid = pooled.select(col("_t"))
+      .crossJoin(broadcast(cells.select("_g").distinct()))
+      .select(col("_g"), col("_t"), lit(0L).as("_d"), lit(0L).as("_c"))
+    val aug = cells.select("_g", "_t", "_d", "_c").unionByName(grid)
+      .groupBy("_g", "_t").agg(sum("_d").as("_d"), sum("_c").as("_c"))
+    val wPrevG = Window.partitionBy("_g").orderBy("_t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAllG = Window.partitionBy("_g")
+    def dbl(c: Column) = c.cast("double")
+    val risked = aug
+      .withColumn("_ng",
+        sum(col("_c")).over(wAllG) - coalesce(sum(col("_c")).over(wPrevG), lit(0L)))
+      .join(pooled, Seq("_t")) // keeps pooled EVENT times only
+      .withColumn("_eterm",
+        (dbl(col("_dt")) * dbl(col("_ng")) / dbl(col("_nt"))).cast("decimal(20,9)"))
+      .withColumn("_vterm", when(col("_nt") > 1,
+        (dbl(col("_dt")) * (dbl(col("_ng")) / dbl(col("_nt")))
+          * (lit(1.0) - dbl(col("_ng")) / dbl(col("_nt")))
+          * (dbl(col("_nt") - col("_dt")) / dbl(col("_nt") - 1)))
+          .cast("decimal(20,9)")).otherwise(lit(0.0).cast("decimal(20,9)")))
+    val perGroup = risked.groupBy("_g")
+      .agg(sum("_d").as("_o"), sum("_eterm").as("_ex"), sum("_vterm").as("_vr"))
+    val gRows = perGroup.select(lit("group").as("section"), col("_g").as("label"),
+      col("_o").as("observed"), round(dbl(col("_ex")), 6).as("expected"),
+      round(dbl(col("_vr")), 6).as("variance"),
+      when(dbl(col("_vr")) > 0,
+        round((dbl(col("_o")) - dbl(col("_ex"))) / sqrt(dbl(col("_vr"))), 9)).as("z"),
+      lit(null).cast("double").as("chi2"), lit(null).cast("long").as("df"))
+    val overall = perGroup
+      .select(col("_o"), col("_ex"),
+        when(dbl(col("_ex")) > 0,
+          (dbl(col("_o")) - dbl(col("_ex"))) * (dbl(col("_o")) - dbl(col("_ex")))
+            / dbl(col("_ex"))).otherwise(lit(0.0)).cast("decimal(20,9)").as("_x2"))
+      .agg(count(lit(1)).as("_k"), sum("_o").as("observed"),
+        sum(col("_ex")).as("_exs"), sum("_x2").as("_chi"))
+      .select(lit("overall").as("section"), lit("all").as("label"),
+        col("observed"), round(dbl(col("_exs")), 6).as("expected"),
+        lit(null).cast("double").as("variance"), lit(null).cast("double").as("z"),
+        round(dbl(col("_chi")), 9).as("chi2"), (col("_k") - 1L).as("df"))
+    gRows.unionByName(overall)
+  }
+
+  /** RFM segmentation: per customer, Recency (last order day) /
+    * Frequency (order count) / Monetary (exact cent spend), each
+    * scored 1–5 by position against EXACT global quintile boundaries,
+    * then collapsed to the ≤125-cell segment table (scores + size +
+    * spend) — the classic CRM cut of a customer base, and the
+    * grouping key every campaign query joins on.
+    *
+    * Determinism: boundaries come from `percentile` (exact
+    * interpolated order statistic — identical to the oracle's
+    * quantile_cont) over integer day/count/cent metrics, quantized
+    * DECIMAL(18,6); a score is 1 + (boundaries ≤ metric), so ties sit
+    * on the same side in both engines. Spend sums cents in
+    * DECIMAL(38,0), reported as double dollars rounded 1e-2.
+    *
+    * Scale shape: one partial agg to the per-customer table, one
+    * 1-row boundary agg broadcast back (the quantileBins shape — no
+    * global sort, no row_number), one ≤125-cell final agg.
+    */
+  def rfmSegments(orders: DataFrame, custCol: String, dateCol: String,
+                  amountCol: String): DataFrame = {
+    val per = orders.select(col(custCol).as("_cust"),
+        datediff(col(dateCol).cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("_day"),
+        floor(col(amountCol).cast("double") * 100 + lit(0.5)).cast("long").as("_cents"))
+      .groupBy("_cust")
+      .agg(max("_day").as("_r"), count(lit(1)).as("_f"),
+        sum(col("_cents").cast("decimal(38,0)")).cast("long").as("_m"))
+    val qs = "array(0.2, 0.4, 0.6, 0.8)"
+    val bounds = per.agg(
+      expr(s"transform(percentile(_r, $qs), x -> cast(x as decimal(18,6)))").as("_qr"),
+      expr(s"transform(percentile(_f, $qs), x -> cast(x as decimal(18,6)))").as("_qf"),
+      expr(s"transform(percentile(_m, $qs), x -> cast(x as decimal(18,6)))").as("_qm"))
+    def score(metric: String, qcol: String) =
+      (lit(1) + expr(s"size(filter($qcol, x -> x <= cast($metric as decimal(18,6))))"))
+        .cast("int")
+    per.crossJoin(broadcast(bounds))
+      .select(score("_r", "_qr").as("r_score"), score("_f", "_qf").as("f_score"),
+        score("_m", "_qm").as("m_score"), col("_m"))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("_m").cast("decimal(38,0)")).cast("double") / 100.0, 2)
+          .as("total_spend"))
   }
 
   def retention(events: DataFrame, userCol: String = "user_id",

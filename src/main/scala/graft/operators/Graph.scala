@@ -519,4 +519,111 @@ object Graph {
     edges.unpersist()
     out
   }
+
+  /** HITS hubs & authorities (Kleinberg '99) over a DIRECTED edge
+    * list — on the bipartite customer→product graph this reads as
+    * "good buyers" (hubs: customers whose purchases concentrate on
+    * authoritative products) vs "anchor products" (authorities:
+    * products bought by the good buyers), the mutually-recursive
+    * centrality PageRank's single score can't express. `iters`
+    * alternating rounds of a ← Σ_in h, h ← Σ_out a, each
+    * L1-NORMALIZED (scores sum to 1 — the eigenvector is defined up
+    * to scale; L1 keeps every step a ratio of sums, no √ per round).
+    *
+    * Determinism (the personalizedPageRank contract): per-edge
+    * contributions quantize by INTEGER floor(score·10¹⁵ + ½) before
+    * the partial-agg sum (order-insensitive at any parallelism; a
+    * double→DECIMAL cast rounds via different paths on the two
+    * engines — Spark shortest-string vs DuckDB binary expansion);
+    * each round's L1 total is the sum of the SAME integers, and the
+    * normalizing division is one mirrored double op over two exact
+    * integers. Output rounds 1e-9. Rounds are unrolled in the oracle.
+    *
+    * Scale shape: per round, one edge⋈score hash join + one
+    * partial-agg sum keyed by the other endpoint — shuffles sized by
+    * the edge list; the L1 total is a 1-row agg crossed back
+    * (broadcast). The edge list is persisted across rounds (joined
+    * 2·iters times). No windows, no collect.
+    */
+  def hits(edges0: DataFrame, srcCol: String, dstCol: String,
+           iters: Int = 2): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val edges = edges0.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hubs0 = edges.select(col("src").as("node")).distinct()
+    val nH = hubs0.count()
+    require(nH > 0, "hits: empty edge list — no hubs to score")
+    var hub = hubs0.select(col("node"), (lit(1.0) / lit(nH.toDouble)).as("score"))
+    var auth: DataFrame = null
+    val unit = lit(1000000000000000.0) // 1e15 integer quantization units
+    def l1Normalize(contrib: DataFrame): DataFrame = {
+      // contrib: (node, _c LONG = floor(score·1e15 + ½)) per edge
+      val summed = contrib.groupBy("node")
+        .agg(sum(col("_c").cast("decimal(38,0)")).as("_s"))
+      val tot = summed.agg(sum("_s").as("_t"))
+      summed.crossJoin(broadcast(tot))
+        .select(col("node"),
+          (col("_s").cast("double") / col("_t").cast("double")).as("score"))
+    }
+    for (_ <- 0 until iters) {
+      auth = l1Normalize(edges
+        .join(hub.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"),
+          floor(col("score") * unit + lit(0.5)).cast("long").as("_c")))
+      hub = l1Normalize(edges
+        .join(auth.withColumnRenamed("node", "dst"), Seq("dst"))
+        .select(col("src").as("node"),
+          floor(col("score") * unit + lit(0.5)).cast("long").as("_c")))
+    }
+    val out = hub.select(lit("hub").as("side"), col("node"),
+        round(col("score"), 9).as("score"))
+      .unionByName(auth.select(lit("authority").as("side"), col("node"),
+        round(col("score"), 9).as("score")))
+    out
+  }
+
+  /** Hill tail-index estimate of the degree distribution: α̂ = k /
+    * Σ_{i=1..k} ln(d_(i) / d_(k+1)) over the k largest degrees — the
+    * standard "is this graph scale-free, and how heavy is the tail?"
+    * scalar (power-law exponent ≈ 1 + α̂). Read it before choosing
+    * skew strategy: α̂ ≲ 2 means hub degrees grow superlinearly with
+    * corpus size and every per-key operator downstream needs its
+    * bucketed form (SURVEY §5) — this is the measurement behind that
+    * call, beside [[graft.operators.Behavior.hotKeyProbe]]'s absolute
+    * row counts.
+    *
+    * Determinism: degrees are exact longs; the top-(k+1) selection is
+    * an integer-rank TakeOrdered with ties broken by node id; each
+    * ln(dᵢ/d_{k+1}) term is one double of two exact longs quantized
+    * DECIMAL(20,9) pre-sum; α̂ rounds 1e-9.
+    *
+    * Scale shape: one explode+partial-agg for degrees (edge-list
+    * sized), then a LIMIT k+1 TakeOrdered over the degree table —
+    * never a global sort; the k+1 rows are a fixed model artifact.
+    */
+  def degreeTailAlpha(pairs: DataFrame, aCol: String, bCol: String,
+                      k: Int = 50): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val deg = pairs
+      .select(least(col(aCol), col(bCol)).as("a"), greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val top = deg.orderBy(col("deg").desc, col("node")).limit(k + 1)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val wRank = org.apache.spark.sql.expressions.Window
+      .orderBy(col("deg").desc, col("node"))
+    // d_(k+1) = the smallest of the k+1 pulled rows (exact rank);
+    // windows run over the k+1-row artifact, never the degree table
+    val withRef = top
+      .withColumn("_rk", row_number().over(wRank))
+      .withColumn("_dref", min(when(col("_rk") === k + 1, col("deg"))).over(wAll))
+    withRef.filter(col("_rk") <= k && col("_dref").isNotNull && col("_dref") > 0)
+      .select((log(col("deg").cast("double")) - log(col("_dref").cast("double")))
+        .cast("decimal(20,9)").as("_t"))
+      .agg(count(lit(1)).cast("int").as("k"),
+        round(lit(k.toDouble) / sum(col("_t")).cast("double"), 9).as("alpha"))
+  }
 }

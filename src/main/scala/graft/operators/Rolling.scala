@@ -648,4 +648,66 @@ object Rolling {
     within.unionByName(across)
       .withColumn("gap_len", col("gap_hi") - col("gap_lo") + 1)
   }
+
+  /** Forecast-accuracy scorecard per series: the naive lag-1 forecast
+    * scored against the daily mean series with the four standard
+    * errors — MAPE (relative, undefined at y=0 so zero-actual rows
+    * are excluded and counted), sMAPE (bounded symmetric form), RMSE,
+    * and MASE (MAE over the in-sample seasonal-naive MAE — Hyndman &
+    * Koehler 2006's scale-free choice: < 1 beats "same day last
+    * `season`"). This is the BASELINE every forecasting pipeline must
+    * publish before any model: a model that can't beat these numbers
+    * is noise, and the same scorecard re-scores any model's forecast
+    * column by swapping the lag for it.
+    *
+    * Determinism: daily means are exact-integer divisions rounded
+    * 1e-6 (the q269 rule); every error term is a double OF those
+    * rounded means quantized DECIMAL(20,9) pre-sum (DECIMAL(25,12)
+    * for squared terms); final divisions/√ run once in mirrored
+    * order, rounded 1e-9. NULL metrics when a denominator is empty
+    * (a series shorter than `season`+1 has no MASE).
+    *
+    * Scale shape: the corpus collapses to (series, day) cells in ONE
+    * partial agg; the lag windows and the final fold run over the
+    * daily series (calendar-scale, §5 exemption).
+    */
+  def forecastAccuracy(df: DataFrame, seriesCol: String, timeCol: String,
+                       valueCol: String, season: Int = 7): DataFrame = {
+    require(season >= 1, s"season must be >= 1, got $season")
+    val cells = df.select(col(seriesCol).as("_g"),
+        (unix_micros(col(timeCol)) / lit(86400000000L)).cast("long").as("_day"),
+        floor(col(valueCol).cast("double") * 1000000L + lit(0.5)).cast("long").as("_vq"))
+      .groupBy("_g", "_day")
+      .agg(round(sum(col("_vq").cast("decimal(38,0)")).cast("double")
+        / count(lit(1)).cast("double") / 1e6, 6).as("_y"))
+    val w = Window.partitionBy("_g").orderBy("_day")
+    def dbl(c: Column) = c.cast("double")
+    val scored = cells
+      .withColumn("_f", lag(col("_y"), 1).over(w))
+      .withColumn("_fs", lag(col("_y"), season).over(w))
+      .withColumn("_e", abs(col("_y") - col("_f")))
+    scored.groupBy(col("_g").as(seriesCol))
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(col("_f").isNotNull, 1L).otherwise(0L)).as("n_scored"),
+        sum(when(col("_f").isNotNull && col("_y") =!= 0.0, 1L).otherwise(0L)).as("_nm"),
+        sum(when(col("_f").isNotNull, col("_e").cast("decimal(20,9)"))).as("_sae"),
+        sum(when(col("_f").isNotNull && col("_y") =!= 0.0,
+          (col("_e") / abs(col("_y"))).cast("decimal(20,9)"))).as("_sape"),
+        sum(when(col("_f").isNotNull && (abs(col("_y")) + abs(col("_f"))) =!= 0.0,
+          (lit(2.0) * col("_e") / (abs(col("_y")) + abs(col("_f"))))
+            .cast("decimal(20,9)"))).as("_ssm"),
+        sum(when(col("_f").isNotNull,
+          (col("_e") * col("_e")).cast("decimal(25,12)"))).as("_sse"),
+        sum(when(col("_fs").isNotNull,
+          abs(col("_y") - col("_fs")).cast("decimal(20,9)"))).as("_ssn"),
+        sum(when(col("_fs").isNotNull, 1L).otherwise(0L)).as("_nsn"))
+      .select(col(seriesCol), col("n_days"), col("n_scored"),
+        when(col("_nm") > 0, round(dbl(col("_sape")) / dbl(col("_nm")), 9)).as("mape"),
+        when(col("n_scored") > 0, round(dbl(col("_ssm")) / dbl(col("n_scored")), 9)).as("smape"),
+        when(col("n_scored") > 0,
+          round(sqrt(dbl(col("_sse")) / dbl(col("n_scored"))), 9)).as("rmse"),
+        when(col("_nsn") > 0 && dbl(col("_ssn")) > 0 && col("n_scored") > 0,
+          round((dbl(col("_sae")) / dbl(col("n_scored")))
+            / (dbl(col("_ssn")) / dbl(col("_nsn"))), 9)).as("mase"))
+  }
 }

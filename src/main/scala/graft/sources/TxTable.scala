@@ -174,8 +174,11 @@ object TxTable {
     s.fields.map(fd => (fd.name, fd.dataType.sql)).sortBy(_._1).toSeq
 
   private[graft] def commitAs(df: DataFrame, table: String, v: Int, op: String,
-                              statsCols: Seq[String] = Nil): Int = {
-    require(op == "append" || op == "overwrite" || op == "compact", s"unknown op $op")
+                              statsCols: Seq[String] = Nil,
+                              carryFiles: Option[Seq[String]] = None,
+                              txn: Option[(String, Long)] = None): Int = {
+    require(op == "append" || op == "overwrite" || op == "compact" || op == "delete",
+      s"unknown op $op")
     val spark = df.sparkSession
     val f = fs(spark, table)
     // APPEND SCHEMA GATE: an append commit carries the parent's files
@@ -214,7 +217,11 @@ object TxTable {
       rel
     }.toSeq
     f.delete(tmp, true)
-    val carried = if (op == "append" && v > 1) filesOf(spark, table, v - 1) else Seq.empty
+    // carryFiles overrides the default carry rule: a copy-on-write op
+    // (delete) carries exactly the UNTOUCHED subset of the parent's
+    // files — the caller decided which from the manifest stats.
+    val carried = carryFiles.getOrElse(
+      if (op == "append" && v > 1) filesOf(spark, table, v - 1) else Seq.empty)
     val all = carried ++ named
     // DATA-SKIPPING STATS (the Delta data-skipping shape: per-file
     // min/max recorded in the transaction log at commit time, so a
@@ -226,7 +233,7 @@ object TxTable {
     // binary stats would prune wrongly. Append carries the parent's
     // stats forward with its files; files without stats are always
     // kept by the pruner (conservative by construction).
-    val carriedStats = if (op == "append" && v > 1)
+    val carriedStats = if (carried.nonEmpty && v > 1)
       statsOf(spark, table, v - 1).filter(s => carried.contains(s._1))
     else Seq.empty
     val newStats: Seq[(String, String, Double, Double)] =
@@ -278,7 +285,9 @@ object TxTable {
       catch { case _: java.io.FileNotFoundException => 0L }
     else 0L
     val ts = math.max(System.currentTimeMillis(), parentMs + 1L)
-    val json = s"""{"version":$v,"op":"$op","commit_ms":$ts,"n_files":${all.size},""" +
+    val txnJson = txn.map { case (app, batch) =>
+      s""","txn":{"app":"$app","batch":$batch}""" }.getOrElse("")
+    val json = s"""{"version":$v,"op":"$op","commit_ms":$ts$txnJson,"n_files":${all.size},""" +
       s""""files":[${all.map("\"" + _ + "\"").mkString(",")}]$statsJson}"""
     val mp = manifestPath(table, v)
     f.mkdirs(mp.getParent)
@@ -346,6 +355,87 @@ object TxTable {
       .map(rel => s"$table/$rel")
     spark.read.parquet(paths: _*)
       .filter(col(colName) >= lo && col(colName) <= hi)
+  }
+
+  /** Row-level DELETE, copy-on-write (the Delta default path): files
+    * whose manifest stats say they CANNOT contain `lo ≤ col ≤ hi`
+    * are carried into the new version untouched (same relative
+    * paths — zero IO, zero write amplification on them); only the
+    * [[prunedFiles]] candidates are read, filtered to the survivors,
+    * and rewritten. With a range-clustered layout the rewrite set is
+    * the matching files, not the table — at 100 TB a point delete
+    * rewrites megabytes. Old files stay for time travel until
+    * vacuumed; `changes()` reads the version as remove+add of the
+    * rewritten subset only.
+    *
+    * A delete whose range prunes to ZERO candidate files is a no-op
+    * and commits nothing (Delta's behavior) — returns the current
+    * version with 0 rewritten.
+    *
+    * @return (version, nRewrittenFiles, nCarriedFiles)
+    */
+  def deleteWhere(spark: SparkSession, table: String, colName: String,
+                  lo: Double, hi: Double,
+                  statsCols: Seq[String] = Nil): (Int, Int, Int) = {
+    import org.apache.spark.sql.functions.col
+    val v = currentVersion(spark, table)
+    require(v >= 1, s"TxTable: cannot delete from non-existent table $table")
+    val all = filesOf(spark, table, v)
+    val touch = prunedFiles(spark, table, v, colName, lo, hi)
+    val untouched = all.filterNot(touch.toSet)
+    if (touch.isEmpty) return (v, 0, all.size)
+    // SQL DELETE semantics: rows where the predicate is NULL are KEPT
+    // (a bare NOT(between) would silently drop null-keyed rows)
+    val survivors = spark.read.parquet(touch.map(rel => s"$table/$rel"): _*)
+      .filter(col(colName).isNull || !(col(colName) >= lo && col(colName) <= hi))
+    val nv = commitAs(survivors, table, v + 1, "delete", statsCols,
+      carryFiles = Some(untouched))
+    (nv, touch.size, untouched.size)
+  }
+
+  /** Exactly-once commit for replayable writers (the Delta
+    * `txnAppId`/`txnVersion` idempotence contract): a commit tagged
+    * (appId, batchId) that already exists in a live manifest is NOT
+    * re-applied — the streaming foreachBatch retry story, where the
+    * engine re-delivers a batch after a crash between "data written"
+    * and "offset recorded", and the second delivery must be a no-op.
+    *
+    * The txn scan reads live MANIFESTS only (bounded by the retention
+    * policy — `expireVersions` keeps the scan short; a table retaining
+    * N versions scans N small JSON files, no data IO). Two racing
+    * writers of the SAME batch: one wins the version CAS, the loser's
+    * conflict triggers ONE rescan that finds the winner's txn and
+    * returns it as already-applied — never a double apply.
+    *
+    * @return (version, applied) — applied=false means the batch was
+    *         already committed (by this call's rescan or an earlier run)
+    */
+  def commitIdempotent(df: DataFrame, table: String, appId: String,
+                       batchId: Long, op: String = "append",
+                       statsCols: Seq[String] = Nil): (Int, Boolean) = {
+    require(appId.nonEmpty && !appId.exists(c => c == '"' || c == '\\' || c.isControl),
+      s"TxTable: appId must be a plain identifier, got '$appId'")
+    val spark = df.sparkSession
+    val marker = s""""txn":{"app":"$appId","batch":$batchId}"""
+    def findApplied: Option[Int] =
+      liveVersions(spark, table).reverse
+        .find(v => manifestText(spark, table, v).contains(marker))
+    findApplied match {
+      case Some(v) => (v, false)
+      case None =>
+        try {
+          val nv = commitAs(df, table, currentVersion(spark, table) + 1, op,
+            statsCols, txn = Some((appId, batchId)))
+          (nv, true)
+        } catch {
+          case e: RuntimeException if e.getMessage != null &&
+              e.getMessage.contains("commit conflict") =>
+            // lost the version race — if the winner WAS this batch
+            // (concurrent duplicate delivery), it's applied; anything
+            // else is a genuine conflict for the caller's retry loop
+            findApplied.map((_, false)).getOrElse(throw e)
+        }
+    }
   }
 
   private def manifestText(spark: SparkSession, table: String, v: Int): String = {
@@ -435,6 +525,10 @@ object TxTable {
         case op =>
           val (ins, del) =
             if (op == "append") (cur.diff(prev), Seq.empty[String])
+            // copy-on-write delete: carried files are identical in
+            // both snapshots — churn is exactly the rewritten subset
+            // (delete-of-candidates + insert-of-survivors)
+            else if (op == "delete") (cur.diff(prev), prev.diff(cur))
             else (cur, prev) // overwrite: full snapshot replace
           readFiles(ins).map(_.withColumn("_change", lit("insert")).withColumn("_version", lit(v))) ++
             readFiles(del).map(_.withColumn("_change", lit("delete")).withColumn("_version", lit(v)))

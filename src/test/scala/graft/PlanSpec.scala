@@ -869,4 +869,29 @@ class PlanSpec extends SparkSpec {
     val p = plan("q269_pettitt")
     p should include("partial_sum") // daily mean cells combine map-side
   }
+
+  test("q286 balanced sample: the data-derived k stays a LITERAL so WindowGroupLimit survives") {
+    val p = plan("q286_balanced_sample")
+    // a column-bound rank filter would silently disable the pushdown
+    // and full-sort every class partition
+    p should include("WindowGroupLimit")
+  }
+
+  test("q287 rfm: quintile boundaries broadcast back — no global sort, no row window") {
+    val p = plan("q287_rfm")
+    p should include("BroadcastNestedLoopJoin") // 1-row bounds frame crossed in
+    (p should not).include("Window") // neither Window nor WindowGroupLimit
+    (p should not).include("rangepartitioning") // a global Sort would need one
+  }
+
+  test("q291 degree tail: top-(k+1) is a TakeOrdered, never a global sort") {
+    val p = plan("q291_degree_tail")
+    p should include("TakeOrderedAndProject")
+  }
+
+  test("q288 hits: per-round contributions combine map-side before the dst shuffle") {
+    val p = plan("q288_hits")
+    p should include("partial_sum")
+    (p should not).include("CartesianProduct")
+  }
 }
