@@ -659,6 +659,35 @@ object OracleGen {
        CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / $k AS recall_at_k
      FROM qv q LEFT JOIN hits h ON h.query_id = q.vec_id"""
 
+  /** Matryoshka truncated-dimension recall
+    * (operators.Similarity.truncatedRecall): both arms brute-force —
+    * the exact arm over full vectors (list_cosine_similarity, the
+    * annRecallSql contract), the truncated arm over the first `dims`
+    * components via the unrolled cosineSql (identical accumulation
+    * order to the Spark kernel on the sliced array).
+    */
+  def truncatedRecallSql(dims: Int = 16, k: Int = 10, dim: Int = 64,
+                         queryMax: Int = 8): String =
+    s"""WITH qv AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < $queryMax),
+     exact AS (
+       SELECT query_id, neighbor_id FROM (
+         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rank
+         FROM qv q JOIN embeddings c ON c.vec_id <> q.vec_id) WHERE rank <= $k),
+     approx AS (
+       SELECT query_id, neighbor_id FROM (
+         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY ${cosineSql("q.embedding", "c.embedding", dims)} DESC, c.vec_id) AS rank
+         FROM qv q JOIN embeddings c ON c.vec_id <> q.vec_id) WHERE rank <= $k),
+     hits AS (
+       SELECT e.query_id, COUNT(*) AS n_hits
+       FROM exact e JOIN approx a USING (query_id, neighbor_id) GROUP BY 1)
+     SELECT q.vec_id AS query_id, CAST(COALESCE(h.n_hits, 0) AS INT) AS n_hits,
+       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / $k AS recall_at_k
+     FROM qv q LEFT JOIN hits h ON h.query_id = q.vec_id"""
+
   /** One k-means|| oversampling round
     * (operators.Similarity.kmeansOversample): md5-frac coin vs
     * l·d²/cost, d² micro-quantized, cost its exact integer sum.
@@ -1356,6 +1385,46 @@ object OracleGen {
      SELECT 'hub' AS side, node, round(score, 9) AS score FROM h$iters
      UNION ALL
      SELECT 'authority', node, round(score, 9) FROM a$iters"""
+  }
+
+  /** Multi-source BFS hop-distance histogram over the bucketed
+    * embedding-similarity graph (Graph.bfsDistances on
+    * Dedup.embeddingPairs ≥ minCos, seeds = vec_id % seedMod):
+    * relaxation rounds unrolled as MATERIALIZED CTEs — min-hop per
+    * node is unique regardless of expansion order, so the simple
+    * full-relaxation unroll matches the frontier-optimized plan.
+    */
+  def bfsSql(seedMod: Int, maxDepth: Int = 3, minCos: Double = 0.1,
+             nbits: Int = 6, dim: Int = 64, cap: Int = 40): String = {
+    def relax(prev: String, r: Int): String =
+      s"""d$r AS MATERIALIZED (
+       SELECT node, MIN(dist) AS dist FROM (
+         SELECT node, dist FROM $prev
+         UNION ALL
+         SELECT e.dst AS node, $r AS dist
+         FROM edges e JOIN $prev p ON p.node = e.src) GROUP BY 1)"""
+    val rounds = (1 to maxDepth).map(r => relax(s"d${r - 1}", r))
+    s"""WITH b AS (
+       SELECT vec_id, embedding, ${bucketSql("embedding", nbits, dim)} AS bucket
+       FROM embeddings),
+     capped AS (
+       SELECT vec_id, embedding, bucket FROM (
+         SELECT vec_id, embedding, bucket,
+           ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY vec_id) AS bn
+         FROM b) WHERE bn <= $cap),
+     prs AS (
+       SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b FROM capped a JOIN capped b2
+         ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+       WHERE ${cosineSql("a.embedding", "b2.embedding", dim)} >= $minCos),
+     edges AS MATERIALIZED (
+       SELECT vec_a AS src, vec_b AS dst FROM prs
+       UNION SELECT vec_b, vec_a FROM prs),
+     d0 AS MATERIALIZED (
+       SELECT DISTINCT vec_id AS node, 0 AS dist FROM embeddings
+       WHERE vec_id % $seedMod = 0 AND vec_id IN (SELECT src FROM edges)),
+     ${rounds.mkString(",\n     ")}
+     SELECT CAST(dist AS INT) AS dist, COUNT(*) AS n_nodes
+     FROM d$maxDepth GROUP BY 1"""
   }
 
   /** Hill tail-index of the similarity graph's degree distribution

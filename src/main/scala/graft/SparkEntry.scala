@@ -1876,6 +1876,104 @@ object SparkEntry {
       operators.Graph.degreeTailAlpha(pairs, "vec_a", "vec_b", k = 50)
     }),
 
+    // §2#27d (r7) exactly-once streaming sink into a TxTable: the
+    // stream runs TWICE with a fresh checkpoint each time (the
+    // checkpoint-lost crash, every batch redelivered) — the table must
+    // hold each event ONCE and exactly one version per real batch; a
+    // naive append sink doubles both and fails the hash.
+    "q293_stream_tx_sink" -> ((s, dir) => {
+      val table = sidePath("graft_txsink", dir)
+      sources.TxTable.drop(s, table)
+      val tbl = streaming.Events.streamIntoTx(
+        s, s"$dir/events.parquet", table, "sink", runs = 2)
+      val agg = tbl.agg(count(lit(1)).as("n_rows"),
+          round(sum(floor(col("value") * 1000000L + lit(0.5)).cast("long")
+            .cast("decimal(38,0)")).cast("double") / 1e6, 6).as("metric"))
+        .select(lit("table").as("section"), lit("all").as("label"),
+          col("n_rows"), col("metric"))
+      val meta = s.createDataFrame(Seq(
+          ("meta", "n_versions", sources.TxTable.currentVersion(s, table).toLong)))
+        .toDF("section", "label", "n_rows")
+        .withColumn("metric", lit(null).cast("double"))
+      agg.unionByName(meta)
+    }),
+
+    // §2#62t (r7) additive schema evolution: v1 commits the old
+    // 2-column shape, v2 evolves in o_year, v3 plain-appends the
+    // evolved shape (the post-evolution gate now compares against the
+    // UNION schema); the final snapshot reads with mergeSchema, so
+    // pre-evolution rows surface o_year as NULL — counted via
+    // count(o_year) — while v1 time travel still reads the old shape.
+    "q294_tx_evolve" -> ((s, dir) => {
+      val table = sidePath("graft_txev", dir)
+      sources.TxTable.drop(s, table)
+      val ord = t(s, dir, "orders").df
+      sources.TxTable.commit(ord.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_totalprice")), table)
+      sources.TxTable.commitEvolve(ord.filter(col("o_orderpriority") === "2-HIGH")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          year(col("o_orderdate")).as("o_year")), table)
+      sources.TxTable.commit(ord.filter(col("o_orderpriority") === "3-MEDIUM")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          year(col("o_orderdate")).as("o_year")), table)
+      val v3 = sources.TxTable.readVersion(s, table, 3)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(dec(col("o_totalprice"))).cast("double").as("sum_price"),
+          count(col("o_year")).as("n_year"),
+          sum(col("o_year").cast("decimal(19,0)")).cast("double").as("sum_year"))
+        .select(lit("v3").as("section"), lit("all").as("label"), col("n_rows"),
+          col("sum_price"), col("n_year"), col("sum_year"))
+      val v1 = sources.TxTable.readVersion(s, table, 1)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
+        .select(lit("v1").as("section"), lit("all").as("label"), col("n_rows"),
+          col("sum_price"), lit(null).cast("long").as("n_year"),
+          lit(null).cast("double").as("sum_year"))
+      v3.unionByName(v1)
+    }),
+
+    // §2#30x (r7) multi-source BFS over the cos>=0.1 similarity graph
+    // (seeds = vec_id%50): hop-distance histogram to depth 3 — the
+    // neighborhood-expansion read beside q267's weighted PPR relevance.
+    "q295_bfs" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").df
+      val pairs = operators.Dedup.embeddingPairs(emb).filter(col("cos") >= 0.1)
+      operators.Graph.bfsDistances(pairs, "vec_a", "vec_b",
+          emb.filter(col("vec_id") % 50 === 0).select(col("vec_id")), maxDepth = 3)
+        .groupBy("dist").agg(count(lit(1)).as("n_nodes"))
+    }),
+
+    // §2#52as (r7) pairwise effect sizes across event types: Cohen's d
+    // + Cliff's delta for all 10 pairs — the magnitude read-out behind
+    // q264/q265's "differs" verdicts.
+    "q296_effect_sizes" -> ((s, dir) =>
+      functions.Eval.effectSizes(
+        streaming.Events.readBatch(s, s"$dir/events.parquet"),
+        "event_type", "value")),
+
+    // §2#37k (r7) Flesch reading ease + FK grade per language — the
+    // corpus-total readability dial beside the Gopher quality signals;
+    // ASCII-pinned alphabet, standard vowel-group syllable heuristic.
+    "q297_readability" -> ((s, dir) =>
+      functions.TextFunctions.readability(t(s, dir, "documents").df, "lang", "text")),
+
+    // §2#37l (r7) character-level Shannon entropy per language — the
+    // encoding-anomaly dial (mojibake / base64 blobs / template spam
+    // shift the char distribution); ≤95 cells per group by
+    // construction.
+    "q298_char_entropy" -> ((s, dir) =>
+      functions.TextFunctions.charEntropy(t(s, dir, "documents").df, "lang", "text")),
+
+    // §2#35p (r7) Matryoshka truncated-dim recall: how much neighbor
+    // membership survives searching on the first 16 of 64 components —
+    // the store-wide/search-narrow cost-cut measurement beside q192's
+    // IVF recall and q165's JL projection.
+    "q299_matryoshka_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").df
+      operators.Similarity.truncatedRecall(
+        emb, emb.filter(col("vec_id") < 8), dims = 16)
+    }),
+
     // §2#52ar (r7) character error rate per language: Spark's native
     // levenshtein between the ASCII-pinned reference text and a
     // deterministic corruption (leet substitutions + tail truncation)
@@ -4595,6 +4693,150 @@ object SparkEntry {
          UNION ALL SELECT 'meta', 'first_version', 1, CAST(NULL AS DOUBLE)""",
 
     "q291_degree_tail" -> OracleGen.degreeTailSql(k = 50, minCos = 0.1),
+
+    // one batch per run (single input file), second run replays batch 0
+    // through the idempotent committer: one version, each event once
+    "q293_stream_tx_sink" ->
+      """SELECT 'table' AS section, 'all' AS label, COUNT(*) AS n_rows,
+           round(CAST(SUM(CAST(CAST(floor(value * 1000000 + 0.5) AS BIGINT)
+             AS DECIMAL(38,0))) AS DOUBLE) / 1e6, 6) AS metric
+         FROM events
+         UNION ALL SELECT 'meta', 'n_versions', 1, CAST(NULL AS DOUBLE)""",
+
+    // v3 reads through mergeSchema: pre-evolution rows count NULL
+    // o_year; v1 time travel keeps the old 2-column shape
+    "q294_tx_evolve" ->
+      """SELECT 'v3' AS section, 'all' AS label, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+           COUNT(CASE WHEN o_orderpriority <> '1-URGENT' THEN 1 END) AS n_year,
+           CAST(SUM(CASE WHEN o_orderpriority <> '1-URGENT' THEN
+             CAST(year(o_orderdate) AS DECIMAL(19,0)) END) AS DOUBLE) AS sum_year
+         FROM orders
+         WHERE o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+         UNION ALL
+         SELECT 'v1', 'all', COUNT(*),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE),
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+         FROM orders WHERE o_orderpriority = '1-URGENT'""",
+
+    "q295_bfs" -> OracleGen.bfsSql(seedMod = 50, maxDepth = 3, minCos = 0.1),
+
+    // exact integer word/sentence/syllable counts; the two formulas
+    // one mirrored double op order each
+    "q297_readability" ->
+      """WITH p AS (
+           SELECT lang, lower(regexp_replace(text, '[^\x20-\x7e]', '', 'g')) AS a
+           FROM documents),
+         w AS (
+           SELECT lang, a,
+             list_filter(string_split_regex(trim(a), '\s+'),
+               w -> len(w) > 0) AS words
+           FROM p),
+         d AS (
+           SELECT lang, CAST(len(words) AS BIGINT) AS nw,
+             CASE WHEN len(words) > 0 THEN
+               greatest(1, CAST(len(regexp_extract_all(a, '[.!?]+')) AS BIGINT))
+             ELSE 0 END AS ns,
+             CASE WHEN len(words) > 0 THEN
+               CAST(list_sum(list_transform(words, w ->
+                 greatest(1, len(regexp_extract_all(w, '[aeiouy]+'))))) AS BIGINT)
+             ELSE 0 END AS ny
+           FROM w),
+         g AS (
+           SELECT lang, COUNT(*) AS n_docs, SUM(nw) AS n_words,
+             SUM(ns) AS n_sentences, SUM(ny) AS n_syllables
+           FROM d GROUP BY 1)
+         SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           CAST(n_syllables AS BIGINT) AS n_syllables,
+           CASE WHEN n_words > 0 THEN
+             round(206.835
+               - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+               - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)), 6)
+           END AS flesch,
+           CASE WHEN n_words > 0 THEN
+             round(0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+               + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+               - 15.59, 6)
+           END AS fk_grade
+         FROM g""",
+
+    // (group, char) cells exact; p·ln(p) terms the q250 op order
+    // DECIMAL(20,9) pre-sum
+    "q298_char_entropy" ->
+      """WITH p AS (
+           SELECT lang, lower(regexp_replace(text, '[^\x20-\x7e]', '', 'g')) AS a
+           FROM documents),
+         ch AS (SELECT lang, unnest(regexp_extract_all(a, '.')) AS c0 FROM p),
+         cells AS (SELECT lang, c0, COUNT(*) AS c FROM ch GROUP BY 1, 2),
+         tot AS (SELECT lang, SUM(c) AS n, COUNT(*) AS k FROM cells GROUP BY 1),
+         t AS (
+           SELECT cells.lang, n, k,
+             CAST((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+               * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) AS DECIMAL(20,9)) AS tm
+           FROM cells JOIN tot USING (lang))
+         SELECT lang, CAST(MAX(n) AS BIGINT) AS n_chars,
+           CAST(MAX(k) AS BIGINT) AS n_distinct,
+           round(-CAST(SUM(tm) AS DOUBLE), 6) AS entropy_nats
+         FROM t GROUP BY 1""",
+
+    "q299_matryoshka_recall" -> OracleGen.truncatedRecallSql(dims = 16, k = 10),
+
+    // joint half-unit ranks per pair; moments exact HUGEINT; d and
+    // delta one mirrored double op order each
+    "q296_effect_sizes" ->
+      """WITH q AS (
+           SELECT event_type AS g,
+             CAST(floor(CAST(value AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS v
+           FROM events),
+         cells AS (SELECT g, v, COUNT(*) AS c FROM q GROUP BY 1, 2),
+         mom AS (
+           SELECT g, SUM(c) AS n, SUM(CAST(v AS HUGEINT) * c) AS s1,
+             SUM(CAST(v AS HUGEINT) * v * c) AS s2
+           FROM cells GROUP BY 1),
+         prs AS (
+           SELECT x.g AS ga, y.g AS gb
+           FROM (SELECT g FROM mom) x JOIN (SELECT g FROM mom) y ON x.g < y.g),
+         pcells AS (
+           SELECT p.ga, p.gb, c.v,
+             SUM(CASE WHEN c.g = p.ga THEN c.c ELSE 0 END) AS ta,
+             SUM(c.c) AS t
+           FROM cells c JOIN prs p ON c.g = p.ga OR c.g = p.gb
+           GROUP BY 1, 2, 3),
+         rk AS (
+           SELECT ga, gb, ta,
+             2 * COALESCE(SUM(t) OVER (PARTITION BY ga, gb ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1 AS r2
+           FROM pcells),
+         ra AS (SELECT ga, gb, SUM(CAST(ta AS HUGEINT) * r2) AS r2a
+                FROM rk GROUP BY 1, 2),
+         j AS (
+           SELECT ra.ga, ra.gb, ra.r2a, ma.n AS na, ma.s1 AS s1a, ma.s2 AS s2a,
+             mb.n AS nb, mb.s1 AS s1b, mb.s2 AS s2b
+           FROM ra JOIN mom ma ON ma.g = ra.ga JOIN mom mb ON mb.g = ra.gb),
+         k AS (
+           SELECT *,
+             (CAST(na AS DOUBLE) - 1.0)
+               * ((CAST(s2a AS DOUBLE)
+                   - CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE) / CAST(na AS DOUBLE))
+                 / (CAST(na AS DOUBLE) - 1.0))
+             + (CAST(nb AS DOUBLE) - 1.0)
+               * ((CAST(s2b AS DOUBLE)
+                   - CAST(s1b AS DOUBLE) * CAST(s1b AS DOUBLE) / CAST(nb AS DOUBLE))
+                 / (CAST(nb AS DOUBLE) - 1.0)) AS pnum
+           FROM j)
+         SELECT ga AS group_a, gb AS group_b,
+           CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CASE WHEN na > 1 AND nb > 1 AND pnum > 0 THEN
+             round((CAST(s1a AS DOUBLE) / CAST(na AS DOUBLE)
+                 - CAST(s1b AS DOUBLE) / CAST(nb AS DOUBLE))
+               / sqrt(pnum / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 2.0)), 6)
+           END AS cohens_d,
+           round((CAST(r2a AS DOUBLE)
+               - CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) + 1.0))
+             / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) - 1.0, 9) AS cliffs_delta
+         FROM k""",
 
     // ASCII-pinned alphabet so levenshtein counts identically; macro
     // terms DECIMAL(20,9) pre-sum, micro one division of exact longs

@@ -763,6 +763,75 @@ object Eval {
         when(fp > 0 && ft > 0, round(num / sqrt(fp) / sqrt(ft), 9)).as("mcc"))
   }
 
+  /** Pairwise effect sizes across the groups of one metric: Cohen's d
+    * (standardized mean difference, pooled SD) and Cliff's delta
+    * (P(x>y) − P(x<y), the rank-based size immune to outliers and
+    * skew) for every group pair — the MAGNITUDE companion to the
+    * significance tests (#52ah ANOVA / #52ai Kruskal–Wallis say
+    * "differs"; this says "by how much, in units that matter").
+    * Cliff's delta is derived from the exact Mann–Whitney identity
+    * delta = 2U/(n_a·n_b) − 1 on half-unit integer ranks.
+    *
+    * Exactness: values quantize to unit-scale longs; moments are
+    * DECIMAL(38,0) sums (d is scale-free so micro-units cancel);
+    * rank sums are exact integers via the (group-pair, value)
+    * histogram; d and delta evaluate once in mirrored double op
+    * order, rounded 1e-6/1e-9. Pairs with a group of size < 2 or
+    * zero pooled variance emit NULL d.
+    *
+    * Scale shape: ONE partial agg to the (group, value) histogram;
+    * the pair explosion joins the histogram to the broadcast
+    * ≤k(k−1)/2 pair table (each cell replicated ≤ k−1 times —
+    * vocabulary-bounded); the rank window is per-pair over distinct
+    * values. Rows never shuffle twice.
+    */
+  def effectSizes(df: DataFrame, groupCol: String, valueCol: String,
+                  unitScale: Long = 1000000L): DataFrame = {
+    val q = df.select(col(groupCol).cast("string").as("_g"),
+      floor(col(valueCol).cast("double") * unitScale + lit(0.5)).cast("long").as("_v"))
+    val cells = q.groupBy("_g", "_v").agg(count(lit(1)).as("_c"))
+    def dd(c: Column) = c.cast("decimal(19,0)")
+    val mom = cells.groupBy("_g").agg(
+      sum("_c").as("_n"),
+      sum((dd(col("_v")) * col("_c")).cast("decimal(38,0)")).as("_s1"),
+      sum(((dd(col("_v")) * col("_v")).cast("decimal(38,0)")
+        * dd(col("_c"))).cast("decimal(38,0)")).as("_s2"))
+    val gs = mom.select(col("_g"))
+    val prs = gs.as("x").join(gs.as("y"), col("x._g") < col("y._g"))
+      .select(col("x._g").as("_ga"), col("y._g").as("_gb"))
+    val pc = cells
+      .join(broadcast(prs), col("_g") === col("_ga") || col("_g") === col("_gb"))
+      .groupBy("_ga", "_gb", "_v")
+      .agg(sum(when(col("_g") === col("_ga"), col("_c")).otherwise(0L)).as("_ta"),
+        sum(col("_c")).as("_t"))
+    val wv = Window.partitionBy("_ga", "_gb").orderBy("_v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ra = pc
+      .withColumn("_r2",
+        lit(2L) * coalesce(sum(col("_t")).over(wv), lit(0L)) + col("_t") + 1L)
+      .groupBy("_ga", "_gb")
+      .agg(sum((dd(col("_ta")) * col("_r2")).cast("decimal(38,0)")).as("_r2a"))
+    val momA = mom.select(col("_g").as("_ga"), col("_n").as("_na"),
+      col("_s1").as("_s1a"), col("_s2").as("_s2a"))
+    val momB = mom.select(col("_g").as("_gb"), col("_n").as("_nb"),
+      col("_s1").as("_s1b"), col("_s2").as("_s2b"))
+    def mean(tag: String) = d(col(s"_s1$tag")) / d(col(s"_n$tag"))
+    def vr(tag: String) =
+      (d(col(s"_s2$tag")) - d(col(s"_s1$tag")) * d(col(s"_s1$tag")) / d(col(s"_n$tag"))) /
+        (d(col(s"_n$tag")) - lit(1.0))
+    val pooledNum = (d(col("_na")) - lit(1.0)) * vr("a") +
+      (d(col("_nb")) - lit(1.0)) * vr("b")
+    val pooled = sqrt(pooledNum / (d(col("_na")) + d(col("_nb")) - lit(2.0)))
+    val delta = (d(col("_r2a")) - d(col("_na")) * (d(col("_na")) + lit(1.0))) /
+      (d(col("_na")) * d(col("_nb"))) - lit(1.0)
+    ra.join(broadcast(momA), Seq("_ga")).join(broadcast(momB), Seq("_gb"))
+      .select(col("_ga").as("group_a"), col("_gb").as("group_b"),
+        col("_na").as("n_a"), col("_nb").as("n_b"),
+        when(col("_na") > 1 && col("_nb") > 1 && pooledNum > 0,
+          round((mean("a") - mean("b")) / pooled, 6)).as("cohens_d"),
+        round(delta, 9).as("cliffs_delta"))
+  }
+
   /** Micro + macro character error rate per group — the ASR/OCR-shape
     * transcription metric (edit distance over reference length)
     * applied to pipeline text transforms: score a cleaner/scrubber by

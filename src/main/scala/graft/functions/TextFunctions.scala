@@ -265,4 +265,79 @@ object TextFunctions {
       .select(col(idCol), col("m.term").as("term"), col("m.n_occ").as("n_occ"))
       .filter(col("n_occ") > 0)
   }
+
+  /** Flesch reading ease + Flesch–Kincaid grade per group, from
+    * corpus-total counts (micro-averaged — the per-LANG/per-SOURCE
+    * quality dial beside the Gopher signals): words = whitespace
+    * tokens, sentences = [.!?]+ runs (floor 1 per non-empty doc),
+    * syllables = vowel-group count per word with the standard floor
+    * of 1. The alphabet is ASCII-PINNED (lowercase, non-ASCII
+    * stripped — the charErrorRate contract) so both engines count
+    * identical classes.
+    *
+    * Exactness: per-doc counts are exact integers summed as longs;
+    * the two formulas evaluate once per group in a mirrored double
+    * op order, rounded 1e-6. Groups with zero words emit NULL.
+    *
+    * Scale shape: one map-side pass per document (the per-word
+    * vowel-group scan is HOF-interpreted over the MATERIALIZED token
+    * array — §5 lambda rule), ONE partial agg per group. The
+    * heuristic is the standard approximation — syllable dictionaries
+    * don't exist at corpus scale.
+    */
+  def readability(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val ascii = lower(regexp_replace(col(textCol), "[^\\x20-\\x7e]", ""))
+    val words = filter(split(trim(ascii), "\\s+"), w => length(w) > 0)
+    val nw = size(words).cast("long")
+    val ns = when(nw > 0, greatest(lit(1L),
+      size(regexp_extract_all(ascii, lit("[.!?]+"), lit(0))).cast("long")))
+      .otherwise(lit(0L))
+    val ny = when(nw > 0, aggregate(words, lit(0L), (acc, w) =>
+      acc + greatest(lit(1L),
+        size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0))).cast("long"))))
+      .otherwise(lit(0L))
+    def dbl(c: Column) = c.cast("double")
+    val agged = df.select(col(groupCol).as("_g"), nw.as("_w"), ns.as("_s"), ny.as("_y"))
+      .groupBy(col("_g").as(groupCol))
+      .agg(count(lit(1)).as("n_docs"), sum("_w").as("n_words"),
+        sum("_s").as("n_sentences"), sum("_y").as("n_syllables"))
+    val ws = dbl(col("n_words")) / dbl(col("n_sentences"))
+    val sw = dbl(col("n_syllables")) / dbl(col("n_words"))
+    agged.select(col(groupCol), col("n_docs"), col("n_words"),
+      col("n_sentences"), col("n_syllables"),
+      when(col("n_words") > 0,
+        round(lit(206.835) - lit(1.015) * ws - lit(84.6) * sw, 6)).as("flesch"),
+      when(col("n_words") > 0,
+        round(lit(0.39) * ws + lit(11.8) * sw - lit(15.59), 6)).as("fk_grade"))
+  }
+
+  /** Character-level Shannon entropy per group (nats) over the
+    * ASCII-pinned alphabet — the encoding-anomaly dial: mojibake,
+    * base64 blobs, and template spam all shift a language's character
+    * distribution before a human reads a single document; healthy
+    * natural-language groups sit in a narrow entropy band.
+    *
+    * Exactness: the (group, char) histogram is exact counts; each
+    * p·ln(p) term is a double of two exact longs in the q250 op order
+    * quantized DECIMAL(20,9) pre-sum; entropy rounds 1e-6.
+    *
+    * Scale shape: per-char rows collapse map-side into ≤ 95 cells per
+    * group in ONE partial agg; everything after is vocabulary-sized.
+    */
+  def charEntropy(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val ascii = lower(regexp_replace(col(textCol), "[^\\x20-\\x7e]", ""))
+    val cells = df
+      .select(col(groupCol).as("_g"),
+        explode(regexp_extract_all(ascii, lit("."), lit(0))).as("_ch"))
+      .groupBy("_g", "_ch").agg(count(lit(1)).as("_c"))
+    val tot = cells.groupBy("_g").agg(sum("_c").as("_n"), count(lit(1)).as("_k"))
+    def dbl(c: Column) = c.cast("double")
+    cells.join(broadcast(tot), Seq("_g"))
+      .withColumn("_t",
+        ((dbl(col("_c")) / dbl(col("_n"))) * log(dbl(col("_c")) / dbl(col("_n"))))
+          .cast("decimal(20,9)"))
+      .groupBy(col("_g").as(groupCol))
+      .agg(max(col("_n")).as("n_chars"), max(col("_k")).as("n_distinct"),
+        round(-sum(col("_t")).cast("double"), 6).as("entropy_nats"))
+  }
 }

@@ -583,6 +583,55 @@ object Graph {
     out
   }
 
+  /** Multi-source BFS distances over an undirected edge list: per
+    * reached node, the hop distance to the NEAREST seed (0 for seeds
+    * themselves), up to `maxDepth` — the neighborhood-expansion
+    * primitive behind "how far does this cluster's influence reach",
+    * seed-set coverage audits, and graph-radius probes, the hop-count
+    * complement to [[personalizedPageRank]]'s weighted relevance.
+    * Nodes beyond maxDepth (or unreachable) are absent — the caller
+    * reads absence as "farther than maxDepth".
+    *
+    * Pure integer arithmetic — no determinism machinery needed: the
+    * min-hop distance per node is unique regardless of expansion
+    * order, so the oracle's simple full-relaxation unroll matches the
+    * frontier-optimized plan exactly.
+    *
+    * Scale shape: per round, ONE edge⋈frontier hash join (frontier =
+    * nodes discovered last round only, never the full dist table) +
+    * a min partial agg folding new candidates into the dist table;
+    * shuffles are edge-list-bounded, rounds are maxDepth-bounded,
+    * `localCheckpoint` cuts lineage per round (the kCore pattern).
+    * Seeds are restricted to graph nodes (a seed absent from the
+    * edge list contributes nothing, mirroring the PPR rule).
+    */
+  def bfsDistances(pairs: DataFrame, aCol: String, bCol: String,
+                   seeds: DataFrame, maxDepth: Int = 3): DataFrame = {
+    require(maxDepth >= 0, s"maxDepth must be >= 0, got $maxDepth")
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = edges.select(col("src").as("node")).distinct()
+    var dist = seeds.select(col(seeds.columns.head).as("node")).distinct()
+      .join(nodes, Seq("node"), "left_semi")
+      .select(col("node"), lit(0).as("dist"))
+      .localCheckpoint()
+    var frontier = dist
+    for (r <- 1 to maxDepth) {
+      val reached = edges
+        .join(frontier.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), lit(r).as("dist"))
+      val merged = dist.unionByName(reached)
+        .groupBy("node").agg(min("dist").as("dist"))
+        .localCheckpoint()
+      frontier = merged.filter(col("dist") === r).localCheckpoint()
+      dist = merged
+    }
+    edges.unpersist()
+    dist
+  }
+
   /** Hill tail-index estimate of the degree distribution: α̂ = k /
     * Σ_{i=1..k} ln(d_(i) / d_(k+1)) over the k largest degrees — the
     * standard "is this graph scale-free, and how heavy is the tail?"

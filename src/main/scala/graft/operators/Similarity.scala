@@ -639,6 +639,38 @@ object Similarity {
         (coalesce(col("n_hits"), lit(0)).cast("double") / lit(k.toDouble)).as("recall_at_k"))
   }
 
+  /** Truncated-dimension recall@k (the Matryoshka / MRL eval): how
+    * much neighbor membership survives searching on only the FIRST
+    * `dims` components of the embedding — the measurement behind the
+    * modern "store 64 dims, search 16, rerank 64" cost cut, beside
+    * [[randomProjection]]'s JL alternative (truncation is free and
+    * index-compatible; projection needs a matrix but spreads variance).
+    * Both arms are exact brute-force top-k; only the metric differs.
+    *
+    * Same determinism contract as [[recallAudit]]: ranks tie-break by
+    * neighbor id, membership (not scores) is compared, so the metric
+    * is engine-portable. Scale shape: two broadcast-query sweeps over
+    * the unshuffled corpus; the intersection joins two |queries|×k
+    * tables.
+    */
+  def truncatedRecall(corpus: DataFrame, queries: DataFrame, dims: Int,
+                      k: Int = 10, vecCol: String = "embedding",
+                      idCol: String = "vec_id"): DataFrame = {
+    require(dims >= 1, s"dims must be >= 1, got $dims")
+    def trunc(df: DataFrame) = df.withColumn(vecCol, slice(col(vecCol), 1, dims))
+    val exact = bruteForceTopK(corpus, queries, k, vecCol, idCol)
+      .select("query_id", "neighbor_id")
+    val approx = bruteForceTopK(trunc(corpus), trunc(queries), k, vecCol, idCol)
+      .select("query_id", "neighbor_id")
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).cast("int").as("n_hits"))
+    queries.select(col(idCol).as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("n_hits"), lit(0)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0)).cast("double") / lit(k.toDouble))
+          .as("recall_at_k"))
+  }
+
   /** Mean-average-precision companion to [[recallAudit]]: per query,
     * AP@k over the exact cosine top-k with binary relevance = label
     * match — the rank-sensitive retrieval metric (recall@k counts

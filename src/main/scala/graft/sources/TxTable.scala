@@ -177,8 +177,8 @@ object TxTable {
                               statsCols: Seq[String] = Nil,
                               carryFiles: Option[Seq[String]] = None,
                               txn: Option[(String, Long)] = None): Int = {
-    require(op == "append" || op == "overwrite" || op == "compact" || op == "delete",
-      s"unknown op $op")
+    require(op == "append" || op == "overwrite" || op == "compact" ||
+      op == "delete" || op == "evolve", s"unknown op $op")
     val spark = df.sparkSession
     val f = fs(spark, table)
     // APPEND SCHEMA GATE: an append commit carries the parent's files
@@ -192,12 +192,18 @@ object TxTable {
     if (op == "append" && v > 1) {
       val parentFiles = filesOf(spark, table, v - 1)
       if (parentFiles.nonEmpty) {
-        val parent = spark.read.parquet(s"$table/${parentFiles.head}").schema
+        // an evolved parent's first file may predate the evolution —
+        // compare against the UNION schema (footer-only reads)
+        val parent =
+          if (msOf(spark, table, v - 1))
+            spark.read.option("mergeSchema", "true")
+              .parquet(parentFiles.map(rel => s"$table/$rel"): _*).schema
+          else spark.read.parquet(s"$table/${parentFiles.head}").schema
         require(schemaKey(parent) == schemaKey(df.schema),
           s"TxTable: append schema mismatch at $table v$v — parent snapshot has " +
           s"${schemaKey(parent).map(p => p._1 + ":" + p._2).mkString("[", ", ", "]")} but the " +
           s"appended frame has ${schemaKey(df.schema).map(p => p._1 + ":" + p._2).mkString("[", ", ", "]")}; " +
-          "schema changes require op=\"overwrite\"")
+          "schema changes require commitEvolve (additive) or op=\"overwrite\"")
       }
     }
     // distributed data write to a WRITER-UNIQUE scratch dir (two
@@ -221,7 +227,8 @@ object TxTable {
     // (delete) carries exactly the UNTOUCHED subset of the parent's
     // files — the caller decided which from the manifest stats.
     val carried = carryFiles.getOrElse(
-      if (op == "append" && v > 1) filesOf(spark, table, v - 1) else Seq.empty)
+      if ((op == "append" || op == "evolve") && v > 1) filesOf(spark, table, v - 1)
+      else Seq.empty)
     val all = carried ++ named
     // DATA-SKIPPING STATS (the Delta data-skipping shape: per-file
     // min/max recorded in the transaction log at commit time, so a
@@ -287,7 +294,13 @@ object TxTable {
     val ts = math.max(System.currentTimeMillis(), parentMs + 1L)
     val txnJson = txn.map { case (app, batch) =>
       s""","txn":{"app":"$app","batch":$batch}""" }.getOrElse("")
-    val json = s"""{"version":$v,"op":"$op","commit_ms":$ts$txnJson,"n_files":${all.size},""" +
+    // schema-evolution flag: sticky from the first evolve commit on
+    // (every later snapshot mixes footers, so every later read needs
+    // mergeSchema), reset by an overwrite/compact (fresh uniform files)
+    val evolved = op == "evolve" ||
+      (carried.nonEmpty && v > 1 && msOf(spark, table, v - 1))
+    val msJson = if (evolved) ""","ms":1""" else ""
+    val json = s"""{"version":$v,"op":"$op","commit_ms":$ts$txnJson$msJson,"n_files":${all.size},""" +
       s""""files":[${all.map("\"" + _ + "\"").mkString(",")}]$statsJson}"""
     val mp = manifestPath(table, v)
     f.mkdirs(mp.getParent)
@@ -304,7 +317,12 @@ object TxTable {
   def readVersion(spark: SparkSession, table: String, v: Int): DataFrame = {
     val files = filesOf(spark, table, v)
     require(files.nonEmpty, s"TxTable: version $v of $table is empty")
-    spark.read.parquet(files.map(rel => s"$table/$rel"): _*)
+    // evolved snapshots mix footers with different column sets: the
+    // union schema is only correct under mergeSchema (costs one footer
+    // read per file at planning — paid only by evolved tables)
+    val rd = if (msOf(spark, table, v))
+      spark.read.option("mergeSchema", "true") else spark.read
+    rd.parquet(files.map(rel => s"$table/$rel"): _*)
   }
 
   /** Latest-snapshot read. */
@@ -353,7 +371,9 @@ object TxTable {
     val kept = prunedFiles(spark, table, v, colName, lo, hi)
     val paths = (if (kept.nonEmpty) kept else filesOf(spark, table, v).take(1))
       .map(rel => s"$table/$rel")
-    spark.read.parquet(paths: _*)
+    val rd = if (msOf(spark, table, v))
+      spark.read.option("mergeSchema", "true") else spark.read
+    rd.parquet(paths: _*)
       .filter(col(colName) >= lo && col(colName) <= hi)
   }
 
@@ -385,8 +405,12 @@ object TxTable {
     val untouched = all.filterNot(touch.toSet)
     if (touch.isEmpty) return (v, 0, all.size)
     // SQL DELETE semantics: rows where the predicate is NULL are KEPT
-    // (a bare NOT(between) would silently drop null-keyed rows)
-    val survivors = spark.read.parquet(touch.map(rel => s"$table/$rel"): _*)
+    // (a bare NOT(between) would silently drop null-keyed rows).
+    // Evolved tables rewrite through mergeSchema so late-added columns
+    // survive the rewrite.
+    val rd = if (msOf(spark, table, v))
+      spark.read.option("mergeSchema", "true") else spark.read
+    val survivors = rd.parquet(touch.map(rel => s"$table/$rel"): _*)
       .filter(col(colName).isNull || !(col(colName) >= lo && col(colName) <= hi))
     val nv = commitAs(survivors, table, v + 1, "delete", statsCols,
       carryFiles = Some(untouched))
@@ -441,6 +465,41 @@ object TxTable {
   private def manifestText(spark: SparkSession, table: String, v: Int): String = {
     val in = fs(spark, table).open(manifestPath(table, v))
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+
+  /** Whether version `v`'s snapshot requires a mergeSchema read
+    * (sticky from the first `commitEvolve`; reset by overwrite).
+    */
+  private[graft] def msOf(spark: SparkSession, table: String, v: Int): Boolean =
+    manifestText(spark, table, v).contains("\"ms\":1")
+
+  /** Additive schema evolution (the Delta `mergeSchema` append): the
+    * new frame may ADD columns over the parent snapshot but must keep
+    * every existing column at its exact type — drops and type changes
+    * refuse loudly (they silently lose or corrupt data under a footer
+    * union; an intentional rewrite goes through `overwrite`). The
+    * committed snapshot mixes old and new footers; the manifest's
+    * sticky `ms` flag routes every later read of this table through
+    * mergeSchema, so rows from pre-evolution files surface the new
+    * columns as NULL — exactly the SQL ALTER TABLE ADD COLUMN
+    * semantics. Costs one footer read per file at plan time for
+    * evolved tables only.
+    */
+  def commitEvolve(df: DataFrame, table: String,
+                   statsCols: Seq[String] = Nil): Int = {
+    val spark = df.sparkSession
+    val v = currentVersion(spark, table)
+    if (v == 0) return commitAs(df, table, 1, "append", statsCols)
+    val parent = readVersion(spark, table, v).schema
+    val newTypes = schemaKey(df.schema).toMap
+    val missing = schemaKey(parent).filterNot { case (n, t) =>
+      newTypes.get(n).contains(t) }
+    require(missing.isEmpty,
+      s"TxTable: commitEvolve at $table v${v + 1} is not additive — parent columns " +
+      s"${missing.map(p => p._1 + ":" + p._2).mkString("[", ", ", "]")} are dropped or " +
+      "retyped in the new frame; evolution may only ADD columns (use op=\"overwrite\" " +
+      "for a rewrite)")
+    commitAs(df, table, v + 1, "evolve", statsCols)
   }
 
   /** The op recorded in version `v`'s manifest. */
@@ -524,7 +583,7 @@ object TxTable {
         case "compact" => Seq.empty // byte rewrite, no row change
         case op =>
           val (ins, del) =
-            if (op == "append") (cur.diff(prev), Seq.empty[String])
+            if (op == "append" || op == "evolve") (cur.diff(prev), Seq.empty[String])
             // copy-on-write delete: carried files are identical in
             // both snapshots — churn is exactly the rewritten subset
             // (delete-of-candidates + insert-of-survivors)
@@ -536,7 +595,10 @@ object TxTable {
     }
     if (steps.isEmpty) // e.g. a compact-only interval: a legitimate empty delta
       changesSchemaFrame(spark, table, toV)
-    else steps.reduce(_.unionByName(_))
+    // allowMissingColumns: steps straddling a schema evolution differ
+    // by the added columns — pre-evolution rows surface them as NULL
+    // (no-op for uniform-schema tables)
+    else steps.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   private def changesSchemaFrame(spark: SparkSession, table: String, v: Int): DataFrame = {

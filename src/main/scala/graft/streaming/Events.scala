@@ -960,4 +960,53 @@ object Events {
         timestamp_micros(col("start_us")).as("session_start"),
         timestamp_micros(col("end_us")).as("session_end"))
   }
+
+  /** Exactly-once streaming sink into a [[graft.sources.TxTable]]:
+    * each micro-batch commits through `commitIdempotent(appId,
+    * batchId)`, so a batch RE-DELIVERED after a crash — including the
+    * worst case simulated here, the checkpoint lost entirely and the
+    * whole stream replayed from scratch (`runs` > 1 with a fresh
+    * checkpoint per run) — lands in the table exactly once. This is
+    * the Delta `txnAppId`/`txnVersion` pattern end to end: the sink's
+    * dedup ledger IS the table's manifest log, no side state.
+    *
+    * Contract (same as Delta's): idempotence assumes the SOURCE
+    * replays batch N with the same content — true for file sources
+    * over immutable input (deterministic listing order) and for any
+    * checkpointed replay; a non-deterministic source needs the
+    * checkpoint retained. Returns the final table frame.
+    *
+    * Scale shape: the data plane is one distributed parquet write per
+    * batch (commitIdempotent's replay scan reads live MANIFESTS only,
+    * bounded by retention — no data IO, no listing).
+    */
+  def streamIntoTx(spark: SparkSession, eventsPath: String, table: String,
+                   appId: String, runs: Int = 2,
+                   maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    require(runs >= 1, s"runs must be >= 1, got $runs")
+    for (_ <- 0 until runs) {
+      val src = readStream(spark, eventsPath, maxFilesPerTrigger)
+        .select(col("event_id"), col("user_id"), col("value"))
+      // a FRESH checkpoint per run models the crash that lost it: the
+      // engine restarts batch numbering and re-delivers everything
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      val ckpt = if (java.nio.file.Files.isWritable(shm))
+        java.nio.file.Files.createTempDirectory(shm, "graft_ckpt_")
+      else java.nio.file.Files.createTempDirectory("graft_ckpt_")
+      val q = src.writeStream
+        .outputMode(OutputMode.Append)
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // no-data micro-batches (watermark bookkeeping) must not
+          // burn a version — the standard Delta-sink foreachBatch guard
+          if (!batch.isEmpty) {
+            graft.sources.TxTable.commitIdempotent(batch, table, appId, batchId)
+          }
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    graft.sources.TxTable.read(spark, table)
+  }
 }

@@ -305,6 +305,179 @@ class Round7bOpsSpec extends SparkSpec {
     TxTable.currentVersion(spark, table) shouldBe 3
   }
 
+  // ---- schema evolution ----
+
+  test("commitEvolve adds a column; old rows read NULL; v1 keeps the old shape; plain append works post-evolve") {
+    val table = freshTable()
+    TxTable.commit(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "price"), table)
+    TxTable.commitEvolve(Seq((3L, 30.0, "x")).toDF("id", "price", "tag"), table) shouldBe 2
+    // post-evolve plain append compares against the UNION schema
+    TxTable.commit(Seq((4L, 40.0, "y")).toDF("id", "price", "tag"), table) shouldBe 3
+    val v3 = TxTable.read(spark, table)
+    v3.columns.sorted shouldBe Array("id", "price", "tag")
+    v3.count() shouldBe 4L
+    v3.filter(col("tag").isNull).count() shouldBe 2L // pre-evolution rows
+    // time travel: v1 still reads the ORIGINAL 2-column shape
+    TxTable.readVersion(spark, table, 1).columns.sorted shouldBe Array("id", "price")
+    // CDC across the evolution: old-step rows surface tag as NULL
+    val cdc = TxTable.changes(spark, table, 0, 3)
+    cdc.columns should contain("tag")
+    cdc.count() shouldBe 4L
+  }
+
+  test("commitEvolve refuses drops and retypes; plain append of a changed schema still refuses") {
+    val table = freshTable()
+    TxTable.commit(Seq((1L, 10.0)).toDF("id", "price"), table)
+    val dropped = intercept[IllegalArgumentException] {
+      TxTable.commitEvolve(Seq(Tuple1(2L)).toDF("id"), table)
+    }
+    dropped.getMessage should include("not additive")
+    val retyped = intercept[IllegalArgumentException] {
+      TxTable.commitEvolve(Seq((2L, "oops")).toDF("id", "price"), table)
+    }
+    retyped.getMessage should include("not additive")
+    val plain = intercept[IllegalArgumentException] {
+      TxTable.commit(Seq((2L, 20.0, "t")).toDF("id", "price", "tag"), table)
+    }
+    plain.getMessage should include("schema mismatch")
+  }
+
+  test("deleteWhere on an evolved table keeps the late-added column through the rewrite") {
+    val table = freshTable()
+    TxTable.commit(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "price").coalesce(1),
+      table, statsCols = Seq("id"))
+    TxTable.commitEvolve(Seq((3L, 30.0, "x")).toDF("id", "price", "tag"), table)
+    TxTable.deleteWhere(spark, table, "id", 2.0, 2.0)
+    val out = TxTable.read(spark, table)
+    out.columns.sorted shouldBe Array("id", "price", "tag")
+    out.collect().map(_.getLong(0)).sorted shouldBe Seq(1L, 3L)
+  }
+
+  // ---- streaming exactly-once TxTable sink ----
+
+  test("streamIntoTx: full replay after checkpoint loss lands every batch exactly once") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_txsink_src_").toString
+    val day = 86400000000L
+    def writeFile(i: Int): Unit = {
+      val rows = (0 until 4).map(j =>
+        (i * 10L + j, i * day + j * 1000000L, j.toLong, i * 1.0 + j))
+      val df = rows.toDF("event_id", "us", "user_id", "value")
+        .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+          col("user_id"), col("value"))
+      val tmp = Files.createTempDirectory("graft_txsink_part_").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      val dst = Paths.get(dir, f"f$i%02d.parquet")
+      Files.move(part.toPath, dst)
+      // deterministic listing order across the two runs
+      dst.toFile.setLastModified(1000000L * (i + 1))
+      ()
+    }
+    (0 until 3).foreach(writeFile)
+    val table = freshTable()
+    // maxFilesPerTrigger=1 → 3 real batches per run; runs=2 replays all
+    val out = graft.streaming.Events.streamIntoTx(
+      spark, dir, table, "sink-spec", runs = 2, maxFilesPerTrigger = Some(1))
+    out.count() shouldBe 12L
+    TxTable.currentVersion(spark, table) shouldBe 3
+    out.select("event_id").collect().map(_.getLong(0)).sorted shouldBe
+      (0 until 3).flatMap(i => (0 until 4).map(j => i * 10L + j)).sorted
+  }
+
+  // ---- BFS distances ----
+
+  test("bfsDistances: min-hop on a path graph with depth cap and multi-seed min") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val seeds1 = Seq(Tuple1(1L)).toDF("node")
+    val d1 = Graph.bfsDistances(pairs, "a", "b", seeds1, maxDepth = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    d1 shouldBe Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3) // 5 beyond depth
+    val seeds2 = Seq(Tuple1(1L), Tuple1(5L)).toDF("node")
+    val d2 = Graph.bfsDistances(pairs, "a", "b", seeds2, maxDepth = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    d2 shouldBe Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 1, 5L -> 0)
+    // a seed absent from the graph contributes nothing
+    val d3 = Graph.bfsDistances(pairs, "a", "b",
+      Seq(Tuple1(99L)).toDF("node"), maxDepth = 2).collect()
+    d3 shouldBe empty
+  }
+
+  // ---- effect sizes ----
+
+  test("effectSizes matches hand-computed Cohen's d and Cliff's delta") {
+    val df = (Seq(1, 2, 3).map(("a", _)) ++ Seq(2, 4, 6).map(("b", _)))
+      .toDF("g", "v")
+    val r = Eval.effectSizes(df, "g", "v", unitScale = 1L).collect().head
+    r.getAs[String]("group_a") shouldBe "a"
+    r.getAs[String]("group_b") shouldBe "b"
+    r.getAs[Long]("n_a") shouldBe 3L
+    // means 2 vs 4; vars 1, 4; pooled = sqrt(10/4); d = -2/sqrt(2.5)
+    r.getAs[Double]("cohens_d") shouldBe (-2.0 / math.sqrt(2.5)) +- 1e-6
+    // R_a = 1 + 2.5 + 4 = 7.5; U = 1.5; delta = 2*1.5/9 - 1 = -2/3
+    r.getAs[Double]("cliffs_delta") shouldBe (-2.0 / 3) +- 1e-9
+  }
+
+  test("effectSizes: identical distributions give zero d and delta") {
+    val df = (Seq(1, 2, 3).map(("a", _)) ++ Seq(1, 2, 3).map(("b", _)))
+      .toDF("g", "v")
+    val r = Eval.effectSizes(df, "g", "v", unitScale = 1L).collect().head
+    r.getAs[Double]("cohens_d") shouldBe 0.0 +- 1e-9
+    r.getAs[Double]("cliffs_delta") shouldBe 0.0 +- 1e-9
+  }
+
+  // ---- readability ----
+
+  test("readability matches hand counts: words, [.!?] sentences, vowel-group syllables") {
+    val df = Seq(
+      ("en", "The cat sat. The dog ran!"),
+      ("en", "tv hmm."), // vowel-less words floor at 1 syllable each
+      ("en", "")).toDF("lang", "text")
+    val r = graft.functions.TextFunctions.readability(df, "lang", "text")
+      .collect().head
+    r.getAs[Long]("n_docs") shouldBe 3L
+    r.getAs[Long]("n_words") shouldBe 8L
+    r.getAs[Long]("n_sentences") shouldBe 3L // 2 + 1 + 0 (empty doc)
+    r.getAs[Long]("n_syllables") shouldBe 8L
+    val ws = 8.0 / 3; val sw = 1.0
+    r.getAs[Double]("flesch") shouldBe (206.835 - 1.015 * ws - 84.6 * sw) +- 1e-6
+    r.getAs[Double]("fk_grade") shouldBe (0.39 * ws + 11.8 * sw - 15.59) +- 1e-6
+  }
+
+  // ---- character entropy ----
+
+  test("charEntropy matches the closed form on planted distributions") {
+    val df = Seq(("x", "aab"), ("y", "ab")).toDF("g", "t")
+    val out = graft.functions.TextFunctions.charEntropy(df, "g", "t")
+      .collect().map(r => r.getString(0) -> r).toMap
+    out("x").getAs[Long]("n_chars") shouldBe 3L
+    out("x").getAs[Long]("n_distinct") shouldBe 2L
+    val hx = -(2.0 / 3 * math.log(2.0 / 3) + 1.0 / 3 * math.log(1.0 / 3))
+    out("x").getAs[Double]("entropy_nats") shouldBe hx +- 1e-6
+    out("y").getAs[Double]("entropy_nats") shouldBe math.log(2.0) +- 1e-6
+  }
+
+  // ---- Matryoshka truncated recall ----
+
+  test("truncatedRecall: prefix-dim search loses exactly the planted neighbor") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.6f, 0.8f)),
+      (3L, Array(0.8f, -0.6f))).toDF("vec_id", "embedding")
+    val queries = Seq((0L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    // full cosine: c1=1.0, c3=0.8, c2=0.6 → top2 {1, 3}
+    // first-dim-only cosine: all = 1.0 → tie-break by id → top2 {1, 2}
+    val r = graft.operators.Similarity.truncatedRecall(
+      corpus, queries, dims = 1, k = 2).collect().head
+    r.getAs[Int]("n_hits") shouldBe 1
+    r.getAs[Double]("recall_at_k") shouldBe 0.5 +- 1e-9
+    // full-width truncation is the identity: recall 1
+    val full = graft.operators.Similarity.truncatedRecall(
+      corpus, queries, dims = 2, k = 2).collect().head
+    full.getAs[Double]("recall_at_k") shouldBe 1.0 +- 1e-9
+  }
+
   test("commitIdempotent: losing the version race to the SAME batch reports already-applied") {
     val table = freshTable()
     val b0 = Seq((1L, "a")).toDF("id", "s")
