@@ -1951,6 +1951,76 @@ object SparkEntry {
         streaming.Events.readBatch(s, s"$dir/events.parquet"),
         "event_type", "value")),
 
+    // §2#53ah (r7) time-bounded funnel: q98's ordered steps with a 6h
+    // conversion window per hop — the dashboard semantics (greedy
+    // earliest-entry), cutting conversions that took days.
+    "q300_funnel_windowed" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"), col("event_type"))
+      operators.Behavior.funnelWindowed(ev, Seq("view", "click", "purchase"),
+        withinUs = 21600000000L)
+    }),
+
+    // §2#53ai (r7) Mann–Kendall monotonic-trend test on the daily mean
+    // series — the significance companion to q204's Theil–Sen slope
+    // (same collapsed-series contract + in-plan quadratic refusal).
+    "q301_mann_kendall" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .select((unix_micros(col("ts")) / lit(86400000000L)).cast("long").as("day"),
+          floor(col("value") * 1000000L + lit(0.5)).cast("long").as("_vq"))
+      val daily = ev.groupBy("day")
+        .agg(round(sum(col("_vq").cast("decimal(38,0)")).cast("double")
+          / count(lit(1)).cast("double") / 1e6, 6).as("day_mean"))
+      functions.Profile.mannKendall(daily, "day", "day_mean")
+    }),
+
+    // §2#62u (r7) incremental OPTIMIZE: one well-sized commit + three
+    // micro-batch-sized appends, then compactSmall rewrites ONLY the
+    // three small files (the big one carries by reference) — the
+    // nightly-OPTIMIZE-after-streaming-ingest story; content and the
+    // version/file accounting both gated.
+    "q302_tx_compact_small" -> ((s, dir) => {
+      val table = sidePath("graft_txcs", dir)
+      sources.TxTable.drop(s, table)
+      val ord = t(s, dir, "orders").df.select(col("o_orderkey"), col("o_totalprice"))
+      sources.TxTable.commit(
+        ord.filter(!pmod(col("o_orderkey"), lit(1500)).isin(1, 2, 3)).coalesce(1),
+        table, statsCols = Seq("o_orderkey"))
+      for (i <- 1 to 3) {
+        sources.TxTable.commit(
+          ord.filter(pmod(col("o_orderkey"), lit(1500)) === i).coalesce(1),
+          table, statsCols = Seq("o_orderkey"))
+      }
+      val (v, nRw, nCar) = sources.TxTable.compactSmall(s, table,
+        minBytes = 4096, statsCols = Seq("o_orderkey"))
+      val content = sources.TxTable.readVersion(s, table, v)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
+        .select(lit("content").as("section"), lit("after").as("label"),
+          col("n_rows"), col("sum_price"))
+      val meta = s.createDataFrame(Seq(
+          ("meta", "rewritten", nRw.toLong),
+          ("meta", "carried", nCar.toLong),
+          ("meta", "n_versions", v.toLong)))
+        .toDF("section", "label", "n_rows")
+        .withColumn("sum_price", lit(null).cast("double"))
+      content.unionByName(meta)
+    }),
+
+    // §2#52at (r7) Durbin–Watson on per-type daily-mean OLS residuals
+    // — "is what the q156 trend fit left behind still structured?";
+    // the regression post-check beside q132's raw ACF.
+    "q303_durbin_watson" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .select(col("event_type"),
+          (unix_micros(col("ts")) / lit(86400000000L)).cast("long").as("day"),
+          floor(col("value") * 1000000L + lit(0.5)).cast("long").as("_vq"))
+      val daily = ev.groupBy("event_type", "day")
+        .agg(round(sum(col("_vq").cast("decimal(38,0)")).cast("double")
+          / count(lit(1)).cast("double") / 1e6, 6).as("day_mean"))
+      functions.Profile.durbinWatson(daily, "event_type", "day", "day_mean")
+    }),
+
     // §2#37k (r7) Flesch reading ease + FK grade per language — the
     // corpus-total readability dial beside the Gopher quality signals;
     // ASCII-pinned alphabet, standard vowel-group syllable heuristic.
@@ -4782,6 +4852,121 @@ object SparkEntry {
          FROM t GROUP BY 1""",
 
     "q299_matryoshka_recall" -> OracleGen.truncatedRecallSql(dims = 16, k = 10),
+
+    // the q98 funnel machinery with the 6h window bound on each hop
+    "q300_funnel_windowed" ->
+      """WITH e AS (
+           SELECT user_id, epoch_us(ts) AS tus, event_type FROM events),
+         t0 AS (SELECT user_id, MIN(tus) AS t FROM e
+                WHERE event_type = 'view' GROUP BY 1),
+         t1 AS (SELECT e.user_id, MIN(tus) AS t FROM e JOIN t0 USING (user_id)
+                WHERE event_type = 'click' AND tus > t0.t
+                  AND tus <= t0.t + 21600000000 GROUP BY 1),
+         t2 AS (SELECT e.user_id, MIN(tus) AS t FROM e JOIN t1 USING (user_id)
+                WHERE event_type = 'purchase' AND tus > t1.t
+                  AND tus <= t1.t + 21600000000 GROUP BY 1),
+         c AS (SELECT (SELECT COUNT(*) FROM t0) AS n0,
+                      (SELECT COUNT(*) FROM t1) AS n1,
+                      (SELECT COUNT(*) FROM t2) AS n2)
+         SELECT 1 AS step_idx, 'view' AS step, n0 AS n_users,
+           CAST(1.0 AS DOUBLE) AS conv FROM c
+         UNION ALL
+         SELECT 2, 'click', n1, CAST(n1 AS DOUBLE) / CAST(n0 AS DOUBLE) FROM c
+         UNION ALL
+         SELECT 3, 'purchase', n2, CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE) FROM c""",
+
+    // q269's daily means; S and tie sums exact integers; z one
+    // mirrored double op order with the continuity correction
+    "q301_mann_kendall" ->
+      """WITH e AS (
+           SELECT epoch_us(ts) // 86400000000 AS day,
+             CAST(floor(CAST(value AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS vq
+           FROM events),
+         daily AS (
+           SELECT day, round(CAST(SUM(CAST(vq AS HUGEINT)) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) / 1000000.0, 6) AS m
+           FROM e GROUP BY 1),
+         b AS (SELECT day AS o,
+             CAST(floor(m * 1000000 + 0.5) AS BIGINT) AS v FROM daily),
+         s AS (
+           SELECT SUM(CASE WHEN b2.v > b1.v THEN 1
+                           WHEN b2.v < b1.v THEN -1 ELSE 0 END) AS s
+           FROM b b1 JOIN b b2 ON b1.o < b2.o),
+         t AS (
+           SELECT SUM(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)) AS tsum,
+             SUM(t) AS n
+           FROM (SELECT v, COUNT(*) AS t FROM b GROUP BY 1)),
+         v2 AS (
+           SELECT n, s,
+             (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+               * (2.0 * CAST(n AS DOUBLE) + 5.0) - CAST(tsum AS DOUBLE)) / 18.0
+               AS var_s
+           FROM s, t)
+         SELECT CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS s_stat,
+           round(var_s, 6) AS var_s,
+           CASE WHEN var_s > 0.0 THEN
+             round(CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0) / sqrt(var_s)
+                        WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0) / sqrt(var_s)
+                        ELSE 0.0 END, 9) END AS z
+         FROM v2""",
+
+    // content preserved; rewritten/carried/version accounting pinned
+    // (3 micro-files re-binned, the big file carried by reference)
+    "q302_tx_compact_small" ->
+      """SELECT 'content' AS section, 'after' AS label, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+         FROM orders
+         UNION ALL SELECT 'meta', 'rewritten', 3, CAST(NULL AS DOUBLE)
+         UNION ALL SELECT 'meta', 'carried', 1, CAST(NULL AS DOUBLE)
+         UNION ALL SELECT 'meta', 'n_versions', 5, CAST(NULL AS DOUBLE)""",
+
+    // q156's exact-sum OLS per series; residual DW terms DECIMAL(25,12)
+    "q303_durbin_watson" ->
+      """WITH e AS (
+           SELECT event_type AS g, epoch_us(ts) // 86400000000 AS day,
+             CAST(floor(CAST(value AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS vq
+           FROM events),
+         daily AS (
+           SELECT g, day, round(CAST(SUM(CAST(vq AS HUGEINT)) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) / 1000000.0, 6) AS m
+           FROM e GROUP BY 1, 2),
+         b AS (SELECT g, day AS x,
+             CAST(floor(m * 1000000 + 0.5) AS BIGINT) AS y FROM daily),
+         fit AS (
+           SELECT g, COUNT(*) AS n, SUM(CAST(x AS HUGEINT)) AS sx,
+             SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy
+           FROM b GROUP BY 1),
+         ab2 AS (
+           SELECT g, n, sx, sy,
+             CASE WHEN den <> 0.0 THEN
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / den
+             ELSE 0.0 END AS bb
+           FROM (SELECT *, CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den FROM fit)),
+         ab3 AS (
+           SELECT g, n, bb,
+             (CAST(sy AS DOUBLE) - bb * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS aa
+           FROM ab2),
+         r AS (
+           SELECT b.g, b.x, ab3.n,
+             (CAST(y AS DOUBLE) - (aa + bb * CAST(x AS DOUBLE))) / 1000000.0 AS e2
+           FROM b JOIN ab3 ON ab3.g = b.g),
+         lg AS (
+           SELECT g, n, e2, LAG(e2) OVER (PARTITION BY g ORDER BY x) AS ep
+           FROM r),
+         agg AS (
+           SELECT g, MAX(n) AS n,
+             SUM(CASE WHEN ep IS NOT NULL THEN
+               CAST((e2 - ep) * (e2 - ep) AS DECIMAL(25,12)) END) AS num,
+             SUM(CAST(e2 * e2 AS DECIMAL(25,12))) AS den2
+           FROM lg GROUP BY 1)
+         SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+           CASE WHEN CAST(den2 AS DOUBLE) > 0.0 THEN
+             round(CAST(num AS DOUBLE) / CAST(den2 AS DOUBLE), 9) END AS dw
+         FROM agg""",
 
     // joint half-unit ranks per pair; moments exact HUGEINT; d and
     // delta one mirrored double op order each

@@ -1526,6 +1526,108 @@ object Profile {
           / (d("n") * d("n") * d("n") + d("n") * d("n"))), 9).as("p_approx"))
   }
 
+  /** Mann–Kendall monotonic-trend test over a series — the
+    * SIGNIFICANCE companion to [[theilSen]]'s slope (same
+    * rank-arithmetic family: S = Σ_{i<j} sign(v_j − v_i), the count
+    * of concordant minus discordant time pairs): "is the drift real,
+    * and which way?", distribution-free, exactly the question asked
+    * of a daily quality/volume series before alerting on it. Reports
+    * S, the tie-corrected variance Var(S) = [n(n−1)(2n+5) −
+    * Σ_t t(t−1)(2t+5)]/18, and the continuity-corrected normal
+    * z = (S∓1)/√Var (Kendall '75).
+    *
+    * The pair enumeration is quadratic in the SERIES length by
+    * definition, so this carries the theilSen contract: built for
+    * collapsed calendar-scale series (daily/hourly cells) with the
+    * same IN-PLAN loud refusal above `maxRows` — never point it at
+    * raw rows. S and all tie counts are exact longs; z is one double
+    * of exact integers, rounded 1e-9.
+    */
+  def mannKendall(df: DataFrame, orderCol: String, valueCol: String,
+                  unitScale: Long = 1000000L, maxRows: Long = 10000L): DataFrame = {
+    val base = df.select(col(orderCol).as("_o"),
+      floor(col(valueCol).cast("double") * unitScale + lit(0.5)).cast("long").as("_v"))
+    // in-plan refusal (the theilSen pattern): one tiny agg (always one
+    // row — NULL when within budget), broadcast, raise_error threaded
+    // through the value column
+    val probe = base.agg(count(lit(1)).as("_cnt"))
+      .select(when(col("_cnt") > maxRows, col("_cnt")).as("_kn"))
+    val guarded = base.crossJoin(broadcast(probe))
+      .withColumn("_vg", when(col("_kn").isNotNull, raise_error(format_string(
+        s"mannKendall: series exceeds $maxRows rows — the pair count is quadratic; " +
+        "collapse to calendar cells first", col("_kn").cast("string"))).cast("long"))
+        .otherwise(col("_v")))
+    val a = guarded.select(col("_o").as("_oa"), col("_vg").as("_va"))
+    val b = base.select(col("_o").as("_ob"), col("_v").as("_vb"))
+    val s = a.crossJoin(b).filter(col("_oa") < col("_ob"))
+      .agg(sum(signum((col("_vb") - col("_va")).cast("double")).cast("long")).as("_s"),
+        count(lit(1)).as("_np"))
+    val ties = base.groupBy("_v").agg(count(lit(1)).as("_t"))
+      .agg(sum((col("_t").cast("decimal(19,0)") * (col("_t") - 1L)
+        * (lit(2L) * col("_t") + 5L)).cast("decimal(38,0)")).as("_tsum"),
+        sum("_t").as("_n"))
+    def dbl(c: Column) = c.cast("double")
+    s.crossJoin(ties)
+      .withColumn("_var", (dbl(col("_n")) * (dbl(col("_n")) - 1.0)
+        * (lit(2.0) * dbl(col("_n")) + 5.0) - dbl(col("_tsum"))) / 18.0)
+      .select(col("_n").as("n"), col("_s").as("s_stat"),
+        round(col("_var"), 6).as("var_s"),
+        when(col("_var") > 0.0,
+          round(when(col("_s") > 0, (dbl(col("_s")) - 1.0) / sqrt(col("_var")))
+            .when(col("_s") < 0, (dbl(col("_s")) + 1.0) / sqrt(col("_var")))
+            .otherwise(lit(0.0)), 9)).as("z"))
+  }
+
+  /** Durbin–Watson autocorrelation statistic of per-series OLS
+    * residuals: DW = Σ(e_t − e_{t−1})² / Σe_t² ∈ [0,4] — "after the
+    * [[linearTrend]] fit, is what's left still structured?" (≈2 =
+    * independent residuals; ≪2 = positive autocorrelation, the trend
+    * model is missing seasonality or regime; ≫2 = negative, likely
+    * over-differencing). The standard regression post-check beside
+    * [[Rolling.autocorrelation]]'s raw-series ACF.
+    *
+    * Exactness: the OLS fit is the q156 machinery (slope/intercept
+    * doubles OF exact integer sums in one mirrored order); residuals
+    * are doubles of those; both DW sums quantize per-term to
+    * DECIMAL(25,12); the final division is one double op, rounded
+    * 1e-9. Built for collapsed calendar-scale series — the lag window
+    * runs per series over its cells.
+    */
+  def durbinWatson(df: DataFrame, groupCol: String, orderCol: String,
+                   valueCol: String, unitScale: Long = 1000000L): DataFrame = {
+    val base = df.select(col(groupCol).as("_g"), col(orderCol).cast("long").as("_x"),
+      floor(col(valueCol).cast("double") * unitScale + lit(0.5)).cast("long").as("_y"))
+    def dbl(c: Column) = c.cast("double")
+    def dd(c: Column) = c.cast("decimal(38,0)")
+    val fit = base.groupBy("_g").agg(count(lit(1)).as("_n"),
+        sum(dd(col("_x"))).as("_sx"), sum(dd(col("_y"))).as("_sy"),
+        sum((col("_x").cast("decimal(19,0)") * col("_x")).cast("decimal(38,0)")).as("_sxx"),
+        sum((col("_x").cast("decimal(19,0)") * col("_y")).cast("decimal(38,0)")).as("_sxy"))
+      .withColumn("_den", dbl(col("_n")) * dbl(col("_sxx")) - dbl(col("_sx")) * dbl(col("_sx")))
+      .withColumn("_b", when(col("_den") =!= 0.0,
+        (dbl(col("_n")) * dbl(col("_sxy")) - dbl(col("_sx")) * dbl(col("_sy"))) / col("_den"))
+        .otherwise(lit(0.0)))
+      .withColumn("_a", (dbl(col("_sy")) - col("_b") * dbl(col("_sx"))) / dbl(col("_n")))
+      .select("_g", "_n", "_a", "_b")
+    val w = Window.partitionBy("_g").orderBy("_x")
+    // residuals back in VALUE units (÷ unitScale, one mirrored double
+    // op): µ-unit squares overflow the DECIMAL(25,12) term quantizer;
+    // DW is scale-invariant so the statistic is unchanged
+    base.join(broadcast(fit), Seq("_g"))
+      .withColumn("_e", (dbl(col("_y")) - (col("_a") + col("_b") * dbl(col("_x"))))
+        / lit(unitScale.toDouble))
+      .withColumn("_ep", lag(col("_e"), 1).over(w))
+      .groupBy(col("_g").as(groupCol))
+      .agg(max(col("_n")).as("n"),
+        sum(when(col("_ep").isNotNull,
+          ((col("_e") - col("_ep")) * (col("_e") - col("_ep"))).cast("decimal(25,12)")))
+          .as("_num"),
+        sum((col("_e") * col("_e")).cast("decimal(25,12)")).as("_den2"))
+      .select(col(groupCol), col("n"),
+        when(dbl(col("_den2")) > 0.0,
+          round(dbl(col("_num")) / dbl(col("_den2")), 9)).as("dw"))
+  }
+
   /** Market-concentration profile per group: the Herfindahl–Hirschman
     * index HHI = Σ share², its inverse (the "effective number" of
     * entities — 1/HHI equals k for k equal shares), and the top

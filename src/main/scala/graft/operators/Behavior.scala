@@ -51,6 +51,53 @@ object Behavior {
         col("p.n_users").as("n_users"), col("p.conv").as("conv"))
   }
 
+  /** Time-bounded ordered funnel: step i converts only when its
+    * earliest qualifying event falls WITHIN `withinUs` of the step
+    * i−1 entry (the "purchase within 7 days of click" form every
+    * product funnel actually ships — the unbounded [[funnel]]
+    * overcounts conversions that took a quarter). Greedy
+    * earliest-entry convention (the standard product-analytics
+    * semantics, and the one that stays one partial agg per step):
+    * each step's entry time is the MIN qualifying time; a user whose
+    * later step-i occurrence would have opened a window their
+    * earliest did not is NOT converted — path search is exponential
+    * and is not what funnel dashboards compute.
+    *
+    * Scale shape identical to [[funnel]]: per step one filtered
+    * partial-agg min + one user-keyed join against the previous
+    * step's (user, time) table; the window bound is an extra
+    * pushed-down join-filter conjunct, nothing new shuffles.
+    */
+  def funnelWindowed(events: DataFrame, steps: Seq[String], withinUs: Long,
+                     userCol: String = "user_id", timeCol: String = "tus",
+                     typeCol: String = "event_type"): DataFrame = {
+    require(steps.size >= 2, "funnelWindowed needs at least two steps")
+    require(withinUs > 0, s"withinUs must be positive, got $withinUs")
+    val stepTimes = steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (step, _)) =>
+        val mine = events.filter(col(typeCol) === step)
+        val scoped = prev match {
+          case None => mine
+          case Some(p) => mine.join(p, Seq(userCol))
+            .filter(col(timeCol) > col("_t") && col(timeCol) <= col("_t") + lit(withinUs))
+        }
+        Some(scoped.groupBy(userCol).agg(min(timeCol).as("_t")))
+    }.flatten
+    val counts = stepTimes.zipWithIndex.map { case (st, i) =>
+      st.agg(count(lit(1)).as(s"_n$i"))
+    }
+    val row = counts.reduce(_ crossJoin _)
+    val structs = steps.zipWithIndex.map { case (step, i) =>
+      val conv = if (i == 0) lit(1.0)
+                 else col(s"_n$i").cast("double") / col(s"_n${i - 1}")
+      struct(lit(i + 1).as("step_idx"), lit(step).as("step"),
+        col(s"_n$i").as("n_users"), conv.as("conv"))
+    }
+    row.select(explode(array(structs: _*)).as("p"))
+      .select(col("p.step_idx").as("step_idx"), col("p.step").as("step"),
+        col("p.n_users").as("n_users"), col("p.conv").as("conv"))
+  }
+
   /** Market-basket association mining over per-key item sets: for
     * every item pair, support (co-occurrence fraction), confidence
     * (P(b|a)), and lift (observed/expected co-occurrence — the

@@ -558,9 +558,15 @@ object Graph {
     var auth: DataFrame = null
     val unit = lit(1000000000000000.0) // 1e15 integer quantization units
     def l1Normalize(contrib: DataFrame): DataFrame = {
-      // contrib: (node, _c LONG = floor(score·1e15 + ½)) per edge
+      // contrib: (node, _c LONG = floor(score·1e15 + ½)) per edge.
+      // summed is referenced TWICE (the total + the select): without a
+      // lineage cut the plan DOUBLES per half-round — 2^(2·iters)
+      // recomputations of the whole chain (measured 18s → ~1s at
+      // sf0.1). localCheckpoint materializes the node-sized artifact
+      // once per half-round (the kCore per-round pattern).
       val summed = contrib.groupBy("node")
         .agg(sum(col("_c").cast("decimal(38,0)")).as("_s"))
+        .localCheckpoint()
       val tot = summed.agg(sum("_s").as("_t"))
       summed.crossJoin(broadcast(tot))
         .select(col("node"),

@@ -631,6 +631,42 @@ object TxTable {
     commitAs(readVersion(spark, table, v).repartition(nOut), table, v + 1, "compact")
   }
 
+  /** Incremental OPTIMIZE (the real Delta semantic — [[compact]] is
+    * the full-snapshot rewrite): ONLY files under `minBytes` are read
+    * and re-binned into ~`targetBytes` outputs; everything already
+    * well-sized carries by reference. This is what runs on a schedule
+    * against a streaming-ingested table: each micro-batch commit left
+    * a small file, and the nightly OPTIMIZE must not rewrite the
+    * terabytes that are already fine. Content-preserving op "compact"
+    * (dataChange=false — `changes()` skips it); carried files keep
+    * their skipping stats; evolved tables rewrite through mergeSchema.
+    *
+    * @return (version, nRewritten, nCarried) — version unchanged with
+    *         nRewritten = 0 when fewer than 2 small files exist (a
+    *         single small file gains nothing; Delta's no-op rule)
+    */
+  def compactSmall(spark: SparkSession, table: String, minBytes: Long,
+                   targetBytes: Long = 128L << 20,
+                   statsCols: Seq[String] = Nil): (Int, Int, Int) = {
+    require(minBytes > 0 && targetBytes > 0,
+      s"minBytes/targetBytes must be positive, got ($minBytes, $targetBytes)")
+    val v = currentVersion(spark, table)
+    require(v >= 1, s"TxTable: nothing to compact at $table")
+    val f = fs(spark, table)
+    val sized = filesOf(spark, table, v)
+      .map(rel => rel -> f.getFileStatus(new Path(s"$table/$rel")).getLen)
+    val (small, big) = sized.partition(_._2 < minBytes)
+    if (small.size < 2) return (v, 0, sized.size)
+    val smallBytes = small.map(_._2).sum
+    val nOut = math.max(1L, (smallBytes + targetBytes - 1) / targetBytes).toInt
+    val rd = if (msOf(spark, table, v))
+      spark.read.option("mergeSchema", "true") else spark.read
+    val packed = rd.parquet(small.map(s => s"$table/${s._1}"): _*).repartition(nOut)
+    val nv = commitAs(packed, table, v + 1, "compact", statsCols,
+      carryFiles = Some(big.map(_._1)))
+    (nv, small.size, big.size)
+  }
+
   /** Drop the whole table (tests / rebuild-from-scratch pipelines). */
   def drop(spark: SparkSession, table: String): Unit = {
     val p = new Path(table)

@@ -478,6 +478,87 @@ class Round7bOpsSpec extends SparkSpec {
     full.getAs[Double]("recall_at_k") shouldBe 1.0 +- 1e-9
   }
 
+  // ---- windowed funnel ----
+
+  test("funnelWindowed converts only within the hop window (greedy earliest entry)") {
+    val ev = Seq(
+      (1L, 0L, "view"), (1L, 100L, "click"), (1L, 150L, "purchase"),
+      (2L, 0L, "view"), (2L, 500L, "click"), // click outside 200µs window
+      (3L, 0L, "view"), (3L, 100L, "click"), (3L, 400L, "purchase") // purchase late
+    ).toDF("user_id", "tus", "event_type")
+    val out = Behavior.funnelWindowed(ev, Seq("view", "click", "purchase"),
+      withinUs = 200L).collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    out("view") shouldBe 3L
+    out("click") shouldBe 2L
+    out("purchase") shouldBe 1L
+  }
+
+  // ---- Mann–Kendall ----
+
+  test("mannKendall: monotone series, all-tied series, and the quadratic refusal") {
+    import graft.functions.Profile
+    val mono = (1 to 5).map(i => (i.toLong, i.toDouble)).toDF("o", "v")
+    val r = Profile.mannKendall(mono, "o", "v").collect().head
+    r.getAs[Long]("n") shouldBe 5L
+    r.getAs[Long]("s_stat") shouldBe 10L
+    r.getAs[Double]("var_s") shouldBe (5.0 * 4 * 15 / 18) +- 1e-6
+    r.getAs[Double]("z") shouldBe (9.0 / math.sqrt(5.0 * 4 * 15 / 18)) +- 1e-6
+    val flat = (1 to 5).map(i => (i.toLong, 7.0)).toDF("o", "v")
+    val rf = Profile.mannKendall(flat, "o", "v").collect().head
+    rf.getAs[Long]("s_stat") shouldBe 0L
+    rf.isNullAt(rf.fieldIndex("z")) shouldBe true // zero variance
+    val big = (1 to 20).map(i => (i.toLong, i.toDouble)).toDF("o", "v")
+    val ex = intercept[Exception] {
+      Profile.mannKendall(big, "o", "v", maxRows = 10).collect()
+    }
+    ex.getMessage should include("quadratic")
+  }
+
+  // ---- Durbin–Watson ----
+
+  test("durbinWatson matches the hand-computed statistic; perfect fit emits NULL") {
+    import graft.functions.Profile
+    val df = Seq(("g", 1L, 0.0), ("g", 2L, 1.0), ("g", 3L, 0.0), ("g", 4L, 1.0))
+      .toDF("g", "x", "y")
+    val r = Profile.durbinWatson(df, "g", "x", "y").collect().head
+    // fit: b=0.2, a=0 → e = [-.2, .6, -.6, .2]; num=2.72, den=0.8
+    r.getAs[Double]("dw") shouldBe 3.4 +- 1e-6
+    val perfect = Seq(("g", 1L, 1.0), ("g", 2L, 2.0), ("g", 3L, 3.0))
+      .toDF("g", "x", "y")
+    val rp = Profile.durbinWatson(perfect, "g", "x", "y").collect().head
+    rp.isNullAt(rp.fieldIndex("dw")) shouldBe true // zero residual energy
+  }
+
+  // ---- incremental OPTIMIZE ----
+
+  test("compactSmall rewrites only sub-threshold files; the big file carries by reference") {
+    val table = freshTable()
+    val big = (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("id", "s")
+    TxTable.commit(big.coalesce(1), table, statsCols = Seq("id"))
+    for (i <- 1 to 3) {
+      TxTable.commit(Seq((10000L + i, s"w$i")).toDF("id", "s").coalesce(1),
+        table, statsCols = Seq("id"))
+    }
+    val beforeFiles = TxTable.filesOf(spark, table, 4)
+    val (v, nRw, nCar) = TxTable.compactSmall(spark, table, minBytes = 4096,
+      statsCols = Seq("id"))
+    v shouldBe 5; nRw shouldBe 3; nCar shouldBe 1
+    val after = TxTable.filesOf(spark, table, 5)
+    // the big file is the SAME relative path (carried, not rewritten)
+    beforeFiles.toSet.intersect(after.toSet).size shouldBe 1
+    TxTable.read(spark, table).count() shouldBe 1003L
+    // content-preserving: CDC skips the compact version entirely
+    TxTable.changes(spark, table, 4, 5).count() shouldBe 0L
+    // carried skipping stats survive for the big file
+    val carried = beforeFiles.toSet.intersect(after.toSet).head
+    TxTable.statsOf(spark, table, 5).exists(_._1 == carried) shouldBe true
+    // no-op rule: a single small file gains nothing
+    val t2 = freshTable()
+    TxTable.commit(Seq((1L, "a")).toDF("id", "s").coalesce(1), t2)
+    val (v2, n2, _) = TxTable.compactSmall(spark, t2, minBytes = 4096)
+    v2 shouldBe 1; n2 shouldBe 0
+  }
+
   test("commitIdempotent: losing the version race to the SAME batch reports already-applied") {
     val table = freshTable()
     val b0 = Seq((1L, "a")).toDF("id", "s")
