@@ -894,4 +894,29 @@ class PlanSpec extends SparkSpec {
     p should include("partial_sum")
     (p should not).include("CartesianProduct")
   }
+
+  test("q296 effect sizes: pair fan-out joins the BROADCAST pair table, no corpus self-join") {
+    val p = plan("q296_effect_sizes")
+    p should include("BroadcastNestedLoopJoin") // cells x <=k(k-1)/2 pairs
+    p should include("partial_count")           // histogram collapses map-side
+    (p should not).include("SortMergeJoin")
+  }
+
+  test("q300 windowed funnel: the hop bound is a join condition, not a post-filter shuffle") {
+    val p = plan("q300_funnel_windowed")
+    // per-step min aggregates combine map-side like q98
+    p should include("partial_min")
+    (p should not).include("CartesianProduct")
+  }
+
+  test("q295 bfs: histogram output — the per-round frontier joins stay hash joins") {
+    val p = plan("q295_bfs")
+    p should include("partial_count")
+    (p should not).include("CartesianProduct")
+  }
+
+  test("q303 durbin-watson: the corpus collapses to daily cells before the residual window") {
+    val p = plan("q303_durbin_watson")
+    p should include("partial_sum")
+  }
 }
