@@ -559,6 +559,89 @@ class Round7bOpsSpec extends SparkSpec {
     v2 shouldBe 1; n2 shouldBe 0
   }
 
+  // ---- cross-operator invariants ----
+
+  test("logRank invariant: observed and expected deaths both sum to the pooled total") {
+    // deterministic pseudo-random cohort data from a hash of the index
+    val obs = (1 to 60).map { i =>
+      val h = i * 2654435761L % 97
+      (s"c${i % 3}", (h % 11) + 1, if (h % 4 == 0) 0 else 1)
+    }.toDF("g", "t", "e")
+    val rows = Behavior.logRank(obs, "g", "t", "e").collect()
+    val groups = rows.filter(_.getAs[String]("section") == "group")
+    val overall = rows.find(_.getAs[String]("section") == "overall").get
+    groups.map(_.getAs[Long]("observed")).sum shouldBe overall.getAs[Long]("observed")
+    // sum of E_g = total deaths (each event time contributes d_t * sum_g n_g/n_t = d_t)
+    val sumE = groups.map(_.getAs[Double]("expected")).sum
+    sumE shouldBe overall.getAs[Double]("expected") +- 1e-5
+    sumE shouldBe overall.getAs[Long]("observed").toDouble +- 1e-5
+  }
+
+  test("hits invariant: hub and authority scores each L1-normalize to 1") {
+    val edges = (1 to 40).map { i =>
+      (i % 7 + 1L, 100L + (i * 13) % 11)
+    }.toDF("c", "p")
+    val out = Graph.hits(edges, "c", "p", iters = 2).collect()
+    val hubs = out.filter(_.getString(0) == "hub").map(_.getAs[Double]("score")).sum
+    val auths = out.filter(_.getString(0) == "authority").map(_.getAs[Double]("score")).sum
+    hubs shouldBe 1.0 +- 1e-6
+    auths shouldBe 1.0 +- 1e-6
+  }
+
+  test("bfsDistances invariant: adding a seed never increases any node's distance") {
+    val pairs = (1 to 30).map(i => (i.toLong, (i * 7 % 30 + 1).toLong))
+      .filter(p => p._1 != p._2).toDF("a", "b")
+    val s1 = Seq(Tuple1(1L)).toDF("node")
+    val s2 = Seq(Tuple1(1L), Tuple1(15L)).toDF("node")
+    val d1 = Graph.bfsDistances(pairs, "a", "b", s1, maxDepth = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val d2 = Graph.bfsDistances(pairs, "a", "b", s2, maxDepth = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    d1.foreach { case (n, d) => assert(d2.getOrElse(n, Int.MaxValue) <= d,
+      s"node $n grew from $d to ${d2.get(n)}") }
+  }
+
+  test("mannKendall equals the driver-side brute-force S on a planted series") {
+    import graft.functions.Profile
+    val vals = (1 to 40).map(i => (i * 2654435761L % 17).toDouble)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("o", "v")
+    val sRef = (for {
+      i <- vals.indices; j <- vals.indices if i < j
+    } yield math.signum(vals(j) - vals(i)).toLong).sum
+    val r = Profile.mannKendall(df, "o", "v", unitScale = 1L).collect().head
+    r.getAs[Long]("s_stat") shouldBe sRef
+    r.getAs[Long]("n") shouldBe 40L
+  }
+
+  test("rfmSegments invariant: segment sizes partition the customer base") {
+    val day0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val orders = (1 to 200).map { i =>
+      (i % 37 + 1L, day0, (i * 2654435761L % 500).toDouble)
+    }.toDF("cust", "odate", "amount")
+    val segs = Behavior.rfmSegments(orders, "cust", "odate", "amount")
+    segs.agg(sum("n_customers")).head.getLong(0) shouldBe 37L
+    segs.collect().foreach { r =>
+      r.getAs[Int]("r_score") should (be >= 1 and be <= 5)
+      r.getAs[Int]("f_score") should (be >= 1 and be <= 5)
+      r.getAs[Int]("m_score") should (be >= 1 and be <= 5)
+    }
+  }
+
+  test("compactSmall on an evolved table keeps late-added columns through the re-bin") {
+    val table = freshTable()
+    TxTable.commit((1 to 500).map(i => (i.toLong, s"v$i")).toDF("id", "s")
+      .coalesce(1), table)
+    TxTable.commitEvolve(Seq((9001L, "x", "t1")).toDF("id", "s", "tag"), table)
+    TxTable.commit(Seq((9002L, "y", "t2")).toDF("id", "s", "tag"), table)
+    val (v, nRw, nCar) = TxTable.compactSmall(spark, table, minBytes = 4096)
+    nRw shouldBe 2 // the two 1-row files
+    nCar shouldBe 1
+    val out = TxTable.readVersion(spark, table, v)
+    out.columns.sorted shouldBe Array("id", "s", "tag")
+    out.filter(col("tag").isNotNull).count() shouldBe 2L
+    out.count() shouldBe 502L
+  }
+
   test("commitIdempotent: losing the version race to the SAME batch reports already-applied") {
     val table = freshTable()
     val b0 = Seq((1L, "a")).toDF("id", "s")
