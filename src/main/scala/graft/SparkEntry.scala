@@ -2021,6 +2021,25 @@ object SparkEntry {
       functions.Profile.durbinWatson(daily, "event_type", "day", "day_mean")
     }),
 
+    // §2#44b (r7) JSON key profile: the schema-inference census over
+    // the undeclared part of the schema (events.props) — per key,
+    // fill rate / numeric share / distinct count, the "which keys
+    // deserve real columns" read before any parse_object_dtypes-style
+    // promotion.
+    "q304_props_profile" -> ((s, dir) =>
+      functions.Quality.jsonKeyProfile(
+        streaming.Events.readBatch(s, s"$dir/events.parquet"), "props")),
+
+    // §2#1b (r7) ISO-Monday weekly rollup: date_trunc('week') is the
+    // one calendar bucketing both engines define identically (Monday
+    // start) — the time-dimension parity check every cross-engine
+    // report depends on.
+    "q305_weekly_rollup" -> ((s, dir) =>
+      t(s, dir, "orders").df
+        .groupBy(date_trunc("week", col("o_orderdate")).cast("date").as("week_start"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"))).cast("double").as("revenue"))),
+
     // §2#37k (r7) Flesch reading ease + FK grade per language — the
     // corpus-total readability dial beside the Gopher quality signals;
     // ASCII-pinned alphabet, standard vowel-group syllable heuristic.
@@ -4852,6 +4871,29 @@ object SparkEntry {
          FROM t GROUP BY 1""",
 
     "q299_matryoshka_recall" -> OracleGen.truncatedRecallSql(dims = 16, k = 10),
+
+    // values in the string rendering (json ->> unquotes; numbers and
+    // booleans render identically); one anchored numeric regex
+    "q304_props_profile" ->
+      """WITH kv AS (
+           SELECT k.key, props ->> ('$.' || k.key) AS value
+           FROM events, unnest(json_keys(props)) AS k(key)),
+         tot AS (SELECT COUNT(*) AS n FROM events)
+         SELECT key, COUNT(*) AS n_present,
+           round(CAST(COUNT(*) AS DOUBLE) / CAST(n AS DOUBLE), 9) AS present_rate,
+           CAST(SUM(CASE WHEN regexp_matches(value, '^-?[0-9]+(\.[0-9]+)?$')
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_numeric,
+           round(CAST(SUM(CASE WHEN regexp_matches(value, '^-?[0-9]+(\.[0-9]+)?$')
+               THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+             AS numeric_rate,
+           COUNT(DISTINCT value) AS n_distinct
+         FROM kv, tot GROUP BY key, n""",
+
+    "q305_weekly_rollup" ->
+      """SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM orders GROUP BY 1""",
 
     // the q98 funnel machinery with the 6h window bound on each hop
     "q300_funnel_windowed" ->

@@ -143,4 +143,44 @@ object Quality {
     (base.toSeq ++ fkFrames).reduce(_ unionByName _)
       .orderBy(col("check"), col("column"))
   }
+
+  /** Semi-structured key profile of a JSON column — the schema-
+    * inference census a pipeline runs BEFORE promoting JSON props to
+    * real columns: per key, how often it is present (fill rate), how
+    * often its value parses as numeric (promotion candidate), and its
+    * distinct-value count (enum candidate). One pass answers "which
+    * keys are worth columns, and as what type" — the [[audit]]
+    * family's question asked of the part of the schema that ISN'T
+    * declared yet.
+    *
+    * Values are compared in their STRING rendering (the engine-
+    * portable common denominator: JSON numbers/booleans render
+    * identically; string values unquote identically); the numeric
+    * test is one anchored regex both engines run with the same
+    * semantics. Rates are exact-count double divisions rounded 1e-9.
+    *
+    * Scale shape: one map-side from_json + explode (rows × keys-per-
+    * row, collapsing into the per-key partial agg), one 1-row total
+    * broadcast back. Key vocabulary bounds everything after the agg.
+    */
+  def jsonKeyProfile(df: DataFrame, jsonCol: String): DataFrame = {
+    def dd(c: Column) = c.cast("double")
+    val kv = df.select(explode(from_json(col(jsonCol),
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType)))
+      .as(Seq("key", "value")))
+    val tot = df.agg(count(lit(1)).as("_n"))
+    kv.groupBy("key")
+      .agg(count(lit(1)).as("n_present"),
+        sum(when(col("value").rlike("^-?[0-9]+(\\.[0-9]+)?$"), 1L).otherwise(0L))
+          .as("n_numeric"),
+        countDistinct(col("value")).as("n_distinct"))
+      .crossJoin(broadcast(tot))
+      .select(col("key"), col("n_present"),
+        round(dd(col("n_present")) / dd(col("_n")), 9).as("present_rate"),
+        col("n_numeric"),
+        round(dd(col("n_numeric")) / dd(col("n_present")), 9).as("numeric_rate"),
+        col("n_distinct"))
+  }
 }

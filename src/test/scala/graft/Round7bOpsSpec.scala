@@ -642,6 +642,23 @@ class Round7bOpsSpec extends SparkSpec {
     out.count() shouldBe 502L
   }
 
+  // ---- JSON key profile ----
+
+  test("jsonKeyProfile: fill rates, numeric shares, and distinct counts per key") {
+    val df = Seq("""{"a": 1, "b": "x"}""", """{"a": 2.5}""",
+      """{"b": "y", "c": true}""").toDF("j")
+    val out = graft.functions.Quality.jsonKeyProfile(df, "j")
+      .collect().map(r => r.getString(0) -> r).toMap
+    out("a").getAs[Long]("n_present") shouldBe 2L
+    out("a").getAs[Double]("present_rate") shouldBe (2.0 / 3) +- 1e-9
+    out("a").getAs[Long]("n_numeric") shouldBe 2L
+    out("a").getAs[Double]("numeric_rate") shouldBe 1.0 +- 1e-9
+    out("a").getAs[Long]("n_distinct") shouldBe 2L
+    out("b").getAs[Long]("n_numeric") shouldBe 0L
+    out("c").getAs[Long]("n_present") shouldBe 1L
+    out("c").getAs[Long]("n_numeric") shouldBe 0L // "true" is not numeric
+  }
+
   test("commitIdempotent: losing the version race to the SAME batch reports already-applied") {
     val table = freshTable()
     val b0 = Seq((1L, "a")).toDF("id", "s")
