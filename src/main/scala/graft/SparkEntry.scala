@@ -2130,9 +2130,16 @@ object SparkEntry {
           .select(col("o_orderkey"), col("o_totalprice"), lit(1L).as("seq"), lit("D").as("op")))
         .unionByName(ord.filter(col("o_orderpriority") === "2-HIGH")
           .select(col("o_orderkey"), col("o_totalprice"), lit(1L).as("seq"), lit("I").as("op")))
+      // the commit goes through the first-class MERGE API (r8 — its
+      // conflict-retry loop recomputes on a lost CAS); the `expect`
+      // row below recomputes applyChanges INDEPENDENTLY so the API's
+      // internal merge is still audited against a second path
+      val (v2, attempts) = sources.TxTable.mergeInto(
+        s, table, feed, "o_orderkey", "seq", "op")
+      require(v2 == 2 && attempts == 1,
+        s"unexpected merge outcome: v=$v2 attempts=$attempts")
       val merged = operators.Upsert.applyChanges(
-        sources.TxTable.read(s, table), feed, "o_orderkey", "seq", "op")
-      sources.TxTable.commit(merged, table, op = "overwrite")
+        sources.TxTable.readVersion(s, table, 1), feed, "o_orderkey", "seq", "op")
       def summarize(df: org.apache.spark.sql.DataFrame, section: String, label: String) =
         df.agg(count(lit(1)).as("n_rows"),
             sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))

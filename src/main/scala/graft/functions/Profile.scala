@@ -1501,9 +1501,23 @@ object Profile {
     * mirrored double op order, rounded 1e-9.
     */
   def pettitt(df: DataFrame, orderCol: String, valueCol: String,
-              unitScale: Long = 1000000L): DataFrame = {
+              unitScale: Long = 1000000L, maxRows: Long = 100000L): DataFrame = {
     val vq = floor(col(valueCol).cast("double") * unitScale + lit(0.5)).cast("long")
-    val base = df.select(col(orderCol).as("_o"), vq.as("_v"))
+    val base0 = df.select(col(orderCol).as("_o"), vq.as("_v"))
+    // in-plan refusal (the theilSen/mannKendall pattern): the
+    // cumulative-rank window is UNPARTITIONED — a raw corpus pointed
+    // here funnels every row through one task. One tiny broadcast
+    // probe + raise_error threaded through the value column; the
+    // default budget is calendar-scale (the intended input shape).
+    val probe = base0.agg(count(lit(1)).as("_cnt"))
+      .select(when(col("_cnt") > maxRows, col("_cnt")).as("_kn"))
+    val base = base0.crossJoin(broadcast(probe))
+      .select(col("_o"),
+        when(col("_kn").isNotNull, raise_error(format_string(
+          s"pettitt: series exceeds $maxRows rows — the cumulative rank window is " +
+          "single-task; collapse to calendar cells first",
+          col("_kn").cast("string"))).cast("long"))
+          .otherwise(col("_v")).as("_v"))
     val vhist = base.groupBy(col("_v")).agg(count(lit(1)).as("_t"))
     val wv = Window.orderBy(col("_v")).rowsBetween(Window.unboundedPreceding, -1)
     val ranked = vhist.withColumn("_r2",

@@ -114,10 +114,14 @@ object Quality {
           case Uniqueness(_) =>
             (round(dd(col(s"_a$i")) / dd(col("_n")), 9), lit(1.0),
              col(s"_a$i") === col("_n") && col(s"_b$i") === col("_n"))
+          // an all-NULL column yields min/max = NULL: the verdict must
+          // still be DEFINITE (fail, with the null metric surfaced) —
+          // a NULL `passed` silently vanishes from passed=false
+          // filters downstream, dropping a declared check
           case MinBound(_, b) =>
-            (round(col(s"_a$i"), 9), lit(b), col(s"_a$i") >= b)
+            (round(col(s"_a$i"), 9), lit(b), coalesce(col(s"_a$i") >= b, lit(false)))
           case MaxBound(_, b) =>
-            (round(col(s"_a$i"), 9), lit(b), col(s"_a$i") <= b)
+            (round(col(s"_a$i"), 9), lit(b), coalesce(col(s"_a$i") <= b, lit(false)))
           case NonNegative(_) =>
             (dd(col(s"_a$i")), lit(0.0), col(s"_a$i") === 0L)
           case InSet(_, _) =>

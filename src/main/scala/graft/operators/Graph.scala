@@ -59,7 +59,12 @@ object Graph {
         .agg(sum("c").as("csum"))
         .select(col("node"), (base + lit(d) * col("csum").cast("double")).as("pr"))
     }
-    pr
+    // eager node-sized result checkpoint, then release the edge/degree
+    // caches (the modularity pattern): a long-lived session calling
+    // graph ops repeatedly must not accumulate MEMORY_AND_DISK blocks
+    val out = pr.localCheckpoint()
+    edges.unpersist(); deg.unpersist()
+    out
   }
 
   /** k-core decomposition membership (SURVEY.md §2 #30l): the maximal
@@ -153,8 +158,11 @@ object Graph {
     val perNode = tris
       .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
-    perNode.crossJoin(broadcast(
-      tris.agg(count(lit(1)).as("total_triangles"))))
+    // eager result checkpoint then edge-cache release (modularity pattern)
+    val out = perNode.crossJoin(broadcast(
+      tris.agg(count(lit(1)).as("total_triangles")))).localCheckpoint()
+    edges.unpersist()
+    out
   }
 
   /** Local clustering coefficient per node: cc(v) = 2·T(v)/(deg(v)·
@@ -197,12 +205,15 @@ object Graph {
       .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
     val dd = col("deg").cast("double")
-    deg.withColumnRenamed("src", "node")
+    val out = deg.withColumnRenamed("src", "node")
       .join(perNode, Seq("node"), "left")
       .withColumn("n_triangles", coalesce(col("n_triangles"), lit(0L)))
       .withColumn("cc", when(col("deg") >= 2,
         round(lit(2.0) * col("n_triangles").cast("double") / (dd * (dd - lit(1.0))), 9)))
       .select("node", "deg", "n_triangles", "cc")
+      .localCheckpoint() // node-sized; then release the edge cache
+    edges.unpersist()
+    out
   }
 
   /** Resource-allocation link prediction (Zhou–Lü–Zhang): for every
@@ -247,8 +258,12 @@ object Graph {
       .filter(col("u") < col("v"))
     val scored = cand.groupBy(col("u").as("node_a"), col("v").as("node_b"))
       .agg(count(lit(1)).as("cn"), sum(col("share")).as("ra_q"))
-    scored.join(edges.select(col("src").as("node_a"), col("dst").as("node_b")),
-      Seq("node_a", "node_b"), "left_anti")
+    // output-sized checkpoint (what the caller materializes anyway),
+    // then edge-cache release (modularity pattern)
+    val out = scored.join(edges.select(col("src").as("node_a"), col("dst").as("node_b")),
+      Seq("node_a", "node_b"), "left_anti").localCheckpoint()
+    edges.unpersist()
+    out
   }
 
   /** Synchronous label propagation (fixed rounds, deterministic): each
@@ -290,6 +305,7 @@ object Graph {
         .filter(col("_rn") === 1).select("node", "label")
         .localCheckpoint()
     }
+    edges.unpersist() // labels are already checkpointed — no edge ref left
     labels
   }
 
@@ -395,7 +411,9 @@ object Graph {
       .filter(col("u") < col("v"))
     val cn = cand.groupBy(col("u").as("node_a"), col("v").as("node_b"))
       .agg(count(lit(1)).as("cn"))
-    cn
+    // output-sized checkpoint then edge-cache release (modularity
+    // pattern — r7 left this operator's edge persist unreleased)
+    val out = cn
       .join(edges.select(col("src").as("node_a"), col("dst").as("node_b")),
         Seq("node_a", "node_b"), "left_anti")
       .join(deg.select(col("src").as("node_a"), col("deg").as("_da")), Seq("node_a"))
@@ -404,6 +422,9 @@ object Graph {
         (col("_da") + col("_db") - col("cn")).as("n_union"),
         round(col("cn").cast("double")
           / (col("_da") + col("_db") - col("cn")).cast("double"), 9).as("jaccard"))
+      .localCheckpoint()
+    edges.unpersist()
+    out
   }
 
   /** Personalized PageRank: [[pageRank]] with the teleport mass
@@ -467,7 +488,11 @@ object Graph {
             + lit(d) * (coalesce(col("csum").cast("double"), lit(0.0)) / lit(1e15)))
             .as("pr"))
     }
-    pr
+    // frontier-sized result checkpoint, then release all three caches
+    // (modularity pattern — r7 left edges + deg + seedSet persisted)
+    val out = pr.localCheckpoint()
+    edges.unpersist(); deg.unpersist(); seedSet.unpersist()
+    out
   }
 
   /** Degree assortativity: the Pearson correlation of endpoint
@@ -586,6 +611,10 @@ object Graph {
         round(col("score"), 9).as("score"))
       .unionByName(auth.select(lit("authority").as("side"), col("node"),
         round(col("score"), 9).as("score")))
+    // hub/auth stem from the per-half-round checkpointed `summed`
+    // frames — no plan reference to `edges` survives, so the cache
+    // releases immediately (r7 left it persisted)
+    edges.unpersist()
     out
   }
 

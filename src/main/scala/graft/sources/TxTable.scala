@@ -96,6 +96,53 @@ private[graft] object AtomicCreateCommitter extends TxCommitter {
   }
 }
 
+/** The object-store primitive the commit protocol needs — a WHOLE-
+  * OBJECT conditional PUT that succeeds iff the key does not yet
+  * exist. This is exactly the server-side contract of S3
+  * `If-None-Match: *`, GCS `ifGenerationMatch=0`, and ABFS
+  * `If-None-Match: *`: the object becomes visible atomically and
+  * WHOLE (object stores have no partial-file state), and exactly one
+  * of N racing writers gets the 200. A production deployment
+  * implements this with the store's SDK; the protocol above it is
+  * identical.
+  */
+trait ConditionalStore {
+  /** @return true iff `key` did not exist and now holds `bytes` */
+  def putIfAbsent(f: FileSystem, key: Path, bytes: Array[Byte]): Boolean
+}
+
+/** Local-FS emulation of the conditional put (this sandbox has no
+  * object store): stage the bytes COMPLETE in a hidden sibling, then
+  * claim the key with link(2) — EEXIST is the lost race, and the
+  * published object is whole from its first instant, which is the
+  * atomicity a real store provides server-side. The temp is removed
+  * on both outcomes, so a lost race leaves NO manifest orphan.
+  */
+final class LocalEmulatedObjectStore extends ConditionalStore {
+  def putIfAbsent(f: FileSystem, key: Path, bytes: Array[Byte]): Boolean = {
+    val dir = java.nio.file.Paths.get(key.getParent.toUri.getPath)
+    java.nio.file.Files.createDirectories(dir)
+    val tmp = java.nio.file.Files.createTempFile(dir, s".put_${key.getName}_", ".tmp")
+    try {
+      java.nio.file.Files.write(tmp, bytes)
+      try { java.nio.file.Files.createLink(dir.resolve(key.getName), tmp); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } finally { java.nio.file.Files.deleteIfExists(tmp); () }
+  }
+}
+
+/** [[TxCommitter]] over any [[ConditionalStore]] — the object-store
+  * commit path (the "atomic put-if-absent" point of the Delta paper,
+  * §3.2): the manifest IS the whole object, so publish is ONE
+  * conditional put and the version race resolves server-side. No
+  * rename, no lease, no lock service; a lost CAS returns false and
+  * the caller's conflict path takes over (retry / idempotent rescan).
+  */
+final class ObjectStoreCommitter(store: ConditionalStore) extends TxCommitter {
+  def publish(f: FileSystem, mp: Path, json: String, nonce: String): Boolean =
+    store.putIfAbsent(f, mp, json.getBytes("UTF-8"))
+}
+
 object TxTable {
 
   /** Test/extension hook: force a specific committer (e.g. a double
@@ -112,6 +159,31 @@ object TxTable {
 
   private def manifestPath(table: String, v: Int) =
     new Path(s"$table/_manifests/v$v.json")
+
+  /** JSON string escape/unescape for manifest-embedded schema DDL —
+    * engine-owned flat format, same minimal rules Verify uses.
+    */
+  private def jesc(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c    => c.toString
+  }
+
+  private def junesc(s: String): String = {
+    val b = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'u' if i + 5 < s.length =>
+            b.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
+          case c => b.append(c); i += 2
+        }
+      } else { b.append(s.charAt(i)); i += 1 }
+    }
+    b.toString
+  }
 
   /** Versions whose manifest still exists (contiguous from 1 until
     * `expireVersions` trims the head of history). Sorted ascending.
@@ -178,7 +250,7 @@ object TxTable {
                               carryFiles: Option[Seq[String]] = None,
                               txn: Option[(String, Long)] = None): Int = {
     require(op == "append" || op == "overwrite" || op == "compact" ||
-      op == "delete" || op == "evolve", s"unknown op $op")
+      op == "delete" || op == "evolve" || op == "merge", s"unknown op $op")
     val spark = df.sparkSession
     val f = fs(spark, table)
     // APPEND SCHEMA GATE: an append commit carries the parent's files
@@ -191,20 +263,26 @@ object TxTable {
     // One footer read of the parent's first file — metadata-scale.
     if (op == "append" && v > 1) {
       val parentFiles = filesOf(spark, table, v - 1)
-      if (parentFiles.nonEmpty) {
-        // an evolved parent's first file may predate the evolution —
-        // compare against the UNION schema (footer-only reads)
-        val parent =
+      // an empty parent snapshot (delete-all) still carries its schema
+      // in the manifest — the gate holds across the empty state too
+      val parentSchema: Option[org.apache.spark.sql.types.StructType] =
+        if (parentFiles.nonEmpty) Some {
+          // an evolved parent's first file may predate the evolution —
+          // compare against the UNION schema (footer-only reads)
           if (msOf(spark, table, v - 1))
             spark.read.option("mergeSchema", "true")
               .parquet(parentFiles.map(rel => s"$table/$rel"): _*).schema
           else spark.read.parquet(s"$table/${parentFiles.head}").schema
+        }
+        else manifestSchema(spark, table, v - 1)
+      parentSchema.foreach { parent =>
         require(schemaKey(parent) == schemaKey(df.schema),
           s"TxTable: append schema mismatch at $table v$v — parent snapshot has " +
           s"${schemaKey(parent).map(p => p._1 + ":" + p._2).mkString("[", ", ", "]")} but the " +
           s"appended frame has ${schemaKey(df.schema).map(p => p._1 + ":" + p._2).mkString("[", ", ", "]")}; " +
           "schema changes require commitEvolve (additive) or op=\"overwrite\"")
       }
+      ()
     }
     // distributed data write to a WRITER-UNIQUE scratch dir (two
     // writers racing to the same version must not clobber each
@@ -262,7 +340,21 @@ object TxTable {
                   .flatMap { s =>
                     (s.genericGetMin, s.genericGetMax) match {
                       case (lo: Number, hi: Number) =>
-                        Some((lo.doubleValue(), hi.doubleValue()))
+                        // BIGINT beyond 2^53 can round INWARD in the
+                        // double convert (recorded lo above the true
+                        // min), turning the documented-conservative
+                        // pruner into a silent row loss — widen such
+                        // stats OUTWARD one ulp so pruning stays safe
+                        def safe(n: Number, up: Boolean): Double = {
+                          val d = n.doubleValue()
+                          n match {
+                            case l: java.lang.Long
+                              if l.longValue > (1L << 53) || l.longValue < -(1L << 53) =>
+                              if (up) Math.nextUp(d) else Math.nextDown(d)
+                            case _ => d
+                          }
+                        }
+                        Some((safe(lo, up = false), safe(hi, up = true)))
                       case _ => None // non-numeric: no skipping stats
                     }
                   }
@@ -300,7 +392,11 @@ object TxTable {
     val evolved = op == "evolve" ||
       (carried.nonEmpty && v > 1 && msOf(spark, table, v - 1))
     val msJson = if (evolved) ""","ms":1""" else ""
-    val json = s"""{"version":$v,"op":"$op","commit_ms":$ts$txnJson$msJson,"n_files":${all.size},""" +
+    // snapshot schema recorded in the manifest (Delta's metaData
+    // action): lets an EMPTY snapshot (delete-all) stay readable with
+    // its exact schema — without it readVersion has no footer to ask
+    val json = s"""{"version":$v,"op":"$op","commit_ms":$ts$txnJson$msJson,""" +
+      s""""schema":"${jesc(df.schema.toDDL)}","n_files":${all.size},""" +
       s""""files":[${all.map("\"" + _ + "\"").mkString(",")}]$statsJson}"""
     val mp = manifestPath(table, v)
     f.mkdirs(mp.getParent)
@@ -316,7 +412,17 @@ object TxTable {
     */
   def readVersion(spark: SparkSession, table: String, v: Int): DataFrame = {
     val files = filesOf(spark, table, v)
-    require(files.nonEmpty, s"TxTable: version $v of $table is empty")
+    if (files.isEmpty) {
+      // a legitimate empty snapshot (e.g. a delete-all) reads as an
+      // empty frame with the schema the manifest recorded at commit
+      // time (the Delta empty-snapshot semantics); only a pre-schema
+      // manifest with no files is unreadable and refuses loudly
+      val st = manifestSchema(spark, table, v).getOrElse(
+        sys.error(s"TxTable: version $v of $table is empty and its manifest " +
+          "records no schema (pre-schema manifest)"))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
+    }
     // evolved snapshots mix footers with different column sets: the
     // union schema is only correct under mergeSchema (costs one footer
     // read per file at planning — paid only by evolved tables)
@@ -368,8 +474,12 @@ object TxTable {
                 lo: Double, hi: Double, version: Int = -1): DataFrame = {
     import org.apache.spark.sql.functions.col
     val v = if (version > 0) version else currentVersion(spark, table)
+    val allFiles = filesOf(spark, table, v)
+    if (allFiles.isEmpty) // empty snapshot: schema-preserving empty read
+      return readVersion(spark, table, v)
+        .filter(col(colName) >= lo && col(colName) <= hi)
     val kept = prunedFiles(spark, table, v, colName, lo, hi)
-    val paths = (if (kept.nonEmpty) kept else filesOf(spark, table, v).take(1))
+    val paths = (if (kept.nonEmpty) kept else allFiles.take(1))
       .map(rel => s"$table/$rel")
     val rd = if (msOf(spark, table, v))
       spark.read.option("mergeSchema", "true") else spark.read
@@ -462,6 +572,50 @@ object TxTable {
     }
   }
 
+  /** First-class transactional MERGE — the lakehouse MERGE INTO as an
+    * API instead of a composition: apply a CDC feed (keyCol, seqCol,
+    * opCol ∈ I/U/D + payload) onto the CURRENT snapshot via
+    * [[graft.operators.Upsert.applyChanges]] and publish the result as
+    * the next version (op "merge" — snapshot-replacing, so `changes()`
+    * reads it as delete-of-parent + insert-of-result, like overwrite).
+    *
+    * Concurrency is the Delta MERGE retry semantics: losing the
+    * version CAS means a concurrent writer changed the table between
+    * this merge's read and its publish, so the already-computed frame
+    * is STALE — the loser re-reads the new head and RE-MERGES (never
+    * re-publishes stale bytes; that would silently drop the winner's
+    * rows). The loop is bounded by `maxAttempts`, then fails loudly
+    * with the competing version named.
+    *
+    * Scale shape per attempt: applyChanges is one feed-keyed window +
+    * one key equi-join (feed broadcasts when small — the CDC norm),
+    * the commit one distributed write; the retry recomputes only when
+    * an actual conflict happened.
+    *
+    * @return (committed version, attempts used)
+    */
+  def mergeInto(spark: SparkSession, table: String, changes: DataFrame,
+                keyCol: String, seqCol: String, opCol: String,
+                statsCols: Seq[String] = Nil, maxAttempts: Int = 5): (Int, Int) = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    var attempt = 0
+    var out = -1
+    while (out < 0) {
+      attempt += 1
+      val v = currentVersion(spark, table)
+      require(v >= 1, s"TxTable: cannot merge into non-existent table $table")
+      val merged = graft.operators.Upsert.applyChanges(
+        readVersion(spark, table, v), changes, keyCol, seqCol, opCol)
+      try out = commitAs(merged, table, v + 1, "merge", statsCols)
+      catch {
+        case e: RuntimeException if e.getMessage != null &&
+            e.getMessage.contains("commit conflict") && attempt < maxAttempts =>
+          () // head moved — loop re-reads and re-merges
+      }
+    }
+    (out, attempt)
+  }
+
   private def manifestText(spark: SparkSession, table: String, v: Int): String = {
     val in = fs(spark, table).open(manifestPath(table, v))
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
@@ -472,6 +626,15 @@ object TxTable {
     */
   private[graft] def msOf(spark: SparkSession, table: String, v: Int): Boolean =
     manifestText(spark, table, v).contains("\"ms\":1")
+
+  /** Snapshot schema as recorded in version `v`'s manifest; None for
+    * manifests written before the schema field existed.
+    */
+  private[graft] def manifestSchema(spark: SparkSession, table: String,
+                                    v: Int): Option[org.apache.spark.sql.types.StructType] =
+    "\"schema\":\"((?:[^\"\\\\]|\\\\.)*)\"".r
+      .findFirstMatchIn(manifestText(spark, table, v))
+      .map(m => org.apache.spark.sql.types.StructType.fromDDL(junesc(m.group(1))))
 
   /** Additive schema evolution (the Delta `mergeSchema` append): the
     * new frame may ADD columns over the parent snapshot but must keep

@@ -295,4 +295,73 @@ class TxTableSpec extends SparkSpec {
     }
     ex.getMessage should include("existed at ts")
   }
+
+  test("object-store CAS committer: eight racing writers, exactly one wins each version, no manifest orphans (r8)") {
+    val table = freshTable()
+    // the full protocol through the conditional-put path (the S3
+    // If-None-Match / GCS generation-match contract, emulated locally)
+    graft.sources.TxTable.committerOverride =
+      Some(new graft.sources.ObjectStoreCommitter(new graft.sources.LocalEmulatedObjectStore))
+    try {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val futures = (1 to 8).map { i =>
+        scala.concurrent.Future {
+          var committed = -1
+          var attempts = 0
+          while (committed < 0 && attempts < 50) {
+            attempts += 1
+            try committed = TxTable.commit(Seq((i.toLong, s"w$i")).toDF("id", "s"), table)
+            catch { case e: RuntimeException if e.getMessage.contains("conflict") => () }
+          }
+          committed
+        }
+      }
+      val versions = futures.map(f =>
+        scala.concurrent.Await.result(f, scala.concurrent.duration.Duration(120, "s")))
+      pool.shutdown()
+      versions.sorted shouldBe (1 to 8)
+      TxTable.read(spark, table).collect().map(_.getLong(0)).sorted shouldBe (1L to 8L)
+      // no orphaned manifest: the _manifests dir holds EXACTLY v1..v8,
+      // no staged .tmp survivors from the losing CAS attempts
+      val names = new java.io.File(s"$table/_manifests").listFiles().map(_.getName).sorted
+      names.toSeq shouldBe (1 to 8).map(v => s"v$v.json")
+    } finally TxTable.committerOverride = None
+  }
+
+  test("mergeInto retries a lost CAS by RE-MERGING against the new head: racing append and merge both land (r8)") {
+    val table = freshTable()
+    TxTable.commit(Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "v"), table) shouldBe 1
+    val feed = Seq((2L, 99.0, 1L, "U"), (3L, 0.0, 1L, "D"), (5L, 50.0, 1L, "I"))
+      .toDF("id", "v", "seq", "op")
+    // inject a competing append BETWEEN the merge's read and its
+    // publish: the hook fires once, commits extra rows as the next
+    // version, then lets the merge's own publish lose the CAS
+    @volatile var fired = false
+    val hook: graft.sources.TxCommitter = new graft.sources.TxCommitter {
+      def publish(f: org.apache.hadoop.fs.FileSystem, mp: org.apache.hadoop.fs.Path,
+                  json: String, nonce: String): Boolean = {
+        if (!fired) {
+          fired = true
+          TxTable.committerOverride = None
+          try TxTable.commit(Seq((7L, 70.0)).toDF("id", "v"), table)
+          finally TxTable.committerOverride = Some(this)
+        }
+        graft.sources.LocalLinkCommitter.publish(f, mp, json, nonce)
+      }
+    }
+    TxTable.committerOverride = Some(hook)
+    val (v, attempts) = try TxTable.mergeInto(spark, table, feed, "id", "seq", "op")
+      finally TxTable.committerOverride = None
+    // the hook's append won v2; the merge lost, RE-READ the head (now
+    // including id=7) and re-merged into v3 — both writers landed
+    attempts shouldBe 2
+    v shouldBe 3
+    TxTable.opOf(spark, table, 2) shouldBe "append"
+    TxTable.opOf(spark, table, 3) shouldBe "merge"
+    TxTable.read(spark, table).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sorted shouldBe
+      Seq((1L, 10.0), (2L, 99.0), (5L, 50.0), (7L, 70.0))
+  }
 }

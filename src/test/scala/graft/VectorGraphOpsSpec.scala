@@ -130,4 +130,44 @@ class VectorGraphOpsSpec extends SparkSpec {
     (1 to 5).map(n => out(n.toLong)).toSet shouldBe Set(1L)
     (12 to 15).map(n => out(n.toLong)).toSet shouldBe Set(11L)
   }
+
+  test("every Graph operator releases its input caches before returning (r8)") {
+    // after each call + materialization, the only persisted RDDs added
+    // are localCheckpoint artifacts (result/round frames the plan still
+    // references until GC) — never an unreleased input persist
+    val cliqueA = for (a <- 1 to 6; b <- (a + 1) to 6) yield (a.toLong, b.toLong)
+    val cliqueB = for (a <- 11 to 15; b <- (a + 1) to 15) yield (a.toLong, b.toLong)
+    val pairs = (cliqueA ++ cliqueB ++ Seq((5L, 11L), (6L, 12L))).toDF("a", "b")
+    val seeds = Seq(1L, 11L).toDF("node")
+    val labels = Seq((1L, 1L), (2L, 1L), (11L, 11L)).toDF("node", "community")
+    val ops: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      "pageRank" -> (() => Graph.pageRank(pairs, "a", "b", iters = 2)),
+      "personalizedPageRank" -> (() => Graph.personalizedPageRank(pairs, "a", "b", seeds, iters = 2)),
+      "hits" -> (() => Graph.hits(pairs, "a", "b", iters = 2)),
+      "jaccardLinkPrediction" -> (() => Graph.jaccardLinkPrediction(pairs, "a", "b")),
+      "raLinkPrediction" -> (() => Graph.raLinkPrediction(pairs, "a", "b")),
+      "triangleCounts" -> (() => Graph.triangleCounts(pairs, "a", "b")),
+      "clusteringCoefficient" -> (() => Graph.clusteringCoefficient(pairs, "a", "b")),
+      "labelPropagation" -> (() => Graph.labelPropagation(pairs, "a", "b", iters = 2)),
+      "modularity" -> (() => Graph.modularity(pairs, "a", "b", labels)),
+      "assortativity" -> (() => Graph.assortativity(pairs, "a", "b")),
+      "bfsDistances" -> (() => Graph.bfsDistances(pairs, "a", "b", seeds)),
+      "kCore" -> (() => Graph.kCore(pairs, "a", "b", 3)),
+      "degreeTailAlpha" -> (() => Graph.degreeTailAlpha(pairs, "a", "b", k = 3)))
+    for ((name, op) <- ops) {
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      val df = op()
+      df.count()
+      // RDD.isLocallyCheckpointed is private[spark] — reflect in
+      val isCkpt = classOf[org.apache.spark.rdd.RDD[_]]
+        .getDeclaredMethod("isLocallyCheckpointed")
+      isCkpt.setAccessible(true)
+      val leaked = spark.sparkContext.getPersistentRDDs
+        .filter { case (id, _) => !before(id) }
+        .values.filterNot(r => isCkpt.invoke(r).asInstanceOf[Boolean])
+      assert(leaked.isEmpty,
+        s"$name leaked ${leaked.size} non-checkpoint persisted RDD(s): " +
+        leaked.map(_.toString).mkString("; "))
+    }
+  }
 }
