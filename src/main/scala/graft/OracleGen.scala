@@ -1463,4 +1463,379 @@ object OracleGen {
      SELECT CAST(COUNT(*) AS INT) AS k,
        round(CAST($k AS DOUBLE) / CAST(SUM(tm) AS DOUBLE), 9) AS alpha
      FROM terms"""
+
+  /** Shared weighted-edge prelude (r8): the bucketed similarity pairs
+    * WITH their cosine, symmetrized, weights quantized to integer
+    * units (floor(cos·scale + ½)), duplicate orientations collapsed
+    * to max, zero-quantum edges dropped — mirrors
+    * Graph.pageRankWeighted's edge construction exactly.
+    */
+  private def weightedEdgesPrelude(minCos: Double, nbits: Int, dim: Int,
+                                   cap: Int, weightScale: Long): String =
+    s"""b AS (
+       SELECT vec_id, embedding, ${bucketSql("embedding", nbits, dim)} AS bucket
+       FROM embeddings),
+     capped AS (
+       SELECT vec_id, embedding, bucket FROM (
+         SELECT vec_id, embedding, bucket,
+           ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY vec_id) AS bn
+         FROM b) WHERE bn <= $cap),
+     prs AS (
+       SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+         ${cosineSql("a.embedding", "b2.embedding", dim)} AS cos
+       FROM capped a JOIN capped b2
+         ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+       WHERE ${cosineSql("a.embedding", "b2.embedding", dim)} >= $minCos),
+     e0 AS (
+       SELECT vec_a AS src, vec_b AS dst,
+         CAST(floor(cos * $weightScale + 0.5) AS BIGINT) AS wq FROM prs
+       UNION ALL
+       SELECT vec_b, vec_a, CAST(floor(cos * $weightScale + 0.5) AS BIGINT) FROM prs),
+     edges AS MATERIALIZED (
+       SELECT src, dst, MAX(wq) AS wq FROM e0 GROUP BY 1, 2 HAVING MAX(wq) > 0),
+     ws AS MATERIALIZED (SELECT src, SUM(wq) AS wtot FROM edges GROUP BY src)"""
+
+  /** Weighted PageRank (Graph.pageRankWeighted over
+    * Dedup.embeddingPairs ≥ minCos with the cosine as edge weight):
+    * contributions floor(pr·wq/Wq·10¹⁵ + ½) summed as HUGEINT —
+    * the pprSql integer-quantization contract with weight-proportional
+    * spread.
+    */
+  def pageRankWeightedSql(minCos: Double = 0.4, nbits: Int = 6, dim: Int = 64,
+                          cap: Int = 40, iters: Int = 3,
+                          dampNum: Int = 17, dampDen: Int = 20,
+                          weightScale: Long = 1000000L): String = {
+    val baseNum = dampDen - dampNum
+    def iter(prev: String, out: String): String =
+      s"""$out AS MATERIALIZED (
+         SELECT e.dst AS node,
+           CAST($baseNum AS DOUBLE) / (CAST($dampDen AS DOUBLE) * CAST(nv.n AS DOUBLE))
+             + (CAST($dampNum AS DOUBLE) / CAST($dampDen AS DOUBLE))
+               * (CAST(SUM(CAST(floor(p.pr * e.wq / w.wtot * 1000000000000000.0 + 0.5)
+                   AS HUGEINT)) AS DOUBLE) / 1000000000000000.0) AS pr
+         FROM edges e
+         JOIN $prev p ON p.node = e.src
+         JOIN ws w ON w.src = e.src
+         CROSS JOIN nv
+         GROUP BY e.dst, nv.n)"""
+    val its = (1 to iters).map(i => iter(if (i == 1) "pr0" else s"it${i - 1}", s"it$i"))
+    s"""WITH ${weightedEdgesPrelude(minCos, nbits, dim, cap, weightScale)},
+     nv AS (SELECT COUNT(*) AS n FROM ws),
+     pr0 AS (SELECT src AS node, CAST(1 AS DOUBLE) / CAST(n AS DOUBLE) AS pr
+             FROM ws CROSS JOIN nv),
+     ${its.mkString(",\n     ")}
+     SELECT node, pr FROM it$iters"""
+  }
+
+  /** Weighted personalized PageRank
+    * (Graph.personalizedPageRankWeighted): the pprSql sparse-frontier
+    * unroll with weight-proportional spread.
+    */
+  def pprWeightedSql(seedMod: Int, minCos: Double = 0.1, nbits: Int = 6,
+                     dim: Int = 64, cap: Int = 40, iters: Int = 3,
+                     dampNum: Int = 17, dampDen: Int = 20,
+                     weightScale: Long = 1000000L): String = {
+    val baseNum = dampDen - dampNum
+    def iter(prev: String, out: String): String =
+      s"""$out AS MATERIALIZED (
+         SELECT COALESCE(sp.node, sd.node) AS node,
+           CASE WHEN sd.node IS NOT NULL THEN
+             CAST($baseNum AS DOUBLE) / (CAST($dampDen AS DOUBLE) * CAST((SELECT n FROM ns) AS DOUBLE))
+           ELSE 0.0 END
+           + (CAST($dampNum AS DOUBLE) / CAST($dampDen AS DOUBLE))
+             * (COALESCE(CAST(sp.csum AS DOUBLE), 0.0) / 1000000000000000.0) AS pr
+         FROM (SELECT e.dst AS node,
+                 SUM(CAST(floor(p.pr * e.wq / w.wtot * 1000000000000000.0 + 0.5) AS HUGEINT)) AS csum
+               FROM edges e
+               JOIN $prev p ON p.node = e.src
+               JOIN ws w ON w.src = e.src
+               GROUP BY e.dst) sp
+         FULL OUTER JOIN seeds sd ON sd.node = sp.node)"""
+    val its = (1 to iters).map(i => iter(if (i == 1) "pr0" else s"it${i - 1}", s"it$i"))
+    s"""WITH ${weightedEdgesPrelude(minCos, nbits, dim, cap, weightScale)},
+     seeds AS MATERIALIZED (
+       SELECT DISTINCT vec_id AS node FROM embeddings
+       WHERE vec_id % $seedMod = 0 AND vec_id IN (SELECT src FROM ws)),
+     ns AS (SELECT COUNT(*) AS n FROM seeds),
+     pr0 AS (SELECT node, CAST(1 AS DOUBLE) / CAST((SELECT n FROM ns) AS DOUBLE) AS pr
+             FROM seeds),
+     ${its.mkString(",\n     ")}
+     SELECT node, pr FROM it$iters"""
+  }
+
+  /** Shared IVF-PQ candidate machinery (r8): md5-seeded IVF cells +
+    * probes (ivfAnnSql) over md5-seeded PQ codes + per-query LUT
+    * (pqAdcSql) — the ADC sum runs over PROBED CELLS ONLY.
+    */
+  private def ivfPqCandidates(ncells: Int, nprobe: Int, m: Int, ksub: Int,
+                              dim: Int): String = {
+    val w = dim / m
+    def l2(vec: String, j: Int): String = (0 until w).map { i =>
+      val idx = j * w + i + 1
+      s"(CAST($vec[$idx] AS DOUBLE) - CAST(s.sv[$idx] AS DOUBLE)) * " +
+        s"(CAST($vec[$idx] AS DOUBLE) - CAST(s.sv[$idx] AS DOUBLE))"
+    }.mkString("(", " + ", ")")
+    val codeSubqs = (0 until m).map(j =>
+      s"SELECT e.vec_id, $j AS subspace, s.cid, ${l2("e.embedding", j)} AS d " +
+        "FROM embeddings e CROSS JOIN pqseeds s").mkString("\n       UNION ALL ")
+    val lutSubqs = (0 until m).map(j =>
+      s"SELECT q.vec_id AS query_id, $j AS subspace, s.cid AS code, " +
+        s"CAST(${l2("q.embedding", j)} AS DECIMAL(20,10)) AS d " +
+        "FROM embeddings q CROSS JOIN pqseeds s WHERE q.vec_id < 8").mkString("\n       UNION ALL ")
+    s"""seeds AS (
+       SELECT sv, CAST(rn - 1 AS INT) AS cell FROM (
+         SELECT embedding AS sv,
+           ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+         FROM embeddings) WHERE rn <= $ncells),
+     pqseeds AS (
+       SELECT sv, CAST(rn - 1 AS INT) AS cid FROM (
+         SELECT embedding AS sv,
+           ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+         FROM embeddings) WHERE rn <= $ksub),
+     cells AS MATERIALIZED (
+       SELECT vec_id, cell FROM (
+         SELECT e.vec_id, s.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY ${cosineSql("e.embedding", "s.sv", dim)} DESC, s.cell) AS crn
+         FROM embeddings e CROSS JOIN seeds s) WHERE crn = 1),
+     probes AS MATERIALIZED (
+       SELECT query_id, cell FROM (
+         SELECT e.vec_id AS query_id, s.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY ${cosineSql("e.embedding", "s.sv", dim)} DESC, s.cell) AS prn
+         FROM embeddings e CROSS JOIN seeds s WHERE e.vec_id < 8) WHERE prn <= $nprobe),
+     cd AS ($codeSubqs),
+     codes AS MATERIALIZED (
+       SELECT vec_id AS neighbor_id, subspace, code FROM (
+         SELECT vec_id, subspace, cid AS code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, subspace ORDER BY d, cid) AS rn
+         FROM cd) WHERE rn = 1),
+     lut AS ($lutSubqs),
+     adc AS MATERIALIZED (
+       SELECT p.query_id, c.neighbor_id, SUM(l.d) AS adc
+       FROM codes c
+       JOIN cells cl ON cl.vec_id = c.neighbor_id
+       JOIN probes p ON p.cell = cl.cell
+       JOIN lut l ON l.query_id = p.query_id
+         AND l.subspace = c.subspace AND l.code = c.code
+       WHERE c.neighbor_id <> p.query_id
+       GROUP BY 1, 2)"""
+  }
+
+  /** IVF-PQ top-k (operators.Similarity.ivfPqTopK, query set
+    * `vec_id < 8`): the FAISS IVFADC composition, every stage
+    * rebuilt from the table.
+    */
+  def ivfPqSql(ncells: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
+               dim: Int = 64, k: Int = 10): String = {
+    require(dim % m == 0)
+    s"""WITH ${ivfPqCandidates(ncells, nprobe, m, ksub, dim)}
+     SELECT query_id, neighbor_id, round(CAST(adc AS DOUBLE), 6) AS adc, rank FROM (
+       SELECT query_id, neighbor_id, adc,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY adc, neighbor_id) AS INT) AS rank
+       FROM adc) WHERE rank <= $k"""
+  }
+
+  /** IVF-PQ recall@k vs exact cosine top-k
+    * (operators.Similarity.ivfPqRecall): membership compare, the
+    * annRecallSql contract.
+    */
+  def ivfPqRecallSql(ncells: Int = 16, nprobe: Int = 4, m: Int = 8,
+                     ksub: Int = 16, dim: Int = 64, k: Int = 10): String = {
+    require(dim % m == 0)
+    s"""WITH ${ivfPqCandidates(ncells, nprobe, m, ksub, dim)},
+     approx AS (
+       SELECT query_id, neighbor_id FROM (
+         SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY adc, neighbor_id) AS rank
+         FROM adc) WHERE rank <= $k),
+     exact AS (
+       SELECT query_id, neighbor_id FROM (
+         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rank
+         FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+         WHERE q.vec_id < 8) WHERE rank <= $k),
+     hits AS (
+       SELECT e.query_id, COUNT(*) AS n_hits
+       FROM exact e JOIN approx a USING (query_id, neighbor_id) GROUP BY 1)
+     SELECT q.vec_id AS query_id, CAST(COALESCE(h.n_hits, 0) AS INT) AS n_hits,
+       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / $k AS recall_at_k
+     FROM (SELECT vec_id FROM embeddings WHERE vec_id < 8) q
+     LEFT JOIN hits h ON h.query_id = q.vec_id"""
+  }
+
+  /** Synchronous Louvain local-move rounds (Graph.louvainMove over
+    * Dedup.embeddingPairs ≥ minCos): labels unrolled as MATERIALIZED
+    * CTEs (the labelPropSql shape); the gain argmax is pure integer
+    * arithmetic — score = 2m·e_{i→c} − k_i·d'_c in HUGEINT, ties
+    * (score desc, community asc).
+    */
+  def louvainSql(minCos: Double = 0.4, nbits: Int = 6, dim: Int = 64,
+                 cap: Int = 40, rounds: Int = 2): String = {
+    def round(prev: String, r: Int): String =
+      s"""dc$r AS MATERIALIZED (
+         SELECT l.community, SUM(d.deg) AS dtot
+         FROM $prev l JOIN deg d ON d.src = l.node GROUP BY 1),
+     lk$r AS MATERIALIZED (
+         SELECT e.src AS node, l.community AS c, COUNT(*) AS e_ic
+         FROM edges e JOIN $prev l ON l.node = e.dst GROUP BY 1, 2),
+     cd$r AS MATERIALIZED (
+         SELECT node, c, MAX(e_ic) AS e_ic FROM (
+           SELECT node, c, e_ic FROM lk$r
+           UNION ALL SELECT node, community AS c, 0 AS e_ic FROM $prev)
+         GROUP BY 1, 2),
+     sc$r AS MATERIALIZED (
+         SELECT cd.node, cd.c,
+           CAST((SELECT m2 FROM m2t) AS HUGEINT) * cd.e_ic
+             - CAST(d.deg AS HUGEINT)
+               * (dc.dtot - CASE WHEN cur.community = cd.c THEN d.deg ELSE 0 END) AS score
+         FROM cd$r cd
+         JOIN deg d ON d.src = cd.node
+         JOIN dc$r dc ON dc.community = cd.c
+         JOIN $prev cur ON cur.node = cd.node),
+     l$r AS MATERIALIZED (
+         SELECT node, c AS community FROM (
+           SELECT node, c,
+             ROW_NUMBER() OVER (PARTITION BY node ORDER BY score DESC, c) AS rn
+           FROM sc$r) WHERE rn = 1)"""
+    val its = (1 to rounds).map(r => round(if (r == 1) "l0" else s"l${r - 1}", r))
+    s"""WITH b AS (
+       SELECT vec_id, embedding, ${bucketSql("embedding", nbits, dim)} AS bucket
+       FROM embeddings),
+     capped AS (
+       SELECT vec_id, embedding, bucket FROM (
+         SELECT vec_id, embedding, bucket,
+           ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY vec_id) AS bn
+         FROM b) WHERE bn <= $cap),
+     prs AS (
+       SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b FROM capped a JOIN capped b2
+         ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+       WHERE ${cosineSql("a.embedding", "b2.embedding", dim)} >= $minCos),
+     edges AS MATERIALIZED (
+       SELECT vec_a AS src, vec_b AS dst FROM prs
+       UNION SELECT vec_b, vec_a FROM prs),
+     deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+     m2t AS (SELECT COUNT(*) AS m2 FROM edges),
+     l0 AS MATERIALIZED (SELECT src AS node, src AS community FROM deg),
+     ${its.mkString(",\n     ")}
+     SELECT node, community FROM l$rounds"""
+  }
+
+  /** Greedy k-center coreset (Similarity.kCenterCoreset): the
+    * farthest-first traversal unrolled — each center a MATERIALIZED
+    * 1-row argmax (mind desc, id), min-dist updated via the mirrored
+    * 1−cosine; radius = the pick's min-dist at selection.
+    */
+  def kCenterSql(k: Int = 8, dim: Int = 64): String = {
+    require(k >= 2)
+    def cosTo(c: String) = cosineSql("d.embedding", s"$c.embedding", dim)
+    val steps = (2 to k).map { i =>
+      val prevD = s"d${i - 1}"
+      val upd =
+        if (i == 2) "" // d1 already holds the first center's distances
+        else s""",
+     d${i - 1} AS MATERIALIZED (
+         SELECT d.vec_id, d.embedding,
+           LEAST(d.mind, 1.0 - ${cosTo("c")}) AS mind
+         FROM d${i - 2} d CROSS JOIN c${i - 1} c)"""
+      s"""$upd,
+     c$i AS MATERIALIZED (
+         SELECT vec_id, embedding, mind FROM $prevD
+         ORDER BY mind DESC, vec_id LIMIT 1)"""
+    }
+    val selects = (2 to k).map(i =>
+      s"UNION ALL SELECT $i, vec_id, round(mind, 9) FROM c$i").mkString("\n     ")
+    s"""WITH c1 AS MATERIALIZED (
+       SELECT vec_id, embedding FROM embeddings
+       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1),
+     d1 AS MATERIALIZED (
+       SELECT d.vec_id, d.embedding, 1.0 - ${cosTo("c")} AS mind
+       FROM embeddings d CROSS JOIN c1 c)${steps.mkString("")}
+     SELECT CAST(1 AS INT) AS pick, vec_id, CAST(NULL AS DOUBLE) AS radius FROM c1
+     $selects"""
+  }
+
+  /** Bloom-filter file skipping (TxTable bloomCols + readWhereKey):
+    * per-file blooms REBUILT from the versioned data files
+    * (`filename=true`), probe keys hashed with the same md5-affine
+    * family, kept-file counts and returned rows both checked — the
+    * full membership-pruning decision verified from the data alone.
+    */
+  def bloomSkipSql(tablePath: String, m: Int = 4096, k: Int = 3,
+                   presentKey: String = "1", absentKey: String = "-7"): String = {
+    def bitList(h: String) = (0 until k)
+      .map(j => s"(${Hashing.affineA(j)} * $h + ${Hashing.affineB(j)}) % $P % $m")
+      .mkString("[", ", ", "]")
+    s"""WITH rows AS (
+       SELECT o_orderkey, o_totalprice, filename
+       FROM read_parquet('$tablePath/data/v1_*.parquet', filename=true)),
+     hs AS (
+       SELECT DISTINCT filename,
+         ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % $P AS h
+       FROM rows),
+     bits AS (
+       SELECT DISTINCT filename, bit FROM (
+         SELECT filename, unnest(${bitList("h")}) AS bit FROM hs)),
+     ph AS (
+       SELECT tag, ('0x' || substr(md5(kv), 1, 8))::BIGINT % $P AS h
+       FROM (VALUES ('present', '$presentKey'), ('absent', '$absentKey')) AS t(tag, kv)),
+     pb AS (
+       SELECT DISTINCT tag, bit FROM (
+         SELECT tag, unnest(${bitList("h")}) AS bit FROM ph)),
+     need AS (SELECT tag, COUNT(*) AS nb FROM pb GROUP BY 1),
+     hits AS (
+       SELECT p.tag, b.filename, COUNT(DISTINCT p.bit) AS got
+       FROM pb p JOIN bits b ON b.bit = p.bit GROUP BY 1, 2),
+     kept AS (
+       SELECT h.tag, COUNT(*) AS n_kept
+       FROM hits h JOIN need n ON n.tag = h.tag
+       WHERE h.got = n.nb GROUP BY 1),
+     exp AS (
+       SELECT 'present' AS tag, COUNT(*) AS n_rows,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+       FROM rows WHERE CAST(o_orderkey AS VARCHAR) = '$presentKey'
+       UNION ALL
+       SELECT 'absent', CAST(0 AS BIGINT), CAST(NULL AS DOUBLE))
+     SELECT e.tag AS label, CAST(COALESCE(kp.n_kept, 0) AS BIGINT) AS n_files_kept,
+       e.n_rows, e.sum_price
+     FROM exp e LEFT JOIN kept kp ON kp.tag = e.tag"""
+  }
+
+  /** Per-band summary of the MinHash band index over the post-
+    * maintenance corpus (doc_id % 10 <> 1 — base minus takedowns plus
+    * the appended batch), emitted TWICE (sections incremental/rebuild):
+    * the incremental TxTable-maintained index and the from-scratch
+    * rebuild must both hash-equal this single expected table.
+    */
+  def bandIndexSummarySql(k: Int = 16): String = {
+    val minCols = (0 until k)
+      .map(i => s"MIN((${Hashing.affineA(i)} * h0 + ${Hashing.affineB(i)}) % $P) AS m$i")
+      .mkString(", ")
+    val sigList = (0 until k).map(i => s"m$i").mkString("[", ", ", "]")
+    s"""WITH toks AS (
+       SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+       FROM documents WHERE doc_id % 10 <> 1),
+     sh AS (
+       SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1]
+                                            for i in generate_series(1, len(w)-1)])) AS sh
+       FROM toks WHERE len(w) >= 2),
+     h AS (SELECT doc_id, ${portableHashSql("sh")} AS h0 FROM sh),
+     sig AS (SELECT doc_id, $minCols FROM h GROUP BY doc_id),
+     banded AS (
+       SELECT doc_id, band, (band * 31 + m) % $P AS bandval FROM (
+         SELECT doc_id, unnest($sigList) AS m,
+                unnest(generate_series(0, ${k - 1})) AS band
+         FROM sig)),
+     summary AS (
+       SELECT CAST(band AS INT) AS band, COUNT(*) AS n_docs,
+         COUNT(DISTINCT bandval) AS n_vals,
+         CAST(SUM(((bandval % 1000003) + 1000003) % 1000003) AS BIGINT) AS checksum
+       FROM banded GROUP BY 1)
+     SELECT t.section, s.band, s.n_docs, s.n_vals, s.checksum
+     FROM summary s
+     CROSS JOIN (VALUES ('incremental'), ('rebuild')) AS t(section)"""
+  }
 }

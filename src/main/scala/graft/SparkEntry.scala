@@ -2040,6 +2040,212 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"),
           sum(dec(col("o_totalprice"))).cast("double").as("revenue"))),
 
+    // §2#62v (r8) streaming CDC SOURCE over a TxTable — the inverse of
+    // q293's exactly-once sink, the Delta streaming-source shape:
+    // offsets ARE committed versions; the stream-replayed change rows
+    // must equal the batch changes(0, head) section-for-section, and
+    // the per-version commit times ride along strictly increasing.
+    "q306_tx_changes_stream" -> ((s, dir) => {
+      val table = sidePath("graft_txcdcs", dir)
+      sources.TxTable.drop(s, table)
+      val ord = t(s, dir, "orders").df
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      def part(p: String) = ord.filter(col("o_orderpriority") === p)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      sources.TxTable.commit(part("1-URGENT"), table)
+      sources.TxTable.commit(part("2-HIGH"), table)
+      sources.TxTable.commit(part("5-LOW"), table, op = "overwrite")
+      val streamed = sources.TxChangesStream.replayAll(s, table)
+      def summarize(df: org.apache.spark.sql.DataFrame, section: String) =
+        df.groupBy(concat(col("_change"), lit("@"), col("_version")).as("label"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
+          .select(lit(section).as("section"), col("label"), col("n_rows"), col("sum_price"))
+      val batch = sources.TxTable.changes(s, table, 0, 3)
+      val wv = org.apache.spark.sql.expressions.Window.orderBy(col("_version"))
+      val msOk = streamed.select(col("_version"), col("_commit_ms")).distinct()
+        .withColumn("_prev", lag(col("_commit_ms"), 1).over(wv))
+        .agg(min(when(col("_prev").isNull || col("_commit_ms") > col("_prev"), 1L)
+          .otherwise(0L)).as("n_rows"))
+        .select(lit("meta").as("section"), lit("ms_monotonic").as("label"),
+          col("n_rows"), lit(null).cast("double").as("sum_price"))
+      summarize(streamed, "stream").unionByName(summarize(batch, "batch"))
+        .unionByName(msOk)
+    }),
+
+    // §2#35q (r8) IVF-PQ — the FAISS IVFADC composition of q36's
+    // coarse quantizer, q69's PQ codes, and q70's ADC scan: queries
+    // ADC-scan ONLY their nprobe probed cells' codes. Full pipeline
+    // (seeds, cells, codes, LUT, probe-restricted sum) hash-verified.
+    "q307_ivf_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").df
+      operators.Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 8))
+    }),
+
+    // §2#35r (r8) IVF-PQ recall@k vs exact cosine top-k at nprobe <
+    // ncells — the stacked-approximation audit (cell pruning + PQ
+    // distortion) run before committing a 100-TB IVFADC build.
+    "q308_ivfpq_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").df
+      operators.Similarity.ivfPqRecall(emb, emb.filter(col("vec_id") < 8))
+    }),
+
+    // §2#30y (r8) weighted PageRank over the cos>=0.4 similarity graph
+    // (q97's edges, now with their cosines as weights): rank flows
+    // proportional to similarity — the exemplar ranker that doesn't
+    // flatten a 0.97-cosine edge to a 0.41 one.
+    "q309_weighted_pagerank" -> ((s, dir) => {
+      val pairs = operators.Dedup.embeddingPairs(t(s, dir, "embeddings").df)
+        .filter(col("cos") >= 0.4)
+      operators.Graph.pageRankWeighted(pairs, "vec_a", "vec_b", "cos")
+    }),
+
+    // §2#30z (r8) weighted personalized PageRank (q267's seeds, q309's
+    // weight-proportional spread): seed-relative relevance respecting
+    // similarity scores — the corpus-expansion ranker.
+    "q310_weighted_ppr" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").df
+      val pairs = operators.Dedup.embeddingPairs(emb).filter(col("cos") >= 0.1)
+      operators.Graph.personalizedPageRankWeighted(pairs, "vec_a", "vec_b", "cos",
+        emb.filter(col("vec_id") % 2 === 0).select(col("vec_id")))
+    }),
+
+    // §2#28f (r8) hot-key-safe batch sessionization: the q64
+    // bucket+carry decomposition applied to q137's gaps-and-islands —
+    // per-(key, bucket) windows with one carried prev-timestamp and a
+    // bucket-level start cumsum, result ≡ the plain per-key sort
+    // (THIS gate proves it: same oracle SQL as q137).
+    "q311_sessions_bucketed" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"))
+      operators.Behavior.sessionizeBatchBucketed(ev, "user_id", "tus",
+        gapUs = 1800000000L, bucketWidth = 3600000000L, tieCols = Seq("event_id"))
+    }),
+
+    // §2#62w (r8) constraint-gated commit (Delta CHECK constraints /
+    // WAP): the declared Quality audit runs BEFORE publish; a clean
+    // frame commits and its verdicts report, a violating frame refuses
+    // with the head untouched (spec-side).
+    "q313_tx_constraints" -> ((s, dir) => {
+      val table = sidePath("graft_txchk", dir)
+      sources.TxTable.drop(s, table)
+      val urgent = t(s, dir, "orders").df
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      def checks = Seq[functions.Quality.Check](
+        functions.Quality.Completeness("o_orderkey"),
+        functions.Quality.Uniqueness("o_orderkey"),
+        functions.Quality.NonNegative("o_totalprice"))
+      sources.TxTable.commitChecked(urgent, table, checks)
+      val snap = sources.TxTable.read(s, table)
+      val agg = snap.agg(count(lit(1)).as("n_rows"),
+          sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
+        .select(lit("table").as("section"), lit("all").as("label"),
+          col("n_rows"), col("sum_price"))
+      val verdicts = functions.Quality.audit(snap, checks)
+        .select(lit("check").as("section"),
+          concat(col("check"), lit("@"), col("column")).as("label"),
+          when(col("passed"), 1L).otherwise(0L).as("n_rows"),
+          lit(null).cast("double").as("sum_price"))
+      agg.unionByName(verdicts)
+    }),
+
+    // §2#30ab (r8) Louvain local-move rounds over the cos>=0.4
+    // similarity graph: the quality-driven community refiner between
+    // q167's frequency votes and q240's modularity grade — gain argmax
+    // in exact integer arithmetic, 2 synchronous sweeps.
+    "q314_louvain" -> ((s, dir) => {
+      val pairs = operators.Dedup.embeddingPairs(t(s, dir, "embeddings").df)
+        .filter(col("cos") >= 0.4)
+      operators.Graph.louvainMove(pairs, "vec_a", "vec_b", rounds = 2)
+    }),
+
+    // §2#54b (r8) greedy k-center coreset (farthest-first traversal):
+    // the coverage-guaranteed diversity subset beside q73's per-cell
+    // quotas — per round one map-only min-dist update + a TakeOrdered
+    // argmax; the 8 picks and their selection radii are the output.
+    "q315_kcenter_coreset" -> ((s, dir) =>
+      operators.Similarity.kCenterCoreset(t(s, dir, "embeddings").df, k = 8)),
+
+    // §2#62x (r8) bloom-filter file skipping (the Delta bloom index):
+    // the point-lookup complement of q272's min/max stats — the table
+    // is deliberately hash-scattered on the key, so every file's range
+    // spans the domain and ONLY membership prunes; a present key reads
+    // its files (no false negatives), an absent key prunes on bloom
+    // bits alone. Per-file blooms and both probes are recomputed
+    // independently by the oracle from the data files (filename=true).
+    "q316_tx_bloom_skip" -> ((s, dir) => {
+      val table = sidePath("graft_txbloom", dir)
+      sources.TxTable.drop(s, table)
+      val ord = t(s, dir, "orders").df
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .repartition(8, col("o_orderkey")) // unclustered: range stats useless
+      sources.TxTable.commit(ord, table, bloomCols = Seq("o_orderkey"))
+      def probe(tag: String, key: String) = {
+        val kept = sources.TxTable.prunedFilesByKey(s, table, 1, "o_orderkey", key)
+        sources.TxTable.readWhereKey(s, table, "o_orderkey", key)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
+          .select(lit(tag).as("label"), lit(kept.size.toLong).as("n_files_kept"),
+            col("n_rows"), col("sum_price"))
+      }
+      probe("present", "1").unionByName(probe("absent", "-7"))
+    }),
+
+    // §2#52au (r8) Friedman rank test on the day × event-type daily-
+    // mean table: "did any event type's level shift, CONTROLLING for
+    // the day" — the within-block companion to q265's global Kruskal
+    // ranks; complete blocks only, half-unit ranks per day.
+    "q317_friedman" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .select((unix_micros(col("ts")) / lit(86400000000L)).cast("long").as("day"),
+          col("event_type"),
+          floor(col("value") * 1000000L + lit(0.5)).cast("long").as("_vq"))
+      val daily = ev.groupBy("day", "event_type")
+        .agg(round(sum(col("_vq").cast("decimal(38,0)")).cast("double")
+          / count(lit(1)).cast("double") / 1e6, 6).as("day_mean"))
+      functions.Profile.friedman(daily, "day", "event_type", "day_mean")
+    }),
+
+    // §2#30aa (r8) incremental dedup-index maintenance over the
+    // lakehouse: the MinHash band index persists as a TxTable; a new
+    // batch contributes ONLY its own band rows (I) and takedowns
+    // retract theirs (D) through mergeInto — the incrementally-
+    // maintained index must hash-equal a from-scratch rebuild (both
+    // sections against ONE oracle-expected table).
+    "q312_dedup_index_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      val table = sidePath("graft_dedupidx", dir)
+      sources.TxTable.drop(s, table)
+      val key = concat_ws("#", col("doc_id"), col("band"))
+      // v1: index of the base corpus
+      val base = docs.filter(col("doc_id") % 5 =!= 0)
+      val idx1 = operators.Dedup.minhashBandIndex(base).withColumn("key", key)
+        .select("key", "doc_id", "band", "bandval")
+      sources.TxTable.commit(idx1, table)
+      // the CDC feed: new batch inserts + takedown deletes (the D rows
+      // re-derive from the COMMITTED index — batch-sized, no re-sign)
+      val ins = operators.Dedup.minhashBandIndex(docs.filter(col("doc_id") % 5 === 0))
+        .withColumn("key", key).select("key", "doc_id", "band", "bandval")
+        .withColumn("seq", lit(1L)).withColumn("op", lit("I"))
+      val dels = sources.TxTable.read(s, table)
+        .filter(col("doc_id") % 10 === 1)
+        .withColumn("seq", lit(1L)).withColumn("op", lit("D"))
+      sources.TxTable.mergeInto(s, table, ins.unionByName(dels),
+        "key", "seq", "op")
+      val inc = sources.TxTable.read(s, table)
+      val rebuild = operators.Dedup.minhashBandIndex(
+        docs.filter(col("doc_id") % 10 =!= 1))
+      def summarize(df: org.apache.spark.sql.DataFrame, section: String) =
+        df.groupBy(col("band").cast("int").as("band"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("bandval")).as("n_vals"),
+            sum(((col("bandval") % 1000003L) + 1000003L) % 1000003L).as("checksum"))
+          .select(lit(section).as("section"), col("band"), col("n_docs"),
+            col("n_vals"), col("checksum"))
+      summarize(inc, "incremental").unionByName(summarize(rebuild, "rebuild"))
+    }),
+
     // §2#37k (r7) Flesch reading ease + FK grade per language — the
     // corpus-total readability dial beside the Gopher quality signals;
     // ASCII-pinned alphabet, standard vowel-group syllable heuristic.
@@ -4901,6 +5107,120 @@ object SparkEntry {
            COUNT(*) AS n_orders,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
          FROM orders GROUP BY 1""",
+
+    // expected CDC sections recomputed from the versioned data-file
+    // globs (the q256 technique): insert@N = vN files; the overwrite's
+    // deletes = every parent file. Stream and batch must both match;
+    // the meta row asserts commit-time monotonicity (protocol-true).
+    "q306_tx_changes_stream" ->
+      """WITH v1 AS (SELECT o_orderkey, o_totalprice
+             FROM read_parquet('/tmp/graft_txcdcs___SFTAG__/data/v1_*.parquet')),
+         v2n AS (SELECT o_orderkey, o_totalprice
+             FROM read_parquet('/tmp/graft_txcdcs___SFTAG__/data/v2_*.parquet')),
+         v3 AS (SELECT o_orderkey, o_totalprice
+             FROM read_parquet('/tmp/graft_txcdcs___SFTAG__/data/v3_*.parquet')),
+         rows AS (
+           SELECT 'insert@1' AS label, o_totalprice FROM v1
+           UNION ALL SELECT 'insert@2', o_totalprice FROM v2n
+           UNION ALL SELECT 'delete@3', o_totalprice FROM v1
+           UNION ALL SELECT 'delete@3', o_totalprice FROM v2n
+           UNION ALL SELECT 'insert@3', o_totalprice FROM v3),
+         agg AS (
+           SELECT label, COUNT(*) AS n_rows,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+           FROM rows GROUP BY 1)
+         SELECT 'stream' AS section, label, n_rows, sum_price FROM agg
+         UNION ALL SELECT 'batch', label, n_rows, sum_price FROM agg
+         UNION ALL SELECT 'meta', 'ms_monotonic', CAST(1 AS BIGINT), CAST(NULL AS DOUBLE)""",
+
+    "q307_ivf_pq" -> OracleGen.ivfPqSql(),
+
+    "q308_ivfpq_recall" -> OracleGen.ivfPqRecallSql(),
+
+    "q309_weighted_pagerank" -> OracleGen.pageRankWeightedSql(),
+
+    "q310_weighted_ppr" -> OracleGen.pprWeightedSql(seedMod = 2, minCos = 0.1),
+
+    // IDENTICAL oracle to q137 — the bucketed decomposition must
+    // reproduce the plain per-key sessionization exactly
+    "q311_sessions_bucketed" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+         f AS (
+           SELECT user_id, event_id, tus,
+             CASE WHEN LAG(tus) OVER w IS NULL
+                    OR tus - LAG(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+         s AS (
+           SELECT user_id, tus,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM f)
+         SELECT user_id, CAST(sid AS BIGINT) AS session_seq,
+           MIN(tus) AS start_us, MAX(tus) AS end_us,
+           COUNT(*) AS n_events, MAX(tus) - MIN(tus) AS duration_us
+         FROM s GROUP BY 1, 2""",
+
+    "q312_dedup_index_incremental" -> OracleGen.bandIndexSummarySql(),
+
+    // verdicts recomputed in plain SQL over the same filter — all three
+    // checks pass on this data (the refusal path is spec-gated)
+    "q313_tx_constraints" ->
+      """WITH u AS (SELECT o_orderkey, o_totalprice FROM orders
+           WHERE o_orderpriority = '1-URGENT')
+         SELECT 'table' AS section, 'all' AS label, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+         FROM u
+         UNION ALL
+         SELECT 'check', 'completeness@o_orderkey',
+           CAST(CASE WHEN COUNT(o_orderkey) = COUNT(*) THEN 1 ELSE 0 END AS BIGINT),
+           CAST(NULL AS DOUBLE) FROM u
+         UNION ALL
+         SELECT 'check', 'uniqueness@o_orderkey',
+           CAST(CASE WHEN COUNT(DISTINCT o_orderkey) = COUNT(*)
+                      AND COUNT(o_orderkey) = COUNT(*) THEN 1 ELSE 0 END AS BIGINT),
+           CAST(NULL AS DOUBLE) FROM u
+         UNION ALL
+         SELECT 'check', 'non_negative@o_totalprice',
+           CAST(CASE WHEN SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) = 0
+                      THEN 1 ELSE 0 END AS BIGINT),
+           CAST(NULL AS DOUBLE) FROM u""",
+
+    "q314_louvain" -> OracleGen.louvainSql(),
+
+    "q316_tx_bloom_skip" ->
+      OracleGen.bloomSkipSql("/tmp/graft_txbloom___SFTAG__"),
+
+    "q317_friedman" ->
+      """WITH e AS (
+           SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+             CAST(floor(CAST(value AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS vq
+           FROM events),
+         daily AS (
+           SELECT day, event_type, round(CAST(SUM(CAST(vq AS HUGEINT)) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) / 1000000.0, 6) AS m
+           FROM e GROUP BY 1, 2),
+         q AS (SELECT day, event_type,
+             CAST(floor(m * 1000000 + 0.5) AS BIGINT) AS v FROM daily),
+         kt AS (SELECT COUNT(DISTINCT event_type) AS k FROM q),
+         cb AS (SELECT day, COUNT(*) AS c FROM q GROUP BY 1),
+         f AS (SELECT q.* FROM q JOIN cb ON cb.day = q.day, kt WHERE cb.c = kt.k),
+         r AS (SELECT day, event_type,
+             2 * RANK() OVER (PARTITION BY day ORDER BY v)
+               + COUNT(*) OVER (PARTITION BY day, v) - 1 AS r2
+           FROM f),
+         pt AS (SELECT event_type AS treatment, COUNT(*) AS n_blocks,
+             CAST(SUM(r2) AS BIGINT) AS r2_sum FROM r GROUP BY 1),
+         sc AS (SELECT MAX(n_blocks) AS n, COUNT(*) AS kk,
+             SUM(CAST(r2_sum AS HUGEINT) * r2_sum) AS s2 FROM pt)
+         SELECT treatment, n_blocks, r2_sum,
+           round(CAST(r2_sum AS DOUBLE) / (2.0 * CAST(n_blocks AS DOUBLE)), 9) AS mean_rank,
+           CAST(kk AS INT) AS k, CAST(kk - 1 AS INT) AS df,
+           round(3.0 * CAST(s2 AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(kk AS DOUBLE) * (CAST(kk AS DOUBLE) + 1.0))
+             - 3.0 * CAST(n AS DOUBLE) * (CAST(kk AS DOUBLE) + 1.0), 9) AS chi2_f
+         FROM pt, sc""",
+
+    "q315_kcenter_coreset" -> OracleGen.kCenterSql(),
 
     // the q98 funnel machinery with the 6h window bound on each hop
     "q300_funnel_windowed" ->

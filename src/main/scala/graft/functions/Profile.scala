@@ -1540,6 +1540,70 @@ object Profile {
           / (d("n") * d("n") * d("n") + d("n") * d("n"))), 9).as("p_approx"))
   }
 
+  /** Friedman rank test (blocks × treatments, the nonparametric
+    * repeated-measures ANOVA): does at least one TREATMENT differ when
+    * every block sees all treatments — "did any event type's daily
+    * level shift, controlling for the day?" — the within-block
+    * companion to [[kruskalWallis]] (which ranks globally and would
+    * confound day effects with type effects). χ²_F =
+    * 12/(nk(k+1))·ΣR_j² − 3n(k+1) on within-block average ranks,
+    * df = k−1 (Friedman '37).
+    *
+    * Exactness: the [[mannWhitneyU]] half-unit rank rule per block —
+    * r2 = 2·rank + ties − 1 exact integers from two same-partition
+    * windows; ΣR_j² carried as DECIMAL(38,0) of exact longs; χ² is
+    * one mirrored double expression, rounded 1e-9. Blocks missing any
+    * treatment drop (the complete-block requirement); duplicate
+    * (block, treatment) rows REFUSE in-plan (ranks would silently
+    * corrupt) — collapse to one row per cell first (the calendar-cell
+    * rule).
+    *
+    * Scale shape: built for collapsed cells — windows partition per
+    * BLOCK over k rows each (bounded by the treatment count, hot-key
+    * safe at any block count); the treatment rollup is one partial
+    * agg; k/n/ΣR² are 1-row broadcasts.
+    * Output: one row per treatment (treatment, n_blocks, r2_sum,
+    * mean_rank) + the shared (k, df, chi2_f) columns.
+    */
+  def friedman(df: DataFrame, blockCol: String, treatCol: String,
+               valueCol: String, unitScale: Long = 1000000L): DataFrame = {
+    val vq = floor(col(valueCol).cast("double") * unitScale + lit(0.5)).cast("long")
+    val base0 = df.select(col(blockCol).as("_b"), col(treatCol).as("_t"), vq.as("_v"))
+    val kRow = base0.agg(countDistinct(col("_t")).as("_k"))
+    // completeness by DISTINCT treatments (dups can't fake it); a dup
+    // cell inside a kept block refuses in-plan — its ranks would
+    // silently corrupt (incomplete blocks drop whole, dup or not)
+    val blocks = base0.groupBy(col("_b"))
+      .agg(countDistinct(col("_t")).as("_bk"), count(lit(1)).as("_rows"))
+    val full = base0.join(blocks, Seq("_b"))
+      .crossJoin(broadcast(kRow))
+      .filter(col("_bk") === col("_k"))
+      .withColumn("_v", when(col("_rows") > col("_bk"), raise_error(format_string(
+        "friedman: duplicate (block, treatment) rows — collapse to one row per cell first",
+        col("_rows").cast("string"))).cast("long")).otherwise(col("_v")))
+    // half-unit ranks within the block: r2 = 2·rank + ties − 1
+    val wB = Window.partitionBy(col("_b")).orderBy(col("_v"))
+    val wTie = Window.partitionBy(col("_b"), col("_v"))
+    val ranked = full
+      .withColumn("_r2", lit(2L) * rank().over(wB) + count(lit(1)).over(wTie) - 1L)
+    val perTreat = ranked.groupBy(col("_t").as("treatment"))
+      .agg(count(lit(1)).as("n_blocks"), sum(col("_r2")).as("r2_sum"))
+    val scalars = perTreat.agg(
+        max(col("n_blocks")).as("_n"),
+        count(lit(1)).as("_kk"),
+        sum((col("r2_sum").cast("decimal(38,0)") * col("r2_sum")).cast("decimal(38,0)"))
+          .as("_s2"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    perTreat.crossJoin(broadcast(scalars))
+      .select(col("treatment"), col("n_blocks"), col("r2_sum"),
+        round(d(col("r2_sum")) / (lit(2.0) * d(col("n_blocks"))), 9).as("mean_rank"),
+        col("_kk").cast("int").as("k"),
+        (col("_kk") - 1L).cast("int").as("df"),
+        round(lit(3.0) * d(col("_s2"))
+            / (d(col("_n")) * d(col("_kk")) * (d(col("_kk")) + lit(1.0)))
+          - lit(3.0) * d(col("_n")) * (d(col("_kk")) + lit(1.0)), 9).as("chi2_f"))
+  }
+
   /** Mann–Kendall monotonic-trend test over a series — the
     * SIGNIFICANCE companion to [[theilSen]]'s slope (same
     * rank-arithmetic family: S = Σ_{i<j} sign(v_j − v_i), the count

@@ -378,6 +378,75 @@ object Behavior {
       .withColumn("duration_us", col("end_us") - col("start_us"))
   }
 
+  /** [[sessionizeBatch]] for Zipf-hot keys — the q64 bucket-with-carry
+    * decomposition applied to gaps-and-islands: identical output, but
+    * no task ever sorts a hot key's full history. Run
+    * [[hotKeyProbe]] first; switch here when it says `use_bucketed`.
+    *
+    * Two observations make sessions decomposable at ANY bucketWidth
+    * (no `bucketWidth >= gap` constraint — unlike trailing windows,
+    * the boundary decision needs only the previous EVENT's time):
+    *  1. the new-session flag needs one value across a bucket edge —
+    *     the previous bucket's LAST timestamp (an as-of style carry:
+    *     one prefix value per (key, bucket), computed by a partial agg
+    *     + a per-key lag over the BUCKET-level table, which is
+    *     calendar/bucketWidth-bounded rows per key, never event-scale);
+    *  2. the session id is a running COUNT OF STARTS, which splits into
+    *     (starts in earlier buckets: a bucket-level exclusive cumsum)
+    *     + (starts in this bucket up to the row: a (key, bucket)-local
+    *     window). Sessions SPANNING buckets then glue for free in the
+    *     final (key, session_seq) partial agg — their rows carry the
+    *     same seq by construction.
+    *
+    * Scale shape: both row-level windows share ONE (key, bucket)
+    * sort; the two bucket-level tables are partial aggs + per-key
+    * bucket windows (bounded rows); the session rollup is map-side
+    * combinable. No ghost replication (trailing's 2× price) — the
+    * carry is one value per bucket.
+    */
+  def sessionizeBatchBucketed(events: DataFrame, keyCol: String = "user_id",
+                              timeCol: String = "tus", gapUs: Long = 1800000000L,
+                              bucketWidth: Long = 3600000000L,
+                              tieCols: Seq[String] = Nil): DataFrame = {
+    require(gapUs > 0, s"gapUs must be positive, got $gapUs")
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val t = col(timeCol).cast("long")
+    val ev = events.withColumn("_bkt",
+      ((t - pmod(t, lit(bucketWidth))) / bucketWidth).cast("long"))
+    val ord = col(timeCol) +: tieCols.map(col)
+    val wLoc = Window.partitionBy(col(keyCol), col("_bkt")).orderBy(ord: _*)
+    val wLocRun = wLoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLocAll = Window.partitionBy(col(keyCol), col("_bkt"))
+    val wBkt = Window.partitionBy(col(keyCol)).orderBy(col("_bkt"))
+
+    // carry #1: previous non-empty bucket's last event time per (key, bucket)
+    val lastTs = ev.groupBy(col(keyCol), col("_bkt"))
+      .agg(max(col(timeCol)).as("_last"))
+      .withColumn("_carry_ts", lag(col("_last"), 1).over(wBkt))
+      .select(col(keyCol), col("_bkt"), col("_carry_ts"))
+    val flagged = ev.join(lastTs, Seq(keyCol, "_bkt"))
+      .withColumn("_prev", coalesce(lag(col(timeCol), 1).over(wLoc), col("_carry_ts")))
+      .withColumn("_new",
+        when(col("_prev").isNull || col(timeCol) - col("_prev") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("_ls", sum(col("_new")).over(wLocRun))     // starts ≤ row, this bucket
+      .withColumn("_btot", sum(col("_new")).over(wLocAll))   // starts in this bucket
+
+    // carry #2: starts in all EARLIER buckets per (key, bucket)
+    val carryStarts = flagged.groupBy(col(keyCol), col("_bkt"))
+      .agg(max(col("_btot")).as("_bt"))
+      .withColumn("_carry_n", coalesce(
+        sum(col("_bt")).over(wBkt.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(keyCol), col("_bkt"), col("_carry_n"))
+
+    flagged.join(carryStarts, Seq(keyCol, "_bkt"))
+      .withColumn("_sid", col("_carry_n") + col("_ls"))
+      .groupBy(col(keyCol), col("_sid").as("session_seq"))
+      .agg(min(col(timeCol)).as("start_us"), max(col(timeCol)).as("end_us"),
+           count(lit(1)).as("n_events"))
+      .withColumn("duration_us", col("end_us") - col("start_us"))
+  }
+
   /** Last-touch marketing attribution: each conversion credited to the
     * most recent touch at-or-before it within `lookbackUs`, then
     * rolled up per channel — conversions with no touch in the window

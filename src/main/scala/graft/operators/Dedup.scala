@@ -104,6 +104,28 @@ object Dedup {
       posexplode(Hashing.bandHashes(col("sig"), k, bandWidth)).as(Seq("band", "bandval")))
   }
 
+  /** The PERSISTABLE MinHash band index — [[bandedMinhash]] exposed as
+    * a first-class artifact: one row per (doc, band) carrying the
+    * band's hash value. This is the state a CONTINUOUS-ingestion dedup
+    * pipeline maintains instead of re-signing the corpus per batch:
+    * persist it as a [[graft.sources.TxTable]], and each arriving
+    * batch contributes only ITS OWN band rows (I), takedowns retract
+    * theirs (D) — `TxTable.mergeInto` keyed on (doc, band) keeps the
+    * committed index identical to a from-scratch rebuild (gated), at
+    * batch-sized incremental cost. Candidate pairs against the index
+    * are then one (band, bandval) equi-join of the batch's rows.
+    *
+    * Determinism: signatures are the portable md5-affine family — the
+    * oracle (and any other engine) rebuilds identical rows from the
+    * text alone, which is what makes an INCREMENTALLY-maintained index
+    * verifiable against a rebuild at all.
+    */
+  def minhashBandIndex(docs: DataFrame, k: Int = 16, bandWidth: Int = 1,
+                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(k % bandWidth == 0, s"k=$k not divisible by bandWidth=$bandWidth")
+    bandedMinhash(docs, k, bandWidth, textCol, idCol)
+  }
+
   /** The unranked pair stage of [[minhash]]: every candidate pair with
     * its band-collision similarity estimate. This is what a DEDUP run
     * consumes (all pairs above a threshold) — ranking/limiting is a

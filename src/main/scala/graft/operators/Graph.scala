@@ -67,6 +67,116 @@ object Graph {
     out
   }
 
+  /** Weighted-edge PageRank: [[pageRank]] with mass spread
+    * PROPORTIONAL TO EDGE WEIGHT — the right form over a similarity
+    * graph, whose edges HAVE weights (cosine / Jaccard scores): a
+    * vertex's rank should flow toward its strongest near-neighbors,
+    * not uniformly across a 0.41-cosine and a 0.97-cosine edge alike.
+    * The standard exemplar-selection ranker over near-dup
+    * neighborhoods.
+    *
+    * Determinism contract (the personalizedPageRank one): weights
+    * quantize ONCE to integer units (wq = floor(w·scale + ½), exact
+    * longs; zero-quantum edges carry no mass and drop); per-src weight
+    * totals are exact long sums; each per-edge contribution is ONE
+    * mirrored double expression floor(pr·wq/Wq·10¹⁵ + ½) quantized
+    * pre-sum (order-insensitive at any parallelism); rational damping.
+    * On unit weights wq/Wq = 1/deg exactly, so ranks agree with
+    * [[pageRank]] to within one 10⁻¹⁵ quantum per edge (spec-pinned).
+    *
+    * Scale shape: identical to pageRank — per round one edge⋈rank hash
+    * join + one dst-keyed partial-agg sum, everything edge-list-sized;
+    * caches released via the modularity pattern.
+    */
+  def pageRankWeighted(pairs: DataFrame, aCol: String, bCol: String,
+                       wCol: String, iters: Int = 3,
+                       dampNum: Int = 17, dampDen: Int = 20,
+                       weightScale: Long = 1000000L): DataFrame = {
+    require(iters >= 1 && dampNum > 0 && dampDen > dampNum && weightScale > 0,
+      s"need iters >= 1, 0 < dampNum/dampDen < 1, weightScale > 0")
+    val wq0 = floor(col(wCol).cast("double") * weightScale + lit(0.5)).cast("long")
+    // symmetrize carrying the weight; duplicate pairs canonicalize to
+    // their max weight (a candidate generator may emit a pair twice)
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"), wq0.as("wq"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst"), wq0.as("wq")))
+      .groupBy("src", "dst").agg(max("wq").as("wq"))
+      .filter(col("wq") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wsum = edges.groupBy("src").agg(sum("wq").as("wtot")).persist()
+    val nV = wsum.count()
+    require(nV > 0, "pageRankWeighted: no positive-weight edges — nothing to rank")
+    val d = dampNum.toDouble / dampDen.toDouble
+    val base = lit((dampDen - dampNum).toDouble) / (lit(dampDen.toDouble) * lit(nV.toDouble))
+    var pr = wsum.select(col("src").as("node"),
+      (lit(1.0) / lit(nV.toDouble)).as("pr"))
+    for (_ <- 0 until iters) {
+      pr = edges
+        .join(pr.withColumnRenamed("node", "src"), Seq("src"))
+        .join(wsum, Seq("src"))
+        .select(col("dst").as("node"),
+          floor(col("pr") * col("wq") / col("wtot") * lit(1e15) + lit(0.5))
+            .cast("decimal(38,0)").as("c"))
+        .groupBy("node")
+        .agg(sum("c").as("csum"))
+        .select(col("node"),
+          (base + lit(d) * (col("csum").cast("double") / lit(1e15))).as("pr"))
+    }
+    val out = pr.localCheckpoint()
+    edges.unpersist(); wsum.unpersist()
+    out
+  }
+
+  /** Weighted-edge personalized PageRank — [[personalizedPageRank]]'s
+    * seed-relative relevance with [[pageRankWeighted]]'s
+    * weight-proportional spread: "which documents are most STRONGLY
+    * related to these exemplars", the exemplar-neighborhood expansion
+    * that respects similarity scores instead of flattening them.
+    * Same sparse-frontier shape (rank frame = reached nodes only,
+    * teleport only on seed rows) and the same integer-quantization
+    * contract as both parents; caches released before return.
+    */
+  def personalizedPageRankWeighted(pairs: DataFrame, aCol: String, bCol: String,
+                                   wCol: String, seeds: DataFrame, iters: Int = 3,
+                                   dampNum: Int = 17, dampDen: Int = 20,
+                                   weightScale: Long = 1000000L): DataFrame = {
+    require(iters >= 1 && dampNum > 0 && dampDen > dampNum && weightScale > 0,
+      s"need iters >= 1, 0 < dampNum/dampDen < 1, weightScale > 0")
+    val wq0 = floor(col(wCol).cast("double") * weightScale + lit(0.5)).cast("long")
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"), wq0.as("wq"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst"), wq0.as("wq")))
+      .groupBy("src", "dst").agg(max("wq").as("wq"))
+      .filter(col("wq") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wsum = edges.groupBy("src").agg(sum("wq").as("wtot")).persist()
+    val seedSet = seeds.toDF("node").distinct()
+      .join(wsum.withColumnRenamed("src", "node"), Seq("node"), "left_semi")
+      .persist()
+    val nS = seedSet.count()
+    require(nS > 0, "personalizedPageRankWeighted: no seed appears in the edge list")
+    val d = dampNum.toDouble / dampDen.toDouble
+    val base = lit((dampDen - dampNum).toDouble) / (lit(dampDen.toDouble) * lit(nS.toDouble))
+    var pr = seedSet.select(col("node"), (lit(1.0) / lit(nS.toDouble)).as("pr"))
+    for (_ <- 0 until iters) {
+      val spread = edges
+        .join(pr.withColumnRenamed("node", "src"), Seq("src"))
+        .join(wsum, Seq("src"))
+        .select(col("dst").as("node"),
+          floor(col("pr") * col("wq") / col("wtot") * lit(1e15) + lit(0.5))
+            .cast("decimal(38,0)").as("c"))
+        .groupBy("node")
+        .agg(sum("c").as("csum"))
+      pr = spread
+        .join(seedSet.withColumn("_s", lit(1)), Seq("node"), "full")
+        .select(col("node"),
+          (when(col("_s").isNotNull, base).otherwise(lit(0.0))
+            + lit(d) * (coalesce(col("csum").cast("double"), lit(0.0)) / lit(1e15)))
+            .as("pr"))
+    }
+    val out = pr.localCheckpoint()
+    edges.unpersist(); wsum.unpersist(); seedSet.unpersist()
+    out
+  }
+
   /** k-core decomposition membership (SURVEY.md §2 #30l): the maximal
     * subgraph where every vertex keeps degree ≥ k — the standard
     * "dense cluster vs stringy chain" separator over a similarity
@@ -307,6 +417,74 @@ object Graph {
     }
     edges.unpersist() // labels are already checkpointed — no edge ref left
     labels
+  }
+
+  /** Synchronous Louvain local-move rounds (Blondel et al. 2008, the
+    * one-level move phase): each node adopts the neighbor community
+    * with the best modularity gain — the QUALITY-DRIVEN community
+    * refiner between [[labelPropagation]] (frequency votes, no
+    * objective) and [[modularity]] (grades a labeling but doesn't
+    * produce one). Labels init to node ids; `rounds` synchronous
+    * sweeps; feed the result to [[modularity]] to read the score.
+    *
+    * Exactness: the gain comparison is EXACT INTEGER arithmetic — for
+    * node i and candidate community c, ΔQ·2m² ∝ score(c) = 2m·e_{i→c}
+    * − k_i·d'_c (d'_c excludes i's own degree when c is its current
+    * community), all from exact long partial aggs, products in
+    * DECIMAL(38,0); argmax ties break to the SMALLEST community id
+    * (pure (score desc, id) — deterministic and engine-portable, no
+    * incumbency bias). The node's own community is always a candidate
+    * (e_{i→own} ≥ 0), so an isolated-in-community node may stay.
+    *
+    * Scale shape per round: one community-degree partial agg, one
+    * edge⋈label join + (node, community) partial agg (rows ≤ edge
+    * list), three hash joins onto the candidate table, one per-node
+    * argmax window bounded by the node's DISTINCT NEIGHBOR COMMUNITY
+    * count (collapsing as communities form); localCheckpoint cuts
+    * lineage per round (labels feed three consumers); the 2m total is
+    * one scalar. Caches released before return.
+    */
+  def louvainMove(pairs: DataFrame, aCol: String, bCol: String,
+                  rounds: Int = 2): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).persist()
+    val m2 = edges.count() // Σk_i = 2m — scalar model artifact
+    require(m2 > 0, "louvainMove: empty edge list")
+    var lab = deg.select(col("src").as("node"), col("src").as("community"))
+    for (_ <- 0 until rounds) {
+      val dc = lab.join(deg.withColumnRenamed("src", "node"), Seq("node"))
+        .groupBy("community").agg(sum("deg").as("dtot"))
+      val links = edges
+        .join(lab.select(col("node").as("dst"), col("community").as("c")), Seq("dst"))
+        .groupBy(col("src").as("node"), col("c"))
+        .agg(count(lit(1)).as("e_ic"))
+      // own community is always a candidate (e defaults 0; max-merges
+      // with the real link count when internal neighbors exist)
+      val own = lab.select(col("node"), col("community").as("c"), lit(0L).as("e_ic"))
+      val cand = links.unionByName(own)
+        .groupBy("node", "c").agg(max("e_ic").as("e_ic"))
+        .join(deg.withColumnRenamed("src", "node"), Seq("node"))
+        .join(dc.withColumnRenamed("community", "c"), Seq("c"))
+        .join(lab, Seq("node"))
+        .withColumn("score",
+          lit(m2).cast("decimal(38,0)") * col("e_ic")
+            - col("deg").cast("decimal(38,0)")
+              * (col("dtot") - when(col("community") === col("c"), col("deg"))
+                  .otherwise(lit(0L))))
+      lab = cand.withColumn("_rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("node").orderBy(col("score").desc, col("c"))))
+        .filter(col("_rn") === 1)
+        .select(col("node"), col("c").as("community"))
+        .localCheckpoint()
+    }
+    edges.unpersist(); deg.unpersist()
+    lab
   }
 
   /** Newman modularity of a community labeling over an undirected

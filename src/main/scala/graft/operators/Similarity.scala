@@ -420,6 +420,154 @@ object Similarity {
         round(col("adc").cast("double"), 6).as("adc"), col("rank"))
   }
 
+  /** IVF-PQ top-k — the FAISS IVFADC composition (Jégou et al., TPAMI
+    * 2011), assembled from the three parts this engine already gates
+    * separately: the corpus coarse-quantizes into IVF cells
+    * ([[ivfTopK]]'s md5-seeded quantizer, lloydSteps=0 so the oracle
+    * rebuilds it), stores PQ CODES per cell ([[pqEncode]]'s native
+    * kernel), and a query ADC-scans ONLY its `nprobe` probed cells'
+    * codes with its broadcast LUT ([[pqTopK]]'s machinery). This is
+    * the actual 100-TB ANN architecture: the index holds m·log2(ksub)
+    * bits per vector (not floats), and query cost is
+    * ~(nprobe/ncells)·corpus code lookups instead of the full code
+    * table (pqTopK) or the full float corpus (bruteForceTopK).
+    *
+    * Scale shape: code build is one map-only pass (cell assignment +
+    * PQ encode are both codegen'd projections over the pinned
+    * rebalance); at query time the probes table (|queries|·nprobe
+    * rows) and the LUT (|queries|·m·ksub rows) BROADCAST, the corpus
+    * codes stream through two hash joins and collapse in one partial
+    * agg — the corpus never reshuffles. At warehouse scale, persist
+    * the code table clustered by cell (TxTable + z-order/bucketing) so
+    * the cell join also prunes FILES, not just rows.
+    *
+    * Engine determinism: the pqTopK contract — LUT entries quantize
+    * DECIMAL(20,10) pre-sum; ranking (adc asc, neighbor asc).
+    * Returns (query_id, neighbor_id, adc, rank).
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+                ncells: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
+                vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    require(nprobe >= 1 && nprobe <= ncells,
+      s"need 1 <= nprobe <= ncells, got nprobe=$nprobe ncells=$ncells")
+    val cents = seedCentroids(corpus, ncells, vecCol, idCol)
+    val seeds = pqSeeds(corpus, ksub, vecCol, idCol)
+    val dim = seeds.head.length
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
+
+    // the per-cell code table: ONE map-only projection over the corpus
+    val codes = rebalance(corpus, idCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("cell", cellOf(col("cv"), cents))
+      .select(col("neighbor_id"), col("cell"),
+        posexplode(pqCodesCol(col("cv"), seeds, ksub, m)).as(Seq("subspace", "code")))
+
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val probes = q.withColumn("probe",
+        explode(slice(reverse(array_sort(cellScores(col("qv"), cents))), 1, nprobe)))
+      .select(col("query_id"), (-col("probe.negcell")).as("cell"))
+    val lut = q.select(col("query_id"),
+        posexplode(pqLutCol(col("qv"), seeds, ksub, m)).as(Seq("pos", "dd")))
+      .select(col("query_id"),
+        (col("pos") / ksub).cast("int").as("subspace"),
+        pmod(col("pos"), lit(ksub)).as("code"),
+        col("dd").cast("decimal(20,10)").as("d"))
+
+    codes.join(broadcast(probes), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .join(broadcast(lut), Seq("query_id", "subspace", "code"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum("d").as("adc"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("adc"), col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("adc").cast("double"), 6).as("adc"), col("rank"))
+  }
+
+  /** Greedy k-center coreset (Gonzalez 1985 farthest-first traversal):
+    * pick the md5-smallest row as the first center, then k−1 rounds of
+    * "add the point FARTHEST from its nearest chosen center" (cosine
+    * dissimilarity 1−cos) — the coverage-guaranteed diversity subset
+    * (every corpus point is within the final radius of some center,
+    * and the greedy radius is ≤ 2× optimal). The worst-case companion
+    * to [[diverseSample]]'s per-cell quotas: quotas balance DENSITY,
+    * farthest-first bounds DISTANCE — it is the standard seed-picker
+    * for annotation budgets and k-means inits over an embedded corpus.
+    *
+    * Scale shape: per round ONE map-only min-dist update (a codegen'd
+    * cosine against the newly chosen center inlined as a literal) and
+    * one TakeOrdered(1) argmax — no joins, no shuffle of the corpus;
+    * the running min-dist column localCheckpoints per round (k
+    * corpus-sized passes total — k is a model-size constant, the
+    * standard k-center cost). The chosen centers are a k-row driver
+    * artifact (the IVF-centroid pattern).
+    *
+    * Determinism: distances are the mirrored double cosine; argmax
+    * ties break by id; `radius` is the chosen point's min-dist AT
+    * SELECTION (the k-center coverage bound after the previous round),
+    * rounded 1e-9; NULL for the seeded first pick.
+    * Returns (pick, vec_id, radius), pick 1-based.
+    */
+  def kCenterCoreset(corpus: DataFrame, k: Int = 8,
+                     vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = corpus.sparkSession
+    val first = corpus
+      .select(col(idCol).as("vec_id"), col(vecCol).as("v"),
+        md5(col(idCol).cast("string")).as("h"))
+      .orderBy(col("h"), col("vec_id")).limit(1)
+      .collect().headOption.getOrElse(sys.error("kCenterCoreset: empty corpus"))
+    var picks = List[(Long, Option[Double])]((first.getLong(0), None))
+    var centerVec: Seq[Float] = first.getSeq[Float](1).toSeq
+    var frame = rebalance(corpus, idCol)
+      .select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .withColumn("mind", lit(1.0) - V.cosine(col("v"), typedlit(centerVec)))
+      .localCheckpoint()
+    for (_ <- 2 to k) {
+      val next = frame.orderBy(col("mind").desc, col("vec_id")).limit(1)
+        .collect().head
+      picks = (next.getLong(0), Some(next.getDouble(2))) :: picks
+      centerVec = next.getSeq[Float](1).toSeq
+      frame = frame
+        .withColumn("mind", least(col("mind"),
+          lit(1.0) - V.cosine(col("v"), typedlit(centerVec))))
+        .localCheckpoint()
+    }
+    import spark.implicits._
+    // radius rounds through the ENGINE's round (the shared 1e-9
+    // contract with the oracle — a driver-side rint would half-even
+    // where both engines half-up)
+    picks.reverse.zipWithIndex
+      .map { case ((id, r), i) => (i + 1, id, r) }
+      .toDF("pick", "vec_id", "radius")
+      .select(col("pick"), col("vec_id"), round(col("radius"), 9).as("radius"))
+  }
+
+  /** Recall@k of [[ivfPqTopK]] vs the exact cosine top-k — the
+    * [[recallAudit]] read-out for the compressed-and-probed index
+    * (TWO approximations stack here: cell pruning drops true
+    * neighbors outside probed cells, PQ distortion reorders inside
+    * them), the number to check BEFORE committing a 100-TB IVFADC
+    * build at a given (ncells, nprobe, m, ksub). Same determinism
+    * contract: membership, not scores.
+    */
+  def ivfPqRecall(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+                  ncells: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
+                  vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val exact = bruteForceTopK(corpus, queries, k, vecCol, idCol)
+      .select("query_id", "neighbor_id")
+    val approx = ivfPqTopK(corpus, queries, k, ncells, nprobe, m, ksub, vecCol, idCol)
+      .select("query_id", "neighbor_id")
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).cast("int").as("n_hits"))
+    queries.select(col(idCol).as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("n_hits"), lit(0)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0)).cast("double") / lit(k.toDouble))
+          .as("recall_at_k"))
+  }
+
   /** Centroid-distance outlier scoring: each vector's IVF cell and its
     * cosine to the NEAREST centroid, with a threshold flag — "far from
     * every prototype" embedding-space anomaly detection, the corpus-

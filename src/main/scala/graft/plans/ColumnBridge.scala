@@ -13,4 +13,19 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Re-tag a (lazily planned) batch frame as a STREAMING frame — what
+    * a DSv1 `Source.getBatch` must return (MicroBatchExecution asserts
+    * `isStreaming`). The same bridge FileStreamSource uses internally
+    * (`isStreaming = true` relation); `internalCreateDataFrame` is the
+    * public-on-classic entry for it. The RDD stays lazy — each
+    * micro-batch plans and executes only when the sink pulls it.
+    */
+  def asStreaming(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val classic = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.internalCreateDataFrame(
+      df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+        .queryExecution.toRdd,
+      df.schema, isStreaming = true)
+  }
 }

@@ -231,8 +231,18 @@ object TxTable {
     * append-only semantics it would silently reorder).
     */
   def commit(df: DataFrame, table: String, op: String = "append",
-             statsCols: Seq[String] = Nil): Int =
-    commitAs(df, table, currentVersion(df.sparkSession, table) + 1, op, statsCols)
+             statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Int =
+    commitAs(df, table, currentVersion(df.sparkSession, table) + 1, op, statsCols,
+      bloomCols = bloomCols)
+
+  /** Bloom-index geometry (recorded per manifest entry so it can evolve
+    * without breaking old tables): m bits / k hashes give ~1% FP at
+    * ~400 distinct keys per file-column; the hash family is the
+    * engine-portable md5-affine one, so the oracle (or any auditor)
+    * recomputes every filter from the data alone.
+    */
+  val BloomM: Int = 4096
+  val BloomK: Int = 3
 
   /** The version-pinned commit body — the race window lives between
     * the head read and the manifest create, so tests (and a future
@@ -248,7 +258,8 @@ object TxTable {
   private[graft] def commitAs(df: DataFrame, table: String, v: Int, op: String,
                               statsCols: Seq[String] = Nil,
                               carryFiles: Option[Seq[String]] = None,
-                              txn: Option[(String, Long)] = None): Int = {
+                              txn: Option[(String, Long)] = None,
+                              bloomCols: Seq[String] = Nil): Int = {
     require(op == "append" || op == "overwrite" || op == "compact" ||
       op == "delete" || op == "evolve" || op == "merge", s"unknown op $op")
     val spark = df.sparkSession
@@ -372,6 +383,51 @@ object TxTable {
       else "," + "\"stats\":[" + stats.map { case (fl, c, lo, hi) =>
         s"""{"f":"$fl","c":"$c","lo":$lo,"hi":$hi}"""
       }.mkString(",") + "]"
+    // PER-FILE BLOOM INDEX (the Delta bloom-filter-index shape): the
+    // point-lookup complement of the min/max stats — on a column the
+    // layout does NOT cluster (high-cardinality ids), every file's
+    // [min,max] spans the domain and range pruning keeps everything;
+    // a per-file bloom over the md5-affine portable family prunes by
+    // MEMBERSHIP instead (no false negatives — a key's file is always
+    // kept; false positives only cost extra reads). The build is ONE
+    // distributed pass over the newly-written files only (the standard
+    // index-build cost); blooms carry forward with their files like
+    // stats; the bitset collect is nfiles-bounded — the same scale
+    // class as the manifest's own file list.
+    val carriedBloom = if (carried.nonEmpty && v > 1)
+      bloomEntries(spark, table, v - 1).filter(b => carried.contains(b._1))
+    else Seq.empty
+    val newBloom: Seq[(String, String, String)] =
+      if (bloomCols.isEmpty || named.isEmpty) Seq.empty
+      else {
+        import org.apache.spark.sql.functions.{array, col, explode, input_file_name, lit, pmod}
+        val paths = named.map(rel => s"$table/$rel")
+        bloomCols.flatMap { c =>
+          val base = spark.read.parquet(paths: _*)
+            .select(input_file_name().as("_f"), col(c).cast("string").as("_v"))
+            .filter(col("_v").isNotNull)
+          val h = graft.functions.Hashing.portableHash(col("_v"))
+          val bits = (0 until BloomK).map(j =>
+            pmod(graft.functions.Hashing.affine(j, h), lit(BloomM.toLong)))
+          base.select(col("_f"), explode(array(bits: _*)).as("_b")).distinct()
+            .collect()
+            .groupBy(_.getString(0)).toSeq.map { case (f, rows) =>
+              val bytes = new Array[Byte](BloomM / 8)
+              rows.foreach { r =>
+                val b = r.getLong(1).toInt
+                bytes(b >> 3) = (bytes(b >> 3) | (1 << (b & 7))).toByte
+              }
+              val name = f.substring(f.lastIndexOf('/') + 1)
+              (s"data/$name", c, java.util.Base64.getEncoder.encodeToString(bytes))
+            }
+        }
+      }
+    val blooms = carriedBloom ++ newBloom
+    val bloomJson =
+      if (blooms.isEmpty) ""
+      else "," + "\"bloom\":[" + blooms.map { case (fl, c, b64) =>
+        s"""{"f":"$fl","c":"$c","m":$BloomM,"k":$BloomK,"b":"$b64"}"""
+      }.mkString(",") + "]"
     // commit time, STRICTLY MONOTONIC over the parent (Delta's
     // timestamp-as-of contract: two commits landing in the same wall
     // millisecond must still resolve distinctly — max(now, parent+1))
@@ -397,7 +453,7 @@ object TxTable {
     // its exact schema — without it readVersion has no footer to ask
     val json = s"""{"version":$v,"op":"$op","commit_ms":$ts$txnJson$msJson,""" +
       s""""schema":"${jesc(df.schema.toDDL)}","n_files":${all.size},""" +
-      s""""files":[${all.map("\"" + _ + "\"").mkString(",")}]$statsJson}"""
+      s""""files":[${all.map("\"" + _ + "\"").mkString(",")}]$statsJson$bloomJson}"""
     val mp = manifestPath(table, v)
     f.mkdirs(mp.getParent)
     def conflict(): Nothing =
@@ -487,6 +543,72 @@ object TxTable {
       .filter(col(colName) >= lo && col(colName) <= hi)
   }
 
+  /** Per-file bloom entries of version `v`: (file, column, base64 bits). */
+  private[graft] def bloomEntries(spark: SparkSession, table: String,
+                                  v: Int): Seq[(String, String, String)] =
+    """\{"f":"(.*?)","c":"(.*?)","m":\d+,"k":\d+,"b":"(.*?)"\}""".r
+      .findAllMatchIn(manifestText(spark, table, v))
+      .map(m => (m.group(1), m.group(2), m.group(3))).toSeq
+
+  /** Driver-side mirror of the distributed bloom-bit derivation:
+    * portable md5 base hash of the string rendering, k affine
+    * variants mod m — byte-identical to the Column path and the
+    * oracle SQL.
+    */
+  private def bloomBitsOf(value: String): Seq[Int] = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(value.getBytes("UTF-8"))
+    val prefix = java.lang.Long.parseLong(
+      digest.take(4).map("%02x".format(_)).mkString, 16)
+    val h = java.lang.Math.floorMod(prefix, graft.functions.Hashing.PortableP)
+    (0 until BloomK).map { j =>
+      val a = graft.functions.Hashing.affineA(j)
+      val b = graft.functions.Hashing.affineB(j)
+      (java.lang.Math.floorMod(a * h + b, graft.functions.Hashing.PortableP) % BloomM).toInt
+    }.distinct
+  }
+
+  /** The file subset of version `v` a point lookup `col = value` can
+    * touch, decided from the manifest BLOOMS alone: a file is skipped
+    * only when its bloom for `col` misses at least one of the value's
+    * bits (no false negatives — the filter never skips a file that
+    * holds the key); files without a bloom for `col` are always kept.
+    */
+  def prunedFilesByKey(spark: SparkSession, table: String, v: Int,
+                       colName: String, value: String): Seq[String] = {
+    val bits = bloomBitsOf(value)
+    val byFile = bloomEntries(spark, table, v)
+      .collect { case (fl, c, b64) if c == colName =>
+        fl -> java.util.Base64.getDecoder.decode(b64) }
+      .toMap
+    filesOf(spark, table, v).filter { fl =>
+      byFile.get(fl).forall { bytes =>
+        bits.forall(b => (bytes(b >> 3) & (1 << (b & 7))) != 0)
+      }
+    }
+  }
+
+  /** Point-lookup read with bloom file skipping: reads ONLY the files
+    * [[prunedFilesByKey]] keeps, then applies the exact equality
+    * filter (on the string rendering — the same canonical form the
+    * bloom hashed). The companion to [[readWhere]]'s range skipping
+    * for columns the layout does NOT cluster: needle-in-100-TB id
+    * lookups read the handful of files whose blooms admit the key.
+    */
+  def readWhereKey(spark: SparkSession, table: String, colName: String,
+                   value: String, version: Int = -1): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val v = if (version > 0) version else currentVersion(spark, table)
+    val kept = prunedFilesByKey(spark, table, v, colName, value)
+    if (kept.isEmpty) // bloom proved absence in every file
+      return readVersion(spark, table, v).limit(0)
+        .filter(col(colName).cast("string") === value)
+    val rd = if (msOf(spark, table, v))
+      spark.read.option("mergeSchema", "true") else spark.read
+    rd.parquet(kept.map(rel => s"$table/$rel"): _*)
+      .filter(col(colName).cast("string") === value)
+  }
+
   /** Row-level DELETE, copy-on-write (the Delta default path): files
     * whose manifest stats say they CANNOT contain `lo ≤ col ≤ hi`
     * are carried into the new version untouched (same relative
@@ -570,6 +692,34 @@ object TxTable {
             findApplied.map((_, false)).getOrElse(throw e)
         }
     }
+  }
+
+  /** Constraint-gated commit — the Delta CHECK-constraint / write-
+    * audit-publish shape composed from the parts this engine already
+    * has: run a declared [[graft.functions.Quality]] audit over the
+    * frame and PUBLISH ONLY IF every check passes; a violation refuses
+    * loudly with the failed verdicts named and the table head
+    * untouched (nothing was committed — the scratch write never
+    * happens). The audit is Quality's one-shared-scan pass, so the
+    * price is one extra scan of the INPUT before the write (the
+    * full WAP refinement — audit the written files, then publish —
+    * belongs inside the committer when the input is too expensive to
+    * scan twice; for a batch commit the one-scan audit is the
+    * standard guard).
+    *
+    * @return the committed version
+    */
+  def commitChecked(df: DataFrame, table: String,
+                    checks: Seq[graft.functions.Quality.Check],
+                    op: String = "append", statsCols: Seq[String] = Nil): Int = {
+    import org.apache.spark.sql.functions.{col, not}
+    val failed = graft.functions.Quality.audit(df, checks)
+      .filter(not(col("passed"))).collect() // ≤ |checks| rows
+    require(failed.isEmpty,
+      s"TxTable: commit to $table refused — ${failed.length} constraint(s) failed: " +
+      failed.map(r => s"${r.getString(0)}(${r.getString(1)}) metric=${r.get(2)}")
+        .mkString("; "))
+    commit(df, table, op, statsCols)
   }
 
   /** First-class transactional MERGE — the lakehouse MERGE INTO as an

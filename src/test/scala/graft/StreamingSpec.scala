@@ -476,4 +476,55 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3)))
     out.sortBy(t => (t._1.getTime, t._2)) shouldBe batch.sortBy(t => (t._1.getTime, t._2))
   }
+
+  test("tx-changes streaming source replays committed versions as micro-batches ≡ batch changes() (r8)") {
+    import spark.implicits._
+    import graft.sources.{TxChangesStream, TxTable}
+    val table = java.nio.file.Files.createTempDirectory("graft_txcdc_spec_").toString + "/t"
+    TxTable.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), table) shouldBe 1
+    TxTable.commit(Seq((3L, "c")).toDF("id", "s"), table) shouldBe 2
+    TxTable.commit(Seq((9L, "z")).toDF("id", "s"), table, op = "overwrite") shouldBe 3
+    val streamed = TxChangesStream.replayAll(spark, table)
+      .select("id", "_change", "_version", "_commit_ms").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3))).sorted.toSeq
+    val batch = TxTable.changes(spark, table, 0, 3)
+      .select("id", "_change", "_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).sorted.toSeq
+    streamed.map(t => (t._1, t._2, t._3)) shouldBe batch
+    // commit times ride along and match the manifests exactly
+    streamed.map(t => t._3 -> t._4).distinct.toMap shouldBe
+      (1 to 3).map(v => v -> TxTable.commitMsOf(spark, table, v)).toMap
+  }
+
+  test("tx-changes source restart-resumes from its checkpoint: only versions committed after the stop replay (r8)") {
+    import spark.implicits._
+    import graft.sources.{TxChangesStream, TxTable}
+    val table = java.nio.file.Files.createTempDirectory("graft_txcdc_spec2_").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_txcdc_ckpt_").toString
+    TxTable.commit(Seq((1L, "a")).toDF("id", "s"), table) shouldBe 1
+    TxTable.commit(Seq((2L, "b")).toDF("id", "s"), table) shouldBe 2
+    // a recoverable sink (foreachBatch — memory sinks can't resume)
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Int)]()
+    def runOnce(): Unit = {
+      val q = TxChangesStream.readChangesStream(spark, table)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.select("id", "_version").collect()
+            .foreach(r => buf.add((r.getLong(0), r.getInt(1)))); ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce()
+    import scala.jdk.CollectionConverters._
+    buf.asScala.toSeq.sorted shouldBe Seq((1L, 1), (2L, 2))
+    // new commits land while the stream is down
+    TxTable.commit(Seq((3L, "c")).toDF("id", "s"), table) shouldBe 3
+    TxTable.commit(Seq((4L, "d")).toDF("id", "s"), table) shouldBe 4
+    // restart against the SAME checkpoint: the stored version offset
+    // resumes the replay at v3 — nothing from v1/v2 re-emits
+    buf.clear()
+    runOnce()
+    buf.asScala.toSeq.sorted shouldBe Seq((3L, 3), (4L, 4))
+  }
 }
