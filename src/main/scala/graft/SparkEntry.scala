@@ -2192,6 +2192,70 @@ object SparkEntry {
       probe("present", "1").unionByName(probe("absent", "-7"))
     }),
 
+    // §2#62y (r8) the full incremental pipeline composed end-to-end:
+    // CDC SOURCE (q306) → transform → exactly-once SINK (q293) via
+    // TxChangesStream.pipeTo — continuous materialization of a
+    // downstream table at batch cost. Run 1 streams 3 versions (one
+    // per micro-batch, throttled); run 2 resumes the checkpoint (no
+    // new commits → 0 batches); run 3 LOSES the checkpoint entirely
+    // and replays everything — commitIdempotent turns every
+    // re-delivery into a no-op (applied=0, version count unchanged).
+    "q318_tx_pipeline" -> ((s, dir) => {
+      val src = sidePath("graft_txpipe_src", dir)
+      val dst = sidePath("graft_txpipe_dst", dir)
+      sources.TxTable.drop(s, src); sources.TxTable.drop(s, dst)
+      val ord = t(s, dir, "orders").df
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      def part(p: String) = ord.filter(col("o_orderpriority") === p)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      sources.TxTable.commit(part("1-URGENT"), src)
+      sources.TxTable.commit(part("2-HIGH"), src)
+      sources.TxTable.commit(part("3-MEDIUM"), src)
+      def mkCkpt() = java.nio.file.Files.createTempDirectory("graft_pipe_ckpt_").toString
+      val tf: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+        b => b.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_totalprice"))
+      val ck = mkCkpt()
+      val n1 = sources.TxChangesStream.pipeTo(s, src, dst, "pipe", tf, ck,
+        maxVersionsPerTrigger = Some(1))
+      val n2 = sources.TxChangesStream.pipeTo(s, src, dst, "pipe", tf, ck)
+      val n3 = sources.TxChangesStream.pipeTo(s, src, dst, "pipe", tf, mkCkpt(),
+        maxVersionsPerTrigger = Some(1))
+      val tbl = sources.TxTable.read(s, dst)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
+        .select(lit("table").as("section"), lit("all").as("label"),
+          col("n_rows"), col("sum_price"))
+      val meta = s.createDataFrame(Seq(
+          ("meta", "n_versions", sources.TxTable.currentVersion(s, dst).toLong),
+          ("meta", "run1_applied", n1),
+          ("meta", "run2_applied", n2),
+          ("meta", "run3_applied", n3)))
+        .toDF("section", "label", "n_rows")
+        .withColumn("sum_price", lit(null).cast("double"))
+      tbl.unionByName(meta)
+    }),
+
+    // §2#52av (r8) Cochran–Armitage trend: is the purchase RATE
+    // monotone across the hour-of-day ordinal — the ordered companion
+    // to q146's anywhere-different chi-square; exact integer sums, one
+    // mirrored double z.
+    "q319_cochran_armitage" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .select(((unix_micros(col("ts")) / lit(3600000000L)).cast("long") % 24).as("hr"),
+          (col("event_type") === "purchase").cast("long").as("is_purchase"))
+      functions.Eval.cochranArmitage(ev, "hr", "is_purchase")
+    }),
+
+    // §2#52aw (r8) Bartlett variance-equality test across event types —
+    // the parametric, sharper sibling of q266's robust Levene; ln-of-
+    // variance terms DECIMAL-quantized pre-sum, zero-variance cells
+    // refuse to a NULL verdict.
+    "q320_bartlett" -> ((s, dir) =>
+      functions.Eval.bartlett(
+        streaming.Events.readBatch(s, s"$dir/events.parquet"),
+        "event_type", "value")),
+
     // §2#52au (r8) Friedman rank test on the day × event-type daily-
     // mean table: "did any event type's level shift, CONTROLLING for
     // the day" — the within-block companion to q265's global Kruskal
@@ -5189,6 +5253,93 @@ object SparkEntry {
 
     "q316_tx_bloom_skip" ->
       OracleGen.bloomSkipSql("/tmp/graft_txbloom___SFTAG__"),
+
+    "q319_cochran_armitage" ->
+      """WITH e AS (
+           SELECT (epoch_us(ts) // 3600000000) % 24 AS s,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+           FROM events),
+         a AS (
+           SELECT COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS r,
+             SUM(CAST(s AS HUGEINT)) AS sn, SUM(CAST(s AS HUGEINT) * y) AS sr,
+             SUM(CAST(s AS HUGEINT) * s) AS ssn, COUNT(DISTINCT s) AS k
+           FROM e)
+         SELECT n, r, CAST(k AS INT) AS n_groups,
+           round(CAST(sr AS DOUBLE)
+             - CAST(r AS DOUBLE) / CAST(n AS DOUBLE) * CAST(sn AS DOUBLE), 9) AS t_stat,
+           round(CAST(r AS DOUBLE) / CAST(n AS DOUBLE)
+               * (1.0 - CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(ssn AS DOUBLE)
+                 - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE) / CAST(n AS DOUBLE)), 9) AS var_t,
+           CASE WHEN r > 0 AND r < n AND k >= 2
+                 AND CAST(r AS DOUBLE) / CAST(n AS DOUBLE)
+                   * (1.0 - CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (CAST(ssn AS DOUBLE)
+                     - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE) / CAST(n AS DOUBLE)) > 0.0
+             THEN round((CAST(sr AS DOUBLE)
+                 - CAST(r AS DOUBLE) / CAST(n AS DOUBLE) * CAST(sn AS DOUBLE))
+               / sqrt(CAST(r AS DOUBLE) / CAST(n AS DOUBLE)
+                 * (1.0 - CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(ssn AS DOUBLE)
+                   - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE) / CAST(n AS DOUBLE))), 9)
+           END AS z
+         FROM a""",
+
+    "q320_bartlett" ->
+      """WITH e AS (
+           SELECT event_type AS g,
+             CAST(floor(CAST(value AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS v
+           FROM events),
+         gs AS (
+           SELECT g, COUNT(*) AS ni,
+             SUM(CAST(v AS HUGEINT)) AS s1, SUM(CAST(v AS HUGEINT) * v) AS s2
+           FROM e GROUP BY 1 HAVING COUNT(*) >= 2),
+         terms AS (
+           SELECT ni,
+             CAST(CAST(s2 AS DOUBLE)
+               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(ni AS DOUBLE)
+               AS DECIMAL(38,6)) AS ssdq,
+             CAST((CAST(ni AS DOUBLE) - 1.0)
+               * ln((CAST(s2 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(ni AS DOUBLE))
+                 / (CAST(ni AS DOUBLE) - 1.0) / (1000000.0 * 1000000.0))
+               AS DECIMAL(25,12)) AS lt,
+             CAST(1.0 / (CAST(ni AS DOUBLE) - 1.0) AS DECIMAL(25,12)) AS ci,
+             CASE WHEN (CAST(s2 AS DOUBLE)
+                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(ni AS DOUBLE))
+                 / (CAST(ni AS DOUBLE) - 1.0) / (1000000.0 * 1000000.0) <= 0.0
+               THEN 1 ELSE 0 END AS degen
+           FROM gs),
+         a AS (
+           SELECT COUNT(*) AS k, CAST(SUM(ni) AS BIGINT) AS n,
+             SUM(ssdq) AS ssdtot, SUM(lt) AS ltsum, SUM(ci) AS csum,
+             SUM(degen) AS ndegen
+           FROM terms)
+         SELECT CAST(k AS INT) AS k, n,
+           CASE WHEN k >= 2 AND ndegen = 0 THEN
+             round(((CAST(n AS DOUBLE) - CAST(k AS DOUBLE))
+                 * ln(CAST(ssdtot AS DOUBLE) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))
+                   / (1000000.0 * 1000000.0))
+               - CAST(ltsum AS DOUBLE))
+               / (1.0 + (CAST(csum AS DOUBLE)
+                   - 1.0 / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
+                 / (3.0 * (CAST(k AS DOUBLE) - 1.0))), 9)
+           END AS chi2_bartlett,
+           CAST(k - 1 AS INT) AS df
+         FROM a""",
+
+    "q318_tx_pipeline" ->
+      """WITH u AS (
+           SELECT o_orderkey, o_totalprice FROM orders
+           WHERE o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+             AND o_orderkey % 2 = 0)
+         SELECT 'table' AS section, 'all' AS label, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+         FROM u
+         UNION ALL SELECT 'meta', 'n_versions', CAST(3 AS BIGINT), CAST(NULL AS DOUBLE)
+         UNION ALL SELECT 'meta', 'run1_applied', CAST(3 AS BIGINT), CAST(NULL AS DOUBLE)
+         UNION ALL SELECT 'meta', 'run2_applied', CAST(0 AS BIGINT), CAST(NULL AS DOUBLE)
+         UNION ALL SELECT 'meta', 'run3_applied', CAST(0 AS BIGINT), CAST(NULL AS DOUBLE)""",
 
     "q317_friedman" ->
       """WITH e AS (

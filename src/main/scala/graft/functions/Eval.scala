@@ -871,4 +871,99 @@ object Eval {
           round(d(col("edit_total")) / d(col("ref_chars")), 9)).as("cer_micro"),
         when(col("_nv") > 0, round(d(col("_mr")) / d(col("_nv")), 9)).as("cer_macro"))
   }
+
+  /** Cochran–Armitage trend test: is a BINARY rate trending across
+    * ORDERED groups — "does the failure rate rise across model
+    * versions / quality buckets / date cohorts", the ordered
+    * companion to the unordered chi-square (#52k): chi-square asks
+    * "different anywhere", this asks "monotone with the score", with
+    * full power on the one alternative a rollout audit cares about.
+    * T = Σsᵢrᵢ − (R/N)Σsᵢnᵢ over integer scores sᵢ; Var(T) =
+    * (R/N)(1−R/N)[Σsᵢ²nᵢ − (Σsᵢnᵢ)²/N]; z = T/√Var (Armitage '55).
+    *
+    * Exactness: every Σ is an exact integer partial agg (scores are
+    * integer by contract — bucket indices, version ordinals); T, Var,
+    * z evaluate in ONE mirrored double expression over those integers,
+    * rounded 1e-9. Degenerate inputs (all success / all failure / one
+    * group) emit NULL z.
+    *
+    * Scale shape: one shared partial agg over the table — group
+    * cells collapse map-side; the output is one row.
+    */
+  def cochranArmitage(df: DataFrame, scoreCol: String,
+                      successCol: String): DataFrame = {
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val s0 = col(scoreCol).cast("long")
+    val y = col(successCol).cast("long")
+    val sums = df.agg(
+      count(lit(1)).as("n"),
+      sum(y).as("r"),
+      sum(s0.cast("decimal(38,0)")).as("_sn"),
+      sum((s0 * y).cast("decimal(38,0)")).as("_sr"),
+      sum((s0 * s0).cast("decimal(38,0)")).as("_ssn"),
+      countDistinct(s0).as("_k"))
+    val pN = d(col("r")) / d(col("n"))
+    val t = d(col("_sr")) - pN * d(col("_sn"))
+    val varT = (pN * (lit(1.0) - pN)
+      * (d(col("_ssn")) - d(col("_sn")) * d(col("_sn")) / d(col("n"))))
+    sums.select(col("n"), col("r"), col("_k").cast("int").as("n_groups"),
+      round(t, 9).as("t_stat"),
+      round(varT, 9).as("var_t"),
+      when(col("r") > 0 && col("r") < col("n") && col("_k") >= 2 && varT > 0.0,
+        round(t / sqrt(varT), 9)).as("z"))
+  }
+
+  /** Bartlett's test for EQUALITY OF VARIANCES across groups — the
+    * parametric, more powerful sibling of #52aj's Levene (Levene is
+    * robust to non-normality; Bartlett is the sharper instrument when
+    * the cells are near-normal, e.g. daily means by construction):
+    * χ² = [(N−k)·ln(S²ₚ) − Σ(nᵢ−1)·ln(S²ᵢ)] / (1 + (Σ1/(nᵢ−1) −
+    * 1/(N−k)) / (3(k−1))), df = k−1 (Bartlett '37).
+    *
+    * Exactness: per-group moments are exact integer sums of unit-
+    * quantized values (the #52ah contract); each S²ᵢ and its ln
+    * evaluate in one mirrored double op order, the Σln terms quantize
+    * DECIMAL(25,12) pre-sum; groups with nᵢ < 2 are excluded (their
+    * variance is undefined), and any zero variance emits NULL (ln
+    * undefined — a degenerate cell the caller should see, not a
+    * silent ±Inf).
+    *
+    * Scale shape: one per-group partial agg + a ≤k-row final agg.
+    * Output: one row (k, n, chi2_bartlett, df).
+    */
+  def bartlett(df: DataFrame, groupCol: String, valueCol: String,
+               unitScale: Long = 1000000L): DataFrame = {
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val vq = floor(col(valueCol).cast("double") * unitScale + lit(0.5)).cast("long")
+    val g = df.select(col(groupCol).as("_g"), vq.as("_v"))
+      .groupBy("_g")
+      .agg(count(lit(1)).as("_ni"),
+        sum(col("_v").cast("decimal(38,0)")).as("_s1"),
+        sum((col("_v") * col("_v")).cast("decimal(38,0)")).as("_s2"))
+      .filter(col("_ni") >= 2)
+    // S²ᵢ = (Σv² − (Σv)²/nᵢ)/(nᵢ−1) in value units (÷scale²), one
+    // mirrored op order
+    val ssd = (d(col("_s2")) - d(col("_s1")) * d(col("_s1")) / d(col("_ni")))
+    val s2i = (ssd / (d(col("_ni")) - lit(1.0))
+      / (lit(unitScale.toDouble) * lit(unitScale.toDouble)))
+    val terms = g.select(col("_ni"), ssd.as("_ssd"),
+      ((d(col("_ni")) - lit(1.0)) * log(s2i)).cast("decimal(25,12)").as("_lt"),
+      (lit(1.0) / (d(col("_ni")) - lit(1.0))).cast("decimal(25,12)").as("_ci"),
+      when(s2i <= 0.0, 1L).otherwise(0L).as("_degen"))
+    val agg = terms.agg(
+      count(lit(1)).as("_k"), sum(col("_ni")).as("n"),
+      sum(col("_ssd").cast("decimal(38,6)")).as("_ssdtot"),
+      sum(col("_lt")).as("_ltsum"), sum(col("_ci")).as("_csum"),
+      sum(col("_degen")).as("_ndegen"))
+    val nk = d(col("n")) - d(col("_k"))
+    val sp2 = (d(col("_ssdtot")) / nk
+      / (lit(unitScale.toDouble) * lit(unitScale.toDouble)))
+    val num = nk * log(sp2) - d(col("_ltsum"))
+    val den = (lit(1.0) + (d(col("_csum")) - lit(1.0) / nk)
+      / (lit(3.0) * (d(col("_k")) - lit(1.0))))
+    agg.select(col("_k").cast("int").as("k"), col("n"),
+      when(col("_k") >= 2 && col("_ndegen") === 0L,
+        round(num / den, 9)).as("chi2_bartlett"),
+      (col("_k") - 1L).cast("int").as("df"))
+  }
 }

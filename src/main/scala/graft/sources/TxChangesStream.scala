@@ -153,6 +153,40 @@ object TxChangesStream {
       rd.option("maxVersionsPerTrigger", mx.toString)).load()
   }
 
+  /** The full incremental pipeline, composed end-to-end: stream the
+    * CDC of `srcTable`, apply `transform` per micro-batch, land the
+    * result in `dstTable` through `commitIdempotent` — CDC SOURCE
+    * (this file) → exactly-once SINK (the q293 contract) in one call.
+    * This is the continuous-materialization shape (a downstream table
+    * that tracks an upstream one at batch cost): offsets ride the
+    * engine checkpoint, dedup ledger IS dstTable's manifest log, so a
+    * crash anywhere replays into a no-op. Insert-only consumption
+    * (the appending-source case); a row-level merge consumer composes
+    * `TxTable.mergeInto` in its own foreachBatch instead.
+    *
+    * @return the number of micro-batches that actually committed
+    */
+  def pipeTo(spark: SparkSession, srcTable: String, dstTable: String,
+             appId: String, transform: DataFrame => DataFrame,
+             checkpoint: String, startingVersion: Int = 0,
+             maxVersionsPerTrigger: Option[Int] = None): Long = {
+    val applied = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q = readChangesStream(spark, srcTable, startingVersion, maxVersionsPerTrigger)
+      .writeStream.option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val out = transform(batch.filter(org.apache.spark.sql.functions
+          .col("_change") === "insert"))
+        if (!out.isEmpty) {
+          val (_, didApply) = TxTable.commitIdempotent(out, dstTable, appId, batchId)
+          if (didApply) { applied.incrementAndGet(); () }
+        }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    applied.get()
+  }
+
   /** Synchronous replay harness (the Events.runToMemory shape): drive
     * the change stream through all currently-committed versions into a
     * memory sink and return the materialized frame. Test/oracle-side

@@ -919,4 +919,25 @@ class PlanSpec extends SparkSpec {
     val p = plan("q303_durbin_watson")
     p should include("partial_sum")
   }
+
+  test("q307 ivf-pq: probes and LUT broadcast, corpus codes stream — no shuffle of the corpus, no cartesian") {
+    val p = plan("q307_ivf_pq")
+    p should include("BroadcastHashJoin")
+    p should include("partial_sum") // per-(query, neighbor) ADC combines map-side
+    (p should not).include("CartesianProduct")
+  }
+
+    test("q311 bucketed sessions: every window partitions by (key, bucket) or runs on bucket-level rows — never a bare per-key event sort") {
+    val p = plan("q311_sessions_bucketed")
+    // the row-level windows carry the bucket in their partitioning
+    p should include("windowspecdefinition(user_id")
+    p should include("_bkt")
+    p should include("partial_min") // session rollup combines map-side
+  }
+
+    test("q317 friedman: per-block windows ride the collapsed cell table; treatment rollup combines map-side") {
+    val p = plan("q317_friedman")
+    p should include("partial_sum")
+    (p should not).include("CartesianProduct")
+  }
 }

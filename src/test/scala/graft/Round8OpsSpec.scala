@@ -304,6 +304,43 @@ class Round8OpsSpec extends SparkSpec {
     e.getMessage should include("collapse to one row per cell")
   }
 
+  test("cochranArmitage matches a hand-computed trend test") {
+    // s=0: 1/4 successes; s=1: 2/4; s=2: 3/4 — a clean monotone trend
+    val rows = Seq.fill(3)((0L, 0L)) ++ Seq((0L, 1L)) ++
+      Seq.fill(2)((1L, 0L)) ++ Seq.fill(2)((1L, 1L)) ++
+      Seq((2L, 0L)) ++ Seq.fill(3)((2L, 1L))
+    val out = graft.functions.Eval.cochranArmitage(
+      rows.toDF("s", "y"), "s", "y").collect().head
+    out.getAs[Long]("n") shouldBe 12L
+    out.getAs[Long]("r") shouldBe 6L
+    // T = 8 − (6/12)·12 = 2 ; Var = ¼·(20 − 12²/12) = 2 ; z = √2
+    out.getAs[Double]("t_stat") shouldBe 2.0 +- 1e-9
+    out.getAs[Double]("var_t") shouldBe 2.0 +- 1e-9
+    out.getAs[Double]("z") shouldBe math.sqrt(2.0) +- 1e-6
+    // degenerate: all successes → NULL z
+    val degen = graft.functions.Eval.cochranArmitage(
+      Seq((0L, 1L), (1L, 1L)).toDF("s", "y"), "s", "y").collect().head
+    degen.isNullAt(degen.fieldIndex("z")) shouldBe true
+  }
+
+  test("bartlett matches a hand-computed variance-equality test; zero-variance cells refuse to NULL") {
+    // g1 = {1,2,3}: S² = 1 ; g2 = {2,4,6,8}: S² = 20/3
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 2.0), ("b", 4.0), ("b", 6.0), ("b", 8.0)).toDF("g", "v")
+    val out = graft.functions.Eval.bartlett(df, "g", "v").collect().head
+    out.getAs[Int]("k") shouldBe 2
+    out.getAs[Long]("n") shouldBe 7L
+    val sp2 = 22.0 / 5.0
+    val numRef = 5.0 * math.log(sp2) - 3.0 * math.log(20.0 / 3.0)
+    val c = 1.0 + ((1.0 / 2.0 + 1.0 / 3.0) - 1.0 / 5.0) / 3.0
+    out.getAs[Double]("chi2_bartlett") shouldBe (numRef / c) +- 1e-5
+    out.getAs[Int]("df") shouldBe 1
+    // a constant group (zero variance): ln undefined → NULL verdict
+    val degen = Seq(("a", 1.0), ("a", 1.0), ("b", 2.0), ("b", 3.0)).toDF("g", "v")
+    val d2 = graft.functions.Eval.bartlett(degen, "g", "v").collect().head
+    d2.isNullAt(d2.fieldIndex("chi2_bartlett")) shouldBe true
+  }
+
   test("Quality.audit min/max bounds on an all-NULL column verdict a DEFINITE fail, not NULL") {
     val df = Seq((1L, None: Option[Double]), (2L, None))
       .toDF("id", "v")
