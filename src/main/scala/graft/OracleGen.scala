@@ -1758,6 +1758,39 @@ object OracleGen {
      $selects"""
   }
 
+  /** Incremental-dedup index lookup (Dedup.indexLookupPairs over the
+    * committed band index): bands rebuilt for the whole corpus, split
+    * base/batch on the doc_id%5 rule, joined on (band, bandval) —
+    * collision-count scoring, threshold filter.
+    */
+  def bandIndexLookupSql(k: Int = 16, minSim: Double = 0.25): String = {
+    val minCols = (0 until k)
+      .map(i => s"MIN((${Hashing.affineA(i)} * h0 + ${Hashing.affineB(i)}) % $P) AS m$i")
+      .mkString(", ")
+    val sigList = (0 until k).map(i => s"m$i").mkString("[", ", ", "]")
+    s"""WITH toks AS (
+       SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents),
+     sh AS (
+       SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1]
+                                            for i in generate_series(1, len(w)-1)])) AS sh
+       FROM toks WHERE len(w) >= 2),
+     h AS (SELECT doc_id, ${portableHashSql("sh")} AS h0 FROM sh),
+     sig AS (SELECT doc_id, $minCols FROM h GROUP BY doc_id),
+     banded AS (
+       SELECT doc_id, band, (band * 31 + m) % $P AS bandval FROM (
+         SELECT doc_id, unnest($sigList) AS m,
+                unnest(generate_series(0, ${k - 1})) AS band
+         FROM sig)),
+     tb AS (SELECT doc_id AS corpus_id, band, bandval FROM banded WHERE doc_id % 5 <> 0),
+     pb AS (SELECT doc_id AS batch_id, band, bandval FROM banded WHERE doc_id % 5 = 0),
+     pairs AS (
+       SELECT batch_id, corpus_id, COUNT(*) / ${k}.0 AS est_sim
+       FROM pb JOIN tb USING (band, bandval)
+       WHERE batch_id <> corpus_id
+       GROUP BY 1, 2)
+     SELECT batch_id, corpus_id, est_sim FROM pairs WHERE est_sim >= $minSim"""
+  }
+
   /** Bloom-filter file skipping (TxTable bloomCols + readWhereKey):
     * per-file blooms REBUILT from the versioned data files
     * (`filename=true`), probe keys hashed with the same md5-affine

@@ -2236,6 +2236,78 @@ object SparkEntry {
       tbl.unionByName(meta)
     }),
 
+    // §2#62z (r8) RESTORE — zero-copy rollback (Delta RESTORE TO
+    // VERSION): the restored head REFERENCES version 2's files (no
+    // data read or written — zero_copy audits file-list identity);
+    // the bad v3 stays time-travelable; CDC reads the restore as a
+    // full snapshot replace.
+    "q321_tx_restore" -> ((s, dir) => {
+      val table = sidePath("graft_txres", dir)
+      sources.TxTable.drop(s, table)
+      val ord = t(s, dir, "orders").df
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      def part(p: String) = ord.filter(col("o_orderpriority") === p)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      sources.TxTable.commit(part("1-URGENT"), table)
+      sources.TxTable.commit(part("2-HIGH"), table)
+      sources.TxTable.commit(part("5-LOW"), table, op = "overwrite") // the bad write
+      val rv = sources.TxTable.restore(s, table, 2)
+      def summarize(df: org.apache.spark.sql.DataFrame, section: String, label: String) =
+        df.agg(count(lit(1)).as("n_rows"),
+            sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
+          .select(lit(section).as("section"), lit(label).as("label"),
+            col("n_rows"), col("sum_price"))
+      val now = summarize(sources.TxTable.read(s, table), "table", "restored")
+      val v3 = summarize(sources.TxTable.readVersion(s, table, 3), "table", "pre_restore")
+      val cdc = sources.TxTable.changes(s, table, 3, 4)
+        .groupBy(concat(col("_change"), lit("@"), col("_version")).as("label"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
+        .select(lit("cdc").as("section"), col("label"), col("n_rows"), col("sum_price"))
+      val zeroCopy = sources.TxTable.filesOf(s, table, rv).toSet ==
+        sources.TxTable.filesOf(s, table, 2).toSet
+      val meta = s.createDataFrame(Seq(
+          ("meta", "n_versions", sources.TxTable.currentVersion(s, table).toLong),
+          ("meta", "restored_version", rv.toLong),
+          ("meta", "zero_copy", if (zeroCopy) 1L else 0L)))
+        .toDF("section", "label", "n_rows")
+        .withColumn("sum_price", lit(null).cast("double"))
+      now.unionByName(v3).unionByName(cdc).unionByName(meta)
+    }),
+
+    // §2#30ac (r8) incremental-dedup LOOKUP: the query side of q312's
+    // maintained band index — "which existing documents does this
+    // batch duplicate", one (band, bandval) equi-join against the
+    // committed index, never a corpus re-sign.
+    "q322_dedup_index_lookup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      val table = sidePath("graft_dedupidx2", dir)
+      sources.TxTable.drop(s, table)
+      sources.TxTable.commit(
+        operators.Dedup.minhashBandIndex(docs.filter(col("doc_id") % 5 =!= 0)), table)
+      operators.Dedup.indexLookupPairs(
+          sources.TxTable.read(s, table), docs.filter(col("doc_id") % 5 === 0))
+        .filter(col("est_sim") >= 0.25)
+    }),
+
+    // §2#60j (r8) streaming AMS F₂ build: the second-moment member
+    // completing the streaming sketch family — ~72 bytes of operator
+    // state at any cardinality; final snapshot ≡ the batch sketch,
+    // audited against the exact F₂ (q285's oracle verbatim).
+    "q323_stream_ams" -> ((s, dir) => {
+      val est = functions.Sketches.amsF2Estimate(
+        streaming.Events.streamAmsSketch(s, s"$dir/events.parquet"))
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+      val exact = ev.groupBy("user_id").agg(count(lit(1)).as("_c"))
+        .agg(sum((col("_c").cast("decimal(19,0)") * col("_c")).cast("decimal(38,0)"))
+          .as("_f2"))
+      est.crossJoin(exact)
+        .select(col("reps"), col("f2_est"),
+          col("_f2").cast("double").as("f2_exact"),
+          round(abs(col("f2_est") / col("_f2").cast("double") - lit(1.0)), 9)
+            .as("rel_err"))
+    }),
+
     // §2#52av (r8) Cochran–Armitage trend: is the purchase RATE
     // monotone across the hour-of-day ordinal — the ordered companion
     // to q146's anywhere-different chi-square; exact integer sums, one
@@ -5253,6 +5325,51 @@ object SparkEntry {
 
     "q316_tx_bloom_skip" ->
       OracleGen.bloomSkipSql("/tmp/graft_txbloom___SFTAG__"),
+
+    "q323_stream_ams" ->
+      """WITH signs AS (
+           SELECT r, SUM(1 - 2 * (('0x' || substr(md5('ams' || r || '|'
+             || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2)) AS z
+           FROM events, (SELECT UNNEST(range(9)) AS r) reps GROUP BY r),
+         med AS (
+           SELECT CAST(z AS HUGEINT) * z AS z2,
+             ROW_NUMBER() OVER (ORDER BY CAST(z AS HUGEINT) * z) AS rk,
+             COUNT(*) OVER () AS n
+           FROM signs),
+         est AS (
+           SELECT CAST(n AS INT) AS reps, CAST(z2 AS DOUBLE) AS f2_est
+           FROM med WHERE rk = (n + 1) // 2),
+         exact AS (
+           SELECT SUM(CAST(c AS HUGEINT) * c) AS f2
+           FROM (SELECT COUNT(*) AS c FROM events GROUP BY user_id))
+         SELECT reps, f2_est, CAST(f2 AS DOUBLE) AS f2_exact,
+           round(abs(f2_est / CAST(f2 AS DOUBLE) - 1.0), 9) AS rel_err
+         FROM est, exact""",
+
+    "q321_tx_restore" ->
+      """WITH v12 AS (
+           SELECT o_orderkey, o_totalprice
+           FROM read_parquet('/tmp/graft_txres___SFTAG__/data/v1_*.parquet')
+           UNION ALL
+           SELECT o_orderkey, o_totalprice
+           FROM read_parquet('/tmp/graft_txres___SFTAG__/data/v2_*.parquet')),
+         v3 AS (
+           SELECT o_orderkey, o_totalprice
+           FROM read_parquet('/tmp/graft_txres___SFTAG__/data/v3_*.parquet'))
+         SELECT 'table' AS section, 'restored' AS label, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+         FROM v12
+         UNION ALL SELECT 'table', 'pre_restore', COUNT(*),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) FROM v3
+         UNION ALL SELECT 'cdc', 'delete@4', COUNT(*),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) FROM v3
+         UNION ALL SELECT 'cdc', 'insert@4', COUNT(*),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) FROM v12
+         UNION ALL SELECT 'meta', 'n_versions', CAST(4 AS BIGINT), CAST(NULL AS DOUBLE)
+         UNION ALL SELECT 'meta', 'restored_version', CAST(4 AS BIGINT), CAST(NULL AS DOUBLE)
+         UNION ALL SELECT 'meta', 'zero_copy', CAST(1 AS BIGINT), CAST(NULL AS DOUBLE)""",
+
+    "q322_dedup_index_lookup" -> OracleGen.bandIndexLookupSql(),
 
     "q319_cochran_armitage" ->
       """WITH e AS (

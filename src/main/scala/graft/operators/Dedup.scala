@@ -126,6 +126,33 @@ object Dedup {
     bandedMinhash(docs, k, bandWidth, textCol, idCol)
   }
 
+  /** Candidate near-dup pairs of a NEW BATCH against a persisted
+    * [[minhashBandIndex]] — the query side of continuous-ingestion
+    * dedup: "which existing documents does this batch duplicate",
+    * answered WITHOUT re-signing the corpus. One (band, bandval)
+    * equi-join of the batch's band rows (batch-sized) against the
+    * index (corpus-sized but hash-partitioned on the join key — at
+    * warehouse scale the index lives bucketed/z-ordered on band so
+    * the join also prunes files); collision count IS the similarity
+    * estimate (the [[minhashPairs]] scoring rule, est_sim exact for
+    * pairs under any bucket cap applied at index build).
+    * Returns (batch_id, corpus_id, est_sim); self-matches (a batch
+    * doc already indexed) drop.
+    */
+  def indexLookupPairs(index: DataFrame, batchDocs: DataFrame, k: Int = 16,
+                       bandWidth: Int = 1, textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    require(k % bandWidth == 0, s"k=$k not divisible by bandWidth=$bandWidth")
+    val nbands = k / bandWidth
+    val probe = bandedMinhash(batchDocs, k, bandWidth, textCol, idCol)
+      .select(col("doc_id").as("batch_id"), col("band"), col("bandval"))
+    probe.join(index.select(col("doc_id").as("corpus_id"), col("band"), col("bandval")),
+        Seq("band", "bandval"))
+      .filter(col("batch_id") =!= col("corpus_id"))
+      .groupBy("batch_id", "corpus_id")
+      .agg((count(lit(1)) / nbands.toDouble).as("est_sim"))
+  }
+
   /** The unranked pair stage of [[minhash]]: every candidate pair with
     * its band-collision similarity estimate. This is what a DEDUP run
     * consumes (all pairs above a threshold) — ranking/limiting is a

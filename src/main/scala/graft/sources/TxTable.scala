@@ -694,6 +694,59 @@ object TxTable {
     }
   }
 
+  /** RESTORE (the Delta RESTORE TABLE ... TO VERSION shape): publish a
+    * NEW version whose file list is exactly version `toV`'s — a
+    * zero-copy rollback (no data is read or written; the restored
+    * snapshot references the same immutable files, which is why the
+    * manifest design makes undo free). History is preserved: the bad
+    * versions stay time-travelable until retention expires them, and
+    * `changes()` reads the restore as delete-of-current +
+    * insert-of-restored (a full snapshot replace — downstream
+    * consumers converge to the rolled-back state).
+    *
+    * The publish rides the same committer CAS as any commit — a
+    * concurrent writer winning the version race fails this restore
+    * loudly (rolling back UNDER a live writer must be explicit, not
+    * silently interleaved).
+    *
+    * @return the new (restored) version number
+    */
+  def restore(spark: SparkSession, table: String, toV: Int): Int = {
+    val head = currentVersion(spark, table)
+    require(toV >= 1, s"versions start at 1, got $toV")
+    require(manifestPath(table, toV).getFileSystem(
+        spark.sparkContext.hadoopConfiguration).exists(manifestPath(table, toV)),
+      s"TxTable: cannot restore $table to expired/unknown version $toV")
+    val v = head + 1
+    val f = fs(spark, table)
+    val files = filesOf(spark, table, toV)
+    val stats = statsOf(spark, table, toV)
+    val blooms = bloomEntries(spark, table, toV)
+    val statsJson =
+      if (stats.isEmpty) ""
+      else "," + "\"stats\":[" + stats.map { case (fl, c, lo, hi) =>
+        s"""{"f":"$fl","c":"$c","lo":$lo,"hi":$hi}""" }.mkString(",") + "]"
+    val bloomJson =
+      if (blooms.isEmpty) ""
+      else "," + "\"bloom\":[" + blooms.map { case (fl, c, b64) =>
+        s"""{"f":"$fl","c":"$c","m":$BloomM,"k":$BloomK,"b":"$b64"}""" }.mkString(",") + "]"
+    val parentMs = try commitMsOf(spark, table, head)
+      catch { case _: java.io.FileNotFoundException => 0L }
+    val ts = math.max(System.currentTimeMillis(), parentMs + 1L)
+    val ms = if (msOf(spark, table, toV)) ""","ms":1""" else ""
+    val schemaJson = manifestSchema(spark, table, toV)
+      .map(st => s""""schema":"${jesc(st.toDDL)}",""").getOrElse("")
+    val json = s"""{"version":$v,"op":"restore","commit_ms":$ts$ms,""" +
+      schemaJson + s""""n_files":${files.size},""" +
+      s""""files":[${files.map("\"" + _ + "\"").mkString(",")}]$statsJson$bloomJson}"""
+    val mp = manifestPath(table, v)
+    f.mkdirs(mp.getParent)
+    if (!committerFor(f).publish(f, mp, json, java.util.UUID.randomUUID().toString.take(8)))
+      sys.error(s"TxTable: commit conflict — version $v at $table was " +
+        "published by another writer; re-read and retry")
+    v
+  }
+
   /** Constraint-gated commit — the Delta CHECK-constraint / write-
     * audit-publish shape composed from the parts this engine already
     * has: run a declared [[graft.functions.Quality]] audit over the

@@ -167,6 +167,25 @@ object Events {
       "complete", "graft_cms_")
   }
 
+  /** Streaming AMS F₂ sketch build (SURVEY §2 #60i): the signed-
+    * counter aggregation run in complete mode over the event stream —
+    * the join-size/skew member completing the streaming sketch family
+    * (CMS = frequency, HLL = distinct, KMV = similarity, dyadic =
+    * quantiles, AMS = second moment). Counters are commutative ±1
+    * sums, so the operator state is `reps` longs (~72 bytes at ANY
+    * cardinality), any micro-batch snapshot is a valid sketch of
+    * everything ingested, and the final snapshot equals the batch
+    * [[graft.functions.Sketches.amsF2Sketch]] counter-for-counter —
+    * verified by the SAME oracle machinery as q285.
+    */
+  def streamAmsSketch(spark: SparkSession, eventsPath: String, reps: Int = 9,
+                      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val st = readStream(spark, eventsPath, maxFilesPerTrigger)
+      .select(col("user_id").cast("string").as("user_id"))
+    runToMemory(graft.functions.Sketches.amsF2Sketch(st, "user_id", reps),
+      "complete", "graft_ams_")
+  }
+
   /** Streaming dyadic quantile-state build (SURVEY §2 #60d): the
     * per-(key, bin) count aggregation run in complete mode over the
     * event stream — the quantile member of the streaming-sketch trio

@@ -330,6 +330,34 @@ class TxTableSpec extends SparkSpec {
     } finally TxTable.committerOverride = None
   }
 
+  test("restore is zero-copy, preserves history, and survives vacuum/expire correctly (r8)") {
+    val table = freshTable()
+    TxTable.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), table) shouldBe 1
+    TxTable.commit(Seq((3L, "c")).toDF("id", "s"), table) shouldBe 2
+    TxTable.commit(Seq((9L, "z")).toDF("id", "s"), table, op = "overwrite") shouldBe 3
+    val rv = TxTable.restore(spark, table, 2)
+    rv shouldBe 4
+    // content rolled back; files REFERENCED, not copied
+    TxTable.read(spark, table).collect().map(_.getLong(0)).sorted shouldBe Seq(1L, 2L, 3L)
+    TxTable.filesOf(spark, table, 4).toSet shouldBe TxTable.filesOf(spark, table, 2).toSet
+    TxTable.opOf(spark, table, 4) shouldBe "restore"
+    // the bad v3 stays travelable until retention expires it
+    TxTable.readVersion(spark, table, 3).collect().map(_.getLong(0)) shouldBe Seq(9L)
+    // vacuum(0) must not touch the restored head's files (referenced
+    // twice — v2 and v4) even though v3's are still referenced by v3
+    TxTable.vacuum(spark, table, minAgeMs = 0L) shouldBe empty
+    // expiring history down to the restored head keeps its files live
+    // (they are referenced by the kept v4 even though NAMED v1_/v2_)
+    TxTable.expireVersions(spark, table, keepLast = 1)
+    TxTable.read(spark, table).collect().map(_.getLong(0)).sorted shouldBe Seq(1L, 2L, 3L)
+    // restoring to an expired version refuses loudly
+    val e = intercept[IllegalArgumentException] { TxTable.restore(spark, table, 2) }
+    e.getMessage should include("expired")
+    // a new append continues normally on top of the restored head
+    TxTable.commit(Seq((7L, "g")).toDF("id", "s"), table) shouldBe 5
+    TxTable.read(spark, table).collect().map(_.getLong(0)).sorted shouldBe Seq(1L, 2L, 3L, 7L)
+  }
+
   test("mergeInto retries a lost CAS by RE-MERGING against the new head: racing append and merge both land (r8)") {
     val table = freshTable()
     TxTable.commit(Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "v"), table) shouldBe 1
