@@ -19,7 +19,7 @@ done
 # compaction on fault in this kernel (measured 41 CPU-min of kernel
 # time to fault 4 GB vs 15 CPU-sec with base pages). No AlwaysPreTouch
 # either: zeroing the full heap up front costs minutes here.
-MEM=${SPARK_DRIVER_MEM:-12g}
+MEM=${SPARK_DRIVER_MEM:-32g}
 exec java $OPENS -Xms$MEM -Xmx$MEM \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "$CP" "$@"
