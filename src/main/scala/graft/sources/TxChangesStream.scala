@@ -129,10 +129,19 @@ object TxChangesStream {
   private[graft] def batchFor(spark: SparkSession, table: String, from: Int,
                               to: Int, schema: StructType): DataFrame = {
     val ms = ((from + 1) to to).map(v => v -> TxTable.commitMsOf(spark, table, v)).toMap
-    val df = TxTable.changes(spark, table, from, to)
+    val delta = TxTable.changes(spark, table, from, to)
       .withColumn("_commit_ms", element_at(typedlit(ms), col("_version")))
-      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
-    org.apache.spark.sql.graft.ColumnBridge.asStreaming(df)
+    // align to the PINNED schema: a batch replayed across a schema
+    // evolution (restart re-pins from the evolved head, then re-runs
+    // an uncommitted pre-evolution batch) surfaces added columns as
+    // typed NULLs — the ALTER TABLE ADD COLUMN semantics the evolved
+    // table itself has
+    val cols = schema.fields.map { f =>
+      if (delta.columns.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }
+    org.apache.spark.sql.graft.ColumnBridge.asStreaming(
+      delta.select(cols.toIndexedSeq: _*))
   }
 
   /** The user-facing entry — `readStream` over a TxTable's commit log:

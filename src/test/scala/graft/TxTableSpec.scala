@@ -330,6 +330,59 @@ class TxTableSpec extends SparkSpec {
     } finally TxTable.committerOverride = None
   }
 
+  test("duplicate-batch delivery races through the object-store CAS: exactly one applies (r8)") {
+    val table = freshTable()
+    TxTable.committerOverride =
+      Some(new graft.sources.ObjectStoreCommitter(new graft.sources.LocalEmulatedObjectStore))
+    try {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      // four writers deliver the SAME (appId, batchId) concurrently —
+      // the crashy-sink worst case on an object store: one must win the
+      // conditional put, the rest must land as already-applied no-ops
+      val futures = (1 to 4).map { _ =>
+        scala.concurrent.Future {
+          TxTable.commitIdempotent(Seq((1L, "x")).toDF("id", "s"), table, "dup", 7L)
+        }
+      }
+      val results = futures.map(f =>
+        scala.concurrent.Await.result(f, scala.concurrent.duration.Duration(120, "s")))
+      results.count(_._2) shouldBe 1                 // exactly one applied
+      results.map(_._1).distinct shouldBe Seq(1)     // all see version 1
+      TxTable.currentVersion(spark, table) shouldBe 1
+      TxTable.read(spark, table).count() shouldBe 1L // the row landed once
+      pool.shutdown()
+    } finally TxTable.committerOverride = None
+  }
+
+  test("tx-changes stream schema pins at start: a mid-stream evolution keeps emitting the pinned shape (r8)") {
+    import graft.sources.TxChangesStream
+    val table = freshTable()
+    TxTable.commit(Seq((1L, "a")).toDF("id", "s"), table) shouldBe 1
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[Seq[String]]()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_txsch_ckpt_").toString
+    def runOnce(): Unit = {
+      val q = TxChangesStream.readChangesStream(spark, table)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          buf.add(b.columns.toSeq); ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce()
+    // the table evolves while the stream is down; the RESTARTED stream
+    // re-pins from the new head (the documented restart rule), but a
+    // batch never mixes shapes mid-stream
+    TxTable.commitEvolve(Seq((2L, "b", 9L)).toDF("id", "s", "extra"), table) shouldBe 2
+    runOnce()
+    import scala.jdk.CollectionConverters._
+    val shapes = buf.asScala.toSeq
+    shapes.head shouldBe Seq("id", "s", "_change", "_version", "_commit_ms")
+    shapes.last shouldBe Seq("id", "s", "extra", "_change", "_version", "_commit_ms")
+  }
+
   test("restore is zero-copy, preserves history, and survives vacuum/expire correctly (r8)") {
     val table = freshTable()
     TxTable.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), table) shouldBe 1
