@@ -899,8 +899,8 @@ object Eval {
       count(lit(1)).as("n"),
       sum(y).as("r"),
       sum(s0.cast("decimal(38,0)")).as("_sn"),
-      sum((s0 * y).cast("decimal(38,0)")).as("_sr"),
-      sum((s0 * s0).cast("decimal(38,0)")).as("_ssn"),
+      sum((s0.cast("decimal(19,0)") * y).cast("decimal(38,0)")).as("_sr"),
+      sum((s0.cast("decimal(19,0)") * s0).cast("decimal(38,0)")).as("_ssn"),
       countDistinct(s0).as("_k"))
     val pN = d(col("r")) / d(col("n"))
     val t = d(col("_sr")) - pN * d(col("_sn"))
@@ -939,7 +939,7 @@ object Eval {
       .groupBy("_g")
       .agg(count(lit(1)).as("_ni"),
         sum(col("_v").cast("decimal(38,0)")).as("_s1"),
-        sum((col("_v") * col("_v")).cast("decimal(38,0)")).as("_s2"))
+        sum((col("_v").cast("decimal(19,0)") * col("_v")).cast("decimal(38,0)")).as("_s2"))
       .filter(col("_ni") >= 2)
     // S²ᵢ = (Σv² − (Σv)²/nᵢ)/(nᵢ−1) in value units (÷scale²), one
     // mirrored op order

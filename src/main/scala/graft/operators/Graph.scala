@@ -67,6 +67,25 @@ object Graph {
     out
   }
 
+  /** Shared weighted-edge construction for the weighted rank family —
+    * ONE definition so the engine can never desync from the single
+    * OracleGen.weightedEdgesPrelude that mirrors it: quantize
+    * (floor(w·scale + ½)), symmetrize, canonicalize duplicate pairs to
+    * max, drop zero-quantum edges; returns (edges, per-src totals),
+    * both persisted (callers release).
+    */
+  private def weightedEdges(pairs: DataFrame, aCol: String, bCol: String,
+                            wCol: String, weightScale: Long): (DataFrame, DataFrame) = {
+    val wq0 = floor(col(wCol).cast("double") * weightScale + lit(0.5)).cast("long")
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"), wq0.as("wq"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst"), wq0.as("wq")))
+      .groupBy("src", "dst").agg(max("wq").as("wq"))
+      .filter(col("wq") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wsum = edges.groupBy("src").agg(sum("wq").as("wtot")).persist()
+    (edges, wsum)
+  }
+
   /** Weighted-edge PageRank: [[pageRank]] with mass spread
     * PROPORTIONAL TO EDGE WEIGHT — the right form over a similarity
     * graph, whose edges HAVE weights (cosine / Jaccard scores): a
@@ -94,15 +113,7 @@ object Graph {
                        weightScale: Long = 1000000L): DataFrame = {
     require(iters >= 1 && dampNum > 0 && dampDen > dampNum && weightScale > 0,
       s"need iters >= 1, 0 < dampNum/dampDen < 1, weightScale > 0")
-    val wq0 = floor(col(wCol).cast("double") * weightScale + lit(0.5)).cast("long")
-    // symmetrize carrying the weight; duplicate pairs canonicalize to
-    // their max weight (a candidate generator may emit a pair twice)
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"), wq0.as("wq"))
-      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst"), wq0.as("wq")))
-      .groupBy("src", "dst").agg(max("wq").as("wq"))
-      .filter(col("wq") > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val wsum = edges.groupBy("src").agg(sum("wq").as("wtot")).persist()
+    val (edges, wsum) = weightedEdges(pairs, aCol, bCol, wCol, weightScale)
     val nV = wsum.count()
     require(nV > 0, "pageRankWeighted: no positive-weight edges — nothing to rank")
     val d = dampNum.toDouble / dampDen.toDouble
@@ -141,13 +152,7 @@ object Graph {
                                    weightScale: Long = 1000000L): DataFrame = {
     require(iters >= 1 && dampNum > 0 && dampDen > dampNum && weightScale > 0,
       s"need iters >= 1, 0 < dampNum/dampDen < 1, weightScale > 0")
-    val wq0 = floor(col(wCol).cast("double") * weightScale + lit(0.5)).cast("long")
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"), wq0.as("wq"))
-      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst"), wq0.as("wq")))
-      .groupBy("src", "dst").agg(max("wq").as("wq"))
-      .filter(col("wq") > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val wsum = edges.groupBy("src").agg(sum("wq").as("wtot")).persist()
+    val (edges, wsum) = weightedEdges(pairs, aCol, bCol, wCol, weightScale)
     val seedSet = seeds.toDF("node").distinct()
       .join(wsum.withColumnRenamed("src", "node"), Seq("node"), "left_semi")
       .persist()

@@ -44,7 +44,8 @@ class TxChangesSourceProvider extends StreamSourceProvider with DataSourceRegist
                             parameters: Map[String, String]): Source =
     new TxChangesSource(ctx.sparkSession, TxChangesStream.tableOf(parameters),
       parameters.getOrElse("startingVersion", "0").toInt,
-      parameters.get("maxVersionsPerTrigger").map(_.toInt), metadataPath)
+      parameters.get("maxVersionsPerTrigger").map(_.toInt), metadataPath,
+      schema) // sourceSchema already planned it — don't re-read footers
 }
 
 /** Offset = the largest committed version this stream has consumed.
@@ -56,8 +57,10 @@ case class TxVersionOffset(v: Int) extends Offset {
 
 private[graft] class TxChangesSource(spark: SparkSession, table: String,
                                      startV: Int, maxVersionsPerTrigger: Option[Int],
-                                     metadataPath: String) extends Source {
-  override val schema: StructType = TxChangesStream.schemaFor(spark, table)
+                                     metadataPath: String,
+                                     pinned: Option[StructType] = None) extends Source {
+  override val schema: StructType =
+    pinned.getOrElse(TxChangesStream.schemaFor(spark, table))
 
   // Rate-limit bookkeeping (the FileStreamSource pattern): the last
   // OFFERED version persists in the source's own metadata dir, so a
@@ -215,6 +218,13 @@ object TxChangesStream {
       .option("checkpointLocation", ckpt)
       .start()
     try q.processAllAvailable() finally q.stop()
+    // a caller-provided checkpoint is durable state; the throwaway
+    // temp one cleans up here (the Events.runToMemory rule)
+    if (checkpoint.isEmpty) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt)).iterator().asScala
+        .toSeq.reverse.foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
     spark.table(name)
   }
 }

@@ -397,7 +397,7 @@ object TxTable {
     val carriedBloom = if (carried.nonEmpty && v > 1)
       bloomEntries(spark, table, v - 1).filter(b => carried.contains(b._1))
     else Seq.empty
-    val newBloom: Seq[(String, String, String)] =
+    val newBloom: Seq[(String, String, Int, Int, String)] =
       if (bloomCols.isEmpty || named.isEmpty) Seq.empty
       else {
         import org.apache.spark.sql.functions.{array, col, explode, input_file_name, lit, pmod}
@@ -418,15 +418,16 @@ object TxTable {
                 bytes(b >> 3) = (bytes(b >> 3) | (1 << (b & 7))).toByte
               }
               val name = f.substring(f.lastIndexOf('/') + 1)
-              (s"data/$name", c, java.util.Base64.getEncoder.encodeToString(bytes))
+              (s"data/$name", c, BloomM, BloomK,
+                java.util.Base64.getEncoder.encodeToString(bytes))
             }
         }
       }
     val blooms = carriedBloom ++ newBloom
     val bloomJson =
       if (blooms.isEmpty) ""
-      else "," + "\"bloom\":[" + blooms.map { case (fl, c, b64) =>
-        s"""{"f":"$fl","c":"$c","m":$BloomM,"k":$BloomK,"b":"$b64"}"""
+      else "," + "\"bloom\":[" + blooms.map { case (fl, c, m, k, b64) =>
+        s"""{"f":"$fl","c":"$c","m":$m,"k":$k,"b":"$b64"}"""
       }.mkString(",") + "]"
     // commit time, STRICTLY MONOTONIC over the parent (Delta's
     // timestamp-as-of contract: two commits landing in the same wall
@@ -543,28 +544,36 @@ object TxTable {
       .filter(col(colName) >= lo && col(colName) <= hi)
   }
 
-  /** Per-file bloom entries of version `v`: (file, column, base64 bits). */
+  /** Per-file bloom entries of version `v`: (file, column, m, k,
+    * base64 bits). m/k ride each entry so the GEOMETRY can evolve —
+    * readers derive probe bits from the entry's recorded values, never
+    * the current constants (a raised BloomM must not index past an old
+    * table's 512-byte bitset, and a lowered one must not silently
+    * break the no-false-negative guarantee).
+    */
   private[graft] def bloomEntries(spark: SparkSession, table: String,
-                                  v: Int): Seq[(String, String, String)] =
-    """\{"f":"(.*?)","c":"(.*?)","m":\d+,"k":\d+,"b":"(.*?)"\}""".r
+                                  v: Int): Seq[(String, String, Int, Int, String)] =
+    """\{"f":"(.*?)","c":"(.*?)","m":(\d+),"k":(\d+),"b":"(.*?)"\}""".r
       .findAllMatchIn(manifestText(spark, table, v))
-      .map(m => (m.group(1), m.group(2), m.group(3))).toSeq
+      .map(m => (m.group(1), m.group(2), m.group(3).toInt, m.group(4).toInt,
+        m.group(5))).toSeq
 
   /** Driver-side mirror of the distributed bloom-bit derivation:
     * portable md5 base hash of the string rendering, k affine
     * variants mod m — byte-identical to the Column path and the
-    * oracle SQL.
+    * oracle SQL. Geometry comes from the manifest ENTRY, not the
+    * current constants.
     */
-  private def bloomBitsOf(value: String): Seq[Int] = {
+  private def bloomBitsOf(value: String, m: Int, k: Int): Seq[Int] = {
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(value.getBytes("UTF-8"))
     val prefix = java.lang.Long.parseLong(
       digest.take(4).map("%02x".format(_)).mkString, 16)
     val h = java.lang.Math.floorMod(prefix, graft.functions.Hashing.PortableP)
-    (0 until BloomK).map { j =>
+    (0 until k).map { j =>
       val a = graft.functions.Hashing.affineA(j)
       val b = graft.functions.Hashing.affineB(j)
-      (java.lang.Math.floorMod(a * h + b, graft.functions.Hashing.PortableP) % BloomM).toInt
+      (java.lang.Math.floorMod(a * h + b, graft.functions.Hashing.PortableP) % m).toInt
     }.distinct
   }
 
@@ -576,14 +585,14 @@ object TxTable {
     */
   def prunedFilesByKey(spark: SparkSession, table: String, v: Int,
                        colName: String, value: String): Seq[String] = {
-    val bits = bloomBitsOf(value)
     val byFile = bloomEntries(spark, table, v)
-      .collect { case (fl, c, b64) if c == colName =>
-        fl -> java.util.Base64.getDecoder.decode(b64) }
+      .collect { case (fl, c, m, k, b64) if c == colName =>
+        fl -> (m, k, java.util.Base64.getDecoder.decode(b64)) }
       .toMap
     filesOf(spark, table, v).filter { fl =>
-      byFile.get(fl).forall { bytes =>
-        bits.forall(b => (bytes(b >> 3) & (1 << (b & 7))) != 0)
+      byFile.get(fl).forall { case (m, k, bytes) =>
+        bloomBitsOf(value, m, k)
+          .forall(b => (bytes(b >> 3) & (1 << (b & 7))) != 0)
       }
     }
   }
@@ -728,8 +737,8 @@ object TxTable {
         s"""{"f":"$fl","c":"$c","lo":$lo,"hi":$hi}""" }.mkString(",") + "]"
     val bloomJson =
       if (blooms.isEmpty) ""
-      else "," + "\"bloom\":[" + blooms.map { case (fl, c, b64) =>
-        s"""{"f":"$fl","c":"$c","m":$BloomM,"k":$BloomK,"b":"$b64"}""" }.mkString(",") + "]"
+      else "," + "\"bloom\":[" + blooms.map { case (fl, c, m, k, b64) =>
+        s"""{"f":"$fl","c":"$c","m":$m,"k":$k,"b":"$b64"}""" }.mkString(",") + "]"
     val parentMs = try commitMsOf(spark, table, head)
       catch { case _: java.io.FileNotFoundException => 0L }
     val ts = math.max(System.currentTimeMillis(), parentMs + 1L)
