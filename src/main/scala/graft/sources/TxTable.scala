@@ -185,6 +185,21 @@ object TxTable {
     b.toString
   }
 
+  /** Manifest stats/bloom fragments — ONE renderer for every manifest
+    * writer (commitAs and restore), so the two can never drift.
+    */
+  private def statsJsonOf(stats: Seq[(String, String, Double, Double)]): String =
+    if (stats.isEmpty) ""
+    else "," + "\"stats\":[" + stats.map { case (fl, c, lo, hi) =>
+      s"""{"f":"$fl","c":"$c","lo":$lo,"hi":$hi}"""
+    }.mkString(",") + "]"
+
+  private def bloomJsonOf(blooms: Seq[(String, String, Int, Int, String)]): String =
+    if (blooms.isEmpty) ""
+    else "," + "\"bloom\":[" + blooms.map { case (fl, c, m, k, b64) =>
+      s"""{"f":"$fl","c":"$c","m":$m,"k":$k,"b":"$b64"}"""
+    }.mkString(",") + "]"
+
   /** Versions whose manifest still exists (contiguous from 1 until
     * `expireVersions` trims the head of history). Sorted ascending.
     */
@@ -377,12 +392,7 @@ object TxTable {
           } finally r.close()
         }
       }
-    val stats = carriedStats ++ newStats
-    val statsJson =
-      if (stats.isEmpty) ""
-      else "," + "\"stats\":[" + stats.map { case (fl, c, lo, hi) =>
-        s"""{"f":"$fl","c":"$c","lo":$lo,"hi":$hi}"""
-      }.mkString(",") + "]"
+    val statsJson = statsJsonOf(carriedStats ++ newStats)
     // PER-FILE BLOOM INDEX (the Delta bloom-filter-index shape): the
     // point-lookup complement of the min/max stats — on a column the
     // layout does NOT cluster (high-cardinality ids), every file's
@@ -423,12 +433,7 @@ object TxTable {
             }
         }
       }
-    val blooms = carriedBloom ++ newBloom
-    val bloomJson =
-      if (blooms.isEmpty) ""
-      else "," + "\"bloom\":[" + blooms.map { case (fl, c, m, k, b64) =>
-        s"""{"f":"$fl","c":"$c","m":$m,"k":$k,"b":"$b64"}"""
-      }.mkString(",") + "]"
+    val bloomJson = bloomJsonOf(carriedBloom ++ newBloom)
     // commit time, STRICTLY MONOTONIC over the parent (Delta's
     // timestamp-as-of contract: two commits landing in the same wall
     // millisecond must still resolve distinctly — max(now, parent+1))
@@ -729,21 +734,16 @@ object TxTable {
     val v = head + 1
     val f = fs(spark, table)
     val files = filesOf(spark, table, toV)
-    val stats = statsOf(spark, table, toV)
-    val blooms = bloomEntries(spark, table, toV)
-    val statsJson =
-      if (stats.isEmpty) ""
-      else "," + "\"stats\":[" + stats.map { case (fl, c, lo, hi) =>
-        s"""{"f":"$fl","c":"$c","lo":$lo,"hi":$hi}""" }.mkString(",") + "]"
-    val bloomJson =
-      if (blooms.isEmpty) ""
-      else "," + "\"bloom\":[" + blooms.map { case (fl, c, m, k, b64) =>
-        s"""{"f":"$fl","c":"$c","m":$m,"k":$k,"b":"$b64"}""" }.mkString(",") + "]"
+    val statsJson = statsJsonOf(statsOf(spark, table, toV))
+    val bloomJson = bloomJsonOf(bloomEntries(spark, table, toV))
     val parentMs = try commitMsOf(spark, table, head)
       catch { case _: java.io.FileNotFoundException => 0L }
     val ts = math.max(System.currentTimeMillis(), parentMs + 1L)
     val ms = if (msOf(spark, table, toV)) ""","ms":1""" else ""
+    // every manifest this layer writes records a schema (the commitAs
+    // invariant) — a pre-schema target falls back to its snapshot read
     val schemaJson = manifestSchema(spark, table, toV)
+      .orElse(scala.util.Try(readVersion(spark, table, toV).schema).toOption)
       .map(st => s""""schema":"${jesc(st.toDDL)}",""").getOrElse("")
     val json = s"""{"version":$v,"op":"restore","commit_ms":$ts$ms,""" +
       schemaJson + s""""n_files":${files.size},""" +
