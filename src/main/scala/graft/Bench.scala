@@ -45,6 +45,21 @@ object Bench {
         f"$name: ${prev(name)}%.2fs -> $t1%.2fs (${t1 / prev(name)}%.1fx > $maxRatio%.1fx)"
     }
 
+  /** Resolve the cross-round regression BASELINE file: an explicitly
+    * pinned path wins; otherwise the first existing candidate. The
+    * round-9 ratchet fix: comparing against the mutable BENCH_LOCAL
+    * .json meant any interim bench run silently became the baseline —
+    * a 10× family-wide delta was invisible to the gate because the
+    * interim run had already absorbed it. The baseline must be the
+    * previous round's COMMITTED record (BENCH_BASE.json, snapshotted
+    * from the committed BENCH_LOCAL at round start and never written
+    * by bench runs), with the mutable out file only as the
+    * first-round fallback.
+    */
+  def resolveRegressionBase(pinned: Option[String], candidates: Seq[String],
+                            exists: String => Boolean): Option[String] =
+    pinned.filter(exists).orElse(candidates.find(exists))
+
   /** Per-query times from a previous BENCH_LOCAL line. The file carries
     * `"queries":{...}` before `"sf1_queries":{...}`, so keeping the
     * FIRST occurrence of each name yields the sf0.1 pass.
@@ -112,26 +127,36 @@ object Bench {
         val scalars = s""","sf1_total":${fmt(t1)},"sf1_growth":${fmt(growth)}"""
         (s"""$scalars,"sf1_queries":${json(r1)}""", scalars, bad)
       } else ("", "", Nil)
-    // Cross-round regression check against the previous committed
-    // record (read BEFORE this run overwrites it). Reported in the JSON
-    // and on stderr every run; hard-fails only under
+    // Cross-round regression check against the previous ROUND's
+    // committed per-query record — NOT the mutable out file, which any
+    // interim bench run overwrites (the round-8 lesson: the ratchet
+    // compared against its own last run and a genuine 10× delta never
+    // tripped it). The baseline used is recorded in the JSON. Reported
+    // in the JSON and on stderr every run; hard-fails only under
     // SPARK_GRAFT_REGRESSION_STRICT=1 — unlike the sf1 growth gate
     // (structural, host-independent), a cross-round ratio embeds the
     // previous round's host weather, so by default it must not cost the
     // round its numbers.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL.json")
     val maxRegression = sys.env.getOrElse("SPARK_GRAFT_MAX_REGRESSION", "1.5").toDouble
-    val regressions =
+    val basePath = resolveRegressionBase(
+      sys.env.get("SPARK_GRAFT_REGRESSION_BASE"),
+      Seq("/root/repo/BENCH_BASE.json", outFile),
+      p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+    val regressions = basePath.toSeq.flatMap { p =>
       try {
         val prevLine = new String(
-          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(outFile)), "UTF-8")
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")
         regressionViolations(parseBenchQueries(prevLine), results, maxRegression)
-      } catch { case scala.util.control.NonFatal(_) => Nil } // first run: no record
+      } catch { case scala.util.control.NonFatal(_) => Nil } // unreadable: no record
+    }
+    val baseField = basePath
+      .map(p => s""","regression_base":"$p"""").getOrElse("")
     val regField =
       if (regressions.isEmpty) ""
       else s""","regressions":[${regressions.map(r => "\"" + r + "\"").mkString(",")}]"""
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${json(results)},"sf":"$sfDir"$sf1Fields$regField}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${json(results)},"sf":"$sfDir"$sf1Fields$baseField$regField}"""
     // The complete JSON lands in a file (committed per round), immune to
     // any stdout tail truncation by the calling harness.
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
@@ -156,7 +181,7 @@ object Bench {
     spark.stop()
     if (regressions.nonEmpty) {
       System.err.println(
-        "[bench] cross-round regressions vs previous BENCH_LOCAL (>" +
+        "[bench] cross-round regressions vs " + basePath.getOrElse("?") + " (>" +
         maxRegression + "x):\n  " + regressions.mkString("\n  "))
       if (sys.env.getOrElse("SPARK_GRAFT_REGRESSION_STRICT", "0") == "1") sys.exit(2)
     }

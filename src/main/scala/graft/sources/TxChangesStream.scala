@@ -42,10 +42,16 @@ class TxChangesSourceProvider extends StreamSourceProvider with DataSourceRegist
   override def createSource(ctx: SQLContext, metadataPath: String,
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String]): Source =
+    // NOTE: Spark passes the USER-specified `.schema(...)` here, NOT
+    // sourceSchema's computed result — honoring it would let a caller
+    // silently pin a shape missing the _change/_version/_commit_ms
+    // columns and diverge from the schema advertised at plan time. The
+    // pinned stream schema is therefore always computed (one footer
+    // read at stream start — metadata-scale).
     new TxChangesSource(ctx.sparkSession, TxChangesStream.tableOf(parameters),
       parameters.getOrElse("startingVersion", "0").toInt,
       parameters.get("maxVersionsPerTrigger").map(_.toInt), metadataPath,
-      schema) // sourceSchema already planned it — don't re-read footers
+      availableNow = parameters.get("availableNow").contains("true"))
 }
 
 /** Offset = the largest committed version this stream has consumed.
@@ -58,48 +64,89 @@ case class TxVersionOffset(v: Int) extends Offset {
 private[graft] class TxChangesSource(spark: SparkSession, table: String,
                                      startV: Int, maxVersionsPerTrigger: Option[Int],
                                      metadataPath: String,
-                                     pinned: Option[StructType] = None) extends Source {
-  override val schema: StructType =
-    pinned.getOrElse(TxChangesStream.schemaFor(spark, table))
+                                     availableNow: Boolean = false) extends Source {
+  override val schema: StructType = TxChangesStream.schemaFor(spark, table)
+
+  /** `Trigger.AvailableNow` analog: the head is resolved ONCE at
+    * source construction and the stream never offers past it — a
+    * backfill of K committed versions drains in ⌈K/mx⌉ rate-limited
+    * batches and then goes idle (commits landing DURING the run wait
+    * for the next run); a restart on the same checkpoint consumes only
+    * later commits. The stop itself is the caller's (`processAllAvailable`
+    * returns once the source stops offering — see [[TxChangesStream.runAvailableNow]]).
+    */
+  private val endCap: Int =
+    if (availableNow) TxTable.currentVersion(spark, table) else Int.MaxValue
 
   // Rate-limit bookkeeping (the FileStreamSource pattern): the last
   // OFFERED version persists in the source's own metadata dir, so a
   // restart resumes the throttle from ≥ the engine's committed offset
   // (we persist BEFORE offering — an offer can replay after a crash,
   // never rewind; the engine's offset log keeps delivery exactly-once).
-  private val offeredPath = new org.apache.hadoop.fs.Path(metadataPath, "graft_last_offered")
-  private def fsys = offeredPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  //
+  // CRASH-SAFE BY REPRESENTATION (the r8 design kept the floor in ONE
+  // mutable file written with create(overwrite=true) — a crash between
+  // truncate and close left an empty file whose parse wedged every
+  // later getOffset until hand-deleted): each offered version is its
+  // own EMPTY record file `v<N>` whose existence IS the record — there
+  // is no content to tear. The floor is the max record; a crash while
+  // creating a record loses at most THAT record, regressing the floor
+  // to the previous offered version, which is still ≥ everything the
+  // engine could have committed — offsets never rewind below the
+  // offset log. Stale records compact away best-effort after each
+  // advance, so the listing stays O(1)-sized.
+  private val offeredDir = new org.apache.hadoop.fs.Path(metadataPath, "graft_offered")
+  private def fsys = offeredDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  // NonFatal throughout: an unreadable dir or a garbage record name
+  // must degrade to the safe floor, never wedge the stream.
   private def readOffered(): Int =
     try {
-      val in = fsys.open(offeredPath)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
-      finally in.close()
-    } catch { case _: java.io.IOException => startV }
-  private def writeOffered(v: Int): Unit = {
-    val out = fsys.create(offeredPath, true)
-    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+      if (!fsys.exists(offeredDir)) startV
+      else {
+        val vs = fsys.listStatus(offeredDir).toSeq.map(_.getPath.getName)
+          .flatMap(n => scala.util.Try(n.stripPrefix("v").toInt).toOption)
+        (startV +: vs).max
+      }
+    } catch { case scala.util.control.NonFatal(_) => startV }
+  private def writeOffered(v: Int, prev: Int): Unit = {
+    fsys.mkdirs(offeredDir)
+    fsys.create(new org.apache.hadoop.fs.Path(offeredDir, s"v$v"), true).close()
+    // best-effort compaction — the floor is the MAX, a surviving stale
+    // record is harmless
+    try { fsys.delete(new org.apache.hadoop.fs.Path(offeredDir, s"v$prev"), false); () }
+    catch { case scala.util.control.NonFatal(_) => () }
   }
 
-  /** One manifest-dir listing; None until a version past `startV`
-    * exists. With `maxVersionsPerTrigger`, advance at most that many
-    * commits per micro-batch (the Delta source's rate-limit knob —
-    * bounds replay-batch size when a stream starts against a long
-    * history).
+  /** One O(1) head resolution (the CAS-published head pointer); None
+    * until a version past `startV` exists. With
+    * `maxVersionsPerTrigger`, advance at most that many commits per
+    * micro-batch (the Delta source's rate-limit knob — bounds
+    * replay-batch size when a stream starts against a long history).
     */
   override def getOffset: Option[Offset] = {
-    val cur = TxTable.currentVersion(spark, table)
+    val cur = math.min(TxTable.currentVersion(spark, table), endCap)
     val floor = math.max(startV, maxVersionsPerTrigger.fold(startV)(_ => readOffered()))
     val next = maxVersionsPerTrigger.fold(cur)(mx => math.min(cur, floor + mx))
     if (next <= startV) None
     else {
-      if (maxVersionsPerTrigger.isDefined && next > floor) writeOffered(next)
+      if (maxVersionsPerTrigger.isDefined && next > floor) writeOffered(next, floor)
       Some(TxVersionOffset(math.max(next, floor)))
     }
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(_.json.toInt).getOrElse(startV)
-    TxChangesStream.batchFor(spark, table, from, end.json.toInt, schema)
+    val to = end.json.toInt
+    // defensive: a pathological floor loss (e.g. the whole record dir
+    // wiped by hand) can make the engine request a non-advancing batch;
+    // serve it empty rather than crash — downstream exactly-once then
+    // rests on the sink's idempotence (commitIdempotent), the same
+    // story as any at-least-once replay
+    if (to <= from)
+      org.apache.spark.sql.graft.ColumnBridge.asStreaming(
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+    else TxChangesStream.batchFor(spark, table, from, to, schema)
   }
 
   override def stop(): Unit = ()
@@ -157,12 +204,44 @@ object TxChangesStream {
     */
   def readChangesStream(spark: SparkSession, table: String,
                         startingVersion: Int = 0,
-                        maxVersionsPerTrigger: Option[Int] = None): DataFrame = {
+                        maxVersionsPerTrigger: Option[Int] = None,
+                        availableNow: Boolean = false): DataFrame = {
     val rd = spark.readStream.format(classOf[TxChangesSourceProvider].getName)
       .option("table", table)
       .option("startingVersion", startingVersion.toString)
+      .option("availableNow", availableNow.toString)
     maxVersionsPerTrigger.fold(rd)(mx =>
       rd.option("maxVersionsPerTrigger", mx.toString)).load()
+  }
+
+  /** `Trigger.AvailableNow` analog for the tx-changes source: drain
+    * everything committed AT STREAM START (versions landing during the
+    * run are NOT consumed — the end is pinned when the source is
+    * created), honoring `maxVersionsPerTrigger` batching, then stop
+    * cleanly. The scheduled-backfill shape: a cron-driven catch-up job
+    * over a long commit history runs in bounded micro-batches and
+    * exits; the next run (same checkpoint) consumes only later
+    * commits. `onBatch` sees each micro-batch with its engine batchId.
+    *
+    * @return the number of micro-batches the engine delivered
+    */
+  def runAvailableNow(spark: SparkSession, table: String, checkpoint: String,
+                      onBatch: (DataFrame, Long) => Unit,
+                      startingVersion: Int = 0,
+                      maxVersionsPerTrigger: Option[Int] = None): Long = {
+    val n = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q = readChangesStream(spark, table, startingVersion,
+        maxVersionsPerTrigger, availableNow = true)
+      .writeStream.option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        n.incrementAndGet(); onBatch(batch, batchId)
+      }
+      .start()
+    // the pinned end cap makes processAllAvailable a DRAIN: once the
+    // source stops offering (offered == cap), the engine is idle and
+    // this returns — then the query stops, the AvailableNow contract
+    try q.processAllAvailable() finally q.stop()
+    n.get()
   }
 
   /** The full incremental pipeline, composed end-to-end: stream the

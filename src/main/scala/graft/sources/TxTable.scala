@@ -497,13 +497,26 @@ object TxTable {
   def read(spark: SparkSession, table: String): DataFrame =
     readVersion(spark, table, currentVersion(spark, table))
 
+  /** The bracketed span of a top-level manifest array ("stats" /
+    * "bloom" / "tomb"). Each entry grammar parses ONLY its own span:
+    * with both stats and bloom present, an unscoped non-greedy match
+    * starting in one array can swallow text into the other (the first
+    * file's bloom silently lost, garbage re-rendered into every
+    * carried manifest). Entry values never contain brackets (file
+    * names, column identifiers, base64), so the first ']' closes the
+    * array.
+    */
+  private def arraySpan(txt: String, name: String): String =
+    ("\"" + name + "\":\\[(.*?)\\]").r.findFirstMatchIn(txt)
+      .map(_.group(1)).getOrElse("")
+
   /** Per-file data-skipping stats recorded in version `v`'s manifest:
     * (file, column, min, max). Empty for commits made without
     * `statsCols`.
     */
   def statsOf(spark: SparkSession, table: String, v: Int): Seq[(String, String, Double, Double)] =
-    """\{"f":"(.*?)","c":"(.*?)","lo":([-0-9.eE]+),"hi":([-0-9.eE]+)\}""".r
-      .findAllMatchIn(manifestText(spark, table, v))
+    """\{"f":"([^"]*)","c":"([^"]*)","lo":([-0-9.eE]+),"hi":([-0-9.eE]+)\}""".r
+      .findAllMatchIn(arraySpan(manifestText(spark, table, v), "stats"))
       .map(m => (m.group(1), m.group(2), m.group(3).toDouble, m.group(4).toDouble))
       .toSeq
 
@@ -558,8 +571,8 @@ object TxTable {
     */
   private[graft] def bloomEntries(spark: SparkSession, table: String,
                                   v: Int): Seq[(String, String, Int, Int, String)] =
-    """\{"f":"(.*?)","c":"(.*?)","m":(\d+),"k":(\d+),"b":"(.*?)"\}""".r
-      .findAllMatchIn(manifestText(spark, table, v))
+    """\{"f":"([^"]*)","c":"([^"]*)","m":(\d+),"k":(\d+),"b":"([^"]*)"\}""".r
+      .findAllMatchIn(arraySpan(manifestText(spark, table, v), "bloom"))
       .map(m => (m.group(1), m.group(2), m.group(3).toInt, m.group(4).toInt,
         m.group(5))).toSeq
 

@@ -44,6 +44,42 @@ class SparkEntrySpec extends SparkSpec {
     bad.head should startWith("q_slow")
   }
 
+  test("regression baseline pins to the round-start snapshot: a 2x slowdown is caught even after an interim bench run") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bench_base_")
+    def write(p: java.nio.file.Path, qSecs: Double): Unit =
+      java.nio.file.Files.write(p,
+        s"""{"metric":"total","value":$qSecs,"unit":"sec","queries":{"q_x":$qSecs}}"""
+          .getBytes("UTF-8"))
+    val base = dir.resolve("BENCH_BASE.json")   // round-start committed record
+    val local = dir.resolve("BENCH_LOCAL.json") // mutable: every run overwrites
+    write(base, 1.0)
+    write(local, 1.0)
+    val exists = (p: String) => java.nio.file.Files.exists(java.nio.file.Paths.get(p))
+    // an interim bench run already absorbed the slowdown into the
+    // mutable record — the old ratchet (baseline = outFile) would now
+    // compare 2.0 vs 2.0 and miss it
+    write(local, 2.0)
+    val resolved = Bench.resolveRegressionBase(
+      None, Seq(base.toString, local.toString), exists)
+    resolved shouldBe Some(base.toString)
+    val prev = Bench.parseBenchQueries(new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(resolved.get)), "UTF-8"))
+    val bad = Bench.regressionViolations(prev, Seq("q_x" -> 2.0), maxRatio = 1.5)
+    bad.length shouldBe 1
+    bad.head should startWith("q_x")
+    // the old behavior, reproduced: the mutable record hides it
+    val prevMutable = Bench.parseBenchQueries(new String(
+      java.nio.file.Files.readAllBytes(local), "UTF-8"))
+    Bench.regressionViolations(prevMutable, Seq("q_x" -> 2.0), 1.5) shouldBe empty
+    // explicit pin wins; missing pin falls through; nothing existing → None
+    Bench.resolveRegressionBase(Some(local.toString),
+      Seq(base.toString), exists) shouldBe Some(local.toString)
+    Bench.resolveRegressionBase(Some(dir.resolve("nope.json").toString),
+      Seq(base.toString), exists) shouldBe Some(base.toString)
+    Bench.resolveRegressionBase(None, Seq(dir.resolve("nope.json").toString),
+      exists) shouldBe None
+  }
+
   test("parseBenchQueries keeps the sf0.1 pass, not sf1_queries") {
     val line = """{"metric":"total","value":3.5,"unit":"sec","queries":{"q1_a":1.25,"q2_b":2.25},""" +
       """"sf":"/x/sf0.1","sf1_total":9.0,"sf1_queries":{"q1_a":4.5,"q2_b":4.5}}"""
