@@ -2308,6 +2308,118 @@ object SparkEntry {
             .as("rel_err"))
     }),
 
+    // §2#62m (r9) MERGE-ON-READ delete: the tombstone-sidecar DELETE —
+    // zero data files rewritten at delete time (the manifest carries
+    // v1's files verbatim; an auditor checks `files v2 == files v1`),
+    // reads anti-join the (file, key) sidecar, and OPTIMIZE folds the
+    // tombstones into fresh files. The oracle reconstructs the MoR
+    // view with the same anti-join over the raw sidecar parquet.
+    "q324_tx_mor_delete" -> ((s, dir) => {
+      val table = sidePath("graft_txmor", dir)
+      sources.TxTable.drop(s, table)
+      val ord = t(s, dir, "orders").df.select(col("o_orderkey"), col("o_totalprice"))
+      sources.TxTable.commit(ord.repartitionByRange(4, col("o_orderkey")), table,
+        statsCols = Seq("o_orderkey"))
+      val files1 = sources.TxTable.filesOf(s, table, 1)
+      val (v2, nDel) = sources.TxTable.deleteWhereMor(
+        s, table, "o_orderkey", 1.0, 500.0, "o_orderkey")
+      val nTombFiles = sources.TxTable.tombEntriesOf(s, table, v2).size
+      val zeroRewrite = sources.TxTable.filesOf(s, table, v2) == files1
+      val v3 = sources.TxTable.compact(s, table)
+      val tombsAfter = sources.TxTable.tombEntriesOf(s, table, v3).size
+      def summarize(df: org.apache.spark.sql.DataFrame, label: String) =
+        df.agg(count(lit(1)).as("n_rows"),
+            sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
+          .select(lit("table").as("section"), lit(label).as("label"),
+            col("n_rows"), col("sum_price"))
+      val meta = s.createDataFrame(Seq(
+          ("meta", "zero_rewrite", if (zeroRewrite) 1L else 0L),
+          ("meta", "n_deleted", nDel),
+          ("meta", "n_tomb_files", nTombFiles.toLong),
+          ("meta", "tombs_after_compact", tombsAfter.toLong)))
+        .toDF("section", "label", "n_rows")
+        .withColumn("sum_price", lit(null).cast("double"))
+      summarize(sources.TxTable.readVersion(s, table, 1), "v1_full")
+        .unionByName(summarize(sources.TxTable.readVersion(s, table, v2), "v2_mor"))
+        .unionByName(summarize(sources.TxTable.readVersion(s, table, v3), "v3_compacted"))
+        .unionByName(meta)
+    }),
+
+    // §2#65b (r9) metadata-only RENAME/DROP via column mapping: the
+    // physical column name is frozen at first write (old AND
+    // post-rename appends store `o_totalprice`), rename/drop rewrite
+    // only the manifest's (logical→physical) map — zero data IO at any
+    // table size — and every read path projects through the map. The
+    // oracle reads the raw physical files and applies the same alias.
+    "q325_tx_rename_evolve" -> ((s, dir) => {
+      val table = sidePath("graft_txmap", dir)
+      sources.TxTable.drop(s, table)
+      val ord = t(s, dir, "orders").df
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      sources.TxTable.commit(ord.filter(col("o_orderpriority") === "1-URGENT"),
+        table, statsCols = Seq("o_orderkey"))
+      sources.TxTable.renameColumn(s, table, "o_totalprice", "price") // v2, zero IO
+      sources.TxTable.commit( // v3: the gate enforces the MAPPED shape
+        ord.filter(col("o_orderpriority") === "2-HIGH")
+          .select(col("o_orderkey"), col("o_totalprice").as("price"),
+            col("o_orderpriority")),
+        table, statsCols = Seq("o_orderkey"))
+      sources.TxTable.dropColumn(s, table, "o_orderpriority") // v4, zero IO
+      val zeroIo = sources.TxTable.filesOf(s, table, 2) ==
+        sources.TxTable.filesOf(s, table, 1) &&
+        sources.TxTable.filesOf(s, table, 4) == sources.TxTable.filesOf(s, table, 3)
+      val cur = sources.TxTable.read(s, table)
+      def agg(df: org.apache.spark.sql.DataFrame, label: String, c: String) =
+        df.agg(count(lit(1)).as("n_rows"),
+            sum(dec(col(c))).cast("double").as("sum_val"))
+          .select(lit("table").as("section"), lit(label).as("label"),
+            col("n_rows"), col("sum_val"))
+      val meta = s.createDataFrame(Seq(
+          ("meta", "zero_io", if (zeroIo) 1L else 0L),
+          ("meta", "n_cols_now", cur.columns.length.toLong)))
+        .toDF("section", "label", "n_rows")
+        .withColumn("sum_val", lit(null).cast("double"))
+      agg(cur, "current", "price")
+        .unionByName(agg(sources.TxTable.readVersion(s, table, 1), "v1", "o_totalprice"))
+        .unionByName(agg(sources.TxTable.readWhere(s, table, "o_orderkey", 100.0, 2000.0),
+          "pruned", "price"))
+        .unionByName(meta)
+    }),
+
+    // §2#28g (r9) AvailableNow backfill over the CDC source: drain a
+    // 5-commit history in ⌈5/2⌉ rate-limited micro-batches, then stop
+    // cleanly (the scheduled-catch-up shape — commits landing during
+    // the run wait for the next run). The oracle replays each append's
+    // delta from its manifest-named files and pins the batch count.
+    "q326_tx_backfill" -> ((s, dir) => {
+      val table = sidePath("graft_txan", dir)
+      val ckpt = sidePath("graft_txan_ckpt", dir)
+      sources.TxTable.drop(s, table)
+      sources.TxTable.drop(s, ckpt) // fresh checkpoint: a rerun re-backfills
+      val ord = t(s, dir, "orders").df
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      for (p <- Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        sources.TxTable.commit(
+          ord.filter(col("o_orderpriority") === p)
+            .select(col("o_orderkey"), col("o_totalprice")), table)
+      val acc = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Double)]()
+      val nBatches = sources.TxChangesStream.runAvailableNow(s, table, ckpt,
+        (b, _) => {
+          b.groupBy(col("_version"))
+            .agg(count(lit(1)).as("n"),
+              sum(dec(col("o_totalprice"))).cast("double").as("sp"))
+            .collect()
+            .foreach(r => acc.add((r.getInt(0), r.getLong(1), r.getDouble(2))))
+          ()
+        },
+        maxVersionsPerTrigger = Some(2))
+      import scala.jdk.CollectionConverters._
+      import s.implicits._
+      val perVersion = acc.asScala.toSeq.toDF("version", "n_rows", "sum_price")
+      perVersion.unionByName(
+        Seq((0, nBatches, Option.empty[Double])).toDF("version", "n_rows", "sum_price"))
+    }),
+
     // §2#52av (r8) Cochran–Armitage trend: is the purchase RATE
     // monotone across the hour-of-day ordinal — the ordered companion
     // to q146's anywhere-different chi-square; exact integer sums, one
@@ -5370,6 +5482,70 @@ object SparkEntry {
          UNION ALL SELECT 'meta', 'zero_copy', CAST(1 AS BIGINT), CAST(NULL AS DOUBLE)""",
 
     "q322_dedup_index_lookup" -> OracleGen.bandIndexLookupSql(),
+
+    "q324_tx_mor_delete" ->
+      """WITH v1 AS (
+           SELECT o_orderkey, o_totalprice,
+             regexp_extract(filename, '[^/]*$') AS fn
+           FROM read_parquet('/tmp/graft_txmor___SFTAG__/data/v1_*.parquet', filename=true)),
+         tomb AS (
+           SELECT _gf, _gk
+           FROM read_parquet('/tmp/graft_txmor___SFTAG__/data/v2_t*.parquet')),
+         mor AS (
+           SELECT d.o_orderkey, d.o_totalprice FROM v1 d
+           ANTI JOIN tomb t ON d.fn = t._gf AND d.o_orderkey = t._gk)
+         SELECT 'table' AS section, 'v1_full' AS label, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+         FROM v1
+         UNION ALL SELECT 'table', 'v2_mor', COUNT(*),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) FROM mor
+         UNION ALL SELECT 'table', 'v3_compacted', COUNT(*),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+         FROM read_parquet('/tmp/graft_txmor___SFTAG__/data/v3_*.parquet')
+         UNION ALL SELECT 'meta', 'zero_rewrite', CAST(1 AS BIGINT), CAST(NULL AS DOUBLE)
+         UNION ALL SELECT 'meta', 'n_deleted',
+           (SELECT COUNT(*) FROM tomb), CAST(NULL AS DOUBLE)
+         UNION ALL SELECT 'meta', 'n_tomb_files',
+           (SELECT COUNT(DISTINCT filename)
+            FROM read_parquet('/tmp/graft_txmor___SFTAG__/data/v2_t*.parquet', filename=true)),
+           CAST(NULL AS DOUBLE)
+         UNION ALL SELECT 'meta', 'tombs_after_compact', CAST(0 AS BIGINT), CAST(NULL AS DOUBLE)""",
+
+    "q325_tx_rename_evolve" ->
+      """WITH phys AS (
+           SELECT o_orderkey, o_totalprice
+           FROM read_parquet(['/tmp/graft_txmap___SFTAG__/data/v1_*.parquet',
+                              '/tmp/graft_txmap___SFTAG__/data/v3_*.parquet'])),
+         cur AS (SELECT o_orderkey, o_totalprice AS price FROM phys)
+         SELECT 'table' AS section, 'current' AS label, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS sum_val
+         FROM cur
+         UNION ALL SELECT 'table', 'v1', COUNT(*),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+         FROM read_parquet('/tmp/graft_txmap___SFTAG__/data/v1_*.parquet')
+         UNION ALL SELECT 'table', 'pruned', COUNT(*),
+           CAST(SUM(CAST(price AS DECIMAL(18,4))) AS DOUBLE)
+         FROM cur WHERE o_orderkey BETWEEN 100 AND 2000
+         UNION ALL SELECT 'meta', 'zero_io', CAST(1 AS BIGINT), CAST(NULL AS DOUBLE)
+         UNION ALL SELECT 'meta', 'n_cols_now', CAST(2 AS BIGINT), CAST(NULL AS DOUBLE)""",
+
+    "q326_tx_backfill" ->
+      """SELECT CAST(1 AS INT) AS version, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+         FROM read_parquet('/tmp/graft_txan___SFTAG__/data/v1_*.parquet')
+         UNION ALL SELECT CAST(2 AS INT), COUNT(*),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+         FROM read_parquet('/tmp/graft_txan___SFTAG__/data/v2_*.parquet')
+         UNION ALL SELECT CAST(3 AS INT), COUNT(*),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+         FROM read_parquet('/tmp/graft_txan___SFTAG__/data/v3_*.parquet')
+         UNION ALL SELECT CAST(4 AS INT), COUNT(*),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+         FROM read_parquet('/tmp/graft_txan___SFTAG__/data/v4_*.parquet')
+         UNION ALL SELECT CAST(5 AS INT), COUNT(*),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+         FROM read_parquet('/tmp/graft_txan___SFTAG__/data/v5_*.parquet')
+         UNION ALL SELECT CAST(0 AS INT), CAST(3 AS BIGINT), CAST(NULL AS DOUBLE)""",
 
     "q319_cochran_armitage" ->
       """WITH e AS (

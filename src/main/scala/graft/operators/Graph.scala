@@ -331,6 +331,26 @@ object Graph {
     out
   }
 
+  /** [[clusteringCoefficient]] over a PRECOMPUTED per-node triangle
+    * frame + degree table — a pipeline that already ran
+    * [[triangleCounts]] must not pay the oriented-wedge join twice
+    * (it dominates both operators' cost). `triangles` is (node,
+    * n_triangles) — exactly [[triangleCounts]]' output columns; nodes
+    * absent from it count zero. `degrees` is (node, deg) over the SAME
+    * symmetrized-distinct edge set. Property-equal to the
+    * self-computing form; two node-sized frames in, one node-sized
+    * join — no edge-sized work at all.
+    */
+  def clusteringCoefficient(triangles: DataFrame, degrees: DataFrame): DataFrame = {
+    val dd = col("deg").cast("double")
+    degrees.select(col("node"), col("deg"))
+      .join(triangles.select(col("node"), col("n_triangles")), Seq("node"), "left")
+      .withColumn("n_triangles", coalesce(col("n_triangles"), lit(0L)))
+      .withColumn("cc", when(col("deg") >= 2,
+        round(lit(2.0) * col("n_triangles").cast("double") / (dd * (dd - lit(1.0))), 9)))
+      .select("node", "deg", "n_triangles", "cc")
+  }
+
   /** Resource-allocation link prediction (Zhou–Lü–Zhang): for every
     * non-adjacent pair (u,v) sharing at least one neighbor, the RA
     * index Σ_{w ∈ N(u)∩N(v)} 1/deg(w) — the "which links are missing"

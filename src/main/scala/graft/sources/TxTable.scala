@@ -2,6 +2,8 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Minimal transactional snapshot layer over parquet — the
   * commit-protocol half the lakehouse family was missing around the
@@ -200,22 +202,133 @@ object TxTable {
       s"""{"f":"$fl","c":"$c","m":$m,"k":$k,"b":"$b64"}"""
     }.mkString(",") + "]"
 
+  /** Merge-on-read tombstone sidecars: (tombstone file, PHYSICAL key
+    * column). Each sidecar holds (_gf = data-file name, _gk = key)
+    * pairs the snapshot read anti-joins away.
+    */
+  private def tombJsonOf(tombs: Seq[(String, String)]): String =
+    if (tombs.isEmpty) ""
+    else "," + "\"tomb\":[" + tombs.map { case (fl, k) =>
+      s"""{"f":"$fl","k":"$k"}"""
+    }.mkString(",") + "]"
+
+  /** Column mapping (the Delta column-mapping / Iceberg field-id
+    * shape, keyed by STABLE physical name instead of an id): each live
+    * column's (logical name, physical name). Physical names never
+    * change once any file is written — rename edits only the logical
+    * side (metadata-only), drop removes the entry (old files project
+    * through the mapping, the orphaned physical column is simply never
+    * selected).
+    */
+  private def mapJsonOf(map: Option[Seq[(String, String)]]): String =
+    map.fold("")(m => "," + "\"map\":[" + m.map { case (n, p) =>
+      s"""{"n":"${jesc(n)}","p":"${jesc(p)}"}"""
+    }.mkString(",") + "]")
+
+  /** ONE manifest renderer for every writer (commitAs, restore, the
+    * metadata-only rename/drop commits, merge-on-read delete) — the
+    * grammar cannot drift between paths.
+    */
+  private def renderManifest(v: Int, op: String, ts: Long, txnJson: String,
+                             evolved: Boolean, schemaDDL: Option[String],
+                             files: Seq[String],
+                             stats: Seq[(String, String, Double, Double)],
+                             blooms: Seq[(String, String, Int, Int, String)],
+                             tombs: Seq[(String, String)],
+                             map: Option[Seq[(String, String)]]): String = {
+    val msJson = if (evolved) ""","ms":1""" else ""
+    val schemaJson = schemaDDL.map(d => s""""schema":"${jesc(d)}",""").getOrElse("")
+    s"""{"version":$v,"op":"$op","commit_ms":$ts$txnJson$msJson,""" +
+      schemaJson + s""""n_files":${files.size},""" +
+      s""""files":[${files.map("\"" + _ + "\"").mkString(",")}]""" +
+      statsJsonOf(stats) + bloomJsonOf(blooms) + tombJsonOf(tombs) +
+      mapJsonOf(map) + "}"
+  }
+
+  /** CAS-publish one rendered manifest; loud conflict on a lost race;
+    * head pointer updated on the win.
+    */
+  private def publishOrConflict(f: FileSystem, table: String, v: Int,
+                                json: String): Unit = {
+    val mp = manifestPath(table, v)
+    f.mkdirs(mp.getParent)
+    if (!committerFor(f).publish(f, mp, json,
+        java.util.UUID.randomUUID().toString.take(8)))
+      sys.error(s"TxTable: commit conflict — version $v at $table was " +
+        "published by another writer; re-read and retry")
+    writeHeadHint(f, table, v)
+  }
+
+  /** Diagnostic counter of manifest-directory enumerations — the spec
+    * instrument proving head discovery stays O(1) on the hot path
+    * (every `read()` / CDC poll): after the head hint exists, reads
+    * must not bump this.
+    */
+  @volatile private[graft] var manifestListings: Long = 0L
+
   /** Versions whose manifest still exists (contiguous from 1 until
     * `expireVersions` trims the head of history). Sorted ascending.
+    *
+    * A DIRECTORY LISTING — maintenance/history surface only (history,
+    * readAsOf, txn rescans, vacuum/expire). The hot path
+    * ([[currentVersion]]) resolves the head in O(1) via the published
+    * head pointer and falls back here only when the pointer is missing
+    * or torn.
     */
   def liveVersions(spark: SparkSession, table: String): Seq[Int] = {
     val dir = new Path(s"$table/_manifests")
     val f = fs(spark, table)
     if (!f.exists(dir)) Seq.empty
-    else f.listStatus(dir).map(_.getPath.getName)
-      .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
-        n.stripPrefix("v").stripSuffix(".json").toInt }
-      .sorted.toSeq
+    else {
+      manifestListings += 1
+      f.listStatus(dir).map(_.getPath.getName)
+        .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+          n.stripPrefix("v").stripSuffix(".json").toInt }
+        .sorted.toSeq
+    }
   }
 
-  /** Largest committed version, or 0 if the table doesn't exist yet. */
-  def currentVersion(spark: SparkSession, table: String): Int =
-    liveVersions(spark, table).foldLeft(0)(math.max)
+  /** O(1) head discovery (the Delta `_last_checkpoint` shape): every
+    * successful publish writes a best-effort head POINTER at
+    * `<table>/_head`; readers start from the hinted version and probe
+    * FORWARD with exists() calls (a stale hint — crash between CAS and
+    * pointer write, or two pointers racing out of order — costs a few
+    * probes, never a wrong answer, because manifests are immutable and
+    * versions contiguous at the head). A missing/torn pointer falls
+    * back to one directory listing. Without this, every `read()` and
+    * every CDC poll pays an O(versions) listing — the first thing that
+    * melts at 10⁵ commits.
+    */
+  private def headPath(table: String) = new Path(s"$table/_head")
+
+  private def readHeadHint(f: FileSystem, table: String): Int =
+    try {
+      val in = f.open(headPath(table))
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+      finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => 0 }
+
+  /** Best-effort — a committed publish must NEVER fail over its hint
+    * (the probe-forward read heals any staleness).
+    */
+  private def writeHeadHint(f: FileSystem, table: String, v: Int): Unit =
+    try {
+      val out = f.create(headPath(table), true)
+      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Largest committed version, or 0 if the table doesn't exist yet.
+    * O(1 + staleness) via the head pointer; listing only as fallback.
+    */
+  def currentVersion(spark: SparkSession, table: String): Int = {
+    val f = fs(spark, table)
+    val hint = readHeadHint(f, table)
+    if (hint >= 1 && f.exists(manifestPath(table, hint))) {
+      var v = hint
+      while (f.exists(manifestPath(table, v + 1))) v += 1
+      v
+    } else liveVersions(spark, table).foldLeft(0)(math.max)
+  }
 
   /** Data files of version `v`, as written in its manifest (relative
     * to the table root). Manifest format is engine-owned and flat, so
@@ -239,16 +352,24 @@ object TxTable {
     * "overwrite"` starts the file list fresh (old files stay on disk
     * for time travel until vacuumed). Returns the committed version.
     *
-    * Concurrency: the manifest is created with overwrite=false — if
-    * another writer won the version race, this commit FAILS LOUDLY
-    * with the competing version named (the caller re-reads and
-    * retries; automatic rebase is deliberately out of scope for
-    * append-only semantics it would silently reorder).
+    * Concurrency: the manifest publish is a CAS. A PURE APPEND that
+    * loses the race REBASES automatically — it has no read-set, so
+    * landing after the competitor is semantically identical to landing
+    * before; the staged data files are renamed to the new target (a
+    * metadata op, no data rewrite) and the CAS retried against the new
+    * head (the Delta conflict-resolution rule for AddFile-only
+    * commits). Concurrent ingestion — N appenders — therefore all
+    * land, each at its own version. Every other op (overwrite /
+    * delete / evolve / merge) FAILS LOUDLY with the competing version
+    * named: their output depends on the snapshot they read, so a
+    * rebase must recompute (see [[mergeInto]]'s re-merge loop).
     */
   def commit(df: DataFrame, table: String, op: String = "append",
-             statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Int =
+             statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
+             maxAttempts: Int = 20): Int =
     commitAs(df, table, currentVersion(df.sparkSession, table) + 1, op, statsCols,
-      bloomCols = bloomCols)
+      bloomCols = bloomCols, rebaseAppend = op == "append",
+      maxAttempts = maxAttempts)
 
   /** Bloom-index geometry (recorded per manifest entry so it can evolve
     * without breaking old tables): m bits / k hashes give ~1% FP at
@@ -274,42 +395,78 @@ object TxTable {
                               statsCols: Seq[String] = Nil,
                               carryFiles: Option[Seq[String]] = None,
                               txn: Option[(String, Long)] = None,
-                              bloomCols: Seq[String] = Nil): Int = {
+                              bloomCols: Seq[String] = Nil,
+                              rebaseAppend: Boolean = false,
+                              maxAttempts: Int = 5,
+                              dfIsPhysical: Boolean = false): Int = {
     require(op == "append" || op == "overwrite" || op == "compact" ||
       op == "delete" || op == "evolve" || op == "merge", s"unknown op $op")
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
     val spark = df.sparkSession
     val f = fs(spark, table)
+    // COLUMN MAPPING: ops that write ALONGSIDE the parent's files
+    // (append/evolve, and the carry-file rewrites: copy-on-write
+    // delete, incremental compaction) must store data under the
+    // parent's PHYSICAL names — rename is metadata-only precisely
+    // because physical names never change once a file is written.
+    // Snapshot-REPLACING ops (overwrite / merge / full compact) reset
+    // the mapping: their fresh files use logical names physically.
+    val mapped = v > 1 && (op == "append" || op == "evolve" || carryFiles.isDefined)
+    val parentMap: Option[Seq[(String, String)]] =
+      if (mapped) colMapOf(spark, table, v - 1) else None
+    val writeMap: Option[Seq[(String, String)]] =
+      if (op == "evolve")
+        // evolution under a mapping: new columns enter with physical =
+        // logical (no file has written them under any other name)
+        parentMap.map(m => m ++ df.schema.fieldNames
+          .filterNot(n => m.exists(_._1 == n)).map(n => (n, n)))
+      else parentMap
     // APPEND SCHEMA GATE: an append commit carries the parent's files
-    // forward, and `readVersion` hands Spark the mixed file set with
-    // parquet's sampled-footer schema — an incompatible append would
-    // commit a snapshot that silently reads with whichever footer is
-    // sampled (late-added columns can vanish without an error). Refuse
-    // LOUDLY before any distributed work; schema changes go through an
-    // explicit `overwrite` (or a future schema-evolved manifest).
-    // One footer read of the parent's first file — metadata-scale.
-    if (op == "append" && v > 1) {
-      val parentFiles = filesOf(spark, table, v - 1)
-      // an empty parent snapshot (delete-all) still carries its schema
-      // in the manifest — the gate holds across the empty state too
-      val parentSchema: Option[org.apache.spark.sql.types.StructType] =
-        if (parentFiles.nonEmpty) Some {
-          // an evolved parent's first file may predate the evolution —
-          // compare against the UNION schema (footer-only reads)
-          if (msOf(spark, table, v - 1))
-            spark.read.option("mergeSchema", "true")
-              .parquet(parentFiles.map(rel => s"$table/$rel"): _*).schema
-          else spark.read.parquet(s"$table/${parentFiles.head}").schema
+    // forward — an incompatible append would commit a snapshot that
+    // silently reads with whichever footer is sampled (late-added
+    // columns can vanish without an error). Refuse LOUDLY before any
+    // distributed work. LOGICAL schemas compare: the manifest records
+    // the snapshot's logical schema on every commit (O(1), no footer
+    // IO); the footer fallback covers only pre-schema manifests.
+    def appendGate(parentV: Int): Unit = if (op == "append" && parentV >= 1) {
+      val parentSchema: Option[StructType] =
+        manifestSchema(spark, table, parentV).orElse {
+          val parentFiles = filesOf(spark, table, parentV)
+          if (parentFiles.isEmpty) None
+          else Some {
+            if (msOf(spark, table, parentV))
+              spark.read.option("mergeSchema", "true")
+                .parquet(parentFiles.map(rel => s"$table/$rel"): _*).schema
+            else spark.read.parquet(s"$table/${parentFiles.head}").schema
+          }
         }
-        else manifestSchema(spark, table, v - 1)
       parentSchema.foreach { parent =>
         require(schemaKey(parent) == schemaKey(df.schema),
-          s"TxTable: append schema mismatch at $table v$v — parent snapshot has " +
+          s"TxTable: append schema mismatch at $table v${parentV + 1} — parent snapshot has " +
           s"${schemaKey(parent).map(p => p._1 + ":" + p._2).mkString("[", ", ", "]")} but the " +
           s"appended frame has ${schemaKey(df.schema).map(p => p._1 + ":" + p._2).mkString("[", ", ", "]")}; " +
-          "schema changes require commitEvolve (additive) or op=\"overwrite\"")
+          "schema changes require commitEvolve (additive), renameColumn/dropColumn " +
+          "(metadata-only), or op=\"overwrite\"")
       }
       ()
     }
+    if (v > 1) appendGate(v - 1)
+    // LOGICAL→PHYSICAL translation for the write (identity for
+    // unmapped tables; skipped for frames already read raw from the
+    // parent's files — CoW delete survivors, compaction rebins)
+    val physDf = writeMap match {
+      case Some(m) if !dfIsPhysical =>
+        df.select(m.map { case (n, p) => col(n).as(p) }: _*)
+      case _ => df
+    }
+    // the manifest records the LOGICAL snapshot schema
+    val logicalSchema: StructType = writeMap match {
+      case Some(m) if dfIsPhysical =>
+        StructType(m.map { case (n, p) => df.schema(p).copy(name = n) })
+      case _ => df.schema
+    }
+    val physStatsCols = statsCols.map(c => physOf(writeMap, c))
+    val physBloomCols = bloomCols.map(c => physOf(writeMap, c))
     // distributed data write to a WRITER-UNIQUE scratch dir (two
     // writers racing to the same version must not clobber each
     // other's in-flight part files — the nonce that de-collides the
@@ -317,23 +474,16 @@ object TxTable {
     // names — the move is a metadata op on HDFS-likes
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val tmp = new Path(s"$table/_tmp_v${v}_$nonce")
-    df.write.mode("overwrite").parquet(tmp.toString)
+    physDf.write.mode("overwrite").parquet(tmp.toString)
     val parts = f.listStatus(tmp).map(_.getPath)
       .filter(_.getName.startsWith("part-")).sortBy(_.getName)
     f.mkdirs(new Path(s"$table/data"))
-    val named = parts.zipWithIndex.map { case (p, i) =>
+    var named: Seq[String] = parts.zipWithIndex.map { case (p, i) =>
       val rel = s"data/v${v}_${i}_$nonce.parquet"
       require(f.rename(p, new Path(s"$table/$rel")), s"rename failed for $p")
       rel
     }.toSeq
     f.delete(tmp, true)
-    // carryFiles overrides the default carry rule: a copy-on-write op
-    // (delete) carries exactly the UNTOUCHED subset of the parent's
-    // files — the caller decided which from the manifest stats.
-    val carried = carryFiles.getOrElse(
-      if ((op == "append" || op == "evolve") && v > 1) filesOf(spark, table, v - 1)
-      else Seq.empty)
-    val all = carried ++ named
     // DATA-SKIPPING STATS (the Delta data-skipping shape: per-file
     // min/max recorded in the transaction log at commit time, so a
     // range read prunes FILES from the manifest alone — no footer
@@ -343,22 +493,20 @@ object TxTable {
     // renames); numeric columns only — a min/max on floor-truncated
     // binary stats would prune wrongly. Append carries the parent's
     // stats forward with its files; files without stats are always
-    // kept by the pruner (conservative by construction).
-    val carriedStats = if (carried.nonEmpty && v > 1)
-      statsOf(spark, table, v - 1).filter(s => carried.contains(s._1))
-    else Seq.empty
-    val newStats: Seq[(String, String, Double, Double)] =
-      if (statsCols.isEmpty) Seq.empty
+    // kept by the pruner (conservative by construction). Keyed by
+    // INDEX into `named` so an append rebase re-keys by rename.
+    val newStats: Seq[(Int, String, Double, Double)] =
+      if (physStatsCols.isEmpty) Seq.empty
       else {
         import scala.jdk.CollectionConverters._
         val conf = spark.sparkContext.hadoopConfiguration
-        named.flatMap { rel =>
+        named.zipWithIndex.flatMap { case (rel, idx) =>
           val in = org.apache.parquet.hadoop.util.HadoopInputFile
             .fromPath(new Path(s"$table/$rel"), conf)
           val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
           try {
             val blocks = r.getFooter.getBlocks.asScala.toSeq
-            statsCols.flatMap { c =>
+            physStatsCols.flatMap { c =>
               val perBlock = blocks.map { b =>
                 b.getColumns.asScala.find(_.getPath.toDotString == c)
                   .map(_.getStatistics)
@@ -386,13 +534,12 @@ object TxTable {
                   }
               }
               if (perBlock.nonEmpty && perBlock.forall(_.isDefined))
-                Some((rel, c, perBlock.map(_.get._1).min, perBlock.map(_.get._2).max))
+                Some((idx, c, perBlock.map(_.get._1).min, perBlock.map(_.get._2).max))
               else None
             }
           } finally r.close()
         }
       }
-    val statsJson = statsJsonOf(carriedStats ++ newStats)
     // PER-FILE BLOOM INDEX (the Delta bloom-filter-index shape): the
     // point-lookup complement of the min/max stats — on a column the
     // layout does NOT cluster (high-cardinality ids), every file's
@@ -403,16 +550,14 @@ object TxTable {
     // distributed pass over the newly-written files only (the standard
     // index-build cost); blooms carry forward with their files like
     // stats; the bitset collect is nfiles-bounded — the same scale
-    // class as the manifest's own file list.
-    val carriedBloom = if (carried.nonEmpty && v > 1)
-      bloomEntries(spark, table, v - 1).filter(b => carried.contains(b._1))
-    else Seq.empty
-    val newBloom: Seq[(String, String, Int, Int, String)] =
-      if (bloomCols.isEmpty || named.isEmpty) Seq.empty
+    // class as the manifest's own file list. Index-keyed like stats.
+    val newBloom: Seq[(Int, String, Int, Int, String)] =
+      if (physBloomCols.isEmpty || named.isEmpty) Seq.empty
       else {
-        import org.apache.spark.sql.functions.{array, col, explode, input_file_name, lit, pmod}
+        val idxOf = named.zipWithIndex.map { case (rel, i) =>
+          rel.stripPrefix("data/") -> i }.toMap
         val paths = named.map(rel => s"$table/$rel")
-        bloomCols.flatMap { c =>
+        physBloomCols.flatMap { c =>
           val base = spark.read.parquet(paths: _*)
             .select(input_file_name().as("_f"), col(c).cast("string").as("_v"))
             .filter(col("_v").isNotNull)
@@ -421,56 +566,110 @@ object TxTable {
             pmod(graft.functions.Hashing.affine(j, h), lit(BloomM.toLong)))
           base.select(col("_f"), explode(array(bits: _*)).as("_b")).distinct()
             .collect()
-            .groupBy(_.getString(0)).toSeq.map { case (f, rows) =>
+            .groupBy(_.getString(0)).toSeq.map { case (fp, rows) =>
               val bytes = new Array[Byte](BloomM / 8)
               rows.foreach { r =>
                 val b = r.getLong(1).toInt
                 bytes(b >> 3) = (bytes(b >> 3) | (1 << (b & 7))).toByte
               }
-              val name = f.substring(f.lastIndexOf('/') + 1)
-              (s"data/$name", c, BloomM, BloomK,
+              val name = fp.substring(fp.lastIndexOf('/') + 1)
+              (idxOf(name), c, BloomM, BloomK,
                 java.util.Base64.getEncoder.encodeToString(bytes))
             }
         }
       }
-    val bloomJson = bloomJsonOf(carriedBloom ++ newBloom)
-    // commit time, STRICTLY MONOTONIC over the parent (Delta's
-    // timestamp-as-of contract: two commits landing in the same wall
-    // millisecond must still resolve distinctly — max(now, parent+1))
-    // Only the EXPECTED miss (parent manifest expired by
-    // expireVersions) resets the baseline to epoch; anything else —
-    // OOM, interrupts, a corrupt manifest — must propagate, not
-    // silently zero the monotonicity floor.
-    val parentMs = if (v > 1)
-      try commitMsOf(spark, table, v - 1)
-      catch { case _: java.io.FileNotFoundException => 0L }
-    else 0L
-    val ts = math.max(System.currentTimeMillis(), parentMs + 1L)
     val txnJson = txn.map { case (app, batch) =>
       s""","txn":{"app":"$app","batch":$batch}""" }.getOrElse("")
-    // schema-evolution flag: sticky from the first evolve commit on
-    // (every later snapshot mixes footers, so every later read needs
-    // mergeSchema), reset by an overwrite/compact (fresh uniform files)
-    val evolved = op == "evolve" ||
-      (carried.nonEmpty && v > 1 && msOf(spark, table, v - 1))
-    val msJson = if (evolved) ""","ms":1""" else ""
-    // snapshot schema recorded in the manifest (Delta's metaData
-    // action): lets an EMPTY snapshot (delete-all) stay readable with
-    // its exact schema — without it readVersion has no footer to ask
-    val json = s"""{"version":$v,"op":"$op","commit_ms":$ts$txnJson$msJson,""" +
-      s""""schema":"${jesc(df.schema.toDDL)}","n_files":${all.size},""" +
-      s""""files":[${all.map("\"" + _ + "\"").mkString(",")}]$statsJson$bloomJson}"""
-    val mp = manifestPath(table, v)
-    f.mkdirs(mp.getParent)
-    def conflict(): Nothing =
-      sys.error(s"TxTable: commit conflict — version $v at $table was " +
-        "published by another writer; re-read and retry")
-    if (!committerFor(f).publish(f, mp, json, nonce)) conflict()
-    v
+    // THE PUBLISH LOOP. Attempt 1 targets `v`; a pure append losing the
+    // CAS rebases — re-reads the head, re-runs the schema gate against
+    // the new parent, renames the staged files to the new target (a
+    // driver-side metadata op; the distributed write is NOT redone —
+    // the Delta rule: an AddFile-only commit is conflict-free), and
+    // publishes again. Everything parent-derived (carried files/stats/
+    // blooms/tombs, the ms flag, the monotonic timestamp) recomputes
+    // per attempt.
+    var target = v
+    var attempt = 0
+    var out = -1
+    while (out < 0) {
+      attempt += 1
+      // carryFiles overrides the default carry rule: a copy-on-write
+      // op (delete) carries exactly the UNTOUCHED subset of the
+      // parent's files — the caller decided which from manifest stats.
+      val carried = carryFiles.getOrElse(
+        if ((op == "append" || op == "evolve") && target > 1)
+          filesOf(spark, table, target - 1)
+        else Seq.empty)
+      val carriedStats = if (carried.nonEmpty && target > 1)
+        statsOf(spark, table, target - 1).filter(s => carried.contains(s._1))
+      else Seq.empty
+      val carriedBloom = if (carried.nonEmpty && target > 1)
+        bloomEntries(spark, table, target - 1).filter(b => carried.contains(b._1))
+      else Seq.empty
+      // merge-on-read tombstones ride their files: any commit carrying
+      // parent files keeps the parent's tombs (they reference carried
+      // file names); snapshot-replacing commits shed them (the rewrite
+      // read them through readVersion / tombFilter)
+      val carriedTombs = if (carried.nonEmpty && target > 1)
+        tombEntriesOf(spark, table, target - 1) else Seq.empty
+      // schema-evolution flag: sticky from the first evolve commit on
+      // (every later snapshot mixes footers, so every later read needs
+      // mergeSchema), reset by an overwrite/compact (fresh uniform files)
+      val evolved = op == "evolve" ||
+        (carried.nonEmpty && target > 1 && msOf(spark, table, target - 1))
+      // commit time, STRICTLY MONOTONIC over the parent (Delta's
+      // timestamp-as-of contract: two commits landing in the same wall
+      // millisecond must still resolve distinctly — max(now, parent+1))
+      // Only the EXPECTED miss (parent manifest expired by
+      // expireVersions) resets the baseline to epoch; anything else —
+      // OOM, interrupts, a corrupt manifest — must propagate, not
+      // silently zero the monotonicity floor.
+      val parentMs = if (target > 1)
+        try commitMsOf(spark, table, target - 1)
+        catch { case _: java.io.FileNotFoundException => 0L }
+      else 0L
+      val ts = math.max(System.currentTimeMillis(), parentMs + 1L)
+      val all = carried ++ named
+      val json = renderManifest(target, op, ts, txnJson, evolved,
+        Some(logicalSchema.toDDL), all,
+        carriedStats ++ newStats.map { case (i, c, lo, hi) => (named(i), c, lo, hi) },
+        carriedBloom ++ newBloom.map { case (i, c, m, k, b) => (named(i), c, m, k, b) },
+        carriedTombs, writeMap)
+      val mp = manifestPath(table, target)
+      f.mkdirs(mp.getParent)
+      if (committerFor(f).publish(f, mp, json, nonce)) {
+        writeHeadHint(f, table, target)
+        out = target
+      } else if (!(rebaseAppend && op == "append" && attempt < maxAttempts)) {
+        sys.error(s"TxTable: commit conflict — version $target at $table was " +
+          "published by another writer; re-read and retry")
+      } else {
+        val newTarget = currentVersion(spark, table) + 1
+        // a concurrent rename/drop changed the column mapping under
+        // us: the staged files carry stale physical names — refuse
+        require(colMapOf(spark, table, newTarget - 1) == parentMap,
+          s"TxTable: commit conflict at $table — a concurrent writer changed the " +
+          "column mapping; the staged append carries stale physical names (retry)")
+        appendGate(newTarget - 1)
+        if (newTarget != target) {
+          named = named.zipWithIndex.map { case (rel, i) =>
+            val nrel = s"data/v${newTarget}_${i}_$nonce.parquet"
+            require(f.rename(new Path(s"$table/$rel"), new Path(s"$table/$nrel")),
+              s"TxTable: rebase rename failed for $rel")
+            nrel
+          }
+          target = newTarget
+        }
+      }
+    }
+    out
   }
 
   /** Snapshot read of version `v` — exactly its manifest's files, as
-    * an explicit path list (no directory listing, no extra files).
+    * an explicit path list (no directory listing, no extra files),
+    * through the snapshot semantics: mergeSchema for evolved
+    * snapshots, merge-on-read tombstone anti-join, logical projection
+    * under a column mapping.
     */
   def readVersion(spark: SparkSession, table: String, v: Int): DataFrame = {
     val files = filesOf(spark, table, v)
@@ -485,12 +684,7 @@ object TxTable {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
     }
-    // evolved snapshots mix footers with different column sets: the
-    // union schema is only correct under mergeSchema (costs one footer
-    // read per file at planning — paid only by evolved tables)
-    val rd = if (msOf(spark, table, v))
-      spark.read.option("mergeSchema", "true") else spark.read
-    rd.parquet(files.map(rel => s"$table/$rel"): _*)
+    snapshotRead(spark, table, v, files)
   }
 
   /** Latest-snapshot read. */
@@ -528,8 +722,9 @@ object TxTable {
     */
   def prunedFiles(spark: SparkSession, table: String, v: Int,
                   colName: String, lo: Double, hi: Double): Seq[String] = {
+    val phys = physOf(colMapOf(spark, table, v), colName)
     val byFile = statsOf(spark, table, v)
-      .collect { case (fl, c, flo, fhi) if c == colName => fl -> (flo, fhi) }
+      .collect { case (fl, c, flo, fhi) if c == phys => fl -> (flo, fhi) }
       .toMap
     filesOf(spark, table, v).filter { fl =>
       byFile.get(fl).forall { case (flo, fhi) => !(fhi < lo || flo > hi) }
@@ -547,18 +742,14 @@ object TxTable {
     */
   def readWhere(spark: SparkSession, table: String, colName: String,
                 lo: Double, hi: Double, version: Int = -1): DataFrame = {
-    import org.apache.spark.sql.functions.col
     val v = if (version > 0) version else currentVersion(spark, table)
     val allFiles = filesOf(spark, table, v)
     if (allFiles.isEmpty) // empty snapshot: schema-preserving empty read
       return readVersion(spark, table, v)
         .filter(col(colName) >= lo && col(colName) <= hi)
     val kept = prunedFiles(spark, table, v, colName, lo, hi)
-    val paths = (if (kept.nonEmpty) kept else allFiles.take(1))
-      .map(rel => s"$table/$rel")
-    val rd = if (msOf(spark, table, v))
-      spark.read.option("mergeSchema", "true") else spark.read
-    rd.parquet(paths: _*)
+    val paths = if (kept.nonEmpty) kept else allFiles.take(1)
+    snapshotRead(spark, table, v, paths)
       .filter(col(colName) >= lo && col(colName) <= hi)
   }
 
@@ -575,6 +766,73 @@ object TxTable {
       .findAllMatchIn(arraySpan(manifestText(spark, table, v), "bloom"))
       .map(m => (m.group(1), m.group(2), m.group(3).toInt, m.group(4).toInt,
         m.group(5))).toSeq
+
+  /** Merge-on-read tombstone sidecars recorded in version `v`'s
+    * manifest: (tombstone file, physical key column). Empty for
+    * snapshots with no outstanding MoR deletes.
+    */
+  def tombEntriesOf(spark: SparkSession, table: String, v: Int): Seq[(String, String)] =
+    """\{"f":"([^"]*)","k":"([^"]*)"\}""".r
+      .findAllMatchIn(arraySpan(manifestText(spark, table, v), "tomb"))
+      .map(m => (m.group(1), m.group(2))).toSeq
+
+  /** Column mapping of version `v`'s snapshot — (logical, physical)
+    * per live column, in schema order. None = identity (no rename/drop
+    * ever happened, or a snapshot-replacing op reset it).
+    */
+  private[graft] def colMapOf(spark: SparkSession, table: String,
+                              v: Int): Option[Seq[(String, String)]] = {
+    val span = arraySpan(manifestText(spark, table, v), "map")
+    if (span.isEmpty) None
+    else Some("""\{"n":"((?:[^"\\]|\\.)*)","p":"((?:[^"\\]|\\.)*)"\}""".r
+      .findAllMatchIn(span)
+      .map(m => (junesc(m.group(1)), junesc(m.group(2)))).toSeq)
+  }
+
+  /** Physical name of a logical column under a mapping (identity when
+    * unmapped). Data files, skipping stats, blooms, and tombstone keys
+    * all live in PHYSICAL names; user-facing arguments are LOGICAL.
+    */
+  private def physOf(map: Option[Seq[(String, String)]], name: String): String =
+    map.flatMap(_.collectFirst { case (n, p) if n == name => p }).getOrElse(name)
+
+  /** The snapshot-semantics read every path shares: tombstone
+    * anti-join (merge-on-read deletes, scoped per (file, key) so
+    * appends are unaffected), then the logical projection (column
+    * mapping). Tombstone sidecars are kilobyte-scale parquet — the
+    * planner broadcasts them off file statistics; a table without
+    * tombs/mapping pays exactly nothing here.
+    */
+  private def tombFilter(spark: SparkSession, table: String,
+                         tombs: Seq[(String, String)], base: DataFrame): DataFrame =
+    if (tombs.isEmpty) base
+    else {
+      val withF = base.withColumn("_graft_tomb_file",
+        element_at(split(col("_metadata.file_path"), "/"), -1))
+      tombs.groupBy(_._2).toSeq.sortBy(_._1).foldLeft(withF) {
+        case (acc, (k, es)) =>
+          val keys = spark.read.parquet(es.map(e => s"$table/${e._1}").distinct: _*)
+            .select(col("_gf").as("_graft_tf"), col("_gk").as("_graft_tk"))
+          acc.join(keys, acc("_graft_tomb_file") === col("_graft_tf") &&
+            acc(k) === col("_graft_tk"), "left_anti")
+      }.drop("_graft_tomb_file")
+    }
+
+  /** One snapshot read over an explicit subset of version `v`'s files:
+    * mergeSchema for evolved snapshots, tombstone anti-join, logical
+    * projection. Shared by [[readVersion]] and the pruned readers so
+    * no path can resurrect merge-on-read-deleted rows or leak physical
+    * names.
+    */
+  private def snapshotRead(spark: SparkSession, table: String, v: Int,
+                           files: Seq[String]): DataFrame = {
+    val rd = if (msOf(spark, table, v))
+      spark.read.option("mergeSchema", "true") else spark.read
+    val base = rd.parquet(files.map(rel => s"$table/$rel"): _*)
+    val unTombed = tombFilter(spark, table, tombEntriesOf(spark, table, v), base)
+    colMapOf(spark, table, v).fold(unTombed)(m =>
+      unTombed.select(m.map { case (n, p) => col(p).as(n) }: _*))
+  }
 
   /** Driver-side mirror of the distributed bloom-bit derivation:
     * portable md5 base hash of the string rendering, k affine
@@ -603,8 +861,9 @@ object TxTable {
     */
   def prunedFilesByKey(spark: SparkSession, table: String, v: Int,
                        colName: String, value: String): Seq[String] = {
+    val phys = physOf(colMapOf(spark, table, v), colName)
     val byFile = bloomEntries(spark, table, v)
-      .collect { case (fl, c, m, k, b64) if c == colName =>
+      .collect { case (fl, c, m, k, b64) if c == phys =>
         fl -> (m, k, java.util.Base64.getDecoder.decode(b64)) }
       .toMap
     filesOf(spark, table, v).filter { fl =>
@@ -624,15 +883,12 @@ object TxTable {
     */
   def readWhereKey(spark: SparkSession, table: String, colName: String,
                    value: String, version: Int = -1): DataFrame = {
-    import org.apache.spark.sql.functions.col
     val v = if (version > 0) version else currentVersion(spark, table)
     val kept = prunedFilesByKey(spark, table, v, colName, value)
     if (kept.isEmpty) // bloom proved absence in every file
       return readVersion(spark, table, v).limit(0)
         .filter(col(colName).cast("string") === value)
-    val rd = if (msOf(spark, table, v))
-      spark.read.option("mergeSchema", "true") else spark.read
-    rd.parquet(kept.map(rel => s"$table/$rel"): _*)
+    snapshotRead(spark, table, v, kept)
       .filter(col(colName).cast("string") === value)
   }
 
@@ -656,24 +912,179 @@ object TxTable {
   def deleteWhere(spark: SparkSession, table: String, colName: String,
                   lo: Double, hi: Double,
                   statsCols: Seq[String] = Nil): (Int, Int, Int) = {
-    import org.apache.spark.sql.functions.col
     val v = currentVersion(spark, table)
     require(v >= 1, s"TxTable: cannot delete from non-existent table $table")
     val all = filesOf(spark, table, v)
     val touch = prunedFiles(spark, table, v, colName, lo, hi)
     val untouched = all.filterNot(touch.toSet)
     if (touch.isEmpty) return (v, 0, all.size)
+    val phys = physOf(colMapOf(spark, table, v), colName)
     // SQL DELETE semantics: rows where the predicate is NULL are KEPT
     // (a bare NOT(between) would silently drop null-keyed rows).
     // Evolved tables rewrite through mergeSchema so late-added columns
-    // survive the rewrite.
+    // survive the rewrite. The candidate read applies existing MoR
+    // tombstones — a rewrite gives rows NEW file names, which would
+    // break the per-(file, key) tombstone scope and resurrect them.
     val rd = if (msOf(spark, table, v))
       spark.read.option("mergeSchema", "true") else spark.read
-    val survivors = rd.parquet(touch.map(rel => s"$table/$rel"): _*)
-      .filter(col(colName).isNull || !(col(colName) >= lo && col(colName) <= hi))
+    val survivors = tombFilter(spark, table, tombEntriesOf(spark, table, v),
+        rd.parquet(touch.map(rel => s"$table/$rel"): _*))
+      .filter(col(phys).isNull || !(col(phys) >= lo && col(phys) <= hi))
     val nv = commitAs(survivors, table, v + 1, "delete", statsCols,
-      carryFiles = Some(untouched))
+      carryFiles = Some(untouched), dfIsPhysical = true)
     (nv, touch.size, untouched.size)
+  }
+
+  /** Row-level DELETE, MERGE-ON-READ (the Delta deletion-vector shape
+    * at (file, key) granularity): ZERO data files are rewritten — the
+    * delete writes a tombstone SIDECAR of (data-file, key) pairs for
+    * the rows the predicate matched, and every snapshot read
+    * anti-joins the sidecar before projecting. The write-amplification
+    * asymmetry vs [[deleteWhere]] (copy-on-write): a point delete on a
+    * 100 TB table costs one stats-pruned candidate scan plus a
+    * kilobyte-scale sidecar write; reads pay one broadcast anti-join
+    * until OPTIMIZE folds the tombstones away ([[compact]] reads
+    * through the MoR view and sheds the sidecars; [[compactSmall]]
+    * applies them to whatever it rewrites and carries them for the
+    * rest). Semantics match the CoW path: NULL-predicate rows are
+    * kept; rows already tombstoned are not re-recorded (the candidate
+    * scan reads through existing tombs); appends after the delete are
+    * UNAFFECTED (tombstones are per-file, never a key blocklist). NULL
+    * keys in matched rows refuse loudly in-plan — an unidentifiable
+    * row cannot be tombstoned; use copy-on-write. `keyCol` must
+    * identify rows within a file (a non-unique key deletes every
+    * same-key row of the matched files).
+    *
+    * @return (version, nTombstonedPairs) — the current version with 0
+    *         when no candidate row matches (Delta's no-op rule)
+    */
+  def deleteWhereMor(spark: SparkSession, table: String, colName: String,
+                     lo: Double, hi: Double, keyCol: String): (Int, Long) = {
+    val v = currentVersion(spark, table)
+    require(v >= 1, s"TxTable: cannot delete from non-existent table $table")
+    val all = filesOf(spark, table, v)
+    val map = colMapOf(spark, table, v)
+    val phys = physOf(map, colName)
+    val physKey = physOf(map, keyCol)
+    val touch = prunedFiles(spark, table, v, colName, lo, hi)
+    if (touch.isEmpty) return (v, 0L)
+    val f = fs(spark, table)
+    val rd = if (msOf(spark, table, v))
+      spark.read.option("mergeSchema", "true") else spark.read
+    val matched = tombFilter(spark, table, tombEntriesOf(spark, table, v),
+        rd.parquet(touch.map(rel => s"$table/$rel"): _*))
+      .filter(col(phys) >= lo && col(phys) <= hi)
+    val kt = matched.schema(physKey).dataType
+    val guardedKey = when(col(physKey).isNotNull, col(physKey))
+      .otherwise(raise_error(lit("TxTable.deleteWhereMor: NULL key in a matched " +
+        "row — keyCol must identify every row; use deleteWhere (copy-on-write)"))
+        .cast(kt))
+    val keys = matched.select(
+      element_at(split(col("_metadata.file_path"), "/"), -1).as("_gf"),
+      guardedKey.as("_gk")).distinct()
+    // sidecar write — versioned names ride the same vacuum protocol as
+    // data files (in-flight skip covers a racing delete's sidecars)
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new Path(s"$table/_tmp_v${v + 1}_$nonce")
+    keys.write.mode("overwrite").parquet(tmp.toString)
+    val parts = f.listStatus(tmp).map(_.getPath)
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    f.mkdirs(new Path(s"$table/data"))
+    val named = parts.zipWithIndex.map { case (p, i) =>
+      val rel = s"data/v${v + 1}_t${i}_$nonce.parquet"
+      require(f.rename(p, new Path(s"$table/$rel")), s"rename failed for $p")
+      rel
+    }.toSeq
+    f.delete(tmp, true)
+    val nDeleted =
+      if (named.isEmpty) 0L
+      else spark.read.parquet(named.map(rel => s"$table/$rel"): _*).count()
+    if (nDeleted == 0L) { // conservative stats, no actual match: no-op
+      named.foreach(rel => f.delete(new Path(s"$table/$rel"), false))
+      return (v, 0L)
+    }
+    // manifest-only publish: every DATA file carries verbatim (the
+    // "zero files rewritten" property an auditor checks), stats/blooms/
+    // mapping/ms carry with them, tombs extend
+    val tombs = tombEntriesOf(spark, table, v) ++ named.map(rel => (rel, physKey))
+    val parentMs = try commitMsOf(spark, table, v)
+      catch { case _: java.io.FileNotFoundException => 0L }
+    val ts = math.max(System.currentTimeMillis(), parentMs + 1L)
+    val schemaDDL = manifestSchema(spark, table, v).map(_.toDDL)
+      .orElse(scala.util.Try(readVersion(spark, table, v).schema.toDDL).toOption)
+    val json = renderManifest(v + 1, "mordelete", ts, "", msOf(spark, table, v),
+      schemaDDL, all, statsOf(spark, table, v), bloomEntries(spark, table, v),
+      tombs, map)
+    publishOrConflict(f, table, v + 1, json)
+    (v + 1, nDeleted)
+  }
+
+  /** Metadata-only column RENAME (the Delta column-mapping rename):
+    * publishes a new version whose manifest carries every file, stat,
+    * bloom, and tombstone verbatim and only rewrites the (logical →
+    * physical) mapping plus the recorded schema — ZERO data IO at any
+    * table size. Old and new files both store the column under its
+    * original PHYSICAL name; reads project physical → logical; later
+    * appends write through the mapping, so file schemas never fork.
+    */
+  def renameColumn(spark: SparkSession, table: String, from: String,
+                   to: String): Int = {
+    val v = currentVersion(spark, table)
+    require(v >= 1, s"TxTable: cannot rename a column of non-existent table $table")
+    val schema = manifestSchema(spark, table, v)
+      .getOrElse(readVersion(spark, table, v).schema)
+    require(schema.fieldNames.contains(from),
+      s"TxTable: no column '$from' at $table v$v " +
+      s"(have ${schema.fieldNames.mkString(", ")})")
+    require(!schema.fieldNames.contains(to),
+      s"TxTable: column '$to' already exists at $table v$v")
+    val map0 = colMapOf(spark, table, v)
+      .getOrElse(schema.fieldNames.toSeq.map(n => (n, n)))
+    metadataCommit(spark, table, "rename",
+      StructType(schema.map(fd => if (fd.name == from) fd.copy(name = to) else fd)),
+      map0.map { case (n, p) => (if (n == from) to else n, p) })
+  }
+
+  /** Metadata-only column DROP: the column leaves the mapping and the
+    * recorded schema; its physical data stays in the immutable files
+    * (reads never select it; time travel to pre-drop versions still
+    * sees it; a later full [[compact]] physically sheds it). ZERO data
+    * IO, like [[renameColumn]].
+    */
+  def dropColumn(spark: SparkSession, table: String, name: String): Int = {
+    val v = currentVersion(spark, table)
+    require(v >= 1, s"TxTable: cannot drop a column of non-existent table $table")
+    val schema = manifestSchema(spark, table, v)
+      .getOrElse(readVersion(spark, table, v).schema)
+    require(schema.fieldNames.contains(name),
+      s"TxTable: no column '$name' at $table v$v " +
+      s"(have ${schema.fieldNames.mkString(", ")})")
+    require(schema.size >= 2, s"TxTable: cannot drop the last column of $table")
+    val map0 = colMapOf(spark, table, v)
+      .getOrElse(schema.fieldNames.toSeq.map(n => (n, n)))
+    metadataCommit(spark, table, "drop",
+      StructType(schema.filterNot(_.name == name)),
+      map0.filterNot(_._1 == name))
+  }
+
+  /** Shared metadata-only publish for rename/drop: files, stats,
+    * blooms, tombstones, and the ms flag carry verbatim from the head;
+    * only the schema and mapping change. Rides the same CAS as every
+    * commit — losing to a concurrent writer refuses loudly.
+    */
+  private def metadataCommit(spark: SparkSession, table: String, op: String,
+                             schema1: StructType,
+                             map1: Seq[(String, String)]): Int = {
+    val v = currentVersion(spark, table)
+    val f = fs(spark, table)
+    val parentMs = try commitMsOf(spark, table, v)
+      catch { case _: java.io.FileNotFoundException => 0L }
+    val ts = math.max(System.currentTimeMillis(), parentMs + 1L)
+    val json = renderManifest(v + 1, op, ts, "", msOf(spark, table, v),
+      Some(schema1.toDDL), filesOf(spark, table, v), statsOf(spark, table, v),
+      bloomEntries(spark, table, v), tombEntriesOf(spark, table, v), Some(map1))
+    publishOrConflict(f, table, v + 1, json)
+    v + 1
   }
 
   /** Exactly-once commit for replayable writers (the Delta
@@ -746,26 +1157,22 @@ object TxTable {
       s"TxTable: cannot restore $table to expired/unknown version $toV")
     val v = head + 1
     val f = fs(spark, table)
-    val files = filesOf(spark, table, toV)
-    val statsJson = statsJsonOf(statsOf(spark, table, toV))
-    val bloomJson = bloomJsonOf(bloomEntries(spark, table, toV))
     val parentMs = try commitMsOf(spark, table, head)
       catch { case _: java.io.FileNotFoundException => 0L }
     val ts = math.max(System.currentTimeMillis(), parentMs + 1L)
-    val ms = if (msOf(spark, table, toV)) ""","ms":1""" else ""
     // every manifest this layer writes records a schema (the commitAs
-    // invariant) — a pre-schema target falls back to its snapshot read
-    val schemaJson = manifestSchema(spark, table, toV)
+    // invariant) — a pre-schema target falls back to its snapshot read.
+    // Stats, blooms, TOMBSTONES, and the COLUMN MAPPING restore with
+    // their files: the restored snapshot must read bit-identically to
+    // the target, merge-on-read deletes and renames included.
+    val schemaDDL = manifestSchema(spark, table, toV)
       .orElse(scala.util.Try(readVersion(spark, table, toV).schema).toOption)
-      .map(st => s""""schema":"${jesc(st.toDDL)}",""").getOrElse("")
-    val json = s"""{"version":$v,"op":"restore","commit_ms":$ts$ms,""" +
-      schemaJson + s""""n_files":${files.size},""" +
-      s""""files":[${files.map("\"" + _ + "\"").mkString(",")}]$statsJson$bloomJson}"""
-    val mp = manifestPath(table, v)
-    f.mkdirs(mp.getParent)
-    if (!committerFor(f).publish(f, mp, json, java.util.UUID.randomUUID().toString.take(8)))
-      sys.error(s"TxTable: commit conflict — version $v at $table was " +
-        "published by another writer; re-read and retry")
+      .map(_.toDDL)
+    val json = renderManifest(v, "restore", ts, "", msOf(spark, table, toV),
+      schemaDDL, filesOf(spark, table, toV), statsOf(spark, table, toV),
+      bloomEntries(spark, table, toV), tombEntriesOf(spark, table, toV),
+      colMapOf(spark, table, toV))
+    publishOrConflict(f, table, v, json)
     v
   }
 
@@ -958,17 +1365,55 @@ object TxTable {
     * snapshot as churn.
     */
   def changes(spark: SparkSession, table: String, fromV: Int, toV: Int): DataFrame = {
-    import org.apache.spark.sql.functions.lit
     require(fromV >= 0 && toV > fromV, s"need 0 <= fromV < toV, got ($fromV, $toV)")
     require(toV <= currentVersion(spark, table), s"TxTable: no version $toV at $table")
-    def readFiles(files: Seq[String]): Option[DataFrame] =
+    // each step's rows surface through the SNAPSHOT SEMANTICS of the
+    // version where they are visible (inserts: v; deletes: v-1):
+    // tombstone-filtered so merge-on-read-deleted rows neither
+    // re-insert nor re-delete, and projected through that version's
+    // column mapping so consumers always see logical names
+    def projectVia(atV: Int)(dfr: DataFrame): DataFrame =
+      colMapOf(spark, table, atV).fold(dfr) { m =>
+        dfr.select(m.collect {
+          case (n, p) if dfr.columns.contains(p) => col(p).as(n) }: _*)
+      }
+    def readFiles(files: Seq[String], atV: Int): Option[DataFrame] =
       if (files.isEmpty) None
-      else Some(spark.read.parquet(files.map(rel => s"$table/$rel"): _*))
+      else Some(projectVia(atV)(tombFilter(spark, table,
+        tombEntriesOf(spark, table, atV),
+        spark.read.parquet(files.map(rel => s"$table/$rel"): _*))))
     val steps = ((fromV + 1) to toV).flatMap { v =>
       val prev = if (v == 1) Seq.empty else filesOf(spark, table, v - 1)
       val cur = filesOf(spark, table, v)
       opOf(spark, table, v) match {
-        case "compact" => Seq.empty // byte rewrite, no row change
+        // byte rewrite / metadata-only: no row change (dataChange=false)
+        case "compact" | "rename" | "drop" => Seq.empty
+        // merge-on-read delete: the delta is exactly the NEW tombstone
+        // (file, key) pairs resolved against the files they reference —
+        // the read touches ONLY those files, never the snapshot
+        case "mordelete" =>
+          val newTombs = tombEntriesOf(spark, table, v)
+            .diff(tombEntriesOf(spark, table, v - 1))
+          newTombs.groupBy(_._2).toSeq.sortBy(_._1).flatMap { case (k, es) =>
+            val keys = spark.read
+              .parquet(es.map(e => s"$table/${e._1}").distinct: _*)
+              .select(col("_gf").as("_graft_tf"), col("_gk").as("_graft_tk"))
+            val touched = keys.select("_graft_tf").distinct()
+              .collect().map(_.getString(0)).toSeq // file NAMES: metadata-scale
+            if (touched.isEmpty) None
+            else {
+              val rd = if (msOf(spark, table, v))
+                spark.read.option("mergeSchema", "true") else spark.read
+              val raw = rd.parquet(touched.map(n => s"$table/data/$n"): _*)
+                .withColumn("_graft_fn",
+                  element_at(split(col("_metadata.file_path"), "/"), -1))
+              Some(projectVia(v)(
+                raw.join(keys, raw("_graft_fn") === col("_graft_tf") &&
+                  raw(k) === col("_graft_tk"), "left_semi").drop("_graft_fn"))
+                .withColumn("_change", lit("delete"))
+                .withColumn("_version", lit(v)))
+            }
+          }
         case op =>
           val (ins, del) =
             if (op == "append" || op == "evolve") (cur.diff(prev), Seq.empty[String])
@@ -976,9 +1421,11 @@ object TxTable {
             // both snapshots — churn is exactly the rewritten subset
             // (delete-of-candidates + insert-of-survivors)
             else if (op == "delete") (cur.diff(prev), prev.diff(cur))
-            else (cur, prev) // overwrite: full snapshot replace
-          readFiles(ins).map(_.withColumn("_change", lit("insert")).withColumn("_version", lit(v))) ++
-            readFiles(del).map(_.withColumn("_change", lit("delete")).withColumn("_version", lit(v)))
+            else (cur, prev) // overwrite/merge/restore: full snapshot replace
+          readFiles(ins, v).map(
+            _.withColumn("_change", lit("insert")).withColumn("_version", lit(v))) ++
+            readFiles(del, v - 1).map(
+              _.withColumn("_change", lit("delete")).withColumn("_version", lit(v)))
       }
     }
     if (steps.isEmpty) // e.g. a compact-only interval: a legitimate empty delta
@@ -1049,9 +1496,14 @@ object TxTable {
     val nOut = math.max(1L, (smallBytes + targetBytes - 1) / targetBytes).toInt
     val rd = if (msOf(spark, table, v))
       spark.read.option("mergeSchema", "true") else spark.read
-    val packed = rd.parquet(small.map(s => s"$table/${s._1}"): _*).repartition(nOut)
+    // the rewrite APPLIES merge-on-read tombstones (rebinned rows get
+    // new file names, outside the per-file tombstone scope); tombs for
+    // the carried files ride the carry rule in commitAs
+    val packed = tombFilter(spark, table, tombEntriesOf(spark, table, v),
+        rd.parquet(small.map(s => s"$table/${s._1}"): _*))
+      .repartition(nOut)
     val nv = commitAs(packed, table, v + 1, "compact", statsCols,
-      carryFiles = Some(big.map(_._1)))
+      carryFiles = Some(big.map(_._1)), dfIsPhysical = true)
     (nv, small.size, big.size)
   }
 
@@ -1072,8 +1524,11 @@ object TxTable {
     val f = fs(spark, table)
     val dataDir = new Path(s"$table/data")
     if (!f.exists(dataDir)) return Seq.empty
+    // tombstone sidecars are referenced files too — vacuuming a live
+    // sidecar would resurrect its deleted rows
     val referenced = liveVersions(spark, table)
-      .flatMap(v => filesOf(spark, table, v)).toSet
+      .flatMap(v => filesOf(spark, table, v) ++
+        tombEntriesOf(spark, table, v).map(_._1)).toSet
     f.listStatus(dataDir).map(s => s"data/${s.getPath.getName}")
       .filterNot(referenced).sorted.toSeq
   }
@@ -1140,8 +1595,10 @@ object TxTable {
     val cut = head - keepLast // expire live versions <= cut
     val (expire, keep) = live.partition(_ <= cut)
     if (expire.isEmpty) return (Seq.empty, Seq.empty)
-    val keptFiles = keep.flatMap(v => filesOf(spark, table, v)).toSet
-    val deadFiles = expire.flatMap(v => filesOf(spark, table, v))
+    val keptFiles = keep.flatMap(v => filesOf(spark, table, v) ++
+      tombEntriesOf(spark, table, v).map(_._1)).toSet
+    val deadFiles = expire.flatMap(v => filesOf(spark, table, v) ++
+      tombEntriesOf(spark, table, v).map(_._1))
       .distinct.filterNot(keptFiles).sorted
     // Order matters for crash safety: drop manifests FIRST so no
     // reader can resolve a version whose files are mid-delete; a crash

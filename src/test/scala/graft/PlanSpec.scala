@@ -940,4 +940,40 @@ class PlanSpec extends SparkSpec {
     p should include("partial_sum")
     (p should not).include("CartesianProduct")
   }
+
+  test("MoR snapshot read: the tombstone anti-join broadcasts the kilobyte sidecar — one scan, no shuffle, no sort-merge") {
+    import graft.sources.TxTable
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val table = java.nio.file.Files.createTempDirectory("graft_plan_mor_").toString + "/t"
+    val df = (1L to 200L).map(i => (i, i * 2.0)).toDF("id", "x")
+      .repartitionByRange(2, col("id"))
+    TxTable.commit(df, table, statsCols = Seq("id"))
+    TxTable.deleteWhereMor(spark, table, "id", 1.0, 20.0, "id")
+    val p = TxTable.read(spark, table).queryExecution.executedPlan.toString
+    p should include("BroadcastHashJoin")
+    p should include("LeftAnti")
+    (p should not).include("SortMergeJoin")
+    // a table with NO tombstones pays nothing: plain scan, no join at all
+    val clean = java.nio.file.Files.createTempDirectory("graft_plan_clean_").toString + "/t"
+    TxTable.commit(df, clean)
+    val p2 = TxTable.read(spark, clean).queryExecution.executedPlan.toString
+    (p2 should not).include("Join")
+  }
+
+  test("column-mapped read: rename costs a projection only — no join, no exchange, physical scan prunes to mapped columns") {
+    import graft.sources.TxTable
+    import spark.implicits._
+    val table = java.nio.file.Files.createTempDirectory("graft_plan_map_").toString + "/t"
+    TxTable.commit((1L to 50L).map(i => (i, s"t$i", i * 1.0)).toDF("id", "tag", "score"), table)
+    TxTable.renameColumn(spark, table, "score", "quality")
+    TxTable.dropColumn(spark, table, "tag")
+    val read = TxTable.read(spark, table).select("quality")
+    val p = read.queryExecution.executedPlan.toString
+    (p should not).include("Join")
+    (p should not).include("Exchange")
+    // column pruning reaches the scan through the map projection: the
+    // dropped/unselected physical columns are not read
+    p should include("ReadSchema: struct<score:double>")
+  }
 }

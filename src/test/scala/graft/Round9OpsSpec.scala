@@ -104,4 +104,253 @@ class Round9OpsSpec extends SparkSpec {
     // bounded replay: nothing arrived more than twice across 3 restarts
     seen.asScala.toSeq.groupBy(identity).values.map(_.size).max should be <= 2
   }
+
+  test("head discovery is O(1): after 200+ commits, reads and CDC polls never enumerate the manifest dir") {
+    val table = freshTable("head")
+    TxTable.commit(Seq((1L, "a")).toDF("id", "s"), table) shouldBe 1
+    // 200 manifest-only commits (restore-to-v1) build a deep history fast
+    for (_ <- 1 to 200) TxTable.restore(spark, table, 1)
+    TxTable.currentVersion(spark, table) shouldBe 201
+    val l0 = TxTable.manifestListings
+    // the hot path: head resolution for reads and CDC polls
+    TxTable.currentVersion(spark, table) shouldBe 201
+    TxTable.read(spark, table).count() shouldBe 1L
+    TxTable.changes(spark, table, 199, 201).count() should be >= 0L
+    TxTable.manifestListings shouldBe l0 // ZERO listings — hint + forward probe only
+    // a torn/missing head pointer falls back to the listing, still correct
+    // (the raw write also invalidates hadoop's .crc sidecar — delete it
+    // so the torn state is "garbage content", not "checksum mismatch")
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(s"$table/._head.crc"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$table/_head"),
+      "garbage".getBytes("UTF-8"))
+    TxTable.currentVersion(spark, table) shouldBe 201
+    TxTable.manifestListings should be > l0
+    // a STALE hint (crash between CAS and pointer write) probes forward
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$table/_head"),
+      "150".getBytes("UTF-8"))
+    val l1 = TxTable.manifestListings
+    TxTable.currentVersion(spark, table) shouldBe 201
+    TxTable.manifestListings shouldBe l1 // healed by probes, no listing
+    // time travel / history (maintenance surface) still exact
+    TxTable.readAsOf(spark, table, System.currentTimeMillis() + 1000L)
+      .count() shouldBe 1L
+    TxTable.history(spark, table).count() shouldBe 201L
+  }
+
+  test("optimistic append rebase: eight concurrent appenders ALL land without caller retry loops") {
+    val table = freshTable("rebase")
+    TxTable.commit(Seq((0L, "seed")).toDF("id", "s"), table) shouldBe 1
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    // NO retry loop here — commit() itself rebases pure appends
+    val futures = (1 to 8).map { i =>
+      scala.concurrent.Future {
+        TxTable.commit(Seq((i.toLong, s"w$i")).toDF("id", "s"), table,
+          statsCols = Seq("id"))
+      }
+    }
+    val versions = futures.map(f =>
+      scala.concurrent.Await.result(f, scala.concurrent.duration.Duration(120, "s")))
+    pool.shutdown()
+    versions.sorted shouldBe (2 to 9)
+    TxTable.currentVersion(spark, table) shouldBe 9
+    // the union of rows is exact — nothing lost, nothing doubled
+    TxTable.read(spark, table).collect().map(_.getLong(0)).sorted shouldBe (0L to 8L)
+    // every version is an append whose stats survived the rebase
+    // renames: each version's NEW files (the seed v1 committed without
+    // statsCols) carry id stats pointing at files that exist
+    (2 to 9).foreach { v =>
+      TxTable.opOf(spark, table, v) shouldBe "append"
+      val s = TxTable.statsOf(spark, table, v)
+      val newFiles = TxTable.filesOf(spark, table, v)
+        .diff(TxTable.filesOf(spark, table, v - 1))
+      newFiles.toSet.subsetOf(s.map(_._1).toSet) shouldBe true
+      s.foreach { case (fl, _, _, _) =>
+        new java.io.File(s"$table/$fl").exists() shouldBe true }
+    }
+    // and no orphans: every staged file was renamed into its winner
+    TxTable.orphans(spark, table) shouldBe empty
+  }
+
+  test("non-append ops still refuse a lost CAS: a delete losing the race to an append fails loudly") {
+    val table = freshTable("conflict")
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    TxTable.commit(Seq((1L, 5.0), (2L, 50.0)).toDF("id", "x"), table,
+      statsCols = Seq("x")) shouldBe 1
+    // a committer double that loses the first CAS (as if a concurrent
+    // append published the version first), then behaves normally
+    class FailFirst extends graft.sources.TxCommitter {
+      val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      def publish(f: FileSystem, mp: HPath, json: String, nonce: String): Boolean =
+        if (n.getAndIncrement() == 0) false
+        else graft.sources.LocalLinkCommitter.publish(f, mp, json, nonce)
+    }
+    TxTable.committerOverride = Some(new FailFirst)
+    try {
+      val e = intercept[RuntimeException] {
+        TxTable.deleteWhere(spark, table, "x", 0.0, 10.0)
+      }
+      e.getMessage should include("conflict")
+      TxTable.currentVersion(spark, table) shouldBe 1 // nothing landed
+    } finally TxTable.committerOverride = None
+    // the SAME injected loss on a pure append self-heals via rebase
+    TxTable.committerOverride = Some(new FailFirst)
+    try {
+      TxTable.commit(Seq((3L, 7.0)).toDF("id", "x"), table) shouldBe 2
+    } finally TxTable.committerOverride = None
+    TxTable.read(spark, table).count() shouldBe 3L
+  }
+
+  test("merge-on-read delete: zero data files rewritten, read hash-equals copy-on-write, OPTIMIZE folds the tombstones") {
+    val morT = freshTable("mor")
+    val cowT = freshTable("cow")
+    val rows = (1L to 400L).map(i => (i, i * 1.5, s"s$i"))
+    // 4-file layout, range-clustered on id so the delete prunes
+    val df = rows.toDF("id", "x", "s").repartitionByRange(4, col("id"))
+    TxTable.commit(df, morT, statsCols = Seq("id")) shouldBe 1
+    TxTable.commit(df, cowT, statsCols = Seq("id")) shouldBe 1
+    val filesBefore = TxTable.filesOf(spark, morT, 1)
+    // MoR delete of a point range; CoW of the same range on the twin
+    val (v2, nDel) = TxTable.deleteWhereMor(spark, morT, "id", 100.0, 140.0, "id")
+    v2 shouldBe 2
+    nDel shouldBe 41L
+    TxTable.deleteWhere(spark, cowT, "id", 100.0, 140.0, Seq("id"))._1 shouldBe 2
+    // ZERO data files rewritten: the manifest carries v1's files verbatim
+    TxTable.filesOf(spark, morT, 2) shouldBe filesBefore
+    TxTable.tombEntriesOf(spark, morT, 2) should not be empty
+    TxTable.opOf(spark, morT, 2) shouldBe "mordelete"
+    // the MoR read equals the CoW result exactly
+    canon(TxTable.read(spark, morT)) shouldBe canon(TxTable.read(spark, cowT))
+    // snapshot isolation: v1 still sees every row
+    TxTable.readVersion(spark, morT, 1).count() shouldBe 400L
+    // pruned readers go through the tombstones too
+    TxTable.readWhere(spark, morT, "id", 90.0, 150.0)
+      .collect().map(_.getLong(0)).sorted shouldBe ((90L to 99L) ++ (141L to 150L))
+    // a second MoR delete stacks; already-deleted rows are NOT re-recorded
+    val (v3, nDel2) = TxTable.deleteWhereMor(spark, morT, "id", 120.0, 160.0, "id")
+    v3 shouldBe 3
+    nDel2 shouldBe 20L // 141..160 — 120..140 were already tombstoned
+    TxTable.read(spark, morT).count() shouldBe 400L - 61L
+    // changes() reads the MoR delete as deletes of exactly those rows,
+    // touching only the files the tombstones reference
+    val delta = TxTable.changes(spark, morT, 2, 3)
+    delta.select("_change").distinct().collect().map(_.getString(0)) shouldBe Array("delete")
+    delta.select("id").collect().map(_.getLong(0)).sorted shouldBe (141L to 160L)
+    // appends AFTER the delete are unaffected (per-file scope, not a blocklist)
+    TxTable.commit(Seq((130L, 1.0, "again")).toDF("id", "x", "s"), morT,
+      statsCols = Seq("id")) shouldBe 4
+    TxTable.read(spark, morT).filter(col("id") === 130L).count() shouldBe 1L
+    // OPTIMIZE folds the tombstones away: content identical, sidecars gone
+    val before = canon(TxTable.read(spark, morT))
+    val v5 = TxTable.compact(spark, morT)
+    TxTable.tombEntriesOf(spark, morT, v5) shouldBe empty
+    canon(TxTable.read(spark, morT)) shouldBe before
+    // vacuum never reclaims a LIVE sidecar; expiry reclaims dead ones
+    TxTable.vacuum(spark, morT, 0L)
+    TxTable.readVersion(spark, morT, 3).count() shouldBe 400L - 61L
+    val (expired, dead) = TxTable.expireVersions(spark, morT, 1)
+    expired shouldBe (1 to 4)
+    dead.exists(_.contains("_t")) shouldBe true // sidecars reclaimed with history
+    canon(TxTable.read(spark, morT)) shouldBe before
+  }
+
+  test("MoR delete refuses NULL keys loudly and no-ops when stats prune everything") {
+    val table = freshTable("mornull")
+    val df = Seq((Some(1L), 10.0), (None, 20.0), (Some(3L), 30.0))
+      .toDF("id", "x")
+    TxTable.commit(df, table, statsCols = Seq("x")) shouldBe 1
+    // matched range covers the NULL-keyed row → in-plan refusal
+    val e = intercept[Exception] {
+      TxTable.deleteWhereMor(spark, table, "x", 15.0, 25.0, "id")
+    }
+    e.getMessage should include("NULL key")
+    TxTable.currentVersion(spark, table) shouldBe 1
+    // a range outside every file's stats is a no-op at the current version
+    TxTable.deleteWhereMor(spark, table, "x", 1e6, 2e6, "id") shouldBe ((1, 0L))
+  }
+
+  test("rename/drop are metadata-only: zero data IO, old files project through the mapping, appends write physical names") {
+    val table = freshTable("map")
+    val v1 = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "tag", "score")
+    TxTable.commit(v1, table, statsCols = Seq("score")) shouldBe 1
+    val dataFiles1 = TxTable.filesOf(spark, table, 1)
+    // RENAME: metadata-only — same files, new logical schema
+    TxTable.renameColumn(spark, table, "score", "quality") shouldBe 2
+    TxTable.filesOf(spark, table, 2) shouldBe dataFiles1
+    TxTable.read(spark, table).columns shouldBe Array("id", "tag", "quality")
+    TxTable.read(spark, table).select("quality")
+      .collect().map(_.getDouble(0)).sorted shouldBe Array(10.0, 20.0)
+    // an append with the NEW logical schema lands; physical stays "score"
+    TxTable.commit(Seq((3L, "c", 30.0)).toDF("id", "tag", "quality"), table,
+      statsCols = Seq("quality")) shouldBe 3
+    val newFile = TxTable.filesOf(spark, table, 3).diff(dataFiles1)
+    spark.read.parquet(newFile.map(rel => s"$table/$rel"): _*)
+      .columns should contain("score") // physical name stable forever
+    TxTable.read(spark, table).select("quality")
+      .collect().map(_.getDouble(0)).sorted shouldBe Array(10.0, 20.0, 30.0)
+    // the append gate enforces the MAPPED (logical) shape
+    val e = intercept[IllegalArgumentException] {
+      TxTable.commit(Seq((4L, "d", 40.0)).toDF("id", "tag", "score"), table)
+    }
+    e.getMessage should include("schema mismatch")
+    // stats-pruned reads translate logical→physical
+    TxTable.readWhere(spark, table, "quality", 25.0, 35.0)
+      .collect().map(_.getLong(0)) shouldBe Array(3L)
+    // time travel to v1 shows the ORIGINAL logical schema
+    TxTable.readVersion(spark, table, 1).columns shouldBe Array("id", "tag", "score")
+    // DROP: metadata-only; the physical column stays in old files but
+    // never surfaces; a full compact physically sheds it
+    TxTable.dropColumn(spark, table, "tag") shouldBe 4
+    TxTable.filesOf(spark, table, 4) shouldBe TxTable.filesOf(spark, table, 3)
+    TxTable.read(spark, table).columns shouldBe Array("id", "quality")
+    val v5 = TxTable.compact(spark, table)
+    spark.read.parquet(TxTable.filesOf(spark, table, v5).map(rel => s"$table/$rel"): _*)
+      .columns.sorted shouldBe Array("id", "quality")
+    TxTable.read(spark, table).select("quality")
+      .collect().map(_.getDouble(0)).sorted shouldBe Array(10.0, 20.0, 30.0)
+    // CDC across the rename: inserts surface under each version's
+    // logical names; the rename itself is dataChange=false
+    val ch = TxTable.changes(spark, table, 0, 4)
+    ch.filter(col("_version") === 2).count() shouldBe 0L
+    ch.filter(col("_version") === 4).count() shouldBe 0L
+    ch.columns should contain("quality")
+  }
+
+  test("availableNow drains a K-version backfill in ceil(K/mx) batches, stops, and a restart consumes only later commits") {
+    val table = freshTable("avnow")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_r9_avnow_").toString
+    for (i <- 1 to 6)
+      TxTable.commit(Seq((i.toLong, s"v$i")).toDF("id", "s"), table) shouldBe i
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val batches1 = TxChangesStream.runAvailableNow(spark, table, ckpt,
+      (b, _) => { b.select("_version").collect().foreach(r => got.add(r.getInt(0))); () },
+      maxVersionsPerTrigger = Some(2))
+    batches1 shouldBe 3 // ceil(6/2)
+    import scala.jdk.CollectionConverters._
+    got.asScala.toSeq.sorted shouldBe (1 to 6)
+    // later commits wait for the NEXT run — same checkpoint resumes
+    TxTable.commit(Seq((7L, "v7")).toDF("id", "s"), table) shouldBe 7
+    TxTable.commit(Seq((8L, "v8")).toDF("id", "s"), table) shouldBe 8
+    got.clear()
+    val batches2 = TxChangesStream.runAvailableNow(spark, table, ckpt,
+      (b, _) => { b.select("_version").collect().foreach(r => got.add(r.getInt(0))); () },
+      maxVersionsPerTrigger = Some(2))
+    batches2 shouldBe 1 // versions 7..8 in one rate-limited batch
+    got.asScala.toSeq.sorted shouldBe Seq(7, 8)
+  }
+
+  test("clusteringCoefficient over a precomputed triangle frame equals the self-computing form") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (3L, 5L),
+      (5L, 6L)).toDF("a", "b")
+    val self = operators.Graph.clusteringCoefficient(pairs, "a", "b")
+    val tris = operators.Graph.triangleCounts(pairs, "a", "b")
+      .select("node", "n_triangles")
+    val deg = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .distinct().groupBy("src").agg(count(lit(1)).as("deg"))
+      .withColumnRenamed("src", "node")
+    val reused = operators.Graph.clusteringCoefficient(tris, deg)
+    canon(reused) shouldBe canon(self)
+  }
 }
