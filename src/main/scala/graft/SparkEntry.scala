@@ -2420,6 +2420,60 @@ object SparkEntry {
         Seq((0, nBatches, Option.empty[Double])).toDF("version", "n_rows", "sum_price"))
     }),
 
+    // §2#62ab (r9) CDC stream ACROSS a merge-on-read delete: the
+    // tx-changes source replays a mordelete version as exactly the
+    // tombstoned rows (touching only the files the sidecar references),
+    // and a later re-append of deleted keys streams normally — the
+    // per-file tombstone scope holds in the stream too. Closes the
+    // MoR-delete ↔ streaming-source seam end-to-end.
+    "q327_tx_stream_mor" -> ((s, dir) => {
+      val table = sidePath("graft_txsm", dir)
+      sources.TxTable.drop(s, table)
+      val ord = t(s, dir, "orders").df.select(col("o_orderkey"), col("o_totalprice"))
+      sources.TxTable.commit(ord.repartitionByRange(4, col("o_orderkey")), table,
+        statsCols = Seq("o_orderkey"))
+      sources.TxTable.deleteWhereMor(s, table, "o_orderkey", 1.0, 300.0, "o_orderkey")
+      sources.TxTable.commit(ord.filter(col("o_orderkey") <= 100), table,
+        statsCols = Seq("o_orderkey"))
+      sources.TxChangesStream.replayAll(s, table)
+        .groupBy(col("_change").as("change"), col("_version").as("version"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
+    }),
+
+    // §2#62ac (r9) value-set file skipping: per-file DISTINCT-value
+    // sets recorded at commit — EXACT categorical pruning (the Hive
+    // partition-pruning effect without physical partitioning): a
+    // per-category read touches the category's files, not the
+    // snapshot. The oracle recomputes the kept-file count from the
+    // data itself (every file's cardinality is under the cap, so
+    // manifest-kept == files-actually-containing).
+    "q328_tx_value_skip" -> ((s, dir) => {
+      val table = sidePath("graft_txvs", dir)
+      sources.TxTable.drop(s, table)
+      val ord = t(s, dir, "orders").df
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      sources.TxTable.commit(ord.repartition(5, col("o_orderpriority")), table,
+        setCols = Seq("o_orderpriority"))
+      val probe = "3-MEDIUM"
+      val kept = sources.TxTable.prunedFilesByValue(s, table, 1, "o_orderpriority", probe)
+      val total = sources.TxTable.filesOf(s, table, 1)
+      val rows = sources.TxTable.readWhereValue(s, table, "o_orderpriority", probe)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
+        .select(lit("rows").as("section"), col("n_rows"), col("sum_price"))
+      val absent = sources.TxTable.readWhereValue(s, table, "o_orderpriority", "9-NONE")
+        .agg(count(lit(1)).as("n_rows"))
+        .select(lit("absent").as("section"), col("n_rows"),
+          lit(null).cast("double").as("sum_price"))
+      val meta = s.createDataFrame(Seq(
+          ("kept_files", kept.size.toLong),
+          ("total_files", total.size.toLong)))
+        .toDF("section", "n_rows")
+        .withColumn("sum_price", lit(null).cast("double"))
+      rows.unionByName(absent).unionByName(meta)
+    }),
+
     // §2#52av (r8) Cochran–Armitage trend: is the purchase RATE
     // monotone across the hour-of-day ordinal — the ordered companion
     // to q146's anywhere-different chi-square; exact integer sums, one
@@ -5528,6 +5582,40 @@ object SparkEntry {
          FROM cur WHERE o_orderkey BETWEEN 100 AND 2000
          UNION ALL SELECT 'meta', 'zero_io', CAST(1 AS BIGINT), CAST(NULL AS DOUBLE)
          UNION ALL SELECT 'meta', 'n_cols_now', CAST(2 AS BIGINT), CAST(NULL AS DOUBLE)""",
+
+    "q327_tx_stream_mor" ->
+      """WITH v1 AS (
+           SELECT o_orderkey, o_totalprice,
+             regexp_extract(filename, '[^/]*$') AS fn
+           FROM read_parquet('/tmp/graft_txsm___SFTAG__/data/v1_*.parquet', filename=true)),
+         tomb AS (
+           SELECT _gf, _gk
+           FROM read_parquet('/tmp/graft_txsm___SFTAG__/data/v2_t*.parquet'))
+         SELECT 'insert' AS change, CAST(1 AS INT) AS version, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+         FROM v1
+         UNION ALL
+         SELECT 'delete', CAST(2 AS INT), COUNT(*),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+         FROM v1 d SEMI JOIN tomb t ON d.fn = t._gf AND d.o_orderkey = t._gk
+         UNION ALL
+         SELECT 'insert', CAST(3 AS INT), COUNT(*),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+         FROM read_parquet('/tmp/graft_txsm___SFTAG__/data/v3_*.parquet')""",
+
+    "q328_tx_value_skip" ->
+      """WITH v1 AS (
+           SELECT o_orderkey, o_totalprice, o_orderpriority, filename
+           FROM read_parquet('/tmp/graft_txvs___SFTAG__/data/v1_*.parquet', filename=true))
+         SELECT 'rows' AS section, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+         FROM v1 WHERE o_orderpriority = '3-MEDIUM'
+         UNION ALL SELECT 'absent', 0, CAST(NULL AS DOUBLE)
+         UNION ALL SELECT 'kept_files',
+           (SELECT COUNT(DISTINCT filename) FROM v1 WHERE o_orderpriority = '3-MEDIUM'),
+           CAST(NULL AS DOUBLE)
+         UNION ALL SELECT 'total_files',
+           (SELECT COUNT(DISTINCT filename) FROM v1), CAST(NULL AS DOUBLE)""",
 
     "q326_tx_backfill" ->
       """SELECT CAST(1 AS INT) AS version, COUNT(*) AS n_rows,

@@ -202,6 +202,29 @@ object TxTable {
       s"""{"f":"$fl","c":"$c","m":$m,"k":$k,"b":"$b64"}"""
     }.mkString(",") + "]"
 
+  /** Per-file VALUE-SET skipping entries (file, physical column,
+    * distinct values) — the partition-pruning equivalent for
+    * low-cardinality categorical columns WITHOUT physical
+    * partitioning: a file whose recorded value set misses the probe
+    * value cannot contain it (exact, not probabilistic — the
+    * categorical complement of the bloom index, which serves
+    * high-cardinality keys). Values are encoded -joined inside
+    * one flat string so the manifest grammar stays nested-bracket-free
+    * (jesc escapes the separator if a value ever contains it).
+    */
+  private def vsetJsonOf(vsets: Seq[(String, String, Seq[String])]): String =
+    if (vsets.isEmpty) ""
+    else "," + "\"vset\":[" + vsets.map { case (fl, c, vs) =>
+      s"""{"f":"$fl","c":"$c","v":"${jesc(vs.mkString(""))}"}"""
+    }.mkString(",") + "]"
+
+  /** Files with more distinct values than this record no value set
+    * (they are always kept — conservative, and the manifest stays
+    * small). A range-/hash-clustered layout on the column keeps
+    * per-file cardinality tiny, which is the point.
+    */
+  val VsetMaxValues: Int = 64
+
   /** Merge-on-read tombstone sidecars: (tombstone file, PHYSICAL key
     * column). Each sidecar holds (_gf = data-file name, _gk = key)
     * pairs the snapshot read anti-joins away.
@@ -235,14 +258,15 @@ object TxTable {
                              stats: Seq[(String, String, Double, Double)],
                              blooms: Seq[(String, String, Int, Int, String)],
                              tombs: Seq[(String, String)],
-                             map: Option[Seq[(String, String)]]): String = {
+                             map: Option[Seq[(String, String)]],
+                             vsets: Seq[(String, String, Seq[String])] = Nil): String = {
     val msJson = if (evolved) ""","ms":1""" else ""
     val schemaJson = schemaDDL.map(d => s""""schema":"${jesc(d)}",""").getOrElse("")
     s"""{"version":$v,"op":"$op","commit_ms":$ts$txnJson$msJson,""" +
       schemaJson + s""""n_files":${files.size},""" +
       s""""files":[${files.map("\"" + _ + "\"").mkString(",")}]""" +
       statsJsonOf(stats) + bloomJsonOf(blooms) + tombJsonOf(tombs) +
-      mapJsonOf(map) + "}"
+      mapJsonOf(map) + vsetJsonOf(vsets) + "}"
   }
 
   /** CAS-publish one rendered manifest; loud conflict on a lost race;
@@ -366,10 +390,10 @@ object TxTable {
     */
   def commit(df: DataFrame, table: String, op: String = "append",
              statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
-             maxAttempts: Int = 20): Int =
+             maxAttempts: Int = 20, setCols: Seq[String] = Nil): Int =
     commitAs(df, table, currentVersion(df.sparkSession, table) + 1, op, statsCols,
       bloomCols = bloomCols, rebaseAppend = op == "append",
-      maxAttempts = maxAttempts)
+      maxAttempts = maxAttempts, setCols = setCols)
 
   /** Bloom-index geometry (recorded per manifest entry so it can evolve
     * without breaking old tables): m bits / k hashes give ~1% FP at
@@ -398,7 +422,8 @@ object TxTable {
                               bloomCols: Seq[String] = Nil,
                               rebaseAppend: Boolean = false,
                               maxAttempts: Int = 5,
-                              dfIsPhysical: Boolean = false): Int = {
+                              dfIsPhysical: Boolean = false,
+                              setCols: Seq[String] = Nil): Int = {
     require(op == "append" || op == "overwrite" || op == "compact" ||
       op == "delete" || op == "evolve" || op == "merge", s"unknown op $op")
     require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
@@ -467,6 +492,7 @@ object TxTable {
     }
     val physStatsCols = statsCols.map(c => physOf(writeMap, c))
     val physBloomCols = bloomCols.map(c => physOf(writeMap, c))
+    val physSetCols = setCols.map(c => physOf(writeMap, c))
     // distributed data write to a WRITER-UNIQUE scratch dir (two
     // writers racing to the same version must not clobber each
     // other's in-flight part files — the nonce that de-collides the
@@ -578,6 +604,28 @@ object TxTable {
             }
         }
       }
+    // PER-FILE VALUE SETS (categorical file skipping): one distributed
+    // distinct pass over the new files per declared column, bounded
+    // collect (≤ nfiles × VsetMaxValues rows) — same scale class as
+    // the bloom build. Files exceeding the cap record nothing (kept
+    // conservatively); a value-clustered layout keeps sets tiny.
+    val newVsets: Seq[(Int, String, Seq[String])] =
+      if (physSetCols.isEmpty || named.isEmpty) Seq.empty
+      else {
+        val idxOf = named.zipWithIndex.map { case (rel, i) =>
+          rel.stripPrefix("data/") -> i }.toMap
+        val paths = named.map(rel => s"$table/$rel")
+        physSetCols.flatMap { c =>
+          spark.read.parquet(paths: _*)
+            .select(input_file_name().as("_f"), col(c).cast("string").as("_v"))
+            .filter(col("_v").isNotNull).distinct().collect()
+            .groupBy(_.getString(0)).toSeq.flatMap { case (fp, rows) =>
+              val vs = rows.map(_.getString(1)).toSeq.sorted
+              if (vs.isEmpty || vs.size > VsetMaxValues) None
+              else Some((idxOf(fp.substring(fp.lastIndexOf('/') + 1)), c, vs))
+            }
+        }
+      }
     val txnJson = txn.map { case (app, batch) =>
       s""","txn":{"app":"$app","batch":$batch}""" }.getOrElse("")
     // THE PUBLISH LOOP. Attempt 1 targets `v`; a pure append losing the
@@ -605,6 +653,9 @@ object TxTable {
       else Seq.empty
       val carriedBloom = if (carried.nonEmpty && target > 1)
         bloomEntries(spark, table, target - 1).filter(b => carried.contains(b._1))
+      else Seq.empty
+      val carriedVsets = if (carried.nonEmpty && target > 1)
+        valueSetsOf(spark, table, target - 1).filter(s => carried.contains(s._1))
       else Seq.empty
       // merge-on-read tombstones ride their files: any commit carrying
       // parent files keeps the parent's tombs (they reference carried
@@ -634,7 +685,8 @@ object TxTable {
         Some(logicalSchema.toDDL), all,
         carriedStats ++ newStats.map { case (i, c, lo, hi) => (named(i), c, lo, hi) },
         carriedBloom ++ newBloom.map { case (i, c, m, k, b) => (named(i), c, m, k, b) },
-        carriedTombs, writeMap)
+        carriedTombs, writeMap,
+        carriedVsets ++ newVsets.map { case (i, c, vs) => (named(i), c, vs) })
       val mp = manifestPath(table, target)
       f.mkdirs(mp.getParent)
       if (committerFor(f).publish(f, mp, json, nonce)) {
@@ -775,6 +827,52 @@ object TxTable {
     """\{"f":"([^"]*)","k":"([^"]*)"\}""".r
       .findAllMatchIn(arraySpan(manifestText(spark, table, v), "tomb"))
       .map(m => (m.group(1), m.group(2))).toSeq
+
+  /** Per-file value-set skipping entries of version `v`: (file,
+    * physical column, distinct values). Empty for commits made without
+    * `setCols` and for files exceeding [[VsetMaxValues]].
+    */
+  def valueSetsOf(spark: SparkSession, table: String,
+                  v: Int): Seq[(String, String, Seq[String])] =
+    """\{"f":"([^"]*)","c":"([^"]*)","v":"((?:[^"\\]|\\.)*)"\}""".r
+      .findAllMatchIn(arraySpan(manifestText(spark, table, v), "vset"))
+      .map(m => (m.group(1), m.group(2),
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(
+          junesc(m.group(3)).split('')): Seq[String])).toSeq
+
+  /** The file subset of version `v` an equality probe `col = value`
+    * can touch, decided from the manifest VALUE SETS alone: a file is
+    * skipped only when its recorded distinct set misses the value —
+    * EXACT pruning (no false positives either way) for categorical
+    * columns, the manifest-level equivalent of Hive partition pruning
+    * without physical partitioning. Files without an entry are always
+    * kept (conservative).
+    */
+  def prunedFilesByValue(spark: SparkSession, table: String, v: Int,
+                         colName: String, value: String): Seq[String] = {
+    val phys = physOf(colMapOf(spark, table, v), colName)
+    val byFile = valueSetsOf(spark, table, v)
+      .collect { case (fl, c, vs) if c == phys => fl -> vs.toSet }.toMap
+    filesOf(spark, table, v).filter(fl => byFile.get(fl).forall(_.contains(value)))
+  }
+
+  /** Categorical point read with value-set file skipping: reads ONLY
+    * the files [[prunedFilesByValue]] keeps, then applies the exact
+    * equality filter on the string rendering. With a layout clustered
+    * on the column (repartition by it before commit) this is partition
+    * pruning from the manifest alone — a per-category read touches the
+    * category's files, not the snapshot.
+    */
+  def readWhereValue(spark: SparkSession, table: String, colName: String,
+                     value: String, version: Int = -1): DataFrame = {
+    val v = if (version > 0) version else currentVersion(spark, table)
+    val kept = prunedFilesByValue(spark, table, v, colName, value)
+    if (kept.isEmpty) // value set proved absence in every file
+      return readVersion(spark, table, v).limit(0)
+        .filter(col(colName).cast("string") === value)
+    snapshotRead(spark, table, v, kept)
+      .filter(col(colName).cast("string") === value)
+  }
 
   /** Column mapping of version `v`'s snapshot — (logical, physical)
     * per live column, in schema order. None = identity (no rename/drop
@@ -1014,7 +1112,7 @@ object TxTable {
       .orElse(scala.util.Try(readVersion(spark, table, v).schema.toDDL).toOption)
     val json = renderManifest(v + 1, "mordelete", ts, "", msOf(spark, table, v),
       schemaDDL, all, statsOf(spark, table, v), bloomEntries(spark, table, v),
-      tombs, map)
+      tombs, map, valueSetsOf(spark, table, v))
     publishOrConflict(f, table, v + 1, json)
     (v + 1, nDeleted)
   }
@@ -1082,7 +1180,8 @@ object TxTable {
     val ts = math.max(System.currentTimeMillis(), parentMs + 1L)
     val json = renderManifest(v + 1, op, ts, "", msOf(spark, table, v),
       Some(schema1.toDDL), filesOf(spark, table, v), statsOf(spark, table, v),
-      bloomEntries(spark, table, v), tombEntriesOf(spark, table, v), Some(map1))
+      bloomEntries(spark, table, v), tombEntriesOf(spark, table, v), Some(map1),
+      valueSetsOf(spark, table, v))
     publishOrConflict(f, table, v + 1, json)
     v + 1
   }
@@ -1171,7 +1270,7 @@ object TxTable {
     val json = renderManifest(v, "restore", ts, "", msOf(spark, table, toV),
       schemaDDL, filesOf(spark, table, toV), statsOf(spark, table, toV),
       bloomEntries(spark, table, toV), tombEntriesOf(spark, table, toV),
-      colMapOf(spark, table, toV))
+      colMapOf(spark, table, toV), valueSetsOf(spark, table, toV))
     publishOrConflict(f, table, v, json)
     v
   }

@@ -340,6 +340,37 @@ class Round9OpsSpec extends SparkSpec {
     got.asScala.toSeq.sorted shouldBe Seq(7, 8)
   }
 
+  test("value-set skipping: exact categorical pruning, carried across appends, logical under rename, conservative over the cap") {
+    val table = freshTable("vset")
+    TxTable.commit(Seq((1L, "web"), (2L, "web"), (3L, "app")).toDF("id", "src")
+      .coalesce(1), table, setCols = Seq("src")) shouldBe 1
+    TxTable.commit(Seq((4L, "iot")).toDF("id", "src").coalesce(1), table,
+      setCols = Seq("src")) shouldBe 2 // sets carry with their files
+    // exact pruning: only files recording the probe value are read
+    TxTable.filesOf(spark, table, 2).size shouldBe 2
+    TxTable.prunedFilesByValue(spark, table, 2, "src", "web").size shouldBe 1
+    TxTable.prunedFilesByValue(spark, table, 2, "src", "iot").size shouldBe 1
+    TxTable.prunedFilesByValue(spark, table, 2, "src", "nope") shouldBe empty
+    TxTable.readWhereValue(spark, table, "src", "web")
+      .collect().map(_.getLong(0)).sorted shouldBe Array(1L, 2L)
+    TxTable.readWhereValue(spark, table, "src", "iot")
+      .collect().map(_.getLong(0)) shouldBe Array(4L)
+    TxTable.readWhereValue(spark, table, "src", "nope").count() shouldBe 0L
+    // rename: probes stay LOGICAL, sets live under the frozen physical name
+    TxTable.renameColumn(spark, table, "src", "channel") shouldBe 3
+    TxTable.readWhereValue(spark, table, "channel", "app")
+      .collect().map(_.getLong(0)) shouldBe Array(3L)
+    TxTable.prunedFilesByValue(spark, table, 3, "channel", "app").size shouldBe 1
+    // a file over the cardinality cap records nothing — always kept
+    val wide = freshTable("vsetwide")
+    val many = (1 to (TxTable.VsetMaxValues + 5)).map(i => (i.toLong, s"v$i"))
+      .toDF("id", "src").coalesce(1)
+    TxTable.commit(many, wide, setCols = Seq("src")) shouldBe 1
+    TxTable.valueSetsOf(spark, wide, 1) shouldBe empty
+    TxTable.prunedFilesByValue(spark, wide, 1, "src", "anything") shouldBe
+      TxTable.filesOf(spark, wide, 1) // conservative: kept
+  }
+
   test("clusteringCoefficient over a precomputed triangle frame equals the self-computing form") {
     val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (3L, 5L),
       (5L, 6L)).toDF("a", "b")
