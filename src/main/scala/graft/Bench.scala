@@ -147,7 +147,12 @@ object Bench {
       try {
         val prevLine = new String(
           java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")
-        regressionViolations(parseBenchQueries(prevLine), results, maxRegression)
+        // cross-SF comparisons are meaningless (an sf0.01 smoke run vs
+        // the committed sf0.1 record flags noise): only ratio against a
+        // baseline recorded at the SAME scale factor
+        val prevSf = "\"sf\":\"([^\"]*)\"".r.findFirstMatchIn(prevLine).map(_.group(1))
+        if (prevSf.exists(_ != sfDir)) Nil
+        else regressionViolations(parseBenchQueries(prevLine), results, maxRegression)
       } catch { case scala.util.control.NonFatal(_) => Nil } // unreadable: no record
     }
     val baseField = basePath

@@ -498,11 +498,12 @@ object Similarity {
     * Scale shape: per round ONE map-only min-dist update (a codegen'd
     * cosine against the newly chosen center inlined as a literal) and
     * one TakeOrdered(1) argmax — no joins, no shuffle of the corpus;
-    * the running min-dist column persists per round and each round
-    * RELEASES the previous round's blocks (k corpus-sized passes
-    * total, ONE corpus-sized cache resident — k is a model-size
-    * constant, the standard k-center cost). The chosen centers are a
-    * k-row driver artifact (the IVF-centroid pattern).
+    * the running min-dist column localCheckpoints per round (constant
+    * per-round plan) and each round RELEASES the previous round's
+    * checkpoint blocks (k corpus-sized passes total, ONE corpus-sized
+    * copy resident — k is a model-size constant, the standard
+    * k-center cost). The chosen centers are a k-row driver artifact
+    * (the IVF-centroid pattern).
     *
     * Determinism: distances are the mirrored double cosine; argmax
     * ties break by id; `radius` is the chosen point's min-dist AT
@@ -521,17 +522,17 @@ object Similarity {
       .collect().headOption.getOrElse(sys.error("kCenterCoreset: empty corpus"))
     var picks = List[(Long, Option[Double])]((first.getLong(0), None))
     var centerVec: Seq[Float] = first.getSeq[Float](1).toSeq
-    // Each round's min-dist frame is CORPUS-sized: persist (a handle
-    // that can be released) instead of localCheckpoint (whose blocks
-    // outlive the loop), materialize eagerly, then drop the previous
-    // round's blocks — a long-lived session holds ONE corpus copy, not
-    // k. Lineage grows one `least` per round (linear in the constant
-    // k), and every scan reads the latest round's cache.
+    // Each round's min-dist frame is CORPUS-sized and localCheckpoints
+    // (lineage truncation keeps the per-round plan CONSTANT-sized — a
+    // persist chain re-analyzes k nested `least` layers, measurably
+    // slower); each new checkpoint RELEASES the previous round's
+    // blocks through the LogicalRDD bridge, so a long-lived session
+    // holds ONE corpus copy, not k.
+    val B = org.apache.spark.sql.graft.ColumnBridge
     var frame = rebalance(corpus, idCol)
       .select(col(idCol).as("vec_id"), col(vecCol).as("v"))
       .withColumn("mind", lit(1.0) - V.cosine(col("v"), typedlit(centerVec)))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    frame.count()
+      .localCheckpoint()
     for (_ <- 2 to k) {
       val next = frame.orderBy(col("mind").desc, col("vec_id")).limit(1)
         .collect().head
@@ -541,11 +542,10 @@ object Similarity {
       frame = frame
         .withColumn("mind", least(col("mind"),
           lit(1.0) - V.cosine(col("v"), typedlit(centerVec))))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      frame.count() // materialize off prev's cache BEFORE releasing it
-      prev.unpersist()
+        .localCheckpoint() // eager: materializes off prev's blocks
+      B.unpersistCheckpoint(prev)
     }
-    frame.unpersist() // picks are a driver-local k-row artifact
+    B.unpersistCheckpoint(frame) // picks are a driver-local k-row artifact
     import spark.implicits._
     // radius rounds through the ENGINE's round (the shared 1e-9
     // contract with the oracle — a driver-side rint would half-even

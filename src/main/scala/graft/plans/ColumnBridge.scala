@@ -28,4 +28,20 @@ object ColumnBridge {
         .queryExecution.toRdd,
       df.schema, isStreaming = true)
   }
+
+  /** Release the storage blocks behind a `localCheckpoint()`ed frame.
+    * `Dataset.localCheckpoint` pins its materialized RDD in executor
+    * storage with no public release handle — an iterative operator
+    * that checkpoints per round (to truncate lineage) would otherwise
+    * accumulate one corpus-sized copy PER ROUND for the session's
+    * lifetime. The checkpointed RDD sits in the plan's `LogicalRDD`
+    * leaf; unpersisting it frees the blocks while the frame's lineage
+    * stays truncated (the frame must no longer be read afterwards).
+    */
+  def unpersistCheckpoint(df: org.apache.spark.sql.DataFrame): Unit = {
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false); ()
+      case _ => ()
+    }
+  }
 }

@@ -1160,6 +1160,13 @@ object TxTable {
     require(schema.size >= 2, s"TxTable: cannot drop the last column of $table")
     val map0 = colMapOf(spark, table, v)
       .getOrElse(schema.fieldNames.toSeq.map(n => (n, n)))
+    // an ACTIVE tombstone key is load-bearing: the snapshot read
+    // anti-joins on it, so dropping it would break every read until
+    // OPTIMIZE folds the tombs — refuse with the remedy named
+    val phys = physOf(Some(map0), name)
+    require(!tombEntriesOf(spark, table, v).exists(_._2 == phys),
+      s"TxTable: column '$name' is an active merge-on-read tombstone key at " +
+      s"$table v$v — run compact() (OPTIMIZE folds the tombstones) before dropping it")
     metadataCommit(spark, table, "drop",
       StructType(schema.filterNot(_.name == name)),
       map0.filterNot(_._1 == name))

@@ -255,6 +255,21 @@ class Round9OpsSpec extends SparkSpec {
     canon(TxTable.read(spark, morT)) shouldBe before
   }
 
+  test("dropping an active tombstone key refuses with the OPTIMIZE remedy; folding unblocks it") {
+    val table = freshTable("mordrop")
+    TxTable.commit(Seq((1L, 10.0, "a"), (2L, 20.0, "b")).toDF("id", "x", "s"),
+      table, statsCols = Seq("x")) shouldBe 1
+    TxTable.deleteWhereMor(spark, table, "x", 15.0, 25.0, "id")._2 shouldBe 1L
+    val e = intercept[IllegalArgumentException] {
+      TxTable.dropColumn(spark, table, "id")
+    }
+    e.getMessage should include("tombstone key")
+    TxTable.compact(spark, table) // folds the tombs
+    TxTable.dropColumn(spark, table, "id") should be > 2
+    TxTable.read(spark, table).columns shouldBe Array("x", "s")
+    TxTable.read(spark, table).count() shouldBe 1L
+  }
+
   test("MoR delete refuses NULL keys loudly and no-ops when stats prune everything") {
     val table = freshTable("mornull")
     val df = Seq((Some(1L), 10.0), (None, 20.0), (Some(3L), 30.0))
@@ -369,6 +384,21 @@ class Round9OpsSpec extends SparkSpec {
     TxTable.valueSetsOf(spark, wide, 1) shouldBe empty
     TxTable.prunedFilesByValue(spark, wide, 1, "src", "anything") shouldBe
       TxTable.filesOf(spark, wide, 1) // conservative: kept
+  }
+
+  test("kCenterCoreset releases every round's checkpoint blocks — no corpus copies accumulate in executor storage") {
+    val rnd = new scala.util.Random(7)
+    val df = (1L to 40L).map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    def storedBlocks: Int =
+      spark.sparkContext.getPersistentRDDs.values
+        .count(r => r.getStorageLevel.useMemory || r.getStorageLevel.useDisk)
+    val before = storedBlocks
+    val got = operators.Similarity.kCenterCoreset(df, k = 6, idCol = "vec_id")
+    got.count() shouldBe 6L
+    // every per-round checkpoint was released — the r8 leak held k
+    // corpus-sized copies for the session's lifetime
+    storedBlocks shouldBe before
   }
 
   test("clusteringCoefficient over a precomputed triangle frame equals the self-computing form") {
