@@ -2474,6 +2474,40 @@ object SparkEntry {
       rows.unionByName(absent).unionByName(meta)
     }),
 
+    // §2#62ad (r9) streaming MIRROR with delete propagation: pipeTo's
+    // missing half — the downstream table tracks the upstream exactly,
+    // inserts AND row deletions, at delta cost (deletes tombstone via
+    // the bloom-accelerated key-set MoR path; versions apply in order
+    // under per-version txn markers, so crash replay never
+    // re-tombstones re-inserted keys). The oracle computes BOTH
+    // sections from the SOURCE's raw files — if mirroring diverged,
+    // the Spark-side dst section would hash-mismatch.
+    "q329_tx_mirror" -> ((s, dir) => {
+      val src = sidePath("graft_txmis", dir)
+      val dst = sidePath("graft_txmid", dir)
+      val ckpt = sidePath("graft_txmi_ckpt", dir)
+      sources.TxTable.drop(s, src); sources.TxTable.drop(s, dst)
+      sources.TxTable.drop(s, ckpt) // fresh checkpoint: a rerun re-mirrors
+      val ord = t(s, dir, "orders").df
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      def part(p: String) = ord.filter(col("o_orderpriority") === p)
+      sources.TxTable.commit(part("1-URGENT"), src, statsCols = Seq("o_orderkey")) // v1
+      sources.TxTable.commit(part("2-HIGH"), src)                                  // v2
+      sources.TxTable.deleteWhereMor(s, src, "o_orderkey", 1.0, 400.0, "o_orderkey") // v3
+      sources.TxTable.commit(part("5-LOW"), src)                                   // v4
+      sources.TxChangesStream.pipeToMirror(s, src, dst, "o_orderkey",
+        "graft_q329", ckpt, maxVersionsPerTrigger = Some(1),
+        bloomCols = Seq("o_orderkey"))
+      def side(tb: String, label: String) =
+        sources.TxTable.read(s, tb)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
+          .select(lit(label).as("side"), col("o_orderpriority"),
+            col("n_rows"), col("sum_price"))
+      side(src, "src").unionByName(side(dst, "dst"))
+    }),
+
     // §2#52av (r8) Cochran–Armitage trend: is the purchase RATE
     // monotone across the hour-of-day ordinal — the ordered companion
     // to q146's anywhere-different chi-square; exact integer sums, one
@@ -5602,6 +5636,28 @@ object SparkEntry {
          SELECT 'insert', CAST(3 AS INT), COUNT(*),
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
          FROM read_parquet('/tmp/graft_txsm___SFTAG__/data/v3_*.parquet')""",
+
+    "q329_tx_mirror" ->
+      """WITH phys AS (
+           SELECT o_orderkey, o_totalprice, o_orderpriority,
+             regexp_extract(filename, '[^/]*$') AS fn
+           FROM read_parquet(['/tmp/graft_txmis___SFTAG__/data/v1_*.parquet',
+                              '/tmp/graft_txmis___SFTAG__/data/v2_*.parquet',
+                              '/tmp/graft_txmis___SFTAG__/data/v4_*.parquet'],
+                             filename=true)),
+         tomb AS (
+           SELECT _gf, _gk
+           FROM read_parquet('/tmp/graft_txmis___SFTAG__/data/v3_t*.parquet')),
+         cur AS (
+           SELECT d.o_orderkey, d.o_totalprice, d.o_orderpriority FROM phys d
+           ANTI JOIN tomb t ON d.fn = t._gf AND d.o_orderkey = t._gk)
+         SELECT 'src' AS side, o_orderpriority, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+         FROM cur GROUP BY 2
+         UNION ALL
+         SELECT 'dst', o_orderpriority, COUNT(*),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+         FROM cur GROUP BY 2""",
 
     "q328_tx_value_skip" ->
       """WITH v1 AS (

@@ -278,6 +278,68 @@ object TxChangesStream {
     applied.get()
   }
 
+  /** Full MIRROR pipeline — [[pipeTo]] plus DELETE PROPAGATION: the
+    * downstream TxTable tracks the upstream one exactly, inserts AND
+    * row deletions, at delta cost. Each micro-batch applies its
+    * versions IN ORDER (a version is the atomic unit of the source, so
+    * cross-version insert/delete sequencing — delete-then-reinsert,
+    * overwrite replace — lands correctly): deletes tombstone the
+    * mirror via the key-set merge-on-read path
+    * ([[TxTable.deleteKeysMor]], bloom-accelerated when the mirror
+    * indexes the key), inserts land via the idempotent committer.
+    * Exactly-once under crash-anywhere replay: each version's work is
+    * gated on a per-(appId, batchId, version) txn marker — encoded
+    * (batchId << 21) | (version << 1) | isDelete — recorded by BOTH
+    * the insert commit and the delete's mordelete manifest, so a
+    * replayed batch skips every already-applied version instead of
+    * re-tombstoning rows a later version re-inserted; an un-marked
+    * (crashed-before-publish) version re-applies idempotently.
+    *
+    * @return the number of upstream versions whose work applied
+    */
+  def pipeToMirror(spark: SparkSession, srcTable: String, dstTable: String,
+                   keyCol: String, appId: String, checkpoint: String,
+                   startingVersion: Int = 0,
+                   maxVersionsPerTrigger: Option[Int] = None,
+                   bloomCols: Seq[String] = Nil): Long = {
+    val applied = new java.util.concurrent.atomic.AtomicLong(0L)
+    def enc(batchId: Long, v: Int, del: Boolean): Long =
+      (batchId << 21) | (v.toLong << 1) | (if (del) 1L else 0L)
+    val q = readChangesStream(spark, srcTable, startingVersion, maxVersionsPerTrigger)
+      .writeStream.option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val versions = batch.select("_version").distinct()
+          .collect().map(_.getInt(0)).sorted // few per batch (rate-limited)
+        versions.foreach { sv =>
+          val slice = batch.filter(col("_version") === sv)
+          var did = false
+          if (TxTable.currentVersion(spark, dstTable) >= 1 &&
+              TxTable.txnVersionOf(spark, dstTable, appId, enc(batchId, sv, del = true)).isEmpty) {
+            val dels = slice.filter(col("_change") === "delete").select(col(keyCol))
+            if (!dels.isEmpty) {
+              TxTable.deleteKeysMor(spark, dstTable, keyCol, dels,
+                txn = Some((appId, enc(batchId, sv, del = true))))
+              did = true
+            }
+          }
+          val ins = slice.filter(col("_change") === "insert")
+            .drop("_change", "_version", "_commit_ms")
+          if (!ins.isEmpty) {
+            // bloomCols (typically the mirror key) keeps the index that
+            // accelerates this pipeline's OWN delete batches maintained
+            val (_, didIns) = TxTable.commitIdempotent(ins, dstTable, appId,
+              enc(batchId, sv, del = false), bloomCols = bloomCols)
+            did = did || didIns
+          }
+          if (did) { applied.incrementAndGet(); () }
+        }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    applied.get()
+  }
+
   /** Synchronous replay harness (the Events.runToMemory shape): drive
     * the change stream through all currently-committed versions into a
     * memory sink and return the materialized frame. Test/oracle-side

@@ -1080,11 +1080,91 @@ object TxTable {
     val keys = matched.select(
       element_at(split(col("_metadata.file_path"), "/"), -1).as("_gf"),
       guardedKey.as("_gk")).distinct()
+    publishTombstonePairs(spark, table, v, physKey, keys, None)
+  }
+
+  /** Key-SET merge-on-read delete — the CDC-apply form of
+    * [[deleteWhereMor]]: tombstone every row of the current snapshot
+    * whose `keyCol` appears in `keys` (one column, same type). The
+    * scan is BLOOM-ACCELERATED when the table indexes `keyCol` and the
+    * batch is small (each key probes the per-file blooms driver-side —
+    * a needle-batch delete reads the handful of admitting files, not
+    * the snapshot); otherwise one semi-join pass over the snapshot,
+    * the standard index-less CDC-apply cost. Naturally IDEMPOTENT:
+    * already-tombstoned rows never re-match (the scan reads through
+    * existing tombs), so a replayed delete batch is a no-op — and an
+    * optional `txn` marker records (appId, batchId) in the manifest
+    * for [[txnVersionOf]]-gated exactly-once composition (the
+    * streaming mirror uses it to never re-tombstone rows a later
+    * version re-inserted).
+    *
+    * @return (version, nTombstonedPairs) — current version with 0 on
+    *         an empty match
+    */
+  def deleteKeysMor(spark: SparkSession, table: String, keyCol: String,
+                    keys: DataFrame,
+                    txn: Option[(String, Long)] = None): (Int, Long) = {
+    val v = currentVersion(spark, table)
+    require(v >= 1, s"TxTable: cannot delete from non-existent table $table")
+    require(keys.columns.length == 1,
+      s"TxTable.deleteKeysMor: keys must be a single-column frame, got " +
+      keys.columns.mkString(", "))
+    val map = colMapOf(spark, table, v)
+    val physKey = physOf(map, keyCol)
+    val all = filesOf(spark, table, v)
+    // bloom pruning: bounded collect (CDC delete batches are small; a
+    // bigger batch falls back to the full semi-join scan)
+    val blooms = bloomEntries(spark, table, v)
+      .collect { case (fl, c, m, k, b64) if c == physKey =>
+        fl -> (m, k, java.util.Base64.getDecoder.decode(b64)) }.toMap
+    val candidates: Seq[String] =
+      if (blooms.isEmpty) all
+      else {
+        val probe = keys.limit(10001).collect()
+        if (probe.length > 10000) all
+        else {
+          val hit = all.filter { fl =>
+            blooms.get(fl).forall { case (m, k, bytes) =>
+              probe.exists { r =>
+                val s = String.valueOf(r.get(0))
+                bloomBitsOf(s, m, k)
+                  .forall(b => (bytes(b >> 3) & (1 << (b & 7))) != 0)
+              }
+            }
+          }
+          hit
+        }
+      }
+    if (candidates.isEmpty) return (v, 0L)
+    val rd = if (msOf(spark, table, v))
+      spark.read.option("mergeSchema", "true") else spark.read
+    val cand = tombFilter(spark, table, tombEntriesOf(spark, table, v),
+      rd.parquet(candidates.map(rel => s"$table/$rel"): _*))
+    val dk = keys.toDF("_graft_dk").distinct()
+    val matched = cand.join(dk, cand(physKey) === col("_graft_dk"), "left_semi")
+    val pairs = matched.select(
+      element_at(split(col("_metadata.file_path"), "/"), -1).as("_gf"),
+      col(physKey).as("_gk")).distinct()
+    publishTombstonePairs(spark, table, v, physKey, pairs, txn)
+  }
+
+  /** Shared sidecar-publish tail of the merge-on-read deletes: write
+    * the (file, key) pairs as a tombstone sidecar, then publish a
+    * manifest-only `mordelete` version carrying every data file,
+    * stat, bloom, value set, mapping, and prior tomb verbatim.
+    * Empty match → no commit (Delta's no-op rule).
+    */
+  private def publishTombstonePairs(spark: SparkSession, table: String, v: Int,
+                                    physKey: String, pairs: DataFrame,
+                                    txn: Option[(String, Long)]): (Int, Long) = {
+    val f = fs(spark, table)
+    val all = filesOf(spark, table, v)
+    val map = colMapOf(spark, table, v)
     // sidecar write — versioned names ride the same vacuum protocol as
     // data files (in-flight skip covers a racing delete's sidecars)
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val tmp = new Path(s"$table/_tmp_v${v + 1}_$nonce")
-    keys.write.mode("overwrite").parquet(tmp.toString)
+    pairs.write.mode("overwrite").parquet(tmp.toString)
     val parts = f.listStatus(tmp).map(_.getPath)
       .filter(_.getName.startsWith("part-")).sortBy(_.getName)
     f.mkdirs(new Path(s"$table/data"))
@@ -1097,7 +1177,7 @@ object TxTable {
     val nDeleted =
       if (named.isEmpty) 0L
       else spark.read.parquet(named.map(rel => s"$table/$rel"): _*).count()
-    if (nDeleted == 0L) { // conservative stats, no actual match: no-op
+    if (nDeleted == 0L) { // no actual match: no-op
       named.foreach(rel => f.delete(new Path(s"$table/$rel"), false))
       return (v, 0L)
     }
@@ -1110,7 +1190,9 @@ object TxTable {
     val ts = math.max(System.currentTimeMillis(), parentMs + 1L)
     val schemaDDL = manifestSchema(spark, table, v).map(_.toDDL)
       .orElse(scala.util.Try(readVersion(spark, table, v).schema.toDDL).toOption)
-    val json = renderManifest(v + 1, "mordelete", ts, "", msOf(spark, table, v),
+    val txnJson = txn.map { case (app, batch) =>
+      s""","txn":{"app":"$app","batch":$batch}""" }.getOrElse("")
+    val json = renderManifest(v + 1, "mordelete", ts, txnJson, msOf(spark, table, v),
       schemaDDL, all, statsOf(spark, table, v), bloomEntries(spark, table, v),
       tombs, map, valueSetsOf(spark, table, v))
     publishOrConflict(f, table, v + 1, json)
@@ -1212,20 +1294,18 @@ object TxTable {
     */
   def commitIdempotent(df: DataFrame, table: String, appId: String,
                        batchId: Long, op: String = "append",
-                       statsCols: Seq[String] = Nil): (Int, Boolean) = {
+                       statsCols: Seq[String] = Nil,
+                       bloomCols: Seq[String] = Nil): (Int, Boolean) = {
     require(appId.nonEmpty && !appId.exists(c => c == '"' || c == '\\' || c.isControl),
       s"TxTable: appId must be a plain identifier, got '$appId'")
     val spark = df.sparkSession
-    val marker = s""""txn":{"app":"$appId","batch":$batchId}"""
-    def findApplied: Option[Int] =
-      liveVersions(spark, table).reverse
-        .find(v => manifestText(spark, table, v).contains(marker))
+    def findApplied: Option[Int] = txnVersionOf(spark, table, appId, batchId)
     findApplied match {
       case Some(v) => (v, false)
       case None =>
         try {
           val nv = commitAs(df, table, currentVersion(spark, table) + 1, op,
-            statsCols, txn = Some((appId, batchId)))
+            statsCols, txn = Some((appId, batchId)), bloomCols = bloomCols)
           (nv, true)
         } catch {
           case e: RuntimeException if e.getMessage != null &&
@@ -1236,6 +1316,20 @@ object TxTable {
             findApplied.map((_, false)).getOrElse(throw e)
         }
     }
+  }
+
+  /** The live version that recorded txn marker (appId, batchId), if
+    * any — the public read side of [[commitIdempotent]]'s ledger. Lets
+    * a composed pipeline gate NON-commit work (e.g. a merge-on-read
+    * delete that must not re-run once its version's inserts landed) on
+    * the same exactly-once record. Scans live manifests only
+    * (retention-bounded, like the idempotence rescan).
+    */
+  def txnVersionOf(spark: SparkSession, table: String, appId: String,
+                   batchId: Long): Option[Int] = {
+    val marker = s""""txn":{"app":"$appId","batch":$batchId}"""
+    liveVersions(spark, table).reverse
+      .find(v => manifestText(spark, table, v).contains(marker))
   }
 
   /** RESTORE (the Delta RESTORE TABLE ... TO VERSION shape): publish a

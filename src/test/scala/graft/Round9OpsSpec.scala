@@ -401,6 +401,60 @@ class Round9OpsSpec extends SparkSpec {
     storedBlocks shouldBe before
   }
 
+  test("deleteKeysMor tombstones exactly the keyed rows, is idempotent on replay, and reads through existing tombs") {
+    val table = freshTable("delkeys")
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i, s"r$i")).toDF("id", "s")
+      .repartitionByRange(4, col("id"))
+    TxTable.commit(df, table, statsCols = Seq("id"), bloomCols = Seq("id")) shouldBe 1
+    val (v2, n1) = TxTable.deleteKeysMor(spark, table, "id",
+      Seq(5L, 17L, 93L).toDF("id"))
+    v2 shouldBe 2
+    n1 shouldBe 3L
+    TxTable.read(spark, table).count() shouldBe 97L
+    TxTable.read(spark, table).filter(col("id").isin(5L, 17L, 93L)).count() shouldBe 0L
+    // zero data files rewritten — manifest-only + sidecar
+    TxTable.filesOf(spark, table, 2) shouldBe TxTable.filesOf(spark, table, 1)
+    // idempotent: the same key batch re-applied matches nothing, commits nothing
+    TxTable.deleteKeysMor(spark, table, "id",
+      Seq(5L, 17L, 93L).toDF("id")) shouldBe ((2, 0L))
+    TxTable.currentVersion(spark, table) shouldBe 2
+    // absent keys: no-op too
+    TxTable.deleteKeysMor(spark, table, "id", Seq(5000L).toDF("id")) shouldBe ((2, 0L))
+    // stacking on top of existing tombs
+    val (v3, n2) = TxTable.deleteKeysMor(spark, table, "id", Seq(17L, 18L).toDF("id"))
+    v3 shouldBe 3; n2 shouldBe 1L // 17 was already gone
+    TxTable.read(spark, table).count() shouldBe 96L
+  }
+
+  test("pipeToMirror propagates inserts AND deletes: the mirror equals the source through delete/re-insert, and restart-resumes exactly-once") {
+    val src = freshTable("mirsrc")
+    val dst = freshTable("mirdst")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_r9_mir_ckpt_").toString
+    import spark.implicits._
+    TxTable.commit((1L to 6L).map(i => (i, s"a$i")).toDF("id", "s"), src,
+      statsCols = Seq("id")) shouldBe 1
+    TxTable.commit(Seq((7L, "a7")).toDF("id", "s"), src) shouldBe 2
+    TxTable.deleteWhereMor(spark, src, "id", 2.0, 3.0, "id")._2 shouldBe 2L // v3
+    TxTable.commit(Seq((2L, "re2")).toDF("id", "s"), src) shouldBe 4 // re-insert a deleted key
+    TxChangesStream.pipeToMirror(spark, src, dst, "id", "mir_spec", ckpt,
+      maxVersionsPerTrigger = Some(1), bloomCols = Seq("id"))
+    canon(TxTable.read(spark, dst)) shouldBe canon(TxTable.read(spark, src))
+    TxTable.read(spark, dst).count() shouldBe 6L // 1..7 minus {2,3} plus re2
+    // restart: only LATER commits apply; nothing replays
+    val dstVersionsBefore = TxTable.currentVersion(spark, dst)
+    TxTable.deleteKeysMor(spark, src, "id", Seq(7L).toDF("id"))._2 shouldBe 1L // v5
+    TxTable.commit(Seq((8L, "a8")).toDF("id", "s"), src) // v6
+    TxChangesStream.pipeToMirror(spark, src, dst, "id", "mir_spec", ckpt,
+      maxVersionsPerTrigger = Some(1), bloomCols = Seq("id"))
+    canon(TxTable.read(spark, dst)) shouldBe canon(TxTable.read(spark, src))
+    TxTable.currentVersion(spark, dst) shouldBe dstVersionsBefore + 2
+    // a RE-RUN with nothing new is a full no-op (txn markers + offsets)
+    TxChangesStream.pipeToMirror(spark, src, dst, "id", "mir_spec", ckpt,
+      maxVersionsPerTrigger = Some(1)) shouldBe 0L
+    canon(TxTable.read(spark, dst)) shouldBe canon(TxTable.read(spark, src))
+  }
+
   test("clusteringCoefficient over a precomputed triangle frame equals the self-computing form") {
     val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (3L, 5L),
       (5L, 6L)).toDF("a", "b")
