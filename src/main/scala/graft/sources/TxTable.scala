@@ -1123,16 +1123,19 @@ object TxTable {
         val probe = keys.limit(10001).collect()
         if (probe.length > 10000) all
         else {
-          val hit = all.filter { fl =>
+          // hash each key ONCE per bloom geometry (md5 is the expensive
+          // part — per-(file, key) hashing would be files × keys
+          // digests); the per-file pass is then pure bit tests
+          val bitsByGeom = blooms.values.map { case (m, k, _) => (m, k) }.toSet
+            .map { g: (Int, Int) =>
+              g -> probe.map(r => bloomBitsOf(String.valueOf(r.get(0)), g._1, g._2)) }
+            .toMap
+          all.filter { fl =>
             blooms.get(fl).forall { case (m, k, bytes) =>
-              probe.exists { r =>
-                val s = String.valueOf(r.get(0))
-                bloomBitsOf(s, m, k)
-                  .forall(b => (bytes(b >> 3) & (1 << (b & 7))) != 0)
-              }
+              bitsByGeom((m, k)).exists(_.forall(b =>
+                (bytes(b >> 3) & (1 << (b & 7))) != 0))
             }
           }
-          hit
         }
       }
     if (candidates.isEmpty) return (v, 0L)
