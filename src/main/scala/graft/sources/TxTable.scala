@@ -208,14 +208,38 @@ object TxTable {
     * partitioning: a file whose recorded value set misses the probe
     * value cannot contain it (exact, not probabilistic — the
     * categorical complement of the bloom index, which serves
-    * high-cardinality keys). Values are encoded -joined inside
-    * one flat string so the manifest grammar stays nested-bracket-free
-    * (jesc escapes the separator if a value ever contains it).
+    * high-cardinality keys). Values are PER-VALUE ESCAPED, then
+    * U+001F-joined inside one flat string so the manifest grammar
+    * stays nested-bracket-free. The per-value escape (backslash
+    * doubled, U+001F to \\s, ']' to \\q) runs BEFORE the join, so a
+    * data value containing the separator can never be mis-split at
+    * parse time, and a ']' in a value can never truncate arraySpan's
+    * bracket match — the "exact, no false positives either way"
+    * claim holds for arbitrary values.
     */
+  private def vsepEsc(v: String): String =
+    v.replace("\\", "\\\\").replace("\u001f", "\\s").replace("]", "\\q")
+
+  private def vsepUnesc(v: String): String = {
+    val b = new StringBuilder
+    var i = 0
+    while (i < v.length) {
+      if (v.charAt(i) == '\\' && i + 1 < v.length) {
+        v.charAt(i + 1) match {
+          case 's' => b.append('\u001f')
+          case 'q' => b.append(']')
+          case c   => b.append(c) // doubled backslash
+        }
+        i += 2
+      } else { b.append(v.charAt(i)); i += 1 }
+    }
+    b.toString
+  }
+
   private def vsetJsonOf(vsets: Seq[(String, String, Seq[String])]): String =
     if (vsets.isEmpty) ""
     else "," + "\"vset\":[" + vsets.map { case (fl, c, vs) =>
-      s"""{"f":"$fl","c":"$c","v":"${jesc(vs.mkString(""))}"}"""
+      s"""{"f":"$fl","c":"$c","v":"${jesc(vs.map(vsepEsc).mkString("\u001f"))}"}"""
     }.mkString(",") + "]"
 
   /** Files with more distinct values than this record no value set
@@ -575,8 +599,12 @@ object TxTable {
     // kept; false positives only cost extra reads). The build is ONE
     // distributed pass over the newly-written files only (the standard
     // index-build cost); blooms carry forward with their files like
-    // stats; the bitset collect is nfiles-bounded — the same scale
-    // class as the manifest's own file list. Index-keyed like stats.
+    // stats. The bitset AGGREGATES EXECUTOR-SIDE — collect_set of bit
+    // positions per file, partial-agg'd map-side — so the driver
+    // receives newFiles rows (each ≤ m distinct bits), never
+    // newFiles × m exploded rows: a 10⁵-file backfill commit collects
+    // 10⁵ rows, the same scale class as the manifest's own file list.
+    // Index-keyed like stats.
     val newBloom: Seq[(Int, String, Int, Int, String)] =
       if (physBloomCols.isEmpty || named.isEmpty) Seq.empty
       else {
@@ -590,18 +618,20 @@ object TxTable {
           val h = graft.functions.Hashing.portableHash(col("_v"))
           val bits = (0 until BloomK).map(j =>
             pmod(graft.functions.Hashing.affine(j, h), lit(BloomM.toLong)))
-          base.select(col("_f"), explode(array(bits: _*)).as("_b")).distinct()
+          base.select(col("_f"), explode(array(bits: _*)).as("_b"))
+            .groupBy(col("_f")).agg(collect_set(col("_b")).as("_bits"))
             .collect()
-            .groupBy(_.getString(0)).toSeq.map { case (fp, rows) =>
+            .map { r =>
               val bytes = new Array[Byte](BloomM / 8)
-              rows.foreach { r =>
-                val b = r.getLong(1).toInt
+              r.getSeq[Long](1).foreach { bl =>
+                val b = bl.toInt
                 bytes(b >> 3) = (bytes(b >> 3) | (1 << (b & 7))).toByte
               }
+              val fp = r.getString(0)
               val name = fp.substring(fp.lastIndexOf('/') + 1)
               (idxOf(name), c, BloomM, BloomK,
                 java.util.Base64.getEncoder.encodeToString(bytes))
-            }
+            }.toSeq
         }
       }
     // PER-FILE VALUE SETS (categorical file skipping): one distributed
@@ -838,7 +868,7 @@ object TxTable {
       .findAllMatchIn(arraySpan(manifestText(spark, table, v), "vset"))
       .map(m => (m.group(1), m.group(2),
         scala.collection.immutable.ArraySeq.unsafeWrapArray(
-          junesc(m.group(3)).split('')): Seq[String])).toSeq
+          junesc(m.group(3)).split('\u001f').map(vsepUnesc)): Seq[String])).toSeq
 
   /** The file subset of version `v` an equality probe `col = value`
     * can touch, decided from the manifest VALUE SETS alone: a file is
@@ -938,7 +968,7 @@ object TxTable {
     * oracle SQL. Geometry comes from the manifest ENTRY, not the
     * current constants.
     */
-  private def bloomBitsOf(value: String, m: Int, k: Int): Seq[Int] = {
+  private[graft] def bloomBitsOf(value: String, m: Int, k: Int): Seq[Int] = {
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(value.getBytes("UTF-8"))
     val prefix = java.lang.Long.parseLong(
@@ -1120,7 +1150,18 @@ object TxTable {
     val candidates: Seq[String] =
       if (blooms.isEmpty) all
       else {
-        val probe = keys.limit(10001).collect()
+        // probe strings are rendered by SPARK's cast-to-string — the
+        // same rendering the executor-built blooms hashed. A driver-side
+        // String.valueOf diverges for some types (java.sql.Timestamp
+        // renders '... 00:00:00.0' where Spark casts to '... 00:00:00'),
+        // and a diverged probe is a bloom FALSE NEGATIVE: candidate
+        // files wrongly pruned, the delete silently missing rows.
+        // NULL keys never match the equality join below, and the blooms
+        // were built null-filtered — drop them from the probe.
+        val probe = keys
+          .select(keys.col(keys.columns.head).cast("string").as("_graft_pk"))
+          .filter(col("_graft_pk").isNotNull)
+          .limit(10001).collect()
         if (probe.length > 10000) all
         else {
           // hash each key ONCE per bloom geometry (md5 is the expensive
@@ -1128,7 +1169,7 @@ object TxTable {
           // digests); the per-file pass is then pure bit tests
           val bitsByGeom = blooms.values.map { case (m, k, _) => (m, k) }.toSet
             .map { g: (Int, Int) =>
-              g -> probe.map(r => bloomBitsOf(String.valueOf(r.get(0)), g._1, g._2)) }
+              g -> probe.map(r => bloomBitsOf(r.getString(0), g._1, g._2)) }
             .toMap
           all.filter { fl =>
             blooms.get(fl).forall { case (m, k, bytes) =>
