@@ -278,6 +278,17 @@ object TxChangesStream {
     applied.get()
   }
 
+  /** Txn-marker appId for one upstream version's mirror work. The
+    * version and the work kind live in the STRING half of the
+    * (appId, batchId) marker, so markers are collision-free at ANY
+    * version count — the r9 numeric encoding packed the version into
+    * 20 bits of a long and silently collided past 2²⁰ upstream
+    * commits, after which exactly-once gating could skip un-applied
+    * work. Insert-run markers use the run's END version.
+    */
+  private[graft] def mirrorMarker(appId: String, v: Int, del: Boolean): String =
+    s"$appId:v$v:${if (del) "d" else "i"}"
+
   /** Full MIRROR pipeline — [[pipeTo]] plus DELETE PROPAGATION: the
     * downstream TxTable tracks the upstream one exactly, inserts AND
     * row deletions, at delta cost. Each micro-batch applies its
@@ -287,13 +298,23 @@ object TxChangesStream {
     * mirror via the key-set merge-on-read path
     * ([[TxTable.deleteKeysMor]], bloom-accelerated when the mirror
     * indexes the key), inserts land via the idempotent committer.
-    * Exactly-once under crash-anywhere replay: each version's work is
-    * gated on a per-(appId, batchId, version) txn marker — encoded
-    * (batchId << 21) | (version << 1) | isDelete — recorded by BOTH
-    * the insert commit and the delete's mordelete manifest, so a
-    * replayed batch skips every already-applied version instead of
-    * re-tombstoning rows a later version re-inserted; an un-marked
-    * (crashed-before-publish) version re-applies idempotently.
+    *
+    * THROUGHPUT: consecutive DELETE-FREE versions within a batch
+    * COALESCE into one idempotent commit (marker = the run's end
+    * version) — a K-version insert-only backfill lands as ⌈K/mx⌉
+    * commits, not K, while any delete stays strictly ordered against
+    * the runs around it. The per-batch driver cost is ONE census
+    * action (per-version insert/delete counts) plus one commit per
+    * run or delete — not 3+ actions per version.
+    *
+    * Exactly-once under crash-anywhere replay: each unit of work is
+    * gated on a ([[mirrorMarker]], batchId) txn marker — recorded by
+    * BOTH the insert commit and the delete's mordelete manifest, so a
+    * replayed batch (same batchId → same census → same runs) skips
+    * every already-applied unit instead of re-tombstoning rows a
+    * later version re-inserted; an un-marked (crashed-before-publish)
+    * unit re-applies idempotently. Markers are strings — no version
+    * magnitude limit.
     *
     * @return the number of upstream versions whose work applied
     */
@@ -303,36 +324,58 @@ object TxChangesStream {
                    maxVersionsPerTrigger: Option[Int] = None,
                    bloomCols: Seq[String] = Nil): Long = {
     val applied = new java.util.concurrent.atomic.AtomicLong(0L)
-    def enc(batchId: Long, v: Int, del: Boolean): Long =
-      (batchId << 21) | (v.toLong << 1) | (if (del) 1L else 0L)
     val q = readChangesStream(spark, srcTable, startingVersion, maxVersionsPerTrigger)
       .writeStream.option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val versions = batch.select("_version").distinct()
-          .collect().map(_.getInt(0)).sorted // few per batch (rate-limited)
-        versions.foreach { sv =>
-          val slice = batch.filter(col("_version") === sv)
-          var did = false
-          if (TxTable.currentVersion(spark, dstTable) >= 1 &&
-              TxTable.txnVersionOf(spark, dstTable, appId, enc(batchId, sv, del = true)).isEmpty) {
-            val dels = slice.filter(col("_change") === "delete").select(col(keyCol))
-            if (!dels.isEmpty) {
+        // ONE census action replaces the old per-version isEmpty
+        // probes: (version, hasDeletes, hasInserts), version-ordered
+        val info = batch.groupBy(col("_version"))
+          .agg(sum(when(col("_change") === "delete", 1L).otherwise(0L)).as("nd"),
+               sum(when(col("_change") === "insert", 1L).otherwise(0L)).as("ni"))
+          .collect()
+          .map(r => (r.getInt(0), r.getLong(1) > 0L, r.getLong(2) > 0L))
+          .sortBy(_._1)
+        var run = List.empty[Int] // pending delete-free versions (reversed)
+        def flushRun(): Unit = if (run.nonEmpty) {
+          val vs = run.reverse
+          val ins = batch
+            .filter(col("_version").isin(vs: _*) && col("_change") === "insert")
+            .drop("_change", "_version", "_commit_ms")
+          // bloomCols (typically the mirror key) keeps the index that
+          // accelerates this pipeline's OWN delete batches maintained
+          val (_, didIns) = TxTable.commitIdempotent(ins, dstTable,
+            mirrorMarker(appId, vs.last, del = false), batchId,
+            bloomCols = bloomCols)
+          if (didIns) { applied.addAndGet(vs.size.toLong); () }
+          run = Nil
+        }
+        info.foreach { case (sv, hasDel, hasIns) =>
+          if (!hasDel) run = sv :: run
+          else {
+            flushRun() // strict ordering across any delete
+            var did = false
+            if (TxTable.currentVersion(spark, dstTable) >= 1 &&
+                TxTable.txnVersionOf(spark, dstTable,
+                  mirrorMarker(appId, sv, del = true), batchId).isEmpty) {
+              val dels = batch.filter(col("_version") === sv &&
+                col("_change") === "delete").select(col(keyCol))
               TxTable.deleteKeysMor(spark, dstTable, keyCol, dels,
-                txn = Some((appId, enc(batchId, sv, del = true))))
+                txn = Some((mirrorMarker(appId, sv, del = true), batchId)))
               did = true
             }
+            if (hasIns) {
+              val ins = batch.filter(col("_version") === sv &&
+                col("_change") === "insert")
+                .drop("_change", "_version", "_commit_ms")
+              val (_, didIns) = TxTable.commitIdempotent(ins, dstTable,
+                mirrorMarker(appId, sv, del = false), batchId,
+                bloomCols = bloomCols)
+              did = did || didIns
+            }
+            if (did) { applied.incrementAndGet(); () }
           }
-          val ins = slice.filter(col("_change") === "insert")
-            .drop("_change", "_version", "_commit_ms")
-          if (!ins.isEmpty) {
-            // bloomCols (typically the mirror key) keeps the index that
-            // accelerates this pipeline's OWN delete batches maintained
-            val (_, didIns) = TxTable.commitIdempotent(ins, dstTable, appId,
-              enc(batchId, sv, del = false), bloomCols = bloomCols)
-            did = did || didIns
-          }
-          if (did) { applied.incrementAndGet(); () }
         }
+        flushRun()
         ()
       }
       .start()

@@ -79,4 +79,53 @@ class Round10OpsSpec extends SparkSpec {
     TxTable.prunedFilesByValue(spark, table, 1, "cat", "a") shouldBe empty
     TxTable.prunedFilesByValue(spark, table, 1, "cat", "b") shouldBe empty
   }
+
+  // --- directive r9#2: the mirror txn marker is a STRING carrying the
+  // upstream version — collision-free at any version count. The r9
+  // numeric encoding gave the version 20 bits; at v = 2^20 the version
+  // bled into the batchId bits and colliding markers made exactly-once
+  // gating skip un-applied work.
+  test("mirror txn markers stay distinct and exactly-once past 2^20 versions") {
+    val vBig = 1 << 20
+    val markers = Seq(vBig - 1, vBig, vBig + 1).flatMap(v =>
+      Seq(graft.sources.TxChangesStream.mirrorMarker("app", v, del = false),
+        graft.sources.TxChangesStream.mirrorMarker("app", v, del = true)))
+    markers.distinct.size shouldBe markers.size
+    // exactly-once through commitIdempotent at the huge version
+    val table = freshTable()
+    val df = Seq((1L, "a")).toDF("id", "s")
+    val m = graft.sources.TxChangesStream.mirrorMarker("app", vBig, del = false)
+    TxTable.commitIdempotent(df, table, m, 0L)._2 shouldBe true
+    TxTable.commitIdempotent(df, table, m, 0L)._2 shouldBe false // replay skips
+    val m1 = graft.sources.TxChangesStream.mirrorMarker("app", vBig + 1, del = false)
+    TxTable.commitIdempotent(df, table, m1, 0L)._2 shouldBe true // distinct version applies
+    TxTable.read(spark, table).count() shouldBe 2L
+  }
+
+  // --- directive r9#6: consecutive delete-free versions coalesce into
+  // ONE idempotent commit per micro-batch — a K-version insert-only
+  // backfill lands as ceil(K/mx) mirror commits, not K — while the
+  // mirror still equals the source and a re-run is a no-op.
+  test("pipeToMirror coalesces insert-only version runs into one commit per batch") {
+    val src = freshTable()
+    val dst = freshTable()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_r10_mir_ckpt_").toString
+    val K = 6
+    (1 to K).foreach(i =>
+      TxTable.commit(Seq((i.toLong, s"a$i")).toDF("id", "s"), src))
+    graft.sources.TxChangesStream.pipeToMirror(spark, src, dst, "id",
+      "r10_runs", ckpt, maxVersionsPerTrigger = Some(2)) shouldBe K.toLong
+    canon(TxTable.read(spark, dst)) shouldBe canon(TxTable.read(spark, src))
+    TxTable.currentVersion(spark, dst) shouldBe 3 // ceil(6/2) commits, not 6
+    // deletes still apply strictly ordered against the runs around them
+    TxTable.deleteKeysMor(spark, src, "id", Seq(2L, 4L).toDF("id"))._2 shouldBe 2L
+    TxTable.commit(Seq((7L, "a7")).toDF("id", "s"), src)
+    graft.sources.TxChangesStream.pipeToMirror(spark, src, dst, "id",
+      "r10_runs", ckpt)
+    canon(TxTable.read(spark, dst)) shouldBe canon(TxTable.read(spark, src))
+    // a re-run with nothing new is a full no-op
+    graft.sources.TxChangesStream.pipeToMirror(spark, src, dst, "id",
+      "r10_runs", ckpt) shouldBe 0L
+    canon(TxTable.read(spark, dst)) shouldBe canon(TxTable.read(spark, src))
+  }
 }
