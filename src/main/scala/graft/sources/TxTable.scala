@@ -283,14 +283,46 @@ object TxTable {
                              blooms: Seq[(String, String, Int, Int, String)],
                              tombs: Seq[(String, String)],
                              map: Option[Seq[(String, String)]],
-                             vsets: Seq[(String, String, Seq[String])] = Nil): String = {
+                             vsets: Seq[(String, String, Seq[String])] = Nil,
+                             part: Option[String] = None): String = {
     val msJson = if (evolved) ""","ms":1""" else ""
+    val partJson = part.fold("")(p => s""","part":"${jesc(p)}"""")
     val schemaJson = schemaDDL.map(d => s""""schema":"${jesc(d)}",""").getOrElse("")
-    s"""{"version":$v,"op":"$op","commit_ms":$ts$txnJson$msJson,""" +
+    s"""{"version":$v,"op":"$op","commit_ms":$ts$txnJson$msJson$partJson,""" +
       schemaJson + s""""n_files":${files.size},""" +
       s""""files":[${files.map("\"" + _ + "\"").mkString(",")}]""" +
       statsJsonOf(stats) + bloomJsonOf(blooms) + tombJsonOf(tombs) +
       mapJsonOf(map) + vsetJsonOf(vsets) + "}"
+  }
+
+  /** DELTA manifest renderer (the commits between checkpoints):
+    * `base` names the parent whose resolved state the delta applies
+    * to; `add`/`rm` are the file-list edits; stats/bloom/vset entries
+    * cover the ADDED files only (removed files' entries drop during
+    * reconstruction). Scalar fields and the tombstone list render in
+    * full, exactly like the full form, so their accessors never need
+    * the chain. Manifest bytes are O(files changed + tombs), never
+    * O(table).
+    */
+  private def renderDeltaManifest(v: Int, op: String, ts: Long, txnJson: String,
+                                  evolved: Boolean, schemaDDL: Option[String],
+                                  base: Int, nFiles: Int,
+                                  addFiles: Seq[String], rmFiles: Seq[String],
+                                  addStats: Seq[(String, String, Double, Double)],
+                                  addBlooms: Seq[(String, String, Int, Int, String)],
+                                  tombs: Seq[(String, String)],
+                                  map: Option[Seq[(String, String)]],
+                                  addVsets: Seq[(String, String, Seq[String])],
+                                  part: Option[String] = None): String = {
+    val msJson = if (evolved) ""","ms":1""" else ""
+    val partJson = part.fold("")(p => s""","part":"${jesc(p)}"""")
+    val schemaJson = schemaDDL.map(d => s""""schema":"${jesc(d)}",""").getOrElse("")
+    s"""{"version":$v,"op":"$op","commit_ms":$ts$txnJson$msJson$partJson,""" +
+      schemaJson + s""""base":$base,"n_files":$nFiles,""" +
+      s""""add":[${addFiles.map("\"" + _ + "\"").mkString(",")}],""" +
+      s""""rm":[${rmFiles.map("\"" + _ + "\"").mkString(",")}]""" +
+      statsJsonOf(addStats) + bloomJsonOf(addBlooms) + tombJsonOf(tombs) +
+      mapJsonOf(map) + vsetJsonOf(addVsets) + "}"
   }
 
   /** CAS-publish one rendered manifest; loud conflict on a lost race;
@@ -378,22 +410,115 @@ object TxTable {
     } else liveVersions(spark, table).foldLeft(0)(math.max)
   }
 
-  /** Data files of version `v`, as written in its manifest (relative
-    * to the table root). Manifest format is engine-owned and flat, so
-    * the parse is a plain split — no JSON library dependency.
+  /** MANIFEST DELTA-LOG (the Delta actions-log + checkpoint shape):
+    * a commit that carries its parent's files forward writes a DELTA
+    * manifest — `"base":<parent>`, the files it added/removed, and
+    * skipping entries for the ADDED files only — so a 1-file append's
+    * manifest bytes are O(delta), independent of the table's file
+    * count; every [[CheckpointEvery]]-th version (and every
+    * snapshot-replacing commit: overwrite/merge/full-compact/restore)
+    * writes the self-contained FULL form, bounding every reader's
+    * reconstruction walk. Per-manifest scalar fields (version, op,
+    * commit_ms, txn, ms, schema, map) and the tombstone list (bounded
+    * by deletes-since-OPTIMIZE, not by file count) render in full in
+    * BOTH forms, so their accessors stay single-manifest text parses.
     */
-  def filesOf(spark: SparkSession, table: String, v: Int): Seq[String] = {
-    require(v >= 1, s"versions start at 1, got $v")
-    val p = manifestPath(table, v)
-    val f = fs(spark, table)
-    require(f.exists(p), s"TxTable: no version $v at $table")
-    val in = f.open(p)
-    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    val files = "\"files\":\\[(.*?)\\]".r.findFirstMatchIn(txt)
-      .getOrElse(sys.error(s"TxTable: malformed manifest $p")).group(1)
-    if (files.isEmpty) Seq.empty
-    else files.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+  val CheckpointEvery: Int = 10
+
+  /** One version's RESOLVED file-scale state: the reconstruction
+    * target of the delta-log (checkpoint + suffix of deltas).
+    */
+  private[graft] final case class TxSnapshot(
+      files: Seq[String],
+      stats: Seq[(String, String, Double, Double)],
+      blooms: Seq[(String, String, Int, Int, String)],
+      vsets: Seq[(String, String, Seq[String])],
+      tombs: Seq[(String, String)])
+
+  /** Manifests are immutable once published, so resolved snapshots
+    * cache safely; bounded (cleared wholesale past the cap — resolved
+    * state rebuilds in ≤ [[CheckpointEvery]] manifest reads). [[drop]]
+    * invalidates a table's entries (same path, new content).
+    */
+  private val snapCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), TxSnapshot]()
+
+  private def parseFileArray(txt: String, name: String): Seq[String] = {
+    val span = arraySpan(txt, name)
+    if (span.isEmpty) Seq.empty
+    else span.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
   }
+
+  private def parseStats(txt: String): Seq[(String, String, Double, Double)] =
+    """\{"f":"([^"]*)","c":"([^"]*)","lo":([-0-9.eE]+),"hi":([-0-9.eE]+)\}""".r
+      .findAllMatchIn(arraySpan(txt, "stats"))
+      .map(m => (m.group(1), m.group(2), m.group(3).toDouble, m.group(4).toDouble))
+      .toSeq
+
+  private def parseBlooms(txt: String): Seq[(String, String, Int, Int, String)] =
+    """\{"f":"([^"]*)","c":"([^"]*)","m":(\d+),"k":(\d+),"b":"([^"]*)"\}""".r
+      .findAllMatchIn(arraySpan(txt, "bloom"))
+      .map(m => (m.group(1), m.group(2), m.group(3).toInt, m.group(4).toInt,
+        m.group(5))).toSeq
+
+  private def parseVsets(txt: String): Seq[(String, String, Seq[String])] =
+    """\{"f":"([^"]*)","c":"([^"]*)","v":"((?:[^"\\]|\\.)*)"\}""".r
+      .findAllMatchIn(arraySpan(txt, "vset"))
+      .map(m => (m.group(1), m.group(2),
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(
+          junesc(m.group(3)).split('\u001f').map(vsepUnesc)): Seq[String])).toSeq
+
+  private def parseTombs(txt: String): Seq[(String, String)] =
+    """\{"f":"([^"]*)","k":"([^"]*)"\}""".r
+      .findAllMatchIn(arraySpan(txt, "tomb"))
+      .map(m => (m.group(1), m.group(2))).toSeq
+
+  private def deltaBaseOf(txt: String): Option[Int] =
+    "\"base\":(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toInt)
+
+  /** Resolve version `v`'s file-scale snapshot state: a full manifest
+    * parses directly; a delta manifest applies (add, rm, added
+    * skipping entries) over its parent's resolved state — entries for
+    * removed files drop automatically, the tombstone list is this
+    * manifest's own full render. Recursion depth ≤ [[CheckpointEvery]]
+    * by the checkpoint cadence; resolved parents cache, so a poll loop
+    * pays one small manifest read per new commit.
+    */
+  private[graft] def snapshotOf(spark: SparkSession, table: String,
+                                v: Int): TxSnapshot = {
+    require(v >= 1, s"versions start at 1, got $v")
+    val key = (table, v)
+    val hit = snapCache.get(key)
+    if (hit != null) return hit
+    val p = manifestPath(table, v)
+    require(fs(spark, table).exists(p), s"TxTable: no version $v at $table")
+    val txt = manifestText(spark, table, v)
+    val snap = deltaBaseOf(txt) match {
+      case None =>
+        require(txt.contains("\"files\":["), s"TxTable: malformed manifest $p")
+        TxSnapshot(parseFileArray(txt, "files"), parseStats(txt),
+          parseBlooms(txt), parseVsets(txt), parseTombs(txt))
+      case Some(b) =>
+        val parent = snapshotOf(spark, table, b)
+        val rm = parseFileArray(txt, "rm").toSet
+        TxSnapshot(
+          parent.files.filterNot(rm) ++ parseFileArray(txt, "add"),
+          parent.stats.filterNot(e => rm(e._1)) ++ parseStats(txt),
+          parent.blooms.filterNot(e => rm(e._1)) ++ parseBlooms(txt),
+          parent.vsets.filterNot(e => rm(e._1)) ++ parseVsets(txt),
+          parseTombs(txt))
+    }
+    if (snapCache.size > 512) snapCache.clear()
+    snapCache.put(key, snap)
+    snap
+  }
+
+  /** Data files of version `v`, as resolved from its manifest chain
+    * (relative to the table root). Manifest format is engine-owned and
+    * flat, so the parse is a plain split — no JSON library dependency.
+    */
+  def filesOf(spark: SparkSession, table: String, v: Int): Seq[String] =
+    snapshotOf(spark, table, v).files
 
   /** Commit `df` as the next version. `op = "append"` carries the
     * previous version's files forward plus the new ones; `op =
@@ -414,10 +539,11 @@ object TxTable {
     */
   def commit(df: DataFrame, table: String, op: String = "append",
              statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
-             maxAttempts: Int = 20, setCols: Seq[String] = Nil): Int =
+             maxAttempts: Int = 20, setCols: Seq[String] = Nil,
+             partitionBy: Option[String] = None): Int =
     commitAs(df, table, currentVersion(df.sparkSession, table) + 1, op, statsCols,
       bloomCols = bloomCols, rebaseAppend = op == "append",
-      maxAttempts = maxAttempts, setCols = setCols)
+      maxAttempts = maxAttempts, setCols = setCols, partitionBy = partitionBy)
 
   /** Bloom-index geometry (recorded per manifest entry so it can evolve
     * without breaking old tables): m bits / k hashes give ~1% FP at
@@ -447,7 +573,8 @@ object TxTable {
                               rebaseAppend: Boolean = false,
                               maxAttempts: Int = 5,
                               dfIsPhysical: Boolean = false,
-                              setCols: Seq[String] = Nil): Int = {
+                              setCols: Seq[String] = Nil,
+                              partitionBy: Option[String] = None): Int = {
     require(op == "append" || op == "overwrite" || op == "compact" ||
       op == "delete" || op == "evolve" || op == "merge", s"unknown op $op")
     require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
@@ -509,14 +636,49 @@ object TxTable {
       case _ => df
     }
     // the manifest records the LOGICAL snapshot schema
-    val logicalSchema: StructType = writeMap match {
+    val logicalSchema0: StructType = writeMap match {
       case Some(m) if dfIsPhysical =>
         StructType(m.map { case (n, p) => df.schema(p).copy(name = n) })
       case _ => df.schema
     }
+    // a carrying commit records the PARENT's field order (parquet
+    // resolves by name, so order is representational — but physical
+    // rewrites read through the hive layout surface the partition
+    // column last, and the recorded schema must not drift with them);
+    // columns new to this commit (evolve) append at the end
+    val logicalSchema: StructType =
+      if (!(carryFiles.isDefined || ((op == "append" || op == "evolve") && v > 1))
+          || v <= 1) logicalSchema0
+      else manifestSchema(spark, table, v - 1).map { ps =>
+        StructType(
+          ps.fieldNames.toSeq.flatMap(n => logicalSchema0.fields.find(_.name == n)) ++
+          logicalSchema0.fields.filterNot(f => ps.fieldNames.contains(f.name)))
+      }.getOrElse(logicalSchema0)
     val physStatsCols = statsCols.map(c => physOf(writeMap, c))
     val physBloomCols = bloomCols.map(c => physOf(writeMap, c))
     val physSetCols = setCols.map(c => physOf(writeMap, c))
+    // PARTITIONED LAYOUT (the hive data/<col>=<val>/ shape): a commit
+    // carrying parent files INHERITS the parent's partition column —
+    // mixing partitioned and flat files under one basePath read is
+    // unreadable, so a carrying commit may never change the layout
+    // (an overwrite/merge/full-compact may, like the column mapping).
+    val carrying = carryFiles.isDefined ||
+      ((op == "append" || op == "evolve") && v > 1)
+    val parentPart: Option[String] =
+      if (carrying && v > 1) partColOf(spark, table, v - 1) else None
+    val physPart: Option[String] =
+      partitionBy.map(c => physOf(writeMap, c)).orElse(parentPart)
+    if (carrying && v > 1) require(physPart == parentPart,
+      s"TxTable: partition layout mismatch at $table v$v — parent layout is " +
+      s"${parentPart.fold("unpartitioned")(c => s"partitioned by '$c'")} but this " +
+      s"commit asked for ${physPart.fold("unpartitioned")(c => s"'$c'")}; layout " +
+      "changes require op=\"overwrite\" (or a full compact)")
+    physPart.foreach { pc =>
+      require(!(physStatsCols ++ physBloomCols ++ physSetCols).contains(pc),
+        s"TxTable: column '$pc' is the partition column — its value is in the " +
+        "file path and partition pruning is already exact; drop it from " +
+        "statsCols/bloomCols/setCols")
+    }
     // distributed data write to a WRITER-UNIQUE scratch dir (two
     // writers racing to the same version must not clobber each
     // other's in-flight part files — the nonce that de-collides the
@@ -524,12 +686,29 @@ object TxTable {
     // names — the move is a metadata op on HDFS-likes
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val tmp = new Path(s"$table/_tmp_v${v}_$nonce")
-    physDf.write.mode("overwrite").parquet(tmp.toString)
-    val parts = f.listStatus(tmp).map(_.getPath)
-      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    physPart match {
+      case Some(pc) => physDf.write.mode("overwrite").partitionBy(pc)
+        .parquet(tmp.toString)
+      case None => physDf.write.mode("overwrite").parquet(tmp.toString)
+    }
+    // partitioned writes nest part files one level down
+    // (<col>=<val>/part-*); the versioned rename preserves the
+    // partition directory so the manifest path IS the partition value
+    val parts: Seq[(Path, String)] =
+      if (physPart.isEmpty)
+        f.listStatus(tmp).map(_.getPath)
+          .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+          .map(p => (p, "data")).toSeq
+      else
+        f.listStatus(tmp).filter(_.isDirectory)
+          .flatMap(d => f.listStatus(d.getPath).map(_.getPath)
+            .filter(_.getName.startsWith("part-"))
+            .map(p => (p, s"data/${d.getPath.getName}")))
+          .sortBy { case (p, d) => (d, p.getName) }.toSeq
     f.mkdirs(new Path(s"$table/data"))
-    var named: Seq[String] = parts.zipWithIndex.map { case (p, i) =>
-      val rel = s"data/v${v}_${i}_$nonce.parquet"
+    var named: Seq[String] = parts.zipWithIndex.map { case ((p, dir), i) =>
+      val rel = s"$dir/v${v}_${i}_$nonce.parquet"
+      f.mkdirs(new Path(s"$table/$dir"))
       require(f.rename(p, new Path(s"$table/$rel")), s"rename failed for $p")
       rel
     }.toSeq
@@ -671,28 +850,14 @@ object TxTable {
     var out = -1
     while (out < 0) {
       attempt += 1
+      val parentFiles = if (target > 1) filesOf(spark, table, target - 1)
+        else Seq.empty[String]
       // carryFiles overrides the default carry rule: a copy-on-write
       // op (delete) carries exactly the UNTOUCHED subset of the
       // parent's files — the caller decided which from manifest stats.
       val carried = carryFiles.getOrElse(
-        if ((op == "append" || op == "evolve") && target > 1)
-          filesOf(spark, table, target - 1)
+        if ((op == "append" || op == "evolve") && target > 1) parentFiles
         else Seq.empty)
-      val carriedStats = if (carried.nonEmpty && target > 1)
-        statsOf(spark, table, target - 1).filter(s => carried.contains(s._1))
-      else Seq.empty
-      val carriedBloom = if (carried.nonEmpty && target > 1)
-        bloomEntries(spark, table, target - 1).filter(b => carried.contains(b._1))
-      else Seq.empty
-      val carriedVsets = if (carried.nonEmpty && target > 1)
-        valueSetsOf(spark, table, target - 1).filter(s => carried.contains(s._1))
-      else Seq.empty
-      // merge-on-read tombstones ride their files: any commit carrying
-      // parent files keeps the parent's tombs (they reference carried
-      // file names); snapshot-replacing commits shed them (the rewrite
-      // read them through readVersion / tombFilter)
-      val carriedTombs = if (carried.nonEmpty && target > 1)
-        tombEntriesOf(spark, table, target - 1) else Seq.empty
       // schema-evolution flag: sticky from the first evolve commit on
       // (every later snapshot mixes footers, so every later read needs
       // mergeSchema), reset by an overwrite/compact (fresh uniform files)
@@ -711,12 +876,46 @@ object TxTable {
       else 0L
       val ts = math.max(System.currentTimeMillis(), parentMs + 1L)
       val all = carried ++ named
-      val json = renderManifest(target, op, ts, txnJson, evolved,
-        Some(logicalSchema.toDDL), all,
-        carriedStats ++ newStats.map { case (i, c, lo, hi) => (named(i), c, lo, hi) },
-        carriedBloom ++ newBloom.map { case (i, c, m, k, b) => (named(i), c, m, k, b) },
-        carriedTombs, writeMap,
-        carriedVsets ++ newVsets.map { case (i, c, vs) => (named(i), c, vs) })
+      // DELTA vs CHECKPOINT: a snapshot-replacing commit (no carried
+      // files) is its own natural checkpoint; a carrying commit writes
+      // the full form only at the CheckpointEvery cadence and the
+      // O(delta) form otherwise — a 1-file append to a 10⁶-file table
+      // writes kilobytes, not the file list.
+      val isCkpt = carried.isEmpty || target % CheckpointEvery == 0
+      val json = if (isCkpt) {
+        val carriedStats = if (carried.nonEmpty && target > 1)
+          statsOf(spark, table, target - 1).filter(s => carried.contains(s._1))
+        else Seq.empty
+        val carriedBloom = if (carried.nonEmpty && target > 1)
+          bloomEntries(spark, table, target - 1).filter(b => carried.contains(b._1))
+        else Seq.empty
+        val carriedVsets = if (carried.nonEmpty && target > 1)
+          valueSetsOf(spark, table, target - 1).filter(s => carried.contains(s._1))
+        else Seq.empty
+        // merge-on-read tombstones ride their files: any commit
+        // carrying parent files keeps the parent's tombs (they
+        // reference carried file names); snapshot-replacing commits
+        // shed them (the rewrite read them through readVersion /
+        // tombFilter)
+        val carriedTombs = if (carried.nonEmpty && target > 1)
+          tombEntriesOf(spark, table, target - 1) else Seq.empty
+        renderManifest(target, op, ts, txnJson, evolved,
+          Some(logicalSchema.toDDL), all,
+          carriedStats ++ newStats.map { case (i, c, lo, hi) => (named(i), c, lo, hi) },
+          carriedBloom ++ newBloom.map { case (i, c, m, k, b) => (named(i), c, m, k, b) },
+          carriedTombs, writeMap,
+          carriedVsets ++ newVsets.map { case (i, c, vs) => (named(i), c, vs) },
+          physPart)
+      } else {
+        renderDeltaManifest(target, op, ts, txnJson, evolved,
+          Some(logicalSchema.toDDL), target - 1, all.size,
+          named, parentFiles.filterNot(carried.toSet),
+          newStats.map { case (i, c, lo, hi) => (named(i), c, lo, hi) },
+          newBloom.map { case (i, c, m, k, b) => (named(i), c, m, k, b) },
+          tombEntriesOf(spark, table, target - 1), writeMap,
+          newVsets.map { case (i, c, vs) => (named(i), c, vs) },
+          physPart)
+      }
       val mp = manifestPath(table, target)
       f.mkdirs(mp.getParent)
       if (committerFor(f).publish(f, mp, json, nonce)) {
@@ -733,9 +932,14 @@ object TxTable {
           s"TxTable: commit conflict at $table — a concurrent writer changed the " +
           "column mapping; the staged append carries stale physical names (retry)")
         appendGate(newTarget - 1)
+        // a concurrent layout change under the staged files — refuse
+        require(partColOf(spark, table, newTarget - 1) == parentPart,
+          s"TxTable: commit conflict at $table — a concurrent writer changed the " +
+          "partition layout; the staged append carries the old layout (retry)")
         if (newTarget != target) {
           named = named.zipWithIndex.map { case (rel, i) =>
-            val nrel = s"data/v${newTarget}_${i}_$nonce.parquet"
+            val dir = rel.substring(0, rel.lastIndexOf('/')) // keeps <col>=<val>
+            val nrel = s"$dir/v${newTarget}_${i}_$nonce.parquet"
             require(f.rename(new Path(s"$table/$rel"), new Path(s"$table/$nrel")),
               s"TxTable: rebase rename failed for $rel")
             nrel
@@ -786,15 +990,12 @@ object TxTable {
     ("\"" + name + "\":\\[(.*?)\\]").r.findFirstMatchIn(txt)
       .map(_.group(1)).getOrElse("")
 
-  /** Per-file data-skipping stats recorded in version `v`'s manifest:
-    * (file, column, min, max). Empty for commits made without
-    * `statsCols`.
+  /** Per-file data-skipping stats of version `v`'s snapshot: (file,
+    * column, min, max), resolved through the delta-log. Empty for
+    * commits made without `statsCols`.
     */
   def statsOf(spark: SparkSession, table: String, v: Int): Seq[(String, String, Double, Double)] =
-    """\{"f":"([^"]*)","c":"([^"]*)","lo":([-0-9.eE]+),"hi":([-0-9.eE]+)\}""".r
-      .findAllMatchIn(arraySpan(manifestText(spark, table, v), "stats"))
-      .map(m => (m.group(1), m.group(2), m.group(3).toDouble, m.group(4).toDouble))
-      .toSeq
+    snapshotOf(spark, table, v).stats
 
   /** The file subset of version `v` a range predicate `lo ≤ col ≤ hi`
     * can touch, decided from the MANIFEST STATS ALONE (no footer
@@ -844,19 +1045,14 @@ object TxTable {
     */
   private[graft] def bloomEntries(spark: SparkSession, table: String,
                                   v: Int): Seq[(String, String, Int, Int, String)] =
-    """\{"f":"([^"]*)","c":"([^"]*)","m":(\d+),"k":(\d+),"b":"([^"]*)"\}""".r
-      .findAllMatchIn(arraySpan(manifestText(spark, table, v), "bloom"))
-      .map(m => (m.group(1), m.group(2), m.group(3).toInt, m.group(4).toInt,
-        m.group(5))).toSeq
+    snapshotOf(spark, table, v).blooms
 
   /** Merge-on-read tombstone sidecars recorded in version `v`'s
     * manifest: (tombstone file, physical key column). Empty for
     * snapshots with no outstanding MoR deletes.
     */
   def tombEntriesOf(spark: SparkSession, table: String, v: Int): Seq[(String, String)] =
-    """\{"f":"([^"]*)","k":"([^"]*)"\}""".r
-      .findAllMatchIn(arraySpan(manifestText(spark, table, v), "tomb"))
-      .map(m => (m.group(1), m.group(2))).toSeq
+    snapshotOf(spark, table, v).tombs
 
   /** Per-file value-set skipping entries of version `v`: (file,
     * physical column, distinct values). Empty for commits made without
@@ -864,11 +1060,7 @@ object TxTable {
     */
   def valueSetsOf(spark: SparkSession, table: String,
                   v: Int): Seq[(String, String, Seq[String])] =
-    """\{"f":"([^"]*)","c":"([^"]*)","v":"((?:[^"\\]|\\.)*)"\}""".r
-      .findAllMatchIn(arraySpan(manifestText(spark, table, v), "vset"))
-      .map(m => (m.group(1), m.group(2),
-        scala.collection.immutable.ArraySeq.unsafeWrapArray(
-          junesc(m.group(3)).split('\u001f').map(vsepUnesc)): Seq[String])).toSeq
+    snapshotOf(spark, table, v).vsets
 
   /** The file subset of version `v` an equality probe `col = value`
     * can touch, decided from the manifest VALUE SETS alone: a file is
@@ -946,20 +1138,58 @@ object TxTable {
       }.drop("_graft_tomb_file")
     }
 
+  /** PHYSICAL partition column of version `v`'s layout, if the
+    * snapshot was committed with `partitionBy` (hive-style
+    * `data/<col>=<val>/` directories). Scalar manifest field — a
+    * single-manifest text parse, like op/schema/map.
+    */
+  def partColOf(spark: SparkSession, table: String, v: Int): Option[String] =
+    "\"part\":\"((?:[^\"\\\\]|\\\\.)*)\"".r
+      .findFirstMatchIn(manifestText(spark, table, v))
+      .map(m => junesc(m.group(1)))
+
+  /** The raw per-file reader every physical path shares: mergeSchema
+    * for evolved snapshots; for a PARTITIONED layout the hive
+    * `basePath` so the partition column re-derives from the directory
+    * names, cast back to the manifest schema's recorded type (path
+    * inference alone is stringly). No tomb filter, no logical
+    * projection — those layer on in [[snapshotRead]].
+    */
+  private def rawRead(spark: SparkSession, table: String, v: Int,
+                      files: Seq[String]): DataFrame = {
+    val rd0 = if (msOf(spark, table, v))
+      spark.read.option("mergeSchema", "true") else spark.read
+    partColOf(spark, table, v) match {
+      case None => rd0.parquet(files.map(rel => s"$table/$rel"): _*)
+      case Some(pc) =>
+        val df = rd0.option("basePath", s"$table/data")
+          .parquet(files.map(rel => s"$table/$rel"): _*)
+        val logicalName = colMapOf(spark, table, v)
+          .flatMap(_.collectFirst { case (n, p) if p == pc => n }).getOrElse(pc)
+        val dt = manifestSchema(spark, table, v)
+          .flatMap(st => st.fields.find(_.name == logicalName).map(_.dataType))
+        dt.fold(df)(t => df.withColumn(pc, col(pc).cast(t)))
+    }
+  }
+
   /** One snapshot read over an explicit subset of version `v`'s files:
-    * mergeSchema for evolved snapshots, tombstone anti-join, logical
-    * projection. Shared by [[readVersion]] and the pruned readers so
-    * no path can resurrect merge-on-read-deleted rows or leak physical
-    * names.
+    * mergeSchema for evolved snapshots, partition-column re-derivation
+    * for partitioned layouts, tombstone anti-join, logical projection.
+    * Shared by [[readVersion]] and the pruned readers so no path can
+    * resurrect merge-on-read-deleted rows or leak physical names.
     */
   private def snapshotRead(spark: SparkSession, table: String, v: Int,
                            files: Seq[String]): DataFrame = {
-    val rd = if (msOf(spark, table, v))
-      spark.read.option("mergeSchema", "true") else spark.read
-    val base = rd.parquet(files.map(rel => s"$table/$rel"): _*)
+    val base = rawRead(spark, table, v, files)
     val unTombed = tombFilter(spark, table, tombEntriesOf(spark, table, v), base)
-    colMapOf(spark, table, v).fold(unTombed)(m =>
+    val mapped = colMapOf(spark, table, v).fold(unTombed)(m =>
       unTombed.select(m.map { case (n, p) => col(p).as(n) }: _*))
+    // partitioned layout: conform column ORDER to the recorded schema
+    // (path-derived partition columns surface last on a hive read)
+    if (partColOf(spark, table, v).isEmpty) mapped
+    else manifestSchema(spark, table, v).fold(mapped)(st =>
+      mapped.select(st.fieldNames.filter(mapped.columns.contains)
+        .map(col).toIndexedSeq: _*))
   }
 
   /** Driver-side mirror of the distributed bloom-bit derivation:
@@ -1053,10 +1283,8 @@ object TxTable {
     // survive the rewrite. The candidate read applies existing MoR
     // tombstones — a rewrite gives rows NEW file names, which would
     // break the per-(file, key) tombstone scope and resurrect them.
-    val rd = if (msOf(spark, table, v))
-      spark.read.option("mergeSchema", "true") else spark.read
     val survivors = tombFilter(spark, table, tombEntriesOf(spark, table, v),
-        rd.parquet(touch.map(rel => s"$table/$rel"): _*))
+        rawRead(spark, table, v, touch))
       .filter(col(phys).isNull || !(col(phys) >= lo && col(phys) <= hi))
     val nv = commitAs(survivors, table, v + 1, "delete", statsCols,
       carryFiles = Some(untouched), dfIsPhysical = true)
@@ -1097,10 +1325,8 @@ object TxTable {
     val touch = prunedFiles(spark, table, v, colName, lo, hi)
     if (touch.isEmpty) return (v, 0L)
     val f = fs(spark, table)
-    val rd = if (msOf(spark, table, v))
-      spark.read.option("mergeSchema", "true") else spark.read
     val matched = tombFilter(spark, table, tombEntriesOf(spark, table, v),
-        rd.parquet(touch.map(rel => s"$table/$rel"): _*))
+        rawRead(spark, table, v, touch))
       .filter(col(phys) >= lo && col(phys) <= hi)
     val kt = matched.schema(physKey).dataType
     val guardedKey = when(col(physKey).isNotNull, col(physKey))
@@ -1180,10 +1406,8 @@ object TxTable {
         }
       }
     if (candidates.isEmpty) return (v, 0L)
-    val rd = if (msOf(spark, table, v))
-      spark.read.option("mergeSchema", "true") else spark.read
     val cand = tombFilter(spark, table, tombEntriesOf(spark, table, v),
-      rd.parquet(candidates.map(rel => s"$table/$rel"): _*))
+      rawRead(spark, table, v, candidates))
     val dk = keys.toDF("_graft_dk").distinct()
     val matched = cand.join(dk, cand(physKey) === col("_graft_dk"), "left_semi")
     val pairs = matched.select(
@@ -1227,7 +1451,8 @@ object TxTable {
     }
     // manifest-only publish: every DATA file carries verbatim (the
     // "zero files rewritten" property an auditor checks), stats/blooms/
-    // mapping/ms carry with them, tombs extend
+    // mapping/ms carry with them, tombs extend. O(delta) form between
+    // checkpoints — the manifest edit is just the tomb extension.
     val tombs = tombEntriesOf(spark, table, v) ++ named.map(rel => (rel, physKey))
     val parentMs = try commitMsOf(spark, table, v)
       catch { case _: java.io.FileNotFoundException => 0L }
@@ -1236,9 +1461,14 @@ object TxTable {
       .orElse(scala.util.Try(readVersion(spark, table, v).schema.toDDL).toOption)
     val txnJson = txn.map { case (app, batch) =>
       s""","txn":{"app":"$app","batch":$batch}""" }.getOrElse("")
-    val json = renderManifest(v + 1, "mordelete", ts, txnJson, msOf(spark, table, v),
-      schemaDDL, all, statsOf(spark, table, v), bloomEntries(spark, table, v),
-      tombs, map, valueSetsOf(spark, table, v))
+    val json = if ((v + 1) % CheckpointEvery == 0)
+      renderManifest(v + 1, "mordelete", ts, txnJson, msOf(spark, table, v),
+        schemaDDL, all, statsOf(spark, table, v), bloomEntries(spark, table, v),
+        tombs, map, valueSetsOf(spark, table, v), partColOf(spark, table, v))
+    else
+      renderDeltaManifest(v + 1, "mordelete", ts, txnJson, msOf(spark, table, v),
+        schemaDDL, v, all.size, Seq.empty, Seq.empty, Seq.empty, Seq.empty,
+        tombs, map, Seq.empty, partColOf(spark, table, v))
     publishOrConflict(f, table, v + 1, json)
     (v + 1, nDeleted)
   }
@@ -1311,10 +1541,20 @@ object TxTable {
     val parentMs = try commitMsOf(spark, table, v)
       catch { case _: java.io.FileNotFoundException => 0L }
     val ts = math.max(System.currentTimeMillis(), parentMs + 1L)
-    val json = renderManifest(v + 1, op, ts, "", msOf(spark, table, v),
-      Some(schema1.toDDL), filesOf(spark, table, v), statsOf(spark, table, v),
-      bloomEntries(spark, table, v), tombEntriesOf(spark, table, v), Some(map1),
-      valueSetsOf(spark, table, v))
+    // O(delta) between checkpoints: the manifest edit is only the new
+    // schema + mapping (scalar fields) — rename/drop on a 10⁶-file
+    // table writes kilobytes
+    val json = if ((v + 1) % CheckpointEvery == 0)
+      renderManifest(v + 1, op, ts, "", msOf(spark, table, v),
+        Some(schema1.toDDL), filesOf(spark, table, v), statsOf(spark, table, v),
+        bloomEntries(spark, table, v), tombEntriesOf(spark, table, v), Some(map1),
+        valueSetsOf(spark, table, v), partColOf(spark, table, v))
+    else
+      renderDeltaManifest(v + 1, op, ts, "", msOf(spark, table, v),
+        Some(schema1.toDDL), v, filesOf(spark, table, v).size,
+        Seq.empty, Seq.empty, Seq.empty, Seq.empty,
+        tombEntriesOf(spark, table, v), Some(map1), Seq.empty,
+        partColOf(spark, table, v))
     publishOrConflict(f, table, v + 1, json)
     v + 1
   }
@@ -1415,7 +1655,8 @@ object TxTable {
     val json = renderManifest(v, "restore", ts, "", msOf(spark, table, toV),
       schemaDDL, filesOf(spark, table, toV), statsOf(spark, table, toV),
       bloomEntries(spark, table, toV), tombEntriesOf(spark, table, toV),
-      colMapOf(spark, table, toV), valueSetsOf(spark, table, toV))
+      colMapOf(spark, table, toV), valueSetsOf(spark, table, toV),
+      partColOf(spark, table, toV))
     publishOrConflict(f, table, v, json)
     v
   }
@@ -1625,7 +1866,7 @@ object TxTable {
       if (files.isEmpty) None
       else Some(projectVia(atV)(tombFilter(spark, table,
         tombEntriesOf(spark, table, atV),
-        spark.read.parquet(files.map(rel => s"$table/$rel"): _*))))
+        rawRead(spark, table, atV, files))))
     val steps = ((fromV + 1) to toV).flatMap { v =>
       val prev = if (v == 1) Seq.empty else filesOf(spark, table, v - 1)
       val cur = filesOf(spark, table, v)
@@ -1646,9 +1887,11 @@ object TxTable {
               .collect().map(_.getString(0)).toSeq // file NAMES: metadata-scale
             if (touched.isEmpty) None
             else {
-              val rd = if (msOf(spark, table, v))
-                spark.read.option("mergeSchema", "true") else spark.read
-              val raw = rd.parquet(touched.map(n => s"$table/data/$n"): _*)
+              // resolve sidecar file NAMES to manifest-relative paths
+              // (partitioned layouts nest files under <col>=<val>/)
+              val relOf = filesOf(spark, table, v)
+                .map(r => r.substring(r.lastIndexOf('/') + 1) -> r).toMap
+              val raw = rawRead(spark, table, v, touched.map(relOf))
                 .withColumn("_graft_fn",
                   element_at(split(col("_metadata.file_path"), "/"), -1))
               Some(projectVia(v)(
@@ -1707,7 +1950,71 @@ object TxTable {
     val totalBytes = filesOf(spark, table, v)
       .map(rel => f.getFileStatus(new Path(s"$table/$rel")).getLen).sum
     val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
-    commitAs(readVersion(spark, table, v).repartition(nOut), table, v + 1, "compact")
+    // a partitioned layout survives the full rewrite: the fresh files
+    // re-partition by the LOGICAL column (the mapping resets, so
+    // logical == physical afterwards — same rule as the column map)
+    val partLogical = partColOf(spark, table, v).map { pc =>
+      colMapOf(spark, table, v)
+        .flatMap(_.collectFirst { case (n, p) if p == pc => n }).getOrElse(pc) }
+    commitAs(readVersion(spark, table, v).repartition(nOut), table, v + 1,
+      "compact", partitionBy = partLogical)
+  }
+
+  /** Escaped hive directory segment for one partition value — the
+    * exact escaping Spark's `partitionBy` writer used, so the manifest
+    * path match is byte-exact for any value.
+    */
+  private def partDirOf(pc: String, value: String): String =
+    s"data/$pc=" + org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .escapePathName(value)
+
+  /** PARTITION-PRUNED READ: exactly the named partition's files,
+    * selected from the manifest file list alone (the hive partition-
+    * pruning effect — a per-partition read plans and reads the
+    * partition's files, never the snapshot). `value` matches the
+    * partition column's STRING rendering (the directory name).
+    */
+  def readPartition(spark: SparkSession, table: String, value: String,
+                    version: Int = -1): DataFrame = {
+    val v = if (version > 0) version else currentVersion(spark, table)
+    val pc = partColOf(spark, table, v).getOrElse(
+      sys.error(s"TxTable: $table v$v has no partitioned layout — commit with " +
+        "partitionBy, or use readWhereValue (value-set skipping)"))
+    val dir = partDirOf(pc, value) + "/"
+    val mine = filesOf(spark, table, v).filter(_.startsWith(dir))
+    if (mine.isEmpty) readVersion(spark, table, v).limit(0)
+    else snapshotRead(spark, table, v, mine)
+  }
+
+  /** PER-PARTITION OPTIMIZE: rewrite ONLY one partition's files into
+    * ~`targetBytes` outputs; every other partition carries by
+    * reference (zero IO). The scheduled maintenance unit for a
+    * partitioned streaming-ingest table — each partition compacts on
+    * its own cadence, and concurrent compaction of DISJOINT partitions
+    * only conflicts at the (retry-able) version CAS, never on data.
+    *
+    * @return (version, nRewritten, nCarried) — version unchanged with
+    *         nRewritten = 0 when the partition has fewer than 2 files
+    */
+  def compactPartition(spark: SparkSession, table: String, value: String,
+                       targetBytes: Long = 128L << 20): (Int, Int, Int) = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val v = currentVersion(spark, table)
+    require(v >= 1, s"TxTable: nothing to compact at $table")
+    val pc = partColOf(spark, table, v).getOrElse(
+      sys.error(s"TxTable: $table v$v has no partitioned layout"))
+    val dir = partDirOf(pc, value) + "/"
+    val (mine, others) = filesOf(spark, table, v).partition(_.startsWith(dir))
+    if (mine.size < 2) return (v, 0, others.size)
+    val f = fs(spark, table)
+    val bytes = mine.map(rel => f.getFileStatus(new Path(s"$table/$rel")).getLen).sum
+    val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val packed = tombFilter(spark, table, tombEntriesOf(spark, table, v),
+        rawRead(spark, table, v, mine))
+      .repartition(nOut)
+    val nv = commitAs(packed, table, v + 1, "compact",
+      carryFiles = Some(others), dfIsPhysical = true)
+    (nv, mine.size, others.size)
   }
 
   /** Incremental OPTIMIZE (the real Delta semantic — [[compact]] is
@@ -1738,24 +2045,26 @@ object TxTable {
     if (small.size < 2) return (v, 0, sized.size)
     val smallBytes = small.map(_._2).sum
     val nOut = math.max(1L, (smallBytes + targetBytes - 1) / targetBytes).toInt
-    val rd = if (msOf(spark, table, v))
-      spark.read.option("mergeSchema", "true") else spark.read
     // the rewrite APPLIES merge-on-read tombstones (rebinned rows get
     // new file names, outside the per-file tombstone scope); tombs for
     // the carried files ride the carry rule in commitAs
     val packed = tombFilter(spark, table, tombEntriesOf(spark, table, v),
-        rd.parquet(small.map(s => s"$table/${s._1}"): _*))
+        rawRead(spark, table, v, small.map(_._1)))
       .repartition(nOut)
     val nv = commitAs(packed, table, v + 1, "compact", statsCols,
       carryFiles = Some(big.map(_._1)), dfIsPhysical = true)
     (nv, small.size, big.size)
   }
 
-  /** Drop the whole table (tests / rebuild-from-scratch pipelines). */
+  /** Drop the whole table (tests / rebuild-from-scratch pipelines).
+    * Invalidates the table's cached snapshots — the same path may be
+    * recreated with new content at the same version numbers.
+    */
   def drop(spark: SparkSession, table: String): Unit = {
     val p = new Path(table)
     val f = fs(spark, table)
     if (f.exists(p)) f.delete(p, true)
+    snapCache.keySet.removeIf(_._1 == table)
     ()
   }
 
@@ -1773,8 +2082,13 @@ object TxTable {
     val referenced = liveVersions(spark, table)
       .flatMap(v => filesOf(spark, table, v) ++
         tombEntriesOf(spark, table, v).map(_._1)).toSet
-    f.listStatus(dataDir).map(s => s"data/${s.getPath.getName}")
-      .filterNot(referenced).sorted.toSeq
+    // one level of partition directories (data/<col>=<val>/file)
+    f.listStatus(dataDir).toSeq.flatMap { st =>
+      if (st.isDirectory)
+        f.listStatus(st.getPath).toSeq
+          .map(c => s"data/${st.getPath.getName}/${c.getPath.getName}")
+      else Seq(s"data/${st.getPath.getName}")
+    }.filterNot(referenced).sorted
   }
 
   /** Target version encoded in a data-file name (`v<N>_<i>_<nonce>`),
@@ -1812,7 +2126,8 @@ object TxTable {
     val head = currentVersion(spark, table)
     val now = System.currentTimeMillis()
     val dead = orphans(spark, table).filter { rel =>
-      val inFlight = fileVersion(rel.stripPrefix("data/")).exists(_ > head)
+      val inFlight =
+        fileVersion(rel.substring(rel.lastIndexOf('/') + 1)).exists(_ > head)
       !inFlight && (try {
         now - f.getFileStatus(new Path(s"$table/$rel")).getModificationTime >= minAgeMs
       } catch { case _: java.io.FileNotFoundException => false }) // a racing vacuum got it
@@ -1837,7 +2152,21 @@ object TxTable {
     val live = liveVersions(spark, table)
     val head = live.foldLeft(0)(math.max)
     val cut = head - keepLast // expire live versions <= cut
-    val (expire, keep) = live.partition(_ <= cut)
+    // CHECKPOINT BOUNDARY: a delta manifest reconstructs through its
+    // contiguous parent chain down to its base checkpoint — expiring
+    // any link of a KEPT version's chain would strand that version
+    // unreadably. The oldest kept version's chain floor bounds what
+    // may expire; the CheckpointEvery cadence keeps the extra
+    // retention under one checkpoint interval of (small) manifests.
+    def chainFloorOf(v: Int): Int = {
+      var cur = v
+      var base = deltaBaseOf(manifestText(spark, table, cur))
+      while (base.isDefined) { cur = base.get
+        base = deltaBaseOf(manifestText(spark, table, cur)) }
+      cur
+    }
+    val floor = live.filter(_ > cut).minOption.fold(head)(chainFloorOf)
+    val (expire, keep) = live.partition(v => v <= cut && v < floor)
     if (expire.isEmpty) return (Seq.empty, Seq.empty)
     val keptFiles = keep.flatMap(v => filesOf(spark, table, v) ++
       tombEntriesOf(spark, table, v).map(_._1)).toSet
@@ -1847,7 +2176,10 @@ object TxTable {
     // Order matters for crash safety: drop manifests FIRST so no
     // reader can resolve a version whose files are mid-delete; a crash
     // between the two phases leaves orphans, which vacuum reclaims.
-    expire.foreach(v => f.delete(manifestPath(table, v), false))
+    expire.foreach { v =>
+      f.delete(manifestPath(table, v), false)
+      snapCache.remove((table, v)) // expired versions must fail loudly
+    }
     deadFiles.foreach(rel => f.delete(new Path(s"$table/$rel"), false))
     (expire, deadFiles)
   }
