@@ -2510,6 +2510,76 @@ object SparkEntry {
       side(src, "src").unionByName(side(dst, "dst"))
     }),
 
+    // §2#62ae (r10) PARTITIONED TxTable layout: hive-style
+    // data/<col>=<val>/ files with the partition column recorded in
+    // the manifest — a per-partition read selects the partition's
+    // files from the manifest alone (true partition pruning, the
+    // physical complement of q328's value-set skipping), and the
+    // partition column re-derives from the path on read. The oracle
+    // recomputes both sections from the raw layout via DuckDB's
+    // hive_partitioning.
+    "q330_tx_partitioned" -> ((s, dir) => {
+      val table = sidePath("graft_txpt", dir)
+      sources.TxTable.drop(s, table)
+      val ord = t(s, dir, "orders").df
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      sources.TxTable.commit(ord, table, statsCols = Seq("o_orderkey"),
+        partitionBy = Some("o_orderpriority"))
+      val probe = "3-MEDIUM"
+      val total = sources.TxTable.filesOf(s, table, 1)
+      val mine = total.filter(_.startsWith(s"data/o_orderpriority=$probe/"))
+      val rows = sources.TxTable.readPartition(s, table, probe)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
+        .select(lit("rows").as("section"), col("n_rows"), col("sum_price"))
+      val absent = sources.TxTable.readPartition(s, table, "9-NONE")
+        .agg(count(lit(1)).as("n_rows"))
+        .select(lit("absent").as("section"), col("n_rows"),
+          lit(null).cast("double").as("sum_price"))
+      val meta = s.createDataFrame(Seq(
+          ("kept_files", mine.size.toLong),
+          ("total_files", total.size.toLong)))
+        .toDF("section", "n_rows")
+        .withColumn("sum_price", lit(null).cast("double"))
+      rows.unionByName(absent).unionByName(meta)
+    }),
+
+    // §2#62af (r10) positional deletion vectors: the (file, row
+    // ordinal) merge-on-read delete — schema-independent (no key
+    // column) and ordinal-cheap on the read side; zero data files
+    // rewritten; OPTIMIZE folds the vectors. The oracle recomputes the
+    // anti-join from the raw files via DuckDB's file_row_number, so a
+    // single mis-recorded ordinal hash-fails.
+    "q331_tx_pos_delete" -> ((s, dir) => {
+      val table = sidePath("graft_txpd", dir)
+      sources.TxTable.drop(s, table)
+      val ord = t(s, dir, "orders").df.select(col("o_orderkey"), col("o_totalprice"))
+      sources.TxTable.commit(ord.repartitionByRange(4, col("o_orderkey")), table,
+        statsCols = Seq("o_orderkey"))
+      val files1 = sources.TxTable.filesOf(s, table, 1)
+      val (v2, nDel) = sources.TxTable.deleteWherePos(s, table, "o_orderkey", 1.0, 500.0)
+      val nVecFiles = sources.TxTable.posDeletesOf(s, table, v2).size
+      val zeroRewrite = sources.TxTable.filesOf(s, table, v2) == files1
+      val v3 = sources.TxTable.compact(s, table)
+      val vecsAfter = sources.TxTable.posDeletesOf(s, table, v3).size
+      def summarize(df: org.apache.spark.sql.DataFrame, label: String) =
+        df.agg(count(lit(1)).as("n_rows"),
+            sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
+          .select(lit("table").as("section"), lit(label).as("label"),
+            col("n_rows"), col("sum_price"))
+      val meta = s.createDataFrame(Seq(
+          ("meta", "zero_rewrite", if (zeroRewrite) 1L else 0L),
+          ("meta", "n_deleted", nDel),
+          ("meta", "n_vec_files", nVecFiles.toLong),
+          ("meta", "vecs_after_compact", vecsAfter.toLong)))
+        .toDF("section", "label", "n_rows")
+        .withColumn("sum_price", lit(null).cast("double"))
+      summarize(sources.TxTable.readVersion(s, table, 1), "v1_full")
+        .unionByName(summarize(sources.TxTable.readVersion(s, table, v2), "v2_pos"))
+        .unionByName(summarize(sources.TxTable.readVersion(s, table, v3), "v3_compacted"))
+        .unionByName(meta)
+    }),
+
     // §2#52av (r8) Cochran–Armitage trend: is the purchase RATE
     // monotone across the hour-of-day ordinal — the ordered companion
     // to q146's anywhere-different chi-square; exact integer sums, one
@@ -5674,6 +5744,50 @@ object SparkEntry {
            CAST(NULL AS DOUBLE)
          UNION ALL SELECT 'total_files',
            (SELECT COUNT(DISTINCT filename) FROM v1), CAST(NULL AS DOUBLE)""",
+
+    "q330_tx_partitioned" ->
+      """WITH v1 AS (
+           SELECT o_orderkey, o_totalprice, o_orderpriority, filename
+           FROM read_parquet('/tmp/graft_txpt___SFTAG__/data/*/v1_*.parquet',
+                             filename=true, hive_partitioning=1))
+         SELECT 'rows' AS section, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+         FROM v1 WHERE o_orderpriority = '3-MEDIUM'
+         UNION ALL SELECT 'absent', 0, CAST(NULL AS DOUBLE)
+         UNION ALL SELECT 'kept_files',
+           (SELECT COUNT(DISTINCT filename) FROM v1 WHERE o_orderpriority = '3-MEDIUM'),
+           CAST(NULL AS DOUBLE)
+         UNION ALL SELECT 'total_files',
+           (SELECT COUNT(DISTINCT filename) FROM v1), CAST(NULL AS DOUBLE)""",
+
+    "q331_tx_pos_delete" ->
+      """WITH v1 AS (
+           SELECT o_orderkey, o_totalprice,
+             regexp_extract(filename, '[^/]*$') AS fn, file_row_number AS ri
+           FROM read_parquet('/tmp/graft_txpd___SFTAG__/data/v1_*.parquet',
+                             filename=true, file_row_number=true)),
+         vec AS (
+           SELECT _gf, _gp
+           FROM read_parquet('/tmp/graft_txpd___SFTAG__/data/v2_p*.parquet')),
+         mor AS (
+           SELECT d.o_orderkey, d.o_totalprice FROM v1 d
+           ANTI JOIN vec t ON d.fn = t._gf AND d.ri = t._gp)
+         SELECT 'table' AS section, 'v1_full' AS label, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+         FROM v1
+         UNION ALL SELECT 'table', 'v2_pos', COUNT(*),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) FROM mor
+         UNION ALL SELECT 'table', 'v3_compacted', COUNT(*),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+         FROM read_parquet('/tmp/graft_txpd___SFTAG__/data/v3_*.parquet')
+         UNION ALL SELECT 'meta', 'zero_rewrite', CAST(1 AS BIGINT), CAST(NULL AS DOUBLE)
+         UNION ALL SELECT 'meta', 'n_deleted',
+           (SELECT COUNT(*) FROM vec), CAST(NULL AS DOUBLE)
+         UNION ALL SELECT 'meta', 'n_vec_files',
+           (SELECT COUNT(DISTINCT filename)
+            FROM read_parquet('/tmp/graft_txpd___SFTAG__/data/v2_p*.parquet', filename=true)),
+           CAST(NULL AS DOUBLE)
+         UNION ALL SELECT 'meta', 'vecs_after_compact', CAST(0 AS BIGINT), CAST(NULL AS DOUBLE)""",
 
     "q326_tx_backfill" ->
       """SELECT CAST(1 AS INT) AS version, COUNT(*) AS n_rows,

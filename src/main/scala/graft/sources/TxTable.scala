@@ -259,6 +259,17 @@ object TxTable {
       s"""{"f":"$fl","k":"$k"}"""
     }.mkString(",") + "]"
 
+  /** Positional deletion-vector sidecars: each holds (_gf = data-file
+    * name, _gp = row ordinal) pairs the snapshot read anti-joins away
+    * — the Delta/Iceberg deletion-vector shape. Schema-independent
+    * (no key column) and cheaper than the key form on wide string
+    * keys: the read compares a long ordinal, never a key value.
+    */
+  private def posdJsonOf(posd: Seq[String]): String =
+    if (posd.isEmpty) ""
+    else "," + "\"posd\":[" + posd.map(fl => s"""{"f":"$fl"}""")
+      .mkString(",") + "]"
+
   /** Column mapping (the Delta column-mapping / Iceberg field-id
     * shape, keyed by STABLE physical name instead of an id): each live
     * column's (logical name, physical name). Physical names never
@@ -284,7 +295,8 @@ object TxTable {
                              tombs: Seq[(String, String)],
                              map: Option[Seq[(String, String)]],
                              vsets: Seq[(String, String, Seq[String])] = Nil,
-                             part: Option[String] = None): String = {
+                             part: Option[String] = None,
+                             posd: Seq[String] = Nil): String = {
     val msJson = if (evolved) ""","ms":1""" else ""
     val partJson = part.fold("")(p => s""","part":"${jesc(p)}"""")
     val schemaJson = schemaDDL.map(d => s""""schema":"${jesc(d)}",""").getOrElse("")
@@ -292,7 +304,7 @@ object TxTable {
       schemaJson + s""""n_files":${files.size},""" +
       s""""files":[${files.map("\"" + _ + "\"").mkString(",")}]""" +
       statsJsonOf(stats) + bloomJsonOf(blooms) + tombJsonOf(tombs) +
-      mapJsonOf(map) + vsetJsonOf(vsets) + "}"
+      mapJsonOf(map) + vsetJsonOf(vsets) + posdJsonOf(posd) + "}"
   }
 
   /** DELTA manifest renderer (the commits between checkpoints):
@@ -313,7 +325,8 @@ object TxTable {
                                   tombs: Seq[(String, String)],
                                   map: Option[Seq[(String, String)]],
                                   addVsets: Seq[(String, String, Seq[String])],
-                                  part: Option[String] = None): String = {
+                                  part: Option[String] = None,
+                                  posd: Seq[String] = Nil): String = {
     val msJson = if (evolved) ""","ms":1""" else ""
     val partJson = part.fold("")(p => s""","part":"${jesc(p)}"""")
     val schemaJson = schemaDDL.map(d => s""""schema":"${jesc(d)}",""").getOrElse("")
@@ -322,7 +335,7 @@ object TxTable {
       s""""add":[${addFiles.map("\"" + _ + "\"").mkString(",")}],""" +
       s""""rm":[${rmFiles.map("\"" + _ + "\"").mkString(",")}]""" +
       statsJsonOf(addStats) + bloomJsonOf(addBlooms) + tombJsonOf(tombs) +
-      mapJsonOf(map) + vsetJsonOf(addVsets) + "}"
+      mapJsonOf(map) + vsetJsonOf(addVsets) + posdJsonOf(posd) + "}"
   }
 
   /** CAS-publish one rendered manifest; loud conflict on a lost race;
@@ -433,7 +446,8 @@ object TxTable {
       stats: Seq[(String, String, Double, Double)],
       blooms: Seq[(String, String, Int, Int, String)],
       vsets: Seq[(String, String, Seq[String])],
-      tombs: Seq[(String, String)])
+      tombs: Seq[(String, String)],
+      posd: Seq[String])
 
   /** Manifests are immutable once published, so resolved snapshots
     * cache safely; bounded (cleared wholesale past the cap — resolved
@@ -473,6 +487,11 @@ object TxTable {
       .findAllMatchIn(arraySpan(txt, "tomb"))
       .map(m => (m.group(1), m.group(2))).toSeq
 
+  private def parsePosd(txt: String): Seq[String] =
+    """\{"f":"([^"]*)"\}""".r
+      .findAllMatchIn(arraySpan(txt, "posd"))
+      .map(_.group(1)).toSeq
+
   private def deltaBaseOf(txt: String): Option[Int] =
     "\"base\":(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toInt)
 
@@ -497,7 +516,7 @@ object TxTable {
       case None =>
         require(txt.contains("\"files\":["), s"TxTable: malformed manifest $p")
         TxSnapshot(parseFileArray(txt, "files"), parseStats(txt),
-          parseBlooms(txt), parseVsets(txt), parseTombs(txt))
+          parseBlooms(txt), parseVsets(txt), parseTombs(txt), parsePosd(txt))
       case Some(b) =>
         val parent = snapshotOf(spark, table, b)
         val rm = parseFileArray(txt, "rm").toSet
@@ -506,7 +525,7 @@ object TxTable {
           parent.stats.filterNot(e => rm(e._1)) ++ parseStats(txt),
           parent.blooms.filterNot(e => rm(e._1)) ++ parseBlooms(txt),
           parent.vsets.filterNot(e => rm(e._1)) ++ parseVsets(txt),
-          parseTombs(txt))
+          parseTombs(txt), parsePosd(txt))
     }
     if (snapCache.size > 512) snapCache.clear()
     snapCache.put(key, snap)
@@ -899,13 +918,15 @@ object TxTable {
         // tombFilter)
         val carriedTombs = if (carried.nonEmpty && target > 1)
           tombEntriesOf(spark, table, target - 1) else Seq.empty
+        val carriedPosd = if (carried.nonEmpty && target > 1)
+          posDeletesOf(spark, table, target - 1) else Seq.empty[String]
         renderManifest(target, op, ts, txnJson, evolved,
           Some(logicalSchema.toDDL), all,
           carriedStats ++ newStats.map { case (i, c, lo, hi) => (named(i), c, lo, hi) },
           carriedBloom ++ newBloom.map { case (i, c, m, k, b) => (named(i), c, m, k, b) },
           carriedTombs, writeMap,
           carriedVsets ++ newVsets.map { case (i, c, vs) => (named(i), c, vs) },
-          physPart)
+          physPart, carriedPosd)
       } else {
         renderDeltaManifest(target, op, ts, txnJson, evolved,
           Some(logicalSchema.toDDL), target - 1, all.size,
@@ -914,7 +935,7 @@ object TxTable {
           newBloom.map { case (i, c, m, k, b) => (named(i), c, m, k, b) },
           tombEntriesOf(spark, table, target - 1), writeMap,
           newVsets.map { case (i, c, vs) => (named(i), c, vs) },
-          physPart)
+          physPart, posDeletesOf(spark, table, target - 1))
       }
       val mp = manifestPath(table, target)
       f.mkdirs(mp.getParent)
@@ -1054,6 +1075,12 @@ object TxTable {
   def tombEntriesOf(spark: SparkSession, table: String, v: Int): Seq[(String, String)] =
     snapshotOf(spark, table, v).tombs
 
+  /** Positional deletion-vector sidecars of version `v`'s snapshot.
+    * Empty for snapshots with no outstanding positional deletes.
+    */
+  def posDeletesOf(spark: SparkSession, table: String, v: Int): Seq[String] =
+    snapshotOf(spark, table, v).posd
+
   /** Per-file value-set skipping entries of version `v`: (file,
     * physical column, distinct values). Empty for commits made without
     * `setCols` and for files exceeding [[VsetMaxValues]].
@@ -1172,16 +1199,49 @@ object TxTable {
     }
   }
 
+  /** Positional deletion-vector anti-join: drop every (file, row
+    * ordinal) pair a posd sidecar records. The ordinal is parquet's
+    * stable in-file row index (`_metadata.row_index`), so the filter
+    * is schema-independent — no key column, a long-equality test per
+    * row — and composes with any column mapping or evolution.
+    */
+  private def posFilter(spark: SparkSession, table: String,
+                        posd: Seq[String], base: DataFrame): DataFrame =
+    if (posd.isEmpty) base
+    else {
+      val pairs = spark.read.parquet(posd.map(rel => s"$table/$rel"): _*)
+        .select(col("_gf").as("_graft_pf"), col("_gp").as("_graft_pp"))
+      val withF = base
+        .withColumn("_graft_pos_file",
+          element_at(split(col("_metadata.file_path"), "/"), -1))
+        .withColumn("_graft_pos_ri", col("_metadata.row_index"))
+      withF.join(pairs, withF("_graft_pos_file") === col("_graft_pf") &&
+          withF("_graft_pos_ri") === col("_graft_pp"), "left_anti")
+        .drop("_graft_pos_file", "_graft_pos_ri")
+    }
+
+  /** BOTH merge-on-read filters of version `v` — key tombstones and
+    * positional deletion vectors — over a raw per-file frame. Every
+    * physical read (snapshot, delete candidates, compaction rewrites,
+    * CDC inserts) goes through this so no path can resurrect deleted
+    * rows in either form.
+    */
+  private def morFilter(spark: SparkSession, table: String, v: Int,
+                        base: DataFrame): DataFrame =
+    posFilter(spark, table, posDeletesOf(spark, table, v),
+      tombFilter(spark, table, tombEntriesOf(spark, table, v), base))
+
   /** One snapshot read over an explicit subset of version `v`'s files:
     * mergeSchema for evolved snapshots, partition-column re-derivation
-    * for partitioned layouts, tombstone anti-join, logical projection.
-    * Shared by [[readVersion]] and the pruned readers so no path can
-    * resurrect merge-on-read-deleted rows or leak physical names.
+    * for partitioned layouts, tombstone + deletion-vector anti-joins,
+    * logical projection. Shared by [[readVersion]] and the pruned
+    * readers so no path can resurrect merge-on-read-deleted rows or
+    * leak physical names.
     */
   private def snapshotRead(spark: SparkSession, table: String, v: Int,
                            files: Seq[String]): DataFrame = {
     val base = rawRead(spark, table, v, files)
-    val unTombed = tombFilter(spark, table, tombEntriesOf(spark, table, v), base)
+    val unTombed = morFilter(spark, table, v, base)
     val mapped = colMapOf(spark, table, v).fold(unTombed)(m =>
       unTombed.select(m.map { case (n, p) => col(p).as(n) }: _*))
     // partitioned layout: conform column ORDER to the recorded schema
@@ -1283,7 +1343,7 @@ object TxTable {
     // survive the rewrite. The candidate read applies existing MoR
     // tombstones — a rewrite gives rows NEW file names, which would
     // break the per-(file, key) tombstone scope and resurrect them.
-    val survivors = tombFilter(spark, table, tombEntriesOf(spark, table, v),
+    val survivors = morFilter(spark, table, v,
         rawRead(spark, table, v, touch))
       .filter(col(phys).isNull || !(col(phys) >= lo && col(phys) <= hi))
     val nv = commitAs(survivors, table, v + 1, "delete", statsCols,
@@ -1325,7 +1385,7 @@ object TxTable {
     val touch = prunedFiles(spark, table, v, colName, lo, hi)
     if (touch.isEmpty) return (v, 0L)
     val f = fs(spark, table)
-    val matched = tombFilter(spark, table, tombEntriesOf(spark, table, v),
+    val matched = morFilter(spark, table, v,
         rawRead(spark, table, v, touch))
       .filter(col(phys) >= lo && col(phys) <= hi)
     val kt = matched.schema(physKey).dataType
@@ -1406,7 +1466,7 @@ object TxTable {
         }
       }
     if (candidates.isEmpty) return (v, 0L)
-    val cand = tombFilter(spark, table, tombEntriesOf(spark, table, v),
+    val cand = morFilter(spark, table, v,
       rawRead(spark, table, v, candidates))
     val dk = keys.toDF("_graft_dk").distinct()
     val matched = cand.join(dk, cand(physKey) === col("_graft_dk"), "left_semi")
@@ -1464,11 +1524,93 @@ object TxTable {
     val json = if ((v + 1) % CheckpointEvery == 0)
       renderManifest(v + 1, "mordelete", ts, txnJson, msOf(spark, table, v),
         schemaDDL, all, statsOf(spark, table, v), bloomEntries(spark, table, v),
-        tombs, map, valueSetsOf(spark, table, v), partColOf(spark, table, v))
+        tombs, map, valueSetsOf(spark, table, v), partColOf(spark, table, v),
+        posDeletesOf(spark, table, v))
     else
       renderDeltaManifest(v + 1, "mordelete", ts, txnJson, msOf(spark, table, v),
         schemaDDL, v, all.size, Seq.empty, Seq.empty, Seq.empty, Seq.empty,
-        tombs, map, Seq.empty, partColOf(spark, table, v))
+        tombs, map, Seq.empty, partColOf(spark, table, v),
+        posDeletesOf(spark, table, v))
+    publishOrConflict(f, table, v + 1, json)
+    (v + 1, nDeleted)
+  }
+
+  /** Row-level DELETE via POSITIONAL DELETION VECTORS (the
+    * Delta/Iceberg deletion-vector shape): like [[deleteWhereMor]],
+    * ZERO data files rewrite — but the sidecar records (data-file, row
+    * ORDINAL) pairs instead of key values, so the form is
+    * SCHEMA-INDEPENDENT (no key column required, NULL keys are fine,
+    * composes with any mapping/evolution) and the read-side anti-join
+    * compares a long ordinal instead of a possibly-wide key — the
+    * cheap test on tables whose natural key is a wide string. Same
+    * semantics otherwise: NULL-predicate rows kept, already-deleted
+    * rows never re-recorded, appends unaffected, OPTIMIZE folds the
+    * vectors away.
+    *
+    * @return (version, nDeletedRows) — the current version with 0 when
+    *         no candidate row matches (Delta's no-op rule)
+    */
+  def deleteWherePos(spark: SparkSession, table: String, colName: String,
+                     lo: Double, hi: Double): (Int, Long) = {
+    val v = currentVersion(spark, table)
+    require(v >= 1, s"TxTable: cannot delete from non-existent table $table")
+    val phys = physOf(colMapOf(spark, table, v), colName)
+    val touch = prunedFiles(spark, table, v, colName, lo, hi)
+    if (touch.isEmpty) return (v, 0L)
+    val matched = morFilter(spark, table, v, rawRead(spark, table, v, touch))
+      .filter(col(phys) >= lo && col(phys) <= hi)
+    val pairs = matched.select(
+      element_at(split(col("_metadata.file_path"), "/"), -1).as("_gf"),
+      col("_metadata.row_index").as("_gp"))
+    publishPosPairs(spark, table, v, pairs)
+  }
+
+  /** Sidecar-publish tail of the positional delete: write the (file,
+    * ordinal) pairs as a deletion-vector sidecar, then publish a
+    * manifest-only `posdelete` version carrying every data file, stat,
+    * bloom, value set, mapping, tomb, and prior vector verbatim.
+    * Empty match → no commit.
+    */
+  private def publishPosPairs(spark: SparkSession, table: String, v: Int,
+                              pairs: DataFrame): (Int, Long) = {
+    val f = fs(spark, table)
+    val all = filesOf(spark, table, v)
+    val map = colMapOf(spark, table, v)
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new Path(s"$table/_tmp_v${v + 1}_$nonce")
+    pairs.write.mode("overwrite").parquet(tmp.toString)
+    val parts = f.listStatus(tmp).map(_.getPath)
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    f.mkdirs(new Path(s"$table/data"))
+    val named = parts.zipWithIndex.map { case (p0, i) =>
+      val rel = s"data/v${v + 1}_p${i}_$nonce.parquet"
+      require(f.rename(p0, new Path(s"$table/$rel")), s"rename failed for $p0")
+      rel
+    }.toSeq
+    f.delete(tmp, true)
+    val nDeleted =
+      if (named.isEmpty) 0L
+      else spark.read.parquet(named.map(rel => s"$table/$rel"): _*).count()
+    if (nDeleted == 0L) {
+      named.foreach(rel => f.delete(new Path(s"$table/$rel"), false))
+      return (v, 0L)
+    }
+    val posd = posDeletesOf(spark, table, v) ++ named
+    val parentMs = try commitMsOf(spark, table, v)
+      catch { case _: java.io.FileNotFoundException => 0L }
+    val ts = math.max(System.currentTimeMillis(), parentMs + 1L)
+    val schemaDDL = manifestSchema(spark, table, v).map(_.toDDL)
+      .orElse(scala.util.Try(readVersion(spark, table, v).schema.toDDL).toOption)
+    val json = if ((v + 1) % CheckpointEvery == 0)
+      renderManifest(v + 1, "posdelete", ts, "", msOf(spark, table, v),
+        schemaDDL, all, statsOf(spark, table, v), bloomEntries(spark, table, v),
+        tombEntriesOf(spark, table, v), map, valueSetsOf(spark, table, v),
+        partColOf(spark, table, v), posd)
+    else
+      renderDeltaManifest(v + 1, "posdelete", ts, "", msOf(spark, table, v),
+        schemaDDL, v, all.size, Seq.empty, Seq.empty, Seq.empty, Seq.empty,
+        tombEntriesOf(spark, table, v), map, Seq.empty,
+        partColOf(spark, table, v), posd)
     publishOrConflict(f, table, v + 1, json)
     (v + 1, nDeleted)
   }
@@ -1548,13 +1690,14 @@ object TxTable {
       renderManifest(v + 1, op, ts, "", msOf(spark, table, v),
         Some(schema1.toDDL), filesOf(spark, table, v), statsOf(spark, table, v),
         bloomEntries(spark, table, v), tombEntriesOf(spark, table, v), Some(map1),
-        valueSetsOf(spark, table, v), partColOf(spark, table, v))
+        valueSetsOf(spark, table, v), partColOf(spark, table, v),
+        posDeletesOf(spark, table, v))
     else
       renderDeltaManifest(v + 1, op, ts, "", msOf(spark, table, v),
         Some(schema1.toDDL), v, filesOf(spark, table, v).size,
         Seq.empty, Seq.empty, Seq.empty, Seq.empty,
         tombEntriesOf(spark, table, v), Some(map1), Seq.empty,
-        partColOf(spark, table, v))
+        partColOf(spark, table, v), posDeletesOf(spark, table, v))
     publishOrConflict(f, table, v + 1, json)
     v + 1
   }
@@ -1656,7 +1799,7 @@ object TxTable {
       schemaDDL, filesOf(spark, table, toV), statsOf(spark, table, toV),
       bloomEntries(spark, table, toV), tombEntriesOf(spark, table, toV),
       colMapOf(spark, table, toV), valueSetsOf(spark, table, toV),
-      partColOf(spark, table, toV))
+      partColOf(spark, table, toV), posDeletesOf(spark, table, toV))
     publishOrConflict(f, table, v, json)
     v
   }
@@ -1864,8 +2007,7 @@ object TxTable {
       }
     def readFiles(files: Seq[String], atV: Int): Option[DataFrame] =
       if (files.isEmpty) None
-      else Some(projectVia(atV)(tombFilter(spark, table,
-        tombEntriesOf(spark, table, atV),
+      else Some(projectVia(atV)(morFilter(spark, table, atV,
         rawRead(spark, table, atV, files))))
     val steps = ((fromV + 1) to toV).flatMap { v =>
       val prev = if (v == 1) Seq.empty else filesOf(spark, table, v - 1)
@@ -1876,6 +2018,34 @@ object TxTable {
         // merge-on-read delete: the delta is exactly the NEW tombstone
         // (file, key) pairs resolved against the files they reference —
         // the read touches ONLY those files, never the snapshot
+        case "posdelete" =>
+          // the delta is exactly the NEW deletion-vector pairs,
+          // resolved against the files they reference
+          val newPosd = posDeletesOf(spark, table, v)
+            .diff(posDeletesOf(spark, table, v - 1))
+          if (newPosd.isEmpty) Seq.empty
+          else {
+            val pairs = spark.read
+              .parquet(newPosd.map(rel => s"$table/$rel"): _*)
+              .select(col("_gf").as("_graft_pf"), col("_gp").as("_graft_pp"))
+            val touched = pairs.select("_graft_pf").distinct()
+              .collect().map(_.getString(0)).toSeq // file NAMES: metadata-scale
+            if (touched.isEmpty) Seq.empty
+            else {
+              val relOf = filesOf(spark, table, v)
+                .map(r => r.substring(r.lastIndexOf('/') + 1) -> r).toMap
+              val raw = rawRead(spark, table, v, touched.map(relOf))
+                .withColumn("_graft_fn",
+                  element_at(split(col("_metadata.file_path"), "/"), -1))
+                .withColumn("_graft_ri", col("_metadata.row_index"))
+              Seq(projectVia(v)(
+                raw.join(pairs, raw("_graft_fn") === col("_graft_pf") &&
+                  raw("_graft_ri") === col("_graft_pp"), "left_semi")
+                  .drop("_graft_fn", "_graft_ri"))
+                .withColumn("_change", lit("delete"))
+                .withColumn("_version", lit(v)))
+            }
+          }
         case "mordelete" =>
           val newTombs = tombEntriesOf(spark, table, v)
             .diff(tombEntriesOf(spark, table, v - 1))
@@ -2009,7 +2179,7 @@ object TxTable {
     val f = fs(spark, table)
     val bytes = mine.map(rel => f.getFileStatus(new Path(s"$table/$rel")).getLen).sum
     val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    val packed = tombFilter(spark, table, tombEntriesOf(spark, table, v),
+    val packed = morFilter(spark, table, v,
         rawRead(spark, table, v, mine))
       .repartition(nOut)
     val nv = commitAs(packed, table, v + 1, "compact",
@@ -2048,7 +2218,7 @@ object TxTable {
     // the rewrite APPLIES merge-on-read tombstones (rebinned rows get
     // new file names, outside the per-file tombstone scope); tombs for
     // the carried files ride the carry rule in commitAs
-    val packed = tombFilter(spark, table, tombEntriesOf(spark, table, v),
+    val packed = morFilter(spark, table, v,
         rawRead(spark, table, v, small.map(_._1)))
       .repartition(nOut)
     val nv = commitAs(packed, table, v + 1, "compact", statsCols,
@@ -2081,7 +2251,8 @@ object TxTable {
     // sidecar would resurrect its deleted rows
     val referenced = liveVersions(spark, table)
       .flatMap(v => filesOf(spark, table, v) ++
-        tombEntriesOf(spark, table, v).map(_._1)).toSet
+        tombEntriesOf(spark, table, v).map(_._1) ++
+        posDeletesOf(spark, table, v)).toSet
     // one level of partition directories (data/<col>=<val>/file)
     f.listStatus(dataDir).toSeq.flatMap { st =>
       if (st.isDirectory)
@@ -2169,9 +2340,11 @@ object TxTable {
     val (expire, keep) = live.partition(v => v <= cut && v < floor)
     if (expire.isEmpty) return (Seq.empty, Seq.empty)
     val keptFiles = keep.flatMap(v => filesOf(spark, table, v) ++
-      tombEntriesOf(spark, table, v).map(_._1)).toSet
+      tombEntriesOf(spark, table, v).map(_._1) ++
+      posDeletesOf(spark, table, v)).toSet
     val deadFiles = expire.flatMap(v => filesOf(spark, table, v) ++
-      tombEntriesOf(spark, table, v).map(_._1))
+      tombEntriesOf(spark, table, v).map(_._1) ++
+      posDeletesOf(spark, table, v))
       .distinct.filterNot(keptFiles).sorted
     // Order matters for crash safety: drop manifests FIRST so no
     // reader can resolve a version whose files are mid-delete; a crash

@@ -290,4 +290,48 @@ class Round10OpsSpec extends SparkSpec {
     // CDC: the compact replays as nothing
     TxTable.changes(spark, table, nv - 1, nv).count() shouldBe 0L
   }
+
+  // --- directive r9#5: positional deletion vectors — the (file, row
+  // ordinal) sidecar form. Result-equal to the key-tombstone form on
+  // the same inputs, zero files rewritten, schema-independent (no key
+  // column), CDC replays the delete, OPTIMIZE folds the vectors.
+  test("positional deletion vectors: equal to the key form, zero rewrite, CDC + fold") {
+    import org.apache.spark.sql.functions.{col => c}
+    val keyT = freshTable()
+    val posT = freshTable()
+    val df = (1L to 100L).map(i => (i, s"s$i")).toDF("id", "s")
+      .repartition(4, c("id"))
+    Seq(keyT, posT).foreach(t => TxTable.commit(df, t, statsCols = Seq("id")))
+    val (kv, kn) = TxTable.deleteWhereMor(spark, keyT, "id", 10.0, 40.0, "id")
+    val (pv, pn) = TxTable.deleteWherePos(spark, posT, "id", 10.0, 40.0)
+    pn shouldBe kn
+    // zero files rewritten in both forms
+    TxTable.filesOf(spark, posT, pv) shouldBe TxTable.filesOf(spark, posT, 1)
+    canon(TxTable.readVersion(spark, posT, pv)) shouldBe
+      canon(TxTable.readVersion(spark, keyT, kv))
+    // already-deleted rows never re-record (idempotent no-op)
+    TxTable.deleteWherePos(spark, posT, "id", 10.0, 40.0)._2 shouldBe 0L
+    // a second, overlapping positional delete stacks correctly
+    TxTable.deleteWherePos(spark, posT, "id", 30.0, 50.0)._2 shouldBe 10L
+    TxTable.read(spark, posT).count() shouldBe 59L
+    // CDC: the posdelete version replays as exactly the deleted rows
+    val cdc = TxTable.changes(spark, posT, 1, 2)
+    cdc.filter(c("_change") === "delete").count() shouldBe 31L
+    cdc.count() shouldBe 31L
+    // appends after the delete are unaffected; re-inserted ordinals
+    // in NEW files never collide with old vectors (per-file scope)
+    TxTable.commit(Seq((10L, "re10")).toDF("id", "s"), posT,
+      statsCols = Seq("id"))
+    TxTable.read(spark, posT).filter(c("id") === 10L).count() shouldBe 1L
+    // OPTIMIZE folds the vectors away: content preserved, posd gone
+    val cv = TxTable.compact(spark, posT)
+    TxTable.posDeletesOf(spark, posT, cv) shouldBe empty
+    TxTable.read(spark, posT).count() shouldBe 60L
+    // sidecars are REFERENCED files for vacuum while their manifests
+    // live (vacuuming one would resurrect rows in time travel)
+    val sidecars = TxTable.posDeletesOf(spark, posT, 3)
+    sidecars should not be empty
+    TxTable.vacuum(spark, posT, minAgeMs = 0)
+      .intersect(sidecars) shouldBe empty
+  }
 }
