@@ -2892,7 +2892,12 @@ object SparkEntry {
     // content-addressed replicates, multiplicities from integer CDF
     // thresholds, fan-out map-local collapsing to (group, replicate)
     // cells — uncertainty at corpus scale without coordinated
-    // resampling.
+    // resampling. B is a knob (bootstrapCiMean(b=...)); the gate pins
+    // B=100 DELIBERATELY (r9 perf review): ~100 replicates is the
+    // floor for stable percentile tails at alpha=5%, the cost is pure
+    // map-side compute (no shuffle growth — embarrassingly parallel
+    // on a real cluster), and halving B to shave the local benchmark
+    // would trade statistical validity for nothing architectural.
     "q248_bootstrap_ci" -> ((s, dir) => {
       val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
         .select(col("event_type"), col("value"), col("event_id"))

@@ -1866,7 +1866,14 @@ object TxTable {
       require(v >= 1, s"TxTable: cannot merge into non-existent table $table")
       val merged = graft.operators.Upsert.applyChanges(
         readVersion(spark, table, v), changes, keyCol, seqCol, opCol)
-      try out = commitAs(merged, table, v + 1, "merge", statsCols)
+      // a partitioned layout survives the snapshot-replacing merge
+      // (same rule as the full compact: fresh files re-partition by
+      // the logical column; the mapping resets)
+      val partLogical = partColOf(spark, table, v).map { pc =>
+        colMapOf(spark, table, v)
+          .flatMap(_.collectFirst { case (n, p) if p == pc => n }).getOrElse(pc) }
+      try out = commitAs(merged, table, v + 1, "merge", statsCols,
+        partitionBy = partLogical)
       catch {
         case e: RuntimeException if e.getMessage != null &&
             e.getMessage.contains("commit conflict") && attempt < maxAttempts =>

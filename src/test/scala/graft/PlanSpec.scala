@@ -976,4 +976,40 @@ class PlanSpec extends SparkSpec {
     // dropped/unselected physical columns are not read
     p should include("ReadSchema: struct<score:double>")
   }
+
+  test("positional-delete read: the deletion-vector anti-join broadcasts the sidecar and compares ordinals — no shuffle, no key columns read") {
+    import graft.sources.TxTable
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val table = java.nio.file.Files.createTempDirectory("graft_plan_posd_").toString + "/t"
+    val df = (1L to 200L).map(i => (i, i * 2.0)).toDF("id", "x")
+      .repartitionByRange(2, col("id"))
+    TxTable.commit(df, table, statsCols = Seq("id"))
+    TxTable.deleteWherePos(spark, table, "id", 1.0, 20.0)
+    val p = TxTable.read(spark, table).queryExecution.executedPlan.toString
+    p should include("BroadcastHashJoin")
+    p should include("LeftAnti")
+    // the join keys are the metadata (file, ordinal) pair, never a data key
+    p should include("row_index")
+    (p should not).include("SortMergeJoin")
+  }
+
+  test("partitioned read: partition pruning is manifest-side — the partition's read plans only its files, no join, no exchange") {
+    import graft.sources.TxTable
+    import spark.implicits._
+    val table = java.nio.file.Files.createTempDirectory("graft_plan_part_").toString + "/t"
+    val df = Seq((1L, "A", 1.0), (2L, "A", 2.0), (3L, "B", 3.0), (4L, "C", 4.0))
+      .toDF("id", "cat", "price")
+    TxTable.commit(df, table, partitionBy = Some("cat"))
+    val read = TxTable.readPartition(spark, table, "A")
+    val p = read.queryExecution.executedPlan.toString
+    (p should not).include("Join")
+    (p should not).include("Exchange")
+    // the scan's file list is the A-partition only: B and C files are
+    // not even planned (manifest pruning, not a runtime filter)
+    val scanned = read.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    scanned should include("cat=A")
+    (scanned should not).include("cat=B")
+    (scanned should not).include("cat=C")
+  }
 }
