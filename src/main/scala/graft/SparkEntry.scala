@@ -2580,6 +2580,265 @@ object SparkEntry {
         .unionByName(meta)
     }),
 
+    // §2#62ah (r10) copy-on-write row-level UPDATE: rewrite ONLY the
+    // stats-pruned candidate files with the assignment applied to
+    // matching rows, carry the rest by reference; CDC surfaces the
+    // churn as delete-of-candidates + insert-of-rewrites (the Iceberg
+    // CoW-update rule). The oracle recomputes the candidate set from
+    // per-file min/max over the raw v1 files — one mis-pruned file
+    // hash-fails the cdc section; the updated values go through exact
+    // DECIMAL multiplication on both engines.
+    "q332_tx_update" -> ((s, dir) => {
+      val table = sidePath("graft_txup", dir)
+      sources.TxTable.drop(s, table)
+      val ord = t(s, dir, "orders").df.select(col("o_orderkey"), col("o_totalprice"))
+      sources.TxTable.commit(ord.repartitionByRange(4, col("o_orderkey")), table,
+        statsCols = Seq("o_orderkey"))
+      val bump = (dec(col("o_totalprice")) *
+        lit(new java.math.BigDecimal("1.1"))).cast("double")
+      val (v2, nTouched, nCarried) = sources.TxTable.updateWhere(s, table,
+        "o_orderkey", 1.0, 500.0, Map("o_totalprice" -> bump),
+        statsCols = Seq("o_orderkey"))
+      def summarize(df: DataFrame, label: String) =
+        df.agg(count(lit(1)).as("n_rows"),
+            sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
+          .select(lit("table").as("section"), lit(label).as("label"),
+            col("n_rows"), col("sum_price"))
+      val cdc = sources.TxTable.changes(s, table, 1, v2)
+        .groupBy(col("_change").as("label"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
+        .select(lit("cdc").as("section"), col("label"), col("n_rows"), col("sum_price"))
+      val meta = s.createDataFrame(Seq(
+          ("meta", "n_touched", nTouched.toLong),
+          ("meta", "n_carried", nCarried.toLong)))
+        .toDF("section", "label", "n_rows")
+        .withColumn("sum_price", lit(null).cast("double"))
+      summarize(sources.TxTable.readVersion(s, table, 1), "v1_full")
+        .unionByName(summarize(sources.TxTable.readVersion(s, table, v2), "v2_updated"))
+        .unionByName(cdc).unionByName(meta)
+    }),
+
+    // §2#62ai (r10) HIDDEN bucket partitioning (Iceberg transform
+    // partitioning): the layout column derives from md5(o_orderkey) —
+    // never stored, never in the logical schema — and a point lookup
+    // prunes to the ONE bucket the probe key's transform lands in,
+    // from the manifest file list alone. The md5 transform is
+    // engine-portable, so the oracle recomputes the probe's bucket and
+    // the per-bucket file census from the raw hive layout.
+    "q333_tx_bucket" -> ((s, dir) => {
+      val table = sidePath("graft_txbk", dir)
+      sources.TxTable.drop(s, table)
+      val ord = t(s, dir, "orders").df.select(col("o_orderkey"), col("o_totalprice"))
+      sources.TxTable.commit(ord.repartition(2, col("o_orderkey")), table,
+        partitionBy = Some("_gpt-bucket16-o_orderkey"))
+      val rows = sources.TxTable.readHiddenPoint(s, table, "137")
+        .filter(col("o_orderkey") === 137L)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
+        .select(lit("rows").as("section"), col("n_rows"), col("sum_price"))
+      val bucket = sources.TxTable.hiddenValueOf("_gpt-bucket16-o_orderkey", "137")
+      val total = sources.TxTable.filesOf(s, table, 1)
+      val mine = total.filter(_.startsWith(s"data/_gpt-bucket16-o_orderkey=$bucket/"))
+      val meta = s.createDataFrame(Seq(
+          ("kept_files", mine.size.toLong),
+          ("total_files", total.size.toLong)))
+        .toDF("section", "n_rows")
+        .withColumn("sum_price", lit(null).cast("double"))
+      rows.unionByName(meta)
+    }),
+
+    // §2#62aj (r10) HIDDEN day(ts) partitioning + partition-range
+    // read: the daily-ingest layout every event table wants — the
+    // transform column (yyyy-MM-dd of ts) derives at commit, a
+    // time-range read plans exactly the in-range partitions' files
+    // from the manifest (dir values sort lexicographically), and the
+    // logical schema never shows the layout. The oracle recomputes
+    // both the range aggregate and the file census from the raw hive
+    // layout via DuckDB's hive_partitioning.
+    "q334_tx_day_partition" -> ((s, dir) => {
+      val table = sidePath("graft_txdy", dir)
+      sources.TxTable.drop(s, table)
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      sources.TxTable.commit(ev.repartition(2), table,
+        partitionBy = Some("_gpt-day-ts"))
+      val rows = sources.TxTable.readPartitionRange(s, table, "2024-01-05", "2024-01-07")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(dec(col("value"))).cast("double").as("sum_value"))
+        .select(lit("rows").as("section"), col("event_type"),
+          col("n_rows"), col("sum_value"))
+      val total = sources.TxTable.filesOf(s, table, 1)
+      val mine = total.filter { rel =>
+        val seg = rel.stripPrefix("data/_gpt-day-ts=").takeWhile(_ != '/')
+        rel.startsWith("data/_gpt-day-ts=") && seg >= "2024-01-05" && seg <= "2024-01-07"
+      }
+      val meta = s.createDataFrame(Seq(
+          ("kept_files", mine.size.toLong),
+          ("total_files", total.size.toLong)))
+        .toDF("section", "n_rows")
+        .withColumn("event_type", lit(null).cast("string"))
+        .withColumn("sum_value", lit(null).cast("double"))
+        .select("section", "event_type", "n_rows", "sum_value")
+      rows.unionByName(meta)
+    }),
+
+    // §2#62ak (r10) write-audit-publish: the staged batch lands its
+    // data files ONCE, stays invisible to every read, gets audited
+    // over the WRITTEN files, and publishes as a metadata-only append
+    // (zero data IO after the verdict); a failed audit abandons the
+    // stage with the table head never having moved. The oracle
+    // recomputes both snapshots from the raw v1 + staged-name globs.
+    "q335_tx_wap" -> ((s, dir) => {
+      val table = sidePath("graft_txwa", dir)
+      sources.TxTable.drop(s, table)
+      val ord = t(s, dir, "orders").df.select(col("o_orderkey"), col("o_totalprice"))
+      sources.TxTable.commit(ord.filter(col("o_orderkey") % 2 === 0), table)
+      sources.TxTable.stageWap(
+        ord.filter(col("o_orderkey") % 2 === 1).repartition(2), table, "good")
+      val preRows = sources.TxTable.read(s, table).count() // staged invisible
+      // audit the WRITTEN files; clean → publish (metadata-only)
+      val nBadKeys = sources.TxTable.readWap(s, table, "good")
+        .filter(col("o_orderkey").isNull).count()
+      val v2 = if (nBadKeys == 0L)
+        sources.TxTable.publishWap(s, table, "good", statsCols = Seq("o_orderkey"))
+        else -1
+      // a second stage whose audit FAILS is abandoned; head untouched
+      sources.TxTable.stageWap(
+        ord.limit(5).select(lit(null).cast("long").as("o_orderkey"),
+          col("o_totalprice")).repartition(1), table, "bad")
+      val badNulls = sources.TxTable.readWap(s, table, "bad")
+        .filter(col("o_orderkey").isNull).count()
+      val abandoned = if (badNulls > 0L)
+        sources.TxTable.abandonWap(s, table, "bad").size else 0
+      def summarize(df: DataFrame, label: String) =
+        df.agg(count(lit(1)).as("n_rows"),
+            sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
+          .select(lit("table").as("section"), lit(label).as("label"),
+            col("n_rows"), col("sum_price"))
+      val meta = s.createDataFrame(Seq(
+          ("meta", "pre_publish_rows", preRows),
+          ("meta", "published_version", v2.toLong),
+          ("meta", "bad_abandoned_files", abandoned.toLong)))
+        .toDF("section", "label", "n_rows")
+        .withColumn("sum_price", lit(null).cast("double"))
+      summarize(sources.TxTable.readVersion(s, table, 1), "v1_base")
+        .unionByName(summarize(sources.TxTable.readVersion(s, table, v2), "v2_published"))
+        .unionByName(meta)
+    }),
+
+    // §2#37m (r10) Gopher quality rules (Rae et al. 2021, Appendix A):
+    // the published heuristic battery — word-count bounds, mean word
+    // length bounds, stop-word floor, max-repeated-word ceiling —
+    // each surfaced as its own flag plus the conjunction, because a
+    // data audit tunes rules individually before gating on `pass`.
+    // Exact integer features; the two ratio rules divide exact ints in
+    // a mirrored token order.
+    "q336_gopher_rules" -> ((s, dir) => {
+      import graft.functions.{TextFunctions => T}
+      val d0 = t(s, dir, "documents").df
+        .select(col("doc_id"), T.tokens(col("text")).as("w"))
+      val base = d0
+        .withColumn("n_words", size(col("w")))
+        .withColumn("mean_word_len",
+          aggregate(col("w"), lit(0L), (acc, x) => acc + length(x)).cast("double")
+            / col("n_words").cast("double"))
+        .withColumn("stop_cnt", T.markerCount(col("w"), Seq("the", "a", "of", "and", "to")))
+      val top = d0.select(col("doc_id"), explode(col("w")).as("t"))
+        .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max("c").as("top_cnt"))
+      base.join(top, Seq("doc_id"))
+        .select(col("doc_id"), col("n_words"),
+          (col("n_words") >= 30 && col("n_words") <= 500).as("ok_words"),
+          (col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0).as("ok_word_len"),
+          (col("stop_cnt") >= 2).as("ok_stop"),
+          (col("top_cnt").cast("double") / col("n_words").cast("double") <= 0.2)
+            .as("ok_repeat"))
+        .withColumn("pass",
+          col("ok_words") && col("ok_word_len") && col("ok_stop") && col("ok_repeat"))
+    }),
+
+    // §2#37n (r10) interpolated Kneser–Ney bigram scoring (Kneser &
+    // Ney'95 / Chen & Goodman'98): absolute discount D=0.75 with the
+    // discount mass re-spent on CONTINUATION probabilities — the
+    // smoothing KenLM/SRILM default to, next to q65's add-k and
+    // q232's Stupid Backoff. Seed split = doc_id % 10 == 0.
+    "q337_kneser_ney" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      functions.NgramLm.kneserNey(docs, docs.filter(col("doc_id") % 10 === 0))
+    }),
+
+    // §2#35s (r10) embedding isotropy diagnostics (Ethayarajh'19): per
+    // label, the mean pairwise cosine of unit vectors WITHOUT pairwise
+    // work (‖Σu‖² − Σ‖u‖² identity) plus the mean raw norm — the two
+    // drift signals retrieval monitoring watches for anisotropy
+    // collapse. Shuffle volume is labels × dim.
+    "q338_embed_isotropy" -> ((s, dir) =>
+      functions.VectorFunctions.isotropyByGroup(
+        t(s, dir, "embeddings").df, "label", "embedding", "vec_id")),
+
+    // §2#53aj (r10) Ljung–Box white-noise test per user (lags 1..3):
+    // the portmanteau companion to q132's per-lag ACF — one χ²(m)
+    // statistic per series instead of m separate cutoffs; exact
+    // n²-scaled integer sums, one mirrored double assembly.
+    "q339_ljung_box" -> ((s, dir) =>
+      operators.Rolling.ljungBox(
+        streaming.Events.readBatch(s, s"$dir/events.parquet")
+          .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+            col("value"), col("event_id")),
+        "user_id", "tus", "value", "event_id", maxLag = 3)),
+
+    // §2#52ax (r10) Cronbach's α over the day × event-type panel of
+    // daily value totals: do the k event-type series track one
+    // underlying activity level — the metric-panel reliability gate;
+    // zero-filled cells, exact n²-scaled variance integers.
+    "q340_cronbach_alpha" -> ((s, dir) =>
+      functions.Eval.cronbachAlpha(
+        streaming.Events.readBatch(s, s"$dir/events.parquet")
+          .select((unix_micros(col("ts")) / lit(86400000000L)).cast("long").as("day"),
+            col("event_type"), col("value")),
+        "day", "event_type", "value")),
+
+    // §2#52ay (r10) information-gain feature screen: how many nats of
+    // event-type uncertainty hour-of-day and the value bucket each
+    // remove — the mutual-information ranking feature selection starts
+    // from, with the H(label)/H(label|feature) decomposition reported.
+    "q341_info_gain" -> ((s, dir) =>
+      functions.Eval.infoGain(
+        streaming.Events.readBatch(s, s"$dir/events.parquet")
+          .select(col("event_type"),
+            ((unix_micros(col("ts")) / lit(3600000000L)).cast("long") % 24)
+              .as("hour_of_day"),
+            floor(col("value") / lit(50.0)).cast("long").as("value_bin")),
+        "event_type", Seq("hour_of_day", "value_bin"))),
+
+    // §2#52az (r10) Fleiss' κ inter-rater agreement: each day's first
+    // 10 events (by time) act as 10 raters assigning the day to an
+    // event-type category — κ near 0 = the "ratings" are noise; the
+    // multi-annotator label-quality gate. Fixed-n design: days with
+    // fewer than 10 events drop.
+    "q342_fleiss_kappa" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .select((unix_micros(col("ts")) / lit(86400000000L)).cast("long").as("day"),
+          col("event_type"), unix_micros(col("ts")).as("tus"), col("event_id"))
+      val first10 = ev.withColumn("rn", row_number().over(
+          Window.partitionBy("day").orderBy(col("tus"), col("event_id"))))
+        .filter(col("rn") <= 10)
+      functions.Eval.fleissKappa(first10, "day", "event_type", 10)
+    }),
+
+    // §2#28h (r10) stream-stream LEFT OUTER join: q48's click→purchase
+    // pairing, plus the abandoned-cart rows — an unmatched click emits
+    // its null-padded row only once the watermark CLOSES its match
+    // window, which is why outer stream joins require both watermarks
+    // and a two-sided time bound. The oracle mirrors the eviction
+    // boundary: unmatched clicks surface only when the final watermark
+    // (max ts − 1h) passed click_ts + 30min.
+    "q343_stream_join_outer" -> ((s, dir) =>
+      streaming.Events.streamClickPurchaseJoin(s, s"$dir/events.parquet",
+        how = "leftOuter")),
+
     // §2#52av (r8) Cochran–Armitage trend: is the purchase RATE
     // monotone across the hour-of-day ordinal — the ordered companion
     // to q146's anywhere-different chi-square; exact integer sums, one
@@ -5793,6 +6052,326 @@ object SparkEntry {
             FROM read_parquet('/tmp/graft_txpd___SFTAG__/data/v2_p*.parquet', filename=true)),
            CAST(NULL AS DOUBLE)
          UNION ALL SELECT 'meta', 'vecs_after_compact', CAST(0 AS BIGINT), CAST(NULL AS DOUBLE)""",
+
+    "q332_tx_update" ->
+      """WITH v1 AS (
+           SELECT o_orderkey, o_totalprice, filename
+           FROM read_parquet('/tmp/graft_txup___SFTAG__/data/v1_*.parquet', filename=true)),
+         upd AS (
+           SELECT o_orderkey,
+             CASE WHEN o_orderkey BETWEEN 1 AND 500
+                  THEN CAST(CAST(o_totalprice AS DECIMAL(18,4)) * CAST(1.1 AS DECIMAL(2,1)) AS DOUBLE)
+                  ELSE o_totalprice END AS o_totalprice
+           FROM v1),
+         touched AS (
+           SELECT filename FROM v1 GROUP BY 1
+           HAVING min(o_orderkey) <= 500 AND max(o_orderkey) >= 1),
+         v2f AS (SELECT o_orderkey, o_totalprice
+                 FROM read_parquet('/tmp/graft_txup___SFTAG__/data/v2_*.parquet'))
+         SELECT 'table' AS section, 'v1_full' AS label, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price FROM v1
+         UNION ALL SELECT 'table', 'v2_updated', COUNT(*),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) FROM upd
+         UNION ALL SELECT 'cdc', 'insert', COUNT(*),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) FROM v2f
+         UNION ALL SELECT 'cdc', 'delete', COUNT(*),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+           FROM v1 WHERE filename IN (SELECT filename FROM touched)
+         UNION ALL SELECT 'meta', 'n_touched',
+           (SELECT COUNT(*) FROM touched), CAST(NULL AS DOUBLE)
+         UNION ALL SELECT 'meta', 'n_carried',
+           (SELECT COUNT(DISTINCT filename) FROM v1) - (SELECT COUNT(*) FROM touched),
+           CAST(NULL AS DOUBLE)""",
+
+    "q333_tx_bucket" ->
+      """WITH v1 AS (
+           SELECT o_orderkey, o_totalprice,
+             CAST("_gpt-bucket16-o_orderkey" AS VARCHAR) AS bkt, filename
+           FROM read_parquet('/tmp/graft_txbk___SFTAG__/data/*/v1_*.parquet',
+                             filename=true, hive_partitioning=1))
+         SELECT 'rows' AS section, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+         FROM v1 WHERE o_orderkey = 137
+         UNION ALL SELECT 'kept_files',
+           (SELECT COUNT(DISTINCT filename) FROM v1 WHERE bkt = substr(md5('137'), 1, 1)),
+           CAST(NULL AS DOUBLE)
+         UNION ALL SELECT 'total_files',
+           (SELECT COUNT(DISTINCT filename) FROM v1), CAST(NULL AS DOUBLE)""",
+
+    "q334_tx_day_partition" ->
+      """WITH v1 AS (
+           SELECT event_type, value, CAST("_gpt-day-ts" AS VARCHAR) AS d, filename
+           FROM read_parquet('/tmp/graft_txdy___SFTAG__/data/*/v1_*.parquet',
+                             filename=true, hive_partitioning=1))
+         SELECT 'rows' AS section, event_type, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         FROM v1 WHERE d BETWEEN '2024-01-05' AND '2024-01-07' GROUP BY 1, 2
+         UNION ALL SELECT 'kept_files', NULL,
+           (SELECT COUNT(DISTINCT filename) FROM v1
+            WHERE d BETWEEN '2024-01-05' AND '2024-01-07'), CAST(NULL AS DOUBLE)
+         UNION ALL SELECT 'total_files', NULL,
+           (SELECT COUNT(DISTINCT filename) FROM v1), CAST(NULL AS DOUBLE)""",
+
+    "q335_tx_wap" ->
+      """WITH v1 AS (
+           SELECT o_orderkey, o_totalprice
+           FROM read_parquet('/tmp/graft_txwa___SFTAG__/data/v1_*.parquet')),
+         wg AS (
+           SELECT o_orderkey, o_totalprice
+           FROM read_parquet('/tmp/graft_txwa___SFTAG__/data/w_good_*.parquet')),
+         v2 AS (SELECT * FROM v1 UNION ALL SELECT * FROM wg)
+         SELECT 'table' AS section, 'v1_base' AS label, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price FROM v1
+         UNION ALL SELECT 'table', 'v2_published', COUNT(*),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) FROM v2
+         UNION ALL SELECT 'meta', 'pre_publish_rows',
+           (SELECT COUNT(*) FROM v1), CAST(NULL AS DOUBLE)
+         UNION ALL SELECT 'meta', 'published_version', CAST(2 AS BIGINT), CAST(NULL AS DOUBLE)
+         UNION ALL SELECT 'meta', 'bad_abandoned_files', CAST(1 AS BIGINT), CAST(NULL AS DOUBLE)""",
+
+    "q336_gopher_rules" ->
+      """WITH tok AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
+         base AS (
+           SELECT doc_id, len(w) AS n_words,
+             CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+               / CAST(len(w) AS DOUBLE) AS mwl,
+             len(list_filter(w, x -> list_contains(['the','a','of','and','to'], x))) AS stop_cnt
+           FROM tok),
+         top AS (
+           SELECT doc_id, MAX(c) AS top_cnt FROM (
+             SELECT doc_id, t, COUNT(*) AS c
+             FROM (SELECT doc_id, unnest(w) AS t FROM tok) GROUP BY 1, 2)
+           GROUP BY 1)
+         SELECT b.doc_id, CAST(n_words AS INT) AS n_words,
+           n_words >= 30 AND n_words <= 500 AS ok_words,
+           mwl >= 3.0 AND mwl <= 10.0 AS ok_word_len,
+           stop_cnt >= 2 AS ok_stop,
+           CAST(top_cnt AS DOUBLE) / CAST(n_words AS DOUBLE) <= 0.2 AS ok_repeat,
+           (n_words >= 30 AND n_words <= 500) AND (mwl >= 3.0 AND mwl <= 10.0)
+             AND stop_cnt >= 2
+             AND (CAST(top_cnt AS DOUBLE) / CAST(n_words AS DOUBLE) <= 0.2) AS pass
+         FROM base b JOIN top USING (doc_id)""",
+
+    "q337_kneser_ney" ->
+      """WITH tok AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
+         bg AS (
+           SELECT doc_id, unnest([array_to_string(w[i : i+1], ' ')
+                                  for i in generate_series(1, len(w) - 1)]) AS bg
+           FROM tok WHERE len(w) >= 2),
+         seedbg AS (SELECT bg, COUNT(*) AS c2 FROM bg WHERE doc_id % 10 = 0 GROUP BY 1),
+         ctx AS (SELECT split_part(bg, ' ', 1) AS w1, SUM(c2) AS c1, COUNT(*) AS n1fwd
+                 FROM seedbg GROUP BY 1),
+         cont AS (SELECT split_part(bg, ' ', 2) AS w2, COUNT(*) AS n1rev
+                  FROM seedbg GROUP BY 1),
+         nb AS (SELECT COUNT(*) AS nbig FROM seedbg),
+         terms AS (
+           SELECT b.doc_id,
+             COALESCE(s.c2, 0) AS c2, COALESCE(c.c1, 0) AS c1,
+             COALESCE(c.n1fwd, 0) AS n1fwd, COALESCE(k.n1rev, 0) AS n1rev
+           FROM bg b
+           LEFT JOIN seedbg s ON b.bg = s.bg
+           LEFT JOIN ctx c ON split_part(b.bg, ' ', 1) = c.w1
+           LEFT JOIN cont k ON split_part(b.bg, ' ', 2) = k.w2),
+         p AS (
+           SELECT doc_id, c1,
+             greatest(CAST(c2 AS DOUBLE) - 0.75, 0.0) / CAST(c1 AS DOUBLE)
+             + 0.75 * CAST(n1fwd AS DOUBLE) / CAST(c1 AS DOUBLE)
+               * (CAST(n1rev AS DOUBLE) / CAST((SELECT nbig FROM nb) AS DOUBLE)) AS p
+           FROM terms),
+         sc AS (
+           SELECT doc_id, COUNT(*) AS n_bigrams,
+             SUM(CASE WHEN c1 > 0 AND p > 0 THEN 1 ELSE 0 END) AS n_scored,
+             SUM(CASE WHEN c1 > 0 AND p > 0 THEN CAST(ln(p) AS DECIMAL(20,6)) END) AS s
+           FROM p GROUP BY 1)
+         SELECT t.doc_id, CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(COALESCE(n_scored, 0) AS BIGINT) AS n_scored,
+           CASE WHEN n_scored > 0 THEN round(-CAST(s AS DOUBLE) / n_scored, 4) END AS kn_nll
+         FROM tok t LEFT JOIN sc ON t.doc_id = sc.doc_id""",
+
+    "q338_embed_isotropy" ->
+      """WITH e AS (
+           SELECT label, vec_id, embedding,
+             list_sum(list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12 + 0.5) AS BIGINT)))
+               AS ssq
+           FROM embeddings),
+         b AS (
+           SELECT label, vec_id, embedding, sqrt(CAST(ssq AS DOUBLE) / 1e12) AS nrm
+           FROM e WHERE ssq > 0),
+         pv AS (
+           SELECT label, COUNT(*) AS n_vecs, SUM(CAST(nrm AS DECIMAL(20,9))) AS sn
+           FROM b GROUP BY 1),
+         comp AS (
+           SELECT label, s.p AS p,
+             CAST(floor(CAST(s.x AS DOUBLE) / nrm * 1e9 + 0.5) AS BIGINT) AS uq
+           FROM (SELECT label, nrm,
+                   unnest([{'p': i, 'x': embedding[i]}
+                           for i in generate_series(1, len(embedding))]) AS s
+                 FROM b)),
+         byp AS (
+           SELECT label, p, SUM(CAST(uq AS HUGEINT)) AS sp,
+             SUM(CAST(uq AS HUGEINT) * CAST(uq AS HUGEINT)) AS q
+           FROM comp GROUP BY 1, 2),
+         cr AS (SELECT label, SUM(sp * sp) AS s2, SUM(q) AS qt FROM byp GROUP BY 1)
+         SELECT pv.label, n_vecs,
+           round(CAST(sn AS DOUBLE) / CAST(n_vecs AS DOUBLE), 6) AS mean_norm,
+           CASE WHEN n_vecs >= 2 THEN
+             round((CAST(s2 AS DOUBLE) - CAST(qt AS DOUBLE)) /
+               (CAST(n_vecs AS DOUBLE) * (CAST(n_vecs AS DOUBLE) - 1.0) * 1e18), 9)
+           END AS mean_pair_cos
+         FROM pv JOIN cr USING (label)""",
+
+    "q339_ljung_box" ->
+      """WITH e AS (
+           SELECT user_id, epoch_ns(ts)//1000 AS tus, event_id,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS x FROM events),
+         l AS (
+           SELECT user_id, x,
+             LAG(x, 1) OVER w AS p1, LAG(x, 2) OVER w AS p2, LAG(x, 3) OVER w AS p3
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+         s AS (
+           SELECT user_id, COUNT(*) AS n,
+             SUM(CAST(x AS HUGEINT)) AS sx,
+             SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS ss,
+             SUM(CASE WHEN p1 IS NOT NULL THEN CAST(x AS HUGEINT) * CAST(p1 AS HUGEINT) END) AS c1,
+             SUM(CASE WHEN p1 IS NOT NULL THEN CAST(x AS HUGEINT) END) AS a1,
+             SUM(CASE WHEN p1 IS NOT NULL THEN CAST(p1 AS HUGEINT) END) AS b1,
+             SUM(CASE WHEN p2 IS NOT NULL THEN CAST(x AS HUGEINT) * CAST(p2 AS HUGEINT) END) AS c2,
+             SUM(CASE WHEN p2 IS NOT NULL THEN CAST(x AS HUGEINT) END) AS a2,
+             SUM(CASE WHEN p2 IS NOT NULL THEN CAST(p2 AS HUGEINT) END) AS b2,
+             SUM(CASE WHEN p3 IS NOT NULL THEN CAST(x AS HUGEINT) * CAST(p3 AS HUGEINT) END) AS c3,
+             SUM(CASE WHEN p3 IS NOT NULL THEN CAST(x AS HUGEINT) END) AS a3,
+             SUM(CASE WHEN p3 IS NOT NULL THEN CAST(p3 AS HUGEINT) END) AS b3
+           FROM l GROUP BY 1),
+         r AS (
+           SELECT user_id, n,
+             CAST(CAST(n AS HUGEINT) * CAST(n AS HUGEINT) * ss
+                  - CAST(n AS HUGEINT) * sx * sx AS DOUBLE) AS den,
+             CAST(CAST(n AS HUGEINT) * CAST(n AS HUGEINT) * COALESCE(c1, 0)
+                  - CAST(n AS HUGEINT) * sx * (COALESCE(a1, 0) + COALESCE(b1, 0))
+                  + (CAST(n AS HUGEINT) - 1) * sx * sx AS DOUBLE) AS m1,
+             CAST(CAST(n AS HUGEINT) * CAST(n AS HUGEINT) * COALESCE(c2, 0)
+                  - CAST(n AS HUGEINT) * sx * (COALESCE(a2, 0) + COALESCE(b2, 0))
+                  + (CAST(n AS HUGEINT) - 2) * sx * sx AS DOUBLE) AS m2,
+             CAST(CAST(n AS HUGEINT) * CAST(n AS HUGEINT) * COALESCE(c3, 0)
+                  - CAST(n AS HUGEINT) * sx * (COALESCE(a3, 0) + COALESCE(b3, 0))
+                  + (CAST(n AS HUGEINT) - 3) * sx * sx AS DOUBLE) AS m3
+           FROM s)
+         SELECT user_id, n,
+           CASE WHEN n > 4 AND den > 0 THEN
+             round((m1 / den * (m1 / den) / (CAST(n AS DOUBLE) - 1.0)
+                    + m2 / den * (m2 / den) / (CAST(n AS DOUBLE) - 2.0)
+                    + m3 / den * (m3 / den) / (CAST(n AS DOUBLE) - 3.0))
+                   * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0), 9)
+           END AS lb_q
+         FROM r""",
+
+    "q340_cronbach_alpha" ->
+      """WITH e AS (
+           SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v FROM events),
+         cells0 AS (SELECT day, event_type, SUM(CAST(v AS HUGEINT)) AS x FROM e GROUP BY 1, 2),
+         grid AS (
+           SELECT d.day, i.event_type, COALESCE(c.x, 0) AS x
+           FROM (SELECT DISTINCT day FROM cells0) d
+           CROSS JOIN (SELECT DISTINCT event_type FROM cells0) i
+           LEFT JOIN cells0 c ON c.day = d.day AND c.event_type = i.event_type),
+         pi AS (
+           SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx
+           FROM grid GROUP BY 1),
+         ia AS (
+           SELECT COUNT(*) AS k, MAX(n) AS n,
+             SUM(CAST(n AS HUGEINT) * sxx - sx * sx) AS numi FROM pi),
+         tot AS (
+           SELECT CAST(CAST(COUNT(*) AS HUGEINT) * SUM(t * t) - SUM(t) * SUM(t) AS DOUBLE) AS numt
+           FROM (SELECT day, SUM(x) AS t FROM grid GROUP BY 1))
+         SELECT CAST(k AS INT) AS k_items, CAST(n AS BIGINT) AS n_subjects,
+           CASE WHEN k >= 2 AND numt > 0 THEN
+             round(CAST(k AS DOUBLE) / (CAST(k AS DOUBLE) - 1.0) *
+               (1.0 - CAST(numi AS DOUBLE) / numt), 9) END AS alpha
+         FROM ia, tot""",
+
+    "q341_info_gain" ->
+      """WITH e AS (
+           SELECT event_type,
+             (epoch_us(ts) // 3600000000) % 24 AS hour_of_day,
+             CAST(floor(value / 50.0) AS BIGINT) AS value_bin
+           FROM events),
+         n AS (SELECT COUNT(*) AS nt FROM e),
+         hl AS (
+           SELECT SUM(CAST((CAST(c AS DOUBLE) / CAST(nt AS DOUBLE))
+             * ln(CAST(c AS DOUBLE) / CAST(nt AS DOUBLE)) AS DECIMAL(20,9))) AS sy
+           FROM (SELECT event_type, COUNT(*) AS c FROM e GROUP BY 1), n),
+         hch AS (
+           SELECT SUM(CAST((CAST(cvc AS DOUBLE) / CAST(nt AS DOUBLE))
+             * ln(CAST(cvc AS DOUBLE) / CAST(cv AS DOUBLE)) AS DECIMAL(20,9))) AS sc
+           FROM (SELECT hour_of_day AS v, event_type, COUNT(*) AS cvc FROM e GROUP BY 1, 2) c
+           JOIN (SELECT hour_of_day AS v, COUNT(*) AS cv FROM e GROUP BY 1) t USING (v), n),
+         hcb AS (
+           SELECT SUM(CAST((CAST(cvc AS DOUBLE) / CAST(nt AS DOUBLE))
+             * ln(CAST(cvc AS DOUBLE) / CAST(cv AS DOUBLE)) AS DECIMAL(20,9))) AS sc
+           FROM (SELECT value_bin AS v, event_type, COUNT(*) AS cvc FROM e GROUP BY 1, 2) c
+           JOIN (SELECT value_bin AS v, COUNT(*) AS cv FROM e GROUP BY 1) t USING (v), n)
+         SELECT 'hour_of_day' AS feature,
+           round(-CAST(sy AS DOUBLE), 6) AS h_label,
+           round(-CAST(sc AS DOUBLE), 6) AS h_cond,
+           round(CAST(sc AS DOUBLE) - CAST(sy AS DOUBLE), 6) AS info_gain
+         FROM hl, hch
+         UNION ALL SELECT 'value_bin',
+           round(-CAST(sy AS DOUBLE), 6), round(-CAST(sc AS DOUBLE), 6),
+           round(CAST(sc AS DOUBLE) - CAST(sy AS DOUBLE), 6)
+         FROM hl, hcb""",
+
+    "q342_fleiss_kappa" ->
+      """WITH e AS (
+           SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+             ROW_NUMBER() OVER (
+               PARTITION BY epoch_us(ts) // 86400000000
+               ORDER BY epoch_ns(ts)//1000, event_id) AS rn
+           FROM events),
+         r AS (SELECT day, event_type FROM e WHERE rn <= 10),
+         cnt AS (SELECT day, event_type, COUNT(*) AS n FROM r GROUP BY 1, 2),
+         ps AS (SELECT day, SUM(n) AS tot, SUM(n * n) AS s2 FROM cnt GROUP BY 1),
+         kept AS (SELECT day, s2 FROM ps WHERE tot = 10),
+         ct AS (
+           SELECT SUM(CAST(m AS HUGEINT) * CAST(m AS HUGEINT)) AS sm2 FROM (
+             SELECT c.event_type, SUM(c.n) AS m
+             FROM cnt c JOIN kept USING (day) GROUP BY 1)),
+         sa AS (SELECT COUNT(*) AS ns, SUM(CAST(s2 AS HUGEINT)) AS s2tot FROM kept),
+         raw AS (
+           SELECT ns,
+             (CAST(s2tot AS DOUBLE) - CAST(ns AS DOUBLE) * 10.0)
+               / (CAST(ns AS DOUBLE) * 10.0 * (10.0 - 1.0)) AS pbar,
+             CAST(sm2 AS DOUBLE)
+               / (CAST(ns AS DOUBLE) * 10.0 * CAST(ns AS DOUBLE) * 10.0) AS pe
+           FROM sa, ct)
+         SELECT CAST(ns AS BIGINT) AS n_subjects, CAST(10 AS INT) AS n_raters,
+           CASE WHEN ns > 0 THEN round(pbar, 9) END AS p_bar,
+           CASE WHEN ns > 0 THEN round(pe, 9) END AS p_e,
+           CASE WHEN ns > 0 AND pe < 1.0 THEN round((pbar - pe) / (1.0 - pe), 9) END AS kappa
+         FROM raw""",
+
+    "q343_stream_join_outer" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts)//1000 AS tus, value FROM events),
+         c AS (SELECT user_id, tus AS cus, value AS click_value FROM e WHERE event_type = 'click'),
+         b AS (SELECT user_id, tus AS bus, value AS buy_value FROM e WHERE event_type = 'purchase'),
+         wm AS (SELECT least((SELECT MAX(cus) FROM c), (SELECT MAX(bus) FROM b))
+                  - 3600000000 AS w),
+         m AS (
+           SELECT c.user_id, cus, click_value, bus, buy_value
+           FROM c JOIN b ON c.user_id = b.user_id
+             AND bus >= cus AND bus <= cus + 1800000000),
+         um AS (
+           SELECT c.user_id, cus, click_value,
+             CAST(NULL AS BIGINT) AS bus, CAST(NULL AS DOUBLE) AS buy_value
+           FROM c ANTI JOIN m ON c.user_id = m.user_id AND c.cus = m.cus
+           WHERE cus + 1800000000 < (SELECT w FROM wm))
+         SELECT user_id, make_timestamp(cus) AS click_ts, click_value,
+           make_timestamp(bus) AS buy_ts, buy_value FROM m
+         UNION ALL SELECT user_id, make_timestamp(cus), click_value,
+           make_timestamp(bus), buy_value FROM um""",
 
     "q326_tx_backfill" ->
       """SELECT CAST(1 AS INT) AS version, COUNT(*) AS n_rows,

@@ -966,4 +966,147 @@ object Eval {
         round(num / den, 9)).as("chi2_bartlett"),
       (col("_k") - 1L).cast("int").as("df"))
   }
+
+  /** Cronbach's α internal-consistency reliability (Cronbach,
+    * Psychometrika'51): do the k items (here: per-item value totals
+    * over a common subject axis) measure ONE underlying quantity —
+    * α = k/(k−1) · (1 − Σᵢ Var(Xᵢ)/Var(ΣᵢXᵢ)). The metric-panel sanity
+    * gate: k telemetry series that claim to track the same behavior
+    * should hold α ≳ 0.7, and a dropped α flags a series that came
+    * unglued. Missing (subject, item) cells are zero-filled — an
+    * absent measurement is a zero total, not a dropped subject.
+    *
+    * Scale shape: one partial-agg cell build (subject × item totals of
+    * micro-quantized values), a broadcast-sized zero-fill grid
+    * (subjects × items — the SMALL derived frame, never raw rows),
+    * then two folds over the cells. Raw rows shuffle exactly once.
+    *
+    * Exactness: cell totals are exact DECIMAL sums of quantized longs;
+    * item and total variances assemble as n²-scaled exact integers
+    * (n·ΣX² − (ΣX)²) whose ratio cancels the scale, so the ONLY double
+    * is the final α expression the oracle token-mirrors. Degenerate
+    * panels (k < 2 or zero total variance) emit NULL α.
+    */
+  def cronbachAlpha(df: DataFrame, subjectCol: String, itemCol: String,
+                    valueCol: String): DataFrame = {
+    val vq = floor(col(valueCol) * 1000000L + 0.5).cast("long")
+    val cells = df.select(col(subjectCol).cast("string").as("_s"),
+        col(itemCol).cast("string").as("_i"), vq.as("_v"))
+      .groupBy("_s", "_i").agg(sum(col("_v").cast("decimal(38,0)")).as("_x"))
+    val subjects = cells.select("_s").distinct()
+    val items = cells.select("_i").distinct()
+    val grid = subjects.crossJoin(broadcast(items))
+      .join(cells, Seq("_s", "_i"), "left")
+      .select(col("_s"), col("_i"),
+        coalesce(col("_x"), lit(0).cast("decimal(38,0)")).as("_x"))
+    // per-item n²·variance numerators (n = subject count, shared)
+    val perItem = grid.groupBy("_i")
+      .agg(count(lit(1)).as("_n"), sum(col("_x")).as("_sx"),
+        sum(col("_x") * col("_x")).as("_sxx"))
+      .select(col("_n"),
+        (col("_n").cast("decimal(38,0)") * col("_sxx") - col("_sx") * col("_sx")).as("_num"))
+    val itemAgg = perItem.agg(count(lit(1)).as("_k"), max(col("_n")).as("_n"),
+      sum(col("_num").cast("decimal(38,0)")).as("_numi"))
+    // total-score n²·variance numerator over per-subject sums
+    val totals = grid.groupBy("_s").agg(sum(col("_x")).as("_t"))
+      .agg(count(lit(1)).as("_nt"), sum(col("_t")).as("_st"),
+        sum(col("_t") * col("_t")).as("_stt"))
+      .select((col("_nt").cast("decimal(38,0)") * col("_stt") - col("_st") * col("_st"))
+        .cast("double").as("_numt"))
+    val j = itemAgg.crossJoin(totals)
+    val kd = col("_k").cast("double")
+    j.select(col("_k").cast("int").as("k_items"),
+      col("_n").cast("long").as("n_subjects"),
+      when(col("_k") >= 2L && col("_numt") > 0.0,
+        round(kd / (kd - lit(1.0)) *
+          (lit(1.0) - col("_numi").cast("double") / col("_numt")), 9)).as("alpha"))
+  }
+
+  /** Information-gain feature screen: for each candidate categorical
+    * feature, IG = H(label) − H(label | feature) — how many nats of
+    * label uncertainty the feature removes. The mutual-information
+    * ranking every feature-selection pass starts from (and the split
+    * criterion decision trees maximize); differs from [[miMatrix]] in
+    * shape: one fixed LABEL against many features, reported with the
+    * conditional-entropy decomposition a data audit reads directly.
+    *
+    * Scale shape: per feature, one partial-agg count over (value,
+    * label) cells plus the shared label marginal — each a map-side
+    * combine; entropies assemble from cell counts (metadata-sized).
+    *
+    * Exactness: the q107 entropy pattern — each p·ln p term quantizes
+    * to DECIMAL(20,9) before the sum, so partial-agg order cannot
+    * drift the total; IG exits via round(·, 6).
+    */
+  def infoGain(df: DataFrame, labelCol: String,
+               featureCols: Seq[String]): DataFrame = {
+    require(featureCols.nonEmpty, "need at least one feature column")
+    val base = df.select(
+      (col(labelCol).cast("string") +: featureCols.map(c => col(c).cast("string"))): _*)
+      .toDF(("_y" +: featureCols.map(c => s"_f_$c")): _*)
+    val nTotal = base.count()
+    val nd = lit(nTotal.toDouble)
+    // H(label): one shared marginal
+    val hLabel = base.groupBy("_y").agg(count(lit(1)).as("_c"))
+      .select((((col("_c").cast("double") / nd) * log(col("_c").cast("double") / nd))
+        .cast("decimal(20,9)")).as("_t"))
+      .agg(sum(col("_t")).as("_sy"))
+    val perFeature = featureCols.map { f =>
+      val cells = base.groupBy(col(s"_f_$f").as("_v"), col("_y"))
+        .agg(count(lit(1)).as("_cvc"))
+      val vTot = cells.groupBy("_v").agg(sum("_cvc").as("_cv"))
+      cells.join(vTot, Seq("_v"))
+        .select((((col("_cvc").cast("double") / nd) *
+          log(col("_cvc").cast("double") / col("_cv").cast("double")))
+          .cast("decimal(20,9)")).as("_t"))
+        .agg(sum(col("_t")).as("_sc"))
+        .select(lit(f).as("feature"), col("_sc"))
+    }.reduce(_.unionByName(_))
+    perFeature.crossJoin(broadcast(hLabel))
+      .select(col("feature"),
+        round(-col("_sy").cast("double"), 6).as("h_label"),
+        round(-col("_sc").cast("double"), 6).as("h_cond"),
+        round(col("_sc").cast("double") - col("_sy").cast("double"), 6).as("info_gain"))
+  }
+
+  /** Fleiss' κ inter-rater agreement (Fleiss, Psych. Bull.'71): N
+    * subjects each rated by exactly n raters into one of k categories
+    * — observed pairwise agreement P̄ vs chance agreement P̄ₑ from the
+    * pooled category shares, κ = (P̄ − P̄ₑ)/(1 − P̄ₑ). The
+    * label-quality gate for multi-annotator datasets (and for
+    * LLM-judge ensembles): κ near 0 means the "labels" are noise.
+    * Subjects whose rating count differs from `nRaters` are dropped
+    * (the fixed-n design requirement) and reported.
+    *
+    * Exactness: both P̄ and P̄ₑ assemble from exact integer sums
+    * (Σᵢ Σ_c n_ic², Σ_c m_c²) in one mirrored double expression each;
+    * κ exits via round(·, 9), NULL when P̄ₑ = 1 (single category).
+    */
+  def fleissKappa(df: DataFrame, subjectCol: String, categoryCol: String,
+                  nRaters: Int): DataFrame = {
+    require(nRaters >= 2, s"nRaters must be >= 2, got $nRaters")
+    val counts = df.select(col(subjectCol).cast("string").as("_s"),
+        col(categoryCol).cast("string").as("_c"))
+      .groupBy("_s", "_c").agg(count(lit(1)).as("_n"))
+    val perSubject = counts.groupBy("_s")
+      .agg(sum("_n").as("_tot"), sum(col("_n") * col("_n")).as("_s2"))
+    val kept = perSubject.filter(col("_tot") === nRaters.toLong)
+    val catTot = counts.join(kept.select("_s"), Seq("_s"), "left_semi")
+      .groupBy("_c").agg(sum("_n").as("_m"))
+      .agg(sum(col("_m").cast("decimal(38,0)") * col("_m").cast("decimal(38,0)"))
+        .as("_sm2"))
+    val subjAgg = kept.agg(count(lit(1)).as("_ns"),
+      sum(col("_s2").cast("decimal(38,0)")).as("_s2tot"))
+    val j = subjAgg.crossJoin(catTot)
+    val nsd = col("_ns").cast("double"); val nr = lit(nRaters.toDouble)
+    val pbar = (col("_s2tot").cast("double") - nsd * nr) /
+      (nsd * nr * (nr - lit(1.0)))
+    val pe = col("_sm2").cast("double") / (nsd * nr * nsd * nr)
+    j.select(col("_ns").cast("long").as("n_subjects"),
+      lit(nRaters).as("n_raters"),
+      when(col("_ns") > 0L, round(pbar, 9)).as("p_bar"),
+      when(col("_ns") > 0L, round(pe, 9)).as("p_e"),
+      when(col("_ns") > 0L && pe < 1.0,
+        round((pbar - pe) / (lit(1.0) - pe), 9)).as("kappa"))
+  }
 }

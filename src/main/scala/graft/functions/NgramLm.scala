@@ -243,4 +243,89 @@ object NgramLm {
       .select(col("doc_id"), coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         col("logw"))
   }
+
+  /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney ICASSP'95;
+    * Chen & Goodman's interpolated form — the smoothing every serious
+    * n-gram LM since SRILM/KenLM defaults to). Each document bigram
+    * (w1, w2) with a KNOWN context (c(w1·) > 0 in the seed) scores
+    *   P(w2|w1) = max(c(w1w2) − D, 0)/c(w1·)
+    *            + D · N1+(w1·)/c(w1·) · N1+(·w2)/N1+(··)
+    * with discount D = 0.75: the absolute-discount mass is re-spent on
+    * the CONTINUATION probability — how many distinct contexts w2
+    * completes, not how often it occurs — which is exactly what makes
+    * KN beat add-k/backoff on real text ("Francisco" is frequent but
+    * follows only "San"). Bigrams with an unseen context, or with
+    * P = 0 (unseen pair AND never-seen continuation), are counted and
+    * skipped — kn_nll is the negative mean log over the SCORED terms.
+    *
+    * Scale shape: the LM artifact is one partial-agg bigram count
+    * table plus three derived aggregates of it (context totals c1 +
+    * distinct-continuation counts per w1, distinct-predecessor counts
+    * per w2, the global bigram-type count) — all size-gated broadcasts
+    * under [[perplexity]]'s row budget, shuffled joins beyond it.
+    * Scoring is the same one corpus pass: pinned rebalance → bigram
+    * explode → three gated lookup joins → per-doc partial agg.
+    *
+    * Determinism: every log term is an IEEE double of exact integer
+    * operands in a token order the oracle mirrors, quantized to
+    * DECIMAL(20,6) before the per-doc sum; the mean exits via
+    * round(·, 4).
+    */
+  def kneserNey(docs: DataFrame, lmDocs: DataFrame, discount: Double = 0.75,
+                textCol: String = "text", idCol: String = "doc_id",
+                broadcastMaxRows: Long = 2000000L): DataFrame = {
+    val n = docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // ---- the LM artifact ----
+    val seedBg = lmDocs
+      .select(explode(T.boundNGrams(col(textCol), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c2"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .persist()
+    // context totals AND distinct continuations in one partial agg
+    val ctx = seedBg.groupBy("w1")
+      .agg(sum("c2").as("c1"), count(lit(1)).as("n1fwd")).persist()
+    val cont = seedBg.groupBy("w2").agg(count(lit(1)).as("n1rev"))
+    val nBigramTypes = seedBg.count()
+    def gated(df: DataFrame) =
+      if (nBigramTypes <= broadcastMaxRows) broadcast(df) else df
+    // ---- one scoring pass over the corpus ----
+    val spine = docs.select(col(idCol).as("doc_id"), T.tokens(col(textCol)).as("w"))
+      .repartition(n, col("doc_id"))
+      .select(col("doc_id"), T.wordNGrams(col("w"), 2).as("bgs"))
+    val d = lit(discount)
+    val terms = spine.select(col("doc_id"), explode(col("bgs")).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .join(gated(seedBg.select("bg", "c2")), Seq("bg"), "left")
+      .join(gated(ctx), Seq("w1"), "left")
+      .join(gated(cont), Seq("w2"), "left")
+      .select(col("doc_id"),
+        coalesce(col("c2"), lit(0L)).as("c2"),
+        coalesce(col("c1"), lit(0L)).as("c1"),
+        coalesce(col("n1fwd"), lit(0L)).as("n1fwd"),
+        coalesce(col("n1rev"), lit(0L)).as("n1rev"))
+      // the oracle mirrors this token order exactly; the c1 > 0 guard
+      // keeps ANSI mode off the unseen-context division (the oracle's
+      // IEEE inf/nan falls out of its own c1 > 0 filter)
+      .withColumn("p", when(col("c1") > 0L,
+        greatest(col("c2").cast("double") - d, lit(0.0)) / col("c1").cast("double") +
+        d * col("n1fwd").cast("double") / col("c1").cast("double") *
+          (col("n1rev").cast("double") / lit(nBigramTypes.toDouble))))
+      .withColumn("scored", col("p").isNotNull && col("p") > 0.0)
+      .withColumn("termd",
+        when(col("scored"), log(col("p")).cast("decimal(20,6)")))
+    val sc = terms.groupBy("doc_id").agg(
+      count(lit(1)).as("n_bigrams"),
+      sum(when(col("scored"), 1L).otherwise(0L)).as("n_scored"),
+      sum(col("termd")).as("s"))
+      .withColumn("kn_nll",
+        when(col("n_scored") > 0L,
+          round(-col("s").cast("double") / col("n_scored"), 4)))
+    spine.select("doc_id").join(sc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_scored"), lit(0L)).as("n_scored"),
+        col("kn_nll"))
+  }
 }

@@ -436,6 +436,65 @@ object Rolling {
         round(cov / (sqrt(vx) * sqrt(vy)), 9)).as("acf"))
   }
 
+  /** Per-key Ljung–Box portmanteau test (Ljung & Box, Biometrika'78):
+    * is the series WHITE NOISE, or is there autocorrelation at ANY lag
+    * up to m — the one-number companion to [[autocorr]]'s per-lag ACF
+    * (which tests each lag in isolation). Q = n(n+2)·Σ_k ρ̂_k²/(n−k)
+    * with ρ̂_k the standard ACF estimator
+    * Σ_{t>k}(x_t−x̄)(x_{t−k}−x̄)/Σ_t(x_t−x̄)² — under H₀ Q ~ χ²(m), so
+    * a monitoring job thresholds Q once instead of m per-lag cutoffs.
+    * The residual-diagnostics gate every forecasting pipeline runs.
+    *
+    * Scale shape: one key-partitioned sort computes every lag's `lag`
+    * in the same Window node; per-lag cross products expand map-side
+    * from an inline struct array and reduce in ONE partial agg
+    * together with the global (n, Σx, Σx²) moments. Nothing quadratic,
+    * no second shuffle.
+    *
+    * Exactness: values quantize to integer micro-units; every sum runs
+    * as DECIMAL(38,0) over exact longs. ρ̂_k is assembled from the
+    * n²-scaled exact integers (num_k·n² = n²·C_k − n·S·(A_k+B_k)
+    * + (n−k)·S², den·n² = n²·SS − n·S²) so the ONLY doubles are the
+    * final divisions and the fixed-order Q assembly the oracle
+    * token-mirrors. Keys with n ≤ m+1 or zero variance emit NULL Q.
+    */
+  def ljungBox(df: DataFrame, keyCol: String, timeCol: String, valueCol: String,
+               idCol: String, maxLag: Int = 3): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val lags = 1 to maxLag
+    val w = Window.partitionBy(keyCol).orderBy(col(timeCol), col(idCol))
+    val vq = floor(col(valueCol) * 1000000L + 0.5).cast("long")
+    val withLags = lags.foldLeft(df.withColumn("_x", vq)) { (d, k) =>
+      d.withColumn(s"_p$k", lag(col("_x"), k).over(w))
+    }
+    def dec38(c: Column): Column = c.cast("decimal(38,0)")
+    val aggCols: Seq[Column] =
+      sum(dec38(col("_x"))).as("s") +:
+      sum(dec38(col("_x")) * dec38(col("_x"))).as("ss") +:
+      lags.flatMap { k =>
+        val p = col(s"_p$k")
+        Seq(sum(when(p.isNotNull, dec38(col("_x")) * dec38(p))).as(s"c$k"),
+            sum(when(p.isNotNull, dec38(col("_x")))).as(s"a$k"),
+            sum(when(p.isNotNull, dec38(p))).as(s"b$k"))
+      }
+    val sums = withLags.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"), aggCols: _*)
+    val n2 = dec38(col("n")) * dec38(col("n"))
+    val den = n2 * col("ss") - dec38(col("n")) * col("s") * col("s")
+    val nd = col("n").cast("double")
+    def rho(k: Int): Column =
+      ((n2 * coalesce(col(s"c$k"), lit(0)) -
+        dec38(col("n")) * col("s") * (coalesce(col(s"a$k"), lit(0)) + coalesce(col(s"b$k"), lit(0))) +
+        (dec38(col("n")) - lit(k)) * col("s") * col("s")).cast("double")) /
+        den.cast("double")
+    // fixed-order Q assembly, token-mirrored by the oracle
+    val q = lags.map(k => rho(k) * rho(k) / (nd - lit(k.toDouble)))
+      .reduce(_ + _) * nd * (nd + lit(2.0))
+    sums.select(col(keyCol), col("n"),
+      when(col("n") > lit(maxLag + 1) && den.cast("double") > 0.0,
+        round(q, 9)).as("lb_q"))
+  }
+
   /** SCD2 history build (SURVEY.md §2 #65): compress a per-key change
     * log into validity periods — one row per RUN of consecutive equal
     * values with [valid_from, valid_to) bounds, valid_to NULL on the

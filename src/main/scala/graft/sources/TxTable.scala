@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -593,9 +593,11 @@ object TxTable {
                               maxAttempts: Int = 5,
                               dfIsPhysical: Boolean = false,
                               setCols: Seq[String] = Nil,
-                              partitionBy: Option[String] = None): Int = {
+                              partitionBy: Option[String] = None,
+                              preNamed: Option[Seq[String]] = None): Int = {
     require(op == "append" || op == "overwrite" || op == "compact" ||
-      op == "delete" || op == "evolve" || op == "merge", s"unknown op $op")
+      op == "delete" || op == "update" || op == "evolve" || op == "merge",
+      s"unknown op $op")
     require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
     val spark = df.sparkSession
     val f = fs(spark, table)
@@ -654,12 +656,13 @@ object TxTable {
         df.select(m.map { case (n, p) => col(n).as(p) }: _*)
       case _ => df
     }
-    // the manifest records the LOGICAL snapshot schema
-    val logicalSchema0: StructType = writeMap match {
+    // the manifest records the LOGICAL snapshot schema — hidden layout
+    // columns (path-derived, [[hiddenSpecOf]]) never enter it
+    val logicalSchema0: StructType = StructType((writeMap match {
       case Some(m) if dfIsPhysical =>
         StructType(m.map { case (n, p) => df.schema(p).copy(name = n) })
       case _ => df.schema
-    }
+    }).fields.filterNot(f => hiddenSpecOf(f.name).isDefined))
     // a carrying commit records the PARENT's field order (parquet
     // resolves by name, so order is representational — but physical
     // rewrites read through the hive layout surface the partition
@@ -705,33 +708,48 @@ object TxTable {
     // names — the move is a metadata op on HDFS-likes
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val tmp = new Path(s"$table/_tmp_v${v}_$nonce")
-    physPart match {
-      case Some(pc) => physDf.write.mode("overwrite").partitionBy(pc)
-        .parquet(tmp.toString)
-      case None => physDf.write.mode("overwrite").parquet(tmp.toString)
+    // hidden layout: frames arriving WITHOUT the transform column
+    // (user appends, full compact, merge results — all logical) derive
+    // it here; raw rewrite frames already carry it from the path
+    val physDfW = physPart match {
+      case Some(pc) if hiddenSpecOf(pc).isDefined && !physDf.columns.contains(pc) =>
+        physDf.withColumn(pc, hiddenColOf(pc))
+      case _ => physDf
     }
-    // partitioned writes nest part files one level down
-    // (<col>=<val>/part-*); the versioned rename preserves the
-    // partition directory so the manifest path IS the partition value
-    val parts: Seq[(Path, String)] =
-      if (physPart.isEmpty)
-        f.listStatus(tmp).map(_.getPath)
-          .filter(_.getName.startsWith("part-")).sortBy(_.getName)
-          .map(p => (p, "data")).toSeq
-      else
-        f.listStatus(tmp).filter(_.isDirectory)
-          .flatMap(d => f.listStatus(d.getPath).map(_.getPath)
-            .filter(_.getName.startsWith("part-"))
-            .map(p => (p, s"data/${d.getPath.getName}")))
-          .sortBy { case (p, d) => (d, p.getName) }.toSeq
-    f.mkdirs(new Path(s"$table/data"))
-    var named: Seq[String] = parts.zipWithIndex.map { case ((p, dir), i) =>
-      val rel = s"$dir/v${v}_${i}_$nonce.parquet"
-      f.mkdirs(new Path(s"$table/$dir"))
-      require(f.rename(p, new Path(s"$table/$rel")), s"rename failed for $p")
-      rel
-    }.toSeq
-    f.delete(tmp, true)
+    // WAP publish path: the data files were already written at stage
+    // time ([[stageWap]]) — skip the distributed write and adopt them;
+    // stats/blooms/vsets below recompute from their footers/contents,
+    // and a rebase re-keys them to versioned names like any append.
+    var named: Seq[String] = preNamed.getOrElse {
+      physPart match {
+        case Some(pc) => physDfW.write.mode("overwrite").partitionBy(pc)
+          .parquet(tmp.toString)
+        case None => physDfW.write.mode("overwrite").parquet(tmp.toString)
+      }
+      // partitioned writes nest part files one level down
+      // (<col>=<val>/part-*); the versioned rename preserves the
+      // partition directory so the manifest path IS the partition value
+      val parts: Seq[(Path, String)] =
+        if (physPart.isEmpty)
+          f.listStatus(tmp).map(_.getPath)
+            .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+            .map(p => (p, "data")).toSeq
+        else
+          f.listStatus(tmp).filter(_.isDirectory)
+            .flatMap(d => f.listStatus(d.getPath).map(_.getPath)
+              .filter(_.getName.startsWith("part-"))
+              .map(p => (p, s"data/${d.getPath.getName}")))
+            .sortBy { case (p, d) => (d, p.getName) }.toSeq
+      f.mkdirs(new Path(s"$table/data"))
+      val out = parts.zipWithIndex.map { case ((p, dir), i) =>
+        val rel = s"$dir/v${v}_${i}_$nonce.parquet"
+        f.mkdirs(new Path(s"$table/$dir"))
+        require(f.rename(p, new Path(s"$table/$rel")), s"rename failed for $p")
+        rel
+      }.toSeq
+      f.delete(tmp, true)
+      out
+    }
     // DATA-SKIPPING STATS (the Delta data-skipping shape: per-file
     // min/max recorded in the transaction log at commit time, so a
     // range read prunes FILES from the manifest alone — no footer
@@ -1351,6 +1369,54 @@ object TxTable {
     (nv, touch.size, untouched.size)
   }
 
+  /** Row-level UPDATE, COPY-ON-WRITE (the Delta/Iceberg CoW UPDATE
+    * shape): rewrite ONLY the files whose stats admit a predicate
+    * match, applying `assign` to the matching rows and carrying every
+    * other file by reference — a point update on a 100 TB table costs
+    * one stats-pruned candidate rewrite, never a snapshot rewrite.
+    * SQL UPDATE semantics: rows where the predicate is NULL keep their
+    * original values; non-matching rows in rewritten files copy
+    * through unchanged. The rewrite reads through the merge-on-read
+    * filters (a rewritten row gets a NEW file name, which would
+    * otherwise un-scope its tombstones) and commits as op "update" —
+    * [[changes]] surfaces the churn as delete-of-candidates +
+    * insert-of-rewrites (the Iceberg CDC rule for CoW updates).
+    *
+    * `assign` maps column names to replacement expressions evaluated
+    * on the matched rows (referencing any column of the row).
+    *
+    * @return (version, nRewrittenFiles, nCarriedFiles) — version
+    *         unchanged with 0 rewrites when no file can match
+    */
+  def updateWhere(spark: SparkSession, table: String, colName: String,
+                  lo: Double, hi: Double, assign: Map[String, Column],
+                  statsCols: Seq[String] = Nil): (Int, Int, Int) = {
+    require(assign.nonEmpty, "updateWhere needs at least one assignment")
+    val v = currentVersion(spark, table)
+    require(v >= 1, s"TxTable: cannot update non-existent table $table")
+    val all = filesOf(spark, table, v)
+    val touch = prunedFiles(spark, table, v, colName, lo, hi)
+    val untouched = all.filterNot(touch.toSet)
+    if (touch.isEmpty) return (v, 0, all.size)
+    val map = colMapOf(spark, table, v)
+    val phys = physOf(map, colName)
+    require(!assign.contains(colName) || colName == colName, "")
+    val pred = col(phys).isNotNull && col(phys) >= lo && col(phys) <= hi
+    val base = morFilter(spark, table, v, rawRead(spark, table, v, touch))
+    // assignment TARGETS are logical names resolved through the column
+    // mapping; assignment EXPRESSIONS evaluate against the physical
+    // rewrite frame (identical to logical for unmapped tables)
+    val rewritten = assign.foldLeft(base) { case (d, (name, expr)) =>
+      val p = physOf(map, name)
+      require(base.columns.contains(p),
+        s"TxTable: updateWhere target column '$name' not in $table")
+      d.withColumn(p, when(pred, expr).otherwise(col(p)))
+    }
+    val nv = commitAs(rewritten, table, v + 1, "update", statsCols,
+      carryFiles = Some(untouched), dfIsPhysical = true)
+    (nv, touch.size, untouched.size)
+  }
+
   /** Row-level DELETE, MERGE-ON-READ (the Delta deletion-vector shape
     * at (file, key) granularity): ZERO data files are rewritten — the
     * delete writes a tombstone SIDECAR of (data-file, key) pairs for
@@ -1636,6 +1702,13 @@ object TxTable {
       s"TxTable: column '$to' already exists at $table v$v")
     val map0 = colMapOf(spark, table, v)
       .getOrElse(schema.fieldNames.toSeq.map(n => (n, n)))
+    // a hidden layout's transform spec names its SOURCE column by
+    // physical name baked into every partition directory — renaming
+    // the source would desynchronize derive-on-append from the layout
+    require(!partColOf(spark, table, v).flatMap(hiddenSpecOf)
+        .exists(_._2 == physOf(Some(map0), from)),
+      s"TxTable: column '$from' is the source of $table's hidden partition " +
+      "layout — rewrite the layout (op=\"overwrite\" with a new partitionBy) first")
     metadataCommit(spark, table, "rename",
       StructType(schema.map(fd => if (fd.name == from) fd.copy(name = to) else fd)),
       map0.map { case (n, p) => (if (n == from) to else n, p) })
@@ -1665,6 +1738,9 @@ object TxTable {
     require(!tombEntriesOf(spark, table, v).exists(_._2 == phys),
       s"TxTable: column '$name' is an active merge-on-read tombstone key at " +
       s"$table v$v — run compact() (OPTIMIZE folds the tombstones) before dropping it")
+    require(!partColOf(spark, table, v).flatMap(hiddenSpecOf).exists(_._2 == phys),
+      s"TxTable: column '$name' is the source of $table's hidden partition " +
+      "layout — rewrite the layout (op=\"overwrite\" with a new partitionBy) first")
     metadataCommit(spark, table, "drop",
       StructType(schema.filterNot(_.name == name)),
       map0.filterNot(_._1 == name))
@@ -1830,6 +1906,141 @@ object TxTable {
       failed.map(r => s"${r.getString(0)}(${r.getString(1)}) metric=${r.get(2)}")
         .mkString("; "))
     commit(df, table, op, statsCols)
+  }
+
+  // ------------------- WRITE-AUDIT-PUBLISH -------------------
+  // The Iceberg WAP refinement of [[commitChecked]] for inputs too
+  // expensive to scan twice: the data files land ONCE at stage time,
+  // the audit runs over the WRITTEN files (not a second pass over the
+  // input), and publish is a METADATA-ONLY append commit adopting
+  // them — no data IO between audit verdict and table head. A staged
+  // batch is invisible to every read until published; a failed audit
+  // abandons it without the table ever having moved.
+
+  private def stagedPath(table: String, wapId: String) =
+    new Path(s"$table/_staged/$wapId.json")
+
+  private def requireWapId(wapId: String): Unit =
+    require(wapId.nonEmpty && wapId.forall(c =>
+        c.isLetterOrDigit && c < 128 || c == '-' || c == '_'),
+      s"TxTable: wapId must be [A-Za-z0-9_-]+, got '$wapId'")
+
+  private def stagedText(f: FileSystem, table: String, wapId: String): String = {
+    val sp = stagedPath(table, wapId)
+    require(f.exists(sp), s"TxTable: no staged batch '$wapId' at $table")
+    val in = f.open(sp)
+    try {
+      val bos = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 65536, false)
+      new String(bos.toByteArray, "UTF-8")
+    } finally in.close()
+  }
+
+  /** Stage a batch for write-audit-publish: the frame writes to the
+    * table's data directory under UNVERSIONED staged names
+    * (`w_<wapId>_…`) recorded in `_staged/<wapId>.json` — referenced
+    * by NO manifest, so every snapshot read, CDC poll, and time travel
+    * is oblivious until [[publishWap]]. The schema gates against the
+    * head HERE (loud before any audit work); partitioned or
+    * column-mapped heads refuse (stage writes flat logical-named
+    * files — those layouts commit directly). Returns the staged
+    * relative paths (the audit surface, also via [[readWap]]).
+    */
+  def stageWap(df: DataFrame, table: String, wapId: String): Seq[String] = {
+    requireWapId(wapId)
+    val spark = df.sparkSession
+    val f = fs(spark, table)
+    val v = currentVersion(spark, table)
+    require(v < 1 || partColOf(spark, table, v).isEmpty,
+      s"TxTable: $table has a partitioned layout — WAP staging writes flat " +
+      "files; commit the batch directly")
+    require(v < 1 || colMapOf(spark, table, v).isEmpty,
+      s"TxTable: $table is column-mapped — WAP staging writes logical names " +
+      "physically; commit the batch directly")
+    if (v >= 1) manifestSchema(spark, table, v).foreach { parent =>
+      require(schemaKey(parent) == schemaKey(df.schema),
+        s"TxTable: staged schema mismatch at $table — head has " +
+        s"${schemaKey(parent).map(p => p._1 + ":" + p._2).mkString("[", ", ", "]")} but the " +
+        s"staged frame has ${schemaKey(df.schema).map(p => p._1 + ":" + p._2).mkString("[", ", ", "]")}")
+    }
+    require(!f.exists(stagedPath(table, wapId)),
+      s"TxTable: batch '$wapId' is already staged at $table — publish or abandon it")
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new Path(s"$table/_tmp_w${wapId}_$nonce")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    f.mkdirs(new Path(s"$table/data"))
+    val named = f.listStatus(tmp).map(_.getPath)
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName).zipWithIndex
+      .map { case (p, i) =>
+        val rel = s"data/w_${wapId}_${i}_$nonce.parquet"
+        require(f.rename(p, new Path(s"$table/$rel")), s"rename failed for $p")
+        rel
+      }.toSeq
+    f.delete(tmp, true)
+    val json = s"""{"wap":"${jesc(wapId)}",""" +
+      s""""files":[${named.map("\"" + _ + "\"").mkString(",")}]}"""
+    val out = f.create(stagedPath(table, wapId), false)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+    named
+  }
+
+  /** The staged batch as a frame — the AUDIT surface: exactly the
+    * files stage wrote, read back (what publish will adopt, not what
+    * the caller remembers handing in).
+    */
+  def readWap(spark: SparkSession, table: String, wapId: String): DataFrame = {
+    requireWapId(wapId)
+    val files = parseFileArray(stagedText(fs(spark, table), table, wapId), "files")
+    spark.read.parquet(files.map(rel => s"$table/$rel"): _*)
+  }
+
+  /** Publish a staged batch: one append COMMIT whose data files are
+    * the staged ones (adopted by reference — zero data IO; skipping
+    * stats/blooms recompute from the staged footers/contents, the
+    * metadata-scale cost every commit pays). Rides the full commit
+    * machinery: schema gate against the CURRENT head (which may have
+    * moved since stage), CAS + append rebase on conflicts (staged
+    * files re-key to versioned names), and an exactly-once txn marker
+    * (`_wap_<id>`) so a crash between CAS and staged-record cleanup
+    * can never double-publish. Returns the published version.
+    */
+  def publishWap(spark: SparkSession, table: String, wapId: String,
+                 statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
+                 maxAttempts: Int = 20): Int = {
+    requireWapId(wapId)
+    val f = fs(spark, table)
+    val appId = s"_wap_$wapId"
+    txnVersionOf(spark, table, appId, 0L) match {
+      case Some(v) => // already published; finish the cleanup half
+        f.delete(stagedPath(table, wapId), false)
+        v
+      case None =>
+        val add = parseFileArray(stagedText(f, table, wapId), "files")
+        require(add.nonEmpty, s"TxTable: staged batch '$wapId' records no files")
+        val head = currentVersion(spark, table)
+        require(head < 1 || partColOf(spark, table, head).isEmpty,
+          s"TxTable: $table gained a partitioned layout after staging — abandon '$wapId'")
+        val df = spark.read.parquet(add.map(rel => s"$table/$rel"): _*)
+        val nv = commitAs(df, table, head + 1, "append",
+          statsCols, txn = Some((appId, 0L)), bloomCols = bloomCols,
+          rebaseAppend = true, maxAttempts = maxAttempts,
+          dfIsPhysical = true, preNamed = Some(add))
+        f.delete(stagedPath(table, wapId), false)
+        nv
+    }
+  }
+
+  /** Drop a staged batch that failed its audit: the staged record and
+    * its files delete; the table never moved. Returns the removed
+    * relative paths.
+    */
+  def abandonWap(spark: SparkSession, table: String, wapId: String): Seq[String] = {
+    requireWapId(wapId)
+    val f = fs(spark, table)
+    val files = parseFileArray(stagedText(f, table, wapId), "files")
+    files.foreach(rel => f.delete(new Path(s"$table/$rel"), false))
+    f.delete(stagedPath(table, wapId), false)
+    files
   }
 
   /** First-class transactional MERGE — the lakehouse MERGE INTO as an
@@ -2014,8 +2225,8 @@ object TxTable {
       }
     def readFiles(files: Seq[String], atV: Int): Option[DataFrame] =
       if (files.isEmpty) None
-      else Some(projectVia(atV)(morFilter(spark, table, atV,
-        rawRead(spark, table, atV, files))))
+      else Some(dropHidden(projectVia(atV)(morFilter(spark, table, atV,
+        rawRead(spark, table, atV, files)))))
     val steps = ((fromV + 1) to toV).flatMap { v =>
       val prev = if (v == 1) Seq.empty else filesOf(spark, table, v - 1)
       val cur = filesOf(spark, table, v)
@@ -2045,10 +2256,10 @@ object TxTable {
                 .withColumn("_graft_fn",
                   element_at(split(col("_metadata.file_path"), "/"), -1))
                 .withColumn("_graft_ri", col("_metadata.row_index"))
-              Seq(projectVia(v)(
+              Seq(dropHidden(projectVia(v)(
                 raw.join(pairs, raw("_graft_fn") === col("_graft_pf") &&
                   raw("_graft_ri") === col("_graft_pp"), "left_semi")
-                  .drop("_graft_fn", "_graft_ri"))
+                  .drop("_graft_fn", "_graft_ri")))
                 .withColumn("_change", lit("delete"))
                 .withColumn("_version", lit(v)))
             }
@@ -2071,9 +2282,9 @@ object TxTable {
               val raw = rawRead(spark, table, v, touched.map(relOf))
                 .withColumn("_graft_fn",
                   element_at(split(col("_metadata.file_path"), "/"), -1))
-              Some(projectVia(v)(
+              Some(dropHidden(projectVia(v)(
                 raw.join(keys, raw("_graft_fn") === col("_graft_tf") &&
-                  raw(k) === col("_graft_tk"), "left_semi").drop("_graft_fn"))
+                  raw(k) === col("_graft_tk"), "left_semi").drop("_graft_fn")))
                 .withColumn("_change", lit("delete"))
                 .withColumn("_version", lit(v)))
             }
@@ -2081,10 +2292,10 @@ object TxTable {
         case op =>
           val (ins, del) =
             if (op == "append" || op == "evolve") (cur.diff(prev), Seq.empty[String])
-            // copy-on-write delete: carried files are identical in
-            // both snapshots — churn is exactly the rewritten subset
-            // (delete-of-candidates + insert-of-survivors)
-            else if (op == "delete") (cur.diff(prev), prev.diff(cur))
+            // copy-on-write delete/update: carried files are identical
+            // in both snapshots — churn is exactly the rewritten subset
+            // (delete-of-candidates + insert-of-survivors/rewrites)
+            else if (op == "delete" || op == "update") (cur.diff(prev), prev.diff(cur))
             else (cur, prev) // overwrite/merge/restore: full snapshot replace
           readFiles(ins, v).map(
             _.withColumn("_change", lit("insert")).withColumn("_version", lit(v))) ++
@@ -2135,6 +2346,98 @@ object TxTable {
         .flatMap(_.collectFirst { case (n, p) if p == pc => n }).getOrElse(pc) }
     commitAs(readVersion(spark, table, v).repartition(nOut), table, v + 1,
       "compact", partitionBy = partLogical)
+  }
+
+  /** HIDDEN transform partitioning (Iceberg's "hidden partitioning"):
+    * the layout column is DERIVED from a source column by a recorded
+    * transform and never enters the logical schema — users write and
+    * query the SOURCE column; the engine derives the layout value at
+    * commit, prunes by transforming the probe, and drops the derived
+    * column on read. The transform is encoded in the partition column
+    * NAME (`_gpt-<kind>-<srcPhysicalCol>`), so it rides every existing
+    * manifest / restore / compact / delta-log path with no new
+    * manifest field. Supported kinds:
+    *  - `bucket16`: first hex nibble of md5 of the source's string
+    *    rendering — 16 buckets, engine-portable (the oracle and any
+    *    auditor recompute it from the data alone);
+    *  - `day`: yyyy-MM-dd of a timestamp — dir values sort
+    *    lexicographically, so range pruning is a string between.
+    * The spec names the PHYSICAL source column (physical names never
+    * change once written — rename stays metadata-only), and
+    * [[renameColumn]]/[[dropColumn]] refuse on the source of a live
+    * hidden layout.
+    */
+  private[graft] val HiddenPrefix = "_gpt-"
+
+  private[graft] def hiddenSpecOf(pc: String): Option[(String, String)] =
+    if (!pc.startsWith(HiddenPrefix)) None
+    else pc.stripPrefix(HiddenPrefix).split("-", 2) match {
+      case Array(kind, src) if (kind == "bucket16" || kind == "day") && src.nonEmpty =>
+        Some((kind, src))
+      case _ => None
+    }
+
+  private def hiddenColOf(pc: String): Column = hiddenSpecOf(pc) match {
+    case Some(("bucket16", src)) => substring(md5(col(src).cast("string")), 1, 1)
+    case Some(("day", src)) => date_format(col(src), "yyyy-MM-dd")
+    case _ => sys.error(s"TxTable: not a hidden partition column: $pc")
+  }
+
+  /** Driver-side mirror of the transform for point pruning: the
+    * directory value a probe key lands in.
+    */
+  private[graft] def hiddenValueOf(pc: String, key: String): String =
+    hiddenSpecOf(pc) match {
+      case Some(("bucket16", _)) =>
+        "%02x".format(java.security.MessageDigest.getInstance("MD5")
+          .digest(key.getBytes("UTF-8")).head & 0xff).take(1)
+      case Some(("day", _)) => key.take(10)
+      case _ => sys.error(s"TxTable: not a hidden partition column: $pc")
+    }
+
+  /** Drop any hidden layout columns a raw/hive read surfaced. */
+  private def dropHidden(df: DataFrame): DataFrame = {
+    val h = df.columns.filter(c => hiddenSpecOf(c).isDefined)
+    if (h.isEmpty) df else df.drop(h.toIndexedSeq: _*)
+  }
+
+  /** HIDDEN-partition point read: files of the ONE partition the
+    * probe key's transform lands in, selected from the manifest list
+    * alone — the caller applies the exact source-column predicate on
+    * the (1/N-sized) result. The bucket analogue of [[readPartition]]:
+    * the user never sees or names the layout column.
+    */
+  def readHiddenPoint(spark: SparkSession, table: String, key: String,
+                      version: Int = -1): DataFrame = {
+    val v = if (version > 0) version else currentVersion(spark, table)
+    val pc = partColOf(spark, table, v).getOrElse(
+      sys.error(s"TxTable: $table v$v has no partitioned layout"))
+    require(hiddenSpecOf(pc).isDefined,
+      s"TxTable: $table is identity-partitioned — use readPartition")
+    readPartition(spark, table, hiddenValueOf(pc, key), v)
+  }
+
+  /** PARTITION-RANGE read over the directory values, inclusive both
+    * ends — dir values compare lexicographically (ISO days, hex
+    * nibbles), so a day-partitioned time-range read plans exactly the
+    * in-range partitions' files from the manifest alone.
+    */
+  def readPartitionRange(spark: SparkSession, table: String, lo: String,
+                         hi: String, version: Int = -1): DataFrame = {
+    val v = if (version > 0) version else currentVersion(spark, table)
+    val pc = partColOf(spark, table, v).getOrElse(
+      sys.error(s"TxTable: $table v$v has no partitioned layout"))
+    val prefix = s"data/$pc="
+    val mine = filesOf(spark, table, v).filter { rel =>
+      rel.startsWith(prefix) && {
+        val seg = rel.substring(prefix.length, rel.indexOf('/', prefix.length))
+        val value = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(seg)
+        value >= lo && value <= hi
+      }
+    }
+    if (mine.isEmpty) readVersion(spark, table, v).limit(0)
+    else snapshotRead(spark, table, v, mine)
   }
 
   /** Escaped hive directory segment for one partition value — the
@@ -2255,11 +2558,21 @@ object TxTable {
     val dataDir = new Path(s"$table/data")
     if (!f.exists(dataDir)) return Seq.empty
     // tombstone sidecars are referenced files too — vacuuming a live
-    // sidecar would resurrect its deleted rows
-    val referenced = liveVersions(spark, table)
+    // sidecar would resurrect its deleted rows; WAP-staged files are
+    // referenced by their staged record until published or abandoned
+    val stagedDir = new Path(s"$table/_staged")
+    val staged: Seq[String] =
+      if (!f.exists(stagedDir)) Seq.empty
+      else f.listStatus(stagedDir).toSeq.filter(_.getPath.getName.endsWith(".json"))
+        .flatMap { st =>
+          val wapId = st.getPath.getName.stripSuffix(".json")
+          scala.util.Try(parseFileArray(stagedText(f, table, wapId), "files"))
+            .getOrElse(Seq.empty)
+        }
+    val referenced = (liveVersions(spark, table)
       .flatMap(v => filesOf(spark, table, v) ++
         tombEntriesOf(spark, table, v).map(_._1) ++
-        posDeletesOf(spark, table, v)).toSet
+        posDeletesOf(spark, table, v)) ++ staged).toSet
     // one level of partition directories (data/<col>=<val>/file)
     f.listStatus(dataDir).toSeq.flatMap { st =>
       if (st.isDirectory)

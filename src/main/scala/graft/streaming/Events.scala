@@ -104,7 +104,8 @@ object Events {
     * the batch-SQL compare can hash them. Production attaches the same
     * plan to a real sink via [[runToFiles]].
     */
-  private def runToMemory(agg: DataFrame, mode: String, prefix: String): DataFrame = {
+  private def runToMemory(agg: DataFrame, mode: String, prefix: String,
+                          noDataBatches: Boolean = false): DataFrame = {
     val name = prefix + UUID.randomUUID().toString.replace("-", "")
     val spark = agg.sparkSession
     // Stateful operators keep one state store (and its per-batch commit
@@ -130,7 +131,11 @@ object Events {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     val prevNoData = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    // OUTER stream joins are the exception to the no-data-batch cut:
+    // an unmatched row's null-padded result is emitted by the WATERMARK
+    // ADVANCE, which only a trailing no-data batch performs
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+      noDataBatches.toString)
     try {
       val w0 = agg.writeStream.outputMode(mode).format("memory").queryName(name)
       val w = ckpt.fold(w0)(p => w0.option("checkpointLocation", p.toString))
@@ -719,7 +724,7 @@ object Events {
       how)
       .select(col("c_user").as("user_id"), col("click_ts"), col("click_value"),
         col("buy_ts"), col("buy_value"))
-    runToMemory(joined, "append", "graft_ssjoin_")
+    runToMemory(joined, "append", "graft_ssjoin_", noDataBatches = how != "inner")
   }
 
   /** #28e stream-static enrich plan: the live stream joined to a

@@ -1012,4 +1012,39 @@ class PlanSpec extends SparkSpec {
     (scanned should not).include("cat=B")
     (scanned should not).include("cat=C")
   }
+
+  test("hidden-bucket point read: manifest-side pruning plans only the probe's bucket dir — no join, no exchange, layout column never surfaces") {
+    import graft.sources.TxTable
+    import spark.implicits._
+    val table = java.nio.file.Files.createTempDirectory("graft_plan_hb_").toString + "/t"
+    TxTable.commit((1L to 400L).map(i => (i, i * 1.0)).toDF("id", "x")
+      .repartition(2), table, partitionBy = Some("_gpt-bucket16-id"))
+    val read = TxTable.readHiddenPoint(spark, table, "42")
+    val p = read.queryExecution.executedPlan.toString
+    (p should not).include("Join")
+    (p should not).include("Exchange")
+    val bucket = TxTable.hiddenValueOf("_gpt-bucket16-id", "42")
+    val scanned = read.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    scanned should include(s"_gpt-bucket16-id=$bucket")
+    read.columns.toSeq shouldBe Seq("id", "x")
+  }
+
+  test("hidden-day range read: only in-range partition dirs are planned") {
+    import graft.sources.TxTable
+    import spark.implicits._
+    val table = java.nio.file.Files.createTempDirectory("graft_plan_hd_").toString + "/t"
+    val rows = (0 until 72).map { i =>
+      (java.sql.Timestamp.valueOf(f"2024-03-${1 + i / 24}%02d ${i % 24}%02d:00:00"), i.toLong)
+    }
+    TxTable.commit(rows.toDF("ts", "v"), table, partitionBy = Some("_gpt-day-ts"))
+    val read = TxTable.readPartitionRange(spark, table, "2024-03-02", "2024-03-02")
+    val p = read.queryExecution.executedPlan.toString
+    (p should not).include("Join")
+    (p should not).include("Exchange")
+    // the planned FILE LIST is the in-range partition only (the plan
+    // string truncates long location lists, so assert on inputFiles)
+    val scanned = read.inputFiles
+    scanned should not be empty
+    all(scanned) should include("_gpt-day-ts=2024-03-02")
+  }
 }

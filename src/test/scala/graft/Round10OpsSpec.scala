@@ -334,4 +334,265 @@ class Round10OpsSpec extends SparkSpec {
     TxTable.vacuum(spark, posT, minAgeMs = 0)
       .intersect(sidecars) shouldBe empty
   }
+
+  // --- r10: copy-on-write row-level UPDATE ---
+  test("updateWhere rewrites only candidate files, applies SQL UPDATE semantics, and CDC shows the churn") {
+    val table = freshTable()
+    val df = Seq[(java.lang.Long, Double)]((1L, 10.0), (2L, 20.0), (null, 99.0),
+        (50L, 500.0), (60L, 600.0))
+      .toDF("id", "x").repartitionByRange(2, col("id"))
+    TxTable.commit(df, table, statsCols = Seq("id"))
+    val files1 = TxTable.filesOf(spark, table, 1)
+    val (v2, nTouched, nCarried) = TxTable.updateWhere(spark, table, "id", 1.0, 2.0,
+      Map("x" -> (col("x") * 10)), statsCols = Seq("id"))
+    v2 shouldBe 2
+    nTouched + nCarried shouldBe files1.size
+    nTouched should be >= 1
+    // matching rows updated; non-matching AND null-predicate rows keep values
+    val got = TxTable.read(spark, table).collect()
+      .map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]), r.getDouble(1))).toSet
+    got shouldBe Set((Some(1L), 100.0), (Some(2L), 200.0), (None, 99.0),
+      (Some(50L), 500.0), (Some(60L), 600.0))
+    // carried files are bit-identical (same manifest entries)
+    TxTable.filesOf(spark, table, 2).intersect(files1).size shouldBe nCarried
+    // CDC: delete-of-candidates + insert-of-rewrites, nothing from carried files
+    val cdc = TxTable.changes(spark, table, 1, 2)
+    val dels = cdc.filter(col("_change") === "delete").count()
+    val ins = cdc.filter(col("_change") === "insert").count()
+    dels shouldBe ins // CoW update preserves row count
+    // a predicate pruning to zero candidates is a version-less no-op
+    TxTable.updateWhere(spark, table, "id", 1000.0, 2000.0,
+      Map("x" -> lit(0.0)))._1 shouldBe 2
+  }
+
+  // --- r10: hidden transform partitioning ---
+  test("hidden bucket16 layout: derived at commit, absent from the logical schema, point reads prune to one bucket, appends auto-derive, compact preserves") {
+    val table = freshTable()
+    val df = (1L to 200L).map(i => (i, i * 1.0)).toDF("id", "x")
+    TxTable.commit(df, table, partitionBy = Some("_gpt-bucket16-id"))
+    // the layout column is invisible logically
+    TxTable.read(spark, table).columns.toSeq shouldBe Seq("id", "x")
+    TxTable.read(spark, table).count() shouldBe 200L
+    // every file lives under a single-hex-nibble bucket dir
+    val files1 = TxTable.filesOf(spark, table, 1)
+    all(files1.map(_.stripPrefix("data/_gpt-bucket16-id=").take(1))) should
+      fullyMatch regex "[0-9a-f]"
+    // point read: only the probe's bucket files are planned; result
+    // equals the full-scan filter
+    val probe = TxTable.readHiddenPoint(spark, table, "137")
+    probe.filter(col("id") === 137L).count() shouldBe 1L
+    val bucket = TxTable.hiddenValueOf("_gpt-bucket16-id", "137")
+    probe.inputFiles.foreach(f => f should include(s"_gpt-bucket16-id=$bucket"))
+    probe.inputFiles.length should be < files1.size
+    // an append WITHOUT the layout column derives it transparently
+    TxTable.commit(Seq((9999L, 1.0)).toDF("id", "x"), table)
+    val b9999 = TxTable.hiddenValueOf("_gpt-bucket16-id", "9999")
+    TxTable.filesOf(spark, table, 2).diff(files1).foreach(
+      _ should startWith(s"data/_gpt-bucket16-id=$b9999/"))
+    TxTable.readHiddenPoint(spark, table, "9999")
+      .filter(col("id") === 9999L).count() shouldBe 1L
+    // OPTIMIZE re-derives and preserves the hidden layout
+    val cv = TxTable.compact(spark, table)
+    TxTable.partColOf(spark, table, cv) shouldBe Some("_gpt-bucket16-id")
+    TxTable.read(spark, table).count() shouldBe 201L
+    TxTable.readHiddenPoint(spark, table, "137")
+      .filter(col("id") === 137L).count() shouldBe 1L
+    // the transform SOURCE column is rename/drop-protected
+    an[IllegalArgumentException] should be thrownBy
+      TxTable.renameColumn(spark, table, "id", "id2")
+    an[IllegalArgumentException] should be thrownBy
+      TxTable.dropColumn(spark, table, "id")
+    // CDC never leaks the layout column
+    TxTable.changes(spark, table, 0, 2).columns should not contain "_gpt-bucket16-id"
+  }
+
+  test("hidden day(ts) layout: partition-range read equals the ts-range filter and plans only in-range dirs") {
+    val table = freshTable()
+    val rows = (0 until 96).map { i =>
+      (java.sql.Timestamp.valueOf(f"2024-03-${1 + i / 24}%02d ${i % 24}%02d:30:00"), i.toLong)
+    }
+    TxTable.commit(rows.toDF("ts", "v"), table, partitionBy = Some("_gpt-day-ts"))
+    TxTable.filesOf(spark, table, 1)
+      .map(_.stripPrefix("data/_gpt-day-ts=").takeWhile(_ != '/'))
+      .distinct.sorted shouldBe Seq("2024-03-01", "2024-03-02", "2024-03-03", "2024-03-04")
+    val ranged = TxTable.readPartitionRange(spark, table, "2024-03-02", "2024-03-03")
+    ranged.count() shouldBe 48L
+    ranged.columns.toSeq shouldBe Seq("ts", "v")
+    ranged.inputFiles.foreach { f =>
+      (f should not).include("2024-03-01"); (f should not).include("2024-03-04")
+    }
+    canon(ranged) shouldBe canon(TxTable.read(spark, table)
+      .filter(col("ts") >= "2024-03-02 00:00:00" && col("ts") < "2024-03-04 00:00:00"))
+  }
+
+  // --- r10: Ljung–Box vs brute force ---
+  test("ljungBox equals the textbook statistic on random series") {
+    val rnd = new scala.util.Random(7)
+    val rows = for (k <- 0 until 4; t <- 0 until (20 + k * 7)) yield
+      (s"k$k", t.toLong, math.floor(rnd.nextDouble() * 2000000 + 0.5) / 1e6, t.toLong)
+    val got = operators.Rolling.ljungBox(
+        rows.toDF("key", "tus", "value", "id"), "key", "tus", "value", "id", maxLag = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    rows.groupBy(_._1).foreach { case (key, rs) =>
+      val x = rs.sortBy(_._2).map(r => math.floor(r._3 * 1000000 + 0.5)).toArray
+      val n = x.length; val mean = x.sum / n
+      val den = x.map(v => (v - mean) * (v - mean)).sum
+      val q = (1 to 3).map { k =>
+        val num = (k until n).map(t => (x(t) - mean) * (x(t - k) - mean)).sum
+        val rho = num / den
+        rho * rho / (n - k)
+      }.sum * n * (n + 2.0)
+      got(key) shouldBe (q +- 1e-5)
+    }
+  }
+
+  // --- r10: Cronbach's alpha vs direct computation ---
+  test("cronbachAlpha equals the direct two-pass formula (zero-filled grid)") {
+    val rows = Seq(
+      ("d1", "a", 3.0), ("d1", "b", 4.0), ("d1", "c", 3.5),
+      ("d2", "a", 5.0), ("d2", "b", 6.0), ("d2", "c", 5.5),
+      ("d3", "a", 1.0), ("d3", "b", 2.0), // c missing on d3 → zero fill
+      ("d4", "a", 4.0), ("d4", "b", 5.0), ("d4", "c", 4.5))
+    val got = functions.Eval.cronbachAlpha(rows.toDF("s", "i", "v"), "s", "i", "v")
+      .collect().head
+    got.getInt(0) shouldBe 3
+    got.getLong(1) shouldBe 4
+    // direct: population variances over the zero-filled 4×3 grid
+    val grid = Map(("d1","a")->3.0,("d1","b")->4.0,("d1","c")->3.5,
+      ("d2","a")->5.0,("d2","b")->6.0,("d2","c")->5.5,
+      ("d3","a")->1.0,("d3","b")->2.0,("d3","c")->0.0,
+      ("d4","a")->4.0,("d4","b")->5.0,("d4","c")->4.5)
+    val subs = Seq("d1","d2","d3","d4"); val its = Seq("a","b","c")
+    def varP(xs: Seq[Double]) = { val m = xs.sum / xs.size
+      xs.map(v => (v - m) * (v - m)).sum / xs.size }
+    val sumVarI = its.map(i => varP(subs.map(s => grid(s -> i)))).sum
+    val varT = varP(subs.map(s => its.map(i => grid(s -> i)).sum))
+    val expected = 3.0 / 2.0 * (1.0 - sumVarI / varT)
+    got.getDouble(2) shouldBe (expected +- 1e-6)
+  }
+
+  // --- r10: information gain boundary properties ---
+  test("infoGain: a label-identical feature recovers H(label); an independent constant gains zero") {
+    val rows = (0 until 300).map(i => (s"c${i % 3}", s"c${i % 3}", "const"))
+    val got = functions.Eval.infoGain(
+        rows.toDF("y", "copy", "k"), "y", Seq("copy", "k"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(3))).toMap
+    val hLabel = math.log(3.0) // uniform 3 classes
+    got("copy")._1 shouldBe (hLabel +- 1e-6)
+    got("copy")._2 shouldBe (hLabel +- 1e-6) // perfect feature: IG = H(label)
+    got("k")._2 shouldBe (0.0 +- 1e-9)       // constant feature: IG = 0
+  }
+
+  // --- r10: Fleiss' kappa vs brute force ---
+  test("fleissKappa equals the textbook formula; off-design subjects drop") {
+    val rnd = new scala.util.Random(11)
+    val cats = Array("a", "b", "c")
+    val ratings = for (s <- 0 until 12; _ <- 0 until 10) yield
+      (s.toLong, cats(rnd.nextInt(3)))
+    val withBad = ratings ++ Seq((99L, "a"), (99L, "b")) // 2 ratings only: drops
+    val got = functions.Eval.fleissKappa(withBad.toDF("s", "c"), "s", "c", 10)
+      .collect().head
+    got.getLong(0) shouldBe 12
+    // brute force over the kept subjects
+    val bySubj = ratings.groupBy(_._1).map { case (_, rs) =>
+      cats.map(c => rs.count(_._2 == c).toDouble) }
+    val nS = bySubj.size.toDouble; val n = 10.0
+    val pbar = bySubj.map(cs => (cs.map(c => c * c).sum - n) / (n * (n - 1))).sum / nS
+    val pe = cats.indices.map { j =>
+      val p = bySubj.map(_(j)).sum / (nS * n); p * p }.sum
+    val kappa = (pbar - pe) / (1 - pe)
+    got.getDouble(2) shouldBe (pbar +- 1e-6)
+    got.getDouble(3) shouldBe (pe +- 1e-6)
+    got.getDouble(4) shouldBe (kappa +- 1e-6)
+  }
+
+  // --- r10: interpolated Kneser–Ney is a proper distribution ---
+  test("kneserNey: P(·|w1) sums to 1 over the seed vocabulary for every seen context") {
+    import org.apache.spark.sql.functions.{explode, substring_index}
+    val seedDocs = Seq("a b a c a b b c d a", "b c a a d b c a b d")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    // score every (context, word) pair of the vocab as a one-bigram doc
+    val vocab = Seq("a", "b", "c", "d")
+    val probes = (for (w1 <- vocab; w2 <- vocab) yield
+      (s"$w1|$w2", s"$w1 $w2")).zipWithIndex
+      .map { case ((k, t), i) => (i.toLong + 1000L, t) }.toDF("doc_id", "text")
+    val scored = functions.NgramLm.kneserNey(probes, seedDocs)
+      .filter(col("n_scored") === 1L)
+      .withColumn("p", exp(-col("kn_nll")))
+    val withCtx = probes.join(scored, Seq("doc_id"))
+      .withColumn("w1", substring_index(col("text"), " ", 1))
+    val sums = withCtx.groupBy("w1").agg(sum("p").as("total"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    vocab.foreach { w1 => sums(w1) shouldBe (1.0 +- 1e-3) } // 4dp rounding slack
+  }
+
+  // --- r10: write-audit-publish ---
+  test("WAP: staged batches are invisible, publish is metadata-only and exactly-once, abandon leaves no trace") {
+    val table = freshTable()
+    TxTable.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), table)
+    val staged = TxTable.stageWap(Seq((3L, "c"), (4L, "d")).toDF("id", "s"), table, "g1")
+    staged should not be empty
+    all(staged) should startWith("data/w_g1_")
+    // invisible everywhere until published
+    TxTable.read(spark, table).count() shouldBe 2L
+    TxTable.currentVersion(spark, table) shouldBe 1
+    TxTable.changes(spark, table, 0, 1).count() shouldBe 2L
+    // the audit surface is the WRITTEN files
+    TxTable.readWap(spark, table, "g1").count() shouldBe 2L
+    // vacuum never reaps a live staged batch
+    TxTable.vacuum(spark, table, minAgeMs = 0).intersect(staged) shouldBe empty
+    // publish: metadata-only adoption (same file names), stats recomputed
+    val v2 = TxTable.publishWap(spark, table, "g1", statsCols = Seq("id"))
+    v2 shouldBe 2
+    TxTable.filesOf(spark, table, 2).intersect(staged) shouldBe staged
+    TxTable.read(spark, table).count() shouldBe 4L
+    TxTable.statsOf(spark, table, 2).filter(s => staged.contains(s._1)) should not be empty
+    // CDC: the publish replays as exactly the staged inserts
+    val cdc = TxTable.changes(spark, table, 1, 2)
+    cdc.count() shouldBe 2L
+    cdc.select("id").collect().map(_.getLong(0)).sorted shouldBe Array(3L, 4L)
+    // exactly-once: re-publish (crash-retry) is a no-op returning v2
+    TxTable.publishWap(spark, table, "g1") shouldBe 2
+    TxTable.currentVersion(spark, table) shouldBe 2
+    // a schema-mismatched stage refuses LOUDLY at stage time
+    an[IllegalArgumentException] should be thrownBy
+      TxTable.stageWap(Seq((5L, 6L)).toDF("id", "n"), table, "g2")
+    // abandon: files + record gone, head untouched
+    val bad = TxTable.stageWap(Seq((9L, "x")).toDF("id", "s"), table, "b1")
+    TxTable.abandonWap(spark, table, "b1") shouldBe bad
+    TxTable.currentVersion(spark, table) shouldBe 2
+    TxTable.orphans(spark, table) shouldBe empty
+    an[IllegalArgumentException] should be thrownBy TxTable.readWap(spark, table, "b1")
+  }
+
+  test("WAP publish lands after a concurrent commit moved the head: the schema gate re-runs against the new head and both batches survive") {
+    val table = freshTable()
+    TxTable.commit(Seq((1L, 1.0)).toDF("id", "x"), table)
+    TxTable.stageWap(Seq((2L, 2.0)).toDF("id", "x"), table, "r1")
+    // another writer lands v2 between stage and publish
+    TxTable.commit(Seq((3L, 3.0)).toDF("id", "x"), table) shouldBe 2
+    val v = TxTable.publishWap(spark, table, "r1")
+    v shouldBe 3
+    TxTable.read(spark, table).select("id").collect()
+      .map(_.getLong(0)).sorted shouldBe Array(1L, 2L, 3L)
+  }
+
+  // --- r10: isotropy identity vs brute-force pairwise cosine ---
+  test("isotropyByGroup equals brute-force mean pairwise cosine of quantized unit vectors") {
+    val rnd = new scala.util.Random(5)
+    val vecs = (0 until 30).map { i =>
+      (i.toLong, s"g${i % 2}", Array.fill(8)(rnd.nextFloat() * 2 - 1)) }
+    val got = functions.VectorFunctions.isotropyByGroup(
+        vecs.toDF("vec_id", "label", "embedding"), "label", "embedding", "vec_id")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    vecs.groupBy(_._2).foreach { case (g, vs) =>
+      val uq = vs.map { case (_, _, v) =>
+        val ssq = v.map(x => math.floor(x.toDouble * x.toDouble * 1e12 + 0.5)).sum
+        val nrm = math.sqrt(ssq / 1e12)
+        v.map(x => math.floor(x.toDouble / nrm * 1e9 + 0.5)) }
+      val pairs = for (i <- uq.indices; j <- uq.indices if i != j) yield
+        uq(i).zip(uq(j)).map { case (a, b) => a * b }.sum / 1e18
+      got(g) shouldBe (pairs.sum / pairs.size +- 1e-6)
+    }
+  }
 }

@@ -285,10 +285,13 @@ class StreamingSpec extends SparkSpec {
     // f1: click + purchase @10h → end-of-batch join watermark 9h seals
     //     user 1's [1h, 1h30m] window
     // f2: click + purchase @20h → during THIS batch the 9h watermark
-    //     evicts user 1 and emits its null-padded row; the @10h/@20h
-    //     clicks seal only at end-of-f2 (19h) or never, and there is no
-    //     later batch, so their null rows must NOT appear — that
-    //     asymmetry IS the outer-join watermark semantics
+    //     evicts user 1 and emits its null-padded row; the trailing
+    //     NO-DATA batch (production default, which the harness runs
+    //     for outer joins — the watermark advance IS the emitter)
+    //     carries the watermark to 19h, sealing the @10h click too;
+    //     the @20h click's window (20h30m) is never sealed, so its
+    //     null row must NOT appear — that asymmetry IS the outer-join
+    //     watermark semantics
     val batches = Seq(
       Seq((1L, 1L * HOUR, "click", 1.0), (2L, 1L * HOUR, "click", 2.0),
         (2L, 1L * HOUR + 10L * 60 * 1000 * 1000, "purchase", 20.0)),
@@ -313,8 +316,8 @@ class StreamingSpec extends SparkSpec {
       .toSet
     rows should contain((2L, Some(20.0)))  // matched pair
     rows should contain((1L, None))        // sealed + evicted → null row
-    (rows.map(_._1) should not).contain(3L) // unsealed at stream end
-    (rows.map(_._1) should not).contain(4L)
+    rows should contain((3L, None))        // sealed by the final no-data batch
+    (rows.map(_._1) should not).contain(4L) // unsealed at stream end
   }
 
   test("production hourly path: watermarked append to parquet emits only sealed, exact windows") {
