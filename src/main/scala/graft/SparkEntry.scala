@@ -2839,6 +2839,114 @@ object SparkEntry {
       streaming.Events.streamClickPurchaseJoin(s, s"$dir/events.parquet",
         how = "leftOuter")),
 
+    // §2#62ap (r10) SHALLOW CLONE: a metadata-only table copy (dst's
+    // v1 borrows src's files by absolute path — zero data IO at any
+    // size), after which the two tables evolve independently: an
+    // append to the clone is invisible to the source and vice versa,
+    // and the clone pins the snapshot it was taken from. Carried
+    // skipping stats keep pruning across the table boundary: the
+    // range read's kept-file count is recomputed by the oracle from
+    // per-file min/max over BOTH tables' raw files.
+    "q344_tx_clone" -> ((s, dir) => {
+      val src = sidePath("graft_txcl_src", dir)
+      val dst = sidePath("graft_txcl_dst", dir)
+      sources.TxTable.drop(s, src)
+      sources.TxTable.drop(s, dst)
+      val ord = t(s, dir, "orders").df.select(col("o_orderkey"), col("o_totalprice"))
+      sources.TxTable.commit(
+        ord.filter(col("o_orderkey") % 2 === 0).repartitionByRange(2, col("o_orderkey")),
+        src, statsCols = Seq("o_orderkey"))
+      sources.TxTable.cloneShallow(s, src, dst)
+      val borrowed = sources.TxTable.filesOf(s, dst, 1).count(_.startsWith("/"))
+      // the fork: clone gains the %4==1 slice, source the %4==3 slice
+      val v2 = sources.TxTable.commit(
+        ord.filter(col("o_orderkey") % 4 === 1).coalesce(1), dst,
+        statsCols = Seq("o_orderkey"))
+      sources.TxTable.commit(
+        ord.filter(col("o_orderkey") % 4 === 3).coalesce(1), src,
+        statsCols = Seq("o_orderkey"))
+      val owned = sources.TxTable.filesOf(s, dst, v2).count(!_.startsWith("/"))
+      val kept = sources.TxTable.prunedFiles(s, dst, v2, "o_orderkey", 1.0, 300.0)
+      def summarize(df: org.apache.spark.sql.DataFrame, label: String) =
+        df.agg(count(lit(1)).as("n_rows"),
+            sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
+          .select(lit("table").as("section"), lit(label).as("label"),
+            col("n_rows"), col("sum_price"))
+      val meta = s.createDataFrame(Seq(
+          ("meta", "borrowed_files", borrowed.toLong),
+          ("meta", "owned_files", owned.toLong),
+          ("meta", "kept_files", kept.size.toLong)))
+        .toDF("section", "label", "n_rows")
+        .withColumn("sum_price", lit(null).cast("double"))
+      summarize(sources.TxTable.read(s, dst), "clone")
+        .unionByName(summarize(sources.TxTable.read(s, src), "source"))
+        .unionByName(summarize(
+          sources.TxTable.readWhere(s, dst, "o_orderkey", 1.0, 300.0), "clone_range"))
+        .unionByName(meta)
+    }),
+
+    // §2#62aq (r10) metadata-only COUNT(*): per-file row counts are
+    // recorded in the manifest at commit (`countRows`, Delta's
+    // numRecords) and each positional-deletion-vector pair decrements
+    // exactly one row — so COUNT(*) GROUP BY partition answers from
+    // the MANIFEST alone, zero data-file IO. The gate runs the
+    // metadata count AND the full scan and both sections must
+    // hash-equal the oracle's logical counts — a single mis-recorded
+    // footer count or mis-attributed vector pair fails.
+    "q345_tx_meta_count" -> ((s, dir) => {
+      val table = sidePath("graft_txmc", dir)
+      sources.TxTable.drop(s, table)
+      val ord = t(s, dir, "orders").df
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      sources.TxTable.commit(ord, table, statsCols = Seq("o_orderkey"),
+        partitionBy = Some("o_orderpriority"), countRows = true)
+      sources.TxTable.deleteWherePos(s, table, "o_orderkey", 1.0, 400.0)
+      val metaRows = sources.TxTable.metaCountByPartition(s, table)
+      val total = sources.TxTable.metaCount(s, table)
+      val meta = s.createDataFrame(
+          metaRows.map { case (p, n) => ("meta", p, n) } :+
+          (("meta", "*", total)))
+        .toDF("section", "o_orderpriority", "n_rows")
+      val scan = sources.TxTable.read(s, table)
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n_rows"))
+        .select(lit("scan").as("section"), col("o_orderpriority"), col("n_rows"))
+      meta.unionByName(scan)
+    }),
+
+    // §2#62ar (r10) unique-key-enforced append (INSERT ... ON CONFLICT
+    // DO NOTHING): only batch keys absent from the table land; the
+    // existence probe is manifest-bloom-pruned and reads the KEY
+    // COLUMN of candidate files only. A fully-duplicate batch is a
+    // NO-OP — no version published (the inserted counts and the
+    // version equality are gated alongside the content).
+    "q346_tx_append_unique" -> ((s, dir) => {
+      val table = sidePath("graft_txau", dir)
+      sources.TxTable.drop(s, table)
+      val docs = t(s, dir, "documents").df
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      sources.TxTable.commit(
+        docs.filter(col("doc_id") % 3 === 0).repartition(2), table,
+        bloomCols = Seq("doc_id"), countRows = true)
+      val b1 = docs.filter(col("doc_id") % 3 === 1 || col("doc_id") % 6 === 0)
+      val (v2, n1) = sources.TxTable.appendUnique(b1, table, "doc_id",
+        bloomCols = Seq("doc_id"), countRows = true)
+      val (v3, n2) = sources.TxTable.appendUnique(
+        docs.filter(col("doc_id") % 6 === 0), table, "doc_id")
+      val content = sources.TxTable.read(s, table)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_rows"),
+          sum(col("n_chars")).cast("double").as("sum_chars"))
+        .select(lit("content").as("section"), col("source").as("label"),
+          col("n_rows"), col("sum_chars"))
+      val meta = s.createDataFrame(Seq(
+          ("meta", "inserted_b1", n1),
+          ("meta", "inserted_b2", n2),
+          ("meta", "noop_kept_version", if (v3 == v2) 1L else 0L),
+          ("meta", "meta_count", sources.TxTable.metaCount(s, table))))
+        .toDF("section", "label", "n_rows")
+        .withColumn("sum_chars", lit(null).cast("double"))
+      content.unionByName(meta)
+    }),
+
     // §2#52av (r8) Cochran–Armitage trend: is the purchase RATE
     // monotone across the hour-of-day ordinal — the ordered companion
     // to q146's anywhere-different chi-square; exact integer sums, one
@@ -6372,6 +6480,61 @@ object SparkEntry {
            make_timestamp(bus) AS buy_ts, buy_value FROM m
          UNION ALL SELECT user_id, make_timestamp(cus), click_value,
            make_timestamp(bus), buy_value FROM um""",
+
+    // clone/source content derives from orders (logical truth); the
+    // file accounting and the carried-stats pruning recompute from the
+    // raw files of BOTH table roots
+    "q344_tx_clone" ->
+      """WITH base AS (
+           SELECT o_orderkey AS k, o_totalprice AS p FROM orders WHERE o_orderkey % 2 = 0),
+         cl AS (SELECT k, p FROM base
+                UNION ALL SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 4 = 1),
+         sr AS (SELECT k, p FROM base
+                UNION ALL SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 4 = 3),
+         fstats AS (
+           SELECT filename, MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx
+           FROM read_parquet(['/tmp/graft_txcl_src___SFTAG__/data/v1_*.parquet',
+                              '/tmp/graft_txcl_dst___SFTAG__/data/v2_*.parquet'],
+                             filename=true)
+           GROUP BY 1)
+         SELECT 'table' AS section, 'clone' AS label, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(p AS DECIMAL(18,4))) AS DOUBLE) AS sum_price FROM cl
+         UNION ALL SELECT 'table', 'source', COUNT(*),
+           CAST(SUM(CAST(p AS DECIMAL(18,4))) AS DOUBLE) FROM sr
+         UNION ALL SELECT 'table', 'clone_range', COUNT(*),
+           CAST(SUM(CAST(p AS DECIMAL(18,4))) AS DOUBLE) FROM cl WHERE k BETWEEN 1 AND 300
+         UNION ALL SELECT 'meta', 'borrowed_files',
+           (SELECT COUNT(DISTINCT filename) FROM fstats
+            WHERE filename LIKE '%graft_txcl_src%'), CAST(NULL AS DOUBLE)
+         UNION ALL SELECT 'meta', 'owned_files',
+           (SELECT COUNT(DISTINCT filename) FROM fstats
+            WHERE filename LIKE '%graft_txcl_dst%'), CAST(NULL AS DOUBLE)
+         UNION ALL SELECT 'meta', 'kept_files',
+           (SELECT COUNT(*) FROM fstats WHERE NOT (mx < 1 OR mn > 300)),
+           CAST(NULL AS DOUBLE)""",
+
+    // both sections — the manifest-answered count and the full scan —
+    // must equal the logical truth from orders
+    "q345_tx_meta_count" ->
+      """WITH live AS (
+           SELECT o_orderpriority AS p FROM orders
+           WHERE NOT (o_orderkey BETWEEN 1 AND 400)),
+         byp AS (SELECT p, COUNT(*) AS n FROM live GROUP BY 1)
+         SELECT 'meta' AS section, p AS o_orderpriority, n AS n_rows FROM byp
+         UNION ALL SELECT 'meta', '*', (SELECT COUNT(*) FROM live)
+         UNION ALL SELECT 'scan', p, n FROM byp""",
+
+    "q346_tx_append_unique" ->
+      """WITH d AS (
+           SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 3 IN (0, 1))
+         SELECT 'content' AS section, source AS label, COUNT(*) AS n_rows,
+           CAST(SUM(n_chars) AS DOUBLE) AS sum_chars FROM d GROUP BY 2
+         UNION ALL SELECT 'meta', 'inserted_b1',
+           (SELECT COUNT(*) FROM documents WHERE doc_id % 3 = 1), CAST(NULL AS DOUBLE)
+         UNION ALL SELECT 'meta', 'inserted_b2', CAST(0 AS BIGINT), CAST(NULL AS DOUBLE)
+         UNION ALL SELECT 'meta', 'noop_kept_version', CAST(1 AS BIGINT), CAST(NULL AS DOUBLE)
+         UNION ALL SELECT 'meta', 'meta_count',
+           (SELECT COUNT(*) FROM d), CAST(NULL AS DOUBLE)""",
 
     "q326_tx_backfill" ->
       """SELECT CAST(1 AS INT) AS version, COUNT(*) AS n_rows,

@@ -162,6 +162,16 @@ object TxTable {
   private def manifestPath(table: String, v: Int) =
     new Path(s"$table/_manifests/v$v.json")
 
+  /** Resolve a manifest file entry to a readable path. Entries are
+    * normally RELATIVE to the table root; a SHALLOW CLONE
+    * ([[cloneShallow]]) records the source's files as ABSOLUTE paths
+    * (leading '/'), which pass through unchanged — the zero-copy
+    * borrow. Every physical read and file-size probe resolves through
+    * here so clone snapshots read identically to owned ones.
+    */
+  private def dataPath(table: String, rel: String): String =
+    if (rel.startsWith("/")) rel else s"$table/$rel"
+
   /** JSON string escape/unescape for manifest-embedded schema DDL —
     * engine-owned flat format, same minimal rules Verify uses.
     */
@@ -270,6 +280,22 @@ object TxTable {
     else "," + "\"posd\":[" + posd.map(fl => s"""{"f":"$fl"}""")
       .mkString(",") + "]"
 
+  /** Per-file ROW COUNTS (the Delta `numRecords` shape): recorded at
+    * commit when `countRows` is set, carried with their files like
+    * skipping stats. With every live file counted — and every
+    * outstanding positional deletion vector an exact (file, ordinal)
+    * decrement — `SELECT COUNT(*)` answers from the MANIFEST alone
+    * ([[metaCount]]): O(log) driver work on a 100 TB table, zero data
+    * IO. Key-form tombstones make the count underivable (one key may
+    * match many rows), so [[metaCount]] refuses loudly while any are
+    * outstanding.
+    */
+  private def rowsJsonOf(rows: Seq[(String, Long)]): String =
+    if (rows.isEmpty) ""
+    else "," + "\"rows\":[" + rows.map { case (fl, n) =>
+      s"""{"f":"$fl","n":$n}"""
+    }.mkString(",") + "]"
+
   /** Column mapping (the Delta column-mapping / Iceberg field-id
     * shape, keyed by STABLE physical name instead of an id): each live
     * column's (logical name, physical name). Physical names never
@@ -296,7 +322,8 @@ object TxTable {
                              map: Option[Seq[(String, String)]],
                              vsets: Seq[(String, String, Seq[String])] = Nil,
                              part: Option[String] = None,
-                             posd: Seq[String] = Nil): String = {
+                             posd: Seq[String] = Nil,
+                             rows: Seq[(String, Long)] = Nil): String = {
     val msJson = if (evolved) ""","ms":1""" else ""
     val partJson = part.fold("")(p => s""","part":"${jesc(p)}"""")
     val schemaJson = schemaDDL.map(d => s""""schema":"${jesc(d)}",""").getOrElse("")
@@ -304,7 +331,8 @@ object TxTable {
       schemaJson + s""""n_files":${files.size},""" +
       s""""files":[${files.map("\"" + _ + "\"").mkString(",")}]""" +
       statsJsonOf(stats) + bloomJsonOf(blooms) + tombJsonOf(tombs) +
-      mapJsonOf(map) + vsetJsonOf(vsets) + posdJsonOf(posd) + "}"
+      mapJsonOf(map) + vsetJsonOf(vsets) + posdJsonOf(posd) +
+      rowsJsonOf(rows) + "}"
   }
 
   /** DELTA manifest renderer (the commits between checkpoints):
@@ -326,7 +354,8 @@ object TxTable {
                                   map: Option[Seq[(String, String)]],
                                   addVsets: Seq[(String, String, Seq[String])],
                                   part: Option[String] = None,
-                                  posd: Seq[String] = Nil): String = {
+                                  posd: Seq[String] = Nil,
+                                  addRows: Seq[(String, Long)] = Nil): String = {
     val msJson = if (evolved) ""","ms":1""" else ""
     val partJson = part.fold("")(p => s""","part":"${jesc(p)}"""")
     val schemaJson = schemaDDL.map(d => s""""schema":"${jesc(d)}",""").getOrElse("")
@@ -335,7 +364,8 @@ object TxTable {
       s""""add":[${addFiles.map("\"" + _ + "\"").mkString(",")}],""" +
       s""""rm":[${rmFiles.map("\"" + _ + "\"").mkString(",")}]""" +
       statsJsonOf(addStats) + bloomJsonOf(addBlooms) + tombJsonOf(tombs) +
-      mapJsonOf(map) + vsetJsonOf(addVsets) + posdJsonOf(posd) + "}"
+      mapJsonOf(map) + vsetJsonOf(addVsets) + posdJsonOf(posd) +
+      rowsJsonOf(addRows) + "}"
   }
 
   /** CAS-publish one rendered manifest; loud conflict on a lost race;
@@ -447,7 +477,8 @@ object TxTable {
       blooms: Seq[(String, String, Int, Int, String)],
       vsets: Seq[(String, String, Seq[String])],
       tombs: Seq[(String, String)],
-      posd: Seq[String])
+      posd: Seq[String],
+      rows: Seq[(String, Long)] = Nil)
 
   /** Manifests are immutable once published, so resolved snapshots
     * cache safely; bounded (cleared wholesale past the cap — resolved
@@ -487,6 +518,11 @@ object TxTable {
       .findAllMatchIn(arraySpan(txt, "tomb"))
       .map(m => (m.group(1), m.group(2))).toSeq
 
+  private def parseRows(txt: String): Seq[(String, Long)] =
+    """\{"f":"([^"]*)","n":(\d+)\}""".r
+      .findAllMatchIn(arraySpan(txt, "rows"))
+      .map(m => (m.group(1), m.group(2).toLong)).toSeq
+
   private def parsePosd(txt: String): Seq[String] =
     """\{"f":"([^"]*)"\}""".r
       .findAllMatchIn(arraySpan(txt, "posd"))
@@ -516,7 +552,8 @@ object TxTable {
       case None =>
         require(txt.contains("\"files\":["), s"TxTable: malformed manifest $p")
         TxSnapshot(parseFileArray(txt, "files"), parseStats(txt),
-          parseBlooms(txt), parseVsets(txt), parseTombs(txt), parsePosd(txt))
+          parseBlooms(txt), parseVsets(txt), parseTombs(txt), parsePosd(txt),
+          parseRows(txt))
       case Some(b) =>
         val parent = snapshotOf(spark, table, b)
         val rm = parseFileArray(txt, "rm").toSet
@@ -525,7 +562,8 @@ object TxTable {
           parent.stats.filterNot(e => rm(e._1)) ++ parseStats(txt),
           parent.blooms.filterNot(e => rm(e._1)) ++ parseBlooms(txt),
           parent.vsets.filterNot(e => rm(e._1)) ++ parseVsets(txt),
-          parseTombs(txt), parsePosd(txt))
+          parseTombs(txt), parsePosd(txt),
+          parent.rows.filterNot(e => rm(e._1)) ++ parseRows(txt))
     }
     if (snapCache.size > 512) snapCache.clear()
     snapCache.put(key, snap)
@@ -559,10 +597,12 @@ object TxTable {
   def commit(df: DataFrame, table: String, op: String = "append",
              statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
              maxAttempts: Int = 20, setCols: Seq[String] = Nil,
-             partitionBy: Option[String] = None): Int =
+             partitionBy: Option[String] = None,
+             countRows: Boolean = false): Int =
     commitAs(df, table, currentVersion(df.sparkSession, table) + 1, op, statsCols,
       bloomCols = bloomCols, rebaseAppend = op == "append",
-      maxAttempts = maxAttempts, setCols = setCols, partitionBy = partitionBy)
+      maxAttempts = maxAttempts, setCols = setCols, partitionBy = partitionBy,
+      countRows = countRows)
 
   /** Bloom-index geometry (recorded per manifest entry so it can evolve
     * without breaking old tables): m bits / k hashes give ~1% FP at
@@ -594,7 +634,8 @@ object TxTable {
                               dfIsPhysical: Boolean = false,
                               setCols: Seq[String] = Nil,
                               partitionBy: Option[String] = None,
-                              preNamed: Option[Seq[String]] = None): Int = {
+                              preNamed: Option[Seq[String]] = None,
+                              countRows: Boolean = false): Int = {
     require(op == "append" || op == "overwrite" || op == "compact" ||
       op == "delete" || op == "update" || op == "evolve" || op == "merge",
       s"unknown op $op")
@@ -633,8 +674,8 @@ object TxTable {
           else Some {
             if (msOf(spark, table, parentV))
               spark.read.option("mergeSchema", "true")
-                .parquet(parentFiles.map(rel => s"$table/$rel"): _*).schema
-            else spark.read.parquet(s"$table/${parentFiles.head}").schema
+                .parquet(parentFiles.map(rel => dataPath(table, rel)): _*).schema
+            else spark.read.parquet(dataPath(table, parentFiles.head)).schema
           }
         }
       parentSchema.foreach { parent =>
@@ -872,6 +913,24 @@ object TxTable {
             }
         }
       }
+    // PER-FILE ROW COUNTS (Delta's numRecords): read from the
+    // just-written footers like the skipping stats — metadata-only,
+    // one footer per NEW file, driver-side. Carried files keep their
+    // parent-recorded counts; [[metaCount]] then answers COUNT(*)
+    // from the manifest alone. Index-keyed like stats.
+    val newRows: Seq[(Int, Long)] =
+      if (!countRows || named.isEmpty) Seq.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        val conf = spark.sparkContext.hadoopConfiguration
+        named.zipWithIndex.map { case (rel, idx) =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new Path(s"$table/$rel"), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try (idx, r.getFooter.getBlocks.asScala.map(_.getRowCount).sum)
+          finally r.close()
+        }
+      }
     val txnJson = txn.map { case (app, batch) =>
       s""","txn":{"app":"$app","batch":$batch}""" }.getOrElse("")
     // THE PUBLISH LOOP. Attempt 1 targets `v`; a pure append losing the
@@ -938,13 +997,17 @@ object TxTable {
           tombEntriesOf(spark, table, target - 1) else Seq.empty
         val carriedPosd = if (carried.nonEmpty && target > 1)
           posDeletesOf(spark, table, target - 1) else Seq.empty[String]
+        val carriedRows = if (carried.nonEmpty && target > 1)
+          rowCountsOf(spark, table, target - 1).filter(r => carried.contains(r._1))
+        else Seq.empty
         renderManifest(target, op, ts, txnJson, evolved,
           Some(logicalSchema.toDDL), all,
           carriedStats ++ newStats.map { case (i, c, lo, hi) => (named(i), c, lo, hi) },
           carriedBloom ++ newBloom.map { case (i, c, m, k, b) => (named(i), c, m, k, b) },
           carriedTombs, writeMap,
           carriedVsets ++ newVsets.map { case (i, c, vs) => (named(i), c, vs) },
-          physPart, carriedPosd)
+          physPart, carriedPosd,
+          carriedRows ++ newRows.map { case (i, n) => (named(i), n) })
       } else {
         renderDeltaManifest(target, op, ts, txnJson, evolved,
           Some(logicalSchema.toDDL), target - 1, all.size,
@@ -953,7 +1016,8 @@ object TxTable {
           newBloom.map { case (i, c, m, k, b) => (named(i), c, m, k, b) },
           tombEntriesOf(spark, table, target - 1), writeMap,
           newVsets.map { case (i, c, vs) => (named(i), c, vs) },
-          physPart, posDeletesOf(spark, table, target - 1))
+          physPart, posDeletesOf(spark, table, target - 1),
+          newRows.map { case (i, n) => (named(i), n) })
       }
       val mp = manifestPath(table, target)
       f.mkdirs(mp.getParent)
@@ -1107,6 +1171,85 @@ object TxTable {
                   v: Int): Seq[(String, String, Seq[String])] =
     snapshotOf(spark, table, v).vsets
 
+  /** Per-file row counts of version `v`'s snapshot: (file, rows).
+    * Present only for files written under `countRows = true` commits
+    * (carried forward with their files, like skipping stats).
+    */
+  def rowCountsOf(spark: SparkSession, table: String, v: Int): Seq[(String, Long)] =
+    snapshotOf(spark, table, v).rows
+
+  /** METADATA-ONLY `COUNT(*)` (the Delta/Iceberg log-answered count):
+    * sum of the manifest-recorded per-file row counts minus the
+    * outstanding positional-deletion-vector pairs (each pair is
+    * EXACTLY one row, so the adjustment is exact). ZERO data-file IO —
+    * on a 10⁶-file table this is a manifest read, not a 100 TB scan.
+    *
+    * Refuses LOUDLY (rather than degrade to a scan silently) when the
+    * count is underivable: a file without a recorded count (its commit
+    * ran with `countRows = false`), or outstanding KEY-form tombstones
+    * (one key may match any number of rows — only OPTIMIZE/compaction
+    * folds them away). Callers fall back to `read(...).count()`.
+    */
+  def metaCount(spark: SparkSession, table: String, version: Int = -1): Long = {
+    val v = if (version > 0) version else currentVersion(spark, table)
+    metaFileCounts(spark, table, v).map(_._2).sum
+  }
+
+  /** [[metaCount]] grouped by partition value for a hive-partitioned
+    * layout — `SELECT part, COUNT(*) GROUP BY part` answered from the
+    * manifest alone (the partition value is IN the file path). Same
+    * refusal rules as [[metaCount]].
+    */
+  def metaCountByPartition(spark: SparkSession, table: String,
+                           version: Int = -1): Seq[(String, Long)] = {
+    val v = if (version > 0) version else currentVersion(spark, table)
+    val pc = partColOf(spark, table, v).getOrElse(
+      sys.error(s"TxTable: $table v$v has no partitioned layout"))
+    val prefix = s"data/${pc}="
+    def valOf(rel: String): String = {
+      val dir = rel.substring(0, rel.lastIndexOf('/'))
+      require(dir.startsWith(prefix),
+        s"TxTable: file $rel is outside the $pc= partition layout")
+      dir.substring(prefix.length)
+    }
+    metaFileCounts(spark, table, v)
+      .groupBy { case (rel, _) => valOf(rel) }
+      .map { case (pv, fs) => (pv, fs.map(_._2).sum) }
+      .toSeq.sortBy(_._1)
+  }
+
+  /** Shared derivation of (file, live rows) from the manifest: recorded
+    * count per file minus its deletion-vector pairs. One tiny parquet
+    * read over the posd SIDECARS only (they are pair-sized, never
+    * data-sized) when vectors are outstanding; zero reads otherwise.
+    */
+  private def metaFileCounts(spark: SparkSession, table: String,
+                             v: Int): Seq[(String, Long)] = {
+    val tombs = tombEntriesOf(spark, table, v)
+    require(tombs.isEmpty,
+      s"TxTable: $table v$v has ${tombs.size} outstanding key-form tombstone " +
+      "sidecar(s) — a key may match any number of rows, so the metadata count " +
+      "is underivable; OPTIMIZE (compact) folds them away, or count by scan")
+    val files = filesOf(spark, table, v)
+    val counts = rowCountsOf(spark, table, v).toMap
+    val missing = files.filterNot(counts.contains)
+    require(missing.isEmpty,
+      s"TxTable: ${missing.size} of ${files.size} files at $table v$v have no " +
+      s"recorded row count (first: ${missing.headOption.getOrElse("")}) — " +
+      "commit with countRows = true to record them; falling back to a scan " +
+      "is the caller's call, not a silent default")
+    val posd = posDeletesOf(spark, table, v)
+    val deleted: Map[String, Long] =
+      if (posd.isEmpty) Map.empty
+      else spark.read.parquet(posd.map(rel => dataPath(table, rel)): _*)
+        .groupBy(col("_gf")).agg(count(lit(1)).as("_n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    files.map { rel =>
+      val base = rel.substring(rel.lastIndexOf('/') + 1)
+      rel -> (counts(rel) - deleted.getOrElse(base, 0L))
+    }
+  }
+
   /** The file subset of version `v` an equality probe `col = value`
     * can touch, decided from the manifest VALUE SETS alone: a file is
     * skipped only when its recorded distinct set misses the value —
@@ -1176,7 +1319,7 @@ object TxTable {
         element_at(split(col("_metadata.file_path"), "/"), -1))
       tombs.groupBy(_._2).toSeq.sortBy(_._1).foldLeft(withF) {
         case (acc, (k, es)) =>
-          val keys = spark.read.parquet(es.map(e => s"$table/${e._1}").distinct: _*)
+          val keys = spark.read.parquet(es.map(e => dataPath(table, e._1)).distinct: _*)
             .select(col("_gf").as("_graft_tf"), col("_gk").as("_graft_tk"))
           acc.join(keys, acc("_graft_tomb_file") === col("_graft_tf") &&
             acc(k) === col("_graft_tk"), "left_anti")
@@ -1205,10 +1348,10 @@ object TxTable {
     val rd0 = if (msOf(spark, table, v))
       spark.read.option("mergeSchema", "true") else spark.read
     partColOf(spark, table, v) match {
-      case None => rd0.parquet(files.map(rel => s"$table/$rel"): _*)
+      case None => rd0.parquet(files.map(rel => dataPath(table, rel)): _*)
       case Some(pc) =>
         val df = rd0.option("basePath", s"$table/data")
-          .parquet(files.map(rel => s"$table/$rel"): _*)
+          .parquet(files.map(rel => dataPath(table, rel)): _*)
         val logicalName = colMapOf(spark, table, v)
           .flatMap(_.collectFirst { case (n, p) if p == pc => n }).getOrElse(pc)
         val dt = manifestSchema(spark, table, v)
@@ -1227,7 +1370,7 @@ object TxTable {
                         posd: Seq[String], base: DataFrame): DataFrame =
     if (posd.isEmpty) base
     else {
-      val pairs = spark.read.parquet(posd.map(rel => s"$table/$rel"): _*)
+      val pairs = spark.read.parquet(posd.map(rel => dataPath(table, rel)): _*)
         .select(col("_gf").as("_graft_pf"), col("_gp").as("_graft_pp"))
       val withF = base
         .withColumn("_graft_pos_file",
@@ -1483,6 +1626,92 @@ object TxTable {
     * @return (version, nTombstonedPairs) — current version with 0 on
     *         an empty match
     */
+  /** The file subset of version `v` whose per-file bloom (on physical
+    * column `physKey`) can contain ANY of `keys` — the shared
+    * candidate-pruning step of the key-addressed writes
+    * ([[deleteKeysMor]], [[appendUnique]]). Falls back to ALL files
+    * when the column has no blooms or the probe exceeds the bounded
+    * driver collect (big batches amortize a full semi-join scan
+    * anyway). Probe strings are rendered by SPARK's cast-to-string —
+    * the same rendering the executor-built blooms hashed (a
+    * driver-side String.valueOf diverges for e.g. timestamps, and a
+    * diverged probe is a bloom FALSE NEGATIVE: files wrongly pruned,
+    * rows silently missed). NULL keys never match an equality join and
+    * the blooms were built null-filtered — dropped from the probe.
+    */
+  private def bloomCandidateFiles(spark: SparkSession, table: String, v: Int,
+                                  physKey: String, keys: DataFrame): Seq[String] = {
+    val all = filesOf(spark, table, v)
+    val blooms = bloomEntries(spark, table, v)
+      .collect { case (fl, c, m, k, b64) if c == physKey =>
+        fl -> (m, k, java.util.Base64.getDecoder.decode(b64)) }.toMap
+    if (blooms.isEmpty) return all
+    val probe = keys
+      .select(keys.col(keys.columns.head).cast("string").as("_graft_pk"))
+      .filter(col("_graft_pk").isNotNull)
+      .limit(10001).collect()
+    if (probe.length > 10000) all
+    else {
+      // hash each key ONCE per bloom geometry (md5 is the expensive
+      // part — per-(file, key) hashing would be files × keys
+      // digests); the per-file pass is then pure bit tests
+      val bitsByGeom = blooms.values.map { case (m, k, _) => (m, k) }.toSet
+        .map { g: (Int, Int) =>
+          g -> probe.map(r => bloomBitsOf(r.getString(0), g._1, g._2)) }
+        .toMap
+      all.filter { fl =>
+        blooms.get(fl).forall { case (m, k, bytes) =>
+          bitsByGeom((m, k)).exists(_.forall(b =>
+            (bytes(b >> 3) & (1 << (b & 7))) != 0))
+        }
+      }
+    }
+  }
+
+  /** UNIQUE-KEY-ENFORCED APPEND (INSERT ... ON CONFLICT DO NOTHING /
+    * the Delta "insert-only merge" idempotent-ingest shape): append
+    * only the batch rows whose `keyCol` does not already exist in the
+    * table; in-batch duplicates collapse to one row (first by key,
+    * arbitrary deterministic within Spark's dropDuplicates). The
+    * existence check is manifest-bloom-pruned: only files whose bloom
+    * can contain a batch key are read, and only the KEY COLUMN of
+    * those (column-pruned scan) — on a bloomed table a small batch
+    * probes a handful of files, never the snapshot. Commits with
+    * `countRows`/stat/bloom options like [[commit]]; returns (version,
+    * rows actually inserted). A fully-duplicate batch is a NO-OP (no
+    * commit — Delta's empty-transaction rule), returning (v, 0).
+    */
+  def appendUnique(df: DataFrame, table: String, keyCol: String,
+                   statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
+                   setCols: Seq[String] = Nil,
+                   countRows: Boolean = false): (Int, Long) = {
+    val spark = df.sparkSession
+    val v = currentVersion(spark, table)
+    val batch = df.dropDuplicates(keyCol)
+    val fresh =
+      if (v < 1) batch
+      else {
+        val physKey = physOf(colMapOf(spark, table, v), keyCol)
+        val cand = bloomCandidateFiles(spark, table, v, physKey,
+          batch.select(keyCol))
+        if (cand.isEmpty) batch
+        else {
+          val existing = snapshotRead(spark, table, v, cand)
+            .select(col(keyCol))
+          batch.join(existing, Seq(keyCol), "left_anti")
+        }
+      }
+    // the anti-join re-evaluates inside commit's write; a cheap
+    // localCheckpoint would hide the no-op probe, so count once and
+    // reuse the materialized frame for both the gate and the write
+    val staged = fresh.localCheckpoint(true)
+    val n = staged.count()
+    if (n == 0L) return (math.max(v, 0), 0L)
+    val nv = commit(staged, table, "append", statsCols = statsCols,
+      bloomCols = bloomCols, setCols = setCols, countRows = countRows)
+    (nv, n)
+  }
+
   def deleteKeysMor(spark: SparkSession, table: String, keyCol: String,
                     keys: DataFrame,
                     txn: Option[(String, Long)] = None): (Int, Long) = {
@@ -1493,44 +1722,7 @@ object TxTable {
       keys.columns.mkString(", "))
     val map = colMapOf(spark, table, v)
     val physKey = physOf(map, keyCol)
-    val all = filesOf(spark, table, v)
-    // bloom pruning: bounded collect (CDC delete batches are small; a
-    // bigger batch falls back to the full semi-join scan)
-    val blooms = bloomEntries(spark, table, v)
-      .collect { case (fl, c, m, k, b64) if c == physKey =>
-        fl -> (m, k, java.util.Base64.getDecoder.decode(b64)) }.toMap
-    val candidates: Seq[String] =
-      if (blooms.isEmpty) all
-      else {
-        // probe strings are rendered by SPARK's cast-to-string — the
-        // same rendering the executor-built blooms hashed. A driver-side
-        // String.valueOf diverges for some types (java.sql.Timestamp
-        // renders '... 00:00:00.0' where Spark casts to '... 00:00:00'),
-        // and a diverged probe is a bloom FALSE NEGATIVE: candidate
-        // files wrongly pruned, the delete silently missing rows.
-        // NULL keys never match the equality join below, and the blooms
-        // were built null-filtered — drop them from the probe.
-        val probe = keys
-          .select(keys.col(keys.columns.head).cast("string").as("_graft_pk"))
-          .filter(col("_graft_pk").isNotNull)
-          .limit(10001).collect()
-        if (probe.length > 10000) all
-        else {
-          // hash each key ONCE per bloom geometry (md5 is the expensive
-          // part — per-(file, key) hashing would be files × keys
-          // digests); the per-file pass is then pure bit tests
-          val bitsByGeom = blooms.values.map { case (m, k, _) => (m, k) }.toSet
-            .map { g: (Int, Int) =>
-              g -> probe.map(r => bloomBitsOf(r.getString(0), g._1, g._2)) }
-            .toMap
-          all.filter { fl =>
-            blooms.get(fl).forall { case (m, k, bytes) =>
-              bitsByGeom((m, k)).exists(_.forall(b =>
-                (bytes(b >> 3) & (1 << (b & 7))) != 0))
-            }
-          }
-        }
-      }
+    val candidates = bloomCandidateFiles(spark, table, v, physKey, keys)
     if (candidates.isEmpty) return (v, 0L)
     val cand = morFilter(spark, table, v,
       rawRead(spark, table, v, candidates))
@@ -1591,7 +1783,7 @@ object TxTable {
       renderManifest(v + 1, "mordelete", ts, txnJson, msOf(spark, table, v),
         schemaDDL, all, statsOf(spark, table, v), bloomEntries(spark, table, v),
         tombs, map, valueSetsOf(spark, table, v), partColOf(spark, table, v),
-        posDeletesOf(spark, table, v))
+        posDeletesOf(spark, table, v), rowCountsOf(spark, table, v))
     else
       renderDeltaManifest(v + 1, "mordelete", ts, txnJson, msOf(spark, table, v),
         schemaDDL, v, all.size, Seq.empty, Seq.empty, Seq.empty, Seq.empty,
@@ -1671,7 +1863,7 @@ object TxTable {
       renderManifest(v + 1, "posdelete", ts, "", msOf(spark, table, v),
         schemaDDL, all, statsOf(spark, table, v), bloomEntries(spark, table, v),
         tombEntriesOf(spark, table, v), map, valueSetsOf(spark, table, v),
-        partColOf(spark, table, v), posd)
+        partColOf(spark, table, v), posd, rowCountsOf(spark, table, v))
     else
       renderDeltaManifest(v + 1, "posdelete", ts, "", msOf(spark, table, v),
         schemaDDL, v, all.size, Seq.empty, Seq.empty, Seq.empty, Seq.empty,
@@ -1767,7 +1959,7 @@ object TxTable {
         Some(schema1.toDDL), filesOf(spark, table, v), statsOf(spark, table, v),
         bloomEntries(spark, table, v), tombEntriesOf(spark, table, v), Some(map1),
         valueSetsOf(spark, table, v), partColOf(spark, table, v),
-        posDeletesOf(spark, table, v))
+        posDeletesOf(spark, table, v), rowCountsOf(spark, table, v))
     else
       renderDeltaManifest(v + 1, op, ts, "", msOf(spark, table, v),
         Some(schema1.toDDL), v, filesOf(spark, table, v).size,
@@ -1875,9 +2067,58 @@ object TxTable {
       schemaDDL, filesOf(spark, table, toV), statsOf(spark, table, toV),
       bloomEntries(spark, table, toV), tombEntriesOf(spark, table, toV),
       colMapOf(spark, table, toV), valueSetsOf(spark, table, toV),
-      partColOf(spark, table, toV), posDeletesOf(spark, table, toV))
+      partColOf(spark, table, toV), posDeletesOf(spark, table, toV),
+      rowCountsOf(spark, table, toV))
     publishOrConflict(f, table, v, json)
     v
+  }
+
+  /** SHALLOW CLONE (the Delta `CREATE TABLE ... SHALLOW CLONE` shape):
+    * a METADATA-ONLY copy — `dst`'s v1 manifest records `src`'s
+    * resolved snapshot (at `version`, default head) with every data
+    * file referenced by ABSOLUTE path and every stat/bloom/value-set/
+    * tombstone/deletion-vector/row-count/mapping entry carried
+    * verbatim. ZERO data IO at any table size: cloning a 100 TB table
+    * is one manifest write. The clone then evolves INDEPENDENTLY —
+    * appends/deletes/compactions land in `dst`'s own directory and
+    * never touch `src` (a compact progressively MATERIALIZES the clone
+    * by rewriting borrowed files into owned ones); `src`'s later
+    * commits are invisible to the clone (it pinned a snapshot). The
+    * dev/test-branch and experiment-fork story.
+    *
+    * Caveats (Delta's own): VACUUM on `src` can delete files the clone
+    * still references — retain `src` history while clones are live (or
+    * compact the clone to materialize it). `dst`'s vacuum never
+    * touches borrowed files (it only deletes under `dst`). Cloning a
+    * hive-partitioned layout is refused: the partition column derives
+    * from paths under `src/data`, which a foreign basePath read cannot
+    * reproduce — compact `src` to a flat layout first.
+    */
+  def cloneShallow(spark: SparkSession, src: String, dst: String,
+                   version: Int = -1): Int = {
+    val v = if (version > 0) version else currentVersion(spark, src)
+    require(v >= 1, s"TxTable: cannot clone non-existent table $src")
+    require(currentVersion(spark, dst) == 0,
+      s"TxTable: clone target $dst already exists — drop it first")
+    require(partColOf(spark, src, v).isEmpty,
+      s"TxTable: $src v$v has a hive-partitioned layout — a clone cannot " +
+      "re-derive path partition values across table roots; compact to a " +
+      "flat layout first")
+    val snap = snapshotOf(spark, src, v)
+    def abs(rel: String): String = dataPath(src, rel)
+    val json = renderManifest(1, "clone", System.currentTimeMillis(), "",
+      msOf(spark, src, v), manifestSchema(spark, src, v).map(_.toDDL),
+      snap.files.map(abs),
+      snap.stats.map(e => (abs(e._1), e._2, e._3, e._4)),
+      snap.blooms.map(e => (abs(e._1), e._2, e._3, e._4, e._5)),
+      snap.tombs.map(e => (abs(e._1), e._2)),
+      colMapOf(spark, src, v),
+      snap.vsets.map(e => (abs(e._1), e._2, e._3)),
+      None,
+      snap.posd.map(abs),
+      snap.rows.map(e => (abs(e._1), e._2)))
+    publishOrConflict(fs(spark, dst), dst, 1, json)
+    1
   }
 
   /** Constraint-gated commit — the Delta CHECK-constraint / write-
@@ -2244,7 +2485,7 @@ object TxTable {
           if (newPosd.isEmpty) Seq.empty
           else {
             val pairs = spark.read
-              .parquet(newPosd.map(rel => s"$table/$rel"): _*)
+              .parquet(newPosd.map(rel => dataPath(table, rel)): _*)
               .select(col("_gf").as("_graft_pf"), col("_gp").as("_graft_pp"))
             val touched = pairs.select("_graft_pf").distinct()
               .collect().map(_.getString(0)).toSeq // file NAMES: metadata-scale
@@ -2269,7 +2510,7 @@ object TxTable {
             .diff(tombEntriesOf(spark, table, v - 1))
           newTombs.groupBy(_._2).toSeq.sortBy(_._1).flatMap { case (k, es) =>
             val keys = spark.read
-              .parquet(es.map(e => s"$table/${e._1}").distinct: _*)
+              .parquet(es.map(e => dataPath(table, e._1)).distinct: _*)
               .select(col("_gf").as("_graft_tf"), col("_gk").as("_graft_tk"))
             val touched = keys.select("_graft_tf").distinct()
               .collect().map(_.getString(0)).toSeq // file NAMES: metadata-scale
@@ -2336,7 +2577,7 @@ object TxTable {
     require(v >= 1, s"TxTable: nothing to compact at $table")
     val f = fs(spark, table)
     val totalBytes = filesOf(spark, table, v)
-      .map(rel => f.getFileStatus(new Path(s"$table/$rel")).getLen).sum
+      .map(rel => f.getFileStatus(new Path(dataPath(table, rel))).getLen).sum
     val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     // a partitioned layout survives the full rewrite: the fresh files
     // re-partition by the LOGICAL column (the mapping resets, so
@@ -2487,7 +2728,7 @@ object TxTable {
     val (mine, others) = filesOf(spark, table, v).partition(_.startsWith(dir))
     if (mine.size < 2) return (v, 0, others.size)
     val f = fs(spark, table)
-    val bytes = mine.map(rel => f.getFileStatus(new Path(s"$table/$rel")).getLen).sum
+    val bytes = mine.map(rel => f.getFileStatus(new Path(dataPath(table, rel))).getLen).sum
     val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     val packed = morFilter(spark, table, v,
         rawRead(spark, table, v, mine))
@@ -2520,7 +2761,7 @@ object TxTable {
     require(v >= 1, s"TxTable: nothing to compact at $table")
     val f = fs(spark, table)
     val sized = filesOf(spark, table, v)
-      .map(rel => rel -> f.getFileStatus(new Path(s"$table/$rel")).getLen)
+      .map(rel => rel -> f.getFileStatus(new Path(dataPath(table, rel))).getLen)
     val (small, big) = sized.partition(_._2 < minBytes)
     if (small.size < 2) return (v, 0, sized.size)
     val smallBytes = small.map(_._2).sum

@@ -595,4 +595,121 @@ class Round10OpsSpec extends SparkSpec {
       got(g) shouldBe (pairs.sum / pairs.size +- 1e-6)
     }
   }
+
+  // --- r10: SHALLOW CLONE — metadata-only copy, independent evolution ---
+  test("cloneShallow is metadata-only and the tables evolve independently") {
+    val src = freshTable()
+    val dst = freshTable()
+    TxTable.commit((1L to 100L).map(i => (i, i * 2.0)).toDF("id", "x")
+      .repartitionByRange(2, col("id")), src, statsCols = Seq("id"))
+    TxTable.cloneShallow(spark, src, dst) shouldBe 1
+    // zero data copied: every clone entry borrows by absolute path,
+    // and dst has no data directory at all
+    TxTable.filesOf(spark, dst, 1).foreach(f => assert(f.startsWith("/")))
+    assert(!new java.io.File(s"$dst/data").exists())
+    TxTable.read(spark, dst).collect().map(_.getLong(0)).sorted shouldBe
+      (1L to 100L).toArray
+    // fork: append to each side; neither sees the other's rows
+    TxTable.commit(Seq((101L, 0.0)).toDF("id", "x"), dst)
+    TxTable.commit(Seq((201L, 0.0)).toDF("id", "x"), src)
+    TxTable.read(spark, dst).agg(max("id")).head.getLong(0) shouldBe 101L
+    TxTable.read(spark, src).agg(max("id")).head.getLong(0) shouldBe 201L
+    // carried stats prune across the table boundary: a range read of
+    // the clone keeps only the files that can hold [1, 10]
+    val kept = TxTable.prunedFiles(spark, dst, 2, "id", 1.0, 10.0)
+    assert(kept.size < TxTable.filesOf(spark, dst, 2).size)
+    TxTable.readWhere(spark, dst, "id", 1.0, 10.0).count() shouldBe 10L
+  }
+
+  test("cloneShallow carries merge-on-read deletes and refuses bad targets") {
+    val src = freshTable()
+    val dst = freshTable()
+    TxTable.commit((1L to 20L).map(i => (i, s"r$i")).toDF("id", "s"), src)
+    TxTable.deleteKeysMor(spark, src, "id", Seq(7L, 9L).toDF("id"))
+    TxTable.cloneShallow(spark, src, dst)
+    // tombstones rode the clone: deleted rows stay deleted in dst
+    TxTable.read(spark, dst).collect().map(_.getLong(0)).sorted shouldBe
+      (1L to 20L).filterNot(Set(7L, 9L)).toArray
+    // a compact MATERIALIZES the clone: borrowed files rewrite into
+    // dst's own directory and the content is unchanged
+    val v = TxTable.compact(spark, dst)
+    TxTable.filesOf(spark, dst, v).foreach(f => assert(!f.startsWith("/")))
+    TxTable.read(spark, dst).count() shouldBe 18L
+    // refusals: existing target, partitioned source
+    intercept[IllegalArgumentException] {
+      TxTable.cloneShallow(spark, src, dst)
+    }
+    val part = freshTable()
+    TxTable.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "p"), part,
+      partitionBy = Some("p"))
+    intercept[IllegalArgumentException] {
+      TxTable.cloneShallow(spark, part, freshTable())
+    }
+  }
+
+  // --- r10: metadata-only COUNT(*) from manifest row counts ---
+  test("metaCount answers from the manifest and stays exact under posd deletes") {
+    val table = freshTable()
+    TxTable.commit((1L to 500L).map(i => (i, i % 7)).toDF("id", "g")
+      .repartition(3, col("id")), table, statsCols = Seq("id"), countRows = true)
+    TxTable.metaCount(spark, table) shouldBe 500L
+    // append with counts: counts extend
+    TxTable.commit((501L to 600L).map(i => (i, i % 7)).toDF("id", "g"),
+      table, countRows = true)
+    TxTable.metaCount(spark, table) shouldBe 600L
+    // positional delete: each vector pair decrements exactly one row
+    val (_, nDel) = TxTable.deleteWherePos(spark, table, "id", 100.0, 250.0)
+    nDel shouldBe 151L
+    TxTable.metaCount(spark, table) shouldBe 449L
+    TxTable.read(spark, table).count() shouldBe 449L
+    // a key-form tombstone makes the count underivable → loud refusal
+    TxTable.deleteKeysMor(spark, table, "id", Seq(300L).toDF("id"))
+    val e = intercept[RuntimeException](TxTable.metaCount(spark, table))
+    assert(e.getMessage.contains("tombstone"))
+    // OPTIMIZE folds both forms away; recounted files restore the path
+    TxTable.compact(spark, table)
+    // full compact rewrites without countRows → missing counts refuse
+    val e2 = intercept[IllegalArgumentException](TxTable.metaCount(spark, table))
+    assert(e2.getMessage.contains("no"))
+  }
+
+  test("metaCountByPartition matches the scan per partition value") {
+    val table = freshTable()
+    TxTable.commit((1L to 300L).map(i => (i, s"p${i % 3}")).toDF("id", "p"),
+      table, partitionBy = Some("p"), countRows = true)
+    TxTable.metaCountByPartition(spark, table).toMap shouldBe
+      Map("p0" -> 100L, "p1" -> 100L, "p2" -> 100L)
+    // counts survive a metadata-only rename and a restore
+    TxTable.renameColumn(spark, table, "id", "key")
+    TxTable.metaCount(spark, table) shouldBe 300L
+    TxTable.commit((301L to 310L).map(i => (i, s"p${i % 3}")).toDF("key", "p"),
+      table, countRows = true)
+    TxTable.restore(spark, table, 2)
+    TxTable.metaCount(spark, table) shouldBe 300L
+  }
+
+  // --- r10: unique-key-enforced append ---
+  test("appendUnique inserts only fresh keys and no-ops on a duplicate batch") {
+    val table = freshTable()
+    val (v1, n1) = TxTable.appendUnique(
+      Seq((1L, "a"), (2L, "b"), (2L, "b2")).toDF("id", "s"), table, "id",
+      bloomCols = Seq("id"), countRows = true)
+    v1 shouldBe 1
+    n1 shouldBe 2L // in-batch duplicate collapsed
+    val (v2, n2) = TxTable.appendUnique(
+      Seq((2L, "dup"), (3L, "c")).toDF("id", "s"), table, "id",
+      bloomCols = Seq("id"), countRows = true)
+    v2 shouldBe 2
+    n2 shouldBe 1L // only the fresh key landed
+    TxTable.read(spark, table).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq shouldBe
+      Seq((1L, "a"), (2L, "b"), (3L, "c"))
+    // fully-duplicate batch: no version published (Delta's no-op rule)
+    val (v3, n3) = TxTable.appendUnique(
+      Seq((1L, "x"), (3L, "y")).toDF("id", "s"), table, "id")
+    v3 shouldBe v2
+    n3 shouldBe 0L
+    TxTable.currentVersion(spark, table) shouldBe v2
+    TxTable.metaCount(spark, table) shouldBe 3L
+  }
 }
