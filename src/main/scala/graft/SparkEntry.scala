@@ -2947,6 +2947,121 @@ object SparkEntry {
       content.unionByName(meta)
     }),
 
+    // §2#53ap (r10) Page–Hinkley drift detection on the per-type daily
+    // mean series — q176 CUSUM's self-calibrating sibling: no target
+    // mean parameter, each point tests against the series' own running
+    // mean; integer-exact PH statistic (deviations re-quantize before
+    // the prefix sum).
+    "q347_page_hinkley" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .select((unix_micros(col("ts")) / lit(86400000000L)).cast("long").as("day"),
+          col("event_type"),
+          floor(col("value") * 1000000L + lit(0.5)).cast("long").as("_vq"))
+      val daily = ev.groupBy("day", "event_type")
+        .agg(round(sum(col("_vq").cast("decimal(38,0)")).cast("double")
+          / count(lit(1)).cast("double") / 1e6, 6).as("day_mean"))
+      operators.Rolling.pageHinkley(daily, "event_type", "day", "day_mean",
+          delta = 0.001, lambda = 0.05)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          sum(when(col("is_drift"), 1L).otherwise(0L)).as("n_drift"),
+          round(max(col("ph")).cast("double") / 1e6, 6).as("max_ph"))
+    }),
+
+    // §2#36b (r10) multinomial Naive Bayes language classifier —
+    // counts-only training (two partial aggs, the one exactly-
+    // distributable classifier fit), integer-quantized log-prob
+    // scoring so the argmax is engine-exact; 80/20 hash split, output
+    // = the test confusion matrix.
+    "q348_naive_bayes" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      functions.NaiveBayes.trainScoreConfusion(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0),
+        "lang", "text", "doc_id")
+    }),
+
+    // §2#52bd (r10) quantile normalization across event types — every
+    // type's value distribution maps onto the shared per-bin reference
+    // (the cross-source score-calibration step before mixing); output
+    // is the (type, bin) mapping table.
+    "q349_quantile_norm" -> ((s, dir) =>
+      functions.Profile.quantileNormalize(
+        streaming.Events.readBatch(s, s"$dir/events.parquet")
+          .select(col("event_type"), col("value"), col("event_id")),
+        "event_type", "value", "event_id", bins = 20)),
+
+    // §2#52be (r10) McNemar's paired test: per user, "clicked" vs
+    // "purchased" as the paired binary outcomes — only discordant
+    // users carry signal; continuity-corrected χ².
+    "q350_mcnemar" -> ((s, dir) => {
+      val per = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "click", 1L).otherwise(0L)).as("a"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("b"))
+      functions.Eval.mcnemar(per, "a", "b")
+    }),
+
+    // §2#52bf (r10) IPW average treatment effect: urgent-priority
+    // orders as "treatment", order value as outcome, market segment as
+    // the propensity stratum — positivity-violating strata excluded
+    // loudly, per-row weighted contributions integer-quantized.
+    "q351_ipw_ate" -> ((s, dir) => {
+      val j = t(s, dir, "orders").df
+        .join(t(s, dir, "customer").df,
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("seg"),
+          col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("treated"),
+          col("o_totalprice"))
+      functions.Eval.ipwAte(j, "seg", "treated", "o_totalprice")
+    }),
+
+    // §2#52bg (r10) approximate-randomization permutation test for the
+    // click-vs-view mean-value difference: 100 content-addressed
+    // md5 relabelings expand map-side (the q248 bootstrap shape),
+    // p = (1 + #extreme)/(B + 1).
+    "q352_permutation_test" -> ((s, dir) =>
+      functions.Eval.permutationTestDiff(
+        streaming.Events.readBatch(s, s"$dir/events.parquet")
+          .select(col("event_type"), col("value"), col("event_id")),
+        "event_type", "value", "click", "view", "event_id", reps = 100)),
+
+    // §2#52bh (r10) OLS influence diagnostics on the daily-mean trend:
+    // leverage, residual, and Cook's distance per day — "which days
+    // drive the fitted trend"; exact integer moments, top-15 triage
+    // list with deterministic tie order.
+    "q353_ols_influence" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .select((unix_micros(col("ts")) / lit(86400000000L)).cast("long").as("day"),
+          floor(col("value") * 1000000L + lit(0.5)).cast("long").as("_vq"))
+      val daily = ev.groupBy("day")
+        .agg(round(sum(col("_vq").cast("decimal(38,0)")).cast("double")
+          / count(lit(1)).cast("double") / 1e6, 6).as("day_mean"))
+      functions.Profile.olsInfluence(daily, "day", "day_mean", "day", topK = 15)
+    }),
+
+    // §2#52bi (r10) partial correlation on lineitem: quantity ↔
+    // extended price with the discount's linear effect removed (and
+    // each other rotation) — the confounder screen beside q96's raw
+    // correlation matrix; exact integer moments.
+    "q354_partial_corr" -> ((s, dir) =>
+      functions.Profile.partialCorr(t(s, dir, "lineitem").df,
+        "l_quantity", "l_extendedprice", "l_discount")),
+
+    // §2#52bj (r10) homogeneity / completeness / V-measure of the
+    // source partition against the language truth — the symmetric
+    // entropy scorecard a single information-gain number hides.
+    "q355_v_measure" -> ((s, dir) =>
+      functions.Eval.vMeasure(t(s, dir, "documents").df, "lang", "source")),
+
+    // §2#37m (r10) query-likelihood retrieval with Dirichlet smoothing
+    // over the same query as q161's BM25 — the language-modeling
+    // ranker where ABSENT query terms still contribute collection-
+    // smoothed mass; DECIMAL-quantized per-term contributions.
+    "q356_ql_dirichlet" -> ((s, dir) =>
+      functions.TermStats.qlDirichletRank(t(s, dir, "documents").df,
+        Seq("join", "hash", "scan"), mu = 2000.0, topK = 10)),
+
     // §2#52av (r8) Cochran–Armitage trend: is the purchase RATE
     // monotone across the hour-of-day ordinal — the ordered companion
     // to q146's anywhere-different chi-square; exact integer sums, one
@@ -6535,6 +6650,329 @@ object SparkEntry {
          UNION ALL SELECT 'meta', 'noop_kept_version', CAST(1 AS BIGINT), CAST(NULL AS DOUBLE)
          UNION ALL SELECT 'meta', 'meta_count',
            (SELECT COUNT(*) FROM d), CAST(NULL AS DOUBLE)""",
+
+    // mirrors Rolling.pageHinkley: quantized daily means, dev vs the
+    // running mean re-quantized before the integer prefix sum
+    "q347_page_hinkley" ->
+      """WITH e AS (
+           SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+             CAST(floor(CAST(value AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS vq
+           FROM events),
+         daily AS (
+           SELECT day, event_type, round(CAST(SUM(CAST(vq AS HUGEINT)) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) / 1000000.0, 6) AS m
+           FROM e GROUP BY 1, 2),
+         q AS (SELECT day, event_type,
+             CAST(floor(m * 1000000 + 0.5) AS BIGINT) AS v FROM daily),
+         w1 AS (SELECT event_type, day, v,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i,
+             SUM(v) OVER (PARTITION BY event_type ORDER BY day) AS cum
+           FROM q),
+         w2 AS (SELECT event_type, day,
+             CAST(floor((CAST(i * v - cum AS DOUBLE)
+               / (CAST(i AS DOUBLE) * 1000000.0) - 0.001) * 1000000 + 0.5)
+               AS BIGINT) AS devq
+           FROM w1),
+         w3 AS (SELECT event_type, day,
+             SUM(devq) OVER (PARTITION BY event_type ORDER BY day) AS mm
+           FROM w2),
+         w4 AS (SELECT event_type,
+             mm - LEAST(CAST(0 AS BIGINT),
+               MIN(mm) OVER (PARTITION BY event_type ORDER BY day)) AS ph
+           FROM w3)
+         SELECT event_type, COUNT(*) AS n_days,
+           CAST(SUM(CASE WHEN ph > 50000 THEN 1 ELSE 0 END) AS BIGINT) AS n_drift,
+           round(CAST(MAX(ph) AS DOUBLE) / 1000000.0, 6) AS max_ph
+         FROM w4 GROUP BY 1""",
+
+    // mirrors NaiveBayes.trainScoreConfusion: Laplace-1 over the train
+    // vocabulary, quantized log-probs, integer score sums, label-asc
+    // tie-break
+    "q348_naive_bayes" ->
+      """WITH tr AS (
+           SELECT lang, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+           FROM documents WHERE doc_id % 5 != 0),
+         trt AS (SELECT lang, tok FROM tr WHERE length(tok) > 0),
+         cnt AS (SELECT lang, tok, COUNT(*) AS c FROM trt GROUP BY 1, 2),
+         tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS t FROM cnt GROUP BY 1),
+         voc AS (SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE) AS v FROM cnt),
+         model AS (
+           SELECT lang, tok, CAST(floor(
+               ln((c + 1.0) / (CAST(t AS DOUBLE) + v)) * 1000000 + 0.5) AS BIGINT) AS lpq
+           FROM cnt JOIN tot USING (lang), voc),
+         unseen AS (
+           SELECT lang, CAST(floor(
+               ln(1.0 / (CAST(t AS DOUBLE) + v)) * 1000000 + 0.5) AS BIGINT) AS uq
+           FROM tot, voc),
+         ntr AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n
+           FROM documents WHERE doc_id % 5 != 0),
+         pri AS (SELECT lang, CAST(floor(
+               ln(CAST(COUNT(*) AS DOUBLE) / (SELECT n FROM ntr)) * 1000000 + 0.5)
+               AS BIGINT) AS pq
+           FROM documents WHERE doc_id % 5 != 0 GROUP BY 1),
+         te0 AS (
+           SELECT doc_id, lang AS true_lang,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+           FROM documents WHERE doc_id % 5 = 0),
+         tet AS (SELECT doc_id, true_lang, tok, COUNT(*) AS n
+           FROM te0 WHERE length(tok) > 0 GROUP BY 1, 2, 3),
+         sc AS (
+           SELECT tet.doc_id, tet.true_lang, u.lang,
+             CAST(SUM(n * COALESCE(m.lpq, u.uq)) AS BIGINT) AS sq
+           FROM tet CROSS JOIN unseen u
+           LEFT JOIN model m ON m.lang = u.lang AND m.tok = tet.tok
+           GROUP BY 1, 2, 3),
+         al AS (
+           SELECT d.doc_id, d.lang AS true_lang, u.lang,
+             COALESCE(sc.sq, 0) + pri.pq AS score
+           FROM (SELECT doc_id, lang FROM documents WHERE doc_id % 5 = 0) d
+           CROSS JOIN (SELECT lang FROM unseen) u
+           LEFT JOIN sc ON sc.doc_id = d.doc_id AND sc.lang = u.lang
+           JOIN pri ON pri.lang = u.lang),
+         pred AS (
+           SELECT doc_id, true_lang, lang,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+               ORDER BY score DESC, lang ASC) AS rn
+           FROM al)
+         SELECT true_lang AS label_true, lang AS label_pred, COUNT(*) AS n_docs
+         FROM pred WHERE rn = 1 GROUP BY 1, 2""",
+
+    // mirrors Profile.quantileNormalize: ntile over (value, id),
+    // re-quantized bin means, bins-sized reference
+    "q349_quantile_norm" ->
+      """WITH e AS (
+           SELECT event_type, value, event_id,
+             CAST(floor(CAST(value AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS vq
+           FROM events),
+         b AS (SELECT event_type, vq,
+             NTILE(20) OVER (PARTITION BY event_type ORDER BY value, event_id) AS bin
+           FROM e),
+         cells AS (SELECT event_type, bin, SUM(CAST(vq AS HUGEINT)) AS s,
+             COUNT(*) AS n FROM b GROUP BY 1, 2),
+         cm AS (SELECT event_type, bin, n,
+             CAST(floor(CAST(s AS DOUBLE) / n + 0.5) AS BIGINT) AS mq FROM cells),
+         ref AS (SELECT bin, SUM(CAST(mq AS HUGEINT)) AS rs, COUNT(*) AS rn
+           FROM cm GROUP BY 1)
+         SELECT event_type, CAST(cm.bin AS INT) AS bin, n,
+           round(CAST(mq AS DOUBLE) / 1000000.0, 6) AS orig_mean,
+           round(CAST(rs AS DOUBLE) / rn / 1000000.0, 6) AS norm_value
+         FROM cm JOIN ref ON cm.bin = ref.bin""",
+
+    "q350_mcnemar" ->
+      """WITH per AS (
+           SELECT user_id,
+             MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
+           FROM events GROUP BY 1),
+         c AS (SELECT
+             CAST(SUM(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+             CAST(SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+             CAST(SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+             CAST(SUM(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11
+           FROM per)
+         SELECT n00, n01, n10, n11,
+           CASE WHEN n01 + n10 > 0 THEN round(
+             CAST((abs(n01 - n10) - 1) * (abs(n01 - n10) - 1) AS DOUBLE)
+               / CAST(n01 + n10 AS DOUBLE), 9) END AS chi2
+         FROM c""",
+
+    // mirrors Eval.ipwAte: stratified propensities, quantized weighted
+    // contributions, positivity-violating strata excluded
+    "q351_ipw_ate" ->
+      """WITH j AS (
+           SELECT c_mktsegment AS s,
+             o_orderpriority IN ('1-URGENT', '2-HIGH') AS t,
+             CAST(o_totalprice AS DOUBLE) AS y
+           FROM orders JOIN customer ON o_custkey = c_custkey),
+         st AS (SELECT s, COUNT(*) AS n,
+             CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS nt
+           FROM j GROUP BY 1),
+         keep AS (SELECT s, CAST(nt AS DOUBLE) / CAST(n AS DOUBLE) AS e
+           FROM st WHERE nt > 0 AND nt < n),
+         r AS (SELECT j.s, j.t, CAST(floor(
+             (CASE WHEN t THEN y / e ELSE -y / (1.0 - e) END) * 1000000 + 0.5)
+             AS BIGINT) AS wq
+           FROM j JOIN keep USING (s))
+         SELECT s AS stratum, COUNT(*) AS n,
+           CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_treated,
+           round(CAST(SUM(CAST(wq AS HUGEINT)) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) / 1000000.0, 9) AS ate
+         FROM r GROUP BY 1
+         UNION ALL SELECT '_ate', COUNT(*),
+           CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT),
+           round(CAST(SUM(CAST(wq AS HUGEINT)) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) / 1000000.0, 9)
+         FROM r
+         UNION ALL SELECT '_dropped',
+           CAST(COALESCE((SELECT SUM(n) FROM st WHERE NOT (nt > 0 AND nt < n)), 0) AS BIGINT),
+           CAST(0 AS BIGINT), CAST(NULL AS DOUBLE)""",
+
+    // mirrors Eval.permutationTestDiff: md5 relabelings, quantized
+    // sums, identically-shaped mean differences
+    "q352_permutation_test" ->
+      """WITH two AS (
+           SELECT CAST(event_id AS VARCHAR) AS id, event_type AS g,
+             CAST(floor(CAST(value AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS vq
+           FROM events WHERE event_type IN ('click', 'view')),
+         obs AS (SELECT
+             CAST(SUM(CASE WHEN g = 'click' THEN CAST(vq AS HUGEINT) ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS DOUBLE)
+             - CAST(SUM(CASE WHEN g != 'click' THEN CAST(vq AS HUGEINT) ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(CASE WHEN g != 'click' THEN 1 ELSE 0 END) AS DOUBLE) AS d
+           FROM two),
+         ex AS (SELECT two.vq,
+             substr(md5(CAST(bb.b AS VARCHAR) || ' ' || two.id), 1, 1) < '8' AS side,
+             bb.b
+           FROM two CROSS JOIN (SELECT unnest(generate_series(0, 99)) AS b) bb),
+         perms AS (SELECT b,
+             CAST(SUM(CASE WHEN side THEN CAST(vq AS HUGEINT) ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(CASE WHEN side THEN 1 ELSE 0 END) AS DOUBLE)
+             - CAST(SUM(CASE WHEN NOT side THEN CAST(vq AS HUGEINT) ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(CASE WHEN NOT side THEN 1 ELSE 0 END) AS DOUBLE) AS d
+           FROM ex GROUP BY 1),
+         ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM perms, obs
+           WHERE abs(perms.d) >= abs(obs.d))
+         SELECT round((SELECT d FROM obs) / 1000000.0, 9) AS observed_diff,
+           CAST(100 AS BIGINT) AS n_reps, (SELECT n FROM ne) AS n_extreme,
+           round((1.0 + (SELECT n FROM ne)) / 101.0, 9) AS p_value""",
+
+    // mirrors Profile.olsInfluence over the daily-mean series: exact
+    // integer moments, quantized SSE, Cook's D ranked on its rounded value
+    "q353_ols_influence" ->
+      """WITH e AS (
+           SELECT epoch_us(ts) // 86400000000 AS day,
+             CAST(floor(CAST(value AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS vq
+           FROM events),
+         daily AS (
+           SELECT day, round(CAST(SUM(CAST(vq AS HUGEINT)) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) / 1000000.0, 6) AS m
+           FROM e GROUP BY 1),
+         p AS (SELECT day AS id,
+             CAST(floor(CAST(day AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS x,
+             CAST(floor(m * 1000000 + 0.5) AS BIGINT) AS y
+           FROM daily),
+         mo AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd,
+             CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy
+           FROM p),
+         c2 AS (SELECT nd, sx, sy, sxx - sx * sx / nd AS sxxc,
+             (sxy - sx * sy / nd) / (sxx - sx * sx / nd) AS slope
+           FROM mo),
+         c3 AS (SELECT nd, sx, sxxc, slope, (sy - slope * sx) / nd AS icept FROM c2),
+         r AS (SELECT id, x,
+             (CAST(y AS DOUBLE) - icept - slope * CAST(x AS DOUBLE)) / 1000000.0 AS e,
+             1.0 / nd + (CAST(x AS DOUBLE) - sx / nd) * (CAST(x AS DOUBLE) - sx / nd)
+               / sxxc AS h
+           FROM p, c3),
+         r2 AS (SELECT id, e, h,
+             CAST(floor(e * e * 1000000 + 0.5) AS BIGINT) AS e2q FROM r),
+         ss AS (SELECT CAST(SUM(CAST(e2q AS HUGEINT)) AS DOUBLE) / 1000000.0
+             / ((SELECT nd FROM c3) - 2.0) AS s2 FROM r2),
+         f AS (SELECT id, round(e, 6) AS residual, round(h, 9) AS leverage,
+             round(e * e * h / ((2.0 * s2) * (1.0 - h) * (1.0 - h)), 9) AS cooks_d
+           FROM r2, ss),
+         rk AS (SELECT id, residual, leverage, cooks_d,
+             CAST(ROW_NUMBER() OVER (ORDER BY cooks_d DESC, id) AS INT) AS rank
+           FROM f)
+         SELECT id AS day, rank, residual, leverage, cooks_d
+         FROM rk WHERE rank <= 15""",
+
+    // mirrors Profile.partialCorr: exact quantized second moments, one
+    // mirrored double per correlation
+    "q354_partial_corr" ->
+      """WITH q AS (SELECT
+           CAST(floor(CAST(l_quantity AS DOUBLE) * 100 + 0.5) AS HUGEINT) AS x,
+           CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100 + 0.5) AS HUGEINT) AS y,
+           CAST(floor(CAST(l_discount AS DOUBLE) * 100 + 0.5) AS HUGEINT) AS z
+           FROM lineitem),
+         mo AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(z) AS DOUBLE) AS sz,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx, CAST(SUM(y * y) AS DOUBLE) AS syy,
+             CAST(SUM(z * z) AS DOUBLE) AS szz,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy, CAST(SUM(x * z) AS DOUBLE) AS sxz,
+             CAST(SUM(y * z) AS DOUBLE) AS syz
+           FROM q),
+         r AS (SELECT
+             (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS rxy,
+             (n * sxz - sx * sz) / sqrt((n * sxx - sx * sx) * (n * szz - sz * sz)) AS rxz,
+             (n * syz - sy * sz) / sqrt((n * syy - sy * sy) * (n * szz - sz * sz)) AS ryz
+           FROM mo)
+         SELECT 'l_quantity' AS a, 'l_extendedprice' AS b, 'l_discount' AS controlling,
+           round((rxy - rxz * ryz) / sqrt((1 - rxz * rxz) * (1 - ryz * ryz)), 9) AS partial_r,
+           round(rxy, 9) AS pearson_r FROM r
+         UNION ALL SELECT 'l_quantity', 'l_discount', 'l_extendedprice',
+           round((rxz - rxy * ryz) / sqrt((1 - rxy * rxy) * (1 - ryz * ryz)), 9),
+           round(rxz, 9) FROM r
+         UNION ALL SELECT 'l_extendedprice', 'l_discount', 'l_quantity',
+           round((ryz - rxy * rxz) / sqrt((1 - rxy * rxy) * (1 - rxz * rxz)), 9),
+           round(ryz, 9) FROM r""",
+
+    // mirrors Eval.vMeasure: DECIMAL-quantized p·ln p terms, entropy
+    // ratios in identically-shaped doubles
+    "q355_v_measure" ->
+      """WITH cells AS (SELECT lang AS c, source AS k, COUNT(*) AS cnt
+           FROM documents GROUP BY 1, 2),
+         nn AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n FROM cells),
+         hc AS (SELECT CAST(SUM(CAST(
+             -(CAST(m AS DOUBLE) / n) * ln(CAST(m AS DOUBLE) / n)
+             AS DECIMAL(20,9))) AS DOUBLE) AS h
+           FROM (SELECT c, SUM(cnt) AS m FROM cells GROUP BY 1), nn),
+         hk AS (SELECT CAST(SUM(CAST(
+             -(CAST(m AS DOUBLE) / n) * ln(CAST(m AS DOUBLE) / n)
+             AS DECIMAL(20,9))) AS DOUBLE) AS h
+           FROM (SELECT k, SUM(cnt) AS m FROM cells GROUP BY 1), nn),
+         hck AS (SELECT CAST(SUM(CAST(
+             -(CAST(cnt AS DOUBLE) / n) * ln(CAST(cnt AS DOUBLE) / CAST(m AS DOUBLE))
+             AS DECIMAL(20,9))) AS DOUBLE) AS h
+           FROM cells JOIN (SELECT k, SUM(cnt) AS m FROM cells GROUP BY 1) mk
+             USING (k), nn),
+         hkc AS (SELECT CAST(SUM(CAST(
+             -(CAST(cnt AS DOUBLE) / n) * ln(CAST(cnt AS DOUBLE) / CAST(m AS DOUBLE))
+             AS DECIMAL(20,9))) AS DOUBLE) AS h
+           FROM cells JOIN (SELECT c, SUM(cnt) AS m FROM cells GROUP BY 1) mc
+             USING (c), nn),
+         v AS (SELECT hc.h AS hc, hk.h AS hk, hck.h AS hck, hkc.h AS hkc,
+             CASE WHEN hc.h = 0 THEN 1.0 ELSE 1.0 - hck.h / hc.h END AS hom,
+             CASE WHEN hk.h = 0 THEN 1.0 ELSE 1.0 - hkc.h / hk.h END AS com
+           FROM hc, hk, hck, hkc)
+         SELECT round(hc, 9) AS h_class, round(hk, 9) AS h_cluster,
+           round(hck, 9) AS h_class_given_cluster,
+           round(hkc, 9) AS h_cluster_given_class,
+           round(hom, 9) AS homogeneity, round(com, 9) AS completeness,
+           round(CASE WHEN hom + com = 0 THEN 0.0
+             ELSE 2.0 * hom * com / (hom + com) END, 9) AS v_measure
+         FROM v""",
+
+    // mirrors TermStats.qlDirichletRank: q161's tokenizer, Dirichlet
+    // smoothing over the collection model, DECIMAL-quantized terms
+    "q356_ql_dirichlet" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+           FROM documents),
+         tot AS (SELECT CAST(SUM(len(w)) AS DOUBLE) AS nt FROM toks),
+         tf0 AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, unnest(w) AS term
+           FROM toks),
+         tfc AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM tf0
+           WHERE term IN ('join', 'hash', 'scan') GROUP BY 1, 2, 3),
+         cf AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cf FROM tfc GROUP BY 1),
+         cand AS (SELECT DISTINCT doc_id, dl FROM tfc),
+         sc AS (SELECT cand.doc_id,
+             CAST(ln((COALESCE(tfc.tf, 0) + 2000.0 * CAST(cf.cf AS DOUBLE)
+                 / (SELECT nt FROM tot)) / (cand.dl + 2000.0))
+               AS DECIMAL(20,9)) AS c,
+             CASE WHEN COALESCE(tfc.tf, 0) > 0 THEN 1 ELSE 0 END AS hit
+           FROM cand CROSS JOIN cf
+           LEFT JOIN tfc ON tfc.doc_id = cand.doc_id AND tfc.term = cf.term),
+         agg AS (SELECT doc_id, SUM(c) AS score,
+             CAST(SUM(hit) AS BIGINT) AS n_hits FROM sc GROUP BY 1),
+         rk AS (SELECT doc_id, score, n_hits,
+             CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+           FROM agg)
+         SELECT doc_id, ROUND(CAST(score AS DOUBLE), 6) AS score, n_hits, rank
+         FROM rk WHERE rank <= 10""",
 
     "q326_tx_backfill" ->
       """SELECT CAST(1 AS INT) AS version, COUNT(*) AS n_rows,

@@ -1109,4 +1109,175 @@ object Eval {
       when(col("_ns") > 0L && pe < 1.0,
         round((pbar - pe) / (lit(1.0) - pe), 9)).as("kappa"))
   }
+
+  /** McNemar's test for PAIRED binary outcomes — "did condition A and
+    * condition B disagree systematically on the same units": only the
+    * DISCORDANT pairs carry signal, χ² = (|n01 − n10| − 1)²/(n01 + n10)
+    * with the continuity correction. The paired-model-comparison gate
+    * (two classifiers scored on the same eval set; two filter variants
+    * over the same documents) where a two-proportion test would
+    * double-count the shared units. One partial-agg pass; all four
+    * cell counts exact integers; NULL χ² when no discordant pairs.
+    */
+  def mcnemar(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val a = col(aCol).cast("boolean"); val b = col(bCol).cast("boolean")
+    val cells = df.agg(
+      sum(when(!a && !b, 1L).otherwise(0L)).as("n00"),
+      sum(when(!a && b, 1L).otherwise(0L)).as("n01"),
+      sum(when(a && !b, 1L).otherwise(0L)).as("n10"),
+      sum(when(a && b, 1L).otherwise(0L)).as("n11"))
+    val disc = col("n01") + col("n10")
+    val dev = abs(col("n01") - col("n10")) - lit(1L)
+    cells.select(col("n00"), col("n01"), col("n10"), col("n11"),
+      when(disc > 0L, round(
+        (dev * dev).cast("double") / disc.cast("double"), 9)).as("chi2"))
+  }
+
+  /** Inverse-propensity-weighted average treatment effect with
+    * STRATIFIED propensities (the observational-data effect estimate
+    * when treatment wasn't randomized): within each stratum the
+    * propensity e_s = P(T = 1 | s) is the observed share, and
+    * ATE = (1/N) Σᵢ [Tᵢyᵢ/e_s − (1 − Tᵢ)yᵢ/(1 − e_s)]. Strata with no
+    * treated or no control units have undefined weights and are
+    * EXCLUDED (reported, never silently imputed) — the positivity
+    * violation made visible. Emits one row per kept stratum plus the
+    * pooled `_ate` row.
+    *
+    * Exactness: e_s is one double division of exact counts; each
+    * row's weighted contribution re-quantizes to a long before any
+    * sum, so the pooled ATE never depends on fold order.
+    */
+  def ipwAte(df: DataFrame, stratumCol: String, treatCol: String,
+             yCol: String, unitScale: Long = 1000000L): DataFrame = {
+    val t = col(treatCol).cast("boolean")
+    val strata = df.groupBy(col(stratumCol).cast("string").as("_s"))
+      .agg(count(lit(1)).as("_n"),
+        sum(when(t, 1L).otherwise(0L)).as("_nt"))
+      .withColumn("_kept", col("_nt") > 0L && col("_nt") < col("_n"))
+    val e = col("_nt").cast("double") / col("_n").cast("double")
+    val rows = df.select(col(stratumCol).cast("string").as("_s"),
+        t.as("_t"), col(yCol).cast("double").as("_y"))
+      .join(broadcast(strata.filter(col("_kept"))
+        .select(col("_s"), e.as("_e"))), Seq("_s"))
+      .withColumn("_wq", floor(
+        when(col("_t"), col("_y") / col("_e"))
+          .otherwise(-col("_y") / (lit(1.0) - col("_e")))
+          * unitScale + 0.5).cast("long"))
+    val per = rows.groupBy("_s")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("_t"), 1L).otherwise(0L)).as("n_treated"),
+        sum(col("_wq").cast("decimal(38,0)")).as("_sw"))
+      .select(col("_s").as("stratum"), col("n"), col("n_treated"),
+        round(col("_sw").cast("double") / col("n").cast("double") /
+          unitScale.toDouble, 9).as("ate"))
+    val dropped = strata.filter(!col("_kept"))
+      .agg(coalesce(sum(col("_n")), lit(0L)).as("_nd")).head().getLong(0)
+    val pooled = rows.agg(count(lit(1)).as("n"),
+        sum(when(col("_t"), 1L).otherwise(0L)).as("n_treated"),
+        sum(col("_wq").cast("decimal(38,0)")).as("_sw"))
+      .select(lit("_ate").as("stratum"), col("n"), col("n_treated"),
+        round(col("_sw").cast("double") / col("n").cast("double") /
+          unitScale.toDouble, 9).as("ate"))
+    val droppedRow = df.sparkSession.createDataFrame(
+        Seq(("_dropped", dropped, 0L)))
+      .toDF("stratum", "n", "n_treated")
+      .withColumn("ate", lit(null).cast("double"))
+    per.unionByName(pooled).unionByName(droppedRow)
+  }
+
+  /** Approximate randomization (permutation) test for the difference
+    * in group means — the distribution-free significance complement to
+    * the bootstrap CI family: under H₀ the group labels are
+    * exchangeable, so `b` content-addressed pseudo-random relabelings
+    * (md5 of replicate ⊕ unit id — reproducible anywhere, the q51
+    * sampling contract) yield the null distribution of the mean
+    * difference, and p = (1 + #{|diff_b| ≥ |observed|})/(b + 1).
+    *
+    * Scale shape: the b relabelings EXPAND MAP-SIDE (explode of a
+    * replicate array) and collapse to (replicate, side) partial sums —
+    * the q248 bootstrap shape: no per-replicate job, no shuffle growth
+    * with b. Means are double divisions of exact quantized-long sums;
+    * the ≥ compare happens on identically-shaped doubles.
+    */
+  def permutationTestDiff(df: DataFrame, groupCol: String, valueCol: String,
+                          a: String, b: String, idCol: String,
+                          reps: Int = 100,
+                          unitScale: Long = 1000000L): DataFrame = {
+    require(reps > 0, s"reps must be positive, got $reps")
+    val two = df.filter(col(groupCol).isin(a, b))
+      .select(col(idCol).cast("string").as("_id"),
+        col(groupCol).as("_g"),
+        floor(col(valueCol).cast("double") * unitScale + 0.5).cast("long")
+          .as("_vq"))
+    // a degenerate relabeling (one side empty) yields a NULL diff —
+    // the oracle's DuckDB division-by-zero semantics — and the NULL
+    // then fails the >= extremeness filter on both engines (only
+    // reachable on tiny inputs; real group sizes never empty a side)
+    def sideMean(side: Column): Column = {
+      val cnt = sum(when(side, 1L).otherwise(0L))
+      when(cnt > 0L,
+        sum(when(side, col("_vq")).otherwise(0L).cast("decimal(38,0)"))
+          .cast("double") / cnt.cast("double"))
+    }
+    def meanDiff(side: Column): Column = sideMean(side) - sideMean(!side)
+    val obs = two.agg(meanDiff(col("_g") === a).as("_d")).head().getDouble(0)
+    val perms = two
+      .withColumn("_b", explode(array((0 until reps).map(lit): _*)))
+      .withColumn("_side",
+        substring(md5(concat_ws(" ", col("_b").cast("string"),
+          col("_id"))), 1, 1) < "8")
+      .groupBy("_b").agg(meanDiff(col("_side")).as("_d"))
+    val nExtreme = perms.filter(abs(col("_d")) >= math.abs(obs)).count()
+    def r9(x: Double): Double = new java.math.BigDecimal(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue
+    df.sparkSession.createDataFrame(Seq(
+        (r9(obs / unitScale.toDouble), reps.toLong, nExtreme,
+          r9((1.0 + nExtreme) / (reps + 1.0)))))
+      .toDF("observed_diff", "n_reps", "n_extreme", "p_value")
+  }
+
+  /** Homogeneity / completeness / V-measure (Rosenberg & Hirschberg
+    * EMNLP'07) — the entropy-based clustering-vs-truth scorecard:
+    * homogeneity = 1 − H(C|K)/H(C) (each cluster holds one class),
+    * completeness = 1 − H(K|C)/H(K) (each class lands in one cluster),
+    * V = their harmonic mean. The symmetric read-out a single
+    * information-gain number hides — a clustering can be perfectly
+    * homogeneous yet shatter every class. One (class, cluster)
+    * contingency partial agg bounded by the label product; every
+    * p·ln p term DECIMAL-quantized pre-sum (the q107 contract).
+    */
+  def vMeasure(df: DataFrame, classCol: String, clusterCol: String): DataFrame = {
+    val cells = df.select(col(classCol).cast("string").as("_c"),
+        col(clusterCol).cast("string").as("_k"))
+      .groupBy("_c", "_k").agg(count(lit(1)).as("_n"))
+    val n = cells.agg(sum("_n")).head().getLong(0).toDouble
+    def entropyOf(grouped: DataFrame, cnt: String): Double =
+      grouped.agg(sum(
+          (-(col(cnt).cast("double") / n) * log(col(cnt).cast("double") / n))
+            .cast("decimal(20,9)")).as("_h"))
+        .head().getDecimal(0).doubleValue()
+    val hc = entropyOf(cells.groupBy("_c").agg(sum("_n").as("_m")), "_m")
+    val hk = entropyOf(cells.groupBy("_k").agg(sum("_n").as("_m")), "_m")
+    // conditional entropies from the joint and the conditioning marginal
+    def condEntropy(margCol: String): Double = {
+      val marg = cells.groupBy(margCol).agg(sum("_n").as("_m"))
+      cells.join(broadcast(marg), Seq(margCol))
+        .agg(sum(
+          (-(col("_n").cast("double") / n) *
+            log(col("_n").cast("double") / col("_m").cast("double")))
+            .cast("decimal(20,9)")).as("_h"))
+        .head().getDecimal(0).doubleValue()
+    }
+    val hck = condEntropy("_k") // H(C|K)
+    val hkc = condEntropy("_c") // H(K|C)
+    def r9(x: Double): Double = new java.math.BigDecimal(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue
+    val hom = if (hc == 0.0) 1.0 else 1.0 - hck / hc
+    val com = if (hk == 0.0) 1.0 else 1.0 - hkc / hk
+    val v = if (hom + com == 0.0) 0.0 else 2.0 * hom * com / (hom + com)
+    df.sparkSession.createDataFrame(Seq(
+        (r9(hc), r9(hk), r9(hck), r9(hkc), r9(hom), r9(com), r9(v))))
+      .toDF("h_class", "h_cluster", "h_class_given_cluster",
+        "h_cluster_given_class", "homogeneity", "completeness", "v_measure")
+  }
 }

@@ -1743,4 +1743,152 @@ object Profile {
         round(lit(1.0) / sum(col("_t")).cast("double"), 6).as("effective_n"),
         round(max(share), 9).as("top_share"))
   }
+
+  /** Quantile normalization across groups (the Bolstad et al. '03
+    * microarray method, and the cross-source score-calibration tool
+    * here): every group's value distribution maps onto the SHARED
+    * reference distribution — the per-quantile-bin mean of the
+    * per-group bin means — so scores from sources with different
+    * scales become comparable before mixing/thresholding. Returns the
+    * per-(group, bin) mapping table: n, the group's own bin mean, and
+    * the normalized (reference) value every member of that bin maps to.
+    *
+    * Scale shape: one per-group sort (ntile window), one partial agg
+    * to (group, bin) cells — bounded at groups × bins — then a
+    * bins-sized reference agg broadcast back. Nothing row-scaled
+    * shuffles twice. Bin means are double divisions of exact
+    * quantized-long sums; the reference is the mean of RE-QUANTIZED
+    * bin means, so both engines fold identical integers (ntile ties
+    * are pinned by the mandatory `tieCol` full ordering).
+    */
+  def quantileNormalize(df: DataFrame, groupCol: String, valueCol: String,
+                        tieCol: String, bins: Int = 100,
+                        unitScale: Long = 1000000L): DataFrame = {
+    require(bins > 1, s"bins must be > 1, got $bins")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(valueCol), col(tieCol))
+    val vq = floor(col(valueCol).cast("double") * unitScale + 0.5).cast("long")
+    val cells = df
+      .withColumn("_bin", ntile(bins).over(w))
+      .select(col(groupCol).as("_g"), col("_bin"), vq.as("_vq"))
+      .groupBy("_g", "_bin")
+      .agg(sum(col("_vq").cast("decimal(38,0)")).as("_s"),
+        count(lit(1)).as("_n"))
+      .withColumn("_mq", floor(col("_s").cast("double") / col("_n") + 0.5)
+        .cast("long"))
+    val ref = cells.groupBy("_bin")
+      .agg(sum(col("_mq").cast("decimal(38,0)")).as("_rs"),
+        count(lit(1)).as("_rn"))
+    cells.join(broadcast(ref), Seq("_bin"))
+      .select(col("_g").as(groupCol), col("_bin").cast("int").as("bin"),
+        col("_n").as("n"),
+        round(col("_mq").cast("double") / unitScale, 6).as("orig_mean"),
+        round(col("_rs").cast("double") / col("_rn") / unitScale, 6)
+          .as("norm_value"))
+  }
+
+  /** OLS influence diagnostics for the simple regression y ~ x — the
+    * read-out behind "is this fit driven by a handful of points":
+    * leverage hᵢ (distance from x̄ in design space), the residual, and
+    * Cook's distance Dᵢ = e²ᵢhᵢ / (p·s²·(1−hᵢ)²) with p = 2. Returns
+    * the top-`topK` rows by Cook's D (the triage list), deterministic
+    * under ties via the id ordering.
+    *
+    * All moments are exact integer sums of quantized values
+    * (decimal(38,0)); slope/intercept/leverage/residual are then
+    * double expressions of those exact integers with IDENTICAL shapes
+    * on both engines, and the SSE re-quantizes per-row residual
+    * squares before summing so s² never depends on fold order.
+    */
+  def olsInfluence(df: DataFrame, xCol: String, yCol: String, idCol: String,
+                   topK: Int = 20, unitScale: Long = 1000000L): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    val xq = floor(col(xCol).cast("double") * unitScale + 0.5).cast("long")
+    val yq = floor(col(yCol).cast("double") * unitScale + 0.5).cast("long")
+    val pts = df.select(col(idCol).as("_id"), xq.as("_x"), yq.as("_y"))
+    def dd(c: Column) = c.cast("decimal(38,0)")
+    val m = pts.agg(count(lit(1)).as("_n"),
+      sum(dd(col("_x"))).as("_sx"), sum(dd(col("_y"))).as("_sy"),
+      sum(dd(col("_x")) * dd(col("_x"))).as("_sxx"),
+      sum(dd(col("_x")) * dd(col("_y"))).as("_sxy")).head()
+    val n = m.getLong(0).toDouble
+    require(n > 2, s"olsInfluence needs n > 2 points, got ${m.getLong(0)}")
+    val sx = m.getDecimal(1).doubleValue(); val sy = m.getDecimal(2).doubleValue()
+    val sxx = m.getDecimal(3).doubleValue(); val sxy = m.getDecimal(4).doubleValue()
+    val sxxC = sxx - sx * sx / n // Σ(x−x̄)² in quantized units²
+    require(sxxC > 0, "olsInfluence: x is constant — no regression")
+    val slope = (sxy - sx * sy / n) / sxxC
+    val icept = (sy - slope * sx) / n
+    val resid = (col("_y").cast("double") - lit(icept) -
+      lit(slope) * col("_x").cast("double")) / unitScale.toDouble
+    val lever = lit(1.0 / n) +
+      (col("_x").cast("double") - lit(sx / n)) *
+      (col("_x").cast("double") - lit(sx / n)) / lit(sxxC)
+    val scored = pts
+      .withColumn("_e", resid)
+      .withColumn("_h", lever)
+      .withColumn("_e2q", floor(col("_e") * col("_e") * unitScale + 0.5)
+        .cast("long"))
+    val sse = scored.agg(
+      sum(col("_e2q").cast("decimal(38,0)")).as("_sse")).head()
+      .getDecimal(0).doubleValue() / unitScale.toDouble
+    val s2 = sse / (n - 2.0)
+    scored
+      .withColumn("cooks_d", round(
+        col("_e") * col("_e") * col("_h") /
+          (lit(2.0 * s2) * (lit(1.0) - col("_h")) * (lit(1.0) - col("_h"))), 9))
+      .withColumn("_rn", row_number().over(
+        Window.orderBy(col("cooks_d").desc, col("_id"))))
+      .filter(col("_rn") <= topK)
+      .select(col("_id").as(idCol), col("_rn").cast("int").as("rank"),
+        round(col("_e"), 6).as("residual"),
+        round(col("_h"), 9).as("leverage"), col("cooks_d"))
+  }
+
+  /** Partial correlation r(x,y | z) — the association between x and y
+    * with the third variable's linear effect removed, from the three
+    * pairwise Pearson correlations: (r_xy − r_xz·r_yz) /
+    * √((1−r²_xz)(1−r²_yz)). The confounder screen next to
+    * [[corrMatrix]]: a large r_xy that collapses when conditioned on z
+    * was z's doing. Emits one row per ordered choice of controlled
+    * variable among the three columns.
+    *
+    * Same exactness contract as [[corrMatrix]]: all second moments are
+    * integer sums of quantized values; each r and the partial formula
+    * are double expressions of exact integers, identical both engines.
+    */
+  def partialCorr(df: DataFrame, xCol: String, yCol: String, zCol: String,
+                  unitScale: Long = 100L): DataFrame = {
+    def q(c: String) =
+      floor(col(c).cast("double") * unitScale + 0.5).cast("decimal(38,0)")
+    val m = df.agg(count(lit(1)).as("_n"),
+      sum(q(xCol)).as("_sx"), sum(q(yCol)).as("_sy"), sum(q(zCol)).as("_sz"),
+      sum(q(xCol) * q(xCol)).as("_sxx"), sum(q(yCol) * q(yCol)).as("_syy"),
+      sum(q(zCol) * q(zCol)).as("_szz"),
+      sum(q(xCol) * q(yCol)).as("_sxy"),
+      sum(q(xCol) * q(zCol)).as("_sxz"),
+      sum(q(yCol) * q(zCol)).as("_syz")).head()
+    val n = m.getLong(0).toDouble
+    val s = (1 to 9).map(i => m.getDecimal(i).doubleValue())
+    val (sx, sy, sz, sxx, syy, szz, sxy, sxz, syz) =
+      (s(0), s(1), s(2), s(3), s(4), s(5), s(6), s(7), s(8))
+    def r(spq: Double, sp: Double, sq2: Double, sq: Double, spp: Double): Double =
+      (n * spq - sp * sq) /
+        math.sqrt((n * spp - sp * sp) * (n * sq2 - sq * sq))
+    val rxy = r(sxy, sx, syy, sy, sxx)
+    val rxz = r(sxz, sx, szz, sz, sxx)
+    val ryz = r(syz, sy, szz, sz, syy)
+    def partial(rab: Double, rac: Double, rbc: Double): Double =
+      (rab - rac * rbc) / math.sqrt((1 - rac * rac) * (1 - rbc * rbc))
+    // HALF_UP at 1e-9 — the same rounding Spark's round() applies, so
+    // this driver-side fold matches the oracle's round(x, 9)
+    def r9(x: Double): Double = new java.math.BigDecimal(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue
+    val spark = df.sparkSession
+    spark.createDataFrame(Seq(
+        (xCol, yCol, zCol, r9(partial(rxy, rxz, ryz)), r9(rxy)),
+        (xCol, zCol, yCol, r9(partial(rxz, rxy, ryz)), r9(rxz)),
+        (yCol, zCol, xCol, r9(partial(ryz, rxy, rxz)), r9(ryz))))
+      .toDF("a", "b", "controlling", "partial_r", "pearson_r")
+  }
 }

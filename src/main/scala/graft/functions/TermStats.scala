@@ -213,6 +213,57 @@ object TermStats {
         col("n_terms"), col("rank"))
   }
 
+  /** Query-likelihood ranking with Dirichlet smoothing (Zhai &
+    * Lafferty SIGIR'01) — the language-modeling classic beside
+    * [[bm25Rank]]: score(d) = Σ_{t∈q} ln((tf_td + μ·cf_t/|C|) /
+    * (dl_d + μ)). Where BM25 hand-tunes (k1, b), QL's single μ is the
+    * Dirichlet prior mass and the collection model cf_t/|C| fills in
+    * for terms the document lacks — so ABSENT query terms still
+    * contribute (the smoothing term), which is why candidates join
+    * LEFT against their term frequencies. Candidate set = documents
+    * matching ≥ 1 query term (the inverted-index retrieval contract);
+    * query terms with zero collection frequency drop (their smoothed
+    * probability is 0 everywhere — undefined, not a tie).
+    *
+    * Same exactness contract as BM25: per-term contributions quantize
+    * to DECIMAL(20,9) pre-sum; dl/tf/cf are exact integers; one
+    * double ln per (candidate, term) with the identical shape in the
+    * oracle SQL.
+    */
+  def qlDirichletRank(docs: DataFrame, queryTerms: Seq[String],
+                      mu: Double = 2000.0, topK: Int = 10,
+                      textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    require(queryTerms.nonEmpty && topK > 0 && mu > 0,
+      "need query terms, topK > 0, mu > 0")
+    val nPart = docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val nTok = docs.agg(sum(size(T.tokens(col(textCol)))).as("nt"))
+      .head().getLong(0).toDouble
+    val toks = docs.select(col(idCol).as("doc_id"), T.tokens(col(textCol)).as("w"))
+      .repartition(nPart, col("doc_id"))
+      .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("dl"))
+    val tf = toks.select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val cf = tf.groupBy("term").agg(sum(col("tf")).as("cf"))
+    val cands = tf.select("doc_id", "dl").distinct()
+    val contrib = log(
+      (col("tf") + lit(mu) * col("cf").cast("double") / lit(nTok)) /
+        (col("dl") + lit(mu))).cast("decimal(20,9)")
+    cands.join(broadcast(cf)) // candidates × live query terms
+      .join(tf, Seq("doc_id", "dl", "term"), "left")
+      .na.fill(0L, Seq("tf"))
+      .withColumn("_c", contrib)
+      .groupBy("doc_id")
+      .agg(sum(col("_c")).as("_score"),
+        sum(when(col("tf") > 0L, 1L).otherwise(0L)).as("n_hits"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("_score").desc, col("doc_id"))).cast("int"))
+      .filter(col("rank") <= topK)
+      .select(col("doc_id"), round(col("_score").cast("double"), 6).as("score"),
+        col("n_hits"), col("rank"))
+  }
+
   /** Zipf rank-frequency fit: the OLS slope of ln(count) on ln(rank)
     * over the corpus's top-`topN` terms — natural text sits near
     * slope ≈ −1, and deviation is a cheap whole-corpus health signal

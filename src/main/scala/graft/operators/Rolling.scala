@@ -576,6 +576,47 @@ object Rolling {
       .drop("_dev", "_cum")
   }
 
+  /** Page–Hinkley drift detection: [[cusum]]'s self-calibrating
+    * sibling — CUSUM needs a KNOWN target mean; PH tests each point
+    * against the series' own RUNNING mean, so it detects a mean shift
+    * with no baseline parameter at all (the standard streaming-ML
+    * drift monitor, e.g. river/MOA). devᵢ = xᵢ − μᵢ − δ with
+    * μᵢ = mean(x₁..xᵢ); mᵢ = Σⱼ≤ᵢ devⱼ; drift when
+    * mᵢ − min(0, m₁..mᵢ) > λ. Same one-exchange shape as cusum: one
+    * key-partitioned sort carrying prefix aggregates — no recursion.
+    *
+    * Engine-exact arithmetic: values quantize to micro-unit longs;
+    * μᵢ's division happens in a SINGLE double expression of exact
+    * integers ((i·vqᵢ − cumᵢ)/(i·scale) − δ, identical shape both
+    * engines), each deviation then RE-QUANTIZES to a long before the
+    * prefix sum — so the accumulated PH statistic is an integer and
+    * never drifts with summation order.
+    */
+  def pageHinkley(df: DataFrame, keyCol: String, timeCol: String,
+                  valueCol: String, delta: Double, lambda: Double,
+                  unitScale: Long = 1000000L,
+                  tieCols: Seq[String] = Nil): DataFrame = {
+    require(lambda > 0, s"lambda must be positive, got $lambda")
+    val ord = col(timeCol) +: tieCols.map(col)
+    val w = Window.partitionBy(keyCol).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val vq = floor(col(valueCol) * unitScale + 0.5).cast("long")
+    val lamQ = math.floor(lambda * unitScale + 0.5).toLong
+    df
+      .withColumn("_vq", vq)
+      .withColumn("_i", count(lit(1)).over(w))
+      .withColumn("_cum", sum(col("_vq")).over(w))
+      // dev = x − runningMean − δ, one double expression of exact ints
+      .withColumn("_devq", floor(
+        ((col("_i") * col("_vq") - col("_cum")).cast("double") /
+          (col("_i").cast("double") * unitScale.toDouble) - lit(delta))
+          * unitScale + 0.5).cast("long"))
+      .withColumn("_m", sum(col("_devq")).over(w))
+      .withColumn("ph", col("_m") - least(lit(0L), min(col("_m")).over(w)))
+      .withColumn("is_drift", col("ph") > lamQ)
+      .drop("_vq", "_i", "_cum", "_devq", "_m")
+  }
+
   /** Seasonal-baseline residual anomalies: each event's deviation from
     * its (key, hour-of-day) mean — the detector for metrics with a
     * daily rhythm, where a raw threshold ([[anomalies]]' rolling z)
