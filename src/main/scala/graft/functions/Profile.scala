@@ -1768,6 +1768,10 @@ object Profile {
     val w = Window.partitionBy(col(groupCol))
       .orderBy(col(valueCol), col(tieCol))
     val vq = floor(col(valueCol).cast("double") * unitScale + 0.5).cast("long")
+    // cells appears TWICE downstream (its own rows + the reference
+    // agg) — localCheckpoint the groups×bins-bounded frame so the
+    // per-group sort+ntile over the full input runs ONCE, not once
+    // per consumer
     val cells = df
       .withColumn("_bin", ntile(bins).over(w))
       .select(col(groupCol).as("_g"), col("_bin"), vq.as("_vq"))
@@ -1776,6 +1780,7 @@ object Profile {
         count(lit(1)).as("_n"))
       .withColumn("_mq", floor(col("_s").cast("double") / col("_n") + 0.5)
         .cast("long"))
+      .localCheckpoint()
     val ref = cells.groupBy("_bin")
       .agg(sum(col("_mq").cast("decimal(38,0)")).as("_rs"),
         count(lit(1)).as("_rn"))

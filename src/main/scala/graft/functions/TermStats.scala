@@ -236,15 +236,19 @@ object TermStats {
                       idCol: String = "doc_id"): DataFrame = {
     require(queryTerms.nonEmpty && topK > 0 && mu > 0,
       "need query terms, topK > 0, mu > 0")
-    val nPart = docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val nTok = docs.agg(sum(size(T.tokens(col(textCol)))).as("nt"))
       .head().getLong(0).toDouble
+    // tf feeds THREE consumers (cf, the candidate set, the left join
+    // back) and is bounded at candidates × query terms —
+    // localCheckpoint it so the corpus-wide tokenize+explode runs
+    // ONCE and nothing row-scaled ever shuffles (the groupBy below
+    // exchanges only query-term-matching tokens)
     val toks = docs.select(col(idCol).as("doc_id"), T.tokens(col(textCol)).as("w"))
-      .repartition(nPart, col("doc_id"))
       .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("dl"))
     val tf = toks.select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
       .filter(col("term").isin(queryTerms: _*))
       .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val cf = tf.groupBy("term").agg(sum(col("tf")).as("cf"))
     val cands = tf.select("doc_id", "dl").distinct()
     val contrib = log(

@@ -1047,4 +1047,53 @@ class PlanSpec extends SparkSpec {
     scanned should not be empty
     all(scanned) should include("_gpt-day-ts=2024-03-02")
   }
+
+  test("q347 page-hinkley: the corpus collapses to daily cells before the PH windows; drift rollup combines map-side") {
+    val p = plan("q347_page_hinkley")
+    p should include("partial_sum")        // daily means combine map-side
+    p should include("windowspecdefinition(event_type") // per-key window, never global
+  }
+
+  test("q348 naive bayes: priors/labels broadcast, argmax is a WindowGroupLimit, never a global sort") {
+    val p = plan("q348_naive_bayes")
+    p should include("BroadcastHashJoin")  // priors join the doc-label scores broadcast
+    p should include("WindowGroupLimit")   // per-doc argmax bounded at 1 row pre-shuffle
+    (p should not).include("CartesianProduct")
+  }
+
+  test("q349 quantile normalization: the per-group ntile sort runs ONCE (cells checkpointed), reference broadcast back") {
+    val p = plan("q349_quantile_norm")
+    p should include("BroadcastHashJoin")  // bins-sized reference joins broadcast
+    // both consumers ride the materialized cells scan — the full-input
+    // window never appears twice (nor at all post-checkpoint)
+    p.sliding("ntile".length).count(_ == "ntile") shouldBe 0
+    p should include("Scan ExistingRDD")
+  }
+
+  test("q350 mcnemar: one corpus scan, both aggregation levels combine map-side") {
+    val p = plan("q350_mcnemar")
+    p.sliding("FileScan".length).count(_ == "FileScan") shouldBe 1
+    p should include("partial_max")        // per-user pair cells
+    p should include("partial_sum")        // 2x2 table cells
+  }
+
+  test("q351 ipw: stratum propensities broadcast back to rows; dimensions broadcast") {
+    val p = plan("q351_ipw_ate")
+    p.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") should be >= 2
+    (p should not).include("SortMergeJoin")
+  }
+
+  test("q353 ols influence: daily collapse feeds a TakeOrdered top-k, never a global sort of the cells") {
+    val p = plan("q353_ols_influence")
+    p should include("partial_sum")
+    p should include("TakeOrderedAndProject")
+  }
+
+  test("q356 ql-dirichlet: tf checkpointed (corpus explode runs once), cf broadcast, top-k TakeOrdered") {
+    val p = plan("q356_ql_dirichlet")
+    p should include("Scan ExistingRDD")   // the materialized tf feeds all three consumers
+    p.sliding("Generate explode".length).count(_ == "Generate explode") shouldBe 0
+    p should include("TakeOrderedAndProject")
+    (p should not).include("SortMergeJoin")
+  }
 }
