@@ -3062,6 +3062,83 @@ object SparkEntry {
       functions.TermStats.qlDirichletRank(t(s, dir, "documents").df,
         Seq("join", "hash", "scan"), mu = 2000.0, topK = 10)),
 
+    // §2#52bk (r10) Kendall τ-b between the click and view daily
+    // means — tie-corrected rank concordance of two metrics, robust to
+    // any monotone transform; bounded-series contract (daily cells),
+    // exact integer pair counts.
+    "q357_kendall_tau" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .filter(col("event_type").isin("click", "view"))
+        .select((unix_micros(col("ts")) / lit(86400000000L)).cast("long").as("day"),
+          col("event_type"),
+          floor(col("value") * 1000000L + lit(0.5)).cast("long").as("_vq"))
+      def m(t: String) = {
+        val cnt = sum(when(col("event_type") === t, 1L).otherwise(0L))
+        when(cnt > 0L, round(
+          sum(when(col("event_type") === t, col("_vq")).otherwise(0L)
+            .cast("decimal(38,0)")).cast("double") / cnt.cast("double") / 1e6, 6))
+      }
+      val daily = ev.groupBy("day")
+        .agg(m("click").as("click_mean"), m("view").as("view_mean"))
+        .filter(col("click_mean").isNotNull && col("view_mean").isNotNull)
+      functions.Profile.kendallTauB(daily, "day", "click_mean", "view_mean")
+    }),
+
+    // §2#52bl (r10) Cochran's Q across the click/view/purchase
+    // per-user flags — k paired binary treatments on the same blocks,
+    // McNemar's k-way generalization; all-integer cells.
+    "q358_cochran_q" -> ((s, dir) => {
+      val per = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "click", 1L).otherwise(0L)).as("t_click"),
+          max(when(col("event_type") === "view", 1L).otherwise(0L)).as("t_view"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("t_purchase"))
+      functions.Eval.cochranQ(per, Seq("t_click", "t_view", "t_purchase"))
+    }),
+
+    // §2#52bm (r10) quadratic-weighted Cohen's κ between two ordinal
+    // document quality raters (char-length band vs token-count band) —
+    // the two-rater ordinal agreement gate; integer weights and cells.
+    "q359_cohen_kappa" -> ((s, dir) => {
+      val toks = functions.TextFunctions.tokens(col("text"))
+      val rated = t(s, dir, "documents").df
+        .select(least(floor(length(col("text")) / 400L), lit(4L)).as("rater_a"),
+          least(floor(size(toks).cast("long") / 80L), lit(4L)).as("rater_b"))
+      functions.Eval.cohenKappaWeighted(rated, "rater_a", "rater_b")
+    }),
+
+    // §2#35t (r10) rank-biased overlap between the BM25 and
+    // QL-Dirichlet top-10 runs for the same query — the top-weighted
+    // ranking-similarity read-out over non-conjoint lists.
+    "q360_rbo" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      val terms = Seq("join", "hash", "scan")
+      operators.Similarity.rboOverlap(
+        functions.TermStats.bm25Rank(docs, terms, topK = 10),
+        functions.TermStats.qlDirichletRank(docs, terms, mu = 2000.0, topK = 10),
+        "doc_id", "rank", p = 0.9, depth = 10)
+    }),
+
+    // §2#53aq (r10) sup-Chow structural-break scan on the daily mean
+    // series — localizes WHEN the trend changed (Pettitt/PH say that
+    // it did); every candidate split scored from one prefix-moment
+    // window pass, argmax via TakeOrdered.
+    "q361_sup_chow" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .select((unix_micros(col("ts")) / lit(86400000000L)).cast("long").as("day"),
+          floor(col("value") * 1000000L + lit(0.5)).cast("long").as("_vq"))
+      val daily = ev.groupBy("day")
+        .agg(round(sum(col("_vq").cast("decimal(38,0)")).cast("double")
+          / count(lit(1)).cast("double") / 1e6, 6).as("day_mean"))
+      functions.Profile.supChow(daily, "day", "day_mean", margin = 5)
+    }),
+
+    // §2#37n (r10) Good–Turing frequency re-estimation over the
+    // corpus vocabulary — smoothed r*, per-r probabilities, and the
+    // r=0 unseen-mass row; count-of-counts cells, LGT log-log fit.
+    "q362_good_turing" -> ((s, dir) =>
+      functions.TermStats.goodTuring(t(s, dir, "documents").df, topR = 15)),
+
     // §2#52av (r8) Cochran–Armitage trend: is the purchase RATE
     // monotone across the hour-of-day ordinal — the ordered companion
     // to q146's anywhere-different chi-square; exact integer sums, one
@@ -6973,6 +7050,267 @@ object SparkEntry {
            FROM agg)
          SELECT doc_id, ROUND(CAST(score AS DOUBLE), 6) AS score, n_hits, rank
          FROM rk WHERE rank <= 10""",
+
+    "q357_kendall_tau" ->
+      """WITH e AS (
+           SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+             CAST(floor(CAST(value AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS vq
+           FROM events WHERE event_type IN ('click', 'view')),
+         daily AS (
+           SELECT day,
+             CASE WHEN SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) > 0
+               THEN round(CAST(SUM(CASE WHEN event_type = 'click'
+                     THEN CAST(vq AS HUGEINT) ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS DOUBLE)
+                 / 1000000.0, 6) END AS cm,
+             CASE WHEN SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) > 0
+               THEN round(CAST(SUM(CASE WHEN event_type = 'view'
+                     THEN CAST(vq AS HUGEINT) ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS DOUBLE)
+                 / 1000000.0, 6) END AS vm
+           FROM e GROUP BY 1),
+         b AS (
+           SELECT day AS o, CAST(floor(cm * 1000000 + 0.5) AS BIGINT) AS x,
+             CAST(floor(vm * 1000000 + 0.5) AS BIGINT) AS y
+           FROM daily WHERE cm IS NOT NULL AND vm IS NOT NULL),
+         pairs AS (
+           SELECT SUM(CASE WHEN (b2.x > b1.x AND b2.y > b1.y)
+                             OR (b2.x < b1.x AND b2.y < b1.y) THEN 1 ELSE 0 END) AS c,
+             SUM(CASE WHEN (b2.x > b1.x AND b2.y < b1.y)
+                        OR (b2.x < b1.x AND b2.y > b1.y) THEN 1 ELSE 0 END) AS d
+           FROM b b1 JOIN b b2 ON b1.o < b2.o),
+         tx AS (SELECT COALESCE(SUM((t * (t - 1)) // 2), 0) AS n1, SUM(t) AS n
+           FROM (SELECT x, COUNT(*) AS t FROM b GROUP BY 1)),
+         ty AS (SELECT COALESCE(SUM((t * (t - 1)) // 2), 0) AS n2
+           FROM (SELECT y, COUNT(*) AS t FROM b GROUP BY 1)),
+         f AS (SELECT n, c, d, n1, n2, (n * (n - 1)) // 2 AS n0 FROM pairs, tx, ty)
+         SELECT CAST(n AS BIGINT) AS n, CAST(c AS BIGINT) AS concordant,
+           CAST(d AS BIGINT) AS discordant, CAST(n1 AS BIGINT) AS ties_x,
+           CAST(n2 AS BIGINT) AS ties_y,
+           CASE WHEN n0 > n1 AND n0 > n2 THEN
+             round((CAST(c AS DOUBLE) - CAST(d AS DOUBLE))
+               / sqrt(CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n2 AS DOUBLE)), 9)
+           END AS tau_b
+         FROM f""",
+
+    "q358_cochran_q" ->
+      """WITH per AS (
+           SELECT user_id,
+             MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS tc,
+             MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS tv,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS tp
+           FROM events GROUP BY 1),
+         m AS (
+           SELECT COUNT(*) AS n_blocks, SUM(tc) AS t1, SUM(tv) AS t2,
+             SUM(tp) AS t3, SUM(tc + tv + tp) AS bsum,
+             SUM((tc + tv + tp) * (tc + tv + tp)) AS b2sum
+           FROM per)
+         SELECT n_blocks, CAST(3 AS BIGINT) AS k, CAST(2 AS BIGINT) AS df,
+           CASE WHEN 3 * bsum - b2sum > 0 THEN
+             round(CAST(2 * (3 * (t1 * t1 + t2 * t2 + t3 * t3) - bsum * bsum)
+                 AS DOUBLE) / CAST(3 * bsum - b2sum AS DOUBLE), 9)
+           END AS q_stat
+         FROM m""",
+
+    "q359_cohen_kappa" ->
+      """WITH r AS (
+           SELECT least(length(text) // 400, 4) AS a,
+             least(len(string_split_regex(lower(trim(text)), '\s+')) // 80, 4) AS b
+           FROM documents),
+         cells AS (SELECT a, b, COUNT(*) AS n FROM r GROUP BY 1, 2),
+         nn AS (SELECT SUM(n) AS n FROM cells),
+         obs AS (SELECT SUM((a - b) * (a - b) * n) AS wo FROM cells),
+         ra AS (SELECT a, SUM(n) AS ra FROM cells GROUP BY 1),
+         cb AS (SELECT b, SUM(n) AS cb FROM cells GROUP BY 1),
+         ex AS (SELECT SUM(CAST((ra.a - cb.b) * (ra.a - cb.b) AS HUGEINT)
+               * ra.ra * cb.cb) AS we
+           FROM ra CROSS JOIN cb)
+         SELECT CAST(nn.n AS BIGINT) AS n, CAST(obs.wo AS BIGINT) AS w_observed,
+           CASE WHEN ex.we <> 0 THEN
+             round(1.0 - CAST(nn.n AS DOUBLE) * CAST(obs.wo AS DOUBLE)
+               / CAST(ex.we AS DOUBLE), 9)
+           END AS kappa_w
+         FROM nn, obs, ex""",
+
+    "q360_rbo" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+           FROM documents),
+         tot AS (
+           SELECT CAST(SUM(len(w)) AS BIGINT) AS nt, COUNT(*) AS nd FROM toks),
+         tf0 AS (
+           SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, unnest(w) AS term
+           FROM toks),
+         tfc AS (
+           SELECT doc_id, dl, term, COUNT(*) AS tf
+           FROM tf0 WHERE term IN ('join', 'hash', 'scan') GROUP BY 1, 2, 3),
+         dft AS (
+           SELECT term,
+             CAST(ln((CAST((SELECT nd FROM tot) AS DOUBLE) - COUNT(*) + 0.5)
+               / (COUNT(*) + 0.5) + 1.0) AS DECIMAL(20,6)) AS idf
+           FROM tfc GROUP BY 1),
+         bsc AS (
+           SELECT tfc.doc_id,
+             CAST(CAST(idf AS DOUBLE) * (tf * 2.5)
+               / (tf + 1.5 * (0.25 + 0.75 * dl
+                   / (CAST((SELECT nt FROM tot) AS DOUBLE) / CAST((SELECT nd FROM tot) AS DOUBLE))))
+               AS DECIMAL(20,9)) AS c
+           FROM tfc JOIN dft ON tfc.term = dft.term),
+         lex AS (
+           SELECT doc_id, rank FROM (
+             SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY SUM(c) DESC, doc_id) AS INT) AS rank
+             FROM bsc GROUP BY doc_id)
+           WHERE rank <= 10),
+         cf AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cf FROM tfc GROUP BY 1),
+         cand AS (SELECT DISTINCT doc_id, dl FROM tfc),
+         qsc AS (
+           SELECT cand.doc_id,
+             CAST(ln((COALESCE(tfc.tf, 0) + 2000.0 * CAST(cf.cf AS DOUBLE)
+                 / CAST((SELECT nt FROM tot) AS DOUBLE)) / (cand.dl + 2000.0))
+               AS DECIMAL(20,9)) AS c
+           FROM cand CROSS JOIN cf
+           LEFT JOIN tfc ON tfc.doc_id = cand.doc_id AND tfc.term = cf.term),
+         ql AS (
+           SELECT doc_id, rank FROM (
+             SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY SUM(c) DESC, doc_id) AS INT) AS rank
+             FROM qsc GROUP BY doc_id)
+           WHERE rank <= 10),
+         ov AS (
+           SELECT greatest(l.rank, q.rank) AS m
+           FROM lex l JOIN ql q USING (doc_id)),
+         dep AS (SELECT unnest(generate_series(1, 10)) AS d),
+         xd AS (
+           SELECT dep.d, COUNT(ov.m) AS x
+           FROM dep LEFT JOIN ov ON ov.m <= dep.d GROUP BY 1),
+         terms AS (
+           SELECT d, x,
+             CAST(((1.0 - 0.9) / 0.9) * CAST(x AS DOUBLE) / CAST(d AS DOUBLE)
+               * power(0.9, CAST(d AS DOUBLE)) AS DECIMAL(20,9)) AS t
+           FROM xd),
+         agg AS (
+           SELECT MAX(CASE WHEN d = 10 THEN x END) AS xk, SUM(t) AS s FROM terms)
+         SELECT CAST(10 AS INT) AS depth, round(0.9, 6) AS p,
+           CAST(xk AS BIGINT) AS overlap_at_k,
+           round(CAST(s AS DOUBLE)
+             + CAST(xk AS DOUBLE) / 10.0 * power(0.9, 10.0), 9) AS rbo_ext
+         FROM agg""",
+
+    "q361_sup_chow" ->
+      """WITH e AS (
+           SELECT epoch_us(ts) // 86400000000 AS day,
+             CAST(floor(CAST(value AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS vq
+           FROM events),
+         daily AS (
+           SELECT day, round(CAST(SUM(CAST(vq AS HUGEINT)) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) / 1000000.0, 6) AS m
+           FROM e GROUP BY 1),
+         b AS (SELECT day AS o, CAST(day AS BIGINT) AS x,
+             CAST(floor(m * 1000000 + 0.5) AS BIGINT) AS y
+           FROM daily),
+         tot AS (
+           SELECT COUNT(*) AS tn, SUM(CAST(x AS HUGEINT)) AS tsx,
+             SUM(CAST(y AS HUGEINT)) AS tsy,
+             SUM(CAST(x AS HUGEINT) * x) AS tsxx,
+             SUM(CAST(x AS HUGEINT) * y) AS tsxy,
+             SUM(CAST(y AS HUGEINT) * y) AS tsyy
+           FROM b),
+         pre AS (
+           SELECT o, COUNT(*) OVER w AS pn,
+             SUM(CAST(x AS HUGEINT)) OVER w AS psx,
+             SUM(CAST(y AS HUGEINT)) OVER w AS psy,
+             SUM(CAST(x AS HUGEINT) * x) OVER w AS psxx,
+             SUM(CAST(x AS HUGEINT) * y) OVER w AS psxy,
+             SUM(CAST(y AS HUGEINT) * y) OVER w AS psyy
+           FROM b
+           WINDOW w AS (ORDER BY o ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         sc AS (
+           SELECT o, pn, psx, psy, psxx, psxy, tn, tsx, tsy, tsxx, tsxy,
+             CASE WHEN CAST(psxx AS DOUBLE) - CAST(psx AS DOUBLE) * CAST(psx AS DOUBLE) / CAST(pn AS DOUBLE) > 0.0
+               THEN (CAST(psyy AS DOUBLE) - CAST(psy AS DOUBLE) * CAST(psy AS DOUBLE) / CAST(pn AS DOUBLE))
+                 - (CAST(psxy AS DOUBLE) - CAST(psx AS DOUBLE) * CAST(psy AS DOUBLE) / CAST(pn AS DOUBLE))
+                   * (CAST(psxy AS DOUBLE) - CAST(psx AS DOUBLE) * CAST(psy AS DOUBLE) / CAST(pn AS DOUBLE))
+                   / (CAST(psxx AS DOUBLE) - CAST(psx AS DOUBLE) * CAST(psx AS DOUBLE) / CAST(pn AS DOUBLE))
+               ELSE CAST(psyy AS DOUBLE) - CAST(psy AS DOUBLE) * CAST(psy AS DOUBLE) / CAST(pn AS DOUBLE)
+             END AS sse1,
+             CASE WHEN CAST(tsxx - psxx AS DOUBLE) - CAST(tsx - psx AS DOUBLE) * CAST(tsx - psx AS DOUBLE) / CAST(tn - pn AS DOUBLE) > 0.0
+               THEN (CAST(tsyy - psyy AS DOUBLE) - CAST(tsy - psy AS DOUBLE) * CAST(tsy - psy AS DOUBLE) / CAST(tn - pn AS DOUBLE))
+                 - (CAST(tsxy - psxy AS DOUBLE) - CAST(tsx - psx AS DOUBLE) * CAST(tsy - psy AS DOUBLE) / CAST(tn - pn AS DOUBLE))
+                   * (CAST(tsxy - psxy AS DOUBLE) - CAST(tsx - psx AS DOUBLE) * CAST(tsy - psy AS DOUBLE) / CAST(tn - pn AS DOUBLE))
+                   / (CAST(tsxx - psxx AS DOUBLE) - CAST(tsx - psx AS DOUBLE) * CAST(tsx - psx AS DOUBLE) / CAST(tn - pn AS DOUBLE))
+               ELSE CAST(tsyy - psyy AS DOUBLE) - CAST(tsy - psy AS DOUBLE) * CAST(tsy - psy AS DOUBLE) / CAST(tn - pn AS DOUBLE)
+             END AS sse2,
+             CASE WHEN CAST(tsxx AS DOUBLE) - CAST(tsx AS DOUBLE) * CAST(tsx AS DOUBLE) / CAST(tn AS DOUBLE) > 0.0
+               THEN (CAST(tsyy AS DOUBLE) - CAST(tsy AS DOUBLE) * CAST(tsy AS DOUBLE) / CAST(tn AS DOUBLE))
+                 - (CAST(tsxy AS DOUBLE) - CAST(tsx AS DOUBLE) * CAST(tsy AS DOUBLE) / CAST(tn AS DOUBLE))
+                   * (CAST(tsxy AS DOUBLE) - CAST(tsx AS DOUBLE) * CAST(tsy AS DOUBLE) / CAST(tn AS DOUBLE))
+                   / (CAST(tsxx AS DOUBLE) - CAST(tsx AS DOUBLE) * CAST(tsx AS DOUBLE) / CAST(tn AS DOUBLE))
+               ELSE CAST(tsyy AS DOUBLE) - CAST(tsy AS DOUBLE) * CAST(tsy AS DOUBLE) / CAST(tn AS DOUBLE)
+             END AS ssep
+           FROM pre CROSS JOIN tot
+           WHERE pn >= 5 AND tn - pn >= 5),
+         fs AS (
+           SELECT *,
+             CASE WHEN (sse1 + sse2) / (CAST(tn AS DOUBLE) - 4.0) > 0.0 THEN
+               ((ssep - sse1 - sse2) / 2.0)
+                 / ((sse1 + sse2) / (CAST(tn AS DOUBLE) - 4.0))
+             END AS f
+           FROM sc),
+         top AS (
+           SELECT * FROM fs WHERE f IS NOT NULL ORDER BY f DESC, o ASC LIMIT 1)
+         SELECT CAST(tn AS BIGINT) AS n, CAST(o AS BIGINT) AS break_at,
+           round(f, 6) AS f_stat,
+           round(CASE WHEN CAST(psxx AS DOUBLE) - CAST(psx AS DOUBLE) * CAST(psx AS DOUBLE) / CAST(pn AS DOUBLE) > 0.0
+             THEN (CAST(psxy AS DOUBLE) - CAST(psx AS DOUBLE) * CAST(psy AS DOUBLE) / CAST(pn AS DOUBLE))
+               / (CAST(psxx AS DOUBLE) - CAST(psx AS DOUBLE) * CAST(psx AS DOUBLE) / CAST(pn AS DOUBLE))
+             END / 1000000.0, 9) AS slope_pre,
+           round(CASE WHEN CAST(tsxx - psxx AS DOUBLE) - CAST(tsx - psx AS DOUBLE) * CAST(tsx - psx AS DOUBLE) / CAST(tn - pn AS DOUBLE) > 0.0
+             THEN (CAST(tsxy - psxy AS DOUBLE) - CAST(tsx - psx AS DOUBLE) * CAST(tsy - psy AS DOUBLE) / CAST(tn - pn AS DOUBLE))
+               / (CAST(tsxx - psxx AS DOUBLE) - CAST(tsx - psx AS DOUBLE) * CAST(tsx - psx AS DOUBLE) / CAST(tn - pn AS DOUBLE))
+             END / 1000000.0, 9) AS slope_post
+         FROM top""",
+
+    "q362_good_turing" ->
+      """WITH tf AS (
+           SELECT t, COUNT(*) AS r FROM (
+             SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+             FROM documents)
+           WHERE len(t) > 0 GROUP BY 1),
+         cells AS (SELECT r, COUNT(*) AS nr FROM tf GROUP BY 1),
+         fit AS (
+           SELECT COUNT(*) AS m,
+             SUM(CAST(ln(CAST(r AS DOUBLE)) AS DECIMAL(20,9))) AS su,
+             SUM(CAST(ln(CAST(nr AS DOUBLE)) AS DECIMAL(20,9))) AS sv,
+             SUM(CAST(CAST(ln(CAST(r AS DOUBLE)) AS DECIMAL(20,9))
+               * CAST(ln(CAST(nr AS DOUBLE)) AS DECIMAL(20,9)) AS DECIMAL(20,9))) AS suv,
+             SUM(CAST(CAST(ln(CAST(r AS DOUBLE)) AS DECIMAL(20,9))
+               * CAST(ln(CAST(r AS DOUBLE)) AS DECIMAL(20,9)) AS DECIMAL(20,9))) AS suu
+           FROM cells),
+         bfit AS (
+           SELECT (CAST(m AS DOUBLE) * CAST(suv AS DOUBLE)
+               - CAST(su AS DOUBLE) * CAST(sv AS DOUBLE))
+             / (CAST(m AS DOUBLE) * CAST(suu AS DOUBLE)
+               - CAST(su AS DOUBLE) * CAST(su AS DOUBLE)) AS b
+           FROM fit),
+         tots AS (
+           SELECT CAST(SUM(CAST(r AS HUGEINT) * nr) AS DOUBLE) AS nt,
+             COALESCE(MAX(CASE WHEN r = 1 THEN nr END), 0) AS n1
+           FROM cells),
+         seen AS (
+           SELECT CAST(r AS BIGINT) AS r, CAST(nr AS BIGINT) AS n_r,
+             round((b + 1.0) * ln(CAST(r AS DOUBLE) + 1.0)
+               - b * ln(CAST(r AS DOUBLE)), 9) AS log_r_star,
+             round((b + 1.0) * ln(CAST(r AS DOUBLE) + 1.0)
+               - b * ln(CAST(r AS DOUBLE))
+               - ln((SELECT nt FROM tots)), 9) AS log_p_r
+           FROM (SELECT * FROM cells ORDER BY r ASC LIMIT 15), bfit)
+         SELECT CAST(0 AS BIGINT) AS r, CAST(n1 AS BIGINT) AS n_r,
+           CAST(NULL AS DOUBLE) AS log_r_star,
+           CASE WHEN n1 > 0 THEN
+             round(ln(CAST(n1 AS DOUBLE)) - ln(nt), 9) END AS log_p_r
+         FROM tots
+         UNION ALL SELECT r, n_r, log_r_star, log_p_r FROM seen""",
 
     "q326_tx_backfill" ->
       """SELECT CAST(1 AS INT) AS version, COUNT(*) AS n_rows,

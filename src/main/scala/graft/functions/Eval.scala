@@ -1280,4 +1280,78 @@ object Eval {
       .toDF("h_class", "h_cluster", "h_class_given_cluster",
         "h_cluster_given_class", "homogeneity", "completeness", "v_measure")
   }
+
+  /** Cochran's Q test (Cochran '50) — k paired binary treatments on
+    * the same blocks, the k-way generalization of [[mcnemar]]: "do
+    * these k binary conditions fire at different rates on the SAME
+    * units?" (k filter variants over one corpus; k classifiers' hit
+    * flags on one eval set). Q = (k−1)·(k·ΣTⱼ² − T²)/(k·ΣBᵢ − ΣBᵢ²)
+    * with Tⱼ the per-treatment totals and Bᵢ the per-block totals;
+    * χ²(k−1) under H₀. Blocks must arrive pre-pivoted (one 0/1
+    * column per treatment). One partial-agg pass: every sum is an
+    * exact integer, Q is one mirrored double division; NULL when the
+    * denominator is 0 (all blocks constant — no discordance at all).
+    */
+  def cochranQ(df: DataFrame, outcomeCols: Seq[String]): DataFrame = {
+    require(outcomeCols.size >= 2, "cochranQ needs >= 2 treatment columns")
+    val k = outcomeCols.size.toLong
+    val b = outcomeCols.map(c => col(c).cast("long")).reduce(_ + _)
+    val aggs =
+      outcomeCols.map(c => sum(col(c).cast("long")).as(s"_t_$c")) ++ Seq(
+        count(lit(1)).as("n_blocks"),
+        sum(b).as("_bsum"), sum(b * b).as("_b2sum"))
+    val m = df.agg(aggs.head, aggs.tail: _*)
+    val tSq = outcomeCols.map(c => col(s"_t_$c") * col(s"_t_$c")).reduce(_ + _)
+    def dbl(c: Column) = c.cast("double")
+    m.withColumn("_den", lit(k) * col("_bsum") - col("_b2sum"))
+      .select(col("n_blocks"), lit(k).as("k"), lit(k - 1L).as("df"),
+        when(col("_den") > 0L, round(
+          dbl(lit(k - 1L) * (lit(k) * tSq - col("_bsum") * col("_bsum"))) /
+            dbl(col("_den")), 9)).as("q_stat"))
+  }
+
+  /** Weighted Cohen's κ (Cohen '68) — TWO-rater agreement on ORDINAL
+    * integer labels, where near-misses count: with quadratic weights
+    * w_ij = (i−j)², κ_w = 1 − N·Σw·O / Σ_ij w_ij·r_i·c_j (O the
+    * contingency counts, r/c the marginals). The two-rater ordinal
+    * companion to [[fleissKappa]] (nominal, n raters) — THE metric
+    * for "does the cheap quality scorer agree with the expensive
+    * one", because quadratic weighting reproduces the ICC and
+    * punishes 0-vs-4 disagreements 16× harder than 0-vs-1.
+    *
+    * Scale shape: one (a, b) contingency partial agg bounded by the
+    * label product; both κ terms assemble from exact integer sums
+    * (weights are integer squares), one double division at the end.
+    */
+  def cohenKappaWeighted(df: DataFrame, aCol: String, bCol: String,
+                         linear: Boolean = false): DataFrame = {
+    val cells = df.select(col(aCol).cast("long").as("_a"),
+        col(bCol).cast("long").as("_b"))
+      .groupBy("_a", "_b").agg(count(lit(1)).as("_n"))
+    def wgt(i: Column, j: Column): Column = {
+      val d = abs(i - j)
+      if (linear) d else d * d
+    }
+    // observed disagreement N·ΣwO and the marginal product ΣwₐᵦrₐcᵦE
+    // fold from the SAME bounded cell table (marginals re-aggregated
+    // then pair-joined — labels × labels rows, broadcast-sized)
+    val n = cells.agg(sum("_n")).head().getLong(0)
+    val ra = cells.groupBy(col("_a")).agg(sum("_n").as("_ra"))
+    val cb = cells.groupBy(col("_b")).agg(sum("_n").as("_cb"))
+    val obs = cells
+      .agg(sum(wgt(col("_a"), col("_b")) * col("_n")).as("_wo")).head().getLong(0)
+    val exp = ra.crossJoin(cb)
+      .agg(sum((wgt(col("_a"), col("_b")) *
+        col("_ra") * col("_cb")).cast("decimal(38,0)")).as("_we"))
+      .head().getDecimal(0)
+    def r9(x: Double): Double = new java.math.BigDecimal(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue
+    // w_expected can reach maxW·N² — long overflows at corpus scale,
+    // so it stays DECIMAL internally and only κ (a double) is emitted
+    val kap =
+      if (exp.signum == 0) None
+      else Some(r9(1.0 - n.toDouble * obs.toDouble / exp.doubleValue()))
+    df.sparkSession.createDataFrame(Seq((n, obs, kap)))
+      .toDF("n", "w_observed", "kappa_w")
+  }
 }

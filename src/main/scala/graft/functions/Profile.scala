@@ -1896,4 +1896,139 @@ object Profile {
         (yCol, zCol, xCol, r9(partial(ryz, rxy, rxz)), r9(ryz))))
       .toDF("a", "b", "controlling", "partial_r", "pearson_r")
   }
+
+  /** Kendall's τ-b rank correlation between two VARIABLES — the
+    * tie-corrected concordance coefficient (Kendall '45):
+    * τ_b = (C − D) / √((n₀ − n₁)(n₀ − n₂)) with n₀ = n(n−1)/2 and
+    * n₁/n₂ the tied-pair counts in x/y. The variable-variable
+    * companion to [[mannKendall]]'s variable-vs-time trend S (same
+    * pair arithmetic, different question: "do these two daily
+    * metrics move together?" — robust to any monotone transform,
+    * where Pearson's q96 matrix is not).
+    *
+    * Pair enumeration is quadratic in the series by definition, so it
+    * carries the theilSen/mannKendall contract: collapsed
+    * calendar-scale cells only, with the same IN-PLAN loud refusal
+    * above `maxRows`. C, D, and every tie count are exact longs; τ_b
+    * is one double expression of exact integers, rounded 1e-9.
+    */
+  def kendallTauB(df: DataFrame, idCol: String, xCol: String, yCol: String,
+                  unitScale: Long = 1000000L, maxRows: Long = 10000L): DataFrame = {
+    def q(c: String) =
+      floor(col(c).cast("double") * unitScale + lit(0.5)).cast("long")
+    val base = df.select(col(idCol).as("_o"), q(xCol).as("_x"), q(yCol).as("_y"))
+    val probe = base.agg(count(lit(1)).as("_cnt"))
+      .select(when(col("_cnt") > maxRows, col("_cnt")).as("_kn"))
+    val guarded = base.crossJoin(broadcast(probe))
+      .withColumn("_xg", when(col("_kn").isNotNull, raise_error(format_string(
+        s"kendallTauB: series exceeds $maxRows rows — the pair count is quadratic; " +
+        "collapse to calendar cells first", col("_kn").cast("string"))).cast("long"))
+        .otherwise(col("_x")))
+      .select(col("_o").as("_i"), col("_xg").as("_xa"), col("_y").as("_ya"))
+    val b = base.select(col("_o").as("_j"), col("_x").as("_xb"),
+      col("_y").as("_yb"))
+    val pairs = guarded.crossJoin(b).filter(col("_i") < col("_j"))
+      .agg(
+        sum(when((col("_xb") > col("_xa") && col("_yb") > col("_ya")) ||
+                 (col("_xb") < col("_xa") && col("_yb") < col("_ya")), 1L)
+          .otherwise(0L)).as("_c"),
+        sum(when((col("_xb") > col("_xa") && col("_yb") < col("_ya")) ||
+                 (col("_xb") < col("_xa") && col("_yb") > col("_ya")), 1L)
+          .otherwise(0L)).as("_d"))
+    def tiePairs(c: String) = base.groupBy(col(c)).agg(count(lit(1)).as("_t"))
+      .agg(coalesce(sum(expr("_t * (_t - 1) div 2")), lit(0L)).as("_tp"),
+        sum("_t").as("_n"))
+    val tx = tiePairs("_x").select(col("_tp").as("_n1"), col("_n"))
+    val ty = tiePairs("_y").select(col("_tp").as("_n2"))
+    def dbl(c: Column) = c.cast("double")
+    pairs.crossJoin(tx).crossJoin(ty)
+      .withColumn("_n0", expr("_n * (_n - 1) div 2"))
+      .select(col("_n").as("n"), col("_c").as("concordant"),
+        col("_d").as("discordant"),
+        col("_n1").as("ties_x"), col("_n2").as("ties_y"),
+        when(col("_n0") > col("_n1") && col("_n0") > col("_n2"),
+          round((dbl(col("_c")) - dbl(col("_d"))) /
+            sqrt(dbl(col("_n0") - col("_n1")) * dbl(col("_n0") - col("_n2"))), 9))
+          .as("tau_b"))
+  }
+
+  /** Structural-break localization by the sup-Chow / sup-F scan
+    * (Quandt '60, Andrews '93): fit y ~ x separately before and after
+    * EVERY candidate breakpoint and report the split maximizing
+    * F = ((SSE_pooled − SSE₁ − SSE₂)/2) / ((SSE₁+SSE₂)/(n−4)) — "WHEN
+    * did the trend change, and how much", the localization companion
+    * to the Pettitt/CUSUM/Page–Hinkley detectors (which say THAT a
+    * shift happened).
+    *
+    * Scale shape: one pass of running moments (n, Σx, Σy, Σxx, Σxy,
+    * Σyy as exact quantized DECIMAL sums) over the ordered cells
+    * gives every candidate's BOTH segment fits in closed form —
+    * prefix moments for the left segment, (total − prefix) for the
+    * right; no per-candidate job, no pair join. Built for collapsed
+    * calendar-scale series (the §5 single-partition exemption); the
+    * argmax is a TakeOrdered, ties → earliest break.
+    */
+  def supChow(df: DataFrame, orderCol: String, valueCol: String,
+              margin: Int = 3, unitScale: Long = 1000000L): DataFrame = {
+    require(margin >= 3, s"margin must be >= 3 (p = 2 per segment), got $margin")
+    val base = df.select(col(orderCol).as("_o"),
+      floor(col(valueCol).cast("double") * unitScale + lit(0.5)).cast("long").as("_y"))
+      .withColumn("_x", col("_o").cast("long"))
+    def dd(c: Column) = c.cast("decimal(38,0)")
+    val tot = base.agg(count(lit(1)).as("_tn"),
+      sum(dd(col("_x"))).as("_tsx"), sum(dd(col("_y"))).as("_tsy"),
+      sum(dd(col("_x")) * dd(col("_x"))).as("_tsxx"),
+      sum(dd(col("_x")) * dd(col("_y"))).as("_tsxy"),
+      sum(dd(col("_y")) * dd(col("_y"))).as("_tsyy"))
+    val w = Window.orderBy(col("_o"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = base
+      .withColumn("_pn", count(lit(1)).over(w))
+      .withColumn("_psx", sum(dd(col("_x"))).over(w))
+      .withColumn("_psy", sum(dd(col("_y"))).over(w))
+      .withColumn("_psxx", sum(dd(col("_x")) * dd(col("_x"))).over(w))
+      .withColumn("_psxy", sum(dd(col("_x")) * dd(col("_y"))).over(w))
+      .withColumn("_psyy", sum(dd(col("_y")) * dd(col("_y"))).over(w))
+      .crossJoin(broadcast(tot))
+    def dbl(c: Column) = c.cast("double")
+    // SSE of the least-squares line on a segment, from its exact
+    // moment sums: Syy − Sy²/n − (Sxy − SxSy/n)² / (Sxx − Sx²/n)
+    def sse(n: Column, sx: Column, sy: Column, sxx: Column, sxy: Column,
+            syy: Column): Column = {
+      val sxxc = dbl(sxx) - dbl(sx) * dbl(sx) / dbl(n)
+      val sxyc = dbl(sxy) - dbl(sx) * dbl(sy) / dbl(n)
+      val syyc = dbl(syy) - dbl(sy) * dbl(sy) / dbl(n)
+      when(sxxc > 0.0, syyc - sxyc * sxyc / sxxc).otherwise(syyc)
+    }
+    def slope(n: Column, sx: Column, sy: Column, sxx: Column,
+              sxy: Column): Column = {
+      val sxxc = dbl(sxx) - dbl(sx) * dbl(sx) / dbl(n)
+      when(sxxc > 0.0,
+        (dbl(sxy) - dbl(sx) * dbl(sy) / dbl(n)) / sxxc)
+    }
+    val scored = pre
+      .filter(col("_pn") >= margin && (col("_tn") - col("_pn")) >= margin)
+      .withColumn("_sse1", sse(col("_pn"), col("_psx"), col("_psy"),
+        col("_psxx"), col("_psxy"), col("_psyy")))
+      .withColumn("_sse2", sse(col("_tn") - col("_pn"),
+        col("_tsx") - col("_psx"), col("_tsy") - col("_psy"),
+        col("_tsxx") - col("_psxx"), col("_tsxy") - col("_psxy"),
+        col("_tsyy") - col("_psyy")))
+      .withColumn("_ssep", sse(col("_tn"), col("_tsx"), col("_tsy"),
+        col("_tsxx"), col("_tsxy"), col("_tsyy")))
+      .withColumn("_den", (col("_sse1") + col("_sse2")) /
+        (dbl(col("_tn")) - lit(4.0)))
+      .withColumn("_f", when(col("_den") > 0.0,
+        ((col("_ssep") - col("_sse1") - col("_sse2")) / lit(2.0)) / col("_den")))
+      .filter(col("_f").isNotNull)
+    scored
+      .orderBy(col("_f").desc, col("_o").asc).limit(1)
+      .select(col("_tn").as("n"), col("_o").as("break_at"),
+        round(col("_f"), 6).as("f_stat"),
+        round(slope(col("_pn"), col("_psx"), col("_psy"), col("_psxx"),
+          col("_psxy")) / unitScale, 9).as("slope_pre"),
+        round(slope(col("_tn") - col("_pn"), col("_tsx") - col("_psx"),
+          col("_tsy") - col("_psy"), col("_tsxx") - col("_psxx"),
+          col("_tsxy") - col("_psxy")) / unitScale, 9).as("slope_post"))
+  }
 }

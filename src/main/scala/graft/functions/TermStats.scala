@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -459,5 +459,75 @@ object TermStats {
         sum(when(col("id") === 0L, 1L).otherwise(0L)).as("n_unk"),
         transform(array_sort(collect_list(struct(col("pos"), col("id")))),
           x => x.getField("id")).as("ids"))
+  }
+
+  /** Good–Turing frequency re-estimation (Good '53; Gale & Sampson
+    * '95's log-log smoothing) — the classical answer to "how much
+    * probability mass belongs to events we have NOT seen", the
+    * foundation under Katz backoff and the sanity check on any
+    * corpus-frequency table: r* = (r+1)·S(r+1)/S(r) with S the
+    * smoothed count-of-counts, and the unseen mass P₀ = N₁/N.
+    * Smoothing is the Gale "linear Good–Turing" fit ln N_r = a +
+    * b·ln r, under which a cancels: r* = (r+1)^(b+1)/r^b.
+    *
+    * Scale shape: one corpus explode → per-term counts; the
+    * count-of-counts table is bounded by DISTINCT FREQUENCIES (Zipf:
+    * ~√(corpus) cells); the fit is one partial agg over those cells
+    * with every ln-term DECIMAL(20,9)-quantized pre-sum (doubles of
+    * exact integers, order-free), b a driver scalar. Output: the r=0
+    * unseen-mass row plus the `topR` SMALLEST observed frequencies
+    * (where re-estimation matters and N_r is dense) with smoothed r*
+    * and probabilities — a fixed frequency threshold would go empty
+    * on corpora whose rarest term is still common.
+    */
+  def goodTuring(docs: DataFrame, textCol: String = "text",
+                 topR: Int = 20): DataFrame = {
+    require(topR >= 1, s"topR must be >= 1, got $topR")
+    val tf = docs.select(explode(T.tokens(col(textCol))).as("_t"))
+      .filter(length(col("_t")) > 0)
+      .groupBy("_t").agg(count(lit(1)).as("_r"))
+    val cells = tf.groupBy("_r").agg(count(lit(1)).as("_nr"))
+      .localCheckpoint() // bounded: distinct frequencies; feeds fit + output
+    val fit = cells.select(
+        log(col("_r").cast("double")).cast("decimal(20,9)").as("_u"),
+        log(col("_nr").cast("double")).cast("decimal(20,9)").as("_v"))
+      .agg(count(lit(1)).as("_m"), sum(col("_u")).as("_su"),
+        sum(col("_v")).as("_sv"),
+        sum((col("_u") * col("_v")).cast("decimal(20,9)")).as("_suv"),
+        sum((col("_u") * col("_u")).cast("decimal(20,9)")).as("_suu"))
+      .head()
+    val m = fit.getLong(0).toDouble
+    val (su, sv, suv, suu) = (fit.getDecimal(1).doubleValue(),
+      fit.getDecimal(2).doubleValue(), fit.getDecimal(3).doubleValue(),
+      fit.getDecimal(4).doubleValue())
+    val den = m * suu - su * su
+    require(den > 0, "goodTuring: need >= 2 distinct frequencies to fit")
+    val b = (m * suv - su * sv) / den
+    val totals = cells.agg(
+      sum((col("_r") * col("_nr")).cast("decimal(38,0)")).as("_n"),
+      coalesce(max(when(col("_r") === 1L, col("_nr"))), lit(0L)).as("_n1")).head()
+    val nTok = totals.getDecimal(0).doubleValue()
+    val n1 = totals.getLong(1)
+    def dbl(c: Column) = c.cast("double")
+    // ln-domain output: r* = (r+1)^(b+1)/r^b needs pow, and Java's
+    // Math.pow and C libm pow disagree by 1 ulp on fractional
+    // exponents (observed: a round-boundary flip at 1e-9) — ln is the
+    // transcendental both engines DO reproduce bit-identically, so
+    // emit ln r* = (b+1)·ln(r+1) − b·ln r and ln p_r = ln r* − ln N
+    val lrs = lit(b + 1.0) * log(dbl(col("_r")) + 1.0) -
+      lit(b) * log(dbl(col("_r")))
+    val seen = cells.orderBy(col("_r").asc).limit(topR)
+      .select(col("_r").as("r"), col("_nr").as("n_r"),
+        round(lrs, 9).as("log_r_star"),
+        round(lrs - lit(math.log(nTok)), 9).as("log_p_r"))
+    val unseen = docs.sparkSession.createDataFrame(Seq(
+        (0L, n1,
+          None: Option[Double],
+          if (n1 > 0L) Some(new java.math.BigDecimal(
+              math.log(n1.toDouble) - math.log(nTok))
+            .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue)
+          else None)))
+      .toDF("r", "n_r", "log_r_star", "log_p_r")
+    unseen.unionByName(seen)
   }
 }

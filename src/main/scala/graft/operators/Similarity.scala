@@ -1119,4 +1119,54 @@ object Similarity {
         Window.orderBy(col("rrf_q").desc, col(idCol))).cast("int"))
       .filter(col("fused_rank") <= topK)
   }
+
+  /** Rank-biased overlap (Webber/Moffat/Zobel TOIS'10): the
+    * top-weighted similarity of two rankings — "how much did the
+    * ranking CHANGE" between two retrievers ([[rrfFuse]] merges them;
+    * RBO scores their disagreement), two index versions, or two
+    * corpus snapshots, with weight decaying geometrically by depth so
+    * rank-1 swaps dominate and tail churn barely registers (Kendall
+    * over top-k lists is undefined on non-conjoint items; RBO is
+    * built for them).
+    *
+    * For two depth-k lists: RBO_ext = X_k/k·pᵏ +
+    * (1−p)/p · Σ_{d=1..k} X_d/d · pᵈ, X_d the overlap of the two
+    * depth-d prefixes. Scale shape: inputs are top-K ARTIFACTS, so
+    * the (pair, depth) expansion is bounded by 2k² rows against a
+    * broadcast depth table — nothing row-scaled; X_d folds from
+    * exact per-depth integer overlap counts and each summand
+    * quantizes to DECIMAL(20,9) pre-sum (one pow per depth, mirrored
+    * shape both engines).
+    */
+  def rboOverlap(a: DataFrame, b: DataFrame, idCol: String, rankCol: String,
+                 p: Double = 0.9, depth: Int = 10): DataFrame = {
+    require(p > 0.0 && p < 1.0, s"p must be in (0,1), got $p")
+    require(depth >= 1, s"depth must be >= 1, got $depth")
+    val ra = a.select(col(idCol).as("_id"), col(rankCol).cast("long").as("_ra"))
+      .filter(col("_ra") <= depth)
+    val rb = b.select(col(idCol).as("_id"), col(rankCol).cast("long").as("_rb"))
+      .filter(col("_rb") <= depth)
+    val spark = a.sparkSession
+    import spark.implicits._
+    val depths = broadcast((1 to depth).toDF("_d"))
+    // X_d = #docs present in BOTH depth-d prefixes — an exact integer
+    // per depth from one bounded join
+    val xd = ra.join(rb, Seq("_id"))
+      .withColumn("_m", greatest(col("_ra"), col("_rb")))
+      .join(depths, col("_m") <= col("_d"))
+      .groupBy("_d").agg(count(lit(1)).as("_x"))
+    val terms = depths.join(xd, Seq("_d"), "left").na.fill(0L, Seq("_x"))
+      .select(col("_d"), col("_x"),
+        (lit((1.0 - p) / p) * col("_x").cast("double") / col("_d").cast("double")
+          * pow(lit(p), col("_d").cast("double"))).cast("decimal(20,9)").as("_t"))
+    terms.agg(
+        max(when(col("_d") === depth, col("_x"))).as("_xk"),
+        sum(col("_t")).as("_s"))
+      .select(lit(depth).as("depth"),
+        round(lit(p), 6).as("p"),
+        col("_xk").as("overlap_at_k"),
+        round((col("_s").cast("double") +
+          col("_xk").cast("double") / lit(depth.toDouble)
+            * pow(lit(p), lit(depth.toDouble))), 9).as("rbo_ext"))
+  }
 }

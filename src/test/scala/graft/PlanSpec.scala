@@ -1096,4 +1096,30 @@ class PlanSpec extends SparkSpec {
     p should include("TakeOrderedAndProject")
     (p should not).include("SortMergeJoin")
   }
+
+  test("q357 kendall: the corpus collapses to daily cells; the pair join is the guarded bounded BNLJ") {
+    val p = plan("q357_kendall_tau")
+    p should include("partial_sum")          // daily means + pair cells combine map-side
+    p should include("BroadcastNestedLoopJoin") // bounded-series pair fan-out, never a shuffle
+  }
+
+  test("q358 cochran q: one corpus scan, per-user pivot and the 2x2 fold both combine map-side") {
+    val p = plan("q358_cochran_q")
+    p.sliding("FileScan".length).count(_ == "FileScan") shouldBe 1
+    p should include("partial_max")
+    p should include("partial_sum")
+  }
+
+  test("q360 rbo: depth table broadcast, both rankers TakeOrdered-bounded") {
+    val p = plan("q360_rbo")
+    p should include("BroadcastHashJoin")
+    p should include("TakeOrderedAndProject")
+  }
+
+  test("q361 sup-chow: every split scored from ONE prefix pass; argmax is TakeOrdered(1)") {
+    val p = plan("q361_sup_chow")
+    p should include("TakeOrderedAndProject(limit=1")
+    p should include("partial_sum")          // daily cells combine map-side
+    (p should not).include("SortMergeJoin")
+  }
 }
