@@ -3139,6 +3139,111 @@ object SparkEntry {
     "q362_good_turing" -> ((s, dir) =>
       functions.TermStats.goodTuring(t(s, dir, "documents").df, topR = 15)),
 
+    // §2#62aj (r10) tags + branches + fast-forward (Iceberg refs):
+    // a tag pins a version immutably, a branch forks an independent
+    // commit line via shallow clone (zero data IO), and fast-forward
+    // publishes the branch snapshot back onto an unmoved main as one
+    // metadata commit with every stat/bloom/count carried.
+    "q363_tx_refs" -> ((s, dir) => {
+      val table = sidePath("graft_txrf", dir)
+      sources.TxTable.drop(s, table)
+      val ord = t(s, dir, "orders").df.select(col("o_orderkey"), col("o_totalprice"))
+      sources.TxTable.commit(
+        ord.filter(col("o_orderkey") % 3 === 0).coalesce(1), table,
+        statsCols = Seq("o_orderkey"))
+      sources.TxTable.commit(
+        ord.filter(col("o_orderkey") % 3 === 1).coalesce(1), table,
+        statsCols = Seq("o_orderkey"))
+      sources.TxTable.createTag(s, table, "release", 1)
+      sources.TxTable.createBranch(s, table, "dev")
+      sources.TxTable.commit(
+        ord.filter(col("o_orderkey") % 3 === 2).coalesce(1),
+        sources.TxTable.branchPath(s, table, "dev"),
+        statsCols = Seq("o_orderkey"))
+      val ff = sources.TxTable.fastForward(s, table, "dev")
+      val borrowed = sources.TxTable.filesOf(s, table, ff).count(_.startsWith("/"))
+      def summarize(df: org.apache.spark.sql.DataFrame, label: String) =
+        df.agg(count(lit(1)).as("n_rows"),
+            sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
+          .select(lit("table").as("section"), lit(label).as("label"),
+            col("n_rows"), col("sum_price"))
+      val meta = s.createDataFrame(Seq(
+          ("meta", "ff_version", ff.toLong),
+          ("meta", "branch_base", sources.TxTable.refOf(s, table, "dev")._2.toLong),
+          ("meta", "n_refs", sources.TxTable.refsOf(s, table).size.toLong),
+          ("meta", "borrowed_files", borrowed.toLong)))
+        .toDF("section", "label", "n_rows")
+        .withColumn("sum_price", lit(null).cast("double"))
+      summarize(sources.TxTable.read(s, table), "main")
+        .unionByName(summarize(sources.TxTable.readRef(s, table, "release"), "tag"))
+        .unionByName(summarize(sources.TxTable.readRef(s, table, "dev"), "branch"))
+        .unionByName(meta)
+    }),
+
+    // §2#62ak (r10) ref-protected version expiry: a tag deep in
+    // history pins its manifest chain — expireVersions removes
+    // nothing on the tagged table, everything below the cut on the
+    // untagged twin, and the tag still reads bit-identically after.
+    "q364_tx_ref_expire" -> ((s, dir) => {
+      val tagged = sidePath("graft_txre_t", dir)
+      val plain = sidePath("graft_txre_p", dir)
+      val ord = t(s, dir, "orders").df.select(col("o_orderkey"), col("o_totalprice"))
+      for (tb <- Seq(tagged, plain)) {
+        sources.TxTable.drop(s, tb)
+        for (i <- 0 until 13)
+          sources.TxTable.commit(
+            ord.filter(col("o_orderkey") % 13 === i).coalesce(1), tb,
+            statsCols = Seq("o_orderkey"))
+      }
+      sources.TxTable.createTag(s, tagged, "r3", 3)
+      val (expT, _) = sources.TxTable.expireVersions(s, tagged, keepLast = 2)
+      val (expP, _) = sources.TxTable.expireVersions(s, plain, keepLast = 2)
+      def summarize(df: org.apache.spark.sql.DataFrame, label: String) =
+        df.agg(count(lit(1)).as("n_rows"),
+            sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
+          .select(lit("table").as("section"), lit(label).as("label"),
+            col("n_rows"), col("sum_price"))
+      val meta = s.createDataFrame(Seq(
+          ("meta", "n_expired_tagged", expT.size.toLong),
+          ("meta", "n_expired_plain", expP.size.toLong),
+          ("meta", "tag_version",
+            sources.TxTable.refOf(s, tagged, "r3")._2.toLong)))
+        .toDF("section", "label", "n_rows")
+        .withColumn("sum_price", lit(null).cast("double"))
+      summarize(sources.TxTable.readRef(s, tagged, "r3"), "tag_v3")
+        .unionByName(summarize(sources.TxTable.read(s, tagged), "tagged_head"))
+        .unionByName(summarize(sources.TxTable.read(s, plain), "plain_head"))
+        .unionByName(meta)
+    }),
+
+    // §2#52bn (r10) reliability diagram + ECE: fractional-part
+    // confidence vs the user-parity label over events — per-bin
+    // conf/acc/gap cells plus the weighted-ECE total row.
+    "q365_calibration" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .select((col("value") - floor(col("value"))).as("conf"),
+          (pmod(col("user_id"), lit(2)) === 1).as("label"))
+      functions.Eval.calibrationError(ev, "conf", "label", bins = 10)
+    }),
+
+    // §2#52bo (r10) per-segment odds/risk ratios with the Woolf
+    // ln-domain interval: urgent-priority exposure vs high-value
+    // outcome across market segments — exact 2x2 integer cells.
+    "q366_odds_risk" -> ((s, dir) => {
+      val j = t(s, dir, "orders").df
+        .join(t(s, dir, "customer").df, col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("seg"),
+          col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("exposed"),
+          (col("o_totalprice") > 150000.0).as("outcome"))
+      functions.Eval.oddsRiskBySegment(j, "seg", "exposed", "outcome")
+    }),
+
+    // §2#38e (r10) Heaps' law vocabulary-growth fit: V(n) = K·n^beta
+    // sampled at 10 doc-id checkpoints via conditional sums (no global
+    // window, no fan-out), OLS on the log-log cells.
+    "q367_heaps_law" -> ((s, dir) =>
+      functions.TermStats.heapsLaw(t(s, dir, "documents").df, points = 10)),
+
     // §2#52av (r8) Cochran–Armitage trend: is the purchase RATE
     // monotone across the hour-of-day ordinal — the ordered companion
     // to q146's anywhere-different chi-square; exact integer sums, one
@@ -7311,6 +7416,144 @@ object SparkEntry {
              round(ln(CAST(n1 AS DOUBLE)) - ln(nt), 9) END AS log_p_r
          FROM tots
          UNION ALL SELECT r, n_r, log_r_star, log_p_r FROM seen""",
+
+    "q365_calibration" ->
+      """WITH g AS (
+           SELECT value - floor(value) AS conf,
+             CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS y
+           FROM events),
+         cells AS (
+           SELECT least(CAST(floor(conf * 10) AS BIGINT), 9) AS b,
+             COUNT(*) AS n,
+             SUM(CAST(CAST(floor(conf * 1000000 + 0.5) AS BIGINT) AS HUGEINT)) AS ss,
+             SUM(y) AS np
+           FROM g GROUP BY 1),
+         pb AS (
+           SELECT b, n, np,
+             CAST(ss AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 AS conf,
+             CAST(np AS DOUBLE) / CAST(n AS DOUBLE) AS acc
+           FROM cells),
+         pb2 AS (SELECT *, abs(acc - conf) AS gap FROM pb)
+         SELECT 'bin' AS section, CAST(b AS INT) AS bin, CAST(n AS BIGINT) AS n,
+           round(conf, 9) AS avg_conf, round(acc, 9) AS accuracy,
+           round(gap, 9) AS gap
+         FROM pb2
+         UNION ALL
+         SELECT 'total', CAST(NULL AS INT), CAST(SUM(n) AS BIGINT), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE),
+           round(CAST(SUM(CAST(CAST(n AS DOUBLE) * gap AS DECIMAL(20,9))) AS DOUBLE)
+             / CAST(SUM(n) AS DOUBLE), 9)
+         FROM pb2""",
+
+    "q366_odds_risk" ->
+      """WITH j AS (
+           SELECT c_mktsegment AS seg,
+             o_orderpriority IN ('1-URGENT', '2-HIGH') AS e,
+             o_totalprice > 150000.0 AS o
+           FROM orders JOIN customer ON o_custkey = c_custkey),
+         cells AS (
+           SELECT seg AS segment,
+             SUM(CASE WHEN e AND o THEN 1 ELSE 0 END) AS a,
+             SUM(CASE WHEN e AND NOT o THEN 1 ELSE 0 END) AS b,
+             SUM(CASE WHEN NOT e AND o THEN 1 ELSE 0 END) AS c,
+             SUM(CASE WHEN NOT e AND NOT o THEN 1 ELSE 0 END) AS d
+           FROM j GROUP BY 1)
+         SELECT segment, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+           CAST(c AS BIGINT) AS c, CAST(d AS BIGINT) AS d,
+           CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+             round(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+               / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)), 9) END AS odds_ratio,
+           CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+             round((CAST(a AS DOUBLE) / (CAST(a AS DOUBLE) + CAST(b AS DOUBLE)))
+               / (CAST(c AS DOUBLE) / (CAST(c AS DOUBLE) + CAST(d AS DOUBLE))), 9)
+           END AS risk_ratio,
+           CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+             round(ln(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                 / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)))
+               - 1.96 * sqrt(1.0 / CAST(a AS DOUBLE) + 1.0 / CAST(b AS DOUBLE)
+                 + 1.0 / CAST(c AS DOUBLE) + 1.0 / CAST(d AS DOUBLE)), 9)
+           END AS ln_or_lo,
+           CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+             round(ln(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                 / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)))
+               + 1.96 * sqrt(1.0 / CAST(a AS DOUBLE) + 1.0 / CAST(b AS DOUBLE)
+                 + 1.0 / CAST(c AS DOUBLE) + 1.0 / CAST(d AS DOUBLE)), 9)
+           END AS ln_or_hi
+         FROM cells""",
+
+    "q367_heaps_law" ->
+      """WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+         cuts AS (
+           SELECT i, (SELECT m FROM mx) * i // 10 AS cut
+           FROM (SELECT unnest(generate_series(1, 10)) AS i)),
+         fd AS (
+           SELECT t, MIN(d) AS f FROM (
+             SELECT doc_id AS d,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+             FROM documents)
+           WHERE len(t) > 0 GROUP BY 1),
+         pd AS (
+           SELECT doc_id AS d,
+             CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS c
+           FROM documents),
+         pts AS (
+           SELECT cuts.i,
+             (SELECT COALESCE(SUM(c), 0) FROM pd WHERE pd.d <= cuts.cut) AS n,
+             (SELECT COUNT(*) FROM fd WHERE fd.f <= cuts.cut) AS v
+           FROM cuts),
+         pp AS (SELECT i, n, v FROM pts WHERE n > 0 AND v > 0),
+         fit AS (
+           SELECT COUNT(*) AS m,
+             SUM(CAST(ln(CAST(n AS DOUBLE)) AS DECIMAL(20,9))) AS su,
+             SUM(CAST(ln(CAST(v AS DOUBLE)) AS DECIMAL(20,9))) AS sv,
+             SUM(CAST(CAST(CAST(ln(CAST(n AS DOUBLE)) AS DECIMAL(20,9)) AS DOUBLE)
+               * CAST(CAST(ln(CAST(v AS DOUBLE)) AS DECIMAL(20,9)) AS DOUBLE)
+               AS DECIMAL(20,9))) AS suv,
+             SUM(CAST(CAST(CAST(ln(CAST(n AS DOUBLE)) AS DECIMAL(20,9)) AS DOUBLE)
+               * CAST(CAST(ln(CAST(n AS DOUBLE)) AS DECIMAL(20,9)) AS DOUBLE)
+               AS DECIMAL(20,9))) AS suu
+           FROM pp),
+         bf AS (
+           SELECT (CAST(m AS DOUBLE) * CAST(suv AS DOUBLE)
+               - CAST(su AS DOUBLE) * CAST(sv AS DOUBLE))
+             / (CAST(m AS DOUBLE) * CAST(suu AS DOUBLE)
+               - CAST(su AS DOUBLE) * CAST(su AS DOUBLE)) AS beta,
+             CAST(sv AS DOUBLE) AS svd, CAST(su AS DOUBLE) AS sud,
+             CAST(m AS DOUBLE) AS md
+           FROM fit)
+         SELECT CAST(i AS INT) AS point, CAST(n AS BIGINT) AS n_tokens,
+           CAST(v AS BIGINT) AS v_terms, round(beta, 9) + 0.0 AS beta,
+           round((svd - beta * sud) / md, 9) + 0.0 AS ln_k
+         FROM pp, bf""",
+
+    "q363_tx_refs" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders)
+         SELECT 'table' AS section, 'main' AS label, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(p AS DECIMAL(18,4))) AS DOUBLE) AS sum_price FROM o
+         UNION ALL SELECT 'table', 'tag', COUNT(*),
+           CAST(SUM(CAST(p AS DECIMAL(18,4))) AS DOUBLE) FROM o WHERE k % 3 = 0
+         UNION ALL SELECT 'table', 'branch', COUNT(*),
+           CAST(SUM(CAST(p AS DECIMAL(18,4))) AS DOUBLE) FROM o
+         UNION ALL SELECT 'meta', 'ff_version', CAST(3 AS BIGINT), CAST(NULL AS DOUBLE)
+         UNION ALL SELECT 'meta', 'branch_base', CAST(2 AS BIGINT), CAST(NULL AS DOUBLE)
+         UNION ALL SELECT 'meta', 'n_refs', CAST(2 AS BIGINT), CAST(NULL AS DOUBLE)
+         UNION ALL SELECT 'meta', 'borrowed_files',
+           (SELECT COUNT(DISTINCT filename) FROM read_parquet(
+             '/tmp/graft_txrf___SFTAG__/_refs_branch/dev/data/v2_*.parquet',
+             filename=true)), CAST(NULL AS DOUBLE)""",
+
+    "q364_tx_ref_expire" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders)
+         SELECT 'table' AS section, 'tag_v3' AS label, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(p AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+         FROM o WHERE k % 13 IN (0, 1, 2)
+         UNION ALL SELECT 'table', 'tagged_head', COUNT(*),
+           CAST(SUM(CAST(p AS DECIMAL(18,4))) AS DOUBLE) FROM o
+         UNION ALL SELECT 'table', 'plain_head', COUNT(*),
+           CAST(SUM(CAST(p AS DECIMAL(18,4))) AS DOUBLE) FROM o
+         UNION ALL SELECT 'meta', 'n_expired_tagged', CAST(0 AS BIGINT), CAST(NULL AS DOUBLE)
+         UNION ALL SELECT 'meta', 'n_expired_plain', CAST(9 AS BIGINT), CAST(NULL AS DOUBLE)
+         UNION ALL SELECT 'meta', 'tag_version', CAST(3 AS BIGINT), CAST(NULL AS DOUBLE)""",
 
     "q326_tx_backfill" ->
       """SELECT CAST(1 AS INT) AS version, COUNT(*) AS n_rows,

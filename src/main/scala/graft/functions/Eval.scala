@@ -1354,4 +1354,85 @@ object Eval {
     df.sparkSession.createDataFrame(Seq((n, obs, kap)))
       .toDF("n", "w_observed", "kappa_w")
   }
+
+  /** Reliability diagram + expected calibration error (Naeini AAAI'15;
+    * Guo ICML'17's ECE) — "when the scorer says 0.8, is it right 80%
+    * of the time": scores bin into `bins` equal-width cells, each
+    * reporting its mean confidence, observed accuracy, and gap; the
+    * `total` row carries ECE = Σ n_b/N·|acc_b − conf_b|. THE
+    * post-hoc gate on any quality/domain classifier whose scores
+    * feed threshold decisions (a well-ranked but mis-calibrated
+    * scorer silently shifts the kept-data mix).
+    *
+    * One (bin) partial agg bounded by `bins`; confidences quantize to
+    * micro-unit longs pre-sum, per-bin gaps quantize DECIMAL(20,9)
+    * before the ECE fold. Scores must land in [0, 1] — out-of-range
+    * rows would silently pile into the edge bins, so they refuse
+    * loudly via the in-plan guard.
+    */
+  def calibrationError(df: DataFrame, scoreCol: String, labelCol: String,
+                       bins: Int = 10, unitScale: Long = 1000000L): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val sc = col(scoreCol).cast("double")
+    val guarded = df.select(
+      when(sc < 0.0 || sc > 1.0, raise_error(format_string(
+          s"calibrationError: score out of [0,1]: %s", sc.cast("string"))))
+        .otherwise(sc).as("_s"),
+      col(labelCol).cast("boolean").as("_y"))
+    val cells = guarded.select(
+        least(floor(col("_s") * bins), lit(bins - 1L)).cast("int").as("_b"),
+        floor(col("_s") * unitScale + 0.5).cast("long").as("_sq"),
+        when(col("_y"), 1L).otherwise(0L).as("_p"))
+      .groupBy("_b")
+      .agg(count(lit(1)).as("_n"),
+        sum(col("_sq").cast("decimal(38,0)")).as("_ss"), sum("_p").as("_np"))
+    def dbl(c: Column) = c.cast("double")
+    val perBin = cells.select(col("_b"), col("_n"), col("_np"),
+      (dbl(col("_ss")) / dbl(col("_n")) / unitScale.toDouble).as("_conf"),
+      (dbl(col("_np")) / dbl(col("_n"))).as("_acc"))
+      .withColumn("_gap", abs(col("_acc") - col("_conf")))
+    val out = perBin.select(lit("bin").as("section"), col("_b").as("bin"),
+      col("_n").as("n"), round(col("_conf"), 9).as("avg_conf"),
+      round(col("_acc"), 9).as("accuracy"), round(col("_gap"), 9).as("gap"))
+    val total = perBin.agg(sum("_n").as("_tn"),
+        sum((dbl(col("_n")) * col("_gap")).cast("decimal(20,9)")).as("_wg"))
+      .select(lit("total").as("section"), lit(null).cast("int").as("bin"),
+        col("_tn").as("n"), lit(null).cast("double").as("avg_conf"),
+        lit(null).cast("double").as("accuracy"),
+        round(dbl(col("_wg")) / dbl(col("_tn")), 9).as("gap"))
+    out.unionByName(total)
+  }
+
+  /** Per-segment 2×2 association: odds ratio, risk ratio, and the
+    * Woolf LOG-domain 95% interval ln(OR) ± 1.96·√(1/a+1/b+1/c+1/d) —
+    * the epidemiologist's read-out of "does exposure move the
+    * outcome, and how tightly do we know it", per stratum. The CI is
+    * emitted in LN-DOMAIN (the Good–Turing lesson: exp is a libm
+    * function the two engines disagree on by ulps; ln of an exact
+    * ratio is reproducible). Any empty cell → NULL measures for that
+    * segment (reported, never infinities).
+    *
+    * One partial-agg pass to |segments| exact integer 2×2 cells.
+    */
+  def oddsRiskBySegment(df: DataFrame, segCol: String, exposedCol: String,
+                        outcomeCol: String): DataFrame = {
+    val e = col(exposedCol).cast("boolean"); val o = col(outcomeCol).cast("boolean")
+    val cells = df.groupBy(col(segCol).cast("string").as("segment"))
+      .agg(sum(when(e && o, 1L).otherwise(0L)).as("a"),
+        sum(when(e && !o, 1L).otherwise(0L)).as("b"),
+        sum(when(!e && o, 1L).otherwise(0L)).as("c"),
+        sum(when(!e && !o, 1L).otherwise(0L)).as("d"))
+    def dbl(c: Column) = c.cast("double")
+    val ok = col("a") > 0L && col("b") > 0L && col("c") > 0L && col("d") > 0L
+    val lnOr = log(dbl(col("a")) * dbl(col("d")) / (dbl(col("b")) * dbl(col("c"))))
+    val se = sqrt(lit(1.0) / dbl(col("a")) + lit(1.0) / dbl(col("b")) +
+      lit(1.0) / dbl(col("c")) + lit(1.0) / dbl(col("d")))
+    cells.select(col("segment"), col("a"), col("b"), col("c"), col("d"),
+      when(ok, round(dbl(col("a")) * dbl(col("d")) /
+        (dbl(col("b")) * dbl(col("c"))), 9)).as("odds_ratio"),
+      when(ok, round((dbl(col("a")) / (dbl(col("a")) + dbl(col("b")))) /
+        (dbl(col("c")) / (dbl(col("c")) + dbl(col("d")))), 9)).as("risk_ratio"),
+      when(ok, round(lnOr - lit(1.96) * se, 9)).as("ln_or_lo"),
+      when(ok, round(lnOr + lit(1.96) * se, 9)).as("ln_or_hi"))
+  }
 }

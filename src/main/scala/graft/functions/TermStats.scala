@@ -530,4 +530,81 @@ object TermStats {
       .toDF("r", "n_r", "log_r_star", "log_p_r")
     unseen.unionByName(seen)
   }
+
+  /** Heaps' law fit V(n) = K·n^β (Heaps '78) — how fast the
+    * vocabulary grows as the corpus does, the planning number behind
+    * "how big does the tokenizer/embedding vocab table get at 10×
+    * the data" and a drift alarm when a crawl's β jumps (template
+    * explosion) or collapses (duplication). The growth curve is
+    * sampled at `points` doc-id checkpoints and β/ln K fit by OLS on
+    * the log-log points.
+    *
+    * Scale shape: NO global window and NO fan-out — each term folds
+    * to its FIRST document (one partial-agg min), each doc to its
+    * token count (one partial agg), and every checkpoint's (tokens,
+    * vocab) pair is a CONDITIONAL SUM inside one aggregate row, so
+    * the whole curve costs two corpus passes + two bounded aggs
+    * however many points are asked for. All curve values are exact
+    * integers; the fit is doubles of DECIMAL-quantized ln cells
+    * (the Good–Turing machinery).
+    */
+  def heapsLaw(docs: DataFrame, textCol: String = "text",
+               idCol: String = "doc_id", points: Int = 20): DataFrame = {
+    require(points >= 2, s"points must be >= 2, got $points")
+    val maxId = docs.agg(max(col(idCol).cast("long"))).head().getLong(0)
+    val cuts = (1 to points).map(i =>
+      maxId * i / points) // floor division — mirrored by the oracle's //
+    val firstDoc = docs
+      .select(col(idCol).cast("long").as("_d"),
+        explode(T.tokens(col(textCol))).as("_t"))
+      .filter(length(col("_t")) > 0)
+      .groupBy("_t").agg(min("_d").as("_f"))
+    val vRow = firstDoc.agg(
+      sum(when(col("_f") <= cuts.head, 1L).otherwise(0L)).as("v0"),
+      cuts.tail.zipWithIndex.map { case (c, i) =>
+        sum(when(col("_f") <= c, 1L).otherwise(0L)).as(s"v${i + 1}") }: _*).head()
+    val perDoc = docs
+      .select(col(idCol).cast("long").as("_d"),
+        size(T.tokens(col(textCol))).cast("long").as("_c"))
+    val nRow = perDoc.agg(
+      sum(when(col("_d") <= cuts.head, col("_c")).otherwise(0L)).as("n0"),
+      cuts.tail.zipWithIndex.map { case (c, i) =>
+        sum(when(col("_d") <= c, col("_c")).otherwise(0L)).as(s"n${i + 1}") }: _*)
+      .head()
+    val pts = (0 until points).map(i =>
+      (i + 1, nRow.getLong(i), vRow.getLong(i)))
+      .filter(p => p._2 > 0 && p._3 > 0)
+    require(pts.size >= 2, "heapsLaw: need >= 2 non-empty checkpoints")
+    // OLS of ln V on ln n over the checkpoint cells, every ln term
+    // quantized to 1e-9 pre-sum (both engines round the same doubles)
+    def q9(x: Double): java.math.BigDecimal = new java.math.BigDecimal(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP)
+    val uv = pts.map { case (_, n, v) =>
+      (q9(math.log(n.toDouble)), q9(math.log(v.toDouble))) }
+    def dsum(xs: Seq[java.math.BigDecimal]): Double =
+      xs.reduce(_.add(_)).doubleValue()
+    val m = uv.size.toDouble
+    val su = dsum(uv.map(_._1)); val sv = dsum(uv.map(_._2))
+    // products are DOUBLE multiplies re-quantized from the double —
+    // DuckDB's DECIMAL→DECIMAL cast TRUNCATES while its
+    // DOUBLE→DECIMAL cast rounds, so the only mirrorable shape is
+    // double-product → round-at-1e-9 on both engines (beta here is a
+    // catastrophic-cancellation residue; a one-digit quantization
+    // skew dominates it)
+    def mul9(a: java.math.BigDecimal, b: java.math.BigDecimal) =
+      new java.math.BigDecimal(a.doubleValue() * b.doubleValue())
+        .setScale(9, java.math.RoundingMode.HALF_UP)
+    val suv = dsum(uv.map(p => mul9(p._1, p._2)))
+    val suu = dsum(uv.map(p => mul9(p._1, p._1)))
+    val den = m * suu - su * su
+    val beta = if (den > 0) (m * suv - su * sv) / den else Double.NaN
+    val lnK = (sv - beta * su) / m
+    // + 0.0 folds IEEE −0.0 to +0.0 (DuckDB's round never emits the
+    // sign bit; a "-0.0" here would hash-differ on a zero result)
+    def r9(x: Double): Double = q9(x).doubleValue + 0.0
+    val spark = docs.sparkSession
+    spark.createDataFrame(pts.map { case (i, n, v) =>
+        (i, n, v, r9(beta), r9(lnK)) })
+      .toDF("point", "n_tokens", "v_terms", "beta", "ln_k")
+  }
 }

@@ -2898,7 +2898,15 @@ object TxTable {
       cur
     }
     val floor = live.filter(_ > cut).minOption.fold(head)(chainFloorOf)
-    val (expire, keep) = live.partition(v => v <= cut && v < floor)
+    // REF PROTECTION: versions pinned by a tag or serving as a branch
+    // base stay readable (and keep their files below) however old —
+    // expiring a tagged release or a live branch's borrowed base is
+    // the silent-data-loss shape refs exist to prevent. A pinned
+    // version that is itself a delta keeps its chain via chainFloorOf.
+    val pinned = refsOf(spark, table).map(_._3).toSet
+    val pinnedFloor = pinned.map(chainFloorOf).minOption.getOrElse(Int.MaxValue)
+    val (expire, keep) = live.partition(v =>
+      v <= cut && v < floor && v < pinnedFloor && !pinned.contains(v))
     if (expire.isEmpty) return (Seq.empty, Seq.empty)
     val keptFiles = keep.flatMap(v => filesOf(spark, table, v) ++
       tombEntriesOf(spark, table, v).map(_._1) ++
@@ -2916,5 +2924,196 @@ object TxTable {
     }
     deadFiles.foreach(rel => f.delete(new Path(s"$table/$rel"), false))
     (expire, deadFiles)
+  }
+
+  // ------------------------------------------------------------------
+  // Named refs: TAGS and BRANCHES (the Iceberg refs surface).
+  // A ref is a tiny JSON file under $table/_refs/<name>.json published
+  // through the SAME conditional-create committer as manifests, so ref
+  // creation is atomic and race-safe on every store the table itself
+  // supports. A TAG pins a version immutably (releases, eval
+  // snapshots, "the corpus we trained v3 on"); a BRANCH forks an
+  // independent commit line from a pinned base via the shallow-clone
+  // machinery (zero data IO at any size) and can later FAST-FORWARD
+  // back onto main when main has not advanced. Both ref kinds protect
+  // their pinned version from [[expireVersions]].
+  // ------------------------------------------------------------------
+
+  private def refsDir(table: String) = new Path(s"$table/_refs")
+  private def refPath(table: String, name: String) =
+    new Path(s"$table/_refs/$name.json")
+
+  private def requireRefName(name: String): Unit =
+    require(name.nonEmpty &&
+        name.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
+      s"TxTable: ref name must be [A-Za-z0-9_-]+, got '$name'")
+
+  /** The independent commit line a branch ref names. Lives INSIDE the
+    * table directory (one blast radius for drop/backup) but outside
+    * data/ and _manifests/, so the main line's vacuum, orphan
+    * accounting, and version expiry never see branch files.
+    */
+  private[graft] def branchRoot(table: String, name: String): String =
+    s"$table/_refs_branch/$name"
+
+  /** Pin `version` (default: the current head) under an immutable
+    * named tag. Refuses an existing name — a tag that can move is a
+    * branch; drop and re-create to re-point deliberately.
+    */
+  def createTag(spark: SparkSession, table: String, name: String,
+                version: Int = -1): Int = {
+    requireRefName(name)
+    val v = if (version > 0) version else currentVersion(spark, table)
+    require(v >= 1, s"TxTable: cannot tag non-existent table $table")
+    val f = fs(spark, table)
+    require(f.exists(manifestPath(table, v)),
+      s"TxTable: cannot tag expired/unknown version $v at $table")
+    f.mkdirs(refsDir(table))
+    if (!committerFor(f).publish(f, refPath(table, name),
+        s"""{"kind":"tag","v":$v}""",
+        java.util.UUID.randomUUID().toString.take(8)))
+      sys.error(s"TxTable: ref '$name' already exists at $table — " +
+        "refs are immutable; dropRef first to re-point deliberately")
+    v
+  }
+
+  /** All refs of the table as (name, kind, pinned version). */
+  def refsOf(spark: SparkSession, table: String): Seq[(String, String, Int)] = {
+    val f = fs(spark, table)
+    val d = refsDir(table)
+    if (!f.exists(d)) return Seq.empty
+    val re = """\{"kind":"(tag|branch)","v":(\d+)\}""".r
+    f.listStatus(d).toSeq.filter(_.getPath.getName.endsWith(".json"))
+      .flatMap { st =>
+        val txt = {
+          val in = f.open(st.getPath)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        }
+        re.findFirstMatchIn(txt).map(m =>
+          (st.getPath.getName.stripSuffix(".json"), m.group(1),
+            m.group(2).toInt))
+      }.sortBy(_._1)
+  }
+
+  /** (kind, pinned version) of one ref; loud on a missing name. */
+  def refOf(spark: SparkSession, table: String,
+            name: String): (String, Int) = {
+    requireRefName(name)
+    refsOf(spark, table).collectFirst { case (n, k, v) if n == name => (k, v) }
+      .getOrElse(sys.error(s"TxTable: no ref '$name' at $table"))
+  }
+
+  /** Snapshot read of a ref: a tag reads its pinned main version; a
+    * branch reads the branch line's current head.
+    */
+  def readRef(spark: SparkSession, table: String, name: String): DataFrame =
+    refOf(spark, table, name) match {
+      case ("tag", v) => readVersion(spark, table, v)
+      case ("branch", _) => read(spark, branchRoot(table, name))
+      case (k, _) => sys.error(s"TxTable: unknown ref kind '$k'")
+    }
+
+  /** Drop a ref (and a branch ref's entire commit line). The pinned
+    * main version loses its expiry protection, nothing else.
+    */
+  def dropRef(spark: SparkSession, table: String, name: String): Unit = {
+    requireRefName(name)
+    val f = fs(spark, table)
+    refsOf(spark, table).find(_._1 == name).foreach { case (_, kind, _) =>
+      if (kind == "branch") drop(spark, branchRoot(table, name))
+      f.delete(refPath(table, name), false)
+    }
+  }
+
+  /** Fork an independent commit line from `version` (default head).
+    * The branch's v1 is a SHALLOW CLONE of the base snapshot —
+    * zero data IO — and its later commits land under the branch root,
+    * invisible to main; main's later commits are invisible to the
+    * branch (it pinned its base). The ref records the base version,
+    * which [[expireVersions]] then protects (the branch borrows the
+    * base's files). Commit to the branch through [[branchPath]] with
+    * the normal table API — a branch IS a table.
+    */
+  def createBranch(spark: SparkSession, table: String, name: String,
+                   version: Int = -1): Int = {
+    requireRefName(name)
+    val v = if (version > 0) version else currentVersion(spark, table)
+    require(v >= 1, s"TxTable: cannot branch non-existent table $table")
+    val root = branchRoot(table, name)
+    // a crash between clone and ref publish leaves an orphan branch
+    // dir with no ref — clear it so the retry isn't stuck on the
+    // clone's fresh-target requirement
+    if (refsOf(spark, table).forall(_._1 != name) &&
+        currentVersion(spark, root) > 0)
+      drop(spark, root)
+    cloneShallow(spark, table, root, v)
+    val f = fs(spark, table)
+    f.mkdirs(refsDir(table))
+    if (!committerFor(f).publish(f, refPath(table, name),
+        s"""{"kind":"branch","v":$v}""",
+        java.util.UUID.randomUUID().toString.take(8))) {
+      drop(spark, root)
+      sys.error(s"TxTable: ref '$name' already exists at $table")
+    }
+    v
+  }
+
+  /** The branch line's table root, for committing with the normal
+    * API; loud when the ref is missing or names a tag.
+    */
+  def branchPath(spark: SparkSession, table: String, name: String): String = {
+    val (kind, _) = refOf(spark, table, name)
+    require(kind == "branch", s"TxTable: ref '$name' is a $kind, not a branch")
+    branchRoot(table, name)
+  }
+
+  /** Publish the branch's current snapshot onto main as ONE commit —
+    * Iceberg's fast-forward: legal only while main still sits at the
+    * branch's base version (no divergence; a diverged main needs a
+    * real merge, which this deliberately refuses rather than guesses).
+    * Zero data IO: files the branch borrowed from main re-relativize
+    * into main's own manifest; files the branch wrote itself are
+    * borrowed by absolute path (main's compact later materializes
+    * them, exactly the clone contract). Stats, blooms, value sets,
+    * tombstones, deletion vectors, row counts, and the column mapping
+    * carry with their files, so the fast-forwarded snapshot reads
+    * bit-identically to the branch head.
+    */
+  def fastForward(spark: SparkSession, table: String, name: String): Int = {
+    val (kind, baseV) = refOf(spark, table, name)
+    require(kind == "branch", s"TxTable: ref '$name' is a $kind, not a branch")
+    val head = currentVersion(spark, table)
+    require(head == baseV,
+      s"TxTable: cannot fast-forward '$name' — $table advanced v$baseV -> " +
+      s"v$head since the branch was cut; merge the lines explicitly")
+    val br = branchRoot(table, name)
+    val bv = currentVersion(spark, br)
+    val snap = snapshotOf(spark, br, bv)
+    val prefix = s"$table/"
+    def back(pth: String): String =
+      if (pth.startsWith(prefix)) pth.substring(prefix.length)
+      else if (pth.startsWith("/")) pth
+      else s"$br/$pth"
+    val v = head + 1
+    val parentMs = try commitMsOf(spark, table, head)
+      catch { case _: java.io.FileNotFoundException => 0L }
+    val ts = math.max(System.currentTimeMillis(), parentMs + 1L)
+    val schemaDDL = manifestSchema(spark, br, bv)
+      .orElse(scala.util.Try(read(spark, br).schema).toOption)
+      .map(_.toDDL)
+    val json = renderManifest(v, "fast_forward", ts, "", msOf(spark, br, bv),
+      schemaDDL,
+      snap.files.map(back),
+      snap.stats.map(e => (back(e._1), e._2, e._3, e._4)),
+      snap.blooms.map(e => (back(e._1), e._2, e._3, e._4, e._5)),
+      snap.tombs.map(e => (back(e._1), e._2)),
+      colMapOf(spark, br, bv),
+      snap.vsets.map(e => (back(e._1), e._2, e._3)),
+      None,
+      snap.posd.map(back),
+      snap.rows.map(e => (back(e._1), e._2)))
+    publishOrConflict(fs(spark, table), table, v, json)
+    v
   }
 }

@@ -1122,4 +1122,17 @@ class PlanSpec extends SparkSpec {
     p should include("partial_sum")          // daily cells combine map-side
     (p should not).include("SortMergeJoin")
   }
+
+  test("q365 calibration: one corpus scan, bounded bin cells combine map-side") {
+    val p = plan("q365_calibration")
+    p.sliding("FileScan".length).count(_ == "FileScan") should be <= 2 // bin + total sections
+    p should include("partial_sum")
+  }
+
+  test("q366 odds/risk: dimension broadcast, 2x2 cells one partial agg, no sort-merge") {
+    val p = plan("q366_odds_risk")
+    p should include("BroadcastHashJoin")
+    p should include("partial_sum")
+    (p should not).include("SortMergeJoin")
+  }
 }
