@@ -3244,6 +3244,86 @@ object SparkEntry {
     "q367_heaps_law" -> ((s, dir) =>
       functions.TermStats.heapsLaw(t(s, dir, "documents").df, points = 10)),
 
+    // §2#52bp (r10) Krippendorff's α (nominal): within-(user, day)
+    // event-type consistency — the any-m inter-rater coefficient;
+    // single-rating units drop (the missing-data contract),
+    // per-unit disagreement terms DECIMAL-quantized pre-sum.
+    "q368_krippendorff" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .select(concat_ws(":", col("user_id"),
+          (unix_micros(col("ts")) / lit(86400000000L)).cast("long")).as("unit"),
+          col("event_type"))
+      functions.Eval.krippendorffAlpha(ev, "unit", "event_type")
+    }),
+
+    // §2#62al (r10) atomic partition overwrite (replaceWhere): the
+    // URGENT partition's files are replaced by a filtered rewrite in
+    // ONE commit while every other partition carries by reference —
+    // per-partition content plus carry accounting must both match.
+    "q369_tx_replace_where" -> ((s, dir) => {
+      val table = sidePath("graft_txrw", dir)
+      sources.TxTable.drop(s, table)
+      val ord = t(s, dir, "orders").df
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      sources.TxTable.commit(ord, table, partitionBy = Some("o_orderpriority"))
+      val filesBefore = sources.TxTable.filesOf(s, table, 1)
+      val v2 = sources.TxTable.overwritePartition(s, table,
+        ord.filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderkey") % 2 === 0).coalesce(1), "1-URGENT")
+      val carried = sources.TxTable.filesOf(s, table, v2)
+        .count(f => filesBefore.contains(f))
+      val content = sources.TxTable.read(s, table)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
+        .select(lit("part").as("section"), col("o_orderpriority").as("label"),
+          col("n_rows"), col("sum_price"))
+      val meta = s.createDataFrame(Seq(
+          ("meta", "version", v2.toLong),
+          ("meta", "carried_files", carried.toLong),
+          ("meta", "files_before", filesBefore.size.toLong)))
+        .toDF("section", "label", "n_rows")
+        .withColumn("sum_price", lit(null).cast("double"))
+      content.unionByName(meta)
+    }),
+
+    // §2#62am (r10) null-count file skipping: per-file null counts
+    // recorded at commit prune IS NULL reads to the null-bearing
+    // files and IS NOT NULL reads past all-null files — the
+    // completeness-audit read path.
+    "q370_tx_null_skip" -> ((s, dir) => {
+      val table = sidePath("graft_txns", dir)
+      sources.TxTable.drop(s, table)
+      val ord = t(s, dir, "orders").df.select(col("o_orderkey"),
+        when(col("o_orderkey") % 7 === 0, lit(null).cast("double"))
+          .otherwise(col("o_totalprice")).as("price"))
+      sources.TxTable.commit(ord.filter(col("o_orderkey") % 7 =!= 0).coalesce(1),
+        table, nullCols = Seq("price"), countRows = true)
+      sources.TxTable.commit(
+        ord.filter(col("o_orderkey") % 7 === 0).coalesce(1),
+        table, nullCols = Seq("price"), countRows = true)
+      val v = sources.TxTable.currentVersion(s, table)
+      val keptNull = sources.TxTable.prunedFilesByNull(s, table, v, "price", true)
+      val keptVal = sources.TxTable.prunedFilesByNull(s, table, v, "price", false)
+      val nulls = sources.TxTable.readWhereNull(s, table, "price", true)
+        .agg(count(lit(1)).as("n_rows"))
+        .select(lit("read").as("section"), lit("is_null").as("label"),
+          col("n_rows"), lit(null).cast("double").as("sum_price"))
+      val vals = sources.TxTable.readWhereNull(s, table, "price", false)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(dec(col("price"))).cast("double").as("sum_price"))
+        .select(lit("read").as("section"), lit("not_null").as("label"),
+          col("n_rows"), col("sum_price"))
+      val meta = s.createDataFrame(Seq(
+          ("meta", "files_total",
+            sources.TxTable.filesOf(s, table, v).size.toLong),
+          ("meta", "kept_is_null", keptNull.size.toLong),
+          ("meta", "kept_not_null", keptVal.size.toLong)))
+        .toDF("section", "label", "n_rows")
+        .withColumn("sum_price", lit(null).cast("double"))
+      nulls.unionByName(vals).unionByName(meta)
+    }),
+
     // §2#52av (r8) Cochran–Armitage trend: is the purchase RATE
     // monotone across the hour-of-day ordinal — the ordered companion
     // to q146's anywhere-different chi-square; exact integer sums, one
@@ -7525,6 +7605,69 @@ object SparkEntry {
            CAST(v AS BIGINT) AS v_terms, round(beta, 9) + 0.0 AS beta,
            round((svd - beta * sud) / md, 9) + 0.0 AS ln_k
          FROM pp, bf""",
+
+    "q368_krippendorff" ->
+      """WITH r AS (
+           SELECT CAST(user_id AS VARCHAR) || ':' ||
+               CAST(epoch_us(ts) // 86400000000 AS VARCHAR) AS u,
+             event_type AS v
+           FROM events),
+         mu AS (SELECT u, COUNT(*) AS m FROM r GROUP BY 1 HAVING COUNT(*) >= 2),
+         nuc AS (
+           SELECT r.u, r.v, COUNT(*) AS k, ANY_VALUE(mu.m) AS m
+           FROM r JOIN mu ON r.u = mu.u GROUP BY 1, 2),
+         dsum AS (
+           SELECT SUM(CAST(CAST(k AS DOUBLE) * CAST(m - k AS DOUBLE)
+             / CAST(m - 1 AS DOUBLE) AS DECIMAL(20,9))) AS do_sum
+           FROM nuc),
+         ncs AS (SELECT v, SUM(k) AS nc FROM nuc GROUP BY 1),
+         tot AS (
+           SELECT CAST(SUM(nc) AS BIGINT) AS n,
+             CAST(SUM(CAST(nc AS HUGEINT) * nc) AS DOUBLE) AS nc2
+           FROM ncs),
+         un AS (SELECT COUNT(*) AS units FROM mu)
+         SELECT CAST(units AS BIGINT) AS n_units, n AS n_ratings,
+           CASE WHEN CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - nc2 > 0.0 THEN
+             round(1.0 - (CAST(n AS DOUBLE) - 1.0) * CAST(do_sum AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - nc2), 9) + 0.0
+           END AS alpha
+         FROM un, tot, dsum""",
+
+    "q369_tx_replace_where" ->
+      """WITH after AS (
+           SELECT o_orderkey AS k, o_totalprice AS p, o_orderpriority AS pr
+           FROM orders
+           WHERE o_orderpriority <> '1-URGENT'
+              OR (o_orderpriority = '1-URGENT' AND o_orderkey % 2 = 0)),
+         nf AS (
+           SELECT COUNT(DISTINCT filename) AS files_before,
+             COUNT(DISTINCT CASE WHEN filename NOT LIKE '%1-URGENT%'
+               THEN filename END) AS carried
+           FROM read_parquet(
+             '/tmp/graft_txrw___SFTAG__/data/*/v1_*.parquet', filename=true))
+         SELECT 'part' AS section, pr AS label, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(p AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+         FROM after GROUP BY 2
+         UNION ALL SELECT 'meta', 'version', CAST(2 AS BIGINT), CAST(NULL AS DOUBLE)
+         UNION ALL SELECT 'meta', 'carried_files',
+           CAST(carried AS BIGINT), CAST(NULL AS DOUBLE) FROM nf
+         UNION ALL SELECT 'meta', 'files_before',
+           CAST(files_before AS BIGINT), CAST(NULL AS DOUBLE) FROM nf""",
+
+    "q370_tx_null_skip" ->
+      """WITH o AS (
+           SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL
+               ELSE o_totalprice END AS price
+           FROM orders)
+         SELECT 'read' AS section, 'is_null' AS label, COUNT(*) AS n_rows,
+           CAST(NULL AS DOUBLE) AS sum_price FROM o WHERE price IS NULL
+         UNION ALL SELECT 'read', 'not_null', COUNT(*),
+           CAST(SUM(CAST(price AS DECIMAL(18,4))) AS DOUBLE)
+         FROM o WHERE price IS NOT NULL
+         UNION ALL SELECT 'meta', 'files_total', CAST(2 AS BIGINT), CAST(NULL AS DOUBLE)
+         UNION ALL SELECT 'meta', 'kept_is_null', CAST(1 AS BIGINT), CAST(NULL AS DOUBLE)
+         UNION ALL SELECT 'meta', 'kept_not_null', CAST(1 AS BIGINT), CAST(NULL AS DOUBLE)""",
 
     "q363_tx_refs" ->
       """WITH o AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders)

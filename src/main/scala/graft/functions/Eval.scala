@@ -1435,4 +1435,58 @@ object Eval {
       when(ok, round(lnOr - lit(1.96) * se, 9)).as("ln_or_lo"),
       when(ok, round(lnOr + lit(1.96) * se, 9)).as("ln_or_hi"))
   }
+
+  /** Krippendorff's α, nominal data (Krippendorff '70; the
+    * computational form of Hayes & Krippendorff '07) — the
+    * inter-rater reliability coefficient that, unlike
+    * [[fleissKappa]]'s fixed-n design, accepts ANY number of ratings
+    * per unit and simply drops unpairable units (m < 2): the
+    * real-world annotation table, where coverage is ragged and
+    * raters come and go. α = 1 − D_o/D_e with
+    * D_o ∝ Σ_u Σ_c n_uc(m_u − n_uc)/(m_u − 1) and
+    * D_e ∝ Σ_c n_c(n − n_c).
+    *
+    * Scale shape: one (unit, value) partial-agg count + one unit
+    * count, a unit-keyed join, then bounded folds — nothing
+    * quadratic, no rater identity needed. The observed-disagreement
+    * terms are rationals with per-unit denominators: each quantizes
+    * to DECIMAL(20,9) pre-sum; the expected side is exact integers.
+    */
+  def krippendorffAlpha(df: DataFrame, unitCol: String,
+                        valueCol: String): DataFrame = {
+    val r = df.select(col(unitCol).cast("string").as("_u"),
+        col(valueCol).cast("string").as("_v"))
+      .filter(col("_v").isNotNull)
+    val mu = r.groupBy("_u").agg(count(lit(1)).as("_m"))
+      .filter(col("_m") >= 2L) // units with one rating are unpairable
+    val nuc = r.groupBy("_u", "_v").agg(count(lit(1)).as("_k"))
+      .join(mu, Seq("_u"))
+    def dbl(c: Column) = c.cast("double")
+    val doRow = nuc.agg(
+      sum((dbl(col("_k")) * dbl(col("_m") - col("_k")) /
+        dbl(col("_m") - 1L)).cast("decimal(20,9)")).as("_do"),
+      count(lit(1)).as("_cells")).head()
+    if (doRow.isNullAt(0)) {
+      // no pairable unit at all
+      return df.sparkSession.createDataFrame(
+          Seq((0L, 0L, None: Option[Double])))
+        .toDF("n_units", "n_ratings", "alpha")
+    }
+    val doSum = doRow.getDecimal(0).doubleValue()
+    val units = mu.count()
+    val ncRow = nuc.groupBy("_v").agg(sum("_k").as("_nc"))
+      .agg(sum("_nc").as("_n"),
+        sum((col("_nc").cast("decimal(38,0)") * col("_nc")).cast("decimal(38,0)"))
+          .as("_nc2")).head()
+    val n = ncRow.getLong(0)
+    val nc2 = ncRow.getDecimal(1).doubleValue()
+    // D_e denominator: Σ_c n_c(n − n_c) = n² − Σ n_c²
+    val de = n.toDouble * n.toDouble - nc2
+    def r9(x: Double): Double = new java.math.BigDecimal(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue + 0.0
+    val alpha =
+      if (de > 0.0) Some(r9(1.0 - (n.toDouble - 1.0) * doSum / de)) else None
+    df.sparkSession.createDataFrame(Seq((units, n, alpha)))
+      .toDF("n_units", "n_ratings", "alpha")
+  }
 }

@@ -598,11 +598,12 @@ object TxTable {
              statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
              maxAttempts: Int = 20, setCols: Seq[String] = Nil,
              partitionBy: Option[String] = None,
-             countRows: Boolean = false): Int =
+             countRows: Boolean = false,
+             nullCols: Seq[String] = Nil): Int =
     commitAs(df, table, currentVersion(df.sparkSession, table) + 1, op, statsCols,
       bloomCols = bloomCols, rebaseAppend = op == "append",
       maxAttempts = maxAttempts, setCols = setCols, partitionBy = partitionBy,
-      countRows = countRows)
+      countRows = countRows, nullCols = nullCols)
 
   /** Bloom-index geometry (recorded per manifest entry so it can evolve
     * without breaking old tables): m bits / k hashes give ~1% FP at
@@ -635,7 +636,8 @@ object TxTable {
                               setCols: Seq[String] = Nil,
                               partitionBy: Option[String] = None,
                               preNamed: Option[Seq[String]] = None,
-                              countRows: Boolean = false): Int = {
+                              countRows: Boolean = false,
+                              nullCols: Seq[String] = Nil): Int = {
     require(op == "append" || op == "overwrite" || op == "compact" ||
       op == "delete" || op == "update" || op == "evolve" || op == "merge",
       s"unknown op $op")
@@ -720,6 +722,11 @@ object TxTable {
     val physStatsCols = statsCols.map(c => physOf(writeMap, c))
     val physBloomCols = bloomCols.map(c => physOf(writeMap, c))
     val physSetCols = setCols.map(c => physOf(writeMap, c))
+    // null counts ride the stats array under '<col>#nulls' — '#' in a
+    // tracked name would collide with that namespace
+    require((physStatsCols ++ nullCols).forall(!_.contains("#")),
+      "TxTable: statsCols/nullCols names may not contain '#'")
+    val physNullCols = nullCols.map(c => physOf(writeMap, c))
     // PARTITIONED LAYOUT (the hive data/<col>=<val>/ shape): a commit
     // carrying parent files INHERITS the parent's partition column —
     // mixing partitioned and flat files under one basePath read is
@@ -803,7 +810,7 @@ object TxTable {
     // kept by the pruner (conservative by construction). Keyed by
     // INDEX into `named` so an append rebase re-keys by rename.
     val newStats: Seq[(Int, String, Double, Double)] =
-      if (physStatsCols.isEmpty) Seq.empty
+      if (physStatsCols.isEmpty && physNullCols.isEmpty) Seq.empty
       else {
         import scala.jdk.CollectionConverters._
         val conf = spark.sparkContext.hadoopConfiguration
@@ -843,6 +850,25 @@ object TxTable {
               if (perBlock.nonEmpty && perBlock.forall(_.isDefined))
                 Some((idx, c, perBlock.map(_.get._1).min, perBlock.map(_.get._2).max))
               else None
+            } ++
+            // NULL-COUNT entries (Delta's nullCount data-skipping
+            // shape, works for ANY column type): the footer records
+            // numNulls per block; a missing/-unknown count on any
+            // block records nothing (kept conservatively). Riding the
+            // stats array under '<col>#nulls' means the entries
+            // carry/rebase/clone/restore/fast-forward with their
+            // files through the machinery stats already have.
+            physNullCols.flatMap { c =>
+              val perBlock = blocks.map { b =>
+                b.getColumns.asScala.find(_.getPath.toDotString == c)
+                  .map(_.getStatistics)
+                  .collect { case st if st != null && st.isNumNullsSet &&
+                      st.getNumNulls >= 0 => st.getNumNulls }
+              }
+              if (perBlock.nonEmpty && perBlock.forall(_.isDefined)) {
+                val n = perBlock.map(_.get).sum.toDouble
+                Some((idx, c + "#nulls", n, n))
+              } else None
             }
           } finally r.close()
         }
@@ -3115,5 +3141,93 @@ object TxTable {
       snap.rows.map(e => (back(e._1), e._2)))
     publishOrConflict(fs(spark, table), table, v, json)
     v
+  }
+
+  /** Per-file null counts of `colName` at version `v` (entries ride
+    * the stats array under '<col>#nulls'); files committed without
+    * null tracking are absent.
+    */
+  def nullCountsOf(spark: SparkSession, table: String, v: Int,
+                   colName: String): Map[String, Long] = {
+    val key = physOf(colMapOf(spark, table, v), colName) + "#nulls"
+    statsOf(spark, table, v)
+      .collect { case (fl, c, lo, _) if c == key => fl -> lo.toLong }.toMap
+  }
+
+  /** NULL-predicate file skipping (Delta's nullCount stats): for
+    * IS NULL, a file recording ZERO nulls cannot match; for
+    * IS NOT NULL, a file whose null count equals its recorded row
+    * count is all-null and cannot match (positional deletes only
+    * remove rows, so both prunes stay conservative). Files without a
+    * recorded count (or, for the all-null test, without a row count)
+    * are always kept.
+    */
+  def prunedFilesByNull(spark: SparkSession, table: String, v: Int,
+                        colName: String, wantNull: Boolean): Seq[String] = {
+    val nulls = nullCountsOf(spark, table, v, colName)
+    val rows = rowCountsOf(spark, table, v).toMap
+    filesOf(spark, table, v).filter { fl =>
+      nulls.get(fl) match {
+        case None => true
+        case Some(n) =>
+          if (wantNull) n > 0
+          else rows.get(fl).forall(rc => n < rc)
+      }
+    }
+  }
+
+  /** IS [NOT] NULL read with null-count file skipping: reads only the
+    * files [[prunedFilesByNull]] keeps, then applies the exact
+    * predicate. On a corpus where missing values cluster by file
+    * (staged backfills, per-source ingests) the completeness audit
+    * reads the incomplete files, not the snapshot.
+    */
+  def readWhereNull(spark: SparkSession, table: String, colName: String,
+                    wantNull: Boolean, version: Int = -1): DataFrame = {
+    val v = if (version > 0) version else currentVersion(spark, table)
+    val kept = prunedFilesByNull(spark, table, v, colName, wantNull)
+    val pred = if (wantNull) col(colName).isNull else col(colName).isNotNull
+    if (kept.isEmpty)
+      return readVersion(spark, table, v).limit(0).filter(pred)
+    snapshotRead(spark, table, v, kept).filter(pred)
+  }
+
+  /** Atomic single-partition overwrite (Delta's `replaceWhere` on a
+    * partition predicate): replace EXACTLY the named hive partition's
+    * files with `df`'s content in one commit — the nightly
+    * re-materialization / backfill-one-day shape, where rewriting the
+    * snapshot (or deleting then appending in two commits, with a
+    * readable half-state between) is wrong at any size. Every other
+    * partition's files carry BY REFERENCE with their stats; rows of
+    * `df` outside the partition refuse loudly BEFORE any write
+    * (Delta's replaceWhere constraint — a silently mis-routed row
+    * would duplicate under another partition's dir while its old
+    * version lives on).
+    *
+    * @return the committed version
+    */
+  def overwritePartition(spark: SparkSession, table: String, df: DataFrame,
+                         value: String, statsCols: Seq[String] = Nil,
+                         countRows: Boolean = false): Int = {
+    val v = currentVersion(spark, table)
+    require(v >= 1, s"TxTable: cannot replace a partition of non-existent $table")
+    val pc = partColOf(spark, table, v).getOrElse(sys.error(
+      s"TxTable: $table is not hive-partitioned — overwritePartition needs " +
+      "a partitionBy layout; use op=\"overwrite\" for a full replace"))
+    require(hiddenSpecOf(pc).isEmpty,
+      s"TxTable: $table uses the hidden transform layout '$pc' — hidden " +
+      "partition values are path-derived; replace through the key surface")
+    // the partition column is stored under its PHYSICAL name; the
+    // caller's frame speaks logical names
+    val logicalPc = colMapOf(spark, table, v)
+      .flatMap(_.collectFirst { case (n, p) if p == pc => n }).getOrElse(pc)
+    val bad = df.filter(col(logicalPc).isNull ||
+      col(logicalPc).cast("string") =!= value).count()
+    require(bad == 0L, s"TxTable: overwritePartition($value): $bad rows " +
+      s"violate $logicalPc = '$value' — replaceWhere writes exactly one partition")
+    val dir = partDirOf(pc, value)
+    val keep = filesOf(spark, table, v).filterNot(_.startsWith(dir + "/"))
+    commitAs(df, table, v + 1, "update", statsCols,
+      carryFiles = Some(keep), countRows = countRows)
   }
 }
