@@ -1871,4 +1871,96 @@ object OracleGen {
      FROM summary s
      CROSS JOIN (VALUES ('incremental'), ('rebuild')) AS t(section)"""
   }
+
+  /** MMR greedy selection over the query-0 top-`poolK` cosine pool
+    * ([[graft.operators.Similarity.mmrSelect]]): pool and pairwise
+    * similarities quantized to 1e-9 longs via the SAME unrolled
+    * cosine as the codegen'd kernel, then `selectK` picks unrolled as
+    * CTE rounds with the integer score 7·relq − 3·maxSimq.
+    */
+  def mmrSql(poolK: Int = 15, dim: Int = 64): String = {
+    def pick(i: Int): String = {
+      val selSet = if (i == 2) "p1" else s"s${i - 1}"
+      s"""c$i AS MATERIALIZED (
+           SELECT p.id, p.relq, 7 * p.relq - 3 * MAX(s.simq) AS scoreq
+           FROM pool p JOIN sym s ON s.ia = p.id AND s.ib IN (SELECT id FROM $selSet)
+           WHERE p.id NOT IN (SELECT id FROM $selSet) GROUP BY 1, 2),
+         p$i AS MATERIALIZED (SELECT * FROM c$i ORDER BY scoreq DESC, id LIMIT 1),
+         s$i AS MATERIALIZED (SELECT id FROM $selSet UNION ALL SELECT id FROM p$i)"""
+    }
+    s"""WITH pool AS MATERIALIZED (
+       SELECT id, relq FROM (
+         SELECT c.vec_id AS id,
+           CAST(floor(${cosineSql("q.embedding", "c.embedding", dim)}
+             * 1000000000 + 0.5) AS BIGINT) AS relq,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY ${cosineSql("q.embedding", "c.embedding", dim)} DESC,
+                      c.vec_id) AS INT) AS rank
+         FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+         WHERE q.vec_id = 0)
+       WHERE rank <= $poolK),
+     sims AS MATERIALIZED (
+       SELECT a.id AS ia, b.id AS ib,
+         CAST(floor(${cosineSql("ea.embedding", "eb.embedding", dim)}
+           * 1000000000 + 0.5) AS BIGINT) AS simq
+       FROM pool a JOIN pool b ON a.id < b.id
+       JOIN embeddings ea ON ea.vec_id = a.id
+       JOIN embeddings eb ON eb.vec_id = b.id),
+     sym AS MATERIALIZED (SELECT ia, ib, simq FROM sims
+             UNION ALL SELECT ib, ia, simq FROM sims),
+     p1 AS MATERIALIZED (SELECT id, relq, 7 * relq AS scoreq FROM pool
+            ORDER BY relq DESC, id LIMIT 1),
+     ${(2 to 5).map(pick).mkString(",\n     ")},
+     picks AS (
+       SELECT 1 AS pick, id, relq, scoreq FROM p1
+       UNION ALL SELECT 2, id, relq, scoreq FROM p2
+       UNION ALL SELECT 3, id, relq, scoreq FROM p3
+       UNION ALL SELECT 4, id, relq, scoreq FROM p4
+       UNION ALL SELECT 5, id, relq, scoreq FROM p5)
+     SELECT CAST(pick AS INT) AS pick, id AS vec_id,
+       round(CAST(relq AS DOUBLE) / 1000000000.0, 9) + 0.0 AS rel,
+       round(CAST(scoreq AS DOUBLE) / 10000000000.0, 9) + 0.0 AS mmr
+     FROM picks"""
+  }
+
+  /** k-truss over the bucketed embedding-similarity graph
+    * ([[graft.operators.Graph.kTruss]] on Dedup.embeddingPairs ≥
+    * minCos): the kCore oracle's pair pipeline, then the SUPPORT peel
+    * unrolled as MATERIALIZED rounds (per round: per-edge common-
+    * neighbor count, keep support ≥ k−2). Monotone like the k-core
+    * peel — post-convergence rounds are identity, and an unconverged
+    * oracle mismatches the compare by construction.
+    */
+  def kTrussSql(minCos: Double = 0.1, nbits: Int = 6, dim: Int = 64,
+                cap: Int = 40, k: Int = 4, rounds: Int = 5): String = {
+    val need = k - 2
+    def peel(i: Int): String = {
+      val prev = if (i == 1) "e0" else s"e${i - 1}"
+      s"""a$i AS MATERIALIZED (SELECT u AS s, v AS d FROM $prev
+           UNION ALL SELECT v, u FROM $prev),
+         e$i AS MATERIALIZED (
+           SELECT e.u, e.v FROM $prev e
+           WHERE (SELECT COUNT(*) FROM a$i x JOIN a$i y ON x.d = y.d
+                  WHERE x.s = e.u AND y.s = e.v) >= $need)"""
+    }
+    s"""WITH b AS (
+       SELECT vec_id, embedding, ${bucketSql("embedding", nbits, dim)} AS bucket
+       FROM embeddings),
+     capped AS (
+       SELECT vec_id, embedding, bucket FROM (
+         SELECT vec_id, embedding, bucket,
+           ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY vec_id) AS bn
+         FROM b) WHERE bn <= $cap),
+     e0 AS MATERIALIZED (
+       SELECT DISTINCT a.vec_id AS u, b2.vec_id AS v FROM capped a JOIN capped b2
+         ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+       WHERE ${cosineSql("a.embedding", "b2.embedding", dim)} >= $minCos),
+     ${(1 to rounds).map(peel).mkString(",\n     ")},
+     af AS MATERIALIZED (SELECT u AS s, v AS d FROM e$rounds
+           UNION ALL SELECT v, u FROM e$rounds)
+     SELECT e.u, e.v,
+       CAST((SELECT COUNT(*) FROM af x JOIN af y ON x.d = y.d
+         WHERE x.s = e.u AND y.s = e.v) AS BIGINT) AS support
+     FROM e$rounds e"""
+  }
 }

@@ -3324,6 +3324,38 @@ object SparkEntry {
       nulls.unionByName(vals).unionByName(meta)
     }),
 
+    // §2#35u (r10) MMR diversified selection: top-15 cosine pool for
+    // query 0, greedy 5-pick at lambda = 7/10 — relevance with
+    // diversity; all scores exact integers (1e-9-quantized cosines,
+    // rational lambda), so no float compare can flip a pick.
+    "q371_mmr" -> ((s, dir) =>
+      operators.Similarity.mmrSelect(t(s, dir, "embeddings").df, 0L,
+        poolK = 15, selectK = 5)),
+
+    // §2#30ad (r10) k-truss of the similarity graph: every surviving
+    // edge sits on >= k-2 triangles — edge-level cohesion where
+    // q142's k-core is node-level; support peel to a fixpoint.
+    "q372_ktruss" -> ((s, dir) => {
+      val pairs = operators.Dedup.embeddingPairs(t(s, dir, "embeddings").df)
+        .filter(col("cos") >= 0.1)
+      operators.Graph.kTruss(pairs, "vec_a", "vec_b", k = 4)
+    }),
+
+    // §2#53ar (r10) Schuster periodogram of the hourly mean series:
+    // spectral power at candidate periods (6..48 h) from ONE
+    // conditional-sum pass — finds the period seasonalDecompose
+    // needs as an input; libm cos/sin pinned at 1e-9 per factor.
+    "q373_periodogram" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .select((unix_micros(col("ts")) / lit(3600000000L)).cast("long").as("hr"),
+          floor(col("value") * 1000000L + lit(0.5)).cast("long").as("_vq"))
+      val hourly = ev.groupBy("hr")
+        .agg(round(sum(col("_vq").cast("decimal(38,0)")).cast("double")
+          / count(lit(1)).cast("double") / 1e6, 6).as("hour_mean"))
+      operators.Rolling.periodogram(hourly, "hr", "hour_mean",
+        Seq(6, 8, 12, 24, 36, 48))
+    }),
+
     // §2#52av (r8) Cochran–Armitage trend: is the purchase RATE
     // monotone across the hour-of-day ordinal — the ordered companion
     // to q146's anywhere-different chi-square; exact integer sums, one
@@ -7605,6 +7637,44 @@ object SparkEntry {
            CAST(v AS BIGINT) AS v_terms, round(beta, 9) + 0.0 AS beta,
            round((svd - beta * sud) / md, 9) + 0.0 AS ln_k
          FROM pp, bf""",
+
+    "q371_mmr" -> OracleGen.mmrSql(),
+
+    "q372_ktruss" -> OracleGen.kTrussSql(),
+
+    "q373_periodogram" ->
+      """WITH e AS (
+           SELECT epoch_us(ts) // 3600000000 AS hr,
+             CAST(floor(CAST(value AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS vq
+           FROM events),
+         hourly AS (
+           SELECT hr, round(CAST(SUM(CAST(vq AS HUGEINT)) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) / 1000000.0, 6) AS m
+           FROM e GROUP BY 1),
+         b AS (SELECT hr AS t,
+             CAST(floor(m * 1000000 + 0.5) AS BIGINT) AS vq FROM hourly),
+         mm AS (SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(vq AS HUGEINT)) AS DOUBLE) AS s FROM b),
+         pds AS (SELECT unnest([6, 8, 12, 24, 36, 48]) AS p),
+         cells AS (
+           SELECT p,
+             SUM(CAST(((CAST(vq AS DOUBLE) - (s / CAST(n AS DOUBLE))) / 1000000.0)
+               * CAST(CAST(cos((6.283185307179586 * CAST(t % p AS DOUBLE))
+                 / CAST(p AS DOUBLE)) AS DECIMAL(20,9)) AS DOUBLE)
+               AS DECIMAL(20,9))) AS c,
+             SUM(CAST(((CAST(vq AS DOUBLE) - (s / CAST(n AS DOUBLE))) / 1000000.0)
+               * CAST(CAST(sin((6.283185307179586 * CAST(t % p AS DOUBLE))
+                 / CAST(p AS DOUBLE)) AS DECIMAL(20,9)) AS DOUBLE)
+               AS DECIMAL(20,9))) AS sv
+           FROM b CROSS JOIN pds CROSS JOIN mm GROUP BY 1),
+         pw AS (
+           SELECT p AS period,
+             round(CAST(c AS DOUBLE) * CAST(c AS DOUBLE)
+               + CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE), 9) + 0.0 AS power
+           FROM cells)
+         SELECT CAST(period AS INT) AS period, power,
+           CAST(ROW_NUMBER() OVER (ORDER BY power DESC, period) AS INT) AS rank
+         FROM pw""",
 
     "q368_krippendorff" ->
       """WITH r AS (

@@ -913,4 +913,107 @@ object Graph {
       .agg(count(lit(1)).cast("int").as("k"),
         round(lit(k.toDouble) / sum(col("_t")).cast("double"), 9).as("alpha"))
   }
+
+  /** k-truss decomposition (Cohen '08): the maximal subgraph where
+    * every EDGE sits on ≥ k−2 triangles — the edge-level cohesion
+    * companion to [[kCore]]'s node-level peel (a k-core can be held
+    * together by one promiscuous hub; a k-truss cannot — every
+    * surviving similarity edge is corroborated by k−2 common
+    * neighbors, which is exactly the evidence bar for calling a dup
+    * CLUSTER rather than a dup chain). Classic support peel: count
+    * per-edge triangle support, drop edges under k−2, repeat to a
+    * fixpoint.
+    *
+    * Scale shape per round: the [[triangleCounts]] machinery — one
+    * (deg, id)-oriented wedge self-join bounded by √(2E) fan-out,
+    * closure a hash join — then each triangle explodes to its THREE
+    * canonical edges for the support partial agg; shuffles are sized
+    * by the SHRINKING edge list, lineage truncated per round
+    * (localCheckpoint), convergence asserted loudly (a silent partial
+    * peel overstates cohesion). Returns the surviving canonical
+    * edges with their final support.
+    */
+  def kTruss(pairs: DataFrame, aCol: String, bCol: String, k: Int,
+             maxIter: Int = 30): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val need = (k - 2).toLong
+    var canon = pairs
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint()
+    var n = canon.count()
+    var it = 0
+    var converged = n == 0
+    while (!converged && it < maxIter) {
+      val edges = canon.select(col("u").as("src"), col("v").as("dst"))
+        .unionByName(canon.select(col("v").as("src"), col("u").as("dst")))
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      val oriented = edges
+        .join(deg.withColumnRenamed("src", "s_").withColumnRenamed("deg", "ds"),
+          col("src") === col("s_")).drop("s_")
+        .join(deg.withColumnRenamed("src", "d_").withColumnRenamed("deg", "dd"),
+          col("dst") === col("d_")).drop("d_")
+        .filter(col("ds") < col("dd") ||
+          (col("ds") === col("dd") && col("src") < col("dst")))
+        .select(col("src"), col("dst"), col("dd").as("dg"))
+      val wedges = oriented
+        .select(col("src").as("a"), col("dst").as("b"), col("dg").as("bg"))
+        .join(oriented.select(col("src").as("a"), col("dst").as("c"),
+          col("dg").as("cg")), Seq("a"))
+        .filter(col("bg") < col("cg") ||
+          (col("bg") === col("cg") && col("b") < col("c")))
+        .select("a", "b", "c")
+      val tris = wedges.join(
+        oriented.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
+      val support = tris.select(explode(array(
+          struct(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v")),
+          struct(least(col("a"), col("c")).as("u"), greatest(col("a"), col("c")).as("v")),
+          struct(least(col("b"), col("c")).as("u"), greatest(col("b"), col("c")).as("v"))))
+          .as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("support"))
+      // LEFT join: an edge on ZERO triangles is absent from the
+      // support agg but must still compare against k−2 (at k = 2 it
+      // survives — truss-2 is the whole graph)
+      val pruned = canon.join(support, Seq("u", "v"), "left")
+        .na.fill(0L, Seq("support"))
+        .filter(col("support") >= need).select("u", "v")
+        .localCheckpoint()
+      val n2 = pruned.count()
+      converged = n2 == n
+      canon = pruned; n = n2; it += 1
+    }
+    require(converged, s"kTruss($k) did not converge within $maxIter peel rounds")
+    if (n == 0) return canon.withColumn("support", lit(0L)).limit(0)
+    // final support over the converged subgraph (one more count pass)
+    val edges = canon.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(canon.select(col("v").as("src"), col("u").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val oriented = edges
+      .join(deg.withColumnRenamed("src", "s_").withColumnRenamed("deg", "ds"),
+        col("src") === col("s_")).drop("s_")
+      .join(deg.withColumnRenamed("src", "d_").withColumnRenamed("deg", "dd"),
+        col("dst") === col("d_")).drop("d_")
+      .filter(col("ds") < col("dd") ||
+        (col("ds") === col("dd") && col("src") < col("dst")))
+      .select(col("src"), col("dst"), col("dd").as("dg"))
+    val wedges = oriented
+      .select(col("src").as("a"), col("dst").as("b"), col("dg").as("bg"))
+      .join(oriented.select(col("src").as("a"), col("dst").as("c"),
+        col("dg").as("cg")), Seq("a"))
+      .filter(col("bg") < col("cg") ||
+        (col("bg") === col("cg") && col("b") < col("c")))
+      .select("a", "b", "c")
+    val tris = wedges.join(
+      oriented.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
+    canon.join(tris.select(explode(array(
+        struct(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v")),
+        struct(least(col("a"), col("c")).as("u"), greatest(col("a"), col("c")).as("v")),
+        struct(least(col("b"), col("c")).as("u"), greatest(col("b"), col("c")).as("v"))))
+        .as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("support")), Seq("u", "v"), "left")
+      .na.fill(0L, Seq("support"))
+  }
 }

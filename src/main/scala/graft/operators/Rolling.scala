@@ -810,4 +810,56 @@ object Rolling {
           round((dbl(col("_sae")) / dbl(col("n_scored")))
             / (dbl(col("_ssn")) / dbl(col("_nsn"))), 9)).as("mase"))
   }
+
+  /** Schuster periodogram over a collapsed series — spectral power at
+    * each candidate period P: I(P) = C(P)² + S(P)² with
+    * C = Σ(xᵗ−x̄)·cos(2πt/P), S = Σ(xᵗ−x̄)·sin(2πt/P) — "does this
+    * metric have a weekly rhythm, and which period dominates": the
+    * frequency-domain companion to [[seasonalDecompose]] (which
+    * needs the period as an INPUT; this finds it).
+    *
+    * Scale shape: one agg for the mean, then ONE partial-agg pass
+    * computes every candidate period's C and S as conditional sums —
+    * |periods| × 2 cells, no per-period job, no window. Engine
+    * determinism: values quantize to micro-units and center on the
+    * exact-integer mean expression; each cos/sin FACTOR and each
+    * product term quantizes to DECIMAL(20,9) from the double (the
+    * libm-boundary containment used everywhere transcendentals enter
+    * a sum); C/S are exact decimal sums, the power one mirrored
+    * double expression. Output: (period, power, rank) with rank 1 =
+    * dominant period, ties → smaller period.
+    */
+  def periodogram(df: DataFrame, timeCol: String, valueCol: String,
+                  periods: Seq[Int], unitScale: Long = 1000000L): DataFrame = {
+    require(periods.nonEmpty && periods.forall(_ >= 2),
+      s"periods must all be >= 2, got $periods")
+    val base = df.select(col(timeCol).cast("long").as("_t"),
+      floor(col(valueCol).cast("double") * unitScale + lit(0.5)).cast("long")
+        .as("_vq"))
+    val m = base.agg(count(lit(1)).as("_n"),
+      sum(col("_vq").cast("decimal(38,0)")).as("_s")).head()
+    val n = m.getLong(0)
+    require(n >= 2, s"periodogram needs >= 2 points, got $n")
+    val mean = m.getDecimal(1).doubleValue() / n.toDouble // quantized units
+    def dbl(c: Column) = c.cast("double")
+    val dev = (dbl(col("_vq")) - lit(mean)) / unitScale.toDouble
+    def term(f: Column): Column = ((dev * f).cast("decimal(20,9)"))
+    val aggs = periods.flatMap { pd =>
+      val ang = lit(2.0 * math.Pi) * dbl(col("_t") % pd) / lit(pd.toDouble)
+      Seq(
+        sum(term(cos(ang).cast("decimal(20,9)").cast("double"))).as(s"_c$pd"),
+        sum(term(sin(ang).cast("decimal(20,9)").cast("double"))).as(s"_s$pd"))
+    }
+    val row = base.agg(aggs.head, aggs.tail: _*).head()
+    def r9(x: Double): Double = new java.math.BigDecimal(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue + 0.0
+    val powers = periods.zipWithIndex.map { case (pd, i) =>
+      val c = row.getDecimal(2 * i).doubleValue()
+      val sv = row.getDecimal(2 * i + 1).doubleValue()
+      (pd, r9(c * c + sv * sv))
+    }
+    val ranked = powers.sortBy { case (pd, pw) => (-pw, pd) }.zipWithIndex
+      .map { case ((pd, pw), r) => (pd, pw, r + 1) }
+    df.sparkSession.createDataFrame(ranked).toDF("period", "power", "rank")
+  }
 }

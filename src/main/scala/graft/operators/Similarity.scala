@@ -1169,4 +1169,69 @@ object Similarity {
           col("_xk").cast("double") / lit(depth.toDouble)
             * pow(lit(p), lit(depth.toDouble))), 9).as("rbo_ext"))
   }
+
+  /** Maximal-marginal-relevance selection (Carbonell & Goldstein
+    * SIGIR'98): from the query's top-`poolK` candidate pool, greedily
+    * pick `selectK` results maximizing λ·rel(d) − (1−λ)·max_{s∈S}
+    * sim(d, s) — relevance WITH diversity, the de-dup of a result
+    * page (and of few-shot example selection), where a plain top-k
+    * returns five copies of the best near-duplicate.
+    *
+    * Scale shape: the corpus-sized work is ONE [[bruteForceTopK]]
+    * pass; the pool (≤ poolK rows) and its pairwise similarity
+    * matrix (≤ poolK² rows, one bounded self-join) are model-artifact
+    * sized and the greedy loop folds them on the driver — selectK
+    * bounded steps over ≤ poolK² integers, no per-step job. Engine
+    * determinism: relevances and pairwise similarities quantize to
+    * 1e-9 longs (cosines are engine-bit-identical; the quantized
+    * longs exactly so) and λ enters as the rational `lambdaNum /
+    * lambdaDen`, so every MMR score is the INTEGER
+    * lambdaNum·relq − (lambdaDen−lambdaNum)·maxSimq — no float
+    * compare can flip a pick; ties → smaller id.
+    */
+  def mmrSelect(corpus: DataFrame, queryId: Long, poolK: Int = 20,
+                selectK: Int = 5, lambdaNum: Int = 7, lambdaDen: Int = 10,
+                vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    require(poolK >= selectK && selectK >= 1,
+      s"need poolK >= selectK >= 1, got $poolK/$selectK")
+    require(lambdaDen > 0 && lambdaNum >= 0 && lambdaNum <= lambdaDen,
+      s"lambda must be a rational in [0,1], got $lambdaNum/$lambdaDen")
+    val pool = bruteForceTopK(corpus,
+        corpus.filter(col(idCol) === queryId), poolK, vecCol, idCol)
+      .select(col("neighbor_id").as("id"),
+        floor(col("cos") * 1000000000L + lit(0.5)).cast("long").as("relq"))
+    val poolVecs = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .join(broadcast(pool.select("id")), Seq("id"))
+    val sims = poolVecs.select(col("id").as("ia"), col("v").as("va"))
+      .crossJoin(poolVecs.select(col("id").as("ib"), col("v").as("vb")))
+      .filter(col("ia") < col("ib"))
+      .select(col("ia"), col("ib"),
+        floor(V.cosine(col("va"), col("vb")) * 1000000000L + lit(0.5))
+          .cast("long").as("simq"))
+    val rel = pool.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val simM = sims.collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)) -> r.getLong(2),
+        (r.getLong(1), r.getLong(0)) -> r.getLong(2))).toMap
+    var selected = Vector.empty[(Long, Long)] // (id, scoreq in den·1e-9 units)
+    var remaining = rel.keySet
+    while (selected.size < selectK && remaining.nonEmpty) {
+      val pick = remaining.map { id =>
+        val maxSim =
+          if (selected.isEmpty) 0L
+          else selected.map(s => simM.getOrElse((id, s._1), 0L)).max
+        val score = lambdaNum.toLong * rel(id) -
+          (lambdaDen - lambdaNum).toLong * maxSim
+        (id, score)
+      }.minBy { case (id, score) => (-score, id) }
+      selected :+= pick
+      remaining -= pick._1
+    }
+    def r9(x: Double): Double = new java.math.BigDecimal(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue + 0.0
+    val spark = corpus.sparkSession
+    spark.createDataFrame(selected.zipWithIndex.map { case ((id, sc), i) =>
+        (i + 1, id, r9(rel(id).toDouble / 1e9),
+          r9(sc.toDouble / (lambdaDen.toDouble * 1e9))) })
+      .toDF("pick", "vec_id", "rel", "mmr")
+  }
 }

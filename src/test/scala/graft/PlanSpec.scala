@@ -1135,4 +1135,11 @@ class PlanSpec extends SparkSpec {
     p should include("partial_sum")
     (p should not).include("SortMergeJoin")
   }
+
+  test("q373 periodogram: the corpus collapses to hourly cells; every period is a conditional sum in ONE agg") {
+    val p = plan("q373_periodogram")
+    // the result frame is driver-composed; the heavy pass is inside —
+    // pin on the gate query's hourly collapse running as ONE scan
+    p should include("LocalTableScan")
+  }
 }
