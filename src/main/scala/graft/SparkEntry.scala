@@ -3356,6 +3356,53 @@ object SparkEntry {
         Seq(6, 8, 12, 24, 36, 48))
     }),
 
+    // §2#53as (r10) Wald SPRT per event type: is the value>500 rate
+    // above 0.5 — sequential early stopping at the first boundary
+    // crossing; integer LLR (quantized per-observation increments),
+    // peek-proof boundaries.
+    "q374_sprt" -> ((s, dir) =>
+      operators.Rolling.sprtBernoulli(
+        streaming.Events.readBatch(s, s"$dir/events.parquet")
+          .select(col("event_type"), col("event_id"),
+            (col("value") > 500.0).as("hit")),
+        "event_type", "event_id", "hit", p0 = 0.5, p1 = 0.55)),
+
+    // §2#52bq (r10) Dunn's post-hoc pairwise rank z after q265's
+    // Kruskal-Wallis: WHICH event types differ; exact half-unit
+    // integer ranks, Bonferroni m reported.
+    "q375_dunn" -> ((s, dir) =>
+      functions.Profile.dunnTest(
+        streaming.Events.readBatch(s, s"$dir/events.parquet")
+          .select(col("event_type"), col("value")),
+        "event_type", "value")),
+
+    // §2#52br (r10) Bland-Altman agreement between each user's mean
+    // click value and mean view value — bias, SD, 95% limits of
+    // agreement, and the pairs outside them.
+    "q376_bland_altman" -> ((s, dir) => {
+      val ev = streaming.Events.readBatch(s, s"$dir/events.parquet")
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("event_type"),
+          floor(col("value") * 1000000L + lit(0.5)).cast("long").as("_vq"))
+      def m(t: String) = {
+        val cnt = sum(when(col("event_type") === t, 1L).otherwise(0L))
+        when(cnt > 0L, round(
+          sum(when(col("event_type") === t, col("_vq")).otherwise(0L)
+            .cast("decimal(38,0)")).cast("double") / cnt.cast("double") / 1e6, 6))
+      }
+      val per = ev.groupBy("user_id")
+        .agg(m("click").as("a"), m("view").as("b"))
+        .filter(col("a").isNotNull && col("b").isNotNull)
+      functions.Profile.blandAltman(per, "a", "b")
+    }),
+
+    // §2#52bs (r10) Sobel mediation on lineitem: does the discount
+    // act on extended price THROUGH quantity — indirect a·b with its
+    // z, direct c'; one pass of exact DECIMAL moments.
+    "q377_sobel" -> ((s, dir) =>
+      functions.Profile.sobelMediation(t(s, dir, "lineitem").df,
+        "l_discount", "l_quantity", "l_extendedprice")),
+
     // §2#52av (r8) Cochran–Armitage trend: is the purchase RATE
     // monotone across the hour-of-day ordinal — the ordered companion
     // to q146's anywhere-different chi-square; exact integer sums, one
@@ -5009,6 +5056,162 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    "q374_sprt" ->
+      """WITH c AS (
+           SELECT CAST(floor(ln(0.55 / 0.5) * 1000000000 + 0.5) AS BIGINT) AS c1,
+             CAST(floor(ln((1.0 - 0.55) / (1.0 - 0.5)) * 1000000000 + 0.5)
+               AS BIGINT) AS c0,
+             CAST(floor(ln((1.0 - 0.05) / 0.05) * 1000000000 + 0.5)
+               AS BIGINT) AS up,
+             CAST(floor(ln(0.05 / (1.0 - 0.05)) * 1000000000 + 0.5)
+               AS BIGINT) AS lo),
+         e AS (
+           SELECT event_type AS key, event_id,
+             CASE WHEN value > 500.0 THEN 1 ELSE 0 END AS x
+           FROM events),
+         sc AS (
+           SELECT key, event_id,
+             ROW_NUMBER() OVER w AS t,
+             SUM(x) OVER w AS cx
+           FROM e WINDOW w AS (PARTITION BY key ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         ll AS (
+           SELECT key, t,
+             cx * (SELECT c1 FROM c) + (t - cx) * (SELECT c0 FROM c) AS llr
+           FROM sc),
+         hits AS (
+           SELECT key, t, llr,
+             CASE WHEN llr >= (SELECT up FROM c) THEN 'h1'
+                  WHEN llr <= (SELECT lo FROM c) THEN 'h0' END AS hit
+           FROM ll),
+         agg AS (
+           SELECT key, COUNT(*) AS n_total,
+             MIN(CASE WHEN hit IS NOT NULL THEN t END) AS nd
+           FROM hits GROUP BY 1)
+         SELECT agg.key, agg.n_total,
+           COALESCE(h.hit, 'continue') AS decision,
+           agg.nd AS n_at_decision,
+           round(CAST(h.llr AS DOUBLE) / 1e9, 9) AS llr_at_decision
+         FROM agg LEFT JOIN hits h ON h.key = agg.key AND h.t = agg.nd""",
+
+    "q375_dunn" ->
+      """WITH b AS (
+           SELECT event_type AS g,
+             CAST(floor(CAST(value AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS v
+           FROM events),
+         hist AS (SELECT v, COUNT(*) AS t FROM b GROUP BY 1),
+         rk AS (
+           SELECT v, t,
+             SUM(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS cum
+           FROM hist),
+         hr AS (SELECT v, 2 * (cum - t) + t + 1 AS hr2 FROM rk),
+         pg AS (
+           SELECT g, SUM(c) AS n,
+             SUM(CAST(c AS HUGEINT) * hr2) AS sr2
+           FROM (SELECT g, v, COUNT(*) AS c FROM b GROUP BY 1, 2) gv
+           JOIN hr ON gv.v = hr.v GROUP BY 1),
+         sc AS (
+           SELECT CAST(SUM(t) AS BIGINT) AS nn,
+             CAST(SUM(CAST(t AS HUGEINT) * t * t - t) AS DOUBLE) AS ties
+           FROM hist),
+         s2 AS (
+           SELECT CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0) / 12.0
+             - ties / (12.0 * (CAST(nn AS DOUBLE) - 1.0)) AS sig2
+           FROM sc),
+         kk AS (SELECT COUNT(*) AS k FROM pg)
+         SELECT a.g AS a, b2.g AS b,
+           CAST(a.n AS BIGINT) AS n_a, CAST(b2.n AS BIGINT) AS n_b,
+           CASE WHEN sig2 > 0.0 THEN round(
+             (CAST(a.sr2 AS DOUBLE) / (2.0 * CAST(a.n AS DOUBLE))
+              - CAST(b2.sr2 AS DOUBLE) / (2.0 * CAST(b2.n AS DOUBLE)))
+             / sqrt(sig2 * (1.0 / CAST(a.n AS DOUBLE)
+               + 1.0 / CAST(b2.n AS DOUBLE))), 9) END AS z,
+           CAST(k * (k - 1) // 2 AS BIGINT) AS m_comparisons
+         FROM pg a JOIN pg b2 ON a.g < b2.g, s2, kk""",
+
+    "q376_bland_altman" ->
+      """WITH e AS (
+           SELECT user_id, event_type,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vq
+           FROM events WHERE event_type IN ('click', 'view')),
+         per AS (
+           SELECT user_id,
+             CASE WHEN SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) > 0
+               THEN round(CAST(SUM(CASE WHEN event_type = 'click'
+                     THEN CAST(vq AS HUGEINT) ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                     AS DOUBLE) / 1000000.0, 6) END AS a,
+             CASE WHEN SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) > 0
+               THEN round(CAST(SUM(CASE WHEN event_type = 'view'
+                     THEN CAST(vq AS HUGEINT) ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                     AS DOUBLE) / 1000000.0, 6) END AS b
+           FROM e GROUP BY 1),
+         d AS (
+           SELECT CAST(floor(a * 1000000 + 0.5) AS BIGINT)
+             - CAST(floor(b * 1000000 + 0.5) AS BIGINT) AS dq
+           FROM per WHERE a IS NOT NULL AND b IS NOT NULL),
+         m AS (
+           SELECT COUNT(*) AS n, CAST(SUM(CAST(dq AS HUGEINT)) AS DOUBLE) AS s,
+             CAST(SUM(CAST(dq AS HUGEINT) * dq) AS DOUBLE) AS s2
+           FROM d),
+         st AS (
+           SELECT n, s / CAST(n AS DOUBLE) / 1000000.0 AS mean_d,
+             sqrt((s2 - s * s / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)
+               / 1000000.0 / 1000000.0) AS sd_d
+           FROM m)
+         SELECT CAST(n AS BIGINT) AS n,
+           round(mean_d, 9) + 0.0 AS mean_diff, round(sd_d, 9) + 0.0 AS sd_diff,
+           round(mean_d - 1.96 * sd_d, 9) + 0.0 AS loa_lo,
+           round(mean_d + 1.96 * sd_d, 9) + 0.0 AS loa_hi,
+           (SELECT COUNT(*) FROM d, st
+            WHERE CAST(dq AS DOUBLE) / 1000000.0 < mean_d - 1.96 * sd_d
+               OR CAST(dq AS DOUBLE) / 1000000.0 > mean_d + 1.96 * sd_d)
+             AS n_outside
+         FROM st""",
+
+    "q377_sobel" ->
+      """WITH q AS (
+           SELECT CAST(floor(CAST(l_discount AS DOUBLE) * 100 + 0.5) AS HUGEINT) AS x,
+             CAST(floor(CAST(l_quantity AS DOUBLE) * 100 + 0.5) AS HUGEINT) AS m,
+             CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100 + 0.5) AS HUGEINT) AS y
+           FROM lineitem),
+         mm AS (
+           SELECT CAST(COUNT(*) AS DOUBLE) AS n, COUNT(*) AS nn,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(m) AS DOUBLE) AS sm,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx, CAST(SUM(m * m) AS DOUBLE) AS smm,
+             CAST(SUM(y * y) AS DOUBLE) AS syy,
+             CAST(SUM(x * m) AS DOUBLE) AS sxm, CAST(SUM(x * y) AS DOUBLE) AS sxy,
+             CAST(SUM(m * y) AS DOUBLE) AS smy
+           FROM q),
+         cen AS (
+           SELECT nn, n, sxx - sx * sx / n AS cxx, smm - sm * sm / n AS cmm,
+             syy - sy * sy / n AS cyy, sxm - sx * sm / n AS cxm,
+             sxy - sx * sy / n AS cxy, smy - sm * sy / n AS cmy
+           FROM mm),
+         fit AS (
+           SELECT nn, n, cyy, cxy, cmy, cxx,
+             cxm / cxx AS a_hat,
+             ((cmm - cxm * cxm / cxx) / (n - 2.0)) / cxx AS se_a2,
+             cxx * cmm - cxm * cxm AS det,
+             (cmm * cxy - cxm * cmy) / (cxx * cmm - cxm * cxm) AS c_prime,
+             (cxx * cmy - cxm * cxy) / (cxx * cmm - cxm * cxm) AS b_hat
+           FROM cen),
+         fit3 AS (
+           SELECT nn, a_hat, b_hat, c_prime, se_a2,
+             ((cyy - c_prime * cxy - b_hat * cmy) / (n - 3.0)) * cxx / det
+               AS se_b2
+           FROM fit)
+         SELECT CAST(nn AS BIGINT) AS n,
+           round(a_hat, 9) + 0.0 AS a_path, round(b_hat, 9) + 0.0 AS b_path,
+           round(c_prime, 9) + 0.0 AS direct,
+           round(a_hat * b_hat, 9) + 0.0 AS indirect,
+           round(a_hat * b_hat / sqrt(a_hat * a_hat * se_b2
+             + b_hat * b_hat * se_a2), 9) + 0.0 AS sobel_z
+         FROM fit3""",
+
     "q01_groupby_agg" ->
       """SELECT l_returnflag, l_linestatus,
          COUNT(l_orderkey) AS n_rows,

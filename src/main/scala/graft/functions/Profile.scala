@@ -2031,4 +2031,150 @@ object Profile {
           col("_tsy") - col("_psy"), col("_tsxx") - col("_psxx"),
           col("_tsxy") - col("_psxy")) / unitScale, 9).as("slope_post"))
   }
+
+  /** Dunn's post-hoc test (Dunn '64) — WHICH groups differ, after
+    * [[kruskalWallis]]' one-number verdict that SOME do: pairwise
+    * z_ij = (R̄ᵢ − R̄ⱼ)/√(σ²·(1/nᵢ + 1/nⱼ)) on the pooled
+    * tie-averaged ranks, with σ² = N(N+1)/12 − Σ(t³−t)/(12(N−1)) and
+    * the Bonferroni m = k(k−1)/2 reported for the caller's α/m cut.
+    *
+    * Rank arithmetic is the exact half-unit integer family (q216):
+    * 2·avgRank = 2·cumBefore + t + 1 per DISTINCT value, per-group
+    * rank sums fold as exact DECIMAL(38,0) products, the window walks
+    * distinct values only; every z is one mirrored double of exact
+    * integers.
+    */
+  def dunnTest(df: DataFrame, groupCol: String, valueCol: String,
+               unitScale: Long = 1000000L): DataFrame = {
+    val base = df.select(col(groupCol).cast("string").as("_g"),
+      floor(col(valueCol).cast("double") * unitScale + lit(0.5)).cast("long")
+        .as("_v"))
+    val hist = base.groupBy("_v").agg(count(lit(1)).as("_t"))
+    val w = Window.orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = hist
+      .withColumn("_cum", sum(col("_t")).over(w))
+      .withColumn("_hr2", lit(2L) * (col("_cum") - col("_t")) + col("_t") + 1L)
+    val perGroup = base.groupBy("_g", "_v").agg(count(lit(1)).as("_c"))
+      .join(ranked.select(col("_v"), col("_hr2")), Seq("_v"))
+      .groupBy("_g")
+      .agg(sum("_c").as("_n"),
+        sum((col("_c").cast("decimal(38,0)") * col("_hr2")).cast("decimal(38,0)"))
+          .as("_sr2"))
+    val scalars = hist.agg(sum("_t").as("_nn"),
+      sum((col("_t").cast("decimal(38,0)") * col("_t") * col("_t") - col("_t"))
+        .cast("decimal(38,0)")).as("_ties")).head()
+    val n = scalars.getLong(0)
+    require(n >= 2, s"dunnTest needs >= 2 rows, got $n")
+    val ties = scalars.getDecimal(1).doubleValue()
+    val sig2 = n.toDouble * (n.toDouble + 1.0) / 12.0 -
+      ties / (12.0 * (n.toDouble - 1.0))
+    def dbl(c: Column) = c.cast("double")
+    val a = perGroup.select(col("_g").as("a"), col("_n").as("_na"),
+      col("_sr2").as("_sa"))
+    val b = perGroup.select(col("_g").as("b"), col("_n").as("_nb"),
+      col("_sr2").as("_sb"))
+    val pairs = a.crossJoin(b).filter(col("a") < col("b"))
+    val k = perGroup.count()
+    pairs.select(col("a"), col("b"), col("_na").as("n_a"), col("_nb").as("n_b"),
+        when(lit(sig2) > 0.0, round(
+          (dbl(col("_sa")) / (lit(2.0) * dbl(col("_na"))) -
+           dbl(col("_sb")) / (lit(2.0) * dbl(col("_nb")))) /
+          sqrt(lit(sig2) * (lit(1.0) / dbl(col("_na")) +
+            lit(1.0) / dbl(col("_nb")))), 9)).as("z"))
+      .withColumn("m_comparisons", lit(k * (k - 1) / 2))
+  }
+
+  /** Bland–Altman agreement analysis (Bland & Altman '86) — do two
+    * measurement methods agree well enough to swap: the mean paired
+    * difference (bias), its SD, the 95% limits of agreement mean ±
+    * 1.96·SD, and how many pairs fall outside them — the
+    * method-comparison standard where a correlation coefficient
+    * misleads (two methods can correlate at .99 and still disagree
+    * by a constant clinically-fatal offset).
+    *
+    * Differences quantize to micro-unit longs; moments are exact
+    * DECIMAL sums; the outside-count compares each exact difference
+    * against limit doubles of exact integers — mirrored both engines.
+    */
+  def blandAltman(df: DataFrame, aCol: String, bCol: String,
+                  unitScale: Long = 1000000L): DataFrame = {
+    val d = (floor(col(aCol).cast("double") * unitScale + lit(0.5)) -
+      floor(col(bCol).cast("double") * unitScale + lit(0.5))).cast("long")
+    val base = df.select(d.as("_d"))
+    val m = base.agg(count(lit(1)).as("_n"),
+      sum(col("_d").cast("decimal(38,0)")).as("_s"),
+      sum((col("_d").cast("decimal(38,0)") * col("_d")).cast("decimal(38,0)"))
+        .as("_s2")).head()
+    val n = m.getLong(0)
+    require(n >= 2, s"blandAltman needs >= 2 pairs, got $n")
+    val sD = m.getDecimal(1).doubleValue(); val s2 = m.getDecimal(2).doubleValue()
+    val mean = sD / n.toDouble / unitScale.toDouble
+    val varD = (s2 - sD * sD / n.toDouble) /
+      (n.toDouble - 1.0) / unitScale.toDouble / unitScale.toDouble
+    val sd = math.sqrt(varD)
+    val lo = mean - 1.96 * sd; val hi = mean + 1.96 * sd
+    val nOut = base.filter(
+      col("_d").cast("double") / unitScale.toDouble < lo ||
+      col("_d").cast("double") / unitScale.toDouble > hi).count()
+    def r9(x: Double): Double = new java.math.BigDecimal(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue + 0.0
+    df.sparkSession.createDataFrame(Seq(
+        (n, r9(mean), r9(sd), r9(lo), r9(hi), nOut)))
+      .toDF("n", "mean_diff", "sd_diff", "loa_lo", "loa_hi", "n_outside")
+  }
+
+  /** Sobel mediation test (Baron & Kenny '86; Sobel '82): does x act
+    * on y THROUGH m — the indirect effect a·b from the two fits
+    * m ~ x (slope a) and y ~ x + m (partial slope b, direct c′), with
+    * z = a·b/√(a²·se_b² + b²·se_a²). The causal-path screen behind
+    * "the discount moves revenue, but is it via quantity".
+    *
+    * All ten second moments fold in ONE partial-agg pass as exact
+    * DECIMAL(38,0) sums of quantized values; both regressions and
+    * their standard errors are closed-form double expressions of
+    * those exact integers, mirrored in the oracle.
+    */
+  def sobelMediation(df: DataFrame, xCol: String, mCol: String, yCol: String,
+                     unitScale: Long = 100L): DataFrame = {
+    def q(c: String) =
+      floor(col(c).cast("double") * unitScale + lit(0.5)).cast("decimal(38,0)")
+    val r = df.agg(count(lit(1)).as("_n"),
+      sum(q(xCol)).as("_sx"), sum(q(mCol)).as("_sm"), sum(q(yCol)).as("_sy"),
+      sum(q(xCol) * q(xCol)).as("_sxx"), sum(q(mCol) * q(mCol)).as("_smm"),
+      sum(q(yCol) * q(yCol)).as("_syy"),
+      sum(q(xCol) * q(mCol)).as("_sxm"),
+      sum(q(xCol) * q(yCol)).as("_sxy"),
+      sum(q(mCol) * q(yCol)).as("_smy")).head()
+    val n = r.getLong(0).toDouble
+    require(n > 3, s"sobelMediation needs n > 3, got ${r.getLong(0)}")
+    val Seq(sx, sm, sy, sxx, smm, syy, sxm, sxy, smy) =
+      (1 to 9).map(i => r.getDecimal(i).doubleValue())
+    // centered moments (quantized units²)
+    val cxx = sxx - sx * sx / n; val cmm = smm - sm * sm / n
+    val cyy = syy - sy * sy / n
+    val cxm = sxm - sx * sm / n; val cxy = sxy - sx * sy / n
+    val cmy = smy - sm * sy / n
+    require(cxx > 0 && cmm > 0, "sobelMediation: degenerate x or m")
+    // path a: m ~ x
+    val aHat = cxm / cxx
+    val sseA = cmm - cxm * cxm / cxx
+    val seA2 = (sseA / (n - 2.0)) / cxx
+    // paths (c', b): y ~ x + m, normal equations on centered moments
+    val det = cxx * cmm - cxm * cxm
+    require(det > 0, "sobelMediation: x and m are collinear")
+    val cPrime = (cmm * cxy - cxm * cmy) / det
+    val bHat = (cxx * cmy - cxm * cxy) / det
+    val sse = cyy - cPrime * cxy - bHat * cmy
+    val sig2 = sse / (n - 3.0)
+    val seB2 = sig2 * cxx / det
+    val sobel = aHat * bHat /
+      math.sqrt(aHat * aHat * seB2 + bHat * bHat * seA2)
+    def r9(x: Double): Double = new java.math.BigDecimal(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue + 0.0
+    df.sparkSession.createDataFrame(Seq(
+        (r.getLong(0), r9(aHat), r9(bHat), r9(cPrime), r9(aHat * bHat),
+          r9(sobel))))
+      .toDF("n", "a_path", "b_path", "direct", "indirect", "sobel_z")
+  }
 }

@@ -862,4 +862,55 @@ object Rolling {
       .map { case ((pd, pw), r) => (pd, pw, r + 1) }
     df.sparkSession.createDataFrame(ranked).toDF("period", "power", "rank")
   }
+
+  /** Wald's sequential probability ratio test (SPRT, Wald '45) per
+    * key: H₀: p = p0 vs H₁: p = p1 over an ORDERED Bernoulli stream,
+    * stopping at the FIRST boundary crossing — the early-stopping
+    * discipline for A/B monitors and data-quality gates (peeking at
+    * a fixed-n test inflates α; SPRT's boundaries ln((1−β)/α),
+    * ln(β/(1−α)) are peek-proof by construction).
+    *
+    * One key-partitioned sort carries the cumulative success count;
+    * the log-likelihood ratio is the INTEGER cumX·c1q + cum(1−X)·c0q
+    * with the two per-observation increments quantized to 1e-9 once
+    * (libm containment), so crossings compare integers. Emits per
+    * key: the decision at the first crossing ('h1'/'h0', 'continue'
+    * if the stream ends first), n and the scaled LLR at that point.
+    */
+  def sprtBernoulli(df: DataFrame, keyCol: String, timeCol: String,
+                    outcomeCol: String, p0: Double, p1: Double,
+                    alpha: Double = 0.05, beta: Double = 0.05,
+                    tieCols: Seq[String] = Nil): DataFrame = {
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p1 != p0,
+      s"need distinct p0, p1 in (0,1), got $p0/$p1")
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
+      s"need alpha, beta in (0,1), got $alpha/$beta")
+    val q = 1000000000L
+    def lnq(x: Double): Long = math.floor(math.log(x) * q + 0.5).toLong
+    val c1 = lnq(p1 / p0)               // per-success increment
+    val c0 = lnq((1.0 - p1) / (1.0 - p0)) // per-failure increment
+    val aUp = lnq((1.0 - beta) / alpha)   // accept H1 at llr >= aUp
+    val bLo = lnq(beta / (1.0 - alpha))   // accept H0 at llr <= bLo
+    val ord = col(timeCol) +: tieCols.map(col)
+    val w = Window.partitionBy(keyCol).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = df
+      .withColumn("_x", when(col(outcomeCol).cast("boolean"), 1L).otherwise(0L))
+      .withColumn("_t", count(lit(1)).over(w))
+      .withColumn("_cx", sum(col("_x")).over(w))
+      .withColumn("_llr",
+        col("_cx") * c1 + (col("_t") - col("_cx")) * c0)
+      .withColumn("_hit", when(col("_llr") >= aUp, lit("h1"))
+        .when(col("_llr") <= bLo, lit("h0")))
+    def firstAt(cond: Column): Column = min(when(cond, col("_t")))
+    scored.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n_total"),
+        firstAt(col("_hit").isNotNull).as("_nd"),
+        min(when(col("_hit").isNotNull,
+          struct(col("_t"), col("_hit"), col("_llr")))).as("_first"))
+      .select(col("key"), col("n_total"),
+        coalesce(col("_first._hit"), lit("continue")).as("decision"),
+        col("_nd").as("n_at_decision"),
+        round(col("_first._llr").cast("double") / 1e9, 9).as("llr_at_decision"))
+  }
 }

@@ -1142,4 +1142,16 @@ class PlanSpec extends SparkSpec {
     // pin on the gate query's hourly collapse running as ONE scan
     p should include("LocalTableScan")
   }
+
+  test("q374 sprt: per-key sorted window carries the cumulative LLR; rollup combines map-side") {
+    val p = plan("q374_sprt")
+    p should include("windowspecdefinition(event_type")
+    p should include("partial_min")
+  }
+
+  test("q375 dunn: rank window walks DISTINCT values; group pairing is a bounded cross join") {
+    val p = plan("q375_dunn")
+    p should include("partial_count") // histogram cells combine map-side
+    p should include("BroadcastNestedLoopJoin") // k x k pair table
+  }
 }
