@@ -27,6 +27,21 @@ object Eval {
 
   private def d(c: Column): Column = c.cast("double")
 
+  /** Replicate-expand stages (bootstrap B×, permutation reps×) are
+    * CPU-per-row work whose input arrives as few scan splits (one
+    * small parquet file = one task): without a rebalance the whole
+    * B·rows hash/agg pipeline runs on the scan's parallelism — one
+    * core, measured at sf0.1 (8 tasks total, wall ≈ single-thread CPU
+    * time). The Dedup/Multimodal rebalance pattern: one cheap shuffle
+    * of the RAW (1×) rows, pinned partition count (AQE cannot coalesce
+    * it), hash-keyed so the spread is even — always ≤1/B of the expand
+    * stage's bytes, so it is never the wrong trade at any scale.
+    */
+  private def rebalance(df: DataFrame, keyCol: String): DataFrame = {
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    df.repartition(n, col(keyCol))
+  }
+
   /** ROC AUC per group, exactly, via the rank-sum identity
     * AUC = U⁺/(n⁺·n⁻) (Hanley–McNeil 1982): the probability a random
     * positive outranks a random negative, ties counted half. This is
@@ -456,8 +471,11 @@ object Eval {
     require(alphaNum > 0 && alphaNum * 2 < alphaDen,
       s"alpha must be in (0, 1/2): $alphaNum/$alphaDen")
     val vq = floor(col(valueCol).cast("double") * unitScale + lit(0.5)).cast("long")
-    val base = df.select(col(groupCol).as("_g"), vq.as("_v"),
-      Hashing.portableHash(concat(lit("bs|"), col(idCol).cast("string"))).as("_hb"))
+    // rebalance BEFORE the B× expand: the per-(row, replicate) affine
+    // hash + Poisson threshold chain is the dominant CPU and must not
+    // inherit a 1-split scan's parallelism
+    val base = rebalance(df.select(col(groupCol).as("_g"), vq.as("_v"),
+      Hashing.portableHash(concat(lit("bs|"), col(idCol).cast("string"))).as("_hb")), "_hb")
     val aArr = array((0 until b).map(i => lit(Hashing.affineA(i))): _*)
     val bArr = array((0 until b).map(i => lit(Hashing.affineB(i))): _*)
     val u = pmod(element_at(aArr, col("_r") + 1) * col("_hb")
@@ -1204,11 +1222,14 @@ object Eval {
                           reps: Int = 100,
                           unitScale: Long = 1000000L): DataFrame = {
     require(reps > 0, s"reps must be positive, got $reps")
-    val two = df.filter(col(groupCol).isin(a, b))
+    // rebalance BEFORE the reps× relabeling expand (one md5 per
+    // (row, replicate)): same single-split-scan hazard as the
+    // bootstrap — the 1× shuffle is ≤1/reps of the expand bytes
+    val two = rebalance(df.filter(col(groupCol).isin(a, b))
       .select(col(idCol).cast("string").as("_id"),
         col(groupCol).as("_g"),
         floor(col(valueCol).cast("double") * unitScale + 0.5).cast("long")
-          .as("_vq"))
+          .as("_vq")), "_id")
     // a degenerate relabeling (one side empty) yields a NULL diff —
     // the oracle's DuckDB division-by-zero semantics — and the NULL
     // then fails the >= extremeness filter on both engines (only

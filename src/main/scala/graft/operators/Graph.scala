@@ -203,11 +203,36 @@ object Graph {
   def kCore(pairs: DataFrame, aCol: String, bCol: String, k: Int,
             maxIter: Int = 30): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    val spark = pairs.sparkSession
     var edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .localCheckpoint()
     var n = edges.count()
+    // adaptive local path: integer peel, rounds and outputs mirror the
+    // distributed loop exactly (triangleCounts rationale)
+    val gate = localEdgeGate(spark)
+    if (gate > 0 && longCols(pairs, aCol, bCol) && n <= gate) {
+      var es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      var itL = 0
+      var conv = es.isEmpty
+      while (!conv && itL < maxIter) {
+        val deg = new java.util.HashMap[Long, Long]()
+        es.foreach { case (s, _) => deg.merge(s, 1L, _ + _) }
+        val pruned = es.filter { case (s, d) =>
+          deg.getOrDefault(s, 0L) >= k && deg.getOrDefault(d, 0L) >= k }
+        conv = pruned.length == es.length
+        es = pruned; itL += 1
+      }
+      require(conv, s"kCore($k) did not converge within $maxIter peel rounds")
+      val deg = new java.util.HashMap[Long, Long]()
+      es.foreach { case (s, _) => deg.merge(s, 1L, _ + _) }
+      import spark.implicits._
+      val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      val itr = deg.entrySet().iterator()
+      while (itr.hasNext) { val e = itr.next(); rows += ((e.getKey, e.getValue)) }
+      return rows.toSeq.toDF("node", "core_degree")
+    }
     var it = 0
     var converged = n == 0
     while (!converged && it < maxIter) {
@@ -224,6 +249,81 @@ object Graph {
     }
     require(converged, s"kCore($k) did not converge within $maxIter peel rounds")
     edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_degree"))
+  }
+
+  // -----------------------------------------------------------------
+  // Exact local small-graph fast path (the Dedup.components adaptive
+  // union-find precedent, generalized to the integer graph kernels).
+  //
+  // Every operator below consumes a DERIVED pair list (bucket-capped
+  // candidate pairs) that is orders of magnitude smaller than the
+  // corpus. When that list fits the driver comfortably, the
+  // distributed peel/wedge rounds are pure scheduling overhead: at
+  // sf0.1, kTruss ran 108 jobs (~30 peel rounds × 3-4 actions) and
+  // triangleCounts 57 jobs/1205 tasks for an 11k-edge graph a single
+  // core closes in milliseconds. The kernels are integer fixpoints
+  // (counts, supports, peels) with at most one mirrored double
+  // expression at the very end, so the local form reproduces the
+  // distributed outputs EXACTLY (property-tested both ways).
+  //
+  // Gate: conf "graft.graph.localEdgeGate" (edges; default 200000 ≈
+  // 3 MB of id pairs, the IVF-centroid-artifact budget class; "0"
+  // disables — the scale posture stays: above the gate, or for
+  // non-LONG ids, the distributed rounds run unchanged).
+  // -----------------------------------------------------------------
+
+  private def localEdgeGate(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.get("graft.graph.localEdgeGate", "200000").toLong
+
+  private def longCols(df: DataFrame, cols: String*): Boolean =
+    cols.forall(c => df.schema(c).dataType == org.apache.spark.sql.types.LongType)
+
+  /** Enumerate every triangle of the undirected graph given by
+    * `edges` (SYMMETRIZED distinct directed pairs) exactly once via
+    * the same Schank–Wagner (degree, id) orientation the distributed
+    * plan uses, calling `emit(a, b, c)` with a the orientation-
+    * smallest vertex and (b, c) in orientation order. Degrees count
+    * self-loops (they are in the symmetric edge set) but self-loops
+    * never orient, exactly like the distributed filter.
+    */
+  private def localTriangles(edges: Array[(Long, Long)])
+                            (emit: (Long, Long, Long) => Unit): Unit = {
+    val deg = new java.util.HashMap[Long, Long]()
+    edges.foreach { case (s, _) => deg.merge(s, 1L, _ + _) }
+    @inline def less(x: Long, y: Long): Boolean = {
+      val dx = deg.get(x); val dy = deg.get(y)
+      dx < dy || (dx == dy && x < y)
+    }
+    val adj = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
+    // closure probes need a set keyed on the PAIR; ids are arbitrary
+    // longs, so probe a set of (b, c) tuples
+    val orientedPairs = new java.util.HashSet[(Long, Long)]()
+    edges.foreach { case (s, d) =>
+      if (s != d && less(s, d)) {
+        var buf = adj.get(s)
+        if (buf == null) { buf = scala.collection.mutable.ArrayBuffer.empty[Long]; adj.put(s, buf) }
+        buf += d
+        orientedPairs.add((s, d))
+        ()
+      }
+    }
+    val it = adj.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val a = e.getKey
+      val nbrs = e.getValue.sortWith(less)
+      var i = 0
+      while (i < nbrs.length) {
+        var j = i + 1
+        val b = nbrs(i)
+        while (j < nbrs.length) {
+          val c = nbrs(j)
+          if (orientedPairs.contains((b, c))) emit(a, b, c)
+          j += 1
+        }
+        i += 1
+      }
+    }
   }
 
   /** Exact triangle count per vertex over an undirected pair list —
@@ -245,6 +345,7 @@ object Graph {
     * plain hash semi-join against the oriented edge set.
     */
   def triangleCounts(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val spark = pairs.sparkSession
     // persisted like components' pair list: the edge list is the small
     // derived artifact (candidate pairs), and it feeds degrees, both
     // orientation joins, and the wedge closure — without the persist
@@ -253,6 +354,24 @@ object Graph {
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // adaptive local path: the count materializes the persist either
+    // way (the distributed branch reuses it for free)
+    val gate = localEdgeGate(spark)
+    if (gate > 0 && longCols(pairs, aCol, bCol) && edges.count() <= gate) {
+      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      edges.unpersist()
+      val tri = new java.util.HashMap[Long, Long]()
+      var total = 0L
+      localTriangles(es) { (a, b, c) =>
+        tri.merge(a, 1L, _ + _); tri.merge(b, 1L, _ + _); tri.merge(c, 1L, _ + _)
+        total += 1
+      }
+      import spark.implicits._
+      val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      val it = tri.entrySet().iterator()
+      while (it.hasNext) { val e = it.next(); rows += ((e.getKey, e.getValue, total)) }
+      return rows.toSeq.toDF("node", "n_triangles", "total_triangles")
+    }
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     // orient by (deg, id): strict total order → acyclic
     val oriented = edges
@@ -270,12 +389,19 @@ object Graph {
       .select("a", "b", "c")
     val tris = wedges.join(
       oriented.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
+    // node-sized checkpoint FIRST: `tris` was referenced twice (the
+    // per-node agg and the global count), so the whole oriented-wedge
+    // subtree evaluated twice per query; the global count is the exact
+    // integer sum(n_triangles) DIV 3 over the checkpointed per-node
+    // frame (each triangle contributes once to each of its 3 corners),
+    // so the second wedge pass disappears outright (2 subtree
+    // evaluations → 1; plan pins in plans/r10/)
     val perNode = tris
       .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
-    // eager result checkpoint then edge-cache release (modularity pattern)
-    val out = perNode.crossJoin(broadcast(
-      tris.agg(count(lit(1)).as("total_triangles")))).localCheckpoint()
+      .localCheckpoint()
+    val out = perNode.crossJoin(broadcast(perNode.agg(
+      expr("CAST(SUM(n_triangles) DIV 3 AS BIGINT)").as("total_triangles"))))
     edges.unpersist()
     out
   }
@@ -298,10 +424,41 @@ object Graph {
     * Output: (node, deg, n_triangles, cc).
     */
   def clusteringCoefficient(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val spark = pairs.sparkSession
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // adaptive local path (triangleCounts rationale); cc mirrors the
+    // distributed double expression exactly: (2.0·T)/(d·(d−1.0)) then
+    // Round's own double path, BigDecimal.valueOf(x).setScale(9, HALF_UP)
+    val gate = localEdgeGate(spark)
+    if (gate > 0 && longCols(pairs, aCol, bCol) && edges.count() <= gate) {
+      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      edges.unpersist()
+      val degL = new java.util.HashMap[Long, Long]()
+      es.foreach { case (s, _) => degL.merge(s, 1L, _ + _) }
+      val tri = new java.util.HashMap[Long, Long]()
+      localTriangles(es) { (a, b, c) =>
+        tri.merge(a, 1L, _ + _); tri.merge(b, 1L, _ + _); tri.merge(c, 1L, _ + _)
+        ()
+      }
+      import spark.implicits._
+      val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Option[Double])]
+      val it = degL.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val node = e.getKey; val d = e.getValue
+        val t = tri.getOrDefault(node, 0L)
+        val cc = if (d >= 2)
+          Some(java.math.BigDecimal.valueOf(
+              (2.0 * t.toDouble) / (d.toDouble * (d.toDouble - 1.0)))
+            .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue())
+        else None
+        rows += ((node, d, t, cc))
+      }
+      return rows.toSeq.toDF("node", "deg", "n_triangles", "cc")
+    }
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val oriented = edges
       .join(deg.withColumnRenamed("src", "src_").withColumnRenamed("deg", "ds"),
@@ -937,12 +1094,49 @@ object Graph {
              maxIter: Int = 30): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
     val need = (k - 2).toLong
+    val spark = pairs.sparkSession
     var canon = pairs
       .select(least(col(aCol), col(bCol)).as("u"),
         greatest(col(aCol), col(bCol)).as("v"))
       .filter(col("u") =!= col("v")).distinct()
       .localCheckpoint()
     var n = canon.count()
+    // adaptive local path: the peel is a pure integer fixpoint whose
+    // distributed form ran 108 jobs (~30 rounds × 3-4 actions) on an
+    // 11k-edge sf0.1 graph; rounds and outputs mirror exactly
+    val gate = localEdgeGate(spark)
+    if (gate > 0 && longCols(canon, "u", "v") && n <= gate) {
+      var es = canon.collect().map(r => (r.getLong(0), r.getLong(1)))
+      def supports(ce: Array[(Long, Long)]): java.util.HashMap[(Long, Long), Long] = {
+        val sym = new Array[(Long, Long)](ce.length * 2)
+        var i = 0
+        while (i < ce.length) {
+          sym(2 * i) = ce(i); sym(2 * i + 1) = (ce(i)._2, ce(i)._1); i += 1
+        }
+        val sup = new java.util.HashMap[(Long, Long), Long]()
+        localTriangles(sym) { (a, b, c) =>
+          sup.merge((math.min(a, b), math.max(a, b)), 1L, _ + _)
+          sup.merge((math.min(a, c), math.max(a, c)), 1L, _ + _)
+          sup.merge((math.min(b, c), math.max(b, c)), 1L, _ + _)
+          ()
+        }
+        sup
+      }
+      var itL = 0
+      var conv = es.isEmpty
+      while (!conv && itL < maxIter) {
+        val sup = supports(es)
+        val pruned = es.filter(e => sup.getOrDefault(e, 0L) >= need)
+        conv = pruned.length == es.length
+        es = pruned; itL += 1
+      }
+      require(conv, s"kTruss($k) did not converge within $maxIter peel rounds")
+      import spark.implicits._
+      if (es.isEmpty) return Seq.empty[(Long, Long, Long)].toDF("u", "v", "support")
+      val supF = supports(es)
+      return es.toSeq.map(e => (e._1, e._2, supF.getOrDefault(e, 0L)))
+        .toDF("u", "v", "support")
+    }
     var it = 0
     var converged = n == 0
     while (!converged && it < maxIter) {

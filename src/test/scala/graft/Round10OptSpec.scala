@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{BloomJoin, Graph}
+
+/** Optimization-round specs: the adaptive local small-graph path must
+  * be row-for-row identical to the distributed peel/wedge rounds it
+  * replaces (the Dedup.components property-equality contract), and
+  * BloomJoin's auto-sizing must not change join results.
+  */
+class Round10OptSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def randomPairs(seed: Int, nNodes: Int, nEdges: Int) = {
+    val rnd = new scala.util.Random(seed)
+    (1 to nEdges).map { _ =>
+      (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong)
+    }.toDF("a", "b")
+  }
+
+  private def canonRows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toSeq.map(v => if (v == null) "∅" else v.toString)
+      .mkString("|")).sorted.toSeq
+
+  private def bothPaths(op: => org.apache.spark.sql.DataFrame)
+      : (Seq[String], Seq[String]) = {
+    spark.conf.set("graft.graph.localEdgeGate", "200000")
+    val local = canonRows(op)
+    spark.conf.set("graft.graph.localEdgeGate", "0")
+    val dist = try canonRows(op)
+    finally spark.conf.set("graft.graph.localEdgeGate", "200000")
+    (local, dist)
+  }
+
+  test("local triangleCounts equals the distributed wedge plan (schema + rows)") {
+    for (seed <- 1 to 3) {
+      val pairs = randomPairs(seed, 40, 160)
+      val (local, dist) = bothPaths(Graph.triangleCounts(pairs, "a", "b"))
+      local shouldBe dist
+    }
+    // schema identity (names + types) on one instance of each path
+    val pairs = randomPairs(9, 20, 60)
+    spark.conf.set("graft.graph.localEdgeGate", "200000")
+    val sLocal = Graph.triangleCounts(pairs, "a", "b").schema
+    spark.conf.set("graft.graph.localEdgeGate", "0")
+    val sDist = try Graph.triangleCounts(pairs, "a", "b").schema
+    finally spark.conf.set("graft.graph.localEdgeGate", "200000")
+    sLocal.map(f => (f.name, f.dataType)) shouldBe sDist.map(f => (f.name, f.dataType))
+  }
+
+  test("local clusteringCoefficient equals the distributed plan incl. NULL cc and rounding") {
+    for (seed <- 4 to 6) {
+      val pairs = randomPairs(seed, 30, 120)
+      val (local, dist) = bothPaths(Graph.clusteringCoefficient(pairs, "a", "b"))
+      local shouldBe dist
+    }
+  }
+
+  test("local kTruss equals the distributed peel (support values, empty truss)") {
+    for ((seed, k) <- Seq((7, 3), (8, 4), (9, 5))) {
+      val pairs = randomPairs(seed, 25, 140)
+      val (local, dist) = bothPaths(Graph.kTruss(pairs, "a", "b", k))
+      local shouldBe dist
+    }
+    // triangle-free graph: both paths empty with the same schema
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val (local, dist) = bothPaths(Graph.kTruss(path, "a", "b", k = 3))
+    local shouldBe empty
+    dist shouldBe empty
+  }
+
+  test("local kCore equals the distributed peel") {
+    for ((seed, k) <- Seq((10, 2), (11, 3), (12, 4))) {
+      val pairs = randomPairs(seed, 30, 150)
+      val (local, dist) = bothPaths(Graph.kCore(pairs, "a", "b", k))
+      local shouldBe dist
+    }
+  }
+
+  test("bloomFilteredJoin auto-sizing (default) equals an explicitly sized filter") {
+    val fact = (1L to 2000L).map(i => (i % 97, i)).toDF("k", "x")
+    val dim = (0L to 11L).map(k => (k, s"d$k")).toDF("k", "name")
+    val auto = canonRows(BloomJoin.bloomFilteredJoin(fact, dim, Seq("k")))
+    val sized = canonRows(BloomJoin.bloomFilteredJoin(fact, dim, Seq("k"),
+      expectedDimKeys = 12L))
+    val plain = canonRows(fact.join(dim, Seq("k")))
+    auto shouldBe plain
+    sized shouldBe plain
+  }
+}
