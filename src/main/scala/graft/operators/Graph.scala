@@ -46,6 +46,45 @@ object Graph {
     val nV = deg.count()
     require(nV > 0, "pageRank: empty edge list — no vertices to rank")
     val d = dampNum.toDouble / dampDen.toDouble
+    // adaptive local path (triangleCounts rationale): the rank rounds
+    // are deterministic arithmetic — per-edge contributions go through
+    // the double→DECIMAL(30,15) cast (BigDecimal.valueOf + HALF_UP,
+    // mirrored below), decimal sums are exact, the rank update is the
+    // same IEEE expression — so local and distributed ranks are
+    // bit-identical (property-tested in Round10OptSpec)
+    val gate = localEdgeGate(pairs.sparkSession)
+    if (gate > 0 && longCols(pairs, aCol, bCol) && edges.count() <= gate) {
+      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val degL = new java.util.HashMap[Long, Long]()
+      es.foreach { case (s, _) => degL.merge(s, 1L, _ + _) }
+      edges.unpersist(); deg.unpersist()
+      val baseL = (dampDen - dampNum).toDouble / (dampDen.toDouble * nV.toDouble)
+      var prL = new java.util.HashMap[Long, Double]()
+      val itD = degL.keySet().iterator()
+      while (itD.hasNext) prL.put(itD.next(), 1.0 / nV.toDouble)
+      for (_ <- 0 until iters) {
+        val csum = new java.util.HashMap[Long, java.math.BigDecimal]()
+        es.foreach { case (s, dst) =>
+          // mirror cast(double as decimal(30,15)): shortest-repr
+          // BigDecimal + HALF_UP at scale 15
+          val c = java.math.BigDecimal.valueOf(prL.get(s) / degL.get(s).toDouble)
+            .setScale(15, java.math.RoundingMode.HALF_UP)
+          csum.merge(dst, c, _.add(_))
+        }
+        val next = new java.util.HashMap[Long, Double]()
+        val itC = csum.entrySet().iterator()
+        while (itC.hasNext) {
+          val e = itC.next()
+          next.put(e.getKey, baseL + d * e.getValue.doubleValue())
+        }
+        prL = next
+      }
+      import pairs.sparkSession.implicits._
+      val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+      val itP = prL.entrySet().iterator()
+      while (itP.hasNext) { val e = itP.next(); rows += ((e.getKey, e.getValue)) }
+      return rows.toSeq.toDF("node", "pr")
+    }
     val base = lit((dampDen - dampNum).toDouble) / (lit(dampDen.toDouble) * lit(nV.toDouble))
     var pr = deg.select(col("src").as("node"),
       (lit(1.0) / lit(nV.toDouble)).as("pr"))
@@ -117,6 +156,39 @@ object Graph {
     val nV = wsum.count()
     require(nV > 0, "pageRankWeighted: no positive-weight edges — nothing to rank")
     val d = dampNum.toDouble / dampDen.toDouble
+    // adaptive local path (pageRank rationale); the per-edge quantum is
+    // the same IEEE chain floor(pr·wq/Wq·1e15 + ½), summed exactly
+    val gate = localEdgeGate(pairs.sparkSession)
+    if (gate > 0 && longCols(pairs, aCol, bCol) && edges.count() <= gate) {
+      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val wtot = new java.util.HashMap[Long, Long]()
+      wsum.collect().foreach(r => wtot.put(r.getLong(0), r.getLong(1)))
+      edges.unpersist(); wsum.unpersist()
+      val baseL = (dampDen - dampNum).toDouble / (dampDen.toDouble * nV.toDouble)
+      var prL = new java.util.HashMap[Long, Double]()
+      val itW = wtot.keySet().iterator()
+      while (itW.hasNext) prL.put(itW.next(), 1.0 / nV.toDouble)
+      for (_ <- 0 until iters) {
+        val csum = new java.util.HashMap[Long, java.math.BigDecimal]()
+        es.foreach { case (s, dst, wq) =>
+          val c = java.math.BigDecimal.valueOf(
+            math.floor(prL.get(s) * wq.toDouble / wtot.get(s).toDouble * 1e15 + 0.5))
+          csum.merge(dst, c, _.add(_))
+        }
+        val next = new java.util.HashMap[Long, Double]()
+        val itC = csum.entrySet().iterator()
+        while (itC.hasNext) {
+          val e = itC.next()
+          next.put(e.getKey, baseL + d * (e.getValue.doubleValue() / 1e15))
+        }
+        prL = next
+      }
+      import pairs.sparkSession.implicits._
+      val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+      val itP = prL.entrySet().iterator()
+      while (itP.hasNext) { val e = itP.next(); rows += ((e.getKey, e.getValue)) }
+      return rows.toSeq.toDF("node", "pr")
+    }
     val base = lit((dampDen - dampNum).toDouble) / (lit(dampDen.toDouble) * lit(nV.toDouble))
     var pr = wsum.select(col("src").as("node"),
       (lit(1.0) / lit(nV.toDouble)).as("pr"))
@@ -159,6 +231,49 @@ object Graph {
     val nS = seedSet.count()
     require(nS > 0, "personalizedPageRankWeighted: no seed appears in the edge list")
     val d = dampNum.toDouble / dampDen.toDouble
+    // adaptive local path: personalizedPageRank's sparse frontier with
+    // pageRankWeighted's quantum, both mirrored exactly
+    val gate = localEdgeGate(pairs.sparkSession)
+    if (gate > 0 && longCols(pairs, aCol, bCol) && edges.count() <= gate) {
+      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val wtot = new java.util.HashMap[Long, Long]()
+      wsum.collect().foreach(r => wtot.put(r.getLong(0), r.getLong(1)))
+      val seedL = new java.util.HashSet[Long]()
+      seedSet.collect().foreach(r => { seedL.add(r.getLong(0)); () })
+      edges.unpersist(); wsum.unpersist(); seedSet.unpersist()
+      val baseL = (dampDen - dampNum).toDouble / (dampDen.toDouble * nS.toDouble)
+      var prL = new java.util.HashMap[Long, Double]()
+      val itS = seedL.iterator()
+      while (itS.hasNext) prL.put(itS.next(), 1.0 / nS.toDouble)
+      for (_ <- 0 until iters) {
+        val csum = new java.util.HashMap[Long, java.math.BigDecimal]()
+        es.foreach { case (s, dst, wq) =>
+          if (prL.containsKey(s)) {
+            val c = java.math.BigDecimal.valueOf(
+              math.floor(prL.get(s) * wq.toDouble / wtot.get(s).toDouble * 1e15 + 0.5))
+            csum.merge(dst, c, _.add(_))
+          }
+        }
+        val next = new java.util.HashMap[Long, Double]()
+        val itC = csum.entrySet().iterator()
+        while (itC.hasNext) {
+          val e = itC.next()
+          val b = if (seedL.contains(e.getKey)) baseL else 0.0
+          next.put(e.getKey, b + d * (e.getValue.doubleValue() / 1e15))
+        }
+        val itSd = seedL.iterator()
+        while (itSd.hasNext) {
+          val sd = itSd.next()
+          if (!next.containsKey(sd)) next.put(sd, baseL + d * 0.0)
+        }
+        prL = next
+      }
+      import pairs.sparkSession.implicits._
+      val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+      val itP = prL.entrySet().iterator()
+      while (itP.hasNext) { val e = itP.next(); rows += ((e.getKey, e.getValue)) }
+      return rows.toSeq.toDF("node", "pr")
+    }
     val base = lit((dampDen - dampNum).toDouble) / (lit(dampDen.toDouble) * lit(nS.toDouble))
     var pr = seedSet.select(col("node"), (lit(1.0) / lit(nS.toDouble)).as("pr"))
     for (_ <- 0 until iters) {
@@ -266,14 +381,16 @@ object Graph {
   // expression at the very end, so the local form reproduces the
   // distributed outputs EXACTLY (property-tested both ways).
   //
-  // Gate: conf "graft.graph.localEdgeGate" (edges; default 200000 ≈
-  // 3 MB of id pairs, the IVF-centroid-artifact budget class; "0"
-  // disables — the scale posture stays: above the gate, or for
-  // non-LONG ids, the distributed rounds run unchanged).
+  // Gate: conf "graft.graph.localEdgeGate" (edges; default 1e6 ≈
+  // 16 MB of id pairs — the broadcast-side budget class, far under the
+  // 8 GB broadcast cap; "0" disables — the scale posture stays: above
+  // the gate, or for non-LONG ids, the distributed rounds run
+  // unchanged, and every local kernel below does strictly less work
+  // than the distributed plan materializes as rows).
   // -----------------------------------------------------------------
 
   private def localEdgeGate(spark: org.apache.spark.sql.SparkSession): Long =
-    spark.conf.get("graft.graph.localEdgeGate", "200000").toLong
+    spark.conf.get("graft.graph.localEdgeGate", "1000000").toLong
 
   private def longCols(df: DataFrame, cols: String*): Boolean =
     cols.forall(c => df.schema(c).dataType == org.apache.spark.sql.types.LongType)
@@ -539,6 +656,56 @@ object Graph {
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    // adaptive local path (jaccardLinkPrediction rationale): counts and
+    // the 1e9 div deg shares are pure integers
+    val gateR = localEdgeGate(pairs.sparkSession)
+    if (gateR > 0 && longCols(pairs, aCol, bCol) && edges.count() <= gateR) {
+      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      edges.unpersist()
+      val degL = new java.util.HashMap[Long, Long]()
+      es.foreach { case (s, _) => degL.merge(s, 1L, _ + _) }
+      val edgeSet = new java.util.HashSet[(Long, Long)]()
+      es.foreach { e => edgeSet.add(e); () }
+      val adj = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
+      es.foreach { case (w, u) =>
+        if (degL.get(w) <= maxDeg) {
+          var buf = adj.get(w)
+          if (buf == null) { buf = scala.collection.mutable.ArrayBuffer.empty[Long]; adj.put(w, buf) }
+          buf += u
+        }
+      }
+      val cnL = new java.util.HashMap[(Long, Long), (Long, Long)]() // (cn, ra_q)
+      val itW = adj.entrySet().iterator()
+      while (itW.hasNext) {
+        val e = itW.next()
+        val share = 1000000000L / degL.get(e.getKey)
+        val nbrs = e.getValue
+        var i = 0
+        while (i < nbrs.length) {
+          var j = 0
+          val u = nbrs(i)
+          while (j < nbrs.length) {
+            val v = nbrs(j)
+            if (u < v) {
+              val cur = cnL.get((u, v))
+              if (cur == null) cnL.put((u, v), (1L, share))
+              else cnL.put((u, v), (cur._1 + 1L, cur._2 + share))
+            }
+            j += 1
+          }
+          i += 1
+        }
+      }
+      import pairs.sparkSession.implicits._
+      val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+      val itC = cnL.entrySet().iterator()
+      while (itC.hasNext) {
+        val e = itC.next()
+        val (u, v) = e.getKey
+        if (!edgeSet.contains((u, v))) rows += ((u, v, e.getValue._1, e.getValue._2))
+      }
+      return rows.toSeq.toDF("node_a", "node_b", "cn", "ra_q")
+    }
     // adjacency keyed by the COMMON neighbor w: (w, u, 1e9 div deg(w))
     val nbr = edges.join(deg, Seq("src"))
       .filter(col("deg") <= maxDeg)
@@ -584,6 +751,37 @@ object Graph {
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // adaptive local path (triangleCounts rationale): frequency votes
+    // and the (count desc, label asc) argmax are pure integers
+    val gate = localEdgeGate(pairs.sparkSession)
+    if (gate > 0 && longCols(pairs, aCol, bCol) && edges.count() <= gate) {
+      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      edges.unpersist()
+      var lab = new java.util.HashMap[Long, Long]()
+      es.foreach { case (s, _) => lab.put(s, s) }
+      for (_ <- 0 until iters) {
+        val cnt = new java.util.HashMap[(Long, Long), Long]()
+        es.foreach { case (s, d) => cnt.merge((s, lab.get(d)), 1L, _ + _) }
+        val best = new java.util.HashMap[Long, (Long, Long)]() // node → (c, label)
+        val itC = cnt.entrySet().iterator()
+        while (itC.hasNext) {
+          val e = itC.next()
+          val (node, l) = e.getKey; val c = e.getValue
+          val cur = best.get(node)
+          if (cur == null || c > cur._1 || (c == cur._1 && l < cur._2))
+            best.put(node, (c, l))
+        }
+        val next = new java.util.HashMap[Long, Long]()
+        val itB = best.entrySet().iterator()
+        while (itB.hasNext) { val e = itB.next(); next.put(e.getKey, e.getValue._2) }
+        lab = next
+      }
+      import pairs.sparkSession.implicits._
+      val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      val itL = lab.entrySet().iterator()
+      while (itL.hasNext) { val e = itL.next(); rows += ((e.getKey, e.getValue)) }
+      return rows.toSeq.toDF("node", "label")
+    }
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
     for (_ <- 0 until iters) {
@@ -762,6 +960,55 @@ object Graph {
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // adaptive local path (triangleCounts rationale): common-neighbor
+    // counts are integers; jaccard is the same mirrored round-9 ratio
+    val gateJ = localEdgeGate(pairs.sparkSession)
+    if (gateJ > 0 && longCols(pairs, aCol, bCol) && edges.count() <= gateJ) {
+      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      edges.unpersist()
+      val degL = new java.util.HashMap[Long, Long]()
+      es.foreach { case (s, _) => degL.merge(s, 1L, _ + _) }
+      val edgeSet = new java.util.HashSet[(Long, Long)]()
+      es.foreach { e => edgeSet.add(e); () }
+      val adj = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
+      es.foreach { case (w, u) =>
+        if (degL.get(w) <= maxDeg) {
+          var buf = adj.get(w)
+          if (buf == null) { buf = scala.collection.mutable.ArrayBuffer.empty[Long]; adj.put(w, buf) }
+          buf += u
+        }
+      }
+      val cnL = new java.util.HashMap[(Long, Long), Long]()
+      val itW = adj.values().iterator()
+      while (itW.hasNext) {
+        val nbrs = itW.next()
+        var i = 0
+        while (i < nbrs.length) {
+          var j = 0
+          val u = nbrs(i)
+          while (j < nbrs.length) {
+            val v = nbrs(j)
+            if (u < v) cnL.merge((u, v), 1L, _ + _)
+            j += 1
+          }
+          i += 1
+        }
+      }
+      import pairs.sparkSession.implicits._
+      val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Double)]
+      val itC = cnL.entrySet().iterator()
+      while (itC.hasNext) {
+        val e = itC.next()
+        val (u, v) = e.getKey; val c = e.getValue
+        if (!edgeSet.contains((u, v))) {
+          val un = degL.get(u) + degL.get(v) - c
+          val jac = java.math.BigDecimal.valueOf(c.toDouble / un.toDouble)
+            .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+          rows += ((u, v, c, un, jac))
+        }
+      }
+      return rows.toSeq.toDF("node_a", "node_b", "cn", "n_union", "jaccard")
+    }
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val nbr = edges.join(deg, Seq("src"))
       .filter(col("deg") <= maxDeg)
@@ -823,6 +1070,49 @@ object Graph {
     val nS = seedSet.count() // scalar model artifact, the pageRank nV pattern
     require(nS > 0, "personalizedPageRank: no seed appears in the edge list")
     val d = dampNum.toDouble / dampDen.toDouble
+    // adaptive local path (pageRank rationale); same sparse-frontier
+    // semantics: rank map holds exactly spread ∪ seed nodes per round
+    val gate = localEdgeGate(pairs.sparkSession)
+    if (gate > 0 && longCols(pairs, aCol, bCol) && edges.count() <= gate) {
+      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val degL = new java.util.HashMap[Long, Long]()
+      es.foreach { case (s, _) => degL.merge(s, 1L, _ + _) }
+      val seedL = new java.util.HashSet[Long]()
+      seedSet.collect().foreach(r => { seedL.add(r.getLong(0)); () })
+      edges.unpersist(); deg.unpersist(); seedSet.unpersist()
+      val baseL = (dampDen - dampNum).toDouble / (dampDen.toDouble * nS.toDouble)
+      var prL = new java.util.HashMap[Long, Double]()
+      val itS = seedL.iterator()
+      while (itS.hasNext) prL.put(itS.next(), 1.0 / nS.toDouble)
+      for (_ <- 0 until iters) {
+        val csum = new java.util.HashMap[Long, java.math.BigDecimal]()
+        es.foreach { case (s, dst) =>
+          if (prL.containsKey(s)) {
+            val c = java.math.BigDecimal.valueOf(
+              math.floor(prL.get(s) / degL.get(s).toDouble * 1e15 + 0.5))
+            csum.merge(dst, c, _.add(_))
+          }
+        }
+        val next = new java.util.HashMap[Long, Double]()
+        val itC = csum.entrySet().iterator()
+        while (itC.hasNext) {
+          val e = itC.next()
+          val b = if (seedL.contains(e.getKey)) baseL else 0.0
+          next.put(e.getKey, b + d * (e.getValue.doubleValue() / 1e15))
+        }
+        val itSd = seedL.iterator()
+        while (itSd.hasNext) {
+          val sd = itSd.next()
+          if (!next.containsKey(sd)) next.put(sd, baseL + d * 0.0)
+        }
+        prL = next
+      }
+      import pairs.sparkSession.implicits._
+      val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+      val itP = prL.entrySet().iterator()
+      while (itP.hasNext) { val e = itP.next(); rows += ((e.getKey, e.getValue)) }
+      return rows.toSeq.toDF("node", "pr")
+    }
     val base = lit((dampDen - dampNum).toDouble) / (lit(dampDen.toDouble) * lit(nS.toDouble))
     var pr = seedSet.select(col("node"), (lit(1.0) / lit(nS.toDouble)).as("pr"))
     for (_ <- 0 until iters) {
@@ -939,6 +1229,53 @@ object Graph {
     val hubs0 = edges.select(col("src").as("node")).distinct()
     val nH = hubs0.count()
     require(nH > 0, "hits: empty edge list — no hubs to score")
+    // adaptive local path (pageRank rationale): contributions are the
+    // long quantum floor(score·1e15 + ½), per-node sums exact, the L1
+    // normalization the same two-double division — bit-identical
+    val gateH = localEdgeGate(edges0.sparkSession)
+    if (gateH > 0 && longCols(edges0, srcCol, dstCol) && edges.count() <= gateH) {
+      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      edges.unpersist()
+      var hubL = new java.util.HashMap[Long, Double]()
+      es.foreach { case (s, _) => hubL.put(s, 1.0 / nH.toDouble) }
+      var authL: java.util.HashMap[Long, Double] = null
+      def l1norm(sums: java.util.HashMap[Long, java.math.BigDecimal])
+          : java.util.HashMap[Long, Double] = {
+        var tot = java.math.BigDecimal.ZERO
+        val itT = sums.values().iterator()
+        while (itT.hasNext) tot = tot.add(itT.next())
+        val out = new java.util.HashMap[Long, Double]()
+        val itN = sums.entrySet().iterator()
+        while (itN.hasNext) {
+          val e = itN.next()
+          out.put(e.getKey, e.getValue.doubleValue() / tot.doubleValue())
+        }
+        out
+      }
+      for (_ <- 0 until iters) {
+        val aSums = new java.util.HashMap[Long, java.math.BigDecimal]()
+        es.foreach { case (s, dst) =>
+          val c = math.floor(hubL.get(s) * 1000000000000000.0 + 0.5).toLong
+          aSums.merge(dst, java.math.BigDecimal.valueOf(c), _.add(_))
+        }
+        authL = l1norm(aSums)
+        val hSums = new java.util.HashMap[Long, java.math.BigDecimal]()
+        es.foreach { case (s, dst) =>
+          val c = math.floor(authL.get(dst) * 1000000000000000.0 + 0.5).toLong
+          hSums.merge(s, java.math.BigDecimal.valueOf(c), _.add(_))
+        }
+        hubL = l1norm(hSums)
+      }
+      def r9(x: Double): Double = java.math.BigDecimal.valueOf(x)
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+      import edges0.sparkSession.implicits._
+      val rows = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Double)]
+      val itH = hubL.entrySet().iterator()
+      while (itH.hasNext) { val e = itH.next(); rows += (("hub", e.getKey, r9(e.getValue))) }
+      val itA = authL.entrySet().iterator()
+      while (itA.hasNext) { val e = itA.next(); rows += (("authority", e.getKey, r9(e.getValue))) }
+      return rows.toSeq.toDF("side", "node", "score")
+    }
     var hub = hubs0.select(col("node"), (lit(1.0) / lit(nH.toDouble)).as("score"))
     var auth: DataFrame = null
     val unit = lit(1000000000000000.0) // 1e15 integer quantization units
@@ -1007,6 +1344,42 @@ object Graph {
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // adaptive local path (triangleCounts rationale): min-hop is a
+    // pure integer fixpoint, order-independent by construction
+    val gate = localEdgeGate(pairs.sparkSession)
+    if (gate > 0 && longCols(pairs, aCol, bCol) && edges.count() <= gate) {
+      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val nodeSet = new java.util.HashSet[Long]()
+      es.foreach { case (s, _) => nodeSet.add(s); () }
+      val seedRows = seeds.select(col(seeds.columns.head).cast("long")).distinct()
+        .collect().map(_.getLong(0)).filter(nodeSet.contains)
+      edges.unpersist()
+      val adj = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
+      es.foreach { case (s, d) =>
+        var buf = adj.get(s)
+        if (buf == null) { buf = scala.collection.mutable.ArrayBuffer.empty[Long]; adj.put(s, buf) }
+        buf += d
+      }
+      val distL = new java.util.HashMap[Long, Int]()
+      var frontier = scala.collection.mutable.ArrayBuffer.empty[Long]
+      seedRows.foreach { s => distL.put(s, 0); frontier += s }
+      var r = 1
+      while (r <= maxDepth && frontier.nonEmpty) {
+        val next = scala.collection.mutable.ArrayBuffer.empty[Long]
+        frontier.foreach { s =>
+          val nbrs = adj.get(s)
+          if (nbrs != null) nbrs.foreach { d =>
+            if (!distL.containsKey(d)) { distL.put(d, r); next += d }
+          }
+        }
+        frontier = next; r += 1
+      }
+      import pairs.sparkSession.implicits._
+      val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+      val itD = distL.entrySet().iterator()
+      while (itD.hasNext) { val e = itD.next(); rows += ((e.getKey, e.getValue)) }
+      return rows.toSeq.toDF("node", "dist")
+    }
     val nodes = edges.select(col("src").as("node")).distinct()
     var dist = seeds.select(col(seeds.columns.head).as("node")).distinct()
       .join(nodes, Seq("node"), "left_semi")

@@ -78,6 +78,57 @@ class Round10OptSpec extends SparkSpec {
     }
   }
 
+  test("local pageRank / weighted / personalized variants are bit-identical to distributed") {
+    for (seed <- 13 to 14) {
+      val pairs = randomPairs(seed, 30, 120)
+        .withColumn("w", (col("a") * 7 + col("b") * 3) % 100 / lit(100.0) + 0.01)
+      val seeds = (1L to 5L).toDF("vec")
+      val (l1, d1) = bothPaths(Graph.pageRank(pairs, "a", "b", iters = 3))
+      l1 shouldBe d1
+      val (l2, d2) = bothPaths(Graph.pageRankWeighted(pairs, "a", "b", "w", iters = 3))
+      l2 shouldBe d2
+      val (l3, d3) = bothPaths(Graph.personalizedPageRank(pairs, "a", "b", seeds, iters = 3))
+      l3 shouldBe d3
+      val (l4, d4) = bothPaths(
+        Graph.personalizedPageRankWeighted(pairs, "a", "b", "w", seeds, iters = 3))
+      l4 shouldBe d4
+    }
+  }
+
+  test("local hits is bit-identical to distributed incl. the 1e-9 rounding") {
+    for (seed <- 15 to 16) {
+      val edges = randomPairs(seed, 25, 100).toDF("s", "d")
+      val (l, di) = bothPaths(Graph.hits(edges, "s", "d", iters = 2))
+      l shouldBe di
+    }
+  }
+
+  test("local labelPropagation / bfsDistances equal the distributed rounds") {
+    for (seed <- 17 to 18) {
+      val pairs = randomPairs(seed, 30, 100)
+      val seeds = Seq(1L, 4L, 9L).toDF("n")
+      val (l1, d1) = bothPaths(Graph.labelPropagation(pairs, "a", "b", iters = 2))
+      l1 shouldBe d1
+      val (l2, d2) = bothPaths(Graph.bfsDistances(pairs, "a", "b", seeds, maxDepth = 3))
+      l2 shouldBe d2
+    }
+  }
+
+  test("local jaccard/RA link prediction equal the distributed wedge joins") {
+    for (seed <- 19 to 20) {
+      val pairs = randomPairs(seed, 25, 90)
+      val (l1, d1) = bothPaths(Graph.jaccardLinkPrediction(pairs, "a", "b"))
+      l1 shouldBe d1
+      val (l2, d2) = bothPaths(Graph.raLinkPrediction(pairs, "a", "b"))
+      l2 shouldBe d2
+      // maxDeg gate must match too (hubs excluded as common neighbors)
+      val (l3, d3) = bothPaths(Graph.jaccardLinkPrediction(pairs, "a", "b", maxDeg = 4))
+      l3 shouldBe d3
+      val (l4, d4) = bothPaths(Graph.raLinkPrediction(pairs, "a", "b", maxDeg = 4))
+      l4 shouldBe d4
+    }
+  }
+
   test("bloomFilteredJoin auto-sizing (default) equals an explicitly sized filter") {
     val fact = (1L to 2000L).map(i => (i % 97, i)).toDF("k", "x")
     val dim = (0L to 11L).map(k => (k, s"d$k")).toDF("k", "name")
