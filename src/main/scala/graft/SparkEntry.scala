@@ -1805,11 +1805,11 @@ object SparkEntry {
       val ord = t(s, dir, "orders").df.select(col("o_orderkey"), col("o_totalprice"))
       val m = ord.agg(max(col("o_orderkey"))).head().getLong(0)
       val width = (m + 3) / 4
-      for (i <- 0 until 4) {
-        val bucket = ord.filter(expr(s"(o_orderkey - 1) div ${width}L") === i)
-          .coalesce(1)
-        sources.TxTable.commit(bucket, table, statsCols = Seq("o_orderkey"))
-      }
+      // one distributed write for the 4-bucket history (commitSlices:
+      // identical per-version files/stats, minus 3 scan+write jobs)
+      sources.TxTable.commitSlices(ord, table,
+        expr(s"(o_orderkey - 1) div ${width}L"), 4,
+        statsCols = Seq("o_orderkey"))
       val lo = 1.0
       val hi = (width / 2).toDouble
       val (v, nRewritten, nCarried) =
@@ -1983,14 +1983,12 @@ object SparkEntry {
       val table = sidePath("graft_txcs", dir)
       sources.TxTable.drop(s, table)
       val ord = t(s, dir, "orders").df.select(col("o_orderkey"), col("o_totalprice"))
-      sources.TxTable.commit(
-        ord.filter(!pmod(col("o_orderkey"), lit(1500)).isin(1, 2, 3)).coalesce(1),
-        table, statsCols = Seq("o_orderkey"))
-      for (i <- 1 to 3) {
-        sources.TxTable.commit(
-          ord.filter(pmod(col("o_orderkey"), lit(1500)) === i).coalesce(1),
-          table, statsCols = Seq("o_orderkey"))
-      }
+      // slice 0 = the big remainder batch, slices 1-3 = the small
+      // mod-keyed batches; one distributed write builds all 4 versions
+      sources.TxTable.commitSlices(ord, table,
+        when(pmod(col("o_orderkey"), lit(1500)).isin(1, 2, 3),
+          pmod(col("o_orderkey"), lit(1500))).otherwise(lit(0)), 4,
+        statsCols = Seq("o_orderkey"))
       val (v, nRw, nCar) = sources.TxTable.compactSmall(s, table,
         minBytes = 4096, statsCols = Seq("o_orderkey"))
       val content = sources.TxTable.readVersion(s, table, v)
@@ -2398,10 +2396,11 @@ object SparkEntry {
       sources.TxTable.drop(s, ckpt) // fresh checkpoint: a rerun re-backfills
       val ord = t(s, dir, "orders").df
         .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
-      for (p <- Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
-        sources.TxTable.commit(
-          ord.filter(col("o_orderpriority") === p)
-            .select(col("o_orderkey"), col("o_totalprice")), table)
+      // 5 priority-keyed versions from one distributed write; slice ids
+      // follow the priority prefix digit so version order is unchanged
+      sources.TxTable.commitSlices(ord, table,
+        substring(col("o_orderpriority"), 1, 1).cast("int") - 1, 5,
+        payloadCols = Seq("o_orderkey", "o_totalprice"))
       val acc = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Double)]()
       val nBatches = sources.TxChangesStream.runAvailableNow(s, table, ckpt,
         (b, _) => {
@@ -3190,10 +3189,11 @@ object SparkEntry {
       val ord = t(s, dir, "orders").df.select(col("o_orderkey"), col("o_totalprice"))
       for (tb <- Seq(tagged, plain)) {
         sources.TxTable.drop(s, tb)
-        for (i <- 0 until 13)
-          sources.TxTable.commit(
-            ord.filter(col("o_orderkey") % 13 === i).coalesce(1), tb,
-            statsCols = Seq("o_orderkey"))
+        // one distributed write for the 13-version history (was 13
+        // sequential scan+write jobs per table — commitSlices keeps the
+        // per-version files/stats identical)
+        sources.TxTable.commitSlices(ord, tb, col("o_orderkey") % 13, 13,
+          statsCols = Seq("o_orderkey"))
       }
       sources.TxTable.createTag(s, tagged, "r3", 3)
       val (expT, _) = sources.TxTable.expireVersions(s, tagged, keepLast = 2)

@@ -2213,6 +2213,74 @@ object TxTable {
     * files — those layouts commit directly). Returns the staged
     * relative paths (the audit surface, also via [[readWap]]).
     */
+  /** Commit `nSlices` row-disjoint slices of one frame as `nSlices`
+    * consecutive append versions with ONE distributed write. The
+    * sequential shape — N× `commit(df.filter(slice === i).coalesce(1))`
+    * — re-scans the input and schedules a full write job per version;
+    * building an N-version history that way is N scans, N writes, and
+    * N driver-side job launches for data one pass can produce. Here
+    * the frame writes once into a scratch dir hive-partitioned by the
+    * slice id (repartitioned so each slice lands in exactly one task →
+    * exactly one data file per slice, the coalesce(1) shape), and each
+    * version then ADOPTS its slice's file through the same
+    * preNamed/WAP publish path `publishWap` uses: per-version rows,
+    * file count, footer stats, and manifests are identical to the
+    * sequential form — minus N−1 scans and write jobs.
+    *
+    * `sliceOf` must be an integer expression in [0, nSlices); rows are
+    * partitioned by it EXACTLY (hive directory = slice value, no
+    * hashing ambiguity). An empty slice commits as a zero-file append
+    * (version exists, carries the parent's files). Fresh/unmapped/
+    * unpartitioned tables only — the stageWap preconditions, and the
+    * only shape history-building setups use.
+    */
+  def commitSlices(df: DataFrame, table: String, sliceOf: Column, nSlices: Int,
+                   statsCols: Seq[String] = Nil,
+                   payloadCols: Seq[String] = Nil): Seq[Int] = {
+    require(nSlices >= 1, s"nSlices must be >= 1, got $nSlices")
+    val spark = df.sparkSession
+    val f = fs(spark, table)
+    val v0 = currentVersion(spark, table)
+    require(v0 < 1 || partColOf(spark, table, v0).isEmpty,
+      s"TxTable: $table has a partitioned layout — commitSlices writes flat files")
+    require(v0 < 1 || colMapOf(spark, table, v0).isEmpty,
+      s"TxTable: $table is column-mapped — commitSlices writes logical names physically")
+    // the slice expression may read columns that are NOT part of the
+    // committed payload (e.g. slicing orders by priority while
+    // committing only key+price): compute the slice first, then keep
+    // payloadCols (all of df when empty)
+    val keep = if (payloadCols.nonEmpty) payloadCols else df.columns.toSeq
+    val payload = df.select(keep.map(col): _*)
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new Path(s"$table/_tmp_s$nonce")
+    df.withColumn("_slice", sliceOf.cast("int"))
+      .select((keep :+ "_slice").map(col): _*)
+      .repartition(nSlices, col("_slice"))
+      .write.mode("overwrite").partitionBy("_slice").parquet(tmp.toString)
+    f.mkdirs(new Path(s"$table/data"))
+    val bySlice: Map[Int, Seq[Path]] =
+      f.listStatus(tmp).filter(_.isDirectory).flatMap { d =>
+        val sl = d.getPath.getName.stripPrefix("_slice=").toInt
+        f.listStatus(d.getPath).map(_.getPath)
+          .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+          .map(p => sl -> p)
+      }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }
+    val out = (0 until nSlices).map { i =>
+      // adopted files take the standard v<version>_<i>_<nonce> names —
+      // auditors (and the oracle) glob data files by that convention
+      val v = currentVersion(spark, table) + 1
+      val named = bySlice.getOrElse(i, Seq.empty).zipWithIndex.map { case (p, j) =>
+        val rel = s"data/v${v}_${j}_$nonce.parquet"
+        require(f.rename(p, new Path(s"$table/$rel")), s"rename failed for $p")
+        rel
+      }
+      commitAs(payload, table, v, "append",
+        statsCols = statsCols, preNamed = Some(named), dfIsPhysical = true)
+    }
+    f.delete(tmp, true)
+    out
+  }
+
   def stageWap(df: DataFrame, table: String, wapId: String): Seq[String] = {
     requireWapId(wapId)
     val spark = df.sparkSession

@@ -129,6 +129,37 @@ class Round10OptSpec extends SparkSpec {
     }
   }
 
+  test("commitSlices equals N sequential coalesce(1) commits (versions, rows, stats, files)") {
+    import graft.sources.TxTable
+    val df = (1L to 400L).map(i => (i, i * 1.5)).toDF("k", "v")
+    val seqT = "/tmp/graft_r10opt_seq"
+    val slcT = "/tmp/graft_r10opt_slc"
+    TxTable.drop(spark, seqT); TxTable.drop(spark, slcT)
+    for (i <- 0 until 5)
+      TxTable.commit(df.filter(col("k") % 5 === i).coalesce(1), seqT,
+        statsCols = Seq("k"))
+    val vs = TxTable.commitSlices(df, slcT, col("k") % 5, 5, statsCols = Seq("k"))
+    vs shouldBe Seq(1, 2, 3, 4, 5)
+    TxTable.currentVersion(spark, seqT) shouldBe TxTable.currentVersion(spark, slcT)
+    for (v <- 1 to 5) {
+      canonRows(TxTable.readVersion(spark, seqT, v)) shouldBe
+        canonRows(TxTable.readVersion(spark, slcT, v))
+      // same per-version file count (one per slice) and identical stats
+      TxTable.filesOf(spark, slcT, v).size shouldBe TxTable.filesOf(spark, seqT, v).size
+      TxTable.statsOf(spark, seqT, v).map { case (_, c, lo, hi) => (c, lo, hi) }.sorted shouldBe
+        TxTable.statsOf(spark, slcT, v).map { case (_, c, lo, hi) => (c, lo, hi) }.sorted
+    }
+    // payloadCols: slice by a column excluded from the committed payload
+    val slcP = "/tmp/graft_r10opt_slcp"
+    TxTable.drop(spark, slcP)
+    val df3 = df.withColumn("p", (col("k") % 3).cast("int"))
+    TxTable.commitSlices(df3, slcP, col("p"), 3, payloadCols = Seq("k", "v"))
+    TxTable.read(spark, slcP).columns.toSeq shouldBe Seq("k", "v")
+    // append snapshots are cumulative: v2 = slices 0 and 1
+    canonRows(TxTable.readVersion(spark, slcP, 2)) shouldBe
+      canonRows(df3.filter(col("p") <= 1).select("k", "v"))
+  }
+
   test("bloomFilteredJoin auto-sizing (default) equals an explicitly sized filter") {
     val fact = (1L to 2000L).map(i => (i % 97, i)).toDF("k", "x")
     val dim = (0L to 11L).map(k => (k, s"d$k")).toDF("k", "name")
