@@ -835,6 +835,58 @@ object Graph {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).persist()
     val m2 = edges.count() // Σk_i = 2m — scalar model artifact
     require(m2 > 0, "louvainMove: empty edge list")
+    // adaptive local path (labelPropagation rationale): the gain argmax
+    // is exact integer arithmetic — at gate-bound sizes (≤1e6 directed
+    // edges) every product m2·e_ic and k_i·d'_c is ≤ ~1e12, exactly
+    // representable in a long, so the local scores equal the
+    // DECIMAL(38,0) plan's values identically
+    val gate = localEdgeGate(pairs.sparkSession)
+    if (gate > 0 && longCols(pairs, aCol, bCol) && m2 <= gate) {
+      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      edges.unpersist(); deg.unpersist()
+      val degL = new java.util.HashMap[Long, Long]()
+      es.foreach { case (s, _) => degL.merge(s, 1L, _ + _) }
+      var labL = new java.util.HashMap[Long, Long]()
+      val itN = degL.keySet().iterator()
+      while (itN.hasNext) { val n = itN.next(); labL.put(n, n) }
+      for (_ <- 0 until rounds) {
+        val dtot = new java.util.HashMap[Long, Long]() // community → Σ deg
+        val itD = degL.entrySet().iterator()
+        while (itD.hasNext) {
+          val e = itD.next()
+          dtot.merge(labL.get(e.getKey), e.getValue, _ + _)
+        }
+        // candidate links e_{i→c}; own community always a candidate at ≥0
+        val eic = new java.util.HashMap[(Long, Long), Long]()
+        es.foreach { case (s, d) => eic.merge((s, labL.get(d)), 1L, _ + _) }
+        val itO = labL.entrySet().iterator()
+        while (itO.hasNext) {
+          val e = itO.next()
+          eic.merge((e.getKey, e.getValue), 0L, math.max)
+        }
+        val best = new java.util.HashMap[Long, (Long, Long)]() // node → (score, c)
+        val itC = eic.entrySet().iterator()
+        while (itC.hasNext) {
+          val e = itC.next()
+          val (node, c) = e.getKey
+          val own = labL.get(node)
+          val dAdj = dtot.get(c) - (if (own == c) degL.get(node) else 0L)
+          val score = m2 * e.getValue - degL.get(node) * dAdj
+          val cur = best.get(node)
+          if (cur == null || score > cur._1 || (score == cur._1 && c < cur._2))
+            best.put(node, (score, c))
+        }
+        val next = new java.util.HashMap[Long, Long]()
+        val itB = best.entrySet().iterator()
+        while (itB.hasNext) { val e = itB.next(); next.put(e.getKey, e.getValue._2) }
+        labL = next
+      }
+      import pairs.sparkSession.implicits._
+      val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      val itL = labL.entrySet().iterator()
+      while (itL.hasNext) { val e = itL.next(); rows += ((e.getKey, e.getValue)) }
+      return rows.toSeq.toDF("node", "community")
+    }
     var lab = deg.select(col("src").as("node"), col("src").as("community"))
     for (_ <- 0 until rounds) {
       val dc = lab.join(deg.withColumnRenamed("src", "node"), Seq("node"))

@@ -114,6 +114,14 @@ class Round10OptSpec extends SparkSpec {
     }
   }
 
+  test("local louvainMove equals the distributed gain argmax") {
+    for (seed <- 21 to 23) {
+      val pairs = randomPairs(seed, 25, 110)
+      val (l, d) = bothPaths(Graph.louvainMove(pairs, "a", "b", rounds = 2))
+      l shouldBe d
+    }
+  }
+
   test("local jaccard/RA link prediction equal the distributed wedge joins") {
     for (seed <- 19 to 20) {
       val pairs = randomPairs(seed, 25, 90)
