@@ -1483,24 +1483,31 @@ object Eval {
     val nuc = r.groupBy("_u", "_v").agg(count(lit(1)).as("_k"))
       .join(mu, Seq("_u"))
     def dbl(c: Column) = c.cast("double")
-    val doRow = nuc.agg(
-      sum((dbl(col("_k")) * dbl(col("_m") - col("_k")) /
-        dbl(col("_m") - 1L)).cast("decimal(20,9)")).as("_do"),
-      count(lit(1)).as("_cells")).head()
-    if (doRow.isNullAt(0)) {
+    // ONE driver action for all three scalar reductions (D_o/cells,
+    // unit count, n/Σn_c²): three 1-row aggs cross-joined — the `nuc`
+    // and `mu` exchanges are identical subtrees, so the plan evaluates
+    // the rating scan + both partial aggs once (ReusedExchange) instead
+    // of re-running them per action (was 3 actions / 17 AQE stage jobs)
+    val row = nuc.agg(
+        sum((dbl(col("_k")) * dbl(col("_m") - col("_k")) /
+          dbl(col("_m") - 1L)).cast("decimal(20,9)")).as("_do"),
+        count(lit(1)).as("_cells"))
+      .crossJoin(mu.agg(count(lit(1)).as("_units")))
+      .crossJoin(nuc.groupBy("_v").agg(sum("_k").as("_nc"))
+        .agg(coalesce(sum("_nc"), lit(0L)).as("_n"),
+          sum((col("_nc").cast("decimal(38,0)") * col("_nc")).cast("decimal(38,0)"))
+            .as("_nc2")))
+      .head()
+    if (row.isNullAt(0)) {
       // no pairable unit at all
       return df.sparkSession.createDataFrame(
           Seq((0L, 0L, None: Option[Double])))
         .toDF("n_units", "n_ratings", "alpha")
     }
-    val doSum = doRow.getDecimal(0).doubleValue()
-    val units = mu.count()
-    val ncRow = nuc.groupBy("_v").agg(sum("_k").as("_nc"))
-      .agg(sum("_nc").as("_n"),
-        sum((col("_nc").cast("decimal(38,0)") * col("_nc")).cast("decimal(38,0)"))
-          .as("_nc2")).head()
-    val n = ncRow.getLong(0)
-    val nc2 = ncRow.getDecimal(1).doubleValue()
+    val doSum = row.getDecimal(0).doubleValue()
+    val units = row.getLong(2)
+    val n = row.getLong(3)
+    val nc2 = row.getDecimal(4).doubleValue()
     // D_e denominator: Σ_c n_c(n − n_c) = n² − Σ n_c²
     val de = n.toDouble * n.toDouble - nc2
     def r9(x: Double): Double = new java.math.BigDecimal(x)

@@ -46,13 +46,27 @@ object NaiveBayes {
   def trainScoreConfusion(train: DataFrame, test: DataFrame,
                           labelCol: String, textCol: String, idCol: String,
                           unitScale: Long = 1000000L): DataFrame = {
-    // sufficient statistics: (label, token) counts and per-label totals
-    val trTok = train
+    // sufficient statistics: (label, token) counts and per-label totals.
+    // The tokenize explode is rebalanced off the scan split (a
+    // single-file corpus otherwise shingles on one core) and `counts`
+    // is checkpointed ONCE: it feeds the vocab scalar, the model, the
+    // totals, and the unseen table — uncheckpointed, each consumer
+    // (two scalar actions + two subtrees of the final plan) re-ran the
+    // corpus tokenize pass. Vocab-bounded rows, the model artifact.
+    val nPart = train.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
+    val trTok = train.repartition(nPart, col(idCol))
       .select(col(labelCol).as("_lbl"), tok(textCol).as("_tok"))
       .filter(length(col("_tok")) > 0)
     val counts = trTok.groupBy("_lbl", "_tok").agg(count(lit(1)).as("_c"))
+      .localCheckpoint()
     val totals = counts.groupBy("_lbl").agg(sum(col("_c")).as("_t"))
-    val vocab = counts.select(col("_tok")).distinct().count().toDouble
+    // vocab size + train doc count: ONE driver action (two 1-row aggs
+    // cross-joined) instead of one job each
+    val vnRow = counts.agg(countDistinct(col("_tok")).as("_v"))
+      .crossJoin(train.agg(count(lit(1)).as("_n"))).head()
+    val vocab = vnRow.getLong(0).toDouble
+    val nTrain = vnRow.getLong(1).toDouble
     // per-(label, token) and per-label-unseen quantized log-probs
     val model = counts.join(totals, Seq("_lbl"))
       .select(col("_lbl"), col("_tok"),
@@ -63,13 +77,13 @@ object NaiveBayes {
         lnQ(lit(1.0) / (col("_t").cast("double") + vocab), unitScale)
           .as("_unseenq"))
     // quantized log-priors from train document counts
-    val nTrain = train.count().toDouble
     val priors = train.groupBy(col(labelCol).as("_lbl"))
       .agg(count(lit(1)).as("_nd"))
       .select(col("_lbl"),
         lnQ(col("_nd").cast("double") / nTrain, unitScale).as("_priorq"))
-    // test tokens with multiplicity × every candidate label
-    val teTok = test
+    // test tokens with multiplicity × every candidate label (same
+    // rebalance: the test tokenize must not inherit the 1-split scan)
+    val teTok = test.repartition(nPart, col(idCol))
       .select(col(idCol).as("_id"), col(labelCol).as("_true"),
         tok(textCol).as("_tok"))
       .filter(length(col("_tok")) > 0)

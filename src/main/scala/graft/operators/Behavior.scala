@@ -676,12 +676,17 @@ object Behavior {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("_ic"))
       .persist()
     val wJ = Window.partitionBy(col(keyCol), col("_jid")).orderBy(ord: _*)
+    // `absorbed` feeds two union branches and `ch` three — persisted,
+    // or the journey-window sort re-runs once per branch (profiled:
+    // 3 evaluations of the lead/row_number subtree in the trans plan)
     val absorbed = ev2.groupBy(col(keyCol), col("_jid"))
       .agg(max(col("_ic")).as("_abs"),
            count(when(col(typeCol) =!= convType, 1)).as("_nch"))
+      .persist()
     val ch = ev2.filter(col(typeCol) =!= convType)
       .withColumn("_next", lead(col(typeCol), 1).over(wJ))
       .withColumn("_rn", row_number().over(wJ))
+      .persist()
     val trans = ch.filter(col("_rn") === 1)
         .select(lit("__START__").as("from_s"), col(typeCol).as("to_s"))
       .unionByName(ch.filter(col("_next").isNotNull)
@@ -710,7 +715,7 @@ object Behavior {
       .filter(!col("c").isin("__CONV__", "__NULL__"))
       .unionByName(pmat.select(col("from_s").as("c")).filter(col("c") =!= "__START__"))
       .distinct().collect().map(_.getString(0)).sorted.toSeq
-    ev2.unpersist()
+    ev2.unpersist(); ch.unpersist(); absorbed.unpersist()
     require(channels.nonEmpty, "removalEffect: no channel states in the event stream")
     // MODEL SIDE ON THE DRIVER: the transition matrix is a ≤(k+3)²-row
     // artifact (the IVF-centroid / kmeansTrain precedent — corpus work
