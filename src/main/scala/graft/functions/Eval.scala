@@ -1268,29 +1268,37 @@ object Eval {
     * p·ln p term DECIMAL-quantized pre-sum (the q107 contract).
     */
   def vMeasure(df: DataFrame, classCol: String, clusterCol: String): DataFrame = {
+    // the joint cell table is label²-bounded — checkpointed once so the
+    // corpus scan+agg runs once, then ALL four entropy reductions fold
+    // in ONE driver action (four 1-row aggs cross-joined) instead of
+    // one action each (was 5 actions / 24 single-task AQE stage jobs)
     val cells = df.select(col(classCol).cast("string").as("_c"),
         col(clusterCol).cast("string").as("_k"))
       .groupBy("_c", "_k").agg(count(lit(1)).as("_n"))
+      .localCheckpoint()
     val n = cells.agg(sum("_n")).head().getLong(0).toDouble
-    def entropyOf(grouped: DataFrame, cnt: String): Double =
+    def entropyOf(grouped: DataFrame, cnt: String, as: String): DataFrame =
       grouped.agg(sum(
           (-(col(cnt).cast("double") / n) * log(col(cnt).cast("double") / n))
-            .cast("decimal(20,9)")).as("_h"))
-        .head().getDecimal(0).doubleValue()
-    val hc = entropyOf(cells.groupBy("_c").agg(sum("_n").as("_m")), "_m")
-    val hk = entropyOf(cells.groupBy("_k").agg(sum("_n").as("_m")), "_m")
+            .cast("decimal(20,9)")).as(as))
     // conditional entropies from the joint and the conditioning marginal
-    def condEntropy(margCol: String): Double = {
+    def condEntropy(margCol: String, as: String): DataFrame = {
       val marg = cells.groupBy(margCol).agg(sum("_n").as("_m"))
       cells.join(broadcast(marg), Seq(margCol))
         .agg(sum(
           (-(col("_n").cast("double") / n) *
             log(col("_n").cast("double") / col("_m").cast("double")))
-            .cast("decimal(20,9)")).as("_h"))
-        .head().getDecimal(0).doubleValue()
+            .cast("decimal(20,9)")).as(as))
     }
-    val hck = condEntropy("_k") // H(C|K)
-    val hkc = condEntropy("_c") // H(K|C)
+    val hRow = entropyOf(cells.groupBy("_c").agg(sum("_n").as("_m")), "_m", "_hc")
+      .crossJoin(entropyOf(cells.groupBy("_k").agg(sum("_n").as("_m")), "_m", "_hk"))
+      .crossJoin(condEntropy("_k", "_hck"))
+      .crossJoin(condEntropy("_c", "_hkc"))
+      .head()
+    val hc = hRow.getDecimal(0).doubleValue()
+    val hk = hRow.getDecimal(1).doubleValue()
+    val hck = hRow.getDecimal(2).doubleValue() // H(C|K)
+    val hkc = hRow.getDecimal(3).doubleValue() // H(K|C)
     def r9(x: Double): Double = new java.math.BigDecimal(x)
       .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue
     val hom = if (hc == 0.0) 1.0 else 1.0 - hck / hc
@@ -1356,15 +1364,20 @@ object Eval {
     // observed disagreement N·ΣwO and the marginal product ΣwₐᵦrₐcᵦE
     // fold from the SAME bounded cell table (marginals re-aggregated
     // then pair-joined — labels × labels rows, broadcast-sized)
-    val n = cells.agg(sum("_n")).head().getLong(0)
     val ra = cells.groupBy(col("_a")).agg(sum("_n").as("_ra"))
     val cb = cells.groupBy(col("_b")).agg(sum("_n").as("_cb"))
-    val obs = cells
-      .agg(sum(wgt(col("_a"), col("_b")) * col("_n")).as("_wo")).head().getLong(0)
-    val exp = ra.crossJoin(cb)
-      .agg(sum((wgt(col("_a"), col("_b")) *
-        col("_ra") * col("_cb")).cast("decimal(38,0)")).as("_we"))
-      .head().getDecimal(0)
+    // N, ΣwO, and the marginal product fold in ONE driver action (the
+    // repeated `cells` exchange is reused in-plan) instead of three
+    val row = cells
+      .agg(sum("_n").as("_nn"),
+        sum(wgt(col("_a"), col("_b")) * col("_n")).as("_wo"))
+      .crossJoin(ra.crossJoin(cb)
+        .agg(sum((wgt(col("_a"), col("_b")) *
+          col("_ra") * col("_cb")).cast("decimal(38,0)")).as("_we")))
+      .head()
+    val n = row.getLong(0)
+    val obs = row.getLong(1)
+    val exp = row.getDecimal(2)
     def r9(x: Double): Double = new java.math.BigDecimal(x)
       .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue
     // w_expected can reach maxW·N² — long overflows at corpus scale,

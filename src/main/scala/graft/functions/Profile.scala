@@ -2061,9 +2061,12 @@ object Profile {
       .agg(sum("_c").as("_n"),
         sum((col("_c").cast("decimal(38,0)") * col("_hr2")).cast("decimal(38,0)"))
           .as("_sr2"))
+    // N/ties and the group count fold in ONE driver action (the hist
+    // and perGroup exchanges are shared subtrees) instead of two
     val scalars = hist.agg(sum("_t").as("_nn"),
       sum((col("_t").cast("decimal(38,0)") * col("_t") * col("_t") - col("_t"))
-        .cast("decimal(38,0)")).as("_ties")).head()
+        .cast("decimal(38,0)")).as("_ties"))
+      .crossJoin(perGroup.agg(count(lit(1)).as("_k"))).head()
     val n = scalars.getLong(0)
     require(n >= 2, s"dunnTest needs >= 2 rows, got $n")
     val ties = scalars.getDecimal(1).doubleValue()
@@ -2075,7 +2078,7 @@ object Profile {
     val b = perGroup.select(col("_g").as("b"), col("_n").as("_nb"),
       col("_sr2").as("_sb"))
     val pairs = a.crossJoin(b).filter(col("a") < col("b"))
-    val k = perGroup.count()
+    val k = scalars.getLong(2)
     pairs.select(col("a"), col("b"), col("_na").as("n_a"), col("_nb").as("n_b"),
         when(lit(sig2) > 0.0, round(
           (dbl(col("_sa")) / (lit(2.0) * dbl(col("_na"))) -

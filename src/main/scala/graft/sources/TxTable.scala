@@ -2879,7 +2879,13 @@ object TxTable {
     val p = new Path(table)
     val f = fs(spark, table)
     if (f.exists(p)) f.delete(p, true)
-    snapCache.keySet.removeIf(_._1 == table)
+    // the recursive delete also removes NESTED table roots (branch
+    // lines under _refs_branch/<name>) — their snapshots must leave
+    // the cache too, or a re-created branch at the same path resolves
+    // to the dropped generation's file list (stale-cache read of
+    // files that no longer exist)
+    val pfx = table + "/"
+    snapCache.keySet.removeIf(k => k._1 == table || k._1.startsWith(pfx))
     ()
   }
 

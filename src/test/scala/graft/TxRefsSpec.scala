@@ -104,4 +104,23 @@ class TxRefsSpec extends SparkSpec {
     TxTable.commit(Seq((5L, 5.0)).toDF("id", "x"), table)
     TxTable.readRef(spark, table, "v1").count() shouldBe 1L
   }
+
+  test("drop invalidates nested branch snapshots (same-path re-create reads fresh)") {
+    // regression: drop(table) deletes the branch dirs under
+    // _refs_branch/ but used to leave their snapshot-cache entries
+    // alive, so a re-created branch AT THE SAME PATH resolved to the
+    // dropped generation's file list and the read failed PATH_NOT_FOUND
+    val table = freshTable()
+    def cycle(tag: Long): Seq[Long] = {
+      TxTable.drop(spark, table)
+      TxTable.commit(Seq((tag, 1.0)).toDF("id", "x"), table)
+      TxTable.createBranch(spark, table, "dev")
+      TxTable.commit(Seq((tag + 1L, 2.0)).toDF("id", "x"),
+        TxTable.branchPath(spark, table, "dev"))
+      TxTable.fastForward(spark, table, "dev")
+      TxTable.read(spark, table).select("id").collect().map(_.getLong(0)).sorted.toSeq
+    }
+    cycle(1L) shouldBe Seq(1L, 2L)
+    cycle(10L) shouldBe Seq(10L, 11L) // second generation, same paths
+  }
 }
