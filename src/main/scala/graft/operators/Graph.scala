@@ -381,16 +381,20 @@ object Graph {
   // expression at the very end, so the local form reproduces the
   // distributed outputs EXACTLY (property-tested both ways).
   //
-  // Gate: conf "graft.graph.localEdgeGate" (edges; default 1e6 ≈
-  // 16 MB of id pairs — the broadcast-side budget class, far under the
+  // Gate: conf "graft.graph.localEdgeGate" (edges; default 2e6 ≈
+  // 32 MB of id pairs — the broadcast-side budget class, far under the
   // 8 GB broadcast cap; "0" disables — the scale posture stays: above
   // the gate, or for non-LONG ids, the distributed rounds run
   // unchanged, and every local kernel below does strictly less work
-  // than the distributed plan materializes as rows).
+  // than the distributed plan materializes as rows). Each kernel gates
+  // on the row count it actually collects (symmetrized for the wedge
+  // kernels, canonical undirected for modularity), so the budget is
+  // uniform per collect. Integer arithmetic stays exact at this gate:
+  // the largest products (louvain's m2·e_ic) are ≤ 4e12 ≪ 2^63.
   // -----------------------------------------------------------------
 
   private def localEdgeGate(spark: org.apache.spark.sql.SparkSession): Long =
-    spark.conf.get("graft.graph.localEdgeGate", "1000000").toLong
+    spark.conf.get("graft.graph.localEdgeGate", "2000000").toLong
 
   private def longCols(df: DataFrame, cols: String*): Boolean =
     cols.forall(c => df.schema(c).dataType == org.apache.spark.sql.types.LongType)
@@ -943,6 +947,7 @@ object Graph {
   def modularity(pairs: DataFrame, aCol: String, bCol: String,
                  labels: DataFrame, nodeCol: String = "node",
                  communityCol: String = "community"): DataFrame = {
+    val spark = pairs.sparkSession
     val e = pairs
       .select(least(col(aCol), col(bCol)).as("a"), greatest(col(aCol), col(bCol)).as("b"))
       .filter(col("a") =!= col("b"))
@@ -972,6 +977,72 @@ object Graph {
       .groupBy(ckey(col("_ca"), col("a")).as("_c"))
       .agg(count(lit(1)).as("e_in"))
     val m = e.count() // materializes the persisted edge list
+    // adaptive local path (triangleCounts rationale): every community
+    // aggregate is an exact integer count and the per-community term is
+    // ONE mirrored double expression quantized through Spark's own
+    // double→DECIMAL(20,9) path (BigDecimal.valueOf = Double.toString),
+    // so the local fold is bit-identical to the distributed plan
+    val gate = localEdgeGate(spark)
+    if (gate > 0 && m <= gate && longCols(pairs, aCol, bCol) &&
+        labels.columns.contains(nodeCol) && labels.columns.contains(communityCol) &&
+        longCols(labels, nodeCol, communityCol)) {
+      val es = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+      e.unpersist()
+      // only graph nodes' labels are needed: the node set is already in
+      // memory, so it semi-joins the label table as a broadcast local
+      // relation — the collect stays inside the gate budget even when
+      // the label table itself is corpus-sized
+      val nodeSet = new java.util.HashSet[java.lang.Long]()
+      es.foreach { case (a, b) => nodeSet.add(a); nodeSet.add(b); () }
+      import spark.implicits._
+      val nodesDf = scala.jdk.CollectionConverters
+        .SetHasAsScala(nodeSet).asScala.toSeq.map(_.longValue).toDF("_n")
+      val labRows = lab.join(broadcast(nodesDf), col("_ln") === col("_n"))
+        .select("_ln", "_lc").collect()
+      val labMap = new java.util.HashMap[Long, java.lang.Long]()
+      labRows.foreach { r =>
+        if (!r.isNullAt(0))
+          labMap.put(r.getLong(0),
+            if (r.isNullAt(1)) null else java.lang.Long.valueOf(r.getLong(1)))
+      }
+      if (es.isEmpty) // the empty agg row of the distributed plan
+        return Seq((0L, 0L, None: Option[Double]))
+          .toDF("m", "n_communities", "modularity")
+      // community key: ("L", label) when labeled, ("N", node) singleton
+      // fallback — the tuple form of the type-tagged ckey string
+      def key(n: Long): (Boolean, Long) = {
+        val c = labMap.get(n)
+        if (c != null) (true, c.longValue) else (false, n)
+      }
+      val degL = new java.util.HashMap[Long, Long]()
+      es.foreach { case (a, b) =>
+        degL.merge(a, 1L, _ + _); degL.merge(b, 1L, _ + _)
+      }
+      val dTot = new java.util.HashMap[(Boolean, Long), Long]()
+      val itD = degL.entrySet().iterator()
+      while (itD.hasNext) {
+        val en = itD.next(); dTot.merge(key(en.getKey), en.getValue, _ + _)
+      }
+      val eIn = new java.util.HashMap[(Boolean, Long), Long]()
+      es.foreach { case (a, b) =>
+        val ka = key(a); if (ka == key(b)) eIn.merge(ka, 1L, _ + _)
+      }
+      import java.math.{BigDecimal => JBD, RoundingMode => RM}
+      val dmL = m.toDouble
+      var acc = JBD.ZERO
+      val itC = dTot.entrySet().iterator()
+      var nComm = 0L
+      while (itC.hasNext) {
+        val en = itC.next(); nComm += 1
+        val ein = eIn.getOrDefault(en.getKey, 0L)
+        val half = en.getValue.toDouble / (2.0 * dmL)
+        val term = ein.toDouble / dmL - half * half
+        acc = acc.add(JBD.valueOf(term).setScale(9, RM.HALF_UP))
+      }
+      val mod = JBD.valueOf(acc.doubleValue).setScale(6, RM.HALF_UP).doubleValue
+      return Seq((m, nComm, Some(mod): Option[Double]))
+        .toDF("m", "n_communities", "modularity")
+    }
     val dm = lit(m).cast("double")
     val term = (col("e_in").cast("double") / dm
       - (col("d_tot").cast("double") / (lit(2.0) * dm)) * (col("d_tot").cast("double") / (lit(2.0) * dm)))

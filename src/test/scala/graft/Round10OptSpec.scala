@@ -114,6 +114,18 @@ class Round10OptSpec extends SparkSpec {
     }
   }
 
+  test("local modularity equals the distributed community aggs incl. unlabeled fallback") {
+    for (seed <- 31 to 33) {
+      val pairs = randomPairs(seed, 30, 120)
+      // labels cover only part of the graph (unlabeled → N: singleton
+      // fallback) and community ids overlap node ids (the L:/N: tag case)
+      val labels = (0 until 20).map(n => (n.toLong, (n % 5).toLong))
+        .toDF("node", "community")
+      val (l, d) = bothPaths(Graph.modularity(pairs, "a", "b", labels))
+      l shouldBe d
+    }
+  }
+
   test("local louvainMove equals the distributed gain argmax") {
     for (seed <- 21 to 23) {
       val pairs = randomPairs(seed, 25, 110)
