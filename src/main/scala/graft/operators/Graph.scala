@@ -1287,10 +1287,41 @@ object Graph {
     * + one scalar agg — everything edge-list-sized, no windows.
     */
   def assortativity(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val spark = pairs.sparkSession
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // adaptive local path (triangleCounts rationale): the five moment
+    // sums are exact integers — at the gate the largest, Σ deg(src)²
+    // over directed edges, is ≤ gate·(gate/2)² = 2e18 < 2⁶³ (a node's
+    // degree is at most half the directed edge count), so plain long
+    // sums equal the distributed DECIMAL(38,0) sums exactly, and every
+    // double below is the same conversion of the same exact integer
+    val gateA = localEdgeGate(spark)
+    if (gateA > 0 && longCols(pairs, aCol, bCol) && edges.count() <= gateA) {
+      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      edges.unpersist()
+      val degL = new java.util.HashMap[Long, Long]()
+      es.foreach { case (s, _) => degL.merge(s, 1L, _ + _) }
+      var sx = 0L; var sy = 0L; var sxy = 0L; var sxx = 0L; var syy = 0L
+      es.foreach { case (s, d) =>
+        val dx = degL.get(s); val dy = degL.get(d)
+        sx += dx; sy += dy; sxy += dx * dy; sxx += dx * dx; syy += dy * dy
+      }
+      val mD = es.length.toDouble
+      val num = mD * sxy.toDouble - sx.toDouble * sy.toDouble
+      val denX = mD * sxx.toDouble - sx.toDouble * sx.toDouble
+      val denY = mD * syy.toDouble - sy.toDouble * sy.toDouble
+      val assort: Option[Double] =
+        if (denX > 0 && denY > 0)
+          Some(java.math.BigDecimal.valueOf(num / math.sqrt(denX * denY))
+            .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue)
+        else None
+      import spark.implicits._
+      return Seq((es.length.toLong, degL.size.toLong, assort))
+        .toDF("n_directed_edges", "n_nodes", "assortativity")
+    }
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val joined = edges
       .join(deg.select(col("src"), col("deg").as("_dx")), Seq("src"))

@@ -126,6 +126,18 @@ class Round10OptSpec extends SparkSpec {
     }
   }
 
+  test("local assortativity equals the distributed moment sums incl. NULL on degenerate") {
+    for (seed <- 41 to 43) {
+      val pairs = randomPairs(seed, 30, 110)
+      val (l, d) = bothPaths(Graph.assortativity(pairs, "a", "b"))
+      l shouldBe d
+    }
+    // degenerate: a single edge — both denominators 0 → NULL both paths
+    val one = Seq((1L, 2L)).toDF("a", "b")
+    val (l1, d1) = bothPaths(Graph.assortativity(one, "a", "b"))
+    l1 shouldBe d1
+  }
+
   test("local louvainMove equals the distributed gain argmax") {
     for (seed <- 21 to 23) {
       val pairs = randomPairs(seed, 25, 110)
