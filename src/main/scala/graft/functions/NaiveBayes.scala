@@ -46,16 +46,13 @@ object NaiveBayes {
   def trainScoreConfusion(train: DataFrame, test: DataFrame,
                           labelCol: String, textCol: String, idCol: String,
                           unitScale: Long = 1000000L): DataFrame = {
-    // sufficient statistics: (label, token) counts and per-label totals.
-    // The tokenize explode is rebalanced off the scan split (a
-    // single-file corpus otherwise shingles on one core) and `counts`
-    // is checkpointed ONCE: it feeds the vocab scalar, the model, the
-    // totals, and the unseen table — uncheckpointed, each consumer
-    // (two scalar actions + two subtrees of the final plan) re-ran the
-    // corpus tokenize pass. Vocab-bounded rows, the model artifact.
-    val nPart = train.sparkSession.conf
-      .get("spark.sql.shuffle.partitions", "32").toInt
-    val trTok = train.repartition(nPart, col(idCol))
+    // sufficient statistics: (label, token) counts and per-label
+    // totals. `counts` is checkpointed ONCE: it feeds the vocab
+    // scalar, the model, the totals, and the unseen table —
+    // uncheckpointed, each consumer (two scalar actions + two subtrees
+    // of the final plan) re-ran the corpus tokenize pass.
+    // Vocab-bounded rows, the model artifact.
+    val trTok = train
       .select(col(labelCol).as("_lbl"), tok(textCol).as("_tok"))
       .filter(length(col("_tok")) > 0)
     val counts = trTok.groupBy("_lbl", "_tok").agg(count(lit(1)).as("_c"))
@@ -81,9 +78,8 @@ object NaiveBayes {
       .agg(count(lit(1)).as("_nd"))
       .select(col("_lbl"),
         lnQ(col("_nd").cast("double") / nTrain, unitScale).as("_priorq"))
-    // test tokens with multiplicity × every candidate label (same
-    // rebalance: the test tokenize must not inherit the 1-split scan)
-    val teTok = test.repartition(nPart, col(idCol))
+    // test tokens with multiplicity × every candidate label
+    val teTok = test
       .select(col(idCol).as("_id"), col(labelCol).as("_true"),
         tok(textCol).as("_tok"))
       .filter(length(col("_tok")) > 0)
