@@ -389,8 +389,10 @@ object Graph {
   // than the distributed plan materializes as rows). Each kernel gates
   // on the row count it actually collects (symmetrized for the wedge
   // kernels, canonical undirected for modularity), so the budget is
-  // uniform per collect. Integer arithmetic stays exact at this gate:
-  // the largest products (louvain's m2·e_ic) are ≤ 4e12 ≪ 2^63.
+  // uniform per collect. Integer arithmetic stays exact at this gate —
+  // louvain's largest products (m2·e_ic ≤ gate²) are long-exact up to a
+  // ~3e9 gate; assortativity's cubic moment sums bind FIRST and that
+  // kernel clamps its own local path to 3e6 independently of the conf.
   // -----------------------------------------------------------------
 
   private def localEdgeGate(spark: org.apache.spark.sql.SparkSession): Long =
@@ -840,10 +842,10 @@ object Graph {
     val m2 = edges.count() // Σk_i = 2m — scalar model artifact
     require(m2 > 0, "louvainMove: empty edge list")
     // adaptive local path (labelPropagation rationale): the gain argmax
-    // is exact integer arithmetic — at gate-bound sizes (≤1e6 directed
-    // edges) every product m2·e_ic and k_i·d'_c is ≤ ~1e12, exactly
-    // representable in a long, so the local scores equal the
-    // DECIMAL(38,0) plan's values identically
+    // is exact integer arithmetic — every product m2·e_ic and k_i·d'_c
+    // is ≤ m2², i.e. ≤ 4e12 at the default 2e6 gate (long-exact up to a
+    // ~3e9 gate), so the local scores equal the DECIMAL(38,0) plan's
+    // values identically
     val gate = localEdgeGate(pairs.sparkSession)
     if (gate > 0 && longCols(pairs, aCol, bCol) && m2 <= gate) {
       val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -983,11 +985,14 @@ object Graph {
     // double→DECIMAL(20,9) path (BigDecimal.valueOf = Double.toString),
     // so the local fold is bit-identical to the distributed plan
     val gate = localEdgeGate(spark)
-    if (gate > 0 && m <= gate && longCols(pairs, aCol, bCol) &&
-        labels.columns.contains(nodeCol) && labels.columns.contains(communityCol) &&
-        longCols(labels, nodeCol, communityCol)) {
+    val localOk = gate > 0 && m <= gate && longCols(pairs, aCol, bCol) &&
+      labels.columns.contains(nodeCol) && labels.columns.contains(communityCol) &&
+      longCols(labels, nodeCol, communityCol)
+    // the label collect (and the duplicate check below) happens BEFORE
+    // the edge cache is released, so a fallback to the distributed
+    // branch re-reads the cache, not the upstream pipeline
+    if (localOk) {
       val es = e.collect().map(r => (r.getLong(0), r.getLong(1)))
-      e.unpersist()
       // only graph nodes' labels are needed: the node set is already in
       // memory, so it semi-joins the label table as a broadcast local
       // relation — the collect stays inside the gate budget even when
@@ -999,12 +1004,23 @@ object Graph {
         .SetHasAsScala(nodeSet).asScala.toSeq.map(_.longValue).toDF("_n")
       val labRows = lab.join(broadcast(nodesDf), col("_ln") === col("_n"))
         .select("_ln", "_lc").collect()
+      // a node with MORE THAN ONE label row fans the distributed joins
+      // out (degree counted once per label row) — a map cannot mirror
+      // that, so duplicate labels fall back to the distributed branch
+      // instead of silently diverging
       val labMap = new java.util.HashMap[Long, java.lang.Long]()
+      val seenLab = new java.util.HashSet[Long]()
+      var dupLabel = false
       labRows.foreach { r =>
-        if (!r.isNullAt(0))
-          labMap.put(r.getLong(0),
+        if (!r.isNullAt(0)) {
+          val n = r.getLong(0)
+          if (!seenLab.add(n)) dupLabel = true
+          labMap.put(n,
             if (r.isNullAt(1)) null else java.lang.Long.valueOf(r.getLong(1)))
+        }
       }
+      if (!dupLabel) {
+      e.unpersist()
       if (es.isEmpty) // the empty agg row of the distributed plan
         return Seq((0L, 0L, None: Option[Double]))
           .toDF("m", "n_communities", "modularity")
@@ -1042,6 +1058,7 @@ object Graph {
       val mod = JBD.valueOf(acc.doubleValue).setScale(6, RM.HALF_UP).doubleValue
       return Seq((m, nComm, Some(mod): Option[Double]))
         .toDF("m", "n_communities", "modularity")
+      } // !dupLabel — duplicate labels fall through to the distributed aggs
     }
     val dm = lit(m).cast("double")
     val term = (col("e_in").cast("double") / dm
@@ -1293,14 +1310,19 @@ object Graph {
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // adaptive local path (triangleCounts rationale): the five moment
-    // sums are exact integers — at the gate the largest, Σ deg(src)²
-    // over directed edges, is ≤ gate·(gate/2)² = 2e18 < 2⁶³ (a node's
-    // degree is at most half the directed edge count), so plain long
-    // sums equal the distributed DECIMAL(38,0) sums exactly, and every
-    // double below is the same conversion of the same exact integer
-    val gateA = localEdgeGate(spark)
+    // sums are exact integers — the largest, Σ deg(src)² over directed
+    // edges, is ≤ m·(m/2)², so plain long sums equal the distributed
+    // DECIMAL(38,0) sums exactly only while m³/4 < 2⁶³, i.e. m ≤ ~3.3e6.
+    // The local path therefore clamps to 3e6 INDEPENDENTLY of the
+    // user-settable gate: a larger conf value must widen the other
+    // kernels without ever letting these longs wrap. NULL endpoints
+    // (possible from upstream outer joins) fall back to the distributed
+    // branch, whose inner degree joins define the null semantics.
+    val gateA = math.min(localEdgeGate(spark), 3000000L)
     if (gateA > 0 && longCols(pairs, aCol, bCol) && edges.count() <= gateA) {
-      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val rows = edges.collect()
+      if (rows.forall(r => !r.isNullAt(0) && !r.isNullAt(1))) {
+      val es = rows.map(r => (r.getLong(0), r.getLong(1)))
       edges.unpersist()
       val degL = new java.util.HashMap[Long, Long]()
       es.foreach { case (s, _) => degL.merge(s, 1L, _ + _) }
@@ -1321,6 +1343,7 @@ object Graph {
       import spark.implicits._
       return Seq((es.length.toLong, degL.size.toLong, assort))
         .toDF("n_directed_edges", "n_nodes", "assortativity")
+      } // null endpoints — fall through to the distributed join semantics
     }
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val joined = edges

@@ -138,6 +138,26 @@ class Round10OptSpec extends SparkSpec {
     l1 shouldBe d1
   }
 
+  test("modularity with duplicate label rows falls back to the distributed fan-out") {
+    // a node with two label rows fans the distributed joins out (degree
+    // counted once per label row) — the local map cannot mirror that,
+    // so the gate must NOT take the local path; both settings must
+    // agree because both run the distributed aggs
+    val pairs = randomPairs(51, 20, 60)
+    val labels = ((0 until 15).map(n => (n.toLong, (n % 4).toLong)) :+ ((3L, 9L)))
+      .toDF("node", "community")
+    val (l, d) = bothPaths(Graph.modularity(pairs, "a", "b", labels))
+    l shouldBe d
+  }
+
+  test("assortativity with NULL endpoints falls back to the distributed join semantics") {
+    val pairs = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 2L), (2L, 3L), (3L, 1L), (null, 4L), (4L, 5L))
+      .toDF("a", "b")
+    val (l, d) = bothPaths(Graph.assortativity(pairs, "a", "b"))
+    l shouldBe d
+  }
+
   test("local louvainMove equals the distributed gain argmax") {
     for (seed <- 21 to 23) {
       val pairs = randomPairs(seed, 25, 110)
