@@ -80,6 +80,40 @@ class SparkEntrySpec extends SparkSpec {
       exists) shouldBe None
   }
 
+  test("a query that throws is reported failed, posts no timing, and others still time") {
+    val qs: Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
+      "q_ok" -> ((s, _) => s.range(10).toDF()),
+      "q_boom" -> ((s, _) => s.range(10).toDF().filter(
+        org.apache.spark.sql.functions.raise_error(
+          org.apache.spark.sql.functions.lit("forced failure")).isNull)),
+      "q_flaky_looks_ok_now" -> ((s, _) => s.range(3).toDF()))
+    val pass = Bench.timedPass(spark, sfDir, qs)
+    pass.toMap.apply("q_boom") shouldBe -1.0
+    pass.toMap.apply("q_ok") should be >= 0.0
+    // min-of-3 fold: failing any pass marks the query failed (the q363
+    // class crashed only on the SECOND same-JVM invocation)
+    val flakyPasses = Seq(
+      Seq("q_ok" -> 1.0, "q_flaky" -> 0.5),
+      Seq("q_ok" -> 1.1, "q_flaky" -> -1.0),
+      Seq("q_ok" -> 0.9, "q_flaky" -> 0.4))
+    val (ok, failedNames) = Bench.foldPasses(flakyPasses)
+    failedNames shouldBe Seq("q_flaky")
+    ok shouldBe Seq("q_ok" -> 0.9)
+  }
+
+  test("sf1 growth gate is core-aware: low-core runs scale the allowed growth") {
+    Bench.effectiveMaxGrowth(8.0, 32) shouldBe 8.0
+    Bench.effectiveMaxGrowth(8.0, 64) shouldBe 8.0   // never tightens
+    Bench.effectiveMaxGrowth(8.0, 8) shouldBe 32.0   // 32/8 relaxation
+    Bench.effectiveMaxGrowth(8.0, 0) shouldBe 8.0    // degenerate input
+    // round-10 incident replayed: q322 1.50->19.16 s (12.8x) at 8 cores
+    // tripped the fixed 8x gate with unchanged code; core-aware it passes
+    val base = Seq("q322_dedup_index_lookup" -> 1.50)
+    val sf1 = Seq("q322_dedup_index_lookup" -> 19.16)
+    Bench.growthViolations(base, sf1, Bench.effectiveMaxGrowth(8.0, 32)).length shouldBe 1
+    Bench.growthViolations(base, sf1, Bench.effectiveMaxGrowth(8.0, 8)) shouldBe empty
+  }
+
   test("parseBenchQueries keeps the sf0.1 pass, not sf1_queries") {
     val line = """{"metric":"total","value":3.5,"unit":"sec","queries":{"q1_a":1.25,"q2_b":2.25},""" +
       """"sf":"/x/sf0.1","sf1_total":9.0,"sf1_queries":{"q1_a":4.5,"q2_b":4.5}}"""
