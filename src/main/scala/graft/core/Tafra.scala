@@ -839,8 +839,17 @@ object Tafra {
   def readOrc(spark: SparkSession, path: String): Tafra =
     new Tafra(spark.read.orc(path))
 
+  /** Plain parquet read. For a flat layout (single file, or one
+    * directory of data files) the schema comes from a driver-side
+    * footer read — identical to what inference returns, without the
+    * per-frame 1-task inference job; layouts that may carry hive
+    * partition directories fall back to Spark's own inference.
+    */
   def readParquet(spark: SparkSession, path: String): Tafra =
-    new Tafra(spark.read.parquet(path))
+    new Tafra(ParquetFooters.dirSchema(spark, path) match {
+      case Some(s) => spark.read.schema(s).parquet(path)
+      case None    => spark.read.parquet(path)
+    })
 
   /** Schema-evolution read: parquet files written at different corpus
     * generations (later shards carrying NEW columns) load as ONE

@@ -677,7 +677,7 @@ object TxTable {
             if (msOf(spark, table, parentV))
               spark.read.option("mergeSchema", "true")
                 .parquet(parentFiles.map(rel => dataPath(table, rel)): _*).schema
-            else spark.read.parquet(dataPath(table, parentFiles.head)).schema
+            else graft.core.ParquetFooters.schemaOf(spark, dataPath(table, parentFiles.head))
           }
         }
       parentSchema.foreach { parent =>
@@ -894,8 +894,9 @@ object TxTable {
         val idxOf = named.zipWithIndex.map { case (rel, i) =>
           rel.stripPrefix("data/") -> i }.toMap
         val paths = named.map(rel => s"$table/$rel")
+        val pathsSchema = graft.core.ParquetFooters.schemaOf(spark, paths.head)
         physBloomCols.flatMap { c =>
-          val base = spark.read.parquet(paths: _*)
+          val base = spark.read.schema(pathsSchema).parquet(paths: _*)
             .select(input_file_name().as("_f"), col(c).cast("string").as("_v"))
             .filter(col("_v").isNotNull)
           val h = graft.functions.Hashing.portableHash(col("_v"))
@@ -928,8 +929,9 @@ object TxTable {
         val idxOf = named.zipWithIndex.map { case (rel, i) =>
           rel.stripPrefix("data/") -> i }.toMap
         val paths = named.map(rel => s"$table/$rel")
+        val pathsSchema = graft.core.ParquetFooters.schemaOf(spark, paths.head)
         physSetCols.flatMap { c =>
-          spark.read.parquet(paths: _*)
+          spark.read.schema(pathsSchema).parquet(paths: _*)
             .select(input_file_name().as("_f"), col(c).cast("string").as("_v"))
             .filter(col("_v").isNotNull).distinct().collect()
             .groupBy(_.getString(0)).toSeq.flatMap { case (fp, rows) =>
@@ -1267,9 +1269,14 @@ object TxTable {
     val posd = posDeletesOf(spark, table, v)
     val deleted: Map[String, Long] =
       if (posd.isEmpty) Map.empty
-      else spark.read.parquet(posd.map(rel => dataPath(table, rel)): _*)
-        .groupBy(col("_gf")).agg(count(lit(1)).as("_n"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      else {
+        val posPaths = posd.map(rel => dataPath(table, rel))
+        spark.read
+          .schema(graft.core.ParquetFooters.schemaOf(spark, posPaths.head))
+          .parquet(posPaths: _*)
+          .groupBy(col("_gf")).agg(count(lit(1)).as("_n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
     files.map { rel =>
       val base = rel.substring(rel.lastIndexOf('/') + 1)
       rel -> (counts(rel) - deleted.getOrElse(base, 0L))
@@ -1345,7 +1352,10 @@ object TxTable {
         element_at(split(col("_metadata.file_path"), "/"), -1))
       tombs.groupBy(_._2).toSeq.sortBy(_._1).foldLeft(withF) {
         case (acc, (k, es)) =>
-          val keys = spark.read.parquet(es.map(e => dataPath(table, e._1)).distinct: _*)
+          val sidePaths = es.map(e => dataPath(table, e._1)).distinct
+          val keys = spark.read
+            .schema(graft.core.ParquetFooters.schemaOf(spark, sidePaths.head))
+            .parquet(sidePaths: _*)
             .select(col("_gf").as("_graft_tf"), col("_gk").as("_graft_tk"))
           acc.join(keys, acc("_graft_tomb_file") === col("_graft_tf") &&
             acc(k) === col("_graft_tk"), "left_anti")
@@ -1371,17 +1381,36 @@ object TxTable {
     */
   private def rawRead(spark: SparkSession, table: String, v: Int,
                       files: Seq[String]): DataFrame = {
-    val rd0 = if (msOf(spark, table, v))
-      spark.read.option("mergeSchema", "true") else spark.read
+    val ms = msOf(spark, table, v)
+    val rd0 = if (ms) spark.read.option("mergeSchema", "true") else spark.read
     partColOf(spark, table, v) match {
-      case None => rd0.parquet(files.map(rel => dataPath(table, rel)): _*)
+      case None =>
+        val paths = files.map(rel => dataPath(table, rel))
+        // non-evolved snapshots are schema-uniform by the commit gate,
+        // so a driver-side footer read replaces the inference job —
+        // the same single-footer sample plain inference takes anyway
+        val rd = if (ms || paths.isEmpty) rd0
+                 else rd0.schema(graft.core.ParquetFooters.schemaOf(spark, paths.head))
+        rd.parquet(paths: _*)
       case Some(pc) =>
-        val df = rd0.option("basePath", s"$table/data")
-          .parquet(files.map(rel => dataPath(table, rel)): _*)
         val logicalName = colMapOf(spark, table, v)
           .flatMap(_.collectFirst { case (n, p) if p == pc => n }).getOrElse(pc)
         val dt = manifestSchema(spark, table, v)
           .flatMap(st => st.fields.find(_.name == logicalName).map(_.dataType))
+        val paths = files.map(rel => dataPath(table, rel))
+        // fast path only when the partition column's manifest type is
+        // known: the user schema appends pc LAST (matching Spark's
+        // dataSchema ++ partition-column output order) so the explicit
+        // schema read is column-for-column identical to inference
+        val rd1 =
+          if (ms || paths.isEmpty || dt.isEmpty) rd0
+          else {
+            val dataSch = graft.core.ParquetFooters.schemaOf(spark, paths.head)
+            if (dataSch.fieldNames.contains(pc)) rd0
+            else rd0.schema(org.apache.spark.sql.types.StructType(
+              dataSch.fields :+ org.apache.spark.sql.types.StructField(pc, dt.get, true)))
+          }
+        val df = rd1.option("basePath", s"$table/data").parquet(paths: _*)
         dt.fold(df)(t => df.withColumn(pc, col(pc).cast(t)))
     }
   }
@@ -1396,7 +1425,10 @@ object TxTable {
                         posd: Seq[String], base: DataFrame): DataFrame =
     if (posd.isEmpty) base
     else {
-      val pairs = spark.read.parquet(posd.map(rel => dataPath(table, rel)): _*)
+      val posPaths = posd.map(rel => dataPath(table, rel))
+      val pairs = spark.read
+        .schema(graft.core.ParquetFooters.schemaOf(spark, posPaths.head))
+        .parquet(posPaths: _*)
         .select(col("_gf").as("_graft_pf"), col("_gp").as("_graft_pp"))
       val withF = base
         .withColumn("_graft_pos_file",
@@ -1786,9 +1818,9 @@ object TxTable {
       rel
     }.toSeq
     f.delete(tmp, true)
-    val nDeleted =
+    val nDeleted = // exact from footers, no scan job (just-written files)
       if (named.isEmpty) 0L
-      else spark.read.parquet(named.map(rel => s"$table/$rel"): _*).count()
+      else graft.core.ParquetFooters.rowCount(spark, named.map(rel => s"$table/$rel"))
     if (nDeleted == 0L) { // no actual match: no-op
       named.foreach(rel => f.delete(new Path(s"$table/$rel"), false))
       return (v, 0L)
@@ -1872,9 +1904,9 @@ object TxTable {
       rel
     }.toSeq
     f.delete(tmp, true)
-    val nDeleted =
+    val nDeleted = // exact from footers, no scan job (just-written files)
       if (named.isEmpty) 0L
-      else spark.read.parquet(named.map(rel => s"$table/$rel"): _*).count()
+      else graft.core.ParquetFooters.rowCount(spark, named.map(rel => s"$table/$rel"))
     if (nDeleted == 0L) {
       named.foreach(rel => f.delete(new Path(s"$table/$rel"), false))
       return (v, 0L)
@@ -2326,7 +2358,9 @@ object TxTable {
   def readWap(spark: SparkSession, table: String, wapId: String): DataFrame = {
     requireWapId(wapId)
     val files = parseFileArray(stagedText(fs(spark, table), table, wapId), "files")
-    spark.read.parquet(files.map(rel => s"$table/$rel"): _*)
+    val paths = files.map(rel => s"$table/$rel")
+    spark.read.schema(graft.core.ParquetFooters.schemaOf(spark, paths.head))
+      .parquet(paths: _*)
   }
 
   /** Publish a staged batch: one append COMMIT whose data files are
@@ -2355,7 +2389,10 @@ object TxTable {
         val head = currentVersion(spark, table)
         require(head < 1 || partColOf(spark, table, head).isEmpty,
           s"TxTable: $table gained a partitioned layout after staging — abandon '$wapId'")
-        val df = spark.read.parquet(add.map(rel => s"$table/$rel"): _*)
+        val addPaths = add.map(rel => s"$table/$rel")
+        val df = spark.read
+          .schema(graft.core.ParquetFooters.schemaOf(spark, addPaths.head))
+          .parquet(addPaths: _*)
         val nv = commitAs(df, table, head + 1, "append",
           statsCols, txn = Some((appId, 0L)), bloomCols = bloomCols,
           rebaseAppend = true, maxAttempts = maxAttempts,
@@ -2429,9 +2466,26 @@ object TxTable {
     (out, attempt)
   }
 
+  /** Manifests are immutable once published (conditional-create
+    * committer — a version file is never rewritten in place), so the
+    * raw text caches safely; the scalar helpers below (op, ms, schema,
+    * partCol, commitMs) each re-parse it, and a single snapshot read
+    * consults several of them. Bounded like [[snapCache]]; [[drop]]
+    * and version expiry invalidate the same way.
+    */
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
+
   private def manifestText(spark: SparkSession, table: String, v: Int): String = {
+    val key = (table, v)
+    val hit = manifestCache.get(key)
+    if (hit != null) return hit
     val in = fs(spark, table).open(manifestPath(table, v))
-    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+    if (manifestCache.size > 1024) manifestCache.clear()
+    manifestCache.put(key, txt)
+    txt
   }
 
   /** Whether version `v`'s snapshot requires a mergeSchema read
@@ -2578,8 +2632,10 @@ object TxTable {
             .diff(posDeletesOf(spark, table, v - 1))
           if (newPosd.isEmpty) Seq.empty
           else {
+            val posPaths = newPosd.map(rel => dataPath(table, rel))
             val pairs = spark.read
-              .parquet(newPosd.map(rel => dataPath(table, rel)): _*)
+              .schema(graft.core.ParquetFooters.schemaOf(spark, posPaths.head))
+              .parquet(posPaths: _*)
               .select(col("_gf").as("_graft_pf"), col("_gp").as("_graft_pp"))
             val touched = pairs.select("_graft_pf").distinct()
               .collect().map(_.getString(0)).toSeq // file NAMES: metadata-scale
@@ -2603,8 +2659,10 @@ object TxTable {
           val newTombs = tombEntriesOf(spark, table, v)
             .diff(tombEntriesOf(spark, table, v - 1))
           newTombs.groupBy(_._2).toSeq.sortBy(_._1).flatMap { case (k, es) =>
+            val sidePaths = es.map(e => dataPath(table, e._1)).distinct
             val keys = spark.read
-              .parquet(es.map(e => dataPath(table, e._1)).distinct: _*)
+              .schema(graft.core.ParquetFooters.schemaOf(spark, sidePaths.head))
+              .parquet(sidePaths: _*)
               .select(col("_gf").as("_graft_tf"), col("_gk").as("_graft_tk"))
             val touched = keys.select("_graft_tf").distinct()
               .collect().map(_.getString(0)).toSeq // file NAMES: metadata-scale
@@ -2886,6 +2944,7 @@ object TxTable {
     // files that no longer exist)
     val pfx = table + "/"
     snapCache.keySet.removeIf(k => k._1 == table || k._1.startsWith(pfx))
+    manifestCache.keySet.removeIf(k => k._1 == table || k._1.startsWith(pfx))
     ()
   }
 
@@ -3021,6 +3080,7 @@ object TxTable {
     expire.foreach { v =>
       f.delete(manifestPath(table, v), false)
       snapCache.remove((table, v)) // expired versions must fail loudly
+      manifestCache.remove((table, v))
     }
     deadFiles.foreach(rel => f.delete(new Path(s"$table/$rel"), false))
     (expire, deadFiles)

@@ -65,7 +65,10 @@ object Events {
   /** Batch read with the ts normalization applied. */
   def readBatch(spark: SparkSession, path: String): DataFrame = {
     nanosConf(spark)
-    normTs(spark.read.parquet(path))
+    normTs(graft.core.ParquetFooters.dirSchema(spark, path) match {
+      case Some(s) => spark.read.schema(s).parquet(path)
+      case None    => spark.read.parquet(path)
+    })
   }
 
   /** Streaming read of the same files (schema taken from a batch probe,
@@ -79,7 +82,8 @@ object Events {
   def readStream(spark: SparkSession, path: String,
                  maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     nanosConf(spark)
-    val schema = spark.read.parquet(path).schema
+    val schema = graft.core.ParquetFooters.dirSchema(spark, path)
+      .getOrElse(spark.read.parquet(path).schema)
     val p = java.nio.file.Paths.get(path)
     val streamDir =
       if (java.nio.file.Files.isDirectory(p)) path
