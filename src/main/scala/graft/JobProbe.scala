@@ -18,6 +18,8 @@ object JobProbe {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("graft.graph.localEdgeGate",
         sys.env.getOrElse("GRAFT_LOCAL_EDGE_GATE", "2000000"))
+      .config("graft.stream.statePartitions",
+        sys.env.getOrElse("GRAFT_STREAM_PARTS", "8"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = args(0)

@@ -692,9 +692,15 @@ object Behavior {
     // multiset the previous 3-branch union produced with three
     // evaluations of the window subtree (profiled: 880 tasks → one
     // window sort + one journey-keyed join)
+    // null-safe journey join: a NULL key forms its own window/groupBy
+    // partition upstream, so its journey must pair here too — a plain
+    // equality join would silently drop ALL of a null-key journey's
+    // transitions (the pre-r10 union lost only its terminal edge)
+    val absJ = absorbed.select(col(keyCol).as("_ak"), col("_jid").as("_aj"),
+      col("_abs"))
     val trans = ch
-      .join(absorbed.select(col(keyCol), col("_jid"), col("_abs")),
-        Seq(keyCol, "_jid"))
+      .join(absJ, ch(keyCol) <=> col("_ak") && ch("_jid") === col("_aj"))
+      .drop("_ak", "_aj")
       .select(explode(array(
         when(col("_rn") === 1,
           struct(lit("__START__").as("from_s"), col(typeCol).as("to_s"))),

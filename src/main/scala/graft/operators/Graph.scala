@@ -1002,21 +1002,25 @@ object Graph {
       import spark.implicits._
       val nodesDf = scala.jdk.CollectionConverters
         .SetHasAsScala(nodeSet).asScala.toSeq.map(_.longValue).toDF("_n")
-      val labRows = lab.join(broadcast(nodesDf), col("_ln") === col("_n"))
-        .select("_ln", "_lc").collect()
       // a node with MORE THAN ONE label row fans the distributed joins
       // out (degree counted once per label row) — a map cannot mirror
       // that, so duplicate labels fall back to the distributed branch
-      // instead of silently diverging
+      // instead of silently diverging. The duplicate census runs
+      // CLUSTER-SIDE (one aggregated row per graph node), so the
+      // driver collect is bounded by the edge gate even when the label
+      // table itself is pathologically duplicated (one row per event).
+      val labRows = lab.join(broadcast(nodesDf), col("_ln") === col("_n"))
+        .groupBy(col("_ln"))
+        .agg(count(lit(1)).as("_cnt"), max(col("_lc")).as("_lcv"))
+        .collect()
       val labMap = new java.util.HashMap[Long, java.lang.Long]()
-      val seenLab = new java.util.HashSet[Long]()
       var dupLabel = false
       labRows.foreach { r =>
         if (!r.isNullAt(0)) {
           val n = r.getLong(0)
-          if (!seenLab.add(n)) dupLabel = true
+          if (r.getLong(1) > 1L) dupLabel = true
           labMap.put(n,
-            if (r.isNullAt(1)) null else java.lang.Long.valueOf(r.getLong(1)))
+            if (r.isNullAt(2)) null else java.lang.Long.valueOf(r.getLong(2)))
         }
       }
       if (!dupLabel) {

@@ -134,7 +134,8 @@ object Events {
       Some(java.nio.file.Files.createTempDirectory(shm, "graft_ckpt_")) else None
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     val prevNoData = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      spark.conf.get("graft.stream.statePartitions", "8"))
     // OUTER stream joins are the exception to the no-data-batch cut:
     // an unmatched row's null-padded result is emitted by the WATERMARK
     // ADVANCE, which only a trailing no-data batch performs
