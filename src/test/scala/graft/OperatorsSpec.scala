@@ -30,6 +30,15 @@ class OperatorsSpec extends SparkSpec {
     dup.getAs[Long]("keep_id") shouldBe 1L
   }
 
+  test("minhashBandIndex commutes with a doc filter (per-doc signing, the q312 shared-sign basis)") {
+    // signing is strictly per-doc, so filtering docs before or after
+    // signing must yield identical band rows — the property that lets
+    // q312 sign the corpus once and slice base/batch/rebuild views
+    val pred = col("doc_id") % 2 === 1
+    canon(Dedup.minhashBandIndex(docs).filter(pred)) shouldBe
+      canon(Dedup.minhashBandIndex(docs.filter(pred)))
+  }
+
   test("minhash LSH surfaces the planted near-dup pair first") {
     val top = Dedup.minhash(docs).collect()
     top.nonEmpty shouldBe true
